@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard configuration.
+  *
+  * Mirrors the reference's session wiring (reference csv_to_ice.py:4-14
+  * configures S3 + Iceberg catalog; here the warehouse is the local
+  * filesystem and the catalog is [[graft.sources.Tables]]).
+  *
+  * Scale notes: `spark.sql.shuffle.partitions` is sized to the local core
+  * count (32) rather than the 200 default; on a real cluster this is the
+  * one knob that must track `executors * cores` (or be left to AQE
+  * coalescing, which is enabled).
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String = "graft"): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // The `events` fixture carries parquet TIMESTAMP(NANOS); Spark has no
+      // nanosecond timestamp type, so read them as raw Long nanos and let
+      // Tables.load convert to microsecond timestamps.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -1,13 +1,234 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is an operator from SURVEY.md §2 or a
+  * north-star extension; entries with a DuckDB-expressible equivalent also
+  * appear in [[oracleSql]] (column names aliased identically on both
+  * sides; doubles compare with tolerance per FIXTURES.md).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's Q3 analog (grouped count+avg, ordered) — SURVEY.md
+    * §7.3 minimum slice. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.groupAgg(spark, "/root/testdata/sf0.001")
+
+  type Q = (SparkSession, String) => DataFrame
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, Q] = Map[String, Q](
+    // —— reference parity (SURVEY.md §2.2/2.4/2.6/2.8) ——
+    "q01_count_all"      -> (Relational.countAll _),
+    "q02_filtered_count" -> (Relational.filteredCount _),
+    "q03_filtered_avg"   -> (Relational.filteredAvg _),
+    "q04_group_agg"      -> (Relational.groupAgg _),
+    "q05_project_filter" -> (Relational.projectFilter _),
+    "q06_derived_date"   -> (Relational.derivedDate _),
+    "q07_cast_types"     -> (Relational.castTypes _),
+    "q08_topk"           -> (Relational.topK _),
+    // —— joins / windows / distinct / set ops (§2.3/2.5/2.7 extensions) ——
+    "q09_join_agg"       -> (Relational.joinAgg _),
+    "q10_join_multi"     -> (Relational.joinMulti _),
+    "q11_semi_join"      -> (Relational.semiJoin _),
+    "q12_anti_join"      -> (Relational.antiJoin _),
+    "q13_window_topn"    -> (Relational.windowTopN _),
+    "q14_distinct"       -> (Relational.distinctCount _),
+    "q15_union"          -> (Relational.unionKeys _),
+    "q16_intersect"      -> (Relational.intersectKeys _),
+    "q17_except"         -> (Relational.exceptKeys _),
+    "q18_case_bucket"    -> (Relational.caseBucket _),
+    "q19_scalar_funcs"   -> (Relational.scalarFuncs _),
+    "q20_above_avg"      -> (Relational.aboveCustomerAvg _),
+    // —— event analytics (north-star, batch) ——
+    "e01_tumbling_hourly" -> (Events.tumblingHourly _),
+    "e02_sessionize"      -> (Events.sessionize _),
+    "e03_json_extract"    -> (Events.jsonExtract _),
+    "e04_daily_cumulative" -> (Events.dailyCumulative _),
+    // —— text analysis (north-star) ——
+    "t01_text_stats"   -> (TextAnalysis.textStats _),
+    "t02_quality"      -> (TextAnalysis.qualityScore _),
+    "t03_langid"       -> (TextAnalysis.langId _),
+    "t04_fingerprint"  -> (TextAnalysis.fingerprints _),
+    "t05_dedup_exact"  -> (TextAnalysis.dedupExact _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "q01_count_all" ->
+      "SELECT count(*) AS cnt FROM lineitem",
+    "q02_filtered_count" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_linenumber = 3",
+    "q03_filtered_avg" ->
+      """SELECT avg(l_extendedprice) AS avg_price FROM lineitem
+         WHERE l_linenumber = 1 AND l_quantity < 25""",
+    "q04_group_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+                avg(l_extendedprice) AS avg_price
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q05_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem WHERE l_quantity < 5
+         ORDER BY l_orderkey, l_linenumber""",
+    "q06_derived_date" ->
+      """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
+                count(*) AS cnt
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q07_cast_types" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS key_str,
+                CAST(l_shipdate AS DATE) AS ship_date,
+                CAST(l_linenumber AS DOUBLE) AS line_d
+         FROM lineitem WHERE l_orderkey <= 100
+         ORDER BY key_str, line_d, ship_date""",
+    "q08_topk" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 10""",
+    "q09_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                sum(o_totalprice) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q10_join_multi" ->
+      """SELECT n_name,
+                sum(l_extendedprice * (1 - l_discount)) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+    "q11_semi_join" ->
+      """SELECT count(*) AS cnt FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)""",
+    "q12_anti_join" ->
+      """SELECT count(*) AS cnt FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "q13_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders) t
+         WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""",
+    "q14_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+                count(DISTINCT l_suppkey) AS n_supps FROM lineitem""",
+    "q15_union" ->
+      """SELECT n_nationkey AS nk FROM nation
+         UNION SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+    "q16_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+         INTERSECT SELECT s_nationkey AS nk FROM supplier ORDER BY nk""",
+    "q17_except" ->
+      """SELECT n_nationkey AS nk FROM nation
+         EXCEPT SELECT c_nationkey AS nk FROM customer ORDER BY nk""",
+    "q18_case_bucket" ->
+      """SELECT CASE WHEN l_quantity < 10 THEN 'low'
+                     WHEN l_quantity < 30 THEN 'mid'
+                     ELSE 'high' END AS bucket,
+                count(*) AS cnt, avg(l_discount) AS avg_disc
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "q19_scalar_funcs" ->
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+                CAST(month(l_shipdate) AS BIGINT) AS mo,
+                upper(l_returnflag) AS flag,
+                count(*) AS cnt,
+                round(sum(l_extendedprice), 2) AS rev_rounded,
+                max(abs(l_discount - 0.05)) AS max_disc_dev
+         FROM lineitem GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    "q20_above_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS cust_avg
+               FROM orders GROUP BY 1) a ON o.o_custkey = a.k
+         WHERE o_totalprice > cust_avg * 2 ORDER BY o_orderkey""",
+    "e01_tumbling_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                event_type, count(*) AS cnt, sum(value) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "e02_sessionize" ->
+      """WITH x AS (
+           SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                  lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER
+                    (PARTITION BY user_id ORDER BY ts) AS prev_us
+           FROM events)
+         SELECT user_id,
+                CAST(sum(CASE WHEN prev_us IS NULL
+                              OR us - prev_us > 1800000000 THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_sessions,
+                count(*) AS n_events
+         FROM x GROUP BY user_id ORDER BY user_id""",
+    "e03_json_extract" ->
+      """SELECT event_type, count(*) AS cnt,
+                avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+                    AS BIGINT)) AS avg_k,
+                max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1)
+                    AS BIGINT)) AS max_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "e04_daily_cumulative" ->
+      """WITH daily AS (
+           SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2)
+         SELECT user_id, day, cnt,
+                CAST(sum(cnt) OVER (PARTITION BY user_id ORDER BY day
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS running_cnt
+         FROM daily ORDER BY user_id, day""",
+    "t01_text_stats" ->
+      """SELECT doc_id,
+                CAST(length(text) AS BIGINT) AS len_chars,
+                CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                     AS BIGINT) AS n_tokens,
+                length(text) * 1.0 /
+                  len(regexp_split_to_array(trim(text), '\s+'))
+                  AS chars_per_token
+         FROM documents ORDER BY doc_id""",
+    "t02_quality" ->
+      """SELECT doc_id,
+                CAST(len(regexp_extract_all(lower(text),
+                  '\b(the|a|and|of|to|in|is|it)\b')) AS BIGINT)
+                  AS stop_hits,
+                CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT)
+                  AS punct_hits,
+                len(regexp_extract_all(lower(text),
+                  '\b(the|a|and|of|to|in|is|it)\b')) * 1.0 /
+                  len(regexp_split_to_array(trim(text), '\s+'))
+                  AS stop_ratio,
+                len(regexp_extract_all(text, '[.,;:!?]')) * 1.0 /
+                  length(text) AS punct_ratio
+         FROM documents ORDER BY doc_id""",
+    "t03_langid" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|was|for)\b')) AS BIGINT) AS s_en,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(der|die|das|und|ist|nicht|mit|ein)\b')) AS BIGINT) AS s_de,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(le|les|une|et|est|pas|pour|dans)\b')) AS BIGINT) AS s_fr,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(el|los|las|es|no|por|para|como)\b')) AS BIGINT) AS s_es
+           FROM documents)
+         SELECT doc_id,
+                CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                       THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                     WHEN s_fr >= s_es THEN 'fr'
+                     ELSE 'es' END AS pred_lang,
+                s_en, s_de, s_fr, s_es
+         FROM s ORDER BY doc_id""",
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+                md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+         FROM documents ORDER BY doc_id""",
+    "t05_dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+                min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM documents GROUP BY 1 ORDER BY 1""",
+  )
 }

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** Event-stream analytics over the `events` fixture (batch mode; the
+  * streaming equivalents live in [[graft.streaming.EventStreams]]).
+  *
+  * The reference has no streaming surface (SURVEY.md §2.9 — its ETL is a
+  * one-shot batch job, reference README.md:28); these are north-star
+  * extensions for the time-series side of a training-data pipeline.
+  */
+object Events {
+
+  private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  /** Tumbling 1-hour window aggregate. Implemented as a date_trunc
+    * group-by (identical semantics to `window(ts, "1 hour")` for tumbling
+    * windows, and cheaper: plain hash agg, no window-struct explode). */
+  def tumblingHourly(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  /** Sessionization (30-minute inactivity gap) per user, gaps-and-islands
+    * form: lag -> new-session flag -> sum. One shuffle on user_id; at
+    * scale the window state is bounded per user, and the same semantics
+    * run incrementally via session_window in the streaming module. */
+  def sessionize(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    ev(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > lit(1800000000L), 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Semi-structured extraction: pull the numeric `k` field out of the
+    * JSON-ish `props` string with a regexp (codegen'd, no UDF), then
+    * aggregate per event type. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("k_val",
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), avg(col("k_val")).as("avg_k"),
+        max(col("k_val")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  /** Sliding daily-activity rollup: per user, events per day plus a
+    * running cumulative count over days (window frame). */
+  def dailyCumulative(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("running_cnt", sum(col("cnt")).over(w))
+      .orderBy(col("user_id"), col("day"))
+  }
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` fixture — the
+  * language-ID / quality-scoring / token-counting / fingerprinting side of
+  * a training-data pipeline (north-star extensions; the reference's only
+  * string work is a date_format, csv_to_ice.py:25).
+  *
+  * Everything here is built from codegen'd builtin expressions (regexp_*,
+  * split, md5) — no UDFs — so the whole pipeline stays inside whole-stage
+  * codegen and scales embarrassingly parallel (per-row, no shuffle until
+  * the final aggregate/sort).
+  */
+object TextAnalysis {
+
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+
+  /** Whitespace tokenizer used across the module (and mirrored in the
+    * DuckDB oracles as regexp_split_to_array). */
+  def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  def nTokens(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Per-document surface statistics: chars, tokens, mean token length. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("len_chars"),
+        nTokens(col("text")).as("n_tokens"),
+        (length(col("text")).cast("double") / nTokens(col("text")))
+          .as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  /** Quality scoring: stopword ratio + punctuation density + mean token
+    * length — the standard cheap heuristics for filtering web text. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val stopHits = regexp_count(lower(col("text")),
+      lit("\\b(the|a|and|of|to|in|is|it)\\b")).cast("long")
+    val punct = regexp_count(col("text"), lit("[.,;:!?]")).cast("long")
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        stopHits.as("stop_hits"),
+        punct.as("punct_hits"),
+        (stopHits.cast("double") / nTokens(col("text"))).as("stop_ratio"),
+        (punct.cast("double") / length(col("text"))).as("punct_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID by stopword-hit voting over four language profiles.
+    * Argmax with a fixed priority tie-break (en > de > fr > es) so the
+    * result is deterministic and oracle-reproducible. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    def score(pat: String): Column =
+      regexp_count(lower(col("text")), lit(pat)).cast("long")
+    val en = score("\\b(the|and|of|to|in|is|was|for)\\b")
+    val de = score("\\b(der|die|das|und|ist|nicht|mit|ein)\\b")
+    val fr = score("\\b(le|les|une|et|est|pas|pour|dans)\\b")
+    val es = score("\\b(el|los|las|es|no|por|para|como)\\b")
+    docs(s, d)
+      .select(col("doc_id"), en.as("s_en"), de.as("s_de"), fr.as("s_fr"),
+        es.as("s_es"))
+      .withColumn("pred_lang",
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_fr") &&
+          col("s_en") >= col("s_es"), "en")
+          .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_es"), "de")
+          .when(col("s_fr") >= col("s_es"), "fr")
+          .otherwise("es"))
+      .select(col("doc_id"), col("pred_lang"), col("s_en"), col("s_de"),
+        col("s_fr"), col("s_es"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Normalized-text fingerprint: md5 over whitespace-collapsed lowercase
+    * text. The exact-dedup key; md5 is deliberately chosen because every
+    * engine computes the identical digest (cross-engine reproducible,
+    * unlike engine-local hash64s). */
+  def fingerprintCol(c: Column): Column =
+    md5(regexp_replace(lower(c), "\\s+", " ").cast("binary"))
+
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"), fingerprintCol(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Exact deduplication via fingerprint group: keep the lowest doc_id per
+    * normalized text, report the copy count. Hash-partition shuffle on the
+    * digest — at 100 TB this is the one-pass exact-dedup plan (no sort,
+    * no pairwise compare). */
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .groupBy(fingerprintCol(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("fp"))
+}

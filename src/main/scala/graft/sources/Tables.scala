@@ -1,0 +1,37 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Minimal filesystem table registry.
+  *
+  * Replaces the reference's Iceberg hadoop catalog (reference
+  * csv_to_ice.py:11-13: catalog `taxi_catalog` over an S3 warehouse) with a
+  * `name -> dir/name.parquet` mapping — every observable capability of the
+  * demo's catalog (schema, partition pruning, pushdown, replace semantics)
+  * comes from the parquet source itself; see SURVEY.md §7.2.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
+
+  /** Load one table. The `events` fixture stores `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark surfaces as Long (nanosAsLong); convert
+    * to a microsecond TimestampType so downstream date functions work and
+    * DuckDB (which truncates ns->us for arithmetic the same way) agrees.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(path(sfDir, name))
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+    else df
+  }
+
+  /** Register every fixture table as a temp view (SQL entry point). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}
