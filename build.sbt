@@ -10,6 +10,8 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Tiny test fixtures: fewer threads/shuffle partitions beat local[32].
+Test / envVars := Map("SPARK_GRAFT_CPUS" -> "8")
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -55,7 +55,44 @@ object SparkEntry {
     "t03_langid"       -> (TextAnalysis.langId _),
     "t04_fingerprint"  -> (TextAnalysis.fingerprints _),
     "t05_dedup_exact"  -> (TextAnalysis.dedupExact _),
+    // —— near-dup detection (north-star) ——
+    "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
+    "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
+    "d03_simhash"         -> (Dedup.simhashPairs _),
+    "d04_embedding_neardup" -> (Dedup.embeddingNearDup _),
+    // —— similarity search (north-star) ——
+    "s01_ann_bruteforce" -> (Similarity.bruteForceTopK _),
+    "s02_ann_ivf"        -> (Similarity.ivfTopK _),
+    // —— multimodal plumbing (north-star; decode is a marked stub) ——
+    "m01_media_meta"   -> (Multimodal.mediaMeta _),
+    "m02_media_feats"  -> ((s, d) => Multimodal.extractFeatures(s, d).toDF()),
+    "m03_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )
+
+  /** Shared oracle for the three text near-dup paths: they share one
+    * semantic contract (3-gram shingle Jaccard >= 0.5 pairs); MinHash-LSH
+    * and SimHash only change how candidates are found. */
+  private val shingleJaccardSql =
+    """WITH t AS (SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+           FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  AS shingle
+              FROM t WHERE len(toks) >= 3),
+       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       pair AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                       count(*) AS common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+       SELECT a_id, b_id,
+              common * 1.0 / (ca.n + cb.n - common) AS jaccard
+       FROM pair JOIN cnt ca ON ca.doc_id = a_id
+                 JOIN cnt cb ON cb.doc_id = b_id
+       WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5
+       ORDER BY a_id, b_id"""
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -224,11 +261,50 @@ object SparkEntry {
          FROM s ORDER BY doc_id""",
     "t04_fingerprint" ->
       """SELECT doc_id,
-                md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+                md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
          FROM documents ORDER BY doc_id""",
     "t05_dedup_exact" ->
-      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+      """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "d01_shingle_jaccard" -> shingleJaccardSql,
+    "d02_minhash_lsh"     -> shingleJaccardSql,
+    "d03_simhash"         -> shingleJaccardSql,
+    "d04_embedding_neardup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) AS cosine
+         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                 CAST(b.embedding AS DOUBLE[])) >= 0.45
+         ORDER BY a_id, b_id""",
+    "s01_ann_bruteforce" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                    FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_cosine_similarity(q.emb, c.emb) AS cosine
+           FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id >= 10)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+         FROM (SELECT query_id, neighbor_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM scored) t
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "m01_media_meta" ->
+      """SELECT doc_id,
+                CAST(strlen(text) AS BIGINT) AS n_bytes,
+                substr(md5(text), 1, 8) AS digest8,
+                CAST(strlen(text) % 640 AS BIGINT) AS width,
+                CAST(strlen(text) % 480 AS BIGINT) AS height,
+                CAST(strlen(text) % 16 AS BIGINT) AS n_frames
+         FROM documents ORDER BY doc_id""",
+    "m03_frame_sample" ->
+      """WITH m AS (SELECT doc_id,
+                CAST(strlen(text) % 16 AS BIGINT) AS n_frames
+              FROM documents)
+         SELECT doc_id, n_frames,
+                unnest(range(0, n_frames, 4)) AS frame_idx
+         FROM m WHERE n_frames > 0 ORDER BY doc_id, frame_idx""",
   )
 }

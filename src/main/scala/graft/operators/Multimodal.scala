@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal-column plumbing (north-star): treat image/audio/video as
+  * opaque `binary` payloads with typed metadata, and run decode /
+  * feature-extraction as partition-local batch functions.
+  *
+  * The container has no image/audio codecs, so the *decode* step is a
+  * clearly-marked deterministic STUB; everything around it — the binary
+  * column, the metadata schema, the mapPartitions batch shape, the
+  * partitioning — is real and is exactly where a JNI/codec library would
+  * plug in. Payloads are derived from the `documents` fixture (text bytes
+  * standing in for media bytes).
+  */
+object Multimodal {
+
+  /** Attach a binary payload + mime metadata to each document. */
+  def withPayload(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .withColumn("mime", lit("application/octet-stream"))
+
+  /** Metadata extraction over the payload, all codegen'd builtins:
+    * byte length, content digest, and STUB decoded dimensions
+    * (deterministic arithmetic on n_bytes standing in for a real header
+    * parse). */
+  def mediaMeta(s: SparkSession, d: String): DataFrame =
+    withPayload(s, d)
+      .select(
+        col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        substring(md5(col("payload")), 1, 8).as("digest8"),
+        // STUB decode: a real implementation parses the media header.
+        (length(col("payload")).cast("long") % 640).as("width"),
+        (length(col("payload")).cast("long") % 480).as("height"),
+        (length(col("payload")).cast("long") % 16).as("n_frames"))
+      .orderBy(col("doc_id"))
+
+  case class MediaFeature(doc_id: Long, n_bytes: Int, mean_byte: Double,
+      feature: Array[Double])
+
+  /** Partition-local batch "decode + featurize" — the mapPartitions shape
+    * a real decoder uses (amortize codec init across a partition, emit
+    * fixed-width features). The decode itself is a STUB: mean byte value
+    * and a 4-dim moment vector instead of pixels. */
+  def extractFeatures(s: SparkSession, d: String): Dataset[MediaFeature] = {
+    import s.implicits._
+    withPayload(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // Real pipeline: initialize the codec ONCE here, per partition.
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          var s1 = 0.0; var s2 = 0.0
+          var i = 0
+          while (i < n) {
+            val v = (bytes(i) & 0xff).toDouble
+            s1 += v; s2 += v * v
+            i += 1
+          }
+          val mean = if (n > 0) s1 / n else 0.0
+          val varr = if (n > 0) s2 / n - mean * mean else 0.0
+          MediaFeature(id, n, mean,
+            Array(mean, varr, n.toDouble, (bytes.headOption.getOrElse(0: Byte) & 0xff).toDouble))
+        }
+      }
+  }
+
+  /** Frame sampling stub: emit every k-th "frame index" per media row —
+    * the explode shape of a real video frame sampler. */
+  def sampleFrames(s: SparkSession, d: String, everyK: Int = 4): DataFrame =
+    mediaMeta(s, d)
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(everyK)))
+          .as("frame_idx"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+}

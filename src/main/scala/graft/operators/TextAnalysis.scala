@@ -80,7 +80,7 @@ object TextAnalysis {
     * engine computes the identical digest (cross-engine reproducible,
     * unlike engine-local hash64s). */
   def fingerprintCol(c: Column): Column =
-    md5(regexp_replace(lower(c), "\\s+", " ").cast("binary"))
+    md5(regexp_replace(trim(lower(c)), "\\s+", " ").cast("binary"))
 
   def fingerprints(s: SparkSession, d: String): DataFrame =
     docs(s, d)

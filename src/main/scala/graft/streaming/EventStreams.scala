@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over event data (north-star; the reference is
+  * batch-only, SURVEY.md §2.9). The batch queries in
+  * [[graft.operators.Events]] define the semantics; these are the
+  * incremental versions: watermarked tumbling windows, session windows,
+  * and custom per-key state via flatMapGroupsWithState.
+  *
+  * At scale: state is partitioned by grouping key across executors; the
+  * watermark bounds state size (late rows beyond 30 minutes are dropped),
+  * which is what keeps a 1000-executor streaming job stable over 100 TB
+  * of replayed history.
+  */
+object EventStreams {
+
+  /** Parquet stream schema for the events layout. `ts` arrives as Long
+    * nanos (TIMESTAMP(NANOS) parquet under nanosAsLong) and is converted
+    * to a microsecond timestamp, matching Tables.load. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(rawSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+
+  /** Tumbling 1-hour windowed counts with a 30-minute watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
+  /** Session windows (30-minute gap) per user — the incremental form of
+    * Events.sessionize. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
+  case class Ev(event_id: Long, user_id: Long, event_type: String,
+      value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state: running per-user totals via
+    * flatMapGroupsWithState — the escape hatch for stateful logic that
+    * windowed aggregation can't express. */
+  def runningUserTotals(spark: SparkSession,
+      events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserRunning, UserRunning](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  lazy val exact: Set[(Long, Long)] = pairs(Dedup.shingleJaccard(spark, sf))
+
+  test("fixture has planted near-duplicate pairs") {
+    assert(exact.nonEmpty)
+  }
+
+  test("minhash-LSH reproduces the exact shingle-jaccard pairs") {
+    assert(pairs(Dedup.minhashLsh(spark, sf)) == exact)
+  }
+
+  test("simhash banding reproduces the exact shingle-jaccard pairs") {
+    assert(pairs(Dedup.simhashPairs(spark, sf)) == exact)
+  }
+
+  test("jaccard values are in (0.5, 1]") {
+    val js = Dedup.shingleJaccard(spark, sf).collect().map(_.getDouble(2))
+    assert(js.forall(j => j >= 0.5 && j <= 1.0))
+  }
+
+  test("embedding near-dup pairs are symmetric-free and above threshold") {
+    val rows = Dedup.embeddingNearDup(spark, sf).collect()
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(_.getDouble(2) >= 0.45))
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+class StreamingSpec extends SparkSpec {
+
+  // The file stream source requires a directory; stage the single-file
+  // fixture into one.
+  private lazy val streamDir: String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get("target/tmp/stream-events")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  // Stream the staged parquet dir through a memory sink, synchronously.
+  private def runStream(name: String,
+      build: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val events = EventStreams.readEvents(spark, streamDir)
+    val q = build(events).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+
+  test("streaming tumbling counts match the batch equivalent") {
+    val streamed = runStream("tumbling",
+      EventStreams.tumblingCounts, mode = "complete")
+    val batch = graft.operators.Events.tumblingHourly(spark, sf)
+    val a = streamed.select("hour", "event_type", "cnt")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val b = batch.select("hour", "event_type", "cnt")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(a == b)
+  }
+
+  test("session windows produce sessions for every active user") {
+    val sessions = runStream("sessions",
+      EventStreams.sessionCounts, mode = "complete")
+    val users = sessions.select("user_id").distinct().count()
+    val expected = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(users == expected)
+    // total events across sessions = total events
+    val tot = sessions.agg(sum("n_events")).head().getLong(0)
+    assert(tot == spark.read.parquet(s"$sf/events.parquet").count())
+  }
+
+  test("flatMapGroupsWithState accumulates per-user running totals") {
+    val running = runStream("running",
+      df => EventStreams.runningUserTotals(spark, df).toDF(),
+      mode = "append")
+    // one output row per user per (single) microbatch; totals = batch agg
+    val got = running.groupBy("user_id")
+      .agg(max("n_events").as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+}
