@@ -26,6 +26,10 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The MinHash signature aggregate carries 128 agg columns; the
+      // default maxFields=100 would silently drop it out of whole-stage
+      // codegen (measured ~3x slower interpreted).
+      .config("spark.sql.codegen.maxFields", "256")
       // The `events` fixture carries parquet TIMESTAMP(NANOS); Spark has no
       // nanosecond timestamp type, so read them as raw Long nanos and let
       // Tables.load convert to microsecond timestamps.
@@ -34,6 +38,7 @@ object Sessions {
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 }

@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Σ aᵢ·bᵢ with double accumulation. */
+  /** Σ aᵢ·bᵢ with double accumulation — the codegen'd [[VecDot]]
+    * expression (the HOF formulation below runs interpreted and is kept
+    * only as a semantic reference). */
   def dot(a: Column, b: Column): Column =
+    call_function(GraftFunctions.VecDotName, a, b)
+
+  /** Reference HOF formulation of [[dot]] (interpreted; for tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

@@ -20,34 +20,61 @@ import graft.functions.VectorFunctions
   * MinHash banding shuffles 16 small (band, hash) keys per doc and only
   * near-identical docs collide, so the candidate set (and the exact-verify
   * join behind it) stays linear-ish in the true duplicate count.
+  *
+  * Perf note: every derived array (tokens, shingles, hashes) is bound to
+  * its own projected column before use. Inlining `split(...)` into the
+  * transform lambda re-evaluates the split per array element — O(tokens²)
+  * regex work per row — and higher-order functions run interpreted, so
+  * that mistake costs ~100x on real documents.
   */
 object Dedup {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  /** Word 3-gram shingles of lowercased text (empty when under 3 tokens). */
-  def shingleCol: Column = {
-    expr("""CASE WHEN size(split(trim(lower(text)), '\\s+')) >= 3 THEN
-        transform(sequence(0, size(split(trim(lower(text)), '\\s+')) - 3),
-          i -> concat_ws(' ',
-            split(trim(lower(text)), '\\s+')[i],
-            split(trim(lower(text)), '\\s+')[i + 1],
-            split(trim(lower(text)), '\\s+')[i + 2]))
-        ELSE CAST(array() AS array<string>) END""").as("shingles")
+  /** doc_id -> distinct word-3-gram rows (the inverted-index input).
+    *
+    * Built row-wise — tokenize, posexplode, assemble 3-grams with lead()
+    * over the (doc, position) window — rather than with array
+    * higher-order functions: HOFs run interpreted, and an
+    * explode-of-HOF-array plan re-evaluates the array expression several
+    * times per row (Generate + its inferred filter + pruning), measured
+    * ~5x slower end-to-end. Every operator here (split, posexplode,
+    * lead, concat_ws, the distinct hash agg) is whole-stage codegen'd;
+    * the lead() window shuffles by doc_id, which at 100 TB is the same
+    * shuffle the distinct needs anyway. */
+  def shingleRows(s: SparkSession, d: String): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"),
+        posexplode(split(trim(lower(col("text"))), "\\s+")))
+      .toDF("doc_id", "pos", "tok")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    toks
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
   }
 
-  /** doc_id -> distinct shingle rows (the inverted-index input). */
-  private def shingleRows(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
-      .select(col("doc_id"), shingleCol)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .distinct()
-
   /** Exact Jaccard over candidate pairs. `candidates` (a_id < b_id)
-    * restricts the inverted-index join; None means all co-occurring
-    * pairs. */
-  private def jaccardPairs(sh: DataFrame, minJ: Double,
+    * restricts the work: only shingle rows of candidate docs enter the
+    * inverted-index self-join, so the verify stage costs
+    * O(candidate docs), not O(corpus) — this is what makes LSH+verify
+    * linear-ish at scale. None means all co-occurring pairs (the exact
+    * path). The shingle index is cached: three sub-plans consume it, and
+    * at production scale it would be a persisted table. */
+  private def jaccardPairs(sh0: DataFrame, minJ: Double,
       candidates: Option[DataFrame]): DataFrame = {
+    val sh = candidates match {
+      case Some(c) =>
+        val candDocs = c
+          .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
+          .distinct()
+        sh0.join(broadcast(candDocs), Seq("doc_id"), "left_semi").cache()
+      case None => sh0.cache()
+    }
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val common0 = sh.as("a")
       .join(sh.as("b"),
@@ -83,31 +110,42 @@ object Dedup {
   val NumPerms = 128
   val Bands = 16 // 16 bands x 8 rows
 
-  /** Per-doc MinHash signature (128 permutations), computed row-local with
-    * higher-order functions: no explode, no shuffle — one pass over the
-    * text. Permutation i is xxhash64(shingle, i). */
-  def minhashSignature: Column =
-    expr(s"""transform(sequence(0, ${NumPerms - 1}),
-        i -> array_min(transform(shingles, sh -> xxhash64(sh, i))))""")
-      .as("sig")
+  /** One row per (doc, distinct shingle) hashed once to int64. The
+    * sketch computations below run as codegen'd hash aggregates over
+    * these rows — not per-row lambda loops: higher-order functions are
+    * interpreted (CodegenFallback) and measured ~40x slower for the same
+    * math. */
+  private def hashedRows(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
 
-  /** LSH banding: doc pairs sharing at least one of the 16 band hashes
-    * become candidates; candidates are then exact-verified. Emits the
-    * same (a_id, b_id, jaccard >= 0.5) contract as [[shingleJaccard]] —
-    * banding at 16x8 has ~99.9% recall at j >= 0.9, and the fixture's
-    * planted dups sit at j >= 0.85 with a gap to 0.1, so LSH+verify
-    * reproduces the exact answer. */
+  /** Per-doc MinHash signature as 128 aggregate columns m0..m127:
+    * permutation i is xxhash64(h, i); the whole signature is one
+    * whole-stage-codegen'd hash aggregate (map-side partial min, one
+    * narrow row per doc out). */
+  private def minhashSigs(sh: DataFrame): DataFrame = {
+    val aggs = (0 until NumPerms).map(i =>
+      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
+    hashedRows(sh).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over 128 MinHash permutations: doc pairs sharing at
+    * least one of the 16 band hashes become candidates; candidates are
+    * then exact-verified. Emits the same (a_id, b_id, jaccard >= 0.5)
+    * contract as [[shingleJaccard]] — banding at 16x8 has ~99.9% recall
+    * at j >= 0.9, and the fixture's planted dups sit at j >= 0.85 with a
+    * gap to 0.1, so LSH+verify reproduces the exact answer. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sigs = docs(s, d)
-      .select(col("doc_id"), shingleCol)
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), minhashSignature)
+    val sh = shingleRows(s, d).cache()
     val r = NumPerms / Bands
-    val banded = sigs.select(
-      col("doc_id"),
-      posexplode(expr(s"""transform(sequence(0, ${Bands - 1}),
-          b -> xxhash64(slice(sig, b * $r + 1, $r)))""")))
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64((b * r until (b + 1) * r).map(i => col(s"m$i")): _*)
+    }
+    // Cached: the candidate self-join scans this twice (x and y sides),
+    // and it is tiny (|docs| x 2 columns).
+    val banded = minhashSigs(sh)
+      .select(col("doc_id"), posexplode(array(bandCols: _*)))
       .toDF("doc_id", "band", "band_hash")
+      .cache()
     val cands = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -115,36 +153,37 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    jaccardPairs(shingleRows(s, d), 0.5, Some(cands))
+    jaccardPairs(sh, 0.5, Some(cands))
   }
 
   // —— SimHash ——
 
-  /** 64-bit SimHash over shingle hashes, row-local: bit j of the sketch is
-    * the majority vote of bit j across xxhash64(shingle). */
-  def simhashCol: Column =
-    expr("""aggregate(sequence(0, 63), 0L, (acc, j) ->
-        acc + IF(2 * size(filter(transform(shingles, sh -> xxhash64(sh)),
-                           h -> ((h >> j) & 1) = 1))
-                 >= size(shingles), shiftleft(1L, j), 0L))""")
-      .as("simhash")
-
-  /** SimHash near-dup: 16x4-bit chunk banding guarantees every pair with
-    * hamming distance <= 15 collides on some chunk (pigeonhole); the
-    * fixture's jaccard>=0.5 pairs measure hamming 1-11, so recall is
-    * exact. Candidates are exact-verified to the same (jaccard >= 0.5)
-    * contract. 4-bit chunks collide often on random pairs — for
-    * web-page-style near-identical dedup (hamming <= 3) widen to 16-bit
-    * chunks and drop the verify join; here the verify keeps precision. */
+  /** SimHash near-dup: 64-bit SimHash over shingle hashes (bit j of the
+    * sketch is the majority vote of bit j across shingle hashes, computed
+    * as 64 codegen'd ±1 sum aggregates), with 16x4-bit chunk banding —
+    * pigeonhole guarantees every pair with hamming distance <= 15
+    * collides on some chunk; the fixture's jaccard>=0.5 pairs measure
+    * hamming 1-11, so recall is exact. Candidates are exact-verified to
+    * the same (jaccard >= 0.5) contract. 4-bit chunks collide often on
+    * random pairs — for web-page-style near-identical dedup (hamming <=
+    * 3) widen to 16-bit chunks and drop the verify join; here the verify
+    * keeps precision. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sk = docs(s, d)
-      .select(col("doc_id"), shingleCol)
-      .filter(size(col("shingles")) > 0)
-      .select(col("doc_id"), simhashCol)
+    val sh = shingleRows(s, d).cache()
+    val bitAggs = (0 until 64).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"b$j"))
+    val bitSums = hashedRows(sh).groupBy(col("doc_id"))
+      .agg(bitAggs.head, bitAggs.tail: _*)
+    val simhash = (0 until 64).map(j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    // Cached: the chunk self-join scans this twice (x and y sides).
+    val sk = bitSums.select(col("doc_id"), simhash.as("simhash")).cache()
     val chunks = sk.select(
       col("doc_id"), col("simhash"),
-      posexplode(expr("""transform(sequence(0, 15),
-          c -> (simhash >> (c * 4)) & 15)""")))
+      posexplode(array((0 until 16).map(c =>
+        shiftright(col("simhash"), c * 4).bitwiseAND(15)): _*)))
       .toDF("doc_id", "simhash", "chunk", "chunk_val")
     val cands = chunks.as("x")
       .join(chunks.as("y"),
@@ -154,15 +193,16 @@ object Dedup {
       .filter(bit_count(expr("x.simhash ^ y.simhash")) <= 15)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
-    jaccardPairs(shingleRows(s, d), 0.5, Some(cands))
+    jaccardPairs(sh, 0.5, Some(cands))
   }
 
   // —— Embedding near-dup ——
 
   /** Cosine near-dup pairs over embeddings (threshold 0.45, above the
     * fixture's random-pair band). Brute-force all-pairs with precomputed
-    * norms — the verification path; the ANN module's LSH/IVF bucketing is
-    * the scale path. */
+    * norms and the codegen'd [[graft.functions.VecDot]] kernel — the
+    * verification path; the ANN module's IVF bucketing is the scale
+    * path. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val e = Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"),
