@@ -44,6 +44,11 @@ object SparkEntry {
     "q18_case_bucket"    -> (Relational.caseBucket _),
     "q19_scalar_funcs"   -> (Relational.scalarFuncs _),
     "q20_above_avg"      -> (Relational.aboveCustomerAvg _),
+    "q21_percentiles"    -> (Relational.percentiles _),
+    "q22_rollup"         -> (Relational.rollupAgg _),
+    "q23_pivot"          -> (Relational.pivotAgg _),
+    "q24_string_funcs"   -> (Relational.stringFuncs _),
+    "q25_null_handling"  -> (Relational.nullHandling _),
     // —— event analytics (north-star, batch) ——
     "e01_tumbling_hourly" -> (Events.tumblingHourly _),
     "e02_sessionize"      -> (Events.sessionize _),
@@ -55,6 +60,8 @@ object SparkEntry {
     "t03_langid"       -> (TextAnalysis.langId _),
     "t04_fingerprint"  -> (TextAnalysis.fingerprints _),
     "t05_dedup_exact"  -> (TextAnalysis.dedupExact _),
+    "t06_token_counts" -> (TextAnalysis.tokenCounts _),
+    "t07_curation"     -> (TextAnalysis.curationPipeline _),
     // —— near-dup detection (north-star) ——
     "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -183,6 +190,43 @@ object SparkEntry {
          JOIN (SELECT o_custkey AS k, avg(o_totalprice) AS cust_avg
                FROM orders GROUP BY 1) a ON o.o_custkey = a.k
          WHERE o_totalprice > cust_avg * 2 ORDER BY o_orderkey""",
+    "q21_percentiles" ->
+      """SELECT l_returnflag,
+                quantile_cont(l_extendedprice, 0.5) AS p50_price,
+                quantile_cont(l_extendedprice, 0.9) AS p90_price,
+                quantile_cont(l_quantity, 0.5) AS p50_qty
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q22_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q23_pivot" ->
+      """SELECT l_returnflag,
+                sum(CASE WHEN l_linestatus = 'F' THEN l_extendedprice END)
+                  AS sum_f,
+                sum(CASE WHEN l_linestatus = 'O' THEN l_extendedprice END)
+                  AS sum_o
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q24_string_funcs" ->
+      """SELECT c_custkey,
+                upper(substr(c_name, 1, 8)) AS name8,
+                regexp_replace(c_name, 'Customer', 'Cust', 'g')
+                  AS short_name,
+                lpad(CAST(c_custkey AS VARCHAR), 9, '0') AS padded_key,
+                CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+                concat_ws('-', c_mktsegment, CAST(c_nationkey AS VARCHAR))
+                  AS seg_nation
+         FROM customer ORDER BY c_custkey""",
+    "q25_null_handling" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+                count(CASE WHEN l_quantity < 10 THEN NULL
+                      ELSE l_quantity END) AS n_nonnull,
+                sum(CASE WHEN l_quantity < 10 THEN NULL
+                    ELSE l_quantity END) AS sum_nonnull,
+                avg(coalesce(CASE WHEN l_quantity < 10 THEN NULL
+                    ELSE l_quantity END, 0.0)) AS avg_coalesced
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "e01_tumbling_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
                 event_type, count(*) AS cnt, sum(value) AS sum_value
@@ -267,6 +311,32 @@ object SparkEntry {
       """SELECT md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp,
                 min(doc_id) AS keep_id, count(*) AS n_copies
          FROM documents GROUP BY 1 ORDER BY 1""",
+    "t06_token_counts" ->
+      """SELECT doc_id,
+                CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                     AS BIGINT) AS ws_tokens,
+                CAST(len(regexp_extract_all(text,
+                  '\p{L}+|\p{N}|[^\s\p{L}\p{N}]')) AS BIGINT)
+                  AS bpeish_tokens,
+                n_chars * 1.0 / len(regexp_extract_all(text,
+                  '\p{L}+|\p{N}|[^\s\p{L}\p{N}]')) AS chars_per_bpeish
+         FROM documents ORDER BY doc_id""",
+    "t07_curation" ->
+      """WITH scored AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                       AS BIGINT) AS n_tokens,
+                  len(regexp_extract_all(lower(text),
+                    '\b(the|a|and|of|to|in|is|it)\b')) * 1.0 /
+                    len(regexp_split_to_array(trim(text), '\s+'))
+                    AS stop_ratio,
+                  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                    AS fp
+           FROM documents)
+         SELECT min(doc_id) AS doc_id, min(n_tokens) AS n_tokens,
+                count(*) AS n_copies
+         FROM scored WHERE n_tokens >= 10 AND stop_ratio >= 0.01
+         GROUP BY fp ORDER BY doc_id""",
     "d01_shingle_jaccard" -> shingleJaccardSql,
     "d02_minhash_lsh"     -> shingleJaccardSql,
     "d03_simhash"         -> shingleJaccardSql,

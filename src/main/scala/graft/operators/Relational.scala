@@ -199,6 +199,68 @@ object Relational {
         max(abs(col("l_discount") - lit(0.05))).as("max_disc_dev"))
       .orderBy(col("yr"), col("mo"), col("flag"))
 
+  /** Exact interpolated percentiles per group (median + p90). Exact
+    * percentile requires per-group sort — fine for low-cardinality
+    * groups; at scale swap in approx_percentile (t-digest sketch,
+    * mergeable map-side). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
+        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
+        expr("percentile(l_quantity, 0.5)").as("p50_qty"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP grouping sets: per (flag, status) plus flag subtotals plus a
+    * grand total — one pass, Expand + hash agg. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Pivot: return-flag rows x line-status columns. Spark's .pivot with
+    * explicit values keeps the plan a single conditional aggregate (no
+    * value-discovery pass). */
+  def pivotAgg(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(col("l_extendedprice")))
+      .withColumnRenamed("F", "sum_f")
+      .withColumnRenamed("O", "sum_o")
+      .orderBy(col("l_returnflag"))
+
+  /** String-function battery over customer names: substring, replace,
+    * padding, position, concatenation. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    cust(s, d)
+      .select(
+        col("c_custkey"),
+        upper(substring(col("c_name"), 1, 8)).as("name8"),
+        regexp_replace(col("c_name"), "Customer", "Cust").as("short_name"),
+        lpad(col("c_custkey").cast("string"), 9, "0").as("padded_key"),
+        (instr(col("c_name"), "#").cast("long")).as("hash_pos"),
+        concat_ws("-", col("c_mktsegment"),
+          col("c_nationkey").cast("string")).as("seg_nation"))
+      .orderBy(col("c_custkey"))
+
+  /** Null-semantics battery: nullif-generated nulls through coalesce,
+    * count(col) vs count(*), and null-safe aggregation. */
+  def nullHandling(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .withColumn("qty_or_null",
+        when(col("l_quantity") < 10, null).otherwise(col("l_quantity")))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("qty_or_null")).as("n_nonnull"),
+        sum(col("qty_or_null")).as("sum_nonnull"),
+        avg(coalesce(col("qty_or_null"), lit(0.0))).as("avg_coalesced"))
+      .orderBy(col("l_returnflag"))
+
   /** Correlated-style scalar subquery shape: orders above their customer's
     * average order value. Expressed as join against a pre-aggregated
     * per-customer average (the decorrelated form Catalyst would produce). */

@@ -96,4 +96,43 @@ object TextAnalysis {
       .groupBy(fingerprintCol(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("fp"))
+
+  /** BPE-style subword-ish token counting: the GPT-2 pre-tokenizer shape
+    * (letter runs | digits | non-space symbols), counted with a single
+    * regexp pass — the cheap proxy for "LLM token count" used to budget
+    * training corpora. Compared against the whitespace count. */
+  def tokenCounts(s: SparkSession, d: String): DataFrame = {
+    val bpeish = regexp_count(col("text"),
+      lit("\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]")).cast("long")
+    docs(s, d)
+      .select(
+        col("doc_id"),
+        nTokens(col("text")).as("ws_tokens"),
+        bpeish.as("bpeish_tokens"),
+        (col("n_chars").cast("double") / bpeish).as("chars_per_bpeish"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Composed curation pipeline — the end-to-end shape of a training-data
+    * cleaning job: language-gate, quality-gate (stopword ratio), then
+    * exact-dedup keep-first, emitting the surviving corpus with its
+    * metrics. Every stage is a narrow projection/filter until the single
+    * dedup shuffle. */
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val stopHits = regexp_count(lower(col("text")),
+      lit("\\b(the|a|and|of|to|in|is|it)\\b")).cast("long")
+    val scored = docs(s, d)
+      .withColumn("n_tokens", nTokens(col("text")))
+      .withColumn("stop_ratio",
+        stopHits.cast("double") / col("n_tokens"))
+      .withColumn("fp", fingerprintCol(col("text")))
+    scored
+      .filter(col("n_tokens") >= 10 && col("stop_ratio") >= 0.01)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_copies"),
+        min(col("n_tokens")).as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
 }

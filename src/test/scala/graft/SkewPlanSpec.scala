@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Relational, Skew}
+
+class SkewPlanSpec extends SparkSpec {
+
+  test("saltedJoin returns exactly the plain-join result") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val cust = spark.read.parquet(s"$sf/customer.parquet")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plain = orders.join(cust, "o_custkey")
+    val salted = Skew.saltedJoin(orders, cust, "o_custkey", 8)
+    assert(salted.count() == plain.count())
+    val a = plain.groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = salted.groupBy("o_custkey").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("saltedDistinctCount matches countDistinct") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val want = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = Skew.saltedDistinctCount(li, "l_returnflag", "l_partkey")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  // —— plan-quality assertions: the physical plans we designed for ——
+
+  test("projectFilter pushes predicate and prunes columns at the scan") {
+    val plan = Relational.projectFilter(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("LessThan(l_quantity"))
+    assert(plan.contains("ReadSchema") && !plan.contains("l_returnflag"))
+  }
+
+  test("topK plans TakeOrderedAndProject, not a global sort") {
+    val plan = Relational.topK(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("groupAgg runs partial then final hash aggregation") {
+    val plan = Relational.groupAgg(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("Partial"))
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("joinMulti broadcasts the dimension tables") {
+    val plan = Relational.joinMulti(spark, sf).queryExecution
+      .executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("filteredCount reads only the filter column") {
+    val plan = Relational.filteredCount(spark, sf).queryExecution
+      .executedPlan.toString
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_linenumber") &&
+      !readSchema.contains("l_extendedprice"))
+  }
+}
