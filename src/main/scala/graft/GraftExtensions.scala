@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.VecDot
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions at session build time, so third-party sessions can opt in
+  * with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions` — the standard extension
+  * wiring. [[Sessions.get]] also registers per-session for sessions built
+  * elsewhere. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier(graft.functions.GraftFunctions.VecDotName),
+      new ExpressionInfo(classOf[VecDot].getName,
+        graft.functions.GraftFunctions.VecDotName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"${graft.functions.GraftFunctions.VecDotName} expects 2 " +
+            s"arguments, got ${exprs.length}")
+        VecDot(exprs(0), exprs(1))
+      }))
+  }
+}

@@ -19,6 +19,7 @@ object Sessions {
   def builder(appName: String = "graft"): SparkSession.Builder =
     SparkSession
       .builder()
+      .withExtensions(new GraftExtensions)
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -49,6 +49,16 @@ object SparkEntry {
     "q23_pivot"          -> (Relational.pivotAgg _),
     "q24_string_funcs"   -> (Relational.stringFuncs _),
     "q25_null_handling"  -> (Relational.nullHandling _),
+    // S6 — SQL entry point over the registered table views
+    "q26_sql_api" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                      sum(l_extendedprice * (1 - l_discount)) AS revenue
+               FROM lineitem
+               WHERE l_quantity > 1
+               GROUP BY l_returnflag, l_linestatus
+               ORDER BY l_returnflag, l_linestatus""")
+    }),
     // —— event analytics (north-star, batch) ——
     "e01_tumbling_hourly" -> (Events.tumblingHourly _),
     "e02_sessionize"      -> (Events.sessionize _),
@@ -227,6 +237,12 @@ object SparkEntry {
                 avg(coalesce(CASE WHEN l_quantity < 10 THEN NULL
                     ELSE l_quantity END, 0.0)) AS avg_coalesced
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q26_sql_api" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                sum(l_extendedprice * (1 - l_discount)) AS revenue
+         FROM lineitem WHERE l_quantity > 1
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
     "e01_tumbling_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
                 event_type, count(*) AS cnt, sum(value) AS sum_value

@@ -44,6 +44,30 @@ class EtlSpec extends SparkSpec {
     assert(after.count() == 1 && after.head().getInt(0) == 9)
   }
 
+  test("taxi preset reproduces the reference transform chain") {
+    import spark.implicits._
+    import graft.sources.TaxiEtl
+    // A taxi-shaped raw frame as CSV inference would deliver it
+    // (strings for timestamps, long for passenger_count).
+    val raw = Seq(
+      (2, "2015-01-15 19:05:39", "2015-01-15 19:23:42", 1L, 1.59, 5.0),
+      (1, "2015-01-10 20:33:38", "2015-01-10 20:53:28", 3L, 3.30, 12.5))
+      .toDF("VendorID", "tpep_pickup_datetime", "tpep_dropoff_datetime",
+        "passenger_count", "trip_distance", "total_amount")
+    val out = graft.sources.Etl.transform(raw, TaxiEtl.spec)
+    assert(out.schema("tpep_pickup_datetime").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    assert(out.schema("passenger_count").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // pickup_date is the STRING the reference actually produces
+    assert(out.schema("pickup_date").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val days = out.select("pickup_date").collect().map(_.getString(0))
+    assert(days.toSet == Set("2015-01-15", "2015-01-10"))
+    // the 20-column reference schema is available as the canonical DDL
+    assert(TaxiEtl.schema.fields.length == 20)
+  }
+
   test("partition pruning reaches the scan for the derived date") {
     val table = s"$work/table"
     val pruned = Etl.readTable(spark, table)
