@@ -80,6 +80,9 @@ object SparkEntry {
     // —— similarity search (north-star) ——
     "s01_ann_bruteforce" -> (Similarity.bruteForceTopK _),
     "s02_ann_ivf"        -> (Similarity.ivfTopK _),
+    "s03_ann_lsh"        -> (Similarity.lshTopK _),
+    // —— approximate aggregates (sketches; rows-only + error-bound spec) ——
+    "q27_approx_aggs"    -> (Relational.approxAggs _),
     // —— multimodal plumbing (north-star; decode is a marked stub) ——
     "m01_media_meta"   -> (Multimodal.mediaMeta _),
     "m02_media_feats"  -> ((s, d) => Multimodal.extractFeatures(s, d).toDF()),

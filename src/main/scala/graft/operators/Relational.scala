@@ -261,6 +261,20 @@ object Relational {
         avg(coalesce(col("qty_or_null"), lit(0.0))).as("avg_coalesced"))
       .orderBy(col("l_returnflag"))
 
+  /** Approximate aggregates — the sketches that replace exact
+    * distinct/percentile at 100 TB: HLL++ (mergeable, fixed memory) and
+    * t-digest percentiles. Values are engine-specific, so the driver
+    * check is rows-only; ApproxSpec bounds the relative error against
+    * the exact answers. */
+  def approxAggs(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+        expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
+      .orderBy(col("l_returnflag"))
+
   /** Correlated-style scalar subquery shape: orders above their customer's
     * average order value. Expressed as join against a pre-aggregated
     * per-customer average (the decorrelated form Catalyst would produce). */

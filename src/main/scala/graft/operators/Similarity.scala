@@ -77,6 +77,60 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
   }
 
+  /** Random-hyperplane LSH top-k — the second scale path. 8 independent
+    * hash tables of 6 sign-bits each (sign of graft_vec_dot against
+    * fixed Gaussian hyperplanes); a vector is scored iff it shares a
+    * (table, signature) bucket with the query in ANY table. For a
+    * neighbor at angle θ, P[bit match] = 1-θ/π, so short-signature
+    * OR-of-tables trades candidate volume for recall — the right regime
+    * for this corpus's weakly-separated (cosine ≈ 0.5) neighbors; on
+    * clustered real embeddings the same tables are far more selective.
+    * At 100 TB each table's buckets are a partitioning key and a probe
+    * is a partition-pruned scan. Approximate by design — recall is
+    * spec-checked against [[bruteForceTopK]]. */
+  def lshTopK(s: SparkSession, d: String): DataFrame = {
+    val dim = 64
+    val tables = 8
+    val bits = 6
+    val planes: Array[Array[Float]] = {
+      val r = new java.util.Random(7)
+      Array.fill(tables * bits)(Array.fill(dim)(r.nextGaussian().toFloat))
+    }
+    def signature(emb: org.apache.spark.sql.Column, t: Int) =
+      (0 until bits).map { i =>
+        when(dot(emb, typedlit(planes(t * bits + i).toSeq)) > 0,
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    def withBuckets(df: DataFrame,
+        emb: org.apache.spark.sql.Column): DataFrame =
+      df.select(col("*"), posexplode(
+        array((0 until tables).map(t => signature(emb, t)): _*)))
+        .withColumnRenamed("pos", "table")
+        .withColumnRenamed("col", "sig")
+
+    val e = emb(s, d)
+    val corpus = withBuckets(e.filter(col("vec_id") >= NumQueries),
+      col("embedding"))
+    val probes = withBuckets(
+      e.filter(col("vec_id") < NumQueries)
+        .withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("embedding", "q_emb")
+        .withColumnRenamed("nrm", "q_nrm"),
+      col("q_emb"))
+    val scored = corpus.join(broadcast(probes), Seq("table", "sig"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** IVF approximate top-k: probe the nProbe cells nearest to each query,
     * exact-score only vectors in those cells. Approximate by design —
     * the spec checks recall against [[bruteForceTopK]] rather than
