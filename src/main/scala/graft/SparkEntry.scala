@@ -64,6 +64,7 @@ object SparkEntry {
     "e02_sessionize"      -> (Events.sessionize _),
     "e03_json_extract"    -> (Events.jsonExtract _),
     "e04_daily_cumulative" -> (Events.dailyCumulative _),
+    "e05_asof_join"        -> (Events.asofJoin _),
     // —— text analysis (north-star) ——
     "t01_text_stats"   -> (TextAnalysis.textStats _),
     "t02_quality"      -> (TextAnalysis.qualityScore _),
@@ -279,6 +280,14 @@ object SparkEntry {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS running_cnt
          FROM daily ORDER BY user_id, day""",
+    "e05_asof_join" ->
+      """SELECT p.event_id AS purchase_id, p.user_id,
+                c.event_id AS click_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF LEFT JOIN
+              (SELECT * FROM events WHERE event_type = 'click') c
+           ON p.user_id = c.user_id AND p.ts > c.ts
+         ORDER BY purchase_id""",
     "t01_text_stats" ->
       """SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS len_chars,

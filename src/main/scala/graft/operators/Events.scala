@@ -54,6 +54,29 @@ object Events {
         max(col("k_val")).as("max_k"))
       .orderBy(col("event_type"))
 
+  /** As-of (point-in-time) join: each purchase event paired with the
+    * same user's most recent strictly-earlier click. Composed from
+    * built-ins — a last(ignoreNulls) over an unbounded-preceding-to-
+    * previous-row window on the unioned event stream — rather than a
+    * custom physical operator: one shuffle on user_id, sorted once,
+    * O(1) state per row. This is the standard Spark formulation of what
+    * DuckDB/Pandas call ASOF JOIN (the oracle uses DuckDB's native
+    * ASOF). */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev(s, d)
+      .filter(col("event_type").isin("purchase", "click"))
+      .withColumn("click_id",
+        last(when(col("event_type") === "click", col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("click_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** Sliding daily-activity rollup: per user, events per day plus a
     * running cumulative count over days (window frame). */
   def dailyCumulative(s: SparkSession, d: String): DataFrame = {

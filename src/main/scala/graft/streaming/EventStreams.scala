@@ -52,6 +52,14 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Streaming exact-dedup by event_id: watermark-bounded state, so a
+    * replayed/at-least-once source dedups without unbounded memory —
+    * the streaming face of TextAnalysis.dedupExact. */
+  def dedupedEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   case class Ev(event_id: Long, user_id: Long, event_type: String,
       value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

@@ -52,6 +52,23 @@ class StreamingSpec extends SparkSpec {
     assert(tot == spark.read.parquet(s"$sf/events.parquet").count())
   }
 
+  test("streaming dedup collapses a duplicated source to distinct events") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = Paths.get("target/tmp/stream-dup")
+    Files.createDirectories(dir)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      dir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val events = EventStreams.readEvents(spark, dir.toString)
+    val q = EventStreams.dedupedEvents(events).writeStream
+      .format("memory").queryName("dedup").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val n = spark.table("dedup").count()
+    val expected = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(n == expected)
+  }
+
   test("flatMapGroupsWithState accumulates per-user running totals") {
     val running = runStream("running",
       df => EventStreams.runningUserTotals(spark, df).toDF(),
