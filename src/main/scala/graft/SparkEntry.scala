@@ -78,6 +78,8 @@ object SparkEntry {
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
     "d03_simhash"         -> (Dedup.simhashPairs _),
     "d04_embedding_neardup" -> (Dedup.embeddingNearDup _),
+    "d05_embedding_lsh"     -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    "q28_typed_ds"          -> (Typed.revenueByFlag _),
     // —— similarity search (north-star) ——
     "s01_ann_bruteforce" -> (Similarity.bruteForceTopK _),
     "s02_ann_ivf"        -> (Similarity.ivfTopK _),
@@ -365,6 +367,11 @@ object SparkEntry {
                 count(*) AS n_copies
          FROM scored WHERE n_tokens >= 10 AND stop_ratio >= 0.01
          GROUP BY fp ORDER BY doc_id""",
+    "q28_typed_ds" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+                sum(l_extendedprice * (1 - l_discount)) AS revenue
+         FROM lineitem WHERE l_quantity > 5
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "d01_shingle_jaccard" -> shingleJaccardSql,
     "d02_minhash_lsh"     -> shingleJaccardSql,
     "d03_simhash"         -> shingleJaccardSql,

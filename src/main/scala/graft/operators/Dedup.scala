@@ -216,4 +216,48 @@ object Dedup {
       .filter(col("cosine") >= 0.45)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** LSH-bucketed embedding near-dup — the scale path for
+    * [[embeddingNearDup]]: candidate pairs are vectors sharing a
+    * (table, signature) bucket in any of 8 random-hyperplane tables
+    * (6 sign-bits each, via the codegen'd graft_vec_dot), then
+    * exact-cosine-verified at the same threshold. Join volume is
+    * per-bucket quadratic instead of corpus-quadratic; recall is
+    * probabilistic (spec-measured vs the exact pairs), tunable by
+    * table count. */
+  def embeddingNearDupLsh(s: SparkSession, d: String,
+      threshold: Double = 0.45): DataFrame = {
+    val dim = 64
+    val tables = 8
+    val bits = 6
+    val planes: Array[Array[Float]] = {
+      val r = new java.util.Random(11)
+      Array.fill(tables * bits)(Array.fill(dim)(r.nextGaussian().toFloat))
+    }
+    def signature(t: Int): Column =
+      (0 until bits).map { i =>
+        when(VectorFunctions.dot(col("embedding"),
+          typedlit(planes(t * bits + i).toSeq)) > 0, lit(1L << i))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val e = Tables.load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+    val bucketed = e.select(col("vec_id"), col("embedding"), col("nrm"),
+      posexplode(array((0 until tables).map(signature): _*)))
+      .toDF("vec_id", "embedding", "nrm", "table", "sig")
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.table") === col("b.table") &&
+          col("a.sig") === col("b.sig") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        (VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cosine"))
+      .distinct()
+      .filter(col("cosine") >= threshold)
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

@@ -31,4 +31,15 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
     assert(rows.forall(_.getDouble(2) >= 0.45))
   }
+
+  test("LSH embedding near-dup is a sound subset of the exact pairs") {
+    val exactPairs = pairs(Dedup.embeddingNearDup(spark, sf))
+    val lshPairs = pairs(Dedup.embeddingNearDupLsh(spark, sf))
+    assert(lshPairs.subsetOf(exactPairs)) // verify step kills false pos
+    if (exactPairs.nonEmpty) {
+      val recall = (lshPairs & exactPairs).size.toDouble / exactPairs.size
+      info(s"embedding LSH recall = $recall")
+      assert(recall >= 0.2)
+    }
+  }
 }
