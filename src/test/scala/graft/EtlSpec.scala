@@ -68,6 +68,26 @@ class EtlSpec extends SparkSpec {
     assert(TaxiEtl.schema.fields.length == 20)
   }
 
+  test("versioned table: commit, time travel, vacuum") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned"
+    val v1 = Versioned.commit(Seq(1, 2, 3).toDF("v"), t)
+    val v2 = Versioned.commit(Seq(4, 5).toDF("v"), t)
+    assert(v1 == 1 && v2 == 2)
+    assert(Versioned.currentVersion(spark, t) == 2)
+    // current read sees the newest snapshot
+    assert(Versioned.read(spark, t).count() == 2)
+    // time travel to the first snapshot
+    assert(Versioned.read(spark, t, Some(1))
+      .collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2, 3)))
+    assert(Versioned.versions(spark, t) == Seq(1, 2))
+    // vacuum retains the current version only
+    Versioned.vacuum(spark, t, keep = 1)
+    assert(Versioned.versions(spark, t) == Seq(2))
+    assert(Versioned.read(spark, t).count() == 2)
+  }
+
   test("partition pruning reaches the scan for the derived date") {
     val table = s"$work/table"
     val pruned = Etl.readTable(spark, table)
