@@ -72,6 +72,8 @@ class EtlSpec extends SparkSpec {
     import spark.implicits._
     import graft.sources.Versioned
     val t = s"$work/versioned"
+    // fresh table per run — versions accumulate by design
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
     val v1 = Versioned.commit(Seq(1, 2, 3).toDF("v"), t)
     val v2 = Versioned.commit(Seq(4, 5).toDF("v"), t)
     assert(v1 == 1 && v2 == 2)
