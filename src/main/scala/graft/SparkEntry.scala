@@ -59,6 +59,8 @@ object SparkEntry {
                GROUP BY l_returnflag, l_linestatus
                ORDER BY l_returnflag, l_linestatus""")
     }),
+    "q29_left_outer"     -> (Relational.leftOuterAgg _),
+    "q30_full_outer"     -> (Relational.fullOuterAgg _),
     // —— event analytics (north-star, batch) ——
     "e01_tumbling_hourly" -> (Events.tumblingHourly _),
     "e02_sessionize"      -> (Events.sessionize _),
@@ -249,6 +251,18 @@ object SparkEntry {
          FROM lineitem WHERE l_quantity > 1
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q29_left_outer" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_items,
+                sum(coalesce(l_quantity, 0.0)) AS total_qty
+         FROM orders LEFT OUTER JOIN lineitem ON o_orderkey = l_orderkey
+         GROUP BY o_orderkey ORDER BY o_orderkey""",
+    "q30_full_outer" ->
+      """WITH sp AS (SELECT s_nationkey, count(*) AS n_supps
+                     FROM supplier GROUP BY s_nationkey)
+         SELECT coalesce(n_nationkey, s_nationkey) AS nk, n_name,
+                coalesce(n_supps, 0) AS n_supps
+         FROM nation FULL OUTER JOIN sp ON n_nationkey = s_nationkey
+         ORDER BY nk""",
     "e01_tumbling_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
                 event_type, count(*) AS cnt, sum(value) AS sum_value

@@ -261,6 +261,34 @@ object Relational {
         avg(coalesce(col("qty_or_null"), lit(0.0))).as("avg_coalesced"))
       .orderBy(col("l_returnflag"))
 
+  /** Left outer join + aggregate: every order with its item count —
+    * orders with no lineitems keep a 0 row (count of a null-extended
+    * column). Shuffle join on the key; null-extension happens stream-side
+    * with no extra pass. */
+  def leftOuterAgg(s: SparkSession, d: String): DataFrame =
+    ord(s, d)
+      .join(li(s, d), col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy(col("o_orderkey"))
+      .agg(count(col("l_orderkey")).as("n_items"),
+        sum(coalesce(col("l_quantity"), lit(0.0))).as("total_qty"))
+      .orderBy(col("o_orderkey"))
+
+  /** Full outer join over pre-aggregated sides: nations x supplier
+    * rollup, keeping nations with no suppliers and (hypothetical)
+    * suppliers with no nation. */
+  def fullOuterAgg(s: SparkSession, d: String): DataFrame = {
+    val supPer = supp(s, d).groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n_supps"))
+    nat(s, d)
+      .join(supPer, col("n_nationkey") === col("s_nationkey"),
+        "full_outer")
+      .select(
+        coalesce(col("n_nationkey"), col("s_nationkey")).as("nk"),
+        col("n_name"),
+        coalesce(col("n_supps"), lit(0L)).as("n_supps"))
+      .orderBy(col("nk"))
+  }
+
   /** Approximate aggregates — the sketches that replace exact
     * distinct/percentile at 100 TB: HLL++ (mergeable, fixed memory) and
     * t-digest percentiles. Values are engine-specific, so the driver
