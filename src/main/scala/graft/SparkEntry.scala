@@ -61,6 +61,8 @@ object SparkEntry {
     }),
     "q29_left_outer"     -> (Relational.leftOuterAgg _),
     "q30_full_outer"     -> (Relational.fullOuterAgg _),
+    "q31_cube"           -> (Relational.cubeAgg _),
+    "q32_window_battery" -> (Relational.windowBattery _),
     // —— event analytics (north-star, batch) ——
     "e01_tumbling_hourly" -> (Events.tumblingHourly _),
     "e02_sessionize"      -> (Events.sessionize _),
@@ -136,7 +138,8 @@ object SparkEntry {
     "q05_project_filter" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
          FROM lineitem WHERE l_quantity < 5
-         ORDER BY l_orderkey, l_linenumber""",
+         ORDER BY l_orderkey, l_linenumber, l_quantity,
+                  l_extendedprice""",
     "q06_derived_date" ->
       """SELECT strftime(l_shipdate, '%Y-%m-%d') AS ship_day,
                 count(*) AS cnt
@@ -263,6 +266,27 @@ object SparkEntry {
                 coalesce(n_supps, 0) AS n_supps
          FROM nation FULL OUTER JOIN sp ON n_nationkey = s_nationkey
          ORDER BY nk""",
+    "q31_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+                sum(l_quantity) AS sum_qty
+         FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    "q32_window_battery" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+                row_number() OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+                rank() OVER (PARTITION BY l_suppkey
+                  ORDER BY l_quantity DESC) AS qty_rank,
+                dense_rank() OVER (PARTITION BY l_suppkey
+                  ORDER BY l_quantity DESC) AS qty_drank,
+                lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                  AS prev_qty,
+                avg(l_quantity) OVER (PARTITION BY l_suppkey
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
+         FROM lineitem
+         ORDER BY l_suppkey, rn""",
     "e01_tumbling_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
                 event_type, count(*) AS cnt, sum(value) AS sum_value

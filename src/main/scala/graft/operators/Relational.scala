@@ -69,7 +69,10 @@ object Relational {
       .filter(col("l_quantity") < 5)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the fixture — order
+      // by the full output row so cross-engine row order is total
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"))
 
   /** P2 — derived date column (reference csv_to_ice.py:25:
     * `date_format(tpep_pickup_datetime, "yyyy-MM-dd")`), used as a
@@ -220,6 +223,37 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
+
+  /** CUBE grouping sets: all four grouping combinations in one Expand +
+    * hash agg pass. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    li(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Window-function battery: row_number, rank/dense_rank with real
+    * ties, lag, and a 3-row moving average — one shuffle on the
+    * partition key serves all five functions. */
+  def windowBattery(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wQty = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_quantity").desc)
+    li(s, d)
+      .select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).cast("long").as("rn"),
+        rank().over(wQty).cast("long").as("qty_rank"),
+        dense_rank().over(wQty).cast("long").as("qty_drank"),
+        lag(col("l_quantity"), 1).over(w).as("prev_qty"),
+        avg(col("l_quantity")).over(w.rowsBetween(-2, 0)).as("ma3"))
+      // (l_orderkey, l_linenumber) is not unique in the fixture; rn is
+      // unique within each suppkey partition, giving a total order
+      .orderBy(col("l_suppkey"), col("rn"))
+  }
 
   /** Pivot: return-flag rows x line-status columns. Spark's .pivot with
     * explicit values keeps the plan a single conditional aggregate (no
