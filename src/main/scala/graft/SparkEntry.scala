@@ -77,6 +77,7 @@ object SparkEntry {
     "t05_dedup_exact"  -> (TextAnalysis.dedupExact _),
     "t06_token_counts" -> (TextAnalysis.tokenCounts _),
     "t07_curation"     -> (TextAnalysis.curationPipeline _),
+    "t08_rolling_fp"   -> (TextAnalysis.rollingFingerprints _),
     // —— near-dup detection (north-star) ——
     "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),

@@ -7,6 +7,8 @@ import org.apache.spark.sql.SparkSession
   * API both resolve the functions by name afterwards. */
 object GraftFunctions {
   val VecDotName = "graft_vec_dot"
+  val RollingMinHashName = "graft_rolling_minhash"
+  val DefaultRollingWindow = 16
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -15,6 +17,17 @@ object GraftFunctions {
         require(exprs.length == 2,
           s"$VecDotName expects 2 arguments, got ${exprs.length}")
         VecDot(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      RollingMinHashName,
+      { exprs =>
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"$RollingMinHashName expects 1-2 arguments, got ${exprs.length}")
+        val w = if (exprs.length == 2)
+          exprs(1).eval(null).asInstanceOf[Number].intValue()
+        else DefaultRollingWindow
+        RollingMinHash(exprs.head, w)
       },
       "built-in")
   }

@@ -244,9 +244,11 @@ object Dedup {
     val e = Tables.load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"),
         VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+    // Cached: the candidate self-join scans this twice (both sides)
     val bucketed = e.select(col("vec_id"), col("embedding"), col("nrm"),
       posexplode(array((0 until tables).map(signature): _*)))
       .toDF("vec_id", "embedding", "nrm", "table", "sig")
+      .cache()
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.table") === col("b.table") &&

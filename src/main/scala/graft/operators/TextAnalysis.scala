@@ -97,6 +97,18 @@ object TextAnalysis {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .orderBy(col("fp"))
 
+  /** Rolling-hash (winnowed Karp-Rabin) fingerprints via the native
+    * graft_rolling_minhash expression — the fast, edit-tolerant
+    * complement to the exact md5 fingerprint. Engine-local values, so
+    * the driver check is rows-only; RollingHashSpec pins exact values. */
+  def rollingFingerprints(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
+      .select(col("doc_id"),
+        call_function("graft_rolling_minhash",
+          regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+          .as("rolling_fp"))
+      .orderBy(col("doc_id"))
+
   /** BPE-style subword-ish token counting: the GPT-2 pre-tokenizer shape
     * (letter runs | digits | non-space symbols), counted with a single
     * regexp pass — the cheap proxy for "LLM token count" used to budget
