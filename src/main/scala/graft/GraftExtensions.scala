@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.VecDot
+import graft.functions.{GraftFunctions, RollingMinHash, VecDot}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions at session build time, so third-party sessions can opt in
@@ -14,14 +14,27 @@ import graft.functions.VecDot
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
-      FunctionIdentifier(graft.functions.GraftFunctions.VecDotName),
+      FunctionIdentifier(GraftFunctions.VecDotName),
       new ExpressionInfo(classOf[VecDot].getName,
-        graft.functions.GraftFunctions.VecDotName),
+        GraftFunctions.VecDotName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(exprs.length == 2,
-          s"${graft.functions.GraftFunctions.VecDotName} expects 2 " +
+          s"${GraftFunctions.VecDotName} expects 2 " +
             s"arguments, got ${exprs.length}")
         VecDot(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.RollingMinHashName),
+      new ExpressionInfo(classOf[RollingMinHash].getName,
+        GraftFunctions.RollingMinHashName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"${GraftFunctions.RollingMinHashName} expects 1-2 " +
+            s"arguments, got ${exprs.length}")
+        val w = if (exprs.length == 2)
+          exprs(1).eval(null).asInstanceOf[Number].intValue()
+        else GraftFunctions.DefaultRollingWindow
+        RollingMinHash(exprs.head, w)
       }))
   }
 }
