@@ -69,6 +69,7 @@ object SparkEntry {
     "e03_json_extract"    -> (Events.jsonExtract _),
     "e04_daily_cumulative" -> (Events.dailyCumulative _),
     "e05_asof_join"        -> (Events.asofJoin _),
+    "e06_range_join"       -> (Events.rangeJoinPairs _),
     // —— text analysis (north-star) ——
     "t01_text_stats"   -> (TextAnalysis.textStats _),
     "t02_quality"      -> (TextAnalysis.qualityScore _),
@@ -329,6 +330,12 @@ object SparkEntry {
               (SELECT * FROM events WHERE event_type = 'click') c
            ON p.user_id = c.user_id AND p.ts > c.ts
          ORDER BY purchase_id""",
+    "e06_range_join" ->
+      """SELECT count(*) AS n_pairs
+         FROM events a JOIN events b
+           ON a.event_id < b.event_id
+          AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) -
+                  epoch_us(CAST(b.ts AS TIMESTAMP))) <= 60000000""",
     "t01_text_stats" ->
       """SELECT doc_id,
                 CAST(length(text) AS BIGINT) AS len_chars,

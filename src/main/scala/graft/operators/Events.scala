@@ -77,6 +77,31 @@ object Events {
       .orderBy(col("purchase_id"))
   }
 
+  /** Bucketed time-range join: count event pairs within 60 seconds of
+    * each other. A naive theta-join (|ta - tb| <= 60s) is a cartesian
+    * product; bucketing each event into a 60s epoch bucket and probing
+    * bucket-1/bucket/bucket+1 turns it into an equi-join — candidate
+    * volume drops from O(n^2) to O(n x events-per-2min), and the plan is
+    * a plain shuffled hash join that survives any scale. A bucket-diff
+    * of <=1 is necessary for |dt| <= 60s, and each qualifying pair
+    * matches on exactly one probe value, so no dedup is needed. */
+  def rangeJoinPairs(s: SparkSession, d: String): DataFrame = {
+    val base = ev(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val bucketLen = 60000000L // 60s in micros
+    val left = base
+      .withColumn("bucket", floor(col("us") / bucketLen).cast("long"))
+    val right = base
+      .toDF("b_event_id", "b_us")
+      .withColumn("b_bucket", floor(col("b_us") / bucketLen).cast("long"))
+      .withColumn("bucket", explode(array(
+        col("b_bucket") - 1, col("b_bucket"), col("b_bucket") + 1)))
+    left.join(right, Seq("bucket"))
+      .filter(col("event_id") < col("b_event_id") &&
+        abs(col("us") - col("b_us")) <= bucketLen)
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Sliding daily-activity rollup: per user, events per day plus a
     * running cumulative count over days (window frame). */
   def dailyCumulative(s: SparkSession, d: String): DataFrame = {

@@ -58,6 +58,14 @@ class SkewPlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("bucketed range join plans an equi-join, not a cartesian product") {
+    val plan = graft.operators.Events.rangeJoinPairs(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("filteredCount reads only the filter column") {
     val plan = Relational.filteredCount(spark, sf).queryExecution
       .executedPlan.toString
