@@ -37,6 +37,12 @@ object StreamingDemo {
     val running = spark.table("running").orderBy(col("user_id"))
     println(s"RUNNING_USERS=${running.count()}")
     running.show(5, truncate = false)
+
+    val q3 = EventStreams.clickPurchaseJoin(EventStreams.readEvents(spark, work))
+      .writeStream
+      .format("memory").queryName("ssjoin").outputMode("append").start()
+    q3.processAllAvailable(); q3.stop()
+    println(s"JOIN_ROWS=${spark.table("ssjoin").count()}")
     spark.stop()
   }
 }

@@ -52,6 +52,26 @@ object EventStreams {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
 
+  /** Stream-stream interval join: each click joined to the same user's
+    * purchases within the following 30 minutes. Watermarks bound both
+    * join states (rows older than watermark + interval are evicted), so
+    * state stays finite on unbounded streams — the streaming form of the
+    * batch range join. */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    clicks.join(purchases,
+      expr("""c_user = p_user AND
+              p_ts > c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"""))
+      .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
+  }
+
   /** Streaming exact-dedup by event_id: watermark-bounded state, so a
     * replayed/at-least-once source dedups without unbounded memory —
     * the streaming face of TextAnalysis.dedupExact. */

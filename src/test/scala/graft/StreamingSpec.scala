@@ -69,6 +69,27 @@ class StreamingSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("stream-stream interval join matches the batch equivalent") {
+    val streamed = runStream("ssjoin", EventStreams.clickPurchaseJoin)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+    val batch = clicks.join(purchases,
+      org.apache.spark.sql.functions.expr(
+        "c_user = p_user AND p_ts > c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTES"))
+      .select("click_id", "purchase_id")
+    val a = streamed.select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = batch.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("flatMapGroupsWithState accumulates per-user running totals") {
     val running = runStream("running",
       df => EventStreams.runningUserTotals(spark, df).toDF(),
