@@ -276,16 +276,19 @@ object SparkEntry {
     "q32_window_battery" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
                 row_number() OVER (PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rn,
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                           l_quantity, l_extendedprice, l_partkey) AS rn,
                 rank() OVER (PARTITION BY l_suppkey
                   ORDER BY l_quantity DESC) AS qty_rank,
                 dense_rank() OVER (PARTITION BY l_suppkey
                   ORDER BY l_quantity DESC) AS qty_drank,
                 lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber)
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                           l_quantity, l_extendedprice, l_partkey)
                   AS prev_qty,
                 avg(l_quantity) OVER (PARTITION BY l_suppkey
-                  ORDER BY l_shipdate, l_orderkey, l_linenumber
+                  ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                           l_quantity, l_extendedprice, l_partkey
                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3
          FROM lineitem
          ORDER BY l_suppkey, rn""",

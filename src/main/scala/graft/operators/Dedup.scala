@@ -170,27 +170,41 @@ object Dedup {
     * keeps precision. */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(s, d).cache()
-    val bitAggs = (0 until 64).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"b$j"))
-    val bitSums = hashedRows(sh).groupBy(col("doc_id"))
+    // Two independent 64-bit sketches (reseeded shingle hashes): a pair
+    // is a candidate if EITHER sketch puts it within hamming 15, which
+    // squares the miss probability of a single sketch (one true pair at
+    // sf0.1 lands at hamming 16+ in any single sketch).
+    val hashed = sh.select(col("doc_id"),
+      xxhash64(col("shingle"), lit(0)).as("h0"),
+      xxhash64(col("shingle"), lit(1)).as("h1"))
+    val bitAggs = (0 to 1).flatMap { k =>
+      (0 until 64).map(j =>
+        sum(when(shiftright(col(s"h$k"), j).bitwiseAND(1) === 1, 1L)
+          .otherwise(-1L)).as(s"b${k}_$j"))
+    }
+    val bitSums = hashed.groupBy(col("doc_id"))
       .agg(bitAggs.head, bitAggs.tail: _*)
-    val simhash = (0 until 64).map(j =>
-      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
+    def assemble(k: Int) = (0 until 64).map(j =>
+      when(col(s"b${k}_$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
     // Cached: the chunk self-join scans this twice (x and y sides).
-    val sk = bitSums.select(col("doc_id"), simhash.as("simhash")).cache()
+    val sk = bitSums.select(col("doc_id"), assemble(0).as("s0"),
+      assemble(1).as("s1")).cache()
+    val chunkCols = (0 to 1).flatMap { k =>
+      (0 until 16).map(c =>
+        shiftright(col(s"s$k"), c * 4).bitwiseAND(15))
+    }
     val chunks = sk.select(
-      col("doc_id"), col("simhash"),
-      posexplode(array((0 until 16).map(c =>
-        shiftright(col("simhash"), c * 4).bitwiseAND(15)): _*)))
-      .toDF("doc_id", "simhash", "chunk", "chunk_val")
+      col("doc_id"), col("s0"), col("s1"),
+      posexplode(array(chunkCols: _*)))
+      .toDF("doc_id", "s0", "s1", "chunk", "chunk_val")
     val cands = chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") &&
           col("x.chunk_val") === col("y.chunk_val") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(bit_count(expr("x.simhash ^ y.simhash")) <= 15)
+      .filter(bit_count(expr("x.s0 ^ y.s0")) <= 15 ||
+        bit_count(expr("x.s1 ^ y.s1")) <= 15)
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     jaccardPairs(sh, 0.5, Some(cands))

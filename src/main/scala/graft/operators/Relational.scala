@@ -238,8 +238,12 @@ object Relational {
     * partition key serves all five functions. */
   def windowBattery(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // (shipdate, orderkey, linenumber) ties exist at sf0.1; extend the
+    // ordering over every column the window functions read so tied rows
+    // are interchangeable and cross-engine results agree
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_extendedprice"), col("l_partkey"))
     val wQty = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("l_quantity").desc)
     li(s, d)
