@@ -28,12 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingMinHash].getName,
         GraftFunctions.RollingMinHashName),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.nonEmpty && exprs.length <= 2,
-          s"${GraftFunctions.RollingMinHashName} expects 1-2 " +
-            s"arguments, got ${exprs.length}")
-        val w = if (exprs.length == 2)
-          exprs(1).eval(null).asInstanceOf[Number].intValue()
-        else GraftFunctions.DefaultRollingWindow
+        val w = GraftFunctions.rollingWindowArg(exprs) // validates arity
         RollingMinHash(exprs.head, w)
       }))
   }

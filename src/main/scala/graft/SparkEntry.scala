@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -94,7 +95,16 @@ object SparkEntry {
     "q27_approx_aggs"    -> (Relational.approxAggs _),
     // —— multimodal plumbing (north-star; decode is a marked stub) ——
     "m01_media_meta"   -> (Multimodal.mediaMeta _),
-    "m02_media_feats"  -> ((s, d) => Multimodal.extractFeatures(s, d).toDF()),
+    // Feature vector projected to scalar f_* columns: driver-checkable
+    // (the pandas-side compare can't sort/hash an array column) and
+    // oracle-checkable — byte sums are exact integers in doubles, so
+    // DuckDB agrees bit-for-bit modulo the final divisions.
+    "m02_media_feats"  -> ((s, d) =>
+      Multimodal.extractFeatures(s, d).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("mean_byte"),
+          col("feature")(0).as("f_mean"), col("feature")(1).as("f_var"),
+          col("feature")(2).as("f_n"), col("feature")(3).as("f_first"))
+        .orderBy(col("doc_id"))),
     "m03_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
   )
 
@@ -445,6 +455,23 @@ object SparkEntry {
                         ORDER BY cosine DESC, neighbor_id) AS rank
                FROM scored) t
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    "m02_media_feats" ->
+      """WITH agg AS (
+           SELECT doc_id, strlen(text) AS n,
+                  ord(substr(text, 1, 1)) AS first_b,
+                  list_sum(list_transform(range(1, strlen(text) + 1),
+                    i -> ord(substr(text, i, 1)))) AS s1,
+                  list_sum(list_transform(range(1, strlen(text) + 1),
+                    i -> ord(substr(text, i, 1)) * ord(substr(text, i, 1))))
+                    AS s2
+           FROM documents)
+         SELECT doc_id, n AS n_bytes,
+                s1 * 1.0 / n AS mean_byte,
+                s1 * 1.0 / n AS f_mean,
+                s2 * 1.0 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n) AS f_var,
+                n * 1.0 AS f_n,
+                first_b * 1.0 AS f_first
+         FROM agg ORDER BY doc_id""",
     "m01_media_meta" ->
       """SELECT doc_id,
                 CAST(strlen(text) AS BIGINT) AS n_bytes,

@@ -10,6 +10,29 @@ object GraftFunctions {
   val RollingMinHashName = "graft_rolling_minhash"
   val DefaultRollingWindow = 16
 
+  /** Validated extraction of the optional window argument: it must be a
+    * foldable (literal) expression evaluating to a number >= 1 — a
+    * non-literal column would otherwise eval(null) to garbage, and a
+    * window < 1 would index bytes(i) with negative i at runtime. */
+  def rollingWindowArg(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Int = {
+    require(exprs.nonEmpty && exprs.length <= 2,
+      s"$RollingMinHashName expects 1-2 arguments, got ${exprs.length}")
+    if (exprs.length < 2) DefaultRollingWindow
+    else {
+      val e = exprs(1)
+      require(e.foldable,
+        s"$RollingMinHashName window argument must be a literal, " +
+          s"got non-foldable expression: ${e.sql}")
+      val v = e.eval(null)
+      require(v != null, s"$RollingMinHashName window must not be null")
+      val w = v.asInstanceOf[Number].intValue()
+      require(w >= 1, s"$RollingMinHashName window must be >= 1, got $w")
+      w
+    }
+  }
+
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       VecDotName,
@@ -21,12 +44,8 @@ object GraftFunctions {
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       RollingMinHashName,
-      { exprs =>
-        require(exprs.nonEmpty && exprs.length <= 2,
-          s"$RollingMinHashName expects 1-2 arguments, got ${exprs.length}")
-        val w = if (exprs.length == 2)
-          exprs(1).eval(null).asInstanceOf[Number].intValue()
-        else DefaultRollingWindow
+      exprs => {
+        val w = rollingWindowArg(exprs) // validates arity before .head
         RollingMinHash(exprs.head, w)
       },
       "built-in")

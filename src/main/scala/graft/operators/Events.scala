@@ -62,11 +62,21 @@ object Events {
     * O(1) state per row. This is the standard Spark formulation of what
     * DuckDB/Pandas call ASOF JOIN (the oracle uses DuckDB's native
     * ASOF). */
-  def asofJoin(s: SparkSession, d: String): DataFrame = {
+  def asofJoin(s: SparkSession, d: String): DataFrame =
+    asofJoinOn(ev(s, d))
+
+  /** Core of [[asofJoin]] over an arbitrary events frame (testable with
+    * constructed timestamp ties). Strictly-earlier semantics (ASOF
+    * requires p.ts > c.ts): within a timestamp tie, purchases sort
+    * BEFORE clicks, so the up-to-previous-row frame of a purchase can
+    * never contain a same-ts click. Among equal-ts clicks the last in
+    * frame order (max event_id) wins — a deterministic tie-break. */
+  def asofJoinOn(events: DataFrame): DataFrame = {
+    val isClick = when(col("event_type") === "click", 1).otherwise(0)
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("event_id"))
+      .orderBy(col("ts"), isClick, col("event_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    ev(s, d)
+    events
       .filter(col("event_type").isin("purchase", "click"))
       .withColumn("click_id",
         last(when(col("event_type") === "click", col("event_id")),

@@ -49,10 +49,18 @@ object Etl {
     else derived
   }
 
-  /** S3+S4 — partitioned create-or-replace write with atomic swap
+  /** S3+S4 — partitioned create-or-replace write with staged swap
     * (csv_to_ice.py:58 `createOrReplace()`): write to a staging dir,
     * then swap it in; the destination is either the old table or the new
-    * one, never a mix. */
+    * one, never a mix.
+    *
+    * Caveat — the swap is staged, not atomic: a plain filesystem has no
+    * atomic directory exchange, so between the two renames `tableDir`
+    * briefly does not exist (a concurrent reader would fail to resolve
+    * the path; a crash in the window leaves the data intact under
+    * `tableDir.old` but requires a manual rename back). Readers that need
+    * a no-gap guarantee should use [[Versioned]], whose marker-file
+    * commit never unpublishes the previous snapshot. */
   def createOrReplace(df: DataFrame, tableDir: String,
       partitionCol: Option[String]): Unit = {
     val spark = df.sparkSession

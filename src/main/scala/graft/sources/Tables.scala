@@ -23,11 +23,15 @@ object Tables {
     * TIMESTAMP(NANOS), which Spark surfaces as Long (nanosAsLong); convert
     * to a microsecond TimestampType so downstream date functions work and
     * DuckDB (which truncates ns->us for arithmetic the same way) agrees.
+    *
+    * The conversion must be integral (`div`), not `/`: double division
+    * loses exactness (the double ULP at 2024-epoch nanos is 256 ns), so
+    * boundary-adjacent rows would land 1 us off the DuckDB truncation.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(sfDir, name))
     if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast(LongType)))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

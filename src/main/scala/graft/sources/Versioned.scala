@@ -7,37 +7,50 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Iceberg capability the reference's data model is built on
   * (csv_to_ice.py:58's createOrReplace publishes a new snapshot;
   * README.md:94's allow_moved_paths reads one): each commit writes an
-  * immutable `v=N` directory, then atomically swaps a `_VERSION` pointer
-  * file (write-temp + rename). Readers resolve the pointer once and scan
-  * an immutable snapshot — concurrent commits never disturb a running
-  * read, which is the demo's observable atomicity property.
+  * immutable `v=N` directory, then publishes it with a `_commit_N` marker
+  * file created atomically (`create(overwrite=false)`). Readers resolve
+  * `max(N)` over the markers and scan an immutable snapshot.
   *
-  * Layout:  tableDir/_VERSION        -> "N"
-  *          tableDir/v=1, v=2, ...   -> immutable parquet snapshots
+  * Commit protocol properties (mirrors Iceberg's optimistic metadata
+  * commit):
+  *  - the data write happens entirely before the publish point; a crash
+  *    anywhere before the marker create leaves the table at version N
+  *    with no partial state visible;
+  *  - there is never a moment with no readable version (markers are only
+  *    added, never deleted until vacuum);
+  *  - two concurrent committers race on the same `_commit_N+1` marker and
+  *    the loser's atomic create fails cleanly — optimistic concurrency,
+  *    the Iceberg behavior.
+  *
+  * Layout:  tableDir/_commit_1, _commit_2, ...  -> publish markers
+  *          tableDir/v=1, v=2, ...              -> immutable parquet snapshots
   */
 object Versioned {
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def pointer(dir: String) = new Path(dir, "_VERSION")
+  private val MarkerPrefix = "_commit_"
 
-  /** Current committed version, or 0 when the table doesn't exist. */
-  def currentVersion(spark: SparkSession, tableDir: String): Int = {
+  private def committedVersions(spark: SparkSession,
+      tableDir: String): Seq[Int] = {
     val f = fs(spark, tableDir)
-    val p = pointer(tableDir)
-    if (!f.exists(p)) 0
-    else {
-      val in = f.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-      finally in.close()
-    }
+    val dir = new Path(tableDir)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith(MarkerPrefix) =>
+        s.stripPrefix(MarkerPrefix).toInt }
+      .sorted
   }
 
-  /** Commit a new snapshot: write v=N+1, then atomically advance the
-    * pointer. The data write happens entirely before the commit point;
-    * a failure before the rename leaves the table at version N. */
+  /** Current committed version, or 0 when the table doesn't exist. */
+  def currentVersion(spark: SparkSession, tableDir: String): Int =
+    committedVersions(spark, tableDir).lastOption.getOrElse(0)
+
+  /** Commit a new snapshot: write v=N+1, then publish it by atomically
+    * creating the `_commit_N+1` marker. Fails (cleanly, with the table
+    * still at N) if a concurrent committer published N+1 first. */
   def commit(df: DataFrame, tableDir: String,
       partitionCol: Option[String] = None): Int = {
     val spark = df.sparkSession
@@ -46,13 +59,8 @@ object Versioned {
     val snapDir = new Path(tableDir, s"v=$next")
     val w = df.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(snapDir.toString)
-    val tmp = new Path(tableDir, s"_VERSION.tmp-$next")
-    val out = f.create(tmp, true)
-    try out.write(next.toString.getBytes(
-      java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    if (f.exists(pointer(tableDir))) f.delete(pointer(tableDir), false)
-    f.rename(tmp, pointer(tableDir)) // the commit point
+    val marker = new Path(tableDir, s"$MarkerPrefix$next")
+    f.create(marker, /*overwrite=*/ false).close() // the commit point
     next
   }
 
@@ -65,25 +73,22 @@ object Versioned {
     spark.read.parquet(new Path(tableDir, s"v=$v").toString)
   }
 
-  /** All retained snapshot versions (ascending). */
-  def versions(spark: SparkSession, tableDir: String): Seq[Int] = {
-    val f = fs(spark, tableDir)
-    val dir = new Path(tableDir)
-    if (!f.exists(dir)) Nil
-    else f.listStatus(dir).toSeq
-      .map(_.getPath.getName)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
-      .sorted
-  }
+  /** All retained committed snapshot versions (ascending). */
+  def versions(spark: SparkSession, tableDir: String): Seq[Int] =
+    committedVersions(spark, tableDir)
 
   /** Expire old snapshots, keeping the most recent `keep` (the current
-    * version is always retained). */
+    * version is always retained). The marker is removed first so a crash
+    * mid-vacuum never leaves a published-but-deleted version. */
   def vacuum(spark: SparkSession, tableDir: String, keep: Int = 1): Unit = {
     val f = fs(spark, tableDir)
     val cur = currentVersion(spark, tableDir)
     versions(spark, tableDir)
       .filter(v => v != cur)
       .dropRight(math.max(0, keep - 1))
-      .foreach(v => f.delete(new Path(tableDir, s"v=$v"), true))
+      .foreach { v =>
+        f.delete(new Path(tableDir, s"$MarkerPrefix$v"), false)
+        f.delete(new Path(tableDir, s"v=$v"), true)
+      }
   }
 }

@@ -31,7 +31,10 @@ object EventStreams {
 
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral `div`, not `/`: double division is 256 ns coarse at
+      // 2024-epoch nanos — boundary rows would diverge from exact
+      // truncation (see Tables.load)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Tumbling 1-hour windowed counts with a 30-minute watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =

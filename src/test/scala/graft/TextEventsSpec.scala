@@ -41,4 +41,42 @@ class TextEventsSpec extends SparkSpec {
       .agg(sum("cnt")).head().getLong(0)
     assert(total == spark.read.parquet(s"$sf/events.parquet").count())
   }
+
+  test("events ns->us load is exact integral truncation on every row") {
+    // Oracle is JVM Long division (exact truncation); double division
+    // would be 256 ns coarse at 2024-epoch nanos and land boundary rows
+    // 1 us off (ADVICE r1, high).
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_id"), col("ts").as("ns"))
+    val loaded = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val rows = loaded.join(raw, "event_id").select("ns", "us").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(1) == r.getLong(0) / 1000L))
+  }
+
+  test("asof join never matches a same-timestamp click (strict p.ts > c.ts)") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:05:00")
+    val events = Seq(
+      // user 1: click strictly earlier, then click+purchase at same ts
+      (1L, t0, 7L, "click"),
+      (2L, t1, 7L, "click"),
+      (3L, t1, 7L, "purchase"), // must match click 1, NOT same-ts click 2
+      // user 2: only a same-ts click -> no match
+      (4L, t1, 8L, "click"),
+      (5L, t1, 8L, "purchase"),
+      // user 3: two clicks at the same earlier ts -> max event_id wins
+      (6L, t0, 9L, "click"),
+      (7L, t0, 9L, "click"),
+      (8L, t1, 9L, "purchase")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val out = Events.asofJoinOn(events).collect()
+      .map(r => r.getLong(0) -> Option(r.get(2)).map(_.toString.toLong))
+      .toMap
+    assert(out(3L) == Some(1L))
+    assert(out(5L) == None)
+    assert(out(8L) == Some(7L))
+  }
 }
