@@ -1,0 +1,26 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import graft.Sessions
+
+/** Dev profiling harness: time one SparkEntry query end-to-end N times
+  * and print its formatted physical plan — the .explain feedback loop
+  * the build plan calls for. Usage:
+  *   runMain graft.tools.Profile <queryName> [sfDir] [reps]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = Sessions.get("graft-profile")
+    def build: DataFrame = graft.SparkEntry.queries(name)(spark, sfDir)
+    build.explain("formatted")
+    (1 to reps).foreach { i =>
+      val t0 = System.nanoTime()
+      build.write.mode("overwrite").format("noop").save()
+      println(f"PROFILE $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}
