@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{GraftFunctions, RollingMinHash, VecDot}
+import graft.functions.{GraftFunctions, MinHashBandsAgg, RollingMinHash,
+  ShingleHashes, SimHashAgg, VecDot}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions at session build time, so third-party sessions can opt in
@@ -30,6 +31,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         val w = GraftFunctions.rollingWindowArg(exprs) // validates arity
         RollingMinHash(exprs.head, w)
+      }))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.SimHashAggName),
+      new ExpressionInfo(classOf[SimHashAgg].getName,
+        GraftFunctions.SimHashAggName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1,
+          s"${GraftFunctions.SimHashAggName} expects 1 argument, " +
+            s"got ${exprs.length}")
+        SimHashAgg(exprs.head)
+      }))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.MinHashBandsName),
+      new ExpressionInfo(classOf[MinHashBandsAgg].getName,
+        GraftFunctions.MinHashBandsName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val (perms, bands) = GraftFunctions.minhashBandsArgs(exprs)
+        MinHashBandsAgg(exprs.head, perms, bands)
+      }))
+    e.injectFunction((
+      FunctionIdentifier(GraftFunctions.ShingleHashesName),
+      new ExpressionInfo(classOf[ShingleHashes].getName,
+        GraftFunctions.ShingleHashesName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val n = GraftFunctions.shingleNArg(exprs)
+        ShingleHashes(exprs.head, n)
       }))
   }
 }

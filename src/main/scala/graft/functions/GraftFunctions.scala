@@ -8,7 +8,57 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
   val VecDotName = "graft_vec_dot"
   val RollingMinHashName = "graft_rolling_minhash"
+  val SimHashAggName = "graft_simhash_agg"
+  val MinHashBandsName = "graft_minhash_bands"
+  val ShingleHashesName = "graft_shingle_hashes"
   val DefaultRollingWindow = 16
+  val DefaultMinHashPerms = 128
+  val DefaultMinHashBands = 16
+  val DefaultShingleN = 3
+
+  /** Validated literal-int argument: must be foldable and >= min (a
+    * non-literal column would eval(null) to garbage). */
+  private def literalIntArg(fn: String, what: String,
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      min: Int): Int = {
+    require(e.foldable,
+      s"$fn $what argument must be a literal, got non-foldable: ${e.sql}")
+    val v = e.eval(null)
+    require(v != null, s"$fn $what must not be null")
+    val i = v.asInstanceOf[Number].intValue()
+    require(i >= min, s"$fn $what must be >= $min, got $i")
+    i
+  }
+
+  /** Validated (perms, bands) arguments of graft_minhash_bands. */
+  def minhashBandsArgs(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : (Int, Int) = {
+    require(exprs.nonEmpty && exprs.length <= 3,
+      s"$MinHashBandsName expects 1-3 arguments, got ${exprs.length}")
+    val perms =
+      if (exprs.length >= 2)
+        literalIntArg(MinHashBandsName, "perms", exprs(1), 1)
+      else DefaultMinHashPerms
+    val bands =
+      if (exprs.length >= 3)
+        literalIntArg(MinHashBandsName, "bands", exprs(2), 1)
+      else DefaultMinHashBands
+    require(perms % bands == 0,
+      s"$MinHashBandsName: perms ($perms) must be a multiple of bands " +
+        s"($bands)")
+    (perms, bands)
+  }
+
+  /** Validated optional n argument of graft_shingle_hashes. */
+  def shingleNArg(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Int = {
+    require(exprs.nonEmpty && exprs.length <= 2,
+      s"$ShingleHashesName expects 1-2 arguments, got ${exprs.length}")
+    if (exprs.length < 2) DefaultShingleN
+    else literalIntArg(ShingleHashesName, "n", exprs(1), 1)
+  }
 
   /** Validated extraction of the optional window argument: it must be a
     * foldable (literal) expression evaluating to a number >= 1 — a
@@ -47,6 +97,28 @@ object GraftFunctions {
       exprs => {
         val w = rollingWindowArg(exprs) // validates arity before .head
         RollingMinHash(exprs.head, w)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      SimHashAggName,
+      exprs => {
+        require(exprs.length == 1,
+          s"$SimHashAggName expects 1 argument, got ${exprs.length}")
+        SimHashAgg(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      MinHashBandsName,
+      exprs => {
+        val (perms, bands) = minhashBandsArgs(exprs) // validates arity
+        MinHashBandsAgg(exprs.head, perms, bands)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      ShingleHashesName,
+      exprs => {
+        val n = shingleNArg(exprs) // validates arity
+        ShingleHashes(exprs.head, n)
       },
       "built-in")
   }

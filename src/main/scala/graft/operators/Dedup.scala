@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
-import graft.functions.VectorFunctions
+import graft.functions.{GraftFunctions, VectorFunctions}
 
 /** Near-duplicate detection over the `documents` / `embeddings` fixtures —
   * the dedup stage of a training-data pipeline (north-star; the reference
@@ -31,32 +31,25 @@ object Dedup {
 
   private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
 
-  /** doc_id -> distinct word-3-gram rows (the inverted-index input).
+  /** doc_id -> distinct hashed word-3-gram rows (the inverted-index
+    * input); `shingle` is the int64 XXH64 of the shingle's text (exactly
+    * `xxhash64(concat_ws(' ', toks))`).
     *
-    * Built row-wise — tokenize, posexplode, assemble 3-grams with lead()
-    * over the (doc, position) window — rather than with array
-    * higher-order functions: HOFs run interpreted, and an
-    * explode-of-HOF-array plan re-evaluates the array expression several
-    * times per row (Generate + its inferred filter + pruning), measured
-    * ~5x slower end-to-end. Every operator here (split, posexplode,
-    * lead, concat_ws, the distinct hash agg) is whole-stage codegen'd;
-    * the lead() window shuffles by doc_id, which at 100 TB is the same
-    * shuffle the distinct needs anyway. */
-  def shingleRows(s: SparkSession, d: String): DataFrame = {
-    val toks = docs(s, d)
+    * Built by the native [[graft.functions.ShingleHashes]] expression —
+    * one per-document pass that tokenizes, hashes and dedups in place —
+    * then a single explode of the long array. The previous declarative
+    * build (posexplode tokens -> lead() window -> concat_ws ->
+    * distinct) shuffled every token AND every shingle string before the
+    * index existed; this plan is scan -> project -> explode with no
+    * shuffle at all, and every downstream consumer (inverted-index
+    * join, MinHash, SimHash) now keys on 8-byte longs instead of
+    * strings. Jaccard set semantics are preserved up to 64-bit hash
+    * collisions (~1e-7 corpus-wide, deterministic). */
+  def shingleRows(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(col("doc_id"),
-        posexplode(split(trim(lower(col("text"))), "\\s+")))
-      .toDF("doc_id", "pos", "tok")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    toks
-      .withColumn("t1", lead(col("tok"), 1).over(w))
-      .withColumn("t2", lead(col("tok"), 2).over(w))
-      .filter(col("t2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
-  }
+        explode(call_function(GraftFunctions.ShingleHashesName,
+          trim(lower(col("text"))), lit(3))).as("shingle"))
 
   /** Exact Jaccard over candidate pairs. `candidates` (a_id < b_id)
     * restricts the work: only shingle rows of candidate docs enter the
@@ -76,7 +69,11 @@ object Dedup {
       case None => sh0.cache()
     }
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val common0 = sh.as("a")
+    // SHUFFLE_HASH: the inverted-index self-join partitions on the
+    // shingle hash either way; hashing one side beats sort-merge (no
+    // sort of either 8-byte-key side), and per-partition build maps
+    // stay bounded because shingle keys are near-unique.
+    val common0 = sh.as("a").hint("SHUFFLE_HASH")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -110,23 +107,24 @@ object Dedup {
   val NumPerms = 128
   val Bands = 16 // 16 bands x 8 rows
 
-  /** One row per (doc, distinct shingle) hashed once to int64. The
-    * sketch computations below run as codegen'd hash aggregates over
-    * these rows — not per-row lambda loops: higher-order functions are
-    * interpreted (CodegenFallback) and measured ~40x slower for the same
-    * math. */
+  /** One row per (doc, distinct shingle hash) — shingles are already
+    * int64 hashes ([[shingleRows]]), so this is a rename. */
   private def hashedRows(sh: DataFrame): DataFrame =
-    sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    sh.select(col("doc_id"), col("shingle").as("h"))
 
-  /** Per-doc MinHash signature as 128 aggregate columns m0..m127:
-    * permutation i is xxhash64(h, i); the whole signature is one
-    * whole-stage-codegen'd hash aggregate (map-side partial min, one
-    * narrow row per doc out). */
-  private def minhashSigs(sh: DataFrame): DataFrame = {
-    val aggs = (0 until NumPerms).map(i =>
-      min(xxhash64(col("h"), lit(i))).as(s"m$i"))
-    hashedRows(sh).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
-  }
+  /** Per-doc LSH band keys from a 128-perm MinHash signature, via the
+    * native [[graft.functions.MinHashBandsAgg]] aggregate (permutation i
+    * = XXH64(h, i), per-band XXH64 fold of the minima): one narrow
+    * (doc_id, 16 x int64) row per doc out of a single ObjectHashAggregate
+    * — replaces a 128-column declarative aggregate whose deep expression
+    * trees dominated driver-side analysis and codegen size. */
+  private def minhashBandRows(sh: DataFrame): DataFrame =
+    hashedRows(sh)
+      .groupBy(col("doc_id"))
+      .agg(call_function(GraftFunctions.MinHashBandsName, col("h"),
+        lit(NumPerms), lit(Bands)).as("bands"))
+      .select(col("doc_id"), posexplode(col("bands")))
+      .toDF("doc_id", "band", "band_hash")
 
   /** LSH banding over 128 MinHash permutations: doc pairs sharing at
     * least one of the 16 band hashes become candidates; candidates are
@@ -136,16 +134,9 @@ object Dedup {
     * gap to 0.1, so LSH+verify reproduces the exact answer. */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(s, d).cache()
-    val r = NumPerms / Bands
-    val bandCols = (0 until Bands).map { b =>
-      xxhash64((b * r until (b + 1) * r).map(i => col(s"m$i")): _*)
-    }
     // Cached: the candidate self-join scans this twice (x and y sides),
     // and it is tiny (|docs| x 2 columns).
-    val banded = minhashSigs(sh)
-      .select(col("doc_id"), posexplode(array(bandCols: _*)))
-      .toDF("doc_id", "band", "band_hash")
-      .cache()
+    val banded = minhashBandRows(sh).cache()
     val cands = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
@@ -158,55 +149,89 @@ object Dedup {
 
   // —— SimHash ——
 
-  /** SimHash near-dup: 64-bit SimHash over shingle hashes (bit j of the
-    * sketch is the majority vote of bit j across shingle hashes, computed
-    * as 64 codegen'd ±1 sum aggregates), with 16x4-bit chunk banding —
-    * pigeonhole guarantees every pair with hamming distance <= 15
-    * collides on some chunk; the fixture's jaccard>=0.5 pairs measure
-    * hamming 1-11, so recall is exact. Candidates are exact-verified to
-    * the same (jaccard >= 0.5) contract. 4-bit chunks collide often on
-    * random pairs — for web-page-style near-identical dedup (hamming <=
-    * 3) widen to 16-bit chunks and drop the verify join; here the verify
-    * keeps precision. */
-  def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d).cache()
-    // Two independent 64-bit sketches (reseeded shingle hashes): a pair
-    // is a candidate if EITHER sketch puts it within hamming 15, which
-    // squares the miss probability of a single sketch (one true pair at
-    // sf0.1 lands at hamming 16+ in any single sketch).
-    val hashed = sh.select(col("doc_id"),
+  /** Per-doc dual 64-bit SimHash sketches (s0, s1): bit j of a sketch is
+    * the majority vote of bit j across the doc's (reseeded) shingle
+    * hashes, via the native [[graft.functions.SimHashAgg]] aggregate —
+    * one narrow (doc_id, s0, s1) row per doc out of a single
+    * ObjectHashAggregate (replaces 128 declarative ±1 sum columns, same
+    * analysis/codegen rationale as [[minhashBandRows]]). Two independent
+    * sketches square the miss probability of a hamming threshold (one
+    * true fixture pair lands at hamming 16+ in any single sketch). */
+  def simhashSketches(sh: DataFrame): DataFrame =
+    sh.select(col("doc_id"),
       xxhash64(col("shingle"), lit(0)).as("h0"),
       xxhash64(col("shingle"), lit(1)).as("h1"))
-    val bitAggs = (0 to 1).flatMap { k =>
-      (0 until 64).map(j =>
-        sum(when(shiftright(col(s"h$k"), j).bitwiseAND(1) === 1, 1L)
-          .otherwise(-1L)).as(s"b${k}_$j"))
-    }
-    val bitSums = hashed.groupBy(col("doc_id"))
-      .agg(bitAggs.head, bitAggs.tail: _*)
-    def assemble(k: Int) = (0 until 64).map(j =>
-      when(col(s"b${k}_$j") >= 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    // Cached: the chunk self-join scans this twice (x and y sides).
-    val sk = bitSums.select(col("doc_id"), assemble(0).as("s0"),
-      assemble(1).as("s1")).cache()
+      .groupBy(col("doc_id"))
+      .agg(
+        call_function(GraftFunctions.SimHashAggName, col("h0")).as("s0"),
+        call_function(GraftFunctions.SimHashAggName, col("h1")).as("s1"))
+
+  /** Hamming predicate shared by the two candidate generators: within
+    * `maxHam` on EITHER sketch. */
+  private def withinHamming(maxHam: Int): Column =
+    bit_count(expr("x.s0 ^ y.s0")) <= maxHam ||
+      bit_count(expr("x.s1 ^ y.s1")) <= maxHam
+
+  /** Direct sketch-pair scan: broadcast the (doc_id, s0, s1) table (16
+    * bytes/doc) and evaluate the hamming predicate per pair — a codegen'd
+    * broadcast nested-loop join, no shuffle, no dedup (each pair tested
+    * once). At this fixture's loose threshold (hamming <= 15 of 64) this
+    * beats any banding scheme, whose buckets would collide on most random
+    * pairs anyway (see [[simhashBandedCandidates]]). */
+  def simhashScanCandidates(sk: DataFrame, maxHam: Int): DataFrame =
+    sk.as("x")
+      .join(broadcast(sk.as("y")),
+        col("x.doc_id") < col("y.doc_id") && withinHamming(maxHam))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+
+  /** Chunk-banding candidate generator — the SimHash scale path for
+    * TIGHT thresholds: B = 64/chunkBits chunks per sketch; pigeonhole
+    * guarantees every pair within hamming B-1 collides on some chunk, so
+    * choose chunkBits = 64/(maxHam+1). Selectivity is 2^-chunkBits per
+    * chunk: at web-dedup thresholds (hamming <= 3, 16-bit chunks) a
+    * random pair collides with p ~ 6e-5 and the join is linear-ish; at
+    * this fixture's hamming <= 15 it forces 4-bit chunks, where a random
+    * pair collides on some chunk with p ~ 0.64 — the "candidates" are
+    * most of the corpus, which is why [[simhashPairs]] uses the pair
+    * scan instead. Loose-threshold dedup at scale belongs to MinHash-LSH
+    * ([[minhashLsh]]), whose selectivity is tunable independently of the
+    * threshold. */
+  def simhashBandedCandidates(sk: DataFrame, chunkBits: Int,
+      maxHam: Int): DataFrame = {
+    require(64 % chunkBits == 0, "chunkBits must divide 64")
+    require(64 / chunkBits >= maxHam + 1,
+      s"banding with ${64 / chunkBits} chunks only guarantees recall to " +
+        s"hamming ${64 / chunkBits - 1}, need $maxHam")
+    val mask = (1L << chunkBits) - 1
     val chunkCols = (0 to 1).flatMap { k =>
-      (0 until 16).map(c =>
-        shiftright(col(s"s$k"), c * 4).bitwiseAND(15))
+      (0 until 64 / chunkBits).map(c =>
+        shiftright(col(s"s$k"), c * chunkBits).bitwiseAND(mask))
     }
     val chunks = sk.select(
       col("doc_id"), col("s0"), col("s1"),
       posexplode(array(chunkCols: _*)))
       .toDF("doc_id", "s0", "s1", "chunk", "chunk_val")
-    val cands = chunks.as("x")
+    chunks.as("x")
       .join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") &&
           col("x.chunk_val") === col("y.chunk_val") &&
           col("x.doc_id") < col("y.doc_id"))
-      .filter(bit_count(expr("x.s0 ^ y.s0")) <= 15 ||
-        bit_count(expr("x.s1 ^ y.s1")) <= 15)
+      .filter(withinHamming(maxHam))
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
+  }
+
+  /** SimHash near-dup pairs, exact-verified to the same
+    * (jaccard >= 0.5) contract as [[shingleJaccard]]: dual sketches,
+    * hamming <= 15 candidates via the pair scan (the fixture's
+    * jaccard>=0.5 pairs measure hamming 1-11 on at least one sketch, so
+    * recall is exact), then exact Jaccard verification for precision. */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d).cache()
+    // sk cached: both sides of the pair scan consume it (the 128-agg
+    // must not run twice); cands cached: two consumers in jaccardPairs.
+    val sk = simhashSketches(sh).cache()
+    val cands = simhashScanCandidates(sk, 15).cache()
     jaccardPairs(sh, 0.5, Some(cands))
   }
 

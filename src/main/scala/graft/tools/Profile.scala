@@ -18,8 +18,15 @@ object Profile {
     build.explain("formatted")
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      build.write.mode("overwrite").format("noop").save()
-      println(f"PROFILE $name rep $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      val df = build
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan // force analyze+optimize+plan
+      val t2 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      val t3 = System.nanoTime()
+      println(f"PROFILE $name rep $i: total ${(t3 - t0) / 1e9}%.3f s " +
+        f"(construct ${(t1 - t0) / 1e9}%.3f, plan ${(t2 - t1) / 1e9}%.3f, " +
+        f"exec ${(t3 - t2) / 1e9}%.3f)")
     }
     spark.stop()
   }

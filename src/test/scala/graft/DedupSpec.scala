@@ -21,6 +21,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs(Dedup.simhashPairs(spark, sf)) == exact)
   }
 
+  test("simhash chunk banding (scale path) equals the pair-scan candidates") {
+    val sk = Dedup.simhashSketches(Dedup.shingleRows(spark, sf)).cache()
+    val scan = pairs(Dedup.simhashScanCandidates(sk, 15))
+    val banded = pairs(Dedup.simhashBandedCandidates(sk, 4, 15))
+    assert(banded == scan) // pigeonhole-complete at 16x4-bit chunks
+    sk.unpersist()
+  }
+
   test("jaccard values are in (0.5, 1]") {
     val js = Dedup.shingleJaccard(spark, sf).collect().map(_.getDouble(2))
     assert(js.forall(j => j >= 0.5 && j <= 1.0))
