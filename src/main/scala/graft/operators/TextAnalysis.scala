@@ -16,7 +16,10 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  // Spread: every operator here does per-document regex/hash work — the
+  // single-row-group fixture scan would otherwise run it on one task.
+  private def docs(s: SparkSession, d: String) =
+    Tables.loadSpread(s, d, "documents")
 
   /** Whitespace tokenizer used across the module (and mirrored in the
     * DuckDB oracles as regexp_split_to_array). */

@@ -35,6 +35,20 @@ object Tables {
     else df
   }
 
+  /** [[load]] + round-robin spread across the default shuffle
+    * parallelism. The sf fixtures are single-row-group parquet files, so
+    * their scans are ONE partition — which serializes per-row CPU-heavy
+    * operators (regex scoring, shingle hashing, per-pair vector math). A
+    * real 100 TB table scans as thousands of row-group splits and gets
+    * this parallelism for free from the file layout; the explicit
+    * exchange reproduces that property on the fixture for a few MB of
+    * shuffle. Use for CPU-bound per-row paths; plain [[load]] where an
+    * extra exchange would only add cost (scan->aggregate shapes). */
+  def loadSpread(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = load(spark, sfDir, name)
+    df.repartition(spark.sessionState.conf.numShufflePartitions)
+  }
+
   /** Register every fixture table as a temp view (SQL entry point). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
     names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
