@@ -64,6 +64,7 @@ object SparkEntry {
     "q30_full_outer"     -> (Relational.fullOuterAgg _),
     "q31_cube"           -> (Relational.cubeAgg _),
     "q32_window_battery" -> (Relational.windowBattery _),
+    "q33_string_agg"     -> (Relational.stringAgg _),
     // —— event analytics (north-star, batch) ——
     "e01_tumbling_hourly" -> (Events.tumblingHourly _),
     "e02_sessionize"      -> (Events.sessionize _),
@@ -80,12 +81,15 @@ object SparkEntry {
     "t06_token_counts" -> (TextAnalysis.tokenCounts _),
     "t07_curation"     -> (TextAnalysis.curationPipeline _),
     "t08_rolling_fp"   -> (TextAnalysis.rollingFingerprints _),
+    "t09_stratified"   -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
+    "t10_packing"      -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
     // —— near-dup detection (north-star) ——
     "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
     "d03_simhash"         -> (Dedup.simhashPairs _),
     "d04_embedding_neardup" -> (Dedup.embeddingNearDup _),
     "d05_embedding_lsh"     -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
+    "d06_dedup_clusters"    -> (Dedup.dedupClusters _),
     "q28_typed_ds"          -> (Typed.revenueByFlag _),
     // —— similarity search (north-star) ——
     "s01_ann_bruteforce" -> (Similarity.bruteForceTopK _),
@@ -426,6 +430,55 @@ object SparkEntry {
                 count(*) AS n_copies
          FROM scored WHERE n_tokens >= 10 AND stop_ratio >= 0.01
          GROUP BY fp ORDER BY doc_id""",
+    "q33_string_agg" ->
+      """SELECT r_name, count(*) AS n_nations,
+                string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+    "t09_stratified" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|was|for)\b')) AS BIGINT) AS s_en,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(der|die|das|und|ist|nicht|mit|ein)\b')) AS BIGINT) AS s_de,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(le|les|une|et|est|pas|pour|dans)\b')) AS BIGINT) AS s_fr,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(el|los|las|es|no|por|para|como)\b')) AS BIGINT) AS s_es
+           FROM documents),
+         lang AS (SELECT doc_id,
+                CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                       THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                     WHEN s_fr >= s_es THEN 'fr'
+                     ELSE 'es' END AS pred_lang
+              FROM s),
+         f AS (SELECT doc_id,
+                 md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'))
+                   AS fp
+               FROM documents),
+         ranked AS (SELECT l.doc_id, pred_lang, fp,
+                  row_number() OVER (PARTITION BY pred_lang
+                    ORDER BY fp, l.doc_id) AS rk
+                FROM lang l JOIN f ON l.doc_id = f.doc_id)
+         SELECT doc_id, pred_lang, fp, CAST(rk AS BIGINT) AS rk
+         FROM ranked WHERE rk <= 50 ORDER BY pred_lang, rk""",
+    "t10_packing" ->
+      """WITH d AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                       AS BIGINT) AS n_tokens
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_tokens
+               FROM d)
+         SELECT doc_id, n_tokens, cum_tokens,
+                CAST(floor((cum_tokens - n_tokens) / 4096.0) AS BIGINT)
+                  AS bin
+         FROM c ORDER BY doc_id""",
     "q28_typed_ds" ->
       """SELECT l_returnflag, count(*) AS n_items,
                 sum(l_extendedprice * (1 - l_discount)) AS revenue
@@ -434,6 +487,37 @@ object SparkEntry {
     "d01_shingle_jaccard" -> shingleJaccardSql,
     "d02_minhash_lsh"     -> shingleJaccardSql,
     "d03_simhash"         -> shingleJaccardSql,
+    // Transitive closure over the exact near-dup pairs via recursive
+    // CTE; Spark computes the same components by min-label propagation.
+    "d06_dedup_clusters" ->
+      """WITH RECURSIVE
+         t AS (SELECT doc_id,
+                 regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+               FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    AS shingle
+                FROM t WHERE len(toks) >= 3),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         pair AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                         count(*) AS common
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+         good AS (SELECT a_id, b_id
+                  FROM pair JOIN cnt ca ON ca.doc_id = a_id
+                            JOIN cnt cb ON cb.doc_id = b_id
+                  WHERE common * 1.0 / (ca.n + cb.n - common) >= 0.5),
+         edges AS (SELECT a_id AS u, b_id AS v FROM good
+                   UNION ALL SELECT b_id, a_id FROM good),
+         reach AS (SELECT u, v FROM edges
+                   UNION
+                   SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u)
+         SELECT d.doc_id,
+                least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS cluster_id
+         FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
     "d04_embedding_neardup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

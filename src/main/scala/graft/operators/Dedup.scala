@@ -238,6 +238,54 @@ object Dedup {
     jaccardPairs(sh, 0.5, Some(cands))
   }
 
+  // —— Duplicate clustering ——
+
+  /** Connected components by iterative min-label propagation: every
+    * vertex starts labeled with its own id; each round every vertex
+    * takes the min of its label and its neighbors' labels; stop when no
+    * label changes. Converges in O(component diameter) rounds — near-dup
+    * components are near-cliques (every member pairs with most others),
+    * so 1-2 rounds in practice. Each round is one shuffle join + hash
+    * aggregate; at extreme scale swap in the alternating large-star/
+    * small-star contraction, which bounds rounds by O(log n) regardless
+    * of diameter. The driver-side loop holds no data — only the
+    * convergence counter crosses to the driver. */
+  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
+      .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
+      .cache()
+    var labels = vertices.select(col("id"), col("id").as("label")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val msgs = edges
+        .join(labels, edges("u") === labels("id"))
+        .select(col("v").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label")).union(msgs)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .cache()
+      changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate-cluster assignment — the pipeline step after pair
+    * detection: every document mapped to its cluster's canonical (min)
+    * doc_id, singletons to themselves. Pairs come from the MinHash-LSH
+    * scale path (spec-equal to the exact pairs on this corpus); the
+    * oracle recomputes components as a recursive-CTE transitive closure
+    * over the exact pairs. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame =
+    connectedComponents(
+      docs(s, d).select(col("doc_id").as("id")),
+      minhashLsh(s, d).select(col("a_id"), col("b_id")))
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      .orderBy(col("doc_id"))
+
   // —— Embedding near-dup ——
 
   /** Cosine near-dup pairs over embeddings (threshold 0.45, above the

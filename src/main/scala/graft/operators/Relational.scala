@@ -381,6 +381,23 @@ object Relational {
         expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
       .orderBy(col("l_returnflag"))
 
+  /** Ordered string aggregation (LISTAGG/string_agg): nation names per
+    * region, comma-joined in sorted order. collect_list order is
+    * partition-dependent, so the deterministic form sorts the collected
+    * array before joining — one hash aggregate, the sort is per-group
+    * over tiny arrays. */
+  def stringAgg(s: SparkSession, d: String): DataFrame = {
+    val reg = Tables.load(s, d, "region")
+    nat(s, d)
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        count(lit(1)).as("n_nations"),
+        array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+      .orderBy(col("r_name"))
+  }
+
   /** Correlated-style scalar subquery shape: orders above their customer's
     * average order value. Expressed as join against a pre-aggregated
     * per-customer average (the decorrelated form Catalyst would produce). */

@@ -128,6 +128,53 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Deterministic stratified subsample — the corpus-balancing step of a
+    * training-data pipeline: within each predicted language keep the
+    * first `perStratum` documents in md5-fingerprint order. The
+    * fingerprint is a cross-engine-reproducible pseudo-random ordering
+    * (md5 is identical everywhere, unlike engine-local hash64s), so the
+    * "random" sample is stable across engines and runs. One window
+    * shuffle on the stratum key; at scale with huge strata, pre-filter
+    * by a fingerprint prefix range first so the window only ranks a
+    * small superset of the quota. */
+  def stratifiedSample(s: SparkSession, d: String,
+      perStratum: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pred_lang")).orderBy(col("fp"), col("doc_id"))
+    langId(s, d)
+      .select(col("doc_id"), col("pred_lang"))
+      .join(docs(s, d)
+        .select(col("doc_id"), fingerprintCol(col("text")).as("fp")),
+        "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= perStratum)
+      .select(col("doc_id"), col("pred_lang"), col("fp"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("pred_lang"), col("rk"))
+  }
+
+  /** Token-budget sequence packing — assign documents (in doc_id order)
+    * to fixed-budget context-window bins by exclusive cumulative token
+    * count: bin = floor((cumsum - n_tokens) / budget). This is the
+    * streaming-chunk approximation of greedy packing (a bin may overrun
+    * by one document's tail, never undershoot); exact greedy close-on-
+    * overflow is inherently sequential, so at scale you run this per
+    * partition and concatenate — the window form here is the
+    * deterministic, oracle-checkable contract. */
+  def sequencePacking(s: SparkSession, d: String,
+      budget: Long = 4096): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), nTokens(col("text")).as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")) / budget))
+      .orderBy(col("doc_id"))
+  }
+
   /** Composed curation pipeline — the end-to-end shape of a training-data
     * cleaning job: language-gate, quality-gate (stopword ratio), then
     * exact-dedup keep-first, emitting the surviving corpus with its

@@ -49,7 +49,14 @@ object Tables {
     df.repartition(spark.sessionState.conf.numShufflePartitions)
   }
 
-  /** Register every fixture table as a temp view (SQL entry point). */
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
+  /** Register every fixture table as a temp view (SQL entry point).
+    * Memoized per session+dir: re-registering reads 10 parquet footers
+    * for schemas, so repeated SQL-API calls against the same warehouse
+    * skip it (a new sfDir re-registers). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    if (registeredDir.put(spark, sfDir) != sfDir)
+      names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
 }

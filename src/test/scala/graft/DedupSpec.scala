@@ -29,6 +29,20 @@ class DedupSpec extends SparkSpec {
     sk.unpersist()
   }
 
+  test("dedup clusters: pairs co-clustered, cluster id is the member min") {
+    val cl = Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (a, b) => assert(cl(a) == cl(b)) }
+    cl.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.keys.min == cid) // canonical = min member
+    }
+    // docs in no pair are singletons
+    val paired = exact.flatMap(p => Seq(p._1, p._2))
+    cl.foreach { case (id, cid) =>
+      if (!paired.contains(id)) assert(cid == id)
+    }
+  }
+
   test("jaccard values are in (0.5, 1]") {
     val js = Dedup.shingleJaccard(spark, sf).collect().map(_.getDouble(2))
     assert(js.forall(j => j >= 0.5 && j <= 1.0))

@@ -29,6 +29,32 @@ class TextEventsSpec extends SparkSpec {
     assert(df.select("keep_id").distinct().count() == df.count())
   }
 
+  test("stratified sample caps each language stratum and is deterministic") {
+    val rows = graft.operators.TextAnalysis.stratifiedSample(spark, sf, 25)
+      .collect()
+    val perLang = rows.groupBy(_.getString(1))
+    perLang.values.foreach(g => assert(g.length <= 25))
+    perLang.values.foreach { g => // ranks are 1..n in fp order
+      assert(g.map(_.getLong(3)).sorted.toSeq == (1L to g.length).toSeq)
+    }
+    val again = graft.operators.TextAnalysis.stratifiedSample(spark, sf, 25)
+      .collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("sequence packing: bins monotone, no bin starts past the budget") {
+    val budget = 1000L
+    val rows = graft.operators.TextAnalysis.sequencePacking(spark, sf, budget)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted) // monotone
+    rows.foreach { case (_, n, cum, bin) =>
+      assert(bin == (cum - n) / budget) // exclusive-prefix assignment
+    }
+    val total = rows.map(_._2).sum
+    assert(rows.last._3 == total) // cumulative sum reaches the corpus total
+  }
+
   test("sessionize: session count never exceeds event count") {
     val rows = Events.sessionize(spark, sf).collect()
     assert(rows.forall(r => r.getLong(1) <= r.getLong(2) && r.getLong(1) >= 1))
