@@ -58,5 +58,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val n = GraftFunctions.shingleNArg(exprs)
         ShingleHashes(exprs.head, n)
       }))
+    // Band theta-joins (abs(a-b) <= c with no equi keys) become bucketed
+    // equi-joins instead of cartesian products.
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

@@ -72,6 +72,7 @@ object SparkEntry {
     "e04_daily_cumulative" -> (Events.dailyCumulative _),
     "e05_asof_join"        -> (Events.asofJoin _),
     "e06_range_join"       -> (Events.rangeJoinPairs _),
+    "e07_range_join_auto"  -> (Events.rangeJoinPairsNaive _),
     // —— text analysis (north-star) ——
     "t01_text_stats"   -> (TextAnalysis.textStats _),
     "t02_quality"      -> (TextAnalysis.qualityScore _),
@@ -348,6 +349,13 @@ object SparkEntry {
            ON p.user_id = c.user_id AND p.ts > c.ts
          ORDER BY purchase_id""",
     "e06_range_join" ->
+      """SELECT count(*) AS n_pairs
+         FROM events a JOIN events b
+           ON a.event_id < b.event_id
+          AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) -
+                  epoch_us(CAST(b.ts AS TIMESTAMP))) <= 60000000""",
+    // Same semantics as e06 — proves RangeJoinRule's rewrite is exact.
+    "e07_range_join_auto" ->
       """SELECT count(*) AS n_pairs
          FROM events a JOIN events b
            ON a.event_id < b.event_id

@@ -112,6 +112,21 @@ object Events {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** The naive theta-join formulation of [[rangeJoinPairs]] — written
+    * the way a user would (`|ta - tb| <= 60s`), relying on
+    * [[graft.plans.RangeJoinRule]] to rewrite it into the bucketed
+    * equi-join at optimization time. Same oracle as e06; the spec also
+    * asserts the physical plan has no nested-loop/cartesian join. */
+  def rangeJoinPairsNaive(s: SparkSession, d: String): DataFrame = {
+    val base = ev(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val right = base.toDF("b_event_id", "b_us")
+    base.join(right,
+      col("event_id") < col("b_event_id") &&
+        abs(col("us") - col("b_us")) <= lit(60000000L))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Sliding daily-activity rollup: per user, events per day plus a
     * running cumulative count over days (window frame). */
   def dailyCumulative(s: SparkSession, d: String): DataFrame = {

@@ -340,16 +340,24 @@ object Relational {
       .orderBy(col("l_returnflag"))
 
   /** Left outer join + aggregate: every order with its item count —
-    * orders with no lineitems keep a 0 row (count of a null-extended
-    * column). Shuffle join on the key; null-extension happens stream-side
-    * with no extra pass. */
-  def leftOuterAgg(s: SparkSession, d: String): DataFrame =
+    * orders with no lineitems keep a 0 row. The aggregate is pushed
+    * BELOW the join (the classic eager-aggregation rewrite): lineitem
+    * collapses to one row per order key first (map-side partial + final
+    * on the same shuffle the join needs anyway), so the join probes
+    * |orders| x |distinct keys| instead of streaming every item row
+    * through the join, and the post-join aggregate disappears. At 100 TB
+    * the saving is the full fact-table width through the join. */
+  def leftOuterAgg(s: SparkSession, d: String): DataFrame = {
+    val itemAgg = li(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("cnt"), sum(col("l_quantity")).as("qty"))
     ord(s, d)
-      .join(li(s, d), col("o_orderkey") === col("l_orderkey"), "left_outer")
-      .groupBy(col("o_orderkey"))
-      .agg(count(col("l_orderkey")).as("n_items"),
-        sum(coalesce(col("l_quantity"), lit(0.0))).as("total_qty"))
+      .join(itemAgg, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .select(col("o_orderkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_items"),
+        coalesce(col("qty"), lit(0.0)).as("total_qty"))
       .orderBy(col("o_orderkey"))
+  }
 
   /** Full outer join over pre-aggregated sides: nations x supplier
     * rollup, keeping nations with no suppliers and (hypothetical)

@@ -90,6 +90,22 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 2)
   }
 
+  test("versioned table: schema evolves per snapshot, time travel keeps old") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_schema"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "name"), t)
+    Versioned.commit(
+      Seq((1, "a", 0.5), (2, "b", 0.7)).toDF("id", "name", "score"), t)
+    // current snapshot carries the evolved schema...
+    assert(Versioned.read(spark, t).columns.toSeq ==
+      Seq("id", "name", "score"))
+    // ...while time travel sees the schema as of that snapshot
+    assert(Versioned.read(spark, t, Some(1)).columns.toSeq ==
+      Seq("id", "name"))
+  }
+
   test("partition pruning reaches the scan for the derived date") {
     val table = s"$work/table"
     val pruned = Etl.readTable(spark, table)

@@ -66,6 +66,37 @@ class SkewPlanSpec extends SparkSpec {
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
   }
 
+  test("RangeJoinRule rewrites the naive theta range join to an equi-join") {
+    val df = graft.operators.Events.rangeJoinPairsNaive(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+    // and the rewrite is exact: same count as the hand-bucketed form
+    val manual = graft.operators.Events.rangeJoinPairs(spark, sf)
+      .collect().head.getLong(0)
+    assert(df.collect().head.getLong(0) == manual)
+  }
+
+  test("RangeJoinRule floor-division buckets negative values correctly") {
+    import spark.implicits._
+    // values straddling zero: pairs within |a-b| <= 10 across the origin
+    val xs = Seq(-15L, -9L, -1L, 0L, 3L, 12L, 30L)
+    val df = xs.toDF("a").withColumn("id", col("a"))
+    val other = xs.toDF("b").withColumn("bid", col("b"))
+    val joined = df.join(other,
+      col("id") < col("bid") && abs(col("a") - col("b")) <= lit(10L))
+    val got = joined.select(col("id"), col("bid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      x <- xs; y <- xs if x < y && math.abs(x - y) <= 10
+    } yield (x, y)).toSet
+    assert(got == want)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"))
+  }
+
   test("filteredCount reads only the filter column") {
     val plan = Relational.filteredCount(spark, sf).queryExecution
       .executedPlan.toString
