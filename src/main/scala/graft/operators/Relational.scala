@@ -202,54 +202,86 @@ object Relational {
         max(abs(col("l_discount") - lit(0.05))).as("max_disc_dev"))
       .orderBy(col("yr"), col("mo"), col("flag"))
 
-  /** Sort-based exact interpolated percentiles of one value column per
-    * group: rank rows within each group, keep only the floor/ceil rank
-    * rows of each requested percentile position, interpolate. This is
-    * the quantile_cont strategy DuckDB/Presto use — one shuffle + sort
-    * per value column, streaming O(1) state per row — and it replaces
-    * Spark's builtin `percentile` aggregate, whose per-partition
-    * value-count maps (build + serialize + merge + final sort) measured
-    * ~4x slower on the same data. At high group cardinality the sort
-    * stays the right shape (it parallelizes over groups); for sketched
-    * pipelines use approx_percentile (q27). */
-  private def sortedPercentiles(df: DataFrame, grp: String, v: String,
+  /** Exact interpolated percentiles of one value column per group by
+    * distributed selection — the scalable exact-quantile algorithm:
+    *
+    *  1. per-group (count, min, max) — one parallel aggregate;
+    *  2. fixed-width histogram of 1024 buckets per group — one parallel
+    *     aggregate, tiny output;
+    *  3. locate the bucket holding each target rank via cumulative
+    *     bucket counts (a window over <= groups x 1024 rows);
+    *  4. re-scan ONLY the located buckets (broadcast semi-join), sort
+    *     within each tiny bucket, pick the rank offsets, interpolate.
+    *
+    * No stage sorts more than ~n/1024 rows, every heavy stage is a
+    * map-side-combined aggregate, and parallelism never collapses to
+    * the group count (a per-group rank window would run one task per
+    * group). Replaces both Spark's builtin `percentile` aggregate
+    * (per-partition value-count maps, measured ~4x slower) and the
+    * window-rank formulation (group-count parallelism). Matches
+    * DuckDB's quantile_cont: lo + frac * (hi - lo). */
+  private def selectPercentiles(df: DataFrame, grp: String, v: String,
       ps: Seq[(Double, String)]): DataFrame = {
+    val buckets = 1024
     val in = df.select(col(grp), col(v)).filter(col(v).isNotNull)
-    // Group sizes via a parallel partial->final aggregate broadcast back,
-    // NOT a count() window: an unbounded-frame window would make
-    // WindowExec buffer every group in full alongside the rank pass.
-    val counts = in.groupBy(col(grp)).agg(count(lit(1)).as("n"))
-    val ranked = in
-      .withColumn("rn",
-        row_number().over(Window.partitionBy(col(grp)).orderBy(col(v))))
-      .join(broadcast(counts), grp)
-    def pos(p: Double): Column = lit(1.0) + lit(p) * (col("n") - 1)
-    val keep = ps.map { case (p, _) =>
-      col("rn") === floor(pos(p)) || col("rn") === ceil(pos(p))
-    }.reduce(_ || _)
-    val aggs = ps.zipWithIndex.flatMap { case ((p, _), i) =>
-      Seq(
-        max(when(col("rn") === floor(pos(p)), col(v))).as(s"lo_$i"),
-        max(when(col("rn") === ceil(pos(p)), col(v))).as(s"hi_$i"))
+    val stats = in.groupBy(col(grp)).agg(count(lit(1)).as("n"),
+      min(col(v)).as("vmin"), max(col(v)).as("vmax"))
+    // Bucket id; degenerate all-equal groups collapse to bucket 0.
+    val width = (col("vmax") - col("vmin")) / buckets
+    val bucketed = in.join(broadcast(stats), grp)
+      .withColumn("b",
+        when(col("vmax") === col("vmin"), lit(0)).otherwise(
+          least(lit(buckets - 1),
+            floor((col(v) - col("vmin")) / width).cast("int"))))
+    val hist = bucketed.groupBy(col(grp), col("b"))
+      .agg(count(lit(1)).as("bc"))
+    val cum = hist.withColumn("cum_before",
+      coalesce(sum(col("bc")).over(Window.partitionBy(col(grp))
+        .orderBy(col("b"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // Target ranks: floor/ceil of each percentile position.
+    val spark = df.sparkSession
+    import spark.implicits._
+    val pTab = broadcast(ps.map(_._1).distinct.toDF("p"))
+    val targets = stats.crossJoin(pTab)
+      .withColumn("pos", lit(1.0) + col("p") * (col("n") - 1))
+      .select(col(grp), col("p"), col("pos"),
+        explode(array(floor(col("pos")), ceil(col("pos")))).as("r"))
+    // Bucket containing rank r: cum_before < r <= cum_before + bc.
+    val located = targets.alias("t").join(broadcast(cum.alias("c")),
+      col(s"t.$grp") === col(s"c.$grp") &&
+        col("r") > col("cum_before") &&
+        col("r") <= col("cum_before") + col("bc"))
+      .select(col(s"t.$grp").as(grp), col("p"), col("pos"), col("r"),
+        col("b"), (col("r") - col("cum_before")).as("off"))
+    // Fetch only the located buckets; rank inside each tiny bucket.
+    val needed = located.select(col(grp), col("b")).distinct()
+    val picked = bucketed
+      .join(broadcast(needed), Seq(grp, "b"), "left_semi")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(grp), col("b")).orderBy(col(v))).cast("long"))
+    // floor-rank value <= ceil-rank value, so min/max pair them up.
+    val vals = located.join(picked,
+        Seq(grp, "b")).filter(col("off") === col("rk"))
+      .groupBy(col(grp), col("p"), col("pos"))
+      .agg(min(col(v)).as("vlo"), max(col(v)).as("vhi"))
+      .withColumn("value",
+        col("vlo") + (col("pos") - floor(col("pos"))) *
+          (col("vhi") - col("vlo")))
+    val pivots = ps.map { case (p, alias) =>
+      max(when(col("p") === p, col("value"))).as(alias)
     }
-    val outs = col(grp) +: ps.zipWithIndex.map { case ((p, alias), i) =>
-      (col(s"lo_$i") + (pos(p) - floor(pos(p))) *
-        (col(s"hi_$i") - col(s"lo_$i"))).as(alias)
-    }
-    ranked.filter(keep)
-      .groupBy(col(grp), col("n"))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(outs: _*)
+    vals.groupBy(col(grp)).agg(pivots.head, pivots.tail: _*)
   }
 
   /** Exact interpolated percentiles per group (median + p90), via
-    * [[sortedPercentiles]] — one sorted pass per value column, joined on
-    * the (3-row) group frames. */
+    * [[selectPercentiles]] — distributed selection per value column,
+    * joined on the (3-row) group frames. */
   def percentiles(s: SparkSession, d: String): DataFrame = {
     val df = li(s, d)
-    val price = sortedPercentiles(df, "l_returnflag", "l_extendedprice",
+    val price = selectPercentiles(df, "l_returnflag", "l_extendedprice",
       Seq(0.5 -> "p50_price", 0.9 -> "p90_price"))
-    val qty = sortedPercentiles(df, "l_returnflag", "l_quantity",
+    val qty = selectPercentiles(df, "l_returnflag", "l_quantity",
       Seq(0.5 -> "p50_qty"))
     price.join(qty, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
