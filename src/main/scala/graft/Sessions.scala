@@ -27,9 +27,9 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // The MinHash signature aggregate carries 128 agg columns; the
-      // default maxFields=100 would silently drop it out of whole-stage
-      // codegen (measured ~3x slower interpreted).
+      // Wide plans (the q32 window battery, multi-column text scoring)
+      // must stay inside whole-stage codegen; the default maxFields=100
+      // silently drops them out (measured ~3x slower interpreted).
       .config("spark.sql.codegen.maxFields", "256")
       // The `events` fixture carries parquet TIMESTAMP(NANOS); Spark has no
       // nanosecond timestamp type, so read them as raw Long nanos and let
