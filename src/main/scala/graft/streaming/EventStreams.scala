@@ -75,6 +75,14 @@ object EventStreams {
       .select(col("click_id"), col("purchase_id"), col("c_user").as("user_id"))
   }
 
+  /** Stream-static enrichment join: each streamed event looks up its
+    * user's profile in a static dimension table. The static side is
+    * broadcast per micro-batch (no streaming state at all — the usual
+    * dimension-lookup shape); on a cluster the dimension can also be
+    * re-read per batch to pick up slowly-changing updates. */
+  def enrichedEvents(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(broadcast(users), Seq("user_id"), "left")
+
   /** Streaming exact-dedup by event_id: watermark-bounded state, so a
     * replayed/at-least-once source dedups without unbounded memory —
     * the streaming face of TextAnalysis.dedupExact. */

@@ -27,6 +27,19 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("stream-static enrichment joins every event to its user profile") {
+    // Static dimension derived from the same fixture: per-user profile.
+    val users = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("lifetime_events"))
+    val out = runStream("enriched",
+      ev => EventStreams.enrichedEvents(ev, users)
+        .select(col("event_id"), col("user_id"), col("lifetime_events")))
+    val total = graft.sources.Tables.load(spark, sf, "events").count()
+    assert(out.count() == total) // left join preserves every event
+    assert(out.filter(col("lifetime_events").isNull).count() == 0)
+  }
+
   test("streaming tumbling counts match the batch equivalent") {
     val streamed = runStream("tumbling",
       EventStreams.tumblingCounts, mode = "complete")
