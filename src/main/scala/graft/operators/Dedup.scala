@@ -44,10 +44,13 @@ object Dedup {
     * build (posexplode tokens -> lead() window -> concat_ws ->
     * distinct) shuffled every token AND every shingle string before the
     * index existed; this plan is scan -> project -> explode with no
-    * shuffle at all, and every downstream consumer (inverted-index
-    * join, MinHash, SimHash) now keys on 8-byte longs instead of
-    * strings. Jaccard set semantics are preserved up to 64-bit hash
-    * collisions (~1e-7 corpus-wide, deterministic). */
+    * shuffle of its own (the one exchange in the plan is the deliberate
+    * fixture-only [[Tables.loadSpread]] round-robin that stands in for
+    * the file-split parallelism a real multi-row-group table gets for
+    * free), and every downstream consumer (inverted-index join, MinHash,
+    * SimHash) keys on 8-byte longs instead of strings. Jaccard set
+    * semantics are preserved up to 64-bit hash collisions (~1e-7
+    * corpus-wide, deterministic). */
   def shingleRows(s: SparkSession, d: String): DataFrame =
     docs(s, d)
       .select(col("doc_id"),
@@ -74,8 +77,11 @@ object Dedup {
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     // SHUFFLE_HASH: the inverted-index self-join partitions on the
     // shingle hash either way; hashing one side beats sort-merge (no
-    // sort of either 8-byte-key side), and per-partition build maps
-    // stay bounded because shingle keys are near-unique.
+    // sort of either 8-byte-key side). The per-task build map holds its
+    // whole shuffle partition (near-unique keys put every build row in
+    // the map), so it is bounded by shuffle-partition sizing — size
+    // spark.sql.shuffle.partitions so a partition of the shingle index
+    // fits executor memory, or AQE skew-split handles the hot keys.
     val common0 = sh.as("a").hint("SHUFFLE_HASH")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") &&

@@ -17,12 +17,13 @@ import graft.sources.Tables
   */
 object Multimodal {
 
-  /** Attach a binary payload + mime metadata to each document. Spread:
-    * decode/digest work is per-row CPU (the single-row-group fixture
-    * scan would otherwise run it on one task — a real media table has
-    * thousands of splits). */
+  /** Attach a binary payload + mime metadata to each document. Plain
+    * scan (no spread exchange): the per-row work downstream (length, md5,
+    * a single byte pass) is trivial, so the repartition costs more than
+    * the parallelism buys on the fixture — and a real media table scans
+    * as thousands of splits and parallelizes from the file layout. */
   def withPayload(s: SparkSession, d: String): DataFrame =
-    Tables.loadSpread(s, d, "documents")
+    Tables.load(s, d, "documents")
       .select(col("doc_id"), col("text").cast("binary").as("payload"))
       .withColumn("mime", lit("application/octet-stream"))
 

@@ -16,10 +16,17 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  // Spread: every operator here does per-document regex/hash work — the
-  // single-row-group fixture scan would otherwise run it on one task.
+  // Spread: heavy per-document regex/hash operators (multi-pattern
+  // scoring, md5 over full text) would otherwise run on ONE task against
+  // the single-row-group fixture scan. Cheap scan->project shapes use
+  // [[docsPlain]] instead: there the repartition exchange costs more than
+  // the parallelism buys (measured in BENCH_r02), and a real 100 TB table
+  // gets scan parallelism from its file splits anyway.
   private def docs(s: SparkSession, d: String) =
     Tables.loadSpread(s, d, "documents")
+
+  private def docsPlain(s: SparkSession, d: String) =
+    Tables.load(s, d, "documents")
 
   /** Whitespace tokenizer used across the module (and mirrored in the
     * DuckDB oracles as regexp_split_to_array). */
@@ -105,7 +112,7 @@ object TextAnalysis {
     * complement to the exact md5 fingerprint. Engine-local values, so
     * the driver check is rows-only; RollingHashSpec pins exact values. */
   def rollingFingerprints(s: SparkSession, d: String): DataFrame =
-    docs(s, d)
+    docsPlain(s, d)
       .select(col("doc_id"),
         call_function("graft_rolling_minhash",
           regexp_replace(trim(lower(col("text"))), "\\s+", " "))
@@ -119,7 +126,7 @@ object TextAnalysis {
   def tokenCounts(s: SparkSession, d: String): DataFrame = {
     val bpeish = regexp_count(col("text"),
       lit("\\p{L}+|\\p{N}|[^\\s\\p{L}\\p{N}]")).cast("long")
-    docs(s, d)
+    docsPlain(s, d)
       .select(
         col("doc_id"),
         nTokens(col("text")).as("ws_tokens"),
@@ -183,7 +190,7 @@ object TextAnalysis {
   def curationPipeline(s: SparkSession, d: String): DataFrame = {
     val stopHits = regexp_count(lower(col("text")),
       lit("\\b(the|a|and|of|to|in|is|it)\\b")).cast("long")
-    val scored = docs(s, d)
+    val scored = docsPlain(s, d)
       .withColumn("n_tokens", nTokens(col("text")))
       .withColumn("stop_ratio",
         stopHits.cast("double") / col("n_tokens"))
