@@ -11,6 +11,8 @@ object GraftFunctions {
   val SimHashAggName = "graft_simhash_agg"
   val MinHashBandsName = "graft_minhash_bands"
   val ShingleHashesName = "graft_shingle_hashes"
+  val TopKName = "graft_topk"
+  val DefaultTopK = 5
   val DefaultRollingWindow = 16
   val DefaultMinHashPerms = 128
   val DefaultMinHashBands = 16
@@ -48,6 +50,16 @@ object GraftFunctions {
       s"$MinHashBandsName: perms ($perms) must be a multiple of bands " +
         s"($bands)")
     (perms, bands)
+  }
+
+  /** Validated optional k argument of graft_topk. */
+  def topKArg(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Int = {
+    require(exprs.length >= 2 && exprs.length <= 3,
+      s"$TopKName expects 2-3 arguments, got ${exprs.length}")
+    if (exprs.length < 3) DefaultTopK
+    else literalIntArg(TopKName, "k", exprs(2), 1)
   }
 
   /** Validated optional n argument of graft_shingle_hashes. */
@@ -112,6 +124,13 @@ object GraftFunctions {
       exprs => {
         val (perms, bands) = minhashBandsArgs(exprs) // validates arity
         MinHashBandsAgg(exprs.head, perms, bands)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKName,
+      exprs => {
+        val k = topKArg(exprs) // validates arity
+        TopKNeighborsAgg(exprs(0), exprs(1), k)
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

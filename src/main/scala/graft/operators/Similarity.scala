@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
+import graft.functions.GraftFunctions
 import graft.functions.VectorFunctions._
 
 /** Approximate-nearest-neighbor search over the `embeddings` fixture
@@ -38,10 +39,29 @@ object Similarity {
       .select(col("vec_id"), col("embedding"),
         l2Norm(col("embedding")).as("nrm"))
 
+  /** Final top-k over scored (query_id, neighbor_id, cosine) rows via
+    * the native bounded-heap aggregate graft_topk
+    * ([[graft.functions.TopKNeighborsAgg]]): each input partition folds
+    * its rows into a k-slot state per query map-side, so only
+    * #queries x k entries cross the shuffle. The previous
+    * `row_number() OVER (PARTITION BY query_id ...)` shuffled every
+    * scored row into #queries tasks and sorted them — parallelism
+    * collapsed to the query count, which is the wrong shape at 100 TB.
+    * Duplicate (query, neighbor) hits (multi-table LSH probes) are
+    * folded inside the aggregate, so no distinct() pass is needed. */
+  private def topkByQuery(scored: DataFrame): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(call_function(GraftFunctions.TopKName,
+        col("cosine"), col("neighbor_id"), lit(K)).as("nbrs"))
+      .select(col("query_id"), posexplode(col("nbrs")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"),
+        col("col.cosine").as("cosine"))
+      .orderBy(col("query_id"), col("rank"))
+
   /** Exact top-k cosine neighbors for each query vector. The query side
-    * is tiny and broadcast; the window shuffles only (corpus x queries)
-    * scored rows partitioned by query — with small k, swap in a
-    * per-partition partial top-k merge if queries ever grow large. */
+    * is tiny and broadcast; the corpus is scored in place and reduced by
+    * the partial top-k aggregate — no scored row survives its partition. */
   def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
     val e = emb(s, d)
     val q = e.filter(col("vec_id") < NumQueries)
@@ -54,30 +74,29 @@ object Similarity {
         col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("q_emb"), col("embedding")) /
           (col("q_nrm") * col("nrm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    topkByQuery(scored)
   }
 
   /** IVF index: assign every corpus vector to its nearest centroid.
     * Centroids are the first C corpus vectors (deterministic; a k-means
-    * refinement would slot in here without changing the query plan). */
-  private def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val scored = corpus.join(broadcast(cents))
+    * refinement would slot in here without changing the query plan).
+    * The argmax is a map-side-combinable `max_by` keyed by the corpus
+    * vector — one partial-aggregated shuffle of one row per vector, not
+    * a window sort of corpus x C scored rows (which was the single worst
+    * shuffle in the repo at 100 TB). Tie-break on the lowest cell id
+    * (`-cell` in the ordering struct) keeps assignment deterministic. */
+  private def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame =
+    corpus.join(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         col("cell"),
         (dot(col("c_emb"), col("embedding")) /
           (col("c_nrm") * col("nrm"))).as("c_cos"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cell"))
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
-  }
+      .groupBy(col("vec_id"))
+      .agg(max_by(
+        struct(col("embedding"), col("nrm"), col("cell")),
+        struct(col("c_cos"), (-col("cell")).as("cell_pref"))).as("best"))
+      .select(col("vec_id"), col("best.embedding").as("embedding"),
+        col("best.nrm").as("nrm"), col("best.cell").as("cell"))
 
   /** Random-hyperplane LSH top-k — the second scale path. 8 independent
     * hash tables of 6 sign-bits each (sign of graft_vec_dot against
@@ -119,18 +138,14 @@ object Similarity {
         .withColumnRenamed("embedding", "q_emb")
         .withColumnRenamed("nrm", "q_nrm"),
       col("q_emb"))
+    // Multi-table duplicate hits fold inside the top-k aggregate — the
+    // former (query, neighbor, cosine) distinct() pass (the main cost of
+    // this query in BENCH_r02) is gone.
     val scored = corpus.join(broadcast(probes), Seq("table", "sig"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("q_emb"), col("embedding")) /
           (col("q_nrm") * col("nrm"))).as("cosine"))
-      .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    topkByQuery(scored)
   }
 
   /** IVF approximate top-k: probe the nProbe cells nearest to each query,
@@ -164,12 +179,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("q_emb"), col("embedding")) /
           (col("q_nrm") * col("nrm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
-      .orderBy(col("query_id"), col("rank"))
+    topkByQuery(scored)
   }
 }
