@@ -262,7 +262,24 @@ object Dedup {
     * new label AND carries the previous own label, so the convergence
     * count materializes the same cached frame it checks — no separate
     * compare join. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+  /** @param retainRoundCaches keep every round's materialized label
+    *   frame (storage grows with component diameter; only useful for
+    *   warm replay of repeated invocations in a benchmark loop). The
+    *   default drops round n-1's blocks as soon as round n's convergence
+    *   count has materialized round n — storage is bounded at two round
+    *   frames however many rounds the graph's diameter forces.
+    *
+    * Every round ends in `localCheckpoint`, not `cache`: each round
+    * consumes the previous labels frame twice (own-label carry + the
+    * neighbor messages), so without lineage truncation the logical plan
+    * DOUBLES per round — exponential analysis cost that overwhelms the
+    * driver near diameter ~10 (caching does not help; it truncates
+    * execution, not the plan). The checkpoint pins the round to its
+    * materialized blocks and the next round's plan starts from a
+    * constant-size leaf, which is what makes high-diameter graphs (the
+    * chain-graph spec) converge in O(diameter) driver work. */
+  def connectedComponents(pairs: DataFrame,
+      retainRoundCaches: Boolean = false): DataFrame = {
     val edges = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
       .union(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
       .cache()
@@ -273,25 +290,27 @@ object Dedup {
       .union(edges.select(col("u"), col("u")))
       .groupBy(col("u")).agg(min(col("label")).as("label"))
       .withColumnRenamed("u", "id")
+    var prev: Option[DataFrame] = None
     var changed = 1L
     while (changed > 0) {
       val msgs = edges
         .join(labels, edges("u") === labels("id"))
         .select(col("v").as("id"), col("label"),
           lit(null).cast("long").as("own"))
-      // Per-round caches are RETAINED (a doc_id+label frame per round):
-      // repeated invocations then replay the converged rounds from
-      // cache instead of recomputing the whole chain. At production
-      // scale, checkpoint each round and unpersist the previous one —
-      // there the round frames are large and lineage truncation
-      // matters more than replay speed.
+      // Lazy checkpoint + count = still ONE action per round: the count
+      // materializes the checkpoint blocks and decides convergence in
+      // the same pass.
       val combined = labels
         .select(col("id"), col("label"), col("label").as("own"))
         .union(msgs)
         .groupBy(col("id"))
         .agg(min(col("label")).as("label"), max(col("own")).as("own"))
-        .cache()
+        .localCheckpoint(eager = false)
       changed = combined.filter(col("label") < col("own")).count()
+      // Round n is materialized; nothing recomputes through round n-1's
+      // blocks anymore, so they are safe to drop.
+      if (!retainRoundCaches) prev.foreach(_.unpersist(blocking = false))
+      prev = Some(combined)
       labels = combined.select(col("id"), col("label"))
     }
     labels

@@ -135,24 +135,59 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
-  /** Deterministic stratified subsample — the corpus-balancing step of a
-    * training-data pipeline: within each predicted language keep the
-    * first `perStratum` documents in md5-fingerprint order. The
-    * fingerprint is a cross-engine-reproducible pseudo-random ordering
-    * (md5 is identical everywhere, unlike engine-local hash64s), so the
-    * "random" sample is stable across engines and runs. One window
-    * shuffle on the stratum key; at scale with huge strata, pre-filter
-    * by a fingerprint prefix range first so the window only ranks a
-    * small superset of the quota. */
-  def stratifiedSample(s: SparkSession, d: String,
-      perStratum: Int = 50): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pred_lang")).orderBy(col("fp"), col("doc_id"))
+  /** Rows of (doc_id, pred_lang, fp) feeding the stratified sample —
+    * exposed for the spec that checks the pre-filter's superset bound. */
+  def stratifiedBase(s: SparkSession, d: String): DataFrame =
     langId(s, d)
       .select(col("doc_id"), col("pred_lang"))
       .join(docs(s, d)
         .select(col("doc_id"), fingerprintCol(col("text")).as("fp")),
         "doc_id")
+
+  /** The fingerprint-prefix pre-filter: per stratum, keep only documents
+    * whose first-two-hex-chars fingerprint bucket is needed to fill the
+    * quota. Bucket order equals fingerprint order (fixed-width lowercase
+    * hex prefix), so every document with fp-rank <= perStratum sits in a
+    * bucket whose exclusive prefix count is < perStratum — the filter is
+    * a guaranteed superset of the sample. The histogram is #strata x 256
+    * rows however large the corpus is, so its cumulative window is
+    * bounded; the corpus itself only flows through a broadcast-joined
+    * filter. */
+  def stratifiedSuperset(base: DataFrame, perStratum: Int): DataFrame = {
+    val wcum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pred_lang")).orderBy(col("bk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val bucketed = base.withColumn("bk",
+      conv(substring(col("fp"), 1, 2), 16, 10).cast("int"))
+    val cut = bucketed.groupBy(col("pred_lang"), col("bk"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("cum", sum(col("n")).over(wcum))
+      .filter(col("cum") - col("n") < perStratum) // quota not yet filled
+      .groupBy(col("pred_lang")).agg(max(col("bk")).as("cut_bk"))
+    bucketed.join(broadcast(cut), "pred_lang")
+      .filter(col("bk") <= col("cut_bk"))
+      .select(col("doc_id"), col("pred_lang"), col("fp"))
+  }
+
+  /** Deterministic stratified subsample — the corpus-balancing step of a
+    * training-data pipeline: within each predicted language keep the
+    * first `perStratum` documents in md5-fingerprint order. The
+    * fingerprint is a cross-engine-reproducible pseudo-random ordering
+    * (md5 is identical everywhere, unlike engine-local hash64s), so the
+    * "random" sample is stable across engines and runs.
+    *
+    * The per-stratum rank window only ever sees the
+    * [[stratifiedSuperset]] pre-filter's output — a bounded superset of
+    * the quota (roughly perStratum plus one fingerprint bucket's worth
+    * per stratum) — so window parallelism equal to the stratum count
+    * stops mattering: each partition ranks ~quota rows no matter how
+    * large the corpus or how few the strata. */
+  def stratifiedSample(s: SparkSession, d: String,
+      perStratum: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pred_lang")).orderBy(col("fp"), col("doc_id"))
+    stratifiedSuperset(stratifiedBase(s, d), perStratum)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= perStratum)
       .select(col("doc_id"), col("pred_lang"), col("fp"),
@@ -165,10 +200,65 @@ object TextAnalysis {
     * count: bin = floor((cumsum - n_tokens) / budget). This is the
     * streaming-chunk approximation of greedy packing (a bin may overrun
     * by one document's tail, never undershoot); exact greedy close-on-
-    * overflow is inherently sequential, so at scale you run this per
-    * partition and concatenate — the window form here is the
-    * deterministic, oracle-checkable contract. */
+    * overflow is inherently sequential, so the cumulative sum is computed
+    * scale-safely in two passes: bucket documents into ordered doc_id
+    * ranges, aggregate per-bucket token totals (B scalars to the driver),
+    * broadcast the exclusive bucket-prefix offsets back, and run the
+    * cumulative window per bucket — every window partition is a bounded
+    * range, nothing orders the whole corpus through one task. Bucket
+    * boundaries affect only load balance, never the result: cum_tokens of
+    * a doc is the sum over all lower doc_ids regardless of where the
+    * cuts fall. [[sequencePackingGlobalWindow]] keeps the one-window
+    * formulation as the reference contract; a spec asserts the two agree
+    * row-for-row. */
   def sequencePacking(s: SparkSession, d: String,
+      budget: Long = 4096, buckets: Int = 32): DataFrame = {
+    val toks = docs(s, d)
+      .select(col("doc_id"), nTokens(col("text")).as("n_tokens"))
+    // Deterministic ordered ranges from the doc_id span. A production
+    // table with a skewed id space would take its breakpoints from an
+    // approx-quantile sketch instead — the math below is unchanged
+    // because correctness never depends on the boundaries.
+    val Array(span) = toks.agg(
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi")).collect()
+    if (span.isNullAt(0)) // empty corpus: keep the output schema
+      return toks.withColumn("cum_tokens", lit(0L)).withColumn("bin", lit(0L))
+    val lo = span.getLong(0)
+    val width = math.max(1L, (span.getLong(1) - lo) / buckets + 1)
+    // `div` is integral division (`/` on Columns is double division,
+    // which loses exactness past 2^53 on a wide id space).
+    val bucketed = toks.withColumn("bk",
+      expr(s"(doc_id - ${lo}L) div ${width}L"))
+    // Pass 1: per-bucket totals -> exclusive prefix offsets. One row per
+    // bucket crosses to the driver (bounded by the bucket count, not the
+    // data), and the offsets go back as a broadcast join.
+    val totals = bucketed.groupBy(col("bk"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.toSeq.map { case (bk, t) =>
+      val o = (bk, acc); acc += t; o
+    }
+    val offDf = s.createDataFrame(offsets).toDF("bk", "offset")
+    // Pass 2: bucket-local cumulative sum + the bucket's offset.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bk")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    bucketed.join(broadcast(offDf), "bk")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("offset"))
+      .withColumn("bin",
+        floor((col("cum_tokens") - col("n_tokens")) / budget))
+      .select(col("doc_id"), col("n_tokens"), col("cum_tokens"), col("bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Reference formulation of [[sequencePacking]]: one unpartitioned
+    * cumulative window — the simplest statement of the contract, and the
+    * plan you must NOT run at scale (Spark funnels the entire corpus
+    * through a single task to order it). Kept for the spec that proves
+    * the two-pass plan computes the identical result. */
+  def sequencePackingGlobalWindow(s: SparkSession, d: String,
       budget: Long = 4096): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("doc_id"))

@@ -43,6 +43,21 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connected components converge on a high-diameter chain graph") {
+    import spark.implicits._
+    // Path 0-1-2-...-9: diameter 9, far beyond the near-clique regime
+    // the fixture exercises (1-2 propagation rounds).
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.keySet == (0L to 9L).toSet)
+    assert(labels.values.forall(_ == 0L)) // one component, min label
+    // Bounded storage: the default unpersists per-round frames, so at
+    // most the edges + two round frames remain cached afterwards.
+    val cachedRdds = spark.sparkContext.getPersistentRDDs.size
+    info(s"persistent RDDs after chain run: $cachedRdds")
+  }
+
   test("jaccard values are in (0.5, 1]") {
     val js = Dedup.shingleJaccard(spark, sf).collect().map(_.getDouble(2))
     assert(js.forall(j => j >= 0.5 && j <= 1.0))

@@ -55,6 +55,41 @@ class TextEventsSpec extends SparkSpec {
     assert(rows.last._3 == total) // cumulative sum reaches the corpus total
   }
 
+  test("two-pass packing equals the global-window contract, plan has no " +
+      "unpartitioned window") {
+    val budget = 1000L
+    val scaled = TextAnalysis.sequencePacking(spark, sf, budget, buckets = 7)
+    val global = TextAnalysis.sequencePackingGlobalWindow(spark, sf, budget)
+    assert(scaled.collect().map(_.toString).toSeq ==
+      global.collect().map(_.toString).toSeq)
+    // The scale property itself: no window in the two-pass plan orders
+    // the whole corpus through one task.
+    val unpartitioned = scaled.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty)
+  }
+
+  test("stratified pre-filter keeps a per-stratum superset of the quota") {
+    val perStratum = 25
+    val base = TextAnalysis.stratifiedBase(spark, sf).cache()
+    val sup = TextAnalysis.stratifiedSuperset(base, perStratum).collect()
+    val baseCounts = base.collect().groupBy(_.getString(1))
+      .view.mapValues(_.length).toMap
+    val supCounts = sup.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    baseCounts.foreach { case (lang, n) =>
+      // covers the quota (or the whole stratum when it is smaller) ...
+      assert(supCounts.getOrElse(lang, 0) >= math.min(perStratum, n))
+    }
+    // ... and actually prunes when a stratum exceeds the quota: the
+    // 256-bucket histogram cut keeps out at least the top buckets.
+    baseCounts.filter(_._2 >= perStratum * 3).foreach { case (lang, n) =>
+      assert(supCounts(lang) < n)
+    }
+    base.unpersist()
+  }
+
   test("sessionize: session count never exceeds event count") {
     val rows = Events.sessionize(spark, sf).collect()
     assert(rows.forall(r => r.getLong(1) <= r.getLong(2) && r.getLong(1) >= 1))
