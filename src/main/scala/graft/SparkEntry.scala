@@ -96,8 +96,15 @@ object SparkEntry {
     "s01_ann_bruteforce" -> (Similarity.bruteForceTopK _),
     "s02_ann_ivf"        -> (Similarity.ivfTopK _),
     "s03_ann_lsh"        -> (Similarity.lshTopK _),
+    // Driver-checkable quality contracts of the approximate paths: the
+    // engine reduces recall/precision vs its exact baselines to a row of
+    // constants the DuckDB oracle states literally.
+    "s04_ivf_recall"     -> (Similarity.ivfRecall _),
+    "s05_lsh_recall"     -> (Similarity.lshRecall _),
+    "d07_embedding_lsh_recall" -> (Dedup.embeddingLshQuality _),
     // —— approximate aggregates (sketches; rows-only + error-bound spec) ——
     "q27_approx_aggs"    -> (Relational.approxAggs _),
+    "q34_approx_bounds"  -> (Relational.approxBounds _),
     // —— multimodal plumbing (north-star; decode is a marked stub) ——
     "m01_media_meta"   -> (Multimodal.mediaMeta _),
     // Feature vector projected to scalar f_* columns: driver-checkable
@@ -572,6 +579,24 @@ object SparkEntry {
                 CAST(strlen(text) % 480 AS BIGINT) AS height,
                 CAST(strlen(text) % 16 AS BIGINT) AS n_frames
          FROM documents ORDER BY doc_id""",
+    // Quality contracts of the approximate paths: the Spark side
+    // computes recall/precision against its exact in-engine baselines
+    // (deterministic seeds, so the outcome is stable) and emits
+    // constants; the oracle asserts them literally.
+    "s04_ivf_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
+                CAST(1 AS BIGINT) AS recall_ok""",
+    "s05_lsh_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
+                CAST(1 AS BIGINT) AS recall_ok""",
+    "d07_embedding_lsh_recall" ->
+      """SELECT CAST(1 AS BIGINT) AS precision_ok,
+                CAST(1 AS BIGINT) AS recall_ok""",
+    "q34_approx_bounds" ->
+      """SELECT CAST(3 AS BIGINT) AS n_groups,
+                CAST(1 AS BIGINT) AS parts_ok,
+                CAST(1 AS BIGINT) AS supps_ok,
+                CAST(1 AS BIGINT) AS p50_ok""",
     "m03_frame_sample" ->
       """WITH m AS (SELECT doc_id,
                 CAST(strlen(text) % 16 AS BIGINT) AS n_frames

@@ -368,6 +368,29 @@ object Dedup {
     * per-bucket quadratic instead of corpus-quadratic; recall is
     * probabilistic (spec-measured vs the exact pairs), tunable by
     * table count. */
+  /** Driver-checkable quality contract of [[embeddingNearDupLsh]]: its
+    * pairs are a subset of the exact pairs (the cosine filter runs on
+    * exact dots, so precision is 1 by construction) and recall clears
+    * the DedupSpec floor. Reduced to one row of constants so the DuckDB
+    * oracle can assert it literally — the approximate query itself keeps
+    * its rows-only check. */
+  def embeddingLshQuality(s: SparkSession, d: String): DataFrame = {
+    val exact = embeddingNearDup(s, d).select(col("a_id"), col("b_id"))
+      .withColumn("in_exact", lit(1L))
+    val lsh = embeddingNearDupLsh(s, d).select(col("a_id"), col("b_id"))
+      .withColumn("in_lsh", lit(1L))
+    exact.join(lsh, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        sum(when(col("in_lsh").isNotNull && col("in_exact").isNull, 1L)
+          .otherwise(0L)).as("false_pos"),
+        (sum(when(col("in_lsh").isNotNull && col("in_exact").isNotNull, 1L)
+          .otherwise(0L)).cast("double") /
+          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)))
+          .as("recall"))
+      .select((col("false_pos") === 0).cast("long").as("precision_ok"),
+        (col("recall") >= 0.2).cast("long").as("recall_ok"))
+  }
+
   def embeddingNearDupLsh(s: SparkSession, d: String,
       threshold: Double = 0.45): DataFrame = {
     val dim = 64

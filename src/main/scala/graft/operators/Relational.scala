@@ -421,6 +421,30 @@ object Relational {
         expr("approx_percentile(l_extendedprice, 0.5)").as("approx_p50"))
       .orderBy(col("l_returnflag"))
 
+  /** Driver-checkable error bound for [[approxAggs]]: joins the sketch
+    * results against their exact counterparts and reduces to one row of
+    * constants (group count + every-group-within-10% flags) that the
+    * DuckDB oracle states literally. The sketches are deterministic, so
+    * the row is stable; the 10% bound mirrors ApproxSpec. */
+  def approxBounds(s: SparkSession, d: String): DataFrame = {
+    val approx = approxAggs(s, d)
+    val exact = li(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("x_parts"),
+        countDistinct(col("l_suppkey")).as("x_supps"),
+        expr("percentile(l_extendedprice, 0.5)").as("x_p50"))
+    def within(a: Column, x: Column): Column =
+      (abs(a.cast("double") - x.cast("double")) <= x.cast("double") * 0.1)
+        .cast("long")
+    approx.join(exact, "l_returnflag")
+      .agg(
+        count(lit(1)).as("n_groups"),
+        min(within(col("approx_parts"), col("x_parts"))).as("parts_ok"),
+        min(within(col("approx_supps"), col("x_supps"))).as("supps_ok"),
+        min(within(col("approx_p50"), col("x_p50"))).as("p50_ok"))
+  }
+
   /** Ordered string aggregation (LISTAGG/string_agg): nation names per
     * region, comma-joined in sorted order. collect_list order is
     * partition-dependent, so the deterministic form sorts the collected

@@ -181,4 +181,33 @@ object Similarity {
           (col("q_nrm") * col("nrm"))).as("cosine"))
     topkByQuery(scored)
   }
+
+  /** Recall@k of an approximate ANN path against [[bruteForceTopK]],
+    * reduced in-engine to one row of engine-independent facts
+    * (k, query count, recall >= floor). Both paths are deterministic, so
+    * the row is a constant the driver's DuckDB oracle can state
+    * literally — this turns the approximate queries' rows-only checks
+    * into full oracle-gated checks without pretending DuckDB could
+    * recompute an LSH/IVF probe. */
+  def annRecall(s: SparkSession, d: String, approx: DataFrame,
+      floor: Double): DataFrame = {
+    val exact = bruteForceTopK(s, d)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .withColumn("hit", lit(1L))
+    exact.join(hits, Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+        count(lit(1))).as("recall"))
+      .select(lit(K.toLong).as("k"), lit(NumQueries.toLong).as("n_queries"),
+        (col("recall") >= floor).cast("long").as("recall_ok"))
+  }
+
+  /** IVF recall vs the nProbe/C random-embedding floor (SimilaritySpec
+    * measures the same bound per-pair). */
+  def ivfRecall(s: SparkSession, d: String): DataFrame =
+    annRecall(s, d, ivfTopK(s, d), NProbe.toDouble / Centroids)
+
+  /** LSH recall vs the multi-table floor used by ApproxSpec. */
+  def lshRecall(s: SparkSession, d: String): DataFrame =
+    annRecall(s, d, lshTopK(s, d), 0.2)
 }

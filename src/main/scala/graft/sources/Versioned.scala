@@ -77,6 +77,40 @@ object Versioned {
   def versions(spark: SparkSession, tableDir: String): Seq[Int] =
     committedVersions(spark, tableDir)
 
+  /** Number of data files in a snapshot (maintenance introspection). */
+  def dataFileCount(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): Int = {
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    val f = fs(spark, tableDir)
+    val it = f.listFiles(new Path(tableDir, s"v=$v"), /*recursive=*/ true)
+    var n = 0
+    while (it.hasNext) {
+      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+    }
+    n
+  }
+
+  /** Small-file maintenance — the `rewrite_data_files` analog of the
+    * Iceberg tables the reference builds on: rewrite the current
+    * snapshot into ~`targetFileBytes`-sized files and publish the result
+    * as a NEW commit through the same marker protocol. Readers never see
+    * an in-progress rewrite, concurrent committers conflict cleanly on
+    * the marker, and every pre-compaction version stays time-travelable
+    * until [[vacuum]]. File count is sized from the snapshot's on-disk
+    * bytes, so a drip-fed table of thousands of tiny files comes back as
+    * a handful of scan-efficient ones. */
+  def compact(spark: SparkSession, tableDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionCol: Option[String] = None): Int = {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    val bytes = fs(spark, tableDir)
+      .getContentSummary(new Path(tableDir, s"v=$cur")).getLength
+    val nFiles =
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    commit(read(spark, tableDir).repartition(nFiles), tableDir, partitionCol)
+  }
+
   /** Expire old snapshots, keeping the most recent `keep` (the current
     * version is always retained). The marker is removed first so a crash
     * mid-vacuum never leaves a published-but-deleted version. */

@@ -20,13 +20,21 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Metrics {
 
+  /** `peakExecutionMemory` sums the per-operator "peakMemory" metric
+    * (hash aggregates, sort buffers, join builds) and `spillSize` the
+    * bytes those operators spilled to disk — the Spark-native analog of
+    * the reference's container-memory panels (reference
+    * README.md:212-219): "uses fewer resources" becomes a recorded
+    * number instead of a dashboard screenshot. */
   case class QueryMetrics(
       funcName: String,
       durationNs: Long,
       outputRows: Long,
       scanRows: Long,
       shuffleBytesWritten: Long,
-      failed: Boolean,
+      peakExecutionMemory: Long = 0L,
+      spillSize: Long = 0L,
+      failed: Boolean = false,
       planSummary: String = "")
 
   class Recorder extends QueryExecutionListener {
@@ -66,6 +74,8 @@ object Metrics {
           .getOrElse(0L),
         metricSum(nodes, _.toLowerCase.contains("scan"), "numOutputRows"),
         metricSum(nodes, _.startsWith("Exchange"), "shuffleBytesWritten"),
+        peakExecutionMemory = metricSum(nodes, _ => true, "peakMemory"),
+        spillSize = metricSum(nodes, _ => true, "spillSize"),
         failed = false,
         planSummary = nodes.map(n =>
           s"${n.nodeName}${n.metrics.keys.mkString("[", ",", "]")}")

@@ -90,6 +90,25 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 2)
   }
 
+  test("versioned table: compact rewrites small files, keeps history") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_compact"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // drip-fed snapshot: 16 tiny files
+    Versioned.commit((1 to 1000).toDF("v").repartition(16), t)
+    assert(Versioned.dataFileCount(spark, t) == 16)
+    val v2 = Versioned.compact(spark, t) // default target >> snapshot size
+    assert(v2 == 2)
+    // same rows, one file
+    assert(Versioned.dataFileCount(spark, t) == 1)
+    assert(Versioned.read(spark, t).collect().map(_.getInt(0)).sorted
+      .toSeq == (1 to 1000))
+    // pre-compaction snapshot still time-travelable until vacuum
+    assert(Versioned.read(spark, t, Some(1)).count() == 1000)
+    assert(Versioned.dataFileCount(spark, t, Some(1)) == 16)
+  }
+
   test("versioned table: schema evolves per snapshot, time travel keeps old") {
     import spark.implicits._
     import graft.sources.Versioned

@@ -18,6 +18,10 @@ class MetricsSpec extends SparkSpec {
       assert(m.durationNs > 0, m.planSummary)
       assert(m.scanRows > 0, m.planSummary) // parquet scan rows
       assert(m.shuffleBytesWritten > 0, m.planSummary) // group-by partials
+      // The resource half of the reference's comparison methodology:
+      // a shuffling aggregate must report nonzero peak execution memory.
+      assert(m.peakExecutionMemory > 0, m.planSummary)
+      assert(m.spillSize >= 0)
     } finally Metrics.detach(spark, r)
   }
 }
