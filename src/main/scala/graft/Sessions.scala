@@ -16,14 +16,33 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
-  def builder(appName: String = "graft"): SparkSession.Builder =
-    SparkSession
+  /** AQE toggle (default on). Sub-second scan->agg queries pay a
+    * measurable stage-replanning floor under AQE; flipping this off is
+    * the A/B knob for that trade — at real scale AQE's coalescing and
+    * skew-splitting win, so on stays the default. */
+  def aqe: String = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+
+  /** @param hadoopConf Hadoop configuration overrides (each key is
+    *   published as `spark.hadoop.<key>`) — the seam where an
+    *   object-store deployment supplies its `fs.s3a.*` settings
+    *   (endpoint, path-style access, credentials provider), mirroring
+    *   the reference's session wiring (csv_to_ice.py:6-10). The
+    *   zero-egress environment only exercises `file:` paths, so this
+    *   stays a config surface here; every table read already routes
+    *   through `Path.getFileSystem`, which picks the scheme from the
+    *   path + this configuration. */
+  def builder(appName: String = "graft",
+      hadoopConf: Map[String, String] = Map.empty): SparkSession.Builder = {
+    val b = SparkSession
       .builder()
       .withExtensions(new GraftExtensions)
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", aqe)
+    hadoopConf.foldLeft(b) { case (bb, (k, v)) =>
+      bb.config(s"spark.hadoop.$k", v)
+    }
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -35,6 +54,7 @@ object Sessions {
       // nanosecond timestamp type, so read them as raw Long nanos and let
       // Tables.load convert to microsecond timestamps.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
 
   def get(appName: String = "graft"): SparkSession = {
     val spark = builder(appName).getOrCreate()

@@ -16,12 +16,15 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  // Spread: heavy per-document regex/hash operators (multi-pattern
-  // scoring, md5 over full text) would otherwise run on ONE task against
-  // the single-row-group fixture scan. Cheap scan->project shapes use
-  // [[docsPlain]] instead: there the repartition exchange costs more than
-  // the parallelism buys (measured in BENCH_r02), and a real 100 TB table
-  // gets scan parallelism from its file splits anyway.
+  // The fixture parquet is a single row group, so a plain scan runs any
+  // per-row work on ONE task; [[docs]] round-robins it across cores
+  // first. Whether the extra exchange pays for itself is an empirical
+  // per-operator call, not a heavy-vs-cheap rule: each call site below
+  // uses whichever of docs/docsPlain benchmarked faster for that
+  // operator at sf0.1 (spread won for the scoring/langid/fingerprint
+  // family; the exchange cost more than it bought for rollingFingerprints,
+  // tokenCounts and curationPipeline). A real 100 TB table gets its scan
+  // parallelism from file splits and needs neither.
   private def docs(s: SparkSession, d: String) =
     Tables.loadSpread(s, d, "documents")
 
@@ -187,7 +190,10 @@ object TextAnalysis {
       perStratum: Int = 50): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pred_lang")).orderBy(col("fp"), col("doc_id"))
-    stratifiedSuperset(stratifiedBase(s, d), perStratum)
+    // Cached: the pre-filter consumes the (regex-scored) base twice —
+    // once for its bucket histogram, once for the filtered scan. At
+    // production scale this intermediate is a persisted stage table.
+    stratifiedSuperset(stratifiedBase(s, d).cache(), perStratum)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= perStratum)
       .select(col("doc_id"), col("pred_lang"), col("fp"),
