@@ -101,6 +101,11 @@ object SparkEntry {
     // constants the DuckDB oracle states literally.
     "s04_ivf_recall"     -> (Similarity.ivfRecall _),
     "s05_lsh_recall"     -> (Similarity.lshRecall _),
+    // IVF over spherical-k-means-refined centroids (the production
+    // index build), gated by the same recall contract.
+    "s06_ivf_kmeans_recall" -> ((s, d) => Similarity.annRecall(s, d,
+      Similarity.ivfTopKKmeans(s, d),
+      Similarity.NProbe.toDouble / Similarity.Centroids)),
     "d07_embedding_lsh_recall" -> (Dedup.embeddingLshQuality _),
     // —— approximate aggregates (sketches; rows-only + error-bound spec) ——
     "q27_approx_aggs"    -> (Relational.approxAggs _),
@@ -587,6 +592,9 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok""",
     "s05_lsh_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
+                CAST(1 AS BIGINT) AS recall_ok""",
+    "s06_ivf_kmeans_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok""",
     "d07_embedding_lsh_recall" ->

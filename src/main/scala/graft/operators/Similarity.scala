@@ -148,18 +148,19 @@ object Similarity {
     topkByQuery(scored)
   }
 
-  /** IVF approximate top-k: probe the nProbe cells nearest to each query,
-    * exact-score only vectors in those cells. Approximate by design —
-    * the spec checks recall against [[bruteForceTopK]] rather than
-    * equality, so this query has a rows-only driver check. */
-  def ivfTopK(s: SparkSession, d: String): DataFrame = {
-    val e = emb(s, d)
-    val corpus = e.filter(col("vec_id") >= NumQueries)
-    val cents = corpus.filter(col("vec_id") < NumQueries + Centroids)
+  /** Seed centroid table: the first C corpus vectors (deterministic). */
+  private def seedCentroids(corpus: DataFrame): DataFrame =
+    corpus.filter(col("vec_id") < NumQueries + Centroids)
       .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
         col("nrm").as("c_nrm"))
-    val indexed = assignCells(corpus, cents)
 
+  /** Shared IVF search: index the corpus against `cents`, probe each
+    * query's nProbe closest cells, exact-score only those cells'
+    * members. The probe-cell window ranks #queries x C rows — bounded
+    * by the (broadcast-sized) centroid table, never the corpus. */
+  private def ivfSearch(e: DataFrame, cents: DataFrame): DataFrame = {
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+    val indexed = assignCells(corpus, cents)
     val q = e.filter(col("vec_id") < NumQueries)
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "q_emb")
@@ -180,6 +181,66 @@ object Similarity {
         (dot(col("q_emb"), col("embedding")) /
           (col("q_nrm") * col("nrm"))).as("cosine"))
     topkByQuery(scored)
+  }
+
+  /** IVF approximate top-k: probe the nProbe cells nearest to each query,
+    * exact-score only vectors in those cells. Approximate by design —
+    * the spec checks recall against [[bruteForceTopK]] rather than
+    * equality, so this query has a rows-only driver check (and s04 pins
+    * its recall contract). */
+  def ivfTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    ivfSearch(e, seedCentroids(e.filter(col("vec_id") >= NumQueries)))
+  }
+
+  /** Spherical k-means (Lloyd) refinement of the centroid table: each
+    * iteration assigns every corpus vector to its best cell (the same
+    * map-side-combinable `max_by` as the index build) and recomputes
+    * each cell's centroid as the mean of its members' UNIT vectors —
+    * the spherical update, whose mean-cosine objective is monotonically
+    * non-decreasing (SimilaritySpec asserts it). The per-dimension
+    * average runs as posexplode -> partial-aggregated avg keyed on
+    * (cell, dim): shuffle volume is partitions x C x dim rows, never
+    * corpus rows, and the centroid table stays broadcast-sized
+    * throughout. A handful of iterations is standard; the plan grows
+    * linearly with iterations (each references its predecessor once),
+    * so no lineage truncation is needed at these counts. */
+  def kmeansRefine(corpus: DataFrame, cents: DataFrame,
+      iters: Int = 1): DataFrame = {
+    var c = cents
+    for (_ <- 1 to iters) {
+      c = assignCells(corpus, c)
+        .select(col("cell"), col("nrm"), posexplode(col("embedding")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("col") / col("nrm")).as("m"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m")).cast("array<float>").as("c_emb"))
+        .withColumn("c_nrm", l2Norm(col("c_emb")))
+    }
+    c
+  }
+
+  /** Mean best-cell cosine of the corpus under a centroid table — the
+    * spherical k-means objective, used by the spec to assert Lloyd
+    * monotonicity. */
+  def ivfCost(corpus: DataFrame, cents: DataFrame): Double =
+    corpus.join(broadcast(cents))
+      .select(col("vec_id"),
+        (dot(col("c_emb"), col("embedding")) /
+          (col("c_nrm") * col("nrm"))).as("c_cos"))
+      .groupBy(col("vec_id")).agg(max(col("c_cos")).as("best"))
+      .agg(avg(col("best"))).head().getDouble(0)
+
+  /** IVF top-k over k-means-refined centroids — the production index
+    * build (seed cells are only the Lloyd starting point). Cached: the
+    * search consumes the refined table twice (corpus assignment + query
+    * probes). */
+  def ivfTopKKmeans(s: SparkSession, d: String, iters: Int = 2): DataFrame = {
+    val e = emb(s, d)
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+    ivfSearch(e, kmeansRefine(corpus, seedCentroids(corpus), iters).cache())
   }
 
   /** Recall@k of an approximate ANN path against [[bruteForceTopK]],

@@ -37,4 +37,35 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(3) <= best(r.getLong(0)) + 1e-12)
     }
   }
+
+  test("spherical k-means refinement: objective monotone, recall holds") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val embAll = {
+      import graft.functions.VectorFunctions._
+      e.select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("nrm"))
+        .filter(col("vec_id") >= Similarity.NumQueries).cache()
+    }
+    val seed = embAll.filter(
+      col("vec_id") < Similarity.NumQueries + Similarity.Centroids)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val c0 = Similarity.ivfCost(embAll, seed)
+    val r1 = Similarity.kmeansRefine(embAll, seed, 1).cache()
+    val c1 = Similarity.ivfCost(embAll, r1)
+    val c2 = Similarity.ivfCost(embAll,
+      Similarity.kmeansRefine(embAll, r1, 1).cache())
+    info(s"spherical objective: seed=$c0 iter1=$c1 iter2=$c2")
+    assert(c1 >= c0 - 1e-9) // Lloyd monotonicity
+    assert(c2 >= c1 - 1e-9)
+
+    val refined = Similarity.ivfTopKKmeans(spark, sf).collect()
+    val ex = exact.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = refined.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (ex & got).size.toDouble / ex.size
+    info(s"k-means IVF recall@${Similarity.K} = $recall")
+    assert(recall >= Similarity.NProbe.toDouble / Similarity.Centroids)
+    embAll.unpersist()
+  }
 }
