@@ -243,6 +243,65 @@ object Similarity {
     ivfSearch(e, kmeansRefine(corpus, seedCentroids(corpus), iters).cache())
   }
 
+  private def centroidsDir(indexDir: String): String = s"$indexDir.centroids"
+
+  /** Materialize the IVF index as a CELL-PARTITIONED parquet table (plus
+    * a sibling centroid table) — the 100 TB layout the in-memory path
+    * only talks about: with `cell` as the partition key, a probe reads
+    * nProbe directories and Spark never lists, opens, or scans the rest
+    * of the corpus. The spec asserts the pruning via `inputFiles`. */
+  def buildIvfIndex(s: SparkSession, d: String, indexDir: String,
+      iters: Int = 2): Unit = {
+    val corpus = emb(s, d).filter(col("vec_id") >= NumQueries)
+    val cents = kmeansRefine(corpus, seedCentroids(corpus), iters).cache()
+    assignCells(corpus, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    cents.write.mode("overwrite").parquet(centroidsDir(indexDir))
+  }
+
+  /** Query a persisted [[buildIvfIndex]] index: the probe-cell set
+    * (#queries x nProbe cell ids — metadata-scale, like a partition
+    * listing) prunes the scan to those directories, then members are
+    * exact-scored and reduced by the top-k aggregate. Results are
+    * identical to [[ivfTopKKmeans]] at the same iteration count; the
+    * difference is that the index is built once and amortized across
+    * query batches, and each probe's I/O is nProbe/C of the table. */
+  def ivfTopKIndexed(s: SparkSession, d: String, indexDir: String,
+      numQueries: Int = NumQueries): DataFrame = {
+    val cents = s.read.parquet(centroidsDir(indexDir))
+    val q = emb(s, d).filter(col("vec_id") < numQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_emb")
+      .withColumnRenamed("nrm", "q_nrm")
+    val qCells = {
+      val scored = q.join(broadcast(cents))
+        .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"),
+          (dot(col("c_emb"), col("q_emb")) /
+            (col("c_nrm") * col("q_nrm"))).as("c_cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c_cos").desc, col("cell"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= NProbe)
+        .select(col("query_id"), col("q_emb"), col("q_nrm"), col("cell"))
+    }.cache()
+    // The probed cell ids are metadata (bounded by queries x nProbe,
+    // like a partition listing) — collecting them turns the probe into
+    // a statically partition-pruned scan.
+    val probed = qCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    // Partition-dir values infer as int; filter with ints so the
+    // predicate hits the partition column uncasted (a cast would block
+    // static pruning), then widen for the probe join.
+    val indexed = s.read.parquet(indexDir)
+      .filter(col("cell").isin(probed.map(_.toInt): _*))
+      .withColumn("cell", col("cell").cast("long"))
+    val scored = indexed.join(broadcast(qCells), "cell")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+    topkByQuery(scored)
+  }
+
   /** Recall@k of an approximate ANN path against [[bruteForceTopK]],
     * reduced in-engine to one row of engine-independent facts
     * (k, query count, recall >= floor). Both paths are deterministic, so

@@ -68,4 +68,40 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= Similarity.NProbe.toDouble / Similarity.Centroids)
     embAll.unpersist()
   }
+
+  test("persisted cell-partitioned index: pruned probe, identical results") {
+    val dir = "target/tmp/ivf-index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$dir.centroids"))
+    Similarity.buildIvfIndex(spark, sf, dir)
+    // a 2-query batch probes <= 2 x nProbe of the 16 cells: the
+    // executed index scan must open only those directories' files
+    // (inputFiles ignores pruning, so read the scan's numFiles metric)
+    val small = Similarity.ivfTopKIndexed(spark, sf, dir, numQueries = 2)
+    small.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: inner.flatMap(nodes)
+    }
+    val scannedFiles = nodes(small.queryExecution.executedPlan)
+      .filter(n => n.nodeName.toLowerCase.contains("scan") &&
+        n.toString.contains("ivf-index") &&
+        !n.toString.contains("centroids"))
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    val allFiles = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(dir), Array("parquet"), true).size
+    info(s"scanned $scannedFiles of $allFiles index files")
+    assert(scannedFiles > 0 && scannedFiles < allFiles)
+    // identical results to the in-memory refined path
+    assert(Similarity.ivfTopKIndexed(spark, sf, dir).collect()
+      .map(_.toString).toSeq ==
+      Similarity.ivfTopKKmeans(spark, sf).collect().map(_.toString).toSeq)
+  }
 }
