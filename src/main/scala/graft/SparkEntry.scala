@@ -123,6 +123,14 @@ object SparkEntry {
           col("feature")(2).as("f_n"), col("feature")(3).as("f_first"))
         .orderBy(col("doc_id"))),
     "m03_frame_sample" -> ((s, d) => Multimodal.sampleFrames(s, d)),
+    // Byte-stream average pooling (the codec-free resize analog):
+    // long-format (doc, bucket, mean) so the oracle's GROUP BY shape
+    // matches exactly.
+    "m04_resize_pool" -> ((s, d) =>
+      Multimodal.resizePooled(s, d).toDF()
+        .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+          col("bk").cast("long").as("bk"), col("m"))
+        .orderBy(col("doc_id"), col("bk"))),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -605,6 +613,16 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS parts_ok,
                 CAST(1 AS BIGINT) AS supps_ok,
                 CAST(1 AS BIGINT) AS p50_ok""",
+    "m04_resize_pool" ->
+      """WITH pos AS (
+           SELECT doc_id, text, strlen(text) AS n,
+                  unnest(range(1, strlen(text) + 1)) AS i
+           FROM documents)
+         SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+                ((i - 1) * 8) // n AS bk,
+                avg(ord(substr(text, i, 1))) AS m
+         FROM pos GROUP BY doc_id, n, ((i - 1) * 8) // n
+         ORDER BY doc_id, bk""",
     "m03_frame_sample" ->
       """WITH m AS (SELECT doc_id,
                 CAST(strlen(text) % 16 AS BIGINT) AS n_frames

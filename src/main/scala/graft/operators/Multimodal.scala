@@ -74,6 +74,39 @@ object Multimodal {
       }
   }
 
+  case class PooledBucket(doc_id: Long, n_bytes: Int, bk: Int, m: Double)
+
+  /** Resize analog: average-pool the payload byte stream into a fixed
+    * number of buckets (byte j of n lands in bucket j*B/n) — the 1-D
+    * form of image downsampling, and unlike the decode it needs no
+    * codec, so the math here is REAL and oracle-checked (m04). Same
+    * partition-local batch shape as [[extractFeatures]]: a real resizer
+    * initializes its codec once per partition and emits fixed-width
+    * output rows. Empty buckets (payload shorter than B bytes) emit no
+    * row, mirroring the oracle's GROUP BY. */
+  def resizePooled(s: SparkSession, d: String,
+      buckets: Int = 8): Dataset[PooledBucket] = {
+    import s.implicits._
+    val b = buckets
+    withPayload(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val n = bytes.length
+        val sums = new Array[Double](b)
+        val counts = new Array[Long](b)
+        var j = 0
+        while (j < n) {
+          val bk = ((j.toLong * b) / n).toInt
+          sums(bk) += (bytes(j) & 0xff).toDouble
+          counts(bk) += 1
+          j += 1
+        }
+        (0 until b).iterator.filter(counts(_) > 0)
+          .map(k => PooledBucket(id, n, k, sums(k) / counts(k)))
+      }
+  }
+
   /** Frame sampling stub: emit every k-th "frame index" per media row —
     * the explode shape of a real video frame sampler. */
   def sampleFrames(s: SparkSession, d: String, everyK: Int = 4): DataFrame =
