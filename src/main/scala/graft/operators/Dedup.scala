@@ -316,6 +316,61 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star/small-star
+    * contraction — the O(log n)-round algorithm for graphs whose
+    * diameter makes per-hop label propagation too slow (label
+    * propagation is O(diameter) rounds; a 100 TB web-dedup graph can
+    * chain thousands of hops). Each round:
+    *  - large-star: every vertex points its LARGER neighbors at the
+    *    minimum of its neighborhood (including itself);
+    *  - small-star: every vertex re-points its (now all smaller)
+    *    parents and itself at their minimum.
+    * Both are one groupBy + join over the edge list — shuffle volume is
+    * O(|edges|) per round, and the edge list only shrinks toward the
+    * star forest (child -> component-min). Same lineage discipline as
+    * [[connectedComponents]]: every round ends in a lazy localCheckpoint
+    * and drops the previous round's blocks. Convergence = the directed
+    * edge set reaches a fixed point (two bounded actions per round).
+    *
+    * Returns the same (id, label) contract as [[connectedComponents]]
+    * (edge-touched vertices only); DedupSpec asserts the two agree on
+    * chains, cliques and the fixture pairs. */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    var edges = pairs
+      .select(greatest(col("a_id"), col("b_id")).as("c"),
+        least(col("a_id"), col("b_id")).as("p"))
+      .where(col("c") =!= col("p"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    var prev: Option[DataFrame] = None
+    var changed = true
+    while (changed) {
+      val sym = edges.select(col("c").as("u"), col("p").as("v"))
+        .union(edges.select(col("p").as("u"), col("c").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val large = sym.join(mins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("c"), col("m").as("p"))
+        .distinct()
+      val reParent = large.join(
+        large.groupBy(col("c")).agg(min(col("p")).as("m")), "c")
+      val next = reParent.select(col("p").as("c"), col("m").as("p"))
+        .union(reParent.select(col("c"), col("m").as("p")))
+        .where(col("c") =!= col("p"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      changed = next.count() != edges.count() ||
+        next.exceptAll(edges).count() > 0
+      prev.foreach(_.unpersist(blocking = false))
+      prev = Some(edges)
+      edges = next
+    }
+    edges.select(col("c").as("id"), col("p").as("label"))
+      .union(edges.select(col("p"), col("p")).distinct()
+        .toDF("id", "label"))
+  }
+
   /** Duplicate-cluster assignment — the pipeline step after pair
     * detection: every document mapped to its cluster's canonical (min)
     * doc_id, singletons to themselves. Pairs come from the MinHash-LSH

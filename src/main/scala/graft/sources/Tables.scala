@@ -49,6 +49,26 @@ object Tables {
     df.repartition(spark.sessionState.conf.numShufflePartitions)
   }
 
+  /** Persist a table bucketed (and sorted) by a join key — the layout
+    * that removes the shuffle from every repeated large-large join on
+    * that key (the SCALING.md answer for lineitem x orders at 100 TB):
+    * both sides pre-hashed into the same bucket count means the join's
+    * ClusteredDistribution is satisfied straight off the scan, so the
+    * plan carries no Exchange (BucketedJoinSpec asserts it). Bucketing
+    * metadata lives in the session catalog (`saveAsTable`); the data is
+    * external parquet at `dir`. */
+  def writeBucketed(df: DataFrame, table: String, dir: String,
+      key: String, buckets: Int): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", dir)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+  }
+
   private val registeredDir =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 

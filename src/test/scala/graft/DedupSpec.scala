@@ -58,6 +58,27 @@ class DedupSpec extends SparkSpec {
     info(s"persistent RDDs after chain run: $cachedRdds")
   }
 
+  test("star contraction equals label propagation on chain, clique, fixture") {
+    import spark.implicits._
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain (diameter 9), two cliques, and a cross edge
+    val graphs = Seq(
+      (0L until 9L).map(i => (i, i + 1)),
+      (for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)) ++
+        (for (a <- 20L to 23L; b <- (a + 1) to 23L) yield (a, b)) ++
+        Seq((14L, 20L)))
+    graphs.foreach { g =>
+      val pairs = g.toDF("a_id", "b_id")
+      assert(labels(Dedup.connectedComponentsStar(pairs)) ==
+        labels(Dedup.connectedComponents(pairs)))
+    }
+    // the real near-dup pairs
+    val fixture = Dedup.minhashLsh(spark, sf).select("a_id", "b_id").cache()
+    assert(labels(Dedup.connectedComponentsStar(fixture)) ==
+      labels(Dedup.connectedComponents(fixture)))
+  }
+
   test("jaccard values are in (0.5, 1]") {
     val js = Dedup.shingleJaccard(spark, sf).collect().map(_.getDouble(2))
     assert(js.forall(j => j >= 0.5 && j <= 1.0))
