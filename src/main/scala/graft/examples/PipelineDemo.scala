@@ -1,0 +1,56 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+import graft.operators.{Dedup, TextAnalysis}
+import graft.sources.{Tables, Versioned}
+
+/** End-to-end training-data pipeline over the composable operator
+  * surface — the integration a reference user runs daily, chained over
+  * DataFrames instead of per-query table loads:
+  *
+  *   quality/dedup curation -> near-dup cluster canonicalization ->
+  *   language-stratified sampling -> token-budget packing ->
+  *   versioned snapshot commit -> small-file compaction.
+  *
+  * Run: `sbt "runMain graft.examples.PipelineDemo [sfDir] [outDir]"`.
+  * Prints PIPELINE_* count lines for smoke checking.
+  */
+object PipelineDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (args.length > 1) args(1) else "target/tmp/pipeline-demo"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val spark = Sessions.get("graft-pipeline-demo")
+
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    // 1. gates + exact dedup, keeping canonical text per fingerprint
+    val curated = TextAnalysis.curatedDocs(docs).cache()
+    // 2. near-dup clusters over the corpus; keep cluster canonicals only
+    val clusters = Dedup.dedupClusters(spark, sfDir)
+    val canonical = curated.join(clusters, "doc_id")
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("text")).cache()
+    // 3. balance across predicted languages
+    val sampled = TextAnalysis.stratifiedSampleOf(canonical, perStratum = 40)
+    // 4. pack the sampled docs into token-budget bins
+    val packed = TextAnalysis.sequencePackingOf(
+      canonical.join(sampled.select(col("doc_id")), "doc_id"),
+      budget = 2048)
+    // 5. publish as a snapshot, then compact the small files
+    val dir = s"$out/corpus"
+    Versioned.commit(packed, dir)
+    val v2 = Versioned.compact(spark, dir)
+
+    val published = Versioned.read(spark, dir)
+    println(s"PIPELINE_CURATED=${curated.count()}")
+    println(s"PIPELINE_CANONICAL=${canonical.count()}")
+    println(s"PIPELINE_SAMPLED=${sampled.count()}")
+    println(s"PIPELINE_PACKED=${published.count()} v=$v2")
+    println(s"PIPELINE_BINS=${published.agg(max(col("bin")))
+      .head().getLong(0) + 1}")
+    spark.stop()
+  }
+}

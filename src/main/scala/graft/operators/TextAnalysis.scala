@@ -66,15 +66,18 @@ object TextAnalysis {
 
   /** Language ID by stopword-hit voting over four language profiles.
     * Argmax with a fixed priority tie-break (en > de > fr > es) so the
-    * result is deterministic and oracle-reproducible. */
-  def langId(s: SparkSession, d: String): DataFrame = {
+    * result is deterministic and oracle-reproducible. The DataFrame
+    * overload composes over any (doc_id, text) frame (a curated subset,
+    * a versioned snapshot); the (session, dir) form feeds the driver
+    * contract. */
+  def langIdOf(docsDf: DataFrame): DataFrame = {
     def score(pat: String): Column =
       regexp_count(lower(col("text")), lit(pat)).cast("long")
     val en = score("\\b(the|and|of|to|in|is|was|for)\\b")
     val de = score("\\b(der|die|das|und|ist|nicht|mit|ein)\\b")
     val fr = score("\\b(le|les|une|et|est|pas|pour|dans)\\b")
     val es = score("\\b(el|los|las|es|no|por|para|como)\\b")
-    docs(s, d)
+    docsDf
       .select(col("doc_id"), en.as("s_en"), de.as("s_de"), fr.as("s_fr"),
         es.as("s_es"))
       .withColumn("pred_lang",
@@ -87,6 +90,8 @@ object TextAnalysis {
         col("s_fr"), col("s_es"))
       .orderBy(col("doc_id"))
   }
+
+  def langId(s: SparkSession, d: String): DataFrame = langIdOf(docs(s, d))
 
   /** Normalized-text fingerprint: md5 over whitespace-collapsed lowercase
     * text. The exact-dedup key; md5 is deliberately chosen because every
@@ -140,12 +145,15 @@ object TextAnalysis {
 
   /** Rows of (doc_id, pred_lang, fp) feeding the stratified sample —
     * exposed for the spec that checks the pre-filter's superset bound. */
-  def stratifiedBase(s: SparkSession, d: String): DataFrame =
-    langId(s, d)
+  def stratifiedBaseOf(docsDf: DataFrame): DataFrame =
+    langIdOf(docsDf)
       .select(col("doc_id"), col("pred_lang"))
-      .join(docs(s, d)
+      .join(docsDf
         .select(col("doc_id"), fingerprintCol(col("text")).as("fp")),
         "doc_id")
+
+  def stratifiedBase(s: SparkSession, d: String): DataFrame =
+    stratifiedBaseOf(docs(s, d))
 
   /** The fingerprint-prefix pre-filter: per stratum, keep only documents
     * whose first-two-hex-chars fingerprint bucket is needed to fill the
@@ -186,20 +194,23 @@ object TextAnalysis {
     * per stratum) — so window parallelism equal to the stratum count
     * stops mattering: each partition ranks ~quota rows no matter how
     * large the corpus or how few the strata. */
-  def stratifiedSample(s: SparkSession, d: String,
-      perStratum: Int = 50): DataFrame = {
+  def stratifiedSampleOf(docsDf: DataFrame, perStratum: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("pred_lang")).orderBy(col("fp"), col("doc_id"))
     // Cached: the pre-filter consumes the (regex-scored) base twice —
     // once for its bucket histogram, once for the filtered scan. At
     // production scale this intermediate is a persisted stage table.
-    stratifiedSuperset(stratifiedBase(s, d).cache(), perStratum)
+    stratifiedSuperset(stratifiedBaseOf(docsDf).cache(), perStratum)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= perStratum)
       .select(col("doc_id"), col("pred_lang"), col("fp"),
         col("rk").cast("long").as("rk"))
       .orderBy(col("pred_lang"), col("rk"))
   }
+
+  def stratifiedSample(s: SparkSession, d: String,
+      perStratum: Int = 50): DataFrame =
+    stratifiedSampleOf(docs(s, d), perStratum)
 
   /** Token-budget sequence packing — assign documents (in doc_id order)
     * to fixed-budget context-window bins by exclusive cumulative token
@@ -218,8 +229,13 @@ object TextAnalysis {
     * formulation as the reference contract; a spec asserts the two agree
     * row-for-row. */
   def sequencePacking(s: SparkSession, d: String,
+      budget: Long = 4096, buckets: Int = 32): DataFrame =
+    sequencePackingOf(docs(s, d), budget, buckets)
+
+  def sequencePackingOf(docsDf: DataFrame,
       budget: Long = 4096, buckets: Int = 32): DataFrame = {
-    val toks = docs(s, d)
+    val s = docsDf.sparkSession
+    val toks = docsDf
       .select(col("doc_id"), nTokens(col("text")).as("n_tokens"))
     // Deterministic ordered ranges from the doc_id span. A production
     // table with a skewed id space would take its breakpoints from an
@@ -276,6 +292,24 @@ object TextAnalysis {
       .withColumn("bin",
         floor((col("cum_tokens") - col("n_tokens")) / budget))
       .orderBy(col("doc_id"))
+  }
+
+  /** Curation gate returning the SURVIVING documents (canonical text per
+    * normalized fingerprint, keep-lowest-doc_id) — the composable stage
+    * [[graft.examples.PipelineDemo]] chains into sampling and packing;
+    * [[curationPipeline]] is the metric view of the same gates. One
+    * min_by-style struct-min aggregate keyed on the digest: the same
+    * one-pass exact-dedup shuffle shape as [[dedupExact]]. */
+  def curatedDocs(docsDf: DataFrame): DataFrame = {
+    val stopHits = regexp_count(lower(col("text")),
+      lit("\\b(the|a|and|of|to|in|is|it)\\b")).cast("long")
+    docsDf
+      .withColumn("n_tokens", nTokens(col("text")))
+      .withColumn("stop_ratio", stopHits.cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= 10 && col("stop_ratio") >= 0.01)
+      .groupBy(fingerprintCol(col("text")).as("fp"))
+      .agg(min(struct(col("doc_id"), col("text"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.text").as("text"))
   }
 
   /** Composed curation pipeline — the end-to-end shape of a training-data
