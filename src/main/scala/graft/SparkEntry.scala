@@ -73,6 +73,7 @@ object SparkEntry {
     "e05_asof_join"        -> (Events.asofJoin _),
     "e06_range_join"       -> (Events.rangeJoinPairs _),
     "e07_range_join_auto"  -> (Events.rangeJoinPairsNaive _),
+    "e08_hopping_window"   -> (Events.hoppingQuarterHour _),
     // —— text analysis (north-star) ——
     "t01_text_stats"   -> (TextAnalysis.textStats _),
     "t02_quality"      -> (TextAnalysis.qualityScore _),
@@ -374,6 +375,18 @@ object SparkEntry {
            ON a.event_id < b.event_id
           AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) -
                   epoch_us(CAST(b.ts AS TIMESTAMP))) <= 60000000""",
+    // Each event belongs to the 4 hour-long windows starting at the
+    // 15-minute marks in (ts - 1h, ts]; the cross join with i=0..3
+    // shifts the event's 15-minute bucket back i slides.
+    "e08_hopping_window" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value
+                    FROM events),
+         w AS (SELECT time_bucket(INTERVAL '15 minutes', t)
+                        - (CAST(i AS INT) * INTERVAL '15 minutes') AS ws,
+                      event_type, value
+               FROM e CROSS JOIN (SELECT unnest(range(4)) AS i))
+         SELECT ws, event_type, count(*) AS cnt, sum(value) AS sum_value
+         FROM w GROUP BY ws, event_type ORDER BY ws, event_type""",
     // Same semantics as e06 — proves RangeJoinRule's rewrite is exact.
     "e07_range_join_auto" ->
       """SELECT count(*) AS n_pairs

@@ -25,6 +25,22 @@ object Events {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .orderBy(col("hour"), col("event_type"))
 
+  /** Hopping (sliding) window aggregation: 1-hour windows advancing
+    * every 15 minutes, so each event lands in 4 overlapping windows —
+    * the moving-average shape of monitoring pipelines. Spark's `window`
+    * expands each row into its windows before a plain hash aggregate
+    * (partial -> final, shuffle is one row per (mapper, window, type)),
+    * which is also exactly how the streaming engine computes it with a
+    * watermark bounding open windows. */
+  def hoppingQuarterHour(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+        col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("cnt"), col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+
   /** Sessionization (30-minute inactivity gap) per user, gaps-and-islands
     * form: lag -> new-session flag -> sum. One shuffle on user_id; at
     * scale the window state is bounded per user, and the same semantics

@@ -45,6 +45,17 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("cnt"), col("sum_value"))
 
+  /** Hopping 1-hour/15-minute windowed counts — the incremental form of
+    * Events.hoppingQuarterHour. Watermark bounds the open-window state
+    * to (watermark horizon / slide) windows per key. */
+  def hoppingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("ws"), col("event_type"),
+        col("cnt"), col("sum_value"))
+
   /** Session windows (30-minute gap) per user — the incremental form of
     * Events.sessionize. */
   def sessionCounts(events: DataFrame): DataFrame =

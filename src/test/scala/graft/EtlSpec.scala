@@ -90,6 +90,40 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 2)
   }
 
+  test("versioned table: concurrent committers race cleanly on the marker") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_race"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq(0).toDF("v"), t)
+    // Both committers observe version 1 and race to publish version 2:
+    // the marker's atomic create-no-overwrite must let exactly one win.
+    import java.util.concurrent.{CountDownLatch, Executors}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    val results = (1 to 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Either[Throwable, Int]] {
+        def call(): Either[Throwable, Int] = {
+          gate.await()
+          try Right(Versioned.commit(Seq(i).toDF("v"), t))
+          catch { case e: Throwable => Left(e) }
+        }
+      })
+    }
+    gate.countDown()
+    val outcomes = results.map(_.get())
+    pool.shutdown()
+    val winners = outcomes.collect { case Right(v) => v }
+    // In the rare interleaving where the loser observes the winner's
+    // marker before writing, both commits succeed at DIFFERENT versions;
+    // what must never happen is two committers publishing the same one.
+    assert(winners.nonEmpty && winners.distinct.length == winners.length)
+    // the table is consistent: every published version readable
+    Versioned.versions(spark, t).foreach { v =>
+      assert(Versioned.read(spark, t, Some(v)).count() == 1)
+    }
+  }
+
   test("versioned table: compact rewrites small files, keeps history") {
     import spark.implicits._
     import graft.sources.Versioned

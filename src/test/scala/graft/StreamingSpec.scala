@@ -53,6 +53,19 @@ class StreamingSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("streaming hopping counts match the batch equivalent") {
+    val streamed = runStream("hopping",
+      EventStreams.hoppingCounts, mode = "complete")
+    val batch = graft.operators.Events.hoppingQuarterHour(spark, sf)
+    val a = streamed.select("ws", "event_type", "cnt", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    val b = batch.select("ws", "event_type", "cnt", "sum_value")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(a == b)
+  }
+
   test("session windows produce sessions for every active user") {
     val sessions = runStream("sessions",
       EventStreams.sessionCounts, mode = "complete")
