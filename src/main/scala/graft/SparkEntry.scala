@@ -85,6 +85,7 @@ object SparkEntry {
     "t08_rolling_fp"   -> (TextAnalysis.rollingFingerprints _),
     "t09_stratified"   -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "t10_packing"      -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
+    "t11_top_tokens"   -> ((s, d) => TextAnalysis.topTokens(s, d)),
     // —— near-dup detection (north-star) ——
     "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -505,6 +506,36 @@ object SparkEntry {
                 FROM lang l JOIN f ON l.doc_id = f.doc_id)
          SELECT doc_id, pred_lang, fp, CAST(rk AS BIGINT) AS rk
          FROM ranked WHERE rk <= 50 ORDER BY pred_lang, rk""",
+    "t11_top_tokens" ->
+      """WITH s AS (
+           SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(the|and|of|to|in|is|was|for)\b')) AS BIGINT) AS s_en,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(der|die|das|und|ist|nicht|mit|ein)\b')) AS BIGINT) AS s_de,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(le|les|une|et|est|pas|pour|dans)\b')) AS BIGINT) AS s_fr,
+             CAST(len(regexp_extract_all(lower(text),
+               '\b(el|los|las|es|no|por|para|como)\b')) AS BIGINT) AS s_es
+           FROM documents),
+         lang AS (SELECT doc_id,
+                CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es
+                       THEN 'en'
+                     WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                     WHEN s_fr >= s_es THEN 'fr'
+                     ELSE 'es' END AS pred_lang
+              FROM s),
+         tok AS (SELECT pred_lang,
+                   unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                 FROM documents d JOIN lang l ON d.doc_id = l.doc_id),
+         c AS (SELECT pred_lang, token, count(*) AS cnt
+               FROM tok GROUP BY 1, 2),
+         r AS (SELECT pred_lang, token, cnt,
+                 row_number() OVER (PARTITION BY pred_lang
+                   ORDER BY cnt DESC, token) AS rank
+               FROM c)
+         SELECT pred_lang, CAST(rank AS BIGINT) AS rank, token, cnt
+         FROM r WHERE rank <= 10 ORDER BY pred_lang, rank""",
     "t10_packing" ->
       """WITH d AS (
            SELECT doc_id,

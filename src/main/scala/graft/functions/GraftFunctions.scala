@@ -12,6 +12,7 @@ object GraftFunctions {
   val MinHashBandsName = "graft_minhash_bands"
   val ShingleHashesName = "graft_shingle_hashes"
   val TopKName = "graft_topk"
+  val TopKStrName = "graft_topk_str"
   val DefaultTopK = 5
   val DefaultRollingWindow = 16
   val DefaultMinHashPerms = 128
@@ -52,14 +53,14 @@ object GraftFunctions {
     (perms, bands)
   }
 
-  /** Validated optional k argument of graft_topk. */
-  def topKArg(
+  /** Validated optional k argument of graft_topk / graft_topk_str. */
+  def topKArg(fn: String,
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Int = {
     require(exprs.length >= 2 && exprs.length <= 3,
-      s"$TopKName expects 2-3 arguments, got ${exprs.length}")
+      s"$fn expects 2-3 arguments, got ${exprs.length}")
     if (exprs.length < 3) DefaultTopK
-    else literalIntArg(TopKName, "k", exprs(2), 1)
+    else literalIntArg(fn, "k", exprs(2), 1)
   }
 
   /** Validated optional n argument of graft_shingle_hashes. */
@@ -129,8 +130,15 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       TopKName,
       exprs => {
-        val k = topKArg(exprs) // validates arity
+        val k = topKArg(TopKName, exprs) // validates arity
         TopKNeighborsAgg(exprs(0), exprs(1), k)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      TopKStrName,
+      exprs => {
+        val k = topKArg(TopKStrName, exprs) // validates arity
+        TopKStringsAgg(exprs(0), exprs(1), k)
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -294,6 +294,31 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary extraction: the k most frequent whitespace tokens per
+    * predicted language, exactly, via the native string top-k aggregate
+    * ([[graft.functions.TopKStringsAgg]]). Token counting is one
+    * explode + hash aggregate on (lang, token); the per-language top-k
+    * then folds partition-locally, so only #langs x k entries cross the
+    * final shuffle — a rank window partitioned by language would pull
+    * the whole vocabulary (which grows with corpus size) into #langs
+    * tasks. Tie-break (count desc, token asc) keeps the result
+    * deterministic and oracle-reproducible. */
+  def topTokens(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val counts = langId(s, d).select(col("doc_id"), col("pred_lang"))
+      .join(docs(s, d).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("pred_lang"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("pred_lang"), col("token"))
+      .agg(count(lit(1)).as("cnt"))
+    counts.groupBy(col("pred_lang"))
+      .agg(call_function(graft.functions.GraftFunctions.TopKStrName,
+        col("cnt").cast("double"), col("token"), lit(k)).as("top"))
+      .select(col("pred_lang"), posexplode(col("top")))
+      .select(col("pred_lang"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.token").as("token"),
+        col("col.score").cast("long").as("cnt"))
+      .orderBy(col("pred_lang"), col("rank"))
+  }
+
   /** Curation gate returning the SURVIVING documents (canonical text per
     * normalized fingerprint, keep-lowest-doc_id) — the composable stage
     * [[graft.examples.PipelineDemo]] chains into sampling and packing;

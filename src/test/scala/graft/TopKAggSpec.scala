@@ -79,6 +79,37 @@ class TopKAggSpec extends SparkSpec {
       Set((0L, 1L, 10L, 0.9), (0L, 2L, 12L, 0.7)))
   }
 
+  test("string variant equals the window-rank formulation across merges") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa")
+    val df = (1 to 1000).map { i =>
+      (i % 3L, words(rnd.nextInt(words.length)),
+        math.floor(rnd.nextDouble() * 5) / 5.0)
+    }.toDF("g", "token", "score")
+      .groupBy("g", "token").agg(max(col("score")).as("score"))
+      .repartition(8).cache()
+    val viaStrAgg = df.groupBy(col("g"))
+      .agg(call_function("graft_topk_str",
+        col("score"), col("token"), lit(4)).as("top"))
+      .select(col("g"), posexplode(col("top")))
+      .select(col("g"), (col("pos") + 1).cast("long").as("rank"),
+        col("col.token"), col("col.score"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3)))
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("score").desc, col("token"))
+    val viaWin = df.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 4)
+      .collect()
+      .map(r => (r.getAs[Long]("g"), r.getAs[Long]("rank"),
+        r.getAs[String]("token"), r.getAs[Double]("score")))
+      .toSet
+    assert(viaStrAgg == viaWin)
+  }
+
   test("k must be a positive literal") {
     import spark.implicits._
     val df = Seq((0L, 1L, 0.5)).toDF("g", "id", "score")
