@@ -60,6 +60,31 @@ object SparkEntry {
                GROUP BY l_returnflag, l_linestatus
                ORDER BY l_returnflag, l_linestatus""")
     }),
+    // Explicit GROUPING SETS + grouping_id (rollup/cube are q22/q31);
+    // SQL surface, same Expand-based plan as rollup.
+    "q35_grouping_sets" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                      CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                        AS gid,
+                      count(*) AS cnt, sum(l_quantity) AS sum_qty
+               FROM lineitem
+               GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                       (l_returnflag), ())
+               ORDER BY gid, l_returnflag NULLS FIRST,
+                        l_linestatus NULLS FIRST""")
+    }),
+    // Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the
+    // SQL form of q13's window top-n.
+    "q36_lateral_topn" -> ((s, d) => {
+      graft.sources.Tables.registerAll(s, d)
+      s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+               FROM customer c, LATERAL (
+                 SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+               ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+    }),
     "q29_left_outer"     -> (Relational.leftOuterAgg _),
     "q30_full_outer"     -> (Relational.fullOuterAgg _),
     "q31_cube"           -> (Relational.cubeAgg _),
@@ -293,6 +318,23 @@ object SparkEntry {
          FROM lineitem WHERE l_quantity > 1
          GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
+    "q35_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                  AS gid,
+                count(*) AS cnt, sum(l_quantity) AS sum_qty
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                 (l_returnflag), ())
+         ORDER BY gid, l_returnflag NULLS FIRST,
+                  l_linestatus NULLS FIRST""",
+    "q36_lateral_topn" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer c, LATERAL (
+           SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_custkey = c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c_custkey, o_totalprice DESC, o_orderkey""",
     "q29_left_outer" ->
       """SELECT o_orderkey, count(l_orderkey) AS n_items,
                 sum(coalesce(l_quantity, 0.0)) AS total_qty
