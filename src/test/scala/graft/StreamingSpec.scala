@@ -27,6 +27,28 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("streaming ingestion publishes atomic versioned snapshots") {
+    import graft.sources.Versioned
+    val table = "target/tmp/stream-versioned"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    val events = EventStreams.readEvents(spark, streamDir)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val q = EventStreams.versionedSink(events, table).start()
+    try q.processAllAvailable() finally q.stop()
+    val versions = Versioned.versions(spark, table)
+    assert(versions.nonEmpty)
+    // the latest snapshot carries the newest batch; the union of all
+    // batch commits covers the full input exactly once
+    val committed = versions.map(v =>
+      Versioned.read(spark, table, Some(v)).count()).sum
+    val total = graft.sources.Tables.load(spark, sf, "events").count()
+    assert(committed == total)
+    // every event id published exactly once across snapshots
+    val ids = versions.map(v => Versioned.read(spark, table, Some(v))
+      .select("event_id")).reduce(_ union _)
+    assert(ids.distinct().count() == total)
+  }
+
   test("stream-static enrichment joins every event to its user profile") {
     // Static dimension derived from the same fixture: per-user profile.
     val users = graft.sources.Tables.load(spark, sf, "events")

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import graft.sources.{Tables, ZOrder}
+
+/** Proves z-order clustering turns parquet row-group stats into
+  * two-dimensional skipping: against a layout sorted on one column
+  * only, a range predicate on the OTHER column reads far fewer rows
+  * out of the scan, with identical query results. */
+class ZOrderSpec extends SparkSpec {
+
+  private val work = "target/tmp/zorder"
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    p +: inner.flatMap(nodes)
+  }
+
+  /** Rows the executed scan emitted (post row-group skipping). */
+  private def scanRows(df: DataFrame): Long = {
+    df.collect()
+    nodes(df.queryExecution.executedPlan)
+      .filter(_.nodeName.toLowerCase.contains("scan"))
+      .flatMap(_.metrics.get("numOutputRows").map(_.value)).sum
+  }
+
+  test("z-order layout skips row groups on both dimensions") {
+    // the bigger fixture: enough rows for many row groups per file
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val total = ev.count()
+    val rg = 16L * 1024 // tiny row groups so the fixture has many
+
+    // layout A: clustered on user_id only (the one-dimension answer)
+    ev.repartitionByRange(4, col("user_id"))
+      .sortWithinPartitions(col("user_id"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", rg)
+      .option("parquet.page.size", 4096L)
+      .parquet(s"$work/by_user")
+    // layout B: z-ordered on (user_id, value)
+    ZOrder.writeClustered(ev, "user_id", "value", s"$work/zorder",
+      files = 4, rowGroupBytes = rg)
+
+    val byUser = spark.read.parquet(s"$work/by_user")
+    val zorder = spark.read.parquet(s"$work/zorder")
+
+    // predicate on the SECOND dimension: useless to layout A's stats,
+    // selective for layout B's
+    def valuePred(df: DataFrame) =
+      df.filter(col("value") >= 0.0 && col("value") <= 5.0) // ~5% of rows
+    val resA = valuePred(byUser).agg(count(lit(1))).head().getLong(0)
+    val resB = valuePred(zorder).agg(count(lit(1))).head().getLong(0)
+    assert(resA == resB) // same answer either layout
+
+    val readA = scanRows(valuePred(byUser))
+    val readB = scanRows(valuePred(zorder))
+    info(s"value-range scan: by_user read $readA rows, zorder read " +
+      s"$readB of $total")
+    assert(readB < readA) // two-dimensional stats actually skip
+    assert(readB < total)
+
+    // predicate on the FIRST dimension: z-order still skips most groups
+    val userPred = zorder.filter(col("user_id") === 1)
+    val readUser = scanRows(userPred)
+    info(s"user scan: zorder read $readUser of $total")
+    assert(readUser < total)
+  }
+}
