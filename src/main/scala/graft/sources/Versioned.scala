@@ -18,12 +18,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    with no partial state visible;
   *  - there is never a moment with no readable version (markers are only
   *    added, never deleted until vacuum);
-  *  - two concurrent committers race on the same `_commit_N+1` marker and
-  *    the loser's atomic create fails cleanly — optimistic concurrency,
-  *    the Iceberg behavior.
+  *  - two concurrent committers write private staging directories and
+  *    race on the atomic rename to `v=N+1`; the loser fails cleanly
+  *    before anything becomes visible — optimistic concurrency, the
+  *    Iceberg behavior.
   *
   * Layout:  tableDir/_commit_1, _commit_2, ...  -> publish markers
   *          tableDir/v=1, v=2, ...              -> immutable parquet snapshots
+  *          tableDir/.stage-v*-<uuid>           -> in-flight commit staging
   */
 object Versioned {
 
@@ -48,18 +50,42 @@ object Versioned {
   def currentVersion(spark: SparkSession, tableDir: String): Int =
     committedVersions(spark, tableDir).lastOption.getOrElse(0)
 
-  /** Commit a new snapshot: write v=N+1, then publish it by atomically
-    * creating the `_commit_N+1` marker. Fails (cleanly, with the table
-    * still at N) if a concurrent committer published N+1 first. */
+  /** Commit a new snapshot: write the data to a committer-private
+    * staging directory, claim the version by atomically renaming it to
+    * `v=N+1` (rename fails if the directory exists — two committers
+    * racing the same parent version collide HERE, before anything is
+    * visible), then publish with the `_commit_N+1` marker. The loser
+    * fails cleanly with the table still at N and its staging directory
+    * removed. Without the staging step, racing committers would both
+    * write into the same v=N+1 path and the loser could tear the
+    * winner's already-published files (caught by the EtlSpec race test).
+    *
+    * A committer that crashed after rename but before marker leaves an
+    * unpublished v=N+1 directory; the next committer detects it (no
+    * marker) and reclaims the version by replacing it. */
   def commit(df: DataFrame, tableDir: String,
       partitionCol: Option[String] = None): Int = {
     val spark = df.sparkSession
     val f = fs(spark, tableDir)
     val next = currentVersion(spark, tableDir) + 1
-    val snapDir = new Path(tableDir, s"v=$next")
+    val stage = new Path(tableDir,
+      s".stage-v$next-${java.util.UUID.randomUUID()}")
     val w = df.write.mode("overwrite")
-    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(snapDir.toString)
+    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
+    val snapDir = new Path(tableDir, s"v=$next")
     val marker = new Path(tableDir, s"$MarkerPrefix$next")
+    var claimed = f.rename(stage, snapDir)
+    if (!claimed && !f.exists(marker) && f.exists(snapDir)) {
+      // leftover of a committer that crashed pre-publish: reclaim
+      f.delete(snapDir, true)
+      claimed = f.rename(stage, snapDir)
+    }
+    if (!claimed) {
+      f.delete(stage, true)
+      throw new IllegalStateException(
+        s"concurrent commit raced to version $next at $tableDir; " +
+          "table unchanged, retry from the new current version")
+    }
     f.create(marker, /*overwrite=*/ false).close() // the commit point
     next
   }
@@ -76,6 +102,30 @@ object Versioned {
   /** All retained committed snapshot versions (ascending). */
   def versions(spark: SparkSession, tableDir: String): Seq[Int] =
     committedVersions(spark, tableDir)
+
+  /** Row-level MERGE (upsert) by key, copy-on-write: rows of the current
+    * snapshot whose key appears in `updates` are replaced, new keys are
+    * appended, and the result publishes as one atomic commit — the
+    * Iceberg `MERGE INTO` analog. The anti-join keeps untouched rows
+    * (one shuffle on the key; with the table and updates bucketed on the
+    * key it is exchange-free, see Tables.writeBucketed); unionByName
+    * tolerates updates that add columns (schema evolution, missing
+    * columns null-fill). Pre-merge versions stay time-travelable. */
+  def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
+      key: String, partitionCol: Option[String] = None): Int = {
+    val cur = read(spark, tableDir)
+    val merged = cur
+      .join(updates.select(key).distinct(), Seq(key), "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+    commit(merged, tableDir, partitionCol)
+  }
+
+  /** Row-level DELETE, copy-on-write: publish a new snapshot without the
+    * rows matching `pred` — the Iceberg `DELETE FROM` analog. */
+  def delete(spark: SparkSession, tableDir: String,
+      pred: org.apache.spark.sql.Column,
+      partitionCol: Option[String] = None): Int =
+    commit(read(spark, tableDir).filter(!pred), tableDir, partitionCol)
 
   /** Number of data files in a snapshot (maintenance introspection). */
   def dataFileCount(spark: SparkSession, tableDir: String,

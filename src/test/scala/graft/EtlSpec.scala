@@ -90,6 +90,37 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 2)
   }
 
+  test("versioned table: upsert and delete are atomic copy-on-write commits") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import org.apache.spark.sql.functions.col
+    val t = s"$work/versioned_merge"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "x"),
+      t)
+    // update id=2, insert id=4, and bring a NEW column (schema evolution)
+    val v2 = Versioned.upsert(spark, t,
+      Seq((2L, "B", 21, "eu"), (4L, "d", 40, "us"))
+        .toDF("id", "name", "x", "region"),
+      key = "id")
+    assert(v2 == 2)
+    val after = Versioned.read(spark, t)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getInt(2), r.getString(3))).toMap
+    assert(after == Map(
+      1L -> ("a", 10, null), 2L -> ("B", 21, "eu"),
+      3L -> ("c", 30, null), 4L -> ("d", 40, "us")))
+    // delete by predicate
+    val v3 = Versioned.delete(spark, t, col("x") >= 30)
+    assert(v3 == 3)
+    assert(Versioned.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+    // full history retained
+    assert(Versioned.read(spark, t, Some(1)).count() == 3)
+    assert(Versioned.read(spark, t, Some(2)).count() == 4)
+  }
+
   test("versioned table: concurrent committers race cleanly on the marker") {
     import spark.implicits._
     import graft.sources.Versioned
