@@ -103,6 +103,22 @@ object Versioned {
   def versions(spark: SparkSession, tableDir: String): Seq[Int] =
     committedVersions(spark, tableDir)
 
+  /** APPEND as a new snapshot: the published version holds the previous
+    * snapshot's rows plus `df` — Iceberg's append semantics, where every
+    * snapshot is a consistent prefix of the ingested data and time
+    * travel walks ingestion history. Copy-on-write here (the new
+    * version rewrites the union); a manifest-based layout that links
+    * the previous version's files instead of rewriting them is the
+    * Iceberg-scale upgrade and would slot into this method without
+    * changing its contract. */
+  def append(df: DataFrame, tableDir: String,
+      partitionCol: Option[String] = None): Int = {
+    val spark = df.sparkSession
+    if (currentVersion(spark, tableDir) == 0) commit(df, tableDir, partitionCol)
+    else commit(read(spark, tableDir).unionByName(df, allowMissingColumns = true),
+      tableDir, partitionCol)
+  }
+
   /** Row-level MERGE (upsert) by key, copy-on-write: rows of the current
     * snapshot whose key appears in `updates` are replaced, new keys are
     * appended, and the result publishes as one atomic commit — the

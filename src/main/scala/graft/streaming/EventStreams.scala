@@ -103,19 +103,20 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Streaming ingestion into a [[graft.sources.Versioned]] snapshot
-    * table: every micro-batch publishes as one atomic commit, so batch
-    * readers always see a consistent prefix of the stream and can time
-    * travel across ingestion history — the streaming face of the
-    * reference's Iceberg-append pattern. foreachBatch is the idiomatic
-    * exactly-once-per-batch sink seam; at scale, compaction
-    * ([[graft.sources.Versioned.compact]]) runs periodically over the
-    * accumulated small per-batch files. */
+    * table: every micro-batch APPENDS as one atomic commit
+    * ([[graft.sources.Versioned.append]]), so version k is exactly the
+    * first k batches — batch readers always see a consistent prefix of
+    * the stream and time travel walks ingestion history — the streaming
+    * face of the reference's Iceberg-append pattern. foreachBatch is
+    * the idiomatic exactly-once-per-batch sink seam; at scale,
+    * compaction ([[graft.sources.Versioned.compact]]) runs periodically
+    * over the accumulated small per-batch files. */
   def versionedSink(events: DataFrame,
       tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) graft.sources.Versioned.commit(batch, tableDir)
+        if (!batch.isEmpty) graft.sources.Versioned.append(batch, tableDir)
         ()
       }
 

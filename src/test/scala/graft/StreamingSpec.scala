@@ -37,16 +37,16 @@ class StreamingSpec extends SparkSpec {
     try q.processAllAvailable() finally q.stop()
     val versions = Versioned.versions(spark, table)
     assert(versions.nonEmpty)
-    // the latest snapshot carries the newest batch; the union of all
-    // batch commits covers the full input exactly once
-    val committed = versions.map(v =>
-      Versioned.read(spark, table, Some(v)).count()).sum
     val total = graft.sources.Tables.load(spark, sf, "events").count()
-    assert(committed == total)
-    // every event id published exactly once across snapshots
-    val ids = versions.map(v => Versioned.read(spark, table, Some(v))
-      .select("event_id")).reduce(_ union _)
-    assert(ids.distinct().count() == total)
+    // the current snapshot is the WHOLE ingested stream, exactly once
+    val cur = Versioned.read(spark, table)
+    assert(cur.count() == total)
+    assert(cur.select("event_id").distinct().count() == total)
+    // history: version k is a strict prefix of version k+1
+    val counts = versions.map(v =>
+      Versioned.read(spark, table, Some(v)).count())
+    assert(counts == counts.sorted)
+    assert(counts.last == total)
   }
 
   test("stream-static enrichment joins every event to its user profile") {
