@@ -27,6 +27,11 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           name -> -1.0
+      } finally {
+        // Queries cache intra-query intermediates (shingle indexes,
+        // refined centroids); none are shared across queries, so drop
+        // them between queries to keep storage flat over the run.
+        spark.catalog.clearCache()
       }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -28,10 +28,16 @@ object PipelineDemo {
       .select(col("doc_id"), col("text"))
     // 1. gates + exact dedup, keeping canonical text per fingerprint
     val curated = TextAnalysis.curatedDocs(docs).cache()
-    // 2. near-dup clusters over the corpus; keep cluster canonicals only
+    // 2. near-dup clusters over the corpus; keep ONE representative per
+    // cluster — the minimum SURVIVING doc_id, so a cluster whose
+    // canonical was dropped by the curation gates is still represented
+    // by its best remaining member rather than vanishing
     val clusters = Dedup.dedupClusters(spark, sfDir)
-    val canonical = curated.join(clusters, "doc_id")
-      .filter(col("doc_id") === col("cluster_id"))
+    val survivors = curated.join(clusters, "doc_id")
+    val reps = survivors.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val canonical = survivors.join(reps, Seq("cluster_id", "doc_id"),
+        "left_semi")
       .select(col("doc_id"), col("text")).cache()
     // 3. balance across predicted languages
     val sampled = TextAnalysis.stratifiedSampleOf(canonical, perStratum = 40)

@@ -70,9 +70,12 @@ case class TopKNeighborsAgg(
     new Array[Long](stateLen)
 
   /** Insert (score, id) preserving the sorted-best-first invariant;
-    * duplicate ids and entries past the k-th are dropped. */
+    * duplicate ids, NaN scores (0/0 cosines of zero-norm vectors —
+    * meaningless as similarities, and NaN comparisons would corrupt the
+    * sort invariant) and entries past the k-th are dropped. */
   private def insert(buf: Array[Long], score: Double, id: Long)
       : Array[Long] = {
+    if (JDouble.isNaN(score)) return buf
     val n = buf(0).toInt
     var i = 0
     while (i < n) {

@@ -73,6 +73,7 @@ case class TopKStringsAgg(
 
   private def insert(buf: ArrayBuffer[(Double, UTF8String)],
       score: Double, payload: UTF8String): ArrayBuffer[(Double, UTF8String)] = {
+    if (java.lang.Double.isNaN(score)) return buf // would corrupt the sort
     var i = 0
     while (i < buf.length) {
       if (buf(i)._2.equals(payload)) return buf

@@ -50,44 +50,73 @@ object Versioned {
   def currentVersion(spark: SparkSession, tableDir: String): Int =
     committedVersions(spark, tableDir).lastOption.getOrElse(0)
 
-  /** Commit a new snapshot: write the data to a committer-private
-    * staging directory, claim the version by atomically renaming it to
-    * `v=N+1` (rename fails if the directory exists — two committers
-    * racing the same parent version collide HERE, before anything is
-    * visible), then publish with the `_commit_N+1` marker. The loser
-    * fails cleanly with the table still at N and its staging directory
-    * removed. Without the staging step, racing committers would both
-    * write into the same v=N+1 path and the loser could tear the
-    * winner's already-published files (caught by the EtlSpec race test).
+  private def ownerToken(uuid: String) = s"_owner_$uuid"
+
+  /** Commit a new snapshot: write the data (plus an `_owner_<uuid>`
+    * token file) to a committer-private staging directory, claim the
+    * version by renaming it to `v=N+1`, verify ownership via the token,
+    * then publish with the `_commit_N+1` marker. Two committers racing
+    * the same parent version collide at the claim: on filesystems whose
+    * rename fails against an existing destination the loser's rename
+    * returns false; on LocalFileSystem/HDFS — whose rename "succeeds"
+    * by MOVING THE SOURCE INSIDE the existing destination — the loser
+    * detects the nesting because its owner token is not at the
+    * directory root, removes its nested copy, and fails cleanly. Either
+    * way the loser never tears the winner's published files and the
+    * table stays at N for it to retry. (The naive shared-v=N+1 write
+    * this replaces let the loser clobber the winner's already-published
+    * snapshot; the EtlSpec race test caught it.)
     *
-    * A committer that crashed after rename but before marker leaves an
-    * unpublished v=N+1 directory; the next committer detects it (no
-    * marker) and reclaims the version by replacing it. */
+    * `note` is recorded inside the marker at the commit point — an
+    * atomic per-version annotation ([[commitNotes]]), used by the
+    * streaming sink to make micro-batch replays idempotent.
+    *
+    * A committer that crashes after the rename but before the marker
+    * leaves an unpublished `v=N+1` directory that blocks that version
+    * slot; [[vacuum]] reclaims unpublished version directories (run it
+    * as maintenance, not concurrently with writers). */
   def commit(df: DataFrame, tableDir: String,
-      partitionCol: Option[String] = None): Int = {
+      partitionCol: Option[String] = None,
+      note: Option[String] = None): Int = {
     val spark = df.sparkSession
     val f = fs(spark, tableDir)
     val next = currentVersion(spark, tableDir) + 1
-    val stage = new Path(tableDir,
-      s".stage-v$next-${java.util.UUID.randomUUID()}")
+    val uuid = java.util.UUID.randomUUID().toString
+    val stage = new Path(tableDir, s".stage-v$next-$uuid")
     val w = df.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
+    f.create(new Path(stage, ownerToken(uuid)), false).close()
     val snapDir = new Path(tableDir, s"v=$next")
-    val marker = new Path(tableDir, s"$MarkerPrefix$next")
-    var claimed = f.rename(stage, snapDir)
-    if (!claimed && !f.exists(marker) && f.exists(snapDir)) {
-      // leftover of a committer that crashed pre-publish: reclaim
-      f.delete(snapDir, true)
-      claimed = f.rename(stage, snapDir)
-    }
-    if (!claimed) {
-      f.delete(stage, true)
+    def loserExit(cleanup: => Unit): Nothing = {
+      cleanup
       throw new IllegalStateException(
         s"concurrent commit raced to version $next at $tableDir; " +
           "table unchanged, retry from the new current version")
     }
-    f.create(marker, /*overwrite=*/ false).close() // the commit point
+    if (!f.rename(stage, snapDir)) loserExit(f.delete(stage, true))
+    if (!f.exists(new Path(snapDir, ownerToken(uuid))))
+      // rename nested us inside an existing v=N directory (LocalFS/HDFS
+      // semantics): remove only our nested copy, leave the owner intact
+      loserExit(f.delete(new Path(snapDir, stage.getName), true))
+    val marker = new Path(tableDir, s"$MarkerPrefix$next")
+    val out = f.create(marker, /*overwrite=*/ false) // the commit point
+    try note.foreach(n => out.write(n.getBytes("UTF-8"))) finally out.close()
     next
+  }
+
+  /** Per-version marker annotations (empty string when none). */
+  def commitNotes(spark: SparkSession, tableDir: String): Map[Int, String] = {
+    val f = fs(spark, tableDir)
+    committedVersions(spark, tableDir).map { v =>
+      val in = f.open(new Path(tableDir, s"$MarkerPrefix$v"))
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        v -> bytes.toString("UTF-8")
+      } finally in.close()
+    }.toMap
   }
 
   /** Read a snapshot: the current one, or any retained version (time
@@ -112,11 +141,14 @@ object Versioned {
     * Iceberg-scale upgrade and would slot into this method without
     * changing its contract. */
   def append(df: DataFrame, tableDir: String,
-      partitionCol: Option[String] = None): Int = {
+      partitionCol: Option[String] = None,
+      note: Option[String] = None): Int = {
     val spark = df.sparkSession
-    if (currentVersion(spark, tableDir) == 0) commit(df, tableDir, partitionCol)
-    else commit(read(spark, tableDir).unionByName(df, allowMissingColumns = true),
-      tableDir, partitionCol)
+    if (currentVersion(spark, tableDir) == 0)
+      commit(df, tableDir, partitionCol, note)
+    else commit(
+      read(spark, tableDir).unionByName(df, allowMissingColumns = true),
+      tableDir, partitionCol, note)
   }
 
   /** Row-level MERGE (upsert) by key, copy-on-write: rows of the current
@@ -129,6 +161,14 @@ object Versioned {
     * columns null-fill). Pre-merge versions stay time-travelable. */
   def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
       key: String, partitionCol: Option[String] = None): Int = {
+    // MERGE INTO semantics: multiple source rows per key is an error
+    // (Iceberg/Delta reject it); silently appending both would break
+    // the table's key-uniqueness invariant forever.
+    val dup = updates.groupBy(org.apache.spark.sql.functions.col(key))
+      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+      .limit(1).count()
+    require(dup == 0,
+      s"upsert updates contain duplicate values of key '$key'")
     val cur = read(spark, tableDir)
     val merged = cur
       .join(updates.select(key).distinct(), Seq(key), "left_anti")
@@ -137,11 +177,17 @@ object Versioned {
   }
 
   /** Row-level DELETE, copy-on-write: publish a new snapshot without the
-    * rows matching `pred` — the Iceberg `DELETE FROM` analog. */
+    * rows matching `pred` — the Iceberg `DELETE FROM` analog. SQL
+    * semantics: only rows where `pred` is TRUE are deleted; rows where
+    * it evaluates NULL are kept (a bare `filter(!pred)` would silently
+    * drop them too). */
   def delete(spark: SparkSession, tableDir: String,
       pred: org.apache.spark.sql.Column,
-      partitionCol: Option[String] = None): Int =
-    commit(read(spark, tableDir).filter(!pred), tableDir, partitionCol)
+      partitionCol: Option[String] = None): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    commit(read(spark, tableDir).filter(not(coalesce(pred, lit(false)))),
+      tableDir, partitionCol)
+  }
 
   /** Number of data files in a snapshot (maintenance introspection). */
   def dataFileCount(spark: SparkSession, tableDir: String,
@@ -179,7 +225,13 @@ object Versioned {
 
   /** Expire old snapshots, keeping the most recent `keep` (the current
     * version is always retained). The marker is removed first so a crash
-    * mid-vacuum never leaves a published-but-deleted version. */
+    * mid-vacuum never leaves a published-but-deleted version.
+    *
+    * Also reclaims commit debris: unpublished `v=K` directories (a
+    * committer crashed between its rename and its marker — they block
+    * version slot K) and orphaned `.stage-*` directories. Maintenance
+    * only — do not run concurrently with active committers, whose
+    * in-flight claims look identical to debris. */
   def vacuum(spark: SparkSession, tableDir: String, keep: Int = 1): Unit = {
     val f = fs(spark, tableDir)
     val cur = currentVersion(spark, tableDir)
@@ -190,5 +242,13 @@ object Versioned {
         f.delete(new Path(tableDir, s"$MarkerPrefix$v"), false)
         f.delete(new Path(tableDir, s"v=$v"), true)
       }
+    val published = committedVersions(spark, tableDir).toSet
+    f.listStatus(new Path(tableDir)).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith(".stage-")) f.delete(st.getPath, true)
+      else if (name.startsWith("v=") &&
+        !published.contains(name.stripPrefix("v=").toInt))
+        f.delete(st.getPath, true)
+    }
   }
 }

@@ -115,8 +115,17 @@ object EventStreams {
       tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) graft.sources.Versioned.append(batch, tableDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: after a crash between the
+        // commit and the streaming checkpoint, the same batchId replays.
+        // The batch id is recorded INSIDE the commit marker (written at
+        // the atomic commit point), so a replayed batch is detected and
+        // skipped — appends become exactly-once.
+        val note = s"batch=$batchId"
+        val applied = graft.sources.Versioned
+          .commitNotes(batch.sparkSession, tableDir).values.toSet
+        if (!batch.isEmpty && !applied.contains(note))
+          graft.sources.Versioned.append(batch, tableDir, note = Some(note))
         ()
       }
 

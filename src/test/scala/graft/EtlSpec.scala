@@ -111,11 +111,24 @@ class EtlSpec extends SparkSpec {
     assert(after == Map(
       1L -> ("a", 10, null), 2L -> ("B", 21, "eu"),
       3L -> ("c", 30, null), 4L -> ("d", 40, "us")))
-    // delete by predicate
-    val v3 = Versioned.delete(spark, t, col("x") >= 30)
+    // duplicate keys in the updates frame are a MERGE error, not a
+    // silent double-append
+    intercept[IllegalArgumentException] {
+      Versioned.upsert(spark, t,
+        Seq((7L, "x", 1, "eu"), (7L, "y", 2, "eu"))
+          .toDF("id", "name", "x", "region"), key = "id")
+    }
+    // DELETE keeps NULL-predicate rows (SQL semantics): only id=2 has
+    // region='eu'; ids 1 and 3 have region=null and must survive
+    val v3 = Versioned.delete(spark, t, col("region") === "eu")
     assert(v3 == 3)
     assert(Versioned.read(spark, t).select("id").collect()
-      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L))
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 4L))
+    // delete by plain predicate
+    val v4 = Versioned.delete(spark, t, col("x") >= 30)
+    assert(v4 == 4)
+    assert(Versioned.read(spark, t).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L))
     // full history retained
     assert(Versioned.read(spark, t, Some(1)).count() == 3)
     assert(Versioned.read(spark, t, Some(2)).count() == 4)
@@ -149,9 +162,18 @@ class EtlSpec extends SparkSpec {
     // marker before writing, both commits succeed at DIFFERENT versions;
     // what must never happen is two committers publishing the same one.
     assert(winners.nonEmpty && winners.distinct.length == winners.length)
-    // the table is consistent: every published version readable
+    // the table is consistent: every published version readable, and no
+    // loser's staging data nested inside a published snapshot (the
+    // LocalFS rename-into-existing-dir hazard)
     Versioned.versions(spark, t).foreach { v =>
       assert(Versioned.read(spark, t, Some(v)).count() == 1)
+      val sub = new java.io.File(s"$t/v=$v").listFiles()
+      assert(!sub.exists(_.getName.startsWith(".stage-")),
+        s"foreign staging dir nested in v=$v")
+    }
+    // clean losers raced at the claim, not at the marker
+    outcomes.collect { case Left(e) => e }.foreach { e =>
+      assert(e.getMessage.contains("concurrent commit raced"), e.toString)
     }
   }
 

@@ -66,26 +66,26 @@ class StreamingSpec extends SparkSpec {
     val streamed = runStream("tumbling",
       EventStreams.tumblingCounts, mode = "complete")
     val batch = graft.operators.Events.tumblingHourly(spark, sf)
-    val a = streamed.select("hour", "event_type", "cnt")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
-      .toSet
-    val b = batch.select("hour", "event_type", "cnt")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
-      .toSet
-    assert(a == b)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("hour", "event_type", "cnt", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), math.round(r.getDouble(3) * 1e4)))
+        .toSet
+    assert(key(streamed) == key(batch))
   }
 
   test("streaming hopping counts match the batch equivalent") {
     val streamed = runStream("hopping",
       EventStreams.hoppingCounts, mode = "complete")
     val batch = graft.operators.Events.hoppingQuarterHour(spark, sf)
-    val a = streamed.select("ws", "event_type", "cnt", "sum_value")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
-      .toSet
-    val b = batch.select("ws", "event_type", "cnt", "sum_value")
-      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
-      .toSet
-    assert(a == b)
+    // sums rounded: streaming and batch may add doubles in different
+    // orders (same values, last-ulp divergence)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("ws", "event_type", "cnt", "sum_value")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+          r.getLong(2), math.round(r.getDouble(3) * 1e4)))
+        .toSet
+    assert(key(streamed) == key(batch))
   }
 
   test("session windows produce sessions for every active user") {
