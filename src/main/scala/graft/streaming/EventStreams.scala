@@ -120,7 +120,9 @@ object EventStreams {
         // commit and the streaming checkpoint, the same batchId replays.
         // The batch id is recorded INSIDE the commit marker (written at
         // the atomic commit point), so a replayed batch is detected and
-        // skipped — appends become exactly-once.
+        // skipped — appends become exactly-once. The replay scan reads
+        // every retained marker (tiny files, O(retained versions));
+        // periodic vacuum keeps that bounded.
         val note = s"batch=$batchId"
         val applied = graft.sources.Versioned
           .commitNotes(batch.sparkSession, tableDir).values.toSet
