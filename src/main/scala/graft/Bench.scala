@@ -29,8 +29,10 @@ object Bench {
           name -> -1.0
       } finally {
         // Queries cache intra-query intermediates (shingle indexes,
-        // refined centroids); none are shared across queries, so drop
-        // them between queries to keep storage flat over the run.
+        // refined centroids); none are meant to be shared across
+        // queries, so drop them between queries to keep storage flat
+        // over the run (measured: no timed-run cost — each query's
+        // timed pass is warmed by its own warmup either way).
         spark.catalog.clearCache()
       }
     }

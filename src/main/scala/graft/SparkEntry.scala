@@ -137,6 +137,9 @@ object SparkEntry {
     // —— approximate aggregates (sketches; rows-only + error-bound spec) ——
     "q27_approx_aggs"    -> (Relational.approxAggs _),
     "q34_approx_bounds"  -> (Relational.approxBounds _),
+    "q37_sketch_rollup"  -> (Relational.sketchRollup _),
+    "q38_window_battery2" -> (Relational.windowBattery2 _),
+    "q39_null_safe_join" -> (Relational.nullSafeJoin _),
     // —— multimodal plumbing (north-star; decode is a marked stub) ——
     "m01_media_meta"   -> (Multimodal.mediaMeta _),
     // Feature vector projected to scalar f_* columns: driver-checkable
@@ -699,6 +702,30 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS parts_ok,
                 CAST(1 AS BIGINT) AS supps_ok,
                 CAST(1 AS BIGINT) AS p50_ok""",
+    "q37_sketch_rollup" ->
+      """SELECT CAST(3 AS BIGINT) AS n_groups,
+                CAST(1 AS BIGINT) AS parts_ok""",
+    "q38_window_battery2" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                percent_rank() OVER w AS pct_rank,
+                cume_dist() OVER w AS cdist,
+                first_value(o_totalprice) OVER w AS cheapest,
+                last_value(o_totalprice) OVER w AS running_max
+         FROM orders
+         WINDOW w AS (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey)
+         ORDER BY o_custkey, o_totalprice, o_orderkey""",
+    "q39_null_safe_join" ->
+      """WITH a AS (SELECT n_nationkey,
+                  CASE WHEN n_regionkey = 2 THEN NULL
+                       ELSE n_regionkey END AS rk FROM nation),
+         b AS (SELECT CASE WHEN r_regionkey = 2 THEN NULL
+                           ELSE r_regionkey END AS rk2, r_name
+               FROM region)
+         SELECT r_name, count(*) AS n_nations
+         FROM a JOIN b ON a.rk IS NOT DISTINCT FROM b.rk2
+         GROUP BY r_name ORDER BY r_name""",
     "m04_resize_pool" ->
       """WITH pos AS (
            SELECT doc_id, text, strlen(text) AS n,

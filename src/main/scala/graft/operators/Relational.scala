@@ -449,6 +449,64 @@ object Relational {
         min(within(col("approx_p50"), col("x_p50"))).as("p50_ok"))
   }
 
+  /** Mergeable-sketch rollup — the pre-aggregated sketch-table pattern
+    * of a 100 TB warehouse: per-(flag, month) DataSketches HLL sketches
+    * are built once over the raw data (that grouped frame IS the
+    * persisted sketch table), and any coarser distinct-count question
+    * rolls up by sketch UNION without rescanning raw rows. Reduced to a
+    * constant error-bound row (like q34) so the driver gates it: the
+    * union-merged estimate must sit within 5% of the exact distinct
+    * count in every group (lgK=12 HLL is ~1.6% RSE). */
+  def sketchRollup(s: SparkSession, d: String): DataFrame = {
+    val sketches = li(s, d)
+      .groupBy(col("l_returnflag"), month(col("l_shipdate")).as("mo"))
+      .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+    val rolled = sketches.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk")))
+        .as("approx_parts"))
+    val exact = li(s, d).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("x_parts"))
+    rolled.join(exact, "l_returnflag")
+      .agg(count(lit(1)).as("n_groups"),
+        min((abs(col("approx_parts").cast("double") -
+          col("x_parts").cast("double")) <=
+          col("x_parts").cast("double") * 0.05).cast("long"))
+          .as("parts_ok"))
+  }
+
+  /** Second window battery: distribution functions (ntile, percent_rank,
+    * cume_dist) and frame endpoints (first/last_value) over per-customer
+    * order sequences — q32 covers the ranking/offset family. */
+  def windowBattery2(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    ord(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdist"),
+        first_value(col("o_totalprice")).over(w).as("cheapest"),
+        last_value(col("o_totalprice")).over(w).as("running_max"))
+      .orderBy(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+  }
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match each other, unlike plain `=` which drops them — the join
+    * semantic for nullable dimension keys. Region 2 is nulled on both
+    * sides to exercise the NULL-matches-NULL path. */
+  def nullSafeJoin(s: SparkSession, d: String): DataFrame = {
+    val a = nat(s, d).select(col("n_nationkey"),
+      when(col("n_regionkey") === 2, lit(null))
+        .otherwise(col("n_regionkey")).as("rk"))
+    val b = Tables.load(s, d, "region").select(
+      when(col("r_regionkey") === 2, lit(null))
+        .otherwise(col("r_regionkey")).as("rk2"),
+      col("r_name"))
+    a.join(broadcast(b), col("rk") <=> col("rk2"))
+      .groupBy(col("r_name")).agg(count(lit(1)).as("n_nations"))
+      .orderBy(col("r_name"))
+  }
+
   /** Ordered string aggregation (LISTAGG/string_agg): nation names per
     * region, comma-joined in sorted order. collect_list order is
     * partition-dependent, so the deterministic form sorts the collected
