@@ -711,7 +711,11 @@ object SparkEntry {
                 percent_rank() OVER w AS pct_rank,
                 cume_dist() OVER w AS cdist,
                 first_value(o_totalprice) OVER w AS cheapest,
-                last_value(o_totalprice) OVER w AS running_max
+                last_value(o_totalprice) OVER
+                  (PARTITION BY o_custkey
+                   ORDER BY o_totalprice, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS max_price
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey
                       ORDER BY o_totalprice, o_orderkey)

@@ -480,13 +480,18 @@ object Relational {
   def windowBattery2(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice"), col("o_orderkey"))
+    // last_value needs the full-partition frame: under the default
+    // RANGE ..CURRENT ROW frame with a unique ordering it degenerates
+    // to the current row and tests nothing.
+    val wFull = w.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
     ord(s, d)
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         ntile(4).over(w).cast("long").as("quartile"),
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cdist"),
         first_value(col("o_totalprice")).over(w).as("cheapest"),
-        last_value(col("o_totalprice")).over(w).as("running_max"))
+        last_value(col("o_totalprice")).over(wFull).as("max_price"))
       .orderBy(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
   }
 

@@ -34,6 +34,10 @@ object Versioned {
 
   private val MarkerPrefix = "_commit_"
 
+  /** Age before an unpublished v=N directory counts as crash debris and
+    * may be reclaimed by a committer (see [[commit]]). */
+  val ReclaimGraceMs: Long = 60 * 1000L
+
   private def committedVersions(spark: SparkSession,
       tableDir: String): Seq[Int] = {
     val f = fs(spark, tableDir)
@@ -93,13 +97,38 @@ object Versioned {
         s"concurrent commit raced to version $next at $tableDir; " +
           "table unchanged, retry from the new current version")
     }
+    val marker0 = new Path(tableDir, s"$MarkerPrefix$next")
+    // Age of a pre-existing claim, captured BEFORE our rename attempt —
+    // the attempt itself nests into the directory and refreshes its
+    // modification time.
+    val preClaimAge: Option[Long] =
+      if (f.exists(snapDir)) Some(f.getFileStatus(snapDir).getModificationTime)
+      else None
     if (!f.rename(stage, snapDir)) loserExit(f.delete(stage, true))
-    if (!f.exists(new Path(snapDir, ownerToken(uuid))))
+    if (!f.exists(new Path(snapDir, ownerToken(uuid)))) {
       // rename nested us inside an existing v=N directory (LocalFS/HDFS
-      // semantics): remove only our nested copy, leave the owner intact
-      loserExit(f.delete(new Path(snapDir, stage.getName), true))
-    val marker = new Path(tableDir, s"$MarkerPrefix$next")
-    val out = f.create(marker, /*overwrite=*/ false) // the commit point
+      // semantics). Pull our copy back out before deciding anything —
+      // the occupant may be live.
+      val nested = new Path(snapDir, stage.getName)
+      if (!f.rename(nested, stage)) loserExit(f.delete(nested, true))
+      // Self-healing: an UNPUBLISHED v=N older than the grace period is
+      // a committer that crashed between rename and marker — without
+      // reclaim it wedges version N forever. A live committer publishes
+      // its marker within microseconds of claiming, so the age gate
+      // keeps the reclaim from racing one (the Iceberg orphan-cleanup
+      // pattern).
+      val debris = !f.exists(marker0) &&
+        preClaimAge.exists(_ < System.currentTimeMillis() - ReclaimGraceMs)
+      if (!debris) loserExit(f.delete(stage, true))
+      f.delete(snapDir, true)
+      if (!f.rename(stage, snapDir) ||
+        !f.exists(new Path(snapDir, ownerToken(uuid)))) {
+        // a concurrent committer re-claimed it first
+        f.delete(new Path(snapDir, stage.getName), true)
+        loserExit(f.delete(stage, true))
+      }
+    }
+    val out = f.create(marker0, /*overwrite=*/ false) // the commit point
     try note.foreach(n => out.write(n.getBytes("UTF-8"))) finally out.close()
     next
   }
@@ -109,14 +138,44 @@ object Versioned {
     val f = fs(spark, tableDir)
     committedVersions(spark, tableDir).map { v =>
       val in = f.open(new Path(tableDir, s"$MarkerPrefix$v"))
-      try {
-        val bytes = new java.io.ByteArrayOutputStream()
-        val buf = new Array[Byte](4096)
-        var n = in.read(buf)
-        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-        v -> bytes.toString("UTF-8")
-      } finally in.close()
+      try v -> new String(in.readAllBytes(), "UTF-8") finally in.close()
     }.toMap
+  }
+
+  private val AppliedPrefix = "_applied_"
+
+  private def checkStreamId(streamId: String): Unit =
+    require(streamId.matches("[A-Za-z0-9_-]+"),
+      s"streamId must be [A-Za-z0-9_-]+, got '$streamId'")
+
+  /** Record that external stream `streamId` has applied its batch
+    * `batchId` (a create-only watermark file). Unlike the in-marker
+    * note, these survive [[compact]] and [[vacuum]], so a replayed
+    * batch is still detected after maintenance rewrote or expired the
+    * commit that carried it. Idempotent (re-creating an existing
+    * watermark is a no-op). */
+  def recordApplied(spark: SparkSession, tableDir: String,
+      streamId: String, batchId: Long): Unit = {
+    checkStreamId(streamId)
+    val p = new Path(tableDir, s"$AppliedPrefix${streamId}_$batchId")
+    try fs(spark, tableDir).create(p, false).close()
+    catch { case _: java.io.IOException => () } // already recorded
+  }
+
+  /** Highest batch id recorded for `streamId`, if any. */
+  def lastApplied(spark: SparkSession, tableDir: String,
+      streamId: String): Option[Long] = {
+    checkStreamId(streamId)
+    val f = fs(spark, tableDir)
+    val dir = new Path(tableDir)
+    if (!f.exists(dir)) None
+    else {
+      val pre = s"$AppliedPrefix${streamId}_"
+      val ids = f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith(pre) =>
+          s.stripPrefix(pre).toLong }
+      if (ids.isEmpty) None else Some(ids.max)
+    }
   }
 
   /** Read a snapshot: the current one, or any retained version (time
@@ -234,6 +293,7 @@ object Versioned {
     * in-flight claims look identical to debris. */
   def vacuum(spark: SparkSession, tableDir: String, keep: Int = 1): Unit = {
     val f = fs(spark, tableDir)
+    if (!f.exists(new Path(tableDir))) return // never-committed table: no-op
     val cur = currentVersion(spark, tableDir)
     versions(spark, tableDir)
       .filter(v => v != cur)

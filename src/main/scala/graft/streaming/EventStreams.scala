@@ -111,23 +111,41 @@ object EventStreams {
     * the idiomatic exactly-once-per-batch sink seam; at scale,
     * compaction ([[graft.sources.Versioned.compact]]) runs periodically
     * over the accumulated small per-batch files. */
-  def versionedSink(events: DataFrame,
-      tableDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+  /** @param streamId idempotence scope for this ingestion stream — the
+    *   Delta `txnAppId` pattern: batch ids are monotone PER CHECKPOINT,
+    *   so a stream restarted against a FRESH checkpoint (ids restart at
+    *   0) must use a new streamId or its early batches would be
+    *   mistaken for replays; a restart from the SAME checkpoint keeps
+    *   the same streamId. */
+  def versionedSink(events: DataFrame, tableDir: String,
+      streamId: String = "events")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // foreachBatch is at-least-once: after a crash between the
-        // commit and the streaming checkpoint, the same batchId replays.
-        // The batch id is recorded INSIDE the commit marker (written at
-        // the atomic commit point), so a replayed batch is detected and
-        // skipped — appends become exactly-once. The replay scan reads
-        // every retained marker (tiny files, O(retained versions));
-        // periodic vacuum keeps that bounded.
-        val note = s"batch=$batchId"
-        val applied = graft.sources.Versioned
-          .commitNotes(batch.sparkSession, tableDir).values.toSet
-        if (!batch.isEmpty && !applied.contains(note))
-          graft.sources.Versioned.append(batch, tableDir, note = Some(note))
+        // commit and the streaming checkpoint, the same batchId
+        // replays. Two replay guards make appends exactly-once:
+        //  - the (streamId, batchId) note INSIDE the commit marker,
+        //    written at the atomic commit point — covers the crash
+        //    window below;
+        //  - the _applied_<streamId>_<batchId> watermark file, written
+        //    after the commit — survives compact/vacuum rewriting or
+        //    expiring the marker that carried the note.
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val note = s"stream=$streamId;batch=$batchId"
+          val replay = graft.sources.Versioned
+            .lastApplied(spark, tableDir, streamId).exists(_ >= batchId) ||
+            graft.sources.Versioned.commitNotes(spark, tableDir)
+              .values.exists(_ == note)
+          if (!replay) {
+            graft.sources.Versioned.append(batch, tableDir,
+              note = Some(note))
+            graft.sources.Versioned.recordApplied(spark, tableDir,
+              streamId, batchId)
+          }
+        }
         ()
       }
 

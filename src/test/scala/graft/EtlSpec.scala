@@ -177,6 +177,32 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: stale unpublished claim is reclaimed, fresh is not") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import org.apache.hadoop.fs.Path
+    val t = s"$work/versioned_debris"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq(1).toDF("v"), t)
+    // simulate a committer that crashed between rename and marker: an
+    // unpublished, NON-empty v=2 directory with its owner token (an
+    // empty dir would be atomically replaced by rename, which is fine)
+    val f = new Path(t).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    Seq(99).toDF("v").write.parquet(s"$t/v=2")
+    f.create(new Path(t, "v=2/_owner_crashed"), false).close()
+    // ...fresh debris blocks the slot (could be a live committer)
+    intercept[IllegalStateException] {
+      Versioned.commit(Seq(2).toDF("v"), t)
+    }
+    // ...but past the grace period it is reclaimed automatically
+    f.setTimes(new Path(t, "v=2"),
+      System.currentTimeMillis() - Versioned.ReclaimGraceMs - 1000, -1)
+    assert(Versioned.commit(Seq(2).toDF("v"), t) == 2)
+    assert(Versioned.read(spark, t).collect().map(_.getInt(0)).toSeq
+      == Seq(2))
+  }
+
   test("versioned table: compact rewrites small files, keeps history") {
     import spark.implicits._
     import graft.sources.Versioned
