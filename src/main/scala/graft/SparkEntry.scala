@@ -99,6 +99,8 @@ object SparkEntry {
     "e06_range_join"       -> (Events.rangeJoinPairs _),
     "e07_range_join_auto"  -> (Events.rangeJoinPairsNaive _),
     "e08_hopping_window"   -> (Events.hoppingQuarterHour _),
+    "e09_gap_fill"         -> (Events.gapFillHourly _),
+    "t12_char_entropy"     -> (TextAnalysis.charEntropy _),
     // —— text analysis (north-star) ——
     "t01_text_stats"   -> (TextAnalysis.textStats _),
     "t02_quality"      -> (TextAnalysis.qualityScore _),
@@ -421,6 +423,32 @@ object SparkEntry {
            ON a.event_id < b.event_id
           AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) -
                   epoch_us(CAST(b.ts AS TIMESTAMP))) <= 60000000""",
+    "e09_gap_fill" ->
+      """WITH h AS (SELECT user_id,
+                      CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))
+                           AS TIMESTAMP) AS hour
+                    FROM events),
+         c AS (SELECT user_id, hour, count(*) AS cnt
+               FROM h GROUP BY 1, 2),
+         s AS (SELECT user_id, min(hour) AS lo, max(hour) AS hi
+               FROM h GROUP BY 1),
+         d AS (SELECT user_id,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+               FROM s)
+         SELECT d.user_id, d.hour, coalesce(cnt, 0) AS cnt
+         FROM d LEFT JOIN c ON d.user_id = c.user_id AND d.hour = c.hour
+         ORDER BY d.user_id, d.hour""",
+    "t12_char_entropy" ->
+      """WITH pos AS (
+           SELECT doc_id, text, strlen(text) AS n,
+                  unnest(range(1, strlen(text) + 1)) AS i
+           FROM documents),
+         cc AS (SELECT doc_id, substr(text, i, 1) AS ch,
+                       count(*) AS c
+                FROM pos GROUP BY 1, 2)
+         SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+                log2(sum(c)) - sum(c * log2(c)) / sum(c) AS entropy_bits
+         FROM cc GROUP BY doc_id ORDER BY doc_id""",
     // Each event belongs to the 4 hour-long windows starting at the
     // 15-minute marks in (ts - 1h, ts]; the cross join with i=0..3
     // shifts the event's 15-minute bucket back i slides.

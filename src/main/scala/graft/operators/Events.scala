@@ -41,6 +41,28 @@ object Events {
         col("cnt"), col("sum_value"))
       .orderBy(col("ws"), col("event_type"))
 
+  /** Time-series densification (gap filling): per-user hourly counts
+    * with zero rows for every silent hour between the user's first and
+    * last activity — the resample step before any rolling statistic or
+    * forecast. The dense grid comes from `sequence()` exploded per
+    * user (rows = active span hours, generated distributed, never on
+    * the driver) and a left join against the observed counts. */
+  def gapFillHourly(s: SparkSession, d: String): DataFrame = {
+    val hours = ev(s, d).select(col("user_id"),
+      date_trunc("hour", col("ts")).as("hour"))
+    val counts = hours.groupBy(col("user_id"), col("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val dense = hours.groupBy(col("user_id"))
+      .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    dense.join(counts, Seq("user_id", "hour"), "left")
+      .select(col("user_id"), col("hour"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
   /** Sessionization (30-minute inactivity gap) per user, gaps-and-islands
     * form: lag -> new-session flag -> sum. One shuffle on user_id; at
     * scale the window state is bounded per user, and the same semantics

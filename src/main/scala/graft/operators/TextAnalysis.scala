@@ -294,6 +294,25 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Character-entropy quality score — the information-theoretic
+    * curation signal (low-entropy docs are repetitive boilerplate,
+    * near-random bytes are binary junk): Shannon entropy in bits over
+    * the per-document character distribution. One explode + two hash
+    * aggregates, partial-combined on (doc, char) then (doc) — no
+    * windows, embarrassingly parallel. */
+  def charEntropy(s: SparkSession, d: String): DataFrame = {
+    val counts = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"),
+        sum(col("c") * log2(col("c"))).as("clc"))
+      .select(col("doc_id"), col("n").cast("long").as("n_chars"),
+        (log2(col("n")) - col("clc") / col("n")).as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary extraction: the k most frequent whitespace tokens per
     * predicted language, exactly, via the native string top-k aggregate
     * ([[graft.functions.TopKStringsAgg]]). Token counting is one
