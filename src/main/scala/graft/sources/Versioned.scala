@@ -104,30 +104,52 @@ object Versioned {
     val preClaimAge: Option[Long] =
       if (f.exists(snapDir)) Some(f.getFileStatus(snapDir).getModificationTime)
       else None
-    if (!f.rename(stage, snapDir)) loserExit(f.delete(stage, true))
-    if (!f.exists(new Path(snapDir, ownerToken(uuid)))) {
-      // rename nested us inside an existing v=N directory (LocalFS/HDFS
-      // semantics). Pull our copy back out before deciding anything —
-      // the occupant may be live.
+    // One ownership attempt. Handles both rename semantics: a
+    // fails-on-existing-destination filesystem returns false (stage
+    // intact); LocalFS/HDFS "succeed" by nesting the stage inside the
+    // occupant — detected by the owner token missing from the root, and
+    // the nested copy is pulled back out (or dropped if even that
+    // fails). Never touches the occupant's files.
+    def attempt(): Boolean = {
+      if (!f.rename(stage, snapDir)) return false
+      if (f.exists(new Path(snapDir, ownerToken(uuid)))) return true
       val nested = new Path(snapDir, stage.getName)
-      if (!f.rename(nested, stage)) loserExit(f.delete(nested, true))
-      // Self-healing: an UNPUBLISHED v=N older than the grace period is
-      // a committer that crashed between rename and marker — without
-      // reclaim it wedges version N forever. A live committer publishes
-      // its marker within microseconds of claiming, so the age gate
-      // keeps the reclaim from racing one (the Iceberg orphan-cleanup
-      // pattern).
-      val debris = !f.exists(marker0) &&
-        preClaimAge.exists(_ < System.currentTimeMillis() - ReclaimGraceMs)
-      if (!debris) loserExit(f.delete(stage, true))
-      f.delete(snapDir, true)
-      if (!f.rename(stage, snapDir) ||
-        !f.exists(new Path(snapDir, ownerToken(uuid)))) {
-        // a concurrent committer re-claimed it first
-        f.delete(new Path(snapDir, stage.getName), true)
-        loserExit(f.delete(stage, true))
-      }
+      if (!f.rename(nested, stage)) f.delete(nested, true)
+      false
     }
+    // Self-healing: an UNPUBLISHED v=N older than the grace period is a
+    // committer that crashed between rename and marker — without
+    // reclaim it wedges version N forever. A live committer publishes
+    // its marker within microseconds of claiming, so the age gate keeps
+    // the reclaim from racing one (the Iceberg orphan-cleanup pattern).
+    // The age is read from the OCCUPANT'S OWNER TOKEN FILE, not the
+    // directory: nest attempts refresh the directory's mtime (including
+    // ours, and a racing committer's), but nobody touches the token —
+    // so a fresh claim that replaced old debris after our first look is
+    // correctly seen as live, never reclaimed. The directory pre-age is
+    // only the fallback for tokenless (pre-protocol) debris.
+    // The debris itself is claimed by atomically renaming it ASIDE: the
+    // rename succeeds for exactly one reclaimer (the source vanishes
+    // for the rest), so two committers can never both proceed to
+    // re-claim the slot — and nobody ever deletes a directory another
+    // committer may have just claimed.
+    def staleDebris: Boolean = {
+      if (f.exists(marker0) || !f.exists(snapDir)) return false
+      val cutoff = System.currentTimeMillis() - ReclaimGraceMs
+      val tokens = f.listStatus(snapDir)
+        .filter(_.getPath.getName.startsWith("_owner_"))
+      if (tokens.nonEmpty) tokens.map(_.getModificationTime).max < cutoff
+      else preClaimAge.exists(_ < cutoff)
+    }
+    def reclaim(): Boolean = {
+      val aside = new Path(tableDir, s".reclaim-v$next-$uuid")
+      f.rename(snapDir, aside) && { f.delete(aside, true); true }
+    }
+    var owned = attempt()
+    if (!owned && f.exists(stage) && staleDebris && reclaim())
+      owned = attempt()
+    if (!owned)
+      loserExit(if (f.exists(stage)) f.delete(stage, true) else ())
     val out = f.create(marker0, /*overwrite=*/ false) // the commit point
     try note.foreach(n => out.write(n.getBytes("UTF-8"))) finally out.close()
     next
@@ -149,33 +171,48 @@ object Versioned {
       s"streamId must be [A-Za-z0-9_-]+, got '$streamId'")
 
   /** Record that external stream `streamId` has applied its batch
-    * `batchId` (a create-only watermark file). Unlike the in-marker
-    * note, these survive [[compact]] and [[vacuum]], so a replayed
-    * batch is still detected after maintenance rewrote or expired the
-    * commit that carried it. Idempotent (re-creating an existing
-    * watermark is a no-op). */
+    * `batchId` (a create-only watermark file; `=` separates the id from
+    * the batch because `_` is legal INSIDE stream ids). Unlike the
+    * in-marker note, these survive [[compact]] and [[vacuum]], so a
+    * replayed batch is still detected after maintenance rewrote or
+    * expired the commit that carried it. Batch ids are monotone per
+    * stream, so only the newest watermark matters — older ones are
+    * swept here, keeping the table at O(streams) watermark files.
+    * Idempotent; real filesystem failures propagate (swallowing them
+    * would silently strip the batch of its durable replay guard). */
   def recordApplied(spark: SparkSession, tableDir: String,
       streamId: String, batchId: Long): Unit = {
     checkStreamId(streamId)
-    val p = new Path(tableDir, s"$AppliedPrefix${streamId}_$batchId")
-    try fs(spark, tableDir).create(p, false).close()
-    catch { case _: java.io.IOException => () } // already recorded
+    val f = fs(spark, tableDir)
+    val p = new Path(tableDir, s"$AppliedPrefix$streamId=$batchId")
+    if (!f.exists(p)) {
+      try f.create(p, false).close()
+      catch { case e: java.io.IOException =>
+        if (!f.exists(p)) throw e } // concurrent duplicate create is fine
+    }
+    appliedIds(f, tableDir, streamId).filter(_ < batchId).foreach { old =>
+      f.delete(new Path(tableDir, s"$AppliedPrefix$streamId=$old"), false)
+    }
+  }
+
+  private def appliedIds(f: org.apache.hadoop.fs.FileSystem,
+      tableDir: String, streamId: String): Seq[Long] = {
+    val dir = new Path(tableDir)
+    if (!f.exists(dir)) Nil
+    else {
+      val pre = s"$AppliedPrefix$streamId="
+      f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .collect { case s if s.startsWith(pre) =>
+          s.stripPrefix(pre).toLong }
+    }
   }
 
   /** Highest batch id recorded for `streamId`, if any. */
   def lastApplied(spark: SparkSession, tableDir: String,
       streamId: String): Option[Long] = {
     checkStreamId(streamId)
-    val f = fs(spark, tableDir)
-    val dir = new Path(tableDir)
-    if (!f.exists(dir)) None
-    else {
-      val pre = s"$AppliedPrefix${streamId}_"
-      val ids = f.listStatus(dir).toSeq.map(_.getPath.getName)
-        .collect { case s if s.startsWith(pre) =>
-          s.stripPrefix(pre).toLong }
-      if (ids.isEmpty) None else Some(ids.max)
-    }
+    val ids = appliedIds(fs(spark, tableDir), tableDir, streamId)
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   /** Read a snapshot: the current one, or any retained version (time

@@ -139,12 +139,15 @@ object EventStreams {
             .lastApplied(spark, tableDir, streamId).exists(_ >= batchId) ||
             graft.sources.Versioned.commitNotes(spark, tableDir)
               .values.exists(_ == note)
-          if (!replay) {
+          if (!replay)
             graft.sources.Versioned.append(batch, tableDir,
               note = Some(note))
-            graft.sources.Versioned.recordApplied(spark, tableDir,
-              streamId, batchId)
-          }
+          // Watermark in BOTH branches: a replay detected via the
+          // commit note means the previous attempt crashed before its
+          // recordApplied — backfill it so the batch does not depend on
+          // the note surviving later compact/vacuum.
+          graft.sources.Versioned.recordApplied(spark, tableDir,
+            streamId, batchId)
         }
         ()
       }

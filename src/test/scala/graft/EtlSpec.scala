@@ -177,6 +177,29 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: stream watermarks are scoped, swept, and max-wins") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_watermarks"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq(1).toDF("v"), t)
+    Versioned.recordApplied(spark, t, "events", 3)
+    // underscore inside a stream id must not bleed into another stream
+    Versioned.recordApplied(spark, t, "events_2", 9)
+    assert(Versioned.lastApplied(spark, t, "events").contains(3L))
+    assert(Versioned.lastApplied(spark, t, "events_2").contains(9L))
+    assert(Versioned.lastApplied(spark, t, "other").isEmpty)
+    // monotone advance sweeps older watermarks down to one per stream
+    Versioned.recordApplied(spark, t, "events", 7)
+    assert(Versioned.lastApplied(spark, t, "events").contains(7L))
+    val files = new java.io.File(t).listFiles()
+      .count(_.getName.startsWith("_applied_events="))
+    assert(files == 1)
+    // idempotent re-record is a no-op
+    Versioned.recordApplied(spark, t, "events", 7)
+    assert(Versioned.lastApplied(spark, t, "events").contains(7L))
+  }
+
   test("versioned table: stale unpublished claim is reclaimed, fresh is not") {
     import spark.implicits._
     import graft.sources.Versioned
@@ -195,8 +218,10 @@ class EtlSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Versioned.commit(Seq(2).toDF("v"), t)
     }
-    // ...but past the grace period it is reclaimed automatically
-    f.setTimes(new Path(t, "v=2"),
+    // ...but past the grace period it is reclaimed automatically (the
+    // age gate reads the owner token's mtime — dir mtimes are refreshed
+    // by nest attempts)
+    f.setTimes(new Path(t, "v=2/_owner_crashed"),
       System.currentTimeMillis() - Versioned.ReclaimGraceMs - 1000, -1)
     assert(Versioned.commit(Seq(2).toDF("v"), t) == 2)
     assert(Versioned.read(spark, t).collect().map(_.getInt(0)).toSeq
