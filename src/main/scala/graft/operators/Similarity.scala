@@ -10,16 +10,20 @@ import graft.functions.VectorFunctions._
 /** Approximate-nearest-neighbor search over the `embeddings` fixture
   * (north-star: similarity search for a training-data pipeline).
   *
-  * Two paths with one contract — top-k cosine neighbors per query:
+  * One contract — top-k cosine neighbors per query — across the paths:
   *  - [[bruteForceTopK]]: exact baseline. Queries broadcast, candidates
   *    streamed, per-query top-k. This is the verification oracle.
-  *  - [[ivfTopK]]: IVF-style scale path. Vectors are assigned to the
-  *    nearest of C deterministic centroids (one shuffle, once, amortized
-  *    across queries); a query probes only its nProbe closest cells, so
-  *    the scored candidate set is ~nProbe/C of the corpus. At 100 TB the
-  *    centroid table stays broadcast-sized and the per-cell layout is the
-  *    partitioning key, turning ANN into a pruned scan instead of a full
-  *    cross join.
+  *  - [[ivfTopK]] / [[ivfTopKKmeans]]: IVF scale path. Vectors are
+  *    assigned to the nearest of C centroids (seed cells, optionally
+  *    Lloyd-refined by [[kmeansRefine]]); a query probes only its
+  *    nProbe closest cells, so the scored candidate set is ~nProbe/C of
+  *    the corpus. The centroid table stays broadcast-sized.
+  *  - [[lshTopK]]: random-hyperplane multi-table LSH buckets.
+  *  - [[buildIvfIndex]] / [[ivfTopKIndexed]]: the persisted form — the
+  *    index written cell-PARTITIONED so a probe is a partition-pruned
+  *    scan (spec-measured), which is what ANN looks like at 100 TB.
+  * The approximate paths carry oracle-gated recall contracts
+  * ([[annRecall]], queries s04-s06).
   */
 object Similarity {
 
