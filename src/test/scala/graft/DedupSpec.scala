@@ -73,6 +73,14 @@ class DedupSpec extends SparkSpec {
       assert(labels(Dedup.connectedComponentsStar(pairs)) ==
         labels(Dedup.connectedComponents(pairs)))
     }
+    // a seeded random graph (mixed component shapes and sizes)
+    val rnd = new scala.util.Random(5)
+    val random = (1 to 120)
+      .map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(p => p._1 != p._2)
+      .toDF("a_id", "b_id")
+    assert(labels(Dedup.connectedComponentsStar(random)) ==
+      labels(Dedup.connectedComponents(random)))
     // the real near-dup pairs
     val fixture = Dedup.minhashLsh(spark, sf).select("a_id", "b_id").cache()
     assert(labels(Dedup.connectedComponentsStar(fixture)) ==
