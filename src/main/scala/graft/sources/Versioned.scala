@@ -134,10 +134,15 @@ object Versioned {
     // re-claim the slot — and nobody ever deletes a directory another
     // committer may have just claimed.
     def staleDebris: Boolean = {
-      if (f.exists(marker0) || !f.exists(snapDir)) return false
+      if (f.exists(marker0)) return false
       val cutoff = System.currentTimeMillis() - ReclaimGraceMs
-      val tokens = f.listStatus(snapDir)
-        .filter(_.getPath.getName.startsWith("_owner_"))
+      // a concurrent reclaimer may rename the debris aside between any
+      // two of these calls — treat a vanished directory as not-debris
+      // (we then lose the claim race and exit as a clean loser)
+      val tokens =
+        try f.listStatus(snapDir).toSeq
+          .filter(_.getPath.getName.startsWith("_owner_"))
+        catch { case _: java.io.FileNotFoundException => return false }
       if (tokens.nonEmpty) tokens.map(_.getModificationTime).max < cutoff
       else preClaimAge.exists(_ < cutoff)
     }
@@ -342,7 +347,8 @@ object Versioned {
     val published = committedVersions(spark, tableDir).toSet
     f.listStatus(new Path(tableDir)).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith(".stage-")) f.delete(st.getPath, true)
+      if (name.startsWith(".stage-") || name.startsWith(".reclaim-"))
+        f.delete(st.getPath, true) // incl. reclaimers that crashed mid-sweep
       else if (name.startsWith("v=") &&
         !published.contains(name.stripPrefix("v=").toInt))
         f.delete(st.getPath, true)

@@ -129,7 +129,7 @@ object EventStreams {
         //  - the (streamId, batchId) note INSIDE the commit marker,
         //    written at the atomic commit point — covers the crash
         //    window below;
-        //  - the _applied_<streamId>_<batchId> watermark file, written
+        //  - the _applied_<streamId>=<batchId> watermark file, written
         //    after the commit — survives compact/vacuum rewriting or
         //    expiring the marker that carried the note.
         if (!batch.isEmpty) {
