@@ -1,15 +1,32 @@
 package graft.sources
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.util.Try
 
-/** Minimal snapshot/time-travel table — the Spark-native emulation of the
-  * Iceberg capability the reference's data model is built on
-  * (csv_to_ice.py:58's createOrReplace publishes a new snapshot;
-  * README.md:94's allow_moved_paths reads one): each commit writes an
-  * immutable `v=N` directory, then publishes it with a `_commit_N` marker
-  * file created atomically (`create(overwrite=false)`). Readers resolve
-  * `max(N)` over the markers and scan an immutable snapshot.
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Snapshot/time-travel table with MANIFEST-based O(delta) appends — the
+  * Spark-native emulation of the Iceberg capability the reference's data
+  * model is built on (csv_to_ice.py:58's createOrReplace publishes a new
+  * snapshot; README.md:94's allow_moved_paths reads one): each commit
+  * writes an immutable `v=N` directory, then publishes it with a
+  * `_commit_N` marker file created atomically (`create(overwrite=false)`).
+  * Readers resolve `max(N)` over the markers and scan an immutable
+  * snapshot.
+  *
+  * Snapshots are MANIFESTS, not necessarily self-contained data: every
+  * `v=N` carries a `_manifest` file listing the table-relative
+  * directories whose data files make up the snapshot (own directory
+  * last). A full [[commit]] lists only itself; an [[append]] writes ONLY
+  * the new batch's files into `v=N+1` and links the previous snapshot's
+  * directories — Iceberg's append semantics at Iceberg's append COST:
+  * O(delta) I/O per commit instead of rewriting the table, which is what
+  * lets the streaming sink ingest continuously without O(n²) cumulative
+  * writes. [[compact]] collapses a long append chain back into one
+  * self-contained snapshot; [[vacuum]] reference-counts directories
+  * across retained manifests, so expiring an old version never deletes
+  * files a newer snapshot still links (Iceberg's expire-snapshots rule).
   *
   * Commit protocol properties (mirrors Iceberg's optimistic metadata
   * commit):
@@ -24,7 +41,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    Iceberg behavior.
   *
   * Layout:  tableDir/_commit_1, _commit_2, ...  -> publish markers
-  *          tableDir/v=1, v=2, ...              -> immutable parquet snapshots
+  *          tableDir/v=1, v=2, ...              -> immutable snapshot dirs
+  *          tableDir/v=N/_manifest              -> dirs composing snapshot N
+  *          tableDir/v=N/_stats/                -> per-file min/max sidecar
   *          tableDir/.stage-v*-<uuid>           -> in-flight commit staging
   */
 object Versioned {
@@ -33,6 +52,8 @@ object Versioned {
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private val MarkerPrefix = "_commit_"
+  private val ManifestFile = "_manifest"
+  private val StatsDir = "_stats"
 
   /** Age before an unpublished v=N directory counts as crash debris and
     * may be reclaimed by a committer (see [[commit]]). */
@@ -45,8 +66,10 @@ object Versioned {
     if (!f.exists(dir)) Nil
     else f.listStatus(dir).toSeq
       .map(_.getPath.getName)
-      .collect { case s if s.startsWith(MarkerPrefix) =>
-        s.stripPrefix(MarkerPrefix).toInt }
+      .collect { case s if s.startsWith(MarkerPrefix) => s }
+      // safe parse: a corrupt/foreign `_commit_x` entry must not wedge
+      // every read of the table with a NumberFormatException
+      .flatMap(s => Try(s.stripPrefix(MarkerPrefix).toInt).toOption)
       .sorted
   }
 
@@ -56,24 +79,45 @@ object Versioned {
 
   private def ownerToken(uuid: String) = s"_owner_$uuid"
 
-  /** Commit a new snapshot: write the data (plus an `_owner_<uuid>`
-    * token file) to a committer-private staging directory, claim the
-    * version by renaming it to `v=N+1`, verify ownership via the token,
-    * then publish with the `_commit_N+1` marker. Two committers racing
-    * the same parent version collide at the claim: on filesystems whose
-    * rename fails against an existing destination the loser's rename
-    * returns false; on LocalFileSystem/HDFS — whose rename "succeeds"
-    * by MOVING THE SOURCE INSIDE the existing destination — the loser
-    * detects the nesting because its owner token is not at the
-    * directory root, removes its nested copy, and fails cleanly. Either
-    * way the loser never tears the winner's published files and the
-    * table stays at N for it to retry. (The naive shared-v=N+1 write
-    * this replaces let the loser clobber the winner's already-published
-    * snapshot; the EtlSpec race test caught it.)
+  /** The table-relative directories whose data files compose snapshot
+    * `v` (commit order, own directory last). Pre-manifest snapshots are
+    * self-contained: their single entry is the version directory. */
+  private def manifestDirs(f: FileSystem, tableDir: String,
+      v: Int): Seq[String] = {
+    val mf = new Path(tableDir, s"v=$v/$ManifestFile")
+    if (!f.exists(mf)) Seq(s"v=$v")
+    else {
+      val in = f.open(mf)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+  }
+
+  /** Commit a new snapshot: write the data (plus manifest, stats sidecar
+    * and an `_owner_<uuid>` token file) to a committer-private staging
+    * directory, claim the version by renaming it to `v=N+1`, verify
+    * ownership via the token, then publish with the `_commit_N+1`
+    * marker. Two committers racing the same parent version collide at
+    * the claim: on filesystems whose rename fails against an existing
+    * destination the loser's rename returns false; on LocalFileSystem/
+    * HDFS — whose rename "succeeds" by MOVING THE SOURCE INSIDE the
+    * existing destination — the loser detects the nesting because its
+    * owner token is not at the directory root, removes its nested copy,
+    * and fails cleanly. Either way the loser never tears the winner's
+    * published files and the table stays at N for it to retry. (The
+    * naive shared-v=N+1 write this replaces let the loser clobber the
+    * winner's already-published snapshot; the EtlSpec race test caught
+    * it.)
     *
     * `note` is recorded inside the marker at the commit point — an
     * atomic per-version annotation ([[commitNotes]]), used by the
     * streaming sink to make micro-batch replays idempotent.
+    *
+    * `statsCols` declares columns whose per-file (min, max) are
+    * harvested into a `_stats` sidecar at commit time (one extra scan of
+    * the DELTA only) — the manifest-level pruning stats Iceberg keeps,
+    * consumed by [[readWhere]] to skip files before Spark ever lists
+    * them.
     *
     * A committer that crashes after the rename but before the marker
     * leaves an unpublished `v=N+1` directory that blocks that version
@@ -81,14 +125,35 @@ object Versioned {
     * as maintenance, not concurrently with writers). */
   def commit(df: DataFrame, tableDir: String,
       partitionCol: Option[String] = None,
-      note: Option[String] = None): Int = {
+      note: Option[String] = None,
+      statsCols: Seq[String] = Nil): Int =
+    commitStaged(df, tableDir, partitionCol, note, statsCols,
+      linkBase = None)
+
+  private def commitStaged(df: DataFrame, tableDir: String,
+      partitionCol: Option[String], note: Option[String],
+      statsCols: Seq[String], linkBase: Option[Int]): Int = {
     val spark = df.sparkSession
     val f = fs(spark, tableDir)
     val next = currentVersion(spark, tableDir) + 1
+    // An append's linked base must still be the current snapshot —
+    // chaining onto a superseded version would silently drop the
+    // interleaved commit's rows from the new manifest.
+    linkBase.foreach { b =>
+      if (b != next - 1) throw new IllegalStateException(
+        s"append base v=$b is no longer current at $tableDir " +
+          s"(current is v=${next - 1}); retry from the new version")
+    }
     val uuid = java.util.UUID.randomUUID().toString
     val stage = new Path(tableDir, s".stage-v$next-$uuid")
     val w = df.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
+    if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
+    val dirs =
+      linkBase.map(b => manifestDirs(f, tableDir, b)).getOrElse(Nil) :+
+        s"v=$next"
+    val mf = f.create(new Path(stage, ManifestFile), false)
+    try mf.write(dirs.mkString("\n").getBytes("UTF-8")) finally mf.close()
     f.create(new Path(stage, ownerToken(uuid)), false).close()
     val snapDir = new Path(tableDir, s"v=$next")
     def loserExit(cleanup: => Unit): Nothing = {
@@ -128,11 +193,6 @@ object Versioned {
     // so a fresh claim that replaced old debris after our first look is
     // correctly seen as live, never reclaimed. The directory pre-age is
     // only the fallback for tokenless (pre-protocol) debris.
-    // The debris itself is claimed by atomically renaming it ASIDE: the
-    // rename succeeds for exactly one reclaimer (the source vanishes
-    // for the rest), so two committers can never both proceed to
-    // re-claim the slot — and nobody ever deletes a directory another
-    // committer may have just claimed.
     def staleDebris: Boolean = {
       if (f.exists(marker0)) return false
       val cutoff = System.currentTimeMillis() - ReclaimGraceMs
@@ -146,27 +206,90 @@ object Versioned {
       if (tokens.nonEmpty) tokens.map(_.getModificationTime).max < cutoff
       else preClaimAge.exists(_ < cutoff)
     }
-    def reclaim(): Boolean = {
-      val aside = new Path(tableDir, s".reclaim-v$next-$uuid")
-      f.rename(snapDir, aside) && { f.delete(aside, true); true }
-    }
+    def reclaim(): Boolean =
+      sweepStale(f, snapDir, new Path(tableDir, s".reclaim-v$next-$uuid"),
+        System.currentTimeMillis() - ReclaimGraceMs)
     var owned = attempt()
     if (!owned && f.exists(stage) && staleDebris && reclaim())
       owned = attempt()
     if (!owned)
       loserExit(if (f.exists(stage)) f.delete(stage, true) else ())
+    // Last-look ownership re-verify: if a (mis-judging) reclaimer swept
+    // our freshly-claimed directory aside between the claim and here,
+    // our token is gone from the root — publishing would bind our
+    // marker/note to whatever occupies the slot now. Lose cleanly
+    // instead; whoever holds the slot publishes its own data.
+    if (!f.exists(new Path(snapDir, ownerToken(uuid)))) loserExit(())
     val out = f.create(marker0, /*overwrite=*/ false) // the commit point
     try note.foreach(n => out.write(n.getBytes("UTF-8"))) finally out.close()
     next
+  }
+
+  /** Claim crash debris at `snapDir` by atomically renaming it ASIDE
+    * (the rename succeeds for exactly one reclaimer — the source
+    * vanishes for the rest), then VERIFY the captured directory is
+    * still the stale debris observed earlier before deleting it: a
+    * racing committer may have completed reclaim-and-fresh-claim of the
+    * same slot between the caller's staleness check and our rename
+    * (TOCTOU), and sweeping that would delete a live claim. A captured
+    * FRESH owner token (mtime >= cutoff) is therefore renamed back into
+    * place and the sweep reports failure — the caller loses the race
+    * cleanly and the live committer never notices. If the slot was
+    * re-claimed by a third committer in the microsecond the directory
+    * was aside, the capture stays parked as `.reclaim-*` (never nested
+    * into the occupant) for [[vacuum]] to sweep; its displaced owner
+    * fails the pre-marker ownership re-verify and retries — data is
+    * parked, never published under the wrong marker. */
+  private[sources] def sweepStale(f: FileSystem, snapDir: Path,
+      aside: Path, cutoff: Long): Boolean = {
+    if (!f.rename(snapDir, aside)) return false
+    val fresh =
+      try f.listStatus(aside).exists(st =>
+        st.getPath.getName.startsWith("_owner_") &&
+          st.getModificationTime >= cutoff)
+      catch { case _: java.io.FileNotFoundException => false }
+    if (!fresh) { f.delete(aside, true); true }
+    else {
+      // live claim captured: put it back (the slot was vacated
+      // microseconds ago, so it is normally still free) and lose
+      if (!f.exists(snapDir)) f.rename(aside, snapDir)
+      false
+    }
   }
 
   /** Per-version marker annotations (empty string when none). */
   def commitNotes(spark: SparkSession, tableDir: String): Map[Int, String] = {
     val f = fs(spark, tableDir)
     committedVersions(spark, tableDir).map { v =>
-      val in = f.open(new Path(tableDir, s"$MarkerPrefix$v"))
-      try v -> new String(in.readAllBytes(), "UTF-8") finally in.close()
+      v -> readNote(f, tableDir, v)
     }.toMap
+  }
+
+  private def readNote(f: FileSystem, tableDir: String, v: Int): String = {
+    val in = f.open(new Path(tableDir, s"$MarkerPrefix$v"))
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+
+  /** Whether any commit NEWER than the one that carried
+    * `stopNote` records `note` — the bounded form of a full
+    * [[commitNotes]] scan: markers are read newest-first and the scan
+    * stops as soon as it walks past `stopNote` (or runs out). A
+    * long-running streaming sink calls this once per micro-batch, so
+    * the cost must be O(commits since last applied batch), not
+    * O(all versions) small-file reads (which grows unboundedly between
+    * vacuums). */
+  def noteRecorded(spark: SparkSession, tableDir: String,
+      note: String, stopNote: Option[String] = None): Boolean = {
+    val f = fs(spark, tableDir)
+    val it = committedVersions(spark, tableDir).reverseIterator
+    var found = false
+    var done = false
+    while (!done && it.hasNext) {
+      val n = readNote(f, tableDir, it.next())
+      if (n == note) { found = true; done = true }
+      else if (stopNote.contains(n)) done = true
+    }
+    found
   }
 
   private val AppliedPrefix = "_applied_"
@@ -207,8 +330,9 @@ object Versioned {
     else {
       val pre = s"$AppliedPrefix$streamId="
       f.listStatus(dir).toSeq.map(_.getPath.getName)
-        .collect { case s if s.startsWith(pre) =>
-          s.stripPrefix(pre).toLong }
+        .collect { case s if s.startsWith(pre) => s.stripPrefix(pre) }
+        // a foreign/corrupt watermark name must not wedge the stream
+        .flatMap(s => Try(s.toLong).toOption)
     }
   }
 
@@ -221,12 +345,30 @@ object Versioned {
   }
 
   /** Read a snapshot: the current one, or any retained version (time
-    * travel). */
+    * travel). The scan unions the manifest's directories in commit
+    * order (later commits may add columns — missing ones null-fill,
+    * the same schema-evolution contract as before); consecutive
+    * same-schema directories collapse into ONE multi-root scan, so the
+    * common homogeneous append chain (a streaming sink) plans as a
+    * single FileScan over many directories, not a union of hundreds of
+    * nodes. [[compact]] bounds chain length for good. */
   def read(spark: SparkSession, tableDir: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
-    spark.read.parquet(new Path(tableDir, s"v=$v").toString)
+    val f = fs(spark, tableDir)
+    val scans = manifestDirs(f, tableDir, v)
+      .map(dn => new Path(tableDir, dn).toString)
+      .map(p => p -> spark.read.parquet(p).schema)
+    // group runs of identical schema into one multi-path read
+    val grouped = scans.foldLeft(List.empty[(Seq[String],
+        org.apache.spark.sql.types.StructType)]) {
+      case ((ps, sch) :: rest, (p, s)) if s == sch =>
+        (ps :+ p, sch) :: rest
+      case (acc, (p, s)) => (Seq(p), s) :: acc
+    }.reverse
+    grouped.map { case (ps, _) => spark.read.parquet(ps: _*) }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
   /** All retained committed snapshot versions (ascending). */
@@ -236,20 +378,19 @@ object Versioned {
   /** APPEND as a new snapshot: the published version holds the previous
     * snapshot's rows plus `df` — Iceberg's append semantics, where every
     * snapshot is a consistent prefix of the ingested data and time
-    * travel walks ingestion history. Copy-on-write here (the new
-    * version rewrites the union); a manifest-based layout that links
-    * the previous version's files instead of rewriting them is the
-    * Iceberg-scale upgrade and would slot into this method without
-    * changing its contract. */
+    * travel walks ingestion history. O(delta): only the new batch's
+    * files are written; the manifest links the previous snapshot's
+    * directories unchanged (verified by EtlSpec — the prior version's
+    * data files are untouched byte-for-byte). */
   def append(df: DataFrame, tableDir: String,
       partitionCol: Option[String] = None,
-      note: Option[String] = None): Int = {
+      note: Option[String] = None,
+      statsCols: Seq[String] = Nil): Int = {
     val spark = df.sparkSession
-    if (currentVersion(spark, tableDir) == 0)
-      commit(df, tableDir, partitionCol, note)
-    else commit(
-      read(spark, tableDir).unionByName(df, allowMissingColumns = true),
-      tableDir, partitionCol, note)
+    val cur = currentVersion(spark, tableDir)
+    if (cur == 0) commit(df, tableDir, partitionCol, note, statsCols)
+    else commitStaged(df, tableDir, partitionCol, note, statsCols,
+      linkBase = Some(cur))
   }
 
   /** Row-level MERGE (upsert) by key, copy-on-write: rows of the current
@@ -265,8 +406,8 @@ object Versioned {
     // MERGE INTO semantics: multiple source rows per key is an error
     // (Iceberg/Delta reject it); silently appending both would break
     // the table's key-uniqueness invariant forever.
-    val dup = updates.groupBy(org.apache.spark.sql.functions.col(key))
-      .count().filter(org.apache.spark.sql.functions.col("count") > 1)
+    val dup = updates.groupBy(col(key))
+      .count().filter(col("count") > 1)
       .limit(1).count()
     require(dup == 0,
       s"upsert updates contain duplicate values of key '$key'")
@@ -283,75 +424,204 @@ object Versioned {
     * it evaluates NULL are kept (a bare `filter(!pred)` would silently
     * drop them too). */
   def delete(spark: SparkSession, tableDir: String,
-      pred: org.apache.spark.sql.Column,
-      partitionCol: Option[String] = None): Int = {
-    import org.apache.spark.sql.functions.{coalesce, lit, not}
+      pred: Column,
+      partitionCol: Option[String] = None): Int =
     commit(read(spark, tableDir).filter(not(coalesce(pred, lit(false)))),
       tableDir, partitionCol)
-  }
 
-  /** Number of data files in a snapshot (maintenance introspection). */
+  /** Number of data files in a snapshot, across every directory its
+    * manifest links (maintenance introspection). */
   def dataFileCount(spark: SparkSession, tableDir: String,
       version: Option[Int] = None): Int = {
     val v = version.getOrElse(currentVersion(spark, tableDir))
     val f = fs(spark, tableDir)
-    val it = f.listFiles(new Path(tableDir, s"v=$v"), /*recursive=*/ true)
-    var n = 0
-    while (it.hasNext) {
-      if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-    }
-    n
+    manifestDirs(f, tableDir, v).map { dn =>
+      val it = f.listFiles(new Path(tableDir, dn), /*recursive=*/ true)
+      var n = 0
+      while (it.hasNext) {
+        val p = it.next().getPath
+        // the _stats sidecar is parquet too — it is metadata, not data
+        if (p.getName.endsWith(".parquet") &&
+          p.getParent.getName != StatsDir) n += 1
+      }
+      n
+    }.sum
   }
 
   /** Small-file maintenance — the `rewrite_data_files` analog of the
     * Iceberg tables the reference builds on: rewrite the current
     * snapshot into ~`targetFileBytes`-sized files and publish the result
-    * as a NEW commit through the same marker protocol. Readers never see
-    * an in-progress rewrite, concurrent committers conflict cleanly on
-    * the marker, and every pre-compaction version stays time-travelable
-    * until [[vacuum]]. File count is sized from the snapshot's on-disk
-    * bytes, so a drip-fed table of thousands of tiny files comes back as
-    * a handful of scan-efficient ones. */
+    * as a NEW self-contained commit through the same marker protocol
+    * (collapsing any append chain back to one directory). Readers never
+    * see an in-progress rewrite, concurrent committers conflict cleanly
+    * on the marker, and every pre-compaction version stays
+    * time-travelable until [[vacuum]]. File count is sized from the
+    * snapshot's on-disk bytes, so a drip-fed table of thousands of tiny
+    * files comes back as a handful of scan-efficient ones.
+    *
+    * With `partitionCol` set the rewrite RANGE-partitions on
+    * (partitionCol, row-hash) instead of round-robin: each output task
+    * covers a contiguous run of partition values, so a hive partition
+    * directory receives ~1 file (nFiles + values - 1 total worst case)
+    * instead of nFiles files each — compaction preserves partition
+    * locality, and the row-hash suffix still splits a skewed partition
+    * value across tasks instead of wedging it into one. */
   def compact(spark: SparkSession, tableDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      partitionCol: Option[String] = None): Int = {
+      partitionCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Int = {
     val cur = currentVersion(spark, tableDir)
     require(cur > 0, s"no committed version at $tableDir")
-    val bytes = fs(spark, tableDir)
-      .getContentSummary(new Path(tableDir, s"v=$cur")).getLength
+    val f = fs(spark, tableDir)
+    val bytes = manifestDirs(f, tableDir, cur)
+      .map(dn => f.getContentSummary(new Path(tableDir, dn)).getLength)
+      .sum
     val nFiles =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    commit(read(spark, tableDir).repartition(nFiles), tableDir, partitionCol)
+    val data = read(spark, tableDir)
+    val sized = partitionCol match {
+      case Some(c) =>
+        // deterministic within-partition spreader (maps/nondeterministic
+        // exprs can't range-partition; hash the hashable columns)
+        val hashable = data.schema.fields.collect {
+          case fd if !fd.dataType.isInstanceOf[
+            org.apache.spark.sql.types.MapType] => col(fd.name)
+        }.toSeq
+        if (hashable.nonEmpty)
+          data.repartitionByRange(nFiles, col(c), xxhash64(hashable: _*))
+        else data.repartitionByRange(nFiles, col(c))
+      case None => data.repartition(nFiles)
+    }
+    commit(sized, tableDir, partitionCol, statsCols = statsCols)
   }
 
   /** Expire old snapshots, keeping the most recent `keep` (the current
     * version is always retained). The marker is removed first so a crash
-    * mid-vacuum never leaves a published-but-deleted version.
+    * mid-vacuum never leaves a published-but-deleted version. Directory
+    * deletion is REFERENCE-COUNTED across the retained versions'
+    * manifests: an expired version's directory survives as long as any
+    * retained snapshot still links its files (the Iceberg
+    * expire-snapshots rule — expiring history never corrupts the
+    * current table).
     *
-    * Also reclaims commit debris: unpublished `v=K` directories (a
-    * committer crashed between its rename and its marker — they block
-    * version slot K) and orphaned `.stage-*` directories. Maintenance
-    * only — do not run concurrently with active committers, whose
-    * in-flight claims look identical to debris. */
+    * Also reclaims commit debris: unpublished, unreferenced `v=K`
+    * directories (a committer crashed between its rename and its marker
+    * — they block version slot K) and orphaned `.stage-*` /
+    * `.reclaim-*` directories. Maintenance only — do not run
+    * concurrently with active committers, whose in-flight claims look
+    * identical to debris. */
   def vacuum(spark: SparkSession, tableDir: String, keep: Int = 1): Unit = {
     val f = fs(spark, tableDir)
     if (!f.exists(new Path(tableDir))) return // never-committed table: no-op
     val cur = currentVersion(spark, tableDir)
-    versions(spark, tableDir)
-      .filter(v => v != cur)
-      .dropRight(math.max(0, keep - 1))
-      .foreach { v =>
-        f.delete(new Path(tableDir, s"$MarkerPrefix$v"), false)
+    val all = versions(spark, tableDir)
+    val expired = all.filter(_ != cur).dropRight(math.max(0, keep - 1))
+    val retained = all.diff(expired)
+    val referenced =
+      retained.flatMap(v => manifestDirs(f, tableDir, v)).toSet
+    expired.foreach { v =>
+      f.delete(new Path(tableDir, s"$MarkerPrefix$v"), false)
+      if (!referenced.contains(s"v=$v"))
         f.delete(new Path(tableDir, s"v=$v"), true)
-      }
+    }
     val published = committedVersions(spark, tableDir).toSet
     f.listStatus(new Path(tableDir)).foreach { st =>
       val name = st.getPath.getName
       if (name.startsWith(".stage-") || name.startsWith(".reclaim-"))
         f.delete(st.getPath, true) // incl. reclaimers that crashed mid-sweep
-      else if (name.startsWith("v=") &&
-        !published.contains(name.stripPrefix("v=").toInt))
-        f.delete(st.getPath, true)
+      else if (name.startsWith("v=")) {
+        // safe parse: a foreign/corrupt `v=x` entry is skipped, never a
+        // NumberFormatException that aborts the sweep mid-way
+        Try(name.stripPrefix("v=").toInt).toOption.foreach { k =>
+          if (!published.contains(k) && !referenced.contains(name))
+            f.delete(st.getPath, true)
+        }
+      }
     }
+  }
+
+  // —— manifest-level file statistics (commit-time sidecar) ——
+
+  /** Harvest per-file (min, max) for `statsCols` from the freshly
+    * written staging directory into a `_stats` parquet sidecar — one
+    * extra scan of the DELTA (Iceberg collects the same stats from the
+    * writers). File paths are stored stage-relative so the rename to
+    * `v=N` keeps them valid; values are stored as strings next to their
+    * catalog type and cast back for pruning comparisons. */
+  private def writeStats(spark: SparkSession, f: FileSystem,
+      stage: Path, statsCols: Seq[String]): Unit = {
+    val data = spark.read.parquet(stage.toString)
+    val present = statsCols.filter(data.columns.contains)
+    if (present.isEmpty) return
+    val aggs = present.flatMap { c => Seq(
+      min(col(c)).cast("string").as(s"min__$c"),
+      max(col(c)).cast("string").as(s"max__$c")) }
+    val perFile = data.groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+    val stageName = stage.getName
+    // long-form (file, col, dtype, min, max) rows; collect is
+    // metadata-scale (files x cols)
+    val rows = perFile.collect().flatMap { r =>
+      val full = r.getString(0)
+      val i = full.indexOf(stageName)
+      val rel = full.substring(i + stageName.length + 1)
+      present.map { c =>
+        (rel, c, data.schema(c).dataType.catalogString,
+          Option(r.getAs[String](s"min__$c")).orNull,
+          Option(r.getAs[String](s"max__$c")).orNull)
+      }
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("file", "col", "dtype", "min_v", "max_v")
+      .coalesce(1)
+      .write.parquet(new Path(stage, StatsDir).toString)
+  }
+
+  /** Range-predicate read with MANIFEST-LEVEL file pruning: returns
+    * exactly `read(version).filter(colName between lo and hi)`, but
+    * consults each linked directory's `_stats` sidecar first and hands
+    * Spark only the files whose (min, max) intersect [lo, hi] — files
+    * are skipped before the planner ever lists or footer-reads them,
+    * which is the Iceberg manifest-pruning mechanism behind the
+    * reference's pruned-split enumeration (reference README.md:161).
+    * Directories committed without stats (or without stats for this
+    * column) are scanned in full — pruning degrades, never lies. */
+  def readWhere(spark: SparkSession, tableDir: String, colName: String,
+      lo: Any, hi: Any, version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    require(v > 0, s"no committed version at $tableDir")
+    val f = fs(spark, tableDir)
+    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    val parts = manifestDirs(f, tableDir, v).flatMap { dn =>
+      val dirPath = new Path(tableDir, dn)
+      val statsPath = new Path(dirPath, StatsDir)
+      lazy val full = spark.read.parquet(dirPath.toString)
+      if (!f.exists(statsPath)) Some(full)
+      else {
+        val st = spark.read.parquet(statsPath.toString)
+          .filter(col("col") === colName).collect()
+        if (st.isEmpty) Some(full) // no stats for this column
+        else {
+          val dtype = st.head.getAs[String]("dtype")
+          // keep a file unless its range PROVABLY misses [lo, hi];
+          // all-null stats (min/max null) compare to null -> dropped,
+          // which is correct: the contract filter excludes nulls anyway
+          val keepExpr = !(col("max_v").cast(dtype) < lit(lo) ||
+            col("min_v").cast(dtype) > lit(hi))
+          import spark.implicits._
+          val kept = st.map(r => (r.getAs[String]("file"),
+              r.getAs[String]("min_v"), r.getAs[String]("max_v")))
+            .toSeq.toDF("file", "min_v", "max_v")
+            .filter(keepExpr).select("file").collect()
+            .map(r => new Path(dirPath, r.getString(0)).toString)
+          if (kept.isEmpty) None
+          else Some(spark.read.option("basePath", dirPath.toString)
+            .parquet(kept.toIndexedSeq: _*))
+        }
+      }
+    }
+    if (parts.isEmpty) read(spark, tableDir, Some(v)).filter(lit(false))
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      .filter(pred)
   }
 }

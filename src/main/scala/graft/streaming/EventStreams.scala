@@ -135,10 +135,16 @@ object EventStreams {
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
           val note = s"stream=$streamId;batch=$batchId"
-          val replay = graft.sources.Versioned
-            .lastApplied(spark, tableDir, streamId).exists(_ >= batchId) ||
-            graft.sources.Versioned.commitNotes(spark, tableDir)
-              .values.exists(_ == note)
+          // The note scan is BOUNDED: markers are read newest-first and
+          // stop at the last-applied batch's note, so a long-running
+          // stream pays O(commits since last applied) marker reads per
+          // batch, not O(all versions) — which grows without bound
+          // between vacuums.
+          val la = graft.sources.Versioned
+            .lastApplied(spark, tableDir, streamId)
+          val replay = la.exists(_ >= batchId) ||
+            graft.sources.Versioned.noteRecorded(spark, tableDir, note,
+              stopNote = la.map(b => s"stream=$streamId;batch=$b"))
           if (!replay)
             graft.sources.Versioned.append(batch, tableDir,
               note = Some(note))
