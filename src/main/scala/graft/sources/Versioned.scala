@@ -79,9 +79,12 @@ object Versioned {
 
   private def ownerToken(uuid: String) = s"_owner_$uuid"
 
-  /** The table-relative directories whose data files compose snapshot
-    * `v` (commit order, own directory last). Pre-manifest snapshots are
-    * self-contained: their single entry is the version directory. */
+  /** The table-relative entries whose data files compose snapshot `v`
+    * (commit order, own directory last). An entry is a DIRECTORY
+    * (`v=K`) or — after a file-level [[upsert]]/[[delete]] — an
+    * individual surviving FILE inside one (`v=K/part-….parquet`).
+    * Pre-manifest snapshots are self-contained: their single entry is
+    * the version directory. */
   private def manifestDirs(f: FileSystem, tableDir: String,
       v: Int): Seq[String] = {
     val mf = new Path(tableDir, s"v=$v/$ManifestFile")
@@ -91,6 +94,42 @@ object Versioned {
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
       text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
     }
+  }
+
+  /** Whether `dir` holds hive partition directories (`col=value/`).
+    * Decides the scan strategy: partitioned roots must each be read
+    * under their OWN `basePath` — Spark refuses to infer partitions
+    * across multiple roots ([CONFLICTING_DIRECTORY_STRUCTURES]). */
+  private def isHivePartitioned(f: FileSystem, dir: Path): Boolean =
+    f.listStatus(dir).exists { st =>
+      val n = st.getPath.getName
+      st.isDirectory && n.contains("=") &&
+        !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** One planned scan over manifest entries: `paths` under an optional
+    * explicit `basePath` (present for hive-partitioned roots and for
+    * file entries, whose partition values live in the path). */
+  private case class ScanUnit(paths: Seq[String],
+      basePath: Option[String])
+
+  private def scanUnit(spark: SparkSession, u: ScanUnit): DataFrame =
+    u.basePath.fold(spark.read)(b => spark.read.option("basePath", b))
+      .parquet(u.paths: _*)
+
+  /** Resolve a manifest entry to its scan unit. A directory entry is
+    * its own root (own basePath when hive-partitioned, none
+    * otherwise); a FILE entry anchors to its version directory so
+    * partition values in its path still materialize as columns. */
+  private def entryUnit(f: FileSystem, tableDir: String,
+      entry: String): ScanUnit = {
+    val p = new Path(tableDir, entry)
+    val base =
+      if (f.getFileStatus(p).isFile)
+        Some(new Path(tableDir, entry.split("/").head).toString)
+      else if (isHivePartitioned(f, p)) Some(p.toString)
+      else None
+    ScanUnit(Seq(p.toString), base)
   }
 
   /** Commit a new snapshot: write the data (plus manifest, stats sidecar
@@ -143,6 +182,19 @@ object Versioned {
       if (b != next - 1) throw new IllegalStateException(
         s"append base v=$b is no longer current at $tableDir " +
           s"(current is v=${next - 1}); retry from the new version")
+      // Reconcile the batch's schema against the snapshot it links
+      // BEFORE publishing: a linked commit whose columns cannot union
+      // (e.g. int vs map) would otherwise commit fine and then poison
+      // every subsequent read()/compact() at unionByName — an
+      // unreadable table. (The old copy-on-write append failed such
+      // batches up-front; linking must keep that contract.)
+      try read(spark, tableDir, Some(b))
+        .unionByName(df, allowMissingColumns = true).schema
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"append schema incompatible with snapshot v=$b at " +
+            s"$tableDir: ${e.getMessage}", e)
+      }
     }
     val uuid = java.util.UUID.randomUUID().toString
     val stage = new Path(tableDir, s".stage-v$next-$uuid")
@@ -345,29 +397,36 @@ object Versioned {
   }
 
   /** Read a snapshot: the current one, or any retained version (time
-    * travel). The scan unions the manifest's directories in commit
-    * order (later commits may add columns — missing ones null-fill,
-    * the same schema-evolution contract as before); consecutive
-    * same-schema directories collapse into ONE multi-root scan, so the
-    * common homogeneous append chain (a streaming sink) plans as a
-    * single FileScan over many directories, not a union of hundreds of
-    * nodes. [[compact]] bounds chain length for good. */
+    * travel). The scan unions the manifest's entries in commit order
+    * (later commits may add columns — missing ones null-fill, the
+    * same schema-evolution contract as before); consecutive entries
+    * with identical schema AND identical basePath collapse into ONE
+    * multi-root scan, so the common homogeneous append chain (a
+    * streaming sink) plans as a single FileScan over many directories,
+    * not a union of hundreds of nodes. Hive-PARTITIONED roots never
+    * merge — each reads under its own `basePath` (a multi-root
+    * partition-inferring scan throws CONFLICTING_DIRECTORY_STRUCTURES)
+    * — and unionByName stitches them. [[compact]] bounds chain length
+    * for good. */
   def read(spark: SparkSession, tableDir: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
-    val scans = manifestDirs(f, tableDir, v)
-      .map(dn => new Path(tableDir, dn).toString)
-      .map(p => p -> spark.read.parquet(p).schema)
-    // group runs of identical schema into one multi-path read
-    val grouped = scans.foldLeft(List.empty[(Seq[String],
+    val scans = manifestDirs(f, tableDir, v).map { e =>
+      val u = entryUnit(f, tableDir, e)
+      u -> scanUnit(spark, u).schema
+    }
+    // group runs of identical (basePath, schema) into one multi-path
+    // read; a partitioned root's basePath is itself, so it stays alone
+    val grouped = scans.foldLeft(List.empty[(ScanUnit,
         org.apache.spark.sql.types.StructType)]) {
-      case ((ps, sch) :: rest, (p, s)) if s == sch =>
-        (ps :+ p, sch) :: rest
-      case (acc, (p, s)) => (Seq(p), s) :: acc
+      case ((g, sch) :: rest, (u, s))
+          if s == sch && g.basePath == u.basePath =>
+        (ScanUnit(g.paths ++ u.paths, g.basePath), sch) :: rest
+      case (acc, (u, s)) => (u, s) :: acc
     }.reverse
-    grouped.map { case (ps, _) => spark.read.parquet(ps: _*) }
+    grouped.map { case (u, _) => scanUnit(spark, u) }
       .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 
@@ -380,8 +439,8 @@ object Versioned {
     * snapshot is a consistent prefix of the ingested data and time
     * travel walks ingestion history. O(delta): only the new batch's
     * files are written; the manifest links the previous snapshot's
-    * directories unchanged (verified by EtlSpec — the prior version's
-    * data files are untouched byte-for-byte). */
+    * directories unchanged (EtlSpec "append chain is O(delta)"
+    * asserts the prior version's files stay byte-identical). */
   def append(df: DataFrame, tableDir: String,
       partitionCol: Option[String] = None,
       note: Option[String] = None,
@@ -519,9 +578,15 @@ object Versioned {
     val retained = all.diff(expired)
     val referenced =
       retained.flatMap(v => manifestDirs(f, tableDir, v)).toSet
+    // an entry may be a directory or a FILE inside one (file-level
+    // merge manifests): a directory stays as long as anything under it
+    // is referenced — conservative, and compact() reclaims the rest
+    def dirReferenced(name: String): Boolean =
+      referenced.contains(name) ||
+        referenced.exists(_.startsWith(name + "/"))
     expired.foreach { v =>
       f.delete(new Path(tableDir, s"$MarkerPrefix$v"), false)
-      if (!referenced.contains(s"v=$v"))
+      if (!dirReferenced(s"v=$v"))
         f.delete(new Path(tableDir, s"v=$v"), true)
     }
     val published = committedVersions(spark, tableDir).toSet
@@ -533,7 +598,7 @@ object Versioned {
         // safe parse: a foreign/corrupt `v=x` entry is skipped, never a
         // NumberFormatException that aborts the sweep mid-way
         Try(name.stripPrefix("v=").toInt).toOption.foreach { k =>
-          if (!published.contains(k) && !referenced.contains(name))
+          if (!published.contains(k) && !dirReferenced(name))
             f.delete(st.getPath, true)
         }
       }
@@ -595,7 +660,9 @@ object Versioned {
     val parts = manifestDirs(f, tableDir, v).flatMap { dn =>
       val dirPath = new Path(tableDir, dn)
       val statsPath = new Path(dirPath, StatsDir)
-      lazy val full = spark.read.parquet(dirPath.toString)
+      // file entries and stats-less dirs scan in full under their
+      // entry's basePath (partition values must still materialize)
+      lazy val full = scanUnit(spark, entryUnit(f, tableDir, dn))
       if (!f.exists(statsPath)) Some(full)
       else {
         val st = spark.read.parquet(statsPath.toString)

@@ -263,6 +263,150 @@ class EtlSpec extends SparkSpec {
       Seq("id", "name"))
   }
 
+  test("versioned table: partitioned append chain reads, prunes, travels") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_part_chain"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // the reference's own layout: a hive-partitioned table receiving
+    // snapshot commits (csv_to_ice.py:54,58) — r5's multi-root fast
+    // path crashed here with CONFLICTING_DIRECTORY_STRUCTURES
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "p"), t,
+      partitionCol = Some("p"))
+    Versioned.append(Seq((3, "a"), (4, "c")).toDF("id", "p"), t,
+      partitionCol = Some("p"))
+    Versioned.append(Seq((5, "b")).toDF("id", "p"), t,
+      partitionCol = Some("p"))
+    val all = Versioned.read(spark, t)
+    assert(all.count() == 5)
+    assert(all.select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == (1 to 5))
+    // partition values survive the per-root basePath stitch
+    assert(all.filter(col("p") === "a").select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    // the partition filter reaches every root's scan as a
+    // PartitionFilters entry, not a post-scan Filter
+    val plan = all.filter(col("p") === "a")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("(p#"))
+    // time travel sees each snapshot exactly
+    assert(Versioned.read(spark, t, Some(1)).count() == 2)
+    assert(Versioned.read(spark, t, Some(2)).count() == 4)
+  }
+
+  test("versioned table: append chain is O(delta), prior files untouched") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val t = s"$work/versioned_append_delta"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit((1 to 100).toDF("v").repartition(4), t)
+    def parquetFiles(dir: String): Seq[java.nio.file.Path] =
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+    val before = parquetFiles(s"$t/v=1")
+      .map(p => p -> (Files.getLastModifiedTime(p),
+        Files.readAllBytes(p).toSeq))
+    val v2 = Versioned.append((101 to 110).toDF("v"), t)
+    assert(v2 == 2)
+    // O(delta): v=1's data files are byte-identical and untouched
+    before.foreach { case (p, (mtime, bytes)) =>
+      assert(Files.getLastModifiedTime(p) == mtime, s"$p was rewritten")
+      assert(Files.readAllBytes(p).toSeq == bytes, s"$p content changed")
+    }
+    // ...and v=2 holds ONLY the delta's files
+    assert(Versioned.dataFileCount(spark, t, Some(2)) ==
+      Versioned.dataFileCount(spark, t, Some(1)) +
+        parquetFiles(s"$t/v=2").size)
+    assert(Versioned.read(spark, t).collect().map(_.getInt(0)).sorted
+      .toSeq == (1 to 110))
+    assert(Versioned.read(spark, t, Some(1)).count() == 100)
+  }
+
+  test("versioned table: incompatible append fails before publishing") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_append_schema"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, 10), (2, 20)).toDF("id", "x"), t)
+    // int x vs array x cannot union — the append must fail UP-FRONT
+    // (committing it would leave every subsequent read throwing)
+    intercept[IllegalArgumentException] {
+      Versioned.append(Seq((3, Array(1, 2))).toDF("id", "x"), t)
+    }
+    // nothing published, table still readable
+    assert(Versioned.currentVersion(spark, t) == 1)
+    assert(Versioned.read(spark, t).count() == 2)
+    // a COMPATIBLE widening/evolving append still goes through
+    Versioned.append(Seq((3, 30L, "new")).toDF("id", "x", "extra"), t)
+    val after = Versioned.read(spark, t)
+    assert(after.count() == 3 && after.columns.contains("extra"))
+  }
+
+  test("versioned table: readWhere prunes files, degrades on statless dirs") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_readwhere"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // 4 files with disjoint key ranges -> stats make ranges prunable
+    Versioned.commit((1 to 400).toDF("k").repartitionByRange(4, col("k")),
+      t, statsCols = Seq("k"))
+    val full = Versioned.read(spark, t)
+    val pruned = Versioned.readWhere(spark, t, "k", 10, 20)
+    assert(pruned.inputFiles.length < full.inputFiles.length,
+      s"expected pruning: ${pruned.inputFiles.length} vs " +
+        s"${full.inputFiles.length}")
+    assert(pruned.collect().map(_.getInt(0)).sorted.toSeq == (10 to 20))
+    // an appended dir WITHOUT stats scans in full — degrade, never lie
+    Versioned.append(Seq(15).toDF("k"), t)
+    val mixed = Versioned.readWhere(spark, t, "k", 10, 20)
+    assert(mixed.collect().map(_.getInt(0)).sorted.toSeq ==
+      ((10 to 15) ++ (15 to 20)))
+    // a range provably outside every file's stats reads zero files
+    // from the stats-carrying dir (only the statless delta scans)
+    assert(Versioned.readWhere(spark, t, "k", 1000, 2000).count() == 0)
+  }
+
+  test("versioned table: vacuum reference-counts linked directories") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_refcount"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq(1, 2).toDF("v"), t)
+    Versioned.append(Seq(3).toDF("v"), t)
+    // expire v=1: its marker goes, but its DIRECTORY stays — v=2's
+    // manifest still links it (the Iceberg expire-snapshots rule)
+    Versioned.vacuum(spark, t, keep = 1)
+    assert(Versioned.versions(spark, t) == Seq(2))
+    assert(new java.io.File(s"$t/v=1").isDirectory,
+      "v=1 dir deleted while v=2 still links its files")
+    assert(Versioned.read(spark, t).count() == 3)
+    // compact collapses the chain; now nothing links v=1 or v=2
+    Versioned.compact(spark, t)
+    Versioned.vacuum(spark, t, keep = 1)
+    assert(Versioned.versions(spark, t) == Seq(3))
+    assert(!new java.io.File(s"$t/v=1").exists())
+    assert(!new java.io.File(s"$t/v=2").exists())
+    assert(Versioned.read(spark, t).count() == 3)
+  }
+
+  test("versioned table: schema evolution across append null-fills") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_append_evolve"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "name"), t)
+    Versioned.append(Seq((3, "c", 0.5)).toDF("id", "name", "score"), t)
+    val cur = Versioned.read(spark, t).orderBy("id").collect()
+    assert(cur.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // pre-evolution rows null-fill the new column
+    assert(cur.take(2).forall(_.isNullAt(2)) && cur(2).getDouble(2) == 0.5)
+    // time travel sees the schema as of that snapshot
+    assert(Versioned.read(spark, t, Some(1)).columns.toSeq ==
+      Seq("id", "name"))
+  }
+
   test("partition pruning reaches the scan for the derived date") {
     val table = s"$work/table"
     val pruned = Etl.readTable(spark, table)
