@@ -380,8 +380,12 @@ object Dedup {
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val cc = connectedComponents(
       minhashLsh(s, d).select(col("a_id"), col("b_id")))
+    // No broadcast hint: cc holds every edge-touched doc, and at
+    // web-scale duplicate rates (30-50% of corpus) that is a large
+    // fraction of the table — let AQE pick broadcast only when the
+    // runtime size is actually under the threshold.
     docs(s, d).select(col("doc_id"))
-      .join(broadcast(cc), col("doc_id") === col("id"), "left")
+      .join(cc, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
       .orderBy(col("doc_id"))

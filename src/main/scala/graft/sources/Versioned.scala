@@ -5,6 +5,7 @@ import scala.util.Try
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Snapshot/time-travel table with MANIFEST-based O(delta) appends — the
   * Spark-native emulation of the Iceberg capability the reference's data
@@ -92,7 +93,11 @@ object Versioned {
     else {
       val in = f.open(mf)
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      val entries = text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+      // surface a corrupt/empty manifest with its path, not a bare
+      // UnsupportedOperationException from reducing zero scan groups
+      require(entries.nonEmpty, s"corrupt empty manifest at $mf")
+      entries
     }
   }
 
@@ -169,9 +174,19 @@ object Versioned {
     commitStaged(df, tableDir, partitionCol, note, statsCols,
       linkBase = None)
 
+  /** @param linkBase     snapshot the new version chains onto; its
+    *                     manifest entries are linked unless overridden
+    * @param linkEntries  explicit replacement for the base's entries —
+    *                     the file-level merge path links only the
+    *                     SURVIVING files/dirs of the base snapshot
+    * @param ownDirInManifest false when `df` is empty (a merge that
+    *                     deleted every row it rewrote): an empty
+    *                     parquet directory must not become a scan root */
   private def commitStaged(df: DataFrame, tableDir: String,
       partitionCol: Option[String], note: Option[String],
-      statsCols: Seq[String], linkBase: Option[Int]): Int = {
+      statsCols: Seq[String], linkBase: Option[Int],
+      linkEntries: Option[Seq[String]] = None,
+      ownDirInManifest: Boolean = true): Int = {
     val spark = df.sparkSession
     val f = fs(spark, tableDir)
     val next = currentVersion(spark, tableDir) + 1
@@ -200,10 +215,23 @@ object Versioned {
     val stage = new Path(tableDir, s".stage-v$next-$uuid")
     val w = df.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
-    if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
-    val dirs =
-      linkBase.map(b => manifestDirs(f, tableDir, b)).getOrElse(Nil) :+
-        s"v=$next"
+    // an empty df writes no part files — writeStats' stage read would
+    // fail on a schemaless directory
+    val stageHasData = {
+      val it = f.listFiles(stage, true)
+      var found = false
+      while (!found && it.hasNext)
+        found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (statsCols.nonEmpty && stageHasData)
+      writeStats(spark, f, stage, statsCols)
+    val linked = linkEntries
+      .orElse(linkBase.map(b => manifestDirs(f, tableDir, b)))
+      .getOrElse(Nil)
+    val dirs = if (ownDirInManifest) linked :+ s"v=$next" else linked
+    require(dirs.nonEmpty,
+      s"commit at $tableDir would publish an empty manifest")
     val mf = f.create(new Path(stage, ManifestFile), false)
     try mf.write(dirs.mkString("\n").getBytes("UTF-8")) finally mf.close()
     f.create(new Path(stage, ownerToken(uuid)), false).close()
@@ -541,10 +569,17 @@ object Versioned {
     val sized = partitionCol match {
       case Some(c) =>
         // deterministic within-partition spreader (maps/nondeterministic
-        // exprs can't range-partition; hash the hashable columns)
+        // exprs can't range-partition; hash the hashable columns). A map
+        // ANYWHERE in the type tree — inside a struct or array — is
+        // unhashable too, so the check recurses.
+        def mapFree(dt: DataType): Boolean = dt match {
+          case _: MapType => false
+          case st: StructType => st.fields.forall(fd => mapFree(fd.dataType))
+          case at: ArrayType => mapFree(at.elementType)
+          case _ => true
+        }
         val hashable = data.schema.fields.collect {
-          case fd if !fd.dataType.isInstanceOf[
-            org.apache.spark.sql.types.MapType] => col(fd.name)
+          case fd if mapFree(fd.dataType) => col(fd.name)
         }.toSeq
         if (hashable.nonEmpty)
           data.repartitionByRange(nFiles, col(c), xxhash64(hashable: _*))
@@ -607,27 +642,56 @@ object Versioned {
 
   // —— manifest-level file statistics (commit-time sidecar) ——
 
+  /** Types whose (min, max) round-trip through the stats sidecar
+    * independent of session configuration. Session-zoned timestamps are
+    * stored as EPOCH MICROS (a string cast renders local time, so a
+    * reader under a different `spark.sql.session.timeZone` — or a
+    * DST-ambiguous local instant — would decode shifted bounds and
+    * prune files that contain in-range rows). Binary and nested types
+    * are lossy through a string cast and are rejected at commit. */
+  private def statsRoundTrips(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | DateType | BooleanType |
+         TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   /** Harvest per-file (min, max) for `statsCols` from the freshly
     * written staging directory into a `_stats` parquet sidecar — one
     * extra scan of the DELTA (Iceberg collects the same stats from the
     * writers). File paths are stored stage-relative so the rename to
     * `v=N` keeps them valid; values are stored as strings next to their
-    * catalog type and cast back for pruning comparisons. */
+    * catalog type and cast back for pruning comparisons (timestamps as
+    * TZ-independent epoch micros, see [[statsRoundTrips]]). */
   private def writeStats(spark: SparkSession, f: FileSystem,
       stage: Path, statsCols: Seq[String]): Unit = {
     val data = spark.read.parquet(stage.toString)
     val present = statsCols.filter(data.columns.contains)
     if (present.isEmpty) return
+    present.foreach { c =>
+      val dt = data.schema(c).dataType
+      require(statsRoundTrips(dt), s"statsCols column '$c' has type " +
+        s"${dt.catalogString}, whose stats do not round-trip " +
+        "session-independently (supported: numeric, string, boolean, " +
+        "date, timestamp, timestamp_ntz)")
+    }
+    def enc(c: String)(v: Column): Column = data.schema(c).dataType match {
+      case TimestampType => unix_micros(v).cast("string")
+      case _ => v.cast("string")
+    }
     val aggs = present.flatMap { c => Seq(
-      min(col(c)).cast("string").as(s"min__$c"),
-      max(col(c)).cast("string").as(s"max__$c")) }
+      enc(c)(min(col(c))).as(s"min__$c"),
+      enc(c)(max(col(c))).as(s"max__$c")) }
     val perFile = data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
     val stageName = stage.getName
     // long-form (file, col, dtype, min, max) rows; collect is
     // metadata-scale (files x cols)
     val rows = perFile.collect().flatMap { r =>
-      val full = r.getString(0)
+      // input_file_name() is URI-encoded; %-escaped partition values or
+      // file names must decode before the path is re-joined on disk
+      val raw = r.getString(0)
+      val full = try new java.net.URI(raw).getPath
+        catch { case _: java.net.URISyntaxException => raw }
       val i = full.indexOf(stageName)
       val rel = full.substring(i + stageName.length + 1)
       present.map { c =>
@@ -672,9 +736,20 @@ object Versioned {
           val dtype = st.head.getAs[String]("dtype")
           // keep a file unless its range PROVABLY misses [lo, hi];
           // all-null stats (min/max null) compare to null -> dropped,
-          // which is correct: the contract filter excludes nulls anyway
-          val keepExpr = !(col("max_v").cast(dtype) < lit(lo) ||
-            col("min_v").cast(dtype) > lit(hi))
+          // which is correct: the contract filter excludes nulls anyway.
+          // Session-zoned timestamps were stored as epoch micros: the
+          // bounds convert through THIS session's lit-to-timestamp
+          // semantics — the same interpretation the final filter uses —
+          // then compare on the absolute micros axis.
+          val keepExpr =
+            if (dtype == "timestamp")
+              !(col("max_v").cast("long") <
+                  unix_micros(lit(lo).cast("timestamp")) ||
+                col("min_v").cast("long") >
+                  unix_micros(lit(hi).cast("timestamp")))
+            else
+              !(col("max_v").cast(dtype) < lit(lo) ||
+                col("min_v").cast(dtype) > lit(hi))
           import spark.implicits._
           val kept = st.map(r => (r.getAs[String]("file"),
               r.getAs[String]("min_v"), r.getAs[String]("max_v")))

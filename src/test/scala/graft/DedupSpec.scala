@@ -43,6 +43,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster label join is not a forced broadcast") {
+    // The label side holds every edge-touched doc — at web-scale
+    // duplicate rates that is a large slice of the corpus, so the join
+    // must be allowed to shuffle. With auto-broadcast disabled, a
+    // forced broadcast(cc) hint would still plan BroadcastHashJoin;
+    // the un-hinted join must fall back to a shuffle join.
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Dedup.dedupClusters(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") &&
+        plan.contains("LeftOuter"))
+      assert(!plan.contains("BroadcastHashJoin LeftOuter") &&
+        !plan.contains("BroadcastHashJoin [doc_id"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    }
+  }
+
   test("connected components converge on a high-diameter chain graph") {
     import spark.implicits._
     // Path 0-1-2-...-9: diameter 9, far beyond the near-clique regime

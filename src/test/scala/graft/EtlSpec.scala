@@ -368,6 +368,44 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.readWhere(spark, t, "k", 1000, 2000).count() == 0)
   }
 
+  test("versioned table: timestamp stats prune TZ-independently") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_ts_stats"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // 4 files of disjoint hourly ranges, committed under UTC
+    val tzKey = "spark.sql.session.timeZone"
+    val origTz = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "UTC")
+      val rows = (0 until 96).map(h =>
+        (h, java.sql.Timestamp.valueOf(f"2024-03-10 ${h / 4}%02d:00:00")))
+      Versioned.commit(rows.toDF("id", "ts")
+        .repartitionByRange(4, col("ts")), t, statsCols = Seq("ts"))
+      // read back under a DIFFERENT session TZ (and one with a DST jump
+      // at this very date): pruning must agree with the plain filter
+      spark.conf.set(tzKey, "America/Los_Angeles")
+      val lo = "2024-03-10 06:00:00"
+      val hi = "2024-03-10 08:00:00"
+      val want = Versioned.read(spark, t)
+        .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+        .select("id").collect().map(_.getInt(0)).sorted.toSeq
+      val got = Versioned.readWhere(spark, t, "ts", lo, hi)
+        .select("id").collect().map(_.getInt(0)).sorted.toSeq
+      assert(got == want && want.nonEmpty)
+      // and the stats still PRUNE under the shifted zone
+      assert(Versioned.readWhere(spark, t, "ts", lo, hi).inputFiles.length <
+        Versioned.read(spark, t).inputFiles.length)
+    } finally spark.conf.set(tzKey, origTz)
+    // binary stats are lossy through the sidecar: rejected at commit
+    val t2 = s"$work/versioned_bin_stats"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t2))
+    intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((1, Array[Byte](1, 2))).toDF("id", "blob"), t2,
+        statsCols = Seq("blob"))
+    }
+  }
+
   test("versioned table: vacuum reference-counts linked directories") {
     import spark.implicits._
     import graft.sources.Versioned
