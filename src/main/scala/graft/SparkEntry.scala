@@ -142,6 +142,10 @@ object SparkEntry {
     "q37_sketch_rollup"  -> (Relational.sketchRollup _),
     "q38_window_battery2" -> (Relational.windowBattery2 _),
     "q39_null_safe_join" -> (Relational.nullSafeJoin _),
+    // Snapshot/manifest surface gate (commit, O(delta) append, stats
+    // pruning, file-level merge, partitioned chain — built in a temp
+    // dir, reduced to constants the oracle states literally).
+    "q40_snapshot_append" -> (graft.sources.Versioned.snapshotGate _),
     // —— multimodal plumbing (north-star; decode is a marked stub) ——
     "m01_media_meta"   -> (Multimodal.mediaMeta _),
     // Feature vector projected to scalar f_* columns: driver-checkable
@@ -733,6 +737,25 @@ object SparkEntry {
     "q37_sketch_rollup" ->
       """SELECT CAST(3 AS BIGINT) AS n_groups,
                 CAST(1 AS BIGINT) AS parts_ok""",
+    // Snapshot gate invariants: 3-row commit then 2-row append over
+    // `region` (5 rows at every SF), readWhere key=0 hits 1 row with
+    // files pruned and prior files byte-untouched; file-level upsert
+    // rewrites ONE file, keeps 5 rows, 1 rewritten hit, time travel to
+    // v1 still 3; partitioned `nation` chain: 13 then 25 rows, 5 per
+    // region.
+    "q40_snapshot_append" ->
+      """SELECT CAST(3 AS BIGINT) AS v1_rows,
+                CAST(5 AS BIGINT) AS v2_rows,
+                CAST(1 AS BIGINT) AS rw_rows,
+                CAST(1 AS BIGINT) AS files_pruned,
+                CAST(1 AS BIGINT) AS prior_untouched,
+                CAST(5 AS BIGINT) AS merge_rows,
+                CAST(1 AS BIGINT) AS merge_hit,
+                CAST(1 AS BIGINT) AS merge_own_files,
+                CAST(3 AS BIGINT) AS merge_tt_rows,
+                CAST(13 AS BIGINT) AS p_v1_rows,
+                CAST(25 AS BIGINT) AS p_v2_rows,
+                CAST(5 AS BIGINT) AS p_region2_rows""",
     "q38_window_battery2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,

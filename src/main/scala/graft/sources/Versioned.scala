@@ -480,16 +480,110 @@ object Versioned {
       linkBase = Some(cur))
   }
 
-  /** Row-level MERGE (upsert) by key, copy-on-write: rows of the current
-    * snapshot whose key appears in `updates` are replaced, new keys are
+  /** Absolute, URI-decoded filesystem path of the table root — the
+    * prefix stripped to turn provenance/listing paths table-relative. */
+  private def qualifiedRoot(f: FileSystem, tableDir: String): String =
+    f.makeQualified(new Path(tableDir)).toUri.getPath
+
+  /** Decode an `input_file_name()` value (URI-encoded) to a plain
+    * filesystem path. */
+  private def decodePath(raw: String): String =
+    try new java.net.URI(raw).getPath
+    catch { case _: java.net.URISyntaxException => raw }
+
+  /** Table-relative data files under manifest entry `e` (itself for a
+    * file entry; the recursive parquet listing for a directory,
+    * excluding the `_stats` sidecar). */
+  private def entryFiles(f: FileSystem, tableDir: String,
+      e: String): Seq[String] = {
+    val p = new Path(tableDir, e)
+    if (f.getFileStatus(p).isFile) Seq(e)
+    else {
+      val root = qualifiedRoot(f, tableDir)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      val it = f.listFiles(p, /*recursive=*/ true)
+      while (it.hasNext) {
+        val fp = it.next().getPath
+        if (fp.getName.endsWith(".parquet") &&
+          fp.getParent.getName != StatsDir)
+          buf += fp.toUri.getPath.stripPrefix(root + "/")
+      }
+      buf.toSeq
+    }
+  }
+
+  /** Scan a set of table-relative data files, each under its version
+    * directory's basePath so hive partition values still materialize. */
+  private def readFiles(spark: SparkSession, tableDir: String,
+      rels: Seq[String]): DataFrame =
+    rels.groupBy(_.split("/").head).toSeq.sortBy(_._1)
+      .map { case (vdir, files) =>
+        spark.read.option("basePath", new Path(tableDir, vdir).toString)
+          .parquet(files.map(r => new Path(tableDir, r).toString): _*)
+      }
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** The file-level merge core shared by [[upsert]] and [[delete]]:
+    * split the snapshot's files into touched (contain a row matching
+    * the merge condition — exact provenance via `input_file_name`, so
+    * the parquet scan of `matches` benefits from pushdown while the
+    * decision never over- or under-approximates the way min/max ranges
+    * would) and untouched; rewrite ONLY the touched files' surviving
+    * rows plus `add`, and LINK everything untouched through the
+    * manifest — directories whose files are all untouched as one
+    * entry, partially-touched directories file-by-file. At 100 TB this
+    * turns a single-key update from a full-table rewrite into a scan
+    * plus a handful of file rewrites, which is Iceberg's copy-on-write
+    * MERGE cost model. Returns None when nothing matches (caller
+    * decides: append or no-op). */
+  private def mergeFiles(spark: SparkSession, tableDir: String,
+      matches: DataFrame => DataFrame,
+      rewrite: DataFrame => DataFrame,
+      partitionCol: Option[String],
+      statsCols: Seq[String]): Option[Int] = {
+    val f = fs(spark, tableDir)
+    val v = currentVersion(spark, tableDir)
+    val cur = read(spark, tableDir, Some(v))
+    val root = qualifiedRoot(f, tableDir)
+    // collect is metadata-scale: one row per TOUCHED FILE
+    val touched = matches(cur.withColumn("__file", input_file_name()))
+      .select("__file").distinct().collect()
+      .map(r => decodePath(r.getString(0)).stripPrefix(root + "/"))
+      .toSet
+    if (touched.isEmpty) return None
+    val surviving = manifestDirs(f, tableDir, v).flatMap { e =>
+      val files = entryFiles(f, tableDir, e)
+      if (!files.exists(touched.contains)) Seq(e)
+      else files.filterNot(touched.contains)
+    }
+    // size the rewrite like the files it replaces: without this, a
+    // one-file rewrite fans out to shuffle.partitions tiny part files
+    val rewritten = rewrite(readFiles(spark, tableDir, touched.toSeq))
+      .coalesce(math.max(1, touched.size))
+    val rewroteAll = rewritten.isEmpty
+    Some(commitStaged(rewritten, tableDir,
+      if (rewroteAll) None else partitionCol, note = None, statsCols,
+      linkBase = Some(v),
+      linkEntries = Some(surviving),
+      // a merge that deleted every row it rewrote may leave no part
+      // files behind a partitionBy write; keep the (possibly empty,
+      // but schema-bearing when unpartitioned) own dir only when the
+      // manifest would otherwise be empty
+      ownDirInManifest = !rewroteAll || surviving.isEmpty))
+  }
+
+  /** Row-level MERGE (upsert) by key: rows of the current snapshot
+    * whose key appears in `updates` are replaced, new keys are
     * appended, and the result publishes as one atomic commit — the
-    * Iceberg `MERGE INTO` analog. The anti-join keeps untouched rows
-    * (one shuffle on the key; with the table and updates bucketed on the
-    * key it is exchange-free, see Tables.writeBucketed); unionByName
-    * tolerates updates that add columns (schema evolution, missing
-    * columns null-fill). Pre-merge versions stay time-travelable. */
+    * Iceberg copy-on-write `MERGE INTO` analog, at its cost: only the
+    * FILES containing a matched key are rewritten; every other file of
+    * the snapshot is linked unchanged through the manifest (see
+    * [[mergeFiles]]). unionByName tolerates updates that add columns
+    * (schema evolution, missing columns null-fill). Pre-merge versions
+    * stay time-travelable. */
   def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
-      key: String, partitionCol: Option[String] = None): Int = {
+      key: String, partitionCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Int = {
     // MERGE INTO semantics: multiple source rows per key is an error
     // (Iceberg/Delta reject it); silently appending both would break
     // the table's key-uniqueness invariant forever.
@@ -498,23 +592,34 @@ object Versioned {
       .limit(1).count()
     require(dup == 0,
       s"upsert updates contain duplicate values of key '$key'")
-    val cur = read(spark, tableDir)
-    val merged = cur
-      .join(updates.select(key).distinct(), Seq(key), "left_anti")
-      .unionByName(updates, allowMissingColumns = true)
-    commit(merged, tableDir, partitionCol)
+    if (updates.isEmpty) return currentVersion(spark, tableDir)
+    val keys = updates.select(key).distinct()
+    mergeFiles(spark, tableDir,
+      matches = _.join(keys, Seq(key), "left_semi"),
+      rewrite = _.join(keys, Seq(key), "left_anti")
+        .unionByName(updates, allowMissingColumns = true),
+      partitionCol, statsCols)
+      // no existing key matched: the whole batch is new rows — O(delta)
+      .getOrElse(append(updates, tableDir, partitionCol,
+        statsCols = statsCols))
   }
 
-  /** Row-level DELETE, copy-on-write: publish a new snapshot without the
-    * rows matching `pred` — the Iceberg `DELETE FROM` analog. SQL
-    * semantics: only rows where `pred` is TRUE are deleted; rows where
-    * it evaluates NULL are kept (a bare `filter(!pred)` would silently
-    * drop them too). */
+  /** Row-level DELETE: publish a new snapshot without the rows matching
+    * `pred` — the Iceberg copy-on-write `DELETE FROM` analog: only the
+    * files CONTAINING a matching row are rewritten, the rest link
+    * unchanged (see [[mergeFiles]]). SQL semantics: only rows where
+    * `pred` is TRUE are deleted; rows where it evaluates NULL are kept
+    * (a bare `filter(!pred)` would silently drop them too). A delete
+    * matching nothing is a no-op returning the current version. */
   def delete(spark: SparkSession, tableDir: String,
       pred: Column,
-      partitionCol: Option[String] = None): Int =
-    commit(read(spark, tableDir).filter(not(coalesce(pred, lit(false)))),
-      tableDir, partitionCol)
+      partitionCol: Option[String] = None,
+      statsCols: Seq[String] = Nil): Int =
+    mergeFiles(spark, tableDir,
+      matches = _.filter(coalesce(pred, lit(false))),
+      rewrite = _.filter(not(coalesce(pred, lit(false)))),
+      partitionCol, statsCols)
+      .getOrElse(currentVersion(spark, tableDir))
 
   /** Number of data files in a snapshot, across every directory its
     * manifest links (maintenance introspection). */
@@ -638,6 +743,76 @@ object Versioned {
         }
       }
     }
+  }
+
+  /** Driver-visible gate over the snapshot/manifest surface — the
+    * d07/s04 pattern: build a small versioned table from the fixture's
+    * SF-independent `region`/`nation` tables (commit → O(delta) append
+    * → readWhere → file-level upsert, plus the reference's own
+    * partitioned layout, csv_to_ice.py:54,58), reduce each invariant
+    * to an engine-independent constant, and emit ONE row the DuckDB
+    * oracle states literally. Gives CORRECTNESS_r{N} a row that fails
+    * whenever commit/append/time-travel/stats-pruning/merge regress. */
+  def snapshotGate(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val work = Files.createTempDirectory("graft-snapshot-gate")
+    def fileState(dir: String): Map[String, (Long, Long)] =
+      Files.walk(Paths.get(dir)).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p.toString ->
+          (Files.getLastModifiedTime(p).toMillis, Files.size(p))).toMap
+    try {
+      val region = Tables.load(s, d, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val nation = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      // — unpartitioned chain with stats: commit 3 rows, append 2 —
+      val t = work.resolve("tbl").toString
+      commit(region.filter(col("r_regionkey") < 3).repartition(3), t,
+        statsCols = Seq("r_regionkey"))
+      val before = fileState(s"$t/v=1")
+      append(region.filter(col("r_regionkey") >= 3), t,
+        statsCols = Seq("r_regionkey"))
+      val untouched = fileState(s"$t/v=1") == before
+      val v1Rows = read(s, t, Some(1)).count()
+      val v2Rows = read(s, t).count()
+      val rw = readWhere(s, t, "r_regionkey", 0, 0)
+      val pruned = rw.inputFiles.length < read(s, t).inputFiles.length
+      val rwRows = rw.count()
+      // — file-level merge: one key rewritten, prior files linked —
+      upsert(s, t, region.filter(col("r_regionkey") === 0)
+        .withColumn("r_name", lit("REWRITTEN")), "r_regionkey")
+      val mRows = read(s, t).count()
+      val mHit = read(s, t)
+        .filter(col("r_name") === "REWRITTEN").count()
+      val mOwnFiles = fileState(s"$t/v=3").size
+      val mTt = read(s, t, Some(1)).count()
+      // — partitioned chain: the reference's own layout —
+      val tp = work.resolve("tbl_part").toString
+      commit(nation.filter(col("n_nationkey") < 13), tp,
+        partitionCol = Some("n_regionkey"))
+      append(nation.filter(col("n_nationkey") >= 13), tp,
+        partitionCol = Some("n_regionkey"))
+      val pV1 = read(s, tp, Some(1)).count()
+      val pV2 = read(s, tp).count()
+      val pRegion2 = read(s, tp)
+        .filter(col("n_regionkey") === 2).count()
+      s.range(1).select(
+        lit(v1Rows).as("v1_rows"),
+        lit(v2Rows).as("v2_rows"),
+        lit(rwRows).as("rw_rows"),
+        lit(if (pruned) 1L else 0L).as("files_pruned"),
+        lit(if (untouched) 1L else 0L).as("prior_untouched"),
+        lit(mRows).as("merge_rows"),
+        lit(mHit).as("merge_hit"),
+        lit(mOwnFiles.toLong).as("merge_own_files"),
+        lit(mTt).as("merge_tt_rows"),
+        lit(pV1).as("p_v1_rows"),
+        lit(pV2).as("p_v2_rows"),
+        lit(pRegion2).as("p_region2_rows"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
 
   // —— manifest-level file statistics (commit-time sidecar) ——

@@ -134,6 +134,58 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.read(spark, t, Some(2)).count() == 4)
   }
 
+  test("versioned table: merge rewrites only touched files, links the rest") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val t = s"$work/versioned_filemerge"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // 8 files of disjoint key ranges
+    Versioned.commit((1 to 800).map(i => (i, i * 10)).toDF("id", "x")
+      .repartitionByRange(8, col("id")), t)
+    def v1Files(): Map[java.nio.file.Path, java.nio.file.attribute.FileTime] =
+      Files.walk(Paths.get(s"$t/v=1")).iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    val before = v1Files()
+    assert(before.size == 8)
+    // single-key upsert: exactly ONE file rewritten, seven linked
+    val v2 = Versioned.upsert(spark, t, Seq((42, -1)).toDF("id", "x"), "id")
+    assert(v2 == 2)
+    assert(v1Files() == before, "v=1 files must be untouched")
+    // the new version's own dir holds only the one rewritten file
+    val v2Own = Files.walk(Paths.get(s"$t/v=2")).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(v2Own == 1, s"expected 1 rewritten file, got $v2Own")
+    val cur = Versioned.read(spark, t)
+    assert(cur.count() == 800)
+    assert(cur.filter(col("id") === 42).select("x").head().getInt(0) == -1)
+    assert(cur.filter(col("id") === 41).select("x").head().getInt(0) == 410)
+    // single-row delete: again one file rewritten, history intact
+    val v3 = Versioned.delete(spark, t, col("id") === 100)
+    assert(v3 == 3)
+    assert(v1Files() == before)
+    assert(Versioned.read(spark, t).count() == 799)
+    assert(Versioned.read(spark, t, Some(1))
+      .filter(col("id") === 42).select("x").head().getInt(0) == 420)
+    assert(Versioned.read(spark, t, Some(2)).count() == 800)
+    // a delete matching nothing is a no-op, not a new version
+    assert(Versioned.delete(spark, t, col("id") === -999) == 3)
+    assert(Versioned.versions(spark, t) == Seq(1, 2, 3))
+    // upsert of only-new keys takes the pure append path (O(delta))
+    val v4 = Versioned.upsert(spark, t,
+      Seq((1001, 1), (1002, 2)).toDF("id", "x"), "id")
+    assert(v4 == 4 && v1Files() == before)
+    assert(Versioned.read(spark, t).count() == 801)
+    // deleting EVERY row still publishes a readable empty snapshot
+    val v5 = Versioned.delete(spark, t, lit(true))
+    assert(v5 == 5)
+    assert(Versioned.read(spark, t).count() == 0)
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("id", "x"))
+    assert(Versioned.read(spark, t, Some(4)).count() == 801)
+  }
+
   test("versioned table: concurrent committers race cleanly on the marker") {
     import spark.implicits._
     import graft.sources.Versioned
