@@ -6,27 +6,64 @@ import org.apache.spark.sql.SparkSession
   * prints one JSON line. Each query runs once untimed (JIT + code cache +
   * file-system cache warmup), then the timed run materializes the full
   * result through the noop sink — `count()` alone would let Catalyst
-  * prune the projected columns and undercount the real work. */
+  * prune the projected columns and undercount the real work.
+  *
+  * Besides seconds, each query reports its timed run's RESOURCE metrics
+  * (shuffle bytes written, summed operator peak memory, spill bytes,
+  * scan rows) harvested by [[graft.tools.Metrics]] — so a reader can
+  * tell scheduler noise (seconds moved, resources identical) from a
+  * real plan regression (resources moved too) without a re-run. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get("graft-bench")
+    val rec = graft.tools.Metrics.attach(spark)
 
     def runOnce(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
+    // QueryExecutionListener delivery is async (listener bus): wait
+    // until the record count stays stable so a run's metrics are fully
+    // in before we snapshot or clear.
+    def quiesce(): Unit = {
+      var last = -1
+      var cur = rec.records.size
+      var spins = 0
+      while (cur != last && spins < 100) {
+        last = cur
+        Thread.sleep(50)
+        cur = rec.records.size
+        spins += 1
+      }
+    }
+
+    case class M(sec: Double, shuffleBytes: Long, peakMem: Long,
+        spill: Long, scanRows: Long)
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       try {
         runOnce(name) // warmup
+        quiesce()
+        rec.clear()
         val t0 = System.nanoTime()
         runOnce(name)
-        name -> (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        quiesce()
+        // a query may run several executions (metadata collects,
+        // iterative rounds) — sum them: the TOTAL resource bill of the
+        // timed run is what distinguishes noise from plan change
+        val rs = rec.records.filterNot(_.failed)
+        name -> M(sec,
+          rs.map(_.shuffleBytesWritten).sum,
+          rs.map(_.peakExecutionMemory).sum,
+          rs.map(_.spillSize).sum,
+          rs.map(_.scanRows).sum)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> -1.0
+          name -> M(-1.0, 0L, 0L, 0L, 0L)
       } finally {
         // Queries cache intra-query intermediates (shingle indexes,
         // refined centroids); none are meant to be shared across
@@ -34,12 +71,19 @@ object Bench {
         // over the run (measured: no timed-run cost — each query's
         // timed pass is warmed by its own warmup either way).
         spark.catalog.clearCache()
+        rec.clear()
       }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, m) => "\"" + k + "\":" + m.sec }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ms = results.map { case (k, m) =>
+      "\"" + k + "\":{\"shuffle_bytes\":" + m.shuffleBytes +
+        ",\"peak_mem\":" + m.peakMem +
+        ",\"spill_bytes\":" + m.spill +
+        ",\"scan_rows\":" + m.scanRows + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.sec).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
