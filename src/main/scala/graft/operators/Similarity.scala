@@ -263,6 +263,25 @@ object Similarity {
     cents.write.mode("overwrite").parquet(centroidsDir(indexDir))
   }
 
+  /** Incremental index maintenance — realistic ANN upkeep at 100 TB:
+    * new vectors are assigned against the PERSISTED centroid table and
+    * APPENDED to their cell partitions, so ingesting a delta costs
+    * O(delta) compute and I/O instead of [[buildIvfIndex]]'s full
+    * rebuild. Centroids stay immutable after build (the IVF contract —
+    * re-fitting them would strand previously assigned members in stale
+    * cells; periodic full rebuilds handle drift). Appending to a
+    * missing `indexDir` bootstraps it, so a one-shot build and any
+    * incremental construction at the same centroids produce the same
+    * index (SimilaritySpec asserts probe-equality). */
+  def appendToIvfIndex(s: SparkSession, newVectors: DataFrame,
+      indexDir: String): Unit = {
+    val cents = s.read.parquet(centroidsDir(indexDir))
+    val delta = newVectors.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    assignCells(delta, cents)
+      .write.mode("append").partitionBy("cell").parquet(indexDir)
+  }
+
   /** Query a persisted [[buildIvfIndex]] index: the probe-cell set
     * (#queries x nProbe cell ids — metadata-scale, like a partition
     * listing) prunes the scan to those directories, then members are
@@ -295,7 +314,11 @@ object Similarity {
       .collect().map(_.getLong(0))
     // Partition-dir values infer as int; filter with ints so the
     // predicate hits the partition column uncasted (a cast would block
-    // static pruning), then widen for the probe join.
+    // static pruning), then widen for the probe join. Cell ids are
+    // centroid ordinals (bounded by the centroid table), so the
+    // narrowing is safe — asserted, not assumed.
+    require(probed.forall(c => c.isValidInt),
+      s"IVF cell id beyond Int range: ${probed.max}")
     val indexed = s.read.parquet(indexDir)
       .filter(col("cell").isin(probed.map(_.toInt): _*))
       .withColumn("cell", col("cell").cast("long"))

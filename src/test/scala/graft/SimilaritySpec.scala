@@ -104,4 +104,41 @@ class SimilaritySpec extends SparkSpec {
       .map(_.toString).toSeq ==
       Similarity.ivfTopKKmeans(spark, sf).collect().map(_.toString).toSeq)
   }
+
+  test("incremental IVF append equals one-shot assignment, is O(delta)") {
+    import org.apache.spark.sql.functions._
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val full = "target/tmp/ivf-incr-full"
+    val incr = "target/tmp/ivf-incr-steps"
+    Seq(full, incr, s"$full.centroids", s"$incr.centroids").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    // one-shot build fixes the centroid table; the incremental index
+    // shares it (centroids are immutable after build)
+    Similarity.buildIvfIndex(spark, sf, full)
+    spark.read.parquet(s"$full.centroids")
+      .write.parquet(s"$incr.centroids")
+    val corpus = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") >= Similarity.NumQueries)
+      .select(col("vec_id"), col("embedding"))
+    // bootstrap-append half the corpus, then append the other half
+    Similarity.appendToIvfIndex(spark,
+      corpus.filter(col("vec_id") % 2 === 0), incr)
+    val before = Files.walk(Paths.get(incr)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString -> Files.getLastModifiedTime(p)).toMap
+    Similarity.appendToIvfIndex(spark,
+      corpus.filter(col("vec_id") % 2 === 1), incr)
+    // O(delta): the first batch's files are untouched by the second
+    before.foreach { case (p, mtime) =>
+      assert(Files.getLastModifiedTime(Paths.get(p)) == mtime,
+        s"$p rewritten by append")
+    }
+    // probing the incrementally built index returns EXACTLY the
+    // one-shot index's neighbors (same centroids, same candidates)
+    assert(Similarity.ivfTopKIndexed(spark, sf, incr).collect()
+      .map(_.toString).toSeq ==
+      Similarity.ivfTopKIndexed(spark, sf, full).collect()
+        .map(_.toString).toSeq)
+  }
 }
