@@ -44,19 +44,29 @@ object Events {
   /** Time-series densification (gap filling): per-user hourly counts
     * with zero rows for every silent hour between the user's first and
     * last activity — the resample step before any rolling statistic or
-    * forecast. The dense grid comes from `sequence()` exploded per
-    * user (rows = active span hours, generated distributed, never on
-    * the driver) and a left join against the observed counts. */
+    * forecast. The dense grid is generated distributed (never on the
+    * driver) and CHUNKED: months explode first, then the hours within
+    * each (user, month) clipped to the active span — so a user active
+    * for years materializes at most a 744-slot array per row, not one
+    * span-length array (the unchunked `sequence(lo, hi)` row is the
+    * thing that OOMs on decade-long histories at 100 TB). */
   def gapFillHourly(s: SparkSession, d: String): DataFrame = {
     val hours = ev(s, d).select(col("user_id"),
       date_trunc("hour", col("ts")).as("hour"))
     val counts = hours.groupBy(col("user_id"), col("hour"))
       .agg(count(lit(1)).as("cnt"))
+    val month = expr("INTERVAL 1 MONTH")
+    val hour = expr("INTERVAL 1 HOUR")
     val dense = hours.groupBy(col("user_id"))
       .agg(min(col("hour")).as("lo"), max(col("hour")).as("hi"))
+      .select(col("user_id"), col("lo"), col("hi"),
+        explode(sequence(date_trunc("month", col("lo")),
+          date_trunc("month", col("hi")), month)).as("m"))
       .select(col("user_id"),
-        explode(sequence(col("lo"), col("hi"),
-          expr("INTERVAL 1 HOUR"))).as("hour"))
+        explode(sequence(
+          greatest(col("m"), col("lo")),
+          least(col("m") + month - hour, col("hi")),
+          hour)).as("hour"))
     dense.join(counts, Seq("user_id", "hour"), "left")
       .select(col("user_id"), col("hour"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))

@@ -78,6 +78,19 @@ class SkewPlanSpec extends SparkSpec {
     assert(df.collect().head.getLong(0) == manual)
   }
 
+  test("lateral top-n decorrelates to WindowGroupLimit, not a loop join") {
+    // The correlated LATERAL (ORDER BY + LIMIT per customer) must plan
+    // as the group-limit window over ONE orders shuffle joined back on
+    // the key — a per-row nested-loop re-execution of the subquery
+    // would be quadratic at scale.
+    val plan = graft.SparkEntry.queries("q36_lateral_topn")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"))
+  }
+
   test("RangeJoinRule floor-division buckets negative values correctly") {
     import spark.implicits._
     // values straddling zero: pairs within |a-b| <= 10 across the origin
