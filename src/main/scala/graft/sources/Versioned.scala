@@ -215,17 +215,7 @@ object Versioned {
     val stage = new Path(tableDir, s".stage-v$next-$uuid")
     val w = df.write.mode("overwrite")
     partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
-    // an empty df writes no part files — writeStats' stage read would
-    // fail on a schemaless directory
-    val stageHasData = {
-      val it = f.listFiles(stage, true)
-      var found = false
-      while (!found && it.hasNext)
-        found = it.next().getPath.getName.endsWith(".parquet")
-      found
-    }
-    if (statsCols.nonEmpty && stageHasData)
-      writeStats(spark, f, stage, statsCols)
+    if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
     val linked = linkEntries
       .orElse(linkBase.map(b => manifestDirs(f, tableDir, b)))
       .getOrElse(Nil)
@@ -540,13 +530,24 @@ object Versioned {
       matches: DataFrame => DataFrame,
       rewrite: DataFrame => DataFrame,
       partitionCol: Option[String],
-      statsCols: Seq[String]): Option[Int] = {
+      statsCols: Seq[String],
+      pruneRange: Option[(String, Any, Any)] = None): Option[Int] = {
     val f = fs(spark, tableDir)
     val v = currentVersion(spark, tableDir)
-    val cur = read(spark, tableDir, Some(v))
     val root = qualifiedRoot(f, tableDir)
+    // The provenance scan that locates touched files reads the whole
+    // snapshot by default; with a key range and a `_stats` sidecar it
+    // reads only the files whose (min, max) intersect the range —
+    // manifest-level pruning makes a narrow upsert's discovery cost
+    // O(candidate files), not O(table). Sound because a pruned-away
+    // file provably contains no row in the range, hence no match.
+    val probe = pruneRange match {
+      case Some((c, lo, hi)) => readWhere(spark, tableDir, c, lo, hi,
+        Some(v))
+      case None => read(spark, tableDir, Some(v))
+    }
     // collect is metadata-scale: one row per TOUCHED FILE
-    val touched = matches(cur.withColumn("__file", input_file_name()))
+    val touched = matches(probe.withColumn("__file", input_file_name()))
       .select("__file").distinct().collect()
       .map(r => decodePath(r.getString(0)).stripPrefix(root + "/"))
       .toSet
@@ -594,11 +595,18 @@ object Versioned {
       s"upsert updates contain duplicate values of key '$key'")
     if (updates.isEmpty) return currentVersion(spark, tableDir)
     val keys = updates.select(key).distinct()
+    // every matched row's key lies in [min, max] of the update keys, so
+    // the range soundly bounds the provenance scan via stats pruning
+    // (one tiny agg — updates are the small side of a merge)
+    val bounds = updates.agg(min(col(key)), max(col(key))).head()
+    val range =
+      if (bounds.isNullAt(0)) None
+      else Some((key, bounds.get(0), bounds.get(1)))
     mergeFiles(spark, tableDir,
       matches = _.join(keys, Seq(key), "left_semi"),
       rewrite = _.join(keys, Seq(key), "left_anti")
         .unionByName(updates, allowMissingColumns = true),
-      partitionCol, statsCols)
+      partitionCol, statsCols, range)
       // no existing key matched: the whole batch is new rows — O(delta)
       .getOrElse(append(updates, tableDir, partitionCol,
         statsCols = statsCols))
@@ -783,9 +791,11 @@ object Versioned {
       // — file-level merge: one key rewritten, prior files linked —
       upsert(s, t, region.filter(col("r_regionkey") === 0)
         .withColumn("r_name", lit("REWRITTEN")), "r_regionkey")
-      val mRows = read(s, t).count()
-      val mHit = read(s, t)
-        .filter(col("r_name") === "REWRITTEN").count()
+      // one job for (count, rewritten hits) — every count here is a
+      // full Spark action, so the gate batches its probes
+      val m = read(s, t).agg(count(lit(1)),
+        sum(when(col("r_name") === "REWRITTEN", 1L).otherwise(0L))).head()
+      val (mRows, mHit) = (m.getLong(0), m.getLong(1))
       val mOwnFiles = fileState(s"$t/v=3").size
       val mTt = read(s, t, Some(1)).count()
       // — partitioned chain: the reference's own layout —
@@ -795,9 +805,9 @@ object Versioned {
       append(nation.filter(col("n_nationkey") >= 13), tp,
         partitionCol = Some("n_regionkey"))
       val pV1 = read(s, tp, Some(1)).count()
-      val pV2 = read(s, tp).count()
-      val pRegion2 = read(s, tp)
-        .filter(col("n_regionkey") === 2).count()
+      val p2 = read(s, tp).agg(count(lit(1)),
+        sum(when(col("n_regionkey") === 2, 1L).otherwise(0L))).head()
+      val (pV2, pRegion2) = (p2.getLong(0), p2.getLong(1))
       s.range(1).select(
         lit(v1Rows).as("v1_rows"),
         lit(v2Rows).as("v2_rows"),
@@ -839,7 +849,24 @@ object Versioned {
     * TZ-independent epoch micros, see [[statsRoundTrips]]). */
   private def writeStats(spark: SparkSession, f: FileSystem,
       stage: Path, statsCols: Seq[String]): Unit = {
-    val data = spark.read.parquet(stage.toString)
+    // scan by explicit file paths under a basePath: the dot-hidden
+    // stage dir as a scan root logs a spurious "All paths were
+    // ignored" WARN (hidden-path filter), and an EMPTY stage (a merge
+    // that deleted every rewritten row) must no-op, not fail schema
+    // inference
+    val dataFiles = {
+      val it = f.listFiles(stage, /*recursive=*/ true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet") &&
+          p.getParent.getName != StatsDir) buf += p.toString
+      }
+      buf.toSeq
+    }
+    if (dataFiles.isEmpty) return
+    val data = spark.read.option("basePath", stage.toString)
+      .parquet(dataFiles: _*)
     val present = statsCols.filter(data.columns.contains)
     if (present.isEmpty) return
     present.foreach { c =>
@@ -904,8 +931,17 @@ object Versioned {
       lazy val full = scanUnit(spark, entryUnit(f, tableDir, dn))
       if (!f.exists(statsPath)) Some(full)
       else {
-        val st = spark.read.parquet(statsPath.toString)
-          .filter(col("col") === colName).collect()
+        // read the sidecar by explicit file paths: the `_stats` dir
+        // name is underscore-hidden on purpose (data scans of v=N must
+        // skip it), but passing the hidden dir as a scan root makes
+        // every consumer log a spurious "All paths were ignored" WARN
+        val statFiles = f.listStatus(statsPath).toSeq.map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        // a sidecar dir without files degrades like a missing one
+        val st =
+          if (statFiles.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else spark.read.parquet(statFiles.map(_.toString): _*)
+            .filter(col("col") === colName).collect()
         if (st.isEmpty) Some(full) // no stats for this column
         else {
           val dtype = st.head.getAs[String]("dtype")

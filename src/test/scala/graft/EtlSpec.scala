@@ -141,12 +141,15 @@ class EtlSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val t = s"$work/versioned_filemerge"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
-    // 8 files of disjoint key ranges
+    // 8 files of disjoint key ranges, with key stats: the merge's
+    // provenance scan takes the stats-pruned path (candidate files
+    // only), which must find the same touched files as a full scan
     Versioned.commit((1 to 800).map(i => (i, i * 10)).toDF("id", "x")
-      .repartitionByRange(8, col("id")), t)
+      .repartitionByRange(8, col("id")), t, statsCols = Seq("id"))
     def v1Files(): Map[java.nio.file.Path, java.nio.file.attribute.FileTime] =
       Files.walk(Paths.get(s"$t/v=1")).iterator().asScala
-        .filter(_.toString.endsWith(".parquet"))
+        .filter(p => p.toString.endsWith(".parquet") &&
+          p.getParent.getFileName.toString != "_stats")
         .map(p => p -> Files.getLastModifiedTime(p)).toMap
     val before = v1Files()
     assert(before.size == 8)
