@@ -753,6 +753,52 @@ object Versioned {
     }
   }
 
+  // —— metadata tables (Iceberg `.history` / `.files` analogs) ——
+
+  /** Snapshot history as a DataFrame — the Iceberg `.snapshots` /
+    * `.history` metadata-table analog (the reference inspects the same
+    * lineage through Iceberg's metadata JSON): one row per retained
+    * version with its commit time (publish-marker mtime), note, and
+    * manifest shape. Built from marker/manifest metadata only — no data
+    * file is opened. */
+  def history(spark: SparkSession, tableDir: String): DataFrame = {
+    val f = fs(spark, tableDir)
+    val rows = committedVersions(spark, tableDir).map { v =>
+      val entries = manifestDirs(f, tableDir, v)
+      (v,
+        new java.sql.Timestamp(f.getFileStatus(
+          new Path(tableDir, s"$MarkerPrefix$v")).getModificationTime),
+        readNote(f, tableDir, v),
+        entries.size,
+        // an append/merge links prior dirs or files; a full commit or
+        // compact is self-contained (its only entry is itself)
+        entries != Seq(s"v=$v"))
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "note", "n_entries", "linked")
+  }
+
+  /** Per-file inventory of a snapshot — the Iceberg `.files`
+    * metadata-table analog: every data file the version's manifest
+    * reaches, with its size, owning entry, and whether it is LINKED
+    * from an older version (O(delta) append / file-level merge) or
+    * written by this version. Metadata-scale: one FS listing per
+    * manifest entry, no file contents read. */
+  def files(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    require(v > 0, s"no committed version at $tableDir")
+    val f = fs(spark, tableDir)
+    val rows = manifestDirs(f, tableDir, v).flatMap { e =>
+      entryFiles(f, tableDir, e).map { rel =>
+        (rel, f.getFileStatus(new Path(tableDir, rel)).getLen,
+          e, !rel.startsWith(s"v=$v/"))
+      }
+    }
+    import spark.implicits._
+    rows.toDF("file", "size_bytes", "entry", "linked")
+  }
+
   /** Driver-visible gate over the snapshot/manifest surface — the
     * d07/s04 pattern: build a small versioned table from the fixture's
     * SF-independent `region`/`nation` tables (commit → O(delta) append

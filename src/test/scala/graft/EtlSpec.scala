@@ -189,6 +189,38 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.read(spark, t, Some(4)).count() == 801)
   }
 
+  test("versioned table: history and files metadata tables") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_meta"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), t,
+      note = Some("initial"))
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t)
+    Versioned.upsert(spark, t, Seq((2, "B")).toDF("id", "v"), "id")
+    val h = Versioned.history(spark, t).orderBy("version").collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    assert(h.head.getString(2) == "initial")
+    // v1 is self-contained; v2 (append) and v3 (merge) link history
+    assert(!h(0).getBoolean(4) && h(1).getBoolean(4) && h(2).getBoolean(4))
+    assert(h.map(_.getTimestamp(1).getTime).toSeq.sorted ==
+      h.map(_.getTimestamp(1).getTime).toSeq)
+    // files: inventory matches dataFileCount, sizes are real, and the
+    // current version distinguishes its own files from linked ones
+    val fl = Versioned.files(spark, t).collect()
+    assert(fl.length == Versioned.dataFileCount(spark, t))
+    assert(fl.forall(_.getLong(1) > 0))
+    val (linked, own) = fl.partition(_.getBoolean(3))
+    assert(own.nonEmpty && own.forall(_.getString(0).startsWith("v=3/")))
+    assert(linked.nonEmpty &&
+      linked.forall(!_.getString(0).startsWith("v=3/")))
+    // after compact the snapshot is self-contained again
+    Versioned.compact(spark, t)
+    assert(Versioned.files(spark, t).collect().forall(!_.getBoolean(3)))
+    assert(!Versioned.history(spark, t)
+      .orderBy(col("version").desc).head().getBoolean(4))
+  }
+
   test("versioned table: concurrent committers race cleanly on the marker") {
     import spark.implicits._
     import graft.sources.Versioned
