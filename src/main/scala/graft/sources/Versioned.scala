@@ -470,6 +470,27 @@ object Versioned {
       linkBase = Some(cur))
   }
 
+  /** ROLLBACK to a retained snapshot — the Iceberg
+    * `rollback_to_snapshot` analog: publishes a NEW version whose
+    * manifest is `to`'s manifest, so the table's current content
+    * becomes version `to`'s again while every intermediate version
+    * stays time-travelable (history is never rewritten — undoing a bad
+    * commit is itself a commit). Metadata-only: no data file is
+    * written, copied, or read beyond a schema peek; O(1) in table
+    * size. */
+  def rollback(spark: SparkSession, tableDir: String, to: Int,
+      note: Option[String] = None): Int = {
+    val vs = committedVersions(spark, tableDir)
+    require(vs.contains(to),
+      s"cannot rollback to v=$to at $tableDir (retained: $vs)")
+    val f = fs(spark, tableDir)
+    commitStaged(read(spark, tableDir, Some(to)).limit(0), tableDir,
+      partitionCol = None, note = note, statsCols = Nil,
+      linkBase = None,
+      linkEntries = Some(manifestDirs(f, tableDir, to)),
+      ownDirInManifest = false)
+  }
+
   /** Absolute, URI-decoded filesystem path of the table root — the
     * prefix stripped to turn provenance/listing paths table-relative. */
   private def qualifiedRoot(f: FileSystem, tableDir: String): String =
@@ -962,61 +983,76 @@ object Versioned {
     * which is the Iceberg manifest-pruning mechanism behind the
     * reference's pruned-split enumeration (reference README.md:161).
     * Directories committed without stats (or without stats for this
-    * column) are scanned in full — pruning degrades, never lies. */
+    * column) are scanned in full — pruning degrades, never lies. FILE
+    * entries (a file-level merge's surviving files) prune through the
+    * sidecar of the VERSION that wrote them, so a merged table keeps
+    * the pruning its files were committed with. */
   def readWhere(spark: SparkSession, tableDir: String, colName: String,
       lo: Any, hi: Any, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
     val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
-    val parts = manifestDirs(f, tableDir, v).flatMap { dn =>
-      val dirPath = new Path(tableDir, dn)
-      val statsPath = new Path(dirPath, StatsDir)
-      // file entries and stats-less dirs scan in full under their
-      // entry's basePath (partition values must still materialize)
-      lazy val full = scanUnit(spark, entryUnit(f, tableDir, dn))
-      if (!f.exists(statsPath)) Some(full)
-      else {
-        // read the sidecar by explicit file paths: the `_stats` dir
-        // name is underscore-hidden on purpose (data scans of v=N must
-        // skip it), but passing the hidden dir as a scan root makes
-        // every consumer log a spurious "All paths were ignored" WARN
-        val statFiles = f.listStatus(statsPath).toSeq.map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-        // a sidecar dir without files degrades like a missing one
-        val st =
-          if (statFiles.isEmpty) Array.empty[org.apache.spark.sql.Row]
-          else spark.read.parquet(statFiles.map(_.toString): _*)
-            .filter(col("col") === colName).collect()
-        if (st.isEmpty) Some(full) // no stats for this column
+    // memoized per-version sidecar: a merged manifest lists many FILE
+    // entries of one version — read that version's stats once, not per
+    // entry. Sidecar rows are (file, col, dtype, min_v, max_v); read by
+    // explicit file paths (the underscore-hidden dir as a scan root
+    // logs a spurious "All paths were ignored" WARN); an empty or
+    // missing sidecar degrades to full scans.
+    val sidecars =
+      scala.collection.mutable.Map.empty[String, Seq[org.apache.spark.sql.Row]]
+    def sidecar(vroot: String): Seq[org.apache.spark.sql.Row] =
+      sidecars.getOrElseUpdate(vroot, {
+        val statsPath = new Path(new Path(tableDir, vroot), StatsDir)
+        if (!f.exists(statsPath)) Nil
         else {
-          val dtype = st.head.getAs[String]("dtype")
-          // keep a file unless its range PROVABLY misses [lo, hi];
-          // all-null stats (min/max null) compare to null -> dropped,
-          // which is correct: the contract filter excludes nulls anyway.
-          // Session-zoned timestamps were stored as epoch micros: the
-          // bounds convert through THIS session's lit-to-timestamp
-          // semantics — the same interpretation the final filter uses —
-          // then compare on the absolute micros axis.
-          val keepExpr =
-            if (dtype == "timestamp")
-              !(col("max_v").cast("long") <
-                  unix_micros(lit(lo).cast("timestamp")) ||
-                col("min_v").cast("long") >
-                  unix_micros(lit(hi).cast("timestamp")))
-            else
-              !(col("max_v").cast(dtype) < lit(lo) ||
-                col("min_v").cast(dtype) > lit(hi))
-          import spark.implicits._
-          val kept = st.map(r => (r.getAs[String]("file"),
-              r.getAs[String]("min_v"), r.getAs[String]("max_v")))
-            .toSeq.toDF("file", "min_v", "max_v")
-            .filter(keepExpr).select("file").collect()
-            .map(r => new Path(dirPath, r.getString(0)).toString)
-          if (kept.isEmpty) None
-          else Some(spark.read.option("basePath", dirPath.toString)
-            .parquet(kept.toIndexedSeq: _*))
+          val statFiles = f.listStatus(statsPath).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+          if (statFiles.isEmpty) Nil
+          else spark.read.parquet(statFiles.map(_.toString): _*)
+            .filter(col("col") === colName).collect().toSeq
         }
+      })
+    val parts = manifestDirs(f, tableDir, v).flatMap { dn =>
+      val isFile = f.getFileStatus(new Path(tableDir, dn)).isFile
+      // a FILE entry's stats (and partition-value basePath) live in
+      // the version directory that originally wrote it
+      val vroot = if (isFile) dn.split("/").head else dn
+      lazy val full = scanUnit(spark, entryUnit(f, tableDir, dn))
+      val st =
+        if (isFile)
+          sidecar(vroot)
+            .filter(_.getAs[String]("file") == dn.stripPrefix(vroot + "/"))
+        else sidecar(vroot)
+      if (st.isEmpty) Some(full) // no stats for this column/file
+      else {
+        val dtype = st.head.getAs[String]("dtype")
+        // keep a file unless its range PROVABLY misses [lo, hi];
+        // all-null stats (min/max null) compare to null -> dropped,
+        // which is correct: the contract filter excludes nulls anyway.
+        // Session-zoned timestamps were stored as epoch micros: the
+        // bounds convert through THIS session's lit-to-timestamp
+        // semantics — the same interpretation the final filter uses —
+        // then compare on the absolute micros axis.
+        val keepExpr =
+          if (dtype == "timestamp")
+            !(col("max_v").cast("long") <
+                unix_micros(lit(lo).cast("timestamp")) ||
+              col("min_v").cast("long") >
+                unix_micros(lit(hi).cast("timestamp")))
+          else
+            !(col("max_v").cast(dtype) < lit(lo) ||
+              col("min_v").cast(dtype) > lit(hi))
+        val basePath = new Path(tableDir, vroot)
+        import spark.implicits._
+        val kept = st.map(r => (r.getAs[String]("file"),
+            r.getAs[String]("min_v"), r.getAs[String]("max_v")))
+          .toDF("file", "min_v", "max_v")
+          .filter(keepExpr).select("file").collect()
+          .map(r => new Path(basePath, r.getString(0)).toString)
+        if (kept.isEmpty) None
+        else Some(spark.read.option("basePath", basePath.toString)
+          .parquet(kept.toIndexedSeq: _*))
       }
     }
     if (parts.isEmpty) read(spark, tableDir, Some(v)).filter(lit(false))

@@ -189,6 +189,60 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.read(spark, t, Some(4)).count() == 801)
   }
 
+  test("versioned table: rollback republishes an old snapshot, keeps history") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_rollback"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), t)
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t)
+    Versioned.delete(spark, t, col("id") === 2)
+    assert(Versioned.read(spark, t).select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    // undo the delete: v4's content is v2's again, v3 stays readable
+    val v4 = Versioned.rollback(spark, t, 2, note = Some("undo delete"))
+    assert(v4 == 4)
+    assert(Versioned.read(spark, t).select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    assert(Versioned.read(spark, t, Some(3)).select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 3))
+    assert(Versioned.commitNotes(spark, t)(4) == "undo delete")
+    // the rollback wrote no data of its own: v=4 holds zero data files
+    assert(Versioned.files(spark, t).collect()
+      .forall(!_.getString(0).startsWith("v=4/")))
+    // expiring history keeps the dirs v4's manifest still links
+    Versioned.vacuum(spark, t, keep = 1)
+    assert(Versioned.read(spark, t).select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    // rollback to an expired version is refused, not silently wrong
+    intercept[IllegalArgumentException] {
+      Versioned.rollback(spark, t, 3)
+    }
+  }
+
+  test("versioned table: file entries keep their version's stats pruning") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_filestats"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit((1 to 800).map(i => (i, i * 10)).toDF("id", "x")
+      .repartitionByRange(8, col("id")), t, statsCols = Seq("id"))
+    // the merge fragments v=1 into FILE entries in v=2's manifest
+    Versioned.upsert(spark, t, Seq((42, -1)).toDF("id", "x"), "id")
+    val rw = Versioned.readWhere(spark, t, "id", 700, 710)
+    // pruned: of the 7 surviving v=1 file entries only the 700-range
+    // file scans (the statless v=2 rewrite scans in full — degrade,
+    // never lie)
+    assert(rw.inputFiles.length < Versioned.read(spark, t)
+      .inputFiles.length)
+    // range-partition boundaries are sample-approximate: the 11-key
+    // range lives in 1 file, or 2 when it straddles a boundary —
+    // never the 7 survivors
+    assert(rw.inputFiles.count(_.contains("/v=1/")) <= 2)
+    assert(rw.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (700 to 710))
+  }
+
   test("versioned table: history and files metadata tables") {
     import spark.implicits._
     import graft.sources.Versioned
