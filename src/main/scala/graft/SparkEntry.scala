@@ -113,6 +113,7 @@ object SparkEntry {
     "t09_stratified"   -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "t10_packing"      -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
     "t11_top_tokens"   -> ((s, d) => TextAnalysis.topTokens(s, d)),
+    "t13_decontamination" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     // —— near-dup detection (north-star) ——
     "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -583,6 +584,25 @@ object SparkEntry {
                 FROM lang l JOIN f ON l.doc_id = f.doc_id)
          SELECT doc_id, pred_lang, fp, CAST(rk AS BIGINT) AS rk
          FROM ranked WHERE rk <= 50 ORDER BY pred_lang, rk""",
+    // Same tokenize->3-gram-shingle semantics as the d01 oracle;
+    // benchmark = the deterministic doc_id % 50 == 0 slice.
+    "t13_decontamination" ->
+      """WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         sh AS (SELECT DISTINCT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                    AS shingle
+                FROM t WHERE len(toks) >= 3),
+         hits AS (SELECT a.doc_id, b.doc_id AS bench_id,
+                         count(*) AS common
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle
+                  WHERE b.doc_id % 50 = 0 AND a.doc_id % 50 <> 0
+                  GROUP BY 1, 2 HAVING count(*) >= 5)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+                CAST(max(common) AS BIGINT) AS max_common
+         FROM hits GROUP BY doc_id ORDER BY doc_id""",
     "t11_top_tokens" ->
       """WITH s AS (
            SELECT doc_id,

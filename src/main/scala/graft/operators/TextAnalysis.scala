@@ -378,4 +378,35 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tokens"), col("n_copies"))
       .orderBy(col("doc_id"))
   }
+
+  /** Benchmark DECONTAMINATION — the training-data step that flags
+    * corpus documents overlapping an evaluation set (n-gram overlap is
+    * the standard published methodology): every training doc sharing
+    * ≥ `minCommon` distinct 3-gram shingles with any benchmark doc is
+    * reported with its hit count. The benchmark here is the
+    * deterministic fixture slice `doc_id % 50 == 0`, standing in for
+    * an external eval set.
+    *
+    * Scale shape: the benchmark shingle index is tiny relative to the
+    * corpus (eval sets are thousands of docs, the corpus is billions)
+    * and BROADCASTS, so the sweep is one map-side hash join over the
+    * corpus shingles — the 100 TB corpus is never shuffled; the only
+    * exchange is the final per-(doc, bench) partial-aggregated count.
+    * Reuses [[Dedup.shingleRows]]' hashed inverted-index build (one
+    * per-doc native-expression pass, 8-byte join keys). */
+  def decontaminate(s: SparkSession, d: String,
+      minCommon: Int = 5): DataFrame = {
+    val sh = Dedup.shingleRows(s, d)
+    val bench = sh.filter(col("doc_id") % 50 === 0)
+      .withColumnRenamed("doc_id", "bench_id")
+    sh.filter(col("doc_id") % 50 =!= 0)
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(col("common")).as("max_common"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -90,6 +90,31 @@ class TextEventsSpec extends SparkSpec {
     base.unpersist()
   }
 
+  test("decontamination flags shingle overlap with the benchmark slice") {
+    import graft.operators.{Dedup, TextAnalysis}
+    val out = TextAnalysis.decontaminate(spark, sf).collect()
+    assert(out.nonEmpty)
+    // flagged docs are never benchmark members, hits/commons positive
+    out.foreach { r =>
+      assert(r.getLong(0) % 50 != 0)
+      assert(r.getLong(1) >= 1 && r.getLong(2) >= 5)
+    }
+    // cross-check one flagged doc against a direct shingle count
+    val flagged = out.head.getLong(0)
+    val sh = Dedup.shingleRows(spark, sf)
+    val direct = sh.filter(col("doc_id") === flagged)
+      .join(sh.filter(col("doc_id") % 50 === 0)
+        .withColumnRenamed("doc_id", "bench_id"), "shingle")
+      .groupBy(col("bench_id")).count()
+      .filter(col("count") >= 5).count()
+    assert(direct == out.head.getLong(1))
+    // scale shape: the benchmark side broadcasts — the corpus shingles
+    // reach the join without a shuffle of their own
+    val plan = TextAnalysis.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("sessionize: session count never exceeds event count") {
     val rows = Events.sessionize(spark, sf).collect()
     assert(rows.forall(r => r.getLong(1) <= r.getLong(2) && r.getLong(1) >= 1))
