@@ -762,7 +762,7 @@ object SparkEntry {
     // files pruned and prior files byte-untouched; file-level upsert
     // rewrites ONE file, keeps 5 rows, 1 rewritten hit, time travel to
     // v1 still 3; partitioned `nation` chain: 13 then 25 rows, 5 per
-    // region.
+    // region; metadata-only rollback to v1 republishes 13 rows as v3.
     "q40_snapshot_append" ->
       """SELECT CAST(3 AS BIGINT) AS v1_rows,
                 CAST(5 AS BIGINT) AS v2_rows,
@@ -775,7 +775,9 @@ object SparkEntry {
                 CAST(3 AS BIGINT) AS merge_tt_rows,
                 CAST(13 AS BIGINT) AS p_v1_rows,
                 CAST(25 AS BIGINT) AS p_v2_rows,
-                CAST(5 AS BIGINT) AS p_region2_rows""",
+                CAST(5 AS BIGINT) AS p_region2_rows,
+                CAST(3 AS BIGINT) AS rb_version,
+                CAST(13 AS BIGINT) AS rb_rows""",
     "q38_window_battery2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,

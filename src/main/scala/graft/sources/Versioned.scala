@@ -875,6 +875,9 @@ object Versioned {
       val p2 = read(s, tp).agg(count(lit(1)),
         sum(when(col("n_regionkey") === 2, 1L).otherwise(0L))).head()
       val (pV2, pRegion2) = (p2.getLong(0), p2.getLong(1))
+      // metadata-only rollback: the current content is v1's again
+      val rbV = rollback(s, tp, 1)
+      val rbRows = read(s, tp).count()
       s.range(1).select(
         lit(v1Rows).as("v1_rows"),
         lit(v2Rows).as("v2_rows"),
@@ -887,7 +890,9 @@ object Versioned {
         lit(mTt).as("merge_tt_rows"),
         lit(pV1).as("p_v1_rows"),
         lit(pV2).as("p_v2_rows"),
-        lit(pRegion2).as("p_region2_rows"))
+        lit(pRegion2).as("p_region2_rows"),
+        lit(rbV.toLong).as("rb_version"),
+        lit(rbRows).as("rb_rows"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
@@ -988,17 +993,33 @@ object Versioned {
     * sidecar of the VERSION that wrote them, so a merged table keeps
     * the pruning its files were committed with. */
   def readWhere(spark: SparkSession, tableDir: String, colName: String,
-      lo: Any, hi: Any, version: Option[Int] = None): DataFrame = {
+      lo: Any, hi: Any, version: Option[Int] = None): DataFrame =
+    readWhereAll(spark, tableDir, Seq((colName, lo, hi)), version)
+
+  /** Multi-column form of [[readWhere]]: the conjunction of range
+    * predicates, with a file pruned when ANY range provably misses its
+    * (min, max) — so the kept set is the intersection of the per-column
+    * candidate sets. With a z-ordered layout ([[ZOrder]]) both
+    * dimensions' ranges are tight per file and a 2-D box query prunes
+    * multiplicatively — the layout's whole point at 100 TB
+    * (ZOrderSpec measures it). */
+  def readWhereAll(spark: SparkSession, tableDir: String,
+      ranges: Seq[(String, Any, Any)],
+      version: Option[Int] = None): DataFrame = {
+    require(ranges.nonEmpty, "readWhereAll needs at least one range")
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
-    val pred = col(colName) >= lit(lo) && col(colName) <= lit(hi)
+    val pred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.reduce(_ && _)
     // memoized per-version sidecar: a merged manifest lists many FILE
     // entries of one version — read that version's stats once, not per
     // entry. Sidecar rows are (file, col, dtype, min_v, max_v); read by
     // explicit file paths (the underscore-hidden dir as a scan root
     // logs a spurious "All paths were ignored" WARN); an empty or
     // missing sidecar degrades to full scans.
+    val colNames = ranges.map(_._1)
     val sidecars =
       scala.collection.mutable.Map.empty[String, Seq[org.apache.spark.sql.Row]]
     def sidecar(vroot: String): Seq[org.apache.spark.sql.Row] =
@@ -1010,7 +1031,7 @@ object Versioned {
             .filter(_.getName.endsWith(".parquet"))
           if (statFiles.isEmpty) Nil
           else spark.read.parquet(statFiles.map(_.toString): _*)
-            .filter(col("col") === colName).collect().toSeq
+            .filter(col("col").isInCollection(colNames)).collect().toSeq
         }
       })
     val parts = manifestDirs(f, tableDir, v).flatMap { dn =>
@@ -1024,32 +1045,41 @@ object Versioned {
           sidecar(vroot)
             .filter(_.getAs[String]("file") == dn.stripPrefix(vroot + "/"))
         else sidecar(vroot)
-      if (st.isEmpty) Some(full) // no stats for this column/file
+      if (st.isEmpty) Some(full) // no stats for any requested column
       else {
-        val dtype = st.head.getAs[String]("dtype")
-        // keep a file unless its range PROVABLY misses [lo, hi];
-        // all-null stats (min/max null) compare to null -> dropped,
-        // which is correct: the contract filter excludes nulls anyway.
+        // A file is pruned when ANY requested column's range PROVABLY
+        // misses its (min, max); columns without stats rows for a file
+        // never prune it — degrade, never lie. All-null stats (min/max
+        // null) prune too: the contract filter excludes nulls anyway.
         // Session-zoned timestamps were stored as epoch micros: the
         // bounds convert through THIS session's lit-to-timestamp
         // semantics — the same interpretation the final filter uses —
         // then compare on the absolute micros axis.
-        val keepExpr =
-          if (dtype == "timestamp")
-            !(col("max_v").cast("long") <
-                unix_micros(lit(lo).cast("timestamp")) ||
-              col("min_v").cast("long") >
-                unix_micros(lit(hi).cast("timestamp")))
-          else
-            !(col("max_v").cast(dtype) < lit(lo) ||
-              col("min_v").cast(dtype) > lit(hi))
-        val basePath = new Path(tableDir, vroot)
         import spark.implicits._
-        val kept = st.map(r => (r.getAs[String]("file"),
-            r.getAs[String]("min_v"), r.getAs[String]("max_v")))
-          .toDF("file", "min_v", "max_v")
-          .filter(keepExpr).select("file").collect()
-          .map(r => new Path(basePath, r.getString(0)).toString)
+        val byCol = st.groupBy(_.getAs[String]("col"))
+        val missed = ranges.flatMap { case (c, lo, hi) =>
+          byCol.get(c).toSeq.flatMap { rows =>
+            val dtype = rows.head.getAs[String]("dtype")
+            val keepExpr =
+              if (dtype == "timestamp")
+                !(col("max_v").cast("long") <
+                    unix_micros(lit(lo).cast("timestamp")) ||
+                  col("min_v").cast("long") >
+                    unix_micros(lit(hi).cast("timestamp")))
+              else
+                !(col("max_v").cast(dtype) < lit(lo) ||
+                  col("min_v").cast(dtype) > lit(hi))
+            rows.map(r => (r.getAs[String]("file"),
+                r.getAs[String]("min_v"), r.getAs[String]("max_v")))
+              .toDF("file", "min_v", "max_v")
+              .filter(not(coalesce(keepExpr, lit(false))))
+              .select("file").collect().map(_.getString(0))
+          }
+        }.toSet
+        val basePath = new Path(tableDir, vroot)
+        val kept = st.map(_.getAs[String]("file")).distinct
+          .filterNot(missed)
+          .map(rel => new Path(basePath, rel).toString)
         if (kept.isEmpty) None
         else Some(spark.read.option("basePath", basePath.toString)
           .parquet(kept.toIndexedSeq: _*))

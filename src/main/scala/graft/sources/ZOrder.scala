@@ -44,8 +44,14 @@ object ZOrder {
     * stats-skipping measurable (ZOrderSpec); production leaves the
     * default 128 MB. The min/max normalization bounds are one tiny
     * aggregate (4 scalars to the driver). */
-  def writeClustered(df: DataFrame, a: String, b: String, outDir: String,
-      files: Int = 4, rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+  /** The clustered FORM of `df` (range-partitioned + sorted along the
+    * Morton value, curve column dropped): write it anywhere — e.g.
+    * [[Versioned.commit]] with `statsCols` on both dimensions, so the
+    * manifest sidecar records each FILE's tight (a, b) rectangle and
+    * [[Versioned.readWhereAll]] box queries prune at the manifest level
+    * before parquet row-group stats even apply. */
+  def clustered(df: DataFrame, a: String, b: String,
+      files: Int = 4): DataFrame = {
     val Array(st) = df.agg(
       min(col(a)).cast("double"), max(col(a)).cast("double"),
       min(col(b)).cast("double"), max(col(b)).cast("double")).collect()
@@ -55,6 +61,11 @@ object ZOrder {
       .repartitionByRange(files, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
+  }
+
+  def writeClustered(df: DataFrame, a: String, b: String, outDir: String,
+      files: Int = 4, rowGroupBytes: Long = 128L * 1024 * 1024): Unit = {
+    clustered(df, a, b, files)
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes)
       .option("parquet.page.size", math.max(1024L, rowGroupBytes / 8))

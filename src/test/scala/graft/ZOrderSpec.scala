@@ -73,4 +73,37 @@ class ZOrderSpec extends SparkSpec {
     info(s"user scan: zorder read $readUser of $total")
     assert(readUser < total)
   }
+
+  test("versioned z-ordered commit: box query prunes files on both dims") {
+    import graft.sources.Versioned
+    val t = s"$work/versioned_z"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    // commit the CLUSTERED form with stats on both dimensions: each
+    // file's sidecar rectangle is tight, so the manifest prunes before
+    // Spark lists anything
+    Versioned.commit(ZOrder.clustered(ev, "user_id", "value", 16), t,
+      statsCols = Seq("user_id", "value"))
+    val uLo = 3L; val uHi = 5L; val vLo = 0.0; val vHi = 20.0
+    val box = Versioned.readWhereAll(spark, t,
+      Seq(("user_id", uLo, uHi), ("value", vLo, vHi)))
+    // exact: equals the unpruned filter
+    val want = Versioned.read(spark, t)
+      .filter(col("user_id").between(uLo, uHi) &&
+        col("value").between(vLo, vHi))
+      .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(box.select("event_id").collect().map(_.getLong(0))
+      .sorted.toSeq == want && want.nonEmpty)
+    // multiplicative pruning: the 2-D box reads no more files than
+    // either single-dimension range, and strictly fewer than the table
+    val all = Versioned.read(spark, t).inputFiles.length
+    val boxN = box.inputFiles.length
+    val uN = Versioned.readWhere(spark, t, "user_id", uLo, uHi)
+      .inputFiles.length
+    val vN = Versioned.readWhere(spark, t, "value", vLo, vHi)
+      .inputFiles.length
+    info(s"box=$boxN u=$uN v=$vN all=$all")
+    assert(boxN <= uN && boxN <= vN && boxN < all)
+  }
 }
