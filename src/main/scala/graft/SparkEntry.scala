@@ -114,6 +114,7 @@ object SparkEntry {
     "t10_packing"      -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
     "t11_top_tokens"   -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "t13_decontamination" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "t14_repetition" -> (TextAnalysis.repetitionSignals _),
     // —— near-dup detection (north-star) ——
     "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -584,6 +585,32 @@ object SparkEntry {
                 FROM lang l JOIN f ON l.doc_id = f.doc_id)
          SELECT doc_id, pred_lang, fp, CAST(rk AS BIGINT) AS rk
          FROM ranked WHERE rk <= 50 ORDER BY pred_lang, rk""",
+    // Gopher-style repetition: duplicated-3-gram fraction + top-bigram
+    // share per doc; integer-ratio doubles, so both engines agree
+    // bit-for-bit and the flag thresholds compare identically.
+    "t14_repetition" ->
+      """WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                    FROM documents),
+         g3 AS (SELECT doc_id,
+                  list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                    AS gs
+                FROM t WHERE len(toks) >= 3),
+         d3 AS (SELECT doc_id,
+                  1.0 - len(list_distinct(gs)) * 1.0 / len(gs) AS dup3_frac
+                FROM g3),
+         b AS (SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+               FROM t WHERE len(toks) >= 3),
+         bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
+         t2 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top2_frac
+                FROM bc GROUP BY 1)
+         SELECT doc_id, dup3_frac, top2_frac,
+                CAST(CASE WHEN dup3_frac > 0.05 OR top2_frac > 0.05
+                     THEN 1 ELSE 0 END AS BIGINT) AS flagged
+         FROM d3 JOIN t2 USING (doc_id) ORDER BY doc_id""",
     // Same tokenize->3-gram-shingle semantics as the d01 oracle;
     // benchmark = the deterministic doc_id % 50 == 0 slice.
     "t13_decontamination" ->

@@ -379,6 +379,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Intra-document REPETITION signals — the Gopher-family quality
+    * rules that catch degenerate/boilerplate text the corpus-level
+    * dedup never sees: the fraction of duplicated 3-gram shingles
+    * within a document and the most frequent bigram's share of all its
+    * bigrams, with a flag when either breaches its threshold. The
+    * distinct-3-gram count reuses the native
+    * [[graft.functions.ShingleHashes]] single-pass build; the bigram
+    * mode is one partial-aggregated (doc, bigram) count — shuffle rows
+    * bounded by distinct bigrams, never corpus tokens — so the whole
+    * signal is embarrassingly parallel plus one bounded exchange. */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val base = docsPlain(s, d)
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("toks"),
+        call_function(graft.functions.GraftFunctions.ShingleHashesName,
+          trim(lower(col("text"))), lit(3)).as("sh3"))
+      .filter(size(col("toks")) >= 3)
+    val dup3 = base.select(col("doc_id"),
+      (lit(1.0) - size(col("sh3")).cast("double") /
+        (size(col("toks")) - 2)).as("dup3_frac"))
+    val bigrams = base.select(col("doc_id"),
+      explode(expr("""transform(sequence(0, size(toks) - 2),
+        i -> concat_ws(' ', toks[i], toks[i + 1]))""")).as("bg"))
+    val top2 = bigrams
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg((max(col("c")).cast("double") / sum(col("c"))).as("top2_frac"))
+    dup3.join(top2, "doc_id")
+      .withColumn("flagged",
+        (col("dup3_frac") > 0.05 || col("top2_frac") > 0.05).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark DECONTAMINATION — the training-data step that flags
     * corpus documents overlapping an evaluation set (n-gram overlap is
     * the standard published methodology): every training doc sharing

@@ -115,6 +115,33 @@ class TextEventsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("repetition signals are valid fractions over every eligible doc") {
+    import graft.operators.TextAnalysis
+    val out = TextAnalysis.repetitionSignals(spark, sf).collect()
+    val eligible = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(size(split(trim(lower(col("text"))), "\\s+")) >= 3).count()
+    assert(out.length == eligible && out.nonEmpty)
+    out.foreach { r =>
+      val (dup3, top2) = (r.getDouble(1), r.getDouble(2))
+      assert(dup3 >= 0.0 && dup3 < 1.0)
+      assert(top2 > 0.0 && top2 <= 1.0)
+      assert(r.getLong(3) ==
+        (if (dup3 > 0.05 || top2 > 0.05) 1L else 0L))
+    }
+    // hand-check one doc against direct recomputation
+    val doc = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") === out.head.getLong(0))
+      .select(trim(lower(col("text")))).head().getString(0)
+    val toks = doc.split("\\s+").toSeq
+    val tri = toks.sliding(3).map(_.mkString(" ")).toSeq
+    val bg = toks.sliding(2).map(_.mkString(" ")).toSeq
+    assert(math.abs(out.head.getDouble(1) -
+      (1.0 - tri.distinct.size.toDouble / tri.size)) < 1e-9)
+    assert(math.abs(out.head.getDouble(2) -
+      bg.groupBy(identity).values.map(_.size).max.toDouble / bg.size)
+      < 1e-9)
+  }
+
   test("sessionize: session count never exceeds event count") {
     val rows = Events.sessionize(spark, sf).collect()
     assert(rows.forall(r => r.getLong(1) <= r.getLong(2) && r.getLong(1) >= 1))
