@@ -1002,7 +1002,9 @@ object Versioned {
     * candidate sets. With a z-ordered layout ([[ZOrder]]) both
     * dimensions' ranges are tight per file and a 2-D box query prunes
     * multiplicatively — the layout's whole point at 100 TB
-    * (ZOrderSpec measures it). */
+    * (ZOrderSpec measures it). Pruning cost is O(manifest entries):
+    * heavy merge churn fragments the manifest into file entries, and
+    * [[compact]] is the maintenance answer that collapses it back. */
   def readWhereAll(spark: SparkSession, tableDir: String,
       ranges: Seq[(String, Any, Any)],
       version: Option[Int] = None): DataFrame = {

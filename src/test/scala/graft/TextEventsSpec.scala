@@ -140,6 +140,13 @@ class TextEventsSpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(2) -
       bg.groupBy(identity).values.map(_.size).max.toDouble / bg.size)
       < 1e-9)
+    // scale shape: bigram mode is partial-aggregated hash counting,
+    // and nothing in the signal join is a loop join
+    val plan = TextAnalysis.repetitionSignals(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("sessionize: session count never exceeds event count") {
