@@ -723,6 +723,47 @@ object Versioned {
     commit(sized, tableDir, partitionCol, statsCols = statsCols)
   }
 
+  /** Bin-pack compaction — the incremental form of [[compact]] and the
+    * behavior of Iceberg's `rewrite_data_files` binpack with a
+    * min-size filter: only files smaller than `minFileBytes` are
+    * rewritten (packed together into ~`targetFileBytes` outputs);
+    * every already-right-sized file LINKS through the manifest
+    * untouched. Maintenance cost is O(small files), not O(table) —
+    * the difference between an hourly small-file sweep being cheap
+    * and it rewriting 100 TB. A full [[compact]] still collapses the
+    * manifest entirely (fragmented manifests, partition re-layout).
+    * Returns the current version unchanged when fewer than two small
+    * files exist (nothing to pack). */
+  def compactSmall(spark: SparkSession, tableDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFileBytes: Long = 0L,
+      statsCols: Seq[String] = Nil): Int = {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    val threshold =
+      if (minFileBytes > 0) minFileBytes else targetFileBytes / 2
+    val f = fs(spark, tableDir)
+    val entries = manifestDirs(f, tableDir, cur)
+    val sized = entries.map { e =>
+      e -> entryFiles(f, tableDir, e).map(rel =>
+        rel -> f.getFileStatus(new Path(tableDir, rel)).getLen)
+    }
+    val small = sized.flatMap(_._2).filter(_._2 < threshold)
+    if (small.size < 2) return cur
+    val smallSet = small.map(_._1).toSet
+    val surviving = sized.flatMap { case (e, files) =>
+      if (!files.exists(fl => smallSet.contains(fl._1))) Seq(e)
+      else files.map(_._1).filterNot(smallSet.contains)
+    }
+    val bytes = small.map(_._2).sum
+    val nFiles =
+      math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val packed = readFiles(spark, tableDir, small.map(_._1))
+      .repartition(nFiles)
+    commitStaged(packed, tableDir, partitionCol = None, note = None,
+      statsCols, linkBase = Some(cur), linkEntries = Some(surviving))
+  }
+
   /** Expire old snapshots, keeping the most recent `keep` (the current
     * version is always retained). The marker is removed first so a crash
     * mid-vacuum never leaves a published-but-deleted version. Directory

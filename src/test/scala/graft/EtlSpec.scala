@@ -243,6 +243,38 @@ class EtlSpec extends SparkSpec {
       (700 to 710))
   }
 
+  test("versioned table: binpack compaction rewrites only small files") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    val t = s"$work/versioned_binpack"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // one right-sized file, then a drip of tiny appends
+    Versioned.commit((1 to 400).map(i => (i, s"row$i")).toDF("id", "v")
+      .coalesce(1), t)
+    (401 to 403).foreach(i =>
+      Versioned.append(Seq((i, s"row$i")).toDF("id", "v"), t))
+    assert(Versioned.dataFileCount(spark, t) == 4)
+    val bigFile = {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(s"$t/v=1")).iterator().asScala
+        .find(_.toString.endsWith(".parquet")).get
+    }
+    val bigBytes = Files.readAllBytes(bigFile).toSeq
+    val v5 = Versioned.compactSmall(spark, t,
+      minFileBytes = Files.size(bigFile))
+    assert(v5 == 5)
+    // the right-sized file is linked byte-identical, tinies packed
+    assert(Files.readAllBytes(bigFile).toSeq == bigBytes)
+    assert(Versioned.dataFileCount(spark, t) == 2)
+    val fl = Versioned.files(spark, t).collect()
+    assert(fl.count(_.getBoolean(3)) == 1) // one linked (the big file)
+    assert(Versioned.read(spark, t).count() == 403)
+    assert(Versioned.read(spark, t, Some(1)).count() == 400)
+    // nothing under the floor -> no new version published
+    assert(Versioned.compactSmall(spark, t, minFileBytes = 1) == 5)
+  }
+
   test("versioned table: history and files metadata tables") {
     import spark.implicits._
     import graft.sources.Versioned
