@@ -579,19 +579,25 @@ object Versioned {
       else files.filterNot(touched.contains)
     }
     // size the rewrite like the files it replaces: without this, a
-    // one-file rewrite fans out to shuffle.partitions tiny part files
+    // one-file rewrite fans out to shuffle.partitions tiny part files.
+    // Persisted around its two consumers (the emptiness probe and the
+    // commit's write) — without the persist every merge executed the
+    // full anti-join/filter over the touched files twice.
     val rewritten = rewrite(readFiles(spark, tableDir, touched.toSeq))
       .coalesce(math.max(1, touched.size))
-    val rewroteAll = rewritten.isEmpty
-    Some(commitStaged(rewritten, tableDir,
-      if (rewroteAll) None else partitionCol, note = None, statsCols,
-      linkBase = Some(v),
-      linkEntries = Some(surviving),
-      // a merge that deleted every row it rewrote may leave no part
-      // files behind a partitionBy write; keep the (possibly empty,
-      // but schema-bearing when unpartitioned) own dir only when the
-      // manifest would otherwise be empty
-      ownDirInManifest = !rewroteAll || surviving.isEmpty))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rewroteAll = rewritten.isEmpty
+      Some(commitStaged(rewritten, tableDir,
+        if (rewroteAll) None else partitionCol, note = None, statsCols,
+        linkBase = Some(v),
+        linkEntries = Some(surviving),
+        // a merge that deleted every row it rewrote may leave no part
+        // files behind a partitionBy write; keep the (possibly empty,
+        // but schema-bearing when unpartitioned) own dir only when the
+        // manifest would otherwise be empty
+        ownDirInManifest = !rewroteAll || surviving.isEmpty))
+    } finally rewritten.unpersist(blocking = false)
   }
 
   /** Row-level MERGE (upsert) by key: rows of the current snapshot
@@ -700,27 +706,34 @@ object Versioned {
     val nFiles =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val data = read(spark, tableDir)
-    val sized = partitionCol match {
-      case Some(c) =>
-        // deterministic within-partition spreader (maps/nondeterministic
-        // exprs can't range-partition; hash the hashable columns). A map
-        // ANYWHERE in the type tree — inside a struct or array — is
-        // unhashable too, so the check recurses.
-        def mapFree(dt: DataType): Boolean = dt match {
-          case _: MapType => false
-          case st: StructType => st.fields.forall(fd => mapFree(fd.dataType))
-          case at: ArrayType => mapFree(at.elementType)
-          case _ => true
-        }
-        val hashable = data.schema.fields.collect {
-          case fd if mapFree(fd.dataType) => col(fd.name)
-        }.toSeq
-        if (hashable.nonEmpty)
-          data.repartitionByRange(nFiles, col(c), xxhash64(hashable: _*))
-        else data.repartitionByRange(nFiles, col(c))
-      case None => data.repartition(nFiles)
-    }
-    commit(sized, tableDir, partitionCol, statsCols = statsCols)
+    commit(sizeForWrite(data, nFiles, partitionCol), tableDir,
+      partitionCol, statsCols = statsCols)
+  }
+
+  /** Shape `data` into ~`nFiles` output files. With `partitionCol` set
+    * it RANGE-partitions on (partitionCol, row-hash) so each task covers
+    * a contiguous run of partition values — a hive directory receives
+    * ~1 file instead of nFiles each, and the deterministic row-hash
+    * suffix still splits a skewed value across tasks. (Maps and
+    * nondeterministic exprs can't range-partition; hash the hashable
+    * columns — a map ANYWHERE in the type tree, inside a struct or
+    * array, is unhashable too, so the check recurses.) */
+  private def sizeForWrite(data: DataFrame, nFiles: Int,
+      partitionCol: Option[String]): DataFrame = partitionCol match {
+    case Some(c) =>
+      def mapFree(dt: DataType): Boolean = dt match {
+        case _: MapType => false
+        case st: StructType => st.fields.forall(fd => mapFree(fd.dataType))
+        case at: ArrayType => mapFree(at.elementType)
+        case _ => true
+      }
+      val hashable = data.schema.fields.collect {
+        case fd if mapFree(fd.dataType) => col(fd.name)
+      }.toSeq
+      if (hashable.nonEmpty)
+        data.repartitionByRange(nFiles, col(c), xxhash64(hashable: _*))
+      else data.repartitionByRange(nFiles, col(c))
+    case None => data.repartition(nFiles)
   }
 
   /** Bin-pack compaction — the incremental form of [[compact]] and the
@@ -737,7 +750,8 @@ object Versioned {
   def compactSmall(spark: SparkSession, tableDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       minFileBytes: Long = 0L,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      partitionCol: Option[String] = None): Int = {
     val cur = currentVersion(spark, tableDir)
     require(cur > 0, s"no committed version at $tableDir")
     val threshold =
@@ -758,9 +772,13 @@ object Versioned {
     val bytes = small.map(_._2).sum
     val nFiles =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val packed = readFiles(spark, tableDir, small.map(_._1))
-      .repartition(nFiles)
-    commitStaged(packed, tableDir, partitionCol = None, note = None,
+    // keep the table's layout and pruning through the binpack: packed
+    // files preserve hive partition locality (sizeForWrite) and get a
+    // fresh stats sidecar — without this an hourly small-file sweep
+    // steadily degraded the scan-pruning the table was built for
+    val packed = sizeForWrite(readFiles(spark, tableDir, small.map(_._1)),
+      nFiles, partitionCol)
+    commitStaged(packed, tableDir, partitionCol, note = None,
       statsCols, linkBase = Some(cur), linkEntries = Some(surviving))
   }
 
@@ -1056,72 +1074,97 @@ object Versioned {
     val pred = ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
     }.reduce(_ && _)
-    // memoized per-version sidecar: a merged manifest lists many FILE
-    // entries of one version — read that version's stats once, not per
-    // entry. Sidecar rows are (file, col, dtype, min_v, max_v); read by
-    // explicit file paths (the underscore-hidden dir as a scan root
-    // logs a spurious "All paths were ignored" WARN); an empty or
-    // missing sidecar degrades to full scans.
     val colNames = ranges.map(_._1)
-    val sidecars =
-      scala.collection.mutable.Map.empty[String, Seq[org.apache.spark.sql.Row]]
-    def sidecar(vroot: String): Seq[org.apache.spark.sql.Row] =
-      sidecars.getOrElseUpdate(vroot, {
-        val statsPath = new Path(new Path(tableDir, vroot), StatsDir)
-        if (!f.exists(statsPath)) Nil
-        else {
-          val statFiles = f.listStatus(statsPath).toSeq.map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
-          if (statFiles.isEmpty) Nil
-          else spark.read.parquet(statFiles.map(_.toString): _*)
-            .filter(col("col").isInCollection(colNames)).collect().toSeq
-        }
-      })
-    val parts = manifestDirs(f, tableDir, v).flatMap { dn =>
+    val entryInfo = manifestDirs(f, tableDir, v).map { dn =>
       val isFile = f.getFileStatus(new Path(tableDir, dn)).isFile
       // a FILE entry's stats (and partition-value basePath) live in
       // the version directory that originally wrote it
-      val vroot = if (isFile) dn.split("/").head else dn
+      (dn, isFile, if (isFile) dn.split("/").head else dn)
+    }
+    // Batched sidecar load: every version root's `_stats` files in ONE
+    // multi-path scan + collect, tagged back to their root via the file
+    // path (was: one Spark job per root — a fragmented manifest stacked
+    // K tiny jobs on the ~0.13 s action floor). Rows are metadata-scale
+    // (files x requested columns); read by explicit file paths (the
+    // underscore-hidden dir as a scan root logs a spurious "All paths
+    // were ignored" WARN); an empty or missing sidecar degrades to
+    // full scans.
+    val statFiles = entryInfo.map(_._3).distinct.flatMap { vr =>
+      val sp = new Path(new Path(tableDir, vr), StatsDir)
+      if (!f.exists(sp)) Nil
+      else f.listStatus(sp).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    }
+    val statRows: Seq[(String, org.apache.spark.sql.Row)] =
+      if (statFiles.isEmpty) Nil
+      else spark.read.parquet(statFiles: _*)
+        .filter(col("col").isInCollection(colNames))
+        .withColumn("src", input_file_name())
+        .collect().toSeq.map { r =>
+          val segs = decodePath(r.getAs[String]("src")).split("/")
+          (segs(segs.lastIndexOf(StatsDir) - 1), r)
+        }
+    val byRoot = statRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // ONE evaluation job for every (root, file, column, range) at once,
+    // keeping Spark's cast/lit semantics (the legitimate reason this
+    // isn't plain Scala). A file is pruned when ANY requested column's
+    // range PROVABLY misses its (min, max):
+    //  - all-null stats (min AND max null) prune — the contract filter
+    //    excludes nulls anyway;
+    //  - a bound is pruning evidence only when its raw string is
+    //    non-null AND its cast succeeds: a cast-FAILING value (a stale
+    //    or foreign sidecar format) keeps the file — degrade to a full
+    //    scan, never lie (coalesce(cmp, false) folds the null);
+    //  - columns without stats rows for a file never prune it.
+    // Session-zoned timestamps were stored as epoch micros: the bounds
+    // convert through THIS session's lit-to-timestamp semantics — the
+    // same interpretation the final filter uses — then compare on the
+    // absolute micros axis.
+    val missed: Set[(String, String)] = if (statRows.isEmpty) Set.empty
+    else {
+      import spark.implicits._
+      val local = statRows.map { case (vr, r) =>
+        (vr, r.getAs[String]("file"), r.getAs[String]("col"),
+          r.getAs[String]("dtype"), r.getAs[String]("min_v"),
+          r.getAs[String]("max_v"))
+      }.toDF("vroot", "file", "col", "dtype", "min_v", "max_v")
+      val dtypesByCol = statRows
+        .map(t => (t._2.getAs[String]("col"), t._2.getAs[String]("dtype")))
+        .distinct
+      val missConds = ranges.flatMap { case (c, lo, hi) =>
+        dtypesByCol.collect { case (`c`, dt) =>
+          // try_cast, not cast: a malformed stored bound (stale/foreign
+          // sidecar format) must fold to null -> keep, not throw (ANSI)
+          val (minC, maxC, loB, hiB) =
+            if (dt == "timestamp")
+              (col("min_v").try_cast("long"), col("max_v").try_cast("long"),
+                unix_micros(lit(lo).cast("timestamp")),
+                unix_micros(lit(hi).cast("timestamp")))
+            else
+              (col("min_v").try_cast(dt), col("max_v").try_cast(dt),
+                lit(lo), lit(hi))
+          col("col") === c && col("dtype") === dt &&
+            ((col("min_v").isNull && col("max_v").isNull) ||
+              coalesce(maxC < loB, lit(false)) ||
+              coalesce(minC > hiB, lit(false)))
+        }
+      }
+      if (missConds.isEmpty) Set.empty
+      else local.filter(missConds.reduce(_ || _))
+        .select("vroot", "file").distinct()
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    }
+    val parts = entryInfo.flatMap { case (dn, isFile, vroot) =>
       lazy val full = scanUnit(spark, entryUnit(f, tableDir, dn))
-      val st =
-        if (isFile)
-          sidecar(vroot)
-            .filter(_.getAs[String]("file") == dn.stripPrefix(vroot + "/"))
-        else sidecar(vroot)
-      if (st.isEmpty) Some(full) // no stats for any requested column
+      val st = byRoot.getOrElse(vroot, Nil)
+      val stFiles =
+        (if (isFile) st.map(_.getAs[String]("file"))
+          .filter(_ == dn.stripPrefix(vroot + "/"))
+        else st.map(_.getAs[String]("file"))).distinct
+      if (stFiles.isEmpty) Some(full) // no stats for any requested column
       else {
-        // A file is pruned when ANY requested column's range PROVABLY
-        // misses its (min, max); columns without stats rows for a file
-        // never prune it — degrade, never lie. All-null stats (min/max
-        // null) prune too: the contract filter excludes nulls anyway.
-        // Session-zoned timestamps were stored as epoch micros: the
-        // bounds convert through THIS session's lit-to-timestamp
-        // semantics — the same interpretation the final filter uses —
-        // then compare on the absolute micros axis.
-        import spark.implicits._
-        val byCol = st.groupBy(_.getAs[String]("col"))
-        val missed = ranges.flatMap { case (c, lo, hi) =>
-          byCol.get(c).toSeq.flatMap { rows =>
-            val dtype = rows.head.getAs[String]("dtype")
-            val keepExpr =
-              if (dtype == "timestamp")
-                !(col("max_v").cast("long") <
-                    unix_micros(lit(lo).cast("timestamp")) ||
-                  col("min_v").cast("long") >
-                    unix_micros(lit(hi).cast("timestamp")))
-              else
-                !(col("max_v").cast(dtype) < lit(lo) ||
-                  col("min_v").cast(dtype) > lit(hi))
-            rows.map(r => (r.getAs[String]("file"),
-                r.getAs[String]("min_v"), r.getAs[String]("max_v")))
-              .toDF("file", "min_v", "max_v")
-              .filter(not(coalesce(keepExpr, lit(false))))
-              .select("file").collect().map(_.getString(0))
-          }
-        }.toSet
         val basePath = new Path(tableDir, vroot)
-        val kept = st.map(_.getAs[String]("file")).distinct
-          .filterNot(missed)
+        val kept = stFiles.filterNot(fl => missed.contains((vroot, fl)))
           .map(rel => new Path(basePath, rel).toString)
         if (kept.isEmpty) None
         else Some(spark.read.option("basePath", basePath.toString)

@@ -275,6 +275,82 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.compactSmall(spark, t, minFileBytes = 1) == 5)
   }
 
+  test("versioned table: binpack keeps partition layout and stats pruning") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val t = s"$work/versioned_binpack_layout"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // partitioned, stats-carrying table built from a drip of appends:
+    // k correlates with the partition (a: 1-200, b: 201-400)
+    def batch(r: Range) = r.map(k =>
+      (k, if (k <= 200) "a" else "b")).toDF("k", "p")
+    Versioned.commit(batch(1 to 100), t, partitionCol = Some("p"),
+      statsCols = Seq("k"))
+    Seq(101 to 200, 201 to 300, 301 to 400).foreach(r =>
+      Versioned.append(batch(r), t, partitionCol = Some("p"),
+        statsCols = Seq("k")))
+    val bytes = Files.walk(Paths.get(t)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        !p.toString.contains("_stats")).map(Files.size).sum
+    // pack everything into ~4 outputs, keeping layout and stats
+    val vN = Versioned.compactSmall(spark, t,
+      targetFileBytes = math.max(1L, bytes / 4), minFileBytes = bytes,
+      statsCols = Seq("k"), partitionCol = Some("p"))
+    assert(vN == 5)
+    val all = Versioned.read(spark, t)
+    assert(all.count() == 400)
+    // packed files land under hive partition dirs: the partition filter
+    // is a PartitionFilters entry, not a post-scan Filter
+    val plan = all.filter(col("p") === "b")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("(p#"))
+    assert(all.filter(col("p") === "b").count() == 200)
+    // ...and the fresh sidecar still prunes packed files by key range
+    val rw = Versioned.readWhere(spark, t, "k", 10, 20)
+    assert(rw.inputFiles.length < all.inputFiles.length,
+      s"expected stats pruning after binpack: ${rw.inputFiles.length} " +
+        s"vs ${all.inputFiles.length}")
+    assert(rw.select("k").collect().map(_.getInt(0)).sorted.toSeq ==
+      (10 to 20))
+  }
+
+  test("versioned table: unreadable stats degrade to scan, never prune") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_stale_stats"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val rows = (0 until 96).map(h =>
+      (h, java.sql.Timestamp.valueOf(f"2024-03-10 ${h / 4}%02d:00:00")))
+    Versioned.commit(rows.toDF("id", "ts")
+      .repartitionByRange(4, col("ts")), t, statsCols = Seq("ts"))
+    // sabotage the sidecar into a pre-epoch-micros local-time format:
+    // the long cast fails, which must KEEP the files (full scan), not
+    // silently conflate with the all-null prune case
+    val statsDir = s"$t/v=1/_stats"
+    val stale = spark.read.parquet(statsDir)
+      .withColumn("min_v", lit("2024-03-10 00:00:00"))
+      .withColumn("max_v", lit("2024-03-10 23:00:00"))
+      .collect().toSeq
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statsDir))
+    stale.map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4)))
+      .toDF("file", "col", "dtype", "min_v", "max_v")
+      .coalesce(1).write.parquet(statsDir)
+    val lo = "2024-03-10 06:00:00"
+    val hi = "2024-03-10 08:00:00"
+    val want = Versioned.read(spark, t)
+      .filter(col("ts") >= lit(lo) && col("ts") <= lit(hi))
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq
+    val got = Versioned.readWhere(spark, t, "ts", lo, hi)
+    assert(got.select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == want && want.nonEmpty)
+    // every file scans (degraded), none wrongly pruned
+    assert(got.inputFiles.length ==
+      Versioned.read(spark, t).inputFiles.length)
+  }
+
   test("versioned table: history and files metadata tables") {
     import spark.implicits._
     import graft.sources.Versioned
