@@ -788,8 +788,13 @@ object SparkEntry {
     // `region` (5 rows at every SF), readWhere key=0 hits 1 row with
     // files pruned and prior files byte-untouched; file-level upsert
     // rewrites ONE file, keeps 5 rows, 1 rewritten hit, time travel to
-    // v1 still 3; partitioned `nation` chain: 13 then 25 rows, 5 per
-    // region; metadata-only rollback to v1 republishes 13 rows as v3.
+    // v1 still 3; merge-on-read delete of key 1 leaves 4 rows behind
+    // ONE tombstone file with every data file linked byte-untouched
+    // (0 own data files), and compact collapses it (4 rows, 0
+    // tombstones); days(ts)-transform `nation` chain: 13 then 25 rows,
+    // 5 per region, ts-range Jan 5-10 hits 6 rows, the derived
+    // partition column stays hidden; metadata-only rollback to v1
+    // republishes 13 rows as v3.
     "q40_snapshot_append" ->
       """SELECT CAST(3 AS BIGINT) AS v1_rows,
                 CAST(5 AS BIGINT) AS v2_rows,
@@ -800,9 +805,18 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS merge_hit,
                 CAST(1 AS BIGINT) AS merge_own_files,
                 CAST(3 AS BIGINT) AS merge_tt_rows,
+                CAST(4 AS BIGINT) AS mor_rows,
+                CAST(0 AS BIGINT) AS mor_hit,
+                CAST(1 AS BIGINT) AS mor_prior_untouched,
+                CAST(1 AS BIGINT) AS mor_tomb_files,
+                CAST(0 AS BIGINT) AS mor_own_data_files,
+                CAST(4 AS BIGINT) AS compact_rows,
+                CAST(0 AS BIGINT) AS compact_tomb_files,
                 CAST(13 AS BIGINT) AS p_v1_rows,
                 CAST(25 AS BIGINT) AS p_v2_rows,
                 CAST(5 AS BIGINT) AS p_region2_rows,
+                CAST(6 AS BIGINT) AS p_ts_rows,
+                CAST(1 AS BIGINT) AS p_hidden,
                 CAST(3 AS BIGINT) AS rb_version,
                 CAST(13 AS BIGINT) AS rb_rows""",
     "q38_window_battery2" ->

@@ -55,6 +55,8 @@ object Versioned {
   private val MarkerPrefix = "_commit_"
   private val ManifestFile = "_manifest"
   private val StatsDir = "_stats"
+  private val DeletesDir = "_deletes"
+  private val DeletePrefix = "!"
 
   /** Age before an unpublished v=N directory counts as crash debris and
     * may be reclaimed by a committer (see [[commit]]). */
@@ -80,13 +82,15 @@ object Versioned {
 
   private def ownerToken(uuid: String) = s"_owner_$uuid"
 
-  /** The table-relative entries whose data files compose snapshot `v`
-    * (commit order, own directory last). An entry is a DIRECTORY
-    * (`v=K`) or — after a file-level [[upsert]]/[[delete]] — an
-    * individual surviving FILE inside one (`v=K/part-….parquet`).
+  /** RAW manifest lines of snapshot `v` (commit order, own directory
+    * last). A line is a DATA entry — a DIRECTORY (`v=K`) or, after a
+    * file-level [[upsert]]/[[delete]], an individual surviving FILE
+    * inside one (`v=K/part-….parquet`) — or a TOMBSTONE entry
+    * (`!v=K/_deletes`, see [[deleteRows]]): an equality-delete file set
+    * applied at read to data entries OLDER than its version.
     * Pre-manifest snapshots are self-contained: their single entry is
     * the version directory. */
-  private def manifestDirs(f: FileSystem, tableDir: String,
+  private def manifestLines(f: FileSystem, tableDir: String,
       v: Int): Seq[String] = {
     val mf = new Path(tableDir, s"v=$v/$ManifestFile")
     if (!f.exists(mf)) Seq(s"v=$v")
@@ -100,6 +104,48 @@ object Versioned {
       entries
     }
   }
+
+  private def isDeleteLine(e: String) = e.startsWith(DeletePrefix)
+
+  /** The DATA entries of snapshot `v` (tombstone lines excluded). */
+  private def manifestDirs(f: FileSystem, tableDir: String,
+      v: Int): Seq[String] =
+    manifestLines(f, tableDir, v).filterNot(isDeleteLine)
+
+  /** The version a manifest entry was written at (`v=K...` -> K). */
+  private def entryVer(e: String): Int =
+    e.stripPrefix(DeletePrefix).split("/").head.stripPrefix("v=").toInt
+
+  /** Tombstone sets of snapshot `v`, each as (delete version, key
+    * frame). The frames are read by explicit part paths (underscore-
+    * hidden dirs as scan roots log a spurious WARN). */
+  private def manifestDeletes(spark: SparkSession, f: FileSystem,
+      tableDir: String, v: Int): Seq[(Int, DataFrame)] =
+    manifestLines(f, tableDir, v).filter(isDeleteLine)
+      .map(_.stripPrefix(DeletePrefix)).map { e =>
+        val parts = f.listStatus(new Path(tableDir, e)).toSeq
+          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
+          .map(_.toString)
+        (entryVer(e), spark.read.parquet(parts: _*))
+      }
+
+  /** Apply tombstone key sets to `df` as equality anti-joins on each
+    * tombstone's columns — Iceberg-v2 merge-on-read semantics. Callers
+    * pass only the tombstones NEWER than the data being read: a delete
+    * file affects only data written before it, so a key re-inserted
+    * AFTER the delete survives. Rows whose key columns are null never
+    * match a tombstone (SQL equality), and files predating a
+    * schema-evolved key column null-fill, so their rows are kept.
+    * Tombstone frames are key-scale and AQE broadcasts them. */
+  private def applyDeletes(df: DataFrame,
+      tombs: Seq[DataFrame]): DataFrame =
+    tombs.foldLeft(df) { case (d, t) =>
+      val cols = t.columns.toSeq
+      val missing = cols.filterNot(d.columns.contains)
+      val padded = missing.foldLeft(d)((acc, c) =>
+        acc.withColumn(c, lit(null).cast(t.schema(c).dataType)))
+      padded.join(t, cols, "left_anti").drop(missing: _*)
+    }
 
   /** Whether `dir` holds hive partition directories (`col=value/`).
     * Decides the scan strategy: partitioned roots must each be read
@@ -170,9 +216,10 @@ object Versioned {
   def commit(df: DataFrame, tableDir: String,
       partitionCol: Option[String] = None,
       note: Option[String] = None,
-      statsCols: Seq[String] = Nil): Int =
+      statsCols: Seq[String] = Nil,
+      transform: Option[Transform] = None): Int =
     commitStaged(df, tableDir, partitionCol, note, statsCols,
-      linkBase = None)
+      linkBase = None, transform = transform)
 
   /** @param linkBase     snapshot the new version chains onto; its
     *                     manifest entries are linked unless overridden
@@ -186,8 +233,24 @@ object Versioned {
       partitionCol: Option[String], note: Option[String],
       statsCols: Seq[String], linkBase: Option[Int],
       linkEntries: Option[Seq[String]] = None,
-      ownDirInManifest: Boolean = true): Int = {
+      ownDirInManifest: Boolean = true,
+      deleteDf: Option[DataFrame] = None,
+      transform: Option[Transform] = None): Int = {
     val spark = df.sparkSession
+    // hidden partitioning: derive the transform's partition column for
+    // the write only — it never enters the logical schema (read() hides
+    // the reserved prefix)
+    require(!df.columns.exists(_.startsWith(TransformPrefix)),
+      s"input columns must not use the reserved '$TransformPrefix' prefix")
+    val (data, partBy) = transform match {
+      case Some(t) =>
+        require(partitionCol.isEmpty,
+          "pass either partitionCol or transform, not both")
+        require(df.columns.contains(t.source),
+          s"transform source column '${t.source}' not in input")
+        (df.withColumn(t.partCol, t.writeExpr(df)), Some(t.partCol))
+      case None => (df, partitionCol)
+    }
     val f = fs(spark, tableDir)
     val next = currentVersion(spark, tableDir) + 1
     // An append's linked base must still be the current snapshot —
@@ -213,13 +276,22 @@ object Versioned {
     }
     val uuid = java.util.UUID.randomUUID().toString
     val stage = new Path(tableDir, s".stage-v$next-$uuid")
-    val w = df.write.mode("overwrite")
-    partitionCol.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
+    val w = data.write.mode("overwrite")
+    partBy.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
     if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
+    transform.foreach(t => writeTspec(f, stage, t,
+      df.schema(t.source).dataType.catalogString))
+    // tombstone key set (merge-on-read delete): key-scale, one file
+    deleteDf.foreach(_.coalesce(1).write
+      .parquet(new Path(stage, DeletesDir).toString))
+    // linking chains the base's RAW lines: its tombstones still apply
+    // to the data entries they cover
     val linked = linkEntries
-      .orElse(linkBase.map(b => manifestDirs(f, tableDir, b)))
+      .orElse(linkBase.map(b => manifestLines(f, tableDir, b)))
       .getOrElse(Nil)
-    val dirs = if (ownDirInManifest) linked :+ s"v=$next" else linked
+    val withOwn = if (ownDirInManifest) linked :+ s"v=$next" else linked
+    val dirs = withOwn ++
+      deleteDf.map(_ => s"$DeletePrefix" + s"v=$next/$DeletesDir")
     require(dirs.nonEmpty,
       s"commit at $tableDir would publish an empty manifest")
     val mf = f.create(new Path(stage, ManifestFile), false)
@@ -427,25 +499,45 @@ object Versioned {
     * — and unionByName stitches them. [[compact]] bounds chain length
     * for good. */
   def read(spark: SparkSession, tableDir: String,
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None): DataFrame =
+    readSnapshot(spark, tableDir, version, withDeletes = true)
+
+  /** [[read]] with merge-on-read tombstones optionally UNAPPLIED — the
+    * provenance probe in [[mergeFiles]] needs raw scans: its
+    * `input_file_name` projection must sit directly over the file scan
+    * (a tombstone anti-join above the scan would blank it), and a
+    * tombstone-free probe only OVER-approximates the touched set (the
+    * rewrite itself applies tombstones, so deleted rows never
+    * resurrect). */
+  private def readSnapshot(spark: SparkSession, tableDir: String,
+      version: Option[Int], withDeletes: Boolean): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
+    val deletes =
+      if (withDeletes) manifestDeletes(spark, f, tableDir, v) else Nil
     val scans = manifestDirs(f, tableDir, v).map { e =>
       val u = entryUnit(f, tableDir, e)
-      u -> scanUnit(spark, u).schema
+      // tombstones apply per data entry (only those NEWER than it), so
+      // the applicable-set joins the grouping key: entries under the
+      // same tombstones still collapse into one multi-root scan
+      (u, scanUnit(spark, u).schema,
+        deletes.filter(_._1 > entryVer(e)).map(_._1))
     }
-    // group runs of identical (basePath, schema) into one multi-path
-    // read; a partitioned root's basePath is itself, so it stays alone
+    // group runs of identical (basePath, schema, applicable deletes)
+    // into one multi-path read; a partitioned root's basePath is
+    // itself, so it stays alone
     val grouped = scans.foldLeft(List.empty[(ScanUnit,
-        org.apache.spark.sql.types.StructType)]) {
-      case ((g, sch) :: rest, (u, s))
-          if s == sch && g.basePath == u.basePath =>
-        (ScanUnit(g.paths ++ u.paths, g.basePath), sch) :: rest
-      case (acc, (u, s)) => (u, s) :: acc
+        org.apache.spark.sql.types.StructType, Seq[Int])]) {
+      case ((g, sch, dv) :: rest, (u, s, d))
+          if s == sch && g.basePath == u.basePath && dv == d =>
+        (ScanUnit(g.paths ++ u.paths, g.basePath), sch, dv) :: rest
+      case (acc, (u, s, d)) => (u, s, d) :: acc
     }.reverse
-    grouped.map { case (u, _) => scanUnit(spark, u) }
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    hideDerived(grouped.map { case (u, _, dv) =>
+      applyDeletes(scanUnit(spark, u),
+        deletes.filter(t => dv.contains(t._1)).map(_._2))
+    }.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
   /** All retained committed snapshot versions (ascending). */
@@ -462,12 +554,14 @@ object Versioned {
   def append(df: DataFrame, tableDir: String,
       partitionCol: Option[String] = None,
       note: Option[String] = None,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      transform: Option[Transform] = None): Int = {
     val spark = df.sparkSession
     val cur = currentVersion(spark, tableDir)
-    if (cur == 0) commit(df, tableDir, partitionCol, note, statsCols)
+    if (cur == 0) commit(df, tableDir, partitionCol, note, statsCols,
+      transform)
     else commitStaged(df, tableDir, partitionCol, note, statsCols,
-      linkBase = Some(cur))
+      linkBase = Some(cur), transform = transform)
   }
 
   /** ROLLBACK to a retained snapshot — the Iceberg
@@ -487,7 +581,7 @@ object Versioned {
     commitStaged(read(spark, tableDir, Some(to)).limit(0), tableDir,
       partitionCol = None, note = note, statsCols = Nil,
       linkBase = None,
-      linkEntries = Some(manifestDirs(f, tableDir, to)),
+      linkEntries = Some(manifestLines(f, tableDir, to)),
       ownDirInManifest = false)
   }
 
@@ -524,15 +618,23 @@ object Versioned {
   }
 
   /** Scan a set of table-relative data files, each under its version
-    * directory's basePath so hive partition values still materialize. */
+    * directory's basePath so hive partition values still materialize.
+    * `deletes` (the snapshot's tombstones) are applied per version
+    * group — only those NEWER than the group's files — so a rewrite or
+    * binpack reading these files never resurrects merge-on-read-deleted
+    * rows. */
   private def readFiles(spark: SparkSession, tableDir: String,
-      rels: Seq[String]): DataFrame =
-    rels.groupBy(_.split("/").head).toSeq.sortBy(_._1)
+      rels: Seq[String],
+      deletes: Seq[(Int, DataFrame)] = Nil): DataFrame =
+    hideDerived(rels.groupBy(_.split("/").head).toSeq.sortBy(_._1)
       .map { case (vdir, files) =>
-        spark.read.option("basePath", new Path(tableDir, vdir).toString)
-          .parquet(files.map(r => new Path(tableDir, r).toString): _*)
+        val ver = vdir.stripPrefix("v=").toInt
+        applyDeletes(
+          spark.read.option("basePath", new Path(tableDir, vdir).toString)
+            .parquet(files.map(r => new Path(tableDir, r).toString): _*),
+          deletes.filter(_._1 > ver).map(_._2))
       }
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .reduce(_.unionByName(_, allowMissingColumns = true)))
 
   /** The file-level merge core shared by [[upsert]] and [[delete]]:
     * split the snapshot's files into touched (contain a row matching
@@ -563,9 +665,10 @@ object Versioned {
     // O(candidate files), not O(table). Sound because a pruned-away
     // file provably contains no row in the range, hence no match.
     val probe = pruneRange match {
-      case Some((c, lo, hi)) => readWhere(spark, tableDir, c, lo, hi,
-        Some(v))
-      case None => read(spark, tableDir, Some(v))
+      case Some((c, lo, hi)) => readWhereAllImpl(spark, tableDir,
+        Seq((c, lo, hi)), Some(v), withDeletes = false)
+      case None => readSnapshot(spark, tableDir, Some(v),
+        withDeletes = false)
     }
     // collect is metadata-scale: one row per TOUCHED FILE
     val touched = matches(probe.withColumn("__file", input_file_name()))
@@ -573,17 +676,25 @@ object Versioned {
       .map(r => decodePath(r.getString(0)).stripPrefix(root + "/"))
       .toSet
     if (touched.isEmpty) return None
-    val surviving = manifestDirs(f, tableDir, v).flatMap { e =>
-      val files = entryFiles(f, tableDir, e)
-      if (!files.exists(touched.contains)) Seq(e)
-      else files.filterNot(touched.contains)
+    // data entries split into untouched (linked) and touched-survivor
+    // files; tombstone lines link through unchanged — they still apply
+    // to the older files they cover (the rewrite applies them to its
+    // own input below, so rewritten rows never resurrect)
+    val surviving = manifestLines(f, tableDir, v).flatMap { e =>
+      if (isDeleteLine(e)) Seq(e)
+      else {
+        val files = entryFiles(f, tableDir, e)
+        if (!files.exists(touched.contains)) Seq(e)
+        else files.filterNot(touched.contains)
+      }
     }
     // size the rewrite like the files it replaces: without this, a
     // one-file rewrite fans out to shuffle.partitions tiny part files.
     // Persisted around its two consumers (the emptiness probe and the
     // commit's write) — without the persist every merge executed the
     // full anti-join/filter over the touched files twice.
-    val rewritten = rewrite(readFiles(spark, tableDir, touched.toSeq))
+    val rewritten = rewrite(readFiles(spark, tableDir, touched.toSeq,
+        manifestDeletes(spark, f, tableDir, v)))
       .coalesce(math.max(1, touched.size))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -656,6 +767,39 @@ object Versioned {
       partitionCol, statsCols)
       .getOrElse(currentVersion(spark, tableDir))
 
+  /** MERGE-ON-READ delete — the Iceberg-v2 equality-delete-file analog
+    * (the delete half the reference's engines speak through
+    * `iceberg.properties`' format-version-2 catalog): publish a new
+    * snapshot whose manifest links every prior data file UNCHANGED and
+    * adds one tombstone entry holding `keys`' rows. [[read]] applies the
+    * tombstone as an anti-join on the key columns to data OLDER than the
+    * delete; keys appended after it are unaffected (Iceberg's sequence-
+    * number rule). Cost is O(keys) I/O per delete — at 100 TB with
+    * streaming deletes this is the difference between a tombstone write
+    * per micro-batch and [[delete]]'s copy-on-write rewrite of every
+    * touched file. Tombstones accumulate one tiny anti-join per delete
+    * until [[compact]] (which reads with deletes applied and publishes
+    * a self-contained snapshot) collapses them into data — the
+    * read-amplification / write-cost trade Iceberg's v2 spec makes.
+    * A delete whose keys match nothing is still a (cheap) commit: the
+    * tombstone is key-scale metadata and proving emptiness would cost a
+    * scan. */
+  def deleteRows(spark: SparkSession, tableDir: String,
+      keys: DataFrame, note: Option[String] = None): Int = {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    val cols = keys.columns.toSeq
+    require(cols.nonEmpty, "deleteRows needs at least one key column")
+    val tableCols = read(spark, tableDir, Some(cur)).columns.toSet
+    val missing = cols.filterNot(tableCols.contains)
+    require(missing.isEmpty,
+      s"deleteRows key columns not in table at $tableDir: " +
+        missing.mkString(", "))
+    commitStaged(keys.limit(0), tableDir, partitionCol = None,
+      note = note, statsCols = Nil, linkBase = Some(cur),
+      ownDirInManifest = false, deleteDf = Some(keys.distinct()))
+  }
+
   /** Number of data files in a snapshot, across every directory its
     * manifest links (maintenance introspection). */
   def dataFileCount(spark: SparkSession, tableDir: String,
@@ -696,7 +840,8 @@ object Versioned {
   def compact(spark: SparkSession, tableDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       partitionCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      transform: Option[Transform] = None): Int = {
     val cur = currentVersion(spark, tableDir)
     require(cur > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
@@ -706,20 +851,22 @@ object Versioned {
     val nFiles =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val data = read(spark, tableDir)
-    commit(sizeForWrite(data, nFiles, partitionCol), tableDir,
-      partitionCol, statsCols = statsCols)
+    val by = transform.map(_.writeExpr(data))
+      .orElse(partitionCol.map(col))
+    commit(sizeForWrite(data, nFiles, by), tableDir,
+      partitionCol, statsCols = statsCols, transform = transform)
   }
 
-  /** Shape `data` into ~`nFiles` output files. With `partitionCol` set
-    * it RANGE-partitions on (partitionCol, row-hash) so each task covers
-    * a contiguous run of partition values — a hive directory receives
-    * ~1 file instead of nFiles each, and the deterministic row-hash
-    * suffix still splits a skewed value across tasks. (Maps and
-    * nondeterministic exprs can't range-partition; hash the hashable
-    * columns — a map ANYWHERE in the type tree, inside a struct or
-    * array, is unhashable too, so the check recurses.) */
+  /** Shape `data` into ~`nFiles` output files. With a partition
+    * expression it RANGE-partitions on (expr, row-hash) so each task
+    * covers a contiguous run of partition values — a hive directory
+    * receives ~1 file instead of nFiles each, and the deterministic
+    * row-hash suffix still splits a skewed value across tasks. (Maps
+    * and nondeterministic exprs can't range-partition; hash the
+    * hashable columns — a map ANYWHERE in the type tree, inside a
+    * struct or array, is unhashable too, so the check recurses.) */
   private def sizeForWrite(data: DataFrame, nFiles: Int,
-      partitionCol: Option[String]): DataFrame = partitionCol match {
+      by: Option[Column]): DataFrame = by match {
     case Some(c) =>
       def mapFree(dt: DataType): Boolean = dt match {
         case _: MapType => false
@@ -731,8 +878,8 @@ object Versioned {
         case fd if mapFree(fd.dataType) => col(fd.name)
       }.toSeq
       if (hashable.nonEmpty)
-        data.repartitionByRange(nFiles, col(c), xxhash64(hashable: _*))
-      else data.repartitionByRange(nFiles, col(c))
+        data.repartitionByRange(nFiles, c, xxhash64(hashable: _*))
+      else data.repartitionByRange(nFiles, c)
     case None => data.repartition(nFiles)
   }
 
@@ -765,10 +912,13 @@ object Versioned {
     val small = sized.flatMap(_._2).filter(_._2 < threshold)
     if (small.size < 2) return cur
     val smallSet = small.map(_._1).toSet
+    // tombstone lines link through: they still apply to the surviving
+    // older files (packed output is newer than every tombstone, and its
+    // rows were packed with them applied, so it is never re-filtered)
     val surviving = sized.flatMap { case (e, files) =>
       if (!files.exists(fl => smallSet.contains(fl._1))) Seq(e)
       else files.map(_._1).filterNot(smallSet.contains)
-    }
+    } ++ manifestLines(f, tableDir, cur).filter(isDeleteLine)
     val bytes = small.map(_._2).sum
     val nFiles =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
@@ -776,8 +926,9 @@ object Versioned {
     // files preserve hive partition locality (sizeForWrite) and get a
     // fresh stats sidecar — without this an hourly small-file sweep
     // steadily degraded the scan-pruning the table was built for
-    val packed = sizeForWrite(readFiles(spark, tableDir, small.map(_._1)),
-      nFiles, partitionCol)
+    val packed = sizeForWrite(readFiles(spark, tableDir, small.map(_._1),
+      manifestDeletes(spark, f, tableDir, cur)), nFiles,
+      partitionCol.map(col))
     commitStaged(packed, tableDir, partitionCol, note = None,
       statsCols, linkBase = Some(cur), linkEntries = Some(surviving))
   }
@@ -804,8 +955,12 @@ object Versioned {
     val all = versions(spark, tableDir)
     val expired = all.filter(_ != cur).dropRight(math.max(0, keep - 1))
     val retained = all.diff(expired)
+    // tombstone lines reference their `v=K/_deletes` dir: an expired
+    // version whose delete files a retained snapshot still applies
+    // must keep them
     val referenced =
-      retained.flatMap(v => manifestDirs(f, tableDir, v)).toSet
+      retained.flatMap(v => manifestLines(f, tableDir, v))
+        .map(_.stripPrefix(DeletePrefix)).toSet
     // an entry may be a directory or a FILE inside one (file-level
     // merge manifests): a directory stays as long as anything under it
     // is referenced — conservative, and compact() reclaims the rest
@@ -844,7 +999,7 @@ object Versioned {
   def history(spark: SparkSession, tableDir: String): DataFrame = {
     val f = fs(spark, tableDir)
     val rows = committedVersions(spark, tableDir).map { v =>
-      val entries = manifestDirs(f, tableDir, v)
+      val entries = manifestLines(f, tableDir, v)
       (v,
         new java.sql.Timestamp(f.getFileStatus(
           new Path(tableDir, s"$MarkerPrefix$v")).getModificationTime),
@@ -860,42 +1015,50 @@ object Versioned {
 
   /** Per-file inventory of a snapshot — the Iceberg `.files`
     * metadata-table analog: every data file the version's manifest
-    * reaches, with its size, owning entry, and whether it is LINKED
-    * from an older version (O(delta) append / file-level merge) or
-    * written by this version. Metadata-scale: one FS listing per
-    * manifest entry, no file contents read. */
+    * reaches, with its size, owning entry, whether it is LINKED from an
+    * older version (O(delta) append / file-level merge) or written by
+    * this version, and its kind (`data`, or `delete` for a
+    * merge-on-read tombstone's key files). Metadata-scale: one FS
+    * listing per manifest entry, no file contents read. */
   def files(spark: SparkSession, tableDir: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
-    val rows = manifestDirs(f, tableDir, v).flatMap { e =>
+    val rows = manifestLines(f, tableDir, v).flatMap { e0 =>
+      val e = e0.stripPrefix(DeletePrefix)
+      val kind = if (isDeleteLine(e0)) "delete" else "data"
       entryFiles(f, tableDir, e).map { rel =>
         (rel, f.getFileStatus(new Path(tableDir, rel)).getLen,
-          e, !rel.startsWith(s"v=$v/"))
+          e, !rel.startsWith(s"v=$v/"), kind)
       }
     }
     import spark.implicits._
-    rows.toDF("file", "size_bytes", "entry", "linked")
+    rows.toDF("file", "size_bytes", "entry", "linked", "kind")
   }
 
   /** Driver-visible gate over the snapshot/manifest surface — the
-    * d07/s04 pattern: build a small versioned table from the fixture's
+    * d07/s04 pattern: build small versioned tables from the fixture's
     * SF-independent `region`/`nation` tables (commit → O(delta) append
-    * → readWhere → file-level upsert, plus the reference's own
-    * partitioned layout, csv_to_ice.py:54,58), reduce each invariant
-    * to an engine-independent constant, and emit ONE row the DuckDB
-    * oracle states literally. Gives CORRECTNESS_r{N} a row that fails
-    * whenever commit/append/time-travel/stats-pruning/merge regress. */
+    * → readWhere → file-level upsert → merge-on-read delete → compact,
+    * plus a `days(ts)`-transform-partitioned chain standing in for the
+    * layout the reference hand-codes in csv_to_ice.py:25,54), reduce
+    * each invariant to an engine-independent constant, and emit ONE row
+    * the DuckDB oracle states literally. All row-count probes are
+    * pinned to explicit versions and evaluated in a SINGLE batched
+    * action at the end — the gate's cost is its writes, not a stack of
+    * per-count jobs on the scheduler's action floor. */
   def snapshotGate(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
     val work = Files.createTempDirectory("graft-snapshot-gate")
-    def fileState(dir: String): Map[String, (Long, Long)] =
-      Files.walk(Paths.get(dir)).iterator().asScala
-        .filter(_.toString.endsWith(".parquet"))
-        .map(p => p.toString ->
-          (Files.getLastModifiedTime(p).toMillis, Files.size(p))).toMap
+    def fileState(dirs: String*): Map[String, (Long, Long)] =
+      dirs.flatMap { dir =>
+        Files.walk(Paths.get(dir)).iterator().asScala
+          .filter(_.toString.endsWith(".parquet"))
+          .map(p => p.toString ->
+            (Files.getLastModifiedTime(p).toMillis, Files.size(p)))
+      }.toMap
     try {
       val region = Tables.load(s, d, "region")
         .select(col("r_regionkey"), col("r_name"))
@@ -909,52 +1072,248 @@ object Versioned {
       append(region.filter(col("r_regionkey") >= 3), t,
         statsCols = Seq("r_regionkey"))
       val untouched = fileState(s"$t/v=1") == before
-      val v1Rows = read(s, t, Some(1)).count()
-      val v2Rows = read(s, t).count()
-      val rw = readWhere(s, t, "r_regionkey", 0, 0)
-      val pruned = rw.inputFiles.length < read(s, t).inputFiles.length
-      val rwRows = rw.count()
-      // — file-level merge: one key rewritten, prior files linked —
+      // — file-level merge (v3): one key rewritten, prior files linked —
       upsert(s, t, region.filter(col("r_regionkey") === 0)
         .withColumn("r_name", lit("REWRITTEN")), "r_regionkey")
-      // one job for (count, rewritten hits) — every count here is a
-      // full Spark action, so the gate batches its probes
-      val m = read(s, t).agg(count(lit(1)),
-        sum(when(col("r_name") === "REWRITTEN", 1L).otherwise(0L))).head()
-      val (mRows, mHit) = (m.getLong(0), m.getLong(1))
       val mOwnFiles = fileState(s"$t/v=3").size
-      val mTt = read(s, t, Some(1)).count()
-      // — partitioned chain: the reference's own layout —
+      // — merge-on-read delete (v4): tombstone only, no data rewrite —
+      val beforeMor = fileState(s"$t/v=1", s"$t/v=2", s"$t/v=3")
+      import s.implicits._
+      deleteRows(s, t, Seq(1).toDF("r_regionkey"))
+      val morUntouched =
+        fileState(s"$t/v=1", s"$t/v=2", s"$t/v=3") == beforeMor
+      // — compact (v5): tombstones collapse into data —
+      compact(s, t)
+      // — transform-partitioned chain: days(ts) derived and HIDDEN
+      //   (vs the reference's hand-materialized day column) —
       val tp = work.resolve("tbl_part").toString
-      commit(nation.filter(col("n_nationkey") < 13), tp,
-        partitionCol = Some("n_regionkey"))
-      append(nation.filter(col("n_nationkey") >= 13), tp,
-        partitionCol = Some("n_regionkey"))
-      val pV1 = read(s, tp, Some(1)).count()
-      val p2 = read(s, tp).agg(count(lit(1)),
-        sum(when(col("n_regionkey") === 2, 1L).otherwise(0L))).head()
-      val (pV2, pRegion2) = (p2.getLong(0), p2.getLong(1))
+      val natTs = nation.withColumn("ts",
+        date_add(to_date(lit("2024-01-01")),
+          col("n_nationkey").cast("int")).cast("timestamp"))
+      val days = Some(Transform.Days("ts"))
+      commit(natTs.filter(col("n_nationkey") < 13), tp, transform = days)
+      append(natTs.filter(col("n_nationkey") >= 13), tp, transform = days)
+      val pHidden = read(s, tp).columns
+        .forall(!_.startsWith(TransformPrefix))
       // metadata-only rollback: the current content is v1's again
       val rbV = rollback(s, tp, 1)
-      val rbRows = read(s, tp).count()
+      // — ONE batched action for every row-count probe, versions pinned —
+      val rw = readWhere(s, t, "r_regionkey", 0, 0, Some(2))
+      val pruned = rw.inputFiles.length <
+        read(s, t, Some(2)).inputFiles.length
+      def probe(tag: String, df: DataFrame, a: Column,
+          b: Column = lit(0L)): DataFrame =
+        df.agg(a.cast("long").as("a"), b.cast("long").as("b"))
+          .select(lit(tag).as("t"), col("a"), col("b"))
+      val n = count(lit(1))
+      val probes = Seq(
+        probe("v1", read(s, t, Some(1)), n),
+        probe("v2", read(s, t, Some(2)), n),
+        probe("rw", rw, n),
+        probe("m", read(s, t, Some(3)), n,
+          sum(when(col("r_name") === "REWRITTEN", 1L).otherwise(0L))),
+        probe("mor", read(s, t, Some(4)), n,
+          sum(when(col("r_regionkey") === 1, 1L).otherwise(0L))),
+        probe("tomb", files(s, t, Some(4)),
+          sum(when(col("kind") === "delete", 1L).otherwise(0L)),
+          sum(when(col("kind") === "data" && !col("linked"), 1L)
+            .otherwise(0L))),
+        probe("cmp", read(s, t, Some(5)), n),
+        probe("cmpf", files(s, t, Some(5)),
+          sum(when(col("kind") === "delete", 1L).otherwise(0L))),
+        probe("pv1", read(s, tp, Some(1)), n),
+        probe("p2", read(s, tp, Some(2)), n,
+          sum(when(col("n_regionkey") === 2, 1L).otherwise(0L))),
+        probe("pts", readWhere(s, tp, "ts",
+          "2024-01-05 00:00:00", "2024-01-10 00:00:00", Some(2)), n),
+        probe("rb", read(s, tp), n))
+      val r = probes.reduce(_.unionByName(_)).collect()
+        .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
       s.range(1).select(
-        lit(v1Rows).as("v1_rows"),
-        lit(v2Rows).as("v2_rows"),
-        lit(rwRows).as("rw_rows"),
+        lit(r("v1")._1).as("v1_rows"),
+        lit(r("v2")._1).as("v2_rows"),
+        lit(r("rw")._1).as("rw_rows"),
         lit(if (pruned) 1L else 0L).as("files_pruned"),
         lit(if (untouched) 1L else 0L).as("prior_untouched"),
-        lit(mRows).as("merge_rows"),
-        lit(mHit).as("merge_hit"),
+        lit(r("m")._1).as("merge_rows"),
+        lit(r("m")._2).as("merge_hit"),
         lit(mOwnFiles.toLong).as("merge_own_files"),
-        lit(mTt).as("merge_tt_rows"),
-        lit(pV1).as("p_v1_rows"),
-        lit(pV2).as("p_v2_rows"),
-        lit(pRegion2).as("p_region2_rows"),
+        lit(r("v1")._1).as("merge_tt_rows"),
+        lit(r("mor")._1).as("mor_rows"),
+        lit(r("mor")._2).as("mor_hit"),
+        lit(if (morUntouched) 1L else 0L).as("mor_prior_untouched"),
+        lit(r("tomb")._1).as("mor_tomb_files"),
+        lit(r("tomb")._2).as("mor_own_data_files"),
+        lit(r("cmp")._1).as("compact_rows"),
+        lit(r("cmpf")._1).as("compact_tomb_files"),
+        lit(r("pv1")._1).as("p_v1_rows"),
+        lit(r("p2")._1).as("p_v2_rows"),
+        lit(r("p2")._2).as("p_region2_rows"),
+        lit(r("pts")._1).as("p_ts_rows"),
+        lit(if (pHidden) 1L else 0L).as("p_hidden"),
         lit(rbV.toLong).as("rb_version"),
-        lit(rbRows).as("rb_rows"))
+        lit(r("rb")._1).as("rb_rows"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
+
+  // —— hidden partition transforms (Iceberg partition-spec analog) ——
+
+  /** Reserved prefix for DERIVED partition columns. [[read]] hides any
+    * column carrying it, so the transform stays out of the logical
+    * schema; input frames must not use it. */
+  val TransformPrefix = "gpart_"
+
+  /** A partition TRANSFORM — Iceberg's hidden-partitioning answer to
+    * the papercut the reference hand-codes (csv_to_ice.py:25 derives a
+    * `day` string by hand and carries it as a real column): the table
+    * declares `days(ts)` / `bucket(n, id)` / `truncate(w, s)` once, the
+    * engine derives a HIDDEN hive partition column at write, hides it
+    * from reads, and [[readWhere]] maps source-column ranges onto it so
+    * partition pruning fires without the caller ever naming the derived
+    * column. The spec (with its source dtype) persists per version in a
+    * `_tspec` sidecar, so pruning works from the spec the data was
+    * written under — a merge-rewritten directory without a spec simply
+    * scans in full (degrade, never lie). */
+  sealed trait Transform {
+    def source: String
+    /** hidden hive partition column this transform materializes */
+    def partCol: String
+    def render: String
+    /** derived partition value for a row of `df` (dtype-aware) */
+    private[sources] def writeExpr(df: DataFrame): Column
+    /** partition-column predicate implied by source BETWEEN lo AND hi
+      * (None when the transform cannot bound a range, e.g. bucket with
+      * lo != hi). `dtype` is the source's catalog type AS WRITTEN — the
+      * literals cast through it so e.g. bucket hashes agree. */
+    private[sources] def rangePred(lo: Any, hi: Any,
+        dtype: String): Option[Column]
+  }
+
+  object Transform {
+    /** Calendar-day partitioning of a timestamp: `days(ts)`. */
+    case class Days(source: String) extends Transform {
+      val partCol = s"${TransformPrefix}days_$source"
+      def render = s"days($source)"
+      private[sources] def writeExpr(df: DataFrame) =
+        to_date(col(source).cast("timestamp"))
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String) =
+        Some(col(partCol) >= to_date(lit(lo).cast("timestamp")) &&
+          col(partCol) <= to_date(lit(hi).cast("timestamp")))
+    }
+
+    /** Calendar-month partitioning: `months(ts)` -> `yyyy-MM` (string
+      * order = time order). */
+    case class Months(source: String) extends Transform {
+      val partCol = s"${TransformPrefix}months_$source"
+      def render = s"months($source)"
+      private[sources] def writeExpr(df: DataFrame) =
+        date_format(col(source).cast("timestamp"), "yyyy-MM")
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String) =
+        Some(col(partCol) >=
+            date_format(lit(lo).cast("timestamp"), "yyyy-MM") &&
+          col(partCol) <=
+            date_format(lit(hi).cast("timestamp"), "yyyy-MM"))
+    }
+
+    /** Hour partitioning: `hours(ts)` -> `yyyy-MM-dd-HH`. */
+    case class Hours(source: String) extends Transform {
+      val partCol = s"${TransformPrefix}hours_$source"
+      def render = s"hours($source)"
+      private[sources] def writeExpr(df: DataFrame) =
+        date_format(col(source).cast("timestamp"), "yyyy-MM-dd-HH")
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String) =
+        Some(col(partCol) >=
+            date_format(lit(lo).cast("timestamp"), "yyyy-MM-dd-HH") &&
+          col(partCol) <=
+            date_format(lit(hi).cast("timestamp"), "yyyy-MM-dd-HH"))
+    }
+
+    /** Hash-bucket partitioning: `bucket(n, col)`. Point lookups
+      * (lo == hi) prune to one bucket; ranges cannot. The literal casts
+      * through the WRITTEN dtype so the Murmur3 hash agrees with the
+      * write side (hash(1) as int and as bigint differ). */
+    case class Bucket(n: Int, source: String) extends Transform {
+      require(n > 0, s"bucket($n, $source): n must be positive")
+      val partCol = s"${TransformPrefix}bucket${n}_$source"
+      def render = s"bucket($n,$source)"
+      private[sources] def writeExpr(df: DataFrame) =
+        pmod(hash(col(source)), lit(n))
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String) =
+        if (lo == hi)
+          Some(col(partCol) === pmod(hash(lit(lo).cast(dtype)), lit(n)))
+        else None
+    }
+
+    /** Width-truncation partitioning: `truncate(w, col)` — leading `w`
+      * chars for strings, floor-to-multiple-of-`w` for numerics (both
+      * monotonic, so ranges map to partition ranges). */
+    case class Truncate(w: Int, source: String) extends Transform {
+      require(w > 0, s"truncate($w, $source): width must be positive")
+      val partCol = s"${TransformPrefix}trunc${w}_$source"
+      def render = s"truncate($w,$source)"
+      private def isString(dt: String) = dt == "string"
+      private[sources] def writeExpr(df: DataFrame) =
+        if (isString(df.schema(source).dataType.catalogString))
+          substring(col(source), 1, w)
+        else col(source) - pmod(col(source), lit(w))
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String) =
+        if (isString(dtype))
+          Some(col(partCol) >= substring(lit(lo), 1, w) &&
+            col(partCol) <= substring(lit(hi), 1, w))
+        else {
+          def t(v: Any) = {
+            val c = lit(v).cast(dtype)
+            c - pmod(c, lit(w))
+          }
+          Some(col(partCol) >= t(lo) && col(partCol) <= t(hi))
+        }
+    }
+
+    private val DaysRe = """days\((\w+)\)""".r
+    private val MonthsRe = """months\((\w+)\)""".r
+    private val HoursRe = """hours\((\w+)\)""".r
+    private val BucketRe = """bucket\((\d+),(\w+)\)""".r
+    private val TruncRe = """truncate\((\d+),(\w+)\)""".r
+
+    def parse(s: String): Transform = s match {
+      case DaysRe(c) => Days(c)
+      case MonthsRe(c) => Months(c)
+      case HoursRe(c) => Hours(c)
+      case BucketRe(n, c) => Bucket(n.toInt, c)
+      case TruncRe(w, c) => Truncate(w.toInt, c)
+      case other =>
+        throw new IllegalArgumentException(s"unknown transform '$other'")
+    }
+  }
+
+  private val TspecFile = "_tspec"
+
+  private def writeTspec(f: FileSystem, stage: Path, t: Transform,
+      dtype: String): Unit = {
+    val out = f.create(new Path(stage, TspecFile), false)
+    try out.write(s"${t.render}\t$dtype".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The transform a version directory was written under, if any. */
+  private def readTspec(f: FileSystem, tableDir: String,
+      vroot: String): Option[(Transform, String)] = {
+    val p = new Path(new Path(tableDir, vroot), TspecFile)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      text.split("\t") match {
+        case Array(render, dtype) => Some((Transform.parse(render), dtype))
+        case _ => None // unreadable spec: degrade to full scans
+      }
+    }
+  }
+
+  /** Drop hidden transform-derived partition columns from a frame. */
+  private def hideDerived(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(_.startsWith(TransformPrefix)).toSeq: _*)
 
   // —— manifest-level file statistics (commit-time sidecar) ——
 
@@ -1066,7 +1425,14 @@ object Versioned {
     * [[compact]] is the maintenance answer that collapses it back. */
   def readWhereAll(spark: SparkSession, tableDir: String,
       ranges: Seq[(String, Any, Any)],
-      version: Option[Int] = None): DataFrame = {
+      version: Option[Int] = None): DataFrame =
+    readWhereAllImpl(spark, tableDir, ranges, version, withDeletes = true)
+
+  /** See [[readSnapshot]] for why the merge provenance probe reads
+    * without tombstones. */
+  private def readWhereAllImpl(spark: SparkSession, tableDir: String,
+      ranges: Seq[(String, Any, Any)],
+      version: Option[Int], withDeletes: Boolean): DataFrame = {
     require(ranges.nonEmpty, "readWhereAll needs at least one range")
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
@@ -1154,6 +1520,23 @@ object Versioned {
         .select("vroot", "file").distinct()
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
     }
+    val deletes =
+      if (withDeletes) manifestDeletes(spark, f, tableDir, v) else Nil
+    // hidden-partitioning pruning: a root written under a transform
+    // whose source is one of the requested range columns gets the
+    // implied partition-column predicate — Spark's partition pruning
+    // then skips whole hive directories, on top of the sidecar's
+    // file-level pruning. Roots without a spec (merge rewrites, plain
+    // tables) simply scan by stats alone.
+    val specs = scala.collection.mutable
+      .Map.empty[String, Option[(Transform, String)]]
+    def partPred(vroot: String): Option[Column] =
+      specs.getOrElseUpdate(vroot, readTspec(f, tableDir, vroot))
+        .flatMap { case (t, dt) =>
+          ranges.collectFirst { case (c, lo, hi) if c == t.source =>
+            t.rangePred(lo, hi, dt)
+          }.flatten
+        }
     val parts = entryInfo.flatMap { case (dn, isFile, vroot) =>
       lazy val full = scanUnit(spark, entryUnit(f, tableDir, dn))
       val st = byRoot.getOrElse(vroot, Nil)
@@ -1161,18 +1544,24 @@ object Versioned {
         (if (isFile) st.map(_.getAs[String]("file"))
           .filter(_ == dn.stripPrefix(vroot + "/"))
         else st.map(_.getAs[String]("file"))).distinct
-      if (stFiles.isEmpty) Some(full) // no stats for any requested column
-      else {
-        val basePath = new Path(tableDir, vroot)
-        val kept = stFiles.filterNot(fl => missed.contains((vroot, fl)))
-          .map(rel => new Path(basePath, rel).toString)
-        if (kept.isEmpty) None
-        else Some(spark.read.option("basePath", basePath.toString)
-          .parquet(kept.toIndexedSeq: _*))
-      }
+      val scan =
+        if (stFiles.isEmpty) Some(full) // no stats for a requested column
+        else {
+          val basePath = new Path(tableDir, vroot)
+          val kept = stFiles.filterNot(fl => missed.contains((vroot, fl)))
+            .map(rel => new Path(basePath, rel).toString)
+          if (kept.isEmpty) None
+          else Some(spark.read.option("basePath", basePath.toString)
+            .parquet(kept.toIndexedSeq: _*))
+        }
+      // merge-on-read tombstones newer than this entry apply here too —
+      // a pruned read must agree with read().filter
+      scan.map(s => applyDeletes(partPred(vroot).fold(s)(s.filter),
+        deletes.filter(_._1 > entryVer(dn)).map(_._2)))
     }
     if (parts.isEmpty) read(spark, tableDir, Some(v)).filter(lit(false))
-    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
-      .filter(pred)
+    else hideDerived(
+      parts.reduce(_.unionByName(_, allowMissingColumns = true))
+        .filter(pred))
   }
 }

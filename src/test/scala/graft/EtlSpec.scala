@@ -189,6 +189,64 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.read(spark, t, Some(4)).count() == 801)
   }
 
+  test("versioned table: merge-on-read delete links all data, compact collapses") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val t = s"$work/versioned_mor_delete"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit((1 to 800).map(i => (i, i * 10)).toDF("id", "x")
+      .repartitionByRange(4, col("id")), t, statsCols = Seq("id"))
+    def v1State() = Files.walk(Paths.get(s"$t/v=1")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString -> (Files.getLastModifiedTime(p),
+        Files.size(p))).toMap
+    val before = v1State()
+    // the tombstone commit: O(keys) I/O, no data file rewritten
+    val v2 = Versioned.deleteRows(spark, t, Seq(42, 700).toDF("id"))
+    assert(v2 == 2 && v1State() == before)
+    val fl = Versioned.files(spark, t).collect()
+    assert(fl.count(_.getString(4) == "delete") == 1)
+    // every DATA file is still v=1's, linked unchanged
+    assert(fl.filter(_.getString(4) == "data")
+      .forall(r => r.getString(0).startsWith("v=1/") && r.getBoolean(3)))
+    // read applies the tombstone; time travel to v1 is exact
+    assert(Versioned.read(spark, t).count() == 798)
+    assert(Versioned.read(spark, t)
+      .filter(col("id").isin(42, 700)).count() == 0)
+    assert(Versioned.read(spark, t, Some(1)).count() == 800)
+    // a key re-inserted AFTER the delete survives (sequence rule)
+    Versioned.append(Seq((42, -1)).toDF("id", "x"), t)
+    assert(Versioned.read(spark, t).filter(col("id") === 42)
+      .select("x").collect().map(_.getInt(0)).toSeq == Seq(-1))
+    // tombstones stack, and the stats-pruned read agrees with read()
+    Versioned.deleteRows(spark, t, Seq(43).toDF("id"))
+    assert(Versioned.read(spark, t).count() == 798)
+    val rw = Versioned.readWhere(spark, t, "id", 40, 45)
+    assert(rw.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(40, 41, 42, 44, 45))
+    assert(rw.inputFiles.length <
+      Versioned.read(spark, t).inputFiles.length)
+    // a copy-on-write upsert over tombstoned files never resurrects
+    Versioned.upsert(spark, t, Seq((44, 0)).toDF("id", "x"), "id")
+    val after = Versioned.read(spark, t)
+    assert(after.count() == 798)
+    assert(after.filter(col("id").isin(43, 700)).count() == 0)
+    assert(after.filter(col("id") === 44).select("x")
+      .collect().map(_.getInt(0)).toSeq == Seq(0))
+    // compact collapses tombstones into a self-contained snapshot
+    Versioned.compact(spark, t)
+    val flc = Versioned.files(spark, t).collect()
+    assert(flc.forall(_.getString(4) == "data"))
+    assert(Versioned.read(spark, t).count() == 798)
+    assert(Versioned.read(spark, t).filter(col("id") === 700).count() == 0)
+    // unknown key column is refused up-front
+    intercept[IllegalArgumentException] {
+      Versioned.deleteRows(spark, t, Seq(1).toDF("nope"))
+    }
+  }
+
   test("versioned table: rollback republishes an old snapshot, keeps history") {
     import spark.implicits._
     import graft.sources.Versioned
@@ -541,6 +599,71 @@ class EtlSpec extends SparkSpec {
     // time travel sees each snapshot exactly
     assert(Versioned.read(spark, t, Some(1)).count() == 2)
     assert(Versioned.read(spark, t, Some(2)).count() == 4)
+  }
+
+  test("versioned table: days() transform hides its column, prunes partitions") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_transform_days"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    def batch(r: Range) = r.map(h =>
+      (h, java.sql.Timestamp.valueOf(
+        f"2024-06-${1 + h / 24}%02d ${h % 24}%02d:00:00"))).toDF("id", "ts")
+    // chain over days(ts): the caller never materializes a day column
+    // (the papercut the reference hand-codes in csv_to_ice.py:25)
+    Versioned.commit(batch(0 until 96), t,
+      transform = Some(Versioned.Transform.Days("ts")))
+    Versioned.append(batch(96 until 120), t,
+      transform = Some(Versioned.Transform.Days("ts")))
+    // the derived column stays OUT of the logical schema
+    val all = Versioned.read(spark, t)
+    assert(all.columns.toSeq == Seq("id", "ts"))
+    assert(all.count() == 120)
+    assert(Versioned.read(spark, t, Some(1)).count() == 96)
+    // ...but the data landed hive-partitioned by day
+    assert(new java.io.File(s"$t/v=1/gpart_days_ts=2024-06-02").isDirectory)
+    // a readWhere on the SOURCE column maps to PartitionFilters on the
+    // hidden column and prunes whole day directories (inputFiles
+    // ignores plan-level pruning, so read the scans' numFiles metric)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: inner.flatMap(nodes)
+    }
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      nodes(df.queryExecution.executedPlan)
+        .filter(_.nodeName.toLowerCase.contains("scan"))
+        .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    }
+    val rw = Versioned.readWhere(spark, t,
+      "ts", "2024-06-02 03:00:00", "2024-06-02 20:00:00")
+    assert(rw.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (27 to 44))
+    val plan = rw.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("gpart_days_ts"))
+    assert(scannedFiles(rw) < scannedFiles(all),
+      "expected day-directory pruning from the hidden partition filter")
+    // bucket() transform: point lookups prune to one bucket
+    val tb = s"$work/versioned_transform_bucket"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tb))
+    Versioned.commit((1 to 400).map(i => (i, s"r$i")).toDF("k", "v"), tb,
+      transform = Some(Versioned.Transform.Bucket(8, "k")))
+    val point = Versioned.readWhere(spark, tb, "k", 37, 37)
+    assert(point.select("v").collect().map(_.getString(0)).toSeq ==
+      Seq("r37"))
+    assert(scannedFiles(point) < scannedFiles(Versioned.read(spark, tb)),
+      "expected bucket pruning for the point lookup")
+    // reserved prefix on input columns is refused
+    intercept[IllegalArgumentException] {
+      Versioned.commit(Seq((1, "x")).toDF("id", "gpart_oops"), t)
+    }
   }
 
   test("versioned table: append chain is O(delta), prior files untouched") {
