@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.sources.Tables
+import graft.sources.{Tables, Versioned}
 import graft.functions.GraftFunctions
 import graft.functions.VectorFunctions._
 
@@ -249,38 +249,64 @@ object Similarity {
 
   private def centroidsDir(indexDir: String): String = s"$indexDir.centroids"
 
-  /** Materialize the IVF index as a CELL-PARTITIONED parquet table (plus
-    * a sibling centroid table) — the 100 TB layout the in-memory path
-    * only talks about: with `cell` as the partition key, a probe reads
-    * nProbe directories and Spark never lists, opens, or scans the rest
-    * of the corpus. The spec asserts the pruning via `inputFiles`. */
+  /** Materialize the IVF index as a CELL-PARTITIONED snapshot table
+    * (plus a sibling centroid table) — the 100 TB layout the in-memory
+    * path only talks about: with `cell` as the partition key, a probe
+    * reads nProbe directories and Spark never lists, opens, or scans
+    * the rest of the corpus. The spec asserts the pruning via the
+    * scans' numFiles metric.
+    *
+    * The index eats the engine's own dog food: both directories are
+    * [[graft.sources.Versioned]] tables, so every build/append
+    * publishes through the atomic marker protocol — a probe sees the
+    * OLD or the NEW index, never a mix, and a crashed or concurrent
+    * writer leaves the live index untouched (SimilaritySpec asserts
+    * both). A rebuild is simply a new self-contained snapshot of the
+    * same table. */
   def buildIvfIndex(s: SparkSession, d: String, indexDir: String,
       iters: Int = 2): Unit = {
     val corpus = emb(s, d).filter(col("vec_id") >= NumQueries)
     val cents = kmeansRefine(corpus, seedCentroids(corpus), iters).cache()
-    assignCells(corpus, cents)
-      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
-    cents.write.mode("overwrite").parquet(centroidsDir(indexDir))
+    Versioned.commit(assignCells(corpus, cents), indexDir,
+      partitionCol = Some("cell"))
+    Versioned.commit(cents, centroidsDir(indexDir))
   }
 
   /** Incremental index maintenance — realistic ANN upkeep at 100 TB:
     * new vectors are assigned against the PERSISTED centroid table and
-    * APPENDED to their cell partitions, so ingesting a delta costs
-    * O(delta) compute and I/O instead of [[buildIvfIndex]]'s full
-    * rebuild. Centroids stay immutable after build (the IVF contract —
-    * re-fitting them would strand previously assigned members in stale
-    * cells; periodic full rebuilds handle drift). Appending to a
-    * missing `indexDir` bootstraps it, so a one-shot build and any
-    * incremental construction at the same centroids produce the same
-    * index (SimilaritySpec asserts probe-equality). */
+    * published as an O(delta) snapshot APPEND: only the delta's cell
+    * files are written, the prior snapshot's files link through the
+    * manifest unchanged, and the marker publish is atomic — a crash
+    * mid-append can never expose a partial delta to probes (the raw
+    * `mode("append")` this replaces could). Centroids stay immutable
+    * after build (the IVF contract — re-fitting them would strand
+    * previously assigned members in stale cells; periodic full rebuilds
+    * handle drift). Appending to a missing `indexDir` bootstraps it, so
+    * a one-shot build and any incremental construction at the same
+    * centroids produce the same index (SimilaritySpec asserts
+    * probe-equality). A drip-fed index accretes one small file per
+    * touched cell per batch — [[compactIvfIndex]] is the maintenance
+    * sweep. */
   def appendToIvfIndex(s: SparkSession, newVectors: DataFrame,
       indexDir: String): Unit = {
-    val cents = s.read.parquet(centroidsDir(indexDir))
+    val cents = Versioned.read(s, centroidsDir(indexDir))
     val delta = newVectors.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
-    assignCells(delta, cents)
-      .write.mode("append").partitionBy("cell").parquet(indexDir)
+    Versioned.append(assignCells(delta, cents), indexDir,
+      partitionCol = Some("cell"))
   }
+
+  /** Small-file maintenance for a drip-fed index: binpack each cell's
+    * accumulated append files into right-sized ones, keeping the cell
+    * partitioning (probes stay partition-pruned) — published as a
+    * snapshot like every other commit, so probes never see a
+    * half-compacted index. Files already at size link unchanged
+    * (O(small files), not O(index)). */
+  def compactIvfIndex(s: SparkSession, indexDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFileBytes: Long = 0L): Int =
+    Versioned.compactSmall(s, indexDir, targetFileBytes, minFileBytes,
+      partitionCol = Some("cell"))
 
   /** Query a persisted [[buildIvfIndex]] index: the probe-cell set
     * (#queries x nProbe cell ids — metadata-scale, like a partition
@@ -291,7 +317,7 @@ object Similarity {
     * query batches, and each probe's I/O is nProbe/C of the table. */
   def ivfTopKIndexed(s: SparkSession, d: String, indexDir: String,
       numQueries: Int = NumQueries): DataFrame = {
-    val cents = s.read.parquet(centroidsDir(indexDir))
+    val cents = Versioned.read(s, centroidsDir(indexDir))
     val q = emb(s, d).filter(col("vec_id") < numQueries)
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "q_emb")
@@ -319,7 +345,9 @@ object Similarity {
     // narrowing is safe — asserted, not assumed.
     require(probed.forall(c => c.isValidInt),
       s"IVF cell id beyond Int range: ${probed.max}")
-    val indexed = s.read.parquet(indexDir)
+    // snapshot read resolves the current published version; the filter
+    // pushes through the manifest scans to the cell partition dirs
+    val indexed = Versioned.read(s, indexDir)
       .filter(col("cell").isin(probed.map(_.toInt): _*))
       .withColumn("cell", col("cell").cast("long"))
     val scored = indexed.join(broadcast(qCells), "cell")

@@ -116,8 +116,9 @@ class SimilaritySpec extends SparkSpec {
     // one-shot build fixes the centroid table; the incremental index
     // shares it (centroids are immutable after build)
     Similarity.buildIvfIndex(spark, sf, full)
-    spark.read.parquet(s"$full.centroids")
-      .write.parquet(s"$incr.centroids")
+    graft.sources.Versioned.commit(
+      graft.sources.Versioned.read(spark, s"$full.centroids"),
+      s"$incr.centroids")
     val corpus = graft.sources.Tables.load(spark, sf, "embeddings")
       .filter(col("vec_id") >= Similarity.NumQueries)
       .select(col("vec_id"), col("embedding"))
@@ -140,5 +141,43 @@ class SimilaritySpec extends SparkSpec {
       .map(_.toString).toSeq ==
       Similarity.ivfTopKIndexed(spark, sf, full).collect()
         .map(_.toString).toSeq)
+  }
+
+  test("persisted index is snapshot-atomic: probes see old or new, never a mix") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Versioned
+    val dir = "target/tmp/ivf-atomic"
+    Seq(dir, s"$dir.centroids").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Similarity.buildIvfIndex(spark, sf, dir)
+    val base = Similarity.ivfTopKIndexed(spark, sf, dir).collect()
+      .map(_.toString).toSeq
+    val baseRows = Versioned.read(spark, dir).count()
+    // a writer that CRASHED after claiming v=2 but before publishing
+    // its marker: the partial delta must be invisible to probes
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$dir/v=1"), new java.io.File(s"$dir/v=2"))
+    assert(Versioned.currentVersion(spark, dir) == 1)
+    assert(Similarity.ivfTopKIndexed(spark, sf, dir).collect()
+      .map(_.toString).toSeq == base)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(s"$dir/v=2"))
+    // a probe PLANNED before an append keeps reading the old snapshot
+    // (immutable files), while fresh probes see the full new one —
+    // atomic flip, no partial state either way
+    val planned = Similarity.ivfTopKIndexed(spark, sf, dir)
+    val delta = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") >= Similarity.NumQueries)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(spark, delta, dir)
+    assert(Versioned.read(spark, dir).count() == 2 * baseRows)
+    assert(planned.collect().map(_.toString).toSeq == base)
+    // maintenance binpack keeps contents and cell layout, atomically
+    val packed = Similarity.compactIvfIndex(spark, dir,
+      minFileBytes = 1024 * 1024)
+    assert(packed > Versioned.versions(spark, dir).head)
+    assert(Versioned.read(spark, dir).count() == 2 * baseRows)
+    assert(new java.io.File(s"$dir/v=$packed").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
   }
 }
