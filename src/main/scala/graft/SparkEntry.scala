@@ -585,32 +585,55 @@ object SparkEntry {
                 FROM lang l JOIN f ON l.doc_id = f.doc_id)
          SELECT doc_id, pred_lang, fp, CAST(rk AS BIGINT) AS rk
          FROM ranked WHERE rk <= 50 ORDER BY pred_lang, rk""",
-    // Gopher-style repetition: duplicated-3-gram fraction + top-bigram
-    // share per doc; integer-ratio doubles, so both engines agree
-    // bit-for-bit and the flag thresholds compare identically.
+    // Gopher repetition battery: duplicated-3-gram fraction, top
+    // 2-/3-/4-gram shares (published 0.18/0.16 thresholds for 3/4),
+    // duplicate-line fraction (0.30); integer-ratio doubles, so both
+    // engines agree bit-for-bit and the flag thresholds compare
+    // identically. A 3-token doc has no 4-grams -> share 0.
     "t14_repetition" ->
       """WITH t AS (SELECT doc_id,
-                      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                      regexp_split_to_array(trim(lower(text)), '\s+')
+                        AS toks,
+                      1.0 - len(list_distinct(string_split(text, chr(10))))
+                        * 1.0 / len(string_split(text, chr(10)))
+                        AS dup_line_frac
                     FROM documents),
+         b AS (SELECT * FROM t WHERE len(toks) >= 3),
          g3 AS (SELECT doc_id,
                   list_transform(range(1, len(toks) - 1),
                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
                     AS gs
-                FROM t WHERE len(toks) >= 3),
+                FROM b),
          d3 AS (SELECT doc_id,
                   1.0 - len(list_distinct(gs)) * 1.0 / len(gs) AS dup3_frac
                 FROM g3),
-         b AS (SELECT doc_id,
-                 unnest(list_transform(range(1, len(toks)),
-                   i -> toks[i] || ' ' || toks[i+1])) AS bg
-               FROM t WHERE len(toks) >= 3),
-         bc AS (SELECT doc_id, bg, count(*) AS c FROM b GROUP BY 1, 2),
-         t2 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top2_frac
-                FROM bc GROUP BY 1)
-         SELECT doc_id, dup3_frac, top2_frac,
+         n2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                  i -> toks[i] || ' ' || toks[i+1])) AS g FROM b),
+         n3 AS (SELECT doc_id, unnest(gs) AS g FROM g3),
+         n4 AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                         || ' ' || toks[i+3])) AS g
+                FROM b WHERE len(toks) >= 4),
+         s2 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top2_frac FROM
+                  (SELECT doc_id, g, count(*) AS c FROM n2 GROUP BY 1, 2)
+                GROUP BY 1),
+         s3 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top3_frac FROM
+                  (SELECT doc_id, g, count(*) AS c FROM n3 GROUP BY 1, 2)
+                GROUP BY 1),
+         s4 AS (SELECT doc_id, max(c) * 1.0 / sum(c) AS top4_frac FROM
+                  (SELECT doc_id, g, count(*) AS c FROM n4 GROUP BY 1, 2)
+                GROUP BY 1)
+         SELECT b.doc_id, dup3_frac, top2_frac, top3_frac,
+                coalesce(top4_frac, 0.0) AS top4_frac, dup_line_frac,
                 CAST(CASE WHEN dup3_frac > 0.05 OR top2_frac > 0.05
+                            OR top3_frac > 0.18
+                            OR coalesce(top4_frac, 0.0) > 0.16
+                            OR dup_line_frac > 0.30
                      THEN 1 ELSE 0 END AS BIGINT) AS flagged
-         FROM d3 JOIN t2 USING (doc_id) ORDER BY doc_id""",
+         FROM b JOIN d3 USING (doc_id) JOIN s2 USING (doc_id)
+                JOIN s3 USING (doc_id) LEFT JOIN s4 USING (doc_id)
+         ORDER BY doc_id""",
     // Same tokenize->3-gram-shingle semantics as the d01 oracle;
     // benchmark = the deterministic doc_id % 50 == 0 slice.
     "t13_decontamination" ->

@@ -92,7 +92,8 @@ class TextEventsSpec extends SparkSpec {
 
   test("decontamination flags shingle overlap with the benchmark slice") {
     import graft.operators.{Dedup, TextAnalysis}
-    val out = TextAnalysis.decontaminate(spark, sf).collect()
+    val q = TextAnalysis.decontaminate(spark, sf)
+    val out = q.collect()
     assert(out.nonEmpty)
     // flagged docs are never benchmark members, hits/commons positive
     out.foreach { r =>
@@ -108,11 +109,40 @@ class TextEventsSpec extends SparkSpec {
       .groupBy(col("bench_id")).count()
       .filter(col("count") >= 5).count()
     assert(direct == out.head.getLong(1))
-    // scale shape: the benchmark side broadcasts — the corpus shingles
-    // reach the join without a shuffle of their own
-    val plan = TextAnalysis.decontaminate(spark, sf)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"))
+    // scale shape, read from the EXECUTED adaptive plan: the shingle
+    // index is built once (both join sides read the cache — no live
+    // documents scan), and AQE broadcasts the eval-set-sized bench
+    // side from measured stats, no forced hint
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: inner.flatMap(nodes)
+    }
+    val executed = nodes(q.queryExecution.executedPlan)
+    assert(executed.count(_.nodeName.contains("InMemoryTableScan")) == 2)
+    assert(!executed.exists(n => n.nodeName.contains("Scan parquet") &&
+      n.toString.contains("documents")))
+    assert(executed.exists(_.nodeName.contains("BroadcastHashJoin")))
+  }
+
+  test("decontamination against an external eval set") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // an eval doc copied verbatim from the corpus must flag its source
+    val src = graft.sources.Tables.load(spark, sf, "documents")
+      .filter(col("doc_id") === 7).select("text").head().getString(0)
+    val bench = Seq((900001L, src), (900002L, "unrelated tiny text"))
+      .toDF("bench_id", "text")
+    val out = TextAnalysis.decontaminate(spark, sf,
+      benchDocs = Some(bench)).collect()
+    val hit = out.find(_.getLong(0) == 7L)
+    assert(hit.isDefined, "verbatim-copied doc not flagged")
+    assert(hit.get.getLong(1) >= 1 && hit.get.getLong(2) >= 5)
   }
 
   test("repetition signals are valid fractions over every eligible doc") {
@@ -122,31 +152,63 @@ class TextEventsSpec extends SparkSpec {
       .filter(size(split(trim(lower(col("text"))), "\\s+")) >= 3).count()
     assert(out.length == eligible && out.nonEmpty)
     out.foreach { r =>
-      val (dup3, top2) = (r.getDouble(1), r.getDouble(2))
+      val (dup3, top2, top3, top4, dupl) = (r.getDouble(1),
+        r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
       assert(dup3 >= 0.0 && dup3 < 1.0)
       assert(top2 > 0.0 && top2 <= 1.0)
-      assert(r.getLong(3) ==
-        (if (dup3 > 0.05 || top2 > 0.05) 1L else 0L))
+      assert(top3 > 0.0 && top3 <= 1.0)
+      assert(top4 >= 0.0 && top4 <= 1.0)
+      assert(dupl >= 0.0 && dupl < 1.0)
+      assert(r.getLong(6) ==
+        (if (dup3 > 0.05 || top2 > 0.05 || top3 > 0.18 ||
+          top4 > 0.16 || dupl > 0.30) 1L else 0L))
     }
-    // hand-check one doc against direct recomputation
+    // hand-check one doc against direct recomputation (all lengths)
     val doc = graft.sources.Tables.load(spark, sf, "documents")
       .filter(col("doc_id") === out.head.getLong(0))
       .select(trim(lower(col("text")))).head().getString(0)
     val toks = doc.split("\\s+").toSeq
+    def share(n: Int) = {
+      val gs = toks.sliding(n).map(_.mkString(" ")).toSeq
+      if (gs.isEmpty) 0.0
+      else gs.groupBy(identity).values.map(_.size).max.toDouble / gs.size
+    }
     val tri = toks.sliding(3).map(_.mkString(" ")).toSeq
-    val bg = toks.sliding(2).map(_.mkString(" ")).toSeq
     assert(math.abs(out.head.getDouble(1) -
       (1.0 - tri.distinct.size.toDouble / tri.size)) < 1e-9)
-    assert(math.abs(out.head.getDouble(2) -
-      bg.groupBy(identity).values.map(_.size).max.toDouble / bg.size)
-      < 1e-9)
-    // scale shape: bigram mode is partial-aggregated hash counting,
+    assert(math.abs(out.head.getDouble(2) - share(2)) < 1e-9)
+    assert(math.abs(out.head.getDouble(3) - share(3)) < 1e-9)
+    assert(math.abs(out.head.getDouble(4) - share(4)) < 1e-9)
+    // scale shape: n-gram mode is partial-aggregated hash counting,
     // and nothing in the signal join is a loop join
     val plan = TextAnalysis.repetitionSignals(spark, sf)
       .queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"))
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("repetition signals on synthetic multi-line/degenerate docs") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val docs = Seq(
+      // 4 lines, 2 duplicated pairs -> dup_line_frac = 0.5; "a b c d"
+      // repeated -> every n-gram length dominated
+      (1L, "a b c d\na b c d\nx y z w\nx y z w"),
+      // distinct everything, single line, long enough that the top
+      // bigram share 1/21 sits under the 0.05 threshold
+      (2L, (1 to 22).map(i => s"w$i").mkString(" ")),
+      // 3 tokens: no 4-grams -> top4_frac must be 0, not null
+      (3L, "p q r")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignalsFor(docs)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(math.abs(out(1L).getDouble(5) - 0.5) < 1e-9)
+    assert(out(1L).getLong(6) == 1L)
+    // doc 1: 16 tokens, top 2-gram "a b" (or tie) appears 2x of 15
+    assert(math.abs(out(1L).getDouble(2) - 2.0 / 15) < 1e-9)
+    assert(out(2L).getDouble(5) == 0.0)
+    assert(out(2L).getLong(6) == 0L)
+    assert(out(3L).getDouble(4) == 0.0)
   }
 
   test("sessionize: session count never exceeds event count") {
