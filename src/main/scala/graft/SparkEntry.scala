@@ -148,6 +148,10 @@ object SparkEntry {
     // pruning, file-level merge, partitioned chain — built in a temp
     // dir, reduced to constants the oracle states literally).
     "q40_snapshot_append" -> (graft.sources.Versioned.snapshotGate _),
+    // SQL time travel: per-version views (VERSION AS OF analog), one
+    // multi-version spark.sql with a cross-version join + NOT IN.
+    "q41_sql_time_travel" ->
+      (graft.sources.Versioned.sqlTimeTravelGate _),
     // —— multimodal plumbing (north-star; decode is a marked stub) ——
     "m01_media_meta"   -> (Multimodal.mediaMeta _),
     // Feature vector projected to scalar f_* columns: driver-checkable
@@ -842,6 +846,17 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS p_hidden,
                 CAST(3 AS BIGINT) AS rb_version,
                 CAST(13 AS BIGINT) AS rb_rows""",
+    // SQL time-travel gate: region (5 rows at every SF) as a 3-version
+    // table — v1 commit 3 rows, v2 append 2, v3 merge-on-read delete
+    // of key 1; per-version counts via the registered views, the
+    // v2-v1 join hits v1's 3 keys, and the appended keys (3, 4) sum 7.
+    "q41_sql_time_travel" ->
+      """SELECT CAST(3 AS BIGINT) AS v1_rows,
+                CAST(5 AS BIGINT) AS v2_rows,
+                CAST(4 AS BIGINT) AS v3_rows,
+                CAST(4 AS BIGINT) AS cur_rows,
+                CAST(3 AS BIGINT) AS joined_rows,
+                CAST(7 AS BIGINT) AS appended_keysum""",
     "q38_window_battery2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,

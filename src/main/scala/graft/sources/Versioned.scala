@@ -988,6 +988,70 @@ object Versioned {
     }
   }
 
+  /** SQL surface for TIME TRAVEL — the `VERSION AS OF` analog of the
+    * snapshot queries the reference's engines expose over Iceberg
+    * metadata: registers `name` as the CURRENT snapshot and
+    * `name_v<N>` for every retained version, so history is queryable
+    * through `spark.sql` (joins across versions, diffs, audits)
+    * without touching the programmatic API. Views are lazy plans over
+    * immutable snapshot file sets — registration costs metadata only,
+    * and a view keeps reading its version's exact content (including
+    * merge-on-read tombstones) until [[vacuum]] expires it.
+    * Re-register after new commits to pick up new versions. Returns
+    * the registered version numbers. */
+  def registerVersions(spark: SparkSession, tableDir: String,
+      name: String): Seq[Int] = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"view name must be a plain SQL identifier, got '$name'")
+    val vs = versions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed version at $tableDir")
+    vs.foreach(v => read(spark, tableDir, Some(v))
+      .createOrReplaceTempView(s"${name}_v$v"))
+    read(spark, tableDir).createOrReplaceTempView(name)
+    vs
+  }
+
+  /** Driver-visible gate for the SQL time-travel surface (q41): build
+    * a 3-version table (commit, O(delta) append, merge-on-read
+    * delete), register its versions as views, and run ONE multi-version
+    * `spark.sql` query — per-version counts, a cross-version join, and
+    * a cross-version NOT IN — whose observed row is re-emitted as
+    * constants for the DuckDB oracle. */
+  def sqlTimeTravelGate(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-sql-tt")
+    try {
+      val region = Tables.load(s, d, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val t = work.resolve("tbl").toString
+      commit(region.filter(col("r_regionkey") < 3), t)
+      append(region.filter(col("r_regionkey") >= 3), t)
+      import s.implicits._
+      deleteRows(s, t, Seq(1).toDF("r_regionkey"))
+      registerVersions(s, t, "graft_tt")
+      val r = s.sql(
+        """SELECT
+             (SELECT count(*) FROM graft_tt_v1) AS v1_rows,
+             (SELECT count(*) FROM graft_tt_v2) AS v2_rows,
+             (SELECT count(*) FROM graft_tt_v3) AS v3_rows,
+             (SELECT count(*) FROM graft_tt) AS cur_rows,
+             (SELECT count(*) FROM graft_tt_v2 a
+                JOIN graft_tt_v1 b USING (r_regionkey)) AS joined_rows,
+             (SELECT sum(r_regionkey) FROM graft_tt_v2
+              WHERE r_regionkey NOT IN
+                (SELECT r_regionkey FROM graft_tt_v1))
+               AS appended_keysum""").head()
+      s.range(1).select(
+        lit(r.getLong(0)).as("v1_rows"),
+        lit(r.getLong(1)).as("v2_rows"),
+        lit(r.getLong(2)).as("v3_rows"),
+        lit(r.getLong(3)).as("cur_rows"),
+        lit(r.getLong(4)).as("joined_rows"),
+        lit(r.getLong(5)).as("appended_keysum"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
   // —— metadata tables (Iceberg `.history` / `.files` analogs) ——
 
   /** Snapshot history as a DataFrame — the Iceberg `.snapshots` /

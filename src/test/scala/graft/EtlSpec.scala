@@ -247,6 +247,31 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: SQL time travel via per-version views") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_sql_tt"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), t)
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t)
+    Versioned.deleteRows(spark, t, Seq(2).toDF("id"))
+    val vs = Versioned.registerVersions(spark, t, "tt_spec")
+    assert(vs == Seq(1, 2, 3))
+    assert(spark.sql("SELECT count(*) FROM tt_spec_v1")
+      .head().getLong(0) == 2)
+    assert(spark.sql("SELECT id FROM tt_spec_v2 ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // the v3 view applies the merge-on-read tombstone, as does current
+    assert(spark.sql("SELECT id FROM tt_spec_v3 ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3))
+    assert(spark.sql(
+      """SELECT count(*) FROM tt_spec_v2 a JOIN tt_spec USING (id)""")
+      .head().getLong(0) == 2)
+    intercept[IllegalArgumentException] {
+      Versioned.registerVersions(spark, t, "bad-name;drop")
+    }
+  }
+
   test("versioned table: rollback republishes an old snapshot, keeps history") {
     import spark.implicits._
     import graft.sources.Versioned
