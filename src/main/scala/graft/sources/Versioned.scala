@@ -654,7 +654,8 @@ object Versioned {
       rewrite: DataFrame => DataFrame,
       partitionCol: Option[String],
       statsCols: Seq[String],
-      pruneRange: Option[(String, Any, Any)] = None): Option[Int] = {
+      pruneRange: Option[(String, Any, Any)] = None,
+      transform: Option[Transform] = None): Option[Int] = {
     val f = fs(spark, tableDir)
     val v = currentVersion(spark, tableDir)
     val root = qualifiedRoot(f, tableDir)
@@ -707,7 +708,8 @@ object Versioned {
         // files behind a partitionBy write; keep the (possibly empty,
         // but schema-bearing when unpartitioned) own dir only when the
         // manifest would otherwise be empty
-        ownDirInManifest = !rewroteAll || surviving.isEmpty))
+        ownDirInManifest = !rewroteAll || surviving.isEmpty,
+        transform = if (rewroteAll) None else transform))
     } finally rewritten.unpersist(blocking = false)
   }
 
@@ -722,7 +724,8 @@ object Versioned {
     * stay time-travelable. */
   def upsert(spark: SparkSession, tableDir: String, updates: DataFrame,
       key: String, partitionCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Int = {
+      statsCols: Seq[String] = Nil,
+      transform: Option[Transform] = None): Int = {
     // MERGE INTO semantics: multiple source rows per key is an error
     // (Iceberg/Delta reject it); silently appending both would break
     // the table's key-uniqueness invariant forever.
@@ -744,10 +747,10 @@ object Versioned {
       matches = _.join(keys, Seq(key), "left_semi"),
       rewrite = _.join(keys, Seq(key), "left_anti")
         .unionByName(updates, allowMissingColumns = true),
-      partitionCol, statsCols, range)
+      partitionCol, statsCols, range, transform)
       // no existing key matched: the whole batch is new rows — O(delta)
       .getOrElse(append(updates, tableDir, partitionCol,
-        statsCols = statsCols))
+        statsCols = statsCols, transform = transform))
   }
 
   /** Row-level DELETE: publish a new snapshot without the rows matching
@@ -760,11 +763,12 @@ object Versioned {
   def delete(spark: SparkSession, tableDir: String,
       pred: Column,
       partitionCol: Option[String] = None,
-      statsCols: Seq[String] = Nil): Int =
+      statsCols: Seq[String] = Nil,
+      transform: Option[Transform] = None): Int =
     mergeFiles(spark, tableDir,
       matches = _.filter(coalesce(pred, lit(false))),
       rewrite = _.filter(not(coalesce(pred, lit(false)))),
-      partitionCol, statsCols)
+      partitionCol, statsCols, transform = transform)
       .getOrElse(currentVersion(spark, tableDir))
 
   /** MERGE-ON-READ delete — the Iceberg-v2 equality-delete-file analog

@@ -685,6 +685,20 @@ class EtlSpec extends SparkSpec {
       Seq("r37"))
     assert(scannedFiles(point) < scannedFiles(Versioned.read(spark, tb)),
       "expected bucket pruning for the point lookup")
+    // a copy-on-write upsert keeps the transform layout: the rewritten
+    // file lands under a day directory of its own version
+    Versioned.upsert(spark, t, batch(3 until 4)
+      .withColumn("id", lit(9999)), "ts",
+      transform = Some(Versioned.Transform.Days("ts")))
+    assert(Versioned.read(spark, t).filter(col("id") === 9999).count() == 1)
+    assert(Versioned.read(spark, t).count() == 120)
+    val mergeV = Versioned.currentVersion(spark, t)
+    assert(new java.io.File(s"$t/v=$mergeV").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("gpart_days_ts=")))
+    // ...and readWhere still day-prunes across old + rewritten roots
+    assert(Versioned.readWhere(spark, t,
+      "ts", "2024-06-01 03:00:00", "2024-06-01 03:00:00")
+      .select("id").collect().map(_.getInt(0)).toSeq == Seq(9999))
     // reserved prefix on input columns is refused
     intercept[IllegalArgumentException] {
       Versioned.commit(Seq((1, "x")).toDF("id", "gpart_oops"), t)
