@@ -819,9 +819,9 @@ object SparkEntry {
     // ONE tombstone file with every data file linked byte-untouched
     // (0 own data files), and compact collapses it (4 rows, 0
     // tombstones); days(ts)-transform `nation` chain: 13 then 25 rows,
-    // 5 per region, ts-range Jan 5-10 hits 6 rows, the derived
-    // partition column stays hidden; metadata-only rollback to v1
-    // republishes 13 rows as v3.
+    // 5 per region, ts-range Jan 2-3 hits the 10 keys with
+    // n_nationkey % 5 in (1, 2), the derived partition column stays
+    // hidden; metadata-only rollback to v1 republishes 13 rows as v3.
     "q40_snapshot_append" ->
       """SELECT CAST(3 AS BIGINT) AS v1_rows,
                 CAST(5 AS BIGINT) AS v2_rows,
@@ -842,7 +842,7 @@ object SparkEntry {
                 CAST(13 AS BIGINT) AS p_v1_rows,
                 CAST(25 AS BIGINT) AS p_v2_rows,
                 CAST(5 AS BIGINT) AS p_region2_rows,
-                CAST(6 AS BIGINT) AS p_ts_rows,
+                CAST(10 AS BIGINT) AS p_ts_rows,
                 CAST(1 AS BIGINT) AS p_hidden,
                 CAST(3 AS BIGINT) AS rb_version,
                 CAST(13 AS BIGINT) AS rb_rows""",

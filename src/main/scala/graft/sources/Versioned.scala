@@ -57,6 +57,11 @@ object Versioned {
   private val StatsDir = "_stats"
   private val DeletesDir = "_deletes"
   private val DeletePrefix = "!"
+  private val StatsFile = "_stats.tsv"
+
+  /** One per-(file, column) stats sidecar row; bounds are nullable. */
+  private case class StatRow(file: String, col: String, dtype: String,
+      minV: String, maxV: String)
 
   /** Age before an unpublished v=N directory counts as crash debris and
     * may be reclaimed by a committer (see [[commit]]). */
@@ -126,7 +131,7 @@ object Versioned {
         val parts = f.listStatus(new Path(tableDir, e)).toSeq
           .map(_.getPath).filter(_.getName.endsWith(".parquet"))
           .map(_.toString)
-        (entryVer(e), spark.read.parquet(parts: _*))
+        (entryVer(e), scanUnit(spark, ScanUnit(parts, None)))
       }
 
   /** Apply tombstone key sets to `df` as equality anti-joins on each
@@ -164,9 +169,30 @@ object Versioned {
   private case class ScanUnit(paths: Seq[String],
       basePath: Option[String])
 
-  private def scanUnit(spark: SparkSession, u: ScanUnit): DataFrame =
-    u.basePath.fold(spark.read)(b => spark.read.option("basePath", b))
-      .parquet(u.paths: _*)
+  /** Schema memo for scan units. Version directories are IMMUTABLE
+    * once published (the commit protocol's whole point), so a path
+    * set's parquet schema never changes — caching it turns the eager
+    * footer-inference every `spark.read.parquet` pays at PLAN time
+    * into a one-time cost per table/version instead of a per-read tax
+    * (a snapshot-protocol workload builds dozens of plans over the
+    * same few directories). Bounded: cleared wholesale if it ever
+    * grows past 10k entries (vacuumed dirs just leave dead keys). */
+  private val schemaMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
+  private def scanUnit(spark: SparkSession, u: ScanUnit): DataFrame = {
+    val key = u.basePath.getOrElse("") + "\u0000" + u.paths.mkString("|")
+    val reader =
+      u.basePath.fold(spark.read)(b => spark.read.option("basePath", b))
+    val cached = schemaMemo.get(key)
+    if (cached != null) reader.schema(cached).parquet(u.paths: _*)
+    else {
+      val df = reader.parquet(u.paths: _*)
+      if (schemaMemo.size > 10000) schemaMemo.clear()
+      schemaMemo.put(key, df.schema)
+      df
+    }
+  }
 
   /** Resolve a manifest entry to its scan unit. A directory entry is
     * its own root (own basePath when hive-partitioned, none
@@ -235,7 +261,8 @@ object Versioned {
       linkEntries: Option[Seq[String]] = None,
       ownDirInManifest: Boolean = true,
       deleteDf: Option[DataFrame] = None,
-      transform: Option[Transform] = None): Int = {
+      transform: Option[Transform] = None,
+      writeData: Boolean = true): Int = {
     val spark = df.sparkSession
     // hidden partitioning: derive the transform's partition column for
     // the write only — it never enters the logical schema (read() hides
@@ -265,20 +292,24 @@ object Versioned {
       // (e.g. int vs map) would otherwise commit fine and then poison
       // every subsequent read()/compact() at unionByName — an
       // unreadable table. (The old copy-on-write append failed such
-      // batches up-front; linking must keep that contract.)
-      try read(spark, tableDir, Some(b))
-        .unionByName(df, allowMissingColumns = true).schema
-      catch { case e: org.apache.spark.sql.AnalysisException =>
-        throw new IllegalArgumentException(
-          s"append schema incompatible with snapshot v=$b at " +
-            s"$tableDir: ${e.getMessage}", e)
-      }
+      // batches up-front; linking must keep that contract.) A no-data
+      // commit (tombstone) adds nothing to the union — skip the probe.
+      if (writeData)
+        try read(spark, tableDir, Some(b))
+          .unionByName(df, allowMissingColumns = true).schema
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"append schema incompatible with snapshot v=$b at " +
+              s"$tableDir: ${e.getMessage}", e)
+        }
     }
     val uuid = java.util.UUID.randomUUID().toString
     val stage = new Path(tableDir, s".stage-v$next-$uuid")
-    val w = data.write.mode("overwrite")
-    partBy.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
-    if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
+    if (writeData) {
+      val w = data.write.mode("overwrite")
+      partBy.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
+      if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
+    } else f.mkdirs(stage) // metadata-only commit (rollback, tombstone)
     transform.foreach(t => writeTspec(f, stage, t,
       df.schema(t.source).dataType.catalogString))
     // tombstone key set (merge-on-read delete): key-scale, one file
@@ -582,7 +613,7 @@ object Versioned {
       partitionCol = None, note = note, statsCols = Nil,
       linkBase = None,
       linkEntries = Some(manifestLines(f, tableDir, to)),
-      ownDirInManifest = false)
+      ownDirInManifest = false, writeData = false)
   }
 
   /** Absolute, URI-decoded filesystem path of the table root — the
@@ -630,8 +661,9 @@ object Versioned {
       .map { case (vdir, files) =>
         val ver = vdir.stripPrefix("v=").toInt
         applyDeletes(
-          spark.read.option("basePath", new Path(tableDir, vdir).toString)
-            .parquet(files.map(r => new Path(tableDir, r).toString): _*),
+          scanUnit(spark, ScanUnit(
+            files.map(r => new Path(tableDir, r).toString),
+            Some(new Path(tableDir, vdir).toString))),
           deletes.filter(_._1 > ver).map(_._2))
       }
       .reduce(_.unionByName(_, allowMissingColumns = true)))
@@ -726,23 +758,26 @@ object Versioned {
       key: String, partitionCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
       transform: Option[Transform] = None): Int = {
-    // MERGE INTO semantics: multiple source rows per key is an error
-    // (Iceberg/Delta reject it); silently appending both would break
-    // the table's key-uniqueness invariant forever.
-    val dup = updates.groupBy(col(key))
-      .count().filter(col("count") > 1)
-      .limit(1).count()
-    require(dup == 0,
+    // ONE pre-flight action over the (small) update side covers three
+    // former probes: emptiness, MERGE INTO's duplicate-key rejection
+    // (Iceberg/Delta reject multi-source rows per key — silently
+    // appending both would break key uniqueness forever; nulls count
+    // as one key value, so >1 null-keyed row is a duplicate too), and
+    // the key bounds that stats-prune the provenance scan.
+    val pre = updates.agg(
+      count(lit(1)), count(col(key)), count_distinct(col(key)),
+      min(col(key)), max(col(key))).head()
+    val (n, nonNull, distinctNonNull) =
+      (pre.getLong(0), pre.getLong(1), pre.getLong(2))
+    if (n == 0) return currentVersion(spark, tableDir)
+    require(nonNull == distinctNonNull && n - nonNull <= 1,
       s"upsert updates contain duplicate values of key '$key'")
-    if (updates.isEmpty) return currentVersion(spark, tableDir)
     val keys = updates.select(key).distinct()
     // every matched row's key lies in [min, max] of the update keys, so
     // the range soundly bounds the provenance scan via stats pruning
-    // (one tiny agg — updates are the small side of a merge)
-    val bounds = updates.agg(min(col(key)), max(col(key))).head()
     val range =
-      if (bounds.isNullAt(0)) None
-      else Some((key, bounds.get(0), bounds.get(1)))
+      if (pre.isNullAt(3)) None
+      else Some((key, pre.get(3), pre.get(4)))
     mergeFiles(spark, tableDir,
       matches = _.join(keys, Seq(key), "left_semi"),
       rewrite = _.join(keys, Seq(key), "left_anti")
@@ -801,7 +836,8 @@ object Versioned {
         missing.mkString(", "))
     commitStaged(keys.limit(0), tableDir, partitionCol = None,
       note = note, statsCols = Nil, linkBase = Some(cur),
-      ownDirInManifest = false, deleteDf = Some(keys.distinct()))
+      ownDirInManifest = false, deleteDf = Some(keys.distinct()),
+      writeData = false)
   }
 
   /** Number of data files in a snapshot, across every directory its
@@ -1157,7 +1193,7 @@ object Versioned {
       val tp = work.resolve("tbl_part").toString
       val natTs = nation.withColumn("ts",
         date_add(to_date(lit("2024-01-01")),
-          col("n_nationkey").cast("int")).cast("timestamp"))
+          pmod(col("n_nationkey"), lit(5)).cast("int")).cast("timestamp"))
       val days = Some(Transform.Days("ts"))
       commit(natTs.filter(col("n_nationkey") < 13), tp, transform = days)
       append(natTs.filter(col("n_nationkey") >= 13), tp, transform = days)
@@ -1182,19 +1218,19 @@ object Versioned {
           sum(when(col("r_name") === "REWRITTEN", 1L).otherwise(0L))),
         probe("mor", read(s, t, Some(4)), n,
           sum(when(col("r_regionkey") === 1, 1L).otherwise(0L))),
-        probe("tomb", files(s, t, Some(4)),
-          sum(when(col("kind") === "delete", 1L).otherwise(0L)),
-          sum(when(col("kind") === "data" && !col("linked"), 1L)
-            .otherwise(0L))),
         probe("cmp", read(s, t, Some(5)), n),
-        probe("cmpf", files(s, t, Some(5)),
-          sum(when(col("kind") === "delete", 1L).otherwise(0L))),
         probe("pv1", read(s, tp, Some(1)), n),
         probe("p2", read(s, tp, Some(2)), n,
           sum(when(col("n_regionkey") === 2, 1L).otherwise(0L))),
         probe("pts", readWhere(s, tp, "ts",
-          "2024-01-05 00:00:00", "2024-01-10 00:00:00", Some(2)), n),
+          "2024-01-02 00:00:00", "2024-01-03 00:00:00", Some(2)), n),
         probe("rb", read(s, tp), n))
+      // tombstone / own-file inventories are FS metadata — no Spark job
+      val v4Files = fileState(s"$t/v=4").keys.toSeq
+      val morTomb = v4Files.count(_.contains(s"/$DeletesDir/"))
+      val morOwnData = v4Files.count(!_.contains(s"/$DeletesDir/"))
+      val cmpTomb = fileState(s"$t/v=5").keys
+        .count(_.contains(s"/$DeletesDir/"))
       val r = probes.reduce(_.unionByName(_)).collect()
         .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
       s.range(1).select(
@@ -1210,10 +1246,10 @@ object Versioned {
         lit(r("mor")._1).as("mor_rows"),
         lit(r("mor")._2).as("mor_hit"),
         lit(if (morUntouched) 1L else 0L).as("mor_prior_untouched"),
-        lit(r("tomb")._1).as("mor_tomb_files"),
-        lit(r("tomb")._2).as("mor_own_data_files"),
+        lit(morTomb.toLong).as("mor_tomb_files"),
+        lit(morOwnData.toLong).as("mor_own_data_files"),
         lit(r("cmp")._1).as("compact_rows"),
-        lit(r("cmpf")._1).as("compact_tomb_files"),
+        lit(cmpTomb.toLong).as("compact_tomb_files"),
         lit(r("pv1")._1).as("p_v1_rows"),
         lit(r("p2")._1).as("p_v2_rows"),
         lit(r("p2")._2).as("p_region2_rows"),
@@ -1399,12 +1435,17 @@ object Versioned {
   }
 
   /** Harvest per-file (min, max) for `statsCols` from the freshly
-    * written staging directory into a `_stats` parquet sidecar — one
-    * extra scan of the DELTA (Iceberg collects the same stats from the
-    * writers). File paths are stored stage-relative so the rename to
-    * `v=N` keeps them valid; values are stored as strings next to their
-    * catalog type and cast back for pruning comparisons (timestamps as
-    * TZ-independent epoch micros, see [[statsRoundTrips]]). */
+    * written staging directory into a `_stats.tsv` sidecar — one extra
+    * Spark scan of the DELTA for the harvest (Iceberg collects the
+    * same stats from the writers), then a DRIVER-side metadata write,
+    * the way Iceberg writes its manifests: stats are files×cols rows,
+    * and paying a Spark job to serialize (and another to deserialize
+    * at read) rows that are already on the driver was pure action-floor
+    * tax. File paths are stored stage-relative so the rename to `v=N`
+    * keeps them valid; values are stored URL-encoded (tab/newline-safe,
+    * `\N` = null) as strings next to their catalog type and cast back
+    * for pruning comparisons (timestamps as TZ-independent epoch
+    * micros, see [[statsRoundTrips]]). */
   private def writeStats(spark: SparkSession, f: FileSystem,
       stage: Path, statsCols: Seq[String]): Unit = {
     // scan by explicit file paths under a basePath: the dot-hidden
@@ -1455,15 +1496,46 @@ object Versioned {
       val i = full.indexOf(stageName)
       val rel = full.substring(i + stageName.length + 1)
       present.map { c =>
-        (rel, c, data.schema(c).dataType.catalogString,
+        StatRow(rel, c, data.schema(c).dataType.catalogString,
           Option(r.getAs[String](s"min__$c")).orNull,
           Option(r.getAs[String](s"max__$c")).orNull)
       }
     }
-    import spark.implicits._
-    rows.toSeq.toDF("file", "col", "dtype", "min_v", "max_v")
-      .coalesce(1)
-      .write.parquet(new Path(stage, StatsDir).toString)
+    def enc0(s: String) =
+      if (s == null) "\\N" else java.net.URLEncoder.encode(s, "UTF-8")
+    val out = f.create(new Path(stage, StatsFile), false)
+    try out.write(rows.map(sr =>
+      Seq(sr.file, sr.col, sr.dtype, sr.minV, sr.maxV)
+        .map(enc0).mkString("\t")).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Parse a version root's `_stats.tsv` sidecar (driver-side, no
+    * Spark job). ANY malformed line voids the whole sidecar — a
+    * silently dropped row would remove its file from the pruned scan
+    * set entirely (wrong results); an absent sidecar merely degrades
+    * the root to a full scan. */
+  private def readStatsFile(f: FileSystem, tableDir: String,
+      vroot: String): Seq[StatRow] = {
+    val p = new Path(new Path(tableDir, vroot), StatsFile)
+    if (!f.exists(p)) return Nil
+    // an unreadable sidecar (torn write, checksum mismatch) degrades
+    // to a full scan of its root — stats are an optimization, never a
+    // correctness dependency
+    val text = Try {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }.getOrElse(return Nil)
+    def dec(s: String) =
+      if (s == "\\N") null else java.net.URLDecoder.decode(s, "UTF-8")
+    val parsed = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+      line.split("\t", -1) match {
+        case Array(fl, c, dt, mn, mx) =>
+          Some(StatRow(dec(fl), dec(c), dec(dt), dec(mn), dec(mx)))
+        case _ => None
+      }
+    }
+    if (parsed.exists(_.isEmpty)) Nil else parsed.flatten
   }
 
   /** Range-predicate read with MANIFEST-LEVEL file pruning: returns
@@ -1515,29 +1587,16 @@ object Versioned {
       // the version directory that originally wrote it
       (dn, isFile, if (isFile) dn.split("/").head else dn)
     }
-    // Batched sidecar load: every version root's `_stats` files in ONE
-    // multi-path scan + collect, tagged back to their root via the file
-    // path (was: one Spark job per root — a fragmented manifest stacked
-    // K tiny jobs on the ~0.13 s action floor). Rows are metadata-scale
-    // (files x requested columns); read by explicit file paths (the
-    // underscore-hidden dir as a scan root logs a spurious "All paths
-    // were ignored" WARN); an empty or missing sidecar degrades to
-    // full scans.
-    val statFiles = entryInfo.map(_._3).distinct.flatMap { vr =>
-      val sp = new Path(new Path(tableDir, vr), StatsDir)
-      if (!f.exists(sp)) Nil
-      else f.listStatus(sp).toSeq.map(_.getPath)
-        .filter(_.getName.endsWith(".parquet")).map(_.toString)
-    }
-    val statRows: Seq[(String, org.apache.spark.sql.Row)] =
-      if (statFiles.isEmpty) Nil
-      else spark.read.parquet(statFiles: _*)
-        .filter(col("col").isInCollection(colNames))
-        .withColumn("src", input_file_name())
-        .collect().toSeq.map { r =>
-          val segs = decodePath(r.getAs[String]("src")).split("/")
-          (segs(segs.lastIndexOf(StatsDir) - 1), r)
-        }
+    // Sidecars parse DRIVER-side (they are metadata the driver wrote
+    // at commit — reading them back through a Spark job was pure
+    // action-floor tax); an empty, missing, or unreadable sidecar
+    // degrades to full scans. Only the range EVALUATION below is a
+    // Spark job, kept for its cast/lit semantics.
+    val statRows: Seq[(String, StatRow)] =
+      entryInfo.map(_._3).distinct.flatMap { vr =>
+        readStatsFile(f, tableDir, vr)
+          .filter(sr => colNames.contains(sr.col)).map(vr -> _)
+      }
     val byRoot = statRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
     // ONE evaluation job for every (root, file, column, range) at once,
     // keeping Spark's cast/lit semantics (the legitimate reason this
@@ -1557,13 +1616,11 @@ object Versioned {
     val missed: Set[(String, String)] = if (statRows.isEmpty) Set.empty
     else {
       import spark.implicits._
-      val local = statRows.map { case (vr, r) =>
-        (vr, r.getAs[String]("file"), r.getAs[String]("col"),
-          r.getAs[String]("dtype"), r.getAs[String]("min_v"),
-          r.getAs[String]("max_v"))
+      val local = statRows.map { case (vr, sr) =>
+        (vr, sr.file, sr.col, sr.dtype, sr.minV, sr.maxV)
       }.toDF("vroot", "file", "col", "dtype", "min_v", "max_v")
       val dtypesByCol = statRows
-        .map(t => (t._2.getAs[String]("col"), t._2.getAs[String]("dtype")))
+        .map(t => (t._2.col, t._2.dtype))
         .distinct
       val missConds = ranges.flatMap { case (c, lo, hi) =>
         dtypesByCol.collect { case (`c`, dt) =>
@@ -1609,9 +1666,9 @@ object Versioned {
       lazy val full = scanUnit(spark, entryUnit(f, tableDir, dn))
       val st = byRoot.getOrElse(vroot, Nil)
       val stFiles =
-        (if (isFile) st.map(_.getAs[String]("file"))
+        (if (isFile) st.map(_.file)
           .filter(_ == dn.stripPrefix(vroot + "/"))
-        else st.map(_.getAs[String]("file"))).distinct
+        else st.map(_.file)).distinct
       val scan =
         if (stFiles.isEmpty) Some(full) // no stats for a requested column
         else {
@@ -1619,8 +1676,8 @@ object Versioned {
           val kept = stFiles.filterNot(fl => missed.contains((vroot, fl)))
             .map(rel => new Path(basePath, rel).toString)
           if (kept.isEmpty) None
-          else Some(spark.read.option("basePath", basePath.toString)
-            .parquet(kept.toIndexedSeq: _*))
+          else Some(scanUnit(spark,
+            ScanUnit(kept.toIndexedSeq, Some(basePath.toString))))
         }
       // merge-on-read tombstones newer than this entry apply here too —
       // a pruned read must agree with read().filter

@@ -411,16 +411,24 @@ class EtlSpec extends SparkSpec {
     // sabotage the sidecar into a pre-epoch-micros local-time format:
     // the long cast fails, which must KEEP the files (full scan), not
     // silently conflate with the all-null prune case
-    val statsDir = s"$t/v=1/_stats"
-    val stale = spark.read.parquet(statsDir)
-      .withColumn("min_v", lit("2024-03-10 00:00:00"))
-      .withColumn("max_v", lit("2024-03-10 23:00:00"))
-      .collect().toSeq
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(statsDir))
-    stale.map(r => (r.getString(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getString(4)))
-      .toDF("file", "col", "dtype", "min_v", "max_v")
-      .coalesce(1).write.parquet(statsDir)
+    locally {
+      import scala.jdk.CollectionConverters._
+      val statsFile = java.nio.file.Paths.get(s"$t/v=1/_stats.tsv")
+      def enc(v: String) = java.net.URLEncoder.encode(v, "UTF-8")
+      val stale = java.nio.file.Files.readAllLines(statsFile).asScala
+        .map { line =>
+          val fs = line.split("\t", -1)
+          Seq(fs(0), fs(1), fs(2),
+            enc("2024-03-10 00:00:00"), enc("2024-03-10 23:00:00"))
+            .mkString("\t")
+        }
+      java.nio.file.Files.write(statsFile,
+        stale.mkString("\n").getBytes("UTF-8"))
+      // the rewrite bypassed Hadoop's LocalFS: drop its stale checksum
+      // sidecar or the read degrades for the wrong reason
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(s"$t/v=1/._stats.tsv.crc"))
+    }
     val lo = "2024-03-10 06:00:00"
     val hi = "2024-03-10 08:00:00"
     val want = Versioned.read(spark, t)
