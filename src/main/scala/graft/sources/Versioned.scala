@@ -687,7 +687,9 @@ object Versioned {
       partitionCol: Option[String],
       statsCols: Seq[String],
       pruneRange: Option[(String, Any, Any)] = None,
-      transform: Option[Transform] = None): Option[Int] = {
+      transform: Option[Transform] = None,
+      note: Option[String] = None,
+      deleteDf: Option[DataFrame] = None): Option[Int] = {
     val f = fs(spark, tableDir)
     val v = currentVersion(spark, tableDir)
     val root = qualifiedRoot(f, tableDir)
@@ -733,9 +735,10 @@ object Versioned {
     try {
       val rewroteAll = rewritten.isEmpty
       Some(commitStaged(rewritten, tableDir,
-        if (rewroteAll) None else partitionCol, note = None, statsCols,
+        if (rewroteAll) None else partitionCol, note = note, statsCols,
         linkBase = Some(v),
         linkEntries = Some(surviving),
+        deleteDf = deleteDf,
         // a merge that deleted every row it rewrote may leave no part
         // files behind a partitionBy write; keep the (possibly empty,
         // but schema-bearing when unpartitioned) own dir only when the
@@ -838,6 +841,66 @@ object Versioned {
       note = note, statsCols = Nil, linkBase = Some(cur),
       ownDirInManifest = false, deleteDf = Some(keys.distinct()),
       writeData = false)
+  }
+
+  /** ATOMIC CDC apply — one snapshot commit for a whole change batch:
+    * `upserts` replace/insert by `key` (copy-on-write on the touched
+    * files, like [[upsert]]) and `deleteKeys` delete by key
+    * (merge-on-read tombstone riding the SAME commit, like
+    * [[deleteRows]]). Readers see the entire batch or none of it —
+    * the streaming-CDC contract a two-commit upsert-then-delete
+    * sequence cannot give (a crash between them publishes half a
+    * batch). The rewrite drops delete-keyed rows itself (the
+    * tombstone's sequence rule exempts files of its own version);
+    * untouched files keep them and the tombstone filters at read.
+    * One key, one op per batch: a key in both inputs is rejected. */
+  def applyChanges(spark: SparkSession, tableDir: String,
+      upserts: DataFrame, deleteKeys: DataFrame, key: String,
+      partitionCol: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      transform: Option[Transform] = None,
+      note: Option[String] = None): Int = {
+    val delKeys = deleteKeys.select(col(key)).distinct()
+    val pre = upserts.agg(
+      count(lit(1)), count(col(key)), count_distinct(col(key)),
+      min(col(key)), max(col(key))).head()
+    val (n, nonNull, distinctNonNull) =
+      (pre.getLong(0), pre.getLong(1), pre.getLong(2))
+    require(nonNull == distinctNonNull && n - nonNull <= 1,
+      s"applyChanges upserts contain duplicate values of key '$key'")
+    if (n == 0) {
+      return if (deleteKeys.isEmpty) currentVersion(spark, tableDir)
+      else deleteRows(spark, tableDir, delKeys, note)
+    }
+    // bootstrap: a first batch's deletes reference rows that never
+    // existed (normal in CDC streams) — vacuous, nothing to tombstone
+    if (currentVersion(spark, tableDir) == 0)
+      return commit(upserts, tableDir, partitionCol, note, statsCols,
+        transform)
+    val keys = upserts.select(key).distinct()
+    require(keys.join(delKeys, Seq(key), "left_semi").isEmpty,
+      s"applyChanges received both an upsert and a delete for a '$key'")
+    val delOpt =
+      if (deleteKeys.isEmpty) None else Some(delKeys)
+    val range =
+      if (pre.isNullAt(3)) None
+      else Some((key, pre.get(3), pre.get(4)))
+    mergeFiles(spark, tableDir,
+      matches = _.join(keys, Seq(key), "left_semi"),
+      rewrite = _.join(keys, Seq(key), "left_anti")
+        .join(delKeys, Seq(key), "left_anti")
+        .unionByName(upserts, allowMissingColumns = true),
+      partitionCol, statsCols, range, transform, note, delOpt)
+      // no existing file touched: the batch appends + tombstones in
+      // ONE linked commit
+      .getOrElse {
+        val cur = currentVersion(spark, tableDir)
+        if (cur == 0) commit(upserts, tableDir, partitionCol,
+          note, statsCols, transform)
+        else commitStaged(upserts, tableDir, partitionCol, note,
+          statsCols, linkBase = Some(cur), deleteDf = delOpt,
+          transform = transform)
+      }
   }
 
   /** Number of data files in a snapshot, across every directory its

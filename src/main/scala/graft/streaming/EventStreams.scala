@@ -158,6 +158,43 @@ object EventStreams {
         ()
       }
 
+  /** Streaming CDC apply into a [[graft.sources.Versioned]] table: each
+    * micro-batch carries an `op` column (`upsert` / `delete`) and lands
+    * as ONE atomic commit via
+    * [[graft.sources.Versioned.applyChanges]] — copy-on-write for the
+    * upserts, a merge-on-read tombstone for the deletes, published
+    * together, so batch readers never see half a change batch. At
+    * 100 TB this is the streaming-merge shape that works: the per-batch
+    * write cost is O(touched files) + O(delete keys), never a table
+    * rewrite, with `compact`/`compactSmall` as the periodic collapse.
+    * Replay protection is [[versionedSink]]'s two-guard scheme
+    * (commit-marker note + `_applied_` watermark) under the same
+    * `streamId` contract. */
+  def cdcSink(changes: DataFrame, tableDir: String, key: String,
+      streamId: String = "cdc")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val note = s"stream=$streamId;batch=$batchId"
+          val la = graft.sources.Versioned
+            .lastApplied(spark, tableDir, streamId)
+          val replay = la.exists(_ >= batchId) ||
+            graft.sources.Versioned.noteRecorded(spark, tableDir, note,
+              stopNote = la.map(b => s"stream=$streamId;batch=$b"))
+          if (!replay)
+            graft.sources.Versioned.applyChanges(spark, tableDir,
+              upserts = batch.filter(col("op") === "upsert").drop("op"),
+              deleteKeys = batch.filter(col("op") === "delete"),
+              key = key, note = Some(note))
+          graft.sources.Versioned.recordApplied(spark, tableDir,
+            streamId, batchId)
+        }
+        ()
+      }
+
   case class Ev(event_id: Long, user_id: Long, event_type: String,
       value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

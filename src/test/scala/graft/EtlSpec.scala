@@ -247,6 +247,37 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: applyChanges lands a CDC batch as one commit") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_cdc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit((1 to 800).map(i => (i, i * 10)).toDF("id", "x")
+      .repartitionByRange(4, col("id")), t, statsCols = Seq("id"))
+    // upsert key 42 + delete key 700, atomically: exactly ONE version
+    val v2 = Versioned.applyChanges(spark, t,
+      upserts = Seq((42, -1)).toDF("id", "x"),
+      deleteKeys = Seq(700).toDF("id"), key = "id")
+    assert(v2 == 2 && Versioned.versions(spark, t) == Seq(1, 2))
+    val cur = Versioned.read(spark, t)
+    assert(cur.count() == 799)
+    assert(cur.filter(col("id") === 42).select("x")
+      .collect().map(_.getInt(0)).toSeq == Seq(-1))
+    assert(cur.filter(col("id") === 700).count() == 0)
+    assert(Versioned.read(spark, t, Some(1)).count() == 800)
+    // the one commit carries BOTH the rewrite and the tombstone, with
+    // the three untouched files linked
+    val fl = Versioned.files(spark, t, Some(2)).collect()
+    assert(fl.count(_.getString(4) == "delete") == 1)
+    assert(fl.count(r => r.getString(4) == "data" && r.getBoolean(3)) == 3)
+    // one key, one op per batch
+    intercept[IllegalArgumentException] {
+      Versioned.applyChanges(spark, t,
+        upserts = Seq((5, 0)).toDF("id", "x"),
+        deleteKeys = Seq(5).toDF("id"), key = "id")
+    }
+  }
+
   test("versioned table: SQL time travel via per-version views") {
     import spark.implicits._
     import graft.sources.Versioned

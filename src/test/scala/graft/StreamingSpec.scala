@@ -110,6 +110,67 @@ class StreamingSpec extends SparkSpec {
     assert(Versioned.read(spark, table).count() == total)
   }
 
+  test("CDC sink applies upserts and deletes as one atomic commit per batch") {
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val stage = Paths.get("target/tmp/stream-cdc-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    Files.createDirectories(stage)
+    // three change batches, file mtimes force micro-batch order
+    def stageBatch(name: String, mtime: Long,
+        rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"target/tmp/stream-cdc-$name"
+      rows.toDF("id", "v", "op").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = stage.resolve(s"$name.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stageBatch("b0", t0, Seq((1L, "a1", "upsert"), (2L, "b1", "upsert"),
+      (3L, "c1", "upsert"), (4L, "d1", "upsert")))
+    stageBatch("b1", t0 + 10000, Seq((2L, "b2", "upsert"),
+      (3L, "", "delete")))
+    stageBatch("b2", t0 + 20000, Seq((3L, "c3", "upsert")))
+    val table = "target/tmp/stream-cdc-table"
+    val ckpt = "target/tmp/stream-cdc-ckpt"
+    Seq(table, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    def run(): Unit = {
+      val changes = spark.readStream
+        .schema("id LONG, v STRING, op STRING")
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val q = EventStreams.cdcSink(changes, table, "id",
+        streamId = "cdc-spec")
+        .option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val versions = Versioned.versions(spark, table)
+    assert(versions == Seq(1, 2, 3)) // one atomic commit per batch
+    def state(v: Int) = Versioned.read(spark, table, Some(v))
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state(1) == Map(1L -> "a1", 2L -> "b1", 3L -> "c1", 4L -> "d1"))
+    // batch 2: update + delete landed together, atomically
+    assert(state(2) == Map(1L -> "a1", 2L -> "b2", 4L -> "d1"))
+    // batch 3: the deleted key re-inserted AFTER its tombstone survives
+    assert(state(3) == Map(1L -> "a1", 2L -> "b2", 3L -> "c3", 4L -> "d1"))
+    val fl2 = Versioned.files(spark, table, Some(2)).collect()
+    assert(fl2.exists(_.getString(4) == "delete"))
+    assert(fl2.exists(r => r.getString(4) == "data" &&
+      r.getString(0).startsWith("v=2/")))
+    // fresh-checkpoint restart: batch ids restart at 0, the applied
+    // watermark marks them replays, nothing changes
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    run()
+    assert(Versioned.versions(spark, table) == versions)
+    assert(state(3) == Map(1L -> "a1", 2L -> "b2", 3L -> "c3", 4L -> "d1"))
+  }
+
   test("stream-static enrichment joins every event to its user profile") {
     // Static dimension derived from the same fixture: per-user profile.
     val users = graft.sources.Tables.load(spark, sf, "events")
