@@ -847,16 +847,20 @@ object SparkEntry {
                 CAST(3 AS BIGINT) AS rb_version,
                 CAST(13 AS BIGINT) AS rb_rows""",
     // SQL time-travel gate: region (5 rows at every SF) as a 3-version
-    // table — v1 commit 3 rows, v2 append 2, v3 merge-on-read delete
-    // of key 1; per-version counts via the registered views, the
-    // v2-v1 join hits v1's 3 keys, and the appended keys (3, 4) sum 7.
+    // table — v1 commit 3 rows, v2 append 2, v3 ONE atomic CDC batch
+    // (upsert key 0 + merge-on-read delete of key 1); per-version
+    // counts via the registered views, the v2-v1 join hits v1's 3
+    // keys, the appended keys (3, 4) sum 7, and the CDC update is
+    // visible at v3 but not v2.
     "q41_sql_time_travel" ->
       """SELECT CAST(3 AS BIGINT) AS v1_rows,
                 CAST(5 AS BIGINT) AS v2_rows,
                 CAST(4 AS BIGINT) AS v3_rows,
                 CAST(4 AS BIGINT) AS cur_rows,
                 CAST(3 AS BIGINT) AS joined_rows,
-                CAST(7 AS BIGINT) AS appended_keysum""",
+                CAST(7 AS BIGINT) AS appended_keysum,
+                CAST(1 AS BIGINT) AS cdc_updated,
+                CAST(0 AS BIGINT) AS cdc_before""",
     "q38_window_battery2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,

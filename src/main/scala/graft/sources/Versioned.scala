@@ -1056,7 +1056,10 @@ object Versioned {
     if (!f.exists(new Path(tableDir))) return // never-committed table: no-op
     val cur = currentVersion(spark, tableDir)
     val all = versions(spark, tableDir)
+    // tagged versions are pinned: a named snapshot never expires
+    val tagged = tags(spark, tableDir).values.toSet
     val expired = all.filter(_ != cur).dropRight(math.max(0, keep - 1))
+      .filterNot(tagged.contains)
     val retained = all.diff(expired)
     // tombstone lines reference their `v=K/_deletes` dir: an expired
     // version whose delete files a retained snapshot still applies
@@ -1091,6 +1094,67 @@ object Versioned {
     }
   }
 
+  // —— named tags (Iceberg ref analog) ——
+
+  private val TagPrefix = "_tag_"
+
+  private def checkTagName(name: String): Unit =
+    require(name.matches("[A-Za-z0-9_-]+"),
+      s"tag name must be [A-Za-z0-9_-]+, got '$name'")
+
+  /** TAG a snapshot under a stable name — the Iceberg tag/ref analog:
+    * `tag("golden_v1")` pins the version for audits, reproducible
+    * training runs, or rollback targets, and [[vacuum]] RETAINS tagged
+    * versions (with every directory their manifests link) no matter
+    * how small `keep` is — expiring history never takes a named
+    * snapshot with it. Re-tagging a name moves it. Metadata-only. */
+  def tag(spark: SparkSession, tableDir: String, name: String,
+      version: Option[Int] = None): Int = {
+    checkTagName(name)
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    val vs = committedVersions(spark, tableDir)
+    require(vs.contains(v),
+      s"cannot tag v=$v at $tableDir (retained: $vs)")
+    val f = fs(spark, tableDir)
+    tags(spark, tableDir).get(name).foreach(old =>
+      f.delete(new Path(tableDir, s"$TagPrefix$name=$old"), false))
+    f.create(new Path(tableDir, s"$TagPrefix$name=$v"), false).close()
+    v
+  }
+
+  /** All tags as name -> version. */
+  def tags(spark: SparkSession, tableDir: String): Map[String, Int] = {
+    val f = fs(spark, tableDir)
+    val dir = new Path(tableDir)
+    if (!f.exists(dir)) Map.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith(TagPrefix) =>
+        s.stripPrefix(TagPrefix).split("=", 2) }
+      .collect { case Array(n, v) if Try(v.toInt).isSuccess =>
+        n -> v.toInt }
+      .toMap
+  }
+
+  /** Read the snapshot a tag points at. */
+  def readTag(spark: SparkSession, tableDir: String,
+      name: String): DataFrame = {
+    checkTagName(name)
+    val t = tags(spark, tableDir).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no tag '$name' at $tableDir (tags: " +
+          s"${tags(spark, tableDir).keys.toSeq.sorted.mkString(", ")})"))
+    read(spark, tableDir, Some(t))
+  }
+
+  /** Remove a tag (the version becomes expirable again). */
+  def dropTag(spark: SparkSession, tableDir: String,
+      name: String): Unit = {
+    checkTagName(name)
+    val f = fs(spark, tableDir)
+    tags(spark, tableDir).get(name).foreach(v =>
+      f.delete(new Path(tableDir, s"$TagPrefix$name=$v"), false))
+  }
+
   /** SQL surface for TIME TRAVEL — the `VERSION AS OF` analog of the
     * snapshot queries the reference's engines expose over Iceberg
     * metadata: registers `name` as the CURRENT snapshot and
@@ -1115,11 +1179,13 @@ object Versioned {
   }
 
   /** Driver-visible gate for the SQL time-travel surface (q41): build
-    * a 3-version table (commit, O(delta) append, merge-on-read
-    * delete), register its versions as views, and run ONE multi-version
-    * `spark.sql` query — per-version counts, a cross-version join, and
-    * a cross-version NOT IN — whose observed row is re-emitted as
-    * constants for the DuckDB oracle. */
+    * a 3-version table (commit, O(delta) append, then one ATOMIC
+    * [[applyChanges]] CDC batch — an upsert and a merge-on-read delete
+    * in a single commit), register its versions as views, and run ONE
+    * multi-version `spark.sql` query — per-version counts, a
+    * cross-version join, a cross-version NOT IN, and the CDC batch's
+    * effects — whose observed row is re-emitted as constants for the
+    * DuckDB oracle. */
   def sqlTimeTravelGate(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.Files
     val work = Files.createTempDirectory("graft-sql-tt")
@@ -1130,7 +1196,10 @@ object Versioned {
       commit(region.filter(col("r_regionkey") < 3), t)
       append(region.filter(col("r_regionkey") >= 3), t)
       import s.implicits._
-      deleteRows(s, t, Seq(1).toDF("r_regionkey"))
+      applyChanges(s, t,
+        upserts = region.filter(col("r_regionkey") === 0)
+          .withColumn("r_name", lit("CDC_UPDATED")),
+        deleteKeys = Seq(1).toDF("r_regionkey"), key = "r_regionkey")
       registerVersions(s, t, "graft_tt")
       val r = s.sql(
         """SELECT
@@ -1143,14 +1212,20 @@ object Versioned {
              (SELECT sum(r_regionkey) FROM graft_tt_v2
               WHERE r_regionkey NOT IN
                 (SELECT r_regionkey FROM graft_tt_v1))
-               AS appended_keysum""").head()
+               AS appended_keysum,
+             (SELECT count(*) FROM graft_tt_v3
+              WHERE r_name = 'CDC_UPDATED') AS cdc_updated,
+             (SELECT count(*) FROM graft_tt_v2
+              WHERE r_name = 'CDC_UPDATED') AS cdc_before""").head()
       s.range(1).select(
         lit(r.getLong(0)).as("v1_rows"),
         lit(r.getLong(1)).as("v2_rows"),
         lit(r.getLong(2)).as("v3_rows"),
         lit(r.getLong(3)).as("cur_rows"),
         lit(r.getLong(4)).as("joined_rows"),
-        lit(r.getLong(5)).as("appended_keysum"))
+        lit(r.getLong(5)).as("appended_keysum"),
+        lit(r.getLong(6)).as("cdc_updated"),
+        lit(r.getLong(7)).as("cdc_before"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }

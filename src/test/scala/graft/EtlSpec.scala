@@ -278,6 +278,34 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: tags pin versions through vacuum") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_tags"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
+    Versioned.append(Seq((2, "b")).toDF("id", "v"), t)
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t)
+    Versioned.tag(spark, t, "golden", Some(1))
+    assert(Versioned.tags(spark, t) == Map("golden" -> 1))
+    // vacuum keep=1 would expire v1 and v2 — the tag pins v1
+    Versioned.vacuum(spark, t, keep = 1)
+    assert(Versioned.versions(spark, t) == Seq(1, 3))
+    assert(Versioned.readTag(spark, t, "golden").count() == 1)
+    assert(Versioned.read(spark, t).count() == 3)
+    // re-tagging moves the pointer; dropping unpins
+    Versioned.tag(spark, t, "golden", Some(3))
+    assert(Versioned.tags(spark, t) == Map("golden" -> 3))
+    Versioned.dropTag(spark, t, "golden")
+    Versioned.vacuum(spark, t, keep = 1)
+    assert(Versioned.versions(spark, t) == Seq(3))
+    assert(Versioned.read(spark, t).count() == 3)
+    // tagging an unretained version is refused
+    intercept[IllegalArgumentException] {
+      Versioned.tag(spark, t, "gone", Some(2))
+    }
+  }
+
   test("versioned table: SQL time travel via per-version views") {
     import spark.implicits._
     import graft.sources.Versioned
