@@ -178,6 +178,13 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
+          // an unknown op must FAIL the batch, not silently drop its
+          // rows — a typo'd producer would otherwise lose changes
+          val unknown = batch
+            .filter(!col("op").isin("upsert", "delete"))
+            .select("op").distinct().collect().map(_.getString(0))
+          require(unknown.isEmpty, s"cdcSink batch $batchId has " +
+            s"unknown op values: ${unknown.mkString(", ")}")
           val note = s"stream=$streamId;batch=$batchId"
           val la = graft.sources.Versioned
             .lastApplied(spark, tableDir, streamId)

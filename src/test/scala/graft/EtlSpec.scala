@@ -235,6 +235,27 @@ class EtlSpec extends SparkSpec {
     assert(after.filter(col("id").isin(43, 700)).count() == 0)
     assert(after.filter(col("id") === 44).select("x")
       .collect().map(_.getInt(0)).toSeq == Seq(0))
+    // the tombstone applies as a BROADCAST anti-join (key-scale side),
+    // never a shuffle of the data — the plan shape that holds at 100 TB
+    locally {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def nodes(p: SparkPlan): Seq[SparkPlan] = {
+        val inner = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case o => o.children
+        }
+        p +: inner.flatMap(nodes)
+      }
+      val df = Versioned.read(spark, t)
+      df.collect()
+      val executed = nodes(df.queryExecution.executedPlan)
+      assert(executed.exists(n =>
+        n.nodeName.contains("BroadcastHashJoin") &&
+          n.toString.contains("LeftAnti")))
+      assert(!executed.exists(_.nodeName.contains("SortMergeJoin")))
+    }
     // compact collapses tombstones into a self-contained snapshot
     Versioned.compact(spark, t)
     val flc = Versioned.files(spark, t).collect()
