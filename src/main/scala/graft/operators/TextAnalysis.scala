@@ -476,6 +476,12 @@ object TextAnalysis {
             graft.functions.GraftFunctions.ShingleHashesName,
             trim(lower(col("text"))), lit(3))).as("shingle")))
       case None =>
+        // the persist lives until the caller's `spark.catalog
+        // .clearCache()` (Bench clears per query): both join sides
+        // consume the returned LAZY frame, so the index cannot be
+        // unpersisted here without recomputing it per side — at real
+        // scale the index is a persisted TABLE with its own lifecycle
+        // (SCALING.md), not session cache
         val sh = Dedup.shingleRows(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         (sh.filter(col("doc_id") % 50 =!= 0),

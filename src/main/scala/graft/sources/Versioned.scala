@@ -181,7 +181,17 @@ object Versioned {
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   private def scanUnit(spark: SparkSession, u: ScanUnit): DataFrame = {
-    val key = u.basePath.getOrElse("") + "\u0000" + u.paths.mkString("|")
+    // the first path's (mtime, length) joins the key so a table
+    // DROPPED AND RECREATED at the same path in one JVM misses the
+    // memo instead of reviving the old table's schema - the one way
+    // "immutable once published" is violated
+    val stamp = Try {
+      val st = fs(spark, u.paths.head)
+        .getFileStatus(new Path(u.paths.head))
+      s"${st.getModificationTime}:${st.getLen}"
+    }.getOrElse("?")
+    val key = u.basePath.getOrElse("") + "\u0000" + stamp +
+      "\u0000" + u.paths.mkString("|")
     val reader =
       u.basePath.fold(spark.read)(b => spark.read.option("basePath", b))
     val cached = schemaMemo.get(key)
@@ -627,9 +637,13 @@ object Versioned {
     try new java.net.URI(raw).getPath
     catch { case _: java.net.URISyntaxException => raw }
 
-  /** Table-relative data files under manifest entry `e` (itself for a
+  /** Table-relative DATA files under manifest entry `e` (itself for a
     * file entry; the recursive parquet listing for a directory,
-    * excluding the `_stats` sidecar). */
+    * excluding the `_stats` sidecar AND the `_deletes` tombstone dir —
+    * a version that carries both data and a tombstone, the atomic
+    * [[applyChanges]] shape, must never surface its key file as data:
+    * a binpack or merge that packed those rows would resurrect deleted
+    * keys). */
   private def entryFiles(f: FileSystem, tableDir: String,
       e: String): Seq[String] = {
     val p = new Path(tableDir, e)
@@ -641,7 +655,8 @@ object Versioned {
       while (it.hasNext) {
         val fp = it.next().getPath
         if (fp.getName.endsWith(".parquet") &&
-          fp.getParent.getName != StatsDir)
+          fp.getParent.getName != StatsDir &&
+          fp.getParent.getName != DeletesDir)
           buf += fp.toUri.getPath.stripPrefix(root + "/")
       }
       buf.toSeq
@@ -868,15 +883,18 @@ object Versioned {
       (pre.getLong(0), pre.getLong(1), pre.getLong(2))
     require(nonNull == distinctNonNull && n - nonNull <= 1,
       s"applyChanges upserts contain duplicate values of key '$key'")
-    if (n == 0) {
-      return if (deleteKeys.isEmpty) currentVersion(spark, tableDir)
-      else deleteRows(spark, tableDir, delKeys, note)
-    }
     // bootstrap: a first batch's deletes reference rows that never
     // existed (normal in CDC streams) — vacuous, nothing to tombstone
-    if (currentVersion(spark, tableDir) == 0)
-      return commit(upserts, tableDir, partitionCol, note, statsCols,
+    val cur0 = currentVersion(spark, tableDir)
+    if (cur0 == 0) {
+      return if (n == 0) 0
+      else commit(upserts, tableDir, partitionCol, note, statsCols,
         transform)
+    }
+    if (n == 0) {
+      return if (deleteKeys.isEmpty) cur0
+      else deleteRows(spark, tableDir, delKeys, note)
+    }
     val keys = upserts.select(key).distinct()
     require(keys.join(delKeys, Seq(key), "left_semi").isEmpty,
       s"applyChanges received both an upsert and a delete for a '$key'")
@@ -892,15 +910,11 @@ object Versioned {
         .unionByName(upserts, allowMissingColumns = true),
       partitionCol, statsCols, range, transform, note, delOpt)
       // no existing file touched: the batch appends + tombstones in
-      // ONE linked commit
-      .getOrElse {
-        val cur = currentVersion(spark, tableDir)
-        if (cur == 0) commit(upserts, tableDir, partitionCol,
-          note, statsCols, transform)
-        else commitStaged(upserts, tableDir, partitionCol, note,
-          statsCols, linkBase = Some(cur), deleteDf = delOpt,
-          transform = transform)
-      }
+      // ONE linked commit (the table is non-empty — bootstrap returned
+      // above)
+      .getOrElse(commitStaged(upserts, tableDir, partitionCol, note,
+        statsCols, linkBase = Some(currentVersion(spark, tableDir)),
+        deleteDf = delOpt, transform = transform))
   }
 
   /** Number of data files in a snapshot, across every directory its
@@ -914,9 +928,11 @@ object Versioned {
       var n = 0
       while (it.hasNext) {
         val p = it.next().getPath
-        // the _stats sidecar is parquet too — it is metadata, not data
+        // _stats sidecars and _deletes tombstones are parquet too —
+        // they are metadata, not data
         if (p.getName.endsWith(".parquet") &&
-          p.getParent.getName != StatsDir) n += 1
+          p.getParent.getName != StatsDir &&
+          p.getParent.getName != DeletesDir) n += 1
       }
       n
     }.sum
@@ -1267,10 +1283,19 @@ object Versioned {
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
+    val root = qualifiedRoot(f, tableDir)
     val rows = manifestLines(f, tableDir, v).flatMap { e0 =>
       val e = e0.stripPrefix(DeletePrefix)
       val kind = if (isDeleteLine(e0)) "delete" else "data"
-      entryFiles(f, tableDir, e).map { rel =>
+      // a tombstone entry's key files live under `_deletes`, which
+      // entryFiles deliberately hides from DATA listings
+      val fls =
+        if (isDeleteLine(e0))
+          f.listStatus(new Path(tableDir, e)).toSeq.map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+            .map(_.toUri.getPath.stripPrefix(root + "/"))
+        else entryFiles(f, tableDir, e)
+      fls.map { rel =>
         (rel, f.getFileStatus(new Path(tableDir, rel)).getLen,
           e, !rel.startsWith(s"v=$v/"), kind)
       }
@@ -1597,7 +1622,8 @@ object Versioned {
       while (it.hasNext) {
         val p = it.next().getPath
         if (p.getName.endsWith(".parquet") &&
-          p.getParent.getName != StatsDir) buf += p.toString
+          p.getParent.getName != StatsDir &&
+          p.getParent.getName != DeletesDir) buf += p.toString
       }
       buf.toSeq
     }
@@ -1652,11 +1678,13 @@ object Versioned {
     * Spark job). ANY malformed line voids the whole sidecar — a
     * silently dropped row would remove its file from the pruned scan
     * set entirely (wrong results); an absent sidecar merely degrades
-    * the root to a full scan. */
-  private def readStatsFile(f: FileSystem, tableDir: String,
-      vroot: String): Seq[StatRow] = {
+    * the root to a full scan. Versions committed before the TSV format
+    * (a `_stats/` parquet dir) fall back to a one-off Spark read, so a
+    * pre-existing table keeps the pruning it paid for. */
+  private def readStatsFile(spark: SparkSession, f: FileSystem,
+      tableDir: String, vroot: String): Seq[StatRow] = {
     val p = new Path(new Path(tableDir, vroot), StatsFile)
-    if (!f.exists(p)) return Nil
+    if (!f.exists(p)) return readLegacyStats(spark, f, tableDir, vroot)
     // an unreadable sidecar (torn write, checksum mismatch) degrades
     // to a full scan of its root — stats are an optimization, never a
     // correctness dependency
@@ -1674,6 +1702,23 @@ object Versioned {
       }
     }
     if (parsed.exists(_.isEmpty)) Nil else parsed.flatten
+  }
+
+  /** Pre-TSV sidecar reader (`_stats/` parquet dir): one Spark read,
+    * only ever paid for version roots written by the old format. */
+  private def readLegacyStats(spark: SparkSession, f: FileSystem,
+      tableDir: String, vroot: String): Seq[StatRow] = {
+    val sp = new Path(new Path(tableDir, vroot), StatsDir)
+    if (!f.exists(sp)) return Nil
+    val parts = f.listStatus(sp).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString)
+    if (parts.isEmpty) Nil
+    else Try {
+      spark.read.parquet(parts: _*).collect().toSeq.map(r =>
+        StatRow(r.getAs[String]("file"), r.getAs[String]("col"),
+          r.getAs[String]("dtype"), r.getAs[String]("min_v"),
+          r.getAs[String]("max_v")))
+    }.getOrElse(Nil) // unreadable legacy sidecar: degrade, never lie
   }
 
   /** Range-predicate read with MANIFEST-LEVEL file pruning: returns
@@ -1732,7 +1777,7 @@ object Versioned {
     // Spark job, kept for its cast/lit semantics.
     val statRows: Seq[(String, StatRow)] =
       entryInfo.map(_._3).distinct.flatMap { vr =>
-        readStatsFile(f, tableDir, vr)
+        readStatsFile(spark, f, tableDir, vr)
           .filter(sr => colNames.contains(sr.col)).map(vr -> _)
       }
     val byRoot = statRows.groupBy(_._1).view.mapValues(_.map(_._2)).toMap

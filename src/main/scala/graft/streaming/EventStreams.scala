@@ -178,11 +178,15 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val spark = batch.sparkSession
-          // an unknown op must FAIL the batch, not silently drop its
-          // rows — a typo'd producer would otherwise lose changes
+          // an unknown or NULL op must FAIL the batch, not silently
+          // drop its rows — a typo'd producer would otherwise lose
+          // changes (a bare !isin() is NULL for a null op and would
+          // slip through the filter)
           val unknown = batch
-            .filter(!col("op").isin("upsert", "delete"))
-            .select("op").distinct().collect().map(_.getString(0))
+            .filter(col("op").isNull ||
+              !col("op").isin("upsert", "delete"))
+            .select("op").distinct().collect()
+            .map(r => Option(r.getString(0)).getOrElse("NULL"))
           require(unknown.isEmpty, s"cdcSink batch $batchId has " +
             s"unknown op values: ${unknown.mkString(", ")}")
           val note = s"stream=$streamId;batch=$batchId"

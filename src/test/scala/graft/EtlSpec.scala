@@ -287,10 +287,20 @@ class EtlSpec extends SparkSpec {
     assert(cur.filter(col("id") === 700).count() == 0)
     assert(Versioned.read(spark, t, Some(1)).count() == 800)
     // the one commit carries BOTH the rewrite and the tombstone, with
-    // the three untouched files linked
+    // the three untouched files linked — and the tombstone's key file
+    // is never double-counted as data (4 data files exactly: 3 linked
+    // + 1 rewrite)
     val fl = Versioned.files(spark, t, Some(2)).collect()
     assert(fl.count(_.getString(4) == "delete") == 1)
+    assert(fl.count(_.getString(4) == "data") == 4)
     assert(fl.count(r => r.getString(4) == "data" && r.getBoolean(3)) == 3)
+    assert(Versioned.dataFileCount(spark, t) == 4)
+    // binpack over a data+tombstone version must not pack tombstone
+    // keys back in as data rows
+    Versioned.compactSmall(spark, t, minFileBytes = 1024 * 1024)
+    val packedCur = Versioned.read(spark, t)
+    assert(packedCur.count() == 799)
+    assert(packedCur.filter(col("id") === 700).count() == 0)
     // one key, one op per batch
     intercept[IllegalArgumentException] {
       Versioned.applyChanges(spark, t,
