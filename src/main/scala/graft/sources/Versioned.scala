@@ -585,6 +585,26 @@ object Versioned {
   def versions(spark: SparkSession, tableDir: String): Seq[Int] =
     committedVersions(spark, tableDir)
 
+  /** TIME-based time travel — the `TIMESTAMP AS OF` analog next to
+    * [[read]]'s `VERSION AS OF`: the latest retained snapshot whose
+    * publish marker existed at `asOfMillis`. Versions publish in
+    * order, so marker mtimes are monotone over retained versions;
+    * vacuum can expire early history, in which case asking for a time
+    * before the oldest retained snapshot is refused rather than
+    * silently answered with a newer state. */
+  def readAsOf(spark: SparkSession, tableDir: String,
+      asOfMillis: Long): DataFrame = {
+    val f = fs(spark, tableDir)
+    val vs = committedVersions(spark, tableDir)
+    val v = vs.filter(v => f.getFileStatus(
+        new Path(tableDir, s"$MarkerPrefix$v")).getModificationTime
+        <= asOfMillis)
+      .lastOption.getOrElse(throw new IllegalArgumentException(
+        s"no snapshot at or before $asOfMillis at $tableDir " +
+          s"(retained: $vs)"))
+    read(spark, tableDir, Some(v))
+  }
+
   /** APPEND as a new snapshot: the published version holds the previous
     * snapshot's rows plus `df` — Iceberg's append semantics, where every
     * snapshot is a consistent prefix of the ingested data and time

@@ -309,6 +309,28 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: readAsOf resolves snapshots by publish time") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_asof"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
+    Thread.sleep(60) // distinct marker mtimes at ms resolution
+    Versioned.append(Seq((2, "b")).toDF("id", "v"), t)
+    Thread.sleep(60)
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t)
+    val times = Versioned.history(spark, t).orderBy("version")
+      .collect().map(_.getTimestamp(1).getTime)
+    assert(Versioned.readAsOf(spark, t, times(0)).count() == 1)
+    assert(Versioned.readAsOf(spark, t, times(1)).count() == 2)
+    assert(Versioned.readAsOf(spark, t,
+      System.currentTimeMillis()).count() == 3)
+    // a time before the first snapshot is refused, not misanswered
+    intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, t, times(0) - 10000)
+    }
+  }
+
   test("versioned table: tags pin versions through vacuum") {
     import spark.implicits._
     import graft.sources.Versioned
