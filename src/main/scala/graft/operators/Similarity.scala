@@ -267,10 +267,35 @@ object Similarity {
       iters: Int = 2): Unit = {
     val corpus = emb(s, d).filter(col("vec_id") >= NumQueries)
     val cents = kmeansRefine(corpus, seedCentroids(corpus), iters).cache()
+    // centroids publish FIRST, and the index commit's note pins their
+    // snapshot version — a probe resolves the index, then reads the
+    // centroid VERSION the index was assigned against, so a rebuild
+    // in flight can never pair a new index with old centroids (or
+    // vice versa)
+    val cv = Versioned.commit(cents, centroidsDir(indexDir))
     Versioned.commit(assignCells(corpus, cents), indexDir,
-      partitionCol = Some("cell"))
-    Versioned.commit(cents, centroidsDir(indexDir))
+      partitionCol = Some("cell"), note = Some(s"centroids=v$cv"))
   }
+
+  /** The centroid snapshot version the index's CURRENT snapshot was
+    * assigned against (from the commit note; None for a missing or
+    * pre-pinning index). */
+  private def pinnedCentroidVersion(s: SparkSession,
+      indexDir: String): Option[Int] = {
+    val v = Versioned.currentVersion(s, indexDir)
+    if (v == 0) None
+    else Versioned.commitNotes(s, indexDir).get(v)
+      .map(_.trim).filter(_.startsWith("centroids=v"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("centroids=v").toInt).toOption)
+  }
+
+  /** Centroid table CONSISTENT with the index's current snapshot
+    * (current centroids for pre-pinning indexes). */
+  private def pinnedCentroids(s: SparkSession,
+      indexDir: String): DataFrame =
+    Versioned.read(s, centroidsDir(indexDir),
+      pinnedCentroidVersion(s, indexDir))
 
   /** Incremental index maintenance — realistic ANN upkeep at 100 TB:
     * new vectors are assigned against the PERSISTED centroid table and
@@ -289,11 +314,17 @@ object Similarity {
     * sweep. */
   def appendToIvfIndex(s: SparkSession, newVectors: DataFrame,
       indexDir: String): Unit = {
-    val cents = Versioned.read(s, centroidsDir(indexDir))
+    // assign against the centroid version the index is pinned to (its
+    // own note; the current centroid snapshot when bootstrapping) and
+    // carry the pin forward — an append can never mix centroid
+    // generations into one index
+    val cv = pinnedCentroidVersion(s, indexDir).getOrElse(
+      Versioned.currentVersion(s, centroidsDir(indexDir)))
+    val cents = Versioned.read(s, centroidsDir(indexDir), Some(cv))
     val delta = newVectors.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
     Versioned.append(assignCells(delta, cents), indexDir,
-      partitionCol = Some("cell"))
+      partitionCol = Some("cell"), note = Some(s"centroids=v$cv"))
   }
 
   /** Small-file maintenance for a drip-fed index: binpack each cell's
@@ -305,8 +336,12 @@ object Similarity {
   def compactIvfIndex(s: SparkSession, indexDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       minFileBytes: Long = 0L): Int =
+    // the binpack carries the centroid pin forward: a compacted index
+    // keeps resolving the centroid generation it was assigned against
     Versioned.compactSmall(s, indexDir, targetFileBytes, minFileBytes,
-      partitionCol = Some("cell"))
+      partitionCol = Some("cell"),
+      note = pinnedCentroidVersion(s, indexDir)
+        .map(v => s"centroids=v$v"))
 
   /** Query a persisted [[buildIvfIndex]] index: the probe-cell set
     * (#queries x nProbe cell ids — metadata-scale, like a partition
@@ -317,7 +352,7 @@ object Similarity {
     * query batches, and each probe's I/O is nProbe/C of the table. */
   def ivfTopKIndexed(s: SparkSession, d: String, indexDir: String,
       numQueries: Int = NumQueries): DataFrame = {
-    val cents = Versioned.read(s, centroidsDir(indexDir))
+    val cents = pinnedCentroids(s, indexDir)
     val q = emb(s, d).filter(col("vec_id") < numQueries)
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "q_emb")

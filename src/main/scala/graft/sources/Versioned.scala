@@ -121,6 +121,14 @@ object Versioned {
   private def entryVer(e: String): Int =
     e.stripPrefix(DeletePrefix).split("/").head.stripPrefix("v=").toInt
 
+  /** Parquet key files of a tombstone entry (`v=K/_deletes`) — the ONE
+    * listing both the read path and the [[files]] metadata table use,
+    * so they can never disagree about what counts as a tombstone. */
+  private def deleteEntryFiles(f: FileSystem, tableDir: String,
+      e: String): Seq[Path] =
+    f.listStatus(new Path(tableDir, e)).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+
   /** Tombstone sets of snapshot `v`, each as (delete version, key
     * frame). The frames are read by explicit part paths (underscore-
     * hidden dirs as scan roots log a spurious WARN). */
@@ -128,10 +136,8 @@ object Versioned {
       tableDir: String, v: Int): Seq[(Int, DataFrame)] =
     manifestLines(f, tableDir, v).filter(isDeleteLine)
       .map(_.stripPrefix(DeletePrefix)).map { e =>
-        val parts = f.listStatus(new Path(tableDir, e)).toSeq
-          .map(_.getPath).filter(_.getName.endsWith(".parquet"))
-          .map(_.toString)
-        (entryVer(e), scanUnit(spark, ScanUnit(parts, None)))
+        (entryVer(e), scanUnit(spark, ScanUnit(
+          deleteEntryFiles(f, tableDir, e).map(_.toString), None)))
       }
 
   /** Apply tombstone key sets to `df` as equality anti-joins on each
@@ -285,6 +291,12 @@ object Versioned {
           "pass either partitionCol or transform, not both")
         require(df.columns.contains(t.source),
           s"transform source column '${t.source}' not in input")
+        // the _tspec sidecar must round-trip through Transform.parse —
+        // a name outside \w+ would write a spec readers cannot parse
+        // and silently lose the partition-predicate pruning
+        require(t.source.matches("\\w+"),
+          s"transform source column '${t.source}' must match \\w+ " +
+            "(the persisted spec format)")
         (df.withColumn(t.partCol, t.writeExpr(df)), Some(t.partCol))
       case None => (df, partitionCol)
     }
@@ -596,12 +608,23 @@ object Versioned {
       asOfMillis: Long): DataFrame = {
     val f = fs(spark, tableDir)
     val vs = committedVersions(spark, tableDir)
-    val v = vs.filter(v => f.getFileStatus(
-        new Path(tableDir, s"$MarkerPrefix$v")).getModificationTime
-        <= asOfMillis)
+    def mtime(v: Int) = f.getFileStatus(
+      new Path(tableDir, s"$MarkerPrefix$v")).getModificationTime
+    val v = vs.filter(mtime(_) <= asOfMillis)
       .lastOption.getOrElse(throw new IllegalArgumentException(
         s"no snapshot at or before $asOfMillis at $tableDir " +
           s"(retained: $vs)"))
+    // version numbers are dense: a retained successor other than v+1
+    // means vacuum expired snapshots published somewhere strictly
+    // between v's and the successor's markers — for a time past v's
+    // own publish instant the state is UNKNOWN, and answering with v
+    // would be silently stale (tag-pinned islands after aggressive
+    // vacuums make such gaps routine)
+    val i = vs.indexOf(v)
+    if (i < vs.length - 1 && vs(i + 1) != v + 1 && asOfMillis > mtime(v))
+      throw new IllegalArgumentException(
+        s"history between v=$v and v=${vs(i + 1)} at $tableDir was " +
+          s"expired; the state at $asOfMillis is not retained")
     read(spark, tableDir, Some(v))
   }
 
@@ -796,26 +819,9 @@ object Versioned {
       key: String, partitionCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
       transform: Option[Transform] = None): Int = {
-    // ONE pre-flight action over the (small) update side covers three
-    // former probes: emptiness, MERGE INTO's duplicate-key rejection
-    // (Iceberg/Delta reject multi-source rows per key — silently
-    // appending both would break key uniqueness forever; nulls count
-    // as one key value, so >1 null-keyed row is a duplicate too), and
-    // the key bounds that stats-prune the provenance scan.
-    val pre = updates.agg(
-      count(lit(1)), count(col(key)), count_distinct(col(key)),
-      min(col(key)), max(col(key))).head()
-    val (n, nonNull, distinctNonNull) =
-      (pre.getLong(0), pre.getLong(1), pre.getLong(2))
+    val (n, range) = mergePreflight(updates, key, "upsert updates")
     if (n == 0) return currentVersion(spark, tableDir)
-    require(nonNull == distinctNonNull && n - nonNull <= 1,
-      s"upsert updates contain duplicate values of key '$key'")
     val keys = updates.select(key).distinct()
-    // every matched row's key lies in [min, max] of the update keys, so
-    // the range soundly bounds the provenance scan via stats pruning
-    val range =
-      if (pre.isNullAt(3)) None
-      else Some((key, pre.get(3), pre.get(4)))
     mergeFiles(spark, tableDir,
       matches = _.join(keys, Seq(key), "left_semi"),
       rewrite = _.join(keys, Seq(key), "left_anti")
@@ -824,6 +830,29 @@ object Versioned {
       // no existing key matched: the whole batch is new rows — O(delta)
       .getOrElse(append(updates, tableDir, partitionCol,
         statsCols = statsCols, transform = transform))
+  }
+
+  /** ONE pre-flight action over a merge's (small) update side, shared
+    * by [[upsert]] and [[applyChanges]]: row count, MERGE INTO's
+    * duplicate-key rejection (Iceberg/Delta reject multi-source rows
+    * per key — silently appending both would break key uniqueness
+    * forever; nulls count as one key value, so >1 null-keyed row is a
+    * duplicate too), and the key bounds that stats-prune the
+    * provenance scan (every matched row's key lies in [min, max] of
+    * the update keys, so the range soundly bounds it). */
+  private def mergePreflight(updates: DataFrame, key: String,
+      what: String): (Long, Option[(String, Any, Any)]) = {
+    val pre = updates.agg(
+      count(lit(1)), count(col(key)), count_distinct(col(key)),
+      min(col(key)), max(col(key))).head()
+    val (n, nonNull, distinctNonNull) =
+      (pre.getLong(0), pre.getLong(1), pre.getLong(2))
+    require(nonNull == distinctNonNull && n - nonNull <= 1,
+      s"$what contain duplicate values of key '$key'")
+    val range =
+      if (n == 0 || pre.isNullAt(3)) None
+      else Some((key, pre.get(3), pre.get(4)))
+    (n, range)
   }
 
   /** Row-level DELETE: publish a new snapshot without the rows matching
@@ -896,33 +925,23 @@ object Versioned {
       transform: Option[Transform] = None,
       note: Option[String] = None): Int = {
     val delKeys = deleteKeys.select(col(key)).distinct()
-    val pre = upserts.agg(
-      count(lit(1)), count(col(key)), count_distinct(col(key)),
-      min(col(key)), max(col(key))).head()
-    val (n, nonNull, distinctNonNull) =
-      (pre.getLong(0), pre.getLong(1), pre.getLong(2))
-    require(nonNull == distinctNonNull && n - nonNull <= 1,
-      s"applyChanges upserts contain duplicate values of key '$key'")
-    // bootstrap: a first batch's deletes reference rows that never
-    // existed (normal in CDC streams) — vacuous, nothing to tombstone
+    val (n, range) = mergePreflight(upserts, key, "applyChanges upserts")
     val cur0 = currentVersion(spark, tableDir)
-    if (cur0 == 0) {
-      return if (n == 0) 0
-      else commit(upserts, tableDir, partitionCol, note, statsCols,
-        transform)
-    }
     if (n == 0) {
-      return if (deleteKeys.isEmpty) cur0
+      // bootstrap deletes reference rows that never existed (normal in
+      // CDC streams) — vacuous, nothing to tombstone
+      return if (cur0 == 0 || deleteKeys.isEmpty) cur0
       else deleteRows(spark, tableDir, delKeys, note)
     }
     val keys = upserts.select(key).distinct()
+    // the one-op-per-key contract holds on the BOOTSTRAP batch too
     require(keys.join(delKeys, Seq(key), "left_semi").isEmpty,
       s"applyChanges received both an upsert and a delete for a '$key'")
+    if (cur0 == 0)
+      return commit(upserts, tableDir, partitionCol, note, statsCols,
+        transform)
     val delOpt =
       if (deleteKeys.isEmpty) None else Some(delKeys)
-    val range =
-      if (pre.isNullAt(3)) None
-      else Some((key, pre.get(3), pre.get(4)))
     mergeFiles(spark, tableDir,
       matches = _.join(keys, Seq(key), "left_semi"),
       rewrite = _.join(keys, Seq(key), "left_anti")
@@ -1037,7 +1056,8 @@ object Versioned {
       targetFileBytes: Long = 128L * 1024 * 1024,
       minFileBytes: Long = 0L,
       statsCols: Seq[String] = Nil,
-      partitionCol: Option[String] = None): Int = {
+      partitionCol: Option[String] = None,
+      note: Option[String] = None): Int = {
     val cur = currentVersion(spark, tableDir)
     require(cur > 0, s"no committed version at $tableDir")
     val threshold =
@@ -1068,8 +1088,19 @@ object Versioned {
     val packed = sizeForWrite(readFiles(spark, tableDir, small.map(_._1),
       manifestDeletes(spark, f, tableDir, cur)), nFiles,
       partitionCol.map(col))
-    commitStaged(packed, tableDir, partitionCol, note = None,
-      statsCols, linkBase = Some(cur), linkEntries = Some(surviving))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // tombstones may have deleted EVERY packed row: a partitionBy
+      // write of an empty frame produces no files, and publishing a
+      // file-less scan root would brick every subsequent read — same
+      // guard mergeFiles carries
+      val allGone = packed.isEmpty
+      val survivingData = surviving.filterNot(isDeleteLine)
+      commitStaged(packed, tableDir,
+        if (allGone) None else partitionCol, note = note, statsCols,
+        linkBase = Some(cur), linkEntries = Some(surviving),
+        ownDirInManifest = !allGone || survivingData.isEmpty)
+    } finally packed.unpersist(blocking = false)
   }
 
   /** Expire old snapshots, keeping the most recent `keep` (the current
@@ -1152,23 +1183,35 @@ object Versioned {
     require(vs.contains(v),
       s"cannot tag v=$v at $tableDir (retained: $vs)")
     val f = fs(spark, tableDir)
-    tags(spark, tableDir).get(name).foreach(old =>
-      f.delete(new Path(tableDir, s"$TagPrefix$name=$old"), false))
-    f.create(new Path(tableDir, s"$TagPrefix$name=$v"), false).close()
+    val old = tags(spark, tableDir).get(name)
+    if (old.contains(v)) return v
+    // create the NEW pin before removing the old: a crash between the
+    // two leaves a (harmless) duplicate that [[tags]] resolves by
+    // newest mtime — never a window where the name pins nothing and a
+    // concurrent vacuum could expire the snapshot
+    f.create(new Path(tableDir, s"$TagPrefix$name=$v"), true).close()
+    old.foreach(o =>
+      f.delete(new Path(tableDir, s"$TagPrefix$name=$o"), false))
     v
   }
 
-  /** All tags as name -> version. */
+  /** All tags as name -> version. A crashed re-tag may leave two files
+    * for one name; the newest (mtime, then version) wins. */
   def tags(spark: SparkSession, tableDir: String): Map[String, Int] = {
     val f = fs(spark, tableDir)
     val dir = new Path(tableDir)
     if (!f.exists(dir)) Map.empty
-    else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .collect { case s if s.startsWith(TagPrefix) =>
-        s.stripPrefix(TagPrefix).split("=", 2) }
-      .collect { case Array(n, v) if Try(v.toInt).isSuccess =>
-        n -> v.toInt }
-      .toMap
+    else f.listStatus(dir).toSeq
+      .filter(_.getPath.getName.startsWith(TagPrefix))
+      .flatMap { st =>
+        st.getPath.getName.stripPrefix(TagPrefix).split("=", 2) match {
+          case Array(n, v) if Try(v.toInt).isSuccess =>
+            Some((n, v.toInt, st.getModificationTime))
+          case _ => None
+        }
+      }
+      .groupBy(_._1).view
+      .mapValues(_.maxBy(x => (x._3, x._2))._2).toMap
   }
 
   /** Read the snapshot a tag points at. */
@@ -1182,13 +1225,15 @@ object Versioned {
     read(spark, tableDir, Some(t))
   }
 
-  /** Remove a tag (the version becomes expirable again). */
+  /** Remove a tag (the version becomes expirable again). Sweeps every
+    * file carrying the name, including a crashed re-tag's duplicate. */
   def dropTag(spark: SparkSession, tableDir: String,
       name: String): Unit = {
     checkTagName(name)
     val f = fs(spark, tableDir)
-    tags(spark, tableDir).get(name).foreach(v =>
-      f.delete(new Path(tableDir, s"$TagPrefix$name=$v"), false))
+    f.listStatus(new Path(tableDir)).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(s"$TagPrefix$name="))
+      .foreach(p => f.delete(p, false))
   }
 
   /** SQL surface for TIME TRAVEL — the `VERSION AS OF` analog of the
@@ -1311,8 +1356,7 @@ object Versioned {
       // entryFiles deliberately hides from DATA listings
       val fls =
         if (isDeleteLine(e0))
-          f.listStatus(new Path(tableDir, e)).toSeq.map(_.getPath)
-            .filter(_.getName.endsWith(".parquet"))
+          deleteEntryFiles(f, tableDir, e)
             .map(_.toUri.getPath.stripPrefix(root + "/"))
         else entryFiles(f, tableDir, e)
       fls.map { rel =>
@@ -1591,9 +1635,12 @@ object Versioned {
     else {
       val in = f.open(p)
       val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+      // ANY unreadable/unparseable spec degrades to full scans — a
+      // stale or foreign format must never fail the read path
       text.split("\t") match {
-        case Array(render, dtype) => Some((Transform.parse(render), dtype))
-        case _ => None // unreadable spec: degrade to full scans
+        case Array(render, dtype) =>
+          Try(Transform.parse(render)).toOption.map((_, dtype))
+        case _ => None
       }
     }
   }

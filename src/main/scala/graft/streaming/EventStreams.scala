@@ -175,8 +175,13 @@ object EventStreams {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // the batch feeds several independent actions (emptiness, op
+        // validation, applyChanges' preflight + both op splits) —
+        // persist it once instead of re-reading the source per action
+        val batch = batch0.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try if (!batch.isEmpty) {
           val spark = batch.sparkSession
           // an unknown or NULL op must FAIL the batch, not silently
           // drop its rows — a typo'd producer would otherwise lose
@@ -202,7 +207,7 @@ object EventStreams {
               key = key, note = Some(note))
           graft.sources.Versioned.recordApplied(spark, tableDir,
             streamId, batchId)
-        }
+        } finally batch.unpersist(blocking = false)
         ()
       }
 
