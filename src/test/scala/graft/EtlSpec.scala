@@ -331,6 +331,51 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: asOf refuses expired gaps; binpack survives full tombstoning") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_asof_gap"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
+    Thread.sleep(60)
+    Versioned.append(Seq((2, "b")).toDF("id", "v"), t)
+    Thread.sleep(60)
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t)
+    val t1 = Versioned.history(spark, t).orderBy("version")
+      .collect().head.getTimestamp(1).getTime
+    Versioned.tag(spark, t, "pin", Some(1))
+    Versioned.vacuum(spark, t, keep = 1)
+    assert(Versioned.versions(spark, t) == Seq(1, 3))
+    // exactly v1's publish instant still answers v1...
+    assert(Versioned.readAsOf(spark, t, t1).count() == 1)
+    // ...but a time inside the expired v1->v3 gap is refused, not
+    // silently answered with v1's stale state
+    intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, t, t1 + 1)
+    }
+    assert(Versioned.readAsOf(spark, t,
+      System.currentTimeMillis()).count() == 3)
+    // a crashed re-tag's duplicate resolves to the newest pin
+    val f = new java.io.File(s"$t/_tag_dup=1")
+    f.createNewFile()
+    f.setLastModified(System.currentTimeMillis() - 60000)
+    new java.io.File(s"$t/_tag_dup=3").createNewFile()
+    assert(Versioned.tags(spark, t)("dup") == 3)
+    Versioned.dropTag(spark, t, "dup")
+    assert(!Versioned.tags(spark, t).contains("dup"))
+    // binpack over a table whose every row is tombstoned publishes a
+    // READABLE empty snapshot, not a file-less scan root
+    val tb = s"$work/versioned_pack_all_deleted"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tb))
+    Versioned.commit((1 to 10).map(i => (i, if (i <= 5) "a" else "b"))
+      .toDF("id", "p").repartition(4), tb, partitionCol = Some("p"))
+    Versioned.deleteRows(spark, tb, (1 to 10).toDF("id"))
+    Versioned.compactSmall(spark, tb, minFileBytes = 1024 * 1024,
+      partitionCol = Some("p"))
+    assert(Versioned.read(spark, tb).count() == 0)
+    assert(Versioned.read(spark, tb).columns.toSeq == Seq("id", "p"))
+  }
+
   test("versioned table: tags pin versions through vacuum") {
     import spark.implicits._
     import graft.sources.Versioned

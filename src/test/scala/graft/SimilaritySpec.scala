@@ -179,5 +179,15 @@ class SimilaritySpec extends SparkSpec {
     assert(Versioned.read(spark, dir).count() == 2 * baseRows)
     assert(new java.io.File(s"$dir/v=$packed").listFiles()
       .exists(f => f.isDirectory && f.getName.startsWith("cell=")))
+    // the index pins its centroid GENERATION: publishing new centroids
+    // (a rebuild in flight) must not change what existing probes read
+    val postPack = Similarity.ivfTopKIndexed(spark, sf, dir).collect()
+      .map(_.toString).toSeq
+    Versioned.commit(
+      Versioned.read(spark, s"$dir.centroids")
+        .limit(3), // deliberately wrong centroids
+      s"$dir.centroids")
+    assert(Similarity.ivfTopKIndexed(spark, sf, dir).collect()
+      .map(_.toString).toSeq == postPack)
   }
 }
