@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.Try
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -476,14 +478,36 @@ object TextAnalysis {
             graft.functions.GraftFunctions.ShingleHashesName,
             trim(lower(col("text"))), lit(3))).as("shingle")))
       case None =>
-        // the persist lives until the caller's `spark.catalog
-        // .clearCache()` (Bench clears per query): both join sides
-        // consume the returned LAZY frame, so the index cannot be
-        // unpersisted here without recomputing it per side — at real
-        // scale the index is a persisted TABLE with its own lifecycle
-        // (SCALING.md), not session cache
+        // both join sides consume the returned LAZY frame, so the
+        // index cannot be unpersisted here without recomputing it per
+        // side — at real scale the index is a persisted TABLE with its
+        // own lifecycle (SCALING.md), not session cache. A one-shot
+        // listener unpersists it after the first action that consumed
+        // it completes, so repeated callers in a long-lived session do
+        // not accumulate cached copies (delivery is async; worst case
+        // a later action recomputes — perf, never correctness).
         val sh = Dedup.shingleRows(s, d)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val shPlan = sh.queryExecution.analyzed
+        val lm = s.listenerManager
+        object cleanup
+            extends org.apache.spark.sql.util.QueryExecutionListener {
+          private val fired = new java.util.concurrent.atomic.AtomicBoolean
+          private def done(
+              qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+            if (Try(qe.analyzed.exists(_.sameResult(shPlan)))
+                .getOrElse(false) && fired.compareAndSet(false, true)) {
+              sh.unpersist(false)
+              lm.unregister(this)
+            }
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = done(qe)
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = done(qe)
+        }
+        lm.register(cleanup)
         (sh.filter(col("doc_id") % 50 =!= 0),
           sh.filter(col("doc_id") % 50 === 0)
             .withColumnRenamed("doc_id", "bench_id"))

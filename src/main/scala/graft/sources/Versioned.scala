@@ -137,16 +137,20 @@ object Versioned {
     manifestLines(f, tableDir, v).filter(isDeleteLine)
       .map(_.stripPrefix(DeletePrefix)).map { e =>
         (entryVer(e), scanUnit(spark, ScanUnit(
-          deleteEntryFiles(f, tableDir, e).map(_.toString), None)))
+          deleteEntryFiles(f, tableDir, e).map(_.toString), None,
+          ownerEpoch(f, tableDir, e.split("/").head))))
       }
 
-  /** Apply tombstone key sets to `df` as equality anti-joins on each
-    * tombstone's columns — Iceberg-v2 merge-on-read semantics. Callers
-    * pass only the tombstones NEWER than the data being read: a delete
-    * file affects only data written before it, so a key re-inserted
-    * AFTER the delete survives. Rows whose key columns are null never
-    * match a tombstone (SQL equality), and files predating a
-    * schema-evolved key column null-fill, so their rows are kept.
+  /** Apply tombstone key sets to `df` as NULL-SAFE equality anti-joins
+    * on each tombstone's columns — Iceberg-v2 merge-on-read semantics,
+    * where an equality delete whose value is null deletes exactly the
+    * rows whose column is null (plain SQL `=` would silently never
+    * match them, diverging from the spec). Callers pass only the
+    * tombstones NEWER than the data being read: a delete file affects
+    * only data written before it, so a key re-inserted AFTER the
+    * delete survives. Consequence of null-matching-null: files
+    * predating a schema-evolved key column null-fill that column, so a
+    * null-keyed tombstone deletes their rows too — their value IS null.
     * Tombstone frames are key-scale and AQE broadcasts them. */
   private def applyDeletes(df: DataFrame,
       tombs: Seq[DataFrame]): DataFrame =
@@ -155,7 +159,8 @@ object Versioned {
       val missing = cols.filterNot(d.columns.contains)
       val padded = missing.foldLeft(d)((acc, c) =>
         acc.withColumn(c, lit(null).cast(t.schema(c).dataType)))
-      padded.join(t, cols, "left_anti").drop(missing: _*)
+      val cond = cols.map(c => padded(c) <=> t(c)).reduce(_ && _)
+      padded.join(t, cond, "left_anti").drop(missing: _*)
     }
 
   /** Whether `dir` holds hive partition directories (`col=value/`).
@@ -171,9 +176,30 @@ object Versioned {
 
   /** One planned scan over manifest entries: `paths` under an optional
     * explicit `basePath` (present for hive-partitioned roots and for
-    * file entries, whose partition values live in the path). */
+    * file entries, whose partition values live in the path). `epoch`
+    * is the commit-unique identity of the version root(s) the paths
+    * live under (see [[ownerEpoch]]) — it keys the schema memo, so a
+    * table dropped and recreated at the same path can never revive the
+    * old table's schema. "?" (unknown) disables memoization. */
   private case class ScanUnit(paths: Seq[String],
-      basePath: Option[String])
+      basePath: Option[String], epoch: String = "?")
+
+  /** Commit-unique epoch of a version root: the name of the
+    * `_owner_<uuid>` token the committer left inside it — a fresh UUID
+    * per published commit, so it identifies the commit ITSELF, immune
+    * to the (mtime, length) millisecond-granularity collisions a
+    * drop-and-recreate at the same path can produce. Tokenless roots
+    * (pre-protocol fixtures) and failed probes return "?", which
+    * disables the schema memo for that scan instead of keying on a
+    * guess. */
+  private def ownerEpoch(f: FileSystem, tableDir: String,
+      vroot: String): String =
+    Try {
+      f.listStatus(new Path(tableDir, vroot)).collectFirst {
+        case st if st.getPath.getName.startsWith("_owner_") =>
+          st.getPath.getName
+      }.getOrElse("?")
+    }.getOrElse("?")
 
   /** Schema memo for scan units. Version directories are IMMUTABLE
     * once published (the commit protocol's whole point), so a path
@@ -187,19 +213,16 @@ object Versioned {
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   private def scanUnit(spark: SparkSession, u: ScanUnit): DataFrame = {
-    // the first path's (mtime, length) joins the key so a table
-    // DROPPED AND RECREATED at the same path in one JVM misses the
-    // memo instead of reviving the old table's schema - the one way
-    // "immutable once published" is violated
-    val stamp = Try {
-      val st = fs(spark, u.paths.head)
-        .getFileStatus(new Path(u.paths.head))
-      s"${st.getModificationTime}:${st.getLen}"
-    }.getOrElse("?")
-    val key = u.basePath.getOrElse("") + "\u0000" + stamp +
-      "\u0000" + u.paths.mkString("|")
     val reader =
       u.basePath.fold(spark.read)(b => spark.read.option("basePath", b))
+    // the owner-token epoch joins the key so a table DROPPED AND
+    // RECREATED at the same path in one JVM misses the memo instead of
+    // reviving the old table's schema - the one way "immutable once
+    // published" is violated. An unknown epoch ("?" anywhere in a
+    // possibly-merged one) skips the memo rather than keying a guess.
+    if (u.epoch.contains("?")) return reader.parquet(u.paths: _*)
+    val key = u.basePath.getOrElse("") + "\u0000" + u.epoch +
+      "\u0000" + u.paths.mkString("|")
     val cached = schemaMemo.get(key)
     if (cached != null) reader.schema(cached).parquet(u.paths: _*)
     else {
@@ -222,7 +245,8 @@ object Versioned {
         Some(new Path(tableDir, entry.split("/").head).toString)
       else if (isHivePartitioned(f, p)) Some(p.toString)
       else None
-    ScanUnit(Seq(p.toString), base)
+    ScanUnit(Seq(p.toString), base,
+      ownerEpoch(f, tableDir, entry.split("/").head))
   }
 
   /** Commit a new snapshot: write the data (plus manifest, stats sidecar
@@ -333,7 +357,8 @@ object Versioned {
       if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
     } else f.mkdirs(stage) // metadata-only commit (rollback, tombstone)
     transform.foreach(t => writeTspec(f, stage, t,
-      df.schema(t.source).dataType.catalogString))
+      df.schema(t.source).dataType.catalogString,
+      spark.sessionState.conf.sessionLocalTimeZone))
     // tombstone key set (merge-on-read delete): key-scale, one file
     deleteDf.foreach(_.coalesce(1).write
       .parquet(new Path(stage, DeletesDir).toString))
@@ -584,7 +609,8 @@ object Versioned {
         org.apache.spark.sql.types.StructType, Seq[Int])]) {
       case ((g, sch, dv) :: rest, (u, s, d))
           if s == sch && g.basePath == u.basePath && dv == d =>
-        (ScanUnit(g.paths ++ u.paths, g.basePath), sch, dv) :: rest
+        (ScanUnit(g.paths ++ u.paths, g.basePath,
+          g.epoch + "|" + u.epoch), sch, dv) :: rest
       case (acc, (u, s, d)) => (u, s, d) :: acc
     }.reverse
     hideDerived(grouped.map { case (u, _, dv) =>
@@ -615,17 +641,63 @@ object Versioned {
         s"no snapshot at or before $asOfMillis at $tableDir " +
           s"(retained: $vs)"))
     // version numbers are dense: a retained successor other than v+1
-    // means vacuum expired snapshots published somewhere strictly
-    // between v's and the successor's markers — for a time past v's
-    // own publish instant the state is UNKNOWN, and answering with v
-    // would be silently stale (tag-pinned islands after aggressive
-    // vacuums make such gaps routine)
+    // means vacuum expired snapshots published somewhere between v's
+    // and the successor's markers (tag-pinned islands after aggressive
+    // vacuums make such gaps routine). Vacuum logs each expired
+    // version's publish instant (`_expired.tsv`), so the gap resolves
+    // EXACTLY: a time strictly before the first expired publish still
+    // answers v (the state then WAS v — including a same-millisecond
+    // tie, which is ambiguous and refused); at or past it the state is
+    // expired and the read is refused rather than silently stale. A
+    // pre-log gap (no entry for some expired version) degrades to the
+    // conservative refusal of everything past v's own publish instant.
     val i = vs.indexOf(v)
-    if (i < vs.length - 1 && vs(i + 1) != v + 1 && asOfMillis > mtime(v))
-      throw new IllegalArgumentException(
-        s"history between v=$v and v=${vs(i + 1)} at $tableDir was " +
-          s"expired; the state at $asOfMillis is not retained")
+    if (i < vs.length - 1 && vs(i + 1) != v + 1) {
+      val gap = (v + 1) until vs(i + 1)
+      val log = expiredLog(f, tableDir, retained = vs.toSet)
+      if (gap.forall(log.contains)) {
+        val shadow = gap.filter(g => log(g) <= asOfMillis)
+        if (shadow.nonEmpty) throw new IllegalArgumentException(
+          s"v=${shadow.head} at $tableDir was published at " +
+            s"${log(shadow.head)} (<= $asOfMillis) and expired; the " +
+            s"state at $asOfMillis is not retained")
+      } else if (asOfMillis > mtime(v))
+        throw new IllegalArgumentException(
+          s"history between v=$v and v=${vs(i + 1)} at $tableDir was " +
+            s"expired; the state at $asOfMillis is not retained")
+    }
     read(spark, tableDir, Some(v))
+  }
+
+  private val ExpiredLogFile = "_expired.tsv"
+
+  /** Publish instants of EXPIRED versions (`version \t marker mtime`
+    * lines), appended by [[vacuum]] as it removes markers — the
+    * memory [[readAsOf]] needs to resolve times inside expired history
+    * exactly instead of refusing whole gaps. Entries for versions in
+    * `retained` — still published — are dropped (a vacuum that crashed
+    * between logging and marker removal); an absent or unreadable log
+    * returns empty and readAsOf degrades to its conservative
+    * refusal. */
+  private def expiredLog(f: FileSystem, tableDir: String,
+      retained: Set[Int]): Map[Int, Long] = {
+    val p = new Path(tableDir, ExpiredLogFile)
+    if (!f.exists(p)) return Map.empty
+    Try {
+      val in = f.open(p)
+      val text = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      text.split("\n").toSeq.filter(_.nonEmpty).flatMap { line =>
+        line.split("\t") match {
+          case Array(v0, m0) => for {
+            v <- Try(v0.toInt).toOption
+            m <- Try(m0.toLong).toOption
+          } yield v -> m
+          case _ => None
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+      .filter { case (v, _) => !retained.contains(v) }
   }
 
   /** APPEND as a new snapshot: the published version holds the previous
@@ -714,17 +786,20 @@ object Versioned {
     * rows. */
   private def readFiles(spark: SparkSession, tableDir: String,
       rels: Seq[String],
-      deletes: Seq[(Int, DataFrame)] = Nil): DataFrame =
+      deletes: Seq[(Int, DataFrame)] = Nil): DataFrame = {
+    val f = fs(spark, tableDir)
     hideDerived(rels.groupBy(_.split("/").head).toSeq.sortBy(_._1)
       .map { case (vdir, files) =>
         val ver = vdir.stripPrefix("v=").toInt
         applyDeletes(
           scanUnit(spark, ScanUnit(
             files.map(r => new Path(tableDir, r).toString),
-            Some(new Path(tableDir, vdir).toString))),
+            Some(new Path(tableDir, vdir).toString),
+            ownerEpoch(f, tableDir, vdir))),
           deletes.filter(_._1 > ver).map(_._2))
       }
       .reduce(_.unionByName(_, allowMissingColumns = true)))
+  }
 
   /** The file-level merge core shared by [[upsert]] and [[delete]]:
     * split the snapshot's files into touched (contain a row matching
@@ -836,10 +911,13 @@ object Versioned {
     * by [[upsert]] and [[applyChanges]]: row count, MERGE INTO's
     * duplicate-key rejection (Iceberg/Delta reject multi-source rows
     * per key — silently appending both would break key uniqueness
-    * forever; nulls count as one key value, so >1 null-keyed row is a
-    * duplicate too), and the key bounds that stats-prune the
-    * provenance scan (every matched row's key lies in [min, max] of
-    * the update keys, so the range soundly bounds it). */
+    * forever), NULL-key rejection (a null key never matches the merge's
+    * equality joins, so every null-keyed upsert would APPEND another
+    * null-key row instead of replacing the last one — quietly eroding
+    * key uniqueness; reject up-front rather than corrupt slowly), and
+    * the key bounds that stats-prune the provenance scan (every matched
+    * row's key lies in [min, max] of the update keys, so the range
+    * soundly bounds it). */
   private def mergePreflight(updates: DataFrame, key: String,
       what: String): (Long, Option[(String, Any, Any)]) = {
     val pre = updates.agg(
@@ -847,7 +925,10 @@ object Versioned {
       min(col(key)), max(col(key))).head()
     val (n, nonNull, distinctNonNull) =
       (pre.getLong(0), pre.getLong(1), pre.getLong(2))
-    require(nonNull == distinctNonNull && n - nonNull <= 1,
+    require(n == nonNull,
+      s"$what contain a null value of key '$key' (null keys cannot " +
+        "merge: they match no existing row and would append forever)")
+    require(nonNull == distinctNonNull,
       s"$what contain duplicate values of key '$key'")
     val range =
       if (n == 0 || pre.isNullAt(3)) None
@@ -1140,6 +1221,23 @@ object Versioned {
     def dirReferenced(name: String): Boolean =
       referenced.contains(name) ||
         referenced.exists(_.startsWith(name + "/"))
+    // log each expiring version's publish instant BEFORE its marker
+    // goes — [[readAsOf]] uses the log to resolve times inside the
+    // expired gap exactly. A crash after the log write leaves entries
+    // for still-published versions, which expiredLog ignores.
+    if (expired.nonEmpty) {
+      val instants = expired.flatMap { v =>
+        Try(f.getFileStatus(new Path(tableDir, s"$MarkerPrefix$v"))
+          .getModificationTime).toOption.map(v -> _)
+      }.toMap
+      val merged = expiredLog(f, tableDir, retained = Set.empty) ++
+        instants
+      val out = f.create(new Path(tableDir, ExpiredLogFile), true)
+      try out.write(merged.toSeq.sorted
+        .map { case (v, m) => s"$v\t$m" }.mkString("\n")
+        .getBytes("UTF-8"))
+      finally out.close()
+    }
     expired.foreach { v =>
       f.delete(new Path(tableDir, s"$MarkerPrefix$v"), false)
       if (!dirReferenced(s"v=$v"))
@@ -1183,36 +1281,62 @@ object Versioned {
     require(vs.contains(v),
       s"cannot tag v=$v at $tableDir (retained: $vs)")
     val f = fs(spark, tableDir)
-    val old = tags(spark, tableDir).get(name)
-    if (old.contains(v)) return v
-    // create the NEW pin before removing the old: a crash between the
-    // two leaves a (harmless) duplicate that [[tags]] resolves by
-    // newest mtime — never a window where the name pins nothing and a
-    // concurrent vacuum could expire the snapshot
-    f.create(new Path(tableDir, s"$TagPrefix$name=$v"), true).close()
-    old.foreach(o =>
-      f.delete(new Path(tableDir, s"$TagPrefix$name=$o"), false))
+    val existing = tagEntries(f, tableDir).filter(_._1 == name)
+    if (existing.nonEmpty && resolveTag(existing)._2 == v) return v
+    // the pin file embeds a per-name MONOTONE sequence (max existing
+    // + 1, read from the files themselves so it is monotone across
+    // JVMs too): [[tags]] resolves ties on it, so a re-tag to a LOWER
+    // version in the same millisecond as the original pin still wins —
+    // an mtime-only tie-break resolved to the higher version number.
+    // Create the NEW pin before removing the old: a crash between the
+    // two leaves a (harmless) duplicate the sequence resolves — never
+    // a window where the name pins nothing and a concurrent vacuum
+    // could expire the snapshot.
+    val seq = (0L +: existing.map(_._3)).max + 1
+    f.create(new Path(tableDir, s"$TagPrefix$name=$v.$seq"), true).close()
+    // sweep every superseded pin, including crashed re-tags' leftovers
+    existing.foreach(e => f.delete(e._5, false))
     v
   }
 
-  /** All tags as name -> version. A crashed re-tag may leave two files
-    * for one name; the newest (mtime, then version) wins. */
-  def tags(spark: SparkSession, tableDir: String): Map[String, Int] = {
-    val f = fs(spark, tableDir)
+  /** Raw tag pin files as (name, version, seq, mtime, path). Legacy
+    * pins (`_tag_name=v`, no sequence) parse with seq 0, so any
+    * sequenced re-tag outranks them. */
+  private def tagEntries(f: FileSystem,
+      tableDir: String): Seq[(String, Int, Long, Long, Path)] = {
     val dir = new Path(tableDir)
-    if (!f.exists(dir)) Map.empty
+    if (!f.exists(dir)) Nil
     else f.listStatus(dir).toSeq
       .filter(_.getPath.getName.startsWith(TagPrefix))
       .flatMap { st =>
         st.getPath.getName.stripPrefix(TagPrefix).split("=", 2) match {
-          case Array(n, v) if Try(v.toInt).isSuccess =>
-            Some((n, v.toInt, st.getModificationTime))
+          case Array(n, value) =>
+            val (vStr, seq) = value.split("\\.", 2) match {
+              case Array(v0, s0) => (v0, Try(s0.toLong).getOrElse(-1L))
+              case _ => (value, 0L)
+            }
+            // safe parse: a foreign/corrupt pin name is skipped
+            for (v <- Try(vStr.toInt).toOption if seq >= 0)
+              yield (n, v, seq, st.getModificationTime, st.getPath)
           case _ => None
         }
       }
-      .groupBy(_._1).view
-      .mapValues(_.maxBy(x => (x._3, x._2))._2).toMap
   }
+
+  /** Winner among one name's pins: highest sequence, then (for
+    * legacy seq-0 duplicates) newest mtime, then version. */
+  private def resolveTag(entries: Seq[(String, Int, Long, Long, Path)])
+      : (String, Int) = {
+    val w = entries.maxBy(e => (e._3, e._4, e._2))
+    (w._1, w._2)
+  }
+
+  /** All tags as name -> version. A crashed re-tag may leave two files
+    * for one name; the highest sequence (newest mtime among legacy
+    * pins) wins. */
+  def tags(spark: SparkSession, tableDir: String): Map[String, Int] =
+    tagEntries(fs(spark, tableDir), tableDir)
+      .groupBy(_._1).values.map(resolveTag).toMap
 
   /** Read the snapshot a tag points at. */
   def readTag(spark: SparkSession, tableDir: String,
@@ -1516,21 +1640,58 @@ object Versioned {
     /** partition-column predicate implied by source BETWEEN lo AND hi
       * (None when the transform cannot bound a range, e.g. bucket with
       * lo != hi). `dtype` is the source's catalog type AS WRITTEN — the
-      * literals cast through it so e.g. bucket hashes agree. */
+      * literals cast through it so e.g. bucket hashes agree. `zone` is
+      * the WRITER's session time zone from the `_tspec` sidecar: the
+      * calendar transforms derived their partition values under it, so
+      * a reader in a different zone must evaluate the bounds there too
+      * (and widen by one partition unit for DST-transition edges) or
+      * partition pruning would silently drop in-range rows. None =
+      * pre-zone sidecar: assume the reader's zone, the legacy
+      * behavior. */
     private[sources] def rangePred(lo: Any, hi: Any,
-        dtype: String): Option[Column]
+        dtype: String, zone: Option[String] = None): Option[Column]
   }
 
   object Transform {
+    /** The reader session's zone at predicate-build time. */
+    private def sessionZone: String =
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+
+    /** The writer zone to evaluate a calendar transform's bounds
+      * under, IF it differs from the reader's session zone (same zone
+      * — including the legacy no-zone sidecar — needs no shift and no
+      * widening). */
+    private def crossZone(zone: Option[String]): Option[String] =
+      zone.filter(_ != sessionZone)
+
+    /** Shift instant `ts` so that rendering the result with the
+      * READER-session-zoned calendar functions (to_date, date_format)
+      * equals rendering the original instant in `z` — the wall-clock
+      * the writer derived partition values under. Offsets are
+      * evaluated at the instant itself, so inside a DST transition
+      * the shift can be off by the transition amount; callers widen
+      * their partition predicate by one unit to absorb it (the exact
+      * row filter still applies after pruning — over-approximation is
+      * free, under-approximation would lose rows). */
+    private def inZone(ts: Column, z: String): Column =
+      from_utc_timestamp(to_utc_timestamp(ts, current_timezone()), z)
+
     /** Calendar-day partitioning of a timestamp: `days(ts)`. */
     case class Days(source: String) extends Transform {
       val partCol = s"${TransformPrefix}days_$source"
       def render = s"days($source)"
       private[sources] def writeExpr(df: DataFrame) =
         to_date(col(source).cast("timestamp"))
-      private[sources] def rangePred(lo: Any, hi: Any, dtype: String) =
-        Some(col(partCol) >= to_date(lit(lo).cast("timestamp")) &&
-          col(partCol) <= to_date(lit(hi).cast("timestamp")))
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String,
+          zone: Option[String]) = Some(crossZone(zone) match {
+        case Some(z) =>
+          def d(v: Any) = to_date(inZone(lit(v).cast("timestamp"), z))
+          col(partCol) >= date_sub(d(lo), 1) &&
+            col(partCol) <= date_add(d(hi), 1)
+        case None =>
+          col(partCol) >= to_date(lit(lo).cast("timestamp")) &&
+            col(partCol) <= to_date(lit(hi).cast("timestamp"))
+      })
     }
 
     /** Calendar-month partitioning: `months(ts)` -> `yyyy-MM` (string
@@ -1540,11 +1701,21 @@ object Versioned {
       def render = s"months($source)"
       private[sources] def writeExpr(df: DataFrame) =
         date_format(col(source).cast("timestamp"), "yyyy-MM")
-      private[sources] def rangePred(lo: Any, hi: Any, dtype: String) =
-        Some(col(partCol) >=
-            date_format(lit(lo).cast("timestamp"), "yyyy-MM") &&
-          col(partCol) <=
-            date_format(lit(hi).cast("timestamp"), "yyyy-MM"))
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String,
+          zone: Option[String]) = Some(crossZone(zone) match {
+        case Some(z) =>
+          // widen by a day before formatting: covers any DST-edge
+          // shift error at month boundaries
+          def m(v: Any, days: Int) = date_format(
+            inZone(lit(v).cast("timestamp"), z) +
+              expr(s"INTERVAL $days DAY"), "yyyy-MM")
+          col(partCol) >= m(lo, -1) && col(partCol) <= m(hi, 1)
+        case None =>
+          col(partCol) >=
+              date_format(lit(lo).cast("timestamp"), "yyyy-MM") &&
+            col(partCol) <=
+              date_format(lit(hi).cast("timestamp"), "yyyy-MM")
+      })
     }
 
     /** Hour partitioning: `hours(ts)` -> `yyyy-MM-dd-HH`. */
@@ -1553,11 +1724,19 @@ object Versioned {
       def render = s"hours($source)"
       private[sources] def writeExpr(df: DataFrame) =
         date_format(col(source).cast("timestamp"), "yyyy-MM-dd-HH")
-      private[sources] def rangePred(lo: Any, hi: Any, dtype: String) =
-        Some(col(partCol) >=
-            date_format(lit(lo).cast("timestamp"), "yyyy-MM-dd-HH") &&
-          col(partCol) <=
-            date_format(lit(hi).cast("timestamp"), "yyyy-MM-dd-HH"))
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String,
+          zone: Option[String]) = Some(crossZone(zone) match {
+        case Some(z) =>
+          def h(v: Any, hours: Int) = date_format(
+            inZone(lit(v).cast("timestamp"), z) +
+              expr(s"INTERVAL $hours HOUR"), "yyyy-MM-dd-HH")
+          col(partCol) >= h(lo, -1) && col(partCol) <= h(hi, 1)
+        case None =>
+          col(partCol) >=
+              date_format(lit(lo).cast("timestamp"), "yyyy-MM-dd-HH") &&
+            col(partCol) <=
+              date_format(lit(hi).cast("timestamp"), "yyyy-MM-dd-HH")
+      })
     }
 
     /** Hash-bucket partitioning: `bucket(n, col)`. Point lookups
@@ -1570,7 +1749,10 @@ object Versioned {
       def render = s"bucket($n,$source)"
       private[sources] def writeExpr(df: DataFrame) =
         pmod(hash(col(source)), lit(n))
-      private[sources] def rangePred(lo: Any, hi: Any, dtype: String) =
+      // instants (and every other dtype here) hash zone-independently,
+      // so no writer-zone handling is needed
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String,
+          zone: Option[String]) =
         if (lo == hi)
           Some(col(partCol) === pmod(hash(lit(lo).cast(dtype)), lit(n)))
         else None
@@ -1588,7 +1770,8 @@ object Versioned {
         if (isString(df.schema(source).dataType.catalogString))
           substring(col(source), 1, w)
         else col(source) - pmod(col(source), lit(w))
-      private[sources] def rangePred(lo: Any, hi: Any, dtype: String) =
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String,
+          zone: Option[String]) =
         if (isString(dtype))
           Some(col(partCol) >= substring(lit(lo), 1, w) &&
             col(partCol) <= substring(lit(hi), 1, w))
@@ -1621,15 +1804,23 @@ object Versioned {
   private val TspecFile = "_tspec"
 
   private def writeTspec(f: FileSystem, stage: Path, t: Transform,
-      dtype: String): Unit = {
+      dtype: String, zone: String): Unit = {
     val out = f.create(new Path(stage, TspecFile), false)
-    try out.write(s"${t.render}\t$dtype".getBytes("UTF-8"))
+    // the writer's session zone rides along: the calendar transforms
+    // derived their partition values under it, and a reader in a
+    // different zone must evaluate pruning bounds there (see
+    // [[Transform.rangePred]]) — without it a zone-flipped reader
+    // silently pruned files containing in-range rows
+    try out.write(s"${t.render}\t$dtype\t$zone".getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** The transform a version directory was written under, if any. */
-  private def readTspec(f: FileSystem, tableDir: String,
-      vroot: String): Option[(Transform, String)] = {
+  /** The transform a version directory was written under, if any,
+    * with its source dtype and (format v3) the writer's session
+    * zone. A two-field legacy spec parses with zone None — pruning
+    * then assumes the reader's zone, the legacy behavior. */
+  private def readTspec(f: FileSystem, tableDir: String, vroot: String)
+      : Option[(Transform, String, Option[String])] = {
     val p = new Path(new Path(tableDir, vroot), TspecFile)
     if (!f.exists(p)) None
     else {
@@ -1639,7 +1830,10 @@ object Versioned {
       // stale or foreign format must never fail the read path
       text.split("\t") match {
         case Array(render, dtype) =>
-          Try(Transform.parse(render)).toOption.map((_, dtype))
+          Try(Transform.parse(render)).toOption.map((_, dtype, None))
+        case Array(render, dtype, zone) =>
+          Try(Transform.parse(render)).toOption
+            .map((_, dtype, Some(zone)))
         case _ => None
       }
     }
@@ -1904,12 +2098,12 @@ object Versioned {
     // file-level pruning. Roots without a spec (merge rewrites, plain
     // tables) simply scan by stats alone.
     val specs = scala.collection.mutable
-      .Map.empty[String, Option[(Transform, String)]]
+      .Map.empty[String, Option[(Transform, String, Option[String])]]
     def partPred(vroot: String): Option[Column] =
       specs.getOrElseUpdate(vroot, readTspec(f, tableDir, vroot))
-        .flatMap { case (t, dt) =>
+        .flatMap { case (t, dt, zone) =>
           ranges.collectFirst { case (c, lo, hi) if c == t.source =>
-            t.rangePred(lo, hi, dt)
+            t.rangePred(lo, hi, dt, zone)
           }.flatten
         }
     val parts = entryInfo.flatMap { case (dn, isFile, vroot) =>
@@ -1927,7 +2121,8 @@ object Versioned {
             .map(rel => new Path(basePath, rel).toString)
           if (kept.isEmpty) None
           else Some(scanUnit(spark,
-            ScanUnit(kept.toIndexedSeq, Some(basePath.toString))))
+            ScanUnit(kept.toIndexedSeq, Some(basePath.toString),
+              ownerEpoch(f, tableDir, vroot))))
         }
       // merge-on-read tombstones newer than this entry apply here too —
       // a pruned read must agree with read().filter

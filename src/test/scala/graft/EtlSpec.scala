@@ -268,6 +268,115 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: null keys — tombstones match null, merges reject it") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_null_keys"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(
+      Seq((Some(1), "a"), (None, "b"), (Some(3), "c")).toDF("id", "v"), t)
+    // Iceberg-v2 equality-delete semantics: a null-valued delete key
+    // deletes exactly the rows whose column IS null (plain SQL `=`
+    // would silently never match them)
+    Versioned.deleteRows(spark, t, Seq(Option.empty[Int]).toDF("id"))
+    assert(Versioned.read(spark, t).select("v").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+    // a non-null tombstone key still never touches other rows
+    Versioned.deleteRows(spark, t, Seq(Some(1)).toDF("id"))
+    assert(Versioned.read(spark, t).select("v").collect()
+      .map(_.getString(0)).toSeq == Seq("c"))
+    // a null UPSERT key can never match the merge's equality joins —
+    // it would append a fresh null-key row per call forever, so it is
+    // rejected up-front (as is a null delete key in applyChanges-land
+    // upserts); deleteRows above is the null-capable path
+    intercept[IllegalArgumentException] {
+      Versioned.upsert(spark, t,
+        Seq((Option.empty[Int], "x")).toDF("id", "v"), "id")
+    }
+  }
+
+  test("versioned table: drop-and-recreate at the same path reads the new schema") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_recreate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
+    // populate the schema memo for v=1's scan unit
+    assert(Versioned.read(spark, t).collect().length == 1)
+    // drop the table and recreate a DIFFERENT one at the same path in
+    // the same JVM (and plausibly the same millisecond): the memo keys
+    // on the commit's owner-token UUID, so the old schema can never
+    // revive for the new table's files
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((2.5, true)).toDF("score", "flag"), t)
+    val df = Versioned.read(spark, t)
+    assert(df.columns.toSeq == Seq("score", "flag"))
+    assert(df.collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+      .toSeq == Seq((2.5, true)))
+  }
+
+  test("versioned table: transform pruning is exact across session time zones") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import org.apache.spark.sql.functions.col
+    val t = s"$work/versioned_tz"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // write under UTC: one row per hour over three days, hour-partitioned
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+      val df = (0 until 72).map { i =>
+        (i, s"2024-03-0${1 + i / 24} ${"%02d".format(i % 24)}:15:00")
+      }.toDF("id", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      Versioned.commit(df, t,
+        transform = Some(Versioned.Transform.Hours("ts")))
+      // partition pruning happens at planning, so count the files the
+      // EXECUTED scan actually touched (inputFiles lists the relation
+      // before pruning)
+      def scanned(q: org.apache.spark.sql.DataFrame): Long = {
+        q.collect()
+        import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+        import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+        def nodes(p: SparkPlan): Seq[SparkPlan] = {
+          val inner = p match {
+            case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+            case qs: QueryStageExec => Seq(qs.plan)
+            case o => o.children
+          }
+          p +: inner.flatMap(nodes)
+        }
+        nodes(q.queryExecution.executedPlan)
+          .collect { case fs: FileSourceScanExec =>
+            fs.metrics("numFiles").value }.sum
+      }
+      val full = scanned(Versioned.read(spark, t))
+      // same-zone read: exact hour bounds, no widening
+      val same = Versioned.readWhere(spark, t, "ts",
+        "2024-03-02 05:30:00", "2024-03-02 06:30:00")
+      assert(same.select("id").collect().map(_.getInt(0)).toSeq == Seq(30))
+      assert(scanned(same) < full)
+      // flip the READER's zone: range literals now mean LA wall time
+      // (-08:00 in early March). The partition values on disk were
+      // derived under the WRITER's UTC — the _tspec zone makes the
+      // pruning bounds evaluate there, so the files holding the
+      // in-range instants survive pruning. Before the fix this query
+      // pruned them away and returned empty.
+      spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+      val (lo, hi) = ("2024-03-02 00:00:00", "2024-03-02 01:59:59")
+      val expect = Versioned.read(spark, t)
+        .filter(col("ts") >= lo && col("ts") <= hi)
+        .select("id").collect().map(_.getInt(0)).sorted.toSeq
+      assert(expect == Seq(32, 33)) // 08:15Z and 09:15Z on day 2
+      val got = Versioned.readWhere(spark, t, "ts", lo, hi)
+      assert(got.select("id").collect().map(_.getInt(0)).sorted.toSeq
+        == expect)
+      // the cross-zone path still prunes (bounds widened one hour each
+      // side for DST edges — a handful of the 72 hour partitions)
+      assert(scanned(got) < full)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
+
   test("versioned table: applyChanges lands a CDC batch as one commit") {
     import spark.implicits._
     import graft.sources.Versioned
@@ -341,20 +450,35 @@ class EtlSpec extends SparkSpec {
     Versioned.append(Seq((2, "b")).toDF("id", "v"), t)
     Thread.sleep(60)
     Versioned.append(Seq((3, "c")).toDF("id", "v"), t)
-    val t1 = Versioned.history(spark, t).orderBy("version")
-      .collect().head.getTimestamp(1).getTime
+    val hist = Versioned.history(spark, t).orderBy("version").collect()
+    val t1 = hist(0).getTimestamp(1).getTime
+    val t2 = hist(1).getTimestamp(1).getTime
     Versioned.tag(spark, t, "pin", Some(1))
     Versioned.vacuum(spark, t, keep = 1)
     assert(Versioned.versions(spark, t) == Seq(1, 3))
     // exactly v1's publish instant still answers v1...
     assert(Versioned.readAsOf(spark, t, t1).count() == 1)
-    // ...but a time inside the expired v1->v3 gap is refused, not
-    // silently answered with v1's stale state
+    // ...and so does a time inside the gap but BEFORE the expired
+    // v2's publish instant: vacuum logged v2's instant, so the gap
+    // resolves EXACTLY — the state at t1+1 demonstrably WAS v1
+    assert(Versioned.readAsOf(spark, t, t1 + 1).count() == 1)
+    // at/after v2's publish instant the state is expired — refused,
+    // never silently answered with v1's stale content
     intercept[IllegalArgumentException] {
-      Versioned.readAsOf(spark, t, t1 + 1)
+      Versioned.readAsOf(spark, t, t2)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, t, t2 + 1)
     }
     assert(Versioned.readAsOf(spark, t,
       System.currentTimeMillis()).count() == 3)
+    // a pre-log table (no _expired.tsv) degrades to the conservative
+    // refusal of everything past v1's own publish instant
+    assert(new java.io.File(s"$t/_expired.tsv").delete())
+    assert(Versioned.readAsOf(spark, t, t1).count() == 1)
+    intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, t, t1 + 1)
+    }
     // a crashed re-tag's duplicate resolves to the newest pin
     val f = new java.io.File(s"$t/_tag_dup=1")
     f.createNewFile()
@@ -394,6 +518,11 @@ class EtlSpec extends SparkSpec {
     // re-tagging moves the pointer; dropping unpins
     Versioned.tag(spark, t, "golden", Some(3))
     assert(Versioned.tags(spark, t) == Map("golden" -> 3))
+    // an immediate re-tag BACK to a lower version wins on the pin
+    // sequence even when both pins land in the same millisecond (an
+    // mtime-only tie-break resolved to the higher version number)
+    Versioned.tag(spark, t, "golden", Some(1))
+    assert(Versioned.tags(spark, t) == Map("golden" -> 1))
     Versioned.dropTag(spark, t, "golden")
     Versioned.vacuum(spark, t, keep = 1)
     assert(Versioned.versions(spark, t) == Seq(3))

@@ -145,6 +145,21 @@ class TextEventsSpec extends SparkSpec {
     assert(hit.get.getLong(1) >= 1 && hit.get.getLong(2) >= 5)
   }
 
+  test("decontamination releases its shingle-index cache once consumed") {
+    import graft.operators.TextAnalysis
+    def live() = spark.sparkContext.getPersistentRDDs.size
+    val before = live()
+    TextAnalysis.decontaminate(spark, sf).collect()
+    // the one-shot listener unpersists the index after the consuming
+    // action; delivery is async, so poll. Without it, every call in a
+    // long-lived session accumulated another cached copy.
+    val deadline = System.currentTimeMillis() + 10000
+    while (live() > before && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(live() <= before,
+      s"shingle-index cache not released (held ${live() - before})")
+  }
+
   test("repetition signals are valid fractions over every eligible doc") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.repetitionSignals(spark, sf).collect()
