@@ -818,7 +818,10 @@ object SparkEntry {
     // v1 still 3; merge-on-read delete of key 1 leaves 4 rows behind
     // ONE tombstone file with every data file linked byte-untouched
     // (0 own data files), and compact collapses it (4 rows, 0
-    // tombstones); days(ts)-transform `nation` chain: 13 then 25 rows,
+    // tombstones); a positional deleteWhere (r_regionkey >= 3) then
+    // tombstones 2 of the 4 compacted rows by (file, ordinal) without
+    // touching v5's data files, and a second compact collapses it;
+    // days(ts)-transform `nation` chain: 13 then 25 rows,
     // 5 per region, ts-range Jan 2-3 hits the 10 keys with
     // n_nationkey % 5 in (1, 2), the derived partition column stays
     // hidden; metadata-only rollback to v1 republishes 13 rows as v3.
@@ -839,6 +842,13 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS mor_own_data_files,
                 CAST(4 AS BIGINT) AS compact_rows,
                 CAST(0 AS BIGINT) AS compact_tomb_files,
+                CAST(2 AS BIGINT) AS pd_rows,
+                CAST(0 AS BIGINT) AS pd_hit,
+                CAST(1 AS BIGINT) AS pd_prior_untouched,
+                CAST(1 AS BIGINT) AS pd_tomb_files,
+                CAST(0 AS BIGINT) AS pd_own_data_files,
+                CAST(2 AS BIGINT) AS compact2_rows,
+                CAST(0 AS BIGINT) AS compact2_tomb_files,
                 CAST(13 AS BIGINT) AS p_v1_rows,
                 CAST(25 AS BIGINT) AS p_v2_rows,
                 CAST(5 AS BIGINT) AS p_region2_rows,

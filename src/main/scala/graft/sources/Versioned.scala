@@ -56,16 +56,63 @@ object Versioned {
   private val ManifestFile = "_manifest"
   private val StatsDir = "_stats"
   private val DeletesDir = "_deletes"
+  private val PosDeletesDir = "_posdeletes"
   private val DeletePrefix = "!"
   private val StatsFile = "_stats.tsv"
+  // internal column names for positional-delete coordinates
+  private val MetaFileCol = "__pfile"
+  private val MetaPosCol = "__ppos"
 
-  /** One per-(file, column) stats sidecar row; bounds are nullable. */
+  /** One per-(file, column) stats sidecar row; bounds are nullable.
+    * `nulls`/`values` are the file's per-column null count and total
+    * row count (Iceberg's null_value_counts / value_counts) — -1 on
+    * rows parsed from a format-v1 sidecar, which predates them (those
+    * files never null-prune: degrade, never lie). */
   private case class StatRow(file: String, col: String, dtype: String,
-      minV: String, maxV: String)
+      minV: String, maxV: String, nulls: Long = -1L, values: Long = -1L)
 
   /** Age before an unpublished v=N directory counts as crash debris and
     * may be reclaimed by a committer (see [[commit]]). */
   val ReclaimGraceMs: Long = 60 * 1000L
+
+  /** Thrown by the commit protocol when a concurrent committer claimed
+    * the version slot first. The losing operation published NOTHING —
+    * the table is unchanged for it — so any operation whose outcome
+    * does not depend on the snapshot it started from (appends,
+    * tombstone deletes, metadata-only commits) can safely re-resolve
+    * the current version and try again; [[withCommitRetry]] does
+    * exactly that for them. Copy-on-write merges surface it instead:
+    * their rewrite was computed AGAINST the superseded snapshot, and
+    * the caller owns the decision to re-run the merge (Iceberg's
+    * optimistic-conflict contract). Subclasses IllegalStateException,
+    * the type this condition has always thrown. */
+  final class CommitRaceException(msg: String)
+      extends IllegalStateException(msg)
+
+  /** Bounded auto-retry for REBASE-SAFE commit operations: re-runs
+    * `op` (which must re-resolve the current version itself — every
+    * caller here recomputes from `currentVersion` on entry) when it
+    * loses a commit race, with exponential backoff + jitter so two
+    * herding committers de-synchronize. After `attempts` losses the
+    * race surfaces — a pathologically contended table should fail
+    * loudly, not spin. */
+  private def withCommitRetry[T](attempts: Int = 5)(op: => T): T = {
+    var backoff = 25L
+    var n = 0
+    while (true) {
+      try return op
+      catch {
+        case e: CommitRaceException =>
+          n += 1
+          if (n > attempts) throw e
+          Thread.sleep(backoff +
+            java.util.concurrent.ThreadLocalRandom.current()
+              .nextLong(backoff))
+          backoff = math.min(backoff * 2, 2000L)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   private def committedVersions(spark: SparkSession,
       tableDir: String): Seq[Int] = {
@@ -129,16 +176,27 @@ object Versioned {
     f.listStatus(new Path(tableDir, e)).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet"))
 
-  /** Tombstone sets of snapshot `v`, each as (delete version, key
-    * frame). The frames are read by explicit part paths (underscore-
-    * hidden dirs as scan roots log a spurious WARN). */
+  /** A tombstone set of one snapshot: its commit version plus the
+    * delete frame — EQUALITY (key columns, [[deleteRows]]) or
+    * POSITIONAL ((file, pos) coordinates, [[deleteWhere]]). Both obey
+    * the same sequence rule: they apply only to data entries OLDER
+    * than `ver`. */
+  private sealed trait Tomb { def ver: Int; def df: DataFrame }
+  private case class EqTomb(ver: Int, df: DataFrame) extends Tomb
+  private case class PosTomb(ver: Int, df: DataFrame) extends Tomb
+
+  /** Tombstone sets of snapshot `v`. The frames are read by explicit
+    * part paths (underscore-hidden dirs as scan roots log a spurious
+    * WARN); the entry's directory name selects the flavor. */
   private def manifestDeletes(spark: SparkSession, f: FileSystem,
-      tableDir: String, v: Int): Seq[(Int, DataFrame)] =
+      tableDir: String, v: Int): Seq[Tomb] =
     manifestLines(f, tableDir, v).filter(isDeleteLine)
       .map(_.stripPrefix(DeletePrefix)).map { e =>
-        (entryVer(e), scanUnit(spark, ScanUnit(
+        val frame = scanUnit(spark, ScanUnit(
           deleteEntryFiles(f, tableDir, e).map(_.toString), None,
-          ownerEpoch(f, tableDir, e.split("/").head))))
+          ownerEpoch(f, tableDir, e.split("/").head)))
+        if (e.endsWith("/" + PosDeletesDir)) PosTomb(entryVer(e), frame)
+        else EqTomb(entryVer(e), frame)
       }
 
   /** Apply tombstone key sets to `df` as NULL-SAFE equality anti-joins
@@ -153,15 +211,35 @@ object Versioned {
     * null-keyed tombstone deletes their rows too — their value IS null.
     * Tombstone frames are key-scale and AQE broadcasts them. */
   private def applyDeletes(df: DataFrame,
-      tombs: Seq[DataFrame]): DataFrame =
-    tombs.foldLeft(df) { case (d, t) =>
-      val cols = t.columns.toSeq
-      val missing = cols.filterNot(d.columns.contains)
-      val padded = missing.foldLeft(d)((acc, c) =>
-        acc.withColumn(c, lit(null).cast(t.schema(c).dataType)))
-      val cond = cols.map(c => padded(c) <=> t(c)).reduce(_ && _)
-      padded.join(t, cond, "left_anti").drop(missing: _*)
-    }
+      tombs: Seq[Tomb]): DataFrame = {
+    // positional tombstones first, directly over the scan: their
+    // (file, pos) coordinates come from the reader's hidden _metadata
+    // columns, which resolve only on a file-source relation — an
+    // equality anti-join above would mask them. One anti-join against
+    // the UNION of all applicable positional sets (coordinates are
+    // globally unique, so sets union safely); the sets are key-scale
+    // and AQE broadcasts them.
+    val posSets = tombs.collect { case PosTomb(_, d) => d }
+    val withPos =
+      if (posSets.isEmpty) df
+      else {
+        val keys = posSets.reduce(_.unionByName(_))
+          .select(col("file").as("__dfile"), col("pos").as("__dpos"))
+        df.withColumn("__dfile", col("_metadata.file_path"))
+          .withColumn("__dpos", col("_metadata.row_index"))
+          .join(keys, Seq("__dfile", "__dpos"), "left_anti")
+          .drop("__dfile", "__dpos")
+      }
+    tombs.collect { case EqTomb(_, t) => t }
+      .foldLeft(withPos) { case (d, t) =>
+        val cols = t.columns.toSeq
+        val missing = cols.filterNot(d.columns.contains)
+        val padded = missing.foldLeft(d)((acc, c) =>
+          acc.withColumn(c, lit(null).cast(t.schema(c).dataType)))
+        val cond = cols.map(c => padded(c) <=> t(c)).reduce(_ && _)
+        padded.join(t, cond, "left_anti").drop(missing: _*)
+      }
+  }
 
   /** Whether `dir` holds hive partition directories (`col=value/`).
     * Decides the scan strategy: partitioned roots must each be read
@@ -301,6 +379,7 @@ object Versioned {
       linkEntries: Option[Seq[String]] = None,
       ownDirInManifest: Boolean = true,
       deleteDf: Option[DataFrame] = None,
+      posDeleteDf: Option[DataFrame] = None,
       transform: Option[Transform] = None,
       writeData: Boolean = true): Int = {
     val spark = df.sparkSession
@@ -330,7 +409,7 @@ object Versioned {
     // chaining onto a superseded version would silently drop the
     // interleaved commit's rows from the new manifest.
     linkBase.foreach { b =>
-      if (b != next - 1) throw new IllegalStateException(
+      if (b != next - 1) throw new CommitRaceException(
         s"append base v=$b is no longer current at $tableDir " +
           s"(current is v=${next - 1}); retry from the new version")
       // Reconcile the batch's schema against the snapshot it links
@@ -359,9 +438,11 @@ object Versioned {
     transform.foreach(t => writeTspec(f, stage, t,
       df.schema(t.source).dataType.catalogString,
       spark.sessionState.conf.sessionLocalTimeZone))
-    // tombstone key set (merge-on-read delete): key-scale, one file
+    // tombstone sets (merge-on-read deletes): key-scale, one file each
     deleteDf.foreach(_.coalesce(1).write
       .parquet(new Path(stage, DeletesDir).toString))
+    posDeleteDf.foreach(_.coalesce(1).write
+      .parquet(new Path(stage, PosDeletesDir).toString))
     // linking chains the base's RAW lines: its tombstones still apply
     // to the data entries they cover
     val linked = linkEntries
@@ -369,7 +450,8 @@ object Versioned {
       .getOrElse(Nil)
     val withOwn = if (ownDirInManifest) linked :+ s"v=$next" else linked
     val dirs = withOwn ++
-      deleteDf.map(_ => s"$DeletePrefix" + s"v=$next/$DeletesDir")
+      deleteDf.map(_ => s"$DeletePrefix" + s"v=$next/$DeletesDir") ++
+      posDeleteDf.map(_ => s"$DeletePrefix" + s"v=$next/$PosDeletesDir")
     require(dirs.nonEmpty,
       s"commit at $tableDir would publish an empty manifest")
     val mf = f.create(new Path(stage, ManifestFile), false)
@@ -378,7 +460,7 @@ object Versioned {
     val snapDir = new Path(tableDir, s"v=$next")
     def loserExit(cleanup: => Unit): Nothing = {
       cleanup
-      throw new IllegalStateException(
+      throw new CommitRaceException(
         s"concurrent commit raced to version $next at $tableDir; " +
           "table unchanged, retry from the new current version")
     }
@@ -588,7 +670,8 @@ object Versioned {
     * rewrite itself applies tombstones, so deleted rows never
     * resurrect). */
   private def readSnapshot(spark: SparkSession, tableDir: String,
-      version: Option[Int], withDeletes: Boolean): DataFrame = {
+      version: Option[Int], withDeletes: Boolean,
+      withMeta: Boolean = false): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
@@ -600,7 +683,7 @@ object Versioned {
       // the applicable-set joins the grouping key: entries under the
       // same tombstones still collapse into one multi-root scan
       (u, scanUnit(spark, u).schema,
-        deletes.filter(_._1 > entryVer(e)).map(_._1))
+        deletes.filter(_.ver > entryVer(e)).map(_.ver))
     }
     // group runs of identical (basePath, schema, applicable deletes)
     // into one multi-path read; a partitioned root's basePath is
@@ -614,8 +697,16 @@ object Versioned {
       case (acc, (u, s, d)) => (u, s, d) :: acc
     }.reverse
     hideDerived(grouped.map { case (u, _, dv) =>
-      applyDeletes(scanUnit(spark, u),
-        deletes.filter(t => dv.contains(t._1)).map(_._2))
+      val base = scanUnit(spark, u)
+      // the provenance scan for positional deletes needs each row's
+      // (file, ordinal): project the reader's hidden _metadata columns
+      // right over the scan, before any join can mask them
+      val scan =
+        if (withMeta) base
+          .withColumn(MetaFileCol, col("_metadata.file_path"))
+          .withColumn(MetaPosCol, col("_metadata.row_index"))
+        else base
+      applyDeletes(scan, deletes.filter(t => dv.contains(t.ver)))
     }.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
@@ -711,7 +802,7 @@ object Versioned {
       partitionCol: Option[String] = None,
       note: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      transform: Option[Transform] = None): Int = {
+      transform: Option[Transform] = None): Int = withCommitRetry() {
     val spark = df.sparkSession
     val cur = currentVersion(spark, tableDir)
     if (cur == 0) commit(df, tableDir, partitionCol, note, statsCols,
@@ -729,7 +820,7 @@ object Versioned {
     * written, copied, or read beyond a schema peek; O(1) in table
     * size. */
   def rollback(spark: SparkSession, tableDir: String, to: Int,
-      note: Option[String] = None): Int = {
+      note: Option[String] = None): Int = withCommitRetry() {
     val vs = committedVersions(spark, tableDir)
     require(vs.contains(to),
       s"cannot rollback to v=$to at $tableDir (retained: $vs)")
@@ -771,7 +862,8 @@ object Versioned {
         val fp = it.next().getPath
         if (fp.getName.endsWith(".parquet") &&
           fp.getParent.getName != StatsDir &&
-          fp.getParent.getName != DeletesDir)
+          fp.getParent.getName != DeletesDir &&
+          fp.getParent.getName != PosDeletesDir)
           buf += fp.toUri.getPath.stripPrefix(root + "/")
       }
       buf.toSeq
@@ -786,7 +878,7 @@ object Versioned {
     * rows. */
   private def readFiles(spark: SparkSession, tableDir: String,
       rels: Seq[String],
-      deletes: Seq[(Int, DataFrame)] = Nil): DataFrame = {
+      deletes: Seq[Tomb] = Nil): DataFrame = {
     val f = fs(spark, tableDir)
     hideDerived(rels.groupBy(_.split("/").head).toSeq.sortBy(_._1)
       .map { case (vdir, files) =>
@@ -796,7 +888,7 @@ object Versioned {
             files.map(r => new Path(tableDir, r).toString),
             Some(new Path(tableDir, vdir).toString),
             ownerEpoch(f, tableDir, vdir))),
-          deletes.filter(_._1 > ver).map(_._2))
+          deletes.filter(_.ver > ver))
       }
       .reduce(_.unionByName(_, allowMissingColumns = true)))
   }
@@ -834,7 +926,7 @@ object Versioned {
     // file provably contains no row in the range, hence no match.
     val probe = pruneRange match {
       case Some((c, lo, hi)) => readWhereAllImpl(spark, tableDir,
-        Seq((c, lo, hi)), Some(v), withDeletes = false)
+        Seq((c, lo, hi)), Nil, Some(v), withDeletes = false)
       case None => readSnapshot(spark, tableDir, Some(v),
         withDeletes = false)
     }
@@ -972,7 +1064,8 @@ object Versioned {
     * tombstone is key-scale metadata and proving emptiness would cost a
     * scan. */
   def deleteRows(spark: SparkSession, tableDir: String,
-      keys: DataFrame, note: Option[String] = None): Int = {
+      keys: DataFrame, note: Option[String] = None): Int =
+    withCommitRetry() {
     val cur = currentVersion(spark, tableDir)
     require(cur > 0, s"no committed version at $tableDir")
     val cols = keys.columns.toSeq
@@ -986,6 +1079,43 @@ object Versioned {
       note = note, statsCols = Nil, linkBase = Some(cur),
       ownDirInManifest = false, deleteDf = Some(keys.distinct()),
       writeData = false)
+  }
+
+  /** MERGE-ON-READ POSITIONAL delete — the Iceberg-v2 position-delete
+    * file next to [[deleteRows]]' equality flavor, covering the delete
+    * equality cannot express: `pred` may match SOME rows of a
+    * non-unique key (duplicate rows, multi-valued columns), and the
+    * tombstone records exact (file path, row ordinal) coordinates from
+    * the provenance scan's hidden `_metadata` columns instead of
+    * rewriting any data file — [[delete]]'s copy-on-write cost without
+    * the write amplification. Reads drop a row when its coordinates
+    * appear in a positional tombstone NEWER than the row's file
+    * (sequence rule, like equality); [[compact]] collapses tombstones
+    * back into data. Coordinates bind to file paths as the scan
+    * reports them, so relocating the table directory orphans them —
+    * compact before moving (the contract of Iceberg's absolute-URI
+    * delete files). SQL semantics: rows where `pred` is NULL are kept.
+    * Rows already hidden by older tombstones are never re-recorded,
+    * and a no-match delete is a no-op returning the current version
+    * (the provenance scan already paid for the answer). */
+  def deleteWhere(spark: SparkSession, tableDir: String, pred: Column,
+      note: Option[String] = None): Int = withCommitRetry() {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    // persist around the two consumers (emptiness probe + tombstone
+    // write) — without it the full provenance scan would run twice
+    val rows = readSnapshot(spark, tableDir, Some(cur),
+        withDeletes = true, withMeta = true)
+      .filter(coalesce(pred, lit(false)))
+      .select(col(MetaFileCol).as("file"), col(MetaPosCol).as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (rows.isEmpty) cur
+      else commitStaged(rows.limit(0), tableDir, partitionCol = None,
+        note = note, statsCols = Nil, linkBase = Some(cur),
+        ownDirInManifest = false, posDeleteDf = Some(rows),
+        writeData = false)
+    } finally rows.unpersist(blocking = false)
   }
 
   /** ATOMIC CDC apply — one snapshot commit for a whole change batch:
@@ -1052,7 +1182,8 @@ object Versioned {
         // they are metadata, not data
         if (p.getName.endsWith(".parquet") &&
           p.getParent.getName != StatsDir &&
-          p.getParent.getName != DeletesDir) n += 1
+          p.getParent.getName != DeletesDir &&
+          p.getParent.getName != PosDeletesDir) n += 1
       }
       n
     }.sum
@@ -1080,7 +1211,7 @@ object Versioned {
       targetFileBytes: Long = 128L * 1024 * 1024,
       partitionCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      transform: Option[Transform] = None): Int = {
+      transform: Option[Transform] = None): Int = withCommitRetry() {
     val cur = currentVersion(spark, tableDir)
     require(cur > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
@@ -1138,7 +1269,7 @@ object Versioned {
       minFileBytes: Long = 0L,
       statsCols: Seq[String] = Nil,
       partitionCol: Option[String] = None,
-      note: Option[String] = None): Int = {
+      note: Option[String] = None): Int = withCommitRetry() {
     val cur = currentVersion(spark, tableDir)
     require(cur > 0, s"no committed version at $tableDir")
     val threshold =
@@ -1539,6 +1670,12 @@ object Versioned {
         fileState(s"$t/v=1", s"$t/v=2", s"$t/v=3") == beforeMor
       // — compact (v5): tombstones collapse into data —
       compact(s, t)
+      // — positional delete (v6): (file, ordinal) tombstone, no data
+      //   rewrite — then compact (v7) collapses it —
+      val beforePos = fileState(s"$t/v=5")
+      deleteWhere(s, t, col("r_regionkey") >= 3)
+      val posUntouched = fileState(s"$t/v=5") == beforePos
+      compact(s, t)
       // — transform-partitioned chain: days(ts) derived and HIDDEN
       //   (vs the reference's hand-materialized day column) —
       val tp = work.resolve("tbl_part").toString
@@ -1570,6 +1707,9 @@ object Versioned {
         probe("mor", read(s, t, Some(4)), n,
           sum(when(col("r_regionkey") === 1, 1L).otherwise(0L))),
         probe("cmp", read(s, t, Some(5)), n),
+        probe("pd", read(s, t, Some(6)), n,
+          sum(when(col("r_regionkey") >= 3, 1L).otherwise(0L))),
+        probe("cmp2", read(s, t, Some(7)), n),
         probe("pv1", read(s, tp, Some(1)), n),
         probe("p2", read(s, tp, Some(2)), n,
           sum(when(col("n_regionkey") === 2, 1L).otherwise(0L))),
@@ -1582,6 +1722,12 @@ object Versioned {
       val morOwnData = v4Files.count(!_.contains(s"/$DeletesDir/"))
       val cmpTomb = fileState(s"$t/v=5").keys
         .count(_.contains(s"/$DeletesDir/"))
+      val pdTomb = fileState(s"$t/v=6").keys
+        .count(_.contains(s"/$PosDeletesDir/"))
+      val pdOwnData = fileState(s"$t/v=6").keys
+        .count(!_.contains(s"/$PosDeletesDir/"))
+      val cmp2Tomb = fileState(s"$t/v=7").keys
+        .count(_.contains(s"/$PosDeletesDir/"))
       val r = probes.reduce(_.unionByName(_)).collect()
         .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
       s.range(1).select(
@@ -1601,6 +1747,13 @@ object Versioned {
         lit(morOwnData.toLong).as("mor_own_data_files"),
         lit(r("cmp")._1).as("compact_rows"),
         lit(cmpTomb.toLong).as("compact_tomb_files"),
+        lit(r("pd")._1).as("pd_rows"),
+        lit(r("pd")._2).as("pd_hit"),
+        lit(if (posUntouched) 1L else 0L).as("pd_prior_untouched"),
+        lit(pdTomb.toLong).as("pd_tomb_files"),
+        lit(pdOwnData.toLong).as("pd_own_data_files"),
+        lit(r("cmp2")._1).as("compact2_rows"),
+        lit(cmp2Tomb.toLong).as("compact2_tomb_files"),
         lit(r("pv1")._1).as("p_v1_rows"),
         lit(r("p2")._1).as("p_v2_rows"),
         lit(r("p2")._2).as("p_region2_rows"),
@@ -1884,7 +2037,8 @@ object Versioned {
         val p = it.next().getPath
         if (p.getName.endsWith(".parquet") &&
           p.getParent.getName != StatsDir &&
-          p.getParent.getName != DeletesDir) buf += p.toString
+          p.getParent.getName != DeletesDir &&
+          p.getParent.getName != PosDeletesDir) buf += p.toString
       }
       buf.toSeq
     }
@@ -1906,7 +2060,8 @@ object Versioned {
     }
     val aggs = present.flatMap { c => Seq(
       enc(c)(min(col(c))).as(s"min__$c"),
-      enc(c)(max(col(c))).as(s"max__$c")) }
+      enc(c)(max(col(c))).as(s"max__$c"),
+      count(col(c)).as(s"cnt__$c")) } :+ count(lit(1)).as("cnt__all")
     val perFile = data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
     val stageName = stage.getName
@@ -1920,18 +2075,22 @@ object Versioned {
         catch { case _: java.net.URISyntaxException => raw }
       val i = full.indexOf(stageName)
       val rel = full.substring(i + stageName.length + 1)
+      val total = r.getAs[Long]("cnt__all")
       present.map { c =>
         StatRow(rel, c, data.schema(c).dataType.catalogString,
           Option(r.getAs[String](s"min__$c")).orNull,
-          Option(r.getAs[String](s"max__$c")).orNull)
+          Option(r.getAs[String](s"max__$c")).orNull,
+          nulls = total - r.getAs[Long](s"cnt__$c"), values = total)
       }
     }
     def enc0(s: String) =
       if (s == null) "\\N" else java.net.URLEncoder.encode(s, "UTF-8")
     val out = f.create(new Path(stage, StatsFile), false)
+    // format v2: v1's five fields plus null_count and value_count
     try out.write(rows.map(sr =>
-      Seq(sr.file, sr.col, sr.dtype, sr.minV, sr.maxV)
-        .map(enc0).mkString("\t")).mkString("\n").getBytes("UTF-8"))
+      (Seq(sr.file, sr.col, sr.dtype, sr.minV, sr.maxV).map(enc0) ++
+        Seq(sr.nulls.toString, sr.values.toString))
+        .mkString("\t")).mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -1957,8 +2116,12 @@ object Versioned {
       if (s == "\\N") null else java.net.URLDecoder.decode(s, "UTF-8")
     val parsed = text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
       line.split("\t", -1) match {
+        // format v1: bounds only — counts unknown, never null-prunes
         case Array(fl, c, dt, mn, mx) =>
           Some(StatRow(dec(fl), dec(c), dec(dt), dec(mn), dec(mx)))
+        case Array(fl, c, dt, mn, mx, nl, vl) =>
+          for (n <- Try(nl.toLong).toOption; v <- Try(vl.toLong).toOption)
+            yield StatRow(dec(fl), dec(c), dec(dt), dec(mn), dec(mx), n, v)
         case _ => None
       }
     }
@@ -2010,21 +2173,41 @@ object Versioned {
   def readWhereAll(spark: SparkSession, tableDir: String,
       ranges: Seq[(String, Any, Any)],
       version: Option[Int] = None): DataFrame =
-    readWhereAllImpl(spark, tableDir, ranges, version, withDeletes = true)
+    readWhereAllImpl(spark, tableDir, ranges, Nil, version,
+      withDeletes = true)
+
+  /** IS NULL / IS NOT NULL read with manifest-level file pruning:
+    * returns exactly `read(version).filter(col(colName).isNull)` (or
+    * isNotNull), consulting the stats sidecar's per-file null/value
+    * counts first — an IS NULL query skips every file with ZERO nulls
+    * in the column, an IS NOT NULL query skips ALL-NULL files. The
+    * decisions are plain driver-side integer comparisons (no
+    * evaluation job, unlike range pruning's cast semantics). Files
+    * from format-v1 sidecars (bounds only, counts unknown) scan in
+    * full — pruning degrades, never lies. */
+  def readWhereNull(spark: SparkSession, tableDir: String,
+      colName: String, isNull: Boolean,
+      version: Option[Int] = None): DataFrame =
+    readWhereAllImpl(spark, tableDir, Nil, Seq((colName, isNull)),
+      version, withDeletes = true)
 
   /** See [[readSnapshot]] for why the merge provenance probe reads
     * without tombstones. */
   private def readWhereAllImpl(spark: SparkSession, tableDir: String,
       ranges: Seq[(String, Any, Any)],
+      nullPreds: Seq[(String, Boolean)],
       version: Option[Int], withDeletes: Boolean): DataFrame = {
-    require(ranges.nonEmpty, "readWhereAll needs at least one range")
+    require(ranges.nonEmpty || nullPreds.nonEmpty,
+      "readWhereAll needs at least one predicate")
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
-    val pred = ranges.map { case (c, lo, hi) =>
+    val pred = (ranges.map { case (c, lo, hi) =>
       col(c) >= lit(lo) && col(c) <= lit(hi)
-    }.reduce(_ && _)
-    val colNames = ranges.map(_._1)
+    } ++ nullPreds.map { case (c, wantNull) =>
+      if (wantNull) col(c).isNull else col(c).isNotNull
+    }).reduce(_ && _)
+    val colNames = ranges.map(_._1) ++ nullPreds.map(_._1)
     val entryInfo = manifestDirs(f, tableDir, v).map { dn =>
       val isFile = f.getFileStatus(new Path(tableDir, dn)).isFile
       // a FILE entry's stats (and partition-value basePath) live in
@@ -2089,6 +2272,15 @@ object Versioned {
         .select("vroot", "file").distinct()
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
     }
+    // null-predicate pruning is plain long arithmetic on the sidecar's
+    // counts — driver-side, no evaluation job. Unknown counts (-1,
+    // format-v1 rows) never prune.
+    val nullMissed: Set[(String, String)] = statRows.collect {
+      case (vr, sr) if sr.values >= 0 && nullPreds.exists {
+        case (c, wantNull) => c == sr.col &&
+          (if (wantNull) sr.nulls == 0 else sr.nulls == sr.values)
+      } => (vr, sr.file)
+    }.toSet
     val deletes =
       if (withDeletes) manifestDeletes(spark, f, tableDir, v) else Nil
     // hidden-partitioning pruning: a root written under a transform
@@ -2117,7 +2309,9 @@ object Versioned {
         if (stFiles.isEmpty) Some(full) // no stats for a requested column
         else {
           val basePath = new Path(tableDir, vroot)
-          val kept = stFiles.filterNot(fl => missed.contains((vroot, fl)))
+          val kept = stFiles.filterNot(fl =>
+            missed.contains((vroot, fl)) ||
+              nullMissed.contains((vroot, fl)))
             .map(rel => new Path(basePath, rel).toString)
           if (kept.isEmpty) None
           else Some(scanUnit(spark,
@@ -2127,7 +2321,7 @@ object Versioned {
       // merge-on-read tombstones newer than this entry apply here too —
       // a pruned read must agree with read().filter
       scan.map(s => applyDeletes(partPred(vroot).fold(s)(s.filter),
-        deletes.filter(_._1 > entryVer(dn)).map(_._2)))
+        deletes.filter(_.ver > entryVer(dn))))
     }
     if (parts.isEmpty) read(spark, tableDir, Some(v)).filter(lit(false))
     else hideDerived(

@@ -268,6 +268,61 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: positional deletes tombstone rows without rewriting files") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val t = s"$work/versioned_posdelete"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // NON-UNIQUE key k: equality deletes cannot express "delete only
+    // some of a key's rows" — the positional flavor can
+    Versioned.commit((1 to 100).map(i => (i % 10, i)).toDF("k", "seq")
+      .repartitionByRange(4, col("seq")), t, statsCols = Seq("seq"))
+    def dataState() = Files.walk(Paths.get(s"$t/v=1")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString -> (Files.getLastModifiedTime(p),
+        Files.size(p))).toMap
+    val before = dataState()
+    val v2 = Versioned.deleteWhere(spark, t, col("seq") > 90)
+    assert(v2 == 2)
+    // O(matches) tombstone, zero data files rewritten
+    assert(dataState() == before)
+    assert(Versioned.read(spark, t).count() == 90)
+    val fl = Versioned.files(spark, t).collect()
+    assert(fl.count(_.getString(4) == "delete") == 1)
+    assert(fl.exists(_.getString(2) == "v=2/_posdeletes"))
+    assert(fl.filter(_.getString(4) == "data")
+      .forall(r => r.getString(0).startsWith("v=1/")))
+    // a no-match positional delete is a no-op (scan already paid)
+    assert(Versioned.deleteWhere(spark, t, col("seq") > 1000) == 2)
+    // sequence rule: a row appended AFTER the tombstone survives even
+    // though the predicate would have matched it
+    Versioned.append(Seq((99, 95)).toDF("k", "seq"), t)
+    val s95 = Versioned.read(spark, t).filter(col("seq") === 95)
+      .select("k").collect().map(_.getInt(0)).toSeq
+    assert(s95 == Seq(99))
+    // equality and positional tombstones stack on one table
+    Versioned.deleteRows(spark, t, Seq(5).toDF("k"))
+    assert(Versioned.read(spark, t).count() == 82) // 91 - 9 k=5 rows
+    Versioned.deleteWhere(spark, t, col("k") === 0 && col("seq") < 50)
+    assert(Versioned.read(spark, t).count() == 78)
+    // the stats-pruned read path agrees with the plain read
+    val rw = Versioned.readWhere(spark, t, "seq", 1, 50)
+    assert(rw.select("seq").collect().map(_.getInt(0)).sorted.toSeq ==
+      Versioned.read(spark, t).filter(col("seq").between(1, 50))
+        .select("seq").collect().map(_.getInt(0)).sorted.toSeq)
+    // time travel still sees pre-delete snapshots exactly
+    assert(Versioned.read(spark, t, Some(1)).count() == 100)
+    // compact collapses every tombstone flavor into data
+    Versioned.compact(spark, t)
+    val flc = Versioned.files(spark, t).collect()
+    assert(flc.forall(_.getString(4) == "data"))
+    assert(Versioned.read(spark, t).count() == 78)
+    assert(Versioned.read(spark, t)
+      .filter(col("k") === 0 && col("seq") < 50).count() == 0)
+  }
+
   test("versioned table: null keys — tombstones match null, merges reject it") {
     import spark.implicits._
     import graft.sources.Versioned
@@ -313,6 +368,113 @@ class EtlSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("score", "flag"))
     assert(df.collect().map(r => (r.getDouble(0), r.getBoolean(1)))
       .toSeq == Seq((2.5, true)))
+  }
+
+  test("versioned table: concurrent appends auto-retry and all land") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_race_retry"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((0, "base")).toDF("id", "who"), t)
+    // two writers started on a barrier race every round for the same
+    // version slot; the loser's append re-resolves and retries
+    // internally — no caller-side retry loop
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def appender(who: String, ids: Range): Thread = {
+      val th = new Thread(() => {
+        try {
+          barrier.await()
+          ids.foreach { i =>
+            Versioned.append(Seq((i, who)).toDF("id", "who"), t)
+          }
+        } catch { case e: Throwable => errs.add(e) }
+      })
+      th.start(); th
+    }
+    val threads = Seq(appender("a", 1 to 4), appender("b", 5 to 8))
+    threads.foreach(_.join(180000))
+    assert(errs.isEmpty, s"concurrent append failed: ${errs.peek()}")
+    // every batch landed exactly once, each commit linked the
+    // then-current snapshot — nothing lost, nothing doubled
+    assert(Versioned.versions(spark, t).size == 9)
+    assert(Versioned.read(spark, t).select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == (0 to 8))
+    // a tombstone delete auto-retries the same way
+    val b2 = new java.util.concurrent.CyclicBarrier(2)
+    val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val td = new Thread(() => {
+      try { b2.await()
+        Versioned.deleteRows(spark, t, Seq(5).toDF("id")) }
+      catch { case e: Throwable => errs2.add(e) }
+    })
+    val ta = new Thread(() => {
+      try { b2.await()
+        Versioned.append(Seq((9, "c")).toDF("id", "who"), t) }
+      catch { case e: Throwable => errs2.add(e) }
+    })
+    td.start(); ta.start(); td.join(60000); ta.join(60000)
+    assert(errs2.isEmpty, s"concurrent delete/append failed: ${errs2.peek()}")
+    assert(Versioned.read(spark, t).select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2, 3, 4, 6, 7, 8, 9))
+  }
+
+  test("versioned table: null-count stats prune IS NULL / IS NOT NULL reads") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import org.apache.spark.sql.functions.col
+    val t = s"$work/versioned_null_stats"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // four hive partitions -> four files with distinct null profiles
+    // for v: grp 0 all-null, grp 1 no-null, grps 2/3 mixed
+    val df = (0 until 40).map { i =>
+      val grp = i / 10
+      val v = grp match {
+        case 0 => None
+        case 1 => Some(i)
+        case _ => if (i % 2 == 0) Some(i) else None
+      }
+      (i, grp, v)
+    }.toDF("id", "grp", "v")
+    Versioned.commit(df, t, partitionCol = Some("grp"),
+      statsCols = Seq("id", "v"))
+    val full = Versioned.read(spark, t).inputFiles.length
+    val oracle = Versioned.read(spark, t)
+    // IS NULL: the no-null file (grp 1) is skipped before listing
+    val isNull = Versioned.readWhereNull(spark, t, "v", isNull = true)
+    assert(isNull.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      oracle.filter(col("v").isNull).select("id").collect()
+        .map(_.getInt(0)).sorted.toSeq)
+    assert(isNull.inputFiles.length < full)
+    assert(!isNull.inputFiles.exists(_.contains("grp=1")))
+    // IS NOT NULL: the all-null file (grp 0) is skipped — without
+    // value counts, min/max-null could mean "cast-failed bounds"
+    val notNull = Versioned.readWhereNull(spark, t, "v", isNull = false)
+    assert(notNull.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      oracle.filter(col("v").isNotNull).select("id").collect()
+        .map(_.getInt(0)).sorted.toSeq)
+    assert(notNull.inputFiles.length < full)
+    assert(!notNull.inputFiles.exists(_.contains("grp=0")))
+    // range pruning still works alongside (id stats on the same sidecar)
+    assert(Versioned.readWhere(spark, t, "id", 0, 9)
+      .inputFiles.length < full)
+    // a format-v1 sidecar (bounds only) still parses and range-prunes,
+    // but never null-prunes: correctness holds, pruning degrades
+    val sc = new java.io.File(s"$t/v=1/_stats.tsv")
+    val v1Lines = scala.io.Source.fromFile(sc).getLines().map { l =>
+      l.split("\t").take(5).mkString("\t")
+    }.mkString("\n")
+    val w = new java.io.PrintWriter(sc); w.write(v1Lines); w.close()
+    // drop the Hadoop checksum of the original sidecar, or the local
+    // FS (rightly) refuses the hand-edited file as torn
+    new java.io.File(s"$t/v=1/._stats.tsv.crc").delete()
+    val isNullV1 = Versioned.readWhereNull(spark, t, "v", isNull = true)
+    assert(isNullV1.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      oracle.filter(col("v").isNull).select("id").collect()
+        .map(_.getInt(0)).sorted.toSeq)
+    assert(isNullV1.inputFiles.length == full)
+    assert(Versioned.readWhere(spark, t, "id", 0, 9)
+      .inputFiles.length < full)
   }
 
   test("versioned table: transform pruning is exact across session time zones") {

@@ -171,6 +171,77 @@ class StreamingSpec extends SparkSpec {
     assert(state(3) == Map(1L -> "a1", 2L -> "b2", 3L -> "c3", 4L -> "d1"))
   }
 
+  test("CDC sink survives a concurrent compactSmall") {
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val stage = Paths.get("target/tmp/stream-cdc-race-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    Files.createDirectories(stage)
+    def stageBatch(name: String, mtime: Long,
+        rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"target/tmp/stream-cdc-race-$name"
+      rows.toDF("id", "v", "op").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = stage.resolve(s"$name.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    // six single-file micro-batches: upserts, re-upserts, deletes
+    stageBatch("b0", t0, (1L to 8L).map(i => (i, s"v$i", "upsert")))
+    stageBatch("b1", t0 + 5000, Seq((2L, "b2", "upsert")))
+    stageBatch("b2", t0 + 10000, Seq((3L, "", "delete")))
+    stageBatch("b3", t0 + 15000, Seq((9L, "n9", "upsert")))
+    stageBatch("b4", t0 + 20000, Seq((4L, "b4", "upsert"),
+      (5L, "", "delete")))
+    stageBatch("b5", t0 + 25000, Seq((3L, "back", "upsert")))
+    val table = "target/tmp/stream-cdc-race-table"
+    val ckpt = "target/tmp/stream-cdc-race-ckpt"
+    Seq(table, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val changes = spark.readStream
+      .schema("id LONG, v STRING, op STRING")
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = EventStreams.cdcSink(changes, table, "id",
+      streamId = "cdc-race-spec")
+      .option("checkpointLocation", ckpt).start()
+    // hammer the table with small-file maintenance while batches land:
+    // whichever side loses a commit race retries (compactSmall via the
+    // library's rebase-safe auto-retry, the sink via its fresh-merge
+    // re-run) — nothing may be lost or doubled
+    @volatile var stop = false
+    val maintErrs =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val maint = new Thread(() => {
+      while (!stop) {
+        try {
+          if (Versioned.currentVersion(spark, table) > 0)
+            Versioned.compactSmall(spark, table,
+              minFileBytes = 1024 * 1024)
+        } catch {
+          // bounded retries exhausted under pathological contention is
+          // acceptable for maintenance; anything else is a real bug
+          case _: Versioned.CommitRaceException => ()
+          case e: Throwable => maintErrs.add(e)
+        }
+        Thread.sleep(15)
+      }
+    })
+    maint.start()
+    try q.processAllAvailable() finally { q.stop(); stop = true }
+    maint.join(60000)
+    assert(maintErrs.isEmpty, s"maintenance failed: ${maintErrs.peek()}")
+    // final state reflects every batch in order, exactly once
+    val state = Versioned.read(spark, table)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "v1", 2L -> "b2", 3L -> "back",
+      4L -> "b4", 6L -> "v6", 7L -> "v7", 8L -> "v8", 9L -> "n9"))
+  }
+
   test("stream-static enrichment joins every event to its user profile") {
     // Static dimension derived from the same fixture: per-user profile.
     val users = graft.sources.Tables.load(spark, sf, "events")
