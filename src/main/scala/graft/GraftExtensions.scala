@@ -61,5 +61,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // Band theta-joins (abs(a-b) <= c with no equi keys) become bucketed
     // equi-joins instead of cartesian products.
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
+    // Catalog-resolved Versioned snapshots (graft.db.t [VERSION |
+    // TIMESTAMP AS OF ...]) expand into their full read plan during
+    // analysis — see VersionedRelationRule for why this is a rewrite
+    // rather than a DSv2 Scan.
+    e.injectResolutionRule(s => graft.plans.VersionedRelationRule(s))
   }
 }

@@ -44,6 +44,12 @@ object Sessions {
       bb.config(s"spark.hadoop.$k", v)
     }
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // Versioned tables as SQL-addressable catalog tables with native
+      // VERSION/TIMESTAMP AS OF (the reference resolves its Iceberg
+      // tables the same way, presto/etc/catalog/iceberg.properties:1-3).
+      // The root is per-query configurable; absolute-path idents
+      // (graft.`/dir`) need none.
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Wide plans (the q32 window battery, multi-column text scoring)

@@ -1,0 +1,50 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.{GraftVersionedTable, Versioned}
+
+/** Analyzer rule behind [[graft.sources.GraftCatalog]]: replaces every
+  * relation whose table is a [[GraftVersionedTable]] with the FULL
+  * [[Versioned.read]] plan of that pinned snapshot.
+  *
+  * Why a rewrite instead of a DSv2 `Scan`: a snapshot read is a plan,
+  * not a file list — merge-on-read tombstones apply as anti-joins,
+  * hidden partition transforms drop their derived columns, linked
+  * schema-evolved entries union by name. The `Scan` API hands back
+  * batches of one relation; it cannot express joins. Substituting the
+  * declarative plan during analysis gives Catalyst the same tree the
+  * programmatic API builds — predicate pushdown, column pruning, and
+  * AQE all still apply, and there is exactly ONE read implementation
+  * to keep correct.
+  *
+  * Each occurrence gets a FRESH `read()` (new expression ids), so a
+  * self-join of two snapshots never aliases one subtree; the Project
+  * re-binds the fresh outputs onto the relation's attribute ids, which
+  * is what the rest of the query references. Schema equality is
+  * guaranteed by construction: the catalog derived the table's schema
+  * from the same `read()` of the same immutable snapshot. */
+case class VersionedRelationRule(spark: SparkSession)
+    extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftVersionedTable] =>
+        val t = r.table.asInstanceOf[GraftVersionedTable]
+        val real = Versioned.read(spark, t.tableDir,
+          Some(t.snapshotVersion)).queryExecution.analyzed
+        require(real.output.length == r.output.length,
+          s"snapshot v=${t.snapshotVersion} at ${t.tableDir} changed " +
+            "shape between catalog resolution and planning " +
+            "(snapshots are immutable; this indicates a corrupted " +
+            "manifest)")
+        Project(r.output.zip(real.output).map { case (tgt, src) =>
+          Alias(src, tgt.name)(exprId = tgt.exprId,
+            qualifier = tgt.qualifier)
+        }, real)
+    }
+}

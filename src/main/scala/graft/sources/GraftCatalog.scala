@@ -1,0 +1,207 @@
+package graft.sources
+
+import java.util
+
+import scala.util.Try
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
+  NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, Table,
+  TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The resolved form of a catalog reference to a [[Versioned]] table:
+  * one IMMUTABLE snapshot (directory + pinned version + that
+  * version's schema). The table deliberately advertises NO read
+  * capability — it is never scanned through the DSv2 `Batch` path.
+  * Instead [[graft.plans.VersionedRelationRule]] (installed by
+  * [[graft.GraftExtensions]]) rewrites its relation into the full
+  * [[Versioned.read]] plan during analysis, because a snapshot read is
+  * not a bare file scan: merge-on-read tombstones need anti-joins and
+  * hidden partition transforms need column pruning — plan shapes the
+  * `Scan` API cannot express. Keeping the rewrite in the analyzer
+  * hands Catalyst the SAME declarative plan the programmatic API
+  * builds (pushdown, pruning, AQE all apply); a session without the
+  * extensions fails loudly at analysis ("does not support batch
+  * scan") rather than returning wrong rows. */
+final class GraftVersionedTable(val tableDir: String,
+    val snapshotVersion: Int, tableSchema: StructType,
+    displayName: String) extends Table {
+  override def name(): String = displayName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+  override def version(): String = snapshotVersion.toString
+}
+
+/** DSv2 `TableCatalog` over a directory tree of [[Versioned]] tables —
+  * the catalog-resolution surface the reference's engines get from
+  * their Iceberg catalog (reference
+  * presto/etc/catalog/iceberg.properties:1-3; README.md:78 queries
+  * `iceberg.db.nyc_taxi_table` by name): register once
+  * (`spark.sql.catalog.graft=graft.sources.GraftCatalog`, wired by
+  * [[graft.Sessions]]) and every versioned table is addressable from
+  * plain SQL with NATIVE time travel —
+  *
+  *   - `SELECT … FROM graft.db.t`                      (current snapshot)
+  *   - `SELECT … FROM graft.db.t VERSION AS OF 3`      (snapshot pin)
+  *   - `SELECT … FROM graft.db.t VERSION AS OF 'tag'`  (named tag)
+  *   - `SELECT … FROM graft.db.t TIMESTAMP AS OF '…'`  ([[Versioned.versionAsOf]])
+  *
+  * Identifiers resolve to directories: `graft.a.b.t` maps to
+  * `<root>/a/b/t` under the catalog's root (the `root` catalog option,
+  * re-read LIVE from the session conf on every lookup so one
+  * long-lived session can point at test/staging roots without
+  * rebuilding the catalog instance, which Spark's CatalogManager
+  * caches); a BACKQUOTED absolute path (``graft.`/data/tbl` ``) maps
+  * to itself, the Delta-style escape hatch that needs no root at all.
+  *
+  * Every reference pins the CURRENT version at resolution time, so one
+  * statement reads one consistent snapshot, and the next statement
+  * re-resolves — a post-commit `spark.table` sees the new version with
+  * no re-registration (the staleness class [[Versioned.registerVersions]]'
+  * temp views carry by design). `CREATE TABLE` commits an empty v=1
+  * (identity-partitioned at most), `DROP TABLE` removes the directory;
+  * writes stay on the programmatic API ([[Versioned.append]]/
+  * [[Versioned.upsert]]/…), whose commit protocol owns atomicity.
+  * RENAME is refused like Iceberg's HadoopCatalog: positional
+  * tombstones bind absolute file paths, so a moved directory would
+  * resurrect deleted rows — refuse loudly, never lie. */
+class GraftCatalog extends TableCatalog {
+  private var catName = "graft"
+  private var initRoot: Option[String] = None
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    initRoot = Option(options.get("root"))
+  }
+
+  override def name(): String = catName
+
+  private def spark = SparkSession.active
+
+  private def root: String =
+    spark.conf.getOption(s"spark.sql.catalog.$catName.root")
+      .orElse(initRoot)
+      .getOrElse(throw new IllegalStateException(
+        s"catalog '$catName' has no root: set spark.sql.catalog." +
+          s"$catName.root, or name tables by absolute path " +
+          s"($catName.`/abs/dir`)"))
+
+  private def dirOf(ident: Identifier): String =
+    if (ident.name.startsWith("/")) {
+      require(ident.namespace.isEmpty,
+        s"absolute-path table `${ident.name}` takes no namespace, " +
+          s"got ${ident.namespace.mkString(".")}")
+      ident.name
+    } else (root +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def display(ident: Identifier): String =
+    (catName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  private def load(ident: Identifier, version: Option[Int]): Table = {
+    val dir = dirOf(ident)
+    val cur = Try(Versioned.currentVersion(spark, dir)).getOrElse(0)
+    if (cur == 0)
+      throw new NoSuchTableException(ident.namespace :+ ident.name)
+    val v = version.getOrElse(cur)
+    require(Versioned.versions(spark, dir).contains(v),
+      s"version $v of ${display(ident)} is not retained " +
+        s"(retained: ${Versioned.versions(spark, dir).mkString(", ")})")
+    new GraftVersionedTable(dir, v,
+      Versioned.read(spark, dir, Some(v)).schema, display(ident))
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None)
+
+  /** `VERSION AS OF`: an integer pins a snapshot, anything else
+    * resolves as a named tag ([[Versioned.tags]]). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val v = Try(version.toInt).toOption.getOrElse {
+      val dir = dirOf(ident)
+      Versioned.tags(spark, dir).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"'$version' is neither a version number nor a tag of " +
+            s"${display(ident)} (tags: " +
+            s"${Versioned.tags(spark, dir).keys.toSeq.sorted
+              .mkString(", ")})"))
+    }
+    load(ident, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` (Spark hands micros): same resolution — and
+    * the same expired-gap refusals — as [[Versioned.readAsOf]]. */
+  override def loadTable(ident: Identifier,
+      timestampMicros: Long): Table =
+    load(ident, Some(Versioned.versionAsOf(spark, dirOf(ident),
+      Math.floorDiv(timestampMicros, 1000L))))
+
+  override def tableExists(ident: Identifier): Boolean =
+    Try(Versioned.currentVersion(spark, dirOf(ident))).getOrElse(0) > 0
+
+  override def invalidateTable(ident: Identifier): Unit = ()
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val base = new Path((root +: namespace.toSeq).mkString("/"))
+    val f = base.getFileSystem(
+      spark.sessionState.newHadoopConf())
+    if (!f.exists(base))
+      throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    f.listStatus(base).filter(_.isDirectory).map(_.getPath)
+      .filter(p =>
+        Try(Versioned.currentVersion(spark, p.toString)).getOrElse(0) > 0)
+      .map(p => Identifier.of(namespace, p.getName))
+  }
+
+  /** CREATE TABLE commits an empty v=1 with the declared schema, so
+    * SQL DDL and programmatic appends compose. Only identity
+    * partitioning maps onto [[Versioned.commit]]'s `partitionCol`;
+    * hidden transforms are created programmatically (the `Transform`
+    * api of [[Versioned]]), not through DDL. */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident))
+      throw new IllegalStateException(
+        s"table ${display(ident)} already exists")
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
+        Some(t.references.head.fieldNames.mkString("."))
+      case other => throw new UnsupportedOperationException(
+        s"only identity partitioning is supported in DDL, got " +
+          s"${other.mkString(", ")}; use Versioned's programmatic " +
+          "Transform api for hidden partitioning")
+    }
+    val empty = spark.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema)
+    Versioned.commit(empty, dirOf(ident), partitionCol = partCol,
+      note = Some("CREATE TABLE"))
+    load(ident, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"ALTER TABLE is not supported on '$catName'; evolve " +
+        "versioned tables through commits (append/upsert null-fill " +
+        "added columns by name)")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(dirOf(ident))
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    f.exists(p) && f.delete(p, true)
+  }
+
+  override def renameTable(old: Identifier, next: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"RENAME TABLE is not supported on '$catName': positional " +
+        "delete files bind absolute data-file paths, so a moved " +
+        "table would resurrect deleted rows; compact, then move the " +
+        "directory out of band")
+}

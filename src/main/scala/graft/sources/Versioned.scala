@@ -722,7 +722,15 @@ object Versioned {
     * before the oldest retained snapshot is refused rather than
     * silently answered with a newer state. */
   def readAsOf(spark: SparkSession, tableDir: String,
-      asOfMillis: Long): DataFrame = {
+      asOfMillis: Long): DataFrame =
+    read(spark, tableDir, Some(versionAsOf(spark, tableDir, asOfMillis)))
+
+  /** The version [[readAsOf]] resolves `asOfMillis` to — exposed so
+    * other time-travel surfaces (the SQL catalog's `TIMESTAMP AS OF`)
+    * can pin the SAME snapshot the programmatic read would serve,
+    * including its expired-gap refusals. */
+  def versionAsOf(spark: SparkSession, tableDir: String,
+      asOfMillis: Long): Int = {
     val f = fs(spark, tableDir)
     val vs = committedVersions(spark, tableDir)
     def mtime(v: Int) = f.getFileStatus(
@@ -757,7 +765,7 @@ object Versioned {
           s"history between v=$v and v=${vs(i + 1)} at $tableDir was " +
             s"expired; the state at $asOfMillis is not retained")
     }
-    read(spark, tableDir, Some(v))
+    v
   }
 
   private val ExpiredLogFile = "_expired.tsv"
@@ -1517,11 +1525,13 @@ object Versioned {
   /** Driver-visible gate for the SQL time-travel surface (q41): build
     * a 3-version table (commit, O(delta) append, then one ATOMIC
     * [[applyChanges]] CDC batch — an upsert and a merge-on-read delete
-    * in a single commit), register its versions as views, and run ONE
-    * multi-version `spark.sql` query — per-version counts, a
+    * in a single commit), then run ONE multi-version `spark.sql` query
+    * THROUGH the [[GraftCatalog]] — native `VERSION AS OF` pins, a
     * cross-version join, a cross-version NOT IN, and the CDC batch's
-    * effects — whose observed row is re-emitted as constants for the
-    * DuckDB oracle. */
+    * effects, with NO prior registration of any view — whose observed
+    * row is re-emitted as constants for the DuckDB oracle.
+    * ([[registerVersions]] remains as the catalog-free fallback
+    * surface; the gate exercises the native path.) */
   def sqlTimeTravelGate(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.Files
     val work = Files.createTempDirectory("graft-sql-tt")
@@ -1536,22 +1546,23 @@ object Versioned {
         upserts = region.filter(col("r_regionkey") === 0)
           .withColumn("r_name", lit("CDC_UPDATED")),
         deleteKeys = Seq(1).toDF("r_regionkey"), key = "r_regionkey")
-      registerVersions(s, t, "graft_tt")
+      val g = s"graft.`$t`"
       val r = s.sql(
-        """SELECT
-             (SELECT count(*) FROM graft_tt_v1) AS v1_rows,
-             (SELECT count(*) FROM graft_tt_v2) AS v2_rows,
-             (SELECT count(*) FROM graft_tt_v3) AS v3_rows,
-             (SELECT count(*) FROM graft_tt) AS cur_rows,
-             (SELECT count(*) FROM graft_tt_v2 a
-                JOIN graft_tt_v1 b USING (r_regionkey)) AS joined_rows,
-             (SELECT sum(r_regionkey) FROM graft_tt_v2
+        s"""SELECT
+             (SELECT count(*) FROM $g VERSION AS OF 1) AS v1_rows,
+             (SELECT count(*) FROM $g VERSION AS OF 2) AS v2_rows,
+             (SELECT count(*) FROM $g VERSION AS OF 3) AS v3_rows,
+             (SELECT count(*) FROM $g) AS cur_rows,
+             (SELECT count(*) FROM $g VERSION AS OF 2 a
+                JOIN $g VERSION AS OF 1 b USING (r_regionkey))
+               AS joined_rows,
+             (SELECT sum(r_regionkey) FROM $g VERSION AS OF 2
               WHERE r_regionkey NOT IN
-                (SELECT r_regionkey FROM graft_tt_v1))
+                (SELECT r_regionkey FROM $g VERSION AS OF 1))
                AS appended_keysum,
-             (SELECT count(*) FROM graft_tt_v3
+             (SELECT count(*) FROM $g VERSION AS OF 3
               WHERE r_name = 'CDC_UPDATED') AS cdc_updated,
-             (SELECT count(*) FROM graft_tt_v2
+             (SELECT count(*) FROM $g VERSION AS OF 2
               WHERE r_name = 'CDC_UPDATED') AS cdc_before""").head()
       s.range(1).select(
         lit(r.getLong(0)).as("v1_rows"),

@@ -720,6 +720,76 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: DSv2 catalog resolves snapshots natively in SQL") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val ns = new java.io.File(s"$work/catalog_ns")
+    org.apache.commons.io.FileUtils.deleteQuietly(ns)
+    val t = new java.io.File(ns, "tbl").getAbsolutePath
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), t)
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t)
+    val g = s"graft.`$t`"
+    // plain SQL + native VERSION AS OF, with NO prior registration
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 3)
+    assert(spark.sql(s"SELECT id FROM $g VERSION AS OF 1 ORDER BY id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+    // a post-commit read resolves the NEW version with no
+    // re-registration — the staleness registerVersions' views carry
+    Versioned.append(Seq((4, "d")).toDF("id", "v"), t)
+    assert(spark.table(s"graft.`$t`").count() == 4)
+    // merge-on-read tombstones and tags travel through the catalog
+    Versioned.deleteRows(spark, t, Seq(2).toDF("id"))
+    assert(spark.sql(s"SELECT id FROM $g ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(1, 3, 4))
+    Versioned.tag(spark, t, "pre_delete", Some(3))
+    assert(spark.sql(
+      s"SELECT count(*) FROM $g VERSION AS OF 'pre_delete'")
+      .head().getLong(0) == 4)
+    // TIMESTAMP AS OF now = the current snapshot (session tz is UTC)
+    val now = java.time.LocalDateTime
+      .ofInstant(java.time.Instant.now().plusSeconds(1),
+        java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter
+        .ofPattern("yyyy-MM-dd HH:mm:ss"))
+    assert(spark.sql(s"SELECT count(*) FROM $g TIMESTAMP AS OF '$now'")
+      .head().getLong(0) == 3)
+    // cross-version self-join: each pin reads its own snapshot
+    assert(spark.sql(
+      s"""SELECT count(*) FROM $g VERSION AS OF 2 a
+          JOIN $g VERSION AS OF 1 b USING (id)""").head().getLong(0) == 2)
+    // the analyzer rewrite hands Catalyst a declarative plan: the
+    // filter still reaches the parquet scan
+    val phys = spark.sql(s"SELECT id FROM $g WHERE id = 3")
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("EqualTo(id,3)"), phys.take(2000))
+    // root-relative names + SQL DDL
+    spark.conf.set("spark.sql.catalog.graft.root", ns.getAbsolutePath)
+    try {
+      assert(spark.sql("SELECT count(*) FROM graft.tbl")
+        .head().getLong(0) == 3)
+      spark.sql("CREATE TABLE graft.fresh (k INT, s STRING)")
+      Versioned.append(Seq((7, "x")).toDF("k", "s"),
+        new java.io.File(ns, "fresh").getAbsolutePath)
+      assert(spark.table("graft.fresh").count() == 1)
+      assert(spark.sql("SHOW TABLES IN graft").collect()
+        .map(_.getString(1)).toSet == Set("tbl", "fresh"))
+      spark.sql("DROP TABLE graft.fresh")
+      assert(!new java.io.File(ns, "fresh").exists())
+    } finally spark.conf.unset("spark.sql.catalog.graft.root")
+    // hidden-transform tables keep their derived column hidden in SQL
+    val tp = new java.io.File(ns, "tp").getAbsolutePath
+    Versioned.commit(
+      Seq((1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+        (2, java.sql.Timestamp.valueOf("2024-01-02 10:00:00")))
+        .toDF("id", "ts"),
+      tp, transform = Some(Versioned.Transform.Days("ts")))
+    assert(spark.table(s"graft.`$tp`").columns.toSeq == Seq("id", "ts"))
+    // a missing table fails analysis loudly
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM graft.`$t-missing`").collect()
+    }
+  }
+
   test("versioned table: rollback republishes an old snapshot, keeps history") {
     import spark.implicits._
     import graft.sources.Versioned
