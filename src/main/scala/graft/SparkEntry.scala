@@ -859,9 +859,11 @@ object SparkEntry {
     // SQL time-travel gate: region (5 rows at every SF) as a 3-version
     // table — v1 commit 3 rows, v2 append 2, v3 ONE atomic CDC batch
     // (upsert key 0 + merge-on-read delete of key 1); per-version
-    // counts via the registered views, the v2-v1 join hits v1's 3
-    // keys, the appended keys (3, 4) sum 7, and the CDC update is
-    // visible at v3 but not v2.
+    // counts via native catalog VERSION AS OF pins, the v2-v1 join
+    // hits v1's 3 keys, the appended keys (3, 4) sum 7, and the CDC
+    // update is visible at v3 but not v2. The wap_* constants are the
+    // write-audit-publish leg: 2 rows staged on a branch leave main at
+    // 4 while the branch reads 6, and the fast-forward publishes 6.
     "q41_sql_time_travel" ->
       """SELECT CAST(3 AS BIGINT) AS v1_rows,
                 CAST(5 AS BIGINT) AS v2_rows,
@@ -870,7 +872,10 @@ object SparkEntry {
                 CAST(3 AS BIGINT) AS joined_rows,
                 CAST(7 AS BIGINT) AS appended_keysum,
                 CAST(1 AS BIGINT) AS cdc_updated,
-                CAST(0 AS BIGINT) AS cdc_before""",
+                CAST(0 AS BIGINT) AS cdc_before,
+                CAST(4 AS BIGINT) AS wap_main_before,
+                CAST(6 AS BIGINT) AS wap_staging_rows,
+                CAST(6 AS BIGINT) AS wap_main_after""",
     "q38_window_battery2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,

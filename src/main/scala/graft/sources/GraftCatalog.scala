@@ -120,15 +120,20 @@ class GraftCatalog extends TableCatalog {
   override def loadTable(ident: Identifier): Table = load(ident, None)
 
   /** `VERSION AS OF`: an integer pins a snapshot, anything else
-    * resolves as a named tag ([[Versioned.tags]]). */
+    * resolves as a named tag ([[Versioned.tags]]) or, failing that, a
+    * branch head ([[Versioned.branches]]) — so an audit query can read
+    * `VERSION AS OF 'staging'` before a fast-forward publishes it. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val v = Try(version.toInt).toOption.getOrElse {
       val dir = dirOf(ident)
-      Versioned.tags(spark, dir).getOrElse(version,
-        throw new IllegalArgumentException(
-          s"'$version' is neither a version number nor a tag of " +
-            s"${display(ident)} (tags: " +
+      Versioned.tags(spark, dir).get(version)
+        .orElse(Versioned.branches(spark, dir).get(version))
+        .getOrElse(throw new IllegalArgumentException(
+          s"'$version' is neither a version number, a tag, nor a " +
+            s"branch of ${display(ident)} (tags: " +
             s"${Versioned.tags(spark, dir).keys.toSeq.sorted
+              .mkString(", ")}; branches: " +
+            s"${Versioned.branches(spark, dir).keys.toSeq.sorted
               .mkString(", ")})"))
     }
     load(ident, Some(v))

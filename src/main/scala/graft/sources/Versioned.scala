@@ -114,23 +114,39 @@ object Versioned {
     throw new IllegalStateException("unreachable")
   }
 
-  private def committedVersions(spark: SparkSession,
-      tableDir: String): Seq[Int] = {
-    val f = fs(spark, tableDir)
-    val dir = new Path(tableDir)
-    if (!f.exists(dir)) Nil
-    else f.listStatus(dir).toSeq
-      .map(_.getPath.getName)
+  private def markerVersions(
+      st: Seq[org.apache.hadoop.fs.FileStatus]): Seq[Int] =
+    st.map(_.getPath.getName)
       .collect { case s if s.startsWith(MarkerPrefix) => s }
       // safe parse: a corrupt/foreign `_commit_x` entry must not wedge
       // every read of the table with a NumberFormatException
       .flatMap(s => Try(s.stripPrefix(MarkerPrefix).toInt).toOption)
       .sorted
+
+  private def committedVersions(spark: SparkSession,
+      tableDir: String): Seq[Int] = {
+    val f = fs(spark, tableDir)
+    val dir = new Path(tableDir)
+    if (!f.exists(dir)) Nil
+    else markerVersions(f.listStatus(dir).toSeq)
   }
 
-  /** Current committed version, or 0 when the table doesn't exist. */
-  def currentVersion(spark: SparkSession, tableDir: String): Int =
-    committedVersions(spark, tableDir).lastOption.getOrElse(0)
+  /** Current committed version of MAIN — the head every unqualified
+    * read and write targets — or 0 when the table doesn't exist. A
+    * table with no branch refs has linear history and the newest
+    * marker IS main (one listing, the pre-branch cost); once
+    * [[createBranch]] has materialized refs, main resolves like any
+    * branch head (newer branches' commits are invisible here). */
+  def currentVersion(spark: SparkSession, tableDir: String): Int = {
+    val f = fs(spark, tableDir)
+    val dir = new Path(tableDir)
+    if (!f.exists(dir)) return 0
+    val st = f.listStatus(dir).toSeq
+    val markers = markerVersions(st)
+    if (!st.exists(_.getPath.getName.startsWith(BranchPrefix)))
+      markers.lastOption.getOrElse(0)
+    else branchHeadIn(f, tableDir, st, markers, MainBranch)
+  }
 
   private def ownerToken(uuid: String) = s"_owner_$uuid"
 
@@ -361,9 +377,10 @@ object Versioned {
       partitionCol: Option[String] = None,
       note: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      transform: Option[Transform] = None): Int =
+      transform: Option[Transform] = None,
+      branch: Option[String] = None): Int =
     commitStaged(df, tableDir, partitionCol, note, statsCols,
-      linkBase = None, transform = transform)
+      linkBase = None, transform = transform, branch = branch)
 
   /** @param linkBase     snapshot the new version chains onto; its
     *                     manifest entries are linked unless overridden
@@ -381,7 +398,8 @@ object Versioned {
       deleteDf: Option[DataFrame] = None,
       posDeleteDf: Option[DataFrame] = None,
       transform: Option[Transform] = None,
-      writeData: Boolean = true): Int = {
+      writeData: Boolean = true,
+      branch: Option[String] = None): Int = {
     val spark = df.sparkSession
     // hidden partitioning: derive the transform's partition column for
     // the write only — it never enters the logical schema (read() hides
@@ -404,14 +422,33 @@ object Versioned {
       case None => (df, partitionCol)
     }
     val f = fs(spark, tableDir)
-    val next = currentVersion(spark, tableDir) + 1
-    // An append's linked base must still be the current snapshot —
+    val rootDir = new Path(tableDir)
+    val rootSt =
+      if (f.exists(rootDir)) f.listStatus(rootDir).toSeq else Nil
+    val markers = markerVersions(rootSt)
+    // Version slots are GLOBAL — branches share one number line — so
+    // the create-exclusive slot race serializes ALL committers
+    // whatever branch they target: a committer that read a stale head
+    // necessarily contends for an already-claimed slot and loses.
+    val next = markers.lastOption.getOrElse(0) + 1
+    val branched =
+      rootSt.exists(_.getPath.getName.startsWith(BranchPrefix))
+    val targetBranch = branch.getOrElse(MainBranch)
+    require(branched || targetBranch == MainBranch,
+      s"no branch '$targetBranch' at $tableDir: createBranch first")
+    // The head this commit replaces, resolved against the SAME listing
+    // as `next`: a marker that appears after the listing costs us the
+    // slot race rather than slipping past the base check.
+    val head =
+      if (!branched) next - 1
+      else branchHeadIn(f, tableDir, rootSt, markers, targetBranch)
+    // An append's linked base must still be its branch's head —
     // chaining onto a superseded version would silently drop the
     // interleaved commit's rows from the new manifest.
     linkBase.foreach { b =>
-      if (b != next - 1) throw new CommitRaceException(
-        s"append base v=$b is no longer current at $tableDir " +
-          s"(current is v=${next - 1}); retry from the new version")
+      if (b != head) throw new CommitRaceException(
+        s"append base v=$b is no longer the head of '$targetBranch' " +
+          s"at $tableDir (head is v=$head); retry from the new version")
       // Reconcile the batch's schema against the snapshot it links
       // BEFORE publishing: a linked commit whose columns cannot union
       // (e.g. int vs map) would otherwise commit fine and then poison
@@ -438,6 +475,11 @@ object Versioned {
     transform.foreach(t => writeTspec(f, stage, t,
       df.schema(t.source).dataType.catalogString,
       spark.sessionState.conf.sessionLocalTimeZone))
+    // branch + parent sidecar, riding the atomic claim: head lookups
+    // and fast-forward ancestry walks read it ([[refInfo]])
+    val refOut = f.create(new Path(stage, RefFile), false)
+    try refOut.write(s"$targetBranch\t$head".getBytes("UTF-8"))
+    finally refOut.close()
     // tombstone sets (merge-on-read deletes): key-scale, one file each
     deleteDf.foreach(_.coalesce(1).write
       .parquet(new Path(stage, DeletesDir).toString))
@@ -524,6 +566,10 @@ object Versioned {
     if (!f.exists(new Path(snapDir, ownerToken(uuid)))) loserExit(())
     val out = f.create(marker0, /*overwrite=*/ false) // the commit point
     try note.foreach(n => out.write(n.getBytes("UTF-8"))) finally out.close()
+    // Advance the branch ref — a floor CACHE only: the marker above is
+    // the commit point, and branchHeadIn self-heals a crash between
+    // the two by scanning markers above the stale floor.
+    if (branched) moveRef(f, tableDir, BranchPrefix, targetBranch, next)
     next
   }
 
@@ -732,7 +778,18 @@ object Versioned {
   def versionAsOf(spark: SparkSession, tableDir: String,
       asOfMillis: Long): Int = {
     val f = fs(spark, tableDir)
-    val vs = committedVersions(spark, tableDir)
+    val vs0 = committedVersions(spark, tableDir)
+    // On a BRANCHED table, time travel follows MAIN's lineage: a
+    // staging commit published between two main commits was never
+    // main's state. Ancestors walk the per-version `_ref` parent
+    // chain from the main head; pre-branch versions (no `_ref`) chain
+    // v-1 linearly, so the walk terminates at the table's root.
+    val vs = if (!hasBranchRefs(f, tableDir)) vs0 else {
+      val anc = scala.collection.mutable.HashSet[Int]()
+      var w = currentVersion(spark, tableDir)
+      while (w > 0 && anc.add(w)) w = refInfo(f, tableDir, w)._2
+      vs0.filter(anc.contains)
+    }
     def mtime(v: Int) = f.getFileStatus(
       new Path(tableDir, s"$MarkerPrefix$v")).getModificationTime
     val v = vs.filter(mtime(_) <= asOfMillis)
@@ -752,8 +809,11 @@ object Versioned {
     // conservative refusal of everything past v's own publish instant.
     val i = vs.indexOf(v)
     if (i < vs.length - 1 && vs(i + 1) != v + 1) {
-      val gap = (v + 1) until vs(i + 1)
-      val log = expiredLog(f, tableDir, retained = vs.toSet)
+      // a RETAINED version inside the lineage gap is another branch's
+      // commit, not expired history: the state between main commits
+      // simply was v — only truly-missing versions need the log
+      val gap = ((v + 1) until vs(i + 1)).filterNot(vs0.contains)
+      val log = expiredLog(f, tableDir, retained = vs0.toSet)
       if (gap.forall(log.contains)) {
         val shadow = gap.filter(g => log(g) <= asOfMillis)
         if (shadow.nonEmpty) throw new IllegalArgumentException(
@@ -810,13 +870,15 @@ object Versioned {
       partitionCol: Option[String] = None,
       note: Option[String] = None,
       statsCols: Seq[String] = Nil,
-      transform: Option[Transform] = None): Int = withCommitRetry() {
+      transform: Option[Transform] = None,
+      branch: Option[String] = None): Int = withCommitRetry() {
     val spark = df.sparkSession
-    val cur = currentVersion(spark, tableDir)
+    val cur = branch.map(b => branchHead(spark, tableDir, b))
+      .getOrElse(currentVersion(spark, tableDir))
     if (cur == 0) commit(df, tableDir, partitionCol, note, statsCols,
-      transform)
+      transform, branch)
     else commitStaged(df, tableDir, partitionCol, note, statsCols,
-      linkBase = Some(cur), transform = transform)
+      linkBase = Some(cur), transform = transform, branch = branch)
   }
 
   /** ROLLBACK to a retained snapshot — the Iceberg
@@ -1343,8 +1405,11 @@ object Versioned {
     if (!f.exists(new Path(tableDir))) return // never-committed table: no-op
     val cur = currentVersion(spark, tableDir)
     val all = versions(spark, tableDir)
-    // tagged versions are pinned: a named snapshot never expires
-    val tagged = tags(spark, tableDir).values.toSet
+    // tagged versions are pinned: a named snapshot never expires; so
+    // are branch HEADS (their linked history survives through the
+    // reference count below, like any retained manifest's)
+    val tagged = tags(spark, tableDir).values.toSet ++
+      branches(spark, tableDir).values
     val expired = all.filter(_ != cur).dropRight(math.max(0, keep - 1))
       .filterNot(tagged.contains)
     val retained = all.diff(expired)
@@ -1420,21 +1485,12 @@ object Versioned {
     require(vs.contains(v),
       s"cannot tag v=$v at $tableDir (retained: $vs)")
     val f = fs(spark, tableDir)
-    val existing = tagEntries(f, tableDir).filter(_._1 == name)
-    if (existing.nonEmpty && resolveTag(existing)._2 == v) return v
     // the pin file embeds a per-name MONOTONE sequence (max existing
     // + 1, read from the files themselves so it is monotone across
     // JVMs too): [[tags]] resolves ties on it, so a re-tag to a LOWER
     // version in the same millisecond as the original pin still wins —
     // an mtime-only tie-break resolved to the higher version number.
-    // Create the NEW pin before removing the old: a crash between the
-    // two leaves a (harmless) duplicate the sequence resolves — never
-    // a window where the name pins nothing and a concurrent vacuum
-    // could expire the snapshot.
-    val seq = (0L +: existing.map(_._3)).max + 1
-    f.create(new Path(tableDir, s"$TagPrefix$name=$v.$seq"), true).close()
-    // sweep every superseded pin, including crashed re-tags' leftovers
-    existing.foreach(e => f.delete(e._5, false))
+    moveRef(f, tableDir, TagPrefix, name, v)
     v
   }
 
@@ -1445,10 +1501,17 @@ object Versioned {
       tableDir: String): Seq[(String, Int, Long, Long, Path)] = {
     val dir = new Path(tableDir)
     if (!f.exists(dir)) Nil
-    else f.listStatus(dir).toSeq
-      .filter(_.getPath.getName.startsWith(TagPrefix))
-      .flatMap { st =>
-        st.getPath.getName.stripPrefix(TagPrefix).split("=", 2) match {
+    else refEntriesFrom(f.listStatus(dir).toSeq, TagPrefix)
+  }
+
+  /** Parse ref pin files (`<prefix><name>=<v>.<seq>`) out of a root
+    * listing — shared by tags and branches, which differ only in
+    * prefix and in whether the pinned version may move forward. */
+  private def refEntriesFrom(st: Seq[org.apache.hadoop.fs.FileStatus],
+      prefix: String): Seq[(String, Int, Long, Long, Path)] =
+    st.filter(_.getPath.getName.startsWith(prefix))
+      .flatMap { s =>
+        s.getPath.getName.stripPrefix(prefix).split("=", 2) match {
           case Array(n, value) =>
             val (vStr, seq) = value.split("\\.", 2) match {
               case Array(v0, s0) => (v0, Try(s0.toLong).getOrElse(-1L))
@@ -1456,10 +1519,23 @@ object Versioned {
             }
             // safe parse: a foreign/corrupt pin name is skipped
             for (v <- Try(vStr.toInt).toOption if seq >= 0)
-              yield (n, v, seq, st.getModificationTime, st.getPath)
+              yield (n, v, seq, s.getModificationTime, s.getPath)
           case _ => None
         }
       }
+
+  /** Move ref `name` (under `prefix`) to `v` with the tag protocol:
+    * new pin first (monotone per-name sequence, so ties resolve to the
+    * newest move), then sweep superseded pins — a crash between the
+    * two leaves a harmless duplicate, never an unpinned window. */
+  private def moveRef(f: FileSystem, tableDir: String, prefix: String,
+      name: String, v: Int): Unit = {
+    val existing = refEntriesFrom(
+      f.listStatus(new Path(tableDir)).toSeq, prefix).filter(_._1 == name)
+    if (existing.nonEmpty && resolveTag(existing)._2 == v) return
+    val seq = (0L +: existing.map(_._3)).max + 1
+    f.create(new Path(tableDir, s"$prefix$name=$v.$seq"), true).close()
+    existing.foreach(e => f.delete(e._5, false))
   }
 
   /** Winner among one name's pins: highest sequence, then (for
@@ -1496,6 +1572,162 @@ object Versioned {
     val f = fs(spark, tableDir)
     f.listStatus(new Path(tableDir)).toSeq.map(_.getPath)
       .filter(_.getName.startsWith(s"$TagPrefix$name="))
+      .foreach(p => f.delete(p, false))
+  }
+
+  // —— writable branches (Iceberg branch / write-audit-publish) ——
+
+  private val BranchPrefix = "_branch_"
+  val MainBranch = "main"
+  private val RefFile = "_ref"
+
+  /** (branch, parent version) of snapshot `v`, from the `v=K/_ref`
+    * sidecar every commit stages (atomic with the claim). A version
+    * WITHOUT one — all pre-branch history — is main's with parent
+    * v-1, which is exactly what linear history was. */
+  private def refInfo(f: FileSystem, tableDir: String,
+      v: Int): (String, Int) =
+    Try {
+      val in = f.open(new Path(tableDir, s"v=$v/$RefFile"))
+      val s = try new String(in.readAllBytes(), "UTF-8")
+        finally in.close()
+      val a = s.trim.split("\t")
+      (a(0), a(1).toInt)
+    }.getOrElse((MainBranch, v - 1))
+
+  private def hasBranchRefs(f: FileSystem, tableDir: String): Boolean = {
+    val dir = new Path(tableDir)
+    f.exists(dir) &&
+      f.listStatus(dir).exists(_.getPath.getName.startsWith(BranchPrefix))
+  }
+
+  /** Head of `name` given a root listing: the ref pin is a FLOOR (it
+    * advances AFTER the marker publishes, so it may lag a crash or a
+    * racing committer by one commit); the truth is the newest marker
+    * whose `_ref` names this branch at or above the floor. The scan is
+    * O(commits since the ref last advanced) — normally 0–1 versions —
+    * and every commit re-bumps the ref, so lag never accumulates. */
+  private def branchHeadIn(f: FileSystem, tableDir: String,
+      st: Seq[org.apache.hadoop.fs.FileStatus], markers: Seq[Int],
+      name: String): Int = {
+    val pins = refEntriesFrom(st, BranchPrefix).filter(_._1 == name)
+    // the PIN is branch existence; the marker scan above it only heals
+    // ref LAG (a committer that crashed between marker and ref bump).
+    // Without this gate a dropped branch would resurrect through the
+    // `_ref` sidecars its expirable commits still carry. Main is the
+    // exception: it exists implicitly, pin or not.
+    if (pins.isEmpty && name != MainBranch)
+      throw new IllegalArgumentException(
+        s"no branch '$name' at $tableDir (branches: " +
+          s"${branchNamesFrom(st).mkString(", ")})")
+    val floor = if (pins.isEmpty) None else Some(resolveTag(pins)._2)
+    val above = markers.filter(v => floor.forall(_ < v)).reverse
+    val hit = above.find(v => refInfo(f, tableDir, v)._1 == name)
+    hit.orElse(floor).getOrElse(0)
+  }
+
+  private def branchNamesFrom(
+      st: Seq[org.apache.hadoop.fs.FileStatus]): Seq[String] =
+    refEntriesFrom(st, BranchPrefix).map(_._1).distinct.sorted
+
+  /** Current head of branch `name`. */
+  def branchHead(spark: SparkSession, tableDir: String,
+      name: String): Int = {
+    val f = fs(spark, tableDir)
+    val dir = new Path(tableDir)
+    require(f.exists(dir), s"no committed version at $tableDir")
+    val st = f.listStatus(dir).toSeq
+    branchHeadIn(f, tableDir, st, markerVersions(st), name)
+  }
+
+  /** All branches as name -> head version (empty for a linear table
+    * that never called [[createBranch]]). */
+  def branches(spark: SparkSession, tableDir: String): Map[String, Int] = {
+    val f = fs(spark, tableDir)
+    val dir = new Path(tableDir)
+    if (!f.exists(dir)) return Map.empty
+    val st = f.listStatus(dir).toSeq
+    val markers = markerVersions(st)
+    branchNamesFrom(st)
+      .map(n => n -> branchHeadIn(f, tableDir, st, markers, n)).toMap
+  }
+
+  /** Create a WRITABLE branch at `at` (default: the main head) — the
+    * Iceberg branch analog that makes write-audit-publish expressible:
+    * commit to `staging` ([[commit]]/[[append]]'s `branch` parameter),
+    * validate the staged snapshot ([[readBranch]]), then
+    * [[fastForward]] main — metadata-only, nothing rewritten.
+    *
+    * The FIRST branch materializes a `main` ref pinned at the current
+    * head before the new branch's ref exists, so there is never a
+    * window where branch commits could be mistaken for main's: from
+    * that moment main resolves through its ref, and commits landing on
+    * other branches are invisible to unqualified readers. Branch heads
+    * are vacuum-pinned like tags. */
+  def createBranch(spark: SparkSession, tableDir: String, name: String,
+      at: Option[Int] = None): Int = {
+    checkTagName(name)
+    val f = fs(spark, tableDir)
+    val vs = committedVersions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed version at $tableDir")
+    if (!hasBranchRefs(f, tableDir))
+      moveRef(f, tableDir, BranchPrefix, MainBranch,
+        vs.lastOption.getOrElse(0))
+    val v = at.getOrElse(currentVersion(spark, tableDir))
+    require(vs.contains(v),
+      s"cannot branch at v=$v of $tableDir (retained: $vs)")
+    if (name != MainBranch) {
+      require(!branches(spark, tableDir).contains(name),
+        s"branch '$name' already exists at $tableDir; drop it first " +
+          "or commit to it")
+      moveRef(f, tableDir, BranchPrefix, name, v)
+    }
+    v
+  }
+
+  /** Read the snapshot at a branch head. */
+  def readBranch(spark: SparkSession, tableDir: String,
+      name: String): DataFrame =
+    read(spark, tableDir, Some(branchHead(spark, tableDir, name)))
+
+  /** PUBLISH a branch: move `to` (default main) forward to `from`'s
+    * head — the metadata-only fast-forward that completes
+    * write-audit-publish. Refused unless `to`'s head is an ANCESTOR of
+    * `from`'s head (walking the per-version `_ref` parent chain): a
+    * fast-forward that would drop commits is a rollback in disguise
+    * and must be asked for explicitly ([[rollback]]). */
+  def fastForward(spark: SparkSession, tableDir: String,
+      from: String, to: String = MainBranch): Int = {
+    val f = fs(spark, tableDir)
+    val fromV = branchHead(spark, tableDir, from)
+    val toV = branchHead(spark, tableDir, to)
+    if (fromV == toV) return toV
+    var v = fromV
+    var found = false
+    while (!found && v > 0) {
+      val p = refInfo(f, tableDir, v)._2
+      if (p == toV) found = true
+      v = p
+    }
+    require(found,
+      s"'$to' (v=$toV) is not an ancestor of '$from' (v=$fromV) at " +
+        s"$tableDir: fast-forward would drop commits; rollback or " +
+        "re-branch instead")
+    moveRef(f, tableDir, BranchPrefix, to, fromV)
+    fromV
+  }
+
+  /** Remove a branch ref; its unpublished commits become expirable by
+    * [[vacuum]] (the abandon-the-audit half of write-audit-publish).
+    * Main is not droppable — it is what unqualified readers resolve. */
+  def dropBranch(spark: SparkSession, tableDir: String,
+      name: String): Unit = {
+    checkTagName(name)
+    require(name != MainBranch,
+      s"cannot drop '$MainBranch': unqualified reads resolve through it")
+    val f = fs(spark, tableDir)
+    f.listStatus(new Path(tableDir)).toSeq.map(_.getPath)
+      .filter(_.getName.startsWith(s"$BranchPrefix$name="))
       .foreach(p => f.delete(p, false))
   }
 
@@ -1564,6 +1796,22 @@ object Versioned {
               WHERE r_name = 'CDC_UPDATED') AS cdc_updated,
              (SELECT count(*) FROM $g VERSION AS OF 2
               WHERE r_name = 'CDC_UPDATED') AS cdc_before""").head()
+      // —— write-audit-publish leg: commits staged on a branch stay
+      //    invisible to main (programmatic AND catalog-SQL reads)
+      //    until a metadata-only fast-forward publishes them ——
+      createBranch(s, t, "staging")
+      append(region.limit(2)
+        .select((col("r_regionkey") + lit(90)).as("r_regionkey"),
+          lit("WAP_STAGED").as("r_name")),
+        t, branch = Some("staging"))
+      val w = s.sql(
+        s"""SELECT
+             (SELECT count(*) FROM $g) AS main_before,
+             (SELECT count(*) FROM $g VERSION AS OF 'staging')
+               AS staged_rows""").head()
+      fastForward(s, t, from = "staging")
+      val publishedRows =
+        s.sql(s"SELECT count(*) FROM $g").head().getLong(0)
       s.range(1).select(
         lit(r.getLong(0)).as("v1_rows"),
         lit(r.getLong(1)).as("v2_rows"),
@@ -1572,7 +1820,10 @@ object Versioned {
         lit(r.getLong(4)).as("joined_rows"),
         lit(r.getLong(5)).as("appended_keysum"),
         lit(r.getLong(6)).as("cdc_updated"),
-        lit(r.getLong(7)).as("cdc_before"))
+        lit(r.getLong(7)).as("cdc_before"),
+        lit(w.getLong(0)).as("wap_main_before"),
+        lit(w.getLong(1)).as("wap_staging_rows"),
+        lit(publishedRows).as("wap_main_after"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }

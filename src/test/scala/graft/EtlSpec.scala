@@ -720,6 +720,71 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: branches express write-audit-publish") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_branches"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
+    Versioned.append(Seq((2, "b")).toDF("id", "v"), t)
+    // WRITE: two commits staged on a branch
+    assert(Versioned.createBranch(spark, t, "staging") == 2)
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t,
+      branch = Some("staging"))
+    Versioned.append(Seq((4, "d")).toDF("id", "v"), t,
+      branch = Some("staging"))
+    // staged commits are INVISIBLE to main readers — programmatic and
+    // catalog-SQL alike
+    assert(Versioned.read(spark, t).select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    assert(Versioned.currentVersion(spark, t) == 2)
+    val abs = new java.io.File(t).getAbsolutePath
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$abs`")
+      .head().getLong(0) == 2)
+    // AUDIT: the staged snapshot is readable by branch name
+    assert(Versioned.readBranch(spark, t, "staging").count() == 4)
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$abs` VERSION AS OF 'staging'")
+      .head().getLong(0) == 4)
+    assert(Versioned.branches(spark, t) ==
+      Map("main" -> 2, "staging" -> 4))
+    // PUBLISH: metadata-only fast-forward
+    assert(Versioned.fastForward(spark, t, from = "staging") == 4)
+    assert(Versioned.read(spark, t).count() == 4)
+    assert(Versioned.currentVersion(spark, t) == 4)
+    // main keeps advancing past the publish point
+    Versioned.append(Seq((5, "e")).toDF("id", "v"), t)
+    assert(Versioned.read(spark, t).count() == 5)
+    // a DIVERGED branch cannot fast-forward: it would drop main's
+    // commit — rollback semantics must be asked for explicitly
+    Versioned.createBranch(spark, t, "exp", at = Some(2))
+    Versioned.append(Seq((9, "x")).toDF("id", "v"), t,
+      branch = Some("exp"))
+    intercept[IllegalArgumentException] {
+      Versioned.fastForward(spark, t, from = "exp")
+    }
+    // vacuum pins every branch head (and, via reference counting, the
+    // history their manifests reach)
+    Versioned.vacuum(spark, t, keep = 1)
+    assert(Versioned.readBranch(spark, t, "exp").select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 9))
+    assert(Versioned.read(spark, t).count() == 5)
+    // timestamp travel follows MAIN lineage, never the exp branch
+    assert(Versioned.readAsOf(spark, t,
+      System.currentTimeMillis() + 5000).count() == 5)
+    // ABANDON: dropping the branch releases its head to vacuum
+    Versioned.dropBranch(spark, t, "exp")
+    assert(!Versioned.branches(spark, t).contains("exp"))
+    intercept[IllegalArgumentException] {
+      Versioned.readBranch(spark, t, "exp")
+    }
+    // a commit to a branch that was never created is refused
+    intercept[IllegalArgumentException] {
+      Versioned.append(Seq((6, "f")).toDF("id", "v"), t,
+        branch = Some("nope"))
+    }
+  }
+
   test("versioned table: DSv2 catalog resolves snapshots natively in SQL") {
     import spark.implicits._
     import graft.sources.Versioned
