@@ -1385,6 +1385,104 @@ object Versioned {
     } finally packed.unpersist(blocking = false)
   }
 
+  /** TOMBSTONE-TARGETED compaction — the middle gear between paying a
+    * per-read anti-join forever and a FULL [[compact]] rewrite (the
+    * `rewrite_position_delete_files` / delete-file-compaction analog):
+    * rewrite ONLY the data files whose fraction of tombstoned rows
+    * reaches `minDeleteRatio` (default: any tombstoned row), link every
+    * other file unchanged, and DROP the tombstone entries the rewrite
+    * fully absorbs. Reads before and after are row-identical; what
+    * changes is where the delete lives — materialized into the
+    * rewritten files instead of re-applied at every read.
+    *
+    * Cost: two snapshot-scan aggregations (raw and surviving row
+    * counts per file — the exact per-file tombstone hit, where min/max
+    * ranges would over-approximate) plus a rewrite of only the
+    * qualifying files. The per-file decision set collected to the
+    * driver is one row per file WITH deletions — metadata-scale.
+    *
+    * A tombstone survives the sweep only while some KEPT file (below
+    * the ratio) still carries deletions from an entry older than it;
+    * rewritten files re-enter the manifest at the NEW version, so
+    * retained tombstones never re-apply to them (sequence rule) and
+    * correctness never depends on the absorption analysis — it only
+    * decides how many anti-joins later reads still pay. */
+  def compactDeletes(spark: SparkSession, tableDir: String,
+      minDeleteRatio: Double = 0.0,
+      partitionCol: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      transform: Option[Transform] = None,
+      note: Option[String] = None): Int = withCommitRetry() {
+    require(minDeleteRatio >= 0.0 && minDeleteRatio <= 1.0,
+      s"minDeleteRatio must be in [0, 1], got $minDeleteRatio")
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    val f = fs(spark, tableDir)
+    val tombs = manifestDeletes(spark, f, tableDir, cur)
+    if (tombs.isEmpty) return cur // nothing to target
+    val root = qualifiedRoot(f, tableDir)
+    def perFile(withDeletes: Boolean, as: String) =
+      readSnapshot(spark, tableDir, Some(cur), withDeletes,
+        withMeta = true)
+        .groupBy(col(MetaFileCol).as("file"))
+        .agg(count(lit(1)).as(as))
+    // exact per-file deletion counts: raw minus surviving (the same
+    // anti-joins reads pay, so the subtraction is the read's truth)
+    val delStats = perFile(withDeletes = false, "n")
+      .join(perFile(withDeletes = true, "surv"), Seq("file"), "left")
+      .select(col("file"), col("n"),
+        coalesce(col("surv"), lit(0L)).as("surv"))
+      .filter(col("surv") < col("n"))
+      .collect()
+      .map(r => (decodePath(r.getString(0)).stripPrefix(root + "/"),
+        r.getLong(1), r.getLong(2)))
+    val touched = delStats.collect {
+      case (rel, n, surv) if (n - surv).toDouble >= n * minDeleteRatio =>
+        rel
+    }.toSet
+    // tombstone absorption: T applies only to entries OLDER than its
+    // version, so T is droppable when every kept deletion-carrying
+    // file is at least as new as T
+    val keptDelVers = delStats.collect {
+      case (rel, _, _) if !touched.contains(rel) => entryVer(rel)
+    }
+    def absorbed(tver: Int) = keptDelVers.forall(_ >= tver)
+    val surviving = manifestLines(f, tableDir, cur).flatMap { e =>
+      if (isDeleteLine(e)) {
+        if (absorbed(entryVer(e.stripPrefix(DeletePrefix)))) Nil
+        else Seq(e)
+      } else {
+        val files = entryFiles(f, tableDir, e)
+        if (!files.exists(touched.contains)) Seq(e)
+        else files.filterNot(touched.contains)
+      }
+    }
+    if (touched.isEmpty) {
+      // every tombstone matches nothing (or none met the ratio while
+      // absorbing nothing): publish only when delete lines actually
+      // drop, else the commit would be an empty churn version
+      if (surviving.size == manifestLines(f, tableDir, cur).size)
+        return cur
+      return commitStaged(
+        read(spark, tableDir, Some(cur)).limit(0), tableDir,
+        partitionCol = None, note = note, statsCols = Nil,
+        linkBase = Some(cur), linkEntries = Some(surviving),
+        ownDirInManifest = false, writeData = false)
+    }
+    val rewritten = readFiles(spark, tableDir, touched.toSeq, tombs)
+      .coalesce(math.max(1, touched.size))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val allGone = rewritten.isEmpty
+      val survivingData = surviving.filterNot(isDeleteLine)
+      commitStaged(rewritten, tableDir,
+        if (allGone) None else partitionCol, note = note, statsCols,
+        linkBase = Some(cur), linkEntries = Some(surviving),
+        ownDirInManifest = !allGone || survivingData.isEmpty,
+        transform = if (allGone) None else transform)
+    } finally rewritten.unpersist(blocking = false)
+  }
+
   /** Expire old snapshots, keeping the most recent `keep` (the current
     * version is always retained). The marker is removed first so a crash
     * mid-vacuum never leaves a published-but-deleted version. Directory

@@ -720,6 +720,66 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: compactDeletes rewrites only tombstoned files") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val t = s"$work/versioned_compact_deletes"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // four exact hive partitions -> four files: b=0 holds seq 1-25, ...
+    Versioned.commit((1 to 100).map(i => (i, (i - 1) / 25))
+      .toDF("seq", "b").coalesce(1), t, partitionCol = Some("b"))
+    def v1State() = Files.walk(Paths.get(s"$t/v=1")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString -> (Files.getLastModifiedTime(p),
+        Files.size(p))).toMap
+    val before = v1State()
+    Versioned.deleteWhere(spark, t, col("seq").between(1, 10)) // b=0: 40%
+    Versioned.deleteWhere(spark, t, col("seq") === 30)         // b=1: 4%
+    val oracle = Versioned.read(spark, t).select("seq").collect()
+      .map(_.getInt(0)).sorted.toSeq
+    def delEntries() = Versioned.files(spark, t).collect()
+      .count(_.getString(4) == "delete")
+    assert(delEntries() == 2)
+    // ratio gate: only the heavily-tombstoned file rewrites; the 4%
+    // file keeps carrying its deletion, so both tombstones survive
+    assert(Versioned.compactDeletes(spark, t, minDeleteRatio = 0.2,
+      partitionCol = Some("b")) == 4)
+    assert(Versioned.read(spark, t).select("seq").collect()
+      .map(_.getInt(0)).sorted.toSeq == oracle)
+    assert(delEntries() == 2)
+    // nothing in v=1 was rewritten in place; b=0 left the manifest
+    assert(v1State() == before)
+    val rels4 = Versioned.files(spark, t).collect()
+      .filter(_.getString(4) == "data").map(_.getString(0))
+    assert(rels4.count(_.startsWith("v=1/")) == 3)
+    assert(rels4.exists(_.startsWith("v=4/")))
+    // full sweep: the remaining deletion materializes and every
+    // tombstone drops — still NOT a full compact (two v=1 files stay
+    // linked byte-identical)
+    assert(Versioned.compactDeletes(spark, t,
+      partitionCol = Some("b")) == 5)
+    assert(delEntries() == 0)
+    assert(Versioned.read(spark, t).select("seq").collect()
+      .map(_.getInt(0)).sorted.toSeq == oracle)
+    val rels5 = Versioned.files(spark, t).collect()
+      .filter(_.getString(4) == "data").map(_.getString(0))
+    assert(rels5.count(_.startsWith("v=1/")) == 2)
+    assert(v1State() == before)
+    // history intact
+    assert(Versioned.read(spark, t, Some(1)).count() == 100)
+    assert(Versioned.read(spark, t, Some(3)).count() == 89)
+    // a no-match tombstone collapses metadata-only
+    Versioned.deleteRows(spark, t, Seq(999).toDF("seq"))
+    assert(delEntries() == 1)
+    assert(Versioned.compactDeletes(spark, t) == 7)
+    assert(delEntries() == 0)
+    assert(Versioned.read(spark, t).count() == 89)
+    // idempotent once nothing is left to target
+    assert(Versioned.compactDeletes(spark, t) == 7)
+  }
+
   test("versioned table: branches express write-audit-publish") {
     import spark.implicits._
     import graft.sources.Versioned
