@@ -31,10 +31,23 @@ object Relational {
   private def supp(s: SparkSession, d: String) = Tables.load(s, d, "supplier")
 
   /** A1 — global COUNT(*) (reference README.md:52-58: full-table count).
-    * Partial counts per scan partition, single final merge; no data shuffle
-    * beyond one row per partition at any scale. */
-  def countAll(s: SparkSession, d: String): DataFrame =
-    li(s, d).agg(count(lit(1)).as("cnt"))
+    * Served from parquet FOOTER row counts, no row scanned: the plan
+    * shows `PushedAggregation: [COUNT(*)]` with a
+    * `ReadSchema: struct<count(*):bigint>` — at 100 TB the answer is
+    * O(files) metadata reads instead of a table scan. Aggregate
+    * pushdown lives in the DSv2 parquet reader, so the two confs that
+    * enable it are scoped to a session CLONE (shared context, cache,
+    * and catalog; private conf) — every other query keeps the default
+    * reader. Filtered counts (q02) CANNOT use this: a predicate needs
+    * row values, footers only have per-group counts and min/max, so
+    * Spark correctly refuses to push COUNT under any data filter and
+    * those plans keep the pushed-FILTER scan instead. */
+  def countAll(s: SparkSession, d: String): DataFrame = {
+    val c = s.newSession()
+    c.conf.set("spark.sql.sources.useV1SourceList", "")
+    c.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    Tables.load(c, d, "lineitem").agg(count(lit(1)).as("cnt"))
+  }
 
   /** A2+P4 — filtered COUNT(*) (reference README.md:91-101:
     * `WHERE passenger_count = 3`). The equality predicate is pushed into

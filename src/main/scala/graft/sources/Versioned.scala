@@ -205,14 +205,69 @@ object Versioned {
     * part paths (underscore-hidden dirs as scan roots log a spurious
     * WARN); the entry's directory name selects the flavor. */
   private def manifestDeletes(spark: SparkSession, f: FileSystem,
-      tableDir: String, v: Int): Seq[Tomb] =
+      tableDir: String, v: Int): Seq[Tomb] = {
+    val chain = renameChain(f, tableDir, v)
     manifestLines(f, tableDir, v).filter(isDeleteLine)
       .map(_.stripPrefix(DeletePrefix)).map { e =>
         val frame = scanUnit(spark, ScanUnit(
           deleteEntryFiles(f, tableDir, e).map(_.toString), None,
           ownerEpoch(f, tableDir, e.split("/").head)))
         if (e.endsWith("/" + PosDeletesDir)) PosTomb(entryVer(e), frame)
-        else EqTomb(entryVer(e), frame)
+        // an equality key set carries its delete-time column names —
+        // rename it forward like any entry so the anti-join still
+        // matches rows renamed since
+        else EqTomb(entryVer(e), applyRenames(frame, chain, entryVer(e)))
+      }
+  }
+
+  // —— column renames (field-id schema evolution analog) ——
+
+  private val RenameFile = "_rename"
+  private val RenamesHint = "_has_renames"
+
+  /** The table's rename history up to version `upTo`, oldest first —
+    * one `(version, from, to)` per [[renameColumn]] commit, read from
+    * the `v=K/_rename` sidecar that rode each rename's atomic claim.
+    * Composing the chain IS the field-id resolution: a column's
+    * identity is preserved through any number of renames because each
+    * step maps the previous name forward, which is exactly what
+    * Iceberg's numeric field ids buy (ids here are implicit — the
+    * chain's composition — rather than stored integers). Cost: one
+    * root-hint probe for the common no-renames table; on a renamed
+    * table, one sidecar probe per retained version — [[vacuum]] keeps
+    * rename versions alive while any older entry needs them, and
+    * [[compact]] makes them inert so vacuum can reclaim. */
+  private def renameChain(f: FileSystem, tableDir: String,
+      upTo: Int): Seq[(Int, String, String)] = {
+    if (!f.exists(new Path(tableDir, RenamesHint))) return Nil
+    val dir = new Path(tableDir)
+    if (!f.exists(dir)) return Nil
+    markerVersions(f.listStatus(dir).toSeq).filter(_ <= upTo)
+      .flatMap { k =>
+        val p = new Path(tableDir, s"v=$k/$RenameFile")
+        if (!f.exists(p)) None
+        else Try {
+          val in = f.open(p)
+          val s = try new String(in.readAllBytes(), "UTF-8")
+            finally in.close()
+          val a = s.trim.split("\t")
+          (k, a(0), a(1))
+        }.toOption
+      }
+  }
+
+  /** Rename `df` (an entry scan or tombstone frame written at
+    * `asOfVer`) forward through every chain step NEWER than it, so it
+    * joins/unions under the read version's names. A step whose source
+    * column is absent (the entry never had it) or whose target already
+    * exists (foreign frame) is a no-op — degrade, never collide. */
+  private def applyRenames(df: DataFrame,
+      chain: Seq[(Int, String, String)], asOfVer: Int): DataFrame =
+    chain.collect { case (k, from, to) if k > asOfVer => (from, to) }
+      .foldLeft(df) { case (d, (from, to)) =>
+        if (d.columns.contains(from) && !d.columns.contains(to))
+          d.withColumnRenamed(from, to)
+        else d
       }
 
   /** Apply tombstone key sets to `df` as NULL-SAFE equality anti-joins
@@ -399,7 +454,8 @@ object Versioned {
       posDeleteDf: Option[DataFrame] = None,
       transform: Option[Transform] = None,
       writeData: Boolean = true,
-      branch: Option[String] = None): Int = {
+      branch: Option[String] = None,
+      rename: Option[(String, String)] = None): Int = {
     val spark = df.sparkSession
     // hidden partitioning: derive the transform's partition column for
     // the write only — it never enters the logical schema (read() hides
@@ -480,6 +536,12 @@ object Versioned {
     val refOut = f.create(new Path(stage, RefFile), false)
     try refOut.write(s"$targetBranch\t$head".getBytes("UTF-8"))
     finally refOut.close()
+    // rename sidecar ([[renameColumn]]): the chain step readers compose
+    rename.foreach { case (from, to) =>
+      val rOut = f.create(new Path(stage, RenameFile), false)
+      try rOut.write(s"$from\t$to".getBytes("UTF-8"))
+      finally rOut.close()
+    }
     // tombstone sets (merge-on-read deletes): key-scale, one file each
     deleteDf.foreach(_.coalesce(1).write
       .parquet(new Path(stage, DeletesDir).toString))
@@ -723,26 +785,29 @@ object Versioned {
     val f = fs(spark, tableDir)
     val deletes =
       if (withDeletes) manifestDeletes(spark, f, tableDir, v) else Nil
+    val chain = renameChain(f, tableDir, v)
     val scans = manifestDirs(f, tableDir, v).map { e =>
       val u = entryUnit(f, tableDir, e)
       // tombstones apply per data entry (only those NEWER than it), so
-      // the applicable-set joins the grouping key: entries under the
-      // same tombstones still collapse into one multi-root scan
+      // the applicable-set joins the grouping key — as does the
+      // entry's pending rename-chain suffix
       (u, scanUnit(spark, u).schema,
-        deletes.filter(_.ver > entryVer(e)).map(_.ver))
+        deletes.filter(_.ver > entryVer(e)).map(_.ver),
+        chain.filter(_._1 > entryVer(e)))
     }
-    // group runs of identical (basePath, schema, applicable deletes)
-    // into one multi-path read; a partitioned root's basePath is
-    // itself, so it stays alone
+    // group runs of identical (basePath, schema, applicable deletes,
+    // pending renames) into one multi-path read; a partitioned root's
+    // basePath is itself, so it stays alone
     val grouped = scans.foldLeft(List.empty[(ScanUnit,
-        org.apache.spark.sql.types.StructType, Seq[Int])]) {
-      case ((g, sch, dv) :: rest, (u, s, d))
-          if s == sch && g.basePath == u.basePath && dv == d =>
+        org.apache.spark.sql.types.StructType, Seq[Int],
+        Seq[(Int, String, String)])]) {
+      case ((g, sch, dv, rn) :: rest, (u, s, d, r))
+          if s == sch && g.basePath == u.basePath && dv == d && rn == r =>
         (ScanUnit(g.paths ++ u.paths, g.basePath,
-          g.epoch + "|" + u.epoch), sch, dv) :: rest
-      case (acc, (u, s, d)) => (u, s, d) :: acc
+          g.epoch + "|" + u.epoch), sch, dv, rn) :: rest
+      case (acc, (u, s, d, r)) => (u, s, d, r) :: acc
     }.reverse
-    hideDerived(grouped.map { case (u, _, dv) =>
+    hideDerived(grouped.map { case (u, _, dv, rn) =>
       val base = scanUnit(spark, u)
       // the provenance scan for positional deletes needs each row's
       // (file, ordinal): project the reader's hidden _metadata columns
@@ -752,7 +817,10 @@ object Versioned {
           .withColumn(MetaFileCol, col("_metadata.file_path"))
           .withColumn(MetaPosCol, col("_metadata.row_index"))
         else base
-      applyDeletes(scan, deletes.filter(t => dv.contains(t.ver)))
+      // rename BEFORE tombstones: the key frames were renamed to the
+      // read version's names too, so the anti-joins line up
+      applyDeletes(applyRenames(scan, rn, Int.MinValue),
+        deletes.filter(t => dv.contains(t.ver)))
     }.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
 
@@ -902,6 +970,44 @@ object Versioned {
       ownDirInManifest = false, writeData = false)
   }
 
+  /** RENAME a column — METADATA-ONLY, the Iceberg field-id rename
+    * analog: publishes a new version whose manifest links every entry
+    * of the current snapshot unchanged and whose `_rename` sidecar
+    * records the step. No data file is rewritten; files written under
+    * the old name keep resolving through the composed rename chain
+    * ([[renameChain]] — identity by composition rather than stored
+    * field ids), so the column's values never null out under the new
+    * name (the failure a purely name-keyed union would produce).
+    * Old snapshots keep their own names: time travel shows the schema
+    * as it was written. [[vacuum]] pins rename versions while any
+    * linked entry predates them; [[compact]] rewrites data under
+    * current names, making old steps inert and reclaimable. */
+  def renameColumn(spark: SparkSession, tableDir: String,
+      from: String, to: String,
+      note: Option[String] = None): Int = withCommitRetry() {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    require(to.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"renamed column must be a plain identifier, got '$to' " +
+        "(the persisted chain format)")
+    val cols = read(spark, tableDir, Some(cur)).columns.toSeq
+    require(cols.contains(from),
+      s"no column '$from' at $tableDir v=$cur " +
+        s"(columns: ${cols.mkString(", ")})")
+    require(!cols.contains(to),
+      s"column '$to' already exists at $tableDir v=$cur")
+    val f = fs(spark, tableDir)
+    // hint BEFORE the commit: readers probe it to skip chain lookups
+    // on never-renamed tables; a false positive from a lost race is a
+    // harmless extra probe, a missing hint would be silent wrong reads
+    val hint = new Path(tableDir, RenamesHint)
+    if (!f.exists(hint)) f.create(hint, true).close()
+    commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
+      partitionCol = None, note = note, statsCols = Nil,
+      linkBase = Some(cur), ownDirInManifest = false,
+      writeData = false, rename = Some((from, to)))
+  }
+
   /** Absolute, URI-decoded filesystem path of the table root — the
     * prefix stripped to turn provenance/listing paths table-relative. */
   private def qualifiedRoot(f: FileSystem, tableDir: String): String =
@@ -950,14 +1056,17 @@ object Versioned {
       rels: Seq[String],
       deletes: Seq[Tomb] = Nil): DataFrame = {
     val f = fs(spark, tableDir)
+    // rewrites run at the CURRENT version: rename each file group
+    // forward so the rewritten output carries today's names
+    val chain = renameChain(f, tableDir, Int.MaxValue)
     hideDerived(rels.groupBy(_.split("/").head).toSeq.sortBy(_._1)
       .map { case (vdir, files) =>
         val ver = vdir.stripPrefix("v=").toInt
         applyDeletes(
-          scanUnit(spark, ScanUnit(
+          applyRenames(scanUnit(spark, ScanUnit(
             files.map(r => new Path(tableDir, r).toString),
             Some(new Path(tableDir, vdir).toString),
-            ownerEpoch(f, tableDir, vdir))),
+            ownerEpoch(f, tableDir, vdir))), chain, ver),
           deletes.filter(_.ver > ver))
       }
       .reduce(_.unionByName(_, allowMissingColumns = true)))
@@ -1508,8 +1617,25 @@ object Versioned {
     // reference count below, like any retained manifest's)
     val tagged = tags(spark, tableDir).values.toSet ++
       branches(spark, tableDir).values
-    val expired = all.filter(_ != cur).dropRight(math.max(0, keep - 1))
+    val expired0 = all.filter(_ != cur).dropRight(math.max(0, keep - 1))
       .filterNot(tagged.contains)
+    // RENAME versions stay pinned while any surviving manifest line is
+    // OLDER than them: expiring the `_rename` sidecar would silently
+    // re-read old files under their old names — a nulled column, wrong
+    // results. Inert once every linked line is newer (a full compact
+    // gets there); the minimum is taken over the conservative superset
+    // of retained + rename manifests.
+    val renameVers = all.filter(rv =>
+      f.exists(new Path(tableDir, s"v=$rv/$RenameFile"))).toSet
+    val expired =
+      if (renameVers.isEmpty) expired0
+      else {
+        val minEntry = (all.diff(expired0) ++ renameVers).distinct
+          .flatMap(v => manifestLines(f, tableDir, v))
+          .map(l => entryVer(l.stripPrefix(DeletePrefix)))
+          .minOption.getOrElse(cur)
+        expired0.filterNot(rv => renameVers(rv) && rv > minEntry)
+      }
     val retained = all.diff(expired)
     // tombstone lines reference their `v=K/_deletes` dir: an expired
     // version whose delete files a retained snapshot still applies
@@ -2568,6 +2694,7 @@ object Versioned {
       if (wantNull) col(c).isNull else col(c).isNotNull
     }).reduce(_ && _)
     val colNames = ranges.map(_._1) ++ nullPreds.map(_._1)
+    val chain = renameChain(f, tableDir, v)
     val entryInfo = manifestDirs(f, tableDir, v).map { dn =>
       val isFile = f.getFileStatus(new Path(tableDir, dn)).isFile
       // a FILE entry's stats (and partition-value basePath) live in
@@ -2651,16 +2778,30 @@ object Versioned {
     // tables) simply scan by stats alone.
     val specs = scala.collection.mutable
       .Map.empty[String, Option[(Transform, String, Option[String])]]
-    def partPred(vroot: String): Option[Column] =
+    def partPred(vroot: String,
+        rn: Seq[(Int, String, String)]): Option[Column] =
       specs.getOrElseUpdate(vroot, readTspec(f, tableDir, vroot))
         .flatMap { case (t, dt, zone) =>
-          ranges.collectFirst { case (c, lo, hi) if c == t.source =>
+          // a pending rename touching the transform's source makes the
+          // spec's name stale for this root — skip partition pruning
+          // rather than prune on the wrong column
+          if (rn.exists(r => r._2 == t.source || r._3 == t.source)) None
+          else ranges.collectFirst { case (c, lo, hi) if c == t.source =>
             t.rangePred(lo, hi, dt, zone)
           }.flatten
         }
     val parts = entryInfo.flatMap { case (dn, isFile, vroot) =>
       lazy val full = scanUnit(spark, entryUnit(f, tableDir, dn))
-      val st = byRoot.getOrElse(vroot, Nil)
+      val rn = chain.filter(_._1 > entryVer(dn))
+      // stats sidecars carry the entry's WRITE-time column names: a
+      // pending rename over any requested column makes them stale, so
+      // that entry degrades to a full scan (the renamed post-scan
+      // filter stays correct) — degrade, never prune on the wrong
+      // physical column
+      val renamedCols = rn.flatMap(r => Seq(r._2, r._3)).toSet
+      val st =
+        if (colNames.exists(renamedCols.contains)) Nil
+        else byRoot.getOrElse(vroot, Nil)
       val stFiles =
         (if (isFile) st.map(_.file)
           .filter(_ == dn.stripPrefix(vroot + "/"))
@@ -2680,8 +2821,11 @@ object Versioned {
         }
       // merge-on-read tombstones newer than this entry apply here too —
       // a pruned read must agree with read().filter
-      scan.map(s => applyDeletes(partPred(vroot).fold(s)(s.filter),
-        deletes.filter(_.ver > entryVer(dn))))
+      scan.map { s0 =>
+        val s = applyRenames(s0, rn, Int.MinValue)
+        applyDeletes(partPred(vroot, rn).fold(s)(s.filter),
+          deletes.filter(_.ver > entryVer(dn)))
+      }
     }
     if (parts.isEmpty) read(spark, tableDir, Some(v)).filter(lit(false))
     else hideDerived(

@@ -720,6 +720,73 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: renameColumn is metadata-only and never nulls") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val t = s"$work/versioned_rename"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), t,
+      statsCols = Seq("id"))
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t)
+    def dataState() = Files.walk(Paths.get(t)).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => p.toString -> (Files.getLastModifiedTime(p),
+        Files.size(p))).toMap
+    val before = dataState()
+    assert(Versioned.renameColumn(spark, t, "id", "ident") == 3)
+    // METADATA-ONLY: not one data file touched
+    assert(dataState() == before)
+    // values resolve under the new name — never a nulled column
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("ident", "v"))
+    assert(Versioned.read(spark, t).select("ident").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    // old snapshots keep the schema they were written with
+    assert(Versioned.read(spark, t, Some(2)).columns.toSeq ==
+      Seq("id", "v"))
+    // appends after the rename mix old- and new-name files in one scan
+    Versioned.append(Seq((4, "d")).toDF("ident", "v"), t)
+    assert(Versioned.read(spark, t).select("ident").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3, 4))
+    // copy-on-write merges rewrite across the rename boundary
+    Versioned.upsert(spark, t, Seq((2, "B")).toDF("ident", "v"), "ident")
+    assert(Versioned.read(spark, t).filter(col("ident") === 2)
+      .select("v").head().getString(0) == "B")
+    // merge-on-read tombstones keyed by the NEW name delete rows that
+    // live in OLD-name files
+    Versioned.deleteRows(spark, t, Seq(1).toDF("ident"))
+    assert(Versioned.read(spark, t).select("ident").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+    // pruned reads filter correctly on the renamed column (stats under
+    // the old name degrade to a scan, never mis-prune)
+    assert(Versioned.readWhere(spark, t, "ident", 3, 4)
+      .select("ident").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(3, 4))
+    // renames CHAIN
+    assert(Versioned.renameColumn(spark, t, "ident", "id2") == 7)
+    assert(Versioned.read(spark, t).select("id2").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+    // the SQL catalog sees the renamed schema
+    val abs = new java.io.File(t).getAbsolutePath
+    assert(spark.table(s"graft.`$abs`").columns.toSeq == Seq("id2", "v"))
+    // vacuum pins the rename steps while old-name files are linked
+    Versioned.vacuum(spark, t, keep = 1)
+    assert(Versioned.read(spark, t).select("id2").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+    // compact materializes current names; reads unchanged
+    Versioned.compact(spark, t)
+    assert(Versioned.read(spark, t).select("id2").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 3, 4))
+    // guardrails
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, t, "missing", "x")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, t, "id2", "v")
+    }
+  }
+
   test("versioned table: compactDeletes rewrites only tombstoned files") {
     import spark.implicits._
     import graft.sources.Versioned

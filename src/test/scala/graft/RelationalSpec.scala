@@ -11,6 +11,23 @@ class RelationalSpec extends SparkSpec {
     assert(n == direct && n > 0)
   }
 
+  test("countAll answers from parquet footers, not a row scan") {
+    val plan = Relational.countAll(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregation: [COUNT(*)]"), plan.take(800))
+    assert(plan.contains("ReadSchema: struct<count(*):bigint>"))
+    // the conf clone must not leak: the session's own reads keep the
+    // default (v1) parquet path, where q02's filter pushdown lives
+    assert(spark.conf.get("spark.sql.parquet.aggregatePushdown")
+      == "false")
+    // and a FILTERED count on the pushdown-enabled path would not push
+    // the aggregate — predicate evaluation needs row values (why q02
+    // keeps its pushed-filter scan instead)
+    val filteredPlan = Relational.filteredCount(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!filteredPlan.contains("PushedAggregation: [COUNT(*)]"))
+  }
+
   test("groupAgg returns one row per return flag, ordered") {
     val rows = Relational.groupAgg(spark, sf).collect()
     val flags = rows.map(_.getString(0)).toSeq
