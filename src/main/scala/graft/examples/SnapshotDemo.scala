@@ -50,12 +50,32 @@ object SnapshotDemo {
       key = "r_regionkey", transform = days)
     println(s"SNAPSHOT_AFTER_CDC=${Versioned.read(spark, t).count()}")
 
-    // SQL time travel over the whole history
-    Versioned.registerVersions(spark, t, "demo_region")
+    // SQL time travel through the native catalog — no registration
     val tt = spark.sql(
-      """SELECT (SELECT count(*) FROM demo_region_v2) AS v2,
-                (SELECT count(*) FROM demo_region) AS cur""").head()
+      s"""SELECT (SELECT count(*) FROM graft.`$t` VERSION AS OF 2) AS v2,
+                 (SELECT count(*) FROM graft.`$t`) AS cur""").head()
     println(s"SNAPSHOT_SQL_TT=v2:${tt.getLong(0)},cur:${tt.getLong(1)}")
+
+    // write-audit-publish: stage on a branch, audit, fast-forward
+    Versioned.createBranch(spark, t, "staging")
+    Versioned.append(
+      Seq((90, "STAGED",
+        java.sql.Timestamp.valueOf("2024-01-05 00:00:00")))
+        .toDF("r_regionkey", "r_name", "ts"),
+      t, transform = days, branch = Some("staging"))
+    val audit = spark.sql(
+      s"""SELECT (SELECT count(*) FROM graft.`$t`) AS main,
+                 (SELECT count(*) FROM graft.`$t`
+                    VERSION AS OF 'staging') AS staged""").head()
+    Versioned.fastForward(spark, t, from = "staging")
+    println(s"SNAPSHOT_WAP=main:${audit.getLong(0)}," +
+      s"staged:${audit.getLong(1)}," +
+      s"published:${Versioned.read(spark, t).count()}")
+
+    // metadata-only rename: old files resolve under the new name
+    Versioned.renameColumn(spark, t, "r_name", "region_name")
+    println("SNAPSHOT_RENAMED=" + Versioned.read(spark, t)
+      .filter(col("region_name") === "STAGED").count())
 
     // tag the audited snapshot, compact, expire everything untagged
     Versioned.tag(spark, t, "audited", Some(2))

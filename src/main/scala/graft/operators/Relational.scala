@@ -36,16 +36,24 @@ object Relational {
     * `ReadSchema: struct<count(*):bigint>` — at 100 TB the answer is
     * O(files) metadata reads instead of a table scan. Aggregate
     * pushdown lives in the DSv2 parquet reader, so the two confs that
-    * enable it are scoped to a session CLONE (shared context, cache,
-    * and catalog; private conf) — every other query keeps the default
-    * reader. Filtered counts (q02) CANNOT use this: a predicate needs
-    * row values, footers only have per-group counts and min/max, so
-    * Spark correctly refuses to push COUNT under any data filter and
-    * those plans keep the pushed-FILTER scan instead. */
+    * enable it live on a sibling session (same SparkContext and cached
+    * data; its OWN conf and temp-view registry — `newSession`
+    * isolates the catalog, which is fine for these path-based reads),
+    * built once per parent session — every other query keeps the
+    * default reader. Filtered counts (q02) CANNOT use this: a
+    * predicate needs row values, footers only have per-group counts
+    * and min/max, so Spark correctly refuses to push COUNT under any
+    * data filter and those plans keep the pushed-FILTER scan. */
+  private val pushdownSessions = new java.util.concurrent
+    .ConcurrentHashMap[SparkSession, SparkSession]()
+
   def countAll(s: SparkSession, d: String): DataFrame = {
-    val c = s.newSession()
-    c.conf.set("spark.sql.sources.useV1SourceList", "")
-    c.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val c = pushdownSessions.computeIfAbsent(s, parent => {
+      val n = parent.newSession()
+      n.conf.set("spark.sql.sources.useV1SourceList", "")
+      n.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      n
+    })
     Tables.load(c, d, "lineitem").agg(count(lit(1)).as("cnt"))
   }
 

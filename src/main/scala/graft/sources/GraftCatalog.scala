@@ -104,17 +104,43 @@ class GraftCatalog extends TableCatalog {
   private def display(ident: Identifier): String =
     (catName +: ident.namespace.toSeq :+ ident.name).mkString(".")
 
+  /** Snapshot schemas are immutable, so they memoize per (table,
+    * version, publish-marker mtime) — the marker stamp keys out a
+    * table dropped and recreated at the same path, the schemaMemo
+    * pattern. Halves the per-reference metadata walks: the analyzer
+    * rule still builds one fresh read() plan per occurrence (each
+    * needs its own expression ids), but resolution stops paying a
+    * second full plan construction just to learn the schema. */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, StructType]()
+
   private def load(ident: Identifier, version: Option[Int]): Table = {
     val dir = dirOf(ident)
     val cur = Try(Versioned.currentVersion(spark, dir)).getOrElse(0)
     if (cur == 0)
       throw new NoSuchTableException(ident.namespace :+ ident.name)
     val v = version.getOrElse(cur)
-    require(Versioned.versions(spark, dir).contains(v),
+    val vs = Versioned.versions(spark, dir)
+    require(vs.contains(v),
       s"version $v of ${display(ident)} is not retained " +
-        s"(retained: ${Versioned.versions(spark, dir).mkString(", ")})")
-    new GraftVersionedTable(dir, v,
-      Versioned.read(spark, dir, Some(v)).schema, display(ident))
+        s"(retained: ${vs.mkString(", ")})")
+    val stamp = Try(new Path(dir, s"_commit_$v")
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .getFileStatus(new Path(dir, s"_commit_$v"))
+      .getModificationTime).toOption
+    val schema = stamp match {
+      case None => // marker probe failed: resolve fresh, never memo a guess
+        Versioned.read(spark, dir, Some(v)).schema
+      case Some(st) =>
+        val key = s"$dir $v $st"
+        Option(schemaMemo.get(key)).getOrElse {
+          val sc = Versioned.read(spark, dir, Some(v)).schema
+          if (schemaMemo.size > 10000) schemaMemo.clear()
+          schemaMemo.put(key, sc)
+          sc
+        }
+    }
+    new GraftVersionedTable(dir, v, schema, display(ident))
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -163,30 +189,28 @@ class GraftCatalog extends TableCatalog {
       .map(p => Identifier.of(namespace, p.getName))
   }
 
-  /** CREATE TABLE commits an empty v=1 with the declared schema, so
-    * SQL DDL and programmatic appends compose. Only identity
-    * partitioning maps onto [[Versioned.commit]]'s `partitionCol`;
-    * hidden transforms are created programmatically (the `Transform`
-    * api of [[Versioned]]), not through DDL. */
+  /** CREATE TABLE commits an empty (unpartitioned) v=1 with the
+    * declared schema, so SQL DDL and programmatic appends compose.
+    * `PARTITIONED BY` is refused: partitioning here is a per-commit
+    * WRITE property ([[Versioned.commit]]'s `partitionCol` / hidden
+    * `Transform`s), and a partitionBy write of an EMPTY frame emits
+    * zero parquet files — publishing that would brick every later
+    * read (the same guard mergeFiles/compactSmall carry). */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new IllegalStateException(
         s"table ${display(ident)} already exists")
-    val partCol = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name == "identity" && t.references.length == 1 =>
-        Some(t.references.head.fieldNames.mkString("."))
-      case other => throw new UnsupportedOperationException(
-        s"only identity partitioning is supported in DDL, got " +
-          s"${other.mkString(", ")}; use Versioned's programmatic " +
-          "Transform api for hidden partitioning")
-    }
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "PARTITIONED BY is not supported in DDL: partitioning is a " +
+          "per-commit write property — create unpartitioned, then " +
+          "pass partitionCol or a hidden Transform on data commits " +
+          "(Versioned.commit/append)")
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
-    Versioned.commit(empty, dirOf(ident), partitionCol = partCol,
-      note = Some("CREATE TABLE"))
+    Versioned.commit(empty, dirOf(ident), note = Some("CREATE TABLE"))
     load(ident, None)
   }
 

@@ -96,6 +96,16 @@ object Versioned {
     * herding committers de-synchronize. After `attempts` losses the
     * race surfaces — a pathologically contended table should fail
     * loudly, not spin. */
+  /** Public form of the bounded commit-race retry, for CALLERS that
+    * own their re-derivation: a copy-on-write merge surfaces
+    * [[CommitRaceException]] (its rewrite was computed against the
+    * superseded snapshot), and a caller that re-runs the WHOLE merge
+    * from scratch — a streaming sink re-deriving its batch, say — is
+    * rebase-safe again and wraps the call here instead of hand-rolling
+    * the same catch/backoff loop. */
+  def retryOnRace[T](attempts: Int = 5)(op: => T): T =
+    withCommitRetry(attempts)(op)
+
   private def withCommitRetry[T](attempts: Int = 5)(op: => T): T = {
     var backoff = 25L
     var n = 0
@@ -242,18 +252,30 @@ object Versioned {
     if (!f.exists(new Path(tableDir, RenamesHint))) return Nil
     val dir = new Path(tableDir)
     if (!f.exists(dir)) return Nil
-    markerVersions(f.listStatus(dir).toSeq).filter(_ <= upTo)
-      .flatMap { k =>
-        val p = new Path(tableDir, s"v=$k/$RenameFile")
-        if (!f.exists(p)) None
-        else Try {
-          val in = f.open(p)
-          val s = try new String(in.readAllBytes(), "UTF-8")
-            finally in.close()
-          val a = s.trim.split("\t")
-          (k, a(0), a(1))
-        }.toOption
-      }
+    val st = f.listStatus(dir).toSeq
+    val steps = markerVersions(st).filter(_ <= upTo).flatMap { k =>
+      val p = new Path(tableDir, s"v=$k/$RenameFile")
+      if (!f.exists(p)) None
+      else Try {
+        val in = f.open(p)
+        val s = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+        val a = s.trim.split("\t")
+        (k, a(0), a(1))
+      }.toOption
+    }
+    if (steps.isEmpty ||
+      !st.exists(_.getPath.getName.startsWith(BranchPrefix))) steps
+    else {
+      // BRANCHED table: a rename is a commit on ONE line of history —
+      // a main-side rename must not restyle a diverged branch's
+      // snapshots (whose own commits still write the old name). Keep
+      // only steps on the read version's parent chain.
+      val anc = scala.collection.mutable.HashSet[Int]()
+      var w = upTo
+      while (w > 0 && anc.add(w)) w = refInfo(f, tableDir, w)._2
+      steps.filter(s => anc.contains(s._1))
+    }
   }
 
   /** Rename `df` (an entry scan or tombstone frame written at
@@ -883,11 +905,16 @@ object Versioned {
       val gap = ((v + 1) until vs(i + 1)).filterNot(vs0.contains)
       val log = expiredLog(f, tableDir, retained = vs0.toSet)
       if (gap.forall(log.contains)) {
-        val shadow = gap.filter(g => log(g) <= asOfMillis)
+        // only expired MAIN history makes the state unknowable; an
+        // expired foreign-branch commit in the gap was never main's
+        // state, so the answer is still v
+        val shadow = gap.filter(g => log.get(g).exists {
+          case (m, br) => br == MainBranch && m <= asOfMillis
+        })
         if (shadow.nonEmpty) throw new IllegalArgumentException(
           s"v=${shadow.head} at $tableDir was published at " +
-            s"${log(shadow.head)} (<= $asOfMillis) and expired; the " +
-            s"state at $asOfMillis is not retained")
+            s"${log(shadow.head)._1} (<= $asOfMillis) and expired; " +
+            s"the state at $asOfMillis is not retained")
       } else if (asOfMillis > mtime(v))
         throw new IllegalArgumentException(
           s"history between v=$v and v=${vs(i + 1)} at $tableDir was " +
@@ -898,16 +925,20 @@ object Versioned {
 
   private val ExpiredLogFile = "_expired.tsv"
 
-  /** Publish instants of EXPIRED versions (`version \t marker mtime`
-    * lines), appended by [[vacuum]] as it removes markers — the
-    * memory [[readAsOf]] needs to resolve times inside expired history
-    * exactly instead of refusing whole gaps. Entries for versions in
-    * `retained` — still published — are dropped (a vacuum that crashed
-    * between logging and marker removal); an absent or unreadable log
-    * returns empty and readAsOf degrades to its conservative
-    * refusal. */
+  /** Publish instants + branch of EXPIRED versions
+    * (`version \t marker mtime [\t branch]` lines), appended by
+    * [[vacuum]] as it removes markers — the memory [[readAsOf]] needs
+    * to resolve times inside expired history exactly instead of
+    * refusing whole gaps, and the branch distinguishes expired MAIN
+    * history (state unknowable — refuse) from an expired foreign
+    * branch's commits (never main's state — the gap resolves to the
+    * prior main version). Legacy two-field lines parse as main, the
+    * conservative refusal. Entries for versions in `retained` — still
+    * published — are dropped (a vacuum that crashed between logging
+    * and marker removal); an absent or unreadable log returns empty
+    * and readAsOf degrades to its conservative refusal. */
   private def expiredLog(f: FileSystem, tableDir: String,
-      retained: Set[Int]): Map[Int, Long] = {
+      retained: Set[Int]): Map[Int, (Long, String)] = {
     val p = new Path(tableDir, ExpiredLogFile)
     if (!f.exists(p)) return Map.empty
     Try {
@@ -919,7 +950,11 @@ object Versioned {
           case Array(v0, m0) => for {
             v <- Try(v0.toInt).toOption
             m <- Try(m0.toLong).toOption
-          } yield v -> m
+          } yield v -> (m, MainBranch)
+          case Array(v0, m0, br) => for {
+            v <- Try(v0.toInt).toOption
+            m <- Try(m0.toLong).toOption
+          } yield v -> (m, br)
           case _ => None
         }
       }.toMap
@@ -1056,9 +1091,10 @@ object Versioned {
       rels: Seq[String],
       deletes: Seq[Tomb] = Nil): DataFrame = {
     val f = fs(spark, tableDir)
-    // rewrites run at the CURRENT version: rename each file group
-    // forward so the rewritten output carries today's names
-    val chain = renameChain(f, tableDir, Int.MaxValue)
+    // rewrites run at the CURRENT (main) version: rename each file
+    // group forward so the rewritten output carries today's names (a
+    // concrete version — the chain's lineage walk starts from it)
+    val chain = renameChain(f, tableDir, currentVersion(spark, tableDir))
     hideDerived(rels.groupBy(_.split("/").head).toSeq.sortBy(_._1)
       .map { case (vdir, files) =>
         val ver = vdir.stripPrefix("v=").toInt
@@ -1334,9 +1370,15 @@ object Versioned {
       if (deleteKeys.isEmpty) None else Some(delKeys)
     mergeFiles(spark, tableDir,
       matches = _.join(keys, Seq(key), "left_semi"),
-      rewrite = _.join(keys, Seq(key), "left_anti")
-        .join(delKeys, Seq(key), "left_anti")
-        .unionByName(upserts, allowMissingColumns = true),
+      rewrite = d => {
+        val noUp = d.join(keys, Seq(key), "left_anti")
+        // NULL-SAFE like the tombstone's read-side anti-join: the
+        // rewrite exempts its own files from the riding tombstone
+        // (sequence rule), so a null delete key must remove null rows
+        // here too or deletion would depend on file placement
+        noUp.join(delKeys, noUp(key) <=> delKeys(key), "left_anti")
+          .unionByName(upserts, allowMissingColumns = true)
+      },
       partitionCol, statsCols, range, transform, note, delOpt)
       // no existing file touched: the batch appends + tombstones in
       // ONE linked commit (the table is non-empty — bootstrap returned
@@ -1654,15 +1696,19 @@ object Versioned {
     // expired gap exactly. A crash after the log write leaves entries
     // for still-published versions, which expiredLog ignores.
     if (expired.nonEmpty) {
+      // branch recorded while the version dir still exists: readAsOf
+      // uses it to tell expired main history (refuse) from an expired
+      // foreign branch's commits (never main's state)
       val instants = expired.flatMap { v =>
         Try(f.getFileStatus(new Path(tableDir, s"$MarkerPrefix$v"))
-          .getModificationTime).toOption.map(v -> _)
+          .getModificationTime).toOption
+          .map(m => v -> (m, refInfo(f, tableDir, v)._1))
       }.toMap
       val merged = expiredLog(f, tableDir, retained = Set.empty) ++
         instants
       val out = f.create(new Path(tableDir, ExpiredLogFile), true)
-      try out.write(merged.toSeq.sorted
-        .map { case (v, m) => s"$v\t$m" }.mkString("\n")
+      try out.write(merged.toSeq.sortBy(_._1)
+        .map { case (v, (m, br)) => s"$v\t$m\t$br" }.mkString("\n")
         .getBytes("UTF-8"))
       finally out.close()
     }
@@ -1805,19 +1851,44 @@ object Versioned {
   val MainBranch = "main"
   private val RefFile = "_ref"
 
+  /** Published `_ref` sidecars are immutable, so their content memoizes
+    * per (table, version, file stamp) — the stamp (mtime + length, one
+    * stat instead of open/read) keys out the drop-and-recreate-at-the-
+    * same-path hazard the way schemaMemo's epoch does. Head resolution
+    * walks one refInfo per marker above a branch's ref floor; the memo
+    * turns a busy sibling branch's backlog into stat probes. */
+  private val refMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
   /** (branch, parent version) of snapshot `v`, from the `v=K/_ref`
     * sidecar every commit stages (atomic with the claim). A version
     * WITHOUT one — all pre-branch history — is main's with parent
     * v-1, which is exactly what linear history was. */
   private def refInfo(f: FileSystem, tableDir: String,
-      v: Int): (String, Int) =
-    Try {
-      val in = f.open(new Path(tableDir, s"v=$v/$RefFile"))
-      val s = try new String(in.readAllBytes(), "UTF-8")
-        finally in.close()
-      val a = s.trim.split("\t")
-      (a(0), a(1).toInt)
-    }.getOrElse((MainBranch, v - 1))
+      v: Int): (String, Int) = {
+    val p = new Path(tableDir, s"v=$v/$RefFile")
+    val stamp = Try(f.getFileStatus(p)).toOption
+    stamp match {
+      case None => (MainBranch, v - 1) // legacy/pre-branch version
+      case Some(st) =>
+        val key = s"$tableDir|$v|" +
+          s"${st.getModificationTime}_${st.getLen}"
+        val cached = refMemo.get(key)
+        if (cached != null) cached
+        else {
+          val info = Try {
+            val in = f.open(p)
+            val s = try new String(in.readAllBytes(), "UTF-8")
+              finally in.close()
+            val a = s.trim.split("\t")
+            (a(0), a(1).toInt)
+          }.getOrElse((MainBranch, v - 1))
+          if (refMemo.size > 10000) refMemo.clear()
+          refMemo.put(key, info)
+          info
+        }
+    }
+  }
 
   private def hasBranchRefs(f: FileSystem, tableDir: String): Boolean = {
     val dir = new Path(tableDir)
@@ -1919,9 +1990,18 @@ object Versioned {
     * write-audit-publish. Refused unless `to`'s head is an ANCESTOR of
     * `from`'s head (walking the per-version `_ref` parent chain): a
     * fast-forward that would drop commits is a rollback in disguise
-    * and must be asked for explicitly ([[rollback]]). */
+    * and must be asked for explicitly ([[rollback]]).
+    *
+    * Publishes as a metadata-only COMMIT on `to` (returning the new
+    * version) rather than a bare ref move: the commit enters the
+    * global version-slot race with `linkBase = to`'s head as its CAS,
+    * so a commit landing on `to` concurrently either loses the slot
+    * and rebases onto the published result, or makes THIS call lose,
+    * re-resolve, and re-check ancestry (now failing loudly — the head
+    * moved and the audit must be redone). A bare ref move raced those
+    * commits unserialized and could silently drop their rows. */
   def fastForward(spark: SparkSession, tableDir: String,
-      from: String, to: String = MainBranch): Int = {
+      from: String, to: String = MainBranch): Int = withCommitRetry() {
     val f = fs(spark, tableDir)
     val fromV = branchHead(spark, tableDir, from)
     val toV = branchHead(spark, tableDir, to)
@@ -1937,8 +2017,14 @@ object Versioned {
       s"'$to' (v=$toV) is not an ancestor of '$from' (v=$fromV) at " +
         s"$tableDir: fast-forward would drop commits; rollback or " +
         "re-branch instead")
-    moveRef(f, tableDir, BranchPrefix, to, fromV)
-    fromV
+    commitStaged(read(spark, tableDir, Some(fromV)).limit(0), tableDir,
+      partitionCol = None,
+      note = Some(s"fastForward $to <- $from (v=$fromV)"),
+      statsCols = Nil,
+      linkBase = Some(toV), // the CAS: head moved => lose, re-resolve
+      linkEntries = Some(manifestLines(f, tableDir, fromV)),
+      ownDirInManifest = false, writeData = false,
+      branch = if (to == MainBranch) None else Some(to))
   }
 
   /** Remove a branch ref; its unpublished commits become expirable by

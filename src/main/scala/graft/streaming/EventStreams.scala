@@ -200,35 +200,23 @@ object EventStreams {
           val replay = la.exists(_ >= batchId) ||
             graft.sources.Versioned.noteRecorded(spark, tableDir, note,
               stopNote = la.map(b => s"stream=$streamId;batch=$b"))
-          if (!replay) {
-            // A lost commit race (a concurrent compactSmall, another
-            // writer) is re-run FROM SCRATCH: the losing attempt
-            // published nothing, and re-invoking applyChanges
-            // recomputes its touched-file provenance against the new
-            // current snapshot — a fresh merge, never a stale replay.
-            // (The library call itself surfaces the race: a CoW
-            // merge's rewrite was computed against the superseded
-            // snapshot, so retrying is the CALLER's decision; a
-            // streaming sink owns its batches and must land them.)
-            // Bounded so a pathologically contended table fails the
-            // batch loudly instead of spinning.
-            var attempts = 0
-            var done = false
-            while (!done) {
-              try {
-                graft.sources.Versioned.applyChanges(spark, tableDir,
-                  upserts =
-                    batch.filter(col("op") === "upsert").drop("op"),
-                  deleteKeys = batch.filter(col("op") === "delete"),
-                  key = key, note = Some(note))
-                done = true
-              } catch {
-                case e: graft.sources.Versioned.CommitRaceException =>
-                  attempts += 1
-                  if (attempts > 5) throw e
-                  Thread.sleep(50L * attempts)
-              }
-            }
+          // A lost commit race (a concurrent compactSmall, another
+          // writer) is re-run FROM SCRATCH: the losing attempt
+          // published nothing, and re-invoking applyChanges recomputes
+          // its touched-file provenance against the new current
+          // snapshot — a fresh merge, never a stale replay. (The
+          // library call itself surfaces the race: a CoW merge's
+          // rewrite was computed against the superseded snapshot, so
+          // retrying is the CALLER's decision; a streaming sink owns
+          // its batches and must land them.) retryOnRace is the
+          // library's bounded exponential-backoff-with-jitter loop —
+          // the same policy its internal rebase-safe ops use, so two
+          // herding committers de-synchronize instead of re-colliding.
+          if (!replay) graft.sources.Versioned.retryOnRace() {
+            graft.sources.Versioned.applyChanges(spark, tableDir,
+              upserts = batch.filter(col("op") === "upsert").drop("op"),
+              deleteKeys = batch.filter(col("op") === "delete"),
+              key = key, note = Some(note))
           }
           graft.sources.Versioned.recordApplied(spark, tableDir,
             streamId, batchId)

@@ -348,6 +348,24 @@ class EtlSpec extends SparkSpec {
       Versioned.upsert(spark, t,
         Seq((Option.empty[Int], "x")).toDF("id", "v"), "id")
     }
+    // applyChanges with a null DELETE key: the rewrite's anti-join is
+    // null-safe like the riding tombstone, so null rows die in
+    // REWRITTEN files exactly as in untouched ones — deletion must
+    // never depend on physical file placement. File A holds (3, null),
+    // file B holds (7, null); upserting key 3 touches only A.
+    val t2 = s"$work/versioned_null_cdc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t2))
+    Versioned.commit(
+      Seq((Some(3), "a3"), (Option.empty[Int], "na")).toDF("id", "v")
+        .coalesce(1), t2)
+    Versioned.append(
+      Seq((Some(7), "b7"), (Option.empty[Int], "nb")).toDF("id", "v")
+        .coalesce(1), t2)
+    Versioned.applyChanges(spark, t2,
+      upserts = Seq((Some(3), "A3")).toDF("id", "v"),
+      deleteKeys = Seq(Option.empty[Int]).toDF("id"), key = "id")
+    assert(Versioned.read(spark, t2).select("v").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("A3", "b7"))
   }
 
   test("versioned table: drop-and-recreate at the same path reads the new schema") {
@@ -875,10 +893,12 @@ class EtlSpec extends SparkSpec {
       .head().getLong(0) == 4)
     assert(Versioned.branches(spark, t) ==
       Map("main" -> 2, "staging" -> 4))
-    // PUBLISH: metadata-only fast-forward
-    assert(Versioned.fastForward(spark, t, from = "staging") == 4)
+    // PUBLISH: metadata-only fast-forward — republishes the staged
+    // manifest as a new commit on main (slot-race serialized with any
+    // concurrent main committer), so the version advances
+    assert(Versioned.fastForward(spark, t, from = "staging") == 5)
     assert(Versioned.read(spark, t).count() == 4)
-    assert(Versioned.currentVersion(spark, t) == 4)
+    assert(Versioned.currentVersion(spark, t) == 5)
     // main keeps advancing past the publish point
     Versioned.append(Seq((5, "e")).toDF("id", "v"), t)
     assert(Versioned.read(spark, t).count() == 5)
@@ -909,6 +929,48 @@ class EtlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Versioned.append(Seq((6, "f")).toDF("id", "v"), t,
         branch = Some("nope"))
+    }
+  }
+
+  test("versioned table: renames and expired history stay per-lineage") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_branch_lineage"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
+    Versioned.append(Seq((2, "b")).toDF("id", "v"), t) // v2
+    Versioned.createBranch(spark, t, "staging")
+    Versioned.renameColumn(spark, t, "id", "ident") // v3, on MAIN
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t,
+      branch = Some("staging")) // v4, still old names
+    // the main-side rename does NOT restyle the diverged branch: its
+    // snapshots keep one coherent schema, values never split
+    assert(Versioned.readBranch(spark, t, "staging").columns.toSeq ==
+      Seq("id", "v"))
+    assert(Versioned.readBranch(spark, t, "staging").select("id")
+      .collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 2, 3))
+    assert(Versioned.read(spark, t).columns.toSeq == Seq("ident", "v"))
+    // expired FOREIGN-branch commits inside a main gap never shadow
+    // main's state: spread the publish instants, expire v4 (staging),
+    // then travel to a time between v4's and v5's publishes
+    Versioned.append(Seq((9, "z")).toDF("ident", "v"), t) // v5, main
+    Versioned.dropBranch(spark, t, "staging")
+    val base = System.currentTimeMillis() - 100000
+    (1 to 5).foreach { k =>
+      assert(new java.io.File(s"$t/_commit_$k")
+        .setLastModified(base + k * 10000L))
+    }
+    Versioned.tag(spark, t, "pin", Some(3))
+    Versioned.vacuum(spark, t, keep = 1) // expires 1, 2, 4
+    assert(Versioned.versions(spark, t) == Seq(3, 5))
+    // main's state at that instant WAS v3 — the expired staging commit
+    // between them was never on main's lineage
+    assert(Versioned.readAsOf(spark, t, base + 45000L)
+      .select("ident").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(1, 2))
+    // expired MAIN history still refuses: the state is unknowable
+    intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, t, base + 25000L)
     }
   }
 
@@ -963,6 +1025,15 @@ class EtlSpec extends SparkSpec {
       Versioned.append(Seq((7, "x")).toDF("k", "s"),
         new java.io.File(ns, "fresh").getAbsolutePath)
       assert(spark.table("graft.fresh").count() == 1)
+      // PARTITIONED BY is refused up-front: an empty partitionBy write
+      // emits no files and would publish an unreadable v=1
+      val e = intercept[Exception] {
+        spark.sql(
+          "CREATE TABLE graft.parted (k INT, s STRING) PARTITIONED BY (k)")
+      }
+      assert(e.getMessage.contains("per-commit write property"),
+        e.getMessage)
+      assert(!new java.io.File(ns, "parted").exists())
       assert(spark.sql("SHOW TABLES IN graft").collect()
         .map(_.getString(1)).toSet == Set("tbl", "fresh"))
       spark.sql("DROP TABLE graft.fresh")
