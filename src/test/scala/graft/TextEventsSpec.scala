@@ -160,6 +160,39 @@ class TextEventsSpec extends SparkSpec {
       s"shingle-index cache not released (held ${live() - before})")
   }
 
+  test("repeated decontaminate reads the FIRST call's cached index") {
+    import graft.operators.TextAnalysis
+    // regression lock (r8): CacheManager keys cached data by
+    // canonicalized PLAN, so a put-then-unpersist of the previous
+    // call's frame dropped the SHARED entry and left every repeat
+    // call rebuilding the shingle index twice. The compute-based
+    // reuse must (a) create no second cache entry and (b) leave the
+    // repeat call's executed plan actually reading the in-memory
+    // index on both join sides.
+    TextAnalysis.decontaminate(spark, sf).collect()
+    val n1 = spark.sparkContext.getPersistentRDDs.size
+    val q2 = TextAnalysis.decontaminate(spark, sf)
+    q2.collect()
+    assert(spark.sparkContext.getPersistentRDDs.size == n1,
+      "repeat decontaminate created a second cache entry")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: inner.flatMap(nodes)
+    }
+    val executed = nodes(q2.queryExecution.executedPlan)
+    assert(executed.count(_.nodeName.contains("InMemoryTableScan")) == 2,
+      "repeat call's plan does not read the cached index on both sides")
+    assert(!executed.exists(n => n.nodeName.contains("Scan parquet") &&
+      n.toString.contains("documents")),
+      "repeat call re-scanned the documents table")
+  }
+
   test("repetition signals are valid fractions over every eligible doc") {
     import graft.operators.TextAnalysis
     val out = TextAnalysis.repetitionSignals(spark, sf).collect()
