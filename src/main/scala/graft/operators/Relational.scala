@@ -43,11 +43,20 @@ object Relational {
     * default reader. Filtered counts (q02) CANNOT use this: a
     * predicate needs row values, footers only have per-group counts
     * and min/max, so Spark correctly refuses to push COUNT under any
-    * data filter and those plans keep the pushed-FILTER scan. */
+    * data filter and those plans keep the pushed-FILTER scan.
+    *
+    * CALLER CONTRACT: the returned frame is bound to the sibling
+    * session — combine it with same-call-site frames freely, but a
+    * join/union against a frame built on the PARENT session fails at
+    * analysis (Spark refuses cross-session plans); `.head()` /
+    * `.collect()` the scalar instead. Entries for a stopped
+    * SparkContext are dropped on the next call, so the map cannot
+    * accumulate dead sessions. */
   private val pushdownSessions = new java.util.concurrent
     .ConcurrentHashMap[SparkSession, SparkSession]()
 
   def countAll(s: SparkSession, d: String): DataFrame = {
+    pushdownSessions.keySet.removeIf(_.sparkContext.isStopped)
     val c = pushdownSessions.computeIfAbsent(s, parent => {
       val n = parent.newSession()
       n.conf.set("spark.sql.sources.useV1SourceList", "")

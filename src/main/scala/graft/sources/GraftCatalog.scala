@@ -221,7 +221,13 @@ class GraftCatalog extends TableCatalog {
         "versioned tables through commits (append/upsert null-fill " +
         "added columns by name)")
 
+  /** DROP deletes the directory ONLY when it actually holds a
+    * committed Versioned table (a `_commit_*` marker) — the Iceberg
+    * HadoopCatalog contract. Without the check, a typoed name or an
+    * absolute-path ident would recursively delete an arbitrary
+    * directory tree. */
   override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) return false
     val p = new Path(dirOf(ident))
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     f.exists(p) && f.delete(p, true)

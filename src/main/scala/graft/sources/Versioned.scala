@@ -553,10 +553,20 @@ object Versioned {
     transform.foreach(t => writeTspec(f, stage, t,
       df.schema(t.source).dataType.catalogString,
       spark.sessionState.conf.sessionLocalTimeZone))
-    // branch + parent sidecar, riding the atomic claim: head lookups
-    // and fast-forward ancestry walks read it ([[refInfo]])
+    // branch + parent + generation sidecar, riding the atomic claim:
+    // head lookups and fast-forward ancestry walks read it
+    // ([[refInfo]]); the generation ties the commit to the CURRENT
+    // incarnation of its branch so a later drop-and-recreate of the
+    // name cannot adopt it ([[branchHeadIn]]'s fence)
+    val targetGen =
+      if (!branched) 0L
+      else refEntriesFrom(rootSt, BranchPrefix)
+        .filter(_._1 == targetBranch) match {
+          case Nil => 0L
+          case pins => resolveRef(pins)._4
+        }
     val refOut = f.create(new Path(stage, RefFile), false)
-    try refOut.write(s"$targetBranch\t$head".getBytes("UTF-8"))
+    try refOut.write(s"$targetBranch\t$head\t$targetGen".getBytes("UTF-8"))
     finally refOut.close()
     // rename sidecar ([[renameColumn]]): the chain step readers compose
     rename.foreach { case (from, to) =>
@@ -653,7 +663,8 @@ object Versioned {
     // Advance the branch ref — a floor CACHE only: the marker above is
     // the commit point, and branchHeadIn self-heals a crash between
     // the two by scanning markers above the stale floor.
-    if (branched) moveRef(f, tableDir, BranchPrefix, targetBranch, next)
+    if (branched)
+      moveRef(f, tableDir, BranchPrefix, targetBranch, next, targetGen)
     next
   }
 
@@ -1706,11 +1717,22 @@ object Versioned {
       }.toMap
       val merged = expiredLog(f, tableDir, retained = Set.empty) ++
         instants
-      val out = f.create(new Path(tableDir, ExpiredLogFile), true)
+      // temp-then-rename: a reader never observes a truncated log
+      // mid-rewrite (a torn read silently degraded readAsOf's exact
+      // gap resolution to the conservative whole-gap refusal). Two
+      // concurrent vacuums still last-write-win on the merge — each
+      // writes a superset of what IT expired, and a missing entry only
+      // widens a refusal, never resolves to a wrong snapshot.
+      val tmp = new Path(tableDir,
+        s".$ExpiredLogFile.tmp-${java.util.UUID.randomUUID()}")
+      val out = f.create(tmp, true)
       try out.write(merged.toSeq.sortBy(_._1)
         .map { case (v, (m, br)) => s"$v\t$m\t$br" }.mkString("\n")
         .getBytes("UTF-8"))
       finally out.close()
+      val dest = new Path(tableDir, ExpiredLogFile)
+      if (f.exists(dest)) f.delete(dest, false)
+      if (!f.rename(tmp, dest)) f.delete(tmp, false)
     }
     expired.foreach { v =>
       f.delete(new Path(tableDir, s"$MarkerPrefix$v"), false)
@@ -1720,7 +1742,8 @@ object Versioned {
     val published = committedVersions(spark, tableDir).toSet
     f.listStatus(new Path(tableDir)).foreach { st =>
       val name = st.getPath.getName
-      if (name.startsWith(".stage-") || name.startsWith(".reclaim-"))
+      if (name.startsWith(".stage-") || name.startsWith(".reclaim-") ||
+          name.startsWith(s".$ExpiredLogFile.tmp-"))
         f.delete(st.getPath, true) // incl. reclaimers that crashed mid-sweep
       else if (name.startsWith("v=")) {
         // safe parse: a foreign/corrupt `v=x` entry is skipped, never a
@@ -1764,32 +1787,41 @@ object Versioned {
     v
   }
 
-  /** Raw tag pin files as (name, version, seq, mtime, path). Legacy
-    * pins (`_tag_name=v`, no sequence) parse with seq 0, so any
+  /** Raw tag pin files as (name, version, seq, gen, mtime, path).
+    * Legacy pins (`_tag_name=v`, no sequence) parse with seq 0, so any
     * sequenced re-tag outranks them. */
   private def tagEntries(f: FileSystem,
-      tableDir: String): Seq[(String, Int, Long, Long, Path)] = {
+      tableDir: String): Seq[(String, Int, Long, Long, Long, Path)] = {
     val dir = new Path(tableDir)
     if (!f.exists(dir)) Nil
     else refEntriesFrom(f.listStatus(dir).toSeq, TagPrefix)
   }
 
-  /** Parse ref pin files (`<prefix><name>=<v>.<seq>`) out of a root
-    * listing — shared by tags and branches, which differ only in
-    * prefix and in whether the pinned version may move forward. */
+  /** Parse ref pin files (`<prefix><name>=<v>.<seq>[.<gen>]`) out of a
+    * root listing — shared by tags and branches, which differ only in
+    * prefix and in whether the pinned version may move forward. `gen`
+    * is the branch GENERATION (0 for tags, main, and legacy pins):
+    * assigned at [[createBranch]] and preserved by every ref advance,
+    * it fences a dropped-then-recreated name off the dropped lineage's
+    * `_ref` sidecars (see [[branchHeadIn]]). */
   private def refEntriesFrom(st: Seq[org.apache.hadoop.fs.FileStatus],
-      prefix: String): Seq[(String, Int, Long, Long, Path)] =
+      prefix: String): Seq[(String, Int, Long, Long, Long, Path)] =
     st.filter(_.getPath.getName.startsWith(prefix))
       .flatMap { s =>
         s.getPath.getName.stripPrefix(prefix).split("=", 2) match {
           case Array(n, value) =>
-            val (vStr, seq) = value.split("\\.", 2) match {
-              case Array(v0, s0) => (v0, Try(s0.toLong).getOrElse(-1L))
-              case _ => (value, 0L)
+            val (vStr, seq, gen) = value.split("\\.") match {
+              case Array(v0) => (v0, 0L, 0L)
+              case Array(v0, s0) =>
+                (v0, Try(s0.toLong).getOrElse(-1L), 0L)
+              case Array(v0, s0, g0) =>
+                (v0, Try(s0.toLong).getOrElse(-1L),
+                  Try(g0.toLong).getOrElse(-1L))
+              case _ => (value, -1L, -1L)
             }
             // safe parse: a foreign/corrupt pin name is skipped
-            for (v <- Try(vStr.toInt).toOption if seq >= 0)
-              yield (n, v, seq, s.getModificationTime, s.getPath)
+            for (v <- Try(vStr.toInt).toOption if seq >= 0 && gen >= 0)
+              yield (n, v, seq, gen, s.getModificationTime, s.getPath)
           case _ => None
         }
       }
@@ -1797,22 +1829,41 @@ object Versioned {
   /** Move ref `name` (under `prefix`) to `v` with the tag protocol:
     * new pin first (monotone per-name sequence, so ties resolve to the
     * newest move), then sweep superseded pins — a crash between the
-    * two leaves a harmless duplicate, never an unpinned window. */
+    * two leaves a harmless duplicate, never an unpinned window.
+    *
+    * The sequence is `(base+1) << 20 | nanoTime-low-bits`: the high
+    * bits stay monotone across JVMs (each mover reads the max from the
+    * files themselves), and the low bits break the two-LIVE-movers
+    * tie — two concurrent moves of one name both read base K, but now
+    * write DISTINCT sequences, so every reader picks the same winner
+    * instead of falling back to the ms-granularity mtime tie (which
+    * two same-millisecond movers could genuinely draw). */
   private def moveRef(f: FileSystem, tableDir: String, prefix: String,
-      name: String, v: Int): Unit = {
+      name: String, v: Int, gen: Long = 0L): Unit = {
     val existing = refEntriesFrom(
       f.listStatus(new Path(tableDir)).toSeq, prefix).filter(_._1 == name)
-    if (existing.nonEmpty && resolveTag(existing)._2 == v) return
-    val seq = (0L +: existing.map(_._3)).max + 1
-    f.create(new Path(tableDir, s"$prefix$name=$v.$seq"), true).close()
-    existing.foreach(e => f.delete(e._5, false))
+    if (existing.nonEmpty) {
+      val w = resolveRef(existing)
+      if (w._2 == v && w._4 == gen) return
+    }
+    val base = (0L +: existing.map(_._3 >> 20)).max + 1
+    val seq = (base << 20) | (System.nanoTime() & 0xFFFFFL)
+    val suffix = if (gen == 0L) s"$v.$seq" else s"$v.$seq.$gen"
+    f.create(new Path(tableDir, s"$prefix$name=$suffix"), true).close()
+    existing.foreach(e => f.delete(e._6, false))
   }
 
   /** Winner among one name's pins: highest sequence, then (for
     * legacy seq-0 duplicates) newest mtime, then version. */
-  private def resolveTag(entries: Seq[(String, Int, Long, Long, Path)])
+  private def resolveRef(
+      entries: Seq[(String, Int, Long, Long, Long, Path)])
+      : (String, Int, Long, Long, Long, Path) =
+    entries.maxBy(e => (e._3, e._5, e._2))
+
+  private def resolveTag(
+      entries: Seq[(String, Int, Long, Long, Long, Path)])
       : (String, Int) = {
-    val w = entries.maxBy(e => (e._3, e._4, e._2))
+    val w = resolveRef(entries)
     (w._1, w._2)
   }
 
@@ -1858,18 +1909,20 @@ object Versioned {
     * walks one refInfo per marker above a branch's ref floor; the memo
     * turns a busy sibling branch's backlog into stat probes. */
   private val refMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int, Long)]()
 
-  /** (branch, parent version) of snapshot `v`, from the `v=K/_ref`
-    * sidecar every commit stages (atomic with the claim). A version
-    * WITHOUT one — all pre-branch history — is main's with parent
-    * v-1, which is exactly what linear history was. */
+  /** (branch, parent version, branch generation) of snapshot `v`, from
+    * the `v=K/_ref` sidecar every commit stages (atomic with the
+    * claim). A version WITHOUT one — all pre-branch history — is
+    * main's with parent v-1, which is exactly what linear history was.
+    * Legacy two-field sidecars parse with generation 0 (matching
+    * legacy pins, which carry none). */
   private def refInfo(f: FileSystem, tableDir: String,
-      v: Int): (String, Int) = {
+      v: Int): (String, Int, Long) = {
     val p = new Path(tableDir, s"v=$v/$RefFile")
     val stamp = Try(f.getFileStatus(p)).toOption
     stamp match {
-      case None => (MainBranch, v - 1) // legacy/pre-branch version
+      case None => (MainBranch, v - 1, 0L) // legacy/pre-branch version
       case Some(st) =>
         val key = s"$tableDir|$v|" +
           s"${st.getModificationTime}_${st.getLen}"
@@ -1881,8 +1934,8 @@ object Versioned {
             val s = try new String(in.readAllBytes(), "UTF-8")
               finally in.close()
             val a = s.trim.split("\t")
-            (a(0), a(1).toInt)
-          }.getOrElse((MainBranch, v - 1))
+            (a(0), a(1).toInt, if (a.length > 2) a(2).toLong else 0L)
+          }.getOrElse((MainBranch, v - 1, 0L))
           if (refMemo.size > 10000) refMemo.clear()
           refMemo.put(key, info)
           info
@@ -1915,9 +1968,20 @@ object Versioned {
       throw new IllegalArgumentException(
         s"no branch '$name' at $tableDir (branches: " +
           s"${branchNamesFrom(st).mkString(", ")})")
-    val floor = if (pins.isEmpty) None else Some(resolveTag(pins)._2)
+    val winner = if (pins.isEmpty) None else Some(resolveRef(pins))
+    val floor = winner.map(_._2)
+    // GENERATION fence: the healing scan only trusts `_ref` sidecars
+    // of the pin's own generation. Without it, dropBranch-then-
+    // createBranch with the same name (the abandon-and-retry half of
+    // write-audit-publish) would resolve the recreated branch's head
+    // through the ABANDONED lineage's sidecars sitting above the new
+    // pin floor — silently reviving the dropped commits.
+    val gen = winner.map(_._4).getOrElse(0L)
     val above = markers.filter(v => floor.forall(_ < v)).reverse
-    val hit = above.find(v => refInfo(f, tableDir, v)._1 == name)
+    val hit = above.find { v =>
+      val r = refInfo(f, tableDir, v)
+      r._1 == name && r._3 == gen
+    }
     hit.orElse(floor).getOrElse(0)
   }
 
@@ -1975,7 +2039,12 @@ object Versioned {
       require(!branches(spark, tableDir).contains(name),
         s"branch '$name' already exists at $tableDir; drop it first " +
           "or commit to it")
-      moveRef(f, tableDir, BranchPrefix, name, v)
+      // fresh GENERATION per incarnation of the name: commits fence
+      // their `_ref` sidecars to it, so recreating a dropped name can
+      // never resolve through the abandoned lineage (main stays gen 0
+      // — it is never droppable, so it needs no fence)
+      moveRef(f, tableDir, BranchPrefix, name, v,
+        gen = Math.max(1L, System.nanoTime()))
     }
     v
   }

@@ -932,6 +932,68 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: recreated branch never revives dropped commits") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_branch_gen"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
+    // incarnation 1: stage two commits, then ABANDON the audit
+    Versioned.createBranch(spark, t, "staging")
+    Versioned.append(Seq((2, "bad")).toDF("id", "v"), t,
+      branch = Some("staging"))
+    Versioned.append(Seq((3, "bad")).toDF("id", "v"), t,
+      branch = Some("staging"))
+    assert(Versioned.readBranch(spark, t, "staging").count() == 3)
+    Versioned.dropBranch(spark, t, "staging")
+    // incarnation 2 at the same point, BEFORE any vacuum: the
+    // abandoned commits' markers still sit above the new pin with
+    // `_ref` sidecars naming 'staging' — the generation fence must
+    // keep head resolution from adopting them
+    Versioned.createBranch(spark, t, "staging", at = Some(1))
+    assert(Versioned.branchHead(spark, t, "staging") == 1,
+      "recreated branch resolved through the dropped lineage")
+    assert(Versioned.readBranch(spark, t, "staging").count() == 1)
+    // the retry proceeds cleanly: a fresh staged commit chains onto
+    // the RECREATED head (not the abandoned one) and publishes alone
+    Versioned.append(Seq((7, "good")).toDF("id", "v"), t,
+      branch = Some("staging"))
+    assert(Versioned.readBranch(spark, t, "staging")
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq == Seq(1, 7))
+    Versioned.fastForward(spark, t, from = "staging")
+    assert(Versioned.read(spark, t).select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 7))
+  }
+
+  test("versioned table: two live re-taggers resolve one deterministic winner") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_tag_race"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
+    Versioned.append(Seq((2, "b")).toDF("id", "v"), t)
+    // two movers re-tag the SAME name to different versions in the
+    // same instant, over and over: the nano-salted sequence must give
+    // every reader the same winner each round (the old max+1 sequence
+    // could tie and fall back to the ms-granularity mtime draw)
+    for (_ <- 1 to 10) {
+      val gate = new java.util.concurrent.CyclicBarrier(2)
+      val moves = Seq(1, 2).map { v =>
+        val th = new Thread(() => { gate.await(); Versioned.tag(spark, t, "golden", Some(v)) })
+        th.start(); th
+      }
+      moves.foreach(_.join())
+      val first = Versioned.tags(spark, t)("golden")
+      // stable across repeated independent listings
+      (1 to 5).foreach { _ =>
+        assert(Versioned.tags(spark, t)("golden") == first) }
+      assert(Versioned.readTag(spark, t, "golden").count() == first)
+      // and a quiet re-tag afterwards still moves the name (monotone)
+      Versioned.tag(spark, t, "golden", Some(3 - first))
+      assert(Versioned.tags(spark, t)("golden") == 3 - first)
+    }
+  }
+
   test("versioned table: renames and expired history stay per-lineage") {
     import spark.implicits._
     import graft.sources.Versioned
