@@ -864,6 +864,10 @@ object SparkEntry {
     // update is visible at v3 but not v2. The wap_* constants are the
     // write-audit-publish leg: 2 rows staged on a branch leave main at
     // 4 while the branch reads 6, and the fast-forward publishes 6.
+    // The sql_insert_*/ctas_*/replaced_* constants are the DSv2 WRITE
+    // leg: INSERT INTO adds 2 rows (6 -> 8), CTAS from the v1 pin
+    // creates a 3-row table, and createOrReplace swaps it to 1 row
+    // while the replaced 3-row snapshot stays time-travelable.
     "q41_sql_time_travel" ->
       """SELECT CAST(3 AS BIGINT) AS v1_rows,
                 CAST(5 AS BIGINT) AS v2_rows,
@@ -875,7 +879,12 @@ object SparkEntry {
                 CAST(0 AS BIGINT) AS cdc_before,
                 CAST(4 AS BIGINT) AS wap_main_before,
                 CAST(6 AS BIGINT) AS wap_staging_rows,
-                CAST(6 AS BIGINT) AS wap_main_after""",
+                CAST(6 AS BIGINT) AS wap_main_after,
+                CAST(2 AS BIGINT) AS sql_insert_rows,
+                CAST(8 AS BIGINT) AS sql_insert_total,
+                CAST(3 AS BIGINT) AS ctas_rows,
+                CAST(1 AS BIGINT) AS replaced_rows,
+                CAST(3 AS BIGINT) AS replaced_old_rows""",
     "q38_window_battery2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,

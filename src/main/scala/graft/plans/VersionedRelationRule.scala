@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
+  V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -30,10 +31,24 @@ import graft.sources.{GraftVersionedTable, Versioned}
   * from the same `read()` of the same immutable snapshot. */
 case class VersionedRelationRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // WRITE targets stay as relations: `INSERT INTO graft.db.t` /
+    // `writeTo(...).append()` resolve the table under a V2WriteCommand
+    // whose target must remain a NamedRelation for the V1-fallback
+    // write exec — only READ occurrences expand into the snapshot
+    // plan. (The write's SOURCE query is not a target; its graft
+    // relations still rewrite, so `INSERT INTO t SELECT FROM t
+    // VERSION AS OF 1` reads the pin and appends to the head.)
+    val writeTargets = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    plan.foreach {
+      case w: V2WriteCommand => writeTargets.add(w.table)
+      case _ => ()
+    }
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation
-          if r.table.isInstanceOf[GraftVersionedTable] =>
+          if r.table.isInstanceOf[GraftVersionedTable] &&
+            !writeTargets.contains(r) =>
         val t = r.table.asInstanceOf[GraftVersionedTable]
         val real = Versioned.read(spark, t.tableDir,
           Some(t.snapshotVersion)).queryExecution.analyzed
@@ -47,4 +62,5 @@ case class VersionedRelationRule(spark: SparkSession)
             qualifier = tgt.qualifier)
         }, real)
     }
+  }
 }

@@ -5,12 +5,16 @@ import java.util
 import scala.util.Try
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
-  NoSuchTableException}
-import org.apache.spark.sql.connector.catalog.{Identifier, Table,
-  TableCapability, TableCatalog, TableChange}
+  NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable,
+  StagingTableCatalog, SupportsWrite, Table, TableCapability,
+  TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+  SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -27,15 +31,110 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * hands Catalyst the SAME declarative plan the programmatic API
   * builds (pushdown, pruning, AQE all apply); a session without the
   * extensions fails loudly at analysis ("does not support batch
-  * scan") rather than returning wrong rows. */
+  * scan") rather than returning wrong rows.
+  *
+  * WRITES go through the V1 write fallback (`V1_BATCH_WRITE`): the
+  * commit protocol is a driver-side ATOMIC publish (stage → rename →
+  * marker) over a whole DataFrame, which is exactly the
+  * `InsertableRelation` contract — `INSERT INTO` /
+  * `df.writeTo(...).append()` land as [[Versioned.append]] (O(delta),
+  * auto-retried on slot races) and `INSERT OVERWRITE` (truncate) as a
+  * fresh [[Versioned.commit]] snapshot, with full history retained
+  * either way. Re-implementing the parquet task-writer protocol under
+  * `BATCH_WRITE` would buy nothing: atomicity lives in the manifest
+  * swap, not the file writes. */
 final class GraftVersionedTable(val tableDir: String,
     val snapshotVersion: Int, tableSchema: StructType,
-    displayName: String) extends Table {
+    displayName: String) extends Table with SupportsWrite {
   override def name(): String = displayName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.Collections.emptySet()
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def version(): String = snapshotVersion.toString
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(tableDir, displayName)
+}
+
+/** V1-fallback write builder for a versioned table: append by default;
+  * `truncate()` (Spark's INSERT OVERWRITE lowering when the overwrite
+  * condition is `true`) swaps in a fresh full snapshot. Partial
+  * (filtered) overwrites are refused by Spark itself — the builder
+  * implements only `SupportsTruncate`, matching the engine's
+  * row-level surface ([[Versioned.deleteWhere]]/[[Versioned.upsert]])
+  * which owns sub-snapshot mutation. */
+private final class GraftWriteBuilder(tableDir: String,
+    displayName: String) extends WriteBuilder with SupportsTruncate {
+  private var overwrite = false
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ignored: Boolean): Unit =
+          if (overwrite)
+            Versioned.commit(data, tableDir,
+              note = Some(s"INSERT OVERWRITE $displayName"))
+          else
+            Versioned.append(data, tableDir,
+              note = Some(s"INSERT INTO $displayName"))
+      }
+  }
+}
+
+/** Staged create/replace target ([[GraftCatalog.stageCreate]] family):
+  * the CTAS/RTAS write publishes ONE atomic [[Versioned.commit]] — a
+  * fresh full snapshot on the table's existing version line, so
+  * `createOrReplace` RETAINS prior snapshots for time travel (the
+  * Iceberg REPLACE semantic) instead of deleting the directory the
+  * way the non-staged drop-then-create fallback would. A failed write
+  * never publishes (the commit protocol is all-or-nothing), so
+  * `commitStagedChanges` only has work to do when NO write ran at all
+  * (plain `CREATE OR REPLACE TABLE` without AS SELECT): it publishes
+  * the declared schema as an empty snapshot, mirroring
+  * [[GraftCatalog.createTable]]. */
+private final class GraftStagedTable(tableDir: String,
+    displayName: String, declared: StructType, freshCreate: Boolean)
+    extends StagedTable with SupportsWrite {
+  @volatile private var wrote = false
+  override def name(): String = displayName
+  override def schema(): StructType = declared
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                ignored: Boolean): Unit = {
+              Versioned.commit(data, tableDir,
+                note = Some(s"CREATE OR REPLACE $displayName"))
+              wrote = true
+            }
+          }
+      }
+    }
+  override def commitStagedChanges(): Unit =
+    if (!wrote) {
+      val s = SparkSession.active
+      val empty = s.createDataFrame(
+        new util.ArrayList[org.apache.spark.sql.Row](), declared)
+      Versioned.commit(empty, tableDir,
+        note = Some(s"CREATE OR REPLACE $displayName"))
+    }
+  override def abortStagedChanges(): Unit = {
+    // a failed write published nothing (atomic commit); only a FRESH
+    // create may have left a partially-created directory worth
+    // sweeping — never touch a pre-existing table's history
+    if (freshCreate && !wrote) {
+      val p = new Path(tableDir)
+      val f = p.getFileSystem(
+        SparkSession.active.sessionState.newHadoopConf())
+      if (f.exists(p)) f.delete(p, true)
+    }
+  }
 }
 
 /** DSv2 `TableCatalog` over a directory tree of [[Versioned]] tables —
@@ -65,13 +164,19 @@ final class GraftVersionedTable(val tableDir: String,
   * re-resolves — a post-commit `spark.table` sees the new version with
   * no re-registration (the staleness class [[Versioned.registerVersions]]'
   * temp views carry by design). `CREATE TABLE` commits an empty v=1
-  * (identity-partitioned at most), `DROP TABLE` removes the directory;
-  * writes stay on the programmatic API ([[Versioned.append]]/
-  * [[Versioned.upsert]]/…), whose commit protocol owns atomicity.
+  * (identity-partitioned at most), `DROP TABLE` removes the directory.
+  *
+  * WRITES land through the same commit protocol the programmatic API
+  * uses — `INSERT INTO graft.db.t`, `df.writeTo("graft.db.t")
+  * .append()`, `INSERT OVERWRITE`, and (via [[StagingTableCatalog]])
+  * `.create()`/`.replace()`/`.createOrReplace()` each publish ONE
+  * atomic version, auto-retried on slot races, history retained —
+  * the reference's own ETL commits exactly this way
+  * (csv_to_ice.py:58 `writeTo(...).createOrReplace()`).
   * RENAME is refused like Iceberg's HadoopCatalog: positional
   * tombstones bind absolute file paths, so a moved directory would
   * resurrect deleted rows — refuse loudly, never lie. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog {
   private var catName = "graft"
   private var initRoot: Option[String] = None
 
@@ -212,6 +317,48 @@ class GraftCatalog extends TableCatalog {
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
     Versioned.commit(empty, dirOf(ident), note = Some("CREATE TABLE"))
     load(ident, None)
+  }
+
+  private def refusePartitions(partitions: Array[Transform]): Unit =
+    if (partitions.nonEmpty)
+      throw new UnsupportedOperationException(
+        "PARTITIONED BY is not supported in DDL: partitioning is a " +
+          "per-commit write property — create unpartitioned, then " +
+          "pass partitionCol or a hidden Transform on data commits " +
+          "(Versioned.commit/append)")
+
+  /** CTAS target. Existence is checked here AND by Spark's exec; the
+    * staged write itself publishes (atomically), see
+    * [[GraftStagedTable]]. */
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (tableExists(ident))
+      throw new TableAlreadyExistsException(
+        ident.namespace :+ ident.name)
+    refusePartitions(partitions)
+    new GraftStagedTable(dirOf(ident), display(ident), schema,
+      freshCreate = true)
+  }
+
+  /** RTAS target: the replacement is a fresh full-snapshot COMMIT on
+    * the same version line — prior snapshots stay time-travelable. */
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(ident.namespace :+ ident.name)
+    refusePartitions(partitions)
+    new GraftStagedTable(dirOf(ident), display(ident), schema,
+      freshCreate = false)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): StagedTable = {
+    refusePartitions(partitions)
+    new GraftStagedTable(dirOf(ident), display(ident), schema,
+      freshCreate = !tableExists(ident))
   }
 
   override def alterTable(ident: Identifier,

@@ -2191,6 +2191,27 @@ object Versioned {
       fastForward(s, t, from = "staging")
       val publishedRows =
         s.sql(s"SELECT count(*) FROM $g").head().getLong(0)
+      // —— DSv2 WRITE leg: the reference's ETL commits THROUGH its
+      //    catalog (csv_to_ice.py:58 writeTo/createOrReplace); gate
+      //    the same shapes — SQL INSERT, CTAS from a time-travel
+      //    pin, and createOrReplace retaining the replaced snapshot —
+      //    each landing as one atomic Versioned commit ——
+      s.sql(s"INSERT INTO $g VALUES (70, 'SQL_INSERT'), (71, 'SQL_INSERT')")
+      val ins = s.sql(s"""SELECT count(*) FROM $g
+        WHERE r_name = 'SQL_INSERT'""").head().getLong(0)
+      val insTotal = s.sql(s"SELECT count(*) FROM $g").head().getLong(0)
+      val t2 = work.resolve("ctas").toString
+      val g2 = s"graft.`$t2`"
+      s.sql(s"CREATE TABLE $g2 AS SELECT * FROM $g VERSION AS OF 1")
+      val ctasRows = s.sql(s"SELECT count(*) FROM $g2").head().getLong(0)
+      val replacedAt = currentVersion(s, t2)
+      region.filter(col("r_regionkey") === 0)
+        .select(lit(99).as("r_regionkey"), lit("REPLACED").as("r_name"))
+        .writeTo(g2).createOrReplace()
+      val replRows = s.sql(s"SELECT count(*) FROM $g2").head().getLong(0)
+      val replOld = s.sql(
+        s"SELECT count(*) FROM $g2 VERSION AS OF $replacedAt")
+        .head().getLong(0)
       s.range(1).select(
         lit(r.getLong(0)).as("v1_rows"),
         lit(r.getLong(1)).as("v2_rows"),
@@ -2202,7 +2223,12 @@ object Versioned {
         lit(r.getLong(7)).as("cdc_before"),
         lit(w.getLong(0)).as("wap_main_before"),
         lit(w.getLong(1)).as("wap_staging_rows"),
-        lit(publishedRows).as("wap_main_after"))
+        lit(publishedRows).as("wap_main_after"),
+        lit(ins).as("sql_insert_rows"),
+        lit(insTotal).as("sql_insert_total"),
+        lit(ctasRows).as("ctas_rows"),
+        lit(replRows).as("replaced_rows"),
+        lit(replOld).as("replaced_old_rows"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }

@@ -932,6 +932,87 @@ class EtlSpec extends SparkSpec {
     }
   }
 
+  test("versioned table: DSv2 writes land as atomic versioned commits") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_dsv2_write"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val abs = new java.io.File(t).getAbsolutePath
+    val g = s"graft.`$abs`"
+    // DDL creates v1 (empty, schema-bearing); INSERT INTO appends v2
+    spark.sql(s"CREATE TABLE $g (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $g VALUES (1, 'a'), (2, 'b')")
+    assert(Versioned.currentVersion(spark, t) == 2)
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 2)
+    assert(spark.sql(s"SELECT count(*) FROM $g VERSION AS OF 1")
+      .head().getLong(0) == 0)
+    // writeTo(...).append() — the DataFrameWriterV2 path — is v3
+    Seq((3, "c")).toDF("id", "v").writeTo(g).append()
+    assert(Versioned.currentVersion(spark, t) == 3)
+    assert(Versioned.read(spark, t).count() == 3)
+    // self-referential: the write TARGET stays a relation while the
+    // SOURCE's VERSION AS OF pin still expands into a snapshot read
+    spark.sql(
+      s"INSERT INTO $g SELECT id + 10, v FROM $g VERSION AS OF 2")
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 5)
+    // INSERT OVERWRITE = fresh full snapshot; history retained
+    spark.sql(s"INSERT OVERWRITE $g VALUES (9, 'z')")
+    assert(spark.sql(s"SELECT id FROM $g").collect()
+      .map(_.getInt(0)).toSeq == Seq(9))
+    assert(spark.sql(s"SELECT count(*) FROM $g VERSION AS OF 4")
+      .head().getLong(0) == 5)
+    // createOrReplace publishes ONE new version on the same line —
+    // prior snapshots stay time-travelable (Iceberg REPLACE semantics)
+    val vBefore = Versioned.currentVersion(spark, t)
+    Seq((42L, "w", 1.5)).toDF("id2", "v2", "score").writeTo(g)
+      .createOrReplace()
+    assert(Versioned.currentVersion(spark, t) == vBefore + 1)
+    val out = Versioned.read(spark, t)
+    assert(out.columns.toSeq == Seq("id2", "v2", "score"))
+    assert(out.head().getLong(0) == 42L)
+    assert(spark.sql(s"SELECT count(*) FROM $g VERSION AS OF $vBefore")
+      .head().getLong(0) == 1) // the overwritten snapshot, still there
+    // CTAS onto a FRESH table via create()
+    val t2 = s"$work/versioned_dsv2_ctas"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t2))
+    val abs2 = new java.io.File(t2).getAbsolutePath
+    spark.range(5).select(col("id"), (col("id") * 2).as("dbl"))
+      .writeTo(s"graft.`$abs2`").create()
+    assert(Versioned.currentVersion(spark, t2) == 1)
+    assert(Versioned.read(spark, t2).count() == 5)
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.range(1).select(col("id")).writeTo(s"graft.`$abs2`").create()
+    }
+  }
+
+  test("versioned table: concurrent SQL INSERT and programmatic append both land") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_dsv2_race"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val abs = new java.io.File(t).getAbsolutePath
+    Versioned.commit(Seq((0, "seed")).toDF("id", "v"), t)
+    // a SQL INSERT and a programmatic append race the same version
+    // slot; the loser must auto-retry and land on the next one
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    var err: Option[Throwable] = None
+    val sqlTh = new Thread(() => {
+      try { gate.await()
+        spark.sql(s"INSERT INTO graft.`$abs` VALUES (1, 'sql')") }
+      catch { case e: Throwable => err = Some(e) }
+    })
+    val apiTh = new Thread(() => {
+      try { gate.await()
+        Versioned.append(Seq((2, "api")).toDF("id", "v"), t) }
+      catch { case e: Throwable => err = Some(e) }
+    })
+    sqlTh.start(); apiTh.start(); sqlTh.join(); apiTh.join()
+    assert(err.isEmpty, s"a racing writer failed: $err")
+    assert(Versioned.currentVersion(spark, t) == 3)
+    assert(Versioned.read(spark, t).select("id").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
+  }
+
   test("versioned table: recreated branch never revives dropped commits") {
     import spark.implicits._
     import graft.sources.Versioned
