@@ -825,6 +825,12 @@ object SparkEntry {
     // 5 per region, ts-range Jan 2-3 hits the 10 keys with
     // n_nationkey % 5 in (1, 2), the derived partition column stays
     // hidden; metadata-only rollback to v1 republishes 13 rows as v3.
+    // The chg_* constants are the incremental-changelog leg
+    // (readChanges over the same chain): the append emits 2 inserts,
+    // the CoW merge nets to 1 insert + 1 delete (carried rows cancel),
+    // the equality tombstone emits 1 key-delete, compact emits ZERO
+    // events, the positional delete emits 2 full-row deletes, and the
+    // whole (1, 7] range sums 3 inserts + 4 deletes.
     "q40_snapshot_append" ->
       """SELECT CAST(3 AS BIGINT) AS v1_rows,
                 CAST(5 AS BIGINT) AS v2_rows,
@@ -855,7 +861,15 @@ object SparkEntry {
                 CAST(10 AS BIGINT) AS p_ts_rows,
                 CAST(1 AS BIGINT) AS p_hidden,
                 CAST(3 AS BIGINT) AS rb_version,
-                CAST(13 AS BIGINT) AS rb_rows""",
+                CAST(13 AS BIGINT) AS rb_rows,
+                CAST(2 AS BIGINT) AS chg_append_ins,
+                CAST(1 AS BIGINT) AS chg_merge_ins,
+                CAST(1 AS BIGINT) AS chg_merge_del,
+                CAST(1 AS BIGINT) AS chg_mor_del,
+                CAST(0 AS BIGINT) AS chg_compact_events,
+                CAST(2 AS BIGINT) AS chg_pd_del,
+                CAST(3 AS BIGINT) AS chg_all_ins,
+                CAST(4 AS BIGINT) AS chg_all_del""",
     // SQL time-travel gate: region (5 rows at every SF) as a 3-version
     // table — v1 commit 3 rows, v2 append 2, v3 ONE atomic CDC batch
     // (upsert key 0 + merge-on-read delete of key 1); per-version

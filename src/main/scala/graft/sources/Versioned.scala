@@ -973,6 +973,164 @@ object Versioned {
       .filter { case (v, _) => !retained.contains(v) }
   }
 
+  /** Names of [[readChanges]]' two metadata columns. */
+  val ChangeTypeCol = "_change_type"
+  val CommitVersionCol = "_commit_version"
+
+  /** INCREMENTAL changelog read — the Iceberg incremental-scan /
+    * `create_changelog_view` analog, the read half of the CDC story
+    * next to [[applyChanges]]/cdcSink's write half: the row-level
+    * changes each commit in `(fromVersion, toVersion]` introduced,
+    * derived from MANIFEST DELTAS so a downstream consumer pays
+    * O(changed files + tombstone keys) instead of diffing two full
+    * snapshot reads. Output: the table's columns (at `toVersion`'s
+    * names) plus [[ChangeTypeCol]] (`insert` | `delete`) and
+    * [[CommitVersionCol]] (the commit that introduced the event).
+    *
+    * Per commit, events come from three delta channels:
+    *   - data files ADDED net of REMOVED (append, CoW merge, full
+    *     replace, rollback): live rows of each side — prior tombstones
+    *     applied, so rows already dead never re-report — netted with
+    *     `exceptAll`, which cancels the carried rows a file rewrite
+    *     merely re-homes (a [[compact]] commit nets to ZERO events);
+    *   - a new EQUALITY tombstone ([[deleteRows]]) emits its key rows
+    *     as `delete` events — KEY columns only, other columns null,
+    *     Iceberg's equality-delete contract (the file asserts key
+    *     disappearance without verifying prior existence, so a key
+    *     that matched nothing still emits, and a key whose row died in
+    *     the same commit's rewrite may surface through both channels);
+    *   - a new POSITIONAL tombstone ([[deleteWhere]]) resolves its
+    *     (file, ordinal) coordinates back to FULL deleted rows by
+    *     scanning only the referenced files.
+    * Frames read at older versions rename forward through the
+    * [[renameColumn]] chain, so every event carries `toVersion`'s
+    * column names; a metadata-only commit (rename, tag) emits nothing.
+    *
+    * The walk follows `toVersion`'s parent lineage (on a branched
+    * table, `fromVersion` must be an ancestor), and refuses if any
+    * version in the range was [[vacuum]]-expired — its manifest, hence
+    * its delta, is gone. A full-snapshot replace reports every old row
+    * deleted and every new row inserted: O(both snapshots), which is
+    * what that commit did. */
+  def readChanges(spark: SparkSession, tableDir: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    val f = fs(spark, tableDir)
+    val cur = currentVersion(spark, tableDir)
+    require(fromVersion >= 0 && fromVersion < toVersion,
+      s"need 0 <= fromVersion < toVersion, got ($fromVersion, $toVersion)")
+    require(toVersion <= cur,
+      s"toVersion $toVersion exceeds current version $cur at $tableDir")
+    val retained = committedVersions(spark, tableDir).toSet
+    // parent-lineage walk (newest first); linear tables chain v-1
+    val lineage = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var w = toVersion
+    while (w > fromVersion && w > 0) { lineage += w
+      w = refInfo(f, tableDir, w)._2 }
+    require(w == fromVersion, s"v=$fromVersion is not an ancestor of " +
+      s"v=$toVersion at $tableDir (lineage reached v=$w)")
+    val gone = (lineage.toSeq ++
+      (if (fromVersion > 0) Seq(fromVersion) else Nil))
+      .filterNot(retained.contains)
+    require(gone.isEmpty, s"cannot read changes at $tableDir: " +
+      s"version(s) ${gone.sorted.mkString(", ")} were expired by vacuum")
+    val chain = renameChain(f, tableDir, toVersion)
+    val root = qualifiedRoot(f, tableDir)
+
+    // live rows of a set of table-relative files as of a snapshot whose
+    // tombstones are `tombs` — grouped per version dir (schema/epoch/
+    // basePath cohesion), renamed forward to toVersion's columns
+    def liveRows(rels: Seq[String], tombs: Seq[Tomb]): Option[DataFrame] =
+      if (rels.isEmpty) None
+      else Some(hideDerived(rels.groupBy(_.split("/").head).toSeq
+        .sortBy(_._1).map { case (vdir, fls) =>
+          val ver = vdir.stripPrefix("v=").toInt
+          applyDeletes(
+            applyRenames(scanUnit(spark, ScanUnit(
+              fls.map(r => new Path(tableDir, r).toString),
+              Some(new Path(tableDir, vdir).toString),
+              ownerEpoch(f, tableDir, vdir))), chain, ver),
+            tombs.filter(_.ver > ver))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))))
+
+    // a snapshot's tombstones with the (v, toVersion] rename suffix
+    // applied, so their anti-join columns line up with liveRows frames
+    def tombsAt(v: Int): Seq[Tomb] =
+      if (v == 0) Nil
+      else manifestDeletes(spark, f, tableDir, v).map {
+        case EqTomb(ver, d) => EqTomb(ver, applyRenames(d, chain, v))
+        case t => t
+      }
+
+    val events = lineage.reverse.flatMap { v =>
+      val p = refInfo(f, tableDir, v)._2
+      val prevLines =
+        if (p == 0) Nil else manifestLines(f, tableDir, p)
+      val curLines = manifestLines(f, tableDir, v)
+      def fileSet(lines: Seq[String]): Set[String] =
+        lines.filterNot(isDeleteLine)
+          .flatMap(e => entryFiles(f, tableDir, e)).toSet
+      if (prevLines == curLines) Nil // metadata-only commit
+      else {
+        val prevFiles = fileSet(prevLines)
+        val curFiles = fileSet(curLines)
+        val remLive =
+          liveRows((prevFiles -- curFiles).toSeq.sorted, tombsAt(p))
+        val addLive =
+          liveRows((curFiles -- prevFiles).toSeq.sorted, tombsAt(v))
+        // net the carried rows a rewrite re-homes — only when the two
+        // sides share columns (a full replace that changed the schema
+        // has nothing to net: every row genuinely changed)
+        val (ins, del) = (addLive, remLive) match {
+          case (Some(a), Some(r))
+              if a.columns.sorted.sameElements(r.columns.sorted) =>
+            val rAligned = r.select(a.columns.map(col).toSeq: _*)
+            (Some(a.exceptAll(rAligned)), Some(rAligned.exceptAll(a)))
+          case other => other
+        }
+        val tombEvents = curLines.filter(isDeleteLine)
+          .filterNot(prevLines.contains).map { line =>
+            val e = line.stripPrefix(DeletePrefix)
+            val frame = scanUnit(spark, ScanUnit(
+              deleteEntryFiles(f, tableDir, e).map(_.toString), None,
+              ownerEpoch(f, tableDir, e.split("/").head)))
+            if (e.endsWith("/" + PosDeletesDir)) {
+              // coordinates name exact prior-live rows; scan ONLY the
+              // referenced files (the collect is tombstone-scale)
+              val touched = frame.select("file").distinct().collect()
+                .map(r => decodePath(r.getString(0))
+                  .stripPrefix(root + "/")).toSeq
+              val scans = touched.groupBy(_.split("/").head).toSeq
+                .sortBy(_._1).map { case (vdir, fls) =>
+                  val ver = vdir.stripPrefix("v=").toInt
+                  applyRenames(scanUnit(spark, ScanUnit(
+                    fls.map(r => new Path(tableDir, r).toString),
+                    Some(new Path(tableDir, vdir).toString),
+                    ownerEpoch(f, tableDir, vdir)))
+                    .withColumn("__dfile", col("_metadata.file_path"))
+                    .withColumn("__dpos", col("_metadata.row_index")),
+                    chain, ver)
+                }.reduce(_.unionByName(_, allowMissingColumns = true))
+              hideDerived(scans.join(frame
+                  .select(col("file").as("__dfile"),
+                    col("pos").as("__dpos")),
+                  Seq("__dfile", "__dpos"), "left_semi")
+                .drop("__dfile", "__dpos"))
+            } else applyRenames(frame, chain, v)
+          }
+        def tagged(d: DataFrame, tp: String) = d
+          .withColumn(ChangeTypeCol, lit(tp))
+          .withColumn(CommitVersionCol, lit(v))
+        ins.map(tagged(_, "insert")).toSeq ++
+          (del.toSeq ++ tombEvents).map(tagged(_, "delete"))
+      }
+    }
+    if (events.isEmpty)
+      read(spark, tableDir, Some(toVersion)).limit(0)
+        .withColumn(ChangeTypeCol, lit("insert"))
+        .withColumn(CommitVersionCol, lit(0))
+    else events.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** APPEND as a new snapshot: the published version holds the previous
     * snapshot's rows plus `df` — Iceberg's append semantics, where every
     * snapshot is a consistent prefix of the ingested data and time
@@ -2382,7 +2540,22 @@ object Versioned {
           sum(when(col("n_regionkey") === 2, 1L).otherwise(0L))),
         probe("pts", readWhere(s, tp, "ts",
           "2024-01-02 00:00:00", "2024-01-03 00:00:00", Some(2)), n),
-        probe("rb", read(s, tp), n))
+        probe("rb", read(s, tp), n)) ++ {
+        // — incremental changelog over the SAME chain: each commit's
+        //   events from manifest deltas (readChanges), inserts in `a`,
+        //   deletes in `b`; compact must net to zero —
+        val cIns = coalesce(sum(when(
+          col(ChangeTypeCol) === "insert", 1L).otherwise(0L)), lit(0L))
+        val cDel = coalesce(sum(when(
+          col(ChangeTypeCol) === "delete", 1L).otherwise(0L)), lit(0L))
+        Seq(
+          probe("c12", readChanges(s, t, 1, 2), cIns, cDel),
+          probe("c23", readChanges(s, t, 2, 3), cIns, cDel),
+          probe("c34", readChanges(s, t, 3, 4), cIns, cDel),
+          probe("c45", readChanges(s, t, 4, 5), cIns, cDel),
+          probe("c56", readChanges(s, t, 5, 6), cIns, cDel),
+          probe("c17", readChanges(s, t, 1, 7), cIns, cDel))
+      }
       // tombstone / own-file inventories are FS metadata — no Spark job
       val v4Files = fileState(s"$t/v=4").keys.toSeq
       val morTomb = v4Files.count(_.contains(s"/$DeletesDir/"))
@@ -2427,7 +2600,15 @@ object Versioned {
         lit(r("pts")._1).as("p_ts_rows"),
         lit(if (pHidden) 1L else 0L).as("p_hidden"),
         lit(rbV.toLong).as("rb_version"),
-        lit(r("rb")._1).as("rb_rows"))
+        lit(r("rb")._1).as("rb_rows"),
+        lit(r("c12")._1).as("chg_append_ins"),
+        lit(r("c23")._1).as("chg_merge_ins"),
+        lit(r("c23")._2).as("chg_merge_del"),
+        lit(r("c34")._2).as("chg_mor_del"),
+        lit(r("c45")._1 + r("c45")._2).as("chg_compact_events"),
+        lit(r("c56")._2).as("chg_pd_del"),
+        lit(r("c17")._1).as("chg_all_ins"),
+        lit(r("c17")._2).as("chg_all_del"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }

@@ -1013,6 +1013,71 @@ class EtlSpec extends SparkSpec {
       .map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("versioned table: incremental changelog matches snapshot diffs") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import Versioned.{ChangeTypeCol, CommitVersionCol}
+    val t = s"$work/versioned_changes"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(
+      Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), t)     // v1
+    Versioned.append(Seq((4, "d"), (5, "e")).toDF("id", "v"), t) // v2
+    Versioned.applyChanges(spark, t,                             // v3
+      upserts = Seq((2, "B2"), (6, "f")).toDF("id", "v"),
+      deleteKeys = Seq(3).toDF("id"), key = "id")
+    // append-only commit: 2 inserts, nothing else
+    val c12 = Versioned.readChanges(spark, t, 1, 2)
+    assert(c12.filter(col(ChangeTypeCol) === "insert").count() == 2)
+    assert(c12.filter(col(ChangeTypeCol) === "delete").count() == 0)
+    // the whole range nets to EXACTLY the diff of the two snapshots:
+    // full-row events match read(3) \ read(1) and read(1) \ read(3);
+    // the equality tombstone adds its KEY-ONLY channel (v null) on top
+    val c13 = Versioned.readChanges(spark, t, 1, 3)
+    val ins = c13.filter(col(ChangeTypeCol) === "insert")
+      .select("id", "v")
+    val delRows = c13.filter(col(ChangeTypeCol) === "delete" &&
+      col("v").isNotNull).select("id", "v")
+    val r1 = Versioned.read(spark, t, Some(1))
+    val r3 = Versioned.read(spark, t, Some(3))
+    assert(ins.exceptAll(r3.exceptAll(r1)).isEmpty &&
+      r3.exceptAll(r1).exceptAll(ins).isEmpty)
+    assert(delRows.exceptAll(r1.exceptAll(r3)).isEmpty)
+    assert(c13.filter(col(ChangeTypeCol) === "delete" &&
+      col("v").isNull).select("id").collect().map(_.getInt(0)).toSeq
+      == Seq(3))
+    // REPLAY is exact: prior state minus deleted keys plus inserts
+    // reproduces the target snapshot (the key-only tombstone channel
+    // covers rows whose file the commit never rewrote)
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val delIds = c13.filter(col(ChangeTypeCol) === "delete")
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert((m(r1) -- delIds) ++ m(ins) == m(r3))
+    // every event carries the commit that introduced it
+    assert(c13.select(CommitVersionCol).distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // a metadata-only rename emits nothing; a compact nets to zero —
+    // and events after the rename carry the NEW column name
+    Versioned.renameColumn(spark, t, "v", "val")                 // v4
+    Versioned.compact(spark, t)                                  // v5
+    assert(Versioned.readChanges(spark, t, 3, 4).count() == 0)
+    assert(Versioned.readChanges(spark, t, 4, 5).count() == 0)
+    val c15 = Versioned.readChanges(spark, t, 1, 5)
+    assert(c15.columns.contains("val") && !c15.columns.contains("v"))
+    assert(c15.filter(col(ChangeTypeCol) === "insert")
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(2, 4, 5, 6))
+    // bounds and lineage are validated
+    intercept[IllegalArgumentException] {
+      Versioned.readChanges(spark, t, 3, 3) }
+    intercept[IllegalArgumentException] {
+      Versioned.readChanges(spark, t, 0, 99) }
+    // vacuum-expired manifests refuse instead of answering partially
+    Versioned.vacuum(spark, t, keep = 1)
+    intercept[IllegalArgumentException] {
+      Versioned.readChanges(spark, t, 1, 5) }
+  }
+
   test("versioned table: recreated branch never revives dropped commits") {
     import spark.implicits._
     import graft.sources.Versioned

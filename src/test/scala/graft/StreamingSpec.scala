@@ -159,6 +159,21 @@ class StreamingSpec extends SparkSpec {
     assert(state(2) == Map(1L -> "a1", 2L -> "b2", 4L -> "d1"))
     // batch 3: the deleted key re-inserted AFTER its tombstone survives
     assert(state(3) == Map(1L -> "a1", 2L -> "b2", 3L -> "c3", 4L -> "d1"))
+    // the incremental changelog round-trips the sink's commits:
+    // replaying each version's readChanges events (deletes by key,
+    // then inserts) over the prior state reproduces the next state
+    def replay(prev: Map[Long, String], v: Int): Map[Long, String] = {
+      val ev = Versioned.readChanges(spark, table, v - 1, v).collect()
+      val dels = ev.filter(_.getAs[String](Versioned.ChangeTypeCol)
+        == "delete").map(_.getAs[Long]("id")).toSet
+      val ins = ev.filter(_.getAs[String](Versioned.ChangeTypeCol)
+        == "insert").map(r =>
+        r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+      (prev -- dels) ++ ins
+    }
+    assert(replay(Map.empty, 1) == state(1))
+    assert(replay(state(1), 2) == state(2))
+    assert(replay(state(2), 3) == state(3))
     val fl2 = Versioned.files(spark, table, Some(2)).collect()
     assert(fl2.exists(_.getString(4) == "delete"))
     assert(fl2.exists(r => r.getString(4) == "data" &&
