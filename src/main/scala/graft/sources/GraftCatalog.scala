@@ -6,11 +6,13 @@ import scala.util.Try
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException,
-  NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, StagedTable,
-  StagingTableCatalog, SupportsWrite, Table, TableCapability,
-  TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{
+  NamespaceAlreadyExistsException, NonEmptyNamespaceException,
+  NoSuchNamespaceException, NoSuchTableException,
+  TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier,
+  NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces,
+  SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -176,7 +178,8 @@ private final class GraftStagedTable(tableDir: String,
   * RENAME is refused like Iceberg's HadoopCatalog: positional
   * tombstones bind absolute file paths, so a moved directory would
   * resurrect deleted rows — refuse loudly, never lie. */
-class GraftCatalog extends TableCatalog with StagingTableCatalog {
+class GraftCatalog extends TableCatalog with StagingTableCatalog
+    with SupportsNamespaces {
   private var catName = "graft"
   private var initRoot: Option[String] = None
 
@@ -361,12 +364,36 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
       freshCreate = !tableExists(ident))
   }
 
+  /** `ALTER TABLE … RENAME COLUMN` maps to [[Versioned.renameColumn]]
+    * — a METADATA-ONLY commit (no data file touched; the rename chain
+    * restyles older files at read, preserving column identity the way
+    * Iceberg's field ids do). Every other TableChange kind still
+    * refuses loudly: ADD/DROP COLUMN evolve through data commits
+    * (append/upsert null-fill by name), and type changes would lie
+    * about immutable files. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"ALTER TABLE is not supported on '$catName'; evolve " +
-        "versioned tables through commits (append/upsert null-fill " +
-        "added columns by name)")
+      changes: TableChange*): Table = {
+    if (!tableExists(ident))
+      throw new NoSuchTableException(ident.namespace :+ ident.name)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        if (r.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "RENAME COLUMN supports top-level columns only, got " +
+              r.fieldNames.mkString("."))
+        Versioned.renameColumn(spark, dirOf(ident),
+          r.fieldNames()(0), r.newName(),
+          note = Some(s"ALTER TABLE ${display(ident)} RENAME COLUMN " +
+            s"${r.fieldNames()(0)} TO ${r.newName()}"))
+      case c =>
+        throw new UnsupportedOperationException(
+          s"ALTER TABLE on '$catName' supports only RENAME COLUMN " +
+            s"(got ${c.getClass.getSimpleName}); evolve versioned " +
+            "tables through commits (append/upsert null-fill added " +
+            "columns by name)")
+    }
+    load(ident, None)
+  }
 
   /** DROP deletes the directory ONLY when it actually holds a
     * committed Versioned table (a `_commit_*` marker) — the Iceberg
@@ -386,4 +413,102 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog {
         "delete files bind absolute data-file paths, so a moved " +
         "table would resurrect deleted rows; compact, then move the " +
         "directory out of band")
+
+  // —— namespaces: plain directories under the catalog root ——
+  // The HadoopCatalog model: a namespace IS a directory that is not
+  // itself a table (no `_commit_*` marker), so `CREATE NAMESPACE
+  // graft.db` + `CREATE TABLE graft.db.t` + `SHOW TABLES IN graft.db`
+  // round-trip with no out-of-band mkdir, and `SHOW NAMESPACES`
+  // enumerates the tree. All operations are driver-side directory
+  // metadata — O(children), never data.
+
+  private def nsPath(namespace: Seq[String]) =
+    new Path((root +: namespace).mkString("/"))
+
+  private def hadoopFs(p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def isTableDir(f: org.apache.hadoop.fs.FileSystem,
+      p: Path): Boolean =
+    Try(f.listStatus(p).exists(
+      _.getPath.getName.startsWith("_commit_"))).getOrElse(false)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = nsPath(namespace.toSeq)
+      val f = hadoopFs(p)
+      Try(f.getFileStatus(p).isDirectory).getOrElse(false) &&
+        !isTableDir(f, p)
+    }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    util.Collections.emptyMap()
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    listNamespaces(Array.empty)
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(catName +: namespace.toSeq)
+    val p = nsPath(namespace.toSeq)
+    val f = hadoopFs(p)
+    if (!f.exists(p)) return Array.empty // root not materialized yet
+    f.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+        !n.contains("=") && !isTableDir(f, st.getPath)
+    }.map(st => namespace :+ st.getPath.getName)
+  }
+
+  /** CREATE NAMESPACE mkdirs the directory (parents included, like
+    * Iceberg's HadoopCatalog). Properties are refused rather than
+    * silently dropped — a directory can't durably carry them. */
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    val user = new util.HashMap[String, String](metadata)
+    Seq(SupportsNamespaces.PROP_LOCATION, SupportsNamespaces.PROP_COMMENT,
+      SupportsNamespaces.PROP_COLLATION, SupportsNamespaces.PROP_OWNER)
+      .foreach(user.remove)
+    if (!user.isEmpty)
+      throw new UnsupportedOperationException(
+        s"namespace properties are not supported on '$catName' " +
+          s"(got ${user.keySet()}): namespaces are plain directories")
+    if (namespaceExists(namespace))
+      throw new NamespaceAlreadyExistsException(
+        (catName +: namespace.toSeq).toArray)
+    val p = nsPath(namespace.toSeq)
+    val f = hadoopFs(p)
+    require(!f.exists(p),
+      s"path $p exists but is a table, not a namespace")
+    f.mkdirs(p)
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"ALTER NAMESPACE is not supported on '$catName': namespaces " +
+        "are plain directories with no mutable metadata")
+
+  /** DROP NAMESPACE removes the directory; non-cascade requires it
+    * empty of tables AND child namespaces (the SQL standard RESTRICT
+    * contract), cascade removes everything beneath. */
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    if (namespace.isEmpty)
+      throw new UnsupportedOperationException(
+        s"cannot drop the root namespace of '$catName'")
+    if (!namespaceExists(namespace)) return false
+    val p = nsPath(namespace.toSeq)
+    val f = hadoopFs(p)
+    if (!cascade && f.listStatus(p).nonEmpty)
+      throw new NonEmptyNamespaceException(
+        (catName +: namespace.toSeq).toArray,
+        "drop the tables first or use CASCADE", scala.None)
+    f.delete(p, true)
+  }
 }

@@ -1013,6 +1013,71 @@ class EtlSpec extends SparkSpec {
       .map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("catalog namespaces: CREATE / SHOW / USE / DROP round-trip") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val nsRoot = new java.io.File(s"$work/catalog_ns_root")
+    org.apache.commons.io.FileUtils.deleteQuietly(nsRoot)
+    nsRoot.mkdirs()
+    spark.conf.set("spark.sql.catalog.graft.root", nsRoot.getAbsolutePath)
+    try {
+      // namespace DDL needs no out-of-band mkdir
+      spark.sql("CREATE NAMESPACE graft.db")
+      spark.sql("CREATE NAMESPACE graft.db.inner")
+      assert(spark.sql("SHOW NAMESPACES IN graft").collect()
+        .map(_.getString(0)).toSet == Set("db"))
+      assert(spark.sql("SHOW NAMESPACES IN graft.db").collect()
+        .map(_.getString(0)).contains("db.inner"))
+      // two-level table under the created namespace
+      spark.sql("CREATE TABLE graft.db.t (id INT, v STRING)")
+      spark.sql("INSERT INTO graft.db.t VALUES (1, 'a')")
+      assert(spark.sql("SELECT count(*) FROM graft.db.t")
+        .head().getLong(0) == 1)
+      assert(spark.sql("SHOW TABLES IN graft.db").collect()
+        .map(_.getString(1)).toSet == Set("t"))
+      // a table directory is NOT a namespace
+      intercept[Exception] { spark.sql("CREATE NAMESPACE graft.db.t") }
+      // RESTRICT refuses a non-empty namespace; CASCADE clears it
+      intercept[Exception] { spark.sql("DROP NAMESPACE graft.db") }
+      assert(new java.io.File(nsRoot, "db/t").exists())
+      spark.sql("DROP NAMESPACE graft.db CASCADE")
+      assert(!new java.io.File(nsRoot, "db").exists())
+      assert(spark.sql("SHOW NAMESPACES IN graft").collect().isEmpty)
+    } finally spark.conf.unset("spark.sql.catalog.graft.root")
+  }
+
+  test("versioned table: ALTER TABLE RENAME COLUMN is a metadata-only commit") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_sql_rename"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val abs = new java.io.File(t).getAbsolutePath
+    val g = s"graft.`$abs`"
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), t)
+    val before = new java.io.File(s"$t/v=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    spark.sql(s"ALTER TABLE $g RENAME COLUMN v TO label")
+    // a new metadata-only version: old files untouched, new name served
+    assert(Versioned.currentVersion(spark, t) == 2)
+    assert(new java.io.File(s"$t/v=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap == before)
+    assert(spark.sql(s"SELECT label FROM $g WHERE id = 1")
+      .head().getString(0) == "a")
+    // old-version reads keep the old name
+    assert(spark.sql(s"SELECT * FROM $g VERSION AS OF 1").columns.toSeq
+      == Seq("id", "v"))
+    // other ALTER kinds still refuse loudly
+    intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE $g ADD COLUMN extra INT")
+    }
+    // a missing table fails at analysis (Spark resolves before alter)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"ALTER TABLE graft.`$abs-nope` RENAME COLUMN a TO b")
+    }
+  }
+
   test("versioned table: incremental changelog matches snapshot diffs") {
     import spark.implicits._
     import graft.sources.Versioned
