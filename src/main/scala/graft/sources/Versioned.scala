@@ -1715,11 +1715,14 @@ object Versioned {
     * changes is where the delete lives — materialized into the
     * rewritten files instead of re-applied at every read.
     *
-    * Cost: two snapshot-scan aggregations (raw and surviving row
-    * counts per file — the exact per-file tombstone hit, where min/max
-    * ranges would over-approximate) plus a rewrite of only the
-    * qualifying files. The per-file decision set collected to the
-    * driver is one row per file WITH deletions — metadata-scale.
+    * Cost: two scan aggregations over ONLY the manifest entries older
+    * than the newest tombstone — the sequence rule proves newer files
+    * carry no deletions, so an append-mostly table with a few old
+    * tombstones scans the old sliver, not O(table) — (raw and
+    * surviving row counts per file: the exact per-file tombstone hit,
+    * where min/max ranges would over-approximate) plus a rewrite of
+    * only the qualifying files. The per-file decision set collected to
+    * the driver is one row per file WITH deletions — metadata-scale.
     *
     * A tombstone survives the sweep only while some KEPT file (below
     * the ratio) still carries deletions from an entry older than it;
@@ -1741,21 +1744,47 @@ object Versioned {
     val tombs = manifestDeletes(spark, f, tableDir, cur)
     if (tombs.isEmpty) return cur // nothing to target
     val root = qualifiedRoot(f, tableDir)
+    // SCOPE the deletion-count scans by the sequence rule: a tombstone
+    // applies only to entries OLDER than it, so files from entries at
+    // or above the newest tombstone's version provably carry zero
+    // deletions — on a table whose tombstones predate most of its data
+    // (the steady state of append-mostly ingest with occasional
+    // deletes) this maintenance op scans the old sliver, not O(table).
+    val maxTomb = tombs.map(_.ver).max
+    val candidates = manifestDirs(f, tableDir, cur)
+      .filter(e => entryVer(e) < maxTomb)
+      .flatMap(e => entryFiles(f, tableDir, e))
+    val chain = renameChain(f, tableDir, cur)
+    def candScan(withDeletes: Boolean): DataFrame =
+      candidates.groupBy(_.split("/").head).toSeq.sortBy(_._1)
+        .map { case (vdir, fls) =>
+          val ver = vdir.stripPrefix("v=").toInt
+          val base = scanUnit(spark, ScanUnit(
+            fls.map(r => new Path(tableDir, r).toString),
+            Some(new Path(tableDir, vdir).toString),
+            ownerEpoch(f, tableDir, vdir)))
+            .withColumn(MetaFileCol, col("_metadata.file_path"))
+            .withColumn(MetaPosCol, col("_metadata.row_index"))
+          if (!withDeletes) base
+          else applyDeletes(applyRenames(base, chain, ver),
+            tombs.filter(_.ver > ver))
+        }.reduce(_.unionByName(_, allowMissingColumns = true))
     def perFile(withDeletes: Boolean, as: String) =
-      readSnapshot(spark, tableDir, Some(cur), withDeletes,
-        withMeta = true)
+      candScan(withDeletes)
         .groupBy(col(MetaFileCol).as("file"))
         .agg(count(lit(1)).as(as))
     // exact per-file deletion counts: raw minus surviving (the same
     // anti-joins reads pay, so the subtraction is the read's truth)
-    val delStats = perFile(withDeletes = false, "n")
-      .join(perFile(withDeletes = true, "surv"), Seq("file"), "left")
-      .select(col("file"), col("n"),
-        coalesce(col("surv"), lit(0L)).as("surv"))
-      .filter(col("surv") < col("n"))
-      .collect()
-      .map(r => (decodePath(r.getString(0)).stripPrefix(root + "/"),
-        r.getLong(1), r.getLong(2)))
+    val delStats =
+      if (candidates.isEmpty) Array.empty[(String, Long, Long)]
+      else perFile(withDeletes = false, "n")
+        .join(perFile(withDeletes = true, "surv"), Seq("file"), "left")
+        .select(col("file"), col("n"),
+          coalesce(col("surv"), lit(0L)).as("surv"))
+        .filter(col("surv") < col("n"))
+        .collect()
+        .map(r => (decodePath(r.getString(0)).stripPrefix(root + "/"),
+          r.getLong(1), r.getLong(2)))
     val touched = delStats.collect {
       case (rel, n, surv) if (n - surv).toDouble >= n * minDeleteRatio =>
         rel
@@ -1830,6 +1859,47 @@ object Versioned {
       branches(spark, tableDir).values
     val expired0 = all.filter(_ != cur).dropRight(math.max(0, keep - 1))
       .filterNot(tagged.contains)
+    expireVersions(spark, tableDir, f, cur, all, expired0)
+  }
+
+  /** AGE-based snapshot expiry — the Iceberg
+    * `expire_snapshots(older_than => ts, retain_last => N)` analog
+    * next to [[vacuum]]'s count-based retention: expires every
+    * snapshot whose publish marker predates `olderThanMillis`, which
+    * is the retention contract a table committing every few seconds
+    * actually needs ("keep 7 days" is inexpressible as a version
+    * count). The same pins apply: the current version, the newest
+    * `keepMin` versions, tags, branch heads, and live rename sidecars
+    * never expire, and every directory a retained manifest links
+    * survives the sweep. Expired-gap bookkeeping is shared with
+    * [[vacuum]], so [[readAsOf]] keeps refusing expired instants
+    * exactly. */
+  def vacuumOlderThan(spark: SparkSession, tableDir: String,
+      olderThanMillis: Long, keepMin: Int = 1): Unit = {
+    val f = fs(spark, tableDir)
+    if (!f.exists(new Path(tableDir))) return
+    val cur = currentVersion(spark, tableDir)
+    val all = versions(spark, tableDir)
+    val tagged = tags(spark, tableDir).values.toSet ++
+      branches(spark, tableDir).values
+    val protectedNewest = all.takeRight(math.max(1, keepMin)).toSet
+    def mtime(v: Int): Option[Long] = Try(f.getFileStatus(
+      new Path(tableDir, s"$MarkerPrefix$v")).getModificationTime)
+      .toOption
+    val expired0 = all.filter(v => v != cur && !protectedNewest(v) &&
+      !tagged(v) && mtime(v).exists(_ < olderThanMillis))
+    expireVersions(spark, tableDir, f, cur, all, expired0)
+  }
+
+  /** The shared expiry sweep behind [[vacuum]] and [[vacuumOlderThan]]:
+    * `expired0` is the caller's candidate set (current/tagged versions
+    * already excluded); this keeps live rename sidecars, logs publish
+    * instants for exact [[readAsOf]] gap resolution, drops markers,
+    * reclaims unreferenced directories, and sweeps crashed-committer
+    * debris. */
+  private def expireVersions(spark: SparkSession, tableDir: String,
+      f: FileSystem, cur: Int, all: Seq[Int],
+      expired0: Seq[Int]): Unit = {
     // RENAME versions stay pinned while any surviving manifest line is
     // OLDER than them: expiring the `_rename` sidecar would silently
     // re-read old files under their old names — a nulled column, wrong

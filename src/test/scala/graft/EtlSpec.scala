@@ -1013,6 +1013,76 @@ class EtlSpec extends SparkSpec {
       .map(_.getInt(0)).sorted.toSeq == Seq(0, 1, 2))
   }
 
+  test("versioned table: compactDeletes scans only entries older than its tombstones") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_scoped_cd"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // v1: 20 old rows; v2: tombstone 1 key; v3: 100k NEW rows — the
+    // sequence rule proves v3 carries no deletions, so compactDeletes
+    // must scan ~20 rows twice, never the 100k slice
+    Versioned.commit((1 to 20).map(i => (i, s"r$i")).toDF("id", "v"), t)
+    Versioned.deleteRows(spark, t, Seq(7).toDF("id"))
+    Versioned.append(spark.range(1000, 101000)
+      .select(col("id").cast("int"), lit("new").as("v")), t)
+    val r = graft.tools.Metrics.attach(spark)
+    try {
+      Versioned.compactDeletes(spark, t)
+      val deadline = System.nanoTime + 10L * 1000 * 1000 * 1000
+      while (r.records.isEmpty && System.nanoTime < deadline)
+        Thread.sleep(50)
+      val scanned = r.records.map(_.scanRows).sum
+      assert(scanned < 1000,
+        s"compactDeletes scanned $scanned rows; the 100k new slice " +
+          "must be pruned by the sequence rule")
+    } finally graft.tools.Metrics.detach(spark, r)
+    // correctness unchanged: deletion materialized, tombstone dropped
+    assert(Versioned.read(spark, t).count() == 100019)
+    assert(Versioned.read(spark, t).filter(col("id") === 7).count() == 0)
+    assert(Versioned.files(spark, t).collect()
+      .forall(_.getString(4) != "delete"))
+  }
+
+  test("versioned table: age-based expiry (vacuumOlderThan)") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_age_expiry"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    (1 to 5).foreach { i =>
+      if (i == 1) Versioned.commit(Seq((i, s"r$i")).toDF("id", "v"), t)
+      else Versioned.append(Seq((i, s"r$i")).toDF("id", "v"), t)
+    }
+    val day = 86400000L
+    val now = System.currentTimeMillis()
+    // back-date publish markers: v1-v3 are 8-10 days old, v4 is 1 day
+    Seq(1 -> 10, 2 -> 9, 3 -> 8, 4 -> 1).foreach { case (v, d) =>
+      assert(new java.io.File(s"$t/_commit_$v")
+        .setLastModified(now - d * day))
+    }
+    Versioned.tag(spark, t, "golden", Some(2))
+    // "keep 7 days": v1 and v3 expire; v2 is tag-pinned, v4/v5 young
+    Versioned.vacuumOlderThan(spark, t, now - 7 * day)
+    assert(Versioned.versions(spark, t) == Seq(2, 4, 5))
+    // the pinned snapshot still reads in full (its linked v=1 dir
+    // survives the sweep even though v1's marker is gone)
+    assert(Versioned.readTag(spark, t, "golden").count() == 2)
+    assert(Versioned.read(spark, t).count() == 5)
+    // readAsOf refuses instants whose state was an expired version
+    intercept[IllegalArgumentException] {
+      Versioned.readAsOf(spark, t, now - 8 * day + 1000)
+    }
+    // keepMin floors the sweep even when everything is ancient
+    val t2 = s"$work/versioned_age_expiry2"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t2))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t2)
+    Versioned.append(Seq((2, "b")).toDF("id", "v"), t2)
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t2)
+    (1 to 3).foreach(v => assert(new java.io.File(s"$t2/_commit_$v")
+      .setLastModified(now - 10 * day)))
+    Versioned.vacuumOlderThan(spark, t2, now, keepMin = 2)
+    assert(Versioned.versions(spark, t2) == Seq(2, 3))
+  }
+
   test("catalog namespaces: CREATE / SHOW / USE / DROP round-trip") {
     import spark.implicits._
     import graft.sources.Versioned
