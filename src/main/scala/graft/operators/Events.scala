@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.TimestampNTZType
 import graft.sources.Tables
 
 /** Event-stream analytics over the `events` fixture (batch mode; the
@@ -15,6 +16,24 @@ import graft.sources.Tables
 object Events {
 
   private def ev(s: SparkSession, d: String) = Tables.load(s, d, "events")
+
+  /** Epoch micros of a timestamp column regardless of flavor:
+    * TIMESTAMP (an instant) directly; TIMESTAMP_NTZ (the fixture's
+    * tz-less parquet timestamps) by interpreting the naive wall-clock
+    * as UTC — the same convention DuckDB applies to the same files, so
+    * oracle arithmetic agrees to the microsecond. The NTZ leg routes
+    * through an LTZ cast (session zone) then shifts the zone offset
+    * back out, which is exact in any fixed-offset session zone (the
+    * engine pins UTC, [[graft.Sessions.builder]]); under a DST zone a
+    * skipped local hour cannot round-trip the cast — pin a fixed
+    * offset for event-time arithmetic. */
+  private def epochMicros(df: DataFrame, c: String = "ts"): Column =
+    df.schema(c).dataType match {
+      case TimestampNTZType =>
+        unix_micros(to_utc_timestamp(col(c).cast("timestamp"),
+          current_timezone()))
+      case _ => unix_micros(col(c))
+    }
 
   /** Tumbling 1-hour window aggregate. Implemented as a date_trunc
     * group-by (identical semantics to `window(ts, "1 hour")` for tumbling
@@ -79,11 +98,12 @@ object Events {
     * run incrementally via session_window in the streaming module. */
   def sessionize(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
-    ev(s, d)
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+    val e = ev(s, d)
+    val us = epochMicros(e)
+    e.withColumn("prev_us", lag(us, 1).over(w))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > lit(1800000000L), 1L)
+          us - col("prev_us") > lit(1800000000L), 1L)
           .otherwise(0L))
       .groupBy(col("user_id"))
       .agg(sum(col("is_new")).as("n_sessions"), count(lit(1)).as("n_events"))
@@ -144,8 +164,8 @@ object Events {
     * of <=1 is necessary for |dt| <= 60s, and each qualifying pair
     * matches on exactly one probe value, so no dedup is needed. */
   def rangeJoinPairs(s: SparkSession, d: String): DataFrame = {
-    val base = ev(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val e = ev(s, d)
+    val base = e.select(col("event_id"), epochMicros(e).as("us"))
     val bucketLen = 60000000L // 60s in micros
     val left = base
       .withColumn("bucket", floor(col("us") / bucketLen).cast("long"))
@@ -166,8 +186,8 @@ object Events {
     * equi-join at optimization time. Same oracle as e06; the spec also
     * asserts the physical plan has no nested-loop/cartesian join. */
   def rangeJoinPairsNaive(s: SparkSession, d: String): DataFrame = {
-    val base = ev(s, d)
-      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val e = ev(s, d)
+    val base = e.select(col("event_id"), epochMicros(e).as("us"))
     val right = base.toDF("b_event_id", "b_us")
     base.join(right,
       col("event_id") < col("b_event_id") &&

@@ -19,14 +19,20 @@ object Tables {
 
   def path(sfDir: String, name: String): String = s"$sfDir/$name.parquet"
 
-  /** Load one table. The `events` fixture stores `ts` as parquet
-    * TIMESTAMP(NANOS), which Spark surfaces as Long (nanosAsLong); convert
-    * to a microsecond TimestampType so downstream date functions work and
-    * DuckDB (which truncates ns->us for arithmetic the same way) agrees.
+  /** Load one table. The `events` fixture has shipped `ts` in two
+    * layouts across testdata generations: parquet TIMESTAMP(NANOS),
+    * which Spark surfaces as Long (nanosAsLong) and is converted here
+    * to a microsecond TimestampType; and tz-less TIMESTAMP(MICROS),
+    * which Spark surfaces as TIMESTAMP_NTZ and passes through
+    * UNCHANGED — DuckDB reads the same file as a naive TIMESTAMP, so
+    * keeping NTZ end-to-end is what makes oracle values and output
+    * schemas agree (downstream epoch arithmetic handles both flavors,
+    * see [[graft.operators.Events]]).
     *
-    * The conversion must be integral (`div`), not `/`: double division
-    * loses exactness (the double ULP at 2024-epoch nanos is 256 ns), so
-    * boundary-adjacent rows would land 1 us off the DuckDB truncation.
+    * The nanos conversion must be integral (`div`), not `/`: double
+    * division loses exactness (the double ULP at 2024-epoch nanos is
+    * 256 ns), so boundary-adjacent rows would land 1 us off the DuckDB
+    * truncation.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(path(sfDir, name))

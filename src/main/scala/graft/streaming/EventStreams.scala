@@ -18,23 +18,44 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
-  /** Parquet stream schema for the events layout. `ts` arrives as Long
-    * nanos (TIMESTAMP(NANOS) parquet under nanosAsLong) and is converted
-    * to a microsecond timestamp, matching Tables.load. */
-  val rawSchema: StructType = StructType(Seq(
+  /** Parquet stream schema for the events layout, parameterized on the
+    * on-disk `ts` type: a stream source needs a declared schema (no
+    * inference), and the fixture has shipped `ts` as TIMESTAMP(NANOS)
+    * (surfacing as Long under nanosAsLong) and as tz-less
+    * TIMESTAMP(MICROS) (surfacing as TIMESTAMP_NTZ) across
+    * generations. */
+  private def rawSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readEvents(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(rawSchema).parquet(dir)
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    // one driver-side footer read decides the layout; declaring the
+    // wrong type would either fail the scan or silently misread raw
+    // micros as nanos (off by 1000x)
+    val onDisk = spark.read.parquet(dir).schema("ts").dataType
+    val raw = spark.readStream.schema(rawSchema(onDisk)).parquet(dir)
+    onDisk match {
       // integral `div`, not `/`: double division is 256 ns coarse at
       // 2024-epoch nanos — boundary rows would diverge from exact
       // truncation (see Tables.load)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case LongType => raw
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // event-time (watermarks, window state) requires an instant —
+      // Spark refuses TIMESTAMP_NTZ event time. Interpret the naive
+      // wall-clock as UTC (the same convention the batch side and
+      // DuckDB apply to these files): cast into the session zone, then
+      // shift the zone offset back out — exact under any fixed-offset
+      // session zone (the engine pins UTC).
+      case TimestampNTZType => raw
+        .withColumn("ts", to_utc_timestamp(col("ts").cast("timestamp"),
+          current_timezone()))
+      case _ => raw
+    }
+  }
 
   /** Tumbling 1-hour windowed counts with a 30-minute watermark. */
   def tumblingCounts(events: DataFrame): DataFrame =

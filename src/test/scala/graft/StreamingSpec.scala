@@ -58,8 +58,7 @@ class StreamingSpec extends SparkSpec {
     val stage = Paths.get("target/tmp/stream-multi-src")
     org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
     Files.createDirectories(stage)
-    val raw = spark.read.schema(EventStreams.rawSchema)
-      .parquet(s"$sf/events.parquet")
+    val raw = spark.read.parquet(s"$sf/events.parquet")
     def stageHalf(rem: Int, name: String): Unit = {
       val tmp = s"target/tmp/stream-multi-half-$rem"
       raw.filter(col("event_id") % 2 === rem).coalesce(1)
@@ -75,9 +74,11 @@ class StreamingSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     def run(): Unit = {
-      val events = spark.readStream.schema(EventStreams.rawSchema)
+      // the sink only consumes (event_id, user_id, value); declare the
+      // on-disk schema as staged (ts layout-agnostic — see
+      // EventStreams.readEvents for the ts-normalizing reader)
+      val events = spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1).parquet(stage.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select(col("event_id"), col("user_id"), col("value"))
       val q = EventStreams.versionedSink(events, table, streamId = "multi")
         .option("checkpointLocation", ckpt).start()
@@ -274,9 +275,13 @@ class StreamingSpec extends SparkSpec {
     val streamed = runStream("tumbling",
       EventStreams.tumblingCounts, mode = "complete")
     val batch = graft.operators.Events.tumblingHourly(spark, sf)
+    // window starts cast to string: the streaming side is an instant
+    // (event time must be LTZ) while the batch side follows the
+    // fixture's NTZ — under the UTC session both render identically
     def key(df: org.apache.spark.sql.DataFrame) =
-      df.select("hour", "event_type", "cnt", "sum_value")
-        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+      df.select(col("hour").cast("string"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1),
           r.getLong(2), math.round(r.getDouble(3) * 1e4)))
         .toSet
     assert(key(streamed) == key(batch))
@@ -289,8 +294,9 @@ class StreamingSpec extends SparkSpec {
     // sums rounded: streaming and batch may add doubles in different
     // orders (same values, last-ulp divergence)
     def key(df: org.apache.spark.sql.DataFrame) =
-      df.select("ws", "event_type", "cnt", "sum_value")
-        .collect().map(r => (r.getTimestamp(0), r.getString(1),
+      df.select(col("ws").cast("string"), col("event_type"),
+          col("cnt"), col("sum_value"))
+        .collect().map(r => (r.getString(0), r.getString(1),
           r.getLong(2), math.round(r.getDouble(3) * 1e4)))
         .toSet
     assert(key(streamed) == key(batch))
@@ -327,9 +333,9 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream interval join matches the batch equivalent") {
     val streamed = runStream("ssjoin", EventStreams.clickPurchaseJoin)
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long")))
+    // the batch oracle reads through Tables.load (layout-agnostic ts);
+    // the interval arithmetic below works on either timestamp flavor
+    val ev = graft.sources.Tables.load(spark, sf, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("c_ts"))

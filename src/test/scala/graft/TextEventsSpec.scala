@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 import graft.operators.{Events, TextAnalysis}
 
 class TextEventsSpec extends SparkSpec {
@@ -272,17 +273,39 @@ class TextEventsSpec extends SparkSpec {
     assert(total == spark.read.parquet(s"$sf/events.parquet").count())
   }
 
-  test("events ns->us load is exact integral truncation on every row") {
-    // Oracle is JVM Long division (exact truncation); double division
-    // would be 256 ns coarse at 2024-epoch nanos and land boundary rows
-    // 1 us off (ADVICE r1, high).
+  test("events load normalizes both shipped ts layouts exactly") {
+    // The fixture's ts has shipped as Long nanos AND as tz-less
+    // micros (TIMESTAMP_NTZ) across testdata generations; Tables.load
+    // must pass NTZ through untouched (DuckDB sees the same naive
+    // values) and convert Long nanos by exact integral truncation —
+    // double division would be 256 ns coarse at 2024-epoch nanos and
+    // land boundary rows 1 us off (ADVICE r1, high).
+    val fixture = graft.sources.Tables.load(spark, sf, "events")
     val raw = spark.read.parquet(s"$sf/events.parquet")
-      .select(col("event_id"), col("ts").as("ns"))
-    val loaded = graft.sources.Tables.load(spark, sf, "events")
-      .select(col("event_id"), unix_micros(col("ts")).as("us"))
-    val rows = loaded.join(raw, "event_id").select("ns", "us").collect()
-    assert(rows.nonEmpty)
-    assert(rows.forall(r => r.getLong(1) == r.getLong(0) / 1000L))
+    assert(fixture.schema("ts").dataType ==
+      (if (raw.schema("ts").dataType == LongType)
+        org.apache.spark.sql.types.TimestampType
+      else raw.schema("ts").dataType))
+    // synthesize the legacy nanos layout in a temp table dir and load
+    // through the same path: exact ns/1000 truncation on every row
+    val dir = java.nio.file.Files
+      .createTempDirectory("events-nanos-").toString
+    try {
+      import spark.implicits._
+      val boundary = Seq(1704067200000000999L, 1704067200000001000L,
+        1704067200000001001L, 0L, 999L, 1000L)
+      boundary.zipWithIndex.map { case (ns, i) => (i.toLong, ns) }
+        .toDF("event_id", "ts")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val loaded = graft.sources.Tables.load(spark, dir, "events")
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      boundary.zipWithIndex.foreach { case (ns, i) =>
+        assert(loaded(i.toLong) == ns / 1000L,
+          s"ns=$ns truncated to ${loaded(i.toLong)}")
+      }
+    } finally org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(dir))
   }
 
   test("asof join never matches a same-timestamp click (strict p.ts > c.ts)") {
