@@ -66,5 +66,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // analysis — see VersionedRelationRule for why this is a rewrite
     // rather than a DSv2 Scan.
     e.injectResolutionRule(s => graft.plans.VersionedRelationRule(s))
+    // SQL row-level DML (DELETE FROM / UPDATE / MERGE INTO) on catalog
+    // tables lowers onto the engine's snapshot primitives — see
+    // RowLevelDmlRule for why this is an analyzer rewrite rather than
+    // the SupportsRowLevelOperations scan/write protocol.
+    e.injectResolutionRule(s => graft.plans.RowLevelDmlRule(s))
   }
 }

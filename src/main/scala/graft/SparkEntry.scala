@@ -152,6 +152,9 @@ object SparkEntry {
     // multi-version spark.sql with a cross-version join + NOT IN.
     "q41_sql_time_travel" ->
       (graft.sources.Versioned.sqlTimeTravelGate _),
+    // SQL row-level DML: DELETE/UPDATE/MERGE lowered onto the snapshot
+    // engine (RowLevelDmlRule), scripted and reduced to constants.
+    "q42_sql_dml" -> (graft.sources.Versioned.sqlDmlGate _),
     // —— multimodal plumbing (north-star; decode is a marked stub) ——
     "m01_media_meta"   -> (Multimodal.mediaMeta _),
     // Feature vector projected to scalar f_* columns: driver-checkable
@@ -899,6 +902,22 @@ object SparkEntry {
                 CAST(3 AS BIGINT) AS ctas_rows,
                 CAST(1 AS BIGINT) AS replaced_rows,
                 CAST(3 AS BIGINT) AS replaced_old_rows""",
+    // SQL row-level DML gate: DELETE drops key 1 of 5 (merge-on-read,
+    // data files untouched); UPDATE suffixes keys >= 3 (2 rows); the
+    // three-clause MERGE kills key 4, updates key 2, inserts key 7
+    // (4 rows total); NOT MATCHED BY SOURCE marks all but key 0 STALE
+    // (3 rows); v1 still reads 5; five versions published.
+    "q42_sql_dml" ->
+      """SELECT CAST(4 AS BIGINT) AS del_after,
+                CAST(1 AS BIGINT) AS del_files_same,
+                CAST(2 AS BIGINT) AS upd_marked,
+                CAST(4 AS BIGINT) AS merge_rows,
+                CAST(1 AS BIGINT) AS merge_updated,
+                CAST(1 AS BIGINT) AS merge_inserted,
+                CAST(0 AS BIGINT) AS merge_killed,
+                CAST(3 AS BIGINT) AS nmbs_stale,
+                CAST(5 AS BIGINT) AS tt_v1_rows,
+                CAST(5 AS BIGINT) AS final_version""",
     "q38_window_battery2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -2,8 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project,
-  V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
+  LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
@@ -32,17 +32,24 @@ import graft.sources.{GraftVersionedTable, Versioned}
 case class VersionedRelationRule(spark: SparkSession)
     extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // WRITE targets stay as relations: `INSERT INTO graft.db.t` /
-    // `writeTo(...).append()` resolve the table under a V2WriteCommand
-    // whose target must remain a NamedRelation for the V1-fallback
-    // write exec — only READ occurrences expand into the snapshot
-    // plan. (The write's SOURCE query is not a target; its graft
+    // WRITE and DML targets stay as relations: `INSERT INTO
+    // graft.db.t` / `writeTo(...).append()` resolve the table under a
+    // V2WriteCommand whose target must remain a NamedRelation for the
+    // V1-fallback write exec, and DELETE/UPDATE/MERGE targets must
+    // stay relations for [[RowLevelDmlRule]] to recover the table
+    // identity — only READ occurrences expand into the snapshot plan.
+    // (A write's/merge's SOURCE query is not a target; its graft
     // relations still rewrite, so `INSERT INTO t SELECT FROM t
-    // VERSION AS OF 1` reads the pin and appends to the head.)
+    // VERSION AS OF 1` reads the pin and appends to the head, and
+    // `MERGE INTO t USING t VERSION AS OF 1` merges a pinned read.)
     val writeTargets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def addTargetTree(p: LogicalPlan): Unit = p.foreach(writeTargets.add)
     plan.foreach {
       case w: V2WriteCommand => writeTargets.add(w.table)
+      case d: DeleteFromTable => addTargetTree(d.table)
+      case u: UpdateTable => addTargetTree(u.table)
+      case m: MergeIntoTable => addTargetTree(m.targetTable)
       case _ => ()
     }
     plan.resolveOperatorsUp {

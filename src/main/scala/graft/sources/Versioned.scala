@@ -1430,6 +1430,227 @@ object Versioned {
       partitionCol, statsCols, transform = transform)
       .getOrElse(currentVersion(spark, tableDir))
 
+  /** Row-level UPDATE: publish a new snapshot where every row matching
+    * `pred` has each `set` column replaced by its value expression —
+    * the Iceberg copy-on-write `UPDATE` analog, at its cost model:
+    * only the files CONTAINING a matching row are rewritten, the rest
+    * link unchanged through the manifest ([[mergeFiles]]). Value
+    * expressions evaluate against the OLD row (standard SQL UPDATE:
+    * `SET a = b, b = a` swaps) and are cast to the column's existing
+    * type (store assignment); rows where `pred` is NULL are kept
+    * UNMODIFIED (three-valued logic, like [[delete]]). A no-match
+    * update is a no-op returning the current version. This is the
+    * engine half of SQL `UPDATE graft.db.t SET ... WHERE ...`
+    * ([[graft.plans.RowLevelDmlRule]]). */
+  def updateWhere(spark: SparkSession, tableDir: String, pred: Column,
+      set: Seq[(String, Column)], note: Option[String] = None): Int = {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    val dup = set.groupBy(_._1).collect { case (c, as) if as.size > 1 => c }
+    require(dup.isEmpty,
+      s"updateWhere SET assigns a column twice: ${dup.mkString(", ")}")
+    val schema = read(spark, tableDir, Some(cur)).schema
+    val unknown = set.map(_._1).filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty,
+      s"updateWhere SET columns not in table at $tableDir: " +
+        unknown.mkString(", "))
+    val byName = set.toMap
+    val hit = coalesce(pred, lit(false))
+    mergeFiles(spark, tableDir,
+      matches = _.filter(hit),
+      rewrite = d => d.select(schema.fields.toSeq.map { f =>
+        byName.get(f.name) match {
+          case Some(v) =>
+            when(hit, v.cast(f.dataType)).otherwise(col(f.name))
+              .as(f.name)
+          case None => col(f.name)
+        }
+      }: _*),
+      partitionCol = None, statsCols = Nil, note = note)
+      .getOrElse(cur)
+  }
+
+  /** One WHEN clause of a [[mergeInto]]. Column expressions reference
+    * the target row qualified `__t.<col>` and the source row
+    * `__s.<col>` (the aliases [[mergeInto]] establishes); a NULL
+    * condition never fires its clause (SQL three-valued logic). */
+  sealed trait MergeClause { def condition: Option[Column] }
+  /** WHEN MATCHED / NOT MATCHED BY SOURCE ... THEN UPDATE SET. */
+  final case class MergeUpdate(condition: Option[Column],
+      set: Seq[(String, Column)]) extends MergeClause
+  /** WHEN MATCHED / NOT MATCHED BY SOURCE ... THEN DELETE. */
+  final case class MergeDelete(condition: Option[Column])
+      extends MergeClause
+  /** WHEN NOT MATCHED [BY TARGET] ... THEN INSERT; target columns
+    * absent from `values` land NULL (SQL INSERT column-list form). */
+  final case class MergeInsert(condition: Option[Column],
+      values: Seq[(String, Column)]) extends MergeClause
+
+  /** Full SQL MERGE INTO semantics as one atomic copy-on-write commit —
+    * the general form of [[upsert]]/[[applyChanges]] (which cover the
+    * keyed-equality fast path): an arbitrary `on` join condition,
+    * ordered first-match-wins WHEN clauses with optional extra
+    * conditions, and all three row populations —
+    *
+    *  - target rows MATCHED by a source row: first matching
+    *    update/delete clause applies; no clause matching keeps the row;
+    *  - source rows matching NO target row: first matching insert
+    *    clause applies; none matching drops the source row;
+    *  - target rows NOT MATCHED BY SOURCE: like matched, against the
+    *    `notMatchedBySource` clauses.
+    *
+    * Cost model is Iceberg's copy-on-write MERGE: one provenance scan
+    * finds the files containing an affected row (matched rows when any
+    * matched clause exists, plus not-matched-by-source rows when those
+    * clauses exist — the latter can touch every file, which is the
+    * inherent price of NOT MATCHED BY SOURCE at any scale), only those
+    * files rewrite, inserts ride the same single commit. The
+    * Iceberg/Delta cardinality contract is enforced up front: a target
+    * row matched by MORE than one source row fails the merge (its
+    * update would be nondeterministic) — checked by grouping the
+    * matched provenance scan on exact (file, row-ordinal) coordinates,
+    * never a guess. Source rows may match many target rows freely.
+    * Update/insert values cast to the column's existing type; clause
+    * and join conditions see NULL as false. A merge where nothing
+    * matches any clause is a no-op returning the current version. */
+  def mergeInto(spark: SparkSession, tableDir: String,
+      source: DataFrame, on: Column,
+      matched: Seq[MergeClause] = Nil,
+      notMatched: Seq[MergeInsert] = Nil,
+      notMatchedBySource: Seq[MergeClause] = Nil,
+      note: Option[String] = None): Int = {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    require(matched.forall(!_.isInstanceOf[MergeInsert]),
+      "matched clauses must be MergeUpdate or MergeDelete")
+    require(notMatchedBySource.forall(!_.isInstanceOf[MergeInsert]),
+      "notMatchedBySource clauses must be MergeUpdate or MergeDelete")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "mergeInto needs at least one clause")
+    val schema = read(spark, tableDir, Some(cur)).schema
+    for (c <- matched ++ notMatched ++ notMatchedBySource) {
+      val cols = c match {
+        case MergeUpdate(_, s) => s.map(_._1)
+        case MergeInsert(_, v) => v.map(_._1)
+        case _ => Nil
+      }
+      val unknown = cols.filterNot(schema.fieldNames.contains)
+      require(unknown.isEmpty, "merge clause references columns not " +
+        s"in table at $tableDir: ${unknown.mkString(", ")}")
+      val dup = cols.groupBy(identity)
+        .collect { case (n, as) if as.size > 1 => n }
+      require(dup.isEmpty,
+        s"merge clause assigns a column twice: ${dup.mkString(", ")}")
+    }
+    // the matched? marker must be a column no side can collide with
+    val mark = "__graft_merge_matched"
+    require(!schema.fieldNames.contains(mark) &&
+      !source.columns.contains(mark),
+      s"'$mark' is reserved by mergeInto")
+    val src = source.withColumn(mark, lit(true)).alias("__s")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def cond(c: Option[Column]) = coalesce(c.getOrElse(lit(true)),
+      lit(false))
+    try {
+      // —— cardinality contract (only matched clauses can trip it) ——
+      if (matched.nonEmpty) {
+        val t = readSnapshot(spark, tableDir, Some(cur),
+          withDeletes = true, withMeta = true).alias("__t")
+        val multi = t.join(src, on, "inner")
+          .groupBy(col(MetaFileCol), col(MetaPosCol))
+          .agg(count(lit(1)).as("__n")).filter(col("__n") > 1)
+        require(multi.isEmpty, "MERGE cardinality violation: a target " +
+          "row matched more than one source row (the update/delete " +
+          "would be nondeterministic) — deduplicate the source on the " +
+          "merge keys first")
+      }
+      // —— which target rows are affected → which files rewrite ——
+      val anyNmbs = notMatchedBySource.map(c => cond(c.condition))
+        .reduceOption(_ || _).getOrElse(lit(false))
+      def touches(d: DataFrame): DataFrame = {
+        val t = d.alias("__t")
+        val viaMatch =
+          if (matched.isEmpty) t.limit(0)
+          else t.join(src, on, "left_semi")
+        val viaNmbs =
+          if (notMatchedBySource.isEmpty) t.limit(0)
+          else t.join(src, on, "left_anti").filter(anyNmbs)
+        viaMatch.unionByName(viaNmbs)
+      }
+      // —— the rewrite: full WHEN-clause semantics per touched row ——
+      // one left-outer join recovers each row's matching source row
+      // (unique by the cardinality check); CASE chains apply the FIRST
+      // clause whose condition holds — Spark's CaseWhen evaluates
+      // branches in order, which IS the SQL MERGE clause order.
+      val isMatched = col(mark).isNotNull
+      val branches: Seq[(Column, MergeClause)] =
+        matched.map(c => (isMatched && cond(c.condition), c)) ++
+          notMatchedBySource.map(c => (!isMatched && cond(c.condition), c))
+      def rewrite(d: DataFrame): DataFrame = {
+        val j = d.alias("__t").join(src, on, "left_outer")
+        val keep = branches.foldLeft(null: Column) { case (acc, (hit, c)) =>
+          val k = lit(!c.isInstanceOf[MergeDelete])
+          if (acc == null) when(hit, k) else acc.when(hit, k)
+        } match { case null => lit(true); case w => w.otherwise(lit(true)) }
+        val outCols = schema.fields.toSeq.map { f =>
+          val old = col(s"__t.${f.name}")
+          branches.foldLeft(null: Column) { case (acc, (hit, c)) =>
+            val v = c match {
+              case MergeUpdate(_, set) => set.toMap.get(f.name)
+                .map(_.cast(f.dataType)).getOrElse(old)
+              case _ => old // delete branches are filtered by `keep`
+            }
+            if (acc == null) when(hit, v) else acc.when(hit, v)
+          } match {
+            case null => old.as(f.name)
+            case w => w.otherwise(old).as(f.name)
+          }
+        }
+        j.filter(keep).select(outCols: _*)
+      }
+      // —— inserts: source rows with no target match ——
+      val inserts: Option[DataFrame] = if (notMatched.isEmpty) None else {
+        val t = read(spark, tableDir, Some(cur)).alias("__t")
+        val nm = src.join(t, on, "left_anti")
+        val idx = notMatched.zipWithIndex.foldLeft(null: Column) {
+          case (acc, (c, i)) =>
+            if (acc == null) when(cond(c.condition), i + 1)
+            else acc.when(cond(c.condition), i + 1)
+        }.otherwise(0)
+        val outCols = schema.fields.toSeq.map { f =>
+          notMatched.zipWithIndex.foldLeft(null: Column) {
+            case (acc, (c, i)) =>
+              val v = c.values.toMap.get(f.name).map(_.cast(f.dataType))
+                .getOrElse(lit(null).cast(f.dataType))
+              if (acc == null) when(col("__graft_merge_act") === i + 1, v)
+              else acc.when(col("__graft_merge_act") === i + 1, v)
+          }.otherwise(lit(null).cast(f.dataType)).as(f.name)
+        }
+        Some(nm.withColumn("__graft_merge_act", idx)
+          .filter(col("__graft_merge_act") > 0).select(outCols: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      }
+      try {
+        val rewriteAll: DataFrame => DataFrame = inserts match {
+          case Some(ins) => d => rewrite(d)
+            .unionByName(ins, allowMissingColumns = true)
+          case None => rewrite
+        }
+        mergeFiles(spark, tableDir, touches, rewriteAll,
+          partitionCol = None, statsCols = Nil, note = note) match {
+          case Some(v) => v
+          case None => inserts match {
+            // no file touched: a pure-insert merge appends O(delta)
+            case Some(ins) if !ins.isEmpty =>
+              append(ins, tableDir, note = note)
+            case _ => cur
+          }
+        }
+      } finally inserts.foreach(_.unpersist(blocking = false))
+    } finally src.unpersist(blocking = false)
+  }
+
   /** MERGE-ON-READ delete — the Iceberg-v2 equality-delete-file analog
     * (the delete half the reference's engines speak through
     * `iceberg.properties`' format-version-2 catalog): publish a new
@@ -2457,6 +2678,77 @@ object Versioned {
         lit(ctasRows).as("ctas_rows"),
         lit(replRows).as("replaced_rows"),
         lit(replOld).as("replaced_old_rows"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  /** Oracle gate for SQL row-level DML (q42): a scripted DELETE /
+    * UPDATE / MERGE sequence over a temp catalog table built from the
+    * `region` fixture, reduced to constants the oracle states
+    * literally — the same pattern as [[snapshotGate]]/
+    * [[sqlTimeTravelGate]]. Exercises the [[graft.plans
+    * .RowLevelDmlRule]] lowering end-to-end through `spark.sql`:
+    * merge-on-read positional DELETE, copy-on-write UPDATE (old-row
+    * SET semantics), a three-clause MERGE (conditional delete, update,
+    * insert), a NOT MATCHED BY SOURCE pass, and time travel across all
+    * of it. */
+  def sqlDmlGate(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-sql-dml")
+    try {
+      val region = Tables.load(s, d, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val t = work.resolve("tbl").toString
+      commit(region, t) // v1: keys 0..4
+      val g = s"graft.`$t`"
+      // —— DELETE (merge-on-read positional: no data file rewritten) ——
+      val filesBefore = dataFileCount(s, t)
+      s.sql(s"DELETE FROM $g WHERE r_regionkey = 1") // v2
+      val delFilesSame = if (dataFileCount(s, t) == filesBefore) 1L else 0L
+      val delAfter = s.sql(s"SELECT count(*) FROM $g").head().getLong(0)
+      // —— UPDATE (copy-on-write; SET sees the OLD row) ——
+      s.sql(s"UPDATE $g SET r_name = concat(r_name, '_U') " +
+        "WHERE r_regionkey >= 3") // v3
+      val updMarked = s.sql(s"SELECT count(*) FROM $g " +
+        "WHERE endswith(r_name, '_U')").head().getLong(0)
+      // —— MERGE: conditional delete + update + insert, one commit ——
+      import s.implicits._
+      Seq((2, "MERGED"), (4, "KILL"), (7, "NEW")).toDF("k", "name")
+        .createOrReplaceTempView("graft_dml_src")
+      s.sql(s"""
+        MERGE INTO $g USING graft_dml_src src ON $g.r_regionkey = src.k
+        WHEN MATCHED AND src.name = 'KILL' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET r_name = src.name
+        WHEN NOT MATCHED THEN
+          INSERT (r_regionkey, r_name) VALUES (src.k, src.name)
+      """) // v4: {0, 2=MERGED, 3_U, 7=NEW}; 4 killed
+      val m = s.sql(s"""SELECT count(*),
+          count(CASE WHEN r_name = 'MERGED' THEN 1 END),
+          count(CASE WHEN r_regionkey = 7 THEN 1 END),
+          count(CASE WHEN r_regionkey = 4 THEN 1 END) FROM $g""").head()
+      // —— NOT MATCHED BY SOURCE: mark rows the source no longer has ——
+      Seq(Tuple1(0)).toDF("k").createOrReplaceTempView("graft_dml_keep")
+      s.sql(s"""
+        MERGE INTO $g USING graft_dml_keep src
+        ON $g.r_regionkey = src.k
+        WHEN NOT MATCHED BY SOURCE THEN UPDATE SET r_name = 'STALE'
+      """) // v5
+      val stale = s.sql(s"SELECT count(*) FROM $g " +
+        "WHERE r_name = 'STALE'").head().getLong(0)
+      // time travel across the whole DML chain
+      val v1Rows = s.sql(s"SELECT count(*) FROM $g VERSION AS OF 1")
+        .head().getLong(0)
+      s.range(1).select(
+        lit(delAfter).as("del_after"),
+        lit(delFilesSame).as("del_files_same"),
+        lit(updMarked).as("upd_marked"),
+        lit(m.getLong(0)).as("merge_rows"),
+        lit(m.getLong(1)).as("merge_updated"),
+        lit(m.getLong(2)).as("merge_inserted"),
+        lit(m.getLong(3)).as("merge_killed"),
+        lit(stale).as("nmbs_stale"),
+        lit(v1Rows).as("tt_v1_rows"),
+        lit(currentVersion(s, t).toLong).as("final_version"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }

@@ -1,0 +1,32 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
+
+/** The engine's single, narrow bridge to two `private[sql]` seams of
+  * the classic Spark API — deliberately placed under
+  * `org.apache.spark.sql` (the standard third-party-connector
+  * technique; Delta and Iceberg's Spark runtimes do the same) so the
+  * rest of the codebase never reaches into Spark internals directly:
+  *
+  *  - wrapping an already-RESOLVED Catalyst [[Expression]] back into a
+  *    user-facing [[Column]], which the SQL row-level DML lowering
+  *    ([[graft.plans.RowLevelDmlRule]]) needs to hand a `DELETE` /
+  *    `UPDATE` / `MERGE` condition to the engine's DataFrame-level
+  *    primitives;
+  *  - wrapping a resolved [[LogicalPlan]] into a [[DataFrame]]
+  *    (`Dataset.ofRows`), which the MERGE lowering needs for its
+  *    source-side query.
+  *
+  * Nothing else belongs here: every addition widens the surface that
+  * can break on a Spark upgrade.
+  */
+object SparkInternals {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
