@@ -155,6 +155,10 @@ object SparkEntry {
     // SQL row-level DML: DELETE/UPDATE/MERGE lowered onto the snapshot
     // engine (RowLevelDmlRule), scripted and reduced to constants.
     "q42_sql_dml" -> (graft.sources.Versioned.sqlDmlGate _),
+    // SQL schema evolution: metadata-only ALTER TABLE ADD/DROP/RENAME
+    // COLUMN through the catalog, constants-reduced.
+    "q43_schema_evolution" ->
+      (graft.sources.Versioned.schemaEvolutionGate _),
     // —— multimodal plumbing (north-star; decode is a marked stub) ——
     "m01_media_meta"   -> (Multimodal.mediaMeta _),
     // Feature vector projected to scalar f_* columns: driver-checkable
@@ -918,6 +922,19 @@ object SparkEntry {
                 CAST(3 AS BIGINT) AS nmbs_stale,
                 CAST(5 AS BIGINT) AS tt_v1_rows,
                 CAST(5 AS BIGINT) AS final_version""",
+    // Schema-evolution gate: ADD null-fills the 3 existing rows and
+    // the post-add INSERT sets one; DROP leaves (id, score) = 2 cols
+    // while v1 still shows 2 original cols; RENAME id->key preserves
+    // values (0+1+2+4); re-adding dropped 'v' resurrects nothing
+    // (4 nulls); six versions published.
+    "q43_schema_evolution" ->
+      """SELECT CAST(3 AS BIGINT) AS add_nulls,
+                CAST(1 AS BIGINT) AS add_set,
+                CAST(2 AS BIGINT) AS cols_after_drop,
+                CAST(2 AS BIGINT) AS tt_v1_cols,
+                CAST(7 AS BIGINT) AS renamed_sum,
+                CAST(4 AS BIGINT) AS readd_nulls,
+                CAST(6 AS BIGINT) AS final_version""",
     "q38_window_battery2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
-import graft.sources.{GraftVersionedTable, Versioned}
+import graft.sources.{GraftMetaTable, GraftVersionedTable, Versioned}
 
 /** Analyzer rule behind [[graft.sources.GraftCatalog]]: replaces every
   * relation whose table is a [[GraftVersionedTable]] with the FULL
@@ -64,6 +64,24 @@ case class VersionedRelationRule(spark: SparkSession)
             "shape between catalog resolution and planning " +
             "(snapshots are immutable; this indicates a corrupted " +
             "manifest)")
+        Project(r.output.zip(real.output).map { case (tgt, src) =>
+          Alias(src, tgt.name)(exprId = tgt.exprId,
+            qualifier = tgt.qualifier)
+        }, real)
+      // metadata tables (t.history / t.files) expand the same way —
+      // driver-metadata frames, never a data-file scan
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftMetaTable] &&
+            !writeTargets.contains(r) =>
+        val t = r.table.asInstanceOf[GraftMetaTable]
+        val real = (t.kind match {
+          case "history" => Versioned.history(spark, t.tableDir)
+          case "files" =>
+            Versioned.files(spark, t.tableDir, t.pinnedVersion)
+        }).queryExecution.analyzed
+        require(real.output.length == r.output.length,
+          s"metadata table ${t.name()} changed shape between catalog " +
+            "resolution and planning")
         Project(r.output.zip(real.output).map { case (tgt, src) =>
           Alias(src, tgt.name)(exprId = tgt.exprId,
             qualifier = tgt.qualifier)

@@ -58,6 +58,24 @@ final class GraftVersionedTable(val tableDir: String,
     new GraftWriteBuilder(tableDir, displayName)
 }
 
+/** A resolved METADATA table — `graft.db.t.history` / `graft.db.t
+  * .files`, the Iceberg metadata-table addressing (README.md:78's
+  * catalog exposes `db.t.history` the same way): the trailing
+  * identifier segment selects the view over the PARENT table's
+  * manifest surface. Like [[GraftVersionedTable]] it advertises no
+  * read capability; [[graft.plans.VersionedRelationRule]] expands it
+  * into [[Versioned.history]]/[[Versioned.files]] during analysis
+  * (driver-metadata frames — no data file is opened). Writes are
+  * refused by capability absence. */
+final class GraftMetaTable(val tableDir: String, val kind: String,
+    val pinnedVersion: Option[Int], tableSchema: StructType,
+    displayName: String) extends Table {
+  override def name(): String = displayName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.noneOf(classOf[TableCapability])
+}
+
 /** V1-fallback write builder for a versioned table: append by default;
   * `truncate()` (Spark's INSERT OVERWRITE lowering when the overwrite
   * condition is `true`) swaps in a fresh full snapshot. Partial
@@ -222,11 +240,50 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
   private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
     String, StructType]()
 
+  /** `<table>.history` / `<table>.files` resolve as metadata tables
+    * of the parent — tried only when the full identifier is NOT
+    * itself a committed table, so a real table named `history` under
+    * a table-named directory still wins. */
+  private def metaLoad(ident: Identifier,
+      version: Option[Int]): Option[Table] = {
+    if (ident.namespace.isEmpty) return None
+    val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
+    if (kind != "history" && kind != "files") return None
+    val parent = Identifier.of(ident.namespace.dropRight(1),
+      ident.namespace.last)
+    val dir = Try(dirOf(parent)).getOrElse(return None)
+    if (Try(Versioned.currentVersion(spark, dir)).getOrElse(0) == 0)
+      return None
+    // pin at RESOLUTION like every catalog reference: one statement
+    // reads one consistent snapshot's file inventory
+    val pin = kind match {
+      case "history" =>
+        if (version.isDefined)
+          throw new UnsupportedOperationException(
+            s"${display(ident)} is the whole lineage; VERSION AS OF " +
+              "does not apply (pin .files instead)")
+        None
+      case "files" => Some(version.getOrElse(
+        Versioned.currentVersion(spark, dir)))
+    }
+    val df = kind match {
+      case "history" => Versioned.history(spark, dir)
+      case "files" => Versioned.files(spark, dir, pin)
+    }
+    Some(new GraftMetaTable(dir, kind, pin, df.schema,
+      display(ident)))
+  }
+
   private def load(ident: Identifier, version: Option[Int]): Table = {
-    val dir = dirOf(ident)
-    val cur = Try(Versioned.currentVersion(spark, dir)).getOrElse(0)
+    // dirOf may itself fail for a meta-shaped ident (rootless catalog
+    // with an absolute-path parent: graft.`/x`.history has namespace
+    // ["/x"]) — a failed full-ident mapping falls through to metaLoad
+    val cur = Try(Versioned.currentVersion(spark, dirOf(ident)))
+      .getOrElse(0)
     if (cur == 0)
-      throw new NoSuchTableException(ident.namespace :+ ident.name)
+      return metaLoad(ident, version).getOrElse(
+        throw new NoSuchTableException(ident.namespace :+ ident.name))
+    val dir = dirOf(ident)
     val v = version.getOrElse(cur)
     val vs = Versioned.versions(spark, dir)
     require(vs.contains(v),
@@ -385,12 +442,36 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           r.fieldNames()(0), r.newName(),
           note = Some(s"ALTER TABLE ${display(ident)} RENAME COLUMN " +
             s"${r.fieldNames()(0)} TO ${r.newName()}"))
+      case a: TableChange.AddColumn =>
+        if (a.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN supports top-level columns only, got " +
+              a.fieldNames.mkString("."))
+        if (!a.isNullable)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN must be nullable: existing rows null-fill the " +
+              "new column (the Iceberg new-optional-field contract)")
+        if (a.position() != null)
+          throw new UnsupportedOperationException(
+            "ADD COLUMN ... FIRST/AFTER is not supported: added " +
+              "columns land last (metadata-only add)")
+        Versioned.addColumn(spark, dirOf(ident), a.fieldNames()(0),
+          a.dataType(),
+          note = Some(s"ALTER TABLE ${display(ident)} ADD COLUMN " +
+            s"${a.fieldNames()(0)} ${a.dataType().catalogString}"))
+      case d: TableChange.DeleteColumn =>
+        if (d.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "DROP COLUMN supports top-level columns only, got " +
+              d.fieldNames.mkString("."))
+        Versioned.dropColumn(spark, dirOf(ident), d.fieldNames()(0),
+          note = Some(s"ALTER TABLE ${display(ident)} DROP COLUMN " +
+            s"${d.fieldNames()(0)}"))
       case c =>
         throw new UnsupportedOperationException(
-          s"ALTER TABLE on '$catName' supports only RENAME COLUMN " +
-            s"(got ${c.getClass.getSimpleName}); evolve versioned " +
-            "tables through commits (append/upsert null-fill added " +
-            "columns by name)")
+          s"ALTER TABLE on '$catName' supports RENAME / ADD / DROP " +
+            s"COLUMN (got ${c.getClass.getSimpleName}); other " +
+            "evolution goes through commits (appends union by name)")
     }
     load(ident, None)
   }

@@ -230,10 +230,28 @@ object Versioned {
       }
   }
 
-  // —— column renames (field-id schema evolution analog) ——
+  // —— column renames / adds / drops (field-id schema evolution
+  //    analog): each is a metadata-only commit whose sidecar records
+  //    one step; readers compose the steps per entry under the
+  //    sequence rule (only steps NEWER than the entry apply) ——
 
   private val RenameFile = "_rename"
+  private val AddColFile = "_addcol"
+  private val DropColFile = "_dropcol"
+  // one hint gates ALL schema-step probes (name kept from the rename-
+  // only era for on-disk compatibility with existing tables)
   private val RenamesHint = "_has_renames"
+
+  /** One schema-evolution step, read back from a version's sidecar
+    * (`ver` is the publishing version; 0 while being written — the
+    * version is assigned by the commit's slot claim). */
+  private sealed trait SchemaStep { def ver: Int }
+  private final case class RenameStep(ver: Int, from: String,
+      to: String) extends SchemaStep
+  private final case class AddStep(ver: Int, name: String,
+      dtype: DataType) extends SchemaStep
+  private final case class DropStep(ver: Int, name: String)
+      extends SchemaStep
 
   /** The table's rename history up to version `upTo`, oldest first —
     * one `(version, from, to)` per [[renameColumn]] commit, read from
@@ -248,49 +266,85 @@ object Versioned {
     * rename versions alive while any older entry needs them, and
     * [[compact]] makes them inert so vacuum can reclaim. */
   private def renameChain(f: FileSystem, tableDir: String,
-      upTo: Int): Seq[(Int, String, String)] = {
+      upTo: Int): Seq[SchemaStep] = {
     if (!f.exists(new Path(tableDir, RenamesHint))) return Nil
     val dir = new Path(tableDir)
     if (!f.exists(dir)) return Nil
     val st = f.listStatus(dir).toSeq
-    val steps = markerVersions(st).filter(_ <= upTo).flatMap { k =>
-      val p = new Path(tableDir, s"v=$k/$RenameFile")
+    def sidecar(k: Int, file: String): Option[String] = {
+      val p = new Path(tableDir, s"v=$k/$file")
       if (!f.exists(p)) None
       else Try {
         val in = f.open(p)
-        val s = try new String(in.readAllBytes(), "UTF-8")
-          finally in.close()
-        val a = s.trim.split("\t")
-        (k, a(0), a(1))
+        try new String(in.readAllBytes(), "UTF-8") finally in.close()
       }.toOption
     }
+    val steps: Seq[SchemaStep] =
+      markerVersions(st).filter(_ <= upTo).flatMap { k =>
+        val rename = sidecar(k, RenameFile).flatMap(s => Try {
+          val a = s.trim.split("\t")
+          RenameStep(k, a(0), a(1)): SchemaStep
+        }.toOption)
+        // a malformed add sidecar (unparseable type DDL) keeps the
+        // column INVISIBLE rather than guessing a type: readers of the
+        // add version simply never materialize it, and newer files
+        // that physically carry it still surface it by name
+        val add = sidecar(k, AddColFile).flatMap(s => Try {
+          val a = s.trim.split("\t")
+          AddStep(k, a(0), DataType.fromDDL(a(1))): SchemaStep
+        }.toOption)
+        val drop = sidecar(k, DropColFile).flatMap(s => Try {
+          DropStep(k, s.trim): SchemaStep
+        }.toOption)
+        rename.toSeq ++ add.toSeq ++ drop.toSeq
+      }
     if (steps.isEmpty ||
       !st.exists(_.getPath.getName.startsWith(BranchPrefix))) steps
     else {
-      // BRANCHED table: a rename is a commit on ONE line of history —
-      // a main-side rename must not restyle a diverged branch's
-      // snapshots (whose own commits still write the old name). Keep
-      // only steps on the read version's parent chain.
+      // BRANCHED table: a schema step is a commit on ONE line of
+      // history — a main-side rename/add/drop must not restyle a
+      // diverged branch's snapshots (whose own commits still write the
+      // old shape). Keep only steps on the read version's parent chain.
       val anc = scala.collection.mutable.HashSet[Int]()
       var w = upTo
       while (w > 0 && anc.add(w)) w = refInfo(f, tableDir, w)._2
-      steps.filter(s => anc.contains(s._1))
+      steps.filter(s => anc.contains(s.ver))
     }
   }
 
-  /** Rename `df` (an entry scan or tombstone frame written at
-    * `asOfVer`) forward through every chain step NEWER than it, so it
-    * joins/unions under the read version's names. A step whose source
-    * column is absent (the entry never had it) or whose target already
-    * exists (foreign frame) is a no-op — degrade, never collide. */
-  private def applyRenames(df: DataFrame,
-      chain: Seq[(Int, String, String)], asOfVer: Int): DataFrame =
-    chain.collect { case (k, from, to) if k > asOfVer => (from, to) }
-      .foldLeft(df) { case (d, (from, to)) =>
-        if (d.columns.contains(from) && !d.columns.contains(to))
-          d.withColumnRenamed(from, to)
-        else d
+  /** Evolve a DATA frame (an entry scan written at `asOfVer`) forward
+    * through every schema step NEWER than it, in version order, so it
+    * unions/joins under the read version's shape: renames re-title,
+    * adds null-fill (the Iceberg new-field contract: files written
+    * before the add know nothing of it), drops hide the column. A
+    * step whose precondition fails (source absent, target present,
+    * add already physically present) is a no-op — degrade, never
+    * collide. Order matters between kinds: `DROP y` then `RENAME x TO
+    * y` must drop the OLD y before the rename lands the new one. */
+  private def applySchemaSteps(df: DataFrame,
+      chain: Seq[SchemaStep], asOfVer: Int): DataFrame =
+    chain.filter(_.ver > asOfVer).sortBy(_.ver)
+      .foldLeft(df) {
+        case (d, RenameStep(_, from, to)) =>
+          if (d.columns.contains(from) && !d.columns.contains(to))
+            d.withColumnRenamed(from, to)
+          else d
+        case (d, AddStep(_, name, dtype)) =>
+          if (d.columns.contains(name)) d
+          else d.withColumn(name, lit(null).cast(dtype))
+        case (d, DropStep(_, name)) =>
+          if (d.columns.contains(name)) d.drop(name) else d
       }
+
+  /** Rename-only projection of [[applySchemaSteps]] for TOMBSTONE key
+    * frames: a key set carries exactly its delete-time key columns —
+    * renames must track so the anti-join lines up, but an added
+    * column must never join into the key set and a droppable column
+    * is guarded against live tombstones at [[dropColumn]]. */
+  private def applyRenames(df: DataFrame,
+      chain: Seq[SchemaStep], asOfVer: Int): DataFrame =
+    applySchemaSteps(df,
+      chain.collect { case r: RenameStep => r: SchemaStep }, asOfVer)
 
   /** Apply tombstone key sets to `df` as NULL-SAFE equality anti-joins
     * on each tombstone's columns — Iceberg-v2 merge-on-read semantics,
@@ -477,7 +531,7 @@ object Versioned {
       transform: Option[Transform] = None,
       writeData: Boolean = true,
       branch: Option[String] = None,
-      rename: Option[(String, String)] = None): Int = {
+      schemaStep: Option[SchemaStep] = None): Int = {
     val spark = df.sparkSession
     // hidden partitioning: derive the transform's partition column for
     // the write only — it never enters the logical schema (read() hides
@@ -568,10 +622,16 @@ object Versioned {
     val refOut = f.create(new Path(stage, RefFile), false)
     try refOut.write(s"$targetBranch\t$head\t$targetGen".getBytes("UTF-8"))
     finally refOut.close()
-    // rename sidecar ([[renameColumn]]): the chain step readers compose
-    rename.foreach { case (from, to) =>
-      val rOut = f.create(new Path(stage, RenameFile), false)
-      try rOut.write(s"$from\t$to".getBytes("UTF-8"))
+    // schema-step sidecar ([[renameColumn]]/[[addColumn]]/
+    // [[dropColumn]]): the chain step readers compose
+    schemaStep.foreach { step =>
+      val (file, payload) = step match {
+        case RenameStep(_, from, to) => (RenameFile, s"$from\t$to")
+        case AddStep(_, n, dt) => (AddColFile, s"$n\t${dt.catalogString}")
+        case DropStep(_, n) => (DropColFile, n)
+      }
+      val rOut = f.create(new Path(stage, file), false)
+      try rOut.write(payload.getBytes("UTF-8"))
       finally rOut.close()
     }
     // tombstone sets (merge-on-read deletes): key-scale, one file each
@@ -826,14 +886,14 @@ object Versioned {
       // entry's pending rename-chain suffix
       (u, scanUnit(spark, u).schema,
         deletes.filter(_.ver > entryVer(e)).map(_.ver),
-        chain.filter(_._1 > entryVer(e)))
+        chain.filter(_.ver > entryVer(e)))
     }
     // group runs of identical (basePath, schema, applicable deletes,
-    // pending renames) into one multi-path read; a partitioned root's
-    // basePath is itself, so it stays alone
+    // pending schema steps) into one multi-path read; a partitioned
+    // root's basePath is itself, so it stays alone
     val grouped = scans.foldLeft(List.empty[(ScanUnit,
         org.apache.spark.sql.types.StructType, Seq[Int],
-        Seq[(Int, String, String)])]) {
+        Seq[SchemaStep])]) {
       case ((g, sch, dv, rn) :: rest, (u, s, d, r))
           if s == sch && g.basePath == u.basePath && dv == d && rn == r =>
         (ScanUnit(g.paths ++ u.paths, g.basePath,
@@ -850,9 +910,12 @@ object Versioned {
           .withColumn(MetaFileCol, col("_metadata.file_path"))
           .withColumn(MetaPosCol, col("_metadata.row_index"))
         else base
-      // rename BEFORE tombstones: the key frames were renamed to the
-      // read version's names too, so the anti-joins line up
-      applyDeletes(applyRenames(scan, rn, Int.MinValue),
+      // schema steps BEFORE tombstones: the key frames were renamed
+      // to the read version's names too, so the anti-joins line up
+      // (adds/drops never touch a live tombstone's key columns — the
+      // dropColumn guard — and an added column null-fills before the
+      // join, matching the schema-evolved-key contract)
+      applyDeletes(applySchemaSteps(scan, rn, Int.MinValue),
         deletes.filter(t => dv.contains(t.ver)))
     }.reduce(_.unionByName(_, allowMissingColumns = true)))
   }
@@ -1045,7 +1108,7 @@ object Versioned {
         .sortBy(_._1).map { case (vdir, fls) =>
           val ver = vdir.stripPrefix("v=").toInt
           applyDeletes(
-            applyRenames(scanUnit(spark, ScanUnit(
+            applySchemaSteps(scanUnit(spark, ScanUnit(
               fls.map(r => new Path(tableDir, r).toString),
               Some(new Path(tableDir, vdir).toString),
               ownerEpoch(f, tableDir, vdir))), chain, ver),
@@ -1102,7 +1165,7 @@ object Versioned {
               val scans = touched.groupBy(_.split("/").head).toSeq
                 .sortBy(_._1).map { case (vdir, fls) =>
                   val ver = vdir.stripPrefix("v=").toInt
-                  applyRenames(scanUnit(spark, ScanUnit(
+                  applySchemaSteps(scanUnit(spark, ScanUnit(
                     fls.map(r => new Path(tableDir, r).toString),
                     Some(new Path(tableDir, vdir).toString),
                     ownerEpoch(f, tableDir, vdir)))
@@ -1209,7 +1272,75 @@ object Versioned {
     commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
       partitionCol = None, note = note, statsCols = Nil,
       linkBase = Some(cur), ownDirInManifest = false,
-      writeData = false, rename = Some((from, to)))
+      writeData = false, schemaStep = Some(RenameStep(0, from, to)))
+  }
+
+  /** ADD a column — METADATA-ONLY, the Iceberg new-optional-field
+    * analog: publishes a version whose manifest links every entry
+    * unchanged and whose `_addcol` sidecar records the (name, type)
+    * step. Files written before the add null-fill the column at read
+    * (exactly Iceberg's contract for a field no old file knows);
+    * files written after carry it physically and the step no-ops on
+    * them. Old snapshots keep their written schema — time travel
+    * never shows the column before its add version. */
+  def addColumn(spark: SparkSession, tableDir: String,
+      name: String, dtype: DataType,
+      note: Option[String] = None): Int = withCommitRetry() {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"added column must be a plain identifier, got '$name' " +
+        "(the persisted chain format)")
+    // the sidecar persists the type as catalog DDL — only types that
+    // round-trip through it are addable (anything else would make the
+    // chain unreadable later, a silently-invisible column)
+    require(Try(DataType.fromDDL(dtype.catalogString))
+      .toOption.contains(dtype),
+      s"type ${dtype.catalogString} does not round-trip the " +
+        "persisted chain format")
+    val cols = read(spark, tableDir, Some(cur)).columns.toSeq
+    require(!cols.contains(name),
+      s"column '$name' already exists at $tableDir v=$cur")
+    val f = fs(spark, tableDir)
+    val hint = new Path(tableDir, RenamesHint)
+    if (!f.exists(hint)) f.create(hint, true).close()
+    commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
+      partitionCol = None, note = note, statsCols = Nil,
+      linkBase = Some(cur), ownDirInManifest = false,
+      writeData = false, schemaStep = Some(AddStep(0, name, dtype)))
+  }
+
+  /** DROP a column — METADATA-ONLY, the Iceberg field-removal analog:
+    * publishes a version whose `_dropcol` sidecar hides the column
+    * from every OLDER entry (the sequence rule), so a column added or
+    * re-written under the same name LATER surfaces again — which is
+    * exactly Iceberg's field-id semantics for drop-then-re-add. Old
+    * snapshots keep the column; no data file is touched. Refused
+    * while any live merge-on-read equality tombstone keys on the
+    * column (its anti-join would lose its key): `compact()` first. */
+  def dropColumn(spark: SparkSession, tableDir: String, name: String,
+      note: Option[String] = None): Int = withCommitRetry() {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    val cols = read(spark, tableDir, Some(cur)).columns.toSeq
+    require(cols.contains(name),
+      s"no column '$name' at $tableDir v=$cur " +
+        s"(columns: ${cols.mkString(", ")})")
+    require(cols.size > 1, s"cannot drop the only column of $tableDir")
+    val f = fs(spark, tableDir)
+    val tombKeyed = manifestDeletes(spark, f, tableDir, cur)
+      .collect { case EqTomb(_, d) => d.columns.toSeq }
+      .filter(_.contains(name))
+    require(tombKeyed.isEmpty,
+      s"cannot drop '$name': a live merge-on-read delete keys on it " +
+        "(its anti-join would lose its key column); compact() the " +
+        "table to absorb tombstones first")
+    val hint = new Path(tableDir, RenamesHint)
+    if (!f.exists(hint)) f.create(hint, true).close()
+    commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
+      partitionCol = None, note = note, statsCols = Nil,
+      linkBase = Some(cur), ownDirInManifest = false,
+      writeData = false, schemaStep = Some(DropStep(0, name)))
   }
 
   /** Absolute, URI-decoded filesystem path of the table root — the
@@ -1268,7 +1399,7 @@ object Versioned {
       .map { case (vdir, files) =>
         val ver = vdir.stripPrefix("v=").toInt
         applyDeletes(
-          applyRenames(scanUnit(spark, ScanUnit(
+          applySchemaSteps(scanUnit(spark, ScanUnit(
             files.map(r => new Path(tableDir, r).toString),
             Some(new Path(tableDir, vdir).toString),
             ownerEpoch(f, tableDir, vdir))), chain, ver),
@@ -1987,7 +2118,7 @@ object Versioned {
             .withColumn(MetaFileCol, col("_metadata.file_path"))
             .withColumn(MetaPosCol, col("_metadata.row_index"))
           if (!withDeletes) base
-          else applyDeletes(applyRenames(base, chain, ver),
+          else applyDeletes(applySchemaSteps(base, chain, ver),
             tombs.filter(_.ver > ver))
         }.reduce(_.unionByName(_, allowMissingColumns = true))
     def perFile(withDeletes: Boolean, as: String) =
@@ -2121,14 +2252,16 @@ object Versioned {
   private def expireVersions(spark: SparkSession, tableDir: String,
       f: FileSystem, cur: Int, all: Seq[Int],
       expired0: Seq[Int]): Unit = {
-    // RENAME versions stay pinned while any surviving manifest line is
-    // OLDER than them: expiring the `_rename` sidecar would silently
-    // re-read old files under their old names — a nulled column, wrong
-    // results. Inert once every linked line is newer (a full compact
-    // gets there); the minimum is taken over the conservative superset
-    // of retained + rename manifests.
+    // SCHEMA-STEP versions (rename/add/drop sidecars) stay pinned
+    // while any surviving manifest line is OLDER than them: expiring
+    // the sidecar would silently re-read old files under their old
+    // shape — a nulled or resurrected column, wrong results. Inert
+    // once every linked line is newer (a full compact gets there); the
+    // minimum is taken over the conservative superset of retained +
+    // step manifests.
     val renameVers = all.filter(rv =>
-      f.exists(new Path(tableDir, s"v=$rv/$RenameFile"))).toSet
+      Seq(RenameFile, AddColFile, DropColFile).exists(sc =>
+        f.exists(new Path(tableDir, s"v=$rv/$sc")))).toSet
     val expired =
       if (renameVers.isEmpty) expired0
       else {
@@ -2748,6 +2881,50 @@ object Versioned {
         lit(m.getLong(3)).as("merge_killed"),
         lit(stale).as("nmbs_stale"),
         lit(v1Rows).as("tt_v1_rows"),
+        lit(currentVersion(s, t).toLong).as("final_version"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  /** Oracle gate for SQL schema evolution (q43): scripted ALTER TABLE
+    * ADD / DROP / RENAME COLUMN through the catalog, reduced to
+    * constants — null-fill on add, non-resurrection on drop-then-
+    * re-add, time travel showing written shapes. Same pattern as
+    * [[sqlDmlGate]]. */
+  def schemaEvolutionGate(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-schema-evo")
+    try {
+      val t = work.resolve("tbl").toString
+      val g = s"graft.`$t`"
+      commit(Tables.load(s, d, "region")
+        .filter(col("r_regionkey") < 3)
+        .select(col("r_regionkey").as("id"), col("r_name").as("v")),
+        t) // v1: 3 rows
+      s.sql(s"ALTER TABLE $g ADD COLUMN score BIGINT") // v2
+      s.sql(s"INSERT INTO $g VALUES (4, 'NEW', 40)") // v3
+      val addNulls = s.sql(s"SELECT count(*) FROM $g " +
+        "WHERE score IS NULL").head().getLong(0)
+      val addSet = s.sql(s"SELECT count(*) FROM $g " +
+        "WHERE score = 40").head().getLong(0)
+      s.sql(s"ALTER TABLE $g DROP COLUMN v") // v4
+      val colsAfter = s.table(g).columns.length.toLong
+      val v1Cols = s.sql(s"SELECT * FROM $g VERSION AS OF 1")
+        .columns.length.toLong
+      s.sql(s"ALTER TABLE $g RENAME COLUMN id TO key") // v5
+      val renamedSum = s.sql(s"SELECT sum(key) FROM $g")
+        .head().getLong(0)
+      // drop-then-re-add under the SAME name: old values stay gone
+      s.sql(s"ALTER TABLE $g ADD COLUMN v STRING") // v6
+      val readdNulls = s.sql(s"SELECT count(*) FROM $g " +
+        "WHERE v IS NULL").head().getLong(0)
+      s.range(1).select(
+        lit(addNulls).as("add_nulls"),
+        lit(addSet).as("add_set"),
+        lit(colsAfter).as("cols_after_drop"),
+        lit(v1Cols).as("tt_v1_cols"),
+        lit(renamedSum).as("renamed_sum"),
+        lit(readdNulls).as("readd_nulls"),
         lit(currentVersion(s, t).toLong).as("final_version"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
@@ -3503,26 +3680,35 @@ object Versioned {
     val specs = scala.collection.mutable
       .Map.empty[String, Option[(Transform, String, Option[String])]]
     def partPred(vroot: String,
-        rn: Seq[(Int, String, String)]): Option[Column] =
+        rn: Seq[SchemaStep]): Option[Column] =
       specs.getOrElseUpdate(vroot, readTspec(f, tableDir, vroot))
         .flatMap { case (t, dt, zone) =>
-          // a pending rename touching the transform's source makes the
-          // spec's name stale for this root — skip partition pruning
-          // rather than prune on the wrong column
-          if (rn.exists(r => r._2 == t.source || r._3 == t.source)) None
+          // a pending schema step touching the transform's source
+          // makes the spec's name stale for this root — skip partition
+          // pruning rather than prune on the wrong column
+          if (rn.exists {
+            case RenameStep(_, from, to) =>
+              from == t.source || to == t.source
+            case AddStep(_, n, _) => n == t.source
+            case DropStep(_, n) => n == t.source
+          }) None
           else ranges.collectFirst { case (c, lo, hi) if c == t.source =>
             t.rangePred(lo, hi, dt, zone)
           }.flatten
         }
     val parts = entryInfo.flatMap { case (dn, isFile, vroot) =>
       lazy val full = scanUnit(spark, entryUnit(f, tableDir, dn))
-      val rn = chain.filter(_._1 > entryVer(dn))
+      val rn = chain.filter(_.ver > entryVer(dn))
       // stats sidecars carry the entry's WRITE-time column names: a
-      // pending rename over any requested column makes them stale, so
-      // that entry degrades to a full scan (the renamed post-scan
-      // filter stays correct) — degrade, never prune on the wrong
-      // physical column
-      val renamedCols = rn.flatMap(r => Seq(r._2, r._3)).toSet
+      // pending schema step over any requested column makes them
+      // stale, so that entry degrades to a full scan (the evolved
+      // post-scan filter stays correct) — degrade, never prune on the
+      // wrong physical column
+      val renamedCols = rn.flatMap {
+        case RenameStep(_, from, to) => Seq(from, to)
+        case AddStep(_, n, _) => Seq(n)
+        case DropStep(_, n) => Seq(n)
+      }.toSet
       val st =
         if (colNames.exists(renamedCols.contains)) Nil
         else byRoot.getOrElse(vroot, Nil)
@@ -3546,7 +3732,7 @@ object Versioned {
       // merge-on-read tombstones newer than this entry apply here too —
       // a pruned read must agree with read().filter
       scan.map { s0 =>
-        val s = applyRenames(s0, rn, Int.MinValue)
+        val s = applySchemaSteps(s0, rn, Int.MinValue)
         applyDeletes(partPred(vroot, rn).fold(s)(s.filter),
           deletes.filter(_.ver > entryVer(dn)))
       }

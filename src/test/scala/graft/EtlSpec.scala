@@ -1138,9 +1138,10 @@ class EtlSpec extends SparkSpec {
     // old-version reads keep the old name
     assert(spark.sql(s"SELECT * FROM $g VERSION AS OF 1").columns.toSeq
       == Seq("id", "v"))
-    // other ALTER kinds still refuse loudly
+    // other ALTER kinds still refuse loudly (ADD/DROP COLUMN are
+    // supported since the schema-step chain — SchemaEvolutionSpec)
     intercept[UnsupportedOperationException] {
-      spark.sql(s"ALTER TABLE $g ADD COLUMN extra INT")
+      spark.sql(s"ALTER TABLE $g ALTER COLUMN id TYPE BIGINT")
     }
     // a missing table fails at analysis (Spark resolves before alter)
     intercept[org.apache.spark.sql.AnalysisException] {
@@ -1596,6 +1597,32 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.files(spark, t).collect().forall(!_.getBoolean(3)))
     assert(!Versioned.history(spark, t)
       .orderBy(col("version").desc).head().getBoolean(4))
+    // —— SQL addressing: `<table>.history` / `<table>.files` resolve
+    //    as metadata tables of the parent (Iceberg metadata-table
+    //    syntax), including the absolute-path ident shape ——
+    val abs = new java.io.File(t).getAbsolutePath
+    val hs = spark.sql(
+      s"SELECT version, note FROM graft.`$abs`.history ORDER BY version")
+      .collect()
+    assert(hs.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    assert(hs.head.getString(1) == "initial")
+    val fs = spark.sql(s"SELECT file, kind FROM graft.`$abs`.files")
+      .collect()
+    assert(fs.length == Versioned.dataFileCount(spark, t))
+    assert(fs.forall(_.getString(1) == "data"))
+    // a version pin on .files inspects an OLD snapshot's inventory
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$abs`.files VERSION AS OF 1")
+      .head().getLong(0) ==
+      Versioned.dataFileCount(spark, t, Some(1)).toLong)
+    // writes to a metadata table refuse (no write capability)
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO graft.`$abs`.history VALUES (9)")
+    }
+    // a MISSING parent still reports no-such-table
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"SELECT * FROM graft.`$abs-none`.history")
+    }
   }
 
   test("versioned table: concurrent committers race cleanly on the marker") {
