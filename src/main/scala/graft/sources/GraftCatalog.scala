@@ -11,8 +11,10 @@ import org.apache.spark.sql.catalyst.analysis.{
   NoSuchNamespaceException, NoSuchTableException,
   TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog.{Identifier,
-  NamespaceChange, StagedTable, StagingTableCatalog, SupportsNamespaces,
-  SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+  NamespaceChange, ProcedureCatalog, StagedTable, StagingTableCatalog,
+  SupportsNamespaces, SupportsWrite, Table, TableCapability,
+  TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
   SupportsTruncate, V1Write, Write, WriteBuilder}
@@ -197,7 +199,7 @@ private final class GraftStagedTable(tableDir: String,
   * tombstones bind absolute file paths, so a moved directory would
   * resurrect deleted rows — refuse loudly, never lie. */
 class GraftCatalog extends TableCatalog with StagingTableCatalog
-    with SupportsNamespaces {
+    with SupportsNamespaces with ProcedureCatalog {
   private var catName = "graft"
   private var initRoot: Option[String] = None
 
@@ -475,6 +477,37 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     }
     load(ident, None)
   }
+
+  // —— maintenance stored procedures: CALL graft.system.<proc>(…) ——
+  // (the Iceberg `CALL catalog.system.rewrite_data_files /
+  // expire_snapshots / …` surface; see [[GraftProcedures]])
+
+  /** The `table` procedure argument resolves exactly like a table
+    * identifier: `db.t` under the catalog root, `/abs/dir` as-is. */
+  private def identOfArg(s: String): Identifier =
+    if (s.startsWith("/")) Identifier.of(Array.empty[String], s)
+    else {
+      val parts = s.split('.')
+      Identifier.of(parts.init, parts.last)
+    }
+
+  override def loadProcedure(ident: Identifier): UnboundProcedure = {
+    if (!(ident.namespace.sameElements(Array("system"))))
+      throw new IllegalArgumentException(
+        s"procedures live under the 'system' namespace: " +
+          s"CALL $catName.system.${ident.name}(...)")
+    GraftProcedures.load(ident.name, arg => dirOf(identOfArg(arg)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unknown procedure '${ident.name}' (available: " +
+          s"${GraftProcedures.names.mkString(", ")})"))
+  }
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      GraftProcedures.names
+        .map(n => Identifier.of(Array("system"), n)).toArray
+    else Array.empty
 
   /** DROP deletes the directory ONLY when it actually holds a
     * committed Versioned table (a `_commit_*` marker) — the Iceberg

@@ -1,0 +1,192 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure,
+  ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Maintenance stored procedures — the Iceberg `CALL catalog.system.*`
+  * surface (the reference's engines run `rewrite_data_files` /
+  * `expire_snapshots` through exactly this SQL shape) over the
+  * engine's table-maintenance API:
+  *
+  *   CALL graft.system.compact(table => '/dir')
+  *   CALL graft.system.expire_snapshots(table => 'db.t',
+  *        older_than => TIMESTAMP '2026-01-01 00:00:00')
+  *   CALL graft.system.fast_forward(table => 'db.t', from => 'staging')
+  *
+  * Each procedure takes the table as its first argument (a `db.t` name
+  * under the catalog root, or an absolute `/dir` path), executes ONE
+  * engine call, and returns a single result row (the published version
+  * or the retained-version count) through a driver-local scan — no
+  * executor work beyond what the engine op itself schedules. The SQL
+  * arguments ride Spark's own procedure binding (named `param => v`
+  * or positional, defaults filled by the analyzer). */
+object GraftProcedures {
+
+  /** One procedure: unbound and bound in one object (static parameter
+    * list — nothing to specialize at bind time; Spark's analyzer does
+    * the name/position matching, default filling, and coercion against
+    * [[parameters]]). */
+  private final class Proc(procName: String, describe: String,
+      params: Seq[ProcedureParameter], resultSchema: StructType,
+      body: Seq[Any] => Seq[Any])
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = describe
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def parameters(): Array[ProcedureParameter] = params.toArray
+    override def isDeterministic: Boolean = false
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val args: Seq[Any] = params.zipWithIndex.map { case (p, i) =>
+        if (input.numFields <= i || input.isNullAt(i)) null
+        else p.dataType() match {
+          case StringType => input.getUTF8String(i).toString
+          case IntegerType => input.getInt(i)
+          case LongType | TimestampType => input.getLong(i)
+          case DoubleType => input.getDouble(i)
+          case other => throw new IllegalStateException(
+            s"unsupported procedure parameter type $other")
+        }
+      }
+      val out = body(args)
+      val row = InternalRow.fromSeq(out.map {
+        case s: String => UTF8String.fromString(s)
+        case x => x
+      })
+      util.Collections.singletonList[Scan](new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = resultSchema
+      }).iterator()
+    }
+  }
+
+  private def p(name: String, dt: DataType,
+      default: Option[String] = None): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    default.foreach(b.defaultValue)
+    b.build()
+  }
+
+  private def versionRow = StructType(Seq(
+    StructField("version", IntegerType, nullable = false)))
+  private def retainedRow = StructType(Seq(
+    StructField("retained_versions", IntegerType, nullable = false)))
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** All procedures, keyed by name under the `system` namespace.
+    * `resolve` maps the SQL `table` argument to a directory (the
+    * catalog's identifier mapping). */
+  def load(name: String, resolve: String => String)
+      : Option[UnboundProcedure] = {
+    def dir(a: Any): String = {
+      require(a != null, "the 'table' argument is required")
+      resolve(a.asInstanceOf[String])
+    }
+    val mb = 1024L * 1024
+    Option(name match {
+      case "compact" => new Proc("compact",
+        "rewrite the current snapshot into target-sized files",
+        Seq(p("table", StringType),
+          p("target_file_mb", IntegerType, Some("128"))),
+        versionRow,
+        a => Seq(Versioned.compact(spark, dir(a(0)),
+          targetFileBytes = a(1).asInstanceOf[Int] * mb)))
+      case "compact_small" => new Proc("compact_small",
+        "binpack only files under the size floor",
+        Seq(p("table", StringType),
+          p("target_file_mb", IntegerType, Some("128")),
+          p("min_file_mb", IntegerType, Some("16"))),
+        versionRow,
+        a => Seq(Versioned.compactSmall(spark, dir(a(0)),
+          targetFileBytes = a(1).asInstanceOf[Int] * mb,
+          minFileBytes = a(2).asInstanceOf[Int] * mb)))
+      case "compact_deletes" => new Proc("compact_deletes",
+        "fold merge-on-read tombstones into the files they reach",
+        Seq(p("table", StringType),
+          p("min_delete_ratio", DoubleType, Some("0.0"))),
+        versionRow,
+        a => Seq(Versioned.compactDeletes(spark, dir(a(0)),
+          minDeleteRatio = a(1).asInstanceOf[Double])))
+      case "vacuum" => new Proc("vacuum",
+        "expire all but the newest N unpinned snapshots",
+        Seq(p("table", StringType),
+          p("keep", IntegerType, Some("1"))),
+        retainedRow,
+        a => {
+          val d = dir(a(0))
+          Versioned.vacuum(spark, d, keep = a(1).asInstanceOf[Int])
+          Seq(Versioned.versions(spark, d).size)
+        })
+      case "expire_snapshots" => new Proc("expire_snapshots",
+        "expire unpinned snapshots older than a timestamp",
+        Seq(p("table", StringType),
+          p("older_than", TimestampType),
+          p("keep_min", IntegerType, Some("1"))),
+        retainedRow,
+        a => {
+          val d = dir(a(0))
+          require(a(1) != null, "'older_than' is required")
+          Versioned.vacuumOlderThan(spark, d,
+            olderThanMillis = Math.floorDiv(
+              a(1).asInstanceOf[Long], 1000L),
+            keepMin = a(2).asInstanceOf[Int])
+          Seq(Versioned.versions(spark, d).size)
+        })
+      case "rollback" => new Proc("rollback",
+        "republish an old snapshot as the new current version",
+        Seq(p("table", StringType), p("version", IntegerType)),
+        versionRow,
+        a => {
+          require(a(1) != null, "'version' is required")
+          Seq(Versioned.rollback(spark, dir(a(0)),
+            a(1).asInstanceOf[Int]))
+        })
+      case "create_tag" => new Proc("create_tag",
+        "pin a named tag to a snapshot (default: current)",
+        Seq(p("table", StringType), p("name", StringType),
+          p("version", IntegerType, Some("-1"))),
+        versionRow,
+        a => Seq(Versioned.tag(spark, dir(a(0)),
+          a(1).asInstanceOf[String],
+          Some(a(2).asInstanceOf[Int]).filter(_ > 0))))
+      case "create_branch" => new Proc("create_branch",
+        "start a writable branch at a snapshot (default: current)",
+        Seq(p("table", StringType), p("name", StringType),
+          p("at", IntegerType, Some("-1"))),
+        versionRow,
+        a => Seq(Versioned.createBranch(spark, dir(a(0)),
+          a(1).asInstanceOf[String],
+          Some(a(2).asInstanceOf[Int]).filter(_ > 0))))
+      case "fast_forward" => new Proc("fast_forward",
+        "publish a branch's commits onto another (default: main)",
+        Seq(p("table", StringType), p("from", StringType),
+          p("to", StringType, Some("'main'"))),
+        versionRow,
+        a => Seq(Versioned.fastForward(spark, dir(a(0)),
+          from = a(1).asInstanceOf[String],
+          to = a(2).asInstanceOf[String])))
+      case "drop_branch" => new Proc("drop_branch",
+        "delete a branch pin (its unpublished commits stay fenced)",
+        Seq(p("table", StringType), p("name", StringType)),
+        StructType(Seq(StructField("dropped", BooleanType,
+          nullable = false))),
+        a => {
+          Versioned.dropBranch(spark, dir(a(0)),
+            a(1).asInstanceOf[String])
+          Seq(true)
+        })
+      case _ => null
+    })
+  }
+
+  val names: Seq[String] = Seq("compact", "compact_small",
+    "compact_deletes", "vacuum", "expire_snapshots", "rollback",
+    "create_tag", "create_branch", "fast_forward", "drop_branch")
+}
