@@ -132,12 +132,14 @@ case class RowLevelDmlRule(spark: SparkSession)
           condOpt.map(toCol(_, r.output, Nil)),
           assigns(as, r.output, Nil, Nil, Nil))
 
+      // `!needSchemaEvolution` holds the lowering back until Spark's
+      // ResolveMergeIntoSchemaEvolution has routed any missing source
+      // columns through alterTable (the catalog's metadata-only
+      // addColumn — AUTOMATIC_SCHEMA_EVOLUTION capability) and
+      // re-resolved the target at its evolved schema.
       case m: MergeIntoTable if m.resolved && m.duplicateResolved &&
+          !m.needSchemaEvolution &&
           GraftTarget.unapply(m.targetTable).isDefined =>
-        if (m.withSchemaEvolution)
-          throw new UnsupportedOperationException(
-            "MERGE ... WITH SCHEMA EVOLUTION is not supported on graft " +
-              "tables; evolve the schema first (appends union by name)")
         val Some((r, t)) = GraftTarget.unapply(m.targetTable)
         val tOut = r.output
         val sOut = m.sourceTable.output

@@ -53,8 +53,14 @@ final class GraftVersionedTable(val tableDir: String,
   override def name(): String = displayName
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
+    // AUTOMATIC_SCHEMA_EVOLUTION opts into MERGE ... WITH SCHEMA
+    // EVOLUTION only: the analyzer routes missing source columns
+    // through alterTable (a metadata-only addColumn) before the merge
+    // lowers. It does NOT relax INSERT schema checks (that would be
+    // ACCEPT_ANY_SCHEMA, deliberately absent).
     util.EnumSet.of(TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.TRUNCATE,
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
   override def version(): String = snapshotVersion.toString
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(tableDir, displayName)
@@ -92,13 +98,22 @@ private final class GraftWriteBuilder(tableDir: String,
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
-        override def insert(data: DataFrame, ignored: Boolean): Unit =
+        override def insert(data: DataFrame, ignored: Boolean): Unit = {
+          // inherit the table's current hidden-transform spec so a
+          // SQL INSERT on a transform-partitioned table keeps its
+          // layout (and the partition pruning built on it)
+          val tspec = Versioned
+            .currentTransform(data.sparkSession, tableDir)
+            .filter(t => data.columns.contains(t.source))
           if (overwrite)
             Versioned.commit(data, tableDir,
-              note = Some(s"INSERT OVERWRITE $displayName"))
+              note = Some(s"INSERT OVERWRITE $displayName"),
+              transform = tspec)
           else
             Versioned.append(data, tableDir,
-              note = Some(s"INSERT INTO $displayName"))
+              note = Some(s"INSERT INTO $displayName"),
+              transform = tspec)
+        }
       }
   }
 }

@@ -96,8 +96,14 @@ object GraftProcedures {
         Seq(p("table", StringType),
           p("target_file_mb", IntegerType, Some("128"))),
         versionRow,
-        a => Seq(Versioned.compact(spark, dir(a(0)),
-          targetFileBytes = a(1).asInstanceOf[Int] * mb)))
+        a => {
+          val d = dir(a(0))
+          // CALL-driven maintenance keeps the table's layout: the
+          // rewrite inherits the current hidden-transform spec
+          Seq(Versioned.compact(spark, d,
+            targetFileBytes = a(1).asInstanceOf[Int] * mb,
+            transform = Versioned.currentTransform(spark, d)))
+        })
       case "compact_small" => new Proc("compact_small",
         "binpack only files under the size floor",
         Seq(p("table", StringType),
@@ -112,8 +118,12 @@ object GraftProcedures {
         Seq(p("table", StringType),
           p("min_delete_ratio", DoubleType, Some("0.0"))),
         versionRow,
-        a => Seq(Versioned.compactDeletes(spark, dir(a(0)),
-          minDeleteRatio = a(1).asInstanceOf[Double])))
+        a => {
+          val d = dir(a(0))
+          Seq(Versioned.compactDeletes(spark, d,
+            minDeleteRatio = a(1).asInstanceOf[Double],
+            transform = Versioned.currentTransform(spark, d)))
+        })
       case "vacuum" => new Proc("vacuum",
         "expire all but the newest N unpinned snapshots",
         Seq(p("table", StringType),

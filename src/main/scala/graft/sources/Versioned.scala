@@ -1588,6 +1588,9 @@ object Versioned {
         unknown.mkString(", "))
     val byName = set.toMap
     val hit = coalesce(pred, lit(false))
+    // rewritten files inherit the table's hidden-transform layout
+    val tspec = currentTransform(spark, tableDir)
+      .filter(t => schema.fieldNames.contains(t.source))
     mergeFiles(spark, tableDir,
       matches = _.filter(hit),
       rewrite = d => d.select(schema.fields.toSeq.map { f =>
@@ -1598,7 +1601,8 @@ object Versioned {
           case None => col(f.name)
         }
       }: _*),
-      partitionCol = None, statsCols = Nil, note = note)
+      partitionCol = None, statsCols = Nil, note = note,
+      transform = tspec)
       .getOrElse(cur)
   }
 
@@ -1768,13 +1772,17 @@ object Versioned {
             .unionByName(ins, allowMissingColumns = true)
           case None => rewrite
         }
+        // rewritten files and inserts inherit the table's layout
+        val tspec = currentTransform(spark, tableDir)
+          .filter(t => schema.fieldNames.contains(t.source))
         mergeFiles(spark, tableDir, touches, rewriteAll,
-          partitionCol = None, statsCols = Nil, note = note) match {
+          partitionCol = None, statsCols = Nil, note = note,
+          transform = tspec) match {
           case Some(v) => v
           case None => inserts match {
             // no file touched: a pure-insert merge appends O(delta)
             case Some(ins) if !ins.isEmpty =>
-              append(ins, tableDir, note = note)
+              append(ins, tableDir, note = note, transform = tspec)
             case _ => cur
           }
         }
@@ -3339,6 +3347,28 @@ object Versioned {
       case other =>
         throw new IllegalArgumentException(s"unknown transform '$other'")
     }
+  }
+
+  /** The hidden-transform spec of the table's NEWEST partitioned
+    * write, if any — the spec catalog writes, row-level DML, and CALL
+    * maintenance INHERIT so SQL-driven appends and rewrites keep the
+    * table's layout (the Iceberg table-level partition-spec analog:
+    * partitioning here is a per-write property, so the newest
+    * `_tspec` IS the table's current spec). Callers drop it when the
+    * transform's source column is absent from what they write. */
+  def currentTransform(spark: SparkSession,
+      tableDir: String): Option[Transform] = {
+    val cur = Try(currentVersion(spark, tableDir)).getOrElse(0)
+    if (cur == 0) return None
+    val f = fs(spark, tableDir)
+    manifestDirs(f, tableDir, cur).map(_.split("/").head).distinct
+      .sortBy(v => -entryVer(v))
+      .iterator.flatMap(vr => readTspec(f, tableDir, vr).map(_._1))
+      .nextOption()
+      // a spec whose source column has since been DROPPED is inert —
+      // inheriting it would fail the write on a missing column
+      .filter(t =>
+        read(spark, tableDir, Some(cur)).columns.contains(t.source))
   }
 
   private val TspecFile = "_tspec"

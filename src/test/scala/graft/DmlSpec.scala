@@ -203,20 +203,73 @@ class DmlSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("fresh"))
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION adds missing source columns") {
+    import spark.implicits._
+    val (t, g) = fresh("merge_evo")
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), t)
+    Seq((2, "B", 20L), (3, "C", 30L)).toDF("id", "v", "score")
+      .createOrReplaceTempView("mrg_evo_src")
+    spark.sql(s"""
+      MERGE WITH SCHEMA EVOLUTION INTO $g USING mrg_evo_src src
+      ON $g.id = src.id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *
+    """)
+    val rows = spark.sql(s"SELECT id, v, score FROM $g ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(2))))
+    assert(rows.toSeq == Seq((1, "a", None), (2, "B", Some(20L)),
+      (3, "C", Some(30L))))
+    // two versions published: the metadata-only add, then the merge —
+    // and the pre-evolution snapshot still shows the narrow schema
+    assert(Versioned.currentVersion(spark, t) == 3)
+    assert(spark.sql(s"SELECT * FROM $g VERSION AS OF 1")
+      .columns.toSeq == Seq("id", "v"))
+    // WITHOUT the clause, an extra source column does not evolve the
+    // schema (UPDATE SET * / INSERT * map target columns only)
+    Seq((1, "A2", 99L, true)).toDF("id", "v", "score", "flag")
+      .createOrReplaceTempView("mrg_evo_src2")
+    spark.sql(s"""
+      MERGE INTO $g USING mrg_evo_src2 src ON $g.id = src.id
+      WHEN MATCHED THEN UPDATE SET *
+    """)
+    assert(!spark.table(g).columns.contains("flag"))
+    assert(spark.sql(s"SELECT v FROM $g WHERE id = 1")
+      .head().getString(0) == "A2")
+  }
+
+  test("SQL writes and DML inherit the hidden-transform layout") {
+    import spark.implicits._
+    val (t, g) = fresh("dml_transform")
+    val rows = Seq(
+      (1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "a"),
+      (2, java.sql.Timestamp.valueOf("2024-02-01 10:00:00"), "b"))
+      .toDF("id", "ts", "v")
+    Versioned.commit(rows, t,
+      transform = Some(Versioned.Transform.Days("ts")))
+    def partDirs(ver: Int): Seq[String] = {
+      val d = new java.io.File(s"$t/v=$ver")
+      if (!d.exists()) Nil
+      else d.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+        .filter(_.contains("days_ts")).sorted
+    }
+    assert(partDirs(1).size == 2) // one hive dir per day
+    // INSERT INTO inherits the days(ts) spec for the appended delta
+    spark.sql(s"INSERT INTO $g VALUES " +
+      "(3, TIMESTAMP '2024-03-01 10:00:00', 'c')")
+    assert(partDirs(2).size == 1)
+    // UPDATE's rewritten files keep the layout too
+    spark.sql(s"UPDATE $g SET v = 'B' WHERE id = 2")
+    assert(partDirs(3).nonEmpty)
+    // and the hidden partition column never leaks into reads
+    assert(!spark.table(g).columns.exists(_.contains("days_ts")))
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 3)
+  }
+
   test("unsupported DML shapes refuse loudly") {
     import spark.implicits._
     val (t, g) = fresh("dml_refuse")
     Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
-    Seq((1, "x")).toDF("id", "v").createOrReplaceTempView("mrg_r1")
-    // schema evolution is an explicit, separate step
-    val e = intercept[Exception] {
-      spark.sql(s"""
-        MERGE WITH SCHEMA EVOLUTION INTO $g USING mrg_r1 src
-        ON $g.id = src.id
-        WHEN MATCHED THEN UPDATE SET v = src.v
-      """)
-    }
-    assert(e.getMessage.toLowerCase.contains("schema evolution"))
     // DML on a non-graft relation falls through to Spark's own error
     spark.read.parquet(s"$sf/region.parquet")
       .createOrReplaceTempView("plain_region")
