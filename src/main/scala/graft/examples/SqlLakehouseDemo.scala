@@ -1,0 +1,62 @@
+package graft.examples
+
+import graft.Sessions
+
+/** The catalog-SQL tour — every lakehouse verb a reference user runs,
+  * issued ONLY through `spark.sql` (no programmatic engine calls):
+  * DDL with schema evolution, writes, row-level DML, time travel,
+  * metadata tables, and CALL maintenance procedures.
+  *
+  * Run: `sbt "runMain graft.examples.SqlLakehouseDemo [workDir]"`.
+  * Prints SQL_DEMO_* lines for smoke checking.
+  */
+object SqlLakehouseDemo {
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("target/tmp/sql-lakehouse-demo")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val spark = Sessions.get("graft-sql-demo")
+    val abs = new java.io.File(s"$out/users").getAbsolutePath
+    val g = s"graft.`$abs`"
+    def one(sql: String): Long =
+      spark.sql(sql).collect().headOption.map(_.getLong(0)).getOrElse(0L)
+
+    // —— DDL + writes ——
+    spark.sql(s"CREATE TABLE $g (id INT, name STRING)")
+    spark.sql(s"INSERT INTO $g VALUES (1, 'ada'), (2, 'bob'), (3, 'cyd')")
+    spark.sql(s"ALTER TABLE $g ADD COLUMN score BIGINT")
+    spark.sql(s"INSERT INTO $g VALUES (4, 'dee', 40)")
+    println(s"SQL_DEMO_ROWS=${one(s"SELECT count(*) FROM $g")}")
+
+    // —— row-level DML ——
+    spark.sql(s"DELETE FROM $g WHERE id = 2")
+    spark.sql(s"UPDATE $g SET score = 0 WHERE score IS NULL")
+    spark.sql(s"""
+      MERGE INTO $g USING (SELECT 3 AS id, 300 AS s UNION ALL
+                           SELECT 9 AS id, 900 AS s) src
+      ON $g.id = src.id
+      WHEN MATCHED THEN UPDATE SET score = src.s
+      WHEN NOT MATCHED THEN INSERT (id, name, score)
+        VALUES (src.id, 'new', src.s)
+    """)
+    println("SQL_DEMO_SCORED=" +
+      one(s"SELECT count(*) FROM $g WHERE score > 0"))
+
+    // —— time travel + metadata tables ——
+    println("SQL_DEMO_V1_ROWS=" +
+      one(s"SELECT count(*) FROM $g VERSION AS OF 2")) // first INSERT
+    println("SQL_DEMO_COMMITS=" +
+      one(s"SELECT count(*) FROM $g.history"))
+    println("SQL_DEMO_FILES=" + one(s"SELECT count(*) FROM $g.files"))
+
+    // —— maintenance procedures ——
+    val compacted = spark.sql(
+      s"CALL graft.system.compact(table => '$abs')").head().getInt(0)
+    println(s"SQL_DEMO_COMPACTED_V=$compacted")
+    val kept = spark.sql(
+      s"CALL graft.system.vacuum(table => '$abs', keep => 1)")
+      .head().getInt(0)
+    println(s"SQL_DEMO_RETAINED=$kept")
+    println("SQL_DEMO_FINAL=" + one(s"SELECT count(*) FROM $g"))
+    spark.stop()
+  }
+}

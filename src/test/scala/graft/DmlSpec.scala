@@ -266,6 +266,31 @@ class DmlSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 3)
   }
 
+  test("concurrent SQL DELETE and programmatic append both land") {
+    import spark.implicits._
+    val (t, g) = fresh("dml_race")
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), t)
+    // both racers observe version 1; the positional delete is
+    // rebase-safe and must auto-retry if it loses the slot
+    val gate = new java.util.concurrent.CyclicBarrier(2)
+    var err: Option[Throwable] = None
+    val delTh = new Thread(() => {
+      try { gate.await()
+        spark.sql(s"DELETE FROM $g WHERE id = 1") }
+      catch { case e: Throwable => err = Some(e) }
+    })
+    val appTh = new Thread(() => {
+      try { gate.await()
+        Versioned.append(Seq((3, "c")).toDF("id", "v"), t) }
+      catch { case e: Throwable => err = Some(e) }
+    })
+    delTh.start(); appTh.start(); delTh.join(); appTh.join()
+    assert(err.isEmpty, s"a racing writer failed: $err")
+    assert(Versioned.currentVersion(spark, t) == 3)
+    assert(spark.sql(s"SELECT id FROM $g ORDER BY id").collect()
+      .map(_.getInt(0)).toSeq == Seq(2, 3))
+  }
+
   test("unsupported DML shapes refuse loudly") {
     import spark.implicits._
     val (t, g) = fresh("dml_refuse")
