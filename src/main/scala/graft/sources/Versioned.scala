@@ -1261,7 +1261,9 @@ object Versioned {
     require(cols.contains(from),
       s"no column '$from' at $tableDir v=$cur " +
         s"(columns: ${cols.mkString(", ")})")
-    require(!cols.contains(to),
+    // CASE-INSENSITIVE collision check: Spark resolves names
+    // case-insensitively, so 'V' next to 'v' is ambiguous, not new
+    require(!cols.exists(_.equalsIgnoreCase(to)),
       s"column '$to' already exists at $tableDir v=$cur")
     val f = fs(spark, tableDir)
     // hint BEFORE the commit: readers probe it to skip chain lookups
@@ -1299,7 +1301,9 @@ object Versioned {
       s"type ${dtype.catalogString} does not round-trip the " +
         "persisted chain format")
     val cols = read(spark, tableDir, Some(cur)).columns.toSeq
-    require(!cols.contains(name),
+    // CASE-INSENSITIVE: Spark resolves names case-insensitively, so
+    // adding 'ID' next to 'id' would make every reference ambiguous
+    require(!cols.exists(_.equalsIgnoreCase(name)),
       s"column '$name' already exists at $tableDir v=$cur")
     val f = fs(spark, tableDir)
     val hint = new Path(tableDir, RenamesHint)
@@ -1678,11 +1682,13 @@ object Versioned {
       require(dup.isEmpty,
         s"merge clause assigns a column twice: ${dup.mkString(", ")}")
     }
-    // the matched? marker must be a column no side can collide with
+    // the matched? marker and insert-action index must be columns no
+    // side can collide with
     val mark = "__graft_merge_matched"
-    require(!schema.fieldNames.contains(mark) &&
-      !source.columns.contains(mark),
-      s"'$mark' is reserved by mergeInto")
+    for (reserved <- Seq(mark, "__graft_merge_act"))
+      require(!schema.fieldNames.contains(reserved) &&
+        !source.columns.contains(reserved),
+        s"'$reserved' is reserved by mergeInto")
     val src = source.withColumn(mark, lit(true)).alias("__s")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def cond(c: Option[Column]) = coalesce(c.getOrElse(lit(true)),

@@ -291,6 +291,18 @@ class DmlSpec extends SparkSpec {
       .map(_.getInt(0)).toSeq == Seq(2, 3))
   }
 
+  test("EXPLAIN on DML plans without executing") {
+    import spark.implicits._
+    val (t, g) = fresh("dml_explain")
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
+    val plan = spark.sql(s"EXPLAIN DELETE FROM $g WHERE id = 1")
+      .head().getString(0)
+    assert(plan.contains("GraftDeleteCommand"))
+    // explaining must not publish a version or delete anything
+    assert(Versioned.currentVersion(spark, t) == 1)
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 1)
+  }
+
   test("unsupported DML shapes refuse loudly") {
     import spark.implicits._
     val (t, g) = fresh("dml_refuse")

@@ -34,9 +34,16 @@ class SchemaEvolutionSpec extends SparkSpec {
     val rows = Versioned.read(spark, t).orderBy("id").collect()
     assert(rows.map(r => Option(r.get(2))).toSeq ==
       Seq(None, None, Some(30L)))
-    // adding an existing column refuses
+    // adding an existing column refuses — case-insensitively, since
+    // Spark resolution would make 'SCORE' vs 'score' ambiguous
     intercept[IllegalArgumentException] {
       Versioned.addColumn(spark, t, "score", LongType)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.addColumn(spark, t, "SCORE", LongType)
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, t, "v", "ID")
     }
   }
 
