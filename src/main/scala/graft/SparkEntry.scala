@@ -926,7 +926,8 @@ object SparkEntry {
     // the post-add INSERT sets one; DROP leaves (id, score) = 2 cols
     // while v1 still shows 2 original cols; RENAME id->key preserves
     // values (0+1+2+4); re-adding dropped 'v' resurrects nothing
-    // (4 nulls); six versions published.
+    // (4 nulls); the metadata-only int->bigint widening keeps the sum;
+    // seven versions published.
     "q43_schema_evolution" ->
       """SELECT CAST(3 AS BIGINT) AS add_nulls,
                 CAST(1 AS BIGINT) AS add_set,
@@ -934,7 +935,8 @@ object SparkEntry {
                 CAST(2 AS BIGINT) AS tt_v1_cols,
                 CAST(7 AS BIGINT) AS renamed_sum,
                 CAST(4 AS BIGINT) AS readd_nulls,
-                CAST(6 AS BIGINT) AS final_version""",
+                CAST(7 AS BIGINT) AS retype_sum,
+                CAST(7 AS BIGINT) AS final_version""",
     "q38_window_battery2" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,
                 CAST(ntile(4) OVER w AS BIGINT) AS quartile,

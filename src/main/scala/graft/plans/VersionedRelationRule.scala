@@ -78,6 +78,7 @@ case class VersionedRelationRule(spark: SparkSession)
           case "history" => Versioned.history(spark, t.tableDir)
           case "files" =>
             Versioned.files(spark, t.tableDir, t.pinnedVersion)
+          case "refs" => Versioned.refs(spark, t.tableDir)
         }).queryExecution.analyzed
         require(real.output.length == r.output.length,
           s"metadata table ${t.name()} changed shape between catalog " +

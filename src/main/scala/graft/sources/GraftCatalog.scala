@@ -265,7 +265,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       version: Option[Int]): Option[Table] = {
     if (ident.namespace.isEmpty) return None
     val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
-    if (kind != "history" && kind != "files") return None
+    if (kind != "history" && kind != "files" && kind != "refs")
+      return None
     val parent = Identifier.of(ident.namespace.dropRight(1),
       ident.namespace.last)
     val dir = Try(dirOf(parent)).getOrElse(return None)
@@ -274,11 +275,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     // pin at RESOLUTION like every catalog reference: one statement
     // reads one consistent snapshot's file inventory
     val pin = kind match {
-      case "history" =>
+      case "history" | "refs" =>
         if (version.isDefined)
           throw new UnsupportedOperationException(
-            s"${display(ident)} is the whole lineage; VERSION AS OF " +
-              "does not apply (pin .files instead)")
+            s"${display(ident)} is whole-table metadata; VERSION AS " +
+              "OF does not apply (pin .files instead)")
         None
       case "files" => Some(version.getOrElse(
         Versioned.currentVersion(spark, dir)))
@@ -286,6 +287,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val df = kind match {
       case "history" => Versioned.history(spark, dir)
       case "files" => Versioned.files(spark, dir, pin)
+      case "refs" => Versioned.refs(spark, dir)
     }
     Some(new GraftMetaTable(dir, kind, pin, df.schema,
       display(ident)))
@@ -484,11 +486,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         Versioned.dropColumn(spark, dirOf(ident), d.fieldNames()(0),
           note = Some(s"ALTER TABLE ${display(ident)} DROP COLUMN " +
             s"${d.fieldNames()(0)}"))
+      case u: TableChange.UpdateColumnType =>
+        if (u.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            "ALTER COLUMN TYPE supports top-level columns only, got " +
+              u.fieldNames.mkString("."))
+        Versioned.retypeColumn(spark, dirOf(ident), u.fieldNames()(0),
+          u.newDataType(),
+          note = Some(s"ALTER TABLE ${display(ident)} ALTER COLUMN " +
+            s"${u.fieldNames()(0)} TYPE ${u.newDataType().catalogString}"))
       case c =>
         throw new UnsupportedOperationException(
           s"ALTER TABLE on '$catName' supports RENAME / ADD / DROP " +
-            s"COLUMN (got ${c.getClass.getSimpleName}); other " +
-            "evolution goes through commits (appends union by name)")
+            "COLUMN and safe ALTER COLUMN TYPE widening (got " +
+            s"${c.getClass.getSimpleName}); other evolution goes " +
+            "through commits (appends union by name)")
     }
     load(ident, None)
   }

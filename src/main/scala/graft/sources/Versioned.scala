@@ -238,6 +238,7 @@ object Versioned {
   private val RenameFile = "_rename"
   private val AddColFile = "_addcol"
   private val DropColFile = "_dropcol"
+  private val RetypeFile = "_retype"
   // one hint gates ALL schema-step probes (name kept from the rename-
   // only era for on-disk compatibility with existing tables)
   private val RenamesHint = "_has_renames"
@@ -252,6 +253,8 @@ object Versioned {
       dtype: DataType) extends SchemaStep
   private final case class DropStep(ver: Int, name: String)
       extends SchemaStep
+  private final case class RetypeStep(ver: Int, name: String,
+      dtype: DataType) extends SchemaStep
 
   /** The table's rename history up to version `upTo`, oldest first —
     * one `(version, from, to)` per [[renameColumn]] commit, read from
@@ -296,7 +299,11 @@ object Versioned {
         val drop = sidecar(k, DropColFile).flatMap(s => Try {
           DropStep(k, s.trim): SchemaStep
         }.toOption)
-        rename.toSeq ++ add.toSeq ++ drop.toSeq
+        val retype = sidecar(k, RetypeFile).flatMap(s => Try {
+          val a = s.trim.split("\t")
+          RetypeStep(k, a(0), DataType.fromDDL(a(1))): SchemaStep
+        }.toOption)
+        rename.toSeq ++ add.toSeq ++ drop.toSeq ++ retype.toSeq
       }
     if (steps.isEmpty ||
       !st.exists(_.getPath.getName.startsWith(BranchPrefix))) steps
@@ -334,6 +341,15 @@ object Versioned {
           else d.withColumn(name, lit(null).cast(dtype))
         case (d, DropStep(_, name)) =>
           if (d.columns.contains(name)) d.drop(name) else d
+        case (d, RetypeStep(_, name, dtype)) =>
+          // cast in place, preserving column ORDER (a bare
+          // withColumn would keep position anyway, but be explicit:
+          // the union groups by schema, so every older entry must
+          // land on exactly the widened shape)
+          if (d.columns.contains(name) &&
+            d.schema(name).dataType != dtype)
+            d.withColumn(name, col(name).cast(dtype))
+          else d
       }
 
   /** Rename-only projection of [[applySchemaSteps]] for TOMBSTONE key
@@ -629,6 +645,8 @@ object Versioned {
         case RenameStep(_, from, to) => (RenameFile, s"$from\t$to")
         case AddStep(_, n, dt) => (AddColFile, s"$n\t${dt.catalogString}")
         case DropStep(_, n) => (DropColFile, n)
+        case RetypeStep(_, n, dt) =>
+          (RetypeFile, s"$n\t${dt.catalogString}")
       }
       val rOut = f.create(new Path(stage, file), false)
       try rOut.write(payload.getBytes("UTF-8"))
@@ -1345,6 +1363,60 @@ object Versioned {
       partitionCol = None, note = note, statsCols = Nil,
       linkBase = Some(cur), ownDirInManifest = false,
       writeData = false, schemaStep = Some(DropStep(0, name)))
+  }
+
+  /** Type promotions that lose NOTHING on any value — the Iceberg
+    * safe-evolution set (int → long, float → double, decimal precision
+    * widening at fixed scale) plus the smaller integral widenings.
+    * Everything else (narrowing, cross-family, scale changes) is
+    * refused: a metadata-only retype rewrites no data, so an unsafe
+    * cast would silently null or truncate old rows at read. */
+  private def safePromotion(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (d1: DecimalType, d2: DecimalType) =>
+        d2.scale == d1.scale && d2.precision >= d1.precision
+      case _ => false
+    }
+
+  /** WIDEN a column's type — METADATA-ONLY, the Iceberg type-promotion
+    * analog: publishes a version whose `_retype` sidecar records the
+    * step; readers cast OLDER entries' values in place (the sequence
+    * rule), files written after carry the wide type physically, and
+    * old snapshots keep the narrow type (time travel shows the written
+    * schema). Only [[safePromotion]]s are accepted. Stats sidecars
+    * written under the narrow type degrade that column's pruning to a
+    * scan on pre-retype entries — correctness first; a `compact()`
+    * rewrites stats at the wide type. */
+  def retypeColumn(spark: SparkSession, tableDir: String, name: String,
+      to: DataType, note: Option[String] = None): Int =
+    withCommitRetry() {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    val schema = read(spark, tableDir, Some(cur)).schema
+    require(schema.fieldNames.contains(name),
+      s"no column '$name' at $tableDir v=$cur " +
+        s"(columns: ${schema.fieldNames.mkString(", ")})")
+    val from = schema(name).dataType
+    require(safePromotion(from, to),
+      s"cannot retype '$name' ${from.catalogString} -> " +
+        s"${to.catalogString}: only lossless promotions are " +
+        "metadata-safe (int->long, float->double, decimal precision " +
+        "widening at fixed scale)")
+    require(Try(DataType.fromDDL(to.catalogString))
+      .toOption.contains(to),
+      s"type ${to.catalogString} does not round-trip the persisted " +
+        "chain format")
+    val f = fs(spark, tableDir)
+    val hint = new Path(tableDir, RenamesHint)
+    if (!f.exists(hint)) f.create(hint, true).close()
+    commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
+      partitionCol = None, note = note, statsCols = Nil,
+      linkBase = Some(cur), ownDirInManifest = false,
+      writeData = false, schemaStep = Some(RetypeStep(0, name, to)))
   }
 
   /** Absolute, URI-decoded filesystem path of the table root — the
@@ -2274,7 +2346,7 @@ object Versioned {
     // minimum is taken over the conservative superset of retained +
     // step manifests.
     val renameVers = all.filter(rv =>
-      Seq(RenameFile, AddColFile, DropColFile).exists(sc =>
+      Seq(RenameFile, AddColFile, DropColFile, RetypeFile).exists(sc =>
         f.exists(new Path(tableDir, s"v=$rv/$sc")))).toSet
     val expired =
       if (renameVers.isEmpty) expired0
@@ -2932,6 +3004,10 @@ object Versioned {
       s.sql(s"ALTER TABLE $g ADD COLUMN v STRING") // v6
       val readdNulls = s.sql(s"SELECT count(*) FROM $g " +
         "WHERE v IS NULL").head().getLong(0)
+      // metadata-only type widening: values intact at the wide type
+      s.sql(s"ALTER TABLE $g ALTER COLUMN key TYPE BIGINT") // v7
+      val retypeSum = s.sql(s"SELECT sum(key) FROM $g")
+        .head().getLong(0)
       s.range(1).select(
         lit(addNulls).as("add_nulls"),
         lit(addSet).as("add_set"),
@@ -2939,12 +3015,26 @@ object Versioned {
         lit(v1Cols).as("tt_v1_cols"),
         lit(renamedSum).as("renamed_sum"),
         lit(readdNulls).as("readd_nulls"),
+        lit(retypeSum).as("retype_sum"),
         lit(currentVersion(s, t).toLong).as("final_version"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
 
   // —— metadata tables (Iceberg `.history` / `.files` analogs) ——
+
+  /** Named references of the table — the Iceberg `.refs` metadata
+    * table: every tag and branch with the version it resolves to,
+    * plus `main` (the unqualified read line). Driver metadata only. */
+  def refs(spark: SparkSession, tableDir: String): DataFrame = {
+    val rows =
+      tags(spark, tableDir).toSeq.map { case (n, v) => (n, "tag", v) } ++
+        branches(spark, tableDir).toSeq
+          .map { case (n, v) => (n, "branch", v) } :+
+        (("main", "branch", currentVersion(spark, tableDir)))
+    import spark.implicits._
+    rows.sortBy(r => (r._2, r._1)).toDF("name", "type", "version")
+  }
 
   /** Snapshot history as a DataFrame — the Iceberg `.snapshots` /
     * `.history` metadata-table analog (the reference inspects the same
@@ -3727,6 +3817,7 @@ object Versioned {
               from == t.source || to == t.source
             case AddStep(_, n, _) => n == t.source
             case DropStep(_, n) => n == t.source
+            case RetypeStep(_, n, _) => n == t.source
           }) None
           else ranges.collectFirst { case (c, lo, hi) if c == t.source =>
             t.rangePred(lo, hi, dt, zone)
@@ -3744,6 +3835,7 @@ object Versioned {
         case RenameStep(_, from, to) => Seq(from, to)
         case AddStep(_, n, _) => Seq(n)
         case DropStep(_, n) => Seq(n)
+        case RetypeStep(_, n, _) => Seq(n)
       }.toSet
       val st =
         if (colNames.exists(renamedCols.contains)) Nil

@@ -140,7 +140,12 @@ object ChangeFeed {
             failure.set(None)
           } catch {
             case _: InterruptedException => // stop() drains
-            case e: Throwable => failure.set(Some(e))
+            // stop()'s interrupt can surface from inside Hadoop I/O
+            // as InterruptedIOException (or any wrapper) — an abort
+            // requested by stop() is not a feed failure; the atomic
+            // cursor publish means the range simply replays next run
+            case e: Throwable if !stopFlag.get() => failure.set(Some(e))
+            case _: Throwable => ()
           }
           try Thread.sleep(pollIntervalMs)
           catch { case _: InterruptedException => () }

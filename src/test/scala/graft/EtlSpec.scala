@@ -1138,10 +1138,11 @@ class EtlSpec extends SparkSpec {
     // old-version reads keep the old name
     assert(spark.sql(s"SELECT * FROM $g VERSION AS OF 1").columns.toSeq
       == Seq("id", "v"))
-    // other ALTER kinds still refuse loudly (ADD/DROP COLUMN are
-    // supported since the schema-step chain — SchemaEvolutionSpec)
+    // other ALTER kinds still refuse loudly (ADD/DROP COLUMN and safe
+    // TYPE widening are supported via the schema-step chain —
+    // SchemaEvolutionSpec)
     intercept[UnsupportedOperationException] {
-      spark.sql(s"ALTER TABLE $g ALTER COLUMN id TYPE BIGINT")
+      spark.sql(s"ALTER TABLE $g ALTER COLUMN id COMMENT 'nope'")
     }
     // a missing table fails at analysis (Spark resolves before alter)
     intercept[org.apache.spark.sql.AnalysisException] {

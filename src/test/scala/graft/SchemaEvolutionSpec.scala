@@ -133,6 +133,58 @@ class SchemaEvolutionSpec extends SparkSpec {
       .head().getLong(0) == -1L)
   }
 
+  test("retypeColumn widens metadata-only; unsafe promotions refuse") {
+    import spark.implicits._
+    val (t, g) = fresh("retype")
+    Versioned.commit(Seq((1, 10), (2, 2000000000)).toDF("id", "n"), t)
+    val filesBefore = Versioned.dataFileCount(spark, t)
+    spark.sql(s"ALTER TABLE $g ALTER COLUMN n TYPE BIGINT")
+    assert(Versioned.dataFileCount(spark, t) == filesBefore)
+    val cur = Versioned.read(spark, t)
+    assert(cur.schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // values intact through the widening; wide arithmetic works
+    assert(cur.agg(sum(col("n"))).head().getLong(0) == 2000000010L)
+    // new appends carry the wide type physically and mix with old files
+    Versioned.append(Seq((3, 5000000000L)).toDF("id", "n"), t)
+    assert(spark.sql(s"SELECT sum(n) FROM $g").head().getLong(0) ==
+      7000000010L)
+    // time travel shows the narrow written type
+    assert(Versioned.read(spark, t, Some(1)).schema("n").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    // narrowing and cross-family retypes refuse loudly
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g ALTER COLUMN n TYPE INT")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g ALTER COLUMN id TYPE STRING")
+    }
+    // merge-on-read deletes keyed on the narrow type still apply
+    val (t2, g2) = fresh("retype_mor")
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("k", "v"), t2)
+    Versioned.deleteRows(spark, t2, Seq(Tuple1(2)).toDF("k"))
+    Versioned.retypeColumn(spark, t2, "k",
+      org.apache.spark.sql.types.LongType)
+    assert(Versioned.read(spark, t2).collect().map(_.getLong(0))
+      .toSeq == Seq(1L))
+  }
+
+  test("refs metadata table lists tags, branches, and main") {
+    import spark.implicits._
+    val (t, _) = fresh("refs_meta")
+    val abs = new java.io.File(t).getAbsolutePath
+    Versioned.commit(Seq(Tuple1(1)).toDF("x"), t)
+    Versioned.append(Seq(Tuple1(2)).toDF("x"), t)
+    Versioned.tag(spark, t, "stable", Some(1))
+    Versioned.createBranch(spark, t, "audit")
+    val refs = spark.sql(
+      s"SELECT name, type, version FROM graft.`$abs`.refs")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getInt(2))).toSet
+    assert(refs == Set(("stable", "tag", 1), ("audit", "branch", 2),
+      ("main", "branch", 2)))
+  }
+
   test("schema steps survive vacuum while linked entries need them") {
     import spark.implicits._
     val (t, _) = fresh("evo_vacuum")
