@@ -83,7 +83,19 @@ object Bench {
         ",\"scan_rows\":" + m.scanRows + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"sf":"$sfDir"}"""
+    println(line)
+    // stdout of this main is captured tail-first by the harness and the
+    // one-line JSON truncates from the HEAD when the log is long — the
+    // file copy keeps the full artifact (seconds included) durable
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench.json write failed: $e")
+    }
     spark.stop()
   }
 }

@@ -22,15 +22,17 @@ object Events {
     * tz-less parquet timestamps) by interpreting the naive wall-clock
     * as UTC — the same convention DuckDB applies to the same files, so
     * oracle arithmetic agrees to the microsecond. The NTZ leg routes
-    * through an LTZ cast (session zone) then shifts the zone offset
-    * back out, which is exact in any fixed-offset session zone (the
-    * engine pins UTC, [[graft.Sessions.builder]]); under a DST zone a
-    * skipped local hour cannot round-trip the cast — pin a fixed
-    * offset for event-time arithmetic. */
+    * through an LTZ cast (which SUBTRACTS the session-zone offset)
+    * then from_utc_timestamp ADDS it back, leaving exactly
+    * wall-clock-as-UTC in any fixed-offset session zone (the engine
+    * pins UTC, [[graft.Sessions.builder]], where both steps are
+    * identities); under a DST zone a skipped local hour cannot
+    * round-trip the cast — pin a fixed offset for event-time
+    * arithmetic. */
   private def epochMicros(df: DataFrame, c: String = "ts"): Column =
     df.schema(c).dataType match {
       case TimestampNTZType =>
-        unix_micros(to_utc_timestamp(col(c).cast("timestamp"),
+        unix_micros(from_utc_timestamp(col(c).cast("timestamp"),
           current_timezone()))
       case _ => unix_micros(col(c))
     }

@@ -440,13 +440,17 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       freshCreate = !tableExists(ident))
   }
 
-  /** `ALTER TABLE … RENAME COLUMN` maps to [[Versioned.renameColumn]]
-    * — a METADATA-ONLY commit (no data file touched; the rename chain
-    * restyles older files at read, preserving column identity the way
-    * Iceberg's field ids do). Every other TableChange kind still
-    * refuses loudly: ADD/DROP COLUMN evolve through data commits
-    * (append/upsert null-fill by name), and type changes would lie
-    * about immutable files. */
+  /** `ALTER TABLE` schema evolution, all METADATA-ONLY commits (no
+    * data file touched — each publishes a schema step the read path
+    * applies over immutable files, preserving column identity the way
+    * Iceberg's field ids do): RENAME COLUMN ([[Versioned
+    * .renameColumn]]), ADD COLUMN ([[Versioned.addColumn]] — older
+    * files read NULL), DROP COLUMN ([[Versioned.dropColumn]] — the
+    * data stays for time travel, the step hides it), and ALTER COLUMN
+    * TYPE restricted to LOSSLESS widenings ([[Versioned
+    * .retypeColumn]] — older files upcast at read; a narrowing or
+    * lossy change still refuses loudly). Unsupported TableChange
+    * kinds refuse with the reason. */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!tableExists(ident))

@@ -1792,16 +1792,16 @@ object Versioned {
         viaMatch.unionByName(viaNmbs)
       }
       // —— the rewrite: full WHEN-clause semantics per touched row ——
-      // one left-outer join recovers each row's matching source row
-      // (unique by the cardinality check); CASE chains apply the FIRST
-      // clause whose condition holds — Spark's CaseWhen evaluates
-      // branches in order, which IS the SQL MERGE clause order.
+      // when any MATCHED clause exists, one left-outer join recovers
+      // each row's matching source row (unique by the cardinality
+      // check); CASE chains apply the FIRST clause whose condition
+      // holds — Spark's CaseWhen evaluates branches in order, which IS
+      // the SQL MERGE clause order.
       val isMatched = col(mark).isNotNull
       val branches: Seq[(Column, MergeClause)] =
         matched.map(c => (isMatched && cond(c.condition), c)) ++
           notMatchedBySource.map(c => (!isMatched && cond(c.condition), c))
-      def rewrite(d: DataFrame): DataFrame = {
-        val j = d.alias("__t").join(src, on, "left_outer")
+      def applyClauses(j: DataFrame): DataFrame = {
         val keep = branches.foldLeft(null: Column) { case (acc, (hit, c)) =>
           val k = lit(!c.isInstanceOf[MergeDelete])
           if (acc == null) when(hit, k) else acc.when(hit, k)
@@ -1822,6 +1822,31 @@ object Versioned {
         }
         j.filter(keep).select(outCols: _*)
       }
+      def rewrite(d: DataFrame): DataFrame =
+        if (matched.nonEmpty)
+          applyClauses(d.alias("__t").join(src, on, "left_outer"))
+        else {
+          // With NO matched clause the cardinality contract does not
+          // apply — SQL permits a target row to match many source rows
+          // when no MATCHED clause could act on it — so the left-outer
+          // join above would emit such a row once PER source match,
+          // silently duplicating it in the committed snapshot. Derive
+          // the matched mark without row multiplication instead: a
+          // semi/anti split yields each touched row exactly once, and
+          // a left-outer join against the EMPTY source pads the source
+          // columns as NULL so every clause expression still resolves
+          // (none can observe a value: matched clauses don't exist and
+          // not-matched-by-source rows have no source row by
+          // definition). The semi side overrides the mark to true so
+          // the NMBS branches stay dead for rows that DID match.
+          val pad = src.limit(0)
+          val hit = d.alias("__t").join(src, on, "left_semi")
+            .join(pad, lit(true), "left_outer")
+            .withColumn(mark, lit(true))
+          val miss = d.alias("__t").join(src, on, "left_anti")
+            .join(pad, lit(true), "left_outer")
+          applyClauses(hit).unionByName(applyClauses(miss))
+        }
       // —— inserts: source rows with no target match ——
       val inserts: Option[DataFrame] = if (notMatched.isEmpty) None else {
         val t = read(spark, tableDir, Some(cur)).alias("__t")

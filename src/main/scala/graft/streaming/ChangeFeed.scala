@@ -18,8 +18,9 @@ import graft.sources.Versioned
   * so a restarted feed resumes where it stopped.
   *
   * Delivery contract is AT-LEAST-ONCE, the `foreachBatch` discipline:
-  * the cursor advances (atomic tmp-write + rename, the same publish
-  * idiom the commit protocol uses) only AFTER the handler returns, so
+  * the cursor advances (a new monotonically numbered cursor file,
+  * max-on-read — the cursor can never transiently disappear, even
+  * mid-crash) only AFTER the handler returns, so
   * a crash mid-handler replays the same `(fromVersion, toVersion]`
   * range — handlers make that exactly-once by keying on `toVersion`
   * (the replay guard [[EventStreams.versionedSink]] demonstrates).
@@ -55,20 +56,33 @@ object ChangeFeed {
     def checkFailed(): Option[Throwable] = failure.get()
   }
 
-  private def cursorPath(checkpointDir: String) =
-    new Path(checkpointDir, "_changefeed_cursor")
+  private val CursorPrefix = "_changefeed_cursor"
 
   /** The checkpointed cursor: the newest version already consumed
-    * (0 = nothing yet). */
+    * (0 = nothing yet). The cursor is the MAX over monotonically
+    * numbered `_changefeed_cursor.v{N}` files — publishing a new one
+    * never deletes-then-renames, so no crash window can make the
+    * cursor transiently disappear (a vanished cursor would re-anchor
+    * pollOnce at the current version and silently skip the unconsumed
+    * range, violating at-least-once). Older files are garbage, pruned
+    * best-effort AFTER the new cursor is durable. A bare
+    * `_changefeed_cursor` file (the pre-numbered layout) still reads
+    * for checkpoint compatibility. */
   def cursor(spark: SparkSession, checkpointDir: String): Int = {
-    val p = cursorPath(checkpointDir)
-    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!f.exists(p)) 0
-    else Try {
-      val in = f.open(p)
-      try new String(in.readAllBytes(), "UTF-8").trim.toInt
-      finally in.close()
-    }.getOrElse(0)
+    val dir = new Path(checkpointDir)
+    val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!f.exists(dir)) return 0
+    f.listStatus(dir).iterator.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith(CursorPrefix + ".v"))
+        Try(n.stripPrefix(CursorPrefix + ".v").toInt).toOption
+      else if (n == CursorPrefix) Try {
+        val in = f.open(st.getPath)
+        try new String(in.readAllBytes(), "UTF-8").trim.toInt
+        finally in.close()
+      }.toOption
+      else None
+    }.foldLeft(0)(math.max)
   }
 
   private def writeCursor(spark: SparkSession, checkpointDir: String,
@@ -76,16 +90,30 @@ object ChangeFeed {
     val dir = new Path(checkpointDir)
     val f = dir.getFileSystem(spark.sessionState.newHadoopConf())
     if (!f.exists(dir)) f.mkdirs(dir)
+    val target = new Path(checkpointDir, s"$CursorPrefix.v$v")
     val tmp = new Path(checkpointDir,
-      s"._changefeed_cursor.tmp-${java.util.UUID.randomUUID()}")
+      s".$CursorPrefix.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    // rename-into-place: a reader never observes a torn cursor
-    if (!f.rename(tmp, cursorPath(checkpointDir))) {
-      f.delete(cursorPath(checkpointDir), false)
-      if (!f.rename(tmp, cursorPath(checkpointDir)))
-        throw new IllegalStateException(
-          s"cannot publish changefeed cursor at $checkpointDir")
+    // rename-into-place: a reader never observes a torn cursor. The
+    // target name embeds v, so a lost race means an identical file
+    // already exists — drop the tmp and carry on.
+    if (!f.rename(tmp, target)) {
+      f.delete(tmp, false)
+      if (!f.exists(target)) throw new IllegalStateException(
+        s"cannot publish changefeed cursor at $checkpointDir")
+    }
+    // prune superseded cursors only now that v is durable; failures
+    // here cost a stray file, never the cursor
+    Try {
+      f.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        val stale = n == CursorPrefix ||
+          (n.startsWith(CursorPrefix + ".v") &&
+            Try(n.stripPrefix(CursorPrefix + ".v").toInt)
+              .toOption.exists(_ < v))
+        if (stale) f.delete(st.getPath, false)
+      }
     }
   }
 

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.util.Try
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -35,8 +37,13 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     // one driver-side footer read decides the layout; declaring the
     // wrong type would either fail the scan or silently misread raw
-    // micros as nanos (off by 1000x)
-    val onDisk = spark.read.parquet(dir).schema("ts").dataType
+    // micros as nanos (off by 1000x). A directory with no parquet
+    // footer yet (a stream started before its producer) falls back to
+    // the legacy Long-nanos layout instead of failing construction —
+    // the schema is a stream-definition property and cannot re-sniff
+    // per batch anyway.
+    val onDisk = Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(LongType)
     val raw = spark.readStream.schema(rawSchema(onDisk)).parquet(dir)
     onDisk match {
       // integral `div`, not `/`: double division is 256 ns coarse at
@@ -47,11 +54,12 @@ object EventStreams {
       // event-time (watermarks, window state) requires an instant —
       // Spark refuses TIMESTAMP_NTZ event time. Interpret the naive
       // wall-clock as UTC (the same convention the batch side and
-      // DuckDB apply to these files): cast into the session zone, then
-      // shift the zone offset back out — exact under any fixed-offset
-      // session zone (the engine pins UTC).
+      // DuckDB apply to these files): the LTZ cast SUBTRACTS the
+      // session-zone offset, from_utc_timestamp ADDS it back — exact
+      // wall-clock-as-UTC under any fixed-offset session zone (the
+      // engine pins UTC, where both steps are identities).
       case TimestampNTZType => raw
-        .withColumn("ts", to_utc_timestamp(col("ts").cast("timestamp"),
+        .withColumn("ts", from_utc_timestamp(col("ts").cast("timestamp"),
           current_timezone()))
       case _ => raw
     }

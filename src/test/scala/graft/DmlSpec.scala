@@ -160,6 +160,38 @@ class DmlSpec extends SparkSpec {
       .map(_.getString(0)).toSeq == Seq("Z", "Z"))
   }
 
+  test("NMBS-only MERGE never duplicates multi-matched target rows") {
+    import spark.implicits._
+    // With NO matched clause, SQL permits a target row to match many
+    // source rows (no clause could act nondeterministically on it) —
+    // so the cardinality contract must NOT trip, and a target row that
+    // shares a file with a not-matched-by-source row must be emitted
+    // exactly once unchanged, not once per source match.
+    val (t, g) = fresh("merge_nmbs_multi")
+    // one file: id=1 (will match TWO source rows) + id=2 (NMBS)
+    Versioned.commit(Seq((1, "keep"), (2, "stale")).toDF("id", "v")
+      .coalesce(1), t)
+    Seq((1, "x"), (1, "y")).toDF("id", "v")
+      .createOrReplaceTempView("mrg_nmbs_src")
+    spark.sql(s"""
+      MERGE INTO $g USING mrg_nmbs_src src ON $g.id = src.id
+      WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'gone'
+    """)
+    val rows = spark.sql(s"SELECT id, v FROM $g ORDER BY id")
+      .collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(rows.toSeq == Seq((1, "keep"), (2, "gone")))
+    // same shape through DELETE: the matched row survives exactly once
+    val (t2, g2) = fresh("merge_nmbs_del")
+    Versioned.commit(Seq((1, "keep"), (2, "stale")).toDF("id", "v")
+      .coalesce(1), t2)
+    spark.sql(s"""
+      MERGE INTO $g2 USING mrg_nmbs_src src ON $g2.id = src.id
+      WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    assert(spark.sql(s"SELECT id, v FROM $g2").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSeq == Seq((1, "keep")))
+  }
+
   test("MERGE source can be a pinned graft snapshot read") {
     import spark.implicits._
     val (t, g) = fresh("merge_pin_tgt")
