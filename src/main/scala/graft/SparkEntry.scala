@@ -159,6 +159,14 @@ object SparkEntry {
     // COLUMN through the catalog, constants-reduced.
     "q43_schema_evolution" ->
       (graft.sources.Versioned.schemaEvolutionGate _),
+    // Incremental changelog (readChanges): its own gate since r10 so
+    // per-gate bench wall time stays attributable (was q40's chg_*).
+    "q44_changelog" -> (graft.sources.Versioned.changelogGate _),
+    // DDL-declared partitioning (CREATE TABLE ... PARTITIONED BY, the
+    // reference's csv_to_ice.py:54 shape), default-spec inheritance
+    // on INSERT, set_spec evolution, .partitions metadata table.
+    "q45_ddl_partitioning" ->
+      (graft.sources.Versioned.ddlPartitionGate _),
     // —— multimodal plumbing (north-star; decode is a marked stub) ——
     "m01_media_meta"   -> (Multimodal.mediaMeta _),
     // Feature vector projected to scalar f_* columns: driver-checkable
@@ -832,12 +840,7 @@ object SparkEntry {
     // 5 per region, ts-range Jan 2-3 hits the 10 keys with
     // n_nationkey % 5 in (1, 2), the derived partition column stays
     // hidden; metadata-only rollback to v1 republishes 13 rows as v3.
-    // The chg_* constants are the incremental-changelog leg
-    // (readChanges over the same chain): the append emits 2 inserts,
-    // the CoW merge nets to 1 insert + 1 delete (carried rows cancel),
-    // the equality tombstone emits 1 key-delete, compact emits ZERO
-    // events, the positional delete emits 2 full-row deletes, and the
-    // whole (1, 7] range sums 3 inserts + 4 deletes.
+    // (The chg_* changelog leg moved to its own gate, q44, in r10.)
     "q40_snapshot_append" ->
       """SELECT CAST(3 AS BIGINT) AS v1_rows,
                 CAST(5 AS BIGINT) AS v2_rows,
@@ -868,8 +871,16 @@ object SparkEntry {
                 CAST(10 AS BIGINT) AS p_ts_rows,
                 CAST(1 AS BIGINT) AS p_hidden,
                 CAST(3 AS BIGINT) AS rb_version,
-                CAST(13 AS BIGINT) AS rb_rows,
-                CAST(2 AS BIGINT) AS chg_append_ins,
+                CAST(13 AS BIGINT) AS rb_rows""",
+    // Incremental-changelog gate (split from q40 in r10; constants
+    // conserved): over the commit/append/CoW-merge/MoR-delete/compact/
+    // positional-delete/compact chain, the append emits 2 inserts, the
+    // CoW merge nets to 1 insert + 1 delete (carried rows cancel), the
+    // equality tombstone emits 1 key-delete, compact emits ZERO
+    // events, the positional delete emits 2 full-row deletes, and the
+    // whole (1, 7] range sums 3 inserts + 4 deletes.
+    "q44_changelog" ->
+      """SELECT CAST(2 AS BIGINT) AS chg_append_ins,
                 CAST(1 AS BIGINT) AS chg_merge_ins,
                 CAST(1 AS BIGINT) AS chg_merge_del,
                 CAST(1 AS BIGINT) AS chg_mor_del,
@@ -877,6 +888,34 @@ object SparkEntry {
                 CAST(2 AS BIGINT) AS chg_pd_del,
                 CAST(3 AS BIGINT) AS chg_all_ins,
                 CAST(4 AS BIGINT) AS chg_all_del""",
+    // DDL-partitioning gate: CREATE TABLE PARTITIONED BY (n_regionkey)
+    // records the identity spec on the empty v1; the plain INSERT of
+    // nation's 25 rows lands 5 hidden region directories with the
+    // derived column out of the read schema; readWhere on region 2
+    // returns 5 rows scanning fewer files; .partitions rolls up 5
+    // values / 25 rows / >=5 files with bytes matching .files;
+    // set_spec evolves to bucket(5, n_nationkey) as v3 and the next
+    // insert (5 EVO rows) bucket-partitions; point readWhere on an
+    // evolved key hits 1 row; clearing the spec makes the last insert
+    // unpartitioned; 31 rows, six versions.
+    "q45_ddl_partitioning" ->
+      """SELECT CAST(1 AS BIGINT) AS ddl_spec_identity,
+                CAST(25 AS BIGINT) AS ins_rows,
+                CAST(5 AS BIGINT) AS part_dirs,
+                CAST(1 AS BIGINT) AS part_hidden,
+                CAST(5 AS BIGINT) AS rw_rows,
+                CAST(1 AS BIGINT) AS rw_pruned,
+                CAST(5 AS BIGINT) AS pm_parts,
+                CAST(25 AS BIGINT) AS pm_rows,
+                CAST(1 AS BIGINT) AS pm_files_ok,
+                CAST(1 AS BIGINT) AS pm_bytes_match,
+                CAST(3 AS BIGINT) AS evo_version,
+                CAST(1 AS BIGINT) AS evo_layout,
+                CAST(1 AS BIGINT) AS evo_point_rows,
+                CAST(30 AS BIGINT) AS evo_total_rows,
+                CAST(1 AS BIGINT) AS clear_plain,
+                CAST(31 AS BIGINT) AS final_rows,
+                CAST(6 AS BIGINT) AS final_version""",
     // SQL time-travel gate: region (5 rows at every SF) as a 3-version
     // table — v1 commit 3 rows, v2 append 2, v3 ONE atomic CDC batch
     // (upsert key 0 + merge-on-read delete of key 1); per-version

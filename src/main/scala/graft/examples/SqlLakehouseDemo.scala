@@ -57,6 +57,26 @@ object SqlLakehouseDemo {
       .head().getInt(0)
     println(s"SQL_DEMO_RETAINED=$kept")
     println("SQL_DEMO_FINAL=" + one(s"SELECT count(*) FROM $g"))
+
+    // —— DDL-declared partitioning (the reference's csv_to_ice.py:54
+    //    shape: a bare column is identity) + spec evolution + the
+    //    .partitions skew rollup ——
+    val absT = new java.io.File(s"$out/trips").getAbsolutePath
+    val t = s"graft.`$absT`"
+    spark.sql(s"CREATE TABLE $t (trip_id INT, pickup_date DATE, " +
+      "fare DOUBLE) PARTITIONED BY (pickup_date)")
+    spark.sql(s"INSERT INTO $t VALUES " +
+      "(1, DATE'2024-01-01', 10.5), (2, DATE'2024-01-01', 7.25), " +
+      "(3, DATE'2024-01-02', 22.0), (4, DATE'2024-01-03', 5.75)")
+    println("SQL_DEMO_PARTITIONS=" + one(
+      s"SELECT count(*) FROM $t.partitions WHERE partition IS NOT NULL"))
+    println("SQL_DEMO_PART_ROWS=" + one(
+      s"SELECT sum(row_count) FROM $t.partitions"))
+    // evolve the default spec for future writes; old files keep theirs
+    spark.sql(s"CALL graft.system.set_spec(table => '$absT', " +
+      "spec => 'bucket(4,trip_id)')")
+    spark.sql(s"INSERT INTO $t VALUES (100, DATE'2024-02-01', 9.99)")
+    println("SQL_DEMO_EVOLVED=" + one(s"SELECT count(*) FROM $t"))
     spark.stop()
   }
 }

@@ -79,6 +79,8 @@ case class VersionedRelationRule(spark: SparkSession)
           case "files" =>
             Versioned.files(spark, t.tableDir, t.pinnedVersion)
           case "refs" => Versioned.refs(spark, t.tableDir)
+          case "partitions" =>
+            Versioned.partitions(spark, t.tableDir, t.pinnedVersion)
         }).queryExecution.analyzed
         require(real.output.length == r.output.length,
           s"metadata table ${t.name()} changed shape between catalog " +

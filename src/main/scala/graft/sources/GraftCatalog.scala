@@ -67,7 +67,8 @@ final class GraftVersionedTable(val tableDir: String,
 }
 
 /** A resolved METADATA table — `graft.db.t.history` / `graft.db.t
-  * .files`, the Iceberg metadata-table addressing (README.md:78's
+  * .files` / `.refs` / `.partitions`, the Iceberg metadata-table
+  * addressing (README.md:78's
   * catalog exposes `db.t.history` the same way): the trailing
   * identifier segment selects the view over the PARENT table's
   * manifest surface. Like [[GraftVersionedTable]] it advertises no
@@ -130,7 +131,8 @@ private final class GraftWriteBuilder(tableDir: String,
   * the declared schema as an empty snapshot, mirroring
   * [[GraftCatalog.createTable]]. */
 private final class GraftStagedTable(tableDir: String,
-    displayName: String, declared: StructType, freshCreate: Boolean)
+    displayName: String, declared: StructType, freshCreate: Boolean,
+    spec: Option[Versioned.Transform])
     extends StagedTable with SupportsWrite {
   @volatile private var wrote = false
   override def name(): String = displayName
@@ -146,8 +148,12 @@ private final class GraftStagedTable(tableDir: String,
           new InsertableRelation {
             override def insert(data: DataFrame,
                 ignored: Boolean): Unit = {
+              // the DECLARED spec partitions the CTAS/RTAS write (and
+              // persists as the table's default going forward); its
+              // absence REPLACES any prior spec with unpartitioned
               Versioned.commit(data, tableDir,
-                note = Some(s"CREATE OR REPLACE $displayName"))
+                note = Some(s"CREATE OR REPLACE $displayName"),
+                transform = spec)
               wrote = true
             }
           }
@@ -159,7 +165,8 @@ private final class GraftStagedTable(tableDir: String,
       val empty = s.createDataFrame(
         new util.ArrayList[org.apache.spark.sql.Row](), declared)
       Versioned.commit(empty, tableDir,
-        note = Some(s"CREATE OR REPLACE $displayName"))
+        note = Some(s"CREATE OR REPLACE $displayName"),
+        transform = spec)
     }
   override def abortStagedChanges(): Unit = {
     // a failed write published nothing (atomic commit); only a FRESH
@@ -265,7 +272,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       version: Option[Int]): Option[Table] = {
     if (ident.namespace.isEmpty) return None
     val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
-    if (kind != "history" && kind != "files" && kind != "refs")
+    if (kind != "history" && kind != "files" && kind != "refs" &&
+      kind != "partitions")
       return None
     val parent = Identifier.of(ident.namespace.dropRight(1),
       ident.namespace.last)
@@ -281,13 +289,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             s"${display(ident)} is whole-table metadata; VERSION AS " +
               "OF does not apply (pin .files instead)")
         None
-      case "files" => Some(version.getOrElse(
+      case "files" | "partitions" => Some(version.getOrElse(
         Versioned.currentVersion(spark, dir)))
     }
     val df = kind match {
       case "history" => Versioned.history(spark, dir)
       case "files" => Versioned.files(spark, dir, pin)
       case "refs" => Versioned.refs(spark, dir)
+      case "partitions" => Versioned.partitions(spark, dir, pin)
     }
     Some(new GraftMetaTable(dir, kind, pin, df.schema,
       display(ident)))
@@ -373,38 +382,84 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       .map(p => Identifier.of(namespace, p.getName))
   }
 
-  /** CREATE TABLE commits an empty (unpartitioned) v=1 with the
-    * declared schema, so SQL DDL and programmatic appends compose.
-    * `PARTITIONED BY` is refused: partitioning here is a per-commit
-    * WRITE property ([[Versioned.commit]]'s `partitionCol` / hidden
-    * `Transform`s), and a partitionBy write of an EMPTY frame emits
-    * zero parquet files — publishing that would brick every later
-    * read (the same guard mergeFiles/compactSmall carry). */
+  /** CREATE TABLE commits an empty v=1 with the declared schema, so
+    * SQL DDL and programmatic appends compose. `PARTITIONED BY`
+    * declares the table's DEFAULT partition spec (the reference's own
+    * DDL shape — csv_to_ice.py:54 `PARTITIONED BY (pickup_date)`,
+    * and Iceberg's hidden `days(ts)`/`bucket(n, id)` forms): the
+    * empty commit records it in its `_tspec` sidecar (vacuously true
+    * of zero files), and every later commit/INSERT without an
+    * explicit transform inherits it via
+    * [[Versioned.currentTransform]]. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident))
       throw new IllegalStateException(
         s"table ${display(ident)} already exists")
-    if (partitions.nonEmpty)
-      throw new UnsupportedOperationException(
-        "PARTITIONED BY is not supported in DDL: partitioning is a " +
-          "per-commit write property — create unpartitioned, then " +
-          "pass partitionCol or a hidden Transform on data commits " +
-          "(Versioned.commit/append)")
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
-    Versioned.commit(empty, dirOf(ident), note = Some("CREATE TABLE"))
+    Versioned.commit(empty, dirOf(ident), note = Some("CREATE TABLE"),
+      transform = declaredSpec(partitions, schema))
     load(ident, None)
   }
 
-  private def refusePartitions(partitions: Array[Transform]): Unit =
-    if (partitions.nonEmpty)
+  /** Map Spark's DDL partition transforms onto the engine's hidden
+    * transform spec ([[Versioned.Transform]]). One partition field
+    * (the engine's spec is single-transform); a bare column is
+    * IDENTITY; `years/months/days/hours(col)`, `bucket(n, col)` and
+    * `truncate(w, col)` map by name (literal/column argument order is
+    * accepted both ways — Spark's parser preserves whatever the user
+    * wrote). Validated against the declared schema so a bad spec
+    * fails the DDL statement, not the first insert. */
+  private def declaredSpec(partitions: Array[Transform],
+      schema: StructType): Option[Versioned.Transform] = {
+    if (partitions.isEmpty) return None
+    if (partitions.length > 1)
       throw new UnsupportedOperationException(
-        "PARTITIONED BY is not supported in DDL: partitioning is a " +
-          "per-commit write property — create unpartitioned, then " +
-          "pass partitionCol or a hidden Transform on data commits " +
-          "(Versioned.commit/append)")
+        "PARTITIONED BY supports exactly one partition field (the " +
+          "table spec is single-transform); got " +
+          partitions.map(_.describe).mkString(", "))
+    val p = partitions.head
+    val refs = p.references()
+    if (refs.length != 1 || refs(0).fieldNames().length != 1)
+      throw new UnsupportedOperationException(
+        s"partition transform must reference one top-level column, " +
+          s"got ${p.describe}")
+    val src = refs(0).fieldNames()(0)
+    def litInt: Int = p.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+        if l.value().isInstanceOf[Number] =>
+        l.value().asInstanceOf[Number].intValue()
+    }.getOrElse(throw new UnsupportedOperationException(
+      s"${p.name()} needs an integer argument: ${p.describe}"))
+    val t = p.name().toLowerCase match {
+      case "identity" => Versioned.Transform.Identity(src)
+      case "years" | "year" => Versioned.Transform.Years(src)
+      case "months" | "month" => Versioned.Transform.Months(src)
+      case "days" | "day" => Versioned.Transform.Days(src)
+      case "hours" | "hour" => Versioned.Transform.Hours(src)
+      case "bucket" => Versioned.Transform.Bucket(litInt, src)
+      case "truncate" => Versioned.Transform.Truncate(litInt, src)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform '$other' — supported: " +
+          "identity(col), years/months/days/hours(col), " +
+          "bucket(n, col), truncate(w, col)")
+    }
+    if (!schema.fieldNames.contains(t.source))
+      throw new IllegalArgumentException(
+        s"partition source column '${t.source}' is not in the " +
+          s"declared schema (${schema.fieldNames.mkString(", ")})")
+    if (!t.source.matches("\\w+"))
+      throw new UnsupportedOperationException(
+        s"partition source column '${t.source}' must match \\w+ " +
+          "(the persisted spec format)")
+    // surface write-time refusals (identity on a timestamp) at DDL
+    // time with the declared schema
+    t.writeExpr(spark.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema))
+    Some(t)
+  }
 
   /** CTAS target. Existence is checked here AND by Spark's exec; the
     * staged write itself publishes (atomically), see
@@ -415,29 +470,29 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (tableExists(ident))
       throw new TableAlreadyExistsException(
         ident.namespace :+ ident.name)
-    refusePartitions(partitions)
     new GraftStagedTable(dirOf(ident), display(ident), schema,
-      freshCreate = true)
+      freshCreate = true, declaredSpec(partitions, schema))
   }
 
   /** RTAS target: the replacement is a fresh full-snapshot COMMIT on
-    * the same version line — prior snapshots stay time-travelable. */
+    * the same version line — prior snapshots stay time-travelable.
+    * The DECLARED spec replaces the old one (Iceberg's REPLACE TABLE
+    * semantics): no `PARTITIONED BY` means the replaced table is
+    * unpartitioned, whatever the prior layout was. */
   override def stageReplace(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
     if (!tableExists(ident))
       throw new NoSuchTableException(ident.namespace :+ ident.name)
-    refusePartitions(partitions)
     new GraftStagedTable(dirOf(ident), display(ident), schema,
-      freshCreate = false)
+      freshCreate = false, declaredSpec(partitions, schema))
   }
 
   override def stageCreateOrReplace(ident: Identifier,
       schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
-    refusePartitions(partitions)
     new GraftStagedTable(dirOf(ident), display(ident), schema,
-      freshCreate = !tableExists(ident))
+      freshCreate = !tableExists(ident), declaredSpec(partitions, schema))
   }
 
   /** `ALTER TABLE` schema evolution, all METADATA-ONLY commits (no

@@ -182,6 +182,19 @@ object GraftProcedures {
         a => Seq(Versioned.fastForward(spark, dir(a(0)),
           from = a(1).asInstanceOf[String],
           to = a(2).asInstanceOf[String])))
+      case "set_spec" => new Proc("set_spec",
+        "declare the default partition spec for future writes " +
+          "('days(ts)', 'bucket(16,id)', 'identity(col)', … or " +
+          "'none' to clear); existing files keep their layout",
+        Seq(p("table", StringType), p("spec", StringType)),
+        versionRow,
+        a => {
+          require(a(1) != null, "'spec' is required")
+          val s = a(1).asInstanceOf[String].trim
+          Seq(Versioned.setSpec(spark, dir(a(0)),
+            if (s == "none") None
+            else Some(Versioned.Transform.parse(s))))
+        })
       case "drop_branch" => new Proc("drop_branch",
         "delete a branch pin (its unpublished commits stay fenced)",
         Seq(p("table", StringType), p("name", StringType)),
@@ -198,5 +211,6 @@ object GraftProcedures {
 
   val names: Seq[String] = Seq("compact", "compact_small",
     "compact_deletes", "vacuum", "expire_snapshots", "rollback",
-    "create_tag", "create_branch", "fast_forward", "drop_branch")
+    "create_tag", "create_branch", "fast_forward", "drop_branch",
+    "set_spec")
 }

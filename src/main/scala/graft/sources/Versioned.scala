@@ -547,7 +547,8 @@ object Versioned {
       transform: Option[Transform] = None,
       writeData: Boolean = true,
       branch: Option[String] = None,
-      schemaStep: Option[SchemaStep] = None): Int = {
+      schemaStep: Option[SchemaStep] = None,
+      clearSpec: Boolean = false): Int = {
     val spark = df.sparkSession
     // hidden partitioning: derive the transform's partition column for
     // the write only — it never enters the logical schema (read() hides
@@ -618,9 +619,26 @@ object Versioned {
     if (writeData) {
       val w = data.write.mode("overwrite")
       partBy.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
+      // A partitionBy write of an EMPTY frame emits ZERO parquet files
+      // — a schema-less scan root that would brick every later read.
+      // Fall back to a schema-bearing unpartitioned empty write (the
+      // plain CREATE TABLE shape); the _tspec sidecar below still
+      // records the declared spec, which is vacuously true of zero
+      // files and is what later commits INHERIT — this is exactly how
+      // `CREATE TABLE … PARTITIONED BY` publishes its default spec
+      // before any data exists.
+      if (partBy.nonEmpty && !containsParquet(f, stage)) {
+        f.delete(stage, true)
+        df.limit(0).write.mode("overwrite").parquet(stage.toString)
+      }
       if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
     } else f.mkdirs(stage) // metadata-only commit (rollback, tombstone)
-    transform.foreach(t => writeTspec(f, stage, t,
+    if (clearSpec) {
+      // [[setSpec]]'s explicit clear: the sentinel stops
+      // currentTransform's inheritance walk at this version
+      val out = f.create(new Path(stage, TspecFile), false)
+      try out.write(TspecNone.getBytes("UTF-8")) finally out.close()
+    } else transform.foreach(t => writeTspec(f, stage, t,
       df.schema(t.source).dataType.catalogString,
       spark.sessionState.conf.sessionLocalTimeZone))
     // branch + parent + generation sidecar, riding the atomic claim:
@@ -1205,11 +1223,19 @@ object Versioned {
           (del.toSeq ++ tombEvents).map(tagged(_, "delete"))
       }
     }
-    if (events.isEmpty)
-      read(spark, tableDir, Some(toVersion)).limit(0)
-        .withColumn(ChangeTypeCol, lit("insert"))
-        .withColumn(CommitVersionCol, lit(0))
-    else events.reduce(_.unionByName(_, allowMissingColumns = true))
+    // the empty full-schema shell anchors the output schema: EVERY
+    // range carries all of toVersion's columns in stable order (an
+    // equality-delete-only range would otherwise surface key columns
+    // only — the doc'd null-padding contract, enforced here so
+    // consumers like ChangeStreamSource see one schema per table, not
+    // one per range)
+    val shell = read(spark, tableDir, Some(toVersion)).limit(0)
+      .withColumn(ChangeTypeCol, lit("insert"))
+      .withColumn(CommitVersionCol, lit(0))
+    if (events.isEmpty) shell
+    else shell.unionByName(
+      events.reduce(_.unionByName(_, allowMissingColumns = true)),
+      allowMissingColumns = true)
   }
 
   /** APPEND as a new snapshot: the published version holds the previous
@@ -1455,6 +1481,17 @@ object Versioned {
       }
       buf.toSeq
     }
+  }
+
+  /** Whether any parquet file exists under `p` (recursive). Driver
+    * metadata-scale: short-circuits on the first hit. */
+  private def containsParquet(f: FileSystem, p: Path): Boolean = {
+    if (!f.exists(p)) return false
+    val it = f.listFiles(p, /*recursive=*/ true)
+    var found = false
+    while (!found && it.hasNext)
+      found = it.next().getPath.getName.endsWith(".parquet")
+    found
   }
 
   /** Scan a set of table-relative data files, each under its version
@@ -3116,6 +3153,52 @@ object Versioned {
     rows.toDF("file", "size_bytes", "entry", "linked", "kind")
   }
 
+  /** Per-partition rollup of a snapshot — the Iceberg `.partitions`
+    * metadata-table analog: one row per distinct partition VALUE with
+    * its file count, physical row count, and total bytes — the first
+    * table an operator checks for skew, and the input to targeted
+    * compaction. Derived from the manifest listing plus parquet
+    * FOOTERS (row counts) — metadata-scale driver I/O, no data page
+    * is read. Counts are PHYSICAL per-file rows: merge-on-read
+    * tombstones are NOT applied (the same contract as Iceberg's
+    * partitions table, which reports manifest record counts).
+    * The partition value renders as the hive path segment with the
+    * hidden-transform prefix stripped (`days_ts=2024-01-02`,
+    * `bucket8_k=3`, identity `id_region=emea`; multi-level layouts
+    * join with `/`); files of unpartitioned commits roll up under
+    * NULL — one table can mix layouts across spec evolutions, and the
+    * rollup shows exactly which files carry which. */
+  def partitions(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    require(v > 0, s"no committed version at $tableDir")
+    val f = fs(spark, tableDir)
+    val conf = spark.sessionState.newHadoopConf()
+    val perFile = manifestLines(f, tableDir, v)
+      .filterNot(isDeleteLine)
+      .flatMap(e => entryFiles(f, tableDir, e))
+      .map { rel =>
+        val part = rel.split("/").drop(1).dropRight(1)
+          .filter(_.contains("="))
+          .map(_.replaceFirst("^" + TransformPrefix, ""))
+          .mkString("/")
+        val p = new Path(tableDir, rel)
+        val rc = Try {
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(p, conf))
+          try r.getRecordCount finally r.close()
+        }.getOrElse(0L)
+        (if (part.isEmpty) null else part, rc,
+          f.getFileStatus(p).getLen)
+      }
+    val rows = perFile.groupBy(_._1).toSeq.map { case (part, fls) =>
+      (part, fls.size.toLong, fls.map(_._2).sum, fls.map(_._3).sum)
+    }.sortBy(r => Option(r._1).getOrElse(""))
+    import spark.implicits._
+    rows.toDF("partition", "file_count", "row_count", "total_bytes")
+  }
+
   /** Driver-visible gate over the snapshot/manifest surface — the
     * d07/s04 pattern: build small versioned tables from the fixture's
     * SF-independent `region`/`nation` tables (commit → O(delta) append
@@ -3208,22 +3291,7 @@ object Versioned {
           sum(when(col("n_regionkey") === 2, 1L).otherwise(0L))),
         probe("pts", readWhere(s, tp, "ts",
           "2024-01-02 00:00:00", "2024-01-03 00:00:00", Some(2)), n),
-        probe("rb", read(s, tp), n)) ++ {
-        // — incremental changelog over the SAME chain: each commit's
-        //   events from manifest deltas (readChanges), inserts in `a`,
-        //   deletes in `b`; compact must net to zero —
-        val cIns = coalesce(sum(when(
-          col(ChangeTypeCol) === "insert", 1L).otherwise(0L)), lit(0L))
-        val cDel = coalesce(sum(when(
-          col(ChangeTypeCol) === "delete", 1L).otherwise(0L)), lit(0L))
-        Seq(
-          probe("c12", readChanges(s, t, 1, 2), cIns, cDel),
-          probe("c23", readChanges(s, t, 2, 3), cIns, cDel),
-          probe("c34", readChanges(s, t, 3, 4), cIns, cDel),
-          probe("c45", readChanges(s, t, 4, 5), cIns, cDel),
-          probe("c56", readChanges(s, t, 5, 6), cIns, cDel),
-          probe("c17", readChanges(s, t, 1, 7), cIns, cDel))
-      }
+        probe("rb", read(s, tp), n))
       // tombstone / own-file inventories are FS metadata — no Spark job
       val v4Files = fileState(s"$t/v=4").keys.toSeq
       val morTomb = v4Files.count(_.contains(s"/$DeletesDir/"))
@@ -3268,7 +3336,54 @@ object Versioned {
         lit(r("pts")._1).as("p_ts_rows"),
         lit(if (pHidden) 1L else 0L).as("p_hidden"),
         lit(rbV.toLong).as("rb_version"),
-        lit(r("rb")._1).as("rb_rows"),
+        lit(r("rb")._1).as("rb_rows"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  /** Driver-visible gate over the INCREMENTAL CHANGELOG surface
+    * ([[readChanges]]) — split out of [[snapshotGate]] (its 2× growth
+    * was making per-gate bench wall time unattributable): rebuilds
+    * the same commit → append → CoW merge → MoR delete → compact →
+    * positional delete → compact chain, then reduces each version
+    * range's changelog to constants — inserts in `a`, deletes in `b`;
+    * a compact commit must net to ZERO events, and the cumulative
+    * (1, 7] range nets carried rows. Chain actions are the cost;
+    * every readChanges leg is O(changed files + tombstone keys). */
+  def changelogGate(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-changelog-gate")
+    try {
+      val region = Tables.load(s, d, "region")
+        .select(col("r_regionkey"), col("r_name"))
+      val t = work.resolve("tbl").toString
+      commit(region.filter(col("r_regionkey") < 3).repartition(3), t)
+      append(region.filter(col("r_regionkey") >= 3), t)
+      upsert(s, t, region.filter(col("r_regionkey") === 0)
+        .withColumn("r_name", lit("REWRITTEN")), "r_regionkey")
+      import s.implicits._
+      deleteRows(s, t, Seq(1).toDF("r_regionkey"))
+      compact(s, t)
+      deleteWhere(s, t, col("r_regionkey") >= 3)
+      compact(s, t)
+      val cIns = coalesce(sum(when(
+        col(ChangeTypeCol) === "insert", 1L).otherwise(0L)), lit(0L))
+      val cDel = coalesce(sum(when(
+        col(ChangeTypeCol) === "delete", 1L).otherwise(0L)), lit(0L))
+      def probe(tag: String, df: DataFrame): DataFrame =
+        df.agg(cIns.cast("long").as("a"), cDel.cast("long").as("b"))
+          .select(lit(tag).as("t"), col("a"), col("b"))
+      // ONE batched action for every changelog probe
+      val r = Seq(
+        probe("c12", readChanges(s, t, 1, 2)),
+        probe("c23", readChanges(s, t, 2, 3)),
+        probe("c34", readChanges(s, t, 3, 4)),
+        probe("c45", readChanges(s, t, 4, 5)),
+        probe("c56", readChanges(s, t, 5, 6)),
+        probe("c17", readChanges(s, t, 1, 7)))
+        .reduce(_.unionByName(_)).collect()
+        .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+      s.range(1).select(
         lit(r("c12")._1).as("chg_append_ins"),
         lit(r("c23")._1).as("chg_merge_ins"),
         lit(r("c23")._2).as("chg_merge_del"),
@@ -3277,6 +3392,115 @@ object Versioned {
         lit(r("c56")._2).as("chg_pd_del"),
         lit(r("c17")._1).as("chg_all_ins"),
         lit(r("c17")._2).as("chg_all_del"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  /** Driver-visible gate over DDL-DECLARED PARTITIONING — the
+    * reference's own CREATE TABLE shape (csv_to_ice.py:54
+    * `PARTITIONED BY (pickup_date)`) plus partition-spec EVOLUTION and
+    * the `.partitions` metadata table: CREATE TABLE … PARTITIONED BY
+    * records the default spec on the empty v1; a plain SQL INSERT
+    * inherits it (5 hive region directories, hidden from the read
+    * schema); readWhere prunes on the source column; `.partitions`
+    * rolls the layout up to (value, files, rows, bytes) agreeing with
+    * the `.files` inventory; `set_spec` evolves the default to a
+    * bucket transform (old files keep their layout, the next insert
+    * adopts the new) and `none` clears it. All reduced to constants
+    * the oracle states literally. */
+  def ddlPartitionGate(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-ddl-part")
+    try {
+      Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+        .createOrReplaceTempView("q45_nation_src")
+      val t = work.resolve("tbl").toString
+      val g = s"graft.`$t`"
+      s.sql(s"CREATE TABLE $g (n_nationkey INT, n_regionkey INT, " +
+        "n_name STRING) PARTITIONED BY (n_regionkey)") // identity, v1
+      val specOk = currentTransform(s, t)
+        .contains(Transform.Identity("n_regionkey"))
+      s.sql(s"INSERT INTO $g SELECT n_nationkey, n_regionkey, n_name " +
+        "FROM q45_nation_src") // v2, inherits the declared layout
+      val partDirs = new java.io.File(s"$t/v=2").listFiles().toSeq
+        .count(f => f.isDirectory &&
+          f.getName.startsWith(s"${TransformPrefix}id_n_regionkey="))
+      val hidden = read(s, t).columns
+        .forall(!_.startsWith(TransformPrefix))
+      val rw = readWhere(s, t, "n_regionkey", 2, 2)
+      // inputFiles reports the PRE-pruning listing for hive partition
+      // pruning (a plan-time optimization), so assert the hidden
+      // partition predicate reached the scan instead — the actual
+      // file-count reduction is measured via scan metrics in
+      // DdlPartitionSpec
+      val rwPruned = rw.queryExecution.executedPlan.toString
+        .contains(s"${TransformPrefix}id_n_regionkey")
+      // the .partitions rollup vs the .files inventory, pinned at v2
+      val pm = s.sql(s"SELECT count(*), sum(row_count), " +
+        s"sum(file_count), sum(total_bytes) " +
+        s"FROM $g.partitions VERSION AS OF 2 " +
+        "WHERE partition IS NOT NULL").head()
+      val dataBytes = files(s, t, Some(2))
+        .filter(col("kind") === "data")
+        .agg(sum("size_bytes")).head().getLong(0)
+      // the FULL rollup (incl. the empty CREATE's 0-row schema file
+      // under the NULL partition) must account for every data byte
+      // the .files inventory reports
+      val pmAllBytes = s.sql(s"SELECT sum(total_bytes) " +
+        s"FROM $g.partitions VERSION AS OF 2").head().getLong(0)
+      // spec evolution: future writes bucket, old files keep days
+      val evoV = setSpec(s, t, Some(Transform.Bucket(5, "n_nationkey")))
+      s.sql(s"INSERT INTO $g SELECT n_nationkey + 100, n_regionkey, " +
+        "concat('EVO_', n_name) FROM q45_nation_src " +
+        "WHERE n_nationkey < 5") // v4, bucket-partitioned
+      val v4 = currentVersion(s, t)
+      val evoLayout = new java.io.File(s"$t/v=$v4").listFiles().toSeq
+        .exists(f => f.isDirectory &&
+          f.getName.startsWith(s"${TransformPrefix}bucket5_n_nationkey="))
+      // pre-evolution identity pruning still holds on the OLD files
+      // (mixed layouts in one table) and the new point prunes buckets
+      val evoPoint = readWhere(s, t, "n_nationkey", 101, 101)
+      // clear: the next insert goes unpartitioned (and does NOT
+      // resurrect the identity spec deeper in the manifest)
+      s.sql(s"CALL graft.system.set_spec(table => '$t', " +
+        "spec => 'none')") // v5
+      s.sql(s"INSERT INTO $g VALUES (999, 0, 'PLAIN')") // v6
+      val v6 = currentVersion(s, t)
+      val clearPlain = !new java.io.File(s"$t/v=$v6").listFiles().toSeq
+        .exists(f => f.isDirectory &&
+          f.getName.startsWith(TransformPrefix))
+      // ONE batched action for the row-count probes
+      def probe(tag: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).cast("long").as("a"))
+          .select(lit(tag).as("t"), col("a"))
+      val r = Seq(
+        probe("ins", read(s, t, Some(2))),
+        probe("rw", rw),
+        probe("evo_point", evoPoint),
+        probe("evo_total", read(s, t, Some(v4))),
+        probe("fin", read(s, t)))
+        .reduce(_.unionByName(_)).collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      s.range(1).select(
+        lit(if (specOk) 1L else 0L).as("ddl_spec_identity"),
+        lit(r("ins")).as("ins_rows"),
+        lit(partDirs.toLong).as("part_dirs"),
+        lit(if (hidden) 1L else 0L).as("part_hidden"),
+        lit(r("rw")).as("rw_rows"),
+        lit(if (rwPruned) 1L else 0L).as("rw_pruned"),
+        lit(pm.getLong(0)).as("pm_parts"),
+        lit(pm.getLong(1)).as("pm_rows"),
+        lit(if (pm.getLong(2) >= 5L) 1L else 0L).as("pm_files_ok"),
+        lit(if (pmAllBytes == dataBytes) 1L else 0L)
+          .as("pm_bytes_match"),
+        lit(evoV.toLong).as("evo_version"),
+        lit(if (evoLayout) 1L else 0L).as("evo_layout"),
+        lit(r("evo_point")).as("evo_point_rows"),
+        lit(r("evo_total")).as("evo_total_rows"),
+        lit(if (clearPlain) 1L else 0L).as("clear_plain"),
+        lit(r("fin")).as("final_rows"),
+        lit(v6.toLong).as("final_version"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
@@ -3344,6 +3568,64 @@ object Versioned {
       * free, under-approximation would lose rows). */
     private def inZone(ts: Column, z: String): Column =
       from_utc_timestamp(to_utc_timestamp(ts, current_timezone()), z)
+
+    /** Identity partitioning: `identity(col)` — the classic hive
+      * layout (the reference's own DDL shape, csv_to_ice.py:54
+      * `PARTITIONED BY (pickup_date)`), expressed through the hidden
+      * machinery: the engine derives a hidden COPY of the column as
+      * the hive partition column, so the source column stays a normal
+      * data column in the files and the read schema, while
+      * [[readWhere]] prunes directories on it. Timestamp sources are
+      * refused — a timestamp renders into the partition PATH as a
+      * session-zone local string, which a reader in another zone (or
+      * hive type inference) reinterprets as a different instant; the
+      * calendar transforms are the honest form for timestamps. The
+      * partition-path value round-trips through hive type INFERENCE
+      * (e.g. a numeric-looking string infers as int), so the pruning
+      * predicate casts the partition column back through the WRITTEN
+      * dtype before comparing. */
+    case class Identity(source: String) extends Transform {
+      val partCol = s"${TransformPrefix}id_$source"
+      def render = s"identity($source)"
+      private[sources] def writeExpr(df: DataFrame) = {
+        val dt = df.schema(source).dataType
+        require(dt != TimestampType && dt != TimestampNTZType,
+          s"identity($source): timestamp partition values are " +
+            "zone-ambiguous in partition paths — use days()/hours()")
+        col(source)
+      }
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String,
+          zone: Option[String]) =
+        Some(col(partCol).cast(dtype) >= lit(lo).cast(dtype) &&
+          col(partCol).cast(dtype) <= lit(hi).cast(dtype))
+    }
+
+    /** Calendar-year partitioning: `years(ts)` -> `yyyy`. */
+    case class Years(source: String) extends Transform {
+      val partCol = s"${TransformPrefix}years_$source"
+      def render = s"years($source)"
+      private[sources] def writeExpr(df: DataFrame) =
+        date_format(col(source).cast("timestamp"), "yyyy")
+      private[sources] def rangePred(lo: Any, hi: Any, dtype: String,
+          zone: Option[String]) = Some(crossZone(zone) match {
+        case Some(z) =>
+          // widen by a day before formatting: covers any DST-edge
+          // shift error at year boundaries
+          def y(v: Any, days: Int) = date_format(
+            inZone(lit(v).cast("timestamp"), z) +
+              expr(s"INTERVAL $days DAY"), "yyyy")
+          col(partCol).cast("string") >= y(lo, -1) &&
+            col(partCol).cast("string") <= y(hi, 1)
+        case None =>
+          // the 4-digit year infers as INT from the partition path —
+          // compare as string on both sides (zero-padded, so string
+          // order = time order)
+          col(partCol).cast("string") >=
+              date_format(lit(lo).cast("timestamp"), "yyyy") &&
+            col(partCol).cast("string") <=
+              date_format(lit(hi).cast("timestamp"), "yyyy")
+      })
+    }
 
     /** Calendar-day partitioning of a timestamp: `days(ts)`. */
     case class Days(source: String) extends Transform {
@@ -3453,6 +3735,8 @@ object Versioned {
         }
     }
 
+    private val IdentityRe = """identity\((\w+)\)""".r
+    private val YearsRe = """years\((\w+)\)""".r
     private val DaysRe = """days\((\w+)\)""".r
     private val MonthsRe = """months\((\w+)\)""".r
     private val HoursRe = """hours\((\w+)\)""".r
@@ -3460,6 +3744,8 @@ object Versioned {
     private val TruncRe = """truncate\((\d+),(\w+)\)""".r
 
     def parse(s: String): Transform = s match {
+      case IdentityRe(c) => Identity(c)
+      case YearsRe(c) => Years(c)
       case DaysRe(c) => Days(c)
       case MonthsRe(c) => Months(c)
       case HoursRe(c) => Hours(c)
@@ -3484,15 +3770,61 @@ object Versioned {
     val f = fs(spark, tableDir)
     manifestDirs(f, tableDir, cur).map(_.split("/").head).distinct
       .sortBy(v => -entryVer(v))
-      .iterator.flatMap(vr => readTspec(f, tableDir, vr).map(_._1))
-      .nextOption()
+      .iterator.flatMap { vr =>
+        tspecContent(f, tableDir, vr).flatMap { text =>
+          // the newest dir RECORDING a spec decision wins: a real spec
+          // is inherited, the explicit `none` sentinel ([[setSpec]]'s
+          // clear) STOPS the walk — later writes go unpartitioned
+          // instead of resurrecting an older spec. Unparseable/foreign
+          // sidecars keep walking (degrade, never lie).
+          if (text.trim == TspecNone) Some(None)
+          else parseTspecText(text).map(p => Some(p._1))
+        }
+      }
+      .nextOption().flatten
       // a spec whose source column has since been DROPPED is inert —
       // inheriting it would fail the write on a missing column
       .filter(t =>
         read(spark, tableDir, Some(cur)).columns.contains(t.source))
   }
 
+  /** Declare the table's DEFAULT partition spec going forward — the
+    * Iceberg partition-spec-evolution analog (`ALTER TABLE … ADD/DROP
+    * PARTITION FIELD`, surfaced in SQL as `CALL graft.system
+    * .set_spec`): one metadata-only commit whose payload is the new
+    * spec. Files already written keep the layout (and the pruning)
+    * they were committed under — the engine's per-version `_tspec`
+    * already supports mixed layouts in one table — while every FUTURE
+    * commit/INSERT without an explicit transform inherits the new
+    * spec via [[currentTransform]]. `None` CLEARS the spec (the
+    * sentinel sidecar): later writes go unpartitioned rather than
+    * resurrecting an older spec from deeper in the manifest. */
+  def setSpec(spark: SparkSession, tableDir: String,
+      spec: Option[Transform], note: Option[String] = None,
+      branch: Option[String] = None): Int = withCommitRetry() {
+    val cur = branch.map(b => branchHead(spark, tableDir, b))
+      .getOrElse(currentVersion(spark, tableDir))
+    require(cur > 0, s"no committed version at $tableDir")
+    val snap = read(spark, tableDir, Some(cur))
+    spec.foreach { t =>
+      require(snap.columns.contains(t.source),
+        s"partition spec source column '${t.source}' not in table at " +
+          s"$tableDir (columns: ${snap.columns.mkString(", ")})")
+      // surface identity-on-timestamp (and any other write-time
+      // refusal) NOW, not on the first post-evolution insert
+      t.writeExpr(snap)
+    }
+    commitStaged(snap.limit(0), tableDir, partitionCol = None,
+      note = note.orElse(Some(
+        s"SET PARTITION SPEC ${spec.map(_.render).getOrElse(TspecNone)}")),
+      statsCols = Nil, linkBase = Some(cur), transform = spec,
+      clearSpec = spec.isEmpty, branch = branch)
+  }
+
   private val TspecFile = "_tspec"
+
+  /** Sentinel `_tspec` content recording "explicitly unpartitioned". */
+  private val TspecNone = "none"
 
   private def writeTspec(f: FileSystem, stage: Path, t: Transform,
       dtype: String, zone: String): Unit = {
@@ -3506,29 +3838,39 @@ object Versioned {
     finally out.close()
   }
 
+  /** Raw `_tspec` sidecar content of a version directory, if any. */
+  private def tspecContent(f: FileSystem, tableDir: String,
+      vroot: String): Option[String] = {
+    val p = new Path(new Path(tableDir, vroot), TspecFile)
+    if (!f.exists(p)) None
+    else Try {
+      val in = f.open(p)
+      try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    }.toOption
+  }
+
+  /** Parse a `_tspec` sidecar body. ANY unreadable/unparseable spec
+    * (including the [[TspecNone]] sentinel) returns None — pruning
+    * degrades to full scans; a stale or foreign format must never
+    * fail the read path. */
+  private def parseTspecText(text: String)
+      : Option[(Transform, String, Option[String])] =
+    text.split("\t") match {
+      case Array(render, dtype) =>
+        Try(Transform.parse(render)).toOption.map((_, dtype, None))
+      case Array(render, dtype, zone) =>
+        Try(Transform.parse(render)).toOption
+          .map((_, dtype, Some(zone)))
+      case _ => None
+    }
+
   /** The transform a version directory was written under, if any,
     * with its source dtype and (format v3) the writer's session
     * zone. A two-field legacy spec parses with zone None — pruning
     * then assumes the reader's zone, the legacy behavior. */
   private def readTspec(f: FileSystem, tableDir: String, vroot: String)
-      : Option[(Transform, String, Option[String])] = {
-    val p = new Path(new Path(tableDir, vroot), TspecFile)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-      // ANY unreadable/unparseable spec degrades to full scans — a
-      // stale or foreign format must never fail the read path
-      text.split("\t") match {
-        case Array(render, dtype) =>
-          Try(Transform.parse(render)).toOption.map((_, dtype, None))
-        case Array(render, dtype, zone) =>
-          Try(Transform.parse(render)).toOption
-            .map((_, dtype, Some(zone)))
-        case _ => None
-      }
-    }
-  }
+      : Option[(Transform, String, Option[String])] =
+    tspecContent(f, tableDir, vroot).flatMap(parseTspecText)
 
   /** Drop hidden transform-derived partition columns from a frame. */
   private def hideDerived(df: DataFrame): DataFrame =
@@ -3831,7 +4173,7 @@ object Versioned {
     val specs = scala.collection.mutable
       .Map.empty[String, Option[(Transform, String, Option[String])]]
     def partPred(vroot: String,
-        rn: Seq[SchemaStep]): Option[Column] =
+        rn: Seq[SchemaStep]): Option[(Column, String)] =
       specs.getOrElseUpdate(vroot, readTspec(f, tableDir, vroot))
         .flatMap { case (t, dt, zone) =>
           // a pending schema step touching the transform's source
@@ -3845,7 +4187,7 @@ object Versioned {
             case RetypeStep(_, n, _) => n == t.source
           }) None
           else ranges.collectFirst { case (c, lo, hi) if c == t.source =>
-            t.rangePred(lo, hi, dt, zone)
+            t.rangePred(lo, hi, dt, zone).map((_, t.partCol))
           }.flatten
         }
     val parts = entryInfo.flatMap { case (dn, isFile, vroot) =>
@@ -3886,8 +4228,19 @@ object Versioned {
       // a pruned read must agree with read().filter
       scan.map { s0 =>
         val s = applySchemaSteps(s0, rn, Int.MinValue)
-        applyDeletes(partPred(vroot, rn).fold(s)(s.filter),
-          deletes.filter(_.ver > entryVer(dn)))
+        // a root can carry a spec its files don't follow: the empty
+        // CREATE TABLE / setSpec commits DECLARE a spec (their _tspec
+        // seeds inheritance) but their schema-bearing empty file is
+        // written unpartitioned. Apply the partition predicate only
+        // when the derived column physically materializes — otherwise
+        // scan the (empty or legacy) root in full: degrade, never
+        // fail the read on an unresolvable hidden column.
+        val pruned = partPred(vroot, rn) match {
+          case Some((pp, partCol)) if s.columns.contains(partCol) =>
+            s.filter(pp)
+          case _ => s
+        }
+        applyDeletes(pruned, deletes.filter(_.ver > entryVer(dn)))
       }
     }
     if (parts.isEmpty) read(spark, tableDir, Some(v)).filter(lit(false))

@@ -34,11 +34,15 @@ import graft.sources.Versioned
   * a `PartitionReader`, and a changelog batch is a PLAN (per-version
   * file scans, rename-chain projection, tombstone anti-joins and key
   * frames — the same reason snapshot READS are an analyzer expansion,
-  * [[graft.plans.VersionedRelationRule]]). The poller keeps one
-  * changelog implementation correct and gives up only the built-in
-  * trigger plumbing, which the interval loop reproduces. Vacuum
-  * safety: retention must outlast feed lag ([[Versioned.readChanges]]
-  * refuses expired ranges loudly rather than skipping silently). */
+  * [[graft.plans.VersionedRelationRule]]). For SPARK-native triggers
+  * and checkpoints over the same ranges, use [[ChangeStreamSource]]
+  * (`spark.readStream.format("graft-changes")`) — a V1 `Source`,
+  * whose `getBatch` contract accepts exactly such a plan; this poller
+  * stays the engine-native, dependency-free path (cron maintenance,
+  * non-Spark-streaming consumers, explicit cursor control). Vacuum
+  * safety for both: retention must outlast feed lag
+  * ([[Versioned.readChanges]] refuses expired ranges loudly rather
+  * than skipping silently). */
 object ChangeFeed {
 
   /** Running feed handle: [[stop]] drains the in-flight batch. */

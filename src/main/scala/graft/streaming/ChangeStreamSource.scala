@@ -1,0 +1,150 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+import graft.sources.Versioned
+
+/** Spark-NATIVE streaming over a versioned table's changelog — the
+  * `spark.readStream.format("graft-changes").load(tableDir)`
+  * integration seam [[ChangeFeed]]'s poller deliberately left open:
+  * the same `(fromVersion, toVersion]` ranges, but with SPARK owning
+  * the trigger cadence, the offset checkpoint, and the restart
+  * semantics (`Trigger.ProcessingTime`, `Trigger.AvailableNow`,
+  * `foreachBatch`, checkpointed restarts — all of Structured
+  * Streaming's machinery, none of it reimplemented).
+  *
+  * WHY the V1 `Source` API and not a DSv2 `MicroBatchStream`: a
+  * changelog batch is a PLAN (per-version file scans, rename-chain
+  * projection, tombstone anti-joins and key frames), and V1's
+  * `getBatch(start, end): DataFrame` contract hands Spark exactly
+  * that plan — the same reason snapshot reads are an analyzer
+  * expansion ([[graft.plans.VersionedRelationRule]]). A DSv2
+  * `PartitionReader` would force materializing the changelog rows
+  * outside Spark's planner (a driver-side collect at data scale — the
+  * one pattern this engine bans). V1 streaming sources are fully
+  * supported engine surface (FileStreamSource ships on it).
+  *
+  * Offsets ARE versions: the checkpoint offset log records the table
+  * version each batch ended at, so a restarted query resumes from the
+  * exact committed version — each version range enters the offset log
+  * exactly once (side-effect exactly-once additionally needs an
+  * idempotent/transactional sink, Spark's standard `foreachBatch`
+  * contract; [[graft.streaming.EventStreams.versionedSink]]'s replay
+  * guard composes). A FRESH query anchors at the table's CURRENT
+  * version (no history replay); pass `startingVersion` to backfill
+  * from `(startingVersion - 1, …]` — i.e. that version's own changes
+  * onward. Vacuum retention must outlast the trigger lag:
+  * [[Versioned.readChanges]] refuses expired ranges loudly rather
+  * than skipping silently (restart the query with a fresh checkpoint
+  * after a too-aggressive vacuum).
+  *
+  * Batches are O(changed files + tombstone keys) via
+  * [[Versioned.readChanges]] — never a snapshot diff. */
+final class ChangeStreamProvider extends StreamSourceProvider
+    with DataSourceRegister {
+  override def shortName(): String = "graft-changes"
+
+  private def tableDir(parameters: Map[String, String]): String =
+    parameters.get("path").orElse(parameters.get("table")).getOrElse(
+      throw new IllegalArgumentException("graft-changes needs the " +
+        "versioned table directory: .load(dir) or .option(\"path\", dir)"))
+
+  /** The change schema: the table's columns plus the two changelog
+    * metadata columns — exactly [[Versioned.readChanges]]' output. */
+  private def changeSchema(sqlContext: SQLContext,
+      userSchema: Option[StructType], dir: String): StructType = {
+    val spark = sqlContext.sparkSession
+    val base = userSchema.getOrElse {
+      require(graft.sources.Versioned.currentVersion(spark, dir) > 0,
+        s"no committed version at $dir — create the table first, or " +
+          "declare the TABLE schema with .schema(...) to start a " +
+          "stream before the first commit")
+      Versioned.read(spark, dir).schema
+    }
+    StructType(base.fields.toSeq :+
+      StructField(Versioned.ChangeTypeCol, StringType) :+
+      StructField(Versioned.CommitVersionCol, IntegerType,
+        nullable = false))
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), changeSchema(sqlContext, schema,
+      tableDir(parameters)))
+
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): Source = {
+    val dir = tableDir(parameters)
+    val out = changeSchema(sqlContext, schema, dir)
+    // anchor BEFORE the first trigger: a fresh query consumes commits
+    // made after stream START, not after the first trigger fired
+    val anchor = parameters.get("startingVersion") match {
+      case Some(v) =>
+        require(v.trim.toInt >= 1,
+          s"startingVersion must be >= 1, got $v")
+        v.trim.toInt - 1 // (anchor, …] delivers that version onward
+      case None => math.max(0,
+        Versioned.currentVersion(sqlContext.sparkSession, dir))
+    }
+    new ChangeStreamSource(sqlContext, dir, out, anchor)
+  }
+}
+
+private final class ChangeStreamSource(sqlContext: SQLContext,
+    dir: String, out: StructType, anchor: Int) extends Source {
+  private def spark = sqlContext.sparkSession
+  private def ver(o: Offset): Int = o.json().trim.toInt
+
+  override def schema: StructType = out
+
+  override def getOffset: Option[Offset] = {
+    // always report the table's latest version: the ENGINE owns the
+    // consumed-up-to state (its checkpointed offset), so gating on
+    // `anchor` here would wrongly suppress pending ranges after a
+    // restart (createSource re-captures anchor at the then-current
+    // version). The anchor applies only to a FRESH query's first
+    // getBatch(None, _) — where it may yield one empty batch that
+    // simply records the start position.
+    val cur = Versioned.currentVersion(spark, dir)
+    if (cur < 1) None else Some(LongOffset(cur.toLong))
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val fromV = start.map(ver).getOrElse(anchor)
+    val toV = ver(end)
+    // normalize to the declared schema (order + types): readChanges
+    // unions per-channel frames, and the engine requires the batch
+    // plan to line up column-for-column with the source schema
+    val frame =
+      if (fromV >= toV)
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), out)
+      else Versioned.readChanges(spark, dir, fromV, toV)
+    // normalize to the declared schema: a range whose only events are
+    // equality-delete keys carries KEY columns only (the Iceberg
+    // equality-delete contract) — the other table columns pad to NULL
+    // here so every batch lines up column-for-column
+    val normalized = frame.select(out.fields.toSeq.map { f =>
+      (if (frame.columns.contains(f.name)) col(f.name)
+      else lit(null)).cast(f.dataType).as(f.name)
+    }: _*)
+    // the engine asserts getBatch frames carry isStreaming=true; the
+    // bridge wraps the frame's own (lazy, distributed) physical plan
+    org.apache.spark.sql.GraftStreamingBridge.streamingFrame(
+      normalized, out)
+  }
+
+  // vacuum retention is table policy, not stream state: nothing to
+  // reclaim on offset commit (readChanges refuses expired ranges)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"GraftChangeStream[$dir]"
+}

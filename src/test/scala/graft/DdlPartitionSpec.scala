@@ -1,0 +1,287 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+
+import graft.sources.Versioned
+
+/** DDL-declared partitioning (`CREATE TABLE … PARTITIONED BY`), the
+  * default-spec inheritance it seeds, partition-spec evolution
+  * ([[Versioned.setSpec]] / `CALL graft.system.set_spec`), and the
+  * `.partitions` metadata table. The reference's own DDL is exactly
+  * this shape (csv_to_ice.py:54 `PARTITIONED BY (pickup_date)`). */
+class DdlPartitionSpec extends SparkSpec {
+  private val work = "target/tmp/ddl-partition-spec"
+
+  private def fresh(name: String): (String, String) = {
+    val t = s"$work/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    (t, s"graft.`${new java.io.File(t).getAbsolutePath}`")
+  }
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val inner = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case o => o.children
+    }
+    p +: inner.flatMap(nodes)
+  }
+
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    nodes(df.queryExecution.executedPlan)
+      .filter(_.nodeName.toLowerCase.contains("scan"))
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+  }
+
+  test("CREATE TABLE PARTITIONED BY days() seeds the default spec") {
+    import spark.implicits._
+    val (t, g) = fresh("create_days")
+    spark.sql(s"CREATE TABLE $g (id INT, ts TIMESTAMP_NTZ) " +
+      "PARTITIONED BY (days(ts))")
+    // the empty create committed the spec, not data
+    assert(Versioned.currentVersion(spark, t) == 1)
+    assert(Versioned.currentTransform(spark, t)
+      .contains(Versioned.Transform.Days("ts")))
+    // plain INSERT INTO inherits the declared layout
+    (0 until 96).map(h => (h, java.sql.Timestamp.valueOf(
+      f"2024-06-${1 + h / 24}%02d ${h % 24}%02d:00:00")))
+      .toDF("id", "ts").createOrReplaceTempView("ddl_days_src")
+    spark.sql(s"INSERT INTO $g SELECT id, ts FROM ddl_days_src")
+    assert(spark.table(g).columns.toSeq == Seq("id", "ts"))
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 96)
+    // physically day-partitioned under the hidden column
+    assert(new java.io.File(s"$t/v=2/gpart_days_ts=2024-06-02")
+      .isDirectory)
+    // readWhere on the SOURCE column prunes whole day directories
+    val rw = Versioned.readWhere(spark, t,
+      "ts", "2024-06-02 03:00:00", "2024-06-02 20:00:00")
+    assert(rw.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (27 to 44))
+    val plan = rw.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("gpart_days_ts"))
+    assert(scannedFiles(rw) < scannedFiles(Versioned.read(spark, t)),
+      "expected day-directory pruning from the DDL-declared spec")
+  }
+
+  test("identity partitioning: the reference's PARTITIONED BY (col) DDL") {
+    import spark.implicits._
+    val (t, g) = fresh("create_identity")
+    // csv_to_ice.py:54: PARTITIONED BY (pickup_date) — a bare column
+    spark.sql(s"CREATE TABLE $g (trip_id INT, pickup_date DATE, " +
+      s"fare DOUBLE) PARTITIONED BY (pickup_date)")
+    assert(Versioned.currentTransform(spark, t)
+      .contains(Versioned.Transform.Identity("pickup_date")))
+    val days = Seq("2024-01-01", "2024-01-02", "2024-01-03")
+    days.zipWithIndex.flatMap { case (d, i) =>
+      (0 until 10).map(j =>
+        (i * 10 + j, java.sql.Date.valueOf(d), 10.0 + j))
+    }.toDF("trip_id", "pickup_date", "fare")
+      .createOrReplaceTempView("ddl_id_src")
+    spark.sql(s"INSERT INTO $g SELECT * FROM ddl_id_src")
+    // the source column survives as a NORMAL data column
+    assert(spark.table(g).columns.toSeq ==
+      Seq("trip_id", "pickup_date", "fare"))
+    assert(spark.sql(s"SELECT count(*) FROM $g " +
+      "WHERE pickup_date = DATE'2024-01-02'").head().getLong(0) == 10)
+    // hive layout on the hidden identity copy
+    assert(new java.io.File(s"$t/v=2/gpart_id_pickup_date=2024-01-02")
+      .isDirectory)
+    val rw = Versioned.readWhere(spark, t, "pickup_date",
+      java.sql.Date.valueOf("2024-01-02"),
+      java.sql.Date.valueOf("2024-01-02"))
+    assert(rw.count() == 10)
+    assert(scannedFiles(rw) < scannedFiles(Versioned.read(spark, t)),
+      "expected identity partition pruning")
+    // identity on a timestamp refuses at DDL time (zone-ambiguous)
+    val (_, g2) = fresh("create_identity_ts")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $g2 (id INT, ts TIMESTAMP) " +
+        "PARTITIONED BY (ts)")
+    }
+    assert(e.getMessage.contains("zone-ambiguous") ||
+      e.getMessage.contains("days()"))
+  }
+
+  test("CTAS with PARTITIONED BY partitions the write and persists the spec") {
+    import spark.implicits._
+    val (t, g) = fresh("ctas_bucket")
+    (1 to 400).map(i => (i, s"r$i")).toDF("k", "v")
+      .createOrReplaceTempView("ddl_ctas_src")
+    spark.sql(s"CREATE TABLE $g PARTITIONED BY (bucket(8, k)) " +
+      "AS SELECT k, v FROM ddl_ctas_src")
+    assert(Versioned.currentTransform(spark, t)
+      .contains(Versioned.Transform.Bucket(8, "k")))
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 400)
+    // point lookups prune to one bucket
+    val point = Versioned.readWhere(spark, t, "k", 37, 37)
+    assert(point.select("v").collect().map(_.getString(0)).toSeq ==
+      Seq("r37"))
+    assert(scannedFiles(point) < scannedFiles(Versioned.read(spark, t)))
+    // an INSERT keeps bucketing without restating the transform
+    Seq((401, "r401")).toDF("k", "v")
+      .createOrReplaceTempView("ddl_ctas_more")
+    spark.sql(s"INSERT INTO $g SELECT * FROM ddl_ctas_more")
+    assert(Versioned.readWhere(spark, t, "k", 401, 401).count() == 1)
+    // an empty CTAS result with a declared spec still publishes a
+    // readable (schema-bearing) table
+    val (t2, g2) = fresh("ctas_empty")
+    spark.sql(s"CREATE TABLE $g2 PARTITIONED BY (bucket(4, k)) " +
+      "AS SELECT k, v FROM ddl_ctas_src WHERE k < 0")
+    assert(spark.sql(s"SELECT count(*) FROM $g2").head().getLong(0) == 0)
+    assert(Versioned.currentTransform(spark, t2)
+      .contains(Versioned.Transform.Bucket(4, "k")))
+  }
+
+  test("REPLACE declares the new spec; absence means unpartitioned") {
+    import spark.implicits._
+    val (t, g) = fresh("replace_spec")
+    spark.sql(s"CREATE TABLE $g (id INT, ts TIMESTAMP_NTZ) " +
+      "PARTITIONED BY (days(ts))")
+    assert(Versioned.currentTransform(spark, t).isDefined)
+    Seq((1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "ts").createOrReplaceTempView("ddl_rep_src")
+    // REPLACE without PARTITIONED BY → unpartitioned (Iceberg REPLACE
+    // semantics: the declaration IS the spec)
+    spark.sql(s"CREATE OR REPLACE TABLE $g " +
+      "AS SELECT id, ts FROM ddl_rep_src")
+    assert(Versioned.currentTransform(spark, t).isEmpty)
+    // …and REPLACE with one installs it
+    spark.sql(s"CREATE OR REPLACE TABLE $g PARTITIONED BY (days(ts)) " +
+      "AS SELECT id, ts FROM ddl_rep_src")
+    assert(Versioned.currentTransform(spark, t)
+      .contains(Versioned.Transform.Days("ts")))
+    // prior snapshots stayed time-travelable through both replaces
+    assert(spark.sql(s"SELECT count(*) FROM $g VERSION AS OF 1")
+      .head().getLong(0) == 0)
+    // multi-field specs refuse loudly (single-transform engine spec)
+    val (_, g3) = fresh("replace_multi")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $g3 (a INT, ts TIMESTAMP_NTZ) " +
+        "PARTITIONED BY (days(ts), bucket(4, a))")
+    }
+    assert(e.getMessage.contains("one partition field"))
+  }
+
+  test("spec evolution: old files keep their layout, future writes adopt the new") {
+    import spark.implicits._
+    val (t, g) = fresh("evolve_spec")
+    def batch(r: Range) = r.map(h => (h, java.sql.Timestamp.valueOf(
+      f"2024-06-${1 + h / 24}%02d ${h % 24}%02d:00:00"))).toDF("id", "ts")
+    // epoch 1: day-partitioned
+    Versioned.commit(batch(0 until 48), t,
+      transform = Some(Versioned.Transform.Days("ts")))
+    // evolve to bucket(4, id) — metadata-only commit
+    val v2 = Versioned.setSpec(spark, t,
+      Some(Versioned.Transform.Bucket(4, "id")))
+    assert(v2 == 2)
+    assert(Versioned.currentTransform(spark, t)
+      .contains(Versioned.Transform.Bucket(4, "id")))
+    // content unchanged by the evolution commit
+    assert(Versioned.read(spark, t).count() == 48)
+    // epoch 2: a plain SQL INSERT adopts the NEW spec
+    batch(48 until 96).createOrReplaceTempView("ddl_evo_src")
+    spark.sql(s"INSERT INTO $g SELECT * FROM ddl_evo_src")
+    val v3 = Versioned.currentVersion(spark, t)
+    assert(new java.io.File(s"$t/v=$v3").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("gpart_bucket4_id=")))
+    // pre-evolution files still day-prune; post-evolution files still
+    // bucket-prune — one table, mixed layouts, both honest
+    val dayQ = Versioned.readWhere(spark, t,
+      "ts", "2024-06-01 03:00:00", "2024-06-01 05:00:00")
+    assert(dayQ.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (3 to 5))
+    val pointQ = Versioned.readWhere(spark, t, "id", 60, 60)
+    assert(pointQ.count() == 1)
+    assert(scannedFiles(pointQ) < scannedFiles(Versioned.read(spark, t)),
+      "expected bucket pruning on post-evolution files")
+    // clearing the spec stops inheritance (and does NOT resurrect the
+    // older days(ts) spec buried deeper in the manifest)
+    Versioned.setSpec(spark, t, None)
+    assert(Versioned.currentTransform(spark, t).isEmpty)
+    Seq((999, java.sql.Timestamp.valueOf("2024-06-09 00:00:00")))
+      .toDF("id", "ts").createOrReplaceTempView("ddl_evo_tail")
+    spark.sql(s"INSERT INTO $g SELECT * FROM ddl_evo_tail")
+    val v6 = Versioned.currentVersion(spark, t)
+    assert(!new java.io.File(s"$t/v=$v6").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("gpart_")))
+    assert(Versioned.read(spark, t).count() == 97)
+  }
+
+  test("CALL graft.system.set_spec drives evolution from SQL") {
+    import spark.implicits._
+    val (t, g) = fresh("call_set_spec")
+    Versioned.commit((1 to 100).map(i => (i, s"v$i")).toDF("k", "v"), t)
+    val abs = new java.io.File(t).getAbsolutePath
+    val out = spark.sql(
+      s"CALL graft.system.set_spec(table => '$abs', spec => 'bucket(4,k)')")
+      .collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(2))
+    assert(Versioned.currentTransform(spark, t)
+      .contains(Versioned.Transform.Bucket(4, "k")))
+    spark.sql(s"INSERT INTO $g VALUES (101, 'v101')")
+    assert(new java.io.File(s"$t/v=3").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("gpart_bucket4_k=")))
+    // clear via the sentinel
+    spark.sql(
+      s"CALL graft.system.set_spec(table => '$abs', spec => 'none')")
+    assert(Versioned.currentTransform(spark, t).isEmpty)
+    // a bad spec string refuses loudly
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.set_spec(table => '$abs', " +
+        "spec => 'wibble(ts)')")
+    }
+    assert(e.getMessage.contains("unknown transform"))
+  }
+
+  test(".partitions metadata table rolls up rows/files/bytes per value") {
+    import spark.implicits._
+    val (t, g) = fresh("partitions_meta")
+    spark.sql(s"CREATE TABLE $g (id INT, ts TIMESTAMP_NTZ) " +
+      "PARTITIONED BY (days(ts))")
+    (0 until 72).map(h => (h, java.sql.Timestamp.valueOf(
+      f"2024-06-${1 + h / 24}%02d ${h % 24}%02d:00:00")))
+      .toDF("id", "ts").createOrReplaceTempView("ddl_pmeta_src")
+    spark.sql(s"INSERT INTO $g SELECT * FROM ddl_pmeta_src")
+    val allRows = spark.sql(
+        s"SELECT * FROM $g.partitions ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // the empty CREATE's schema-bearing file rolls up under NULL with
+    // zero rows — an honest dead-file indicator for compaction
+    assert(allRows.head._1 == null && allRows.head._3 == 0L)
+    // three days, 24 rows each; partition renders prefix-stripped
+    val rows = allRows.filter(_._1 != null)
+    assert(rows.map(_._1).toSeq == Seq(
+      "days_ts=2024-06-01", "days_ts=2024-06-02", "days_ts=2024-06-03"))
+    assert(rows.map(_._3).toSeq == Seq(24L, 24L, 24L))
+    assert(rows.forall(_._2 >= 1L)) // at least one file per day
+    // the rollup agrees with a groupBy over the actual read
+    val byDay = spark.table(g)
+      .groupBy(to_date(col("ts")).as("d")).count()
+      .orderBy("d").collect().map(_.getLong(1)).toSeq
+    assert(rows.map(_._3).toSeq == byDay)
+    // bytes are positive and sum to the data file inventory
+    val metaBytes = spark.sql(
+      s"SELECT sum(total_bytes) FROM $g.partitions").head().getLong(0)
+    val fileBytes = Versioned.files(spark, t).filter(col("kind") === "data")
+      .agg(sum("size_bytes")).head().getLong(0)
+    assert(metaBytes == fileBytes)
+    // VERSION AS OF pins the inventory: v1 (empty create) has no
+    // partition values, only the (possibly empty) unpartitioned root
+    val v1 = spark.sql(s"SELECT * FROM $g.partitions VERSION AS OF 1")
+      .collect()
+    assert(v1.forall(_.getString(0) == null))
+    // mixed layouts surface side by side after an unpartitioned append
+    Versioned.setSpec(spark, t, None)
+    spark.sql(s"INSERT INTO $g VALUES " +
+      "(999, TIMESTAMP_NTZ'2024-06-09 00:00:00')")
+    val mixed = spark.sql(s"SELECT partition, row_count " +
+        s"FROM $g.partitions ORDER BY partition NULLS FIRST")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(mixed.head._1 == null)
+    assert(mixed.map(_._2).sum == 73L)
+  }
+}

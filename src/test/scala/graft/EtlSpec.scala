@@ -1370,17 +1370,22 @@ class EtlSpec extends SparkSpec {
       Versioned.append(Seq((7, "x")).toDF("k", "s"),
         new java.io.File(ns, "fresh").getAbsolutePath)
       assert(spark.table("graft.fresh").count() == 1)
-      // PARTITIONED BY is refused up-front: an empty partitionBy write
-      // emits no files and would publish an unreadable v=1
-      val e = intercept[Exception] {
-        spark.sql(
-          "CREATE TABLE graft.parted (k INT, s STRING) PARTITIONED BY (k)")
-      }
-      assert(e.getMessage.contains("per-commit write property"),
-        e.getMessage)
-      assert(!new java.io.File(ns, "parted").exists())
+      // PARTITIONED BY declares the table's default spec (bare column
+      // = identity) — the empty create publishes a READABLE v=1 and
+      // the next INSERT inherits the layout (DdlPartitionSpec covers
+      // the full surface)
+      spark.sql(
+        "CREATE TABLE graft.parted (k INT, s STRING) PARTITIONED BY (k)")
+      val partedDir = new java.io.File(ns, "parted").getAbsolutePath
+      assert(Versioned.currentTransform(spark, partedDir)
+        .contains(Versioned.Transform.Identity("k")))
+      assert(spark.table("graft.parted").count() == 0)
+      spark.sql("INSERT INTO graft.parted VALUES (5, 'p')")
+      assert(new java.io.File(s"$partedDir/v=2/gpart_id_k=5").isDirectory)
+      assert(spark.table("graft.parted").columns.toSeq == Seq("k", "s"))
       assert(spark.sql("SHOW TABLES IN graft").collect()
-        .map(_.getString(1)).toSet == Set("tbl", "fresh"))
+        .map(_.getString(1)).toSet == Set("tbl", "fresh", "parted"))
+      spark.sql("DROP TABLE graft.parted")
       spark.sql("DROP TABLE graft.fresh")
       assert(!new java.io.File(ns, "fresh").exists())
     } finally spark.conf.unset("spark.sql.catalog.graft.root")
