@@ -115,6 +115,11 @@ object SparkEntry {
     "t11_top_tokens"   -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "t13_decontamination" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "t14_repetition" -> (TextAnalysis.repetitionSignals _),
+    // PII redaction (emails/phones/IPv4 -> typed placeholders): the
+    // corpus carries no PII, so the query grafts deterministic PII
+    // from doc_id and the oracle mirrors the construction — the hash
+    // compares full redacted strings.
+    "t15_pii_redaction" -> (TextAnalysis.piiScrub _),
     // —— near-dup detection (north-star) ——
     "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -653,6 +658,31 @@ object SparkEntry {
          FROM b JOIN d3 USING (doc_id) JOIN s2 USING (doc_id)
                 JOIN s3 USING (doc_id) LEFT JOIN s4 USING (doc_id)
          ORDER BY doc_id""",
+    // Identical PII construction + redaction chain (RE2 ∩ Java-regex
+    // common-subset patterns, same email -> phone -> IP order); the
+    // 'g' flag matches Spark's replace-all regexp_replace, and
+    // len(regexp_extract_all(...)) counts the same non-overlapping
+    // matches as Spark's regexp_count.
+    "t15_pii_redaction" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             text || ' contact user' || doc_id || '@mail.example.com or +1-555-'
+                  || lpad(CAST(doc_id AS VARCHAR), 6, '0')
+                  || ' from 10.0.' || (doc_id % 256) || '.1 end' AS raw
+           FROM documents)
+         SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g'),
+             '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(raw,
+             '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(raw,
+             '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips
+         FROM aug ORDER BY doc_id""",
     // Same tokenize->3-gram-shingle semantics as the d01 oracle;
     // benchmark = the deterministic doc_id % 50 == 0 slice.
     "t13_decontamination" ->

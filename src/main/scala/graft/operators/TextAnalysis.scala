@@ -518,4 +518,56 @@ object TextAnalysis {
         max(col("common")).as("max_common"))
       .orderBy(col("doc_id"))
   }
+
+  // —— PII redaction (curation scrubbing stage) ——
+
+  /** PII patterns, restricted to the RE2 ∩ Java-regex COMMON SUBSET
+    * (no lookaround, no backreferences) so the DuckDB oracle and any
+    * RE2-based downstream scrubber match byte-for-byte what Spark's
+    * codegen'd regexp_replace matches. Order matters and is part of
+    * the contract: emails first (their local parts contain digits a
+    * phone pattern could nibble), then phones, then IPv4 (whose
+    * dotted digits neither earlier pattern can touch — dots are
+    * outside the phone class). */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+  val PiiIp = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** Redact emails/phones/IPv4s in a text column with typed
+    * placeholders — the pre-training scrubbing stage every curation
+    * pipeline runs before packing. Pure codegen'd regexp_replace
+    * chain: embarrassingly parallel, no shuffle, no UDF — at 100 TB
+    * this runs at scan speed alongside the other per-document maps
+    * ([[textStats]]/[[qualityScore]]) in one stage. */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      PiiEmail, "<EMAIL>"),
+      PiiPhone, "<PHONE>"),
+      PiiIp, "<IP>")
+
+  /** The t15 gate: the synthetic corpus carries no PII, so the query
+    * GRAFTS deterministic PII onto every document from its id (an
+    * email, a phone, an IPv4 — plus the pristine text), then redacts
+    * and counts. The oracle performs the identical construction +
+    * redaction in DuckDB, so the hash compare covers the full
+    * redacted strings, not just the counts. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.sources.Tables.load(s, d, "documents")
+    val raw = concat(col("text"),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad(col("doc_id").cast("string"), 6, "0"),
+      lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+      lit(".1 end"))
+    docs.select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        redactPii(col("raw")).as("redacted"),
+        regexp_count(col("raw"), lit(PiiEmail)).cast("long")
+          .as("n_emails"),
+        regexp_count(col("raw"), lit(PiiPhone)).cast("long")
+          .as("n_phones"),
+        regexp_count(col("raw"), lit(PiiIp)).cast("long")
+          .as("n_ips"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -237,6 +237,27 @@ class TextEventsSpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("PII redaction: typed placeholders, clean text untouched, ordered patterns") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    val rows = Seq(
+      "write to jo.doe+spam@sub.example.co.uk today",
+      "call +1 (415) 555-0132 or 415-555-0199 now",
+      "server at 192.168.001.1 responded",
+      // mixed: the phone pattern must stop before the IP's dots and
+      // the email eats its own digits before phone counting
+      "u2@a.io +44 20 7946 0958 via 10.0.0.1",
+      "no pii here at all")
+      .zipWithIndex.map { case (t, i) => (i, t) }.toDF("id", "t")
+      .select(col("id"), TextAnalysis.redactPii(col("t")).as("r"))
+      .orderBy("id").collect().map(_.getString(1))
+    assert(rows(0) == "write to <EMAIL> today")
+    assert(rows(1) == "call <PHONE> or <PHONE> now")
+    assert(rows(2) == "server at <IP> responded")
+    assert(rows(3) == "<EMAIL> <PHONE> via <IP>")
+    assert(rows(4) == "no pii here at all")
+  }
+
   test("repetition signals on synthetic multi-line/degenerate docs") {
     import graft.operators.TextAnalysis
     import spark.implicits._
