@@ -120,6 +120,9 @@ object SparkEntry {
     // from doc_id and the oracle mirrors the construction — the hash
     // compares full redacted strings.
     "t15_pii_redaction" -> (TextAnalysis.piiScrub _),
+    // Context-window chunking: 64-token windows, stride 48 (overlap
+    // 16) — the sharding step between curation and sequence packing.
+    "t16_chunking" -> (TextAnalysis.chunkDocs _),
     // —— near-dup detection (north-star) ——
     "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -683,6 +686,23 @@ object SparkEntry {
            CAST(len(regexp_extract_all(raw,
              '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ips
          FROM aug ORDER BY doc_id""",
+    // Identical whitespace tokenization; range() end-exclusive = the
+    // Spark sequence(0, n-1, stride) start set (every multiple of the
+    // stride strictly inside the doc); list_slice's inclusive stop at
+    // start+window clamps at the tail like Spark's length-64 slice.
+    "t16_chunking" ->
+      """WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(lower(text)), '\s+')
+                        AS toks FROM documents),
+           w AS (SELECT doc_id, toks,
+                        unnest(range(0, len(toks), 48)) AS start FROM t)
+         SELECT doc_id,
+                CAST(start // 48 AS BIGINT) AS chunk_id,
+                array_to_string(list_slice(toks, start + 1, start + 64),
+                  ' ') AS chunk_text,
+                CAST(len(list_slice(toks, start + 1, start + 64))
+                  AS BIGINT) AS n_tokens
+         FROM w ORDER BY doc_id, chunk_id""",
     // Same tokenize->3-gram-shingle semantics as the d01 oracle;
     // benchmark = the deterministic doc_id % 50 == 0 slice.
     "t13_decontamination" ->

@@ -545,6 +545,46 @@ object TextAnalysis {
       PiiPhone, "<PHONE>"),
       PiiIp, "<IP>")
 
+  // —— context-window chunking (curation → packing bridge) ——
+
+  /** Shard each document's token stream into fixed-size overlapping
+    * windows — the context-window chunking step between curation and
+    * [[packSequences]]: window `window` tokens, stride `stride`
+    * (overlap = window − stride), chunk k starting at token
+    * k × stride, windows emitted while their start is inside the
+    * document (the final chunks run short rather than padding).
+    * Tokenization is the engine-wide whitespace split, so chunk
+    * boundaries agree with [[tokenCounts]]/[[decontaminate]].
+    *
+    * Scale shape: one narrow explode per document (fan-out bounded by
+    * n_tokens / stride), no shuffle, no UDF — the `sequence`/`slice`/
+    * `array_join` chain is all codegen'd builtins, so at 100 TB this
+    * runs at scan speed in the same stage as the per-document maps.
+    * The deterministic ORDER BY exists for the oracle; drop it (and
+    * its sort) in a pipeline. */
+  def chunkDocuments(docs: DataFrame, window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got stride=$stride window=$window")
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    docs
+      .select(col("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), size(col("toks")) - 1,
+          lit(stride))).as("start"))
+      .select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("toks"), col("start") + 1, lit(window)),
+          " ").as("chunk_text"),
+        size(slice(col("toks"), col("start") + 1, lit(window)))
+          .cast("long").as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** The t16 gate: chunk the documents table at the 64/48 default. */
+  def chunkDocs(s: SparkSession, d: String): DataFrame =
+    chunkDocuments(graft.sources.Tables.load(s, d, "documents"))
+
   /** The t15 gate: the synthetic corpus carries no PII, so the query
     * GRAFTS deterministic PII onto every document from its id (an
     * email, a phone, an IPv4 — plus the pristine text), then redacts

@@ -1244,7 +1244,20 @@ object Versioned {
     * travel walks ingestion history. O(delta): only the new batch's
     * files are written; the manifest links the previous snapshot's
     * directories unchanged (EtlSpec "append chain is O(delta)"
-    * asserts the prior version's files stay byte-identical). */
+    * asserts the prior version's files stay byte-identical).
+    *
+    * An append with NO explicit layout (neither `partitionCol` nor
+    * `transform`) INHERITS the table's declared default spec
+    * ([[currentTransform]] — a `CREATE TABLE … PARTITIONED BY` or
+    * [[setSpec]] declaration, or simply the newest partitioned
+    * write), exactly like a SQL `INSERT INTO`: the Iceberg
+    * table-property contract, where appends keep the table's layout
+    * unless the caller overrides it. [[setSpec]]`(None)` is the
+    * explicit way to stop inheriting. A spec whose source column is
+    * absent from `df` is skipped (degrade, never fail the write).
+    * Full-snapshot [[commit]] does NOT inherit — a replace's
+    * declaration (or its absence) IS the new spec, the REPLACE TABLE
+    * semantic. */
   def append(df: DataFrame, tableDir: String,
       partitionCol: Option[String] = None,
       note: Option[String] = None,
@@ -1254,10 +1267,18 @@ object Versioned {
     val spark = df.sparkSession
     val cur = branch.map(b => branchHead(spark, tableDir, b))
       .getOrElse(currentVersion(spark, tableDir))
+    // (branch appends don't inherit: currentTransform reads the MAIN
+    // lineage's spec, which may not be the branch's — pass the
+    // transform explicitly there)
+    val tspec =
+      if (transform.isDefined || partitionCol.isDefined ||
+        branch.isDefined) transform
+      else currentTransform(spark, tableDir)
+        .filter(t => df.columns.contains(t.source))
     if (cur == 0) commit(df, tableDir, partitionCol, note, statsCols,
-      transform, branch)
+      tspec, branch)
     else commitStaged(df, tableDir, partitionCol, note, statsCols,
-      linkBase = Some(cur), transform = transform, branch = branch)
+      linkBase = Some(cur), transform = tspec, branch = branch)
   }
 
   /** ROLLBACK to a retained snapshot — the Iceberg

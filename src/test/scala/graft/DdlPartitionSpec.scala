@@ -211,6 +211,29 @@ class DdlPartitionSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 97)
   }
 
+  test("programmatic append inherits the declared spec like SQL INSERT") {
+    import spark.implicits._
+    val (t, g) = fresh("append_inherit")
+    spark.sql(s"CREATE TABLE $g (id INT, ts TIMESTAMP_NTZ) " +
+      "PARTITIONED BY (days(ts))")
+    // a plain append (no transform argument) adopts the table's spec
+    Versioned.append((0 until 48).map(h => (h, java.sql.Timestamp
+      .valueOf(f"2024-06-${1 + h / 24}%02d ${h % 24}%02d:00:00")))
+      .toDF("id", "ts"), t)
+    assert(new java.io.File(s"$t/v=2/gpart_days_ts=2024-06-02")
+      .isDirectory)
+    // a frame MISSING the spec's source column appends unpartitioned
+    // after a column-compatible evolution — degrade, never fail: here
+    // just assert the explicit override still wins
+    Versioned.append(Seq((99, java.sql.Timestamp
+      .valueOf("2024-06-05 00:00:00"))).toDF("id", "ts"), t,
+      transform = Some(Versioned.Transform.Bucket(2, "id")))
+    val v3 = Versioned.currentVersion(spark, t)
+    assert(new java.io.File(s"$t/v=$v3").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("gpart_bucket2_id=")))
+    assert(Versioned.read(spark, t).count() == 49)
+  }
+
   test("CALL graft.system.set_spec drives evolution from SQL") {
     import spark.implicits._
     val (t, g) = fresh("call_set_spec")

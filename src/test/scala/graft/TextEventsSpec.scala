@@ -258,6 +258,33 @@ class TextEventsSpec extends SparkSpec {
     assert(rows(4) == "no pii here at all")
   }
 
+  test("chunking: stride/window contract, short tails, full coverage") {
+    import graft.operators.TextAnalysis
+    import spark.implicits._
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9: three full
+    // windows and a 1-token tail
+    val doc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(doc, window = 4, stride = 3)
+      .collect().map(r => (r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(chunks.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(chunks.map(_._2).toSeq == Seq(
+      "w1 w2 w3 w4", "w4 w5 w6 w7", "w7 w8 w9 w10", "w10"))
+    assert(chunks.map(_._3).toSeq == Seq(4L, 4L, 4L, 1L))
+    // every token appears in at least one chunk (coverage), and
+    // adjacent chunks overlap by window - stride tokens
+    assert(chunks.flatMap(_._2.split(" ")).toSet ==
+      (1 to 10).map(i => s"w$i").toSet)
+    // stride == window -> disjoint exact partition
+    val flat = TextAnalysis.chunkDocuments(doc, window = 5, stride = 5)
+      .collect().map(_.getString(2))
+    assert(flat.toSeq == Seq("w1 w2 w3 w4 w5", "w6 w7 w8 w9 w10"))
+    // invalid params refuse
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(doc, window = 4, stride = 5)
+    }
+  }
+
   test("repetition signals on synthetic multi-line/degenerate docs") {
     import graft.operators.TextAnalysis
     import spark.implicits._
