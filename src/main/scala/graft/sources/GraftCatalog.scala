@@ -100,20 +100,22 @@ private final class GraftWriteBuilder(tableDir: String,
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit = {
-          // inherit the table's current hidden-transform spec so a
-          // SQL INSERT on a transform-partitioned table keeps its
-          // layout (and the partition pruning built on it)
-          val tspec = Versioned
-            .currentTransform(data.sparkSession, tableDir)
-            .filter(t => data.columns.contains(t.source))
-          if (overwrite)
+          if (overwrite) {
+            // INSERT OVERWRITE truncates DATA, not table properties:
+            // the fresh full snapshot re-declares the current spec
+            // explicitly (commit deliberately never inherits — its
+            // declaration IS the spec, the REPLACE semantic)
+            val tspec = Versioned
+              .currentTransform(data.sparkSession, tableDir)
+              .filter(t => data.columns.contains(t.source))
             Versioned.commit(data, tableDir,
               note = Some(s"INSERT OVERWRITE $displayName"),
               transform = tspec)
-          else
+          } else
+            // append inherits the table's declared spec itself — one
+            // copy of the policy, shared with the programmatic path
             Versioned.append(data, tableDir,
-              note = Some(s"INSERT INTO $displayName"),
-              transform = tspec)
+              note = Some(s"INSERT INTO $displayName"))
         }
       }
   }
@@ -426,7 +428,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       throw new UnsupportedOperationException(
         s"partition transform must reference one top-level column, " +
           s"got ${p.describe}")
-    val src = refs(0).fieldNames()(0)
+    // SQL identifiers resolve case-insensitively everywhere else in
+    // the statement; canonicalize to the declared field's exact name
+    val srcRaw = refs(0).fieldNames()(0)
+    val src = schema.fieldNames
+      .find(_.equalsIgnoreCase(srcRaw)).getOrElse(srcRaw)
     def litInt: Int = p.arguments().collectFirst {
       case l: org.apache.spark.sql.connector.expressions.Literal[_]
         if l.value().isInstanceOf[Number] =>

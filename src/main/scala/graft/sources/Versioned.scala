@@ -2132,10 +2132,18 @@ object Versioned {
     val nFiles =
       math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val data = read(spark, tableDir)
-    val by = transform.map(_.writeExpr(data))
+    // maintenance keeps the table's layout: with no explicit layout
+    // the rewrite inherits the declared/current spec (like append and
+    // SQL INSERT) — a bare compact() must never silently flatten a
+    // partitioned table and erase its spec for future writes
+    val tspec =
+      if (transform.isDefined || partitionCol.isDefined) transform
+      else currentTransform(spark, tableDir)
+        .filter(t => data.columns.contains(t.source))
+    val by = tspec.map(_.writeExpr(data))
       .orElse(partitionCol.map(col))
     commit(sizeForWrite(data, nFiles, by), tableDir,
-      partitionCol, statsCols = statsCols, transform = transform)
+      partitionCol, statsCols = statsCols, transform = tspec)
   }
 
   /** Shape `data` into ~`nFiles` output files. With a partition
@@ -2345,11 +2353,17 @@ object Versioned {
     try {
       val allGone = rewritten.isEmpty
       val survivingData = surviving.filterNot(isDeleteLine)
+      // like compact(): a bare maintenance rewrite keeps the table's
+      // layout rather than silently flattening the touched files
+      val tspec =
+        if (transform.isDefined || partitionCol.isDefined) transform
+        else currentTransform(spark, tableDir)
+          .filter(t => rewritten.columns.contains(t.source))
       commitStaged(rewritten, tableDir,
         if (allGone) None else partitionCol, note = note, statsCols,
         linkBase = Some(cur), linkEntries = Some(surviving),
         ownDirInManifest = !allGone || survivingData.isEmpty,
-        transform = if (allGone) None else transform)
+        transform = if (allGone) None else tspec)
     } finally rewritten.unpersist(blocking = false)
   }
 
@@ -3590,6 +3604,21 @@ object Versioned {
     private def inZone(ts: Column, z: String): Column =
       from_utc_timestamp(to_utc_timestamp(ts, current_timezone()), z)
 
+    /** Calendar transforms partition TIME — a non-temporal source
+      * would silently cast through epoch seconds (every int lands in
+      * 1970) instead of failing the declaration, the Iceberg
+      * refusal. Checked in writeExpr so BOTH the DDL-time probe and
+      * the commit path enforce it. */
+    private def requireTemporal(df: DataFrame, source: String,
+        render: String): Unit = {
+      val dt = df.schema(source).dataType
+      require(dt == DateType || dt == TimestampType ||
+        dt == TimestampNTZType,
+        s"$render needs a DATE/TIMESTAMP source column, got " +
+          s"${dt.catalogString} — cast first, or use bucket()/" +
+          "truncate() for non-temporal layouts")
+    }
+
     /** Identity partitioning: `identity(col)` — the classic hive
       * layout (the reference's own DDL shape, csv_to_ice.py:54
       * `PARTITIONED BY (pickup_date)`), expressed through the hidden
@@ -3625,8 +3654,10 @@ object Versioned {
     case class Years(source: String) extends Transform {
       val partCol = s"${TransformPrefix}years_$source"
       def render = s"years($source)"
-      private[sources] def writeExpr(df: DataFrame) =
+      private[sources] def writeExpr(df: DataFrame) = {
+        requireTemporal(df, source, render)
         date_format(col(source).cast("timestamp"), "yyyy")
+      }
       private[sources] def rangePred(lo: Any, hi: Any, dtype: String,
           zone: Option[String]) = Some(crossZone(zone) match {
         case Some(z) =>
@@ -3652,8 +3683,10 @@ object Versioned {
     case class Days(source: String) extends Transform {
       val partCol = s"${TransformPrefix}days_$source"
       def render = s"days($source)"
-      private[sources] def writeExpr(df: DataFrame) =
+      private[sources] def writeExpr(df: DataFrame) = {
+        requireTemporal(df, source, render)
         to_date(col(source).cast("timestamp"))
+      }
       private[sources] def rangePred(lo: Any, hi: Any, dtype: String,
           zone: Option[String]) = Some(crossZone(zone) match {
         case Some(z) =>
@@ -3671,8 +3704,10 @@ object Versioned {
     case class Months(source: String) extends Transform {
       val partCol = s"${TransformPrefix}months_$source"
       def render = s"months($source)"
-      private[sources] def writeExpr(df: DataFrame) =
+      private[sources] def writeExpr(df: DataFrame) = {
+        requireTemporal(df, source, render)
         date_format(col(source).cast("timestamp"), "yyyy-MM")
+      }
       private[sources] def rangePred(lo: Any, hi: Any, dtype: String,
           zone: Option[String]) = Some(crossZone(zone) match {
         case Some(z) =>
@@ -3694,8 +3729,10 @@ object Versioned {
     case class Hours(source: String) extends Transform {
       val partCol = s"${TransformPrefix}hours_$source"
       def render = s"hours($source)"
-      private[sources] def writeExpr(df: DataFrame) =
+      private[sources] def writeExpr(df: DataFrame) = {
+        requireTemporal(df, source, render)
         date_format(col(source).cast("timestamp"), "yyyy-MM-dd-HH")
+      }
       private[sources] def rangePred(lo: Any, hi: Any, dtype: String,
           zone: Option[String]) = Some(crossZone(zone) match {
         case Some(z) =>
@@ -3784,11 +3821,40 @@ object Versioned {
     * partitioning here is a per-write property, so the newest
     * `_tspec` IS the table's current spec). Callers drop it when the
     * transform's source column is absent from what they write. */
+  /** Memo for [[currentTransform]]: the answer is a pure function of
+    * the (immutable) version's manifest + sidecars, and inheritance
+    * consults it on EVERY bare append/INSERT — without the memo a
+    * per-micro-batch streaming append pays a manifest walk plus (for
+    * spec'd tables) a full read-plan construction per trigger. Keyed
+    * by the version's owner-token epoch like [[schemaMemo]], so a
+    * table dropped and recreated at the same path misses instead of
+    * reviving the old table's spec; epoch "?" skips the memo. */
+  private val transformMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[Transform]]()
+
   def currentTransform(spark: SparkSession,
       tableDir: String): Option[Transform] = {
     val cur = Try(currentVersion(spark, tableDir)).getOrElse(0)
     if (cur == 0) return None
     val f = fs(spark, tableDir)
+    val epoch = ownerEpoch(f, tableDir, s"v=$cur")
+    val key =
+      if (epoch == "?") null
+      else tableDir + "\u0000" + cur + "\u0000" + epoch
+    if (key != null) {
+      val hit = transformMemo.get(key)
+      if (hit != null) return hit
+    }
+    val result = currentTransformUncached(spark, f, tableDir, cur)
+    if (key != null) {
+      if (transformMemo.size > 10000) transformMemo.clear()
+      transformMemo.put(key, result)
+    }
+    result
+  }
+
+  private def currentTransformUncached(spark: SparkSession,
+      f: FileSystem, tableDir: String, cur: Int): Option[Transform] = {
     manifestDirs(f, tableDir, cur).map(_.split("/").head).distinct
       .sortBy(v => -entryVer(v))
       .iterator.flatMap { vr =>

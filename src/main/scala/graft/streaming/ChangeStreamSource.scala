@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
@@ -84,16 +85,46 @@ final class ChangeStreamProvider extends StreamSourceProvider
       parameters: Map[String, String]): Source = {
     val dir = tableDir(parameters)
     val out = changeSchema(sqlContext, schema, dir)
-    // anchor BEFORE the first trigger: a fresh query consumes commits
-    // made after stream START, not after the first trigger fired
-    val anchor = parameters.get("startingVersion") match {
-      case Some(v) =>
-        require(v.trim.toInt >= 1,
-          s"startingVersion must be >= 1, got $v")
-        v.trim.toInt - 1 // (anchor, …] delivers that version onward
-      case None => math.max(0,
-        Versioned.currentVersion(sqlContext.sparkSession, dir))
-    }
+    // The anchor must be CHECKPOINT state, not a per-createSource
+    // computation: Spark may write an offset to its WAL and crash
+    // before the batch commits, then replay that batch as
+    // getBatch(None, end) after restart — a re-captured anchor at the
+    // then-current version would swallow the replayed range. Persist
+    // the anchor under the engine-provided metadataPath on FIRST
+    // creation (atomic create-exclusive; a lost race reads the
+    // winner's value) and read it back ever after.
+    val f = new Path(metadataPath)
+      .getFileSystem(sqlContext.sparkSession.sessionState.newHadoopConf())
+    val anchorFile = new Path(metadataPath, "graft-changes-anchor")
+    val anchor =
+      if (f.exists(anchorFile)) {
+        val in = f.open(anchorFile)
+        try new String(in.readAllBytes(), "UTF-8").trim.toInt
+        finally in.close()
+      } else {
+        // anchor BEFORE the first trigger: a fresh query consumes
+        // commits made after stream START, not after the first
+        // trigger fired
+        val a = parameters.get("startingVersion") match {
+          case Some(v) =>
+            require(v.trim.toInt >= 1,
+              s"startingVersion must be >= 1, got $v")
+            v.trim.toInt - 1 // (anchor, …] delivers that version on
+          case None => math.max(0,
+            Versioned.currentVersion(sqlContext.sparkSession, dir))
+        }
+        f.mkdirs(new Path(metadataPath))
+        try {
+          val o = f.create(anchorFile, /*overwrite=*/ false)
+          try o.write(a.toString.getBytes("UTF-8")) finally o.close()
+          a
+        } catch { case _: java.io.IOException =>
+          // lost the create race: adopt the winner's anchor
+          val in = f.open(anchorFile)
+          try new String(in.readAllBytes(), "UTF-8").trim.toInt
+          finally in.close()
+        }
+      }
     new ChangeStreamSource(sqlContext, dir, out, anchor)
   }
 }

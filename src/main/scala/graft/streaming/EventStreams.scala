@@ -34,16 +34,21 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    // one driver-side footer read decides the layout; declaring the
-    // wrong type would either fail the scan or silently misread raw
-    // micros as nanos (off by 1000x). A directory with no parquet
-    // footer yet (a stream started before its producer) falls back to
-    // the legacy Long-nanos layout instead of failing construction —
-    // the schema is a stream-definition property and cannot re-sniff
-    // per batch anyway.
-    val onDisk = Try(spark.read.parquet(dir).schema("ts").dataType)
-      .getOrElse(LongType)
+  /** `tsType` pins the on-disk `ts` layout explicitly — REQUIRED for
+    * a stream started before its producer writes the first file: the
+    * schema is a stream-definition property (it cannot re-sniff per
+    * batch), so with no footer to read the fallback assumes the
+    * legacy Long-nanos layout, and a producer that later writes
+    * timestamp-typed parquet would fail every micro-batch against
+    * the locked-in LONG schema. On a populated directory one
+    * driver-side footer read decides; declaring the wrong type would
+    * either fail the scan or misread raw micros as nanos (1000x). */
+  def readEvents(spark: SparkSession, dir: String,
+      tsType: Option[org.apache.spark.sql.types.DataType] = None)
+      : DataFrame = {
+    val onDisk = tsType.getOrElse(
+      Try(spark.read.parquet(dir).schema("ts").dataType)
+        .getOrElse(LongType))
     val raw = spark.readStream.schema(rawSchema(onDisk)).parquet(dir)
     onDisk match {
       // integral `div`, not `/`: double division is 256 ns coarse at

@@ -234,6 +234,45 @@ class DdlPartitionSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 49)
   }
 
+  test("bare compact keeps the declared layout; calendar specs refuse non-temporal sources") {
+    import spark.implicits._
+    val (t, g) = fresh("compact_inherit")
+    spark.sql(s"CREATE TABLE $g (id INT, ts TIMESTAMP_NTZ) " +
+      "PARTITIONED BY (days(ts))")
+    (0 until 48).map(h => (h, java.sql.Timestamp.valueOf(
+      f"2024-06-${1 + h / 24}%02d ${h % 24}%02d:00:00")))
+      .toDF("id", "ts").createOrReplaceTempView("ddl_cmp_src")
+    spark.sql(s"INSERT INTO $g SELECT * FROM ddl_cmp_src")
+    // a BARE programmatic compact must not flatten the table or
+    // erase the declared spec for future writes
+    val v3 = Versioned.compact(spark, t)
+    assert(new java.io.File(s"$t/v=$v3").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("gpart_days_ts=")))
+    assert(Versioned.currentTransform(spark, t)
+      .contains(Versioned.Transform.Days("ts")))
+    assert(Versioned.read(spark, t).count() == 48)
+    // post-compact pruning still fires on the rewritten files
+    val rw = Versioned.readWhere(spark, t,
+      "ts", "2024-06-01 03:00:00", "2024-06-01 05:00:00")
+    assert(rw.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      (3 to 5))
+    // calendar transforms on a non-temporal source refuse at DDL time
+    // (an INT would silently land every row in 1970 via epoch cast)
+    val (_, g2) = fresh("days_on_int")
+    val e = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $g2 (id INT, v STRING) " +
+        "PARTITIONED BY (days(id))")
+    }
+    assert(e.getMessage.contains("DATE/TIMESTAMP"))
+    // PARTITIONED BY resolves the source case-insensitively, like
+    // every other identifier in the statement
+    val (t3, g3) = fresh("case_insensitive")
+    spark.sql(s"CREATE TABLE $g3 (Trip_Id INT, Pickup_Date DATE) " +
+      "PARTITIONED BY (pickup_date)")
+    assert(Versioned.currentTransform(spark, t3)
+      .contains(Versioned.Transform.Identity("Pickup_Date")))
+  }
+
   test("CALL graft.system.set_spec drives evolution from SQL") {
     import spark.implicits._
     val (t, g) = fresh("call_set_spec")

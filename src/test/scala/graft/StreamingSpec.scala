@@ -392,6 +392,13 @@ class StreamingSpec extends SparkSpec {
       assert(got.asScala.toSet == Set((3, "insert", 2), (1, "delete", 3)))
       assert(got.size == 2) // exactly once, no duplicates
     } finally q.stop()
+    // the fresh query persisted its anchor into the checkpoint: a
+    // restart must reuse it, never re-capture at the current version
+    // (which would swallow a WAL-logged-but-uncommitted range)
+    val anchorFiles = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(ckpt), null, true)
+      .toArray.map(_.toString).filter(_.endsWith("graft-changes-anchor"))
+    assert(anchorFiles.length == 1)
     // offline commit, then a RESTART from the same checkpoint resumes
     // at the recorded offset — the offline range arrives, prior ranges
     // do NOT replay
