@@ -5,7 +5,10 @@ import org.apache.spark.sql.catalyst.expressions.Alias
 import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
   LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+import org.apache.spark.sql.execution.datasources.DataSource
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.execution.streaming.runtime.StreamingRelation
 
 import graft.sources.{GraftMetaTable, GraftVersionedTable, Versioned}
 
@@ -53,6 +56,27 @@ case class VersionedRelationRule(spark: SparkSession)
       case _ => ()
     }
     plan.resolveOperatorsUp {
+      // `spark.readStream.table("graft.db.t")`: the catalog table
+      // advertises no streaming capability (a changelog batch is a
+      // PLAN the DSv2 PartitionReader contract can't express), so the
+      // resolved StreamingRelationV2 rewrites to the V1
+      // `graft-changes` source in APPENDS mode — the table's own rows
+      // as they commit, Spark-owned triggers/offsets/restarts, a
+      // delete/update event failing loudly (set the source's
+      // skipDeletes via `.option(...)` on a format() read for an
+      // append-only view that drops them). The relation's own output
+      // attributes carry over, so references stay bound.
+      case s: StreamingRelationV2
+          if s.table.isInstanceOf[GraftVersionedTable] =>
+        val t = s.table.asInstanceOf[GraftVersionedTable]
+        val opts = Map("path" -> t.tableDir, "mode" -> "appends") ++
+          (if (s.extraOptions.containsKey("skipDeletes"))
+            Map("skipDeletes" -> s.extraOptions.get("skipDeletes"))
+          else Map.empty)
+        StreamingRelation(
+          DataSource(spark, className = "graft-changes",
+            options = opts),
+          "graft-changes", s.output)
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftVersionedTable] &&
             !writeTargets.contains(r) =>

@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SQLContext}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{assert_true, col, isnull, lit}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
@@ -55,10 +55,28 @@ final class ChangeStreamProvider extends StreamSourceProvider
       throw new IllegalArgumentException("graft-changes needs the " +
         "versioned table directory: .load(dir) or .option(\"path\", dir)"))
 
-  /** The change schema: the table's columns plus the two changelog
-    * metadata columns — exactly [[Versioned.readChanges]]' output. */
+  /** `mode=changes` (default): the full changelog with the two
+    * metadata columns. `mode=appends`: the table's OWN schema, insert
+    * events only — the `spark.readStream.table("graft.db.t")` shape
+    * (a stream of the table's new rows), where a delete/update event
+    * FAILS the batch loudly unless `skipDeletes=true` drops them (the
+    * Delta `skipChangeCommits` semantic: a consumer assuming
+    * append-only must opt into missing deletions). A compact commit
+    * nets to zero changelog events, so maintenance never disturbs an
+    * appends stream in either setting. */
+  private def mode(parameters: Map[String, String]): String = {
+    val m = parameters.getOrElse("mode", "changes")
+    require(m == "changes" || m == "appends",
+      s"graft-changes mode must be 'changes' or 'appends', got '$m'")
+    m
+  }
+
+  /** The stream schema: the table's columns, plus (in `changes` mode)
+    * the two changelog metadata columns — exactly
+    * [[Versioned.readChanges]]' output. */
   private def changeSchema(sqlContext: SQLContext,
-      userSchema: Option[StructType], dir: String): StructType = {
+      userSchema: Option[StructType], dir: String,
+      m: String): StructType = {
     val spark = sqlContext.sparkSession
     val base = userSchema.getOrElse {
       require(graft.sources.Versioned.currentVersion(spark, dir) > 0,
@@ -67,7 +85,8 @@ final class ChangeStreamProvider extends StreamSourceProvider
           "stream before the first commit")
       Versioned.read(spark, dir).schema
     }
-    StructType(base.fields.toSeq :+
+    if (m == "appends") base
+    else StructType(base.fields.toSeq :+
       StructField(Versioned.ChangeTypeCol, StringType) :+
       StructField(Versioned.CommitVersionCol, IntegerType,
         nullable = false))
@@ -77,14 +96,15 @@ final class ChangeStreamProvider extends StreamSourceProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) =
     (shortName(), changeSchema(sqlContext, schema,
-      tableDir(parameters)))
+      tableDir(parameters), mode(parameters)))
 
   override def createSource(sqlContext: SQLContext,
       metadataPath: String, schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): Source = {
     val dir = tableDir(parameters)
-    val out = changeSchema(sqlContext, schema, dir)
+    val m = mode(parameters)
+    val out = changeSchema(sqlContext, schema, dir, m)
     // The anchor must be CHECKPOINT state, not a per-createSource
     // computation: Spark may write an offset to its WAL and crash
     // before the batch commits, then replay that batch as
@@ -125,12 +145,17 @@ final class ChangeStreamProvider extends StreamSourceProvider
           finally in.close()
         }
       }
-    new ChangeStreamSource(sqlContext, dir, out, anchor)
+    new ChangeStreamSource(sqlContext, dir, out, anchor,
+      appends = m == "appends",
+      skipDeletes = parameters.getOrElse("skipDeletes", "false")
+        .toBoolean)
   }
 }
 
 private final class ChangeStreamSource(sqlContext: SQLContext,
-    dir: String, out: StructType, anchor: Int) extends Source {
+    dir: String, out: StructType, anchor: Int,
+    appends: Boolean = false, skipDeletes: Boolean = false)
+    extends Source {
   private def spark = sqlContext.sparkSession
   private def ver(o: Offset): Int = o.json().trim.toInt
 
@@ -154,15 +179,32 @@ private final class ChangeStreamSource(sqlContext: SQLContext,
     // normalize to the declared schema (order + types): readChanges
     // unions per-channel frames, and the engine requires the batch
     // plan to line up column-for-column with the source schema
-    val frame =
-      if (fromV >= toV)
-        spark.createDataFrame(
-          new java.util.ArrayList[org.apache.spark.sql.Row](), out)
-      else Versioned.readChanges(spark, dir, fromV, toV)
+    val changes =
+      if (fromV >= toV) None
+      else Some(Versioned.readChanges(spark, dir, fromV, toV))
+    // appends mode: the table's own rows, insert events only. A
+    // delete/update event fails the batch loudly unless skipDeletes
+    // opted in — the guard rides the row filter (an Or short-circuits
+    // for insert rows and raises on the first change row), so it can
+    // never be pruned away with an unused column.
+    val frame = changes match {
+      case None => spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), out)
+      case Some(c) if !appends => c
+      case Some(c) =>
+        val isInsert = col(Versioned.ChangeTypeCol) === "insert"
+        if (skipDeletes) c.filter(isInsert)
+        else c.filter(isInsert ||
+          isnull(assert_true(isInsert, lit(s"graft-changes[$dir] " +
+            s"mode=appends hit a delete/update event in ($fromV, " +
+            s"$toV] — consume mode=changes, or set skipDeletes=true " +
+            "to drop change events from an append-only view"))))
+    }
     // normalize to the declared schema: a range whose only events are
     // equality-delete keys carries KEY columns only (the Iceberg
     // equality-delete contract) — the other table columns pad to NULL
-    // here so every batch lines up column-for-column
+    // here so every batch lines up column-for-column (appends mode
+    // also drops the two changelog metadata columns here)
     val normalized = frame.select(out.fields.toSeq.map { f =>
       (if (frame.columns.contains(f.name)) col(f.name)
       else lit(null)).cast(f.dataType).as(f.name)

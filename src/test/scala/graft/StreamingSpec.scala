@@ -425,6 +425,60 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("spark.readStream.table streams a versioned table's appends") {
+    import graft.sources.Versioned
+    import spark.implicits._
+    val table = "target/tmp/stream-table-src"
+    val ckpt = "target/tmp/stream-table-ckpt"
+    Seq(table, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), table)
+    val abs = new java.io.File(table).getAbsolutePath
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Int, String)]()
+    def sink(df: org.apache.spark.sql.DataFrame): Unit =
+      df.collect().foreach(r => got.add((r.getInt(0), r.getString(1))))
+    // the catalog table streams directly — no format(), no options
+    val q = spark.readStream.table(s"graft.`$abs`")
+      .writeStream
+      .option("checkpointLocation", new java.io.File(ckpt).getAbsolutePath)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => sink(df))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(got.isEmpty) // anchored at current: no history replay
+      Versioned.append(Seq((2, "b"), (3, "c")).toDF("id", "v"), table)
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      // TABLE-schema rows, no changelog metadata columns
+      assert(got.asScala.toSet == Set((2, "b"), (3, "c")))
+      // a delete is NOT an append: the batch fails loudly rather than
+      // silently presenting an incomplete append-only view
+      Versioned.deleteRows(spark, table, Seq(2).toDF("id"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("delete/update") ||
+        Option(e.getCause).exists(_.getMessage.contains("delete/update")))
+    } finally q.stop()
+    // the same checkpoint restarts through the format() spelling with
+    // skipDeletes: the failed range replays (anchor + offsets are
+    // checkpoint state), the delete event drops, appends keep flowing
+    val q2 = spark.readStream.format("graft-changes")
+      .option("mode", "appends").option("skipDeletes", "true")
+      .load(abs)
+      .writeStream
+      .option("checkpointLocation", new java.io.File(ckpt).getAbsolutePath)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) => sink(df))
+      .start()
+    try {
+      q2.processAllAvailable()
+      Versioned.append(Seq((4, "d")).toDF("id", "v"), table)
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(got.asScala.toSet == Set((2, "b"), (3, "c"), (4, "d")))
+    } finally q2.stop()
+  }
+
   test("flatMapGroupsWithState accumulates per-user running totals") {
     val running = runStream("running",
       df => EventStreams.runningUserTotals(spark, df).toDF(),
