@@ -69,10 +69,22 @@ case class VersionedRelationRule(spark: SparkSession)
       case s: StreamingRelationV2
           if s.table.isInstanceOf[GraftVersionedTable] =>
         val t = s.table.asInstanceOf[GraftVersionedTable]
-        val opts = Map("path" -> t.tableDir, "mode" -> "appends") ++
-          (if (s.extraOptions.containsKey("skipDeletes"))
-            Map("skipDeletes" -> s.extraOptions.get("skipDeletes"))
-          else Map.empty)
+        // forward EVERY reader option (startingVersion, skipDeletes,
+        // …) — dropping one would silently ignore the user's request
+        // (a swallowed backfill is data loss vs intent). Only `path`
+        // is forced; `mode` defaults to appends (the readStream.table
+        // contract: the table's rows) but an explicit option wins —
+        // note mode=changes adds the two metadata columns, which no
+        // longer match the relation's output, so it is refused here
+        // rather than failing downstream with a shape mismatch.
+        import scala.jdk.CollectionConverters._
+        val user = s.extraOptions.asScala.toMap
+        require(!user.get("mode").exists(_ != "appends"),
+          "readStream.table streams the table's rows (mode=appends); " +
+            "for the full changelog with _change_type/_commit_version " +
+            "use spark.readStream.format(\"graft-changes\").load(dir)")
+        val opts = user ++ Map("path" -> t.tableDir,
+          "mode" -> "appends")
         StreamingRelation(
           DataSource(spark, className = "graft-changes",
             options = opts),

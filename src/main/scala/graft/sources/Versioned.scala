@@ -2215,10 +2215,20 @@ object Versioned {
     // keep the table's layout and pruning through the binpack: packed
     // files preserve hive partition locality (sizeForWrite) and get a
     // fresh stats sidecar — without this an hourly small-file sweep
-    // steadily degraded the scan-pruning the table was built for
-    val packed = sizeForWrite(readFiles(spark, tableDir, small.map(_._1),
-      manifestDeletes(spark, f, tableDir, cur)), nFiles,
-      partitionCol.map(col))
+    // steadily degraded the scan-pruning the table was built for.
+    // Like compact(): with no explicit layout the pack inherits the
+    // declared/current spec — packing a transform-partitioned table's
+    // drip-fed files must not write them flat (and, when the packed
+    // output replaces the only _tspec-carrying entries, must not
+    // erase the spec for future writes).
+    val base = readFiles(spark, tableDir, small.map(_._1),
+      manifestDeletes(spark, f, tableDir, cur))
+    val tspec =
+      if (partitionCol.isDefined) None
+      else currentTransform(spark, tableDir)
+        .filter(t => base.columns.contains(t.source))
+    val packed = sizeForWrite(base, nFiles,
+      tspec.map(_.writeExpr(base)).orElse(partitionCol.map(col)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // tombstones may have deleted EVERY packed row: a partitionBy
@@ -2230,7 +2240,8 @@ object Versioned {
       commitStaged(packed, tableDir,
         if (allGone) None else partitionCol, note = note, statsCols,
         linkBase = Some(cur), linkEntries = Some(surviving),
-        ownDirInManifest = !allGone || survivingData.isEmpty)
+        ownDirInManifest = !allGone || survivingData.isEmpty,
+        transform = if (allGone) None else tspec)
     } finally packed.unpersist(blocking = false)
   }
 
@@ -3604,19 +3615,23 @@ object Versioned {
     private def inZone(ts: Column, z: String): Column =
       from_utc_timestamp(to_utc_timestamp(ts, current_timezone()), z)
 
-    /** Calendar transforms partition TIME — a non-temporal source
-      * would silently cast through epoch seconds (every int lands in
-      * 1970) instead of failing the declaration, the Iceberg
-      * refusal. Checked in writeExpr so BOTH the DDL-time probe and
-      * the commit path enforce it. */
+    /** Calendar transforms partition TIME — a NUMERIC source would
+      * silently cast through epoch seconds (every int lands in 1970)
+      * instead of failing the declaration, the Iceberg refusal.
+      * STRING sources stay legal: `'2024-06-01'`-style values parse
+      * through the timestamp cast exactly as they always did (and
+      * pre-existing `_tspec`s may ride string date columns), while an
+      * unparseable string degrades to a NULL partition value, never a
+      * wrong epoch. Checked in writeExpr so BOTH the DDL-time probe
+      * and the commit path enforce it. */
     private def requireTemporal(df: DataFrame, source: String,
         render: String): Unit = {
       val dt = df.schema(source).dataType
       require(dt == DateType || dt == TimestampType ||
-        dt == TimestampNTZType,
-        s"$render needs a DATE/TIMESTAMP source column, got " +
-          s"${dt.catalogString} — cast first, or use bucket()/" +
-          "truncate() for non-temporal layouts")
+        dt == TimestampNTZType || dt == StringType,
+        s"$render needs a DATE/TIMESTAMP (or date-string) source " +
+          s"column, got ${dt.catalogString} — cast first, or use " +
+          "bucket()/truncate() for non-temporal layouts")
     }
 
     /** Identity partitioning: `identity(col)` — the classic hive

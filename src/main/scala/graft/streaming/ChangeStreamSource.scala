@@ -59,11 +59,13 @@ final class ChangeStreamProvider extends StreamSourceProvider
     * metadata columns. `mode=appends`: the table's OWN schema, insert
     * events only — the `spark.readStream.table("graft.db.t")` shape
     * (a stream of the table's new rows), where a delete/update event
-    * FAILS the batch loudly unless `skipDeletes=true` drops them (the
-    * Delta `skipChangeCommits` semantic: a consumer assuming
-    * append-only must opt into missing deletions). A compact commit
-    * nets to zero changelog events, so maintenance never disturbs an
-    * appends stream in either setting. */
+    * FAILS the batch loudly unless `skipDeletes=true` skips the WHOLE
+    * change commit, inserts included (the Delta `skipChangeCommits`
+    * semantic — an upsert's post-image must not re-surface as a fresh
+    * append; a consumer assuming append-only must opt into missing
+    * those commits). A compact commit nets to zero changelog events,
+    * so maintenance never disturbs an appends stream in either
+    * setting. */
   private def mode(parameters: Map[String, String]): String = {
     val m = parameters.getOrElse("mode", "changes")
     require(m == "changes" || m == "appends",
@@ -111,17 +113,22 @@ final class ChangeStreamProvider extends StreamSourceProvider
     // getBatch(None, end) after restart — a re-captured anchor at the
     // then-current version would swallow the replayed range. Persist
     // the anchor under the engine-provided metadataPath on FIRST
-    // creation (atomic create-exclusive; a lost race reads the
-    // winner's value) and read it back ever after.
+    // creation and read it back ever after. Publish is
+    // write-tmp-then-rename: the named file either does not exist or
+    // holds complete content — a crash can never leave an
+    // existing-but-empty anchor that poisons every later restart. A
+    // lost rename race adopts the winner's value.
     val f = new Path(metadataPath)
       .getFileSystem(sqlContext.sparkSession.sessionState.newHadoopConf())
     val anchorFile = new Path(metadataPath, "graft-changes-anchor")
+    def readAnchor(): Int = {
+      val in = f.open(anchorFile)
+      try new String(in.readAllBytes(), "UTF-8").trim.toInt
+      finally in.close()
+    }
     val anchor =
-      if (f.exists(anchorFile)) {
-        val in = f.open(anchorFile)
-        try new String(in.readAllBytes(), "UTF-8").trim.toInt
-        finally in.close()
-      } else {
+      if (f.exists(anchorFile)) readAnchor()
+      else {
         // anchor BEFORE the first trigger: a fresh query consumes
         // commits made after stream START, not after the first
         // trigger fired
@@ -134,16 +141,12 @@ final class ChangeStreamProvider extends StreamSourceProvider
             Versioned.currentVersion(sqlContext.sparkSession, dir))
         }
         f.mkdirs(new Path(metadataPath))
-        try {
-          val o = f.create(anchorFile, /*overwrite=*/ false)
-          try o.write(a.toString.getBytes("UTF-8")) finally o.close()
-          a
-        } catch { case _: java.io.IOException =>
-          // lost the create race: adopt the winner's anchor
-          val in = f.open(anchorFile)
-          try new String(in.readAllBytes(), "UTF-8").trim.toInt
-          finally in.close()
-        }
+        val tmp = new Path(metadataPath,
+          s".graft-changes-anchor.tmp-${java.util.UUID.randomUUID()}")
+        val o = f.create(tmp, false)
+        try o.write(a.toString.getBytes("UTF-8")) finally o.close()
+        if (f.rename(tmp, anchorFile)) a
+        else { f.delete(tmp, false); readAnchor() }
       }
     new ChangeStreamSource(sqlContext, dir, out, anchor,
       appends = m == "appends",
@@ -164,11 +167,10 @@ private final class ChangeStreamSource(sqlContext: SQLContext,
   override def getOffset: Option[Offset] = {
     // always report the table's latest version: the ENGINE owns the
     // consumed-up-to state (its checkpointed offset), so gating on
-    // `anchor` here would wrongly suppress pending ranges after a
-    // restart (createSource re-captures anchor at the then-current
-    // version). The anchor applies only to a FRESH query's first
-    // getBatch(None, _) — where it may yield one empty batch that
-    // simply records the start position.
+    // `anchor` here would wrongly suppress pending ranges. The anchor
+    // (persisted checkpoint state, read back by createSource) applies
+    // only to a fresh query's first getBatch(None, _) — where it may
+    // yield one empty batch that simply records the start position.
     val cur = Versioned.currentVersion(spark, dir)
     if (cur < 1) None else Some(LongOffset(cur.toLong))
   }
@@ -186,19 +188,29 @@ private final class ChangeStreamSource(sqlContext: SQLContext,
     // delete/update event fails the batch loudly unless skipDeletes
     // opted in — the guard rides the row filter (an Or short-circuits
     // for insert rows and raises on the first change row), so it can
-    // never be pruned away with an unused column.
+    // never be pruned away with an unused column. skipDeletes skips
+    // the WHOLE change commit (the Delta skipChangeCommits semantic):
+    // an upsert's post-image must not re-surface as a fresh append —
+    // a consumer that already holds the key would silently
+    // double-count it — so inserts anti-join against the range's
+    // delete-carrying commit versions. A compact nets to zero events
+    // and passes through both settings untouched.
     val frame = changes match {
       case None => spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](), out)
       case Some(c) if !appends => c
       case Some(c) =>
         val isInsert = col(Versioned.ChangeTypeCol) === "insert"
-        if (skipDeletes) c.filter(isInsert)
-        else c.filter(isInsert ||
+        if (skipDeletes) {
+          val changeCommits = c.filter(!isInsert)
+            .select(Versioned.CommitVersionCol).distinct()
+          c.filter(isInsert).join(changeCommits,
+            Seq(Versioned.CommitVersionCol), "left_anti")
+        } else c.filter(isInsert ||
           isnull(assert_true(isInsert, lit(s"graft-changes[$dir] " +
             s"mode=appends hit a delete/update event in ($fromV, " +
             s"$toV] — consume mode=changes, or set skipDeletes=true " +
-            "to drop change events from an append-only view"))))
+            "to skip change commits in an append-only view"))))
     }
     // normalize to the declared schema: a range whose only events are
     // equality-delete keys carries KEY columns only (the Iceberg

@@ -256,6 +256,22 @@ class DdlPartitionSpec extends SparkSpec {
       "ts", "2024-06-01 03:00:00", "2024-06-01 05:00:00")
     assert(rw.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
       (3 to 5))
+    // bare compactSmall (binpack) keeps the layout and the spec too —
+    // packing the drip-fed files must not write them flat, even when
+    // the packed output replaces every _tspec-carrying entry
+    val (t2b, _) = fresh("binpack_inherit")
+    def tiny(r: Range) = r.map(h => (h, java.sql.Timestamp.valueOf(
+      f"2024-06-${1 + h / 24}%02d ${h % 24}%02d:00:00"))).toDF("id", "ts")
+    Versioned.commit(tiny(0 until 24), t2b,
+      transform = Some(Versioned.Transform.Days("ts")))
+    Versioned.append(tiny(24 until 48), t2b) // inherits
+    val vPack = Versioned.compactSmall(spark, t2b)
+    assert(vPack > 2)
+    assert(new java.io.File(s"$t2b/v=$vPack").listFiles()
+      .exists(f => f.isDirectory && f.getName.startsWith("gpart_days_ts=")))
+    assert(Versioned.currentTransform(spark, t2b)
+      .contains(Versioned.Transform.Days("ts")))
+    assert(Versioned.read(spark, t2b).count() == 48)
     // calendar transforms on a non-temporal source refuse at DDL time
     // (an INT would silently land every row in 1970 via epoch cast)
     val (_, g2) = fresh("days_on_int")

@@ -476,6 +476,15 @@ class StreamingSpec extends SparkSpec {
       q2.processAllAvailable()
       import scala.jdk.CollectionConverters._
       assert(got.asScala.toSet == Set((2, "b"), (3, "c"), (4, "d")))
+      // skipDeletes skips the WHOLE change commit (skipChangeCommits
+      // semantics): an upsert's post-image must not re-surface as a
+      // fresh append — the consumer already holds the key
+      Versioned.upsert(spark, table,
+        Seq((3, "C2")).toDF("id", "v"), "id")
+      Versioned.append(Seq((5, "e")).toDF("id", "v"), table)
+      q2.processAllAvailable()
+      assert(got.asScala.toSet ==
+        Set((2, "b"), (3, "c"), (4, "d"), (5, "e")))
     } finally q2.stop()
   }
 
