@@ -43,6 +43,28 @@ object StreamingDemo {
       .format("memory").queryName("ssjoin").outputMode("append").start()
     q3.processAllAvailable(); q3.stop()
     println(s"JOIN_ROWS=${spark.table("ssjoin").count()}")
+
+    // Spark-native changelog streaming over a versioned table:
+    // readStream.table streams appends with Spark-owned offsets
+    import spark.implicits._
+    val vt = s"$work/versioned-src"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(vt))
+    graft.sources.Versioned.commit(
+      Seq((1L, "seed")).toDF("id", "tag"), vt)
+    val abs = new java.io.File(vt).getAbsolutePath
+    val seen = new java.util.concurrent.atomic.AtomicLong(0)
+    val q4 = spark.readStream.table(s"graft.`$abs`")
+      .writeStream
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        { seen.addAndGet(df.count()); () })
+      .start()
+    try {
+      q4.processAllAvailable() // anchored: the seed is history
+      graft.sources.Versioned.append(
+        (2L to 6L).map(i => (i, s"r$i")).toDF("id", "tag"), vt)
+      q4.processAllAvailable()
+    } finally q4.stop()
+    println(s"TABLE_STREAM_ROWS=${seen.get()}")
     spark.stop()
   }
 }
