@@ -223,7 +223,7 @@ private final class ChangeStreamSource(sqlContext: SQLContext,
     }: _*)
     // the engine asserts getBatch frames carry isStreaming=true; the
     // bridge wraps the frame's own (lazy, distributed) physical plan
-    org.apache.spark.sql.GraftStreamingBridge.streamingFrame(
+    org.apache.spark.sql.graft.SparkInternals.streamingFrame(
       normalized, out)
   }
 

@@ -18,7 +18,15 @@ import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
   *    primitives;
   *  - wrapping a resolved [[LogicalPlan]] into a [[DataFrame]]
   *    (`Dataset.ofRows`), which the MERGE lowering needs for its
-  *    source-side query.
+  *    source-side query;
+  *  - marking a frame's plan `isStreaming = true`
+  *    (`internalCreateDataFrame`), which a V1 streaming `Source`'s
+  *    `getBatch` contract asserts — the same call `FileStreamSource`
+  *    makes for its per-batch frames. The wrapped RDD is the frame's
+  *    own LAZY physical plan (`toRdd`), so execution stays fully
+  *    distributed; the plan is frozen at batch construction, which is
+  *    exactly a micro-batch's contract
+  *    ([[graft.streaming.ChangeStreamSource]]).
   *
   * Nothing else belongs here: every addition widens the surface that
   * can break on a Spark upgrade.
@@ -29,4 +37,10 @@ object SparkInternals {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  def streamingFrame(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, schema,
+        isStreaming = true)
 }
