@@ -45,14 +45,22 @@ import graft.sources.Versioned
   * than skipping silently). */
 object ChangeFeed {
 
-  /** Running feed handle: [[stop]] drains the in-flight batch. */
+  /** Running feed handle: [[stop]] drains the in-flight batch — it
+    * blocks until the loop exits, and the loop is NEVER interrupted,
+    * so a `pollOnce` that already started always finishes both the
+    * handler and the cursor publish before the loop observes the stop
+    * flag (an interrupt could land inside Hadoop I/O during the
+    * cursor publish and abort the drain's final step, leaving the
+    * just-delivered batch to replay — safe under at-least-once, but a
+    * contract violation). The only thing stop() cuts short is the
+    * BETWEEN-polls wait, via the wake latch. */
   final class Handle private[ChangeFeed] (
-      thread: Thread, stopFlag: AtomicReference[Boolean],
+      stopFlag: AtomicReference[Boolean], wake: CountDownLatch,
       failure: AtomicReference[Option[Throwable]],
       stopped: CountDownLatch) {
     def stop(): Unit = {
       stopFlag.set(true)
-      thread.interrupt()
+      wake.countDown() // wakes the inter-poll wait; never interrupts
       stopped.await()
       failure.get().foreach(e => throw e)
     }
@@ -108,14 +116,23 @@ object ChangeFeed {
         s"cannot publish changefeed cursor at $checkpointDir")
     }
     // prune superseded cursors only now that v is durable; failures
-    // here cost a stray file, never the cursor
+    // here cost a stray file, never the cursor. The legacy bare file
+    // is deleted only after READING it and confirming its value <= v
+    // (mirroring the < v guard on numbered files) — a newer legacy
+    // cursor racing a stale writer must not be pruned, or max-on-read
+    // would move backwards and re-deliver consumed ranges
     Try {
       f.listStatus(dir).foreach { st =>
         val n = st.getPath.getName
-        val stale = n == CursorPrefix ||
-          (n.startsWith(CursorPrefix + ".v") &&
+        val stale =
+          if (n == CursorPrefix) Try {
+            val in = f.open(st.getPath)
+            try new String(in.readAllBytes(), "UTF-8").trim.toInt
+            finally in.close()
+          }.toOption.exists(_ <= v)
+          else n.startsWith(CursorPrefix + ".v") &&
             Try(n.stripPrefix(CursorPrefix + ".v").toInt)
-              .toOption.exists(_ < v))
+              .toOption.exists(_ < v)
         if (stale) f.delete(st.getPath, false)
       }
     }
@@ -157,13 +174,18 @@ object ChangeFeed {
 
   /** Start the polling loop on a daemon thread. Handler failures are
     * recorded (see [[Handle.checkFailed]]) and the failed range is
-    * retried next tick — at-least-once, never silently skipped. */
+    * retried next tick — at-least-once, never silently skipped.
+    * The inter-poll wait is a latch await, not a sleep the stopper
+    * interrupts: [[Handle.stop]] counts the latch down so shutdown is
+    * immediate between polls, while a poll already in flight always
+    * runs to completion (handler AND cursor publish). */
   def start(spark: SparkSession, tableDir: String,
       checkpointDir: String, pollIntervalMs: Long = 1000L)(
       handler: (DataFrame, Int, Int) => Unit): Handle = {
     val stopFlag = new AtomicReference[Boolean](false)
     val failure = new AtomicReference[Option[Throwable]](None)
     val stopped = new CountDownLatch(1)
+    val wake = new CountDownLatch(1)
     val t = new Thread(() => {
       try {
         while (!stopFlag.get()) {
@@ -171,21 +193,15 @@ object ChangeFeed {
             pollOnce(spark, tableDir, checkpointDir)(handler)
             failure.set(None)
           } catch {
-            case _: InterruptedException => // stop() drains
-            // stop()'s interrupt can surface from inside Hadoop I/O
-            // as InterruptedIOException (or any wrapper) — an abort
-            // requested by stop() is not a feed failure; the atomic
-            // cursor publish means the range simply replays next run
-            case e: Throwable if !stopFlag.get() => failure.set(Some(e))
-            case _: Throwable => ()
+            case e: Throwable => failure.set(Some(e))
           }
-          try Thread.sleep(pollIntervalMs)
-          catch { case _: InterruptedException => () }
+          wake.await(pollIntervalMs,
+            java.util.concurrent.TimeUnit.MILLISECONDS)
         }
       } finally stopped.countDown()
     }, s"graft-changefeed-$tableDir")
     t.setDaemon(true)
     t.start()
-    new Handle(t, stopFlag, failure, stopped)
+    new Handle(stopFlag, wake, failure, stopped)
   }
 }

@@ -61,6 +61,30 @@ class ChangeFeedSpec extends SparkSpec {
     assert(seen == 1L && ChangeFeed.cursor(spark, c) == 2)
   }
 
+  test("stop() mid-batch drains: handler finishes AND cursor advances") {
+    import spark.implicits._
+    val (t, c) = fresh("drain")
+    Versioned.commit(Seq(Tuple1(1)).toDF("x"), t)
+    Versioned.append(Seq(Tuple1(2)).toDF("x"), t)
+    ChangeFeed.seed(spark, c, fromVersion = 1) // (1, 2] pending
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val finished = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val h = ChangeFeed.start(spark, t, c, pollIntervalMs = 60000L) {
+      (df, _, _) =>
+        entered.countDown()
+        df.count() // real work while stop() is racing us
+        Thread.sleep(500) // widen the window stop() must NOT cut short
+        finished.set(true)
+    }
+    assert(entered.await(20, java.util.concurrent.TimeUnit.SECONDS))
+    h.stop() // called while the handler is mid-batch
+    // the drain contract: the in-flight handler ran to completion and
+    // its cursor publish happened before stop() returned
+    assert(finished.get(), "stop() cut the in-flight handler short")
+    assert(ChangeFeed.cursor(spark, c) == 2,
+      "stop() aborted the in-flight batch's cursor publish")
+  }
+
   test("seeding backfills history; the polling loop follows commits") {
     import spark.implicits._
     val (t, c) = fresh("loop")
