@@ -58,6 +58,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val n = GraftFunctions.shingleNArg(exprs)
         ShingleHashes(exprs.head, n)
       }))
+    // The Iceberg partition-spec-evolution DDL (`ALTER TABLE … ADD/
+    // DROP/REPLACE PARTITION FIELD`) is a parser-extension production
+    // in Iceberg too — Spark's grammar has no such clause, so the
+    // statement is recognized ahead of the delegate and lowered onto
+    // Versioned.setSpec. See graft.plans.PartitionFieldDdl.
+    e.injectParser((_, delegate) => graft.plans.GraftSqlParser(delegate))
     // Band theta-joins (abs(a-b) <= c with no equi keys) become bucketed
     // equi-joins instead of cartesian products.
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)

@@ -947,7 +947,10 @@ object SparkEntry {
     // set_spec evolves to bucket(5, n_nationkey) as v3 and the next
     // insert (5 EVO rows) bucket-partitions; point readWhere on an
     // evolved key hits 1 row; clearing the spec makes the last insert
-    // unpartitioned; 31 rows, six versions.
+    // unpartitioned; then the ALTER TABLE … PARTITION FIELD DDL
+    // spelling (parser extension) drives one more evolution cycle —
+    // ADD bucket(3) (v7) + a bucketed insert (v8), REPLACE with
+    // identity (v9), DROP (v10); 32 rows, ten versions.
     "q45_ddl_partitioning" ->
       """SELECT CAST(1 AS BIGINT) AS ddl_spec_identity,
                 CAST(25 AS BIGINT) AS ins_rows,
@@ -964,8 +967,12 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS evo_point_rows,
                 CAST(30 AS BIGINT) AS evo_total_rows,
                 CAST(1 AS BIGINT) AS clear_plain,
-                CAST(31 AS BIGINT) AS final_rows,
-                CAST(6 AS BIGINT) AS final_version""",
+                CAST(1 AS BIGINT) AS ddl_add_spec,
+                CAST(1 AS BIGINT) AS ddl_add_layout,
+                CAST(1 AS BIGINT) AS ddl_replace_spec,
+                CAST(1 AS BIGINT) AS ddl_drop_clear,
+                CAST(32 AS BIGINT) AS final_rows,
+                CAST(10 AS BIGINT) AS final_version""",
     // SQL time-travel gate: region (5 rows at every SF) as a 3-version
     // table — v1 commit 3 rows, v2 append 2, v3 ONE atomic CDC batch
     // (upsert key 0 + merge-on-read delete of key 1); per-version

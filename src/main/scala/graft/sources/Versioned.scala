@@ -75,6 +75,13 @@ object Versioned {
     * may be reclaimed by a committer (see [[commit]]). */
   val ReclaimGraceMs: Long = 60 * 1000L
 
+  /** Diagnostic counter for per-file parquet footer opens on the
+    * DRIVER (the fallback path when a stats sidecar can't answer) —
+    * lets tests assert that metadata tables over stats-carrying
+    * snapshots stay O(versions), never O(files). */
+  private[graft] val footerOpenCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Thrown by the commit protocol when a concurrent committer claimed
     * the version slot first. The losing operation published NOTHING —
     * the table is unchanged for it — so any operation whose outcome
@@ -632,6 +639,7 @@ object Versioned {
         df.limit(0).write.mode("overwrite").parquet(stage.toString)
       }
       if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
+      else writeCountStats(spark, f, stage)
     } else f.mkdirs(stage) // metadata-only commit (rollback, tombstone)
     if (clearSpec) {
       // [[setSpec]]'s explicit clear: the sentinel stops
@@ -3203,9 +3211,14 @@ object Versioned {
     * metadata-table analog: one row per distinct partition VALUE with
     * its file count, physical row count, and total bytes — the first
     * table an operator checks for skew, and the input to targeted
-    * compaction. Derived from the manifest listing plus parquet
-    * FOOTERS (row counts) — metadata-scale driver I/O, no data page
-    * is read. Counts are PHYSICAL per-file rows: merge-on-read
+    * compaction. Row counts come from each version root's `_stats.tsv`
+    * sidecar (`cnt__all`, persisted at write time — Iceberg serves the
+    * same number from manifest `record_count` for the same reason):
+    * one sidecar read per LINKED VERSION, not one parquet footer open
+    * per FILE, so the rollup stays O(versions) driver I/O at any file
+    * count. Files whose root has no sidecar (stats-less commits,
+    * pre-v2 sidecars without counts) fall back to a footer open —
+    * degrade, never lie. Counts are PHYSICAL per-file rows: merge-on-read
     * tombstones are NOT applied (the same contract as Iceberg's
     * partitions table, which reports manifest record counts).
     * The partition value renders as the hive path segment with the
@@ -3220,24 +3233,35 @@ object Versioned {
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
     val conf = spark.sessionState.newHadoopConf()
-    val perFile = manifestLines(f, tableDir, v)
+    val files = manifestLines(f, tableDir, v)
       .filterNot(isDeleteLine)
       .flatMap(e => entryFiles(f, tableDir, e))
-      .map { rel =>
-        val part = rel.split("/").drop(1).dropRight(1)
-          .filter(_.contains("="))
-          .map(_.replaceFirst("^" + TransformPrefix, ""))
-          .mkString("/")
-        val p = new Path(tableDir, rel)
-        val rc = Try {
+    // one sidecar read per linked version root: StatRow.values carries
+    // the file's total row count (cnt__all) in format v2; -1 = unknown
+    val statRoots = files.map(_.takeWhile(_ != '/')).distinct
+    val sidecarCounts: Map[String, Long] = statRoots.flatMap { vroot =>
+      readStatsFile(spark, f, tableDir, vroot).collect {
+        case sr if sr.values >= 0L => s"$vroot/${sr.file}" -> sr.values
+      }
+    }.toMap
+    val perFile = files.map { rel =>
+      val part = rel.split("/").drop(1).dropRight(1)
+        .filter(_.contains("="))
+        .map(_.replaceFirst("^" + TransformPrefix, ""))
+        .mkString("/")
+      val p = new Path(tableDir, rel)
+      val rc = sidecarCounts.getOrElse(rel, {
+        footerOpenCount.incrementAndGet()
+        Try {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(p, conf))
           try r.getRecordCount finally r.close()
         }.getOrElse(0L)
-        (if (part.isEmpty) null else part, rc,
-          f.getFileStatus(p).getLen)
-      }
+      })
+      (if (part.isEmpty) null else part, rc,
+        f.getFileStatus(p).getLen)
+    }
     val rows = perFile.groupBy(_._1).toSeq.map { case (part, fls) =>
       (part, fls.size.toLong, fls.map(_._2).sum, fls.map(_._3).sum)
     }.sortBy(r => Option(r._1).getOrElse(""))
@@ -3516,6 +3540,25 @@ object Versioned {
       val clearPlain = !new java.io.File(s"$t/v=$v6").listFiles().toSeq
         .exists(f => f.isDirectory &&
           f.getName.startsWith(TransformPrefix))
+      // the ALTER TABLE … PARTITION FIELD DDL spelling (the parser
+      // extension, graft.plans.PartitionFieldDdl) drives the same
+      // evolution: ADD declares, the next insert adopts the layout,
+      // REPLACE swaps in one commit, DROP clears
+      s.sql(s"ALTER TABLE $g ADD PARTITION FIELD " +
+        "bucket(3, n_nationkey)") // v7
+      val ddlAdd = currentTransform(s, t)
+        .contains(Transform.Bucket(3, "n_nationkey"))
+      s.sql(s"INSERT INTO $g VALUES (1000, 1, 'DDL')") // v8
+      val v8 = currentVersion(s, t)
+      val ddlLayout = new java.io.File(s"$t/v=$v8").listFiles().toSeq
+        .exists(f => f.isDirectory &&
+          f.getName.startsWith(s"${TransformPrefix}bucket3_n_nationkey="))
+      s.sql(s"ALTER TABLE $g REPLACE PARTITION FIELD " +
+        "bucket(3, n_nationkey) WITH n_regionkey") // v9, identity
+      val ddlReplace = currentTransform(s, t)
+        .contains(Transform.Identity("n_regionkey"))
+      s.sql(s"ALTER TABLE $g DROP PARTITION FIELD n_regionkey") // v10
+      val ddlDrop = currentTransform(s, t).isEmpty
       // ONE batched action for the row-count probes
       def probe(tag: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).cast("long").as("a"))
@@ -3545,8 +3588,12 @@ object Versioned {
         lit(r("evo_point")).as("evo_point_rows"),
         lit(r("evo_total")).as("evo_total_rows"),
         lit(if (clearPlain) 1L else 0L).as("clear_plain"),
+        lit(if (ddlAdd) 1L else 0L).as("ddl_add_spec"),
+        lit(if (ddlLayout) 1L else 0L).as("ddl_add_layout"),
+        lit(if (ddlReplace) 1L else 0L).as("ddl_replace_spec"),
+        lit(if (ddlDrop) 1L else 0L).as("ddl_drop_clear"),
         lit(r("fin")).as("final_rows"),
-        lit(v6.toLong).as("final_version"))
+        lit(currentVersion(s, t).toLong).as("final_version"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
@@ -4005,6 +4052,21 @@ object Versioned {
     * `\N` = null) as strings next to their catalog type and cast back
     * for pruning comparisons (timestamps as TZ-independent epoch
     * micros, see [[statsRoundTrips]]). */
+  /** The stage's freshly written DATA files (absolute path strings);
+    * sidecar/tombstone dirs are not data. */
+  private def stagedDataFiles(f: FileSystem, stage: Path): Seq[String] = {
+    val it = f.listFiles(stage, /*recursive=*/ true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet") &&
+        p.getParent.getName != StatsDir &&
+        p.getParent.getName != DeletesDir &&
+        p.getParent.getName != PosDeletesDir) buf += p.toString
+    }
+    buf.toSeq
+  }
+
   private def writeStats(spark: SparkSession, f: FileSystem,
       stage: Path, statsCols: Seq[String]): Unit = {
     // scan by explicit file paths under a basePath: the dot-hidden
@@ -4012,18 +4074,7 @@ object Versioned {
     // ignored" WARN (hidden-path filter), and an EMPTY stage (a merge
     // that deleted every rewritten row) must no-op, not fail schema
     // inference
-    val dataFiles = {
-      val it = f.listFiles(stage, /*recursive=*/ true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val p = it.next().getPath
-        if (p.getName.endsWith(".parquet") &&
-          p.getParent.getName != StatsDir &&
-          p.getParent.getName != DeletesDir &&
-          p.getParent.getName != PosDeletesDir) buf += p.toString
-      }
-      buf.toSeq
-    }
+    val dataFiles = stagedDataFiles(f, stage)
     if (dataFiles.isEmpty) return
     val data = spark.read.option("basePath", stage.toString)
       .parquet(dataFiles: _*)
@@ -4065,6 +4116,11 @@ object Versioned {
           nulls = total - r.getAs[Long](s"cnt__$c"), values = total)
       }
     }
+    writeStatsTsv(f, stage, rows.toSeq)
+  }
+
+  private def writeStatsTsv(f: FileSystem, stage: Path,
+      rows: Seq[StatRow]): Unit = {
     def enc0(s: String) =
       if (s == null) "\\N" else java.net.URLEncoder.encode(s, "UTF-8")
     val out = f.create(new Path(stage, StatsFile), false)
@@ -4074,6 +4130,54 @@ object Versioned {
         Seq(sr.nulls.toString, sr.values.toString))
         .mkString("\t")).mkString("\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Count-only sidecar for commits WITHOUT declared `statsCols`:
+    * every data commit persists per-file `cnt__all` (Iceberg's
+    * manifest `record_count`), so metadata tables ([[partitions]])
+    * answer row counts in O(versions) sidecar reads instead of
+    * O(files) footer opens — the difference between a dashboard query
+    * and a 10⁶-file driver walk at warehouse scale. Counts come from
+    * the freshly staged DELTA's parquet footers, read driver-side on
+    * a small pool (no Spark job, no data pages — the same move
+    * Iceberg's writers make when they report record counts into the
+    * manifest). The pseudo-row encodes as column name "" with null
+    * bounds: [[readWhereAllImpl]] filters stat rows by REAL column
+    * names, so count rows can never affect pruning. Best-effort — a
+    * failed footer read degrades that file to the read-time fallback,
+    * never fails the commit. */
+  private def writeCountStats(spark: SparkSession, f: FileSystem,
+      stage: Path): Unit = {
+    val dataFiles = stagedDataFiles(f, stage)
+    if (dataFiles.isEmpty) return
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sessionState.newHadoopConf())
+    // stage-relative paths via the stage dir NAME (as writeStats does):
+    // robust to the listing returning qualified absolute paths while
+    // the table was opened through a relative path
+    val stageName = stage.getName
+    val pool = new java.util.concurrent.ForkJoinPool(
+      math.min(16, dataFiles.size))
+    try {
+      import scala.collection.parallel.CollectionConverters._
+      val par = dataFiles.par
+      par.tasksupport =
+        new scala.collection.parallel.ForkJoinTaskSupport(pool)
+      val counted = par.flatMap { fl =>
+        Try {
+          val p = new Path(fl)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(p, conf))
+          val n = try r.getRecordCount finally r.close()
+          val full = p.toUri.getPath
+          val i = full.indexOf(stageName)
+          val rel = full.substring(i + stageName.length + 1)
+          StatRow(rel, "", "", null, null, nulls = 0L, values = n)
+        }.toOption
+      }.seq
+      if (counted.nonEmpty) writeStatsTsv(f, stage, counted.toSeq)
+    } finally pool.shutdown()
   }
 
   /** Parse a version root's `_stats.tsv` sidecar (driver-side, no

@@ -315,6 +315,51 @@ class DdlPartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown transform"))
   }
 
+  test("ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD drives evolution") {
+    import spark.implicits._
+    val (t, g) = fresh("alter_field")
+    spark.sql(s"CREATE TABLE $g (id INT, ts TIMESTAMP_NTZ)")
+    assert(Versioned.currentTransform(spark, t).isEmpty)
+    // ADD: the Iceberg spelling, lowered onto setSpec
+    spark.sql(s"ALTER TABLE $g ADD PARTITION FIELD days(ts)")
+    assert(Versioned.currentTransform(spark, t)
+      .contains(Versioned.Transform.Days("ts")))
+    (0 until 48).map(h => (h, java.sql.Timestamp.valueOf(
+      f"2024-06-${1 + h / 24}%02d ${h % 24}%02d:00:00")))
+      .toDF("id", "ts").createOrReplaceTempView("alter_field_src")
+    spark.sql(s"INSERT INTO $g SELECT * FROM alter_field_src")
+    assert(new java.io.File(s"$t/v=3/gpart_days_ts=2024-06-02")
+      .isDirectory)
+    // single-field specs: a second ADD refuses with the REPLACE hint
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g ADD PARTITION FIELD months(ts)")
+    }
+    assert(dup.getMessage.contains("REPLACE"))
+    // REPLACE names the current field and swaps in one commit;
+    // internal whitespace is legal (`bucket(8, id)`)
+    spark.sql(
+      s"ALTER TABLE $g REPLACE PARTITION FIELD days(ts) WITH bucket(8, id)")
+    assert(Versioned.currentTransform(spark, t)
+      .contains(Versioned.Transform.Bucket(8, "id")))
+    // DROP must name the live field (Iceberg's cannot-find contract)
+    val miss = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g DROP PARTITION FIELD days(ts)")
+    }
+    assert(miss.getMessage.contains("bucket"))
+    spark.sql(s"ALTER TABLE $g DROP PARTITION FIELD bucket(8,id)")
+    assert(Versioned.currentTransform(spark, t).isEmpty)
+    // old files kept their day layout; new writes land unpartitioned
+    spark.sql(s"INSERT INTO $g VALUES (99, TIMESTAMP_NTZ'2024-06-09 01:00:00')")
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 49)
+    // a bare column is identity shorthand
+    spark.sql(s"ALTER TABLE $g ADD PARTITION FIELD id")
+    assert(Versioned.currentTransform(spark, t)
+      .contains(Versioned.Transform.Identity("id")))
+    // Spark's own ALTER TABLE grammar still reaches the delegate
+    spark.sql(s"ALTER TABLE $g ADD COLUMNS (note STRING)")
+    assert(spark.table(g).columns.contains("note"))
+  }
+
   test(".partitions metadata table rolls up rows/files/bytes per value") {
     import spark.implicits._
     val (t, g) = fresh("partitions_meta")
@@ -324,6 +369,10 @@ class DdlPartitionSpec extends SparkSpec {
       f"2024-06-${1 + h / 24}%02d ${h % 24}%02d:00:00")))
       .toDF("id", "ts").createOrReplaceTempView("ddl_pmeta_src")
     spark.sql(s"INSERT INTO $g SELECT * FROM ddl_pmeta_src")
+    // row counts must come from the commit-time count sidecars —
+    // O(versions) driver I/O — not from per-file footer opens, which
+    // would be O(files) sequential driver reads at warehouse scale
+    val footerOpens0 = Versioned.footerOpenCount.get()
     val allRows = spark.sql(
         s"SELECT * FROM $g.partitions ORDER BY partition")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -361,5 +410,8 @@ class DdlPartitionSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(mixed.head._1 == null)
     assert(mixed.map(_._2).sum == 73L)
+    assert(Versioned.footerOpenCount.get() == footerOpens0,
+      "stats-carrying snapshots must serve .partitions row counts " +
+        "from the sidecar, never from driver-side footer opens")
   }
 }
