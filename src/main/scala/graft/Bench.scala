@@ -41,7 +41,20 @@ object Bench {
     case class M(sec: Double, shuffleBytes: Long, peakMem: Long,
         spill: Long, scanRows: Long)
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // SPARK_GRAFT_BENCH_ONLY=q02,q04 (prefix match) isolates a warm
+    // subset run for noise-vs-regression triage — a 30-second answer
+    // instead of a full sweep. Unset = every query, unchanged.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(n =>
+      only.forall(_.exists(n.startsWith)))
+    only.foreach { o =>
+      val unmatched = o.filterNot(p => names.exists(_.startsWith(p)))
+      if (unmatched.nonEmpty) System.err.println(
+        s"[bench] SPARK_GRAFT_BENCH_ONLY entries matched nothing: " +
+          unmatched.mkString(", "))
+    }
     val results = names.map { name =>
       try {
         runOnce(name) // warmup

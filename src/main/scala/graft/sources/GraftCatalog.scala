@@ -49,9 +49,34 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * swap, not the file writes. */
 final class GraftVersionedTable(val tableDir: String,
     val snapshotVersion: Int, tableSchema: StructType,
-    displayName: String) extends Table with SupportsWrite {
+    displayName: String,
+    declaredSpec: () => Option[Versioned.Transform] = () => None)
+    extends Table with SupportsWrite {
   override def name(): String = displayName
   override def schema(): StructType = tableSchema
+  /** The table's CURRENT declared partition spec as DSv2 transforms,
+    * so `DESCRIBE [EXTENDED]` and `SHOW CREATE TABLE` print
+    * `PARTITIONED BY (...)` — the SQL user evolving specs sees the
+    * live declaration without spelunking `.partitions` layouts or
+    * `_tspec` internals. Lazy: resolved on first ask (DESCRIBE-style
+    * commands), free on the hot read/write path. */
+  override def partitioning():
+      Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitioningLazy
+  private lazy val partitioningLazy:
+      Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    declaredSpec().map {
+      case Versioned.Transform.Identity(c) => Expressions.identity(c)
+      case Versioned.Transform.Years(c) => Expressions.years(c)
+      case Versioned.Transform.Months(c) => Expressions.months(c)
+      case Versioned.Transform.Days(c) => Expressions.days(c)
+      case Versioned.Transform.Hours(c) => Expressions.hours(c)
+      case Versioned.Transform.Bucket(n, c) => Expressions.bucket(n, c)
+      case Versioned.Transform.Truncate(w, c) => Expressions.apply(
+        "truncate", Expressions.literal(w), Expressions.column(c))
+    }.toArray
+  }
   override def capabilities(): util.Set[TableCapability] =
     // AUTOMATIC_SCHEMA_EVOLUTION opts into MERGE ... WITH SCHEMA
     // EVOLUTION only: the analyzer routes missing source columns
@@ -335,7 +360,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           sc
         }
     }
-    new GraftVersionedTable(dir, v, schema, display(ident))
+    new GraftVersionedTable(dir, v, schema, display(ident),
+      () => Versioned.currentTransform(spark, dir))
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)

@@ -4441,8 +4441,30 @@ object Versioned {
         // when the derived column physically materializes — otherwise
         // scan the (empty or legacy) root in full: degrade, never
         // fail the read on an unresolvable hidden column.
+        //
+        // Identity guard: hive partition-path type INFERENCE is lossy
+        // for numeric-looking STRING values — '01' writes path
+        // `gpart_id_x=01`, the whole directory column infers as int 1,
+        // and casting back renders '1', so the identity predicate
+        // ('1' between '01' and '01' = false) would apply as an
+        // UNDER-approximating ROW FILTER and silently drop matching
+        // rows — wrong results, not just lost pruning. Prune only when
+        // the materialized dtype proves the path value round-trips:
+        // either inference agreed with the written dtype, or the
+        // written dtype renders canonically (non-string). A lossy root
+        // degrades to its full scan; the exact source-column filter in
+        // `pred` below still applies.
+        def identityLossy(partCol: String): Boolean =
+          specs(vroot).exists { case (t, dt, _) =>
+            t.isInstanceOf[Transform.Identity] &&
+              (dt == "string" || dt.startsWith("varchar") ||
+                dt.startsWith("char")) &&
+              s.schema(partCol).dataType !=
+                org.apache.spark.sql.types.StringType
+          }
         val pruned = partPred(vroot, rn) match {
-          case Some((pp, partCol)) if s.columns.contains(partCol) =>
+          case Some((pp, partCol)) if s.columns.contains(partCol) &&
+              !identityLossy(partCol) =>
             s.filter(pp)
           case _ => s
         }

@@ -164,19 +164,53 @@ private final class ChangeStreamSource(sqlContext: SQLContext,
 
   override def schema: StructType = out
 
+  // (root mtime, version) of the last FULL version probe — getOffset
+  // fires every trigger, and an idle sub-second-trigger stream was
+  // paying one directory listing per tick. When the table root's
+  // mtime has been stable for [[ChangeStreamSource.MtimeStableMs]],
+  // the cached version is provably current (any commit publishes a
+  // marker into the root, bumping its mtime on posix/HDFS semantics);
+  // a RECENT mtime — inside timestamp granularity of a racing commit
+  // — always re-lists, and stores without meaningful directory mtimes
+  // (mtime <= 0, the S3A synthetic-prefix shape) never memoize.
+  // Staleness cost is bounded either way: a missed tick only delays
+  // the range to the next trigger, never skips it.
+  private var verMemo: (Long, Int) = (-1L, -1)
+
+  private def probeVersion(): Int = {
+    val mtime = try {
+      val p = new Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(p).getModificationTime
+    } catch { case _: Exception => -1L }
+    val stable = mtime > 0 && mtime == verMemo._1 && verMemo._2 >= 0 &&
+      System.currentTimeMillis() - mtime >
+        ChangeStreamSource.MtimeStableMs
+    if (stable) verMemo._2
+    else {
+      ChangeStreamSource.fullProbes.incrementAndGet()
+      val v = Versioned.currentVersion(spark, dir)
+      verMemo = (mtime, v)
+      v
+    }
+  }
+
   override def getOffset: Option[Offset] = {
-    // always report the table's latest version: the ENGINE owns the
-    // consumed-up-to state (its checkpointed offset), so gating on
-    // `anchor` here would wrongly suppress pending ranges. The anchor
-    // (persisted checkpoint state, read back by createSource) applies
-    // only to a fresh query's first getBatch(None, _) — where it may
-    // yield one empty batch that simply records the start position.
-    val cur = Versioned.currentVersion(spark, dir)
-    if (cur < 1) None else Some(LongOffset(cur.toLong))
+    // report the table's latest version PAST THE ANCHOR: the engine
+    // owns the consumed-up-to state (its checkpointed offset), but
+    // with startingVersion ahead of the table's current version an
+    // unclamped report would commit offsets INSIDE the range the user
+    // asked to skip, and later batches would deliver (cur, anchor].
+    // Below the anchor there is nothing deliverable — report None.
+    val cur = probeVersion()
+    if (cur < 1 || cur <= anchor) None else Some(LongOffset(cur.toLong))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val fromV = start.map(ver).getOrElse(anchor)
+    // clamp to the anchor: offsets recorded below it (a pre-clamp
+    // checkpoint, or a WAL replay racing an anchor bump) must never
+    // resurrect the skipped (offset, anchor] range
+    val fromV = math.max(start.map(ver).getOrElse(anchor), anchor)
     val toV = ver(end)
     // normalize to the declared schema (order + types): readChanges
     // unions per-channel frames, and the engine requires the batch
@@ -232,4 +266,16 @@ private final class ChangeStreamSource(sqlContext: SQLContext,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"GraftChangeStream[$dir]"
+}
+
+private[graft] object ChangeStreamSource {
+  /** How long a table root's mtime must have been stable before the
+    * memoized version is trusted — comfortably past filesystem
+    * timestamp granularity. */
+  private[graft] val MtimeStableMs = 1000L
+  /** Diagnostic: FULL version probes (directory listings) taken by
+    * getOffset across all sources — lets tests assert idle triggers
+    * cost O(1) listings, not one per tick. */
+  private[graft] val fullProbes =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }

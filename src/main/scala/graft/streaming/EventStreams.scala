@@ -46,9 +46,22 @@ object EventStreams {
   def readEvents(spark: SparkSession, dir: String,
       tsType: Option[org.apache.spark.sql.types.DataType] = None)
       : DataFrame = {
-    val onDisk = tsType.getOrElse(
-      Try(spark.read.parquet(dir).schema("ts").dataType)
-        .getOrElse(LongType))
+    // the Long-nanos fallback is ONLY for a missing/empty directory
+    // (stream declared before its producer's first file). A POPULATED
+    // directory that fails the sniff (transient FS fault, permissions)
+    // must rethrow: falling back there would silently lock the wrong
+    // schema into the stream definition and fail or 1000x-misread
+    // every micro-batch.
+    val onDisk = tsType.getOrElse {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+      val populated = f.exists(p) && f.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+      if (!populated) LongType
+      else spark.read.parquet(dir).schema("ts").dataType
+    }
     val raw = spark.readStream.schema(rawSchema(onDisk)).parquet(dir)
     onDisk match {
       // integral `div`, not `/`: double division is 256 ns coarse at

@@ -315,6 +315,36 @@ class DdlPartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown transform"))
   }
 
+  test("identity on numeric-looking strings never drops rows to type inference") {
+    import spark.implicits._
+    val (t, _) = fresh("identity_lossy")
+    // all-numeric path values ('01', '1', '20') make hive inference
+    // type the partition column INT; '01' then renders back as '1',
+    // so a naive cast-through predicate would silently drop the row
+    Versioned.commit(
+      Seq(("01", "a"), ("1", "b"), ("20", "c")).toDF("k", "v"), t,
+      transform = Some(Versioned.Transform.Identity("k")))
+    val hit = Versioned.readWhere(spark, t, "k", "01", "01")
+      .select("v").collect().map(_.getString(0)).toSeq
+    assert(hit == Seq("a"),
+      "identity readWhere must match the written string exactly")
+    // and the sibling value "1" is still distinct
+    assert(Versioned.readWhere(spark, t, "k", "1", "1")
+      .select("v").collect().map(_.getString(0)).toSeq == Seq("b"))
+    // a NON-numeric mix infers string and keeps real pruning: the
+    // predicate still applies (and stays correct)
+    val t2 = s"$work/identity_lossy2"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t2))
+    Versioned.commit(
+      Seq(("01", "a"), ("x9", "b")).toDF("k", "v"), t2,
+      transform = Some(Versioned.Transform.Identity("k")))
+    val rw = Versioned.readWhere(spark, t2, "k", "01", "01")
+    assert(rw.select("v").collect().map(_.getString(0)).toSeq == Seq("a"))
+    assert(rw.queryExecution.executedPlan.toString
+      .contains("gpart_id_k"), "string-inferred identity roots keep " +
+        "their partition-pruning predicate")
+  }
+
   test("ALTER TABLE ADD/DROP/REPLACE PARTITION FIELD drives evolution") {
     import spark.implicits._
     val (t, g) = fresh("alter_field")
@@ -358,6 +388,31 @@ class DdlPartitionSpec extends SparkSpec {
     // Spark's own ALTER TABLE grammar still reaches the delegate
     spark.sql(s"ALTER TABLE $g ADD COLUMNS (note STRING)")
     assert(spark.table(g).columns.contains("note"))
+  }
+
+  test("DESCRIBE and SHOW CREATE TABLE surface the declared spec") {
+    import spark.implicits._
+    val (t, g) = fresh("describe_spec")
+    spark.sql(s"CREATE TABLE $g (id INT, ts TIMESTAMP_NTZ) " +
+      "PARTITIONED BY (days(ts))")
+    val show = spark.sql(s"SHOW CREATE TABLE $g").head().getString(0)
+    assert(show.contains("PARTITIONED BY") && show.contains("days(ts)"),
+      s"SHOW CREATE TABLE must print the declared spec, got:\n$show")
+    val desc = spark.sql(s"DESCRIBE TABLE EXTENDED $g").collect()
+      .map(r => s"${r.getString(0)} ${r.getString(1)}").mkString("\n")
+    assert(desc.contains("days(ts)"),
+      s"DESCRIBE EXTENDED must print the declared spec, got:\n$desc")
+    // spec evolution updates the surfaced declaration
+    spark.sql(
+      s"ALTER TABLE $g REPLACE PARTITION FIELD days(ts) WITH bucket(4, id)")
+    val show2 = spark.sql(s"SHOW CREATE TABLE $g").head().getString(0)
+    assert(show2.contains("bucket(4, id)"),
+      s"evolved spec must surface, got:\n$show2")
+    spark.sql(s"ALTER TABLE $g DROP PARTITION FIELD bucket(4, id)")
+    val show3 = spark.sql(s"SHOW CREATE TABLE $g").head().getString(0)
+    assert(!show3.contains("PARTITIONED BY"),
+      s"a cleared spec must not print PARTITIONED BY, got:\n$show3")
+    assert(Versioned.currentVersion(spark, t) == 3)
   }
 
   test(".partitions metadata table rolls up rows/files/bytes per value") {

@@ -425,6 +425,74 @@ class StreamingSpec extends SparkSpec {
     } finally q3.stop()
   }
 
+  test("startingVersion ahead of the table is honored, not re-delivered") {
+    import graft.sources.Versioned
+    import spark.implicits._
+    val table = "target/tmp/stream-changes-future"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), table) // v1
+    Versioned.append(Seq((2, "b")).toDF("id", "v"), table) // v2
+    val abs = new java.io.File(table).getAbsolutePath
+    // ask to start at a version the table has not reached yet: the
+    // whole (current, startingVersion) window is a requested skip —
+    // an unclamped offset would commit at v2 and later deliver it
+    val q = spark.readStream.format("graft-changes")
+      .option("startingVersion", "5").load(abs)
+      .writeStream.format("memory").queryName("chg_future")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("chg_future").isEmpty)
+      Versioned.append(Seq((3, "c")).toDF("id", "v"), table) // v3
+      Versioned.append(Seq((4, "d")).toDF("id", "v"), table) // v4
+      q.processAllAvailable()
+      assert(spark.table("chg_future").isEmpty,
+        "versions below startingVersion must never deliver")
+      Versioned.append(Seq((5, "e")).toDF("id", "v"), table) // v5
+      q.processAllAvailable()
+      val got = spark.table("chg_future")
+        .select("id", Versioned.CommitVersionCol)
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+      assert(got == Set((5, 5)), s"expected exactly v5's change, got $got")
+    } finally q.stop()
+  }
+
+  test("idle triggers memoize the version probe: O(1) listings, not per tick") {
+    import graft.sources.Versioned
+    import graft.streaming.ChangeStreamSource
+    import spark.implicits._
+    val table = "target/tmp/stream-changes-idle"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), table)
+    val abs = new java.io.File(table).getAbsolutePath
+    val q = spark.readStream.format("graft-changes").load(abs)
+      .writeStream.format("memory").queryName("chg_idle")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      // let the table root's mtime pass the stability window, then
+      // measure: ~40 idle triggers must coalesce into O(1) full probes
+      Thread.sleep(ChangeStreamSource.MtimeStableMs + 500)
+      val before = ChangeStreamSource.fullProbes.get()
+      Thread.sleep(2000)
+      val delta = ChangeStreamSource.fullProbes.get() - before
+      assert(delta <= 3,
+        s"idle stream paid $delta directory listings in 2s of 50ms " +
+          "triggers — the version probe memo is not engaging")
+      // and a new commit still lands: staleness is bounded by a tick
+      Versioned.append(Seq((2, "b")).toDF("id", "v"), table)
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis() + 20000
+      while (spark.table("chg_idle").count() < 1 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(spark.table("chg_idle").select("id")
+        .collect().map(_.getInt(0)).toSet == Set(2))
+    } finally q.stop()
+  }
+
   test("spark.readStream.table streams a versioned table's appends") {
     import graft.sources.Versioned
     import spark.implicits._
