@@ -76,14 +76,13 @@ object PartitionFieldDdl {
   }
 }
 
-/** `expect` = the field the statement names as CURRENT (DROP/REPLACE
-  * verify it against the live spec); `next` = the spec after the commit
-  * (None = unpartitioned). ADD is (expect=None, next=Some). */
-case class AlterPartitionFieldCommand(parts: Seq[String],
-    expect: Option[Versioned.Transform],
-    next: Option[Versioned.Transform]) extends LeafRunnableCommand {
-
-  private def tableDir(spark: SparkSession): String = {
+private[plans] object GraftDdl {
+  /** Resolve a multipart table ident to the graft table's directory
+    * through the session's own catalog machinery (so `graft.db.t`,
+    * `graft.`/abs/dir``, and current-catalog shorthand all resolve
+    * exactly as reads do). */
+  def tableDir(spark: SparkSession, parts: Seq[String],
+      what: String): String = {
     val cm = spark.sessionState.catalogManager
     val (cat, rest) =
       if (parts.length > 1 && Try(cm.catalog(parts.head)).isSuccess)
@@ -97,13 +96,22 @@ case class AlterPartitionFieldCommand(parts: Seq[String],
     tc.loadTable(Identifier.of(rest.init.toArray, rest.last)) match {
       case g: GraftVersionedTable => g.tableDir
       case _ => throw new UnsupportedOperationException(
-        s"ALTER TABLE … PARTITION FIELD needs a graft versioned " +
-          s"table; ${parts.mkString(".")} is not one")
+        s"$what needs a graft versioned table; " +
+          s"${parts.mkString(".")} is not one")
     }
   }
+}
+
+/** `expect` = the field the statement names as CURRENT (DROP/REPLACE
+  * verify it against the live spec); `next` = the spec after the commit
+  * (None = unpartitioned). ADD is (expect=None, next=Some). */
+case class AlterPartitionFieldCommand(parts: Seq[String],
+    expect: Option[Versioned.Transform],
+    next: Option[Versioned.Transform]) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    val dir = tableDir(spark)
+    val dir = GraftDdl.tableDir(spark, parts,
+      "ALTER TABLE … PARTITION FIELD")
     val cur = Versioned.currentTransform(spark, dir)
     val name = parts.mkString(".")
     (expect, next) match {
@@ -134,15 +142,17 @@ case class AlterPartitionFieldCommand(parts: Seq[String],
   }
 }
 
-/** Delegating session parser: PARTITION FIELD statements lower to
-  * [[AlterPartitionFieldCommand]]; every other string — plans,
-  * expressions, identifiers, schemas — passes to Spark's parser
-  * untouched (errors included, so diagnostics stay Spark's). */
+/** Delegating session parser for the engine's Iceberg-extension DDL:
+  * PARTITION FIELD statements lower to [[AlterPartitionFieldCommand]],
+  * branch/tag statements to [[RefDdl]]'s commands; every other string
+  * — plans, expressions, identifiers, schemas — passes to Spark's
+  * parser untouched (errors included, so diagnostics stay Spark's). */
 case class GraftSqlParser(delegate: ParserInterface)
     extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
     PartitionFieldDdl.parse(sqlText, delegate)
+      .orElse(RefDdl.parse(sqlText, delegate))
       .getOrElse(delegate.parsePlan(sqlText))
   @throws[ParseException]
   override def parseExpression(sqlText: String): Expression =

@@ -1,0 +1,97 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+import graft.sources.Versioned
+
+/** The Iceberg branch/tag DDL spellings over the engine's named-ref
+  * surface ([[Versioned.createBranch]]/[[Versioned.tag]] and their
+  * drops — the same operations `CALL graft.system.create_branch` /
+  * `create_tag` / `drop_branch` drive):
+  *
+  *   ALTER TABLE t CREATE BRANCH [IF NOT EXISTS] audit [AS OF VERSION 3]
+  *   ALTER TABLE t CREATE [OR REPLACE] TAG golden [AS OF VERSION 3]
+  *   ALTER TABLE t DROP BRANCH [IF EXISTS] audit
+  *   ALTER TABLE t DROP TAG [IF EXISTS] golden
+  *
+  * Like PARTITION FIELD ([[PartitionFieldDdl]]) these are Iceberg
+  * SQL-extension productions Spark's grammar does not know, so the
+  * delegating parser recognizes them ahead of the delegate. Existence
+  * semantics are Iceberg's: bare CREATE refuses an existing name
+  * (the engine's tag() re-pins silently — the DDL adds the check),
+  * OR REPLACE moves it, IF NOT EXISTS no-ops; bare DROP refuses a
+  * missing name, IF EXISTS no-ops. */
+object RefDdl {
+
+  private val CreateRe =
+    ("(?is)\\s*ALTER\\s+TABLE\\s+(.+?)\\s+CREATE\\s+(OR\\s+REPLACE\\s+)?" +
+      "(BRANCH|TAG)\\s+(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z0-9_\\-`]+)" +
+      "(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*;?\\s*").r
+  private val DropRe =
+    ("(?is)\\s*ALTER\\s+TABLE\\s+(.+?)\\s+DROP\\s+(BRANCH|TAG)\\s+" +
+      "(IF\\s+EXISTS\\s+)?([A-Za-z0-9_\\-`]+)\\s*;?\\s*").r
+
+  private def clean(name: String): String = name.replace("`", "")
+
+  def parse(sqlText: String,
+      delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
+    case CreateRe(tbl, orReplace, kind, ifNotExists, name, version) =>
+      require(orReplace == null || ifNotExists == null,
+        "CREATE OR REPLACE and IF NOT EXISTS cannot combine")
+      Some(CreateRefCommand(delegate.parseMultipartIdentifier(tbl),
+        branch = kind.equalsIgnoreCase("branch"), clean(name),
+        version = Option(version).map(_.toInt),
+        replace = orReplace != null, ifNotExists = ifNotExists != null))
+    case DropRe(tbl, kind, ifExists, name) =>
+      Some(DropRefCommand(delegate.parseMultipartIdentifier(tbl),
+        branch = kind.equalsIgnoreCase("branch"), clean(name),
+        ifExists = ifExists != null))
+    case _ => None
+  }
+}
+
+case class CreateRefCommand(parts: Seq[String], branch: Boolean,
+    refName: String, version: Option[Int], replace: Boolean,
+    ifNotExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val what = if (branch) "BRANCH" else "TAG"
+    val dir = GraftDdl.tableDir(spark, parts, s"ALTER TABLE … $what")
+    val exists =
+      if (branch) Versioned.branches(spark, dir).contains(refName)
+      else Versioned.tags(spark, dir).contains(refName)
+    if (exists && ifNotExists) return Seq.empty
+    if (exists && !replace) throw new IllegalStateException(
+      s"$what '$refName' already exists on ${parts.mkString(".")} — " +
+        s"CREATE OR REPLACE $what moves it, IF NOT EXISTS no-ops")
+    if (branch) {
+      // a branch name is a LINEAGE: replace = drop the old incarnation
+      // (its unpublished commits stay generation-fenced) + fresh create
+      if (exists) Versioned.dropBranch(spark, dir, refName)
+      Versioned.createBranch(spark, dir, refName, at = version)
+    } else Versioned.tag(spark, dir, refName, version = version)
+    Seq.empty
+  }
+}
+
+case class DropRefCommand(parts: Seq[String], branch: Boolean,
+    refName: String, ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val what = if (branch) "BRANCH" else "TAG"
+    val dir = GraftDdl.tableDir(spark, parts, s"ALTER TABLE … $what")
+    val exists =
+      if (branch) Versioned.branches(spark, dir).contains(refName)
+      else Versioned.tags(spark, dir).contains(refName)
+    if (!exists) {
+      if (ifExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"$what '$refName' does not exist on ${parts.mkString(".")} — " +
+          s"DROP $what IF EXISTS no-ops")
+    }
+    if (branch) Versioned.dropBranch(spark, dir, refName)
+    else Versioned.dropTag(spark, dir, refName)
+    Seq.empty
+  }
+}

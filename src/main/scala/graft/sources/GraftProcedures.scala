@@ -195,6 +195,19 @@ object GraftProcedures {
             if (s == "none") None
             else Some(Versioned.Transform.parse(s))))
         })
+      case "collect_stats" => new Proc("collect_stats",
+        "backfill stats sidecars for linked version roots missing " +
+          "them (counts always; min/max for cols => 'a,b') — upgrades " +
+          "legacy tables to O(versions) metadata queries and pruning " +
+          "without rewriting data",
+        Seq(p("table", StringType), p("cols", StringType, Some("''"))),
+        StructType(Seq(StructField("roots_updated", IntegerType,
+          nullable = false))),
+        a => {
+          val cols = Option(a(1)).map(_.asInstanceOf[String]).getOrElse("")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          Seq(Versioned.collectStats(spark, dir(a(0)), cols))
+        })
       case "drop_branch" => new Proc("drop_branch",
         "delete a branch pin (its unpublished commits stay fenced)",
         Seq(p("table", StringType), p("name", StringType)),
@@ -212,5 +225,5 @@ object GraftProcedures {
   val names: Seq[String] = Seq("compact", "compact_small",
     "compact_deletes", "vacuum", "expire_snapshots", "rollback",
     "create_tag", "create_branch", "fast_forward", "drop_branch",
-    "set_spec")
+    "set_spec", "collect_stats")
 }

@@ -4069,17 +4069,26 @@ object Versioned {
 
   private def writeStats(spark: SparkSession, f: FileSystem,
       stage: Path, statsCols: Seq[String]): Unit = {
+    val rows = statRowsFor(spark, f, stage, statsCols)
+    if (rows.nonEmpty) writeStatsTsv(f, stage, rows)
+  }
+
+  /** Harvest per-file (min, max, counts) rows for `statsCols` from a
+    * version root (or staging dir) — the Spark-scan leg of
+    * [[writeStats]], also reused by [[collectStats]]' backfill. */
+  private def statRowsFor(spark: SparkSession, f: FileSystem,
+      stage: Path, statsCols: Seq[String]): Seq[StatRow] = {
     // scan by explicit file paths under a basePath: the dot-hidden
     // stage dir as a scan root logs a spurious "All paths were
     // ignored" WARN (hidden-path filter), and an EMPTY stage (a merge
     // that deleted every rewritten row) must no-op, not fail schema
     // inference
     val dataFiles = stagedDataFiles(f, stage)
-    if (dataFiles.isEmpty) return
+    if (dataFiles.isEmpty) return Nil
     val data = spark.read.option("basePath", stage.toString)
       .parquet(dataFiles: _*)
     val present = statsCols.filter(data.columns.contains)
-    if (present.isEmpty) return
+    if (present.isEmpty) return Nil
     present.foreach { c =>
       val dt = data.schema(c).dataType
       require(statsRoundTrips(dt), s"statsCols column '$c' has type " +
@@ -4116,20 +4125,23 @@ object Versioned {
           nulls = total - r.getAs[Long](s"cnt__$c"), values = total)
       }
     }
-    writeStatsTsv(f, stage, rows.toSeq)
+    rows.toSeq
+  }
+
+  private def statsTsvBytes(rows: Seq[StatRow]): Array[Byte] = {
+    def enc0(s: String) =
+      if (s == null) "\\N" else java.net.URLEncoder.encode(s, "UTF-8")
+    // format v2: v1's five fields plus null_count and value_count
+    rows.map(sr =>
+      (Seq(sr.file, sr.col, sr.dtype, sr.minV, sr.maxV).map(enc0) ++
+        Seq(sr.nulls.toString, sr.values.toString))
+        .mkString("\t")).mkString("\n").getBytes("UTF-8")
   }
 
   private def writeStatsTsv(f: FileSystem, stage: Path,
       rows: Seq[StatRow]): Unit = {
-    def enc0(s: String) =
-      if (s == null) "\\N" else java.net.URLEncoder.encode(s, "UTF-8")
     val out = f.create(new Path(stage, StatsFile), false)
-    // format v2: v1's five fields plus null_count and value_count
-    try out.write(rows.map(sr =>
-      (Seq(sr.file, sr.col, sr.dtype, sr.minV, sr.maxV).map(enc0) ++
-        Seq(sr.nulls.toString, sr.values.toString))
-        .mkString("\t")).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+    try out.write(statsTsvBytes(rows)) finally out.close()
   }
 
   /** Count-only sidecar for commits WITHOUT declared `statsCols`:
@@ -4148,8 +4160,16 @@ object Versioned {
     * never fails the commit. */
   private def writeCountStats(spark: SparkSession, f: FileSystem,
       stage: Path): Unit = {
+    val rows = countRowsFor(spark, f, stage)
+    if (rows.nonEmpty) writeStatsTsv(f, stage, rows)
+  }
+
+  /** The footer-pool harvest behind [[writeCountStats]], reused by
+    * [[collectStats]]' backfill. */
+  private def countRowsFor(spark: SparkSession, f: FileSystem,
+      stage: Path): Seq[StatRow] = {
     val dataFiles = stagedDataFiles(f, stage)
-    if (dataFiles.isEmpty) return
+    if (dataFiles.isEmpty) return Nil
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sessionState.newHadoopConf())
     // stage-relative paths via the stage dir NAME (as writeStats does):
@@ -4176,8 +4196,72 @@ object Versioned {
           StatRow(rel, "", "", null, null, nulls = 0L, values = n)
         }.toOption
       }.seq
-      if (counted.nonEmpty) writeStatsTsv(f, stage, counted.toSeq)
+      counted.toSeq
     } finally pool.shutdown()
+  }
+
+  /** Backfill stats sidecars for the snapshot's LINKED version roots
+    * that lack them — the maintenance move that upgrades a
+    * pre-round-11 (or foreign-written) table to O(versions) metadata
+    * queries and, with `statsCols`, to min/max file pruning, without
+    * rewriting a single data file (sidecars are derived caches, so
+    * adding one to a published root preserves snapshot immutability
+    * where it matters: data and manifests). Per root:
+    *
+    *   - no usable row counts and no `statsCols` asked → count-only
+    *     rows (driver footer pool, same as commit-time);
+    *   - `statsCols` asked and any is missing → a full Spark harvest
+    *     for those columns (the commit-time writeStats scan);
+    *   - already covered → untouched.
+    *
+    * Existing rows for OTHER columns are preserved (a backfill must
+    * never lose pruning the table already paid for). Publication is
+    * write-tmp-then-swap; a reader in the swap window sees a missing
+    * sidecar and degrades to a full scan — never a torn lie
+    * ([[readStatsFile]] additionally voids any malformed read).
+    * Returns the number of roots updated. */
+  def collectStats(spark: SparkSession, tableDir: String,
+      statsCols: Seq[String] = Nil): Int = {
+    val v = currentVersion(spark, tableDir)
+    require(v > 0, s"no committed version at $tableDir")
+    val f = fs(spark, tableDir)
+    val roots = manifestLines(f, tableDir, v)
+      .filterNot(isDeleteLine)
+      .flatMap(e => entryFiles(f, tableDir, e))
+      .map(_.takeWhile(_ != '/')).distinct
+    var updated = 0
+    roots.foreach { vroot =>
+      val existing = readStatsFile(spark, f, tableDir, vroot)
+      val haveCounts = existing.exists(_.values >= 0L)
+      val missingCols = statsCols.filterNot(c => existing.exists(_.col == c))
+      val root = new Path(tableDir, vroot)
+      val harvested =
+        if (missingCols.nonEmpty) statRowsFor(spark, f, root, missingCols)
+        else Nil
+      val fresh: Seq[StatRow] =
+        if (harvested.nonEmpty) harvested // rows carry counts too
+        else if (!haveCounts) countRowsFor(spark, f, root)
+        else Nil
+      if (fresh.nonEmpty) {
+        // fresh rows carry counts; drop superseded count-only
+        // pseudo-rows but keep every real-column row not recomputed
+        val kept = existing.filter(sr =>
+          sr.col.nonEmpty && !missingCols.contains(sr.col))
+        val target = new Path(root, StatsFile)
+        val tmp = new Path(root,
+          s".$StatsFile.tmp-${java.util.UUID.randomUUID()}")
+        val out = f.create(tmp, false)
+        try out.write(statsTsvBytes(kept ++ fresh)) finally out.close()
+        if (f.exists(target)) f.delete(target, false)
+        if (!f.rename(tmp, target)) {
+          f.delete(tmp, false)
+          throw new IllegalStateException(
+            s"cannot publish stats sidecar at $root")
+        }
+        updated += 1
+      }
+    }
+    updated
   }
 
   /** Parse a version root's `_stats.tsv` sidecar (driver-side, no

@@ -102,6 +102,85 @@ class ProcedureSpec extends SparkSpec {
       .head().getLong(0) == 1)
   }
 
+  test("ALTER TABLE CREATE/DROP BRANCH and TAG DDL spellings") {
+    import spark.implicits._
+    val (t, abs) = fresh("ddl_refs")
+    val g = s"graft.`$abs`"
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
+    Versioned.append(Seq((2, "b")).toDF("id", "v"), t)
+    // tags: AS OF VERSION pins, bare CREATE refuses an existing name,
+    // OR REPLACE moves it, IF NOT EXISTS no-ops
+    spark.sql(s"ALTER TABLE $g CREATE TAG golden AS OF VERSION 1")
+    assert(spark.sql(s"SELECT count(*) FROM $g VERSION AS OF 'golden'")
+      .head().getLong(0) == 1)
+    val dup = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g CREATE TAG golden")
+    }
+    assert(dup.getMessage.contains("OR REPLACE"))
+    spark.sql(s"ALTER TABLE $g CREATE TAG IF NOT EXISTS golden") // no-op
+    spark.sql(s"ALTER TABLE $g CREATE OR REPLACE TAG golden AS OF VERSION 2")
+    assert(spark.sql(s"SELECT count(*) FROM $g VERSION AS OF 'golden'")
+      .head().getLong(0) == 2)
+    // branches: create + branch write + WAP publish path stays intact
+    spark.sql(s"ALTER TABLE $g CREATE BRANCH audit")
+    Versioned.append(Seq((3, "staged")).toDF("id", "v"), t,
+      branch = Some("audit"))
+    assert(Versioned.read(spark, t).count() == 2) // main untouched
+    assert(spark.sql(s"SELECT count(*) FROM $g VERSION AS OF 'audit'")
+      .head().getLong(0) == 3)
+    // drops: bare DROP refuses a missing name, IF EXISTS no-ops
+    val miss = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g DROP BRANCH nope")
+    }
+    assert(miss.getMessage.contains("IF EXISTS"))
+    spark.sql(s"ALTER TABLE $g DROP BRANCH IF EXISTS nope") // no-op
+    spark.sql(s"ALTER TABLE $g DROP BRANCH audit")
+    assert(!Versioned.branches(spark, t).contains("audit"))
+    spark.sql(s"ALTER TABLE $g DROP TAG golden")
+    assert(!Versioned.tags(spark, t).contains("golden"))
+    // the expired pin releases the version for vacuum again
+    spark.sql(s"ALTER TABLE $g DROP TAG IF EXISTS golden") // no-op
+  }
+
+  test("collect_stats backfills sidecars: counts, pruning cols, idempotence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val (t, abs) = fresh("proc_stats")
+    Versioned.commit((1 to 40).map(i => (i, s"v$i")).toDF("id", "v"), t)
+    Versioned.append((41 to 80).map(i => (i, s"v$i")).toDF("id", "v"), t)
+    // simulate a legacy table: strip the commit-time sidecars
+    Seq(1, 2).foreach { v =>
+      val p = new java.io.File(s"$t/v=$v/_stats.tsv")
+      assert(p.exists); assert(p.delete())
+    }
+    val before = Versioned.footerOpenCount.get()
+    Versioned.partitions(spark, t).collect()
+    assert(Versioned.footerOpenCount.get() > before,
+      "a stripped table must be falling back to footer opens")
+    // counts backfill: both roots gain sidecars, .partitions goes O(versions)
+    val updated = spark.sql(s"CALL graft.system.collect_stats(" +
+      s"table => '$abs')").head().getInt(0)
+    assert(updated == 2)
+    val mid = Versioned.footerOpenCount.get()
+    val rows = Versioned.partitions(spark, t)
+      .agg(org.apache.spark.sql.functions.sum("row_count"))
+      .head().getLong(0)
+    assert(rows == 80L)
+    assert(Versioned.footerOpenCount.get() == mid,
+      "backfilled sidecars must serve .partitions without footer opens")
+    // column backfill enables min/max pruning on the old roots
+    assert(spark.sql(s"CALL graft.system.collect_stats(" +
+      s"table => '$abs', cols => 'id')").head().getInt(0) == 2)
+    val rw = Versioned.readWhere(spark, t, "id", 5, 10)
+    assert(rw.count() == 6)
+    assert(rw.inputFiles.length <
+      Versioned.read(spark, t).inputFiles.length,
+      "backfilled id stats must prune files")
+    // already covered -> untouched
+    assert(spark.sql(s"CALL graft.system.collect_stats(" +
+      s"table => '$abs', cols => 'id')").head().getInt(0) == 0)
+  }
+
   test("unknown procedures and namespaces refuse with the catalog list") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.nonsense()")
