@@ -123,6 +123,13 @@ object SparkEntry {
     // Context-window chunking: 64-token windows, stride 48 (overlap
     // 16) — the sharding step between curation and sequence packing.
     "t16_chunking" -> (TextAnalysis.chunkDocs _),
+    // Deterministic seeded shuffle + round-robin sharding (training
+    // order): global rank under md5(seed:doc_id), computed without a
+    // single-task global sort (256 hash-prefix buckets + offsets).
+    "t17_shuffle_shard" -> (TextAnalysis.shuffleShard _),
+    // Per-source capping (domain-level downsampling): keep 10 docs
+    // per source by seeded hash rank.
+    "t18_source_cap" -> (TextAnalysis.sourceCap _),
     // —— near-dup detection (north-star) ——
     "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -703,6 +710,28 @@ object SparkEntry {
                 CAST(len(list_slice(toks, start + 1, start + 64))
                   AS BIGINT) AS n_tokens
          FROM w ORDER BY doc_id, chunk_id""",
+    // Same md5(seed:doc_id) key both engines (lowercase hex from the
+    // same string bytes); global rank by the key with doc_id as a
+    // collision tie-break; shard = round-robin on the rank.
+    "t17_shuffle_shard" ->
+      """WITH k AS (SELECT doc_id,
+                      md5(concat('graft:', CAST(doc_id AS VARCHAR))) AS k
+                    FROM documents)
+         SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY k, doc_id) AS BIGINT)
+                  AS pos,
+                CAST((row_number() OVER (ORDER BY k, doc_id) - 1) % 8
+                  AS BIGINT) AS shard
+         FROM k ORDER BY pos""",
+    // Per-source rank under the same seeded key; keep rank <= 10.
+    "t18_source_cap" ->
+      """SELECT doc_id, source, rk FROM (
+           SELECT doc_id, source,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY md5(concat('graft:',
+                      CAST(doc_id AS VARCHAR))), doc_id) AS BIGINT) AS rk
+           FROM documents)
+         WHERE rk <= 10 ORDER BY source, rk""",
     // Same tokenize->3-gram-shingle semantics as the d01 oracle;
     // benchmark = the deterministic doc_id % 50 == 0 slice.
     "t13_decontamination" ->

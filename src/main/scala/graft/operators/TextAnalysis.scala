@@ -610,4 +610,95 @@ object TextAnalysis {
           .as("n_ips"))
       .orderBy(col("doc_id"))
   }
+
+  // —— deterministic training order (shuffle + shard) ——
+
+  /** Seeded deterministic corpus shuffle + sharding — the training-
+    * order step after curation: every document gets a stable global
+    * position `pos` (its rank under the keyed hash `md5(seed:doc_id)`)
+    * and a round-robin shard `(pos − 1) % shards`, so any two runs —
+    * or any two engines — produce the identical order and identical
+    * shard membership from the seed alone, and changing the seed is a
+    * fresh epoch-level reshuffle with zero data movement beyond the
+    * re-sort.
+    *
+    * Scale shape: a global rank, computed WITHOUT ordering the corpus
+    * through one task (the [[sequencePackingOf]] two-pass move). The
+    * md5 key is uniform by construction, so its first two hex chars
+    * split the corpus into 256 even ranges for free — no quantile
+    * sketch needed (this is the one place bucketing by prefix beats
+    * bucketing by value range): per-bucket counts (256 scalars) cross
+    * to the driver, exclusive prefix offsets broadcast back, and the
+    * rank window runs per bucket. Hex prefix order = md5 string order,
+    * so bucket-local rank + offset IS the global rank. */
+  def shuffleShardOf(docsDf: DataFrame, seed: String = "graft",
+      shards: Int = 8): DataFrame = {
+    require(shards > 0, s"need shards > 0, got $shards")
+    val s = docsDf.sparkSession
+    val keyed = docsDf
+      .select(col("doc_id"))
+      .withColumn("k",
+        md5(concat(lit(seed + ":"), col("doc_id").cast("string"))))
+      .withColumn("bk", substring(col("k"), 1, 2))
+    val counts = keyed.groupBy(col("bk")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.toSeq.map { case (bk, n) =>
+      val o = (bk, acc); acc += n; o
+    }
+    if (offsets.isEmpty) // empty corpus: keep the output schema
+      return keyed.select(col("doc_id"), lit(0L).as("pos"),
+        lit(0L).as("shard"))
+    val offDf = s.createDataFrame(offsets).toDF("bk", "offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bk")).orderBy(col("k"), col("doc_id"))
+    keyed.join(broadcast(offDf), "bk")
+      .withColumn("pos",
+        row_number().over(w).cast("long") + col("offset"))
+      .select(col("doc_id"), col("pos"),
+        ((col("pos") - 1) % shards).as("shard"))
+      .orderBy(col("pos"))
+  }
+
+  /** The t17 gate: shuffle-shard the documents table, default seed and
+    * 8 shards. The ORDER BY is the oracle contract; a pipeline writes
+    * `partitionBy(shard)` sorted by pos instead. */
+  def shuffleShard(s: SparkSession, d: String): DataFrame =
+    shuffleShardOf(docsPlain(s, d))
+
+  // —— per-source capping (domain-level downsampling) ——
+
+  /** Cap each source (domain) at `perSource` documents, chosen by
+    * seeded hash rank — the heavy-tail domain downsampling step
+    * (CCNet/Gopher cap boilerplate-heavy domains so no single source
+    * dominates the mixture): rank documents within their source by
+    * `md5(seed:doc_id)` and keep rank <= cap. Deterministic in the
+    * seed, so reruns and engines agree document-for-document.
+    *
+    * Scale shape: one hash-partitioned window keyed by source — the
+    * natural shuffle for a per-domain decision. A pathological
+    * mega-domain makes one heavy partition; the production variant
+    * pre-counts sources (one cheap agg), routes only over-cap
+    * domains through the rank window, and passes the under-cap rest
+    * straight through — same result, window state bounded by the
+    * over-cap tail. The direct formulation is kept here because the
+    * fixture's domains are uniform and the gate must stay
+    * oracle-expressible. */
+  def sourceCapOf(docsDf: DataFrame, perSource: Int = 10,
+      seed: String = "graft"): DataFrame = {
+    require(perSource > 0, s"need perSource > 0, got $perSource")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat(lit(seed + ":"),
+        col("doc_id").cast("string"))), col("doc_id"))
+    docsDf
+      .select(col("doc_id"), col("source"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perSource)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** The t18 gate: cap the documents table at 10 docs per source. */
+  def sourceCap(s: SparkSession, d: String): DataFrame =
+    sourceCapOf(docsPlain(s, d))
 }

@@ -72,6 +72,52 @@ class TextEventsSpec extends SparkSpec {
     assert(unpartitioned.isEmpty)
   }
 
+  test("shuffle-shard: dense global rank, even shards, seed-deterministic, " +
+      "no unpartitioned window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val n = docs.count()
+    val out = TextAnalysis.shuffleShardOf(docs)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // pos is a dense permutation 1..n; shard is round-robin on it
+    assert(rows.map(_._2).toSeq == (1L to n).toSeq)
+    assert(rows.forall { case (_, pos, sh) => sh == (pos - 1) % 8 })
+    // deterministic in the seed; a different seed is a different order
+    val again = TextAnalysis.shuffleShardOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq)
+    val other = TextAnalysis.shuffleShardOf(docs, seed = "epoch2")
+      .collect().map(r => r.getLong(0)).toSeq
+    assert(other != rows.map(_._1).toSeq)
+    assert(other.sorted == rows.map(_._1).toSeq.sorted) // same corpus
+    // the scale property: the rank never orders the corpus in one task
+    val unpartitioned = out.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty)
+  }
+
+  test("source cap keeps at most N per source, deterministically") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.sourceCapOf(docs, perSource = 7).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val bySource = out.groupBy(_._2)
+    assert(bySource.values.forall(_.length <= 7))
+    assert(bySource.values.forall(g =>
+      g.map(_._3).sorted.toSeq == (1L to g.length).toSeq))
+    // every source with >= 7 docs is capped exactly, none dropped
+    val counts = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (src, c) =>
+      assert(bySource.get(src).map(_.length.toLong)
+        .contains(math.min(c, 7L)))
+    }
+    val again = TextAnalysis.sourceCapOf(docs, perSource = 7).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == again.toSeq)
+  }
+
   test("stratified pre-filter keeps a per-stratum superset of the quota") {
     val perStratum = 25
     val base = TextAnalysis.stratifiedBase(spark, sf).cache()
