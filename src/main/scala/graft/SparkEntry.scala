@@ -100,6 +100,10 @@ object SparkEntry {
     "e07_range_join_auto"  -> (Events.rangeJoinPairsNaive _),
     "e08_hopping_window"   -> (Events.hoppingQuarterHour _),
     "e09_gap_fill"         -> (Events.gapFillHourly _),
+    // Ordered conversion funnel (view -> click -> purchase, each step
+    // strictly after the previous) and weekly retention cohorts.
+    "e10_funnel"           -> (Events.funnel _),
+    "e11_retention"        -> (Events.retentionCohorts _),
     "t12_char_entropy"     -> (TextAnalysis.charEntropy _),
     // —— text analysis (north-star) ——
     "t01_text_stats"   -> (TextAnalysis.textStats _),
@@ -463,6 +467,41 @@ object SparkEntry {
            ON a.event_id < b.event_id
           AND abs(epoch_us(CAST(a.ts AS TIMESTAMP)) -
                   epoch_us(CAST(b.ts AS TIMESTAMP))) <= 60000000""",
+    // Same chained strictly-after min semantics; counts only, so no
+    // timestamp crosses the engine boundary.
+    "e10_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+           c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                 JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+                 WHERE e.event_type = 'click' GROUP BY 1),
+           p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                 JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+                 WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS step_ord, 'view' AS step,
+                  CAST((SELECT count(*) FROM v) AS BIGINT) AS users
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), 'view>click',
+                  CAST((SELECT count(*) FROM c) AS BIGINT)
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), 'view>click>purchase',
+                  CAST((SELECT count(*) FROM p) AS BIGINT))
+         ORDER BY step_ord""",
+    // Monday-start date_trunc('week') in both engines; week offset =
+    // floor(day diff / 7) (integral both sides).
+    "e11_retention" ->
+      """WITH wk AS (SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS DATE) AS wk
+                     FROM events),
+           f AS (SELECT user_id, min(wk) AS w0 FROM wk GROUP BY 1)
+         SELECT strftime(f.w0, '%Y-%m-%d') AS cohort,
+                CAST(date_diff('day', f.w0, wk.wk) // 7 AS BIGINT)
+                  AS week_offset,
+                CAST(count(DISTINCT wk.user_id) AS BIGINT)
+                  AS active_users
+         FROM wk JOIN f ON wk.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY cohort, week_offset""",
     "e09_gap_fill" ->
       """WITH h AS (SELECT user_id,
                       CAST(date_trunc('hour', CAST(ts AS TIMESTAMP))

@@ -209,4 +209,57 @@ object Events {
       .withColumn("running_cnt", sum(col("cnt")).over(w))
       .orderBy(col("user_id"), col("day"))
   }
+
+  /** Ordered conversion funnel view → click → purchase: a user
+    * converts a step only with an event STRICTLY AFTER completing the
+    * previous step (min-ts semantics, the standard product-analytics
+    * funnel). Three per-user min aggregations chained by
+    * strictly-later joins — each is one shuffle on user_id with
+    * map-side partial mins, and each stage's frame is one row per
+    * surviving user, so the chain's cost is bounded by the user count,
+    * not the event count, after the first aggregate. Output is the
+    * three funnel stages with their surviving-user counts. */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    def firstAfter(evType: String, prev: DataFrame,
+        prevCol: String, outCol: String): DataFrame =
+      e.filter(col("event_type") === evType).as("e")
+        .join(prev.as("p"), col("e.user_id") === col("p.user_id") &&
+          col("e.ts") > col(s"p.$prevCol"))
+        .groupBy(col("e.user_id").as("user_id"))
+        .agg(min(col("e.ts")).as(outCol))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = firstAfter("click", v, "t1", "t2")
+    val p = firstAfter("purchase", c, "t2", "t3")
+    def stage(name: String, df: DataFrame, ord: Int): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("users"))
+        .select(lit(ord).cast("long").as("step_ord"),
+          lit(name).as("step"), col("users"))
+    stage("view", v, 1)
+      .unionByName(stage("view>click", c, 2))
+      .unionByName(stage("view>click>purchase", p, 3))
+      .orderBy(col("step_ord"))
+  }
+
+  /** Weekly retention cohorts: users grouped by the ISO week of their
+    * FIRST event; for each (cohort, week offset) the count of cohort
+    * members active that week. Two aggregates — first-touch per user,
+    * distinct (user, week) activity — joined on user_id and rolled
+    * up; every shuffle is keyed on user_id or the bounded (cohort,
+    * offset) pair, and the output is cohorts × offsets, metadata-
+    * sized at any event scale. */
+  def retentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val weeks = e.select(col("user_id"),
+      date_trunc("week", col("ts")).cast("date").as("wk")).distinct()
+    val first = weeks.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("w0"))
+    weeks.join(first, "user_id")
+      .groupBy(date_format(col("w0"), "yyyy-MM-dd").as("cohort"),
+        (datediff(col("wk"), col("w0")) / 7).cast("long")
+          .as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("cohort"), col("week_offset"))
+  }
 }

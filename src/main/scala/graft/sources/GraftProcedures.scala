@@ -195,6 +195,21 @@ object GraftProcedures {
             if (s == "none") None
             else Some(Versioned.Transform.parse(s))))
         })
+      case "rewrite_zorder" => new Proc("rewrite_zorder",
+        "republish the snapshot z-order-clustered on two numeric " +
+          "columns with both harvested into the stats sidecar, so 2-D " +
+          "box queries prune at the manifest level",
+        Seq(p("table", StringType), p("col_a", StringType),
+          p("col_b", StringType),
+          p("target_file_mb", IntegerType, Some("128"))),
+        versionRow,
+        a => {
+          require(a(1) != null && a(2) != null,
+            "'col_a' and 'col_b' are required")
+          Seq(Versioned.compactZOrder(spark, dir(a(0)),
+            a(1).asInstanceOf[String], a(2).asInstanceOf[String],
+            targetFileBytes = a(3).asInstanceOf[Int] * mb))
+        })
       case "collect_stats" => new Proc("collect_stats",
         "backfill stats sidecars for linked version roots missing " +
           "them (counts always; min/max for cols => 'a,b') — upgrades " +
@@ -225,5 +240,5 @@ object GraftProcedures {
   val names: Seq[String] = Seq("compact", "compact_small",
     "compact_deletes", "vacuum", "expire_snapshots", "rollback",
     "create_tag", "create_branch", "fast_forward", "drop_branch",
-    "set_spec", "collect_stats")
+    "set_spec", "collect_stats", "rewrite_zorder")
 }

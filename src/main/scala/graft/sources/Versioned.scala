@@ -2154,6 +2154,47 @@ object Versioned {
       partitionCol, statsCols = statsCols, transform = tspec)
   }
 
+  /** Z-ORDER rewrite — Iceberg's `rewrite_data_files(strategy =>
+    * 'sort', sort_order => 'zorder(a, b)')`: republish the current
+    * snapshot clustered along the Morton curve of two numeric columns
+    * ([[ZOrder.clustered]] — range-partitioned on the interleaved
+    * value, sorted within files), with BOTH dimensions harvested into
+    * the stats sidecar — so a 2-D box query ([[readWhereAll]]) prunes
+    * at the manifest level (each file covers a tight (a, b)
+    * rectangle) before parquet row-group stats even apply. A declared
+    * hidden-partition spec is inherited like every other maintenance
+    * rewrite (files split per partition directory first, z-clustered
+    * within). File count sizes from on-disk bytes like [[compact]].
+    * One full-snapshot rewrite — schedule it like any clustering
+    * maintenance, not per-commit. */
+  def compactZOrder(spark: SparkSession, tableDir: String,
+      colA: String, colB: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Int =
+    withCommitRetry() {
+      val cur = currentVersion(spark, tableDir)
+      require(cur > 0, s"no committed version at $tableDir")
+      val data = read(spark, tableDir)
+      Seq(colA, colB).foreach { c =>
+        require(data.columns.contains(c),
+          s"zorder column '$c' not in table at $tableDir " +
+            s"(columns: ${data.columns.mkString(", ")})")
+        require(data.schema(c).dataType.isInstanceOf[NumericType],
+          s"zorder column '$c' must be numeric (cast temporals to " +
+            "epoch first), got " + data.schema(c).dataType.catalogString)
+      }
+      val f = fs(spark, tableDir)
+      val bytes = manifestDirs(f, tableDir, cur)
+        .map(dn => f.getContentSummary(new Path(tableDir, dn)).getLength)
+        .sum
+      val nFiles = math.max(1L,
+        (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val tspec = currentTransform(spark, tableDir)
+        .filter(t => data.columns.contains(t.source))
+      commit(ZOrder.clustered(data, colA, colB, nFiles), tableDir,
+        note = Some(s"REWRITE ZORDER($colA, $colB)"),
+        statsCols = Seq(colA, colB), transform = tspec)
+    }
+
   /** Shape `data` into ~`nFiles` output files. With a partition
     * expression it RANGE-partitions on (expr, row-hash) so each task
     * covers a contiguous run of partition values — a hive directory

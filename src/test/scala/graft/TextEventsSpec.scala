@@ -354,6 +354,34 @@ class TextEventsSpec extends SparkSpec {
     assert(out(3L).getDouble(4) == 0.0)
   }
 
+  test("funnel stages are monotone non-increasing and subset-consistent") {
+    val rows = Events.funnel(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.map(_._2).toSeq ==
+      Seq("view", "view>click", "view>click>purchase"))
+    val counts = rows.map(_._3)
+    assert(counts(0) >= counts(1) && counts(1) >= counts(2),
+      s"funnel must narrow monotonically, got ${counts.toSeq}")
+    assert(counts(0) > 0)
+  }
+
+  test("retention: offset-0 actives equal the cohort size, never grow") {
+    val rows = Events.retentionCohorts(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every cohort has an offset-0 row (first-touch week is active by
+    // construction) and no later week exceeds it
+    rows.groupBy(_._1).foreach { case (cohort, g) =>
+      val byOff = g.map(x => x._2 -> x._3).toMap
+      assert(byOff.contains(0L), s"cohort $cohort missing offset 0")
+      assert(byOff.values.forall(_ <= byOff(0L)),
+        s"cohort $cohort retention exceeds its size: $byOff")
+    }
+    // total cohort sizes = distinct users
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._3).sum == users)
+  }
+
   test("sessionize: session count never exceeds event count") {
     val rows = Events.sessionize(spark, sf).collect()
     assert(rows.forall(r => r.getLong(1) <= r.getLong(2) && r.getLong(1) >= 1))

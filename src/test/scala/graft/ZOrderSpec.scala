@@ -106,4 +106,45 @@ class ZOrderSpec extends SparkSpec {
     info(s"box=$boxN u=$uN v=$vN all=$all")
     assert(boxN <= uN && boxN <= vN && boxN < all)
   }
+
+  test("CALL rewrite_zorder republishes clustered with pruning stats") {
+    import graft.sources.Versioned
+    import spark.implicits._
+    val t = s"$work/proc_z"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val abs = new java.io.File(t).getAbsolutePath
+    val ev = Tables.load(spark, "/root/testdata/sf0.01", "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    // a drip-fed unclustered chain: no file covers a tight rectangle
+    Versioned.commit(ev.filter(col("event_id") % 3 === 0), t)
+    Versioned.append(ev.filter(col("event_id") % 3 === 1), t)
+    Versioned.append(ev.filter(col("event_id") % 3 === 2), t)
+    val before = Versioned.currentVersion(spark, t)
+    val v = spark.sql(s"CALL graft.system.rewrite_zorder(" +
+      s"table => '$abs', col_a => 'user_id', col_b => 'value', " +
+      "target_file_mb => 1)").head().getInt(0)
+    assert(v == before + 1)
+    // identical content after the SQL-driven rewrite
+    assert(Versioned.read(spark, t).count() == ev.count())
+    // the fixture is under the procedure's 1 MB floor (one output
+    // file), so drive the pruning assertion through the engine call
+    // with a byte-level target that forces a real multi-file layout
+    Versioned.compactZOrder(spark, t, "user_id", "value",
+      targetFileBytes = 8L * 1024)
+    val box = Versioned.readWhereAll(spark, t,
+      Seq(("user_id", 3L, 5L), ("value", 0.0, 20.0)))
+    val want = ev.filter(col("user_id").between(3, 5) &&
+      col("value").between(0.0, 20.0)).count()
+    assert(box.count() == want && want > 0)
+    assert(box.inputFiles.length <
+      Versioned.read(spark, t).inputFiles.length,
+      "the rewritten layout must prune the 2-D box at the manifest")
+    // pre-rewrite versions stay time-travelable
+    assert(Versioned.read(spark, t, Some(before)).count() == ev.count())
+    // refusals: non-numeric and missing columns fail loudly
+    val bad = intercept[Exception] {
+      Versioned.compactZOrder(spark, t, "user_id", "nope")
+    }
+    assert(bad.getMessage.contains("nope"))
+  }
 }
