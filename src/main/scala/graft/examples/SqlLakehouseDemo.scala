@@ -77,6 +77,31 @@ object SqlLakehouseDemo {
       "spec => 'bucket(4,trip_id)')")
     spark.sql(s"INSERT INTO $t VALUES (100, DATE'2024-02-01', 9.99)")
     println("SQL_DEMO_EVOLVED=" + one(s"SELECT count(*) FROM $t"))
+
+    // —— the Iceberg DDL spellings (parser extension): partition-spec
+    //    evolution, branches/tags, surfaced via SHOW CREATE TABLE ——
+    spark.sql(s"ALTER TABLE $t REPLACE PARTITION FIELD " +
+      "bucket(4, trip_id) WITH days(pickup_date)")
+    val show = spark.sql(s"SHOW CREATE TABLE $t").head().getString(0)
+    println("SQL_DEMO_SHOW_SPEC=" +
+      (if (show.contains("days(pickup_date)")) 1 else 0))
+    spark.sql(s"ALTER TABLE $t CREATE TAG audited AS OF VERSION 2")
+    println("SQL_DEMO_TAG_ROWS=" +
+      one(s"SELECT count(*) FROM $t VERSION AS OF 'audited'"))
+    spark.sql(s"ALTER TABLE $t CREATE BRANCH wip")
+    spark.sql(s"ALTER TABLE $t DROP BRANCH wip")
+    println("SQL_DEMO_DDL_VERSIONS=" +
+      one(s"SELECT count(*) FROM $t.history"))
+
+    // —— clustering + stats maintenance: z-order rewrite and a stats
+    //    backfill over whatever roots predate their sidecars ——
+    spark.sql(s"CALL graft.system.rewrite_zorder(table => '$absT', " +
+      "col_a => 'trip_id', col_b => 'fare')")
+    println("SQL_DEMO_ZORDERED=" + one(s"SELECT count(*) FROM $t"))
+    val backfilled = spark.sql(
+      s"CALL graft.system.collect_stats(table => '$absT')")
+      .head().getInt(0)
+    println(s"SQL_DEMO_STATS_BACKFILL_OK=${if (backfilled >= 0) 1 else 0}")
     spark.stop()
   }
 }
