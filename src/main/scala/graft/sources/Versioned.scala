@@ -4211,34 +4211,38 @@ object Versioned {
       stage: Path): Seq[StatRow] = {
     val dataFiles = stagedDataFiles(f, stage)
     if (dataFiles.isEmpty) return Nil
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sessionState.newHadoopConf())
+    // the reader only consults the conf — no defensive copy (a
+    // Configuration clone per commit is measurable protocol tax)
+    val conf = spark.sessionState.newHadoopConf()
     // stage-relative paths via the stage dir NAME (as writeStats does):
     // robust to the listing returning qualified absolute paths while
     // the table was opened through a relative path
     val stageName = stage.getName
-    val pool = new java.util.concurrent.ForkJoinPool(
-      math.min(16, dataFiles.size))
-    try {
-      import scala.collection.parallel.CollectionConverters._
-      val par = dataFiles.par
-      par.tasksupport =
-        new scala.collection.parallel.ForkJoinTaskSupport(pool)
-      val counted = par.flatMap { fl =>
-        Try {
-          val p = new Path(fl)
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(p, conf))
-          val n = try r.getRecordCount finally r.close()
-          val full = p.toUri.getPath
-          val i = full.indexOf(stageName)
-          val rel = full.substring(i + stageName.length + 1)
-          StatRow(rel, "", "", null, null, nulls = 0L, values = n)
-        }.toOption
-      }.seq
-      counted.toSeq
-    } finally pool.shutdown()
+    def one(fl: String): Option[StatRow] = Try {
+      val p = new Path(fl)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(p, conf))
+      val n = try r.getRecordCount finally r.close()
+      val full = p.toUri.getPath
+      val i = full.indexOf(stageName)
+      val rel = full.substring(i + stageName.length + 1)
+      StatRow(rel, "", "", null, null, nulls = 0L, values = n)
+    }.toOption
+    // pool only when the delta is wide enough to amortize it; the
+    // common protocol commit (a handful of files) stays a serial loop
+    if (dataFiles.size <= 4) dataFiles.flatMap(one)
+    else {
+      val pool = new java.util.concurrent.ForkJoinPool(
+        math.min(16, dataFiles.size))
+      try {
+        import scala.collection.parallel.CollectionConverters._
+        val par = dataFiles.par
+        par.tasksupport =
+          new scala.collection.parallel.ForkJoinTaskSupport(pool)
+        par.flatMap(one).seq.toSeq
+      } finally pool.shutdown()
+    }
   }
 
   /** Backfill stats sidecars for the snapshot's LINKED version roots
