@@ -151,6 +151,10 @@ object SparkEntry {
     // constants the DuckDB oracle states literally.
     "s04_ivf_recall"     -> (Similarity.ivfRecall _),
     "s05_lsh_recall"     -> (Similarity.lshRecall _),
+    // int8 symmetric per-vector quantization (4x smaller embeddings):
+    // brute-force top-k over the DEQUANTIZED corpus, judged by the
+    // same recall contract, plus the 127-bounded storage fact.
+    "s07_int8_recall"    -> (Similarity.int8Recall _),
     // IVF over spherical-k-means-refined centroids (the production
     // index build), gated by the same recall contract.
     "s06_ivf_kmeans_recall" -> ((s, d) => Similarity.annRecall(s, d,
@@ -930,6 +934,10 @@ object SparkEntry {
     "s05_lsh_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok""",
+    "s07_int8_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
+                CAST(1 AS BIGINT) AS recall_ok,
+                CAST(1 AS BIGINT) AS int8_bounded""",
     "s06_ivf_kmeans_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok""",

@@ -420,4 +420,61 @@ object Similarity {
   /** LSH recall vs the multi-table floor used by ApproxSpec. */
   def lshRecall(s: SparkSession, d: String): DataFrame =
     annRecall(s, d, lshTopK(s, d), 0.2)
+
+  // —— int8 embedding quantization (storage/bandwidth path) ——
+
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    * q_i = round(x_i / scale) ∈ [-127, 127] — 4x smaller embeddings
+    * (the storage/bandwidth dial a 100 TB vector corpus turns first),
+    * with reconstruction error bounded by scale/2 per component. All
+    * higher-order-function builtins (`transform`/`array_max`) — no
+    * UDF, stays codegen-adjacent and embarrassingly parallel. An
+    * all-zero vector keeps scale 1 (quantizes to zeros, dequantizes
+    * exactly). */
+  def quantizeInt8(df: DataFrame,
+      embCol: String = "embedding"): DataFrame = {
+    val mx = array_max(transform(col(embCol), x => abs(x)))
+    df.withColumn("q_scale",
+        when(mx > 0, mx.cast("double") / 127.0d).otherwise(1.0d))
+      .withColumn("q_emb",
+        transform(col(embCol),
+          x => round(x.cast("double") / col("q_scale"))
+            .cast("tinyint")))
+  }
+
+  /** Dequantized FLOAT form of a [[quantizeInt8]] frame — what a
+    * scoring path reads back. */
+  def dequantizeInt8(df: DataFrame): DataFrame =
+    df.withColumn("dq_emb",
+      transform(col("q_emb"),
+        v => (v.cast("double") * col("q_scale")).cast("float")))
+
+  /** The s07 gate: brute-force top-k over DEQUANTIZED int8 embeddings,
+    * judged by the [[annRecall]] contract against the float-exact
+    * baseline. Int8 symmetric quantization preserves neighbor order
+    * almost everywhere, so the floor is 0.8 (measured ~1.0 on the
+    * fixture); the gate also pins the storage fact — 127-bounded
+    * components — as a constant. */
+  def int8Recall(s: SparkSession, d: String): DataFrame = {
+    val dq = dequantizeInt8(quantizeInt8(emb(s, d)))
+      .select(col("vec_id"), col("dq_emb").as("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val q = dq.filter(col("vec_id") < NumQueries)
+      .withColumnRenamed("vec_id", "query_id")
+      .withColumnRenamed("embedding", "q_emb")
+      .withColumnRenamed("nrm", "q_nrm")
+    val scored = dq.filter(col("vec_id") >= NumQueries)
+      .join(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+    val approx = topkByQuery(scored)
+    val bounded = quantizeInt8(emb(s, d))
+      .select(array_max(transform(col("q_emb"),
+        v => abs(v.cast("int")))).as("m"))
+      .agg(max(col("m")).as("mm"))
+      .head().getInt(0) <= 127
+    annRecall(s, d, approx, 0.8)
+      .withColumn("int8_bounded", lit(if (bounded) 1L else 0L))
+  }
 }

@@ -39,7 +39,13 @@ import graft.sources.Versioned
   * guard composes). A FRESH query anchors at the table's CURRENT
   * version (no history replay); pass `startingVersion` to backfill
   * from `(startingVersion - 1, …]` — i.e. that version's own changes
-  * onward. Vacuum retention must outlast the trigger lag:
+  * onward — and `maxVersionsPerTrigger` to drain a deep backfill as
+  * bounded batches (at most that many commits per trigger) instead of
+  * one giant first batch; like Delta's `maxFilesPerTrigger` the limit
+  * is approximate across restarts (the first post-restart trigger is
+  * unthrottled — a Source cannot read Spark's commit log, and a
+  * guessed base below the committed position would read as
+  * no-new-data forever). Vacuum retention must outlast the trigger lag:
   * [[Versioned.readChanges]] refuses expired ranges loudly rather
   * than skipping silently (restart the query with a fresh checkpoint
   * after a too-aggressive vacuum).
@@ -126,8 +132,9 @@ final class ChangeStreamProvider extends StreamSourceProvider
       try new String(in.readAllBytes(), "UTF-8").trim.toInt
       finally in.close()
     }
+    val resumed = f.exists(anchorFile)
     val anchor =
-      if (f.exists(anchorFile)) readAnchor()
+      if (resumed) readAnchor()
       else {
         // anchor BEFORE the first trigger: a fresh query consumes
         // commits made after stream START, not after the first
@@ -148,19 +155,39 @@ final class ChangeStreamProvider extends StreamSourceProvider
         if (f.rename(tmp, anchorFile)) a
         else { f.delete(tmp, false); readAnchor() }
       }
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map { v =>
+      val n = v.trim.toInt
+      require(n >= 1, s"maxVersionsPerTrigger must be >= 1, got $v")
+      n
+    }
     new ChangeStreamSource(sqlContext, dir, out, anchor,
       appends = m == "appends",
       skipDeletes = parameters.getOrElse("skipDeletes", "false")
-        .toBoolean)
+        .toBoolean,
+      maxVersionsPerTrigger = maxPerTrigger,
+      resumed = resumed)
   }
 }
 
 private final class ChangeStreamSource(sqlContext: SQLContext,
     dir: String, out: StructType, anchor: Int,
-    appends: Boolean = false, skipDeletes: Boolean = false)
+    appends: Boolean = false, skipDeletes: Boolean = false,
+    maxVersionsPerTrigger: Option[Int] = None,
+    resumed: Boolean = false)
     extends Source {
   private def spark = sqlContext.sparkSession
   private def ver(o: Offset): Int = o.json().trim.toInt
+  // the engine's committed position as of the last getBatch — the base
+  // the per-trigger version budget counts from. Spark calls
+  // getOffset/getBatch from one stream-execution thread; @volatile
+  // covers the restart path reading it from another. -1 = unknown
+  // (a RESTARTED query before its first getBatch: the true base lives
+  // in Spark's commit log, which a Source cannot read — the first
+  // post-restart trigger goes unthrottled rather than risk reporting
+  // an offset BELOW the committed position, which would read as
+  // no-new-data forever; rate limits are approximate across restarts,
+  // the Delta maxFilesPerTrigger contract).
+  @volatile private var lastBatchEnd: Int = if (resumed) -1 else anchor
 
   override def schema: StructType = out
 
@@ -203,7 +230,18 @@ private final class ChangeStreamSource(sqlContext: SQLContext,
     // asked to skip, and later batches would deliver (cur, anchor].
     // Below the anchor there is nothing deliverable — report None.
     val cur = probeVersion()
-    if (cur < 1 || cur <= anchor) None else Some(LongOffset(cur.toLong))
+    if (cur < 1 || cur <= anchor) return None
+    // rate limit: cap each trigger at maxVersionsPerTrigger commits
+    // past the last batch's end, so a deep backfill (startingVersion
+    // far behind the head) drains as bounded batches instead of one
+    // giant one. Base unknown (post-restart) = this trigger
+    // unthrottled; see lastBatchEnd.
+    val capped = maxVersionsPerTrigger match {
+      case Some(n) if lastBatchEnd >= 0 =>
+        math.min(cur, math.max(lastBatchEnd, anchor) + n)
+      case _ => cur
+    }
+    if (capped <= anchor) None else Some(LongOffset(capped.toLong))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -212,6 +250,9 @@ private final class ChangeStreamSource(sqlContext: SQLContext,
     // resurrect the skipped (offset, anchor] range
     val fromV = math.max(start.map(ver).getOrElse(anchor), anchor)
     val toV = ver(end)
+    // the rate-limit base follows the engine's own batch progression
+    // (WAL replays included)
+    lastBatchEnd = math.max(lastBatchEnd, toV)
     // normalize to the declared schema (order + types): readChanges
     // unions per-channel frames, and the engine requires the batch
     // plan to line up column-for-column with the source schema

@@ -69,6 +69,28 @@ class SimilaritySpec extends SparkSpec {
     embAll.unpersist()
   }
 
+  test("int8 quantization: bounded components, scale/2 error, recall holds") {
+    import org.apache.spark.sql.functions._
+    val q = Similarity.dequantizeInt8(Similarity.quantizeInt8(
+      spark.read.parquet(s"$sf/embeddings.parquet")))
+    // components bounded to [-127, 127]; reconstruction error within
+    // scale/2 (+ float noise) per component
+    val bad = q.select(
+        array_max(transform(col("q_emb"), v => abs(v.cast("int"))))
+          .as("maxq"),
+        array_max(transform(arrays_zip(col("embedding"), col("dq_emb")),
+          z => abs(z.getField("embedding").cast("double") -
+            z.getField("dq_emb").cast("double")))).as("maxerr"),
+        col("q_scale"))
+      .filter(col("maxq") > 127 ||
+        col("maxerr") > col("q_scale") * 0.5 + 1e-5)
+      .count()
+    assert(bad == 0L)
+    // the gate's contract row: recall over the dequantized corpus
+    val row = Similarity.int8Recall(spark, sf).head()
+    assert(row.getLong(2) == 1L && row.getLong(3) == 1L)
+  }
+
   test("persisted cell-partitioned index: pruned probe, identical results") {
     val dir = "target/tmp/ivf-index"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))

@@ -457,6 +457,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxVersionsPerTrigger drains a backfill as bounded batches") {
+    import graft.sources.Versioned
+    import spark.implicits._
+    val table = "target/tmp/stream-changes-rate"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(table))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), table)
+    (2 to 6).foreach(i =>
+      Versioned.append(Seq((i, "x")).toDF("id", "v"), table)) // v2..v6
+    val abs = new java.io.File(table).getAbsolutePath
+    val spans = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val rows = new java.util.concurrent.atomic.AtomicLong()
+    val q = spark.readStream.format("graft-changes")
+      .option("startingVersion", "1")
+      .option("maxVersionsPerTrigger", "2").load(abs)
+      .writeStream
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val vs = df.select(Versioned.CommitVersionCol).distinct()
+          .collect().map(_.getInt(0))
+        if (vs.nonEmpty) spans.add(vs.max - vs.min + 1)
+        rows.addAndGet(df.count())
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(rows.get() == 6L, s"backfill must deliver every row")
+      import scala.jdk.CollectionConverters._
+      val sp = spans.asScala.toSeq
+      assert(sp.size >= 3,
+        s"6 versions at 2/trigger need >= 3 batches, got $sp")
+      assert(sp.forall(_ <= 2),
+        s"a batch spanned more than maxVersionsPerTrigger versions: $sp")
+      // live commits stay throttled too
+      (7 to 9).foreach(i =>
+        Versioned.append(Seq((i, "y")).toDF("id", "v"), table))
+      q.processAllAvailable()
+      assert(rows.get() == 9L)
+      assert(spans.asScala.forall(_ <= 2))
+    } finally q.stop()
+  }
+
   test("idle triggers memoize the version probe: O(1) listings, not per tick") {
     import graft.sources.Versioned
     import graft.streaming.ChangeStreamSource
