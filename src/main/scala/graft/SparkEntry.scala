@@ -134,6 +134,9 @@ object SparkEntry {
     // Per-source capping (domain-level downsampling): keep 10 docs
     // per source by seeded hash rank.
     "t18_source_cap" -> (TextAnalysis.sourceCap _),
+    // Unigram LM scoring: corpus-built token model, per-doc mean
+    // surprisal -ln(count/total) — the simplified CCNet LM filter.
+    "t19_lm_score" -> (TextAnalysis.lmScore _),
     // —— near-dup detection (north-star) ——
     "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
@@ -775,6 +778,19 @@ object SparkEntry {
                       CAST(doc_id AS VARCHAR))), doc_id) AS BIGINT) AS rk
            FROM documents)
          WHERE rk <= 10 ORDER BY source, rk""",
+    // Identical lower/trim/ws tokenization; IEEE-double ln both sides
+    // (sum reorder noise sits ~1e-15 relative, inside the tolerance).
+    "t19_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+                         unnest(regexp_split_to_array(
+                           trim(lower(text)), '\s+')) AS tok
+                       FROM documents),
+           cnt AS (SELECT tok, count(*) AS c FROM toks GROUP BY 1),
+           tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM cnt)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                avg(-ln(CAST(c AS DOUBLE) / t)) AS lm_score
+         FROM toks JOIN cnt USING (tok), tot
+         GROUP BY doc_id ORDER BY doc_id""",
     // Same tokenize->3-gram-shingle semantics as the d01 oracle;
     // benchmark = the deterministic doc_id % 50 == 0 slice.
     "t13_decontamination" ->

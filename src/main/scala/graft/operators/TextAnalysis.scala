@@ -611,6 +611,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  // —— unigram LM scoring (corpus-statistics quality signal) ——
+
+  /** Unigram language-model score per document — the simplified CCNet
+    * move (CCNet filters on LM perplexity; the unigram model is its
+    * engine-shaped core): build the token→count model FROM THE CORPUS
+    * (one aggregate over the exploded token stream), then score each
+    * document as the mean token surprisal −ln(count/total), in nats.
+    * High scores = rare-token-heavy documents (gibberish, codes,
+    * boilerplate IDs); low = stopword-heavy filler — both tails are
+    * curation candidates.
+    *
+    * Scale shape: the model is one hash aggregate keyed by token
+    * (vocabulary-bounded, map-side combined); scoring joins the token
+    * stream back to the model on the token key — Spark broadcasts the
+    * model when it fits (AQE decides), and a 100 TB corpus caps the
+    * model first (top-V by count + an OOV floor) which slots in as
+    * one filter without changing the plan shape. The corpus total is
+    * ONE scalar to the driver. */
+  def lmScoreOf(docsDf: DataFrame): DataFrame = {
+    val toks = docsDf.select(col("doc_id"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    val model = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = model.agg(sum(col("c"))).head().getLong(0).toDouble
+    toks.join(model, "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        avg(-log(col("c").cast("double") / total)).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The t19 gate: unigram LM score over the documents table. */
+  def lmScore(s: SparkSession, d: String): DataFrame =
+    lmScoreOf(docsPlain(s, d))
+
   // —— deterministic training order (shuffle + shard) ——
 
   /** Seeded deterministic corpus shuffle + sharding — the training-

@@ -354,6 +354,24 @@ class TextEventsSpec extends SparkSpec {
     assert(out(3L).getDouble(4) == 0.0)
   }
 
+  test("unigram LM score: positive surprisal, rare-token docs score higher") {
+    import spark.implicits._
+    val rows = TextAnalysis.lmScore(spark, sf).collect()
+    assert(rows.length ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(rows.forall(_.getDouble(2) > 0.0)) // -ln(p) > 0 for p < 1
+    // a synthetic corpus where one doc is all common tokens and one is
+    // all singletons: the singleton doc must score strictly higher
+    val docs = (Seq((1L, "the the the the the the the the"),
+      (2L, "zq1 zq2 zq3 zq4 zq5 zq6 zq7 zq8")) ++
+      (3L to 12L).map(i => (i, "the and of to in a is it")))
+      .toDF("doc_id", "text")
+    val scored = TextAnalysis.lmScoreOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(2L) > scored(1L),
+      s"singleton-token doc must out-score the common-token doc: $scored")
+  }
+
   test("funnel stages are monotone non-increasing and subset-consistent") {
     val rows = Events.funnel(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
