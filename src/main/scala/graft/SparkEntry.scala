@@ -214,6 +214,10 @@ object SparkEntry {
         .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
           col("bk").cast("long").as("bk"), col("m"))
         .orderBy(col("doc_id"), col("bk"))),
+    // Perceptual near-dup over payload bytes: 32-bit average hash
+    // (integer-exact above-mean bits), nibble-banded candidates,
+    // hamming <= 5 pairs — the image-dedup analog.
+    "m05_ahash_neardup" -> ((s, d) => Multimodal.ahashNearDup(s, d)),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1167,5 +1171,29 @@ object SparkEntry {
          SELECT doc_id, n_frames,
                 unnest(range(0, n_frames, 4)) AS frame_idx
          FROM m WHERE n_frames > 0 ORDER BY doc_id, frame_idx""",
+    // Same 32-bucket pooling as m04; bits from integer cross-
+    // multiplication (no float boundary can desync engines); naive
+    // all-pairs here — the banding is the Spark side's scale path.
+    "m05_ahash_neardup" ->
+      """WITH pos AS (
+           SELECT doc_id, text, strlen(text) AS n,
+                  unnest(range(1, strlen(text) + 1)) AS i
+           FROM documents WHERE strlen(text) > 0),
+         b AS (SELECT doc_id, ((i - 1) * 32) // n AS bk,
+                      sum(ord(substr(text, i, 1))) AS s,
+                      count(*) AS c
+               FROM pos GROUP BY 1, 2),
+         t AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc
+               FROM b GROUP BY 1),
+         h AS (SELECT b.doc_id,
+                      CAST(sum(CASE WHEN b.s * t.tc > t.ts * b.c
+                        THEN (CAST(1 AS BIGINT) << CAST(b.bk AS INT))
+                        ELSE 0 END) AS BIGINT) AS ahash
+               FROM b JOIN t USING (doc_id) GROUP BY 1)
+         SELECT a.doc_id AS a_id, b2.doc_id AS b_id,
+                CAST(bit_count(xor(a.ahash, b2.ahash)) AS BIGINT) AS dist
+         FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
+         WHERE bit_count(xor(a.ahash, b2.ahash)) <= 5
+         ORDER BY a_id, b_id""",
   )
 }

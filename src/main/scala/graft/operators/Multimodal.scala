@@ -116,4 +116,71 @@ object Multimodal {
         explode(sequence(lit(0), col("n_frames") - 1, lit(everyK)))
           .as("frame_idx"))
       .orderBy(col("doc_id"), col("frame_idx"))
+
+  // —— perceptual near-dup over payload bytes (image-dedup analog) ——
+
+  /** 32-bit AVERAGE HASH of each payload: pool the byte stream into 32
+    * buckets ([[resizePooled]]'s downsample), bit k = bucket k's mean
+    * above the payload mean — aHash, the codec-free core of image
+    * perceptual dedup (pHash swaps the pooling for a DCT; same
+    * downstream shape). The above-mean test is INTEGER cross-
+    * multiplication (`sum_k * total_count > total_sum * count_k`),
+    * never a float compare — a float boundary would let two engines
+    * disagree on a bit and desync the whole pair set, so the hash is
+    * exact by construction. Built from codegen'd explode/agg
+    * primitives here to stay oracle-mirrorable; a production table
+    * computes the same hash inside [[resizePooled]]'s partition-local
+    * batch pass. */
+  def payloadAHash(s: SparkSession, d: String): DataFrame = {
+    val pos = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .withColumn("n", length(col("text")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(1), col("n"))).as("i"))
+      .select(col("doc_id"), col("n"),
+        expr("((i - 1) * 32) div n").as("bk"),
+        ascii(col("text").substr(col("i"), lit(1))).as("v"))
+    val b = pos.groupBy(col("doc_id"), col("bk"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+    b.withColumn("ts", sum(col("s")).over(w))
+      .withColumn("tc", sum(col("c")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("s") * col("tc") > col("ts") * col("c"),
+        expr("shiftleft(cast(1 as bigint), cast(bk as int))"))
+        .otherwise(0L)).as("ahash"))
+  }
+
+  /** Near-duplicate payload pairs by aHash hamming distance <=
+    * `maxDist`, candidates via NIBBLE BANDING: two hashes within
+    * hamming d differ in at most d of the 8 4-bit bands, so with
+    * d < 8 every true pair shares at least one exact band — the
+    * pigeonhole guarantee ([[graft.operators.Dedup]] uses the same
+    * move on 64-bit SimHash). Four-bit bands are collision-heavy at
+    * fixture scale (candidates approach all-pairs); at production
+    * scale the hash widens (64-bit aHash / DCT pHash) and bands widen
+    * with it, tightening candidates without changing this plan. */
+  def ahashNearDup(s: SparkSession, d: String,
+      maxDist: Int = 5): DataFrame = {
+    require(maxDist < 8, "nibble banding guarantees recall only for " +
+      s"hamming < 8, got $maxDist")
+    val h = payloadAHash(s, d)
+    val banded = h.select(col("doc_id"), col("ahash"),
+      explode(sequence(lit(0), lit(7))).as("j"))
+      .select(col("doc_id"), col("ahash"), col("j"),
+        expr("shiftright(ahash, 4 * j) & 15").as("bv"))
+    val a = banded.select(col("j"), col("bv"),
+      col("doc_id").as("a_id"), col("ahash").as("h_a"))
+    val bb = banded.select(col("j"), col("bv"),
+      col("doc_id").as("b_id"), col("ahash").as("h_b"))
+    a.join(bb, Seq("j", "bv"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("cast(bit_count(h_a ^ h_b) as bigint)").as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

@@ -53,4 +53,23 @@ class MultimodalSpec extends SparkSpec {
       idx % 4 == 0 && idx < r.getLong(1)
     })
   }
+
+  test("aHash banding finds exactly the all-pairs hamming<=d set") {
+    import org.apache.spark.sql.functions._
+    val banded = Multimodal.ahashNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: naive all-pairs over the same hashes — the banding
+    // must lose nothing (pigeonhole: d < 8 bands) and add nothing
+    // (every candidate is distance-verified)
+    val h = Multimodal.payloadAHash(spark, sf)
+    val naive = h.as("x").join(h.as("y"),
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id"), col("y.doc_id"),
+        expr("cast(bit_count(x.ahash ^ y.ahash) as bigint)").as("dist"))
+      .filter(col("dist") <= 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == naive && banded.nonEmpty)
+    // hashes are 32-bit: no bit above 31 is ever set
+    assert(h.filter(expr("shiftright(ahash, 32) != 0")).count() == 0)
+  }
 }
