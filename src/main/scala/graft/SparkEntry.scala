@@ -1067,8 +1067,10 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS ddl_add_layout,
                 CAST(1 AS BIGINT) AS ddl_replace_spec,
                 CAST(1 AS BIGINT) AS ddl_drop_clear,
+                CAST(1 AS BIGINT) AS props_set,
+                CAST(1 AS BIGINT) AS props_unset,
                 CAST(32 AS BIGINT) AS final_rows,
-                CAST(10 AS BIGINT) AS final_version""",
+                CAST(12 AS BIGINT) AS final_version""",
     // SQL time-travel gate: region (5 rows at every SF) as a 3-version
     // table — v1 commit 3 rows, v2 append 2, v3 ONE atomic CDC batch
     // (upsert key 0 + merge-on-read delete of key 1); per-version

@@ -50,7 +50,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 final class GraftVersionedTable(val tableDir: String,
     val snapshotVersion: Int, tableSchema: StructType,
     displayName: String,
-    declaredSpec: () => Option[Versioned.Transform] = () => None)
+    declaredSpec: () => Option[Versioned.Transform] = () => None,
+    tableProps: () => Map[String, String] = () => Map.empty)
     extends Table with SupportsWrite {
   override def name(): String = displayName
   override def schema(): StructType = tableSchema
@@ -60,6 +61,14 @@ final class GraftVersionedTable(val tableDir: String,
     * live declaration without spelunking `.partitions` layouts or
     * `_tspec` internals. Lazy: resolved on first ask (DESCRIBE-style
     * commands), free on the hot read/write path. */
+  /** Persisted table properties (SHOW TBLPROPERTIES / DESCRIBE
+    * EXTENDED read this); lazy like the spec — free on the hot path. */
+  override def properties(): util.Map[String, String] = propsLazy
+  private lazy val propsLazy: util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    tableProps().foreach { case (k, v) => m.put(k, v) }
+    util.Collections.unmodifiableMap(m)
+  }
   override def partitioning():
       Array[org.apache.spark.sql.connector.expressions.Transform] =
     partitioningLazy
@@ -361,7 +370,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
         }
     }
     new GraftVersionedTable(dir, v, schema, display(ident),
-      () => Versioned.currentTransform(spark, dir))
+      () => Versioned.currentTransform(spark, dir),
+      () => Versioned.properties(spark, dir))
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)
@@ -428,8 +438,23 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val empty = spark.createDataFrame(
       new util.ArrayList[org.apache.spark.sql.Row](), schema)
     Versioned.commit(empty, dirOf(ident), note = Some("CREATE TABLE"),
-      transform = declaredSpec(partitions, schema))
+      transform = declaredSpec(partitions, schema),
+      props = Some(userProps(properties)).filter(_.nonEmpty))
     load(ident, None)
+  }
+
+  /** The user-declared TBLPROPERTIES of a CREATE statement — Spark
+    * mixes engine-reserved keys (provider/location/owner/…) into the
+    * same map; those describe the catalog entry, not table state, and
+    * must not persist into `_props`. */
+  private def userProps(
+      properties: util.Map[String, String]): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val reserved = Set(TableCatalog.PROP_PROVIDER,
+      TableCatalog.PROP_LOCATION, TableCatalog.PROP_OWNER,
+      TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, "transient_lastDdlTime")
+    properties.asScala.toMap -- reserved
   }
 
   /** Map Spark's DDL partition transforms onto the engine's hidden
@@ -542,7 +567,26 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       changes: TableChange*): Table = {
     if (!tableExists(ident))
       throw new NoSuchTableException(ident.namespace :+ ident.name)
-    changes.foreach {
+    // property changes batch into ONE metadata-only commit (a
+    // SET TBLPROPERTIES statement arrives as one SetProperty per
+    // key); column evolution stays one commit per change below
+    val (propChanges, others) = changes.partition {
+      case _: TableChange.SetProperty |
+           _: TableChange.RemoveProperty => true
+      case _ => false
+    }
+    if (propChanges.nonEmpty) {
+      val sets = propChanges.collect {
+        case s: TableChange.SetProperty => s.property -> s.value
+      }.toMap
+      val unsets = propChanges.collect {
+        case r: TableChange.RemoveProperty => r.property
+      }
+      Versioned.setProperties(spark, dirOf(ident), sets, unsets,
+        note = Some(s"ALTER TABLE ${display(ident)} " +
+          (if (sets.nonEmpty) "SET" else "UNSET") + " TBLPROPERTIES"))
+    }
+    others.foreach {
       case r: TableChange.RenameColumn =>
         if (r.fieldNames.length != 1)
           throw new UnsupportedOperationException(

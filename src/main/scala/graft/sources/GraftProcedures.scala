@@ -89,30 +89,43 @@ object GraftProcedures {
       require(a != null, "the 'table' argument is required")
       resolve(a.asInstanceOf[String])
     }
+    // -1 sentinel = "the table's write.target-file-size-bytes
+    // property, else the 128 MB default" — a declared property drives
+    // every maintenance rewrite unless the CALL overrides it
+    def target(d: String, a: Any): Long = {
+      val v = a.asInstanceOf[Int]
+      if (v > 0) v * 1024L * 1024
+      else Versioned.targetFileBytes(spark, d)
+    }
     val mb = 1024L * 1024
     Option(name match {
       case "compact" => new Proc("compact",
-        "rewrite the current snapshot into target-sized files",
+        "rewrite the current snapshot into target-sized files " +
+          "(default size: the write.target-file-size-bytes property, " +
+          "else 128 MB)",
         Seq(p("table", StringType),
-          p("target_file_mb", IntegerType, Some("128"))),
+          p("target_file_mb", IntegerType, Some("-1"))),
         versionRow,
         a => {
           val d = dir(a(0))
           // CALL-driven maintenance keeps the table's layout: the
           // rewrite inherits the current hidden-transform spec
           Seq(Versioned.compact(spark, d,
-            targetFileBytes = a(1).asInstanceOf[Int] * mb,
+            targetFileBytes = target(d, a(1)),
             transform = Versioned.currentTransform(spark, d)))
         })
       case "compact_small" => new Proc("compact_small",
         "binpack only files under the size floor",
         Seq(p("table", StringType),
-          p("target_file_mb", IntegerType, Some("128")),
+          p("target_file_mb", IntegerType, Some("-1")),
           p("min_file_mb", IntegerType, Some("16"))),
         versionRow,
-        a => Seq(Versioned.compactSmall(spark, dir(a(0)),
-          targetFileBytes = a(1).asInstanceOf[Int] * mb,
-          minFileBytes = a(2).asInstanceOf[Int] * mb)))
+        a => {
+          val d = dir(a(0))
+          Seq(Versioned.compactSmall(spark, d,
+            targetFileBytes = target(d, a(1)),
+            minFileBytes = a(2).asInstanceOf[Int] * mb))
+        })
       case "compact_deletes" => new Proc("compact_deletes",
         "fold merge-on-read tombstones into the files they reach",
         Seq(p("table", StringType),
@@ -201,14 +214,15 @@ object GraftProcedures {
           "box queries prune at the manifest level",
         Seq(p("table", StringType), p("col_a", StringType),
           p("col_b", StringType),
-          p("target_file_mb", IntegerType, Some("128"))),
+          p("target_file_mb", IntegerType, Some("-1"))),
         versionRow,
         a => {
           require(a(1) != null && a(2) != null,
             "'col_a' and 'col_b' are required")
-          Seq(Versioned.compactZOrder(spark, dir(a(0)),
+          val d = dir(a(0))
+          Seq(Versioned.compactZOrder(spark, d,
             a(1).asInstanceOf[String], a(2).asInstanceOf[String],
-            targetFileBytes = a(3).asInstanceOf[Int] * mb))
+            targetFileBytes = target(d, a(3))))
         })
       case "collect_stats" => new Proc("collect_stats",
         "backfill stats sidecars for linked version roots missing " +

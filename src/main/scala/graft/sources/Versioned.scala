@@ -532,9 +532,11 @@ object Versioned {
       note: Option[String] = None,
       statsCols: Seq[String] = Nil,
       transform: Option[Transform] = None,
-      branch: Option[String] = None): Int =
+      branch: Option[String] = None,
+      props: Option[Map[String, String]] = None): Int =
     commitStaged(df, tableDir, partitionCol, note, statsCols,
-      linkBase = None, transform = transform, branch = branch)
+      linkBase = None, transform = transform, branch = branch,
+      props = props)
 
   /** @param linkBase     snapshot the new version chains onto; its
     *                     manifest entries are linked unless overridden
@@ -555,7 +557,8 @@ object Versioned {
       writeData: Boolean = true,
       branch: Option[String] = None,
       schemaStep: Option[SchemaStep] = None,
-      clearSpec: Boolean = false): Int = {
+      clearSpec: Boolean = false,
+      props: Option[Map[String, String]] = None): Int = {
     val spark = df.sparkSession
     // hidden partitioning: derive the transform's partition column for
     // the write only — it never enters the logical schema (read() hides
@@ -641,6 +644,16 @@ object Versioned {
       if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
       else writeCountStats(spark, f, stage)
     } else f.mkdirs(stage) // metadata-only commit (rollback, tombstone)
+    props.foreach { m =>
+      // full-map snapshot (last-writer-wins): the newest linked root
+      // carrying a _props sidecar IS the table's property state
+      def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
+      val out = f.create(new Path(stage, PropsFile), false)
+      try out.write(m.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
     if (clearSpec) {
       // [[setSpec]]'s explicit clear: the sentinel stops
       // currentTransform's inheritance walk at this version
@@ -3600,6 +3613,16 @@ object Versioned {
         .contains(Transform.Identity("n_regionkey"))
       s.sql(s"ALTER TABLE $g DROP PARTITION FIELD n_regionkey") // v10
       val ddlDrop = currentTransform(s, t).isEmpty
+      // table properties: SET persists (a metadata-only commit,
+      // surfaced by SHOW TBLPROPERTIES), UNSET drops exactly its keys
+      s.sql(s"ALTER TABLE $g SET TBLPROPERTIES " +
+        "('graft.gate' = 'ok')") // v11
+      def gateProp() = s.sql(s"SHOW TBLPROPERTIES $g").collect()
+        .exists(r => r.getString(0) == "graft.gate" &&
+          r.getString(1) == "ok")
+      val propSet = gateProp()
+      s.sql(s"ALTER TABLE $g UNSET TBLPROPERTIES ('graft.gate')") // v12
+      val propUnset = !gateProp()
       // ONE batched action for the row-count probes
       def probe(tag: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).cast("long").as("a"))
@@ -3633,6 +3656,8 @@ object Versioned {
         lit(if (ddlLayout) 1L else 0L).as("ddl_add_layout"),
         lit(if (ddlReplace) 1L else 0L).as("ddl_replace_spec"),
         lit(if (ddlDrop) 1L else 0L).as("ddl_drop_clear"),
+        lit(if (propSet) 1L else 0L).as("props_set"),
+        lit(if (propUnset) 1L else 0L).as("props_unset"),
         lit(r("fin")).as("final_rows"),
         lit(currentVersion(s, t).toLong).as("final_version"))
     } finally
@@ -4010,6 +4035,68 @@ object Versioned {
       statsCols = Nil, linkBase = Some(cur), transform = spec,
       clearSpec = spec.isEmpty, branch = branch)
   }
+
+  private val PropsFile = "_props"
+
+  /** Current TABLE PROPERTIES — the Iceberg table-property surface
+    * (`ALTER TABLE … SET/UNSET TBLPROPERTIES`, `SHOW TBLPROPERTIES`):
+    * the newest linked version root carrying a `_props` sidecar holds
+    * the FULL map (each [[setProperties]] commit snapshots the merged
+    * state, so the walk stops at the first hit — no merge across
+    * versions, no resurrection of unset keys). Unreadable sidecars
+    * keep walking: degrade to older state, never fail the read. */
+  def properties(spark: SparkSession,
+      tableDir: String): Map[String, String] = {
+    val cur = Try(currentVersion(spark, tableDir)).getOrElse(0)
+    if (cur == 0) return Map.empty
+    val f = fs(spark, tableDir)
+    def dec(x: String) = java.net.URLDecoder.decode(x, "UTF-8")
+    manifestDirs(f, tableDir, cur).map(_.split("/").head).distinct
+      .sortBy(v => -entryVer(v))
+      .iterator.flatMap { vr =>
+        val p = new Path(new Path(tableDir, vr), PropsFile)
+        if (!f.exists(p)) None
+        else Try {
+          val in = f.open(p)
+          val text = try new String(in.readAllBytes(), "UTF-8")
+          finally in.close()
+          text.split("\n").toSeq.filter(_.nonEmpty).map { line =>
+            val Array(k, v) = line.split("\t", 2)
+            dec(k) -> dec(v)
+          }.toMap
+        }.toOption
+      }.nextOption().getOrElse(Map.empty)
+  }
+
+  /** Merge `set` into (and drop `unset` from) the table's properties
+    * as ONE metadata-only commit — the `ALTER TABLE SET/UNSET
+    * TBLPROPERTIES` engine primitive. Returns the published version. */
+  def setProperties(spark: SparkSession, tableDir: String,
+      set: Map[String, String] = Map.empty,
+      unset: Seq[String] = Nil,
+      note: Option[String] = None): Int = withCommitRetry() {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    require(set.nonEmpty || unset.nonEmpty, "nothing to change")
+    val merged = (properties(spark, tableDir) ++ set) -- unset
+    commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
+      partitionCol = None,
+      note = note.orElse(Some(s"SET TBLPROPERTIES (${set.keys.toSeq.sorted
+        .mkString(", ")})${if (unset.nonEmpty)
+          s" UNSET (${unset.sorted.mkString(", ")})" else ""}")),
+      statsCols = Nil, linkBase = Some(cur),
+      transform = currentTransform(spark, tableDir),
+      props = Some(merged))
+  }
+
+  /** The table's target output-file size: the Iceberg
+    * `write.target-file-size-bytes` property, or the 128 MB default —
+    * what maintenance rewrites size their file counts from when the
+    * caller does not say otherwise. */
+  def targetFileBytes(spark: SparkSession, tableDir: String): Long =
+    properties(spark, tableDir).get("write.target-file-size-bytes")
+      .flatMap(v => Try(v.trim.toLong).toOption).filter(_ > 0)
+      .getOrElse(128L * 1024 * 1024)
 
   private val TspecFile = "_tspec"
 

@@ -181,6 +181,40 @@ class ProcedureSpec extends SparkSpec {
       s"table => '$abs', cols => 'id')").head().getInt(0) == 0)
   }
 
+  test("TBLPROPERTIES persist, survive commits, and drive compact sizing") {
+    import spark.implicits._
+    val (t, abs) = fresh("proc_props")
+    val g = s"graft.`$abs`"
+    spark.sql(s"CREATE TABLE $g (id INT, v STRING) " +
+      "TBLPROPERTIES ('owner.team' = 'data-eng')")
+    def props() = spark.sql(s"SHOW TBLPROPERTIES $g").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props().get("owner.team").contains("data-eng"))
+    // properties survive ordinary commits
+    spark.sql(s"INSERT INTO $g VALUES (1, 'a'), (2, 'b')")
+    (3 to 6).foreach(i =>
+      Versioned.append(Seq((i, "x")).toDF("id", "v"), t))
+    assert(props().get("owner.team").contains("data-eng"))
+    // SET merges; UNSET drops only its keys
+    spark.sql(s"ALTER TABLE $g SET TBLPROPERTIES (" +
+      "'write.target-file-size-bytes' = '1024', 'note' = 'tmp')")
+    assert(props().get("write.target-file-size-bytes").contains("1024"))
+    spark.sql(s"ALTER TABLE $g UNSET TBLPROPERTIES ('note')")
+    val afterUnset = props()
+    assert(!afterUnset.contains("note") &&
+      afterUnset.get("owner.team").contains("data-eng"))
+    // the property drives maintenance sizing: 1 KB target over a
+    // multi-KB table compacts into MULTIPLE files; an explicit CALL
+    // argument overrides it back to one
+    spark.sql(s"CALL graft.system.compact(table => '$abs')")
+    assert(Versioned.read(spark, t).inputFiles.length > 1,
+      "write.target-file-size-bytes=1024 must split the rewrite")
+    spark.sql(s"CALL graft.system.compact(table => '$abs', " +
+      "target_file_mb => 128)")
+    assert(Versioned.read(spark, t).inputFiles.length == 1)
+    assert(Versioned.read(spark, t).count() == 6)
+  }
+
   test("unknown procedures and namespaces refuse with the catalog list") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.nonsense()")
