@@ -39,13 +39,31 @@ object PipelineDemo {
     val canonical = survivors.join(reps, Seq("cluster_id", "doc_id"),
         "left_semi")
       .select(col("doc_id"), col("text")).cache()
-    // 3. balance across predicted languages
-    val sampled = TextAnalysis.stratifiedSampleOf(canonical, perStratum = 40)
-    // 4. pack the sampled docs into token-budget bins
+    // 3. domain-level downsampling: no source dominates the mixture
+    val capped = canonical
+      .join(spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source")), "doc_id")
+    val kept = TextAnalysis.sourceCapOf(capped, perSource = 20)
+      .select(col("doc_id"))
+    // 4. LM-score the survivors; drop the highest-surprisal tail
+    // (gibberish / boilerplate-ID heavy documents)
+    val scored = TextAnalysis.lmScoreOf(
+      canonical.join(kept, "doc_id"))
+    val cut = scored.agg(
+      expr("percentile_approx(lm_score, 0.95)")).head().getDouble(0)
+    val clean = canonical.join(
+      scored.filter(col("lm_score") <= cut).select(col("doc_id")),
+      "doc_id")
+    // 5. balance across predicted languages
+    val sampled = TextAnalysis.stratifiedSampleOf(clean, perStratum = 40)
+    // 6. deterministic training order: shuffle-shard the sample
+    val sharded = TextAnalysis.shuffleShardOf(
+      clean.join(sampled.select(col("doc_id")), "doc_id"))
+    // 7. pack the sampled docs into token-budget bins
     val packed = TextAnalysis.sequencePackingOf(
-      canonical.join(sampled.select(col("doc_id")), "doc_id"),
+      clean.join(sampled.select(col("doc_id")), "doc_id"),
       budget = 2048)
-    // 5. publish as a snapshot, then compact the small files
+    // 8. publish as a snapshot, then compact the small files
     val dir = s"$out/corpus"
     Versioned.commit(packed, dir)
     val v2 = Versioned.compact(spark, dir)
@@ -53,7 +71,11 @@ object PipelineDemo {
     val published = Versioned.read(spark, dir)
     println(s"PIPELINE_CURATED=${curated.count()}")
     println(s"PIPELINE_CANONICAL=${canonical.count()}")
+    println(s"PIPELINE_CAPPED=${kept.count()}")
+    println(s"PIPELINE_CLEAN=${clean.count()}")
     println(s"PIPELINE_SAMPLED=${sampled.count()}")
+    println(s"PIPELINE_SHARDS=${sharded
+      .agg(countDistinct(col("shard"))).head().getLong(0)}")
     println(s"PIPELINE_PACKED=${published.count()} v=$v2")
     println(s"PIPELINE_BINS=${published.agg(max(col("bin")))
       .head().getLong(0) + 1}")

@@ -16,6 +16,7 @@ import graft.sources.Versioned
   *   ALTER TABLE t CREATE [OR REPLACE] TAG golden [AS OF VERSION 3]
   *   ALTER TABLE t DROP BRANCH [IF EXISTS] audit
   *   ALTER TABLE t DROP TAG [IF EXISTS] golden
+  *   VACUUM t [RETAIN n VERSIONS]
   *
   * Like PARTITION FIELD ([[PartitionFieldDdl]]) these are Iceberg
   * SQL-extension productions Spark's grammar does not know, so the
@@ -25,6 +26,10 @@ import graft.sources.Versioned
   * OR REPLACE moves it, IF NOT EXISTS no-ops; bare DROP refuses a
   * missing name, IF EXISTS no-ops. */
 object RefDdl {
+
+  private val VacuumRe =
+    ("(?is)\\s*VACUUM\\s+(.+?)" +
+      "(?:\\s+RETAIN\\s+(\\d+)\\s+VERSIONS)?\\s*;?\\s*").r
 
   private val CreateRe =
     ("(?is)\\s*ALTER\\s+TABLE\\s+(.+?)\\s+CREATE\\s+(OR\\s+REPLACE\\s+)?" +
@@ -49,7 +54,29 @@ object RefDdl {
       Some(DropRefCommand(delegate.parseMultipartIdentifier(tbl),
         branch = kind.equalsIgnoreCase("branch"), clean(name),
         ifExists = ifExists != null))
+    case VacuumRe(tbl, keep) =>
+      Some(VacuumCommand(delegate.parseMultipartIdentifier(tbl),
+        keep = Option(keep).map(_.toInt).getOrElse(1)))
     case _ => None
+  }
+}
+
+/** `VACUUM t [RETAIN n VERSIONS]` — the Delta-style spelling over
+  * [[Versioned.vacuum]] (default: keep the newest unpinned snapshot
+  * only, matching `CALL graft.system.vacuum`); tags, branch heads and
+  * their linked files stay pinned regardless. Returns the retained
+  * version count, like the procedure. */
+case class VacuumCommand(parts: Seq[String], keep: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "retained_versions",
+      org.apache.spark.sql.types.IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(keep >= 1, s"RETAIN must keep at least 1 version, got $keep")
+    val dir = GraftDdl.tableDir(spark, parts, "VACUUM")
+    Versioned.vacuum(spark, dir, keep = keep)
+    Seq(Row(Versioned.versions(spark, dir).size))
   }
 }
 

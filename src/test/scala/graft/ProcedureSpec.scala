@@ -215,6 +215,26 @@ class ProcedureSpec extends SparkSpec {
     assert(Versioned.read(spark, t).count() == 6)
   }
 
+  test("VACUUM SQL spelling expires history, honors RETAIN and pins") {
+    import spark.implicits._
+    val (t, abs) = fresh("sql_vacuum")
+    val g = s"graft.`$abs`"
+    Versioned.commit(Seq(Tuple1(1)).toDF("x"), t)
+    (2 to 5).foreach(i => Versioned.append(Seq(Tuple1(i)).toDF("x"), t))
+    assert(Versioned.versions(spark, t).size == 5)
+    // RETAIN keeps the newest N unpinned snapshots
+    val kept = spark.sql(s"VACUUM $g RETAIN 3 VERSIONS")
+      .head().getInt(0)
+    assert(kept == 3 && Versioned.versions(spark, t) == Seq(3, 4, 5))
+    // a tag pins its snapshot through the default full vacuum
+    spark.sql(s"ALTER TABLE $g CREATE TAG keepme AS OF VERSION 3")
+    assert(spark.sql(s"VACUUM $g").head().getInt(0) == 2)
+    assert(Versioned.versions(spark, t) == Seq(3, 5))
+    assert(spark.sql(s"SELECT count(*) FROM $g VERSION AS OF 'keepme'")
+      .head().getLong(0) == 3)
+    assert(spark.table(g).count() == 5)
+  }
+
   test("unknown procedures and namespaces refuse with the catalog list") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.nonsense()")
