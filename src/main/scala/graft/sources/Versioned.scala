@@ -4478,6 +4478,19 @@ object Versioned {
     readWhereAllImpl(spark, tableDir, ranges, Nil, version,
       withDeletes = true)
 
+  /** IN-list read with manifest-level file pruning: returns exactly
+    * `read(version).filter(col(colName).isin(values))`, skipping every
+    * file whose stats prove that NO value of the set lies inside its
+    * (min, max) — the point-lookup-set shape (key probes, id batches)
+    * where a single covering range [min(values), max(values)] would
+    * prune nothing on a sparse set. Files without stats for the
+    * column scan in full; degrade, never lie. */
+  def readWhereIn(spark: SparkSession, tableDir: String,
+      colName: String, values: Seq[Any],
+      version: Option[Int] = None): DataFrame =
+    readWhereAllImpl(spark, tableDir, Nil, Nil, version,
+      withDeletes = true, inSets = Seq((colName, values)))
+
   /** IS NULL / IS NOT NULL read with manifest-level file pruning:
     * returns exactly `read(version).filter(col(colName).isNull)` (or
     * isNotNull), consulting the stats sidecar's per-file null/value
@@ -4498,9 +4511,12 @@ object Versioned {
   private def readWhereAllImpl(spark: SparkSession, tableDir: String,
       ranges: Seq[(String, Any, Any)],
       nullPreds: Seq[(String, Boolean)],
-      version: Option[Int], withDeletes: Boolean): DataFrame = {
-    require(ranges.nonEmpty || nullPreds.nonEmpty,
+      version: Option[Int], withDeletes: Boolean,
+      inSets: Seq[(String, Seq[Any])] = Nil): DataFrame = {
+    require(ranges.nonEmpty || nullPreds.nonEmpty || inSets.nonEmpty,
       "readWhereAll needs at least one predicate")
+    inSets.foreach { case (c, vs) => require(vs.nonEmpty,
+      s"IN-set for '$c' must be non-empty") }
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
@@ -4508,8 +4524,11 @@ object Versioned {
       col(c) >= lit(lo) && col(c) <= lit(hi)
     } ++ nullPreds.map { case (c, wantNull) =>
       if (wantNull) col(c).isNull else col(c).isNotNull
+    } ++ inSets.map { case (c, vs) =>
+      col(c).isin(vs: _*)
     }).reduce(_ && _)
-    val colNames = ranges.map(_._1) ++ nullPreds.map(_._1)
+    val colNames = ranges.map(_._1) ++ nullPreds.map(_._1) ++
+      inSets.map(_._1)
     val chain = renameChain(f, tableDir, v)
     val entryInfo = manifestDirs(f, tableDir, v).map { dn =>
       val isFile = f.getFileStatus(new Path(tableDir, dn)).isFile
@@ -4568,6 +4587,26 @@ object Versioned {
             ((col("min_v").isNull && col("max_v").isNull) ||
               coalesce(maxC < loB, lit(false)) ||
               coalesce(minC > hiB, lit(false)))
+        }
+      } ++ inSets.flatMap { case (c, vs) =>
+        // IN-set pruning: a file misses only when EVERY value provably
+        // lands outside its (min, max) — the disjunctive complement of
+        // the range rule, same degrade-never-lie bound semantics
+        dtypesByCol.collect { case (`c`, dt) =>
+          def bound(v: Any) =
+            if (dt == "timestamp") unix_micros(lit(v).cast("timestamp"))
+            else lit(v)
+          val (minC, maxC) =
+            if (dt == "timestamp")
+              (col("min_v").try_cast("long"), col("max_v").try_cast("long"))
+            else
+              (col("min_v").try_cast(dt), col("max_v").try_cast(dt))
+          val allMiss = vs.map { v =>
+            coalesce(maxC < bound(v), lit(false)) ||
+              coalesce(minC > bound(v), lit(false))
+          }.reduce(_ && _)
+          col("col") === c && col("dtype") === dt &&
+            ((col("min_v").isNull && col("max_v").isNull) || allMiss)
         }
       }
       if (missConds.isEmpty) Set.empty

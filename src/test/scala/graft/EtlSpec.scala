@@ -134,6 +134,39 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.read(spark, t, Some(2)).count() == 4)
   }
 
+  test("readWhereIn prunes a sparse value set beyond its covering range") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_wherein"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    // 8 files of disjoint id ranges with id stats: a sparse IN-set
+    // touching 2 ranges must scan ~2 files, while the covering range
+    // [min, max] spans nearly all of them
+    Versioned.commit((1 to 800).map(i => (i, i * 10)).toDF("id", "x")
+      .repartitionByRange(8, col("id")), t, statsCols = Seq("id"))
+    val values = Seq(50, 55, 750)
+    val in = Versioned.readWhereIn(spark, t, "id", values)
+    // exact: equals the unpruned isin filter
+    assert(in.select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      values.sorted)
+    val all = Versioned.read(spark, t).inputFiles.length
+    val inN = in.inputFiles.length
+    val rangeN = Versioned.readWhere(spark, t, "id", 50, 750)
+      .inputFiles.length
+    info(s"in=$inN range=$rangeN all=$all")
+    assert(inN < rangeN && rangeN >= all - 1,
+      "the sparse set must prune harder than its covering range")
+    assert(inN <= 2)
+    // values entirely outside every file scan nothing but return empty
+    assert(Versioned.readWhereIn(spark, t, "id", Seq(-5, 9999))
+      .count() == 0)
+    // merge-on-read tombstones still apply through the pruned read
+    Versioned.deleteRows(spark, t, Seq(55).toDF("id"))
+    assert(Versioned.readWhereIn(spark, t, "id", values)
+      .select("id").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(50, 750))
+  }
+
   test("versioned table: merge rewrites only touched files, links the rest") {
     import spark.implicits._
     import graft.sources.Versioned
