@@ -193,6 +193,11 @@ object SparkEntry {
     // on INSERT, set_spec evolution, .partitions metadata table.
     "q45_ddl_partitioning" ->
       (graft.sources.Versioned.ddlPartitionGate _),
+    // The SQL-extension DDL surface (partition-field/props/refs/VACUUM
+    // spellings), split from q45 so each gate's bench wall time stays
+    // attributable to one protocol surface (the q40/q44 precedent).
+    "q46_sql_ddl" ->
+      (graft.sources.Versioned.sqlDdlGate _),
     // —— multimodal plumbing (north-star; decode is a marked stub) ——
     "m01_media_meta"   -> (Multimodal.mediaMeta _),
     // Feature vector projected to scalar f_* columns: driver-checkable
@@ -1043,10 +1048,7 @@ object SparkEntry {
     // set_spec evolves to bucket(5, n_nationkey) as v3 and the next
     // insert (5 EVO rows) bucket-partitions; point readWhere on an
     // evolved key hits 1 row; clearing the spec makes the last insert
-    // unpartitioned; then the ALTER TABLE … PARTITION FIELD DDL
-    // spelling (parser extension) drives one more evolution cycle —
-    // ADD bucket(3) (v7) + a bucketed insert (v8), REPLACE with
-    // identity (v9), DROP (v10); 32 rows, ten versions.
+    // unpartitioned; 31 rows, six versions.
     "q45_ddl_partitioning" ->
       """SELECT CAST(1 AS BIGINT) AS ddl_spec_identity,
                 CAST(25 AS BIGINT) AS ins_rows,
@@ -1063,14 +1065,26 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS evo_point_rows,
                 CAST(30 AS BIGINT) AS evo_total_rows,
                 CAST(1 AS BIGINT) AS clear_plain,
+                CAST(31 AS BIGINT) AS final_rows,
+                CAST(6 AS BIGINT) AS final_version""",
+    // SQL-extension DDL gate: CREATE carries TBLPROPERTIES; the
+    // partition-field cycle ADD bucket(3) (v3) + bucketed insert (v4)
+    // + REPLACE identity (v5) + DROP (v6); SET merges / UNSET drops
+    // exactly its keys; CREATE TAG pins v2's 5 rows; a branch creates
+    // and drops; VACUUM RETAIN 2 keeps {7, 8} plus the tag-pinned v2.
+    "q46_sql_ddl" ->
+      """SELECT CAST(1 AS BIGINT) AS props_create,
                 CAST(1 AS BIGINT) AS ddl_add_spec,
                 CAST(1 AS BIGINT) AS ddl_add_layout,
                 CAST(1 AS BIGINT) AS ddl_replace_spec,
                 CAST(1 AS BIGINT) AS ddl_drop_clear,
                 CAST(1 AS BIGINT) AS props_set,
                 CAST(1 AS BIGINT) AS props_unset,
-                CAST(32 AS BIGINT) AS final_rows,
-                CAST(12 AS BIGINT) AS final_version""",
+                CAST(5 AS BIGINT) AS tag_rows,
+                CAST(1 AS BIGINT) AS branch_cycle,
+                CAST(3 AS BIGINT) AS vacuum_retained,
+                CAST(6 AS BIGINT) AS final_rows,
+                CAST(8 AS BIGINT) AS final_version""",
     // SQL time-travel gate: region (5 rows at every SF) as a 3-version
     // table — v1 commit 3 rows, v2 append 2, v3 ONE atomic CDC batch
     // (upsert key 0 + merge-on-read delete of key 1); per-version

@@ -3594,35 +3594,6 @@ object Versioned {
       val clearPlain = !new java.io.File(s"$t/v=$v6").listFiles().toSeq
         .exists(f => f.isDirectory &&
           f.getName.startsWith(TransformPrefix))
-      // the ALTER TABLE … PARTITION FIELD DDL spelling (the parser
-      // extension, graft.plans.PartitionFieldDdl) drives the same
-      // evolution: ADD declares, the next insert adopts the layout,
-      // REPLACE swaps in one commit, DROP clears
-      s.sql(s"ALTER TABLE $g ADD PARTITION FIELD " +
-        "bucket(3, n_nationkey)") // v7
-      val ddlAdd = currentTransform(s, t)
-        .contains(Transform.Bucket(3, "n_nationkey"))
-      s.sql(s"INSERT INTO $g VALUES (1000, 1, 'DDL')") // v8
-      val v8 = currentVersion(s, t)
-      val ddlLayout = new java.io.File(s"$t/v=$v8").listFiles().toSeq
-        .exists(f => f.isDirectory &&
-          f.getName.startsWith(s"${TransformPrefix}bucket3_n_nationkey="))
-      s.sql(s"ALTER TABLE $g REPLACE PARTITION FIELD " +
-        "bucket(3, n_nationkey) WITH n_regionkey") // v9, identity
-      val ddlReplace = currentTransform(s, t)
-        .contains(Transform.Identity("n_regionkey"))
-      s.sql(s"ALTER TABLE $g DROP PARTITION FIELD n_regionkey") // v10
-      val ddlDrop = currentTransform(s, t).isEmpty
-      // table properties: SET persists (a metadata-only commit,
-      // surfaced by SHOW TBLPROPERTIES), UNSET drops exactly its keys
-      s.sql(s"ALTER TABLE $g SET TBLPROPERTIES " +
-        "('graft.gate' = 'ok')") // v11
-      def gateProp() = s.sql(s"SHOW TBLPROPERTIES $g").collect()
-        .exists(r => r.getString(0) == "graft.gate" &&
-          r.getString(1) == "ok")
-      val propSet = gateProp()
-      s.sql(s"ALTER TABLE $g UNSET TBLPROPERTIES ('graft.gate')") // v12
-      val propUnset = !gateProp()
       // ONE batched action for the row-count probes
       def probe(tag: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).cast("long").as("a"))
@@ -3652,13 +3623,87 @@ object Versioned {
         lit(r("evo_point")).as("evo_point_rows"),
         lit(r("evo_total")).as("evo_total_rows"),
         lit(if (clearPlain) 1L else 0L).as("clear_plain"),
+        lit(r("fin")).as("final_rows"),
+        lit(v6.toLong).as("final_version"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  /** Driver-visible gate over the SQL-EXTENSION DDL surface — the
+    * Iceberg spellings the session parser adds (partition-spec
+    * evolution, table properties, named refs, VACUUM), split from
+    * [[ddlPartitionGate]] the way q44 split from q40: each gate's
+    * bench wall time stays attributable to ONE protocol surface.
+    * Builds a fresh region-backed table and reduces every behavior to
+    * a constant the oracle states literally; like its siblings, the
+    * gate's cost is its writes (~10 protocol commits). */
+  def sqlDdlGate(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val work = Files.createTempDirectory("graft-sql-ddl")
+    try {
+      Tables.load(s, d, "region")
+        .select(col("r_regionkey"), col("r_name"))
+        .createOrReplaceTempView("q46_region_src")
+      val t = work.resolve("tbl").toString
+      val g = s"graft.`$t`"
+      // CREATE carries user TBLPROPERTIES into the _props sidecar
+      s.sql(s"CREATE TABLE $g (r_regionkey INT, r_name STRING) " +
+        "TBLPROPERTIES ('graft.owner' = 'gate')") // v1
+      s.sql(s"INSERT INTO $g SELECT * FROM q46_region_src") // v2
+      def prop(k: String, v: String) =
+        s.sql(s"SHOW TBLPROPERTIES $g").collect()
+          .exists(r => r.getString(0) == k && r.getString(1) == v)
+      val propsCreate = prop("graft.owner", "gate")
+      // partition-spec evolution through the DDL spellings: ADD
+      // declares, the next insert adopts, REPLACE swaps, DROP clears
+      s.sql(s"ALTER TABLE $g ADD PARTITION FIELD " +
+        "bucket(3, r_regionkey)") // v3
+      val ddlAdd = currentTransform(s, t)
+        .contains(Transform.Bucket(3, "r_regionkey"))
+      s.sql(s"INSERT INTO $g VALUES (100, 'DDL')") // v4
+      val v4 = currentVersion(s, t)
+      val ddlLayout = new java.io.File(s"$t/v=$v4").listFiles().toSeq
+        .exists(f => f.isDirectory &&
+          f.getName.startsWith(s"${TransformPrefix}bucket3_r_regionkey="))
+      s.sql(s"ALTER TABLE $g REPLACE PARTITION FIELD " +
+        "bucket(3, r_regionkey) WITH r_regionkey") // v5, identity
+      val ddlReplace = currentTransform(s, t)
+        .contains(Transform.Identity("r_regionkey"))
+      s.sql(s"ALTER TABLE $g DROP PARTITION FIELD r_regionkey") // v6
+      val ddlDrop = currentTransform(s, t).isEmpty
+      // properties: SET merges (create's key survives), UNSET drops
+      // exactly its keys
+      s.sql(s"ALTER TABLE $g SET TBLPROPERTIES ('graft.tmp' = 'x')") // v7
+      val propSet = prop("graft.tmp", "x") && prop("graft.owner", "gate")
+      s.sql(s"ALTER TABLE $g UNSET TBLPROPERTIES ('graft.tmp')") // v8
+      val propUnset = !prop("graft.tmp", "x") &&
+        prop("graft.owner", "gate")
+      // named refs through DDL: a tag pins v2 (5 rows); a branch
+      // creates and drops cleanly
+      s.sql(s"ALTER TABLE $g CREATE TAG gold AS OF VERSION 2")
+      val tagRows = s.sql(
+        s"SELECT count(*) FROM $g VERSION AS OF 'gold'").head().getLong(0)
+      s.sql(s"ALTER TABLE $g CREATE BRANCH wip")
+      val branchOk = branches(s, t).contains("wip")
+      s.sql(s"ALTER TABLE $g DROP BRANCH wip")
+      val branchGone = !branches(s, t).contains("wip")
+      // VACUUM RETAIN keeps the newest 2 unpinned versions; the gold
+      // tag pins v2 through it (8 versions -> {2, 7, 8})
+      val retained = s.sql(s"VACUUM $g RETAIN 2 VERSIONS")
+        .head().getInt(0)
+      val finRows = s.sql(s"SELECT count(*) FROM $g").head().getLong(0)
+      s.range(1).select(
+        lit(if (propsCreate) 1L else 0L).as("props_create"),
         lit(if (ddlAdd) 1L else 0L).as("ddl_add_spec"),
         lit(if (ddlLayout) 1L else 0L).as("ddl_add_layout"),
         lit(if (ddlReplace) 1L else 0L).as("ddl_replace_spec"),
         lit(if (ddlDrop) 1L else 0L).as("ddl_drop_clear"),
         lit(if (propSet) 1L else 0L).as("props_set"),
         lit(if (propUnset) 1L else 0L).as("props_unset"),
-        lit(r("fin")).as("final_rows"),
+        lit(tagRows).as("tag_rows"),
+        lit(if (branchOk && branchGone) 1L else 0L).as("branch_cycle"),
+        lit(retained.toLong).as("vacuum_retained"),
+        lit(finRows).as("final_rows"),
         lit(currentVersion(s, t).toLong).as("final_version"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
