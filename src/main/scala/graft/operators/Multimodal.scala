@@ -194,12 +194,16 @@ object Multimodal {
       col("doc_id").as("a_id"), col("ahash").as("h_a"))
     val bb = banded.select(col("j"), col("bv"),
       col("doc_id").as("b_id"), col("ahash").as("h_b"))
+    // distance-filter BEFORE the dedup: a pair surfaces once per
+    // shared band (up to 8 copies), and the collision-heavy candidate
+    // set must not shuffle through distinct() only to be dropped by
+    // the hamming test afterwards
     a.join(bb, Seq("j", "bv"))
       .filter(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         expr("cast(bit_count(h_a ^ h_b) as bigint)").as("dist"))
-      .distinct()
       .filter(col("dist") <= maxDist)
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 }

@@ -628,16 +628,21 @@ object TextAnalysis {
     * model when it fits (AQE decides), and a 100 TB corpus caps the
     * model first (top-V by count + an OOV floor) which slots in as
     * one filter without changing the plan shape. The corpus total is
-    * ONE scalar to the driver. */
+    * a broadcast 1-row frame riding the same lazy plan. */
   def lmScoreOf(docsDf: DataFrame): DataFrame = {
     val toks = docsDf.select(col("doc_id"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
     val model = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val total = model.agg(sum(col("c"))).head().getLong(0).toDouble
+    // the corpus total rides the plan as a broadcast 1-row frame —
+    // forcing it eagerly (`.head()` at build time) would pay the full
+    // tokenize+aggregate pass twice, once for the scalar and once
+    // inside the scoring join
+    val total = model.agg(sum(col("c")).cast("double").as("t"))
     toks.join(model, "tok")
+      .crossJoin(broadcast(total))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).cast("long").as("n_tokens"),
-        avg(-log(col("c").cast("double") / total)).as("lm_score"))
+        avg(-log(col("c").cast("double") / col("t"))).as("lm_score"))
       .orderBy(col("doc_id"))
   }
 

@@ -1,5 +1,7 @@
 package graft.plans
 
+import scala.util.Try
+
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -54,9 +56,16 @@ object RefDdl {
       Some(DropRefCommand(delegate.parseMultipartIdentifier(tbl),
         branch = kind.equalsIgnoreCase("branch"), clean(name),
         ifExists = ifExists != null))
-    case VacuumRe(tbl, keep) =>
-      Some(VacuumCommand(delegate.parseMultipartIdentifier(tbl),
-        keep = Option(keep).map(_.toInt).getOrElse(1)))
+    case VacuumRe(tbl, keep) if !tbl.trim.exists(_.isWhitespace) =>
+      // VACUUM is claimed by other lakehouse dialects too (Delta's
+      // RETAIN n HOURS): yield to a delegate that can parse the
+      // statement, and only intercept the graft spelling when it
+      // cannot. The whitespace guard keeps a foreign clause tail
+      // (swallowed into the lazy table group) from being misread as
+      // our statement — it falls through to the delegate's error.
+      Try(delegate.parsePlan(sqlText)).toOption.orElse(
+        Some(VacuumCommand(delegate.parseMultipartIdentifier(tbl),
+          keep = Option(keep).map(_.toInt).getOrElse(1))))
     case _ => None
   }
 }
@@ -95,7 +104,16 @@ case class CreateRefCommand(parts: Seq[String], branch: Boolean,
         s"CREATE OR REPLACE $what moves it, IF NOT EXISTS no-ops")
     if (branch) {
       // a branch name is a LINEAGE: replace = drop the old incarnation
-      // (its unpublished commits stay generation-fenced) + fresh create
+      // (its unpublished commits stay generation-fenced) + fresh
+      // create. Validate the anchor BEFORE the drop — a bad AS OF
+      // VERSION must fail the statement, not destroy the branch it
+      // was asked to move (the tag path validates inside tag()).
+      version.foreach { v =>
+        val vs = Versioned.versions(spark, dir)
+        require(vs.contains(v),
+          s"cannot branch at v=$v of ${parts.mkString(".")} " +
+            s"(retained: ${vs.mkString(", ")})")
+      }
       if (exists) Versioned.dropBranch(spark, dir, refName)
       Versioned.createBranch(spark, dir, refName, at = version)
     } else Versioned.tag(spark, dir, refName, version = version)

@@ -55,12 +55,6 @@ final class GraftVersionedTable(val tableDir: String,
     extends Table with SupportsWrite {
   override def name(): String = displayName
   override def schema(): StructType = tableSchema
-  /** The table's CURRENT declared partition spec as DSv2 transforms,
-    * so `DESCRIBE [EXTENDED]` and `SHOW CREATE TABLE` print
-    * `PARTITIONED BY (...)` — the SQL user evolving specs sees the
-    * live declaration without spelunking `.partitions` layouts or
-    * `_tspec` internals. Lazy: resolved on first ask (DESCRIBE-style
-    * commands), free on the hot read/write path. */
   /** Persisted table properties (SHOW TBLPROPERTIES / DESCRIBE
     * EXTENDED read this); lazy like the spec — free on the hot path. */
   override def properties(): util.Map[String, String] = propsLazy
@@ -69,6 +63,12 @@ final class GraftVersionedTable(val tableDir: String,
     tableProps().foreach { case (k, v) => m.put(k, v) }
     util.Collections.unmodifiableMap(m)
   }
+  /** The table's CURRENT declared partition spec as DSv2 transforms,
+    * so `DESCRIBE [EXTENDED]` and `SHOW CREATE TABLE` print
+    * `PARTITIONED BY (...)` — the SQL user evolving specs sees the
+    * live declaration without spelunking `.partitions` layouts or
+    * `_tspec` internals. Lazy: resolved on first ask (DESCRIBE-style
+    * commands), free on the hot read/write path. */
   override def partitioning():
       Array[org.apache.spark.sql.connector.expressions.Transform] =
     partitioningLazy
@@ -168,7 +168,8 @@ private final class GraftWriteBuilder(tableDir: String,
   * [[GraftCatalog.createTable]]. */
 private final class GraftStagedTable(tableDir: String,
     displayName: String, declared: StructType, freshCreate: Boolean,
-    spec: Option[Versioned.Transform])
+    spec: Option[Versioned.Transform],
+    props: Map[String, String])
     extends StagedTable with SupportsWrite {
   @volatile private var wrote = false
   override def name(): String = displayName
@@ -187,9 +188,12 @@ private final class GraftStagedTable(tableDir: String,
               // the DECLARED spec partitions the CTAS/RTAS write (and
               // persists as the table's default going forward); its
               // absence REPLACES any prior spec with unpartitioned
+              // the DECLARED properties replace any prior set (the
+              // Iceberg CREATE OR REPLACE contract) — Some(empty)
+              // resets rather than inheriting
               Versioned.commit(data, tableDir,
                 note = Some(s"CREATE OR REPLACE $displayName"),
-                transform = spec)
+                transform = spec, props = Some(props))
               wrote = true
             }
           }
@@ -202,7 +206,7 @@ private final class GraftStagedTable(tableDir: String,
         new util.ArrayList[org.apache.spark.sql.Row](), declared)
       Versioned.commit(empty, tableDir,
         note = Some(s"CREATE OR REPLACE $displayName"),
-        transform = spec)
+        transform = spec, props = Some(props))
     }
   override def abortStagedChanges(): Unit = {
     // a failed write published nothing (atomic commit); only a FRESH
@@ -528,7 +532,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       throw new TableAlreadyExistsException(
         ident.namespace :+ ident.name)
     new GraftStagedTable(dirOf(ident), display(ident), schema,
-      freshCreate = true, declaredSpec(partitions, schema))
+      freshCreate = true, declaredSpec(partitions, schema),
+      userProps(properties))
   }
 
   /** RTAS target: the replacement is a fresh full-snapshot COMMIT on
@@ -542,14 +547,16 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (!tableExists(ident))
       throw new NoSuchTableException(ident.namespace :+ ident.name)
     new GraftStagedTable(dirOf(ident), display(ident), schema,
-      freshCreate = false, declaredSpec(partitions, schema))
+      freshCreate = false, declaredSpec(partitions, schema),
+      userProps(properties))
   }
 
   override def stageCreateOrReplace(ident: Identifier,
       schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): StagedTable = {
     new GraftStagedTable(dirOf(ident), display(ident), schema,
-      freshCreate = !tableExists(ident), declaredSpec(partitions, schema))
+      freshCreate = !tableExists(ident), declaredSpec(partitions, schema),
+      userProps(properties))
   }
 
   /** `ALTER TABLE` schema evolution, all METADATA-ONLY commits (no

@@ -644,7 +644,20 @@ object Versioned {
       if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
       else writeCountStats(spark, f, stage)
     } else f.mkdirs(stage) // metadata-only commit (rollback, tombstone)
-    props.foreach { m =>
+    // Table properties ride the manifest walk ([[properties]] consults
+    // LINKED roots), so a FULL commit — compact, INSERT OVERWRITE,
+    // anything whose manifest references only its own new root — must
+    // CARRY the current map forward or it would silently erase the
+    // table's properties (Iceberg properties survive
+    // rewrite_data_files). Linked commits inherit for free; an
+    // explicit `props` (SET/UNSET, CREATE OR REPLACE's declared set —
+    // possibly empty, which RESETS) always wins.
+    val effProps = props.orElse {
+      if (linkBase.isEmpty && linkEntries.isEmpty)
+        Some(properties(spark, tableDir)).filter(_.nonEmpty)
+      else None
+    }
+    effProps.foreach { m =>
       // full-map snapshot (last-writer-wins): the newest linked root
       // carrying a _props sidecar IS the table's property state
       def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
@@ -3304,20 +3317,27 @@ object Versioned {
         .map(_.replaceFirst("^" + TransformPrefix, ""))
         .mkString("/")
       val p = new Path(tableDir, rel)
-      val rc = sidecarCounts.getOrElse(rel, {
+      // None = UNKNOWN (a transiently unreadable footer): the rollup
+      // reports NULL for a partition containing such a file rather
+      // than silently understating it as 0 rows — an operator reading
+      // the metadata table must see "unknown", not "near-empty"
+      val rc: Option[Long] = sidecarCounts.get(rel).orElse {
         footerOpenCount.incrementAndGet()
         Try {
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile
               .fromPath(p, conf))
           try r.getRecordCount finally r.close()
-        }.getOrElse(0L)
-      })
+        }.toOption
+      }
       (if (part.isEmpty) null else part, rc,
         f.getFileStatus(p).getLen)
     }
     val rows = perFile.groupBy(_._1).toSeq.map { case (part, fls) =>
-      (part, fls.size.toLong, fls.map(_._2).sum, fls.map(_._3).sum)
+      val counts = fls.map(_._2)
+      (part, fls.size.toLong,
+        if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None,
+        fls.map(_._3).sum)
     }.sortBy(r => Option(r._1).getOrElse(""))
     import spark.implicits._
     rows.toDF("partition", "file_count", "row_count", "total_bytes")

@@ -189,35 +189,41 @@ private final class ChangeStreamSource(sqlContext: SQLContext,
   // the Delta maxFilesPerTrigger contract).
   @volatile private var lastBatchEnd: Int = if (resumed) -1 else anchor
 
+  // (mtime, version, trustable) of the last FULL probe. `trustable`
+  // records that the probe ITSELF ran with the mtime already older
+  // than the stability window: only then can "mtime unchanged" prove
+  // "no new commit" — M is truncated to filesystem granularity, so
+  // any commit AFTER such a probe stamps a truncated time strictly
+  // greater than M and must change the observed mtime. A probe taken
+  // while the mtime was still fresh can share a granularity tick with
+  // a commit that landed just after it (same truncated M — the probe
+  // would never see it change) and is therefore never trusted.
+  @volatile private var verMemo: (Long, Int, Boolean) = (-1L, -1, false)
+
   override def schema: StructType = out
 
-  // (root mtime, version) of the last FULL version probe — getOffset
-  // fires every trigger, and an idle sub-second-trigger stream was
-  // paying one directory listing per tick. When the table root's
-  // mtime has been stable for [[ChangeStreamSource.MtimeStableMs]],
-  // the cached version is provably current (any commit publishes a
-  // marker into the root, bumping its mtime on posix/HDFS semantics);
-  // a RECENT mtime — inside timestamp granularity of a racing commit
-  // — always re-lists, and stores without meaningful directory mtimes
-  // (mtime <= 0, the S3A synthetic-prefix shape) never memoize.
-  // Staleness cost is bounded either way: a missed tick only delays
-  // the range to the next trigger, never skips it.
-  private var verMemo: (Long, Int) = (-1L, -1)
-
+  // getOffset fires every trigger, and an idle sub-second-trigger
+  // stream was paying one directory listing per tick; with the memo a
+  // quiet table costs one stat call per tick. The mtime is statted
+  // BEFORE the listing, so a commit racing the full probe invalidates
+  // the next tick's comparison rather than hiding behind it. Stores
+  // without meaningful directory mtimes (mtime <= 0, the S3A
+  // synthetic-prefix shape) never memoize — degrade to the listing,
+  // never a stale version held indefinitely.
   private def probeVersion(): Int = {
     val mtime = try {
       val p = new Path(dir)
       p.getFileSystem(spark.sessionState.newHadoopConf())
         .getFileStatus(p).getModificationTime
     } catch { case _: Exception => -1L }
-    val stable = mtime > 0 && mtime == verMemo._1 && verMemo._2 >= 0 &&
-      System.currentTimeMillis() - mtime >
-        ChangeStreamSource.MtimeStableMs
-    if (stable) verMemo._2
+    val (m0, v0, trust) = verMemo
+    if (trust && mtime > 0 && mtime == m0 && v0 >= 0) v0
     else {
       ChangeStreamSource.fullProbes.incrementAndGet()
       val v = Versioned.currentVersion(spark, dir)
-      verMemo = (mtime, v)
+      verMemo = (mtime, v, mtime > 0 &&
+        System.currentTimeMillis() - mtime >
+          ChangeStreamSource.MtimeStableMs)
       v
     }
   }

@@ -213,6 +213,44 @@ class ProcedureSpec extends SparkSpec {
       "target_file_mb => 128)")
     assert(Versioned.read(spark, t).inputFiles.length == 1)
     assert(Versioned.read(spark, t).count() == 6)
+    // FULL commits must carry properties forward — a compact or
+    // INSERT OVERWRITE whose manifest references only its own root
+    // would otherwise silently erase them (Iceberg properties survive
+    // rewrite_data_files)
+    assert(props().get("owner.team").contains("data-eng"),
+      "compact erased the table properties")
+    spark.sql(s"INSERT OVERWRITE $g VALUES (9, 'z')")
+    assert(props().get("owner.team").contains("data-eng"),
+      "INSERT OVERWRITE erased the table properties")
+    // CTAS persists declared properties; REPLACE's declaration RESETS
+    // the map (Iceberg's CREATE OR REPLACE contract)
+    val (t2, abs2) = fresh("proc_props_ctas")
+    val g2 = s"graft.`$abs2`"
+    spark.sql(s"CREATE TABLE $g2 TBLPROPERTIES ('a' = '1') " +
+      s"AS SELECT * FROM $g")
+    def props2() = spark.sql(s"SHOW TBLPROPERTIES $g2").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2().get("a").contains("1"), "CTAS dropped TBLPROPERTIES")
+    spark.sql(s"REPLACE TABLE $g2 (id INT) TBLPROPERTIES ('b' = '2')")
+    val afterReplace = props2()
+    assert(afterReplace.get("b").contains("2") &&
+      !afterReplace.contains("a"),
+      s"REPLACE must reset the declared property set, got $afterReplace")
+  }
+
+  test("CREATE OR REPLACE BRANCH with a bad version leaves the branch intact") {
+    import spark.implicits._
+    val (t, abs) = fresh("replace_branch_bad")
+    val g = s"graft.`$abs`"
+    Versioned.commit(Seq(Tuple1(1)).toDF("x"), t)
+    spark.sql(s"ALTER TABLE $g CREATE BRANCH audit")
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g CREATE OR REPLACE BRANCH audit " +
+        "AS OF VERSION 99")
+    }
+    assert(e.getMessage.contains("99"))
+    assert(Versioned.branches(spark, t).contains("audit"),
+      "a failed replace must not destroy the branch it was moving")
   }
 
   test("VACUUM SQL spelling expires history, honors RETAIN and pins") {
