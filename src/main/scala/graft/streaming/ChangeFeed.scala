@@ -143,23 +143,36 @@ object ChangeFeed {
     * polling loop repeats; call it directly for a Trigger.AvailableNow
     * style drain. A FRESH feed (cursor 0) starts from the current
     * version WITHOUT replaying history — pass `fromVersion` to
-    * [[cursor]]-seed a backfill explicitly. */
+    * [[cursor]]-seed a backfill explicitly. `maxVersions` caps one
+    * call's range (the [[ChangeStreamSource]] `maxVersionsPerTrigger`
+    * analog): a deep seeded backfill drains as bounded batches — each
+    * with its own cursor advance, so a crash mid-backfill replays one
+    * bounded range, not the whole history. */
   def pollOnce(spark: SparkSession, tableDir: String,
-      checkpointDir: String)(
-      handler: (DataFrame, Int, Int) => Unit): Int = {
+      checkpointDir: String, maxVersions: Int = Int.MaxValue)(
+      handler: (DataFrame, Int, Int) => Unit): Int =
+    pollOnceImpl(spark, tableDir, checkpointDir, maxVersions)(handler)._1
+
+  /** (new cursor, whether the cap truncated the range — i.e. more is
+    * pending RIGHT NOW without another listing). */
+  private def pollOnceImpl(spark: SparkSession, tableDir: String,
+      checkpointDir: String, maxVersions: Int)(
+      handler: (DataFrame, Int, Int) => Unit): (Int, Boolean) = {
+    require(maxVersions >= 1, s"maxVersions must be >= 1, got $maxVersions")
     val cur = Versioned.currentVersion(spark, tableDir)
     val from0 = cursor(spark, checkpointDir)
     if (from0 == 0) {
       // first contact: anchor at the current version (consumers that
       // want history seed the cursor first)
       if (cur > 0) writeCursor(spark, checkpointDir, cur)
-      return cur
+      return (cur, false)
     }
-    if (cur <= from0) return from0
-    handler(Versioned.readChanges(spark, tableDir, from0, cur),
-      from0, cur)
-    writeCursor(spark, checkpointDir, cur)
-    cur
+    if (cur <= from0) return (from0, false)
+    val to = math.min(cur, from0.toLong + maxVersions).toInt
+    handler(Versioned.readChanges(spark, tableDir, from0, to),
+      from0, to)
+    writeCursor(spark, checkpointDir, to)
+    (to, to < cur)
   }
 
   /** Seed the cursor (e.g. 1 to backfill everything after v1, or an
@@ -180,7 +193,8 @@ object ChangeFeed {
     * immediate between polls, while a poll already in flight always
     * runs to completion (handler AND cursor publish). */
   def start(spark: SparkSession, tableDir: String,
-      checkpointDir: String, pollIntervalMs: Long = 1000L)(
+      checkpointDir: String, pollIntervalMs: Long = 1000L,
+      maxVersionsPerPoll: Int = Int.MaxValue)(
       handler: (DataFrame, Int, Int) => Unit): Handle = {
     val stopFlag = new AtomicReference[Boolean](false)
     val failure = new AtomicReference[Option[Throwable]](None)
@@ -190,7 +204,14 @@ object ChangeFeed {
       try {
         while (!stopFlag.get()) {
           try {
-            pollOnce(spark, tableDir, checkpointDir)(handler)
+            // drain while the cap is truncating, so a rate-limited
+            // backfill needs no poll-interval waits between its
+            // bounded ranges; an idle tick stays ONE poll
+            var more = true
+            while (more && !stopFlag.get()) {
+              more = pollOnceImpl(spark, tableDir, checkpointDir,
+                maxVersionsPerPoll)(handler)._2
+            }
             failure.set(None)
           } catch {
             case e: Throwable => failure.set(Some(e))

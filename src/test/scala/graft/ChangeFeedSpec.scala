@@ -61,6 +61,46 @@ class ChangeFeedSpec extends SparkSpec {
     assert(seen == 1L && ChangeFeed.cursor(spark, c) == 2)
   }
 
+  test("maxVersions caps each poll; batched cursor advances bound replay") {
+    import spark.implicits._
+    val (t, c) = fresh("ratelimit")
+    Versioned.commit(Seq(Tuple1(1)).toDF("x"), t)
+    (2 to 7).foreach(i => Versioned.append(Seq(Tuple1(i)).toDF("x"), t))
+    ChangeFeed.seed(spark, c, fromVersion = 1) // (1, 7] pending
+    var batches = List.empty[(Int, Int)]
+    def drainOnce() = ChangeFeed.pollOnce(spark, t, c, maxVersions = 2) {
+      (_, from, to) => batches = batches :+ ((from, to))
+    }
+    // each call advances the cursor by at most 2 versions, with its
+    // own durable cursor write — a crash between calls replays at
+    // most one bounded range
+    assert(drainOnce() == 3 && ChangeFeed.cursor(spark, c) == 3)
+    assert(drainOnce() == 5 && ChangeFeed.cursor(spark, c) == 5)
+    assert(drainOnce() == 7)
+    assert(batches == List((1, 3), (3, 5), (5, 7)))
+    // drained: a further capped poll is a no-op
+    assert(drainOnce() == 7 && batches.size == 3)
+    // the polling loop drains a capped backlog without waiting a poll
+    // interval per range
+    val (t2, c2) = fresh("ratelimit-loop")
+    Versioned.commit(Seq(Tuple1(1)).toDF("x"), t2)
+    (2 to 7).foreach(i => Versioned.append(Seq(Tuple1(i)).toDF("x"), t2))
+    ChangeFeed.seed(spark, c2, fromVersion = 1)
+    val total = new java.util.concurrent.atomic.AtomicLong()
+    val h = ChangeFeed.start(spark, t2, c2, pollIntervalMs = 60000L,
+      maxVersionsPerPoll = 2) { (df, from, to) =>
+      assert(to - from <= 2)
+      total.addAndGet(df.count()); ()
+    }
+    try {
+      val deadline = System.currentTimeMillis() + 30000
+      while (total.get() < 6 && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      assert(total.get() == 6, s"expected the full backfill, saw $total")
+    } finally h.stop()
+    assert(ChangeFeed.cursor(spark, c2) == 7)
+  }
+
   test("stop() mid-batch drains: handler finishes AND cursor advances") {
     import spark.implicits._
     val (t, c) = fresh("drain")
