@@ -224,6 +224,17 @@ object GraftProcedures {
             a(1).asInstanceOf[String], a(2).asInstanceOf[String],
             targetFileBytes = target(d, a(3))))
         })
+      case "remove_orphan_files" => new Proc("remove_orphan_files",
+        "sweep aged crash debris (loser stages, reclaim dirs, torn " +
+          "tmp files) the commit protocol's self-healing never " +
+          "revisits; never races a live commit",
+        Seq(p("table", StringType),
+          p("older_than_hours", IntegerType, Some("24"))),
+        StructType(Seq(StructField("orphans_removed", IntegerType,
+          nullable = false))),
+        a => Seq(Versioned.removeOrphanFiles(spark, dir(a(0)),
+          olderThanMillis =
+            a(1).asInstanceOf[Int] * 3600L * 1000)))
       case "collect_stats" => new Proc("collect_stats",
         "backfill stats sidecars for linked version roots missing " +
           "them (counts always; min/max for cols => 'a,b') — upgrades " +
@@ -254,5 +265,6 @@ object GraftProcedures {
   val names: Seq[String] = Seq("compact", "compact_small",
     "compact_deletes", "vacuum", "expire_snapshots", "rollback",
     "create_tag", "create_branch", "fast_forward", "drop_branch",
-    "set_spec", "collect_stats", "rewrite_zorder")
+    "set_spec", "collect_stats", "rewrite_zorder",
+    "remove_orphan_files")
 }

@@ -4397,6 +4397,56 @@ object Versioned {
     }
   }
 
+  /** Remove CRASH DEBRIS the protocol's self-healing never revisits —
+    * the Iceberg `remove_orphan_files` analog, scoped to what this
+    * layout can actually orphan: a loser committer that died before
+    * deleting its `.stage-*` dir (the winner never touches foreign
+    * stages), `.reclaim-*` dirs a reclaimer swept aside, and aged
+    * `.*.tmp-*` files (torn sidecar/cursor publishes) at the root or
+    * inside published version roots. Unpublished `v=N` slots are NOT
+    * orphans — the next committer for that slot reclaims them with
+    * the owner-token fencing [[commit]] implements. Age is judged by
+    * the NEWEST mtime inside a debris dir (a long-running write keeps
+    * its deepest files fresh even when the top dir's mtime staled),
+    * against max(olderThanMillis, [[ReclaimGraceMs]]) so the sweep
+    * can never race a live commit. Returns the entries removed. */
+  def removeOrphanFiles(spark: SparkSession, tableDir: String,
+      olderThanMillis: Long = 24L * 3600 * 1000): Int = {
+    val f = fs(spark, tableDir)
+    val root = new Path(tableDir)
+    if (!f.exists(root)) return 0
+    val cutoff = System.currentTimeMillis() -
+      math.max(olderThanMillis, ReclaimGraceMs)
+    def newestMtime(p: Path): Long = {
+      var m = f.getFileStatus(p).getModificationTime
+      val it = f.listFiles(p, /*recursive=*/ true)
+      while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+      m
+    }
+    var removed = 0
+    def sweep(st: org.apache.hadoop.fs.FileStatus): Unit = {
+      val n = st.getPath.getName
+      val orphanDir = st.isDirectory &&
+        (n.startsWith(".stage-") || n.startsWith(".reclaim-"))
+      val orphanTmp = st.isFile && n.startsWith(".") &&
+        n.contains(".tmp-")
+      val stale =
+        if (orphanDir) Try(newestMtime(st.getPath)).toOption
+          .exists(_ < cutoff)
+        else st.getModificationTime < cutoff
+      if ((orphanDir || orphanTmp) && stale &&
+        f.delete(st.getPath, orphanDir)) removed += 1
+    }
+    val rootEntries = f.listStatus(root).toSeq
+    rootEntries.foreach(sweep)
+    // torn tmp files inside published version roots (stats backfill)
+    rootEntries.filter(st => st.isDirectory &&
+      st.getPath.getName.startsWith("v=")).foreach { vd =>
+      f.listStatus(vd.getPath).filter(_.isFile).foreach(sweep)
+    }
+    removed
+  }
+
   /** Backfill stats sidecars for the snapshot's LINKED version roots
     * that lack them — the maintenance move that upgrades a
     * pre-round-11 (or foreign-written) table to O(versions) metadata

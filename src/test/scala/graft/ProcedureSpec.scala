@@ -273,6 +273,43 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.table(g).count() == 5)
   }
 
+  test("remove_orphan_files sweeps aged debris, spares live and fresh") {
+    import spark.implicits._
+    val (t, abs) = fresh("proc_orphans")
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), t)
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), t)
+    // fabricate crash debris: a loser's stage dir, a reclaim dir, a
+    // torn tmp at root and inside a published root — all AGED
+    val old = System.currentTimeMillis() - 48L * 3600 * 1000
+    def aged(path: String, isDir: Boolean): java.io.File = {
+      val fl = new java.io.File(path)
+      if (isDir) { fl.mkdirs()
+        val inner = new java.io.File(fl, "part-000.parquet")
+        inner.createNewFile(); inner.setLastModified(old)
+      } else { fl.getParentFile.mkdirs(); fl.createNewFile() }
+      fl.setLastModified(old); fl
+    }
+    val s1 = aged(s"$t/.stage-v9-deadbeef", isDir = true)
+    val r1 = aged(s"$t/.reclaim-v9-cafe", isDir = true)
+    val t1 = aged(s"$t/._changefeed_cursor.tmp-1", isDir = false)
+    val t2 = aged(s"$t/v=1/._stats.tsv.tmp-2", isDir = false)
+    // fresh debris must survive (could be a live commit)
+    val freshStage = new java.io.File(s"$t/.stage-v9-fresh")
+    freshStage.mkdirs()
+    val removed = spark.sql(s"CALL graft.system.remove_orphan_files(" +
+      s"table => '$abs', older_than_hours => 24)").head().getInt(0)
+    assert(removed == 4, s"expected 4 swept, got $removed")
+    assert(!s1.exists && !r1.exists && !t1.exists && !t2.exists)
+    assert(freshStage.exists, "fresh debris must not be swept")
+    // the table is untouched and fully readable
+    assert(Versioned.read(spark, t).count() == 3)
+    assert(Versioned.read(spark, t, Some(1)).count() == 2)
+    // idempotent
+    assert(spark.sql(s"CALL graft.system.remove_orphan_files(" +
+      s"table => '$abs', older_than_hours => 24)").head().getInt(0) == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(freshStage)
+  }
+
   test("unknown procedures and namespaces refuse with the catalog list") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.nonsense()")
