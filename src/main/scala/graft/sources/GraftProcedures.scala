@@ -232,9 +232,12 @@ object GraftProcedures {
           p("older_than_hours", IntegerType, Some("24"))),
         StructType(Seq(StructField("orphans_removed", IntegerType,
           nullable = false))),
-        a => Seq(Versioned.removeOrphanFiles(spark, dir(a(0)),
-          olderThanMillis =
-            a(1).asInstanceOf[Int] * 3600L * 1000)))
+        a => {
+          require(a(1) != null,
+            "'older_than_hours' must not be NULL (omit it for 24h)")
+          Seq(Versioned.removeOrphanFiles(spark, dir(a(0)),
+            olderThanMillis = a(1).asInstanceOf[Int] * 3600L * 1000))
+        })
       case "collect_stats" => new Proc("collect_stats",
         "backfill stats sidecars for linked version roots missing " +
           "them (counts always; min/max for cols => 'a,b') — upgrades " +

@@ -4442,7 +4442,10 @@ object Versioned {
     // torn tmp files inside published version roots (stats backfill)
     rootEntries.filter(st => st.isDirectory &&
       st.getPath.getName.startsWith("v=")).foreach { vd =>
-      f.listStatus(vd.getPath).filter(_.isFile).foreach(sweep)
+      // a concurrent vacuum/reclaim may delete a root between the
+      // listing above and here — a vanished root has no debris
+      Try(f.listStatus(vd.getPath)).toOption
+        .foreach(_.filter(_.isFile).foreach(sweep))
     }
     removed
   }

@@ -196,6 +196,10 @@ object ChangeFeed {
       checkpointDir: String, pollIntervalMs: Long = 1000L,
       maxVersionsPerPoll: Int = Int.MaxValue)(
       handler: (DataFrame, Int, Int) => Unit): Handle = {
+    // fail fast at the call site: inside the daemon loop this would
+    // only surface through checkFailed()/stop() while the feed spins
+    require(maxVersionsPerPoll >= 1,
+      s"maxVersionsPerPoll must be >= 1, got $maxVersionsPerPoll")
     val stopFlag = new AtomicReference[Boolean](false)
     val failure = new AtomicReference[Option[Throwable]](None)
     val stopped = new CountDownLatch(1)
