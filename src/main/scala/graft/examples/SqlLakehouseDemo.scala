@@ -102,6 +102,13 @@ object SqlLakehouseDemo {
       s"CALL graft.system.collect_stats(table => '$absT')")
       .head().getInt(0)
     println(s"SQL_DEMO_STATS_BACKFILL_OK=${if (backfilled >= 0) 1 else 0}")
+    // retention + debris maintenance through SQL
+    println("SQL_DEMO_VACUUM_RETAINED=" +
+      spark.sql(s"VACUUM $t RETAIN 2 VERSIONS").head().getInt(0))
+    println("SQL_DEMO_ORPHANS=" + spark.sql(
+      s"CALL graft.system.remove_orphan_files(table => '$absT')")
+      .head().getInt(0))
+    println("SQL_DEMO_FINAL_T=" + one(s"SELECT count(*) FROM $t"))
     spark.stop()
   }
 }
