@@ -17,6 +17,10 @@ object StreamingDemo {
     val spark = Sessions.get("graft-streaming-demo")
 
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // fresh work dir: a prior run's versioned-src table under the same
+    // root would otherwise conflict with the flat event files at scan
+    // time (the event stream reads `work` as its source directory)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(work))
     val dir = Paths.get(work)
     Files.createDirectories(dir)
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
