@@ -158,6 +158,9 @@ object SparkEntry {
     // brute-force top-k over the DEQUANTIZED corpus, judged by the
     // same recall contract, plus the 127-bounded storage fact.
     "s07_int8_recall"    -> (Similarity.int8Recall _),
+    // The production composition: IVF cell probing over the
+    // quantized (4x smaller) corpus, same nProbe/C recall floor.
+    "s08_int8_ivf_recall" -> (Similarity.int8IvfRecall _),
     // IVF over spherical-k-means-refined centroids (the production
     // index build), gated by the same recall contract.
     "s06_ivf_kmeans_recall" -> ((s, d) => Similarity.annRecall(s, d,
@@ -963,6 +966,9 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok,
                 CAST(1 AS BIGINT) AS int8_bounded""",
+    "s08_int8_ivf_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
+                CAST(1 AS BIGINT) AS recall_ok""",
     "s06_ivf_kmeans_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok""",

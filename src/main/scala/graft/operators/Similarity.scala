@@ -455,10 +455,16 @@ object Similarity {
     * almost everywhere, so the floor is 0.8 (measured ~1.0 on the
     * fixture); the gate also pins the storage fact — 127-bounded
     * components — as a constant. */
-  def int8Recall(s: SparkSession, d: String): DataFrame = {
-    val dq = dequantizeInt8(quantizeInt8(emb(s, d)))
+  /** The embeddings table in int8-dequantized form, shaped like
+    * [[emb]] — what every scoring path reads when the corpus is stored
+    * quantized. */
+  private def dequantizedEmb(s: SparkSession, d: String): DataFrame =
+    dequantizeInt8(quantizeInt8(emb(s, d)))
       .select(col("vec_id"), col("dq_emb").as("embedding"))
       .withColumn("nrm", l2Norm(col("embedding")))
+
+  def int8Recall(s: SparkSession, d: String): DataFrame = {
+    val dq = dequantizedEmb(s, d)
     val q = dq.filter(col("vec_id") < NumQueries)
       .withColumnRenamed("vec_id", "query_id")
       .withColumnRenamed("embedding", "q_emb")
@@ -476,5 +482,19 @@ object Similarity {
       .head().getInt(0) <= 127
     annRecall(s, d, approx, 0.8)
       .withColumn("int8_bounded", lit(if (bounded) 1L else 0L))
+  }
+
+  /** The s08 gate: the PRODUCTION composition — IVF cell probing over
+    * the int8-dequantized corpus (a quantized vector store is 4x
+    * smaller AND probed, not brute-forced), judged against the
+    * float-exact brute-force baseline by the same nProbe/C recall
+    * floor as s04. The composition is free: [[ivfSearch]] takes any
+    * (vec_id, embedding, nrm) frame, so quantization slots in as a
+    * corpus transform without touching the index or probe plans. */
+  def int8IvfRecall(s: SparkSession, d: String): DataFrame = {
+    val dq = dequantizedEmb(s, d)
+    val approx = ivfSearch(dq,
+      seedCentroids(dq.filter(col("vec_id") >= NumQueries)))
+    annRecall(s, d, approx, NProbe.toDouble / Centroids)
   }
 }
