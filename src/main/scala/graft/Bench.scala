@@ -41,6 +41,21 @@ object Bench {
     case class M(sec: Double, shuffleBytes: Long, peakMem: Long,
         spill: Long, scanRows: Long)
 
+    // Fixed-work calibration probe, timed at sweep start and end: a
+    // constant 200M-row range reduction whose cost depends only on the
+    // box's free CPU. Readers divide a query's wall time by
+    // calib_s/CALIB_REF to normalize out scheduler load — the r11
+    // sweep ran ~2x inflated by box contention and proving that took a
+    // manual warm re-run; with the probe the sweep is self-normalizing.
+    def calibrate(): Double = {
+      import org.apache.spark.sql.functions.sum
+      spark.range(200L * 1000 * 1000).agg(sum("id")).head() // warm
+      val t0 = System.nanoTime()
+      spark.range(200L * 1000 * 1000).agg(sum("id")).head()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = calibrate()
+
     // SPARK_GRAFT_BENCH_ONLY=q02,q04 (prefix match) isolates a warm
     // subset run for noise-vs-regression triage — a 30-second answer
     // instead of a full sweep. Unset = every query, unchanged.
@@ -96,8 +111,9 @@ object Bench {
         ",\"scan_rows\":" + m.scanRows + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).filter(_ >= 0).sum
+    val calibEnd = calibrate()
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"calib_s":[$calibStart,$calibEnd],"sf":"$sfDir"}"""
     println(line)
     // stdout of this main is captured tail-first by the harness and the
     // one-line JSON truncates from the HEAD when the log is long — the

@@ -102,7 +102,7 @@ object SparkEntry {
     "e09_gap_fill"         -> (Events.gapFillHourly _),
     // Ordered conversion funnel (view -> click -> purchase, each step
     // strictly after the previous) and weekly retention cohorts.
-    "e10_funnel"           -> (Events.funnel _),
+    "e10_funnel"           -> ((s, d) => Events.funnel(s, d)),
     "e11_retention"        -> (Events.retentionCohorts _),
     "t12_char_entropy"     -> (TextAnalysis.charEntropy _),
     // —— text analysis (north-star) ——
@@ -161,6 +161,7 @@ object SparkEntry {
     // The production composition: IVF cell probing over the
     // quantized (4x smaller) corpus, same nProbe/C recall floor.
     "s08_int8_ivf_recall" -> (Similarity.int8IvfRecall _),
+    "s09_int8_ivf_indexed" -> (Similarity.int8IvfIndexedRecall _),
     // IVF over spherical-k-means-refined centroids (the production
     // index build), gated by the same recall contract.
     "s06_ivf_kmeans_recall" -> ((s, d) => Similarity.annRecall(s, d,
@@ -969,6 +970,11 @@ object SparkEntry {
     "s08_int8_ivf_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok""",
+    "s09_int8_ivf_indexed" ->
+      """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
+                CAST(1 AS BIGINT) AS recall_ok,
+                CAST(1 AS BIGINT) AS stored_int8,
+                CAST(1 AS BIGINT) AS float_dropped""",
     "s06_ivf_kmeans_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok""",

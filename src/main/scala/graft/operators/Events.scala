@@ -210,16 +210,21 @@ object Events {
       .orderBy(col("user_id"), col("day"))
   }
 
-  /** Ordered conversion funnel view → click → purchase: a user
-    * converts a step only with an event STRICTLY AFTER completing the
-    * previous step (min-ts semantics, the standard product-analytics
-    * funnel). Three per-user min aggregations chained by
-    * strictly-later joins — each is one shuffle on user_id with
-    * map-side partial mins, and each stage's frame is one row per
-    * surviving user, so the chain's cost is bounded by the user count,
-    * not the event count, after the first aggregate. Output is the
-    * three funnel stages with their surviving-user counts. */
-  def funnel(s: SparkSession, d: String): DataFrame = {
+  /** Ordered conversion funnel over N stages (default view → click →
+    * purchase): a user converts a step only with an event STRICTLY
+    * AFTER completing the previous step (min-ts semantics, the
+    * standard product-analytics funnel). One per-user min aggregation
+    * per stage, chained by strictly-later joins — each is one shuffle
+    * on user_id with map-side partial mins, and each stage's frame is
+    * one row per surviving user, so the chain's cost is bounded by the
+    * user count, not the event count, after the first aggregate.
+    * Output is one row per funnel stage (labelled by the cumulative
+    * `a>b>c` path) with its surviving-user count. */
+  def funnel(s: SparkSession, d: String,
+      stages: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.distinct.size == stages.size,
+      s"funnel stages must be distinct, got ${stages.mkString(", ")}")
     val e = ev(s, d)
     def firstAfter(evType: String, prev: DataFrame,
         prevCol: String, outCol: String): DataFrame =
@@ -228,17 +233,19 @@ object Events {
           col("e.ts") > col(s"p.$prevCol"))
         .groupBy(col("e.user_id").as("user_id"))
         .agg(min(col("e.ts")).as(outCol))
-    val v = e.filter(col("event_type") === "view")
+    val first = e.filter(col("event_type") === stages.head)
       .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val c = firstAfter("click", v, "t1", "t2")
-    val p = firstAfter("purchase", c, "t2", "t3")
+    val frames = stages.tail.zipWithIndex.scanLeft(first) {
+      case (prev, (st, i)) => firstAfter(st, prev, s"t${i + 1}", s"t${i + 2}")
+    }
+    val labels = stages.tail.scanLeft(stages.head)(_ + ">" + _)
     def stage(name: String, df: DataFrame, ord: Int): DataFrame =
       df.agg(count(lit(1)).cast("long").as("users"))
         .select(lit(ord).cast("long").as("step_ord"),
           lit(name).as("step"), col("users"))
-    stage("view", v, 1)
-      .unionByName(stage("view>click", c, 2))
-      .unionByName(stage("view>click>purchase", p, 3))
+    labels.zip(frames).zipWithIndex
+      .map { case ((name, df), i) => stage(name, df, i + 1) }
+      .reduce(_.unionByName(_))
       .orderBy(col("step_ord"))
   }
 

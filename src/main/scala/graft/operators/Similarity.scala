@@ -89,18 +89,22 @@ object Similarity {
     * a window sort of corpus x C scored rows (which was the single worst
     * shuffle in the repo at 100 TB). Tie-break on the lowest cell id
     * (`-cell` in the ordering struct) keeps assignment deterministic. */
-  private def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame =
+  private def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    // every non-key corpus column rides through the max_by struct, so
+    // a quantized corpus (q_emb/q_scale alongside the float form it
+    // scores with) assigns in the same single pass — no second join
+    val carry = corpus.columns.filterNot(_ == "vec_id").toSeq
     corpus.join(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("nrm"),
-        col("cell"),
-        (dot(col("c_emb"), col("embedding")) /
-          (col("c_nrm") * col("nrm"))).as("c_cos"))
+      .select(col("vec_id") +: carry.map(col) :+ col("cell") :+
+        ((dot(col("c_emb"), col("embedding")) /
+          (col("c_nrm") * col("nrm"))).as("c_cos")): _*)
       .groupBy(col("vec_id"))
       .agg(max_by(
-        struct(col("embedding"), col("nrm"), col("cell")),
+        struct((carry :+ "cell").map(col): _*),
         struct(col("c_cos"), (-col("cell")).as("cell_pref"))).as("best"))
-      .select(col("vec_id"), col("best.embedding").as("embedding"),
-        col("best.nrm").as("nrm"), col("best.cell").as("cell"))
+      .select(col("vec_id") +:
+        (carry :+ "cell").map(n => col(s"best.$n").as(n)): _*)
+  }
 
   /** Random-hyperplane LSH top-k — the second scale path. 8 independent
     * hash tables of 6 sign-bits each (sign of graft_vec_dot against
@@ -263,9 +267,25 @@ object Similarity {
     * writer leaves the live index untouched (SimilaritySpec asserts
     * both). A rebuild is simply a new self-contained snapshot of the
     * same table. */
+  /** A frame in STORED-quantized form: int8 payload (`q_emb`,
+    * `q_scale`) alongside the dequantized float view every scoring
+    * and assignment step consumes — so centroids, cell membership and
+    * probe scores are all computed on exactly the values a reader of
+    * the compact index reconstructs. */
+  private def quantizedForm(df: DataFrame): DataFrame =
+    dequantizeInt8(quantizeInt8(df.select(col("vec_id"), col("embedding"))))
+      .select(col("vec_id"), col("q_emb"), col("q_scale"),
+        col("dq_emb").as("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+
   def buildIvfIndex(s: SparkSession, d: String, indexDir: String,
-      iters: Int = 2): Unit = {
-    val corpus = emb(s, d).filter(col("vec_id") >= NumQueries)
+      iters: Int = 2, quantized: Boolean = false): Unit = {
+    val corpus0 = emb(s, d).filter(col("vec_id") >= NumQueries)
+    // quantized: the index STORES int8 — 4x smaller on disk, which is
+    // the dial a 100 TB vector corpus turns first. Quantization happens
+    // BEFORE centroid fit and assignment, so the persisted cells are
+    // optimal for the vectors probes will actually reconstruct.
+    val corpus = if (quantized) quantizedForm(corpus0) else corpus0
     val cents = kmeansRefine(corpus, seedCentroids(corpus), iters).cache()
     // centroids publish FIRST, and the index commit's note pins their
     // snapshot version — a probe resolves the index, then reads the
@@ -273,7 +293,11 @@ object Similarity {
     // in flight can never pair a new index with old centroids (or
     // vice versa)
     val cv = Versioned.commit(cents, centroidsDir(indexDir))
-    Versioned.commit(assignCells(corpus, cents), indexDir,
+    val assigned = assignCells(corpus, cents)
+    // drop the float column from the stored layout — keeping it would
+    // forfeit the 4x; probes rebuild it from q_emb x q_scale
+    val stored = if (quantized) assigned.drop("embedding") else assigned
+    Versioned.commit(stored, indexDir,
       partitionCol = Some("cell"), note = Some(s"centroids=v$cv"))
   }
 
@@ -321,9 +345,19 @@ object Similarity {
     val cv = pinnedCentroidVersion(s, indexDir).getOrElse(
       Versioned.currentVersion(s, centroidsDir(indexDir)))
     val cents = Versioned.read(s, centroidsDir(indexDir), Some(cv))
-    val delta = newVectors.select(col("vec_id"), col("embedding"),
-      l2Norm(col("embedding")).as("nrm"))
-    Versioned.append(assignCells(delta, cents), indexDir,
+    // the delta takes the INDEX's stored form (schema-declared): an
+    // append to a quantized index quantizes its vectors the same way,
+    // so one index never mixes float and int8 files. Bootstrapping a
+    // missing index by append starts float; use [[buildIvfIndex]]
+    // (quantized = true) to start a compact one.
+    val qz = scala.util.Try(Versioned.read(s, indexDir).columns
+      .contains("q_emb")).getOrElse(false)
+    val delta0 = newVectors.select(col("vec_id"), col("embedding"))
+    val delta = if (qz) quantizedForm(delta0)
+      else delta0.withColumn("nrm", l2Norm(col("embedding")))
+    val assigned = assignCells(delta, cents)
+    Versioned.append(
+      if (qz) assigned.drop("embedding") else assigned, indexDir,
       partitionCol = Some("cell"), note = Some(s"centroids=v$cv"))
   }
 
@@ -382,9 +416,20 @@ object Similarity {
       s"IVF cell id beyond Int range: ${probed.max}")
     // snapshot read resolves the current published version; the filter
     // pushes through the manifest scans to the cell partition dirs
-    val indexed = Versioned.read(s, indexDir)
+    val raw = Versioned.read(s, indexDir)
       .filter(col("cell").isin(probed.map(_.toInt): _*))
       .withColumn("cell", col("cell").cast("long"))
+    // a quantized index (int8 on disk, no float column) declares
+    // itself by schema; reconstruct the float view per probed row and
+    // DROP the stored payload — its `q_emb` name would otherwise
+    // collide with the probe frame's query-embedding column — so the
+    // scoring below is unchanged either way
+    val indexed =
+      if (!raw.columns.contains("q_emb")) raw
+      else raw.withColumn("embedding",
+          transform(col("q_emb"),
+            v => (v.cast("double") * col("q_scale")).cast("float")))
+        .drop("q_emb", "q_scale")
     val scored = indexed.join(broadcast(qCells), "cell")
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         (dot(col("q_emb"), col("embedding")) /
@@ -496,5 +541,27 @@ object Similarity {
     val approx = ivfSearch(dq,
       seedCentroids(dq.filter(col("vec_id") >= NumQueries)))
     annRecall(s, d, approx, NProbe.toDouble / Centroids)
+  }
+
+  /** The s09 gate: the PERSISTED-quantized composition — an index
+    * built int8 ON DISK ([[buildIvfIndex]] quantized = true: tinyint
+    * `q_emb` + `q_scale`, float column dropped — the 4x storage win
+    * realized in the published layout, not just in memory), probed
+    * through the standard partition-pruned [[ivfTopKIndexed]] path
+    * and judged against the float-exact brute-force baseline. Besides
+    * the recall contract, the row pins the storage facts the 4x claim
+    * rests on, read from the published index's own schema. */
+  def int8IvfIndexedRecall(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-s09")
+    val indexDir = work.resolve("ivf_q").toString
+    buildIvfIndex(s, d, indexDir, iters = 2, quantized = true)
+    val approx = ivfTopKIndexed(s, d, indexDir)
+    val idx = Versioned.read(s, indexDir)
+    val storedInt8 = idx.schema.fields.find(_.name == "q_emb")
+      .exists(_.dataType.catalogString == "array<tinyint>")
+    val floatDropped = !idx.columns.contains("embedding")
+    annRecall(s, d, approx, NProbe.toDouble / Centroids)
+      .withColumn("stored_int8", lit(if (storedInt8) 1L else 0L))
+      .withColumn("float_dropped", lit(if (floatDropped) 1L else 0L))
   }
 }

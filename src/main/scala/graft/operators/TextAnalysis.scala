@@ -716,13 +716,10 @@ object TextAnalysis {
     *
     * Scale shape: one hash-partitioned window keyed by source — the
     * natural shuffle for a per-domain decision. A pathological
-    * mega-domain makes one heavy partition; the production variant
-    * pre-counts sources (one cheap agg), routes only over-cap
-    * domains through the rank window, and passes the under-cap rest
-    * straight through — same result, window state bounded by the
-    * over-cap tail. The direct formulation is kept here because the
-    * fixture's domains are uniform and the gate must stay
-    * oracle-expressible. */
+    * mega-domain makes one heavy partition; [[sourceCapSkewSafeOf]]
+    * is the production variant that bounds it. This direct
+    * formulation is kept as the reference semantics the spec proves
+    * the skew-safe plan equal to. */
   def sourceCapOf(docsDf: DataFrame, perSource: Int = 10,
       seed: String = "graft"): DataFrame = {
     require(perSource > 0, s"need perSource > 0, got $perSource")
@@ -737,7 +734,72 @@ object TextAnalysis {
       .orderBy(col("source"), col("rk"))
   }
 
-  /** The t18 gate: cap the documents table at 10 docs per source. */
+  /** Stage 1 of the skew-safe cap's over-cap leg: per-(source, salt)
+    * local rank, keeping each bucket's top `perSource` by hash. Any
+    * row in a source's GLOBAL top-perSource is necessarily in its own
+    * bucket's top-perSource, so the survivors — at most
+    * `salts x perSource` rows per source — are a superset of the
+    * answer. Package-visible so the spec can assert the bound on a
+    * mega-domain directly. */
+  private[graft] def cappedCandidates(base: DataFrame, perSource: Int,
+      seed: String, salts: Int): DataFrame = {
+    val h = md5(concat(lit(seed + ":"), col("doc_id").cast("string")))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"),
+        pmod(hash(col("doc_id")), lit(salts)))
+      .orderBy(h, col("doc_id"))
+    base.withColumn("rk1", row_number().over(w1))
+      .filter(col("rk1") <= perSource)
+      .drop("rk1")
+  }
+
+  /** Skew-safe [[sourceCapOf]] — identical output, bounded windows.
+    * One pre-count aggregate (map-side partial, broadcast-sized
+    * result: domains << documents) splits the corpus:
+    *  - under-cap sources rank through the direct window, whose
+    *    partitions are <= perSource rows BY DEFINITION of under-cap;
+    *  - over-cap sources (the mega-domain tail) rank in two stages:
+    *    a salted local top-perSource per (source, salt) bucket —
+    *    spreading the heavy domain over `salts` balanced partitions —
+    *    then the exact window over the survivors, whose input is
+    *    <= salts x perSource rows per source no matter how large the
+    *    domain.
+    * Both legs compute the same seeded-hash rank, so the union is
+    * row-identical to the direct formulation (spec-proven) and the
+    * t18 oracle judges this exact plan. */
+  def sourceCapSkewSafeOf(docsDf: DataFrame, perSource: Int = 10,
+      seed: String = "graft", salts: Int = 16): DataFrame = {
+    require(perSource > 0, s"need perSource > 0, got $perSource")
+    require(salts > 0, s"need salts > 0, got $salts")
+    val base = docsDf.select(col("doc_id"), col("source"))
+    val over = base.groupBy(col("source"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > perSource)
+      .select(col("source"))
+    val tagged = base.join(
+      broadcast(over.withColumn("is_over", lit(true))),
+      Seq("source"), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat(lit(seed + ":"),
+        col("doc_id").cast("string"))), col("doc_id"))
+    def rank(df: DataFrame): DataFrame = df
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= perSource)
+    val underRanked = rank(
+      tagged.filter(col("is_over").isNull).drop("is_over"))
+    val overRanked = rank(cappedCandidates(
+      tagged.filter(col("is_over").isNotNull).drop("is_over"),
+      perSource, seed, salts))
+    underRanked.unionByName(overRanked)
+      // the left-join reordered the join key first; restore the
+      // direct formulation's (doc_id, source, rk) shape
+      .select(col("doc_id"), col("source"), col("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** The t18 gate: cap the documents table at 10 docs per source —
+    * through the PRODUCTION skew-safe plan, so the oracle judges the
+    * path a 100 TB corpus would run. */
   def sourceCap(s: SparkSession, d: String): DataFrame =
-    sourceCapOf(docsPlain(s, d))
+    sourceCapSkewSafeOf(docsPlain(s, d))
 }

@@ -1,0 +1,130 @@
+package graft.sources
+
+import java.nio.file.{FileVisitResult, Files, Path => NioPath, Paths,
+  SimpleFileVisitor, StandardOpenOption}
+import java.nio.file.attribute.BasicFileAttributes
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Driver-side metadata I/O fast path for the `file:` scheme.
+  *
+  * The versioned-table protocol is metadata-op dense: every commit
+  * writes a handful of tiny sidecars and every read walks version
+  * roots. On Hadoop's local filesystem those ops are dominated not by
+  * I/O but by per-file process forks: `listFiles(recursive)` builds
+  * `LocatedFileStatus`es whose permission load shells `ls -ld` per
+  * file (~4 ms each), and `create` shells a `chmod` per file — twice,
+  * once more for the ChecksumFileSystem's `.crc` twin (~10 ms per tiny
+  * sidecar). Measured on this box: a recursive listing of a 10-file
+  * directory costs ~40-60 ms and five 100-byte creates ~50-70 ms,
+  * while the equivalent java.nio calls are microseconds.
+  *
+  * Each helper therefore dispatches on the FileSystem's scheme: local
+  * goes through java.nio, everything else keeps the Hadoop call —
+  * which IS the optimized path remotely (`listFiles(recursive)` is one
+  * listing RPC per level on HDFS and a flat paged listing on S3A;
+  * `create` is the only write primitive there). Callers keep Hadoop
+  * semantics either way:
+  *   - `put(overwrite = false)` is an atomic create-exclusive (nio
+  *     `CREATE_NEW` = O_CREAT|O_EXCL) that throws an `IOException`
+  *     subclass when the target exists — the commit-marker contract;
+  *   - nio writes remove a stale sibling `.crc` left by a past Hadoop
+  *     write of the same path, so a later checksummed read can never
+  *     mismatch;
+  *   - `walkFiles` throws `FileNotFoundException` for a missing root,
+  *     like `listFiles`.
+  */
+private[graft] object FsFast {
+
+  /** The nio path for `p` when `f` is the local scheme, else None —
+    * the dispatch test every helper shares. */
+  def localPath(f: FileSystem, p: Path): Option[NioPath] =
+    if ("file" == f.getUri.getScheme)
+      Some(Paths.get(f.makeQualified(p).toUri.getPath))
+    else None
+
+  /** One file from a recursive walk: enough for every protocol caller
+    * (name filters, parent-dir filters, manifest-relative paths,
+    * orphan-sweep mtimes) without a `FileStatus`'s permission load. */
+  final case class Entry(path: Path, name: String, parentName: String,
+      len: Long, mtime: Long)
+
+  /** Recursive file listing (files only, like `listFiles(recursive)`). */
+  def walkFiles(f: FileSystem, dir: Path): Seq[Entry] =
+    localPath(f, dir) match {
+      case Some(root) =>
+        if (!Files.exists(root))
+          throw new java.io.FileNotFoundException(dir.toString)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Entry]
+        Files.walkFileTree(root, new SimpleFileVisitor[NioPath] {
+          override def visitFile(file: NioPath,
+              attrs: BasicFileAttributes): FileVisitResult = {
+            if (attrs.isRegularFile) {
+              val parent = file.getParent
+              buf += Entry(new Path(file.toString),
+                file.getFileName.toString,
+                if (parent == null) "" else
+                  Option(parent.getFileName).fold("")(_.toString),
+                attrs.size(), attrs.lastModifiedTime().toMillis)
+            }
+            FileVisitResult.CONTINUE
+          }
+        })
+        buf.toSeq
+      case None =>
+        val it = f.listFiles(dir, /*recursive=*/ true)
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Entry]
+        while (it.hasNext) {
+          val st = it.next()
+          val p = st.getPath
+          buf += Entry(p, p.getName, p.getParent.getName, st.getLen,
+            st.getModificationTime)
+        }
+        buf.toSeq
+    }
+
+  /** Write a small file in one shot with Hadoop `create` semantics
+    * (`overwrite = false` throws when the target exists — atomically,
+    * via O_EXCL on the local path). */
+  def put(f: FileSystem, p: Path, bytes: Array[Byte],
+      overwrite: Boolean): Unit =
+    localPath(f, p) match {
+      case Some(np) =>
+        val parent = np.getParent
+        if (parent != null) Files.createDirectories(parent)
+        if (overwrite)
+          Files.write(np, bytes, StandardOpenOption.CREATE,
+            StandardOpenOption.TRUNCATE_EXISTING,
+            StandardOpenOption.WRITE)
+        else
+          Files.write(np, bytes, StandardOpenOption.CREATE_NEW,
+            StandardOpenOption.WRITE)
+        // a checksummed read of a path REWRITTEN through nio must not
+        // verify against the old Hadoop write's sibling .crc
+        if (parent != null) Files.deleteIfExists(
+          parent.resolve("." + np.getFileName.toString + ".crc"))
+      case None =>
+        val out = f.create(p, overwrite)
+        try out.write(bytes) finally out.close()
+    }
+
+  /** Empty-file `put` — markers, hints, pins. */
+  def touch(f: FileSystem, p: Path, overwrite: Boolean): Unit =
+    put(f, p, Array.emptyByteArray, overwrite)
+
+  /** The parquet footer's record count. Local opens skip Hadoop
+    * entirely (`LocalInputFile` seeks the raw channel — no
+    * FileStatus, no checksum stream); remote keeps `HadoopInputFile`,
+    * whose positioned reads are the right shape on HDFS/S3. */
+  def footerRowCount(f: FileSystem, conf: Configuration,
+      p: Path): Long = {
+    val in = localPath(f, p) match {
+      case Some(np) => new org.apache.parquet.io.LocalInputFile(np)
+      case None => org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, conf)
+    }
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+}

@@ -644,34 +644,51 @@ object Versioned {
       if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
       else writeCountStats(spark, f, stage)
     } else f.mkdirs(stage) // metadata-only commit (rollback, tombstone)
+    // The manifest this commit will publish (sans own dir) — assembled
+    // HERE so property carry-forward below can reason about
+    // reachability; linking chains the base's RAW lines: its
+    // tombstones still apply to the data entries they cover.
+    val linked = linkEntries
+      .orElse(linkBase.map(b => manifestLines(f, tableDir, b)))
+      .getOrElse(Nil)
     // Table properties ride the manifest walk ([[properties]] consults
-    // LINKED roots), so a FULL commit — compact, INSERT OVERWRITE,
-    // anything whose manifest references only its own new root — must
-    // CARRY the current map forward or it would silently erase the
-    // table's properties (Iceberg properties survive
-    // rewrite_data_files). Linked commits inherit for free; an
-    // explicit `props` (SET/UNSET, CREATE OR REPLACE's declared set —
-    // possibly empty, which RESETS) always wins.
+    // LINKED roots), so any commit whose new manifest no longer
+    // references a _props-bearing root must CARRY the current map
+    // forward or it would silently erase the table's properties
+    // (Iceberg properties survive rewrite_data_files). That is decided
+    // by REACHABILITY, not commit shape: a full commit links nothing; a
+    // compact/merge links only SURVIVING entries, which may exclude (or
+    // be empty of) the root that carried _props — e.g. a binpack that
+    // rewrites every base file of a table whose properties configured
+    // that very binpack. An explicit `props` (SET/UNSET, CREATE OR
+    // REPLACE's declared set — possibly empty, which RESETS) always
+    // wins.
     val effProps = props.orElse {
-      if (linkBase.isEmpty && linkEntries.isEmpty)
-        Some(properties(spark, tableDir)).filter(_.nonEmpty)
-      else None
+      // linkBase appends chain the head's FULL manifest — reachability
+      // is preserved by construction, skip the probe on the hot path
+      if (linkBase.isDefined) None
+      else {
+        val propsReachable = linked.filterNot(isDeleteLine)
+          .map(_.split("/").head).distinct.exists(vr =>
+            f.exists(new Path(new Path(tableDir, vr), PropsFile)))
+        if (propsReachable) None
+        else Some(properties(spark, tableDir)).filter(_.nonEmpty)
+      }
     }
     effProps.foreach { m =>
       // full-map snapshot (last-writer-wins): the newest linked root
       // carrying a _props sidecar IS the table's property state
       def enc(x: String) = java.net.URLEncoder.encode(x, "UTF-8")
-      val out = f.create(new Path(stage, PropsFile), false)
-      try out.write(m.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
-        .mkString("\n").getBytes("UTF-8"))
-      finally out.close()
+      FsFast.put(f, new Path(stage, PropsFile),
+        m.toSeq.sortBy(_._1)
+          .map { case (k, v) => s"${enc(k)}\t${enc(v)}" }
+          .mkString("\n").getBytes("UTF-8"), overwrite = false)
     }
     if (clearSpec) {
       // [[setSpec]]'s explicit clear: the sentinel stops
       // currentTransform's inheritance walk at this version
-      val out = f.create(new Path(stage, TspecFile), false)
-      try out.write(TspecNone.getBytes("UTF-8")) finally out.close()
+      FsFast.put(f, new Path(stage, TspecFile),
+        TspecNone.getBytes("UTF-8"), overwrite = false)
     } else transform.foreach(t => writeTspec(f, stage, t,
       df.schema(t.source).dataType.catalogString,
       spark.sessionState.conf.sessionLocalTimeZone))
@@ -687,9 +704,9 @@ object Versioned {
           case Nil => 0L
           case pins => resolveRef(pins)._4
         }
-    val refOut = f.create(new Path(stage, RefFile), false)
-    try refOut.write(s"$targetBranch\t$head\t$targetGen".getBytes("UTF-8"))
-    finally refOut.close()
+    FsFast.put(f, new Path(stage, RefFile),
+      s"$targetBranch\t$head\t$targetGen".getBytes("UTF-8"),
+      overwrite = false)
     // schema-step sidecar ([[renameColumn]]/[[addColumn]]/
     // [[dropColumn]]): the chain step readers compose
     schemaStep.foreach { step =>
@@ -700,29 +717,23 @@ object Versioned {
         case RetypeStep(_, n, dt) =>
           (RetypeFile, s"$n\t${dt.catalogString}")
       }
-      val rOut = f.create(new Path(stage, file), false)
-      try rOut.write(payload.getBytes("UTF-8"))
-      finally rOut.close()
+      FsFast.put(f, new Path(stage, file),
+        payload.getBytes("UTF-8"), overwrite = false)
     }
     // tombstone sets (merge-on-read deletes): key-scale, one file each
     deleteDf.foreach(_.coalesce(1).write
       .parquet(new Path(stage, DeletesDir).toString))
     posDeleteDf.foreach(_.coalesce(1).write
       .parquet(new Path(stage, PosDeletesDir).toString))
-    // linking chains the base's RAW lines: its tombstones still apply
-    // to the data entries they cover
-    val linked = linkEntries
-      .orElse(linkBase.map(b => manifestLines(f, tableDir, b)))
-      .getOrElse(Nil)
     val withOwn = if (ownDirInManifest) linked :+ s"v=$next" else linked
     val dirs = withOwn ++
       deleteDf.map(_ => s"$DeletePrefix" + s"v=$next/$DeletesDir") ++
       posDeleteDf.map(_ => s"$DeletePrefix" + s"v=$next/$PosDeletesDir")
     require(dirs.nonEmpty,
       s"commit at $tableDir would publish an empty manifest")
-    val mf = f.create(new Path(stage, ManifestFile), false)
-    try mf.write(dirs.mkString("\n").getBytes("UTF-8")) finally mf.close()
-    f.create(new Path(stage, ownerToken(uuid)), false).close()
+    FsFast.put(f, new Path(stage, ManifestFile),
+      dirs.mkString("\n").getBytes("UTF-8"), overwrite = false)
+    FsFast.touch(f, new Path(stage, ownerToken(uuid)), overwrite = false)
     val snapDir = new Path(tableDir, s"v=$next")
     def loserExit(cleanup: => Unit): Nothing = {
       cleanup
@@ -788,8 +799,9 @@ object Versioned {
     // marker/note to whatever occupies the slot now. Lose cleanly
     // instead; whoever holds the slot publishes its own data.
     if (!f.exists(new Path(snapDir, ownerToken(uuid)))) loserExit(())
-    val out = f.create(marker0, /*overwrite=*/ false) // the commit point
-    try note.foreach(n => out.write(n.getBytes("UTF-8"))) finally out.close()
+    FsFast.put(f, marker0, // the commit point: atomic create-exclusive
+      note.fold(Array.emptyByteArray)(_.getBytes("UTF-8")),
+      overwrite = false)
     // Advance the branch ref — a floor CACHE only: the marker above is
     // the commit point, and branchHeadIn self-heals a crash between
     // the two by scanning markers above the stale floor.
@@ -887,7 +899,7 @@ object Versioned {
     val f = fs(spark, tableDir)
     val p = new Path(tableDir, s"$AppliedPrefix$streamId=$batchId")
     if (!f.exists(p)) {
-      try f.create(p, false).close()
+      try FsFast.touch(f, p, overwrite = false)
       catch { case e: java.io.IOException =>
         if (!f.exists(p)) throw e } // concurrent duplicate create is fine
     }
@@ -1369,7 +1381,7 @@ object Versioned {
     // on never-renamed tables; a false positive from a lost race is a
     // harmless extra probe, a missing hint would be silent wrong reads
     val hint = new Path(tableDir, RenamesHint)
-    if (!f.exists(hint)) f.create(hint, true).close()
+    if (!f.exists(hint)) FsFast.touch(f, hint, overwrite = true)
     commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
       partitionCol = None, note = note, statsCols = Nil,
       linkBase = Some(cur), ownDirInManifest = false,
@@ -1406,7 +1418,7 @@ object Versioned {
       s"column '$name' already exists at $tableDir v=$cur")
     val f = fs(spark, tableDir)
     val hint = new Path(tableDir, RenamesHint)
-    if (!f.exists(hint)) f.create(hint, true).close()
+    if (!f.exists(hint)) FsFast.touch(f, hint, overwrite = true)
     commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
       partitionCol = None, note = note, statsCols = Nil,
       linkBase = Some(cur), ownDirInManifest = false,
@@ -1439,7 +1451,7 @@ object Versioned {
         "(its anti-join would lose its key column); compact() the " +
         "table to absorb tombstones first")
     val hint = new Path(tableDir, RenamesHint)
-    if (!f.exists(hint)) f.create(hint, true).close()
+    if (!f.exists(hint)) FsFast.touch(f, hint, overwrite = true)
     commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
       partitionCol = None, note = note, statsCols = Nil,
       linkBase = Some(cur), ownDirInManifest = false,
@@ -1493,7 +1505,7 @@ object Versioned {
         "chain format")
     val f = fs(spark, tableDir)
     val hint = new Path(tableDir, RenamesHint)
-    if (!f.exists(hint)) f.create(hint, true).close()
+    if (!f.exists(hint)) FsFast.touch(f, hint, overwrite = true)
     commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
       partitionCol = None, note = note, statsCols = Nil,
       linkBase = Some(cur), ownDirInManifest = false,
@@ -1524,30 +1536,20 @@ object Versioned {
     if (f.getFileStatus(p).isFile) Seq(e)
     else {
       val root = qualifiedRoot(f, tableDir)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      val it = f.listFiles(p, /*recursive=*/ true)
-      while (it.hasNext) {
-        val fp = it.next().getPath
-        if (fp.getName.endsWith(".parquet") &&
-          fp.getParent.getName != StatsDir &&
-          fp.getParent.getName != DeletesDir &&
-          fp.getParent.getName != PosDeletesDir)
-          buf += fp.toUri.getPath.stripPrefix(root + "/")
+      FsFast.walkFiles(f, p).collect {
+        case en if en.name.endsWith(".parquet") &&
+          en.parentName != StatsDir &&
+          en.parentName != DeletesDir &&
+          en.parentName != PosDeletesDir =>
+          en.path.toUri.getPath.stripPrefix(root + "/")
       }
-      buf.toSeq
     }
   }
 
   /** Whether any parquet file exists under `p` (recursive). Driver
     * metadata-scale: short-circuits on the first hit. */
-  private def containsParquet(f: FileSystem, p: Path): Boolean = {
-    if (!f.exists(p)) return false
-    val it = f.listFiles(p, /*recursive=*/ true)
-    var found = false
-    while (!found && it.hasNext)
-      found = it.next().getPath.getName.endsWith(".parquet")
-    found
-  }
+  private def containsParquet(f: FileSystem, p: Path): Boolean =
+    f.exists(p) && FsFast.walkFiles(f, p).exists(_.name.endsWith(".parquet"))
 
   /** Scan a set of table-relative data files, each under its version
     * directory's basePath so hive partition values still materialize.
@@ -2119,18 +2121,13 @@ object Versioned {
     val v = version.getOrElse(currentVersion(spark, tableDir))
     val f = fs(spark, tableDir)
     manifestDirs(f, tableDir, v).map { dn =>
-      val it = f.listFiles(new Path(tableDir, dn), /*recursive=*/ true)
-      var n = 0
-      while (it.hasNext) {
-        val p = it.next().getPath
-        // _stats sidecars and _deletes tombstones are parquet too —
-        // they are metadata, not data
-        if (p.getName.endsWith(".parquet") &&
-          p.getParent.getName != StatsDir &&
-          p.getParent.getName != DeletesDir &&
-          p.getParent.getName != PosDeletesDir) n += 1
-      }
-      n
+      // _stats sidecars and _deletes tombstones are parquet too —
+      // they are metadata, not data
+      FsFast.walkFiles(f, new Path(tableDir, dn)).count(e =>
+        e.name.endsWith(".parquet") &&
+          e.parentName != StatsDir &&
+          e.parentName != DeletesDir &&
+          e.parentName != PosDeletesDir)
     }.sum
   }
 
@@ -2576,11 +2573,9 @@ object Versioned {
       // widens a refusal, never resolves to a wrong snapshot.
       val tmp = new Path(tableDir,
         s".$ExpiredLogFile.tmp-${java.util.UUID.randomUUID()}")
-      val out = f.create(tmp, true)
-      try out.write(merged.toSeq.sortBy(_._1)
+      FsFast.put(f, tmp, merged.toSeq.sortBy(_._1)
         .map { case (v, (m, br)) => s"$v\t$m\t$br" }.mkString("\n")
-        .getBytes("UTF-8"))
-      finally out.close()
+        .getBytes("UTF-8"), overwrite = true)
       val dest = new Path(tableDir, ExpiredLogFile)
       if (f.exists(dest)) f.delete(dest, false)
       if (!f.rename(tmp, dest)) f.delete(tmp, false)
@@ -2700,7 +2695,8 @@ object Versioned {
     val base = (0L +: existing.map(_._3 >> 20)).max + 1
     val seq = (base << 20) | (System.nanoTime() & 0xFFFFFL)
     val suffix = if (gen == 0L) s"$v.$seq" else s"$v.$seq.$gen"
-    f.create(new Path(tableDir, s"$prefix$name=$suffix"), true).close()
+    FsFast.touch(f, new Path(tableDir, s"$prefix$name=$suffix"),
+      overwrite = true)
     existing.foreach(e => f.delete(e._6, false))
   }
 
@@ -3323,12 +3319,7 @@ object Versioned {
       // the metadata table must see "unknown", not "near-empty"
       val rc: Option[Long] = sidecarCounts.get(rel).orElse {
         footerOpenCount.incrementAndGet()
-        Try {
-          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(p, conf))
-          try r.getRecordCount finally r.close()
-        }.toOption
+        Try(FsFast.footerRowCount(f, conf, p)).toOption
       }
       (if (part.isEmpty) null else part, rc,
         f.getFileStatus(p).getLen)
@@ -4170,14 +4161,14 @@ object Versioned {
 
   private def writeTspec(f: FileSystem, stage: Path, t: Transform,
       dtype: String, zone: String): Unit = {
-    val out = f.create(new Path(stage, TspecFile), false)
     // the writer's session zone rides along: the calendar transforms
     // derived their partition values under it, and a reader in a
     // different zone must evaluate pruning bounds there (see
     // [[Transform.rangePred]]) — without it a zone-flipped reader
     // silently pruned files containing in-range rows
-    try out.write(s"${t.render}\t$dtype\t$zone".getBytes("UTF-8"))
-    finally out.close()
+    FsFast.put(f, new Path(stage, TspecFile),
+      s"${t.render}\t$dtype\t$zone".getBytes("UTF-8"),
+      overwrite = false)
   }
 
   /** Raw `_tspec` sidecar content of a version directory, if any. */
@@ -4247,18 +4238,13 @@ object Versioned {
     * micros, see [[statsRoundTrips]]). */
   /** The stage's freshly written DATA files (absolute path strings);
     * sidecar/tombstone dirs are not data. */
-  private def stagedDataFiles(f: FileSystem, stage: Path): Seq[String] = {
-    val it = f.listFiles(stage, /*recursive=*/ true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (it.hasNext) {
-      val p = it.next().getPath
-      if (p.getName.endsWith(".parquet") &&
-        p.getParent.getName != StatsDir &&
-        p.getParent.getName != DeletesDir &&
-        p.getParent.getName != PosDeletesDir) buf += p.toString
+  private def stagedDataFiles(f: FileSystem, stage: Path): Seq[String] =
+    FsFast.walkFiles(f, stage).collect {
+      case e if e.name.endsWith(".parquet") &&
+        e.parentName != StatsDir &&
+        e.parentName != DeletesDir &&
+        e.parentName != PosDeletesDir => e.path.toString
     }
-    buf.toSeq
-  }
 
   private def writeStats(spark: SparkSession, f: FileSystem,
       stage: Path, statsCols: Seq[String]): Unit = {
@@ -4299,7 +4285,6 @@ object Versioned {
       count(col(c)).as(s"cnt__$c")) } :+ count(lit(1)).as("cnt__all")
     val perFile = data.groupBy(input_file_name().as("file"))
       .agg(aggs.head, aggs.tail: _*)
-    val stageName = stage.getName
     // long-form (file, col, dtype, min, max) rows; collect is
     // metadata-scale (files x cols)
     val rows = perFile.collect().flatMap { r =>
@@ -4308,8 +4293,7 @@ object Versioned {
       val raw = r.getString(0)
       val full = try new java.net.URI(raw).getPath
         catch { case _: java.net.URISyntaxException => raw }
-      val i = full.indexOf(stageName)
-      val rel = full.substring(i + stageName.length + 1)
+      val rel = stageRel(f, stage, full)
       val total = r.getAs[Long]("cnt__all")
       present.map { c =>
         StatRow(rel, c, data.schema(c).dataType.catalogString,
@@ -4333,8 +4317,8 @@ object Versioned {
 
   private def writeStatsTsv(f: FileSystem, stage: Path,
       rows: Seq[StatRow]): Unit = {
-    val out = f.create(new Path(stage, StatsFile), false)
-    try out.write(statsTsvBytes(rows)) finally out.close()
+    FsFast.put(f, new Path(stage, StatsFile), statsTsvBytes(rows),
+      overwrite = false)
   }
 
   /** Count-only sidecar for commits WITHOUT declared `statsCols`:
@@ -4357,6 +4341,24 @@ object Versioned {
     if (rows.nonEmpty) writeStatsTsv(f, stage, rows)
   }
 
+  /** Stage-relative path of an absolute file path under `stage`.
+    * Prefix match on the stage's qualified path — NOT a substring
+    * search on the stage NAME, which mis-splits any table whose
+    * absolute path itself contains a segment named like a version
+    * root (`.../archive/v=3/warehouse/tbl/v=3/...`). The fallback for
+    * a qualification mismatch (symlinked working dirs) is still
+    * delimiter-anchored, never a bare indexOf. */
+  private def stageRel(f: FileSystem, stage: Path, full: String): String = {
+    val stageAbs = f.makeQualified(stage).toUri.getPath
+    if (full.startsWith(stageAbs + "/")) full.substring(stageAbs.length + 1)
+    else {
+      val token = "/" + stage.getName + "/"
+      val i = full.indexOf(token)
+      require(i >= 0, s"file '$full' is not under stage '$stageAbs'")
+      full.substring(i + token.length)
+    }
+  }
+
   /** The footer-pool harvest behind [[writeCountStats]], reused by
     * [[collectStats]]' backfill. */
   private def countRowsFor(spark: SparkSession, f: FileSystem,
@@ -4366,19 +4368,10 @@ object Versioned {
     // the reader only consults the conf — no defensive copy (a
     // Configuration clone per commit is measurable protocol tax)
     val conf = spark.sessionState.newHadoopConf()
-    // stage-relative paths via the stage dir NAME (as writeStats does):
-    // robust to the listing returning qualified absolute paths while
-    // the table was opened through a relative path
-    val stageName = stage.getName
     def one(fl: String): Option[StatRow] = Try {
       val p = new Path(fl)
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(p, conf))
-      val n = try r.getRecordCount finally r.close()
-      val full = p.toUri.getPath
-      val i = full.indexOf(stageName)
-      val rel = full.substring(i + stageName.length + 1)
+      val n = FsFast.footerRowCount(f, conf, p)
+      val rel = stageRel(f, stage, p.toUri.getPath)
       StatRow(rel, "", "", null, null, nulls = 0L, values = n)
     }.toOption
     // pool only when the delta is wide enough to amortize it; the
@@ -4417,12 +4410,9 @@ object Versioned {
     if (!f.exists(root)) return 0
     val cutoff = System.currentTimeMillis() -
       math.max(olderThanMillis, ReclaimGraceMs)
-    def newestMtime(p: Path): Long = {
-      var m = f.getFileStatus(p).getModificationTime
-      val it = f.listFiles(p, /*recursive=*/ true)
-      while (it.hasNext) m = math.max(m, it.next().getModificationTime)
-      m
-    }
+    def newestMtime(p: Path): Long =
+      (f.getFileStatus(p).getModificationTime +:
+        FsFast.walkFiles(f, p).map(_.mtime)).max
     var removed = 0
     def sweep(st: org.apache.hadoop.fs.FileStatus): Unit = {
       val n = st.getPath.getName
@@ -4500,8 +4490,8 @@ object Versioned {
         val target = new Path(root, StatsFile)
         val tmp = new Path(root,
           s".$StatsFile.tmp-${java.util.UUID.randomUUID()}")
-        val out = f.create(tmp, false)
-        try out.write(statsTsvBytes(kept ++ fresh)) finally out.close()
+        FsFast.put(f, tmp, statsTsvBytes(kept ++ fresh),
+          overwrite = false)
         if (f.exists(target)) f.delete(target, false)
         if (!f.rename(tmp, target)) {
           f.delete(tmp, false)

@@ -57,12 +57,39 @@ object ChangeFeed {
   final class Handle private[ChangeFeed] (
       stopFlag: AtomicReference[Boolean], wake: CountDownLatch,
       failure: AtomicReference[Option[Throwable]],
-      stopped: CountDownLatch) {
+      stopped: CountDownLatch, poller: Thread) {
     def stop(): Unit = {
       stopFlag.set(true)
       wake.countDown() // wakes the inter-poll wait; never interrupts
       stopped.await()
       failure.get().foreach(e => throw e)
+    }
+    /** Bounded [[stop]] for a caller that cannot trust its handler to
+      * return — the recourse the unbounded drain deliberately gives
+      * up. Waits `timeoutMs` for the clean drain; past the deadline it
+      * ESCALATES to an interrupt (which may land inside the handler or
+      * the cursor publish — the just-delivered batch then replays on
+      * restart: safe under the feed's at-least-once contract, but no
+      * longer the drain guarantee) and waits the same bound again.
+      * Returns true for a clean drain, false if it escalated; only a
+      * clean drain rethrows a recorded handler failure — after an
+      * interrupt the recorded failure is the interrupt itself, not a
+      * signal worth throwing. A handler wedged in NON-interruptible
+      * I/O can outlive even the escalation; the poller is a daemon
+      * thread, so the JVM is never held hostage either way. */
+    def stop(timeoutMs: Long): Boolean = {
+      require(timeoutMs > 0, s"timeoutMs must be > 0, got $timeoutMs")
+      stopFlag.set(true)
+      wake.countDown()
+      val clean = stopped.await(timeoutMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+      if (clean) failure.get().foreach(e => throw e)
+      else {
+        poller.interrupt()
+        stopped.await(timeoutMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+      }
+      clean
     }
     /** Surfaces a handler/engine failure without stopping. */
     def checkFailed(): Option[Throwable] = failure.get()
@@ -105,8 +132,8 @@ object ChangeFeed {
     val target = new Path(checkpointDir, s"$CursorPrefix.v$v")
     val tmp = new Path(checkpointDir,
       s".$CursorPrefix.tmp-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, false)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    graft.sources.FsFast.put(f, tmp,
+      v.toString.getBytes("UTF-8"), overwrite = false)
     // rename-into-place: a reader never observes a torn cursor. The
     // target name embeds v, so a lost race means an identical file
     // already exists — drop the tmp and carry on.
@@ -227,6 +254,6 @@ object ChangeFeed {
     }, s"graft-changefeed-$tableDir")
     t.setDaemon(true)
     t.start()
-    new Handle(stopFlag, wake, failure, stopped)
+    new Handle(stopFlag, wake, failure, stopped, t)
   }
 }

@@ -150,8 +150,8 @@ final class ChangeStreamProvider extends StreamSourceProvider
         f.mkdirs(new Path(metadataPath))
         val tmp = new Path(metadataPath,
           s".graft-changes-anchor.tmp-${java.util.UUID.randomUUID()}")
-        val o = f.create(tmp, false)
-        try o.write(a.toString.getBytes("UTF-8")) finally o.close()
+        graft.sources.FsFast.put(f, tmp,
+          a.toString.getBytes("UTF-8"), overwrite = false)
         if (f.rename(tmp, anchorFile)) a
         else { f.delete(tmp, false); readAnchor() }
       }
@@ -189,16 +189,24 @@ private final class ChangeStreamSource(sqlContext: SQLContext,
   // the Delta maxFilesPerTrigger contract).
   @volatile private var lastBatchEnd: Int = if (resumed) -1 else anchor
 
-  // (mtime, version, trustable) of the last FULL probe. `trustable`
-  // records that the probe ITSELF ran with the mtime already older
-  // than the stability window: only then can "mtime unchanged" prove
-  // "no new commit" — M is truncated to filesystem granularity, so
-  // any commit AFTER such a probe stamps a truncated time strictly
+  // (mtime, version, firstSeenMs, trustable) of the last FULL probe.
+  // `trustable` records that the probe ITSELF ran after the SAME
+  // mtime had already been observed more than the stability window
+  // earlier ON THE DRIVER CLOCK: only then can "mtime unchanged"
+  // prove "no new commit" — M is truncated to filesystem granularity,
+  // and once M's granularity tick has surely elapsed (both clocks
+  // advance at the same rate, so a driver-measured wait bounds the
+  // store-side tick without ever comparing the two clocks' OFFSETS —
+  // an NFS/HDFS store skewed ahead of the driver can't fake
+  // stability), any commit after such a probe stamps a time strictly
   // greater than M and must change the observed mtime. A probe taken
-  // while the mtime was still fresh can share a granularity tick with
-  // a commit that landed just after it (same truncated M — the probe
-  // would never see it change) and is therefore never trusted.
-  @volatile private var verMemo: (Long, Int, Boolean) = (-1L, -1, false)
+  // before its mtime re-observation window closed can share a
+  // granularity tick with a commit that landed just after it (same
+  // truncated M — the probe would never see it change) and is
+  // therefore never trusted. `firstSeenMs` is the driver clock at the
+  // first observation of this mtime, carried while it is unchanged.
+  @volatile private var verMemo: (Long, Int, Long, Boolean) =
+    (-1L, -1, 0L, false)
 
   override def schema: StructType = out
 
@@ -216,14 +224,19 @@ private final class ChangeStreamSource(sqlContext: SQLContext,
       p.getFileSystem(spark.sessionState.newHadoopConf())
         .getFileStatus(p).getModificationTime
     } catch { case _: Exception => -1L }
-    val (m0, v0, trust) = verMemo
+    val now = System.currentTimeMillis()
+    val (m0, v0, seen0, trust) = verMemo
     if (trust && mtime > 0 && mtime == m0 && v0 >= 0) v0
     else {
       ChangeStreamSource.fullProbes.incrementAndGet()
       val v = Versioned.currentVersion(spark, dir)
-      verMemo = (mtime, v, mtime > 0 &&
-        System.currentTimeMillis() - mtime >
-          ChangeStreamSource.MtimeStableMs)
+      val sameM = mtime > 0 && mtime == m0
+      // driver-observed stability: trust only a full probe that ran
+      // with the same mtime first seen a stable window ago — never
+      // `now - mtime`, which mixes the driver's clock with the
+      // store's and breaks under skew
+      verMemo = (mtime, v, if (sameM) seen0 else now,
+        sameM && now - seen0 > ChangeStreamSource.MtimeStableMs)
       v
     }
   }

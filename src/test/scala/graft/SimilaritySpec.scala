@@ -127,6 +127,50 @@ class SimilaritySpec extends SparkSpec {
       Similarity.ivfTopKKmeans(spark, sf).collect().map(_.toString).toSeq)
   }
 
+  test("quantized index stores tinyint on disk, no float column; " +
+      "probe and append keep the form") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{ArrayType, ByteType}
+    val dir = "target/tmp/ivf-index-q"
+    Seq(dir, s"$dir.centroids").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Similarity.buildIvfIndex(spark, sf, dir, quantized = true)
+    // the on-disk files themselves (not the manifest view) carry the
+    // int8 payload and no float embedding — the 4x is in the layout
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.toString)
+      .filter(p => p.endsWith(".parquet") && !p.contains("_stats"))
+      .toSeq
+    assert(files.nonEmpty)
+    val raw = spark.read.parquet(files: _*)
+    assert(raw.schema("q_emb").dataType == ArrayType(ByteType),
+      s"q_emb must be array<tinyint> on disk, got ${raw.schema("q_emb")}")
+    assert(!raw.columns.contains("embedding"),
+      "quantized index must not store the float column")
+    assert(raw.columns.contains("q_scale"))
+    // the standard probe path reads it transparently and matches the
+    // in-memory quantized composition's recall contract
+    val probed = Similarity.ivfTopKIndexed(spark, sf, dir)
+    assert(probed.count() > 0)
+    val gate = Similarity.int8IvfIndexedRecall(spark, sf).head()
+    assert(gate.getLong(2) == 1L, "recall floor")
+    assert(gate.getLong(3) == 1L && gate.getLong(4) == 1L,
+      "storage facts")
+    // an append matches the index's stored form: still int8, no float
+    val extra = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") >= Similarity.NumQueries).limit(1)
+      .select(lit(900001L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfIndex(spark, extra, dir)
+    val after = spark.read.parquet(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_stats"))
+        .toSeq: _*)
+    assert(after.schema("q_emb").dataType == ArrayType(ByteType))
+    assert(!after.columns.contains("embedding"))
+  }
+
   test("incremental IVF append equals one-shot assignment, is O(delta)") {
     import org.apache.spark.sql.functions._
     import java.nio.file.{Files, Paths}

@@ -118,6 +118,46 @@ class TextEventsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("skew-safe source cap is row-identical to the direct window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val direct = TextAnalysis.sourceCapOf(docs, perSource = 7).collect()
+      .map(_.toString).toSeq
+    val safe = TextAnalysis.sourceCapSkewSafeOf(docs, perSource = 7)
+      .collect().map(_.toString).toSeq
+    assert(direct == safe)
+    // and with a salt count that doesn't divide the domain sizes
+    val safe5 = TextAnalysis.sourceCapSkewSafeOf(docs, perSource = 7,
+      salts = 5).collect().map(_.toString).toSeq
+    assert(direct == safe5)
+  }
+
+  test("skew-safe source cap bounds the exact window under a mega-domain") {
+    import spark.implicits._
+    val cap = 3
+    val salts = 4
+    // one mega-domain of 10k rows + two small ones
+    val mega = (1L to 10000L).map(i => (i, "mega.example"))
+    val small = (10001L to 10004L).map(i => (i, "a.example")) ++
+      (10005L to 10007L).map(i => (i, "b.example"))
+    val docs = (mega ++ small).toDF("doc_id", "source")
+    // stage-1 survivors per over-cap source are bounded by salts x cap
+    // REGARDLESS of domain size — this is the skew guarantee: the
+    // exact window's input for the mega-domain is 12 rows, not 10k
+    val survivors = TextAnalysis.cappedCandidates(
+      docs.filter(col("source") === "mega.example"), cap, "graft", salts)
+    assert(survivors.count() <= salts.toLong * cap)
+    // and the result still equals the direct formulation
+    val direct = TextAnalysis.sourceCapOf(docs, perSource = cap)
+      .collect().map(_.toString).toSeq
+    val safe = TextAnalysis.sourceCapSkewSafeOf(docs, perSource = cap,
+      salts = salts).collect().map(_.toString).toSeq
+    assert(direct == safe)
+    // over-cap small domain capped; under-cap domain complete
+    assert(safe.count(_.contains(",a.example,")) == 3)
+    assert(safe.count(_.contains(",b.example,")) == 3)
+    assert(safe.count(_.contains(",mega.example,")) == 3)
+  }
+
   test("stratified pre-filter keeps a per-stratum superset of the quota") {
     val perStratum = 25
     val base = TextAnalysis.stratifiedBase(spark, sf).cache()
@@ -381,6 +421,31 @@ class TextEventsSpec extends SparkSpec {
     assert(counts(0) >= counts(1) && counts(1) >= counts(2),
       s"funnel must narrow monotonically, got ${counts.toSeq}")
     assert(counts(0) > 0)
+  }
+
+  test("funnel generalizes to N ordered stages; out-of-order never counts") {
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-funnel")
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // u1 completes all four stages in order; u2 signs up BEFORE viewing
+    // (out of order at stage 4); u3 stops after click; u4 re-views but
+    // never clicks
+    Seq(
+      (1L, "view", ts(1)), (1L, "click", ts(2)), (1L, "purchase", ts(3)),
+      (1L, "signup", ts(4)),
+      (2L, "signup", ts(0)), (2L, "view", ts(1)), (2L, "click", ts(2)),
+      (2L, "purchase", ts(3)),
+      (3L, "view", ts(1)), (3L, "click", ts(2)),
+      (4L, "view", ts(1)), (4L, "view", ts(5))
+    ).toDF("user_id", "event_type", "ts")
+      .write.parquet(s"$work/events.parquet")
+    val rows = Events.funnel(spark, work.toString,
+      Seq("view", "click", "purchase", "signup")).collect()
+      .map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(rows == Seq(
+      ("view", 4L), ("view>click", 3L), ("view>click>purchase", 2L),
+      // only u1's signup is AFTER its purchase; u2's was before its view
+      ("view>click>purchase>signup", 1L)))
   }
 
   test("retention: offset-0 actives equal the cohort size, never grow") {
