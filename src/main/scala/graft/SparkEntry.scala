@@ -113,7 +113,7 @@ object SparkEntry {
     "t05_dedup_exact"  -> (TextAnalysis.dedupExact _),
     "t06_token_counts" -> (TextAnalysis.tokenCounts _),
     "t07_curation"     -> (TextAnalysis.curationPipeline _),
-    "t08_rolling_fp"   -> (TextAnalysis.rollingFingerprints _),
+    "t08_rolling_fp"   -> (TextAnalysis.rollingFpGate _),
     "t09_stratified"   -> ((s, d) => TextAnalysis.stratifiedSample(s, d)),
     "t10_packing"      -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
     "t11_top_tokens"   -> ((s, d) => TextAnalysis.topTokens(s, d)),
@@ -628,6 +628,16 @@ object SparkEntry {
                 n_chars * 1.0 / len(regexp_extract_all(text,
                   '\p{L}+|\p{N}|[^\s\p{L}\p{N}]')) AS chars_per_bpeish
          FROM documents ORDER BY doc_id""",
+    // The winnowed Karp-Rabin fingerprint is engine-local math DuckDB
+    // cannot recompute; the gate reduces it to literals (golden
+    // sentence pinned by RollingHashSpec's brute-force reference, the
+    // SF-independent nation-table aggregate) plus the corpus count the
+    // oracle restates from the parquet itself.
+    "t08_rolling_fp" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+                CAST(1 AS BIGINT) AS n_distinct_fp_ok,
+                CAST(17520061990 AS BIGINT) AS nation_fp_agg,
+                CAST(160205208806805153 AS BIGINT) AS golden_fp""",
     "t07_curation" ->
       """WITH scored AS (
            SELECT doc_id,
@@ -1096,7 +1106,10 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS branch_cycle,
                 CAST(3 AS BIGINT) AS vacuum_retained,
                 CAST(6 AS BIGINT) AS final_rows,
-                CAST(8 AS BIGINT) AS final_version""",
+                CAST(8 AS BIGINT) AS final_version,
+                CAST(1 AS BIGINT) AS write_order_prop,
+                CAST(1 AS BIGINT) AS write_order_sorted,
+                CAST(1 AS BIGINT) AS write_order_cleared""",
     // SQL time-travel gate: region (5 rows at every SF) as a 3-version
     // table — v1 commit 3 rows, v2 append 2, v3 ONE atomic CDC batch
     // (upsert key 0 + merge-on-read delete of key 1); per-version

@@ -93,6 +93,13 @@ object SqlLakehouseDemo {
     println("SQL_DEMO_DDL_VERSIONS=" +
       one(s"SELECT count(*) FROM $t.history"))
 
+    // —— declared write order: the table says HOW its files are
+    //    internally sorted once; maintenance maintains it ——
+    spark.sql(s"ALTER TABLE $t WRITE ORDERED BY (trip_id)")
+    spark.sql(s"CALL graft.system.compact(table => '$absT')")
+    println("SQL_DEMO_WRITE_ORDER=" + spark.sql(s"SHOW TBLPROPERTIES $t")
+      .collect().count(r => r.getString(0) == "write.sort-order"))
+
     // —— clustering + stats maintenance: z-order rewrite and a stats
     //    backfill over whatever roots predate their sidecars ——
     spark.sql(s"CALL graft.system.rewrite_zorder(table => '$absT', " +

@@ -129,6 +129,38 @@ object TextAnalysis {
           .as("rolling_fp"))
       .orderBy(col("doc_id"))
 
+  /** The t08 gate, oracle-tightened (the d07/s04 move): the winnowed
+    * Karp-Rabin fingerprint is fully deterministic, so instead of a
+    * rows-only check the gate reduces the expression to facts an
+    * engine-independent oracle can state literally without pretending
+    * DuckDB could recompute a 2^64-wrapping byte-window hash:
+    *  - `golden_fp`: the fingerprint of a fixed sentence — the exact
+    *    value RollingHashSpec's brute-force reference pins, stated as
+    *    a literal in the oracle;
+    *  - `nation_fp_agg`: sum over the SF-INDEPENDENT `nation` table
+    *    of each normalized name's fingerprint mod 1e9+7 — pins the
+    *    algorithm over real table data at any scale factor, as one
+    *    literal constant;
+    *  - `n_docs` / `n_distinct_fp_ok`: every document fingerprints
+    *    (count restated by the oracle from the parquet itself) and
+    *    the corpus doesn't collapse to one value. */
+  def rollingFpGate(s: SparkSession, d: String): DataFrame = {
+    def fp(c: Column): Column = call_function("graft_rolling_minhash",
+      regexp_replace(trim(lower(c)), "\\s+", " "))
+    val docs = rollingFingerprints(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        (countDistinct(col("rolling_fp")) > 1).cast("long")
+          .as("n_distinct_fp_ok"))
+    val nat = Tables.load(s, d, "nation")
+      .agg(sum(pmod(fp(col("n_name")), lit(1000000007L)))
+        .as("nation_fp_agg"))
+    docs.join(nat)
+      .withColumn("golden_fp",
+        fp(lit("the quick brown fox jumps over the lazy dog")))
+      .select(col("n_docs"), col("n_distinct_fp_ok"),
+        col("nation_fp_agg"), col("golden_fp"))
+  }
+
   /** BPE-style subword-ish token counting: the GPT-2 pre-tokenizer shape
     * (letter runs | digits | non-space symbols), counted with a single
     * regexp pass — the cheap proxy for "LLM token count" used to budget

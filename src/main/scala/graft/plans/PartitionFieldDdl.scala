@@ -153,6 +153,7 @@ case class GraftSqlParser(delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan =
     PartitionFieldDdl.parse(sqlText, delegate)
       .orElse(RefDdl.parse(sqlText, delegate))
+      .orElse(WriteOrderDdl.parse(sqlText, delegate))
       .getOrElse(delegate.parsePlan(sqlText))
   @throws[ParseException]
   override def parseExpression(sqlText: String): Expression =

@@ -1,0 +1,82 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+import graft.sources.Versioned
+
+/** The Iceberg write-order DDL spellings over the engine's
+  * table-properties surface:
+  *
+  *   ALTER TABLE t WRITE ORDERED BY (c1 [ASC|DESC], c2 …)   — parens optional
+  *   ALTER TABLE t WRITE UNORDERED
+  *
+  * ORDERED BY stores [[Versioned.WriteOrderProp]]
+  * (`write.sort-order`), which every maintenance rewrite
+  * ([[Versioned.compact]]/[[Versioned.compactSmall]] and their CALL
+  * spellings) applies as a per-file local sort — Iceberg's
+  * write.sort-order semantics: files come back internally ordered for
+  * range-scan and compression locality without a global exchange.
+  * UNORDERED unsets it. Like the PARTITION FIELD and BRANCH/TAG
+  * productions these are SQL-extension statements Spark's grammar
+  * does not know, so the delegating parser recognizes them ahead of
+  * the delegate (reference analog: the demo's ETL hand-sorts before
+  * every write, csv_to_ice.py:27 — here the table declares the order
+  * once and maintenance maintains it). */
+object WriteOrderDdl {
+
+  private val ColRe = "[A-Za-z0-9_`]+(?:\\s+(?:ASC|DESC))?"
+  private val OrderedRe =
+    ("(?is)\\s*ALTER\\s+TABLE\\s+(.+?)\\s+WRITE\\s+ORDERED\\s+BY\\s+" +
+      s"\\(?\\s*($ColRe(?:\\s*,\\s*$ColRe)*)\\s*\\)?\\s*;?\\s*").r
+  private val UnorderedRe =
+    "(?is)\\s*ALTER\\s+TABLE\\s+(.+?)\\s+WRITE\\s+UNORDERED\\s*;?\\s*".r
+
+  def parse(sqlText: String,
+      delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
+    case OrderedRe(tbl, cols) =>
+      val order = Versioned.parseWriteOrder(cols.replace("`", ""))
+      Some(SetWriteOrderCommand(
+        delegate.parseMultipartIdentifier(tbl), order))
+    case UnorderedRe(tbl) =>
+      Some(ClearWriteOrderCommand(delegate.parseMultipartIdentifier(tbl)))
+    case _ => None
+  }
+}
+
+case class SetWriteOrderCommand(parts: Seq[String],
+    order: Seq[(String, Boolean)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(order.nonEmpty, "WRITE ORDERED BY needs at least one column")
+    val dir = GraftDdl.tableDir(spark, parts, "ALTER TABLE … WRITE ORDERED BY")
+    // validate against the CURRENT schema — a typo'd order column
+    // must fail the statement, not silently no-op every compaction
+    val cols = Versioned.read(spark, dir).columns.toSet
+    val missing = order.map(_._1).filterNot(cols.contains)
+    require(missing.isEmpty,
+      s"WRITE ORDERED BY column(s) ${missing.mkString(", ")} not in " +
+        s"${parts.mkString(".")} (has: ${cols.toSeq.sorted.mkString(", ")})")
+    val rendered = order.map { case (c, desc) =>
+      if (desc) s"$c desc" else c }.mkString(",")
+    Versioned.setProperties(spark, dir,
+      set = Map(Versioned.WriteOrderProp -> rendered),
+      note = Some(s"WRITE ORDERED BY ($rendered)"))
+    Seq.empty
+  }
+}
+
+case class ClearWriteOrderCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.tableDir(spark, parts, "ALTER TABLE … WRITE UNORDERED")
+    // idempotent like Iceberg's: clearing an unset order is a no-op
+    if (Versioned.properties(spark, dir)
+        .contains(Versioned.WriteOrderProp))
+      Versioned.setProperties(spark, dir,
+        unset = Seq(Versioned.WriteOrderProp),
+        note = Some("WRITE UNORDERED"))
+    Seq.empty
+  }
+}

@@ -2173,8 +2173,11 @@ object Versioned {
         .filter(t => data.columns.contains(t.source))
     val by = tspec.map(_.writeExpr(data))
       .orElse(partitionCol.map(col))
-    commit(sizeForWrite(data, nFiles, by), tableDir,
-      partitionCol, statsCols = statsCols, transform = tspec)
+    // the declared write order rides maintenance: rewritten files come
+    // back internally sorted (write.sort-order), on top of whatever
+    // partition locality the sizing pass arranged
+    commit(applyWriteOrder(spark, tableDir, sizeForWrite(data, nFiles, by)),
+      tableDir, partitionCol, statsCols = statsCols, transform = tspec)
   }
 
   /** Z-ORDER rewrite — Iceberg's `rewrite_data_files(strategy =>
@@ -2188,8 +2191,11 @@ object Versioned {
     * hidden-partition spec is inherited like every other maintenance
     * rewrite (files split per partition directory first, z-clustered
     * within). File count sizes from on-disk bytes like [[compact]].
-    * One full-snapshot rewrite — schedule it like any clustering
-    * maintenance, not per-commit. */
+    * An EXPLICIT clustering strategy: it intentionally overrides a
+    * declared [[WriteOrderProp]] for this rewrite (Iceberg's
+    * rewrite-with-sort_order precedence) — later plain compactions
+    * re-apply the declared order. One full-snapshot rewrite —
+    * schedule it like any clustering maintenance, not per-commit. */
   def compactZOrder(spark: SparkSession, tableDir: String,
       colA: String, colB: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Int =
@@ -2299,8 +2305,8 @@ object Versioned {
       if (partitionCol.isDefined) None
       else currentTransform(spark, tableDir)
         .filter(t => base.columns.contains(t.source))
-    val packed = sizeForWrite(base, nFiles,
-      tspec.map(_.writeExpr(base)).orElse(partitionCol.map(col)))
+    val packed = applyWriteOrder(spark, tableDir, sizeForWrite(base, nFiles,
+      tspec.map(_.writeExpr(base)).orElse(partitionCol.map(col))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // tombstones may have deleted EVERY packed row: a partitionBy
@@ -3703,6 +3709,30 @@ object Versioned {
       val retained = s.sql(s"VACUUM $g RETAIN 2 VERSIONS")
         .head().getInt(0)
       val finRows = s.sql(s"SELECT count(*) FROM $g").head().getLong(0)
+      // write-order DDL on a second table (own version chain, so the
+      // constants above stay untouched): declare, round-trip through
+      // SHOW TBLPROPERTIES, verify the binpack writes files that are
+      // INTERNALLY sorted by the declared order, then clear
+      val t2 = work.resolve("tbl2").toString
+      val g2 = s"graft.`$t2`"
+      s.sql(s"CREATE TABLE $g2 (k INT, v STRING)")
+      s.sql(s"INSERT INTO $g2 VALUES (5,'e'),(1,'a'),(3,'c')")
+      s.sql(s"INSERT INTO $g2 VALUES (4,'d'),(2,'b'),(6,'f')")
+      s.sql(s"ALTER TABLE $g2 WRITE ORDERED BY (k DESC)")
+      val orderProp = s.sql(s"SHOW TBLPROPERTIES $g2").collect()
+        .exists(r => r.getString(0) == WriteOrderProp &&
+          r.getString(1) == "k desc")
+      s.sql(s"CALL graft.system.compact(table => '$t2')")
+      val v2n = currentVersion(s, t2)
+      val packedFiles = new java.io.File(s"$t2/v=$v2n").listFiles().toSeq
+        .filter(fl => fl.isFile && fl.getName.endsWith(".parquet"))
+      val orderSorted = packedFiles.nonEmpty && packedFiles.forall { fl =>
+        val ks = s.read.parquet(fl.getPath).select(col("k"))
+          .collect().map(_.getInt(0)).toSeq
+        ks == ks.sorted(Ordering[Int].reverse)
+      }
+      s.sql(s"ALTER TABLE $g2 WRITE UNORDERED")
+      val orderCleared = !properties(s, t2).contains(WriteOrderProp)
       s.range(1).select(
         lit(if (propsCreate) 1L else 0L).as("props_create"),
         lit(if (ddlAdd) 1L else 0L).as("ddl_add_spec"),
@@ -3715,7 +3745,10 @@ object Versioned {
         lit(if (branchOk && branchGone) 1L else 0L).as("branch_cycle"),
         lit(retained.toLong).as("vacuum_retained"),
         lit(finRows).as("final_rows"),
-        lit(currentVersion(s, t).toLong).as("final_version"))
+        lit(currentVersion(s, t).toLong).as("final_version"),
+        lit(if (orderProp) 1L else 0L).as("write_order_prop"),
+        lit(if (orderSorted) 1L else 0L).as("write_order_sorted"),
+        lit(if (orderCleared) 1L else 0L).as("write_order_cleared"))
     } finally
       org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
@@ -4153,6 +4186,48 @@ object Versioned {
     properties(spark, tableDir).get("write.target-file-size-bytes")
       .flatMap(v => Try(v.trim.toLong).toOption).filter(_ > 0)
       .getOrElse(128L * 1024 * 1024)
+
+  /** Property key of the declared write sort order — the Iceberg
+    * `write.sort-order` analog, set by `ALTER TABLE … WRITE ORDERED
+    * BY` ([[graft.plans.WriteOrderDdl]]) and honored by the
+    * maintenance rewrites. Value format: comma-separated columns with
+    * an optional `desc` (`"l_shipdate"`, `"src,score desc"`). */
+  val WriteOrderProp = "write.sort-order"
+
+  /** Parse a [[WriteOrderProp]] value into (column, descending)
+    * pairs. Loud on malformation — a silently ignored order is a
+    * silently unsorted table. */
+  private[graft] def parseWriteOrder(v: String): Seq[(String, Boolean)] =
+    v.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { t =>
+      t.split("\\s+").toSeq match {
+        case Seq(c) => (c, false)
+        case Seq(c, dir) if dir.equalsIgnoreCase("asc") => (c, false)
+        case Seq(c, dir) if dir.equalsIgnoreCase("desc") => (c, true)
+        case _ => throw new IllegalArgumentException(
+          s"malformed $WriteOrderProp entry '$t' (want `col [asc|desc]`)")
+      }
+    }
+
+  /** The table's declared write sort order, empty when unset. */
+  def writeOrder(spark: SparkSession,
+      tableDir: String): Seq[(String, Boolean)] =
+    properties(spark, tableDir).get(WriteOrderProp).toSeq
+      .flatMap(parseWriteOrder)
+
+  /** Apply the declared write order as a LOCAL sort (per output task,
+    * hence per file — Iceberg write.sort-order semantics: files are
+    * internally ordered for range-scan/compression locality without
+    * paying a global exchange). Columns dropped by schema evolution
+    * are skipped — degrade to the remaining prefix, never fail
+    * maintenance. */
+  private def applyWriteOrder(spark: SparkSession, tableDir: String,
+      df: DataFrame): DataFrame = {
+    val order = writeOrder(spark, tableDir)
+      .filter { case (c, _) => df.columns.contains(c) }
+    if (order.isEmpty) df
+    else df.sortWithinPartitions(order.map { case (c, desc) =>
+      if (desc) col(c).desc else col(c).asc }: _*)
+  }
 
   private val TspecFile = "_tspec"
 

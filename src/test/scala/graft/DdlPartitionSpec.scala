@@ -469,4 +469,42 @@ class DdlPartitionSpec extends SparkSpec {
       "stats-carrying snapshots must serve .partitions row counts " +
         "from the sidecar, never from driver-side footer opens")
   }
+
+  test("WRITE ORDERED BY: round-trip, compaction sorts files, " +
+      "bad column fails, UNORDERED clears") {
+    import spark.implicits._
+    val (t, g) = fresh("write_order")
+    spark.sql(s"CREATE TABLE $g (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $g VALUES (5,'e'),(1,'a'),(3,'c')")
+    spark.sql(s"INSERT INTO $g VALUES (4,'d'),(2,'b')")
+    // a typo'd column must fail the STATEMENT, not no-op compactions
+    val err = intercept[Exception](
+      spark.sql(s"ALTER TABLE $g WRITE ORDERED BY (nope)"))
+    assert(err.getMessage.contains("nope"))
+    // both spellings parse: parenthesized multi-col and bare single
+    spark.sql(s"ALTER TABLE $g WRITE ORDERED BY (v ASC, k DESC)")
+    assert(Versioned.writeOrder(spark, t) ==
+      Seq(("v", false), ("k", true)))
+    spark.sql(s"ALTER TABLE $g WRITE ORDERED BY k")
+    assert(Versioned.writeOrder(spark, t) == Seq(("k", false)))
+    // binpack honors it: every packed file is internally k-ascending
+    Versioned.compactSmall(spark, t, minFileBytes = 1024 * 1024)
+    val vN = Versioned.currentVersion(spark, t)
+    val files = new java.io.File(s"$t/v=$vN").listFiles().toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.getPath).select("k")
+        .collect().map(_.getInt(0)).toSeq
+      assert(ks == ks.sorted, s"${f.getName} not k-sorted: $ks")
+    }
+    // rows survive the ordered rewrite untouched
+    assert(spark.table(g).select("k").collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(1, 2, 3, 4, 5))
+    // UNORDERED clears; clearing again is a no-op, not an error
+    spark.sql(s"ALTER TABLE $g WRITE UNORDERED")
+    assert(Versioned.writeOrder(spark, t).isEmpty)
+    spark.sql(s"ALTER TABLE $g WRITE UNORDERED")
+    assert(Versioned.writeOrder(spark, t).isEmpty)
+  }
 }
