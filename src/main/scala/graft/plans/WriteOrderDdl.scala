@@ -14,11 +14,13 @@ import graft.sources.Versioned
   *   ALTER TABLE t WRITE UNORDERED
   *
   * ORDERED BY stores [[Versioned.WriteOrderProp]]
-  * (`write.sort-order`), which every maintenance rewrite
-  * ([[Versioned.compact]]/[[Versioned.compactSmall]] and their CALL
-  * spellings) applies as a per-file local sort — Iceberg's
-  * write.sort-order semantics: files come back internally ordered for
-  * range-scan and compression locality without a global exchange.
+  * (`write.sort-order`), which every DATA WRITE — appends, INSERTs,
+  * and the maintenance rewrites ([[Versioned.compact]]/
+  * [[Versioned.compactSmall]] and their CALL spellings) — applies as
+  * a per-file local sort; only an explicit clustering strategy
+  * (z-order) opts out. Iceberg's write.sort-order semantics: files
+  * come back internally ordered for range-scan and compression
+  * locality without a global exchange.
   * UNORDERED unsets it. Like the PARTITION FIELD and BRANCH/TAG
   * productions these are SQL-extension statements Spark's grammar
   * does not know, so the delegating parser recognizes them ahead of

@@ -533,10 +533,11 @@ object Versioned {
       statsCols: Seq[String] = Nil,
       transform: Option[Transform] = None,
       branch: Option[String] = None,
-      props: Option[Map[String, String]] = None): Int =
+      props: Option[Map[String, String]] = None,
+      declaredOrder: Boolean = true): Int =
     commitStaged(df, tableDir, partitionCol, note, statsCols,
       linkBase = None, transform = transform, branch = branch,
-      props = props)
+      props = props, declaredOrder = declaredOrder)
 
   /** @param linkBase     snapshot the new version chains onto; its
     *                     manifest entries are linked unless overridden
@@ -558,7 +559,8 @@ object Versioned {
       branch: Option[String] = None,
       schemaStep: Option[SchemaStep] = None,
       clearSpec: Boolean = false,
-      props: Option[Map[String, String]] = None): Int = {
+      props: Option[Map[String, String]] = None,
+      declaredOrder: Boolean = true): Int = {
     val spark = df.sparkSession
     // hidden partitioning: derive the transform's partition column for
     // the write only — it never enters the logical schema (read() hides
@@ -627,7 +629,25 @@ object Versioned {
     val uuid = java.util.UUID.randomUUID().toString
     val stage = new Path(tableDir, s".stage-v$next-$uuid")
     if (writeData) {
-      val w = data.write.mode("overwrite")
+      // Parquet bloom filters and the declared write order are TABLE
+      // PROPERTIES consumed AT WRITE TIME (Iceberg's
+      // write.parquet.bloom-filter-enabled.column.<col> /
+      // write.sort-order spellings): every data file written while
+      // they are set carries footer blooms for the named columns —
+      // evaluated EXECUTOR-side by parquet's row-group filtering on
+      // =/IN probes, the point-lookup complement to min/max pruning
+      // for high-cardinality keys whose ranges overlap every file —
+      // and is internally sorted by the declared order. An explicit
+      // `props` (CREATE … TBLPROPERTIES) wins; otherwise the table's
+      // current map applies. `declaredOrder = false` lets an explicit
+      // clustering strategy (z-order) opt out of the sort.
+      val effWrite = props.orElse {
+        if (head >= 1) Some(properties(spark, tableDir)) else None
+      }.getOrElse(Map.empty)
+      val ordered =
+        if (declaredOrder) applyWriteOrderFrom(effWrite, data) else data
+      val w = ordered.write.mode("overwrite")
+        .options(bloomWriteOptions(effWrite))
       partBy.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
       // A partitionBy write of an EMPTY frame emits ZERO parquet files
       // — a schema-less scan root that would brick every later read.
@@ -2173,10 +2193,9 @@ object Versioned {
         .filter(t => data.columns.contains(t.source))
     val by = tspec.map(_.writeExpr(data))
       .orElse(partitionCol.map(col))
-    // the declared write order rides maintenance: rewritten files come
-    // back internally sorted (write.sort-order), on top of whatever
-    // partition locality the sizing pass arranged
-    commit(applyWriteOrder(spark, tableDir, sizeForWrite(data, nFiles, by)),
+    // the declared write order rides maintenance (applied at the
+    // commit write, on top of the sizing pass's partition locality)
+    commit(sizeForWrite(data, nFiles, by),
       tableDir, partitionCol, statsCols = statsCols, transform = tspec)
   }
 
@@ -2221,7 +2240,8 @@ object Versioned {
         .filter(t => data.columns.contains(t.source))
       commit(ZOrder.clustered(data, colA, colB, nFiles), tableDir,
         note = Some(s"REWRITE ZORDER($colA, $colB)"),
-        statsCols = Seq(colA, colB), transform = tspec)
+        statsCols = Seq(colA, colB), transform = tspec,
+        declaredOrder = false)
     }
 
   /** Shape `data` into ~`nFiles` output files. With a partition
@@ -2305,8 +2325,8 @@ object Versioned {
       if (partitionCol.isDefined) None
       else currentTransform(spark, tableDir)
         .filter(t => base.columns.contains(t.source))
-    val packed = applyWriteOrder(spark, tableDir, sizeForWrite(base, nFiles,
-      tspec.map(_.writeExpr(base)).orElse(partitionCol.map(col))))
+    val packed = sizeForWrite(base, nFiles,
+      tspec.map(_.writeExpr(base)).orElse(partitionCol.map(col)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // tombstones may have deleted EVERY packed row: a partitionBy
@@ -4218,15 +4238,40 @@ object Versioned {
     * hence per file — Iceberg write.sort-order semantics: files are
     * internally ordered for range-scan/compression locality without
     * paying a global exchange). Columns dropped by schema evolution
-    * are skipped — degrade to the remaining prefix, never fail
-    * maintenance. */
-  private def applyWriteOrder(spark: SparkSession, tableDir: String,
+    * are skipped — degrade to the remaining prefix, never fail a
+    * write. */
+  private def applyWriteOrderFrom(p: Map[String, String],
       df: DataFrame): DataFrame = {
-    val order = writeOrder(spark, tableDir)
+    val order = p.get(WriteOrderProp).toSeq.flatMap(parseWriteOrder)
       .filter { case (c, _) => df.columns.contains(c) }
     if (order.isEmpty) df
     else df.sortWithinPartitions(order.map { case (c, desc) =>
       if (desc) col(c).desc else col(c).asc }: _*)
+  }
+
+  /** Property-key prefix enabling a parquet footer BLOOM FILTER for a
+    * column on every subsequent data write (value `true`) — the
+    * Iceberg spelling. Companion knobs: the per-column fpp prefix and
+    * the global size cap. */
+  val BloomPropPrefix = "write.parquet.bloom-filter-enabled.column."
+  val BloomFppPrefix = "write.parquet.bloom-filter-fpp.column."
+  val BloomMaxBytesProp = "write.parquet.bloom-filter-max-bytes"
+
+  /** Writer options for the declared bloom-filter properties, mapped
+    * onto parquet-mr's own knobs (`parquet.bloom.filter.enabled#col`).
+    * Empty when nothing is declared — the common write pays nothing. */
+  private def bloomWriteOptions(p: Map[String, String])
+      : Map[String, String] = {
+    val cols = p.collect {
+      case (k, v) if k.startsWith(BloomPropPrefix) &&
+        v.trim.equalsIgnoreCase("true") => k.stripPrefix(BloomPropPrefix)
+    }
+    if (cols.isEmpty) Map.empty
+    else cols.map(c => s"parquet.bloom.filter.enabled#$c" -> "true").toMap ++
+      p.collect { case (k, v) if k.startsWith(BloomFppPrefix) =>
+        s"parquet.bloom.filter.fpp#${k.stripPrefix(BloomFppPrefix)}" -> v } ++
+      p.get(BloomMaxBytesProp)
+        .map(v => "parquet.bloom.filter.max.bytes" -> v)
   }
 
   private val TspecFile = "_tspec"

@@ -470,6 +470,50 @@ class DdlPartitionSpec extends SparkSpec {
         "from the sidecar, never from driver-side footer opens")
   }
 
+  test("bloom-filter table property writes parquet footer blooms " +
+      "for exactly the declared columns") {
+    val (t, g) = fresh("bloom_prop")
+    spark.sql(s"CREATE TABLE $g (id BIGINT, v STRING) TBLPROPERTIES (" +
+      "'write.parquet.bloom-filter-enabled.column.id' = 'true', " +
+      "'write.parquet.bloom-filter-fpp.column.id' = '0.05')")
+    spark.sql(s"INSERT INTO $g VALUES " +
+      (1 to 200).map(i => s"($i, 'x$i')").mkString(", "))
+    val vN = Versioned.currentVersion(spark, t)
+    import scala.jdk.CollectionConverters._
+    def bloomOffsets(dir: String): Seq[(String, Long)] = {
+      val files = new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      files.flatMap { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          new org.apache.parquet.io.LocalInputFile(f.toPath))
+        try r.getRowGroups.get(0).getColumns.asScala.toSeq.map(c =>
+          c.getPath.toDotString -> c.getBloomFilterOffset)
+        finally r.close()
+      }
+    }
+    val offs = bloomOffsets(s"$t/v=$vN")
+    // the declared column carries a bloom in every file; others don't
+    assert(offs.filter(_._1 == "id").forall(_._2 >= 0),
+      s"id must carry a footer bloom: $offs")
+    assert(offs.filter(_._1 == "v").forall(_._2 < 0),
+      s"undeclared column must not: $offs")
+    // the property rides APPENDS and rewrites, not just the create
+    spark.sql(s"INSERT INTO $g VALUES (1000, 'y')")
+    val v2 = Versioned.currentVersion(spark, t)
+    assert(bloomOffsets(s"$t/v=$v2").filter(_._1 == "id")
+      .forall(_._2 >= 0))
+    // probes through the bloom'd files stay correct
+    assert(spark.sql(s"SELECT count(*) FROM $g WHERE id IN (5, 50, 1000)")
+      .head().getLong(0) == 3)
+    // a table without the property writes no blooms
+    val (t2, g2) = fresh("bloom_none")
+    spark.sql(s"CREATE TABLE $g2 (id BIGINT)")
+    spark.sql(s"INSERT INTO $g2 VALUES (1), (2)")
+    val vP = Versioned.currentVersion(spark, t2)
+    assert(bloomOffsets(s"$t2/v=$vP").forall(_._2 < 0))
+  }
+
   test("WRITE ORDERED BY: round-trip, compaction sorts files, " +
       "bad column fails, UNORDERED clears") {
     import spark.implicits._
@@ -487,6 +531,17 @@ class DdlPartitionSpec extends SparkSpec {
       Seq(("v", false), ("k", true)))
     spark.sql(s"ALTER TABLE $g WRITE ORDERED BY k")
     assert(Versioned.writeOrder(spark, t) == Seq(("k", false)))
+    // a plain APPEND honors the declared order too (Iceberg
+    // write.sort-order applies to writes, not only maintenance)
+    spark.sql(s"INSERT INTO $g VALUES (9,'i'),(7,'g'),(8,'h')")
+    val vA = Versioned.currentVersion(spark, t)
+    new java.io.File(s"$t/v=$vA").listFiles().toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .foreach { f =>
+        val ks = spark.read.parquet(f.getPath).select("k")
+          .collect().map(_.getInt(0)).toSeq
+        assert(ks == ks.sorted, s"append ${f.getName} not k-sorted: $ks")
+      }
     // binpack honors it: every packed file is internally k-ascending
     Versioned.compactSmall(spark, t, minFileBytes = 1024 * 1024)
     val vN = Versioned.currentVersion(spark, t)
@@ -500,7 +555,7 @@ class DdlPartitionSpec extends SparkSpec {
     }
     // rows survive the ordered rewrite untouched
     assert(spark.table(g).select("k").collect().map(_.getInt(0)).sorted
-      .toSeq == Seq(1, 2, 3, 4, 5))
+      .toSeq == Seq(1, 2, 3, 4, 5, 7, 8, 9))
     // UNORDERED clears; clearing again is a no-op, not an error
     spark.sql(s"ALTER TABLE $g WRITE UNORDERED")
     assert(Versioned.writeOrder(spark, t).isEmpty)
