@@ -125,6 +125,42 @@ class ChangeFeedSpec extends SparkSpec {
       "stop() aborted the in-flight batch's cursor publish")
   }
 
+  test("stop(timeoutMs) escalates past a wedged handler; clean drains " +
+      "return true") {
+    import spark.implicits._
+    // clean case: an idle feed drains immediately, reports true
+    val (t1, c1) = fresh("bounded-clean")
+    Versioned.commit(Seq(Tuple1(1)).toDF("x"), t1)
+    val h1 = ChangeFeed.start(spark, t1, c1, pollIntervalMs = 60000L) {
+      (df, _, _) => df.count(); ()
+    }
+    Thread.sleep(300) // let the first poll drain
+    assert(h1.stop(10000L), "an idle feed must drain cleanly in bound")
+    // wedged case: a handler that never returns on its own — the very
+    // case the unbounded drain gives no recourse for. The bounded stop
+    // must come back within ~its two timeout windows, having
+    // interrupted the poller, and report the escalation.
+    val (t2, c2) = fresh("bounded-wedge")
+    Versioned.commit(Seq(Tuple1(1)).toDF("x"), t2)
+    Versioned.append(Seq(Tuple1(2)).toDF("x"), t2)
+    ChangeFeed.seed(spark, c2, fromVersion = 1) // (1, 2] pending
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val h2 = ChangeFeed.start(spark, t2, c2, pollIntervalMs = 60000L) {
+      (_, _, _) =>
+        entered.countDown()
+        Thread.sleep(3600L * 1000) // wedged (interruptible) I/O stand-in
+    }
+    assert(entered.await(20, java.util.concurrent.TimeUnit.SECONDS))
+    val t0 = System.currentTimeMillis()
+    val clean = h2.stop(1000L)
+    val took = System.currentTimeMillis() - t0
+    assert(!clean, "a wedged handler cannot be a clean drain")
+    assert(took < 30000L, s"bounded stop must not hang (took ${took}ms)")
+    // the wedged batch never published its cursor — it replays on
+    // restart, the at-least-once contract the escalation documents
+    assert(ChangeFeed.cursor(spark, c2) == 1)
+  }
+
   test("seeding backfills history; the polling loop follows commits") {
     import spark.implicits._
     val (t, c) = fresh("loop")
