@@ -553,15 +553,24 @@ object Similarity {
     * rests on, read from the published index's own schema. */
   def int8IvfIndexedRecall(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft-s09")
-    val indexDir = work.resolve("ivf_q").toString
-    buildIvfIndex(s, d, indexDir, iters = 2, quantized = true)
-    val approx = ivfTopKIndexed(s, d, indexDir)
-    val idx = Versioned.read(s, indexDir)
-    val storedInt8 = idx.schema.fields.find(_.name == "q_emb")
-      .exists(_.dataType.catalogString == "array<tinyint>")
-    val floatDropped = !idx.columns.contains("embedding")
-    annRecall(s, d, approx, NProbe.toDouble / Centroids)
-      .withColumn("stored_int8", lit(if (storedInt8) 1L else 0L))
-      .withColumn("float_dropped", lit(if (floatDropped) 1L else 0L))
+    try {
+      val indexDir = work.resolve("ivf_q").toString
+      buildIvfIndex(s, d, indexDir, iters = 2, quantized = true)
+      val approx = ivfTopKIndexed(s, d, indexDir)
+      val idx = Versioned.read(s, indexDir)
+      val storedInt8 = idx.schema.fields.find(_.name == "q_emb")
+        .exists(_.dataType.catalogString == "array<tinyint>")
+      val floatDropped = !idx.columns.contains("embedding")
+      // materialize the one-row contract BEFORE the finally deletes
+      // the scratch index the lazy plan would otherwise re-scan
+      val r = annRecall(s, d, approx, NProbe.toDouble / Centroids).head()
+      s.range(1).select(
+        lit(r.getLong(0)).as("k"),
+        lit(r.getLong(1)).as("n_queries"),
+        lit(r.getLong(2)).as("recall_ok"),
+        lit(if (storedInt8) 1L else 0L).as("stored_int8"),
+        lit(if (floatDropped) 1L else 0L).as("float_dropped"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
 }

@@ -807,6 +807,10 @@ object TextAnalysis {
     val over = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n")).filter(col("n") > perSource)
       .select(col("source"))
+    // NULL sources never match the join key, so they route through the
+    // under-cap leg: still row-identical to the direct window (null is
+    // one rank group there too), just not skew-bounded — a corpus
+    // whose BIGGEST domain is the null one should clean sources first
     val tagged = base.join(
       broadcast(over.withColumn("is_over", lit(true))),
       Seq("source"), "left")

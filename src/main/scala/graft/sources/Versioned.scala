@@ -4712,7 +4712,12 @@ object Versioned {
     * (min, max) — the point-lookup-set shape (key probes, id batches)
     * where a single covering range [min(values), max(values)] would
     * prune nothing on a sparse set. Files without stats for the
-    * column scan in full; degrade, never lie. */
+    * column scan in full; degrade, never lie. Composes with the
+    * [[BloomPropPrefix]] table property: the returned frame's IN
+    * filter pushes into the parquet scan, so files that survive
+    * manifest pruning get their footer BLOOMS consulted executor-side
+    * and whole row groups skipped — the second pruning tier for
+    * high-cardinality keys whose min/max spans every file. */
   def readWhereIn(spark: SparkSession, tableDir: String,
       colName: String, values: Seq[Any],
       version: Option[Int] = None): DataFrame =
