@@ -118,6 +118,8 @@ object SparkEntry {
     "t10_packing"      -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
     "t11_top_tokens"   -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "t13_decontamination" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    "t20_importance_sample" -> ((s, d) => TextAnalysis.importanceSample(s, d)),
+    "t21_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "t14_repetition" -> (TextAnalysis.repetitionSignals _),
     // PII redaction (emails/phones/IPv4 -> typed placeholders): the
     // corpus carries no PII, so the query grafts deterministic PII
@@ -628,6 +630,41 @@ object SparkEntry {
                 n_chars * 1.0 / len(regexp_extract_all(text,
                   '\p{L}+|\p{N}|[^\s\p{L}\p{N}]')) AS chars_per_bpeish
          FROM documents ORDER BY doc_id""",
+    // Deterministic Bernoulli samples: the keep decision is a pure
+    // function of (seed, doc_id) — u = first 8 md5 hex digits as a
+    // 32-bit uniform — so DuckDB recomputes the EXACT kept set and the
+    // gates hash-match full rows, not just counts.
+    "t20_importance_sample" ->
+      """WITH scored AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(lower(text),
+                    '\b(the|a|and|of|to|in|is|it)\b')) * 1.0 /
+                    len(regexp_split_to_array(trim(text), '\s+'))
+                    AS stop_ratio
+           FROM documents),
+         p AS (
+           SELECT doc_id, stop_ratio,
+                  least(CAST(1.0 AS DOUBLE),
+                        greatest(CAST(0.05 AS DOUBLE), stop_ratio * 5))
+                    AS keep_p
+           FROM scored)
+         SELECT doc_id, stop_ratio, keep_p FROM p
+         WHERE CAST(('0x' || substr(md5('graft:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 < keep_p
+         ORDER BY doc_id""",
+    "t21_mixture_sample" ->
+      """WITH r AS (
+           SELECT doc_id, source,
+                  CAST(CASE source WHEN 'src0' THEN 1.0
+                       WHEN 'src1' THEN 0.5 WHEN 'src2' THEN 0.25
+                       ELSE 0.1 END AS DOUBLE) AS rate
+           FROM documents)
+         SELECT doc_id, source, rate FROM r
+         WHERE CAST(('0x' || substr(md5('graft:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+               / 4294967296.0 < rate
+         ORDER BY doc_id""",
     // The winnowed Karp-Rabin fingerprint is engine-local math DuckDB
     // cannot recompute; the gate reduces it to literals (golden
     // sentence pinned by RollingHashSpec's brute-force reference, the

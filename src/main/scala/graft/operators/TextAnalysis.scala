@@ -838,4 +838,75 @@ object TextAnalysis {
     * path a 100 TB corpus would run. */
   def sourceCap(s: SparkSession, d: String): DataFrame =
     sourceCapSkewSafeOf(docsPlain(s, d))
+
+  // —— deterministic Bernoulli sampling (importance / mixture) ——
+
+  /** Keep-decision column for a deterministic Bernoulli sample by
+    * key: true iff u(key) < p, where u is the first 8 md5 hex digits
+    * of `"seed:key"` read as a 32-bit uniform in [0, 1). The
+    * primitive under importance sampling and mixture reweighting: the
+    * decision is a pure function of (seed, key), so reruns, resumed
+    * jobs and other engines agree row-for-row with NO coordination or
+    * state — at 100 TB the sample is one narrow codegen'd filter, no
+    * shuffle. (DuckDB restates u as
+    * `CAST('0x' || substr(md5(..), 1, 8) AS BIGINT) / 4294967296.0` —
+    * the oracle leg of t20/t21.) */
+  def hashKeep(keyCol: Column, p: Column,
+      seed: String = "graft"): Column =
+    (conv(substring(md5(concat(lit(seed + ":"),
+      keyCol.cast("string"))), 1, 8), 16, 10).cast("double") /
+      4294967296.0d) < p
+
+  /** Quality-weighted importance sampling — the CCNet/Dolma move of
+    * keeping high-quality documents with higher probability instead
+    * of a hard threshold: keep-probability is the stopword ratio
+    * (the t02 quality signal) scaled by `scale` and clamped to
+    * [floor, 1] (the floor keeps a trace of low-quality text for
+    * mixture diversity — pure thresholding studies need floor 0).
+    * Emits the kept rows with their u-free inputs (ratio and
+    * probability), so the oracle recomputes the decision bit-for-bit.
+    * One pass, no shuffle: the weights derive from the row itself. */
+  def importanceSample(s: SparkSession, d: String,
+      scale: Double = 5.0, floor: Double = 0.05): DataFrame = {
+    val stopHits = regexp_count(lower(col("text")),
+      lit("\\b(the|a|and|of|to|in|is|it)\\b")).cast("long")
+    docs(s, d)
+      .select(col("doc_id"),
+        (stopHits.cast("double") / nTokens(col("text")))
+          .as("stop_ratio"))
+      .withColumn("keep_p", least(lit(1.0d),
+        greatest(lit(floor), col("stop_ratio") * scale)))
+      .filter(hashKeep(col("doc_id"), col("keep_p")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-source mixture resampling — the Pile/Dolma mixture step:
+    * each source (domain) keeps rows at its own declared rate, so the
+    * output approximates a target source distribution without
+    * counting, sorting or shuffling anything (contrast [[sourceCap]],
+    * which enforces a hard per-source ceiling). Unlisted sources fall
+    * to `defaultRate`. Deterministic in the seed via [[hashKeep]] —
+    * a larger rate keeps a SUPERSET of a smaller one (same u per
+    * doc), so mixture ratios can be tuned monotonically between runs
+    * without churning the kept set. */
+  def mixtureSampleOf(docsDf: DataFrame, rates: Map[String, Double],
+      defaultRate: Double, seed: String = "graft"): DataFrame = {
+    require(defaultRate >= 0 && defaultRate <= 1,
+      s"defaultRate must be in [0, 1], got $defaultRate")
+    rates.foreach { case (src, r) => require(r >= 0 && r <= 1,
+      s"rate for '$src' must be in [0, 1], got $r") }
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (src, r)) =>
+      when(col("source") === src, lit(r)).otherwise(acc)
+    }
+    docsDf.select(col("doc_id"), col("source"))
+      .withColumn("rate", rate)
+      .filter(hashKeep(col("doc_id"), col("rate"), seed))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The t21 gate: a three-way mixture over the documents table. */
+  def mixtureSample(s: SparkSession, d: String): DataFrame =
+    mixtureSampleOf(docsPlain(s, d),
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+      defaultRate = 0.1)
 }

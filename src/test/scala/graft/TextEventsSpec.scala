@@ -118,6 +118,52 @@ class TextEventsSpec extends SparkSpec {
     assert(out.toSeq == again.toSeq)
   }
 
+  test("mixture sample: deterministic, rate-monotone supersets, " +
+      "rates respected per source") {
+    import spark.implicits._
+    val docs = (1L to 2000L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    def keep(rates: Map[String, Double]) =
+      TextAnalysis.mixtureSampleOf(docs, rates, defaultRate = 0.0)
+        .collect().map(_.getLong(0)).toSet
+    val half = keep(Map("src0" -> 0.5))
+    // deterministic: same seed, same set
+    assert(half == keep(Map("src0" -> 0.5)))
+    // a larger rate keeps a SUPERSET (same u per doc) — mixture
+    // ratios tune monotonically without churning the kept set
+    val most = keep(Map("src0" -> 0.9))
+    assert(half.subsetOf(most))
+    assert(keep(Map("src0" -> 1.0)).size == 500) // rate 1 keeps all
+    assert(keep(Map.empty).isEmpty) // default 0 keeps none
+    // empirical rate lands near the target (500 Bernoulli(0.5) draws)
+    assert(half.size > 175 && half.size < 325, s"got ${half.size}")
+    // only the rated source survives a zero default
+    assert(TextAnalysis.mixtureSampleOf(docs, Map("src1" -> 0.7), 0.0)
+      .select("source").distinct().collect().map(_.getString(0)).toSeq ==
+      Seq("src1"))
+  }
+
+  test("importance sample keeps exactly the u < keep_p rows") {
+    // recompute the decision by hand for every doc: the operator's
+    // kept set must equal the brute-force one
+    val out = TextAnalysis.importanceSample(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val all = TextAnalysis.qualityScore(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))) // (doc_id, stop_ratio)
+    def u(id: Long): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"graft:$id".getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0d
+    }
+    all.foreach { case (id, ratio) =>
+      val p = math.min(1.0, math.max(0.05, ratio * 5.0))
+      assert(out.contains(id) == (u(id) < p),
+        s"doc $id: u=${u(id)} p=$p kept=${out.contains(id)}")
+      if (out.contains(id)) assert(math.abs(out(id) - p) < 1e-12)
+    }
+  }
+
   test("skew-safe source cap is row-identical to the direct window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val direct = TextAnalysis.sourceCapOf(docs, perSource = 7).collect()
