@@ -39,11 +39,17 @@ object PipelineDemo {
     val canonical = survivors.join(reps, Seq("cluster_id", "doc_id"),
         "left_semi")
       .select(col("doc_id"), col("text")).cache()
-    // 3. domain-level downsampling: no source dominates the mixture
+    // 3. domain-level downsampling, two dials: a deterministic
+    // per-source mixture rate (soft, proportional), then the skew-safe
+    // hard per-source ceiling — together: no source dominates, and the
+    // mixture is tunable between runs without churning the kept set
     val capped = canonical
       .join(spark.read.parquet(s"$sfDir/documents.parquet")
         .select(col("doc_id"), col("source")), "doc_id")
-    val kept = TextAnalysis.sourceCapOf(capped, perSource = 20)
+    val mixed = TextAnalysis.mixtureSampleOf(capped,
+      rates = Map("src0" -> 1.0, "src1" -> 0.9), defaultRate = 0.85)
+    val kept = TextAnalysis.sourceCapSkewSafeOf(
+      capped.join(mixed.select(col("doc_id")), "doc_id"), perSource = 20)
       .select(col("doc_id"))
     // 4. LM-score the survivors; drop the highest-surprisal tail
     // (gibberish / boilerplate-ID heavy documents)
@@ -71,6 +77,7 @@ object PipelineDemo {
     val published = Versioned.read(spark, dir)
     println(s"PIPELINE_CURATED=${curated.count()}")
     println(s"PIPELINE_CANONICAL=${canonical.count()}")
+    println(s"PIPELINE_MIXED=${mixed.count()}")
     println(s"PIPELINE_CAPPED=${kept.count()}")
     println(s"PIPELINE_CLEAN=${clean.count()}")
     println(s"PIPELINE_SAMPLED=${sampled.count()}")

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.sources.FsFast
+
+/** The local-scheme metadata fast path ([[graft.sources.FsFast]]):
+  * the commit protocol's atomicity and listing contracts must hold
+  * IDENTICALLY through the nio dispatch, because the marker publish
+  * and the manifest walks are built on them. */
+class FsFastSpec extends SparkSpec {
+  private val work = "target/tmp/fsfast-spec"
+
+  private def fresh(name: String): (Path, org.apache.hadoop.fs.FileSystem) = {
+    val p = new Path(s"$work/$name")
+    val f = p.getFileSystem(new Configuration())
+    f.delete(p, true)
+    f.mkdirs(p)
+    (p, f)
+  }
+
+  test("put(overwrite = false) is create-exclusive: second writer loses") {
+    val (dir, f) = fresh("claim")
+    val target = new Path(dir, "marker")
+    FsFast.put(f, target, "a".getBytes, overwrite = false)
+    // the atomic-claim contract: an existing target throws, content
+    // of the winner is untouched
+    intercept[java.io.IOException](
+      FsFast.put(f, target, "b".getBytes, overwrite = false))
+    val in = f.open(target)
+    val text = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    assert(text == "a")
+    // overwrite = true replaces
+    FsFast.put(f, target, "c".getBytes, overwrite = true)
+    val in2 = f.open(target)
+    assert((try new String(in2.readAllBytes(), "UTF-8")
+      finally in2.close()) == "c")
+  }
+
+  test("a nio rewrite removes the stale Hadoop .crc twin") {
+    val (dir, f) = fresh("crc")
+    val target = new Path(dir, "sidecar")
+    // a Hadoop (checksummed) write leaves a .crc sibling...
+    val out = f.create(target, true)
+    try out.write("old-content".getBytes) finally out.close()
+    val crc = new java.io.File(s"$work/crc/.sidecar.crc")
+    assert(crc.exists, "precondition: Hadoop write creates the crc twin")
+    // ...which a later nio rewrite must remove, or a checksummed read
+    // of the new content would verify against the old sums and fail
+    FsFast.put(f, target, "new".getBytes, overwrite = true)
+    assert(!crc.exists, "stale crc must not survive a nio rewrite")
+    val in = f.open(target) // ChecksumFileSystem read path
+    assert((try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()) == "new")
+  }
+
+  test("walkFiles matches Hadoop listFiles(recursive) on a nested tree") {
+    val (dir, f) = fresh("walk")
+    FsFast.put(f, new Path(dir, "a.parquet"), "x".getBytes, false)
+    FsFast.put(f, new Path(dir, "sub/b.parquet"), "yy".getBytes, false)
+    FsFast.put(f, new Path(dir, "sub/deep/c.txt"), "zzz".getBytes, false)
+    val walked = FsFast.walkFiles(f, dir)
+      .map(e => (e.name, e.parentName, e.len)).toSet
+    val listed = {
+      val it = f.listFiles(dir, true)
+      val buf = scala.collection.mutable.Set.empty[(String, String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        // Hadoop surfaces the .crc-free view; nio sees raw files — the
+        // walk must agree on the NON-hidden set the protocol filters on
+        if (!st.getPath.getName.startsWith("."))
+          buf += ((st.getPath.getName, st.getPath.getParent.getName,
+            st.getLen))
+      }
+      buf.toSet
+    }
+    assert(walked.filterNot(_._1.startsWith(".")) == listed)
+    // missing root throws like listFiles
+    intercept[java.io.FileNotFoundException](
+      FsFast.walkFiles(f, new Path(dir, "nope")))
+  }
+
+  test("footerRowCount reads the parquet footer exactly") {
+    import spark.implicits._
+    val (dir, f) = fresh("footer")
+    val pq = new Path(dir, "t.parquet")
+    (1 to 137).toDF("x").coalesce(1).write.mode("overwrite")
+      .parquet(pq.toString)
+    val file = FsFast.walkFiles(f, pq)
+      .filter(_.name.endsWith(".parquet")).head
+    val conf = spark.sessionState.newHadoopConf()
+    assert(FsFast.footerRowCount(f, conf, file.path) == 137L)
+  }
+}
