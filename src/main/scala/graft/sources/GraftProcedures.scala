@@ -261,6 +261,36 @@ object GraftProcedures {
             a(1).asInstanceOf[String])
           Seq(true)
         })
+      case "create_changelog_view" => new Proc("create_changelog_view",
+        "register the (from, to] row-level changelog as a temp view " +
+          "(Iceberg's create_changelog_view): inserts and deletes " +
+          "with _change_type/_commit_version metadata columns, " +
+          "queryable by plain SQL",
+        Seq(p("table", StringType),
+          p("from_version", IntegerType),
+          p("to_version", IntegerType, Some("-1")),
+          p("view_name", StringType, Some("''"))),
+        StructType(Seq(
+          StructField("view_name", StringType, nullable = false),
+          StructField("change_rows", LongType, nullable = false))),
+        a => {
+          val d = dir(a(0))
+          require(a(1) != null, "'from_version' is required")
+          val from = a(1).asInstanceOf[Int]
+          val toRaw = a(2).asInstanceOf[Int]
+          val to = if (toRaw > 0) toRaw
+            else Versioned.currentVersion(spark, d)
+          val named = a(3).asInstanceOf[String]
+          val view = if (named != null && named.nonEmpty) named
+            else {
+              val base = new org.apache.hadoop.fs.Path(d).getName
+                .replaceAll("[^A-Za-z0-9_]", "_")
+              s"${base}_changes_${from}_$to"
+            }
+          val df = Versioned.readChanges(spark, d, from, to)
+          df.createOrReplaceTempView(view)
+          Seq(view, df.count())
+        })
       case _ => null
     })
   }
@@ -269,5 +299,5 @@ object GraftProcedures {
     "compact_deletes", "vacuum", "expire_snapshots", "rollback",
     "create_tag", "create_branch", "fast_forward", "drop_branch",
     "set_spec", "collect_stats", "rewrite_zorder",
-    "remove_orphan_files")
+    "remove_orphan_files", "create_changelog_view")
 }

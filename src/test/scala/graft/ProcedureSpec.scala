@@ -310,6 +310,32 @@ class ProcedureSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(freshStage)
   }
 
+  test("create_changelog_view registers a SQL-queryable change view") {
+    import spark.implicits._
+    val (t, abs) = fresh("proc_changelog")
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), t)
+    Versioned.append(Seq((2, "b")).toDF("id", "v"), t)
+    Versioned.applyChanges(spark, t,
+      upserts = Seq((3, "c")).toDF("id", "v"),
+      deleteKeys = Seq(Tuple1(1)).toDF("id"), key = "id")
+    val row = spark.sql("CALL graft.system.create_changelog_view(" +
+      s"table => '$abs', from_version => 1, view_name => 'chg_v')")
+      .head()
+    assert(row.getString(0) == "chg_v")
+    assert(row.getLong(1) == 3L) // inserts 2,3 + delete of key 1
+    // the registered view answers plain SQL over the change columns
+    val byType = spark.sql("SELECT _change_type, count(*) FROM chg_v " +
+      "GROUP BY 1 ORDER BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType == Map("delete" -> 1L, "insert" -> 2L))
+    // default to_version = current; default view name derives from
+    // the table directory
+    val auto = spark.sql("CALL graft.system.create_changelog_view(" +
+      s"table => '$abs', from_version => 2)").head()
+    assert(auto.getString(0).endsWith("_changes_2_3"))
+    assert(spark.table(auto.getString(0)).count() == auto.getLong(1))
+  }
+
   test("unknown procedures and namespaces refuse with the catalog list") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.nonsense()")
