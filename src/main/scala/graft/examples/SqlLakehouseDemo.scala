@@ -109,6 +109,11 @@ object SqlLakehouseDemo {
       s"CALL graft.system.collect_stats(table => '$absT')")
       .head().getInt(0)
     println(s"SQL_DEMO_STATS_BACKFILL_OK=${if (backfilled >= 0) 1 else 0}")
+    // CDC as SQL: register a change range and query it like any view
+    val chg = spark.sql("CALL graft.system.create_changelog_view(" +
+      s"table => '$absT', from_version => 1, view_name => 'demo_chg')")
+      .head()
+    println(s"SQL_DEMO_CHANGELOG_ROWS=${chg.getLong(1)}")
     // retention + debris maintenance through SQL
     println("SQL_DEMO_VACUUM_RETAINED=" +
       spark.sql(s"VACUUM $t RETAIN 2 VERSIONS").head().getInt(0))

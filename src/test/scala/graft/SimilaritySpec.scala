@@ -169,6 +169,20 @@ class SimilaritySpec extends SparkSpec {
         .toSeq: _*)
     assert(after.schema("q_emb").dataType == ArrayType(ByteType))
     assert(!after.columns.contains("embedding"))
+    // binpack maintenance keeps the quantized form AND the answers:
+    // the probe over the compacted index matches the pre-compaction one
+    val before = Similarity.ivfTopKIndexed(spark, sf, dir).collect()
+      .map(_.toString).toSeq
+    Similarity.compactIvfIndex(spark, dir, minFileBytes = 1024 * 1024)
+    val packed = spark.read.parquet(
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .iterator().asScala.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("_stats"))
+        .toSeq: _*)
+    assert(packed.schema("q_emb").dataType == ArrayType(ByteType))
+    assert(!packed.columns.contains("embedding"))
+    assert(Similarity.ivfTopKIndexed(spark, sf, dir).collect()
+      .map(_.toString).toSeq == before)
   }
 
   test("incremental IVF append equals one-shot assignment, is O(delta)") {
