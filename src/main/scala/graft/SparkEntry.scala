@@ -119,6 +119,7 @@ object SparkEntry {
     "t11_top_tokens"   -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "t13_decontamination" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "t20_importance_sample" -> ((s, d) => TextAnalysis.importanceSample(s, d)),
+    "t22_boilerplate"  -> (TextAnalysis.boilerplateLines _),
     "t21_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "t14_repetition" -> (TextAnalysis.repetitionSignals _),
     // PII redaction (emails/phones/IPv4 -> typed placeholders): the
@@ -630,6 +631,21 @@ object SparkEntry {
                 n_chars * 1.0 / len(regexp_extract_all(text,
                   '\p{L}+|\p{N}|[^\s\p{L}\p{N}]')) AS chars_per_bpeish
          FROM documents ORDER BY doc_id""",
+    // The gate frames each single-line fixture doc as body + a
+    // per-source footer (the scraped-page shape boilerplate removal
+    // exists for); the oracle restates the framing verbatim.
+    "t22_boilerplate" ->
+      """WITH framed AS (
+           SELECT doc_id, text || chr(10) || 'source: ' || source AS text
+           FROM documents),
+         lines AS (
+           SELECT doc_id, trim(u.line) AS line
+           FROM framed, unnest(regexp_split_to_array(text, chr(10)))
+             AS u(line))
+         SELECT line, count(DISTINCT doc_id) AS n_docs
+         FROM lines WHERE line <> ''
+         GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+         ORDER BY line""",
     // Deterministic Bernoulli samples: the keep decision is a pure
     // function of (seed, doc_id) — u = first 8 md5 hex digits as a
     // 32-bit uniform — so DuckDB recomputes the EXACT kept set and the

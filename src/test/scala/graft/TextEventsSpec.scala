@@ -164,6 +164,28 @@ class TextEventsSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate: repeated lines detected, stripped verbatim, " +
+      "unique lines untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "Accept cookies\nReal content one\nCopyright 2024"),
+      (2L, "Accept cookies \nReal content two\nCopyright 2024"),
+      (3L, "  Accept cookies\nSomething else\nCopyright 2024"),
+      (4L, "Entirely unique\nNothing shared here")
+    ).toDF("doc_id", "text")
+    val bp = TextAnalysis.boilerplateLinesOf(docs, minDocs = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // trimmed-form matching folds the padded variants together
+    assert(bp == Map("Accept cookies" -> 3L, "Copyright 2024" -> 3L))
+    val cleaned = TextAnalysis.stripBoilerplateOf(docs, minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(cleaned(1L) == "Real content one")
+    assert(cleaned(2L) == "Real content two")
+    assert(cleaned(3L) == "Something else")
+    // a document with no boilerplate survives byte-identical
+    assert(cleaned(4L) == "Entirely unique\nNothing shared here")
+  }
+
   test("skew-safe source cap is row-identical to the direct window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val direct = TextAnalysis.sourceCapOf(docs, perSource = 7).collect()
