@@ -230,6 +230,7 @@ object SparkEntry {
     // (integer-exact above-mean bits), nibble-banded candidates,
     // hamming <= 5 pairs — the image-dedup analog.
     "m05_ahash_neardup" -> ((s, d) => Multimodal.ahashNearDup(s, d)),
+    "m06_cdc_chunks"   -> (Multimodal.cdcChunkGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1268,6 +1269,16 @@ object SparkEntry {
     // Same 32-bucket pooling as m04; bits from integer cross-
     // multiplication (no float boundary can desync engines); naive
     // all-pairs here — the banding is the Spark side's scale path.
+    // CDC chunk hashes are engine-local math; the gate reduces the
+    // content-defined-chunking contract (lossless partition, size
+    // bounds, prefix-shift resynchronization) to constants, with the
+    // corpus count restated from the parquet itself.
+    "m06_cdc_chunks" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_docs,
+                CAST(1 AS BIGINT) AS lossless_ok,
+                CAST(1 AS BIGINT) AS bounds_ok,
+                CAST(1 AS BIGINT) AS chunks_per_doc_ok,
+                CAST(1 AS BIGINT) AS resync_ok""",
     "m05_ahash_neardup" ->
       """WITH pos AS (
            SELECT doc_id, text, strlen(text) AS n,

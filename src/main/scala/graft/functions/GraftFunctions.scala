@@ -8,6 +8,8 @@ import org.apache.spark.sql.SparkSession
 object GraftFunctions {
   val VecDotName = "graft_vec_dot"
   val RollingMinHashName = "graft_rolling_minhash"
+  val CdcChunksName = "graft_cdc_chunks"
+  val DefaultCdcAvgBits = 13 // 8 KiB average chunks, the dedup-storage default
   val SimHashAggName = "graft_simhash_agg"
   val MinHashBandsName = "graft_minhash_bands"
   val ShingleHashesName = "graft_shingle_hashes"
@@ -110,6 +112,22 @@ object GraftFunctions {
       exprs => {
         val w = rollingWindowArg(exprs) // validates arity before .head
         RollingMinHash(exprs.head, w)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      CdcChunksName,
+      exprs => {
+        require(exprs.nonEmpty && exprs.length <= 2,
+          s"$CdcChunksName expects 1-2 arguments, got ${exprs.length}")
+        val bits = if (exprs.length < 2) DefaultCdcAvgBits else {
+          val e = exprs(1)
+          require(e.foldable, s"$CdcChunksName avgBits must be a " +
+            s"literal, got non-foldable expression: ${e.sql}")
+          val v = e.eval(null)
+          require(v != null, s"$CdcChunksName avgBits must not be null")
+          v.asInstanceOf[Number].intValue()
+        }
+        CdcChunks(exprs.head, bits)
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
