@@ -231,6 +231,7 @@ object SparkEntry {
     // hamming <= 5 pairs — the image-dedup analog.
     "m05_ahash_neardup" -> ((s, d) => Multimodal.ahashNearDup(s, d)),
     "m06_cdc_chunks"   -> (Multimodal.cdcChunkGate _),
+    "m07_chunk_neardup" -> (Multimodal.chunkNearDupRecall _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1269,6 +1270,13 @@ object SparkEntry {
     // Same 32-bucket pooling as m04; bits from integer cross-
     // multiplication (no float boundary can desync engines); naive
     // all-pairs here — the banding is the Spark side's scale path.
+    // Byte-level chunk-overlap near-dup judged against the text-level
+    // shingle-Jaccard truth: the oracle recomputes d01's pair count
+    // from the corpus itself and asserts the recall contract.
+    "m07_chunk_neardup" ->
+      s"""WITH truth AS ($shingleJaccardSql)
+          SELECT (SELECT count(*) FROM truth) AS n_truth,
+                 CAST(1 AS BIGINT) AS recall_ok""",
     // CDC chunk hashes are engine-local math; the gate reduces the
     // content-defined-chunking contract (lossless partition, size
     // bounds, prefix-shift resynchronization) to constants, with the
