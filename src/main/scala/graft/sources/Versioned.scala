@@ -685,8 +685,14 @@ object Versioned {
     // wins.
     val effProps = props.orElse {
       // linkBase appends chain the head's FULL manifest — reachability
-      // is preserved by construction, skip the probe on the hot path
-      if (linkBase.isDefined) None
+      // is preserved by construction, skip the probe on the hot path.
+      // But ONLY when no linkEntries override it: a binpack passes
+      // linkBase (its race base) AND linkEntries (the surviving
+      // subset), and the SUBSET is what the manifest references — it
+      // must take the reachability probe, or a pack that rewrites
+      // every props-bearing root erases the table's properties
+      // (regression-tested in ProcedureSpec).
+      if (linkBase.isDefined && linkEntries.isEmpty) None
       else {
         val propsReachable = linked.filterNot(isDeleteLine)
           .map(_.split("/").head).distinct.exists(vr =>

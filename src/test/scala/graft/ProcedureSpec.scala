@@ -238,6 +238,30 @@ class ProcedureSpec extends SparkSpec {
       s"REPLACE must reset the declared property set, got $afterReplace")
   }
 
+  test("properties survive a binpack that rewrites EVERY base file") {
+    import spark.implicits._
+    // the reachability case the commit-shape rule missed: compactSmall
+    // commits with linkEntries = surviving; when the binpack packs
+    // every file, surviving is empty, the new manifest references only
+    // the packed root — which must then inherit the _props sidecar or
+    // the very property that CONFIGURED the binpack silently vanishes
+    val (t, abs) = fresh("proc_props_binpack")
+    val g = s"graft.`$abs`"
+    spark.sql(s"CREATE TABLE $g (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $g VALUES (1, 'a')")
+    spark.sql(s"INSERT INTO $g VALUES (2, 'b')")
+    spark.sql(s"ALTER TABLE $g SET TBLPROPERTIES (" +
+      "'write.target-file-size-bytes' = '134217728')")
+    // every data file is tiny -> the binpack rewrites all of them
+    Versioned.compactSmall(spark, t, minFileBytes = 1024 * 1024)
+    val props = spark.sql(s"SHOW TBLPROPERTIES $g").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("write.target-file-size-bytes")
+      .contains("134217728"),
+      s"full-rewrite binpack erased the table properties: $props")
+    assert(Versioned.read(spark, t).count() == 2)
+  }
+
   test("CREATE OR REPLACE BRANCH with a bad version leaves the branch intact") {
     import spark.implicits._
     val (t, abs) = fresh("replace_branch_bad")
