@@ -125,7 +125,11 @@ object GraftFunctions {
             s"literal, got non-foldable expression: ${e.sql}")
           val v = e.eval(null)
           require(v != null, s"$CdcChunksName avgBits must not be null")
-          v.asInstanceOf[Number].intValue()
+          val b = v.asInstanceOf[Number].intValue()
+          // fail at ANALYSIS, not per-row at execution
+          require(b >= 2 && b <= 28,
+            s"$CdcChunksName avgBits must be in [2, 28], got $b")
+          b
         }
         CdcChunks(exprs.head, bits)
       },

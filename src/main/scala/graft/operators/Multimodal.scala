@@ -278,7 +278,7 @@ object Multimodal {
       .select(col("doc_id"),
         explode(chunksOf(concat(salt, col("payload")))).as("c"))
       .select(col("doc_id"), col("c.hash").as("h")).distinct()
-    val resync = origH.withColumn("kept", lit(0L))
+    val resync = origH
       .join(shiftH.withColumn("hit", lit(1L)), Seq("doc_id", "h"), "left")
       .groupBy(col("doc_id"))
       .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
