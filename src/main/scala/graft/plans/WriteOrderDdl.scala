@@ -35,6 +35,18 @@ object WriteOrderDdl {
       s"\\(?\\s*($ColRe(?:\\s*,\\s*$ColRe)*)\\s*\\)?\\s*;?\\s*").r
   private val UnorderedRe =
     "(?is)\\s*ALTER\\s+TABLE\\s+(.+?)\\s+WRITE\\s+UNORDERED\\s*;?\\s*".r
+  // ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2] — the
+  // standard SQL spelling of the stats backfill (`CALL
+  // graft.system.collect_stats`). Spark's grammar parses ANALYZE for
+  // ITS catalogs but DSv2 tables refuse downstream, so the graft
+  // spelling is intercepted here; a statement naming a non-graft
+  // table still falls through to the delegate untouched — the guard
+  // is the explicit `graft.` catalog prefix, so other catalogs'
+  // ANALYZE semantics are never shadowed.
+  private val AnalyzeRe =
+    ("(?is)\\s*ANALYZE\\s+TABLE\\s+(.+?)\\s+COMPUTE\\s+STATISTICS" +
+      "(?:\\s+FOR\\s+COLUMNS\\s+([A-Za-z0-9_`]+" +
+      "(?:\\s*,\\s*[A-Za-z0-9_`]+)*))?\\s*;?\\s*").r
 
   def parse(sqlText: String,
       delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
@@ -44,7 +56,39 @@ object WriteOrderDdl {
         delegate.parseMultipartIdentifier(tbl), order))
     case UnorderedRe(tbl) =>
       Some(ClearWriteOrderCommand(delegate.parseMultipartIdentifier(tbl)))
+    case AnalyzeRe(tbl, cols) if tbl.trim.toLowerCase.startsWith("graft.") =>
+      val statsCols = Option(cols).toSeq.flatMap(
+        _.replace("`", "").split(",").map(_.trim).filter(_.nonEmpty))
+      Some(AnalyzeTableCommand(
+        delegate.parseMultipartIdentifier(tbl), statsCols))
     case _ => None
+  }
+}
+
+/** `ANALYZE TABLE graft.t COMPUTE STATISTICS [FOR COLUMNS …]` —
+  * backfills the per-file stats sidecars ([[Versioned.collectStats]]):
+  * row counts for every stats-less root always, min/max for the named
+  * columns. Returns the number of roots updated. Only statements whose
+  * table identifier starts with the graft catalog are intercepted —
+  * ANALYZE on any other catalog's table parses through the delegate
+  * unchanged. */
+case class AnalyzeTableCommand(parts: Seq[String],
+    statsCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "updated_roots",
+      org.apache.spark.sql.types.IntegerType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = GraftDdl.tableDir(spark, parts,
+      "ANALYZE TABLE … COMPUTE STATISTICS")
+    if (statsCols.nonEmpty) {
+      val cols = Versioned.read(spark, dir).columns.toSet
+      val missing = statsCols.filterNot(cols.contains)
+      require(missing.isEmpty,
+        s"FOR COLUMNS name(s) ${missing.mkString(", ")} not in " +
+          s"${parts.mkString(".")} (has: ${cols.toSeq.sorted.mkString(", ")})")
+    }
+    Seq(Row(Versioned.collectStats(spark, dir, statsCols)))
   }
 }
 

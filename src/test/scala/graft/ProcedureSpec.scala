@@ -238,6 +238,36 @@ class ProcedureSpec extends SparkSpec {
       s"REPLACE must reset the declared property set, got $afterReplace")
   }
 
+  test("ANALYZE TABLE COMPUTE STATISTICS spells the stats backfill") {
+    import spark.implicits._
+    val (t, abs) = fresh("proc_analyze")
+    val g = s"graft.`$abs`"
+    // commits without statsCols carry count-only sidecars; ANALYZE
+    // FOR COLUMNS adds min/max, and the backfill reports its work
+    Versioned.commit(Seq((1, "a"), (9, "z")).toDF("id", "v"), t)
+    val updated = spark.sql(
+      s"ANALYZE TABLE $g COMPUTE STATISTICS FOR COLUMNS id")
+      .head().getInt(0)
+    assert(updated >= 1, "backfill must touch the stats-less root")
+    // the backfilled min/max actually prune
+    val rw = Versioned.readWhere(spark, t, "id", 100, 200)
+    assert(rw.count() == 0 && rw.inputFiles.isEmpty,
+      "backfilled stats must prune a provably-missing range")
+    // a second run is idempotent (nothing left to backfill)
+    assert(spark.sql(s"ANALYZE TABLE $g COMPUTE STATISTICS FOR " +
+      "COLUMNS id").head().getInt(0) == 0)
+    // a typo'd column fails the statement
+    val err = intercept[Exception](spark.sql(
+      s"ANALYZE TABLE $g COMPUTE STATISTICS FOR COLUMNS nope"))
+    assert(err.getMessage.contains("nope"))
+    // a non-graft ANALYZE falls through to the delegate's semantics
+    Seq((1, "x")).toDF("a", "b").write.mode("overwrite")
+      .saveAsTable("analyze_fallthrough")
+    try spark.sql(
+      "ANALYZE TABLE analyze_fallthrough COMPUTE STATISTICS")
+    finally spark.sql("DROP TABLE IF EXISTS analyze_fallthrough")
+  }
+
   test("properties survive a binpack that rewrites EVERY base file") {
     import spark.implicits._
     // the reachability case the commit-shape rule missed: compactSmall
