@@ -232,6 +232,12 @@ object SparkEntry {
     "m05_ahash_neardup" -> ((s, d) => Multimodal.ahashNearDup(s, d)),
     "m06_cdc_chunks"   -> (Multimodal.cdcChunkGate _),
     "m07_chunk_neardup" -> (Multimodal.chunkNearDupRecall _),
+    // Cross-engine shared-table read: the oracle's DuckDB side scans
+    // the graft table's OWN exported data files (read_parquet over
+    // exportSnapshot's list), not the fixture tables — the
+    // reference's two-engines-one-table thesis (README.md:52-53
+    // DuckDB vs :78 Presto over the same Iceberg table).
+    "q47_export_snapshot" -> (graft.sources.Versioned.exportGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1308,5 +1314,25 @@ object SparkEntry {
          FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
          WHERE bit_count(xor(a.ahash, b2.ahash)) <= 5
          ORDER BY a_id, b_id""",
-  )
+  ) ++ exportOracle
+
+  /** q47's oracle aggregates the graft table's OWN data files — the
+    * literal `read_parquet([...])` list resolved by the exportGate run
+    * in THIS process (Verify runs every query before dumping oracle
+    * SQL, so the list is always populated for the driver; a standalone
+    * dump omits the key → rows-only check). Integer sums cast to
+    * BIGINT: DuckDB widens sum(INTEGER) to HUGEINT, Spark to long. */
+  private def exportOracle: Map[String, String] =
+    graft.sources.Versioned.lastExport.map { files =>
+      val list = files.map(f => s"'$f'").mkString("[", ", ", "]")
+      "q47_export_snapshot" ->
+        s"""SELECT n_regionkey, count(*) AS cnt,
+                  CAST(sum(n_nationkey) AS BIGINT) AS keysum,
+                  sum(score) AS scoresum,
+                  CAST(sum(length(name)) AS BIGINT) AS namelen,
+                  CAST(1 AS BIGINT) AS refused_tombs,
+                  CAST(1 AS BIGINT) AS n_files
+           FROM read_parquet($list)
+           GROUP BY n_regionkey ORDER BY n_regionkey"""
+    }.toMap
 }

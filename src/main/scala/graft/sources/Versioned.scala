@@ -3366,6 +3366,131 @@ object Versioned {
     rows.toDF("partition", "file_count", "row_count", "total_bytes")
   }
 
+  /** The resolved DATA-FILE list of a snapshot, for a SECOND engine to
+    * scan directly — the reference's actual thesis: two engines over
+    * ONE table (README.md:52-53 DuckDB `iceberg_scan` and :78 Presto
+    * `iceberg.db.nyc_taxi_table` both read the files Spark wrote). A
+    * raw columnar reader (DuckDB `read_parquet([...])`) handed exactly
+    * these absolute paths must reproduce `read(version)` — so the
+    * contract REFUSES, loudly and specifically, whenever the bare
+    * files cannot carry the snapshot's semantics on their own:
+    *
+    *  - LIVE merge-on-read tombstones (equality or positional) that
+    *    apply to an older linked entry — a raw scan would resurrect
+    *    deleted rows. Run [[compactDeletes]]/[[compact]] first; the
+    *    rewrite absorbs the tombstones and the next export succeeds.
+    *  - PENDING schema steps (rename/add/drop/retype newer than a
+    *    linked entry) — the files carry pre-evolution names/types that
+    *    only this engine's read path knows how to evolve. [[compact]]
+    *    materializes today's schema into self-contained files.
+    *  - HIVE-PARTITIONED roots — the partition value lives in the
+    *    directory name, not in the file, and hidden-transform columns
+    *    (`days_…=`, `bucketN_…=`) are derived values a generic
+    *    `hive_partitioning` reader would surface as spurious columns.
+    *
+    * Refusal is the Iceberg-parity answer: Iceberg's spec makes the
+    * same data unreachable to a plain-parquet reader (delete files,
+    * field-id renames), and interop there also goes through a
+    * compaction/rewrite. O(manifest) driver I/O — no data file is
+    * opened; paths come from the same [[entryFiles]] listing the read
+    * path scans, so export and `read` can never disagree about what is
+    * in the snapshot. */
+  def exportSnapshot(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): Seq[String] = {
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    require(v > 0, s"no committed version at $tableDir")
+    val f = fs(spark, tableDir)
+    val lines = manifestLines(f, tableDir, v)
+    val dataEntries = lines.filterNot(isDeleteLine)
+    val liveTombs = lines.filter(isDeleteLine).map(entryVer)
+      .filter(tv => dataEntries.exists(e => tv > entryVer(e)))
+    if (liveTombs.nonEmpty) throw new IllegalStateException(
+      s"cannot export snapshot v$v of $tableDir: live merge-on-read " +
+        s"tombstone(s) at version(s) ${liveTombs.sorted.mkString(", ")} " +
+        "apply to older data entries — a raw parquet scan of the " +
+        "exported files would resurrect deleted rows; run " +
+        "compactDeletes/compact first")
+    val pending = renameChain(f, tableDir, v)
+      .filter(st => dataEntries.exists(e => st.ver > entryVer(e)))
+    if (pending.nonEmpty) throw new IllegalStateException(
+      s"cannot export snapshot v$v of $tableDir: pending schema " +
+        s"step(s) at version(s) ${pending.map(_.ver).distinct.sorted
+          .mkString(", ")} apply to older data entries — the files " +
+        "carry pre-evolution column names/types; compact first to " +
+        "materialize the current schema")
+    val root = qualifiedRoot(f, tableDir)
+    val rels = dataEntries.flatMap(e => entryFiles(f, tableDir, e))
+    val hive = rels.filter(
+      _.split("/").drop(1).dropRight(1).exists(_.contains("=")))
+    if (hive.nonEmpty) throw new IllegalStateException(
+      s"cannot export snapshot v$v of $tableDir: ${hive.size} file(s) " +
+        "live under hive-partition directories (e.g. " +
+        s"${hive.head}) — partition values are path metadata a raw " +
+        "read_parquet scan drops; compact without a partition spec " +
+        "to materialize them as columns")
+    rels.map(r => s"$root/$r")
+  }
+
+  /** File list resolved by the LAST [[exportGate]] run in this JVM —
+    * SparkEntry.oracleSql embeds it literally into the q47 DuckDB
+    * `read_parquet([...])` oracle. Verify dumps oracle SQL AFTER
+    * running every query, so the list is always populated when the
+    * driver reads it; when no gate ran (a standalone oracle dump) the
+    * q47 entry is omitted and the driver records a rows-only check. */
+  @volatile private[graft] var lastExport: Option[Seq[String]] = None
+
+  /** Driver-visible gate for CROSS-ENGINE SHARED-TABLE reads — q47.
+    * Unlike the constant-emitting gates, BOTH sides of this oracle
+    * compute over the graft table's OWN data files: the Spark side
+    * aggregates `Versioned.read` over a table taken through appends,
+    * schema evolution (add + rename), a merge-on-read delete, a
+    * compaction, and a post-compaction append; the DuckDB side runs
+    * the SAME aggregate over `read_parquet([exportSnapshot files])`.
+    * A hash match proves the LAYOUT is engine-portable — the
+    * reference's two-engines-one-table claim (README.md:52-53 vs :78)
+    * — not merely that two SQL dialects agree on fixture data. The
+    * work dir intentionally OUTLIVES the gate (no cleanup): the
+    * driver's DuckDB pass reads the exported files after this JVM
+    * exits. Temp-dir sized: tens of KB of nation-fixture rows. */
+  def exportGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-export-gate")
+    val t = work.resolve("share").toString
+    val nation = s.read.parquet(s"$d/nation.parquet")
+      .select(col("n_nationkey").cast("int"),
+        col("n_name").cast("string"), col("n_regionkey").cast("int"))
+    commit(nation.filter(col("n_nationkey") < 13), t)       // v1: 13 rows
+    append(nation.filter(col("n_nationkey") >= 13), t)      // v2: +12
+    addColumn(s, t, "score", DoubleType)                    // v3: metadata
+    renameColumn(s, t, "n_name", "name")                    // v4: metadata
+    import s.implicits._
+    deleteRows(s, t, Seq(3, 17).toDF("n_nationkey"))        // v5: MoR tomb
+    // the refusal IS part of the contract: raw files at v5 would
+    // resurrect keys 3 and 17
+    val refusedTombs = Try(exportSnapshot(s, t)).isFailure
+    compact(s, t)                                           // v6: clean
+    // a post-compaction append makes the export span TWO manifest
+    // entries — the O(delta) chain shape, not a single-dir special case
+    val extra = nation.filter(col("n_nationkey") < 2)
+      .select((col("n_nationkey") + 100).cast("int").as("n_nationkey"),
+        concat(col("n_name"), lit("_X")).as("name"),
+        col("n_regionkey"),
+        (col("n_nationkey") * 1.5 + 0.25).cast("double").as("score"))
+    append(extra, t)                                        // v7: +2
+    val files = exportSnapshot(s, t)
+    lastExport = Some(files)
+    read(s, t)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("n_nationkey")).as("keysum"),
+        sum(col("score")).as("scoresum"),
+        sum(length(col("name"))).as("namelen"))
+      .withColumn("refused_tombs", lit(if (refusedTombs) 1L else 0L))
+      .withColumn("n_files",
+        lit(if (files.size >= 2) 1L else 0L))
+      .orderBy(col("n_regionkey"))
+  }
+
   /** Driver-visible gate over the snapshot/manifest surface — the
     * d07/s04 pattern: build small versioned tables from the fixture's
     * SF-independent `region`/`nation` tables (commit → O(delta) append

@@ -2054,6 +2054,64 @@ class EtlSpec extends SparkSpec {
       Seq("id", "name"))
   }
 
+  test("exportSnapshot: portable file list, loud refusals otherwise") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_export"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "name"), t)
+    Versioned.append(Seq((4, "d")).toDF("id", "name"), t)
+    // clean chain exports: one absolute path per linked data file,
+    // spanning BOTH manifest entries, and a raw re-read of exactly
+    // those files reproduces the snapshot
+    val files = Versioned.exportSnapshot(spark, t)
+    assert(files.nonEmpty && files.forall(_.endsWith(".parquet")))
+    assert(files.exists(_.contains("/v=1/")) &&
+      files.exists(_.contains("/v=2/")))
+    val raw = spark.read.parquet(files: _*)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(raw.toSeq == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+
+    // a live merge-on-read tombstone must refuse (raw files would
+    // resurrect the deleted key) ...
+    Versioned.deleteRows(spark, t, Seq(2).toDF("id"))
+    val tombEx = intercept[IllegalStateException] {
+      Versioned.exportSnapshot(spark, t)
+    }
+    assert(tombEx.getMessage.contains("tombstone"))
+    // ... but the PRE-delete snapshot is still exportable by version
+    assert(Versioned.exportSnapshot(spark, t, Some(2)).size ==
+      files.size)
+    // compaction absorbs the tombstone; export succeeds again and the
+    // deleted key is gone from a raw scan of the new list
+    Versioned.compactDeletes(spark, t)
+    val after = Versioned.exportSnapshot(spark, t)
+    assert(spark.read.parquet(after: _*).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3, 4))
+
+    // a pending schema step (rename newer than a linked entry) must
+    // refuse — the files still carry the old column name
+    Versioned.renameColumn(spark, t, "name", "label")
+    val stepEx = intercept[IllegalStateException] {
+      Versioned.exportSnapshot(spark, t)
+    }
+    assert(stepEx.getMessage.contains("schema step"))
+    Versioned.compact(spark, t)
+    val evolved = Versioned.exportSnapshot(spark, t)
+    assert(spark.read.parquet(evolved: _*).columns.contains("label"))
+
+    // hive-partitioned layout must refuse — partition values live in
+    // directory names a raw read_parquet drops
+    val tp = s"$work/versioned_export_part"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tp))
+    Versioned.commit(Seq((1, "x"), (2, "y")).toDF("id", "g"), tp,
+      partitionCol = Some("g"))
+    val hiveEx = intercept[IllegalStateException] {
+      Versioned.exportSnapshot(spark, tp)
+    }
+    assert(hiveEx.getMessage.contains("hive-partition"))
+  }
+
   test("partition pruning reaches the scan for the derived date") {
     val table = s"$work/table"
     val pruned = Etl.readTable(spark, table)
