@@ -648,7 +648,9 @@ object Versioned {
         if (declaredOrder) applyWriteOrderFrom(effWrite, data) else data
       val w = ordered.write.mode("overwrite")
         .options(bloomWriteOptions(effWrite))
-      partBy.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
+      val taskRows = harvestWriteCounts(spark) {
+        partBy.fold(w)(c => w.partitionBy(c)).parquet(stage.toString)
+      }
       // A partitionBy write of an EMPTY frame emits ZERO parquet files
       // — a schema-less scan root that would brick every later read.
       // Fall back to a schema-bearing unpartitioned empty write (the
@@ -657,12 +659,15 @@ object Versioned {
       // files and is what later commits INHERIT — this is exactly how
       // `CREATE TABLE … PARTITIONED BY` publishes its default spec
       // before any data exists.
-      if (partBy.nonEmpty && !containsParquet(f, stage)) {
-        f.delete(stage, true)
-        df.limit(0).write.mode("overwrite").parquet(stage.toString)
-      }
+      val allTaskRows =
+        if (partBy.nonEmpty && !containsParquet(f, stage)) {
+          f.delete(stage, true)
+          harvestWriteCounts(spark) {
+            df.limit(0).write.mode("overwrite").parquet(stage.toString)
+          }
+        } else taskRows
       if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
-      else writeCountStats(spark, f, stage)
+      else writeCountStats(spark, f, stage, allTaskRows)
     } else f.mkdirs(stage) // metadata-only commit (rollback, tombstone)
     // The manifest this commit will publish (sans own dir) — assembled
     // HERE so property carry-forward below can reason about
@@ -4586,9 +4591,103 @@ object Versioned {
     * names, so count rows can never affect pruning. Best-effort — a
     * failed footer read degrades that file to the read-time fallback,
     * never fails the commit. */
+  /** Per-task `recordsWritten` of ONE stage-write job, keyed by task
+    * partition index. The write job just counted every row it wrote
+    * (`BasicWriteTaskStatsTracker` publishes the final count into the
+    * task's output metrics); harvesting it here means a data commit's
+    * row-count sidecar costs ZERO extra I/O — on an object store the
+    * old footer pool paid O(delta files) driver GETs for numbers the
+    * cluster already knew. Scoped by a per-commit job-group id (a
+    * thread-local property), so concurrent committers in one session
+    * each observe only their own write. Only each job's RESULT stage
+    * is tracked (stage ids are assigned in creation order, so the
+    * job's max id is its result stage — under AQE the write runs as
+    * its own final job whose later task-end events overwrite any
+    * earlier shuffle-job entry on the same index), which keeps 0-row
+    * write tasks: an empty CREATE's single schema-bearing file must
+    * record `values = 0`, not fall back to a footer open. */
+  private final class WriteTaskCounts(group: String)
+      extends org.apache.spark.scheduler.SparkListener {
+    private val stages =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[Integer]()
+    val rows = new java.util.concurrent.ConcurrentHashMap[Integer, Long]()
+    override def onJobStart(
+        js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+      if (js.properties != null && js.stageIds.nonEmpty &&
+        group == js.properties.getProperty("spark.jobGroup.id"))
+        stages.add(js.stageIds.max)
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (stages.contains(te.stageId) &&
+        te.reason == org.apache.spark.Success && te.taskMetrics != null)
+        rows.put(te.taskInfo.index,
+          te.taskMetrics.outputMetrics.recordsWritten)
+  }
+
+  /** Run `write` under a private job group with a [[WriteTaskCounts]]
+    * listener attached, returning task-index → rows-written. Restores
+    * the thread's prior job group (a caller-set group must survive the
+    * commit). TaskEnd events post asynchronously — the bus drains
+    * before reading; on a drain timeout the partial map is returned
+    * and [[writeCountStats]] footer-fallbacks the unmatched files,
+    * degrading cost, never correctness. */
+  private def harvestWriteCounts(spark: SparkSession)(
+      write: => Unit): Map[Int, Long] = {
+    val sc = spark.sparkContext
+    val group = s"graft-commit-${java.util.UUID.randomUUID()}"
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
+    val l = new WriteTaskCounts(group)
+    sc.addSparkListener(l)
+    try {
+      sc.setJobGroup(group, "graft stage write")
+      write
+      org.apache.spark.sql.graft.SparkInternals
+        .waitListenerBus(sc, 10000L)
+      import scala.jdk.CollectionConverters._
+      l.rows.asScala.map { case (k, v) => (k.intValue, v) }.toMap
+    } finally {
+      sc.removeSparkListener(l)
+      sc.setLocalProperty("spark.jobGroup.id", prevGroup)
+      sc.setLocalProperty("spark.job.description", prevDesc)
+    }
+  }
+
+  /** `part-NNNNN-…` → NNNNN: the writer names each task's file by its
+    * partition index, which is the join key back to the harvested
+    * task metrics. */
+  private val PartIdxRe = "part-(\\d+)-.*".r.anchored
+  private def fileIdx(name: String): Option[Int] = name match {
+    case PartIdxRe(i) => Try(i.toInt).toOption
+    case _ => None
+  }
+
+  /** Row-count sidecar for a stats-less commit, served from the write
+    * job's own task metrics: a file whose task index maps to exactly
+    * ONE staged file takes that task's `recordsWritten` for free. Only
+    * ambiguous or unmatched files (a `partitionBy` task fanning into
+    * several directories, a `maxRecordsPerFile` split, a drained-late
+    * metric) fall back to a footer open — the unpartitioned protocol
+    * path (appends, merge rewrites, binpacks) commits with ZERO footer
+    * reads. */
   private def writeCountStats(spark: SparkSession, f: FileSystem,
-      stage: Path): Unit = {
-    val rows = countRowsFor(spark, f, stage)
+      stage: Path, taskRows: Map[Int, Long] = Map.empty): Unit = {
+    val dataFiles = stagedDataFiles(f, stage)
+    if (dataFiles.isEmpty) return
+    val byIdx = dataFiles.groupBy(fl => fileIdx(new Path(fl).getName))
+    val (resolved, leftover) = dataFiles.partition { fl =>
+      fileIdx(new Path(fl).getName) match {
+        case Some(i) =>
+          byIdx(Some(i)).sizeIs == 1 && taskRows.contains(i)
+        case None => false
+      }
+    }
+    val fromJob = resolved.map { fl =>
+      val p = new Path(fl)
+      StatRow(stageRel(f, stage, p.toUri.getPath), "", "", null, null,
+        nulls = 0L, values = taskRows(fileIdx(p.getName).get))
+    }
+    val rows = fromJob ++ countRowsForFiles(spark, f, stage, leftover)
     if (rows.nonEmpty) writeStatsTsv(f, stage, rows)
   }
 
@@ -4610,17 +4709,23 @@ object Versioned {
     }
   }
 
-  /** The footer-pool harvest behind [[writeCountStats]], reused by
-    * [[collectStats]]' backfill. */
+  /** The footer-pool count harvest — now only [[collectStats]]' /
+    * ANALYZE's backfill of stats-less roots and [[writeCountStats]]'
+    * ambiguous-file fallback; the commit hot path reads counts from
+    * the write job's own metrics instead. */
   private def countRowsFor(spark: SparkSession, f: FileSystem,
-      stage: Path): Seq[StatRow] = {
-    val dataFiles = stagedDataFiles(f, stage)
+      stage: Path): Seq[StatRow] =
+    countRowsForFiles(spark, f, stage, stagedDataFiles(f, stage))
+
+  private def countRowsForFiles(spark: SparkSession, f: FileSystem,
+      stage: Path, dataFiles: Seq[String]): Seq[StatRow] = {
     if (dataFiles.isEmpty) return Nil
     // the reader only consults the conf — no defensive copy (a
     // Configuration clone per commit is measurable protocol tax)
     val conf = spark.sessionState.newHadoopConf()
     def one(fl: String): Option[StatRow] = Try {
       val p = new Path(fl)
+      footerOpenCount.incrementAndGet()
       val n = FsFast.footerRowCount(f, conf, p)
       val rel = stageRel(f, stage, p.toUri.getPath)
       StatRow(rel, "", "", null, null, nulls = 0L, values = n)

@@ -34,6 +34,17 @@ import org.apache.spark.sql.classic.{Dataset, ExpressionUtils}
 object SparkInternals {
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Drain the listener bus (`private[spark] waitUntilEmpty`) — the
+    * commit path's write-metrics harvest ([[graft.sources.Versioned]])
+    * registers a listener around its stage write and must observe the
+    * write job's final TaskEnd events, which post asynchronously.
+    * Returns false on timeout (the caller degrades to footer reads —
+    * never blocks a commit on a wedged bus). */
+  def waitListenerBus(sc: org.apache.spark.SparkContext,
+      timeoutMs: Long): Boolean =
+    try { sc.listenerBus.waitUntilEmpty(timeoutMs); true }
+    catch { case _: java.util.concurrent.TimeoutException => false }
+
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)

@@ -2054,6 +2054,33 @@ class EtlSpec extends SparkSpec {
       Seq("id", "name"))
   }
 
+  test("commit row counts come from write metrics: zero footer opens") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_count_harvest"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    val before = Versioned.footerOpenCount.get()
+    // multi-task commit (8 write tasks → 8 files), O(delta) append,
+    // CoW upsert rewrite, MoR delete, compact: every stats-less stage
+    // write must take its counts from the job's own task metrics
+    Versioned.commit((1 to 50).map(i => (i, s"n$i")).toDF("id", "name")
+      .repartition(8), t)
+    Versioned.append((51 to 60).map(i => (i, s"n$i")).toDF("id", "name"), t)
+    Versioned.upsert(spark, t,
+      Seq((1, "patched")).toDF("id", "name"), "id")
+    Versioned.deleteRows(spark, t, Seq(5).toDF("id"))
+    Versioned.compact(spark, t)
+    assert(Versioned.footerOpenCount.get() == before,
+      "a stats-less commit chain must not open parquet footers")
+    // and the harvested counts must be CORRECT: .partitions serves the
+    // physical row count from the sidecars alone
+    val rows = Versioned.partitions(spark, t)
+      .agg(sum("row_count")).head().getLong(0)
+    assert(rows == 59L) // 60 committed - 1 MoR-deleted, compacted
+    assert(Versioned.footerOpenCount.get() == before,
+      ".partitions over harvested sidecars must stay footer-free")
+  }
+
   test("exportSnapshot: portable file list, loud refusals otherwise") {
     import spark.implicits._
     import graft.sources.Versioned
