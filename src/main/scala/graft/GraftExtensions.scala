@@ -63,7 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // in Iceberg too — Spark's grammar has no such clause, so the
     // statement is recognized ahead of the delegate and lowered onto
     // Versioned.setSpec. See graft.plans.PartitionFieldDdl.
-    e.injectParser((_, delegate) => graft.plans.GraftSqlParser(delegate))
+    e.injectParser((session, delegate) =>
+      graft.plans.GraftSqlParser(delegate, session))
     // Band theta-joins (abs(a-b) <= c with no equi keys) become bucketed
     // equi-joins instead of cartesian products.
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)

@@ -147,13 +147,13 @@ case class AlterPartitionFieldCommand(parts: Seq[String],
   * branch/tag statements to [[RefDdl]]'s commands; every other string
   * — plans, expressions, identifiers, schemas — passes to Spark's
   * parser untouched (errors included, so diagnostics stay Spark's). */
-case class GraftSqlParser(delegate: ParserInterface)
-    extends ParserInterface {
+case class GraftSqlParser(delegate: ParserInterface,
+    session: SparkSession = null) extends ParserInterface {
   @throws[ParseException]
   override def parsePlan(sqlText: String): LogicalPlan =
     PartitionFieldDdl.parse(sqlText, delegate)
       .orElse(RefDdl.parse(sqlText, delegate))
-      .orElse(WriteOrderDdl.parse(sqlText, delegate))
+      .orElse(WriteOrderDdl.parse(sqlText, delegate, session))
       .getOrElse(delegate.parsePlan(sqlText))
   @throws[ParseException]
   override def parseExpression(sqlText: String): Expression =

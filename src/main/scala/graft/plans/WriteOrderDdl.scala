@@ -30,37 +30,61 @@ import graft.sources.Versioned
 object WriteOrderDdl {
 
   private val ColRe = "[A-Za-z0-9_`]+(?:\\s+(?:ASC|DESC))?"
+  private val ColsRe = s"$ColRe(?:\\s*,\\s*$ColRe)*"
+  // parens are an optional MATCHED pair — `(k` must fall through to
+  // the delegate's error, not half-parse
   private val OrderedRe =
     ("(?is)\\s*ALTER\\s+TABLE\\s+(.+?)\\s+WRITE\\s+ORDERED\\s+BY\\s+" +
-      s"\\(?\\s*($ColRe(?:\\s*,\\s*$ColRe)*)\\s*\\)?\\s*;?\\s*").r
+      s"(?:\\(\\s*($ColsRe)\\s*\\)|($ColsRe))\\s*;?\\s*").r
   private val UnorderedRe =
     "(?is)\\s*ALTER\\s+TABLE\\s+(.+?)\\s+WRITE\\s+UNORDERED\\s*;?\\s*".r
   // ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS c1, c2] — the
   // standard SQL spelling of the stats backfill (`CALL
   // graft.system.collect_stats`). Spark's grammar parses ANALYZE for
   // ITS catalogs but DSv2 tables refuse downstream, so the graft
-  // spelling is intercepted here; a statement naming a non-graft
-  // table still falls through to the delegate untouched — the guard
-  // is the explicit `graft.` catalog prefix, so other catalogs'
-  // ANALYZE semantics are never shadowed.
+  // spelling is intercepted here; a statement naming another
+  // catalog's table still falls through to the delegate untouched.
   private val AnalyzeRe =
     ("(?is)\\s*ANALYZE\\s+TABLE\\s+(.+?)\\s+COMPUTE\\s+STATISTICS" +
       "(?:\\s+FOR\\s+COLUMNS\\s+([A-Za-z0-9_`]+" +
       "(?:\\s*,\\s*[A-Za-z0-9_`]+)*))?\\s*;?\\s*").r
 
-  def parse(sqlText: String,
-      delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
-    case OrderedRe(tbl, cols) =>
+  /** Whether an ANALYZE statement's table lives in the graft catalog —
+    * decided from the PARSED identifier (so `` `graft`.t `` resolves
+    * like graft.t) plus the session's current catalog (so `USE graft;
+    * ANALYZE TABLE t` backfills instead of hitting Spark's DSv2
+    * refusal). An identifier explicitly naming another REGISTERED
+    * catalog is never intercepted, whatever the current catalog. */
+  private def analyzesGraft(parts: Seq[String],
+      session: SparkSession): Boolean = {
+    if (parts.length > 1 && parts.head == "graft") true
+    else if (session == null) false
+    else {
+      val cm = session.sessionState.catalogManager
+      val explicitOther = parts.length > 1 &&
+        parts.head != "graft" &&
+        scala.util.Try(cm.catalog(parts.head)).isSuccess
+      !explicitOther && cm.currentCatalog.name == "graft"
+    }
+  }
+
+  def parse(sqlText: String, delegate: ParserInterface,
+      session: SparkSession = null): Option[LogicalPlan] = sqlText match {
+    case OrderedRe(tbl, parens, bare) =>
+      val cols = if (parens != null) parens else bare
       val order = Versioned.parseWriteOrder(cols.replace("`", ""))
       Some(SetWriteOrderCommand(
         delegate.parseMultipartIdentifier(tbl), order))
     case UnorderedRe(tbl) =>
       Some(ClearWriteOrderCommand(delegate.parseMultipartIdentifier(tbl)))
-    case AnalyzeRe(tbl, cols) if tbl.trim.toLowerCase.startsWith("graft.") =>
-      val statsCols = Option(cols).toSeq.flatMap(
-        _.replace("`", "").split(",").map(_.trim).filter(_.nonEmpty))
-      Some(AnalyzeTableCommand(
-        delegate.parseMultipartIdentifier(tbl), statsCols))
+    case AnalyzeRe(tbl, cols) =>
+      scala.util.Try(delegate.parseMultipartIdentifier(tbl)).toOption
+        .filter(analyzesGraft(_, session))
+        .map { parts =>
+          val statsCols = Option(cols).toSeq.flatMap(
+            _.replace("`", "").split(",").map(_.trim).filter(_.nonEmpty))
+          AnalyzeTableCommand(parts, statsCols)
+        }
     case _ => None
   }
 }

@@ -50,7 +50,14 @@ private[graft] object FsFast {
   final case class Entry(path: Path, name: String, parentName: String,
       len: Long, mtime: Long)
 
-  /** Recursive file listing (files only, like `listFiles(recursive)`). */
+  /** Recursive file listing (files only, like `listFiles(recursive)`).
+    * Dot-prefixed names are skipped on the local arm — Hadoop's
+    * ChecksumFileSystem hides its `.crc` sidecars from `listFiles`,
+    * and a raw nio walk surfacing them would make the two arms
+    * disagree (an unfiltered caller would over-count or leak `.crc`
+    * paths into a manifest). Dot-DIRECTORIES are not pruned: Hadoop's
+    * hidden-path convention is a reader-side filter, and protocol
+    * callers walk inside `.stage-*` dirs deliberately. */
   def walkFiles(f: FileSystem, dir: Path): Seq[Entry] =
     localPath(f, dir) match {
       case Some(root) =>
@@ -60,10 +67,10 @@ private[graft] object FsFast {
         Files.walkFileTree(root, new SimpleFileVisitor[NioPath] {
           override def visitFile(file: NioPath,
               attrs: BasicFileAttributes): FileVisitResult = {
-            if (attrs.isRegularFile) {
+            val name = file.getFileName.toString
+            if (attrs.isRegularFile && !name.startsWith(".")) {
               val parent = file.getParent
-              buf += Entry(new Path(file.toString),
-                file.getFileName.toString,
+              buf += Entry(new Path(file.toString), name,
                 if (parent == null) "" else
                   Option(parent.getFileName).fold("")(_.toString),
                 attrs.size(), attrs.lastModifiedTime().toMillis)

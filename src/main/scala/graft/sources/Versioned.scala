@@ -645,7 +645,8 @@ object Versioned {
         if (head >= 1) Some(properties(spark, tableDir)) else None
       }.getOrElse(Map.empty)
       val ordered =
-        if (declaredOrder) applyWriteOrderFrom(effWrite, data) else data
+        if (declaredOrder) applyWriteOrderFrom(effWrite, data, partBy)
+        else data
       val w = ordered.write.mode("overwrite")
         .options(bloomWriteOptions(effWrite))
       val taskRows = harvestWriteCounts(spark) {
@@ -4375,14 +4376,38 @@ object Versioned {
     * internally ordered for range-scan/compression locality without
     * paying a global exchange). Columns dropped by schema evolution
     * are skipped — degrade to the remaining prefix, never fail a
-    * write. */
+    * write. Declared names resolve against the frame with the
+    * session's case sensitivity (a raw `SET TBLPROPERTIES` value in a
+    * different case must still sort — the silently-unsorted table is
+    * the one outcome this property must never produce). On a
+    * PARTITIONED write the partition column leads the sort keys:
+    * FileFormatWriter requires rows sorted by partition columns and
+    * injects its own local sort when the child's ordering doesn't
+    * satisfy it — an injected sort keyed only on the partition column
+    * does not guarantee tie order across spill-file merges, which
+    * would silently void the declared order inside each partition
+    * directory. Leading with the partition column makes the child's
+    * ordering satisfy the writer's requirement, so no re-sort is
+    * injected and the per-file order survives. */
   private def applyWriteOrderFrom(p: Map[String, String],
-      df: DataFrame): DataFrame = {
+      df: DataFrame, partBy: Option[String] = None): DataFrame = {
+    val ci = !df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def resolve(c: String): Option[String] =
+      df.columns.find(_ == c).orElse {
+        if (!ci) None
+        else df.columns.filter(_.equalsIgnoreCase(c)) match {
+          case Array(one) => Some(one)
+          case _ => None // absent or ambiguous: degrade, never guess
+        }
+      }
     val order = p.get(WriteOrderProp).toSeq.flatMap(parseWriteOrder)
-      .filter { case (c, _) => df.columns.contains(c) }
+      .flatMap { case (c, desc) => resolve(c).map((_, desc)) }
     if (order.isEmpty) df
-    else df.sortWithinPartitions(order.map { case (c, desc) =>
-      if (desc) col(c).desc else col(c).asc }: _*)
+    else df.sortWithinPartitions(
+      (partBy.filterNot(pc => order.exists(_._1 == pc)).map(col(_).asc)
+        .toSeq ++
+        order.map { case (c, desc) =>
+          if (desc) col(c).desc else col(c).asc }): _*)
   }
 
   /** Property-key prefix enabling a parquet footer BLOOM FILTER for a

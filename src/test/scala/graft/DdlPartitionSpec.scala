@@ -592,5 +592,56 @@ class DdlPartitionSpec extends SparkSpec {
     assert(Versioned.writeOrder(spark, t).isEmpty)
     spark.sql(s"ALTER TABLE $g WRITE UNORDERED")
     assert(Versioned.writeOrder(spark, t).isEmpty)
+    // an unbalanced paren is a parse error from the delegate, not a
+    // half-parsed order
+    intercept[Exception](spark.sql(s"ALTER TABLE $g WRITE ORDERED BY (k"))
+    assert(Versioned.writeOrder(spark, t).isEmpty)
+  }
+
+  test("WRITE ORDERED BY holds on partitioned tables and case-insensitive props") {
+    import spark.implicits._
+    val (t, g) = fresh("write_order_part")
+    spark.sql(s"CREATE TABLE $g (k INT, grp STRING) " +
+      "PARTITIONED BY (grp)")
+    spark.sql(s"ALTER TABLE $g WRITE ORDERED BY k")
+    // rows land shuffled across two partition values; the write must
+    // sort (partition col, k) within tasks so the writer injects no
+    // re-sort of its own and each FILE comes back internally k-sorted
+    val rows = (1 to 200).map(i => ((i * 37) % 199, if (i % 2 == 0) "a" else "b"))
+    rows.toDF("k", "grp").repartition(4)
+      .createOrReplaceTempView("wop_src")
+    spark.sql(s"INSERT INTO $g SELECT * FROM wop_src")
+    val vA = Versioned.currentVersion(spark, t)
+    val files = graft.sources.FsFast.walkFiles(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"$t/v=$vA"))
+      .filter(_.name.endsWith(".parquet"))
+    assert(files.nonEmpty &&
+      files.forall(_.path.toString.contains("grp=")))
+    files.foreach { fl =>
+      val ks = spark.read.parquet(fl.path.toString).select("k")
+        .collect().map(_.getInt(0)).toSeq
+      assert(ks == ks.sorted,
+        s"partitioned write file ${fl.name} not k-sorted: $ks")
+    }
+    // a raw SET TBLPROPERTIES value in a different case must still
+    // sort — resolution is case-insensitive like the analyzer's
+    Versioned.setProperties(spark, t,
+      set = Map(Versioned.WriteOrderProp -> "K desc"))
+    spark.sql(s"INSERT INTO $g VALUES (3,'c'),(9,'c'),(6,'c')")
+    val vB = Versioned.currentVersion(spark, t)
+    val cFiles = graft.sources.FsFast.walkFiles(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"$t/v=$vB"))
+      .filter(_.name.endsWith(".parquet"))
+    assert(cFiles.nonEmpty)
+    cFiles.foreach { fl =>
+      val ks = spark.read.parquet(fl.path.toString).select("k")
+        .collect().map(_.getInt(0)).toSeq
+      assert(ks == ks.sorted.reverse,
+        s"case-insensitive order file ${fl.name} not k-desc: $ks")
+    }
   }
 }

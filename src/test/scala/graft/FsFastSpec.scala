@@ -60,6 +60,12 @@ class FsFastSpec extends SparkSpec {
     FsFast.put(f, new Path(dir, "a.parquet"), "x".getBytes, false)
     FsFast.put(f, new Path(dir, "sub/b.parquet"), "yy".getBytes, false)
     FsFast.put(f, new Path(dir, "sub/deep/c.txt"), "zzz".getBytes, false)
+    // a raw dot-file on disk (the shape of a ChecksumFileSystem .crc
+    // twin): listFiles hides it, so walkFiles must too — parity is
+    // the contract, not a caller-side filter
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      new java.io.File(s"$dir/sub", ".b.parquet.crc").getPath),
+      "c".getBytes)
     val walked = FsFast.walkFiles(f, dir)
       .map(e => (e.name, e.parentName, e.len)).toSet
     val listed = {
@@ -67,15 +73,13 @@ class FsFastSpec extends SparkSpec {
       val buf = scala.collection.mutable.Set.empty[(String, String, Long)]
       while (it.hasNext) {
         val st = it.next()
-        // Hadoop surfaces the .crc-free view; nio sees raw files — the
-        // walk must agree on the NON-hidden set the protocol filters on
-        if (!st.getPath.getName.startsWith("."))
-          buf += ((st.getPath.getName, st.getPath.getParent.getName,
-            st.getLen))
+        buf += ((st.getPath.getName, st.getPath.getParent.getName,
+          st.getLen))
       }
       buf.toSet
     }
-    assert(walked.filterNot(_._1.startsWith(".")) == listed)
+    assert(walked == listed)
+    assert(!walked.exists(_._1.startsWith(".")))
     // missing root throws like listFiles
     intercept[java.io.FileNotFoundException](
       FsFast.walkFiles(f, new Path(dir, "nope")))

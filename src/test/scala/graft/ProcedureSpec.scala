@@ -266,6 +266,31 @@ class ProcedureSpec extends SparkSpec {
     try spark.sql(
       "ANALYZE TABLE analyze_fallthrough COMPUTE STATISTICS")
     finally spark.sql("DROP TABLE IF EXISTS analyze_fallthrough")
+    // interception follows the PARSED identifier, not a string prefix:
+    // a backtick-quoted catalog and `USE graft` shorthand both reach
+    // the backfill, while an explicit other-catalog name under a graft
+    // current catalog still falls through to the delegate
+    assert(spark.sql(s"ANALYZE TABLE `graft`.`$abs` COMPUTE STATISTICS")
+      .head().getInt(0) == 0) // idempotent: already backfilled
+    val prevCat = spark.sessionState.catalogManager.currentCatalog.name
+    Seq((1, "x")).toDF("a", "b").write.mode("overwrite")
+      .saveAsTable("analyze_ft2")
+    try {
+      spark.sql("USE graft")
+      assert(spark.sql(s"ANALYZE TABLE `$abs` COMPUTE STATISTICS")
+        .head().getInt(0) == 0)
+      // the explicit other-catalog name must reach the DELEGATE's
+      // semantics (Spark's V1 ANALYZE can't resolve cross-catalog
+      // here and says so in its own words) — never our interceptor's
+      // "needs a graft versioned table"
+      val ft = intercept[Exception](spark.sql(
+        "ANALYZE TABLE spark_catalog.default.analyze_ft2 " +
+          "COMPUTE STATISTICS"))
+      assert(!ft.getMessage.contains("graft versioned table"))
+    } finally {
+      spark.sql(s"USE $prevCat")
+      spark.sql("DROP TABLE IF EXISTS analyze_ft2")
+    }
   }
 
   test("properties survive a binpack that rewrites EVERY base file") {
