@@ -96,4 +96,82 @@ class FsFastSpec extends SparkSpec {
     val conf = spark.sessionState.newHadoopConf()
     assert(FsFast.footerRowCount(f, conf, file.path) == 137L)
   }
+
+  /** A non-`file` scheme over local disk: every helper must take the
+    * `case None` Hadoop branch. */
+  private def freshRemote(name: String):
+      (Path, org.apache.hadoop.fs.FileSystem, Configuration) = {
+    val local = new java.io.File(s"$work/$name").getAbsoluteFile
+    org.apache.commons.io.FileUtils.deleteQuietly(local)
+    local.mkdirs()
+    val conf = new Configuration()
+    conf.set("fs.mock.impl", classOf[MockRemoteFs].getName)
+    val dir = new Path("mock:" + local.getPath)
+    val f = dir.getFileSystem(conf)
+    (dir, f, conf)
+  }
+
+  test("Hadoop arm: put/walk/footer contracts hold under a non-file scheme") {
+    import spark.implicits._
+    val (dir, f, conf) = freshRemote("remote")
+    assert(FsFast.localPath(f, dir).isEmpty,
+      "a mock-scheme fs must dispatch to the Hadoop branch")
+    // create-exclusive: second writer loses, winner's content intact
+    val target = new Path(dir, "marker")
+    FsFast.put(f, target, "a".getBytes, overwrite = false)
+    intercept[java.io.IOException](
+      FsFast.put(f, target, "b".getBytes, overwrite = false))
+    val in = f.open(target)
+    assert((try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()) == "a")
+    FsFast.put(f, target, "c".getBytes, overwrite = true)
+    // recursive walk parity with the local arm's filtered view, and
+    // the listFiles FileNotFoundException contract
+    FsFast.put(f, new Path(dir, "sub/deep/b.parquet"), "yy".getBytes,
+      overwrite = false)
+    val walked = FsFast.walkFiles(f, dir)
+    assert(walked.map(_.name).toSet == Set("marker", "b.parquet"))
+    assert(walked.forall(!_.name.startsWith(".")),
+      "checksum twins must stay hidden on the Hadoop arm too")
+    assert(walked.find(_.name == "b.parquet")
+      .exists(e => e.parentName == "deep" && e.len == 2))
+    intercept[java.io.FileNotFoundException](
+      FsFast.walkFiles(f, new Path(dir, "nope")))
+    // footerRowCount through the HadoopInputFile branch
+    val pqLocal = s"$work/remote/t.parquet"
+    (1 to 41).toDF("x").coalesce(1).write.mode("overwrite")
+      .parquet(pqLocal)
+    val pq = FsFast.walkFiles(f, new Path(dir, "t.parquet"))
+      .filter(_.name.endsWith(".parquet")).head
+    assert(FsFast.footerRowCount(f, conf, pq.path) == 41L)
+  }
+
+  test("Hadoop arm: a full versioned commit/read cycle on a non-file scheme") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock.impl", classOf[MockRemoteFs].getName)
+    val local = new java.io.File(s"$work/remote_tbl").getAbsoluteFile
+    org.apache.commons.io.FileUtils.deleteQuietly(local)
+    val t = "mock:" + local.getPath
+    // commit -> O(delta) append -> MoR delete -> compact, all through
+    // the Hadoop dispatch arm: markers, manifests, sidecars, scans
+    Versioned.commit(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v"), t)
+    Versioned.append(Seq((4, "d")).toDF("id", "v"), t)
+    Versioned.deleteRows(spark, t, Seq(2).toDF("id"))
+    assert(Versioned.read(spark, t).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3, 4))
+    // time travel still serves the pre-delete snapshot
+    assert(Versioned.read(spark, t, Some(2)).count() == 4)
+    Versioned.compact(spark, t)
+    assert(Versioned.read(spark, t).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 3, 4))
+    // the count sidecars round-tripped through the Hadoop arm:
+    // .partitions answers without new footer opens
+    val before = Versioned.footerOpenCount.get()
+    assert(Versioned.partitions(spark, t)
+      .agg(org.apache.spark.sql.functions.sum("row_count"))
+      .head().getLong(0) == 3L)
+    assert(Versioned.footerOpenCount.get() == before)
+  }
 }
