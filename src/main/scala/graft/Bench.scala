@@ -12,7 +12,12 @@ import org.apache.spark.sql.SparkSession
   * (shuffle bytes written, summed operator peak memory, spill bytes,
   * scan rows) harvested by [[graft.tools.Metrics]] — so a reader can
   * tell scheduler noise (seconds moved, resources identical) from a
-  * real plan regression (resources moved too) without a re-run. */
+  * real plan regression (resources moved too) without a re-run. Each
+  * query also carries `t_off`, its monotonic offset (seconds) from
+  * sweep start, and `calib_probes` lists interior fixed-work probes
+  * as [offset, seconds] every 25 queries — so a mid-sweep load spike
+  * is attributable from the JSON alone (find the probe nearest the
+  * suspicious query's t_off and compare it to calib_s). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,8 +43,8 @@ object Bench {
       }
     }
 
-    case class M(sec: Double, shuffleBytes: Long, peakMem: Long,
-        spill: Long, scanRows: Long)
+    case class M(sec: Double, off: Double, shuffleBytes: Long,
+        peakMem: Long, spill: Long, scanRows: Long)
 
     // Fixed-work calibration probe, timed at sweep start and end: a
     // constant 200M-row range reduction whose cost depends only on the
@@ -47,9 +52,10 @@ object Bench {
     // calib_s/CALIB_REF to normalize out scheduler load — the r11
     // sweep ran ~2x inflated by box contention and proving that took a
     // manual warm re-run; with the probe the sweep is self-normalizing.
-    def calibrate(): Double = {
+    def calibrate(warm: Boolean = true): Double = {
       import org.apache.spark.sql.functions.sum
-      spark.range(200L * 1000 * 1000).agg(sum("id")).head() // warm
+      if (warm) // first probe only: later ones reuse the hot path
+        spark.range(200L * 1000 * 1000).agg(sum("id")).head()
       val t0 = System.nanoTime()
       spark.range(200L * 1000 * 1000).agg(sum("id")).head()
       (System.nanoTime() - t0) / 1e9
@@ -70,7 +76,20 @@ object Bench {
         s"[bench] SPARK_GRAFT_BENCH_ONLY entries matched nothing: " +
           unmatched.mkString(", "))
     }
-    val results = names.map { name =>
+    // Per-query monotonic offsets + a calibration probe every 25
+    // queries: two endpoint probes cannot bracket a load spike 60
+    // queries into the sweep (the r12 q19 4.7-vs-0.47 lesson) — with
+    // an offset per query and interior probes, a reader correlates
+    // any suspicious wall time against the nearest probe from the
+    // JSON alone, no re-run needed.
+    val sweepT0 = System.nanoTime()
+    def offNow: Double = (System.nanoTime() - sweepT0) / 1e9
+    val calibProbes = scala.collection.mutable.ArrayBuffer.empty[
+      (Double, Double)]
+    val results = names.zipWithIndex.map { case (name, i) =>
+      if (i > 0 && i % 25 == 0)
+        calibProbes += ((offNow, calibrate(warm = false)))
+      val off = offNow
       try {
         runOnce(name) // warmup
         quiesce()
@@ -83,7 +102,7 @@ object Bench {
         // iterative rounds) — sum them: the TOTAL resource bill of the
         // timed run is what distinguishes noise from plan change
         val rs = rec.records.filterNot(_.failed)
-        name -> M(sec,
+        name -> M(sec, off,
           rs.map(_.shuffleBytesWritten).sum,
           rs.map(_.peakExecutionMemory).sum,
           rs.map(_.spillSize).sum,
@@ -91,7 +110,7 @@ object Bench {
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          name -> M(-1.0, 0L, 0L, 0L, 0L)
+          name -> M(-1.0, off, 0L, 0L, 0L, 0L)
       } finally {
         // Queries cache intra-query intermediates (shingle indexes,
         // refined centroids); none are meant to be shared across
@@ -108,12 +127,15 @@ object Bench {
       "\"" + k + "\":{\"shuffle_bytes\":" + m.shuffleBytes +
         ",\"peak_mem\":" + m.peakMem +
         ",\"spill_bytes\":" + m.spill +
-        ",\"scan_rows\":" + m.scanRows + "}"
+        ",\"scan_rows\":" + m.scanRows +
+        ",\"t_off\":" + f"${m.off}%.3f" + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).filter(_ >= 0).sum
     val calibEnd = calibrate()
+    val probes = calibProbes.map { case (off, s) =>
+      f"[$off%.3f,$s%.4f]" }.mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"calib_s":[$calibStart,$calibEnd],"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"calib_s":[$calibStart,$calibEnd],"calib_probes":$probes,"sf":"$sfDir"}"""
     println(line)
     // stdout of this main is captured tail-first by the harness and the
     // one-line JSON truncates from the HEAD when the log is long — the

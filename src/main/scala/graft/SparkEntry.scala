@@ -165,6 +165,10 @@ object SparkEntry {
     // quantized (4x smaller) corpus, same nProbe/C recall floor.
     "s08_int8_ivf_recall" -> (Similarity.int8IvfRecall _),
     "s09_int8_ivf_indexed" -> (Similarity.int8IvfIndexedRecall _),
+    // Probe-only latency over the persisted int8 index (build amortized
+    // via the process-wide index cache) — approximate results, so
+    // rows-only here; the s09 recall gate pins the SAME index + path.
+    "s10_ann_ivf_probe"   -> (Similarity.int8IvfIndexedProbe _),
     // IVF over spherical-k-means-refined centroids (the production
     // index build), gated by the same recall contract.
     "s06_ivf_kmeans_recall" -> ((s, d) => Similarity.annRecall(s, d,

