@@ -79,15 +79,46 @@ case class VersionedRelationRule(spark: SparkSession)
         // rather than failing downstream with a shape mismatch.
         import scala.jdk.CollectionConverters._
         val user = s.extraOptions.asScala.toMap
+        // `.option("withChanges", true)` upgrades the stream to the
+        // FULL changelog: the relation's output widens by the two
+        // metadata columns and the source runs in changes mode — the
+        // analyzer's next pass resolves downstream `_change_type`
+        // references against the widened output. (An explicit `mode`
+        // option is still refused: its schema contract belongs to the
+        // format() spelling.)
+        val withChangesKey = user.keys.find(
+          _.equalsIgnoreCase("withChanges"))
+        val wantChanges = withChangesKey.exists(
+          k => user(k).equalsIgnoreCase("true"))
         require(!user.get("mode").exists(_ != "appends"),
           "readStream.table streams the table's rows (mode=appends); " +
             "for the full changelog with _change_type/_commit_version " +
-            "use spark.readStream.format(\"graft-changes\").load(dir)")
-        val opts = user ++ Map("path" -> t.tableDir,
-          "mode" -> "appends")
-        StreamingRelation(
+            "use .option(\"withChanges\", true) or " +
+            "spark.readStream.format(\"graft-changes\").load(dir)")
+        val cleaned = withChangesKey.fold(user)(user - _)
+        if (wantChanges) {
+          import org.apache.spark.sql.catalyst.expressions.AttributeReference
+          import org.apache.spark.sql.types.{IntegerType, StringType,
+            StructField, StructType}
+          // the source derives (base schema + meta cols); pin base to
+          // the RELATION's resolved schema so the stream's shape can
+          // never drift from what the analyzer bound downstream
+          val base = StructType(s.output.map(a =>
+            StructField(a.name, a.dataType, a.nullable)))
+          val metaAttrs = Seq(
+            AttributeReference(Versioned.ChangeTypeCol, StringType)(),
+            AttributeReference(Versioned.CommitVersionCol, IntegerType,
+              nullable = false)())
+          StreamingRelation(
+            DataSource(spark, className = "graft-changes",
+              userSpecifiedSchema = Some(base),
+              options = cleaned ++ Map("path" -> t.tableDir,
+                "mode" -> "changes")),
+            "graft-changes", s.output ++ metaAttrs)
+        } else StreamingRelation(
           DataSource(spark, className = "graft-changes",
-            options = opts),
+            options = cleaned ++ Map("path" -> t.tableDir,
+              "mode" -> "appends")),
           "graft-changes", s.output)
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftVersionedTable] &&
@@ -117,6 +148,8 @@ case class VersionedRelationRule(spark: SparkSession)
           case "refs" => Versioned.refs(spark, t.tableDir)
           case "partitions" =>
             Versioned.partitions(spark, t.tableDir, t.pinnedVersion)
+          case "snapshots" =>
+            Versioned.snapshots(spark, t.tableDir, t.pinnedVersion)
         }).queryExecution.analyzed
         require(real.output.length == r.output.length,
           s"metadata table ${t.name()} changed shape between catalog " +

@@ -313,7 +313,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (ident.namespace.isEmpty) return None
     val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
     if (kind != "history" && kind != "files" && kind != "refs" &&
-      kind != "partitions")
+      kind != "partitions" && kind != "snapshots")
       return None
     val parent = Identifier.of(ident.namespace.dropRight(1),
       ident.namespace.last)
@@ -329,14 +329,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             s"${display(ident)} is whole-table metadata; VERSION AS " +
               "OF does not apply (pin .files instead)")
         None
-      case "files" | "partitions" => Some(version.getOrElse(
-        Versioned.currentVersion(spark, dir)))
+      case "files" | "partitions" | "snapshots" =>
+        Some(version.getOrElse(Versioned.currentVersion(spark, dir)))
     }
     val df = kind match {
       case "history" => Versioned.history(spark, dir)
       case "files" => Versioned.files(spark, dir, pin)
       case "refs" => Versioned.refs(spark, dir)
       case "partitions" => Versioned.partitions(spark, dir, pin)
+      case "snapshots" => Versioned.snapshots(spark, dir, pin)
     }
     Some(new GraftMetaTable(dir, kind, pin, df.schema,
       display(ident)))

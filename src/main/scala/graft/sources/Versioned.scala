@@ -3276,6 +3276,69 @@ object Versioned {
     rows.toDF("version", "committed_at", "note", "n_entries", "linked")
   }
 
+  /** Per-commit summary — the Iceberg `.snapshots` metadata-table
+    * analog: one row per RETAINED version up to the pin, with its
+    * publish time, parent, an operation inferred from the manifest
+    * diff against the parent (append / delete / replace / metadata /
+    * commit), the commit note, file-level added/removed counts, and
+    * the rows this commit added (its own root's count sidecar — the
+    * number [[commitStaged]] harvested from the write job). Driver
+    * metadata-scale: one manifest read + one sidecar read per
+    * version; file listings only over the DIFF entries (O(delta) for
+    * the append steady state). Counts are null, never wrong, when a
+    * diff base was vacuumed or a root predates count sidecars. */
+  def snapshots(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val f = fs(spark, tableDir)
+    val branched = hasBranchRefs(f, tableDir)
+    val vs = committedVersions(spark, tableDir)
+      .filter(v => version.forall(v <= _))
+    val retained = vs.toSet
+    val rows = vs.map { v =>
+      val entries = manifestLines(f, tableDir, v)
+      val parent =
+        if (branched) refInfo(f, tableDir, v)._2 else v - 1
+      val parentEntries: Option[Seq[String]] =
+        if (parent <= 0) Some(Nil)
+        else if (retained(parent))
+          Some(manifestLines(f, tableDir, parent))
+        else None // vacuumed diff base: report null, never guess
+      val added = parentEntries.map(pe => entries.filterNot(pe.toSet))
+      val removed = parentEntries.map(_.filterNot(entries.toSet))
+      def fileCount(es: Seq[String]): Option[Long] = Try(es.map { e0 =>
+        val e = e0.stripPrefix(DeletePrefix)
+        if (isDeleteLine(e0)) deleteEntryFiles(f, tableDir, e).size
+        else entryFiles(f, tableDir, e).size
+      }.sum.toLong).toOption
+      val op = (added, removed) match {
+        case (Some(a), Some(r)) =>
+          if (parent <= 0) "commit"
+          else if (a.exists(isDeleteLine)) "delete"
+          else if (a.isEmpty && r.isEmpty) "metadata"
+          else if (r.isEmpty) "append"
+          else "replace"
+        case _ => null
+      }
+      // rows this commit wrote = its own root's sidecar counts
+      val addedRows: Option[Long] = {
+        val own = readStatsFile(spark, f, tableDir, s"v=$v")
+          .filter(_.values >= 0L)
+        if (own.isEmpty) None
+        else Some(own.groupBy(_.file).map(_._2.head.values).sum)
+      }
+      (v,
+        new java.sql.Timestamp(f.getFileStatus(
+          new Path(tableDir, s"$MarkerPrefix$v")).getModificationTime),
+        if (parent > 0) Some(parent) else None,
+        op, readNote(f, tableDir, v),
+        added.flatMap(fileCount), removed.flatMap(fileCount),
+        addedRows)
+    }
+    import spark.implicits._
+    rows.toDF("version", "committed_at", "parent_version", "operation",
+      "note", "added_files", "removed_files", "added_rows")
+  }
+
   /** Per-file inventory of a snapshot — the Iceberg `.files`
     * metadata-table analog: every data file the version's manifest
     * reaches, with its size, owning entry, whether it is LINKED from an

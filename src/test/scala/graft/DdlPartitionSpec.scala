@@ -545,6 +545,38 @@ class DdlPartitionSpec extends SparkSpec {
       "absent id must be bloom-skipped with stats filtering off")
   }
 
+  test(".snapshots metadata table summarizes each commit") {
+    import spark.implicits._
+    val (t, g) = fresh("snapshots_meta")
+    spark.sql(s"CREATE TABLE $g (id INT, v STRING)")           // v1
+    spark.sql(s"INSERT INTO $g VALUES (1,'a'),(2,'b'),(3,'c')") // v2
+    spark.sql(s"DELETE FROM $g WHERE id = 2")                   // v3 MoR
+    Versioned.compact(spark, t)                                 // v4
+    val rows = spark.sql(s"SELECT * FROM $g.snapshots ORDER BY version")
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+    val ops = rows.map(_.getString(3)).toSeq
+    assert(ops == Seq("commit", "append", "delete", "replace"), ops)
+    // parent chain is linear; commit notes surface
+    assert(rows.map(r => if (r.isNullAt(2)) 0 else r.getInt(2)).toSeq ==
+      Seq(0, 1, 2, 3))
+    assert(rows(0).getString(4).contains("CREATE TABLE"))
+    // the INSERT added its rows (from the write-metrics sidecar) and
+    // at least one file, removing none
+    assert(rows(1).getLong(7) == 3L)
+    assert(rows(1).getLong(5) >= 1L && rows(1).getLong(6) == 0L)
+    // the compact rewrote: files added AND removed, 2 surviving rows
+    assert(rows(3).getLong(5) >= 1L && rows(3).getLong(6) >= 1L)
+    assert(rows(3).getLong(7) == 2L)
+    // VERSION AS OF pins the upper bound
+    assert(spark.sql(
+      s"SELECT max(version) FROM $g.snapshots VERSION AS OF 2")
+      .head().getInt(0) == 2)
+    // timestamps are monotone over versions
+    val ts = rows.map(_.getTimestamp(1).getTime).toSeq
+    assert(ts == ts.sorted)
+  }
+
   test("WRITE ORDERED BY: round-trip, compaction sorts files, " +
       "bad column fails, UNORDERED clears") {
     import spark.implicits._

@@ -596,6 +596,53 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("readStream.table withChanges streams the full changelog") {
+    import graft.sources.Versioned
+    import spark.implicits._
+    val table = "target/tmp/stream-table-chg"
+    val ckpt = "target/tmp/stream-table-chg-ckpt"
+    Seq(table, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Versioned.commit(Seq((1, "a")).toDF("id", "v"), table)
+    val abs = new java.io.File(table).getAbsolutePath
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[
+      (Int, String, String, Int)]()
+    // downstream references to the metadata columns must resolve —
+    // the widened relation output is part of the contract
+    val q = spark.readStream.option("withChanges", "true")
+      .table(s"graft.`$abs`")
+      .select(col("id"), col("v"), col(Versioned.ChangeTypeCol),
+        col(Versioned.CommitVersionCol))
+      .writeStream
+      .option("checkpointLocation", new java.io.File(ckpt).getAbsolutePath)
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.collect().foreach(r => got.add(
+          (r.getInt(0), r.getString(1), r.getString(2), r.getInt(3)))): Unit)
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(got.isEmpty) // anchored at current: no history replay
+      Versioned.append(Seq((2, "b")).toDF("id", "v"), table)
+      // a delete flows as a _change_type=delete event instead of
+      // failing the batch — the changelog contract
+      Versioned.deleteRows(spark, table, Seq(1).toDF("id"))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val events = got.asScala.toSet
+      assert(events.exists(e =>
+        e._1 == 2 && e._3 == "insert" && e._4 == 2))
+      assert(events.exists(e => e._1 == 1 && e._3 == "delete"))
+    } finally q.stop()
+    // an explicit mode option still refuses with the format() pointer
+    val err = intercept[Exception] {
+      spark.readStream.option("mode", "changes")
+        .table(s"graft.`$abs`")
+        .writeStream.format("noop").start()
+    }
+    assert(err.getMessage.contains("withChanges") ||
+      Option(err.getCause).exists(_.getMessage.contains("withChanges")))
+  }
+
   test("flatMapGroupsWithState accumulates per-user running totals") {
     val running = runStream("running",
       df => EventStreams.runningUserTotals(spark, df).toDF(),
