@@ -242,6 +242,11 @@ object SparkEntry {
     // reference's two-engines-one-table thesis (README.md:52-53
     // DuckDB vs :78 Presto over the same Iceberg table).
     "q47_export_snapshot" -> (graft.sources.Versioned.exportGate _),
+    // Cross-engine ingest: importFiles (the add_files analog) makes
+    // the PYARROW-written fixture parquet table data without a
+    // rewrite; the oracle aggregates the same bytes straight from the
+    // fixture table.
+    "q48_add_files" -> (graft.sources.Versioned.importGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1318,6 +1323,17 @@ object SparkEntry {
          FROM h a JOIN h b2 ON a.doc_id < b2.doc_id
          WHERE bit_count(xor(a.ahash, b2.ahash)) <= 5
          ORDER BY a_id, b_id""",
+    // q48: both sides aggregate the SAME pyarrow-written bytes — Spark
+    // via Versioned.read over the imported chain (nation imported
+    // twice, key 3 merge-on-read-deleted), DuckDB via the fixture
+    // table those files came from.
+    "q48_add_files" ->
+      """SELECT n_regionkey, count(*) AS cnt,
+                CAST(sum(n_nationkey) AS BIGINT) AS keysum,
+                CAST(25 AS BIGINT) AS v1_rows
+         FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
+         WHERE n_nationkey <> 3
+         GROUP BY n_regionkey ORDER BY n_regionkey""",
   ) ++ exportOracle
 
   /** q47's oracle aggregates the graft table's OWN data files — the

@@ -121,6 +121,19 @@ object SqlLakehouseDemo {
       s"CALL graft.system.remove_orphan_files(table => '$absT')")
       .head().getInt(0))
     println("SQL_DEMO_FINAL_T=" + one(s"SELECT count(*) FROM $t"))
+    // per-commit summaries + per-entry manifest inventory
+    println("SQL_DEMO_SNAPSHOTS=" +
+      one(s"SELECT count(*) FROM $g.snapshots"))
+    println("SQL_DEMO_MANIFESTS=" +
+      one(s"SELECT count(*) FROM $g.manifests"))
+    // cross-engine ingest: add_files links foreign parquet in place
+    val foreign = s"$out/foreign_src"
+    spark.sql(s"SELECT id, name, score FROM $g").limit(2)
+      .write.parquet(foreign)
+    val impV = spark.sql("CALL graft.system.add_files(" +
+      s"table => '$abs', source_path => '$foreign')").head().getInt(0)
+    println(s"SQL_DEMO_ADD_FILES_V=$impV")
+    println("SQL_DEMO_AFTER_IMPORT=" + one(s"SELECT count(*) FROM $g"))
     spark.stop()
   }
 }

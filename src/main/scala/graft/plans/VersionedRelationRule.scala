@@ -150,6 +150,8 @@ case class VersionedRelationRule(spark: SparkSession)
             Versioned.partitions(spark, t.tableDir, t.pinnedVersion)
           case "snapshots" =>
             Versioned.snapshots(spark, t.tableDir, t.pinnedVersion)
+          case "manifests" =>
+            Versioned.manifests(spark, t.tableDir, t.pinnedVersion)
         }).queryExecution.analyzed
         require(real.output.length == r.output.length,
           s"metadata table ${t.name()} changed shape between catalog " +

@@ -313,7 +313,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (ident.namespace.isEmpty) return None
     val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
     if (kind != "history" && kind != "files" && kind != "refs" &&
-      kind != "partitions" && kind != "snapshots")
+      kind != "partitions" && kind != "snapshots" && kind != "manifests")
       return None
     val parent = Identifier.of(ident.namespace.dropRight(1),
       ident.namespace.last)
@@ -329,7 +329,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             s"${display(ident)} is whole-table metadata; VERSION AS " +
               "OF does not apply (pin .files instead)")
         None
-      case "files" | "partitions" | "snapshots" =>
+      case "files" | "partitions" | "snapshots" | "manifests" =>
         Some(version.getOrElse(Versioned.currentVersion(spark, dir)))
     }
     val df = kind match {
@@ -338,6 +338,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case "refs" => Versioned.refs(spark, dir)
       case "partitions" => Versioned.partitions(spark, dir, pin)
       case "snapshots" => Versioned.snapshots(spark, dir, pin)
+      case "manifests" => Versioned.manifests(spark, dir, pin)
     }
     Some(new GraftMetaTable(dir, kind, pin, df.schema,
       display(ident)))

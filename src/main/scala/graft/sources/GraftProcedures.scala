@@ -50,6 +50,7 @@ object GraftProcedures {
           case IntegerType => input.getInt(i)
           case LongType | TimestampType => input.getLong(i)
           case DoubleType => input.getDouble(i)
+          case BooleanType => input.getBoolean(i)
           case other => throw new IllegalStateException(
             s"unsupported procedure parameter type $other")
         }
@@ -261,6 +262,22 @@ object GraftProcedures {
             a(1).asInstanceOf[String])
           Seq(true)
         })
+      case "add_files" => new Proc("add_files",
+        "import pre-existing parquet files (file or directory " +
+          "source_path, comma-separable) as one snapshot commit " +
+          "without a rewrite — hardlinked on a local volume, copied " +
+          "otherwise (copy_only => true forces the copy)",
+        Seq(p("table", StringType), p("source_path", StringType),
+          p("copy_only", BooleanType, Some("false"))),
+        versionRow,
+        a => {
+          require(a(1) != null, "'source_path' is required")
+          val srcs = a(1).asInstanceOf[String].split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          Seq(Versioned.importFiles(spark, dir(a(0)), srcs,
+            note = Some(s"CALL add_files(${srcs.size} source(s))"),
+            link = !a(2).asInstanceOf[Boolean]))
+        })
       case "create_changelog_view" => new Proc("create_changelog_view",
         "register the (from, to] row-level changelog as a temp view " +
           "(Iceberg's create_changelog_view): inserts and deletes " +
@@ -299,5 +316,5 @@ object GraftProcedures {
     "compact_deletes", "vacuum", "expire_snapshots", "rollback",
     "create_tag", "create_branch", "fast_forward", "drop_branch",
     "set_spec", "collect_stats", "rewrite_zorder",
-    "remove_orphan_files", "create_changelog_view")
+    "remove_orphan_files", "create_changelog_view", "add_files")
 }

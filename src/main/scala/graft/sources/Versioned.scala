@@ -560,7 +560,8 @@ object Versioned {
       schemaStep: Option[SchemaStep] = None,
       clearSpec: Boolean = false,
       props: Option[Map[String, String]] = None,
-      declaredOrder: Boolean = true): Int = {
+      declaredOrder: Boolean = true,
+      populate: Option[Path => Unit] = None): Int = {
     val spark = df.sparkSession
     // hidden partitioning: derive the transform's partition column for
     // the write only — it never enters the logical schema (read() hides
@@ -628,7 +629,18 @@ object Versioned {
     }
     val uuid = java.util.UUID.randomUUID().toString
     val stage = new Path(tableDir, s".stage-v$next-$uuid")
-    if (writeData) {
+    if (populate.isDefined) {
+      // an IMPORT commit: the caller stages pre-existing parquet files
+      // itself (hardlink/copy — no Spark write, no rewrite); counts
+      // come from the foreign files' own footers, the one place the
+      // footer pool is the right tool on the commit path
+      f.mkdirs(stage)
+      populate.get(stage)
+      require(containsParquet(f, stage),
+        s"import staged no parquet files at $stage")
+      if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
+      else writeCountStats(spark, f, stage)
+    } else if (writeData) {
       // Parquet bloom filters and the declared write order are TABLE
       // PROPERTIES consumed AT WRITE TIME (Iceberg's
       // write.parquet.bloom-filter-enabled.column.<col> /
@@ -1357,6 +1369,73 @@ object Versioned {
       tspec, branch)
     else commitStaged(df, tableDir, partitionCol, note, statsCols,
       linkBase = Some(cur), transform = tspec, branch = branch)
+  }
+
+  /** IMPORT pre-existing parquet files as a snapshot commit — the
+    * Iceberg `add_files` analog, and the INGEST complement of
+    * [[exportSnapshot]]: another engine's parquet output (DuckDB
+    * `COPY TO`, a pyarrow writer — the fixtures themselves are
+    * pyarrow-written) becomes table data WITHOUT a decode-rewrite
+    * cycle. Each source file is staged into the new version root by
+    * HARDLINK when both sides are the local scheme on one volume
+    * (O(1) per file, zero data I/O) and by a filesystem copy
+    * otherwise — never referenced in place: the table owns a name
+    * under its own version root, so vacuum's reference counting stays
+    * correct and a later DELETE or rename-replace of the source path
+    * (the parquet norm) cannot touch published history. (A hardlink
+    * still shares the inode — a writer that mutates the source file
+    * IN PLACE would show through; pass `link = false` for full
+    * physical isolation.) Schema compatibility is
+    * probed up front like a linked append (an un-unionable import
+    * must fail before publishing, not poison every later read);
+    * row-count sidecars come from the foreign files' footers. The
+    * import lands as an unpartitioned entry — on a spec-declared
+    * table it joins the mixed-layout inventory `.partitions` surfaces
+    * (compact to restore a uniform layout). */
+  def importFiles(spark: SparkSession, tableDir: String,
+      sources: Seq[String], note: Option[String] = None,
+      link: Boolean = true): Int = withCommitRetry() {
+    require(sources.nonEmpty, "importFiles needs at least one source")
+    val conf = spark.sessionState.newHadoopConf()
+    val files: Seq[Path] = sources.flatMap { s =>
+      val p = new Path(s)
+      val sf = p.getFileSystem(conf)
+      if (sf.getFileStatus(p).isFile) Seq(p)
+      else FsFast.walkFiles(sf, p).collect {
+        case e if e.name.endsWith(".parquet") => e.path
+      }
+    }
+    require(files.nonEmpty,
+      s"no parquet files under ${sources.mkString(", ")}")
+    val df = spark.read.parquet(files.map(_.toString): _*)
+    val cur = currentVersion(spark, tableDir)
+    if (cur > 0)
+      try read(spark, tableDir, Some(cur))
+        .unionByName(df, allowMissingColumns = true).schema
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalArgumentException(
+          s"imported schema incompatible with snapshot v=$cur at " +
+            s"$tableDir: ${e.getMessage}", e)
+      }
+    val f = fs(spark, tableDir)
+    def stageIn(stage: Path): Unit = files.zipWithIndex.foreach {
+      case (src, i) =>
+        val dst = new Path(stage, f"import-$i%05d-${src.getName}")
+        val sf = src.getFileSystem(conf)
+        val hardlinked = link &&
+          ((FsFast.localPath(sf, src), FsFast.localPath(f, dst)) match {
+            case (Some(a), Some(b)) =>
+              Try(java.nio.file.Files.createLink(b, a)).isSuccess
+            case _ => false
+          })
+        if (!hardlinked)
+          org.apache.hadoop.fs.FileUtil.copy(sf, src, f, dst,
+            /*deleteSource=*/ false, conf)
+    }
+    commitStaged(df, tableDir, None,
+      note.orElse(Some(s"ADD FILES (${files.size})")), Nil,
+      linkBase = if (cur > 0) Some(cur) else None,
+      populate = Some(stageIn))
   }
 
   /** ROLLBACK to a retained snapshot — the Iceberg
@@ -3339,6 +3418,38 @@ object Versioned {
       "note", "added_files", "removed_files", "added_rows")
   }
 
+  /** Per-entry inventory of a snapshot's manifest — the Iceberg
+    * `.manifests` analog restated for this layout (one manifest FILE
+    * per version listing entries, where Iceberg has avro manifest
+    * files listing data files): one row per manifest entry with the
+    * version that wrote it, its kind (`data` / `delete`), whether it
+    * is linked from an older version, its file count and total bytes.
+    * The entry-granular view between `.history` (per version) and
+    * `.files` (per file) — what an operator reads to see how a
+    * snapshot composes before targeting maintenance. O(entries) FS
+    * listings, no file contents. */
+  def manifests(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    require(v > 0, s"no committed version at $tableDir")
+    val f = fs(spark, tableDir)
+    val rows = manifestLines(f, tableDir, v).map { e0 =>
+      val e = e0.stripPrefix(DeletePrefix)
+      val kind = if (isDeleteLine(e0)) "delete" else "data"
+      val fls =
+        if (isDeleteLine(e0))
+          deleteEntryFiles(f, tableDir, e)
+            .map(p => f.getFileStatus(p).getLen)
+        else entryFiles(f, tableDir, e)
+          .map(r => f.getFileStatus(new Path(tableDir, r)).getLen)
+      (e, entryVer(e0), kind, entryVer(e0) != v,
+        fls.size.toLong, fls.sum)
+    }
+    import spark.implicits._
+    rows.toDF("entry", "version", "kind", "linked", "file_count",
+      "total_bytes")
+  }
+
   /** Per-file inventory of a snapshot — the Iceberg `.files`
     * metadata-table analog: every data file the version's manifest
     * reaches, with its size, owning entry, whether it is LINKED from an
@@ -3558,6 +3669,41 @@ object Versioned {
       .withColumn("n_files",
         lit(if (files.size >= 2) 1L else 0L))
       .orderBy(col("n_regionkey"))
+  }
+
+  /** Driver-visible gate for CROSS-ENGINE INGEST — q48, the mirror of
+    * [[exportGate]]'s read direction: the fixture `nation.parquet` is
+    * PYARROW-written (a genuinely foreign engine's parquet), and
+    * [[importFiles]] makes it table data without a rewrite. Both
+    * oracle sides then aggregate the SAME bytes: Spark through
+    * `Versioned.read` over the imported table (two imports linked as
+    * an O(delta) chain, one merge-on-read key delete applied), DuckDB
+    * through the fixture table the files came from (`nation UNION ALL
+    * nation` minus the deleted key). A hash match proves foreign
+    * parquet round-trips the import path bit-for-bit. */
+  def importGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-import-gate")
+    try {
+      val t = work.resolve("imported").toString
+      val fixture = s"$d/nation.parquet"
+      importFiles(s, t, Seq(fixture))   // v1: 25 foreign rows, no rewrite
+      importFiles(s, t, Seq(fixture))   // v2: +25, linked O(delta) chain
+      import s.implicits._
+      deleteRows(s, t, Seq(3).toDF("n_nationkey")) // v3: kills both copies
+      val v1Rows = read(s, t, Some(1)).count()
+      val out = read(s, t)
+        .groupBy(col("n_regionkey"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("n_nationkey")).as("keysum"))
+        .withColumn("v1_rows", lit(v1Rows))
+        .orderBy(col("n_regionkey"))
+      // materialize BEFORE the finally deletes the scratch table the
+      // lazy plan would otherwise re-scan
+      s.createDataFrame(
+        java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
 
   /** Driver-visible gate over the snapshot/manifest surface — the

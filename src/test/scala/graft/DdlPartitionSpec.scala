@@ -575,6 +575,17 @@ class DdlPartitionSpec extends SparkSpec {
     // timestamps are monotone over versions
     val ts = rows.map(_.getTimestamp(1).getTime).toSeq
     assert(ts == ts.sorted)
+    // .manifests: the compacted head is ONE self-contained data entry;
+    // the pre-compact pin shows the delete entry and v2's linked data
+    val head = spark.sql(s"SELECT * FROM $g.manifests").collect()
+    assert(head.map(r => (r.getString(2), r.getBoolean(3))).toSeq ==
+      Seq(("data", false)))
+    assert(head.head.getLong(4) >= 1L && head.head.getLong(5) > 0L)
+    val pinned = spark.sql(
+      s"SELECT kind, linked FROM $g.manifests VERSION AS OF 3")
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSet
+    assert(pinned.contains(("delete", false)) &&
+      pinned.contains(("data", true)))
   }
 
   test("WRITE ORDERED BY: round-trip, compaction sorts files, " +

@@ -2139,6 +2139,60 @@ class EtlSpec extends SparkSpec {
     assert(hiveEx.getMessage.contains("hive-partition"))
   }
 
+  test("importFiles links foreign parquet as a commit, no rewrite") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    val src = s"$work/import_src"
+    val t = s"$work/versioned_import"
+    Seq(src, t).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "v")
+      .coalesce(1).write.parquet(src)
+    val srcFile = new java.io.File(src).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    def ino(p: java.io.File): Any =
+      Files.getAttribute(Paths.get(p.getPath), "unix:ino")
+    Versioned.importFiles(spark, t, Seq(src))
+    // the staged file is a HARDLINK of the source (same inode — zero
+    // data I/O), owned under the version root
+    val imported = new java.io.File(s"$t/v=1").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(imported.length == 1 &&
+      imported.head.getName.startsWith("import-"))
+    assert(ino(imported.head) == ino(srcFile),
+      "same-volume import must hardlink, not copy")
+    assert(Versioned.read(spark, t).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3))
+    // a second import chains O(delta): v1's file untouched
+    val mtime1 = imported.head.lastModified
+    Versioned.importFiles(spark, t, Seq(src))
+    assert(imported.head.lastModified == mtime1)
+    assert(Versioned.read(spark, t).count() == 6)
+    // count sidecars landed (from the foreign footers): .partitions
+    // answers without fresh footer opens
+    val before = Versioned.footerOpenCount.get()
+    assert(Versioned.partitions(spark, t)
+      .agg(sum("row_count")).head().getLong(0) == 6L)
+    assert(Versioned.footerOpenCount.get() == before)
+    // an un-unionable import fails BEFORE publishing
+    val bad = s"$work/import_bad"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bad))
+    Seq((Map("k" -> 1), "x")).toDF("id", "v").write.parquet(bad)
+    intercept[IllegalArgumentException](
+      Versioned.importFiles(spark, t, Seq(bad)))
+    assert(Versioned.currentVersion(spark, t) == 2)
+    // the CALL spelling, copy_only: content imported, inode fresh
+    val abs = new java.io.File(t).getAbsolutePath
+    val v3 = spark.sql("CALL graft.system.add_files(" +
+      s"table => '$abs', source_path => '$src', copy_only => true)")
+      .head().getInt(0)
+    assert(v3 == 3 && Versioned.read(spark, t).count() == 9)
+    val copied = new java.io.File(s"$t/v=3").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(ino(copied) != ino(srcFile))
+  }
+
   test("partition pruning reaches the scan for the derived date") {
     val table = s"$work/table"
     val pruned = Etl.readTable(spark, table)
