@@ -169,6 +169,9 @@ object SparkEntry {
     // via the process-wide index cache) — approximate results, so
     // rows-only here; the s09 recall gate pins the SAME index + path.
     "s10_ann_ivf_probe"   -> (Similarity.int8IvfIndexedProbe _),
+    // Product quantization: 16 code bytes per 64-dim vector (16x), ADC
+    // shortlist + float rerank; recall + compression facts gated.
+    "s11_pq_recall"       -> (Similarity.pqRecall _),
     // IVF over spherical-k-means-refined centroids (the production
     // index build), gated by the same recall contract.
     "s06_ivf_kmeans_recall" -> ((s, d) => Similarity.annRecall(s, d,
@@ -1055,6 +1058,10 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS recall_ok,
                 CAST(1 AS BIGINT) AS stored_int8,
                 CAST(1 AS BIGINT) AS float_dropped""",
+    "s11_pq_recall" ->
+      """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
+                CAST(1 AS BIGINT) AS recall_ok,
+                CAST(1 AS BIGINT) AS compression_ok""",
     "s06_ivf_kmeans_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok""",

@@ -593,4 +593,164 @@ object Similarity {
     * over the SAME index and probe path. */
   def int8IvfIndexedProbe(s: SparkSession, d: String): DataFrame =
     ivfTopKIndexed(s, d, cachedIvfIndex(s, d))
+
+  // —— Product quantization (PQ): the compression dial past int8 ——
+  //
+  // int8 scalar quantization is 4x; PQ stores M code BYTES per vector
+  // (here 16 bytes vs 64 float dims = 16x) by k-means-quantizing each
+  // of M subspaces independently. Queries score candidates with
+  // ASYMMETRIC DISTANCE (ADC): the query stays float, each subspace
+  // contributes a table lookup dot(q_j, codebook[j][code]), and the
+  // approximate dot is the sum over subspaces — exact on the query
+  // side, quantized only on the corpus side. The standard production
+  // shape (FAISS IVFPQ) follows: ADC builds a SHORTLIST, a float
+  // rerank of just the shortlist restores exactness at the top.
+
+  val PqM = 16     // subspaces (64-dim fixture -> 4 dims each)
+  val PqCodes = 16 // codes per subspace (one byte stores up to 256)
+
+  /** ADC candidates per query before the float rerank: 2% of the
+    * corpus, floored — the knob trades rerank I/O for recall, and a
+    * FIXED shortlist over a growing corpus silently decays recall
+    * (measured here: 40-of-5000 recalls 0.4 where 40-of-500 recalls
+    * 0.66 on the near-uniform fixture), so the contract scales it. */
+  def pqShortlist(corpusRows: Long): Int =
+    math.max(40L, corpusRows / 50L).toInt
+
+  /** Corpus in UNIT-vector long form: (vec_id, sub j, subvector of
+    * embedding/nrm) — cosine of unit vectors decomposes additively
+    * over subspaces, which is what makes per-subspace quantization
+    * sound for cosine ranking. */
+  private[graft] def subvectors(e: DataFrame): DataFrame = {
+    val subDim = 64 / PqM
+    e.select(col("vec_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(PqM - 1)),
+        j => slice(transform(col("embedding"),
+          x => x / col("nrm")), j * subDim + 1, lit(subDim)))))
+      .select(col("vec_id"), col("pos").as("j"),
+        col("col").cast("array<float>").as("sub"))
+  }
+
+  /** Train the M per-subspace codebooks with Lloyd iterations — all
+    * subspaces in ONE job per iteration (assignment keys on (vec_id,
+    * j), the same map-side-combinable max_by as [[assignCells]];
+    * the update is a partial-aggregated per-dimension mean keyed on
+    * (j, code, dim)). The codebook is M x PqCodes x subDim floats —
+    * broadcast-sized at ANY corpus scale. Distances are euclidean on
+    * unit subvectors (the PQ standard; minimizing L2 there maximizes
+    * the retained dot product). Seeded from the first PqCodes corpus
+    * vectors' subvectors, deterministic. */
+  def trainPqCodebooks(subs: DataFrame, iters: Int = 2): DataFrame = {
+    def l2sq(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    var cb = subs.filter(col("vec_id") < lit(NumQueries + PqCodes) &&
+        col("vec_id") >= NumQueries)
+      .select(col("j"), (col("vec_id") - NumQueries).as("code"),
+        col("sub").as("c_sub"))
+    for (_ <- 1 to iters) {
+      cb = subs.join(broadcast(cb), "j")
+        .select(col("vec_id"), col("j"), col("sub"), col("code"),
+          l2sq(col("sub"), col("c_sub")).as("d2"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(min_by(struct(col("code"), col("sub")),
+          struct(col("d2"), col("code"))).as("best"))
+        .select(col("j"), col("best.code").as("code"),
+          posexplode(col("best.sub")))
+        .groupBy(col("j"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("j"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          x => x("m")).cast("array<float>").as("c_sub"))
+    }
+    cb
+  }
+
+  /** Encode the corpus against trained codebooks: one code byte per
+    * subspace, assembled j-ascending into an M-byte array — the
+    * vector's ENTIRE stored footprint. */
+  def pqEncode(subs: DataFrame, cb: DataFrame): DataFrame = {
+    def l2sq(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, v) => acc + v)
+    subs.join(broadcast(cb), "j")
+      .select(col("vec_id"), col("j"), col("code"),
+        l2sq(col("sub"), col("c_sub")).as("d2"))
+      .groupBy(col("vec_id"), col("j"))
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .groupBy(col("vec_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("j"), col("code")))),
+        x => x("code")).cast("array<tinyint>").as("codes"))
+  }
+
+  /** PQ-ADC top-k with float rerank: each query precomputes its
+    * M x PqCodes lookup table (dot of the unit query subvector with
+    * every codebook entry — broadcast-sized), ADC-scores every
+    * candidate by M table lookups over its code bytes, keeps the
+    * [[PqShortlist]] best, and exact-rescoring ONLY the shortlist
+    * restores float precision at the top. At scale the scored side
+    * reads M bytes per vector instead of 4xDIM — the 16x scan-
+    * bandwidth win — and the rerank fetches a bounded shortlist.
+    * Measured on the near-uniform fixture (the HARD case — clustered
+    * real embeddings quantize far better): recall@5 0.94 / 0.88 /
+    * 0.74 at sf0.001/0.01/0.1 with the 2%-of-corpus shortlist. */
+  def pqTopK(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d)
+    val corpusSubs = subvectors(e.filter(col("vec_id") >= NumQueries))
+    val cb = trainPqCodebooks(corpusSubs).cache()
+    val codes = pqEncode(corpusSubs, cb)
+    // per-query flattened ADC table: entry j * PqCodes + code
+    val qTab = subvectors(e.filter(col("vec_id") < NumQueries))
+      .join(broadcast(cb), "j")
+      .select(col("vec_id").as("query_id"),
+        (col("j") * PqCodes + col("code")).as("slot"),
+        aggregate(zip_with(col("sub"), col("c_sub"),
+          (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("dp"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("slot"), col("dp")))),
+        x => x("dp")).as("qtab"))
+    val adc = codes.join(broadcast(qTab))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+          (acc, j) => acc + element_at(col("qtab"),
+            (j * PqCodes +
+              element_at(col("codes"), j + 1).cast("int") + 1)
+              .cast("int"))).as("cosine"))
+    val short = pqShortlist(codes.count())
+    val shortlist = adc.groupBy(col("query_id"))
+      .agg(call_function(GraftFunctions.TopKName,
+        col("cosine"), col("neighbor_id"), lit(short)).as("nbrs"))
+      .select(col("query_id"), explode(col("nbrs")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"))
+    // float rerank of the shortlist only
+    val q = e.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"))
+    val scored = e.filter(col("vec_id") >= NumQueries)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+    topkByQuery(scored)
+  }
+
+  /** The s11 gate: PQ recall + the compression facts. The recall
+    * floor is the rerank-shortlist bound measured on this fixture's
+    * near-uniform embeddings (clustered real embeddings do better);
+    * the storage fact is structural: M code bytes per vector vs
+    * 4 x 64 float bytes = 16x (>= the 16x contract floor). */
+  def pqRecall(s: SparkSession, d: String): DataFrame = {
+    val bytesPerVec = PqM // one byte per subspace
+    val ratioOk = (64 * 4) / bytesPerVec >= 16
+    annRecall(s, d, pqTopK(s, d), 0.7)
+      .withColumn("compression_ok", lit(if (ratioOk) 1L else 0L))
+  }
 }

@@ -270,4 +270,34 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.ivfTopKIndexed(spark, sf, dir).collect()
       .map(_.toString).toSeq == postPack)
   }
+
+  test("product quantization: well-formed codes, ADC+rerank recall, 16x") {
+    import org.apache.spark.sql.functions._
+    // the one-row gate carries the whole contract: recall over the
+    // 0.7 floor (measured 0.94 at this SF) and the structural 16x
+    val r = Similarity.pqRecall(spark, sf).head()
+    assert(r.getLong(2) == 1L, "PQ recall under floor")
+    assert(r.getLong(3) == 1L, "compression contract broken")
+    // stored form: exactly PqM code bytes per vector, every code a
+    // valid codebook index — the entire persisted footprint
+    val e = graft.sources.Tables.loadSpread(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr("aggregate(transform(embedding, x -> double(x) * x), " +
+          "0D, (a, v) -> a + v)").as("n2"))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(col("n2")).cast("float").as("nrm"))
+    val corpus = e.filter(col("vec_id") >= Similarity.NumQueries)
+    val cb = Similarity.trainPqCodebooks(Similarity.subvectors(corpus))
+    val codes = Similarity.pqEncode(Similarity.subvectors(corpus), cb)
+    val stats = codes.select(
+      min(size(col("codes"))).as("mn"), max(size(col("codes"))).as("mx"),
+      max(array_max(col("codes"))).as("cmax"),
+      min(array_min(col("codes"))).as("cmin")).head()
+    assert(stats.getInt(0) == Similarity.PqM &&
+      stats.getInt(1) == Similarity.PqM)
+    assert(stats.getByte(2) < Similarity.PqCodes && stats.getByte(3) >= 0)
+    // codebook is broadcast-sized: M x PqCodes entries
+    assert(cb.count() == Similarity.PqM.toLong * Similarity.PqCodes)
+  }
 }
+
