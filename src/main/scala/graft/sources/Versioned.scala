@@ -656,9 +656,11 @@ object Versioned {
       val effWrite = props.orElse {
         if (head >= 1) Some(properties(spark, tableDir)) else None
       }.getOrElse(Map.empty)
+      val distributed = applyDistribution(effWrite, data, partBy)
       val ordered =
-        if (declaredOrder) applyWriteOrderFrom(effWrite, data, partBy)
-        else data
+        if (declaredOrder)
+          applyWriteOrderFrom(effWrite, distributed, partBy)
+        else distributed
       val w = ordered.write.mode("overwrite")
         .options(bloomWriteOptions(effWrite))
       val taskRows = harvestWriteCounts(spark) {
@@ -4617,6 +4619,39 @@ object Versioned {
         .toSeq ++
         order.map { case (c, desc) =>
           if (desc) col(c).desc else col(c).asc }): _*)
+  }
+
+  /** `write.distribution-mode` — Iceberg's shuffle-before-write knob,
+    * the small-files control that matters MOST at cluster scale: a
+    * partitioned append from T tasks otherwise writes up to T files
+    * per partition value (10^6 files from a 1000-task write over a
+    * 1000-value column). `none` (default) writes as-is; `hash`
+    * clusters rows by the partition expression so each value lands in
+    * ONE task (Iceberg's default for partitioned writes — skewed
+    * values concentrate, which is the documented trade); `range`
+    * range-partitions by (partition expr, declared write order), so
+    * file count stays proportional to data volume AND a hot partition
+    * value can still split across tasks along the sort dimension. */
+  val DistributionModeProp = "write.distribution-mode"
+
+  private def applyDistribution(p: Map[String, String],
+      df: DataFrame, partBy: Option[String]): DataFrame = {
+    val mode = p.getOrElse(DistributionModeProp, "none")
+      .trim.toLowerCase(java.util.Locale.ROOT)
+    require(mode == "none" || mode == "hash" || mode == "range",
+      s"$DistributionModeProp must be none|hash|range, got '$mode'")
+    lazy val orderCols = p.get(WriteOrderProp).toSeq
+      .flatMap(parseWriteOrder)
+      .flatMap { case (c, _) => df.columns.find(_.equalsIgnoreCase(c)) }
+      .map(col)
+    mode match {
+      case "none" => df
+      case "hash" =>
+        partBy.fold(df)(pc => df.repartition(col(pc)))
+      case "range" =>
+        val keys = partBy.map(col).toSeq ++ orderCols
+        if (keys.isEmpty) df else df.repartitionByRange(keys: _*)
+    }
   }
 
   /** Property-key prefix enabling a parquet footer BLOOM FILTER for a

@@ -545,6 +545,67 @@ class DdlPartitionSpec extends SparkSpec {
       "absent id must be bloom-skipped with stats filtering off")
   }
 
+  test("write.distribution-mode clusters partitioned writes") {
+    import spark.implicits._
+    val (t, g) = fresh("dist_mode")
+    spark.sql(s"CREATE TABLE $g (k INT, grp STRING) PARTITIONED BY (grp)")
+    val rows = (1 to 120).map(i => (i, s"g${i % 3}"))
+    rows.toDF("k", "grp").repartition(8)
+      .createOrReplaceTempView("dist_src")
+    def filesPerValue(v: Int): Map[String, Int] =
+      graft.sources.FsFast.walkFiles(
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(s"$t/v=$v"))
+        .filter(_.name.endsWith(".parquet"))
+        .groupBy(_.path.getParent.getName).map { case (k, fs) =>
+          k -> fs.size
+        }
+    // default none: each of the 8 tasks fans into every value — up to
+    // 8 files per partition directory (the small-files shape)
+    spark.sql(s"INSERT INTO $g SELECT * FROM dist_src")
+    val none = filesPerValue(Versioned.currentVersion(spark, t))
+    assert(none.values.max > 1, s"precondition: unclustered write " +
+      s"should emit several files per value, got $none")
+    // hash: each value lands in exactly ONE task -> one file
+    spark.sql(s"ALTER TABLE $g SET TBLPROPERTIES (" +
+      "'write.distribution-mode' = 'hash')")
+    spark.sql(s"INSERT INTO $g SELECT * FROM dist_src")
+    val hash = filesPerValue(Versioned.currentVersion(spark, t))
+    assert(hash.values.forall(_ == 1), s"hash mode must emit one " +
+      s"file per partition value, got $hash")
+    // range + declared order: clustered AND each file internally
+    // sorted (the writer injects no tie-breaking re-sort)
+    spark.sql(s"ALTER TABLE $g SET TBLPROPERTIES (" +
+      "'write.distribution-mode' = 'range')")
+    spark.sql(s"ALTER TABLE $g WRITE ORDERED BY k")
+    spark.sql(s"INSERT INTO $g SELECT * FROM dist_src")
+    val vR = Versioned.currentVersion(spark, t)
+    val rFiles = graft.sources.FsFast.walkFiles(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"$t/v=$vR"))
+      .filter(_.name.endsWith(".parquet"))
+    assert(rFiles.nonEmpty)
+    rFiles.foreach { fl =>
+      val ks = spark.read.parquet(fl.path.toString).select("k")
+        .collect().map(_.getInt(0)).toSeq
+      assert(ks == ks.sorted, s"range-mode file not sorted: $ks")
+    }
+    // rows all arrived in every mode
+    assert(spark.table(g).count() == 360L)
+    // a bad value fails at SET time (the property commit's own write
+    // applies the mode), never silently poisoning later inserts
+    val err = intercept[Exception](
+      spark.sql(s"ALTER TABLE $g SET TBLPROPERTIES (" +
+        "'write.distribution-mode' = 'zigzag')"))
+    assert(err.getMessage.contains("zigzag") ||
+      Option(err.getCause).exists(_.getMessage.contains("zigzag")))
+    assert(Versioned.properties(spark, t)
+      .get(Versioned.DistributionModeProp).contains("range"),
+      "a refused SET must leave the prior value standing")
+  }
+
   test(".snapshots metadata table summarizes each commit") {
     import spark.implicits._
     val (t, g) = fresh("snapshots_meta")
