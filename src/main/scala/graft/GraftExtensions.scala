@@ -25,6 +25,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VecDot(exprs(0), exprs(1))
       }))
     e.injectFunction((
+      FunctionIdentifier(GraftFunctions.PqAdcName),
+      new ExpressionInfo(classOf[graft.functions.PqAdc].getName,
+        GraftFunctions.PqAdcName),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2,
+          s"${GraftFunctions.PqAdcName} expects 2 " +
+            s"arguments, got ${exprs.length}")
+        graft.functions.PqAdc(exprs(0), exprs(1))
+      }))
+    e.injectFunction((
       FunctionIdentifier(GraftFunctions.RollingMinHashName),
       new ExpressionInfo(classOf[RollingMinHash].getName,
         GraftFunctions.RollingMinHashName),

@@ -7,6 +7,7 @@ import org.apache.spark.sql.SparkSession
   * API both resolve the functions by name afterwards. */
 object GraftFunctions {
   val VecDotName = "graft_vec_dot"
+  val PqAdcName = "graft_pq_adc"
   val RollingMinHashName = "graft_rolling_minhash"
   val CdcChunksName = "graft_cdc_chunks"
   val DefaultCdcAvgBits = 13 // 8 KiB average chunks, the dedup-storage default
@@ -105,6 +106,14 @@ object GraftFunctions {
         require(exprs.length == 2,
           s"$VecDotName expects 2 arguments, got ${exprs.length}")
         VecDot(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      PqAdcName,
+      { exprs =>
+        require(exprs.length == 2,
+          s"$PqAdcName expects 2 arguments, got ${exprs.length}")
+        PqAdc(exprs(0), exprs(1))
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

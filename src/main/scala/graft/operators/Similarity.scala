@@ -715,13 +715,13 @@ object Similarity {
       .agg(transform(
         array_sort(collect_list(struct(col("slot"), col("dp")))),
         x => x("dp")).as("qtab"))
+    // the per-candidate hot loop is the native codegen'd graft_pq_adc
+    // (functions.PqAdc) — the interpreted HOF formulation allocates
+    // an index sequence per row, the VecDot lesson all over again
     val adc = codes.join(broadcast(qTab))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
-          (acc, j) => acc + element_at(col("qtab"),
-            (j * PqCodes +
-              element_at(col("codes"), j + 1).cast("int") + 1)
-              .cast("int"))).as("cosine"))
+        call_function(GraftFunctions.PqAdcName,
+          col("qtab"), col("codes")).as("cosine"))
     val short = pqShortlist(codes.count())
     val shortlist = adc.groupBy(col("query_id"))
       .agg(call_function(GraftFunctions.TopKName,

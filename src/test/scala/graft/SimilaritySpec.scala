@@ -271,6 +271,26 @@ class SimilaritySpec extends SparkSpec {
       .map(_.toString).toSeq == postPack)
   }
 
+  test("graft_pq_adc: exact slots, out-of-range codes contribute zero") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // qtab of 8 doubles with 4 codes -> K = 2 derived per row;
+    // slot = j * K + code, codes outside [0, K) degrade to 0
+    val df = Seq(
+      (Seq.tabulate(8)(_.toDouble), Seq[Byte](0, 1, 2, 3)),
+      (Seq.tabulate(8)(_.toDouble), Seq[Byte](1, -1, 5, 0)))
+      .toDF("qtab", "codes")
+    val got = df.select(expr("graft_pq_adc(qtab, codes)"))
+      .collect().map(_.getDouble(0)).toSeq
+    // row 1: slots 0 and 3 valid -> 0.0 + 3.0; j=2,3 codes >= K drop
+    // row 2: slots 1 and 6 valid -> 1.0 + 6.0; -1 and 5 drop
+    assert(got == Seq(3.0, 7.0))
+    // empty codes -> 0, never a divide-by-zero on the derived K
+    assert(Seq((Seq(1.0), Seq.empty[Byte])).toDF("qtab", "codes")
+      .select(expr("graft_pq_adc(qtab, codes)"))
+      .head().getDouble(0) == 0.0)
+  }
+
   test("product quantization: well-formed codes, ADC+rerank recall, 16x") {
     import org.apache.spark.sql.functions._
     // the one-row gate carries the whole contract: recall over the
