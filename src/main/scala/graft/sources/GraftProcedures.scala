@@ -116,16 +116,23 @@ object GraftProcedures {
             transform = Versioned.currentTransform(spark, d)))
         })
       case "compact_small" => new Proc("compact_small",
-        "binpack only files under the size floor",
+        "binpack only files under the size floor; where_partition " +
+          "(a hive segment, e.g. 'days_ts=2024-06-01') scopes the " +
+          "sweep to one partition directory — the daily-maintenance " +
+          "shape whose cost tracks the day, not the table",
         Seq(p("table", StringType),
           p("target_file_mb", IntegerType, Some("-1")),
-          p("min_file_mb", IntegerType, Some("16"))),
+          p("min_file_mb", IntegerType, Some("16")),
+          p("where_partition", StringType, Some("''"))),
         versionRow,
         a => {
           val d = dir(a(0))
+          val wp = Option(a(3)).map(_.asInstanceOf[String].trim)
+            .filter(_.nonEmpty)
           Seq(Versioned.compactSmall(spark, d,
             targetFileBytes = target(d, a(1)),
-            minFileBytes = a(2).asInstanceOf[Int] * mb))
+            minFileBytes = a(2).asInstanceOf[Int] * mb,
+            partitionWhere = wp))
         })
       case "compact_deletes" => new Proc("compact_deletes",
         "fold merge-on-read tombstones into the files they reach",

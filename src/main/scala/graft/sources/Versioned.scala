@@ -2379,7 +2379,8 @@ object Versioned {
       minFileBytes: Long = 0L,
       statsCols: Seq[String] = Nil,
       partitionCol: Option[String] = None,
-      note: Option[String] = None): Int = withCommitRetry() {
+      note: Option[String] = None,
+      partitionWhere: Option[String] = None): Int = withCommitRetry() {
     val cur = currentVersion(spark, tableDir)
     require(cur > 0, s"no committed version at $tableDir")
     val threshold =
@@ -2390,7 +2391,22 @@ object Versioned {
       e -> entryFiles(f, tableDir, e).map(rel =>
         rel -> f.getFileStatus(new Path(tableDir, rel)).getLen)
     }
+    // PARTITION-SCOPED sweep: at warehouse scale maintenance targets
+    // the partition that just closed (yesterday's day dir), never the
+    // whole table — `partitionWhere` names a hive segment (the
+    // `.partitions` rendering, `days_ts=2024-06-01`; the raw
+    // transform-prefixed dir name also matches) and only files INSIDE
+    // a matching directory are binpack candidates. Everything else —
+    // other partitions, unpartitioned roots — links through
+    // byte-untouched, so a daily sweep's cost tracks the day, not the
+    // table.
+    val inScope: String => Boolean = partitionWhere.map(_.trim) match {
+      case None => _ => true
+      case Some(sv) => rel => rel.split("/").dropRight(1).exists(d =>
+        d == sv || d.stripPrefix(TransformPrefix) == sv)
+    }
     val small = sized.flatMap(_._2).filter(_._2 < threshold)
+      .filter(fl => inScope(fl._1))
     if (small.size < 2) return cur
     val smallSet = small.map(_._1).toSet
     // tombstone lines link through: they still apply to the surviving

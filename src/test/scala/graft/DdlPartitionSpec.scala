@@ -545,6 +545,51 @@ class DdlPartitionSpec extends SparkSpec {
       "absent id must be bloom-skipped with stats filtering off")
   }
 
+  test("partition-scoped binpack packs one day, links the rest untouched") {
+    import spark.implicits._
+    val (t, g) = fresh("scoped_binpack")
+    spark.sql(s"CREATE TABLE $g (id INT, ts TIMESTAMP_NTZ) " +
+      "PARTITIONED BY (days(ts))")
+    // three inserts -> three small files per day directory
+    (1 to 3).foreach { i =>
+      spark.sql(s"INSERT INTO $g VALUES " +
+        s"($i, TIMESTAMP_NTZ'2024-06-01 0$i:00:00'), " +
+        s"(${i + 10}, TIMESTAMP_NTZ'2024-06-02 0$i:00:00')")
+    }
+    val before = Versioned.read(spark, t).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq
+    def dayFiles(day: String): Seq[(String, Long)] =
+      graft.sources.FsFast.walkFiles(
+        org.apache.hadoop.fs.FileSystem.getLocal(
+          spark.sessionState.newHadoopConf()),
+        new org.apache.hadoop.fs.Path(s"$t")).filter(e =>
+          e.name.endsWith(".parquet") &&
+          e.path.toString.contains(s"=$day"))
+        .map(e => (e.path.toString, e.mtime))
+    val d2Before = dayFiles("2024-06-02").toSet
+    assert(dayFiles("2024-06-01").size == 3)
+    // scoped sweep: only day 1 packs
+    val v = spark.sql("CALL graft.system.compact_small(" +
+      s"table => '${new java.io.File(t).getAbsolutePath}', " +
+      "where_partition => 'days_ts=2024-06-01')").head().getInt(0)
+    assert(v == 5) // empty CREATE = v1, three inserts, pack publishes
+    // day 1 collapsed into the new version; day 2's files byte-
+    // untouched and still linked
+    val d1Linked = Versioned.files(spark, t)
+      .filter(col("kind") === "data" &&
+        col("file").contains("=2024-06-01"))
+      .select("file").collect().map(_.getString(0)).toSeq
+    assert(d1Linked.size == 1 && d1Linked.head.startsWith("v=5/"),
+      s"day-1 should be one packed v5 file, got $d1Linked")
+    assert(dayFiles("2024-06-02").toSet == d2Before)
+    // rows identical, partition pruning intact
+    assert(Versioned.read(spark, t).orderBy("id")
+      .collect().map(_.getInt(0)).toSeq == before)
+    val pruned = Versioned.readWhere(spark, t, "ts",
+      "2024-06-02 00:00:00", "2024-06-02 23:00:00")
+    assert(pruned.count() == 3)
+  }
+
   test("write.distribution-mode clusters partitioned writes") {
     import spark.implicits._
     val (t, g) = fresh("dist_mode")
