@@ -120,6 +120,7 @@ object SparkEntry {
     "t13_decontamination" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
     "t20_importance_sample" -> ((s, d) => TextAnalysis.importanceSample(s, d)),
     "t22_boilerplate"  -> (TextAnalysis.boilerplateLines _),
+    "t23_bm25_search"  -> ((s, d) => TextAnalysis.bm25Search(s, d)),
     "t21_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "t14_repetition" -> (TextAnalysis.repetitionSignals _),
     // PII redaction (emails/phones/IPv4 -> typed placeholders): the
@@ -666,6 +667,36 @@ object SparkEntry {
          FROM lines WHERE line <> ''
          GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
          ORDER BY line""",
+    // BM25: the oracle restates the textbook formula over the same
+    // whitespace tokens; top-k by (score desc, doc_id) then re-ordered
+    // by doc_id so float noise can only matter at the k boundary.
+    "t23_bm25_search" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS DOUBLE) AS dl,
+                  text
+           FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(dl) AS avgdl FROM base),
+         tok AS (SELECT doc_id, dl, lower(u.t) AS term
+                 FROM base, unnest(regexp_split_to_array(trim(text),
+                   '\s+')) AS u(t)),
+         tf AS (SELECT doc_id, dl, term,
+                       CAST(count(*) AS DOUBLE) AS tf
+                FROM tok WHERE term IN ('spark', 'vector', 'stream')
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                   AS df FROM tf GROUP BY 1),
+         sc AS (SELECT doc_id,
+                  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+                      * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                    AS score,
+                  count(*) AS n_terms
+                FROM tf JOIN dft USING (term) CROSS JOIN stats
+                GROUP BY doc_id),
+         top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+         SELECT doc_id, score, n_terms FROM top ORDER BY doc_id""",
     // Deterministic Bernoulli samples: the keep decision is a pure
     // function of (seed, doc_id) — u = first 8 md5 hex digits as a
     // 32-bit uniform — so DuckDB recomputes the EXACT kept set and the

@@ -965,4 +965,65 @@ object TextAnalysis {
           l => !array_contains(col("bp"), trim(l))), "\n"))
       .drop("bp")
   }
+
+  // —— BM25 keyword search: the curation-time corpus query ——
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+
+  /** BM25 top-k keyword search over the corpus — the standard
+    * inverted-index ranking function (Robertson/Spärck Jones;
+    * idf = ln(1 + (N - df + 0.5)/(df + 0.5)), tf saturation k1=1.2,
+    * length normalization b=0.75). The training-data use is targeted
+    * curation: "pull the documents most about X" without an embedding
+    * model in the loop.
+    *
+    * Plan shape, sized for 100 TB: document length is a per-row
+    * projection (no shuffle); tokens are filtered to the query terms
+    * BEFORE any aggregate, so the tf shuffle carries only postings of
+    * the queried terms (|terms| × matching docs, not the corpus
+    * vocabulary); df-per-term and the (N, avgdl) scalars are
+    * vocabulary-bounded aggregates broadcast back. Nothing grows with
+    * corpus size except the filtered posting list itself. For a
+    * standing corpus served repeatedly, persist tf/dl as a bucketed
+    * postings table keyed on term and this same query becomes a
+    * partition-pruned probe — the batch analog of an inverted index.
+    *
+    * Output is the top-[[k]] by (score desc, doc_id) re-ordered by
+    * doc_id, so cross-engine float noise can only matter AT the k
+    * boundary, never inside the list. */
+  def bm25Search(s: SparkSession, d: String,
+      terms: Seq[String] = Seq("spark", "vector", "stream"),
+      k: Int = 20): DataFrame =
+    bm25SearchOf(docsPlain(s, d), terms, k)
+
+  def bm25SearchOf(docsDf: DataFrame, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = docsDf.select(col("doc_id"), col("text"),
+      nTokens(col("text")).cast("double").as("dl"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("dl"), lower(col("tok")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfTerm = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    tf.join(broadcast(dfTerm), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+        (col("tf") + lit(Bm25K1) *
+          (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .orderBy(col("doc_id"))
+  }
 }

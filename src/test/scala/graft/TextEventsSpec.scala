@@ -186,6 +186,40 @@ class TextEventsSpec extends SparkSpec {
     assert(cleaned(4L) == "Entirely unique\nNothing shared here")
   }
 
+  test("bm25 matches the hand-computed textbook formula and ranks " +
+      "rarer terms higher") {
+    import spark.implicits._
+    // 4 docs, 4 tokens each (dl = avgdl = 4, length norm cancels):
+    // "rare" appears in one doc, "common" in three.
+    val docs = Seq(
+      (1L, "rare common x y"),
+      (2L, "common common x y"),
+      (3L, "common x y z"),
+      (4L, "x y z w")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25SearchOf(docs,
+      terms = Seq("rare", "common"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L)) // doc 4 matches nothing
+    def idf(df: Double) = math.log(1 + (4 - df + 0.5) / (df + 0.5))
+    def w(idfV: Double, tf: Double) = // dl/avgdl = 1
+      idfV * tf * 2.2 / (tf + 1.2)
+    val expected = Map(
+      1L -> (w(idf(1), 1) + w(idf(3), 1)),
+      2L -> w(idf(3), 2),
+      3L -> w(idf(3), 1))
+    expected.foreach { case (id, e) =>
+      assert(math.abs(out(id) - e) < 1e-12, s"doc $id: ${out(id)} vs $e")
+    }
+    // the single rare-term doc outranks saturated common-term repeats
+    assert(out(1L) > out(2L) && out(2L) > out(3L))
+    // k truncates by score: k=1 keeps only the best doc
+    val top1 = TextAnalysis.bm25SearchOf(docs,
+      terms = Seq("rare", "common"), k = 1)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(1L))
+  }
+
   test("skew-safe source cap is row-identical to the direct window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val direct = TextAnalysis.sourceCapOf(docs, perSource = 7).collect()
