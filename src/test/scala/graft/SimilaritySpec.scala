@@ -319,5 +319,80 @@ class SimilaritySpec extends SparkSpec {
     // codebook is broadcast-sized: M x PqCodes entries
     assert(cb.count() == Similarity.PqM.toLong * Similarity.PqCodes)
   }
+
+  test("persisted IVF-PQ: codes-only layout, pruned probe over floor, " +
+      "pinned O(delta) append") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Versioned
+    val dir = "target/tmp/ivfpq-index"
+    Seq(dir, s"$dir.centroids", s"$dir.codebooks").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Similarity.buildIvfPqIndex(spark, sf, dir)
+    // stored layout: the float vector is GONE; per row exactly PqM
+    // tinyint code bytes plus (vec_id, cell, nrm)
+    val idx = Versioned.read(spark, dir)
+    assert(!idx.columns.contains("embedding"))
+    assert(idx.schema.fields.find(_.name == "codes")
+      .exists(_.dataType.catalogString == "array<tinyint>"))
+    val sizes = idx.select(min(size(col("codes"))),
+      max(size(col("codes")))).head()
+    assert(sizes.getInt(0) == Similarity.PqM &&
+      sizes.getInt(1) == Similarity.PqM)
+    // probe: recall over the composed floor against the float-exact
+    // baseline (measured 0.62 at this SF; contract floor 0.35)
+    val approxPq = Similarity.ivfPqTopKIndexed(spark, sf, dir)
+    val recall = Similarity.bruteForceTopK(spark, sf)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(approxPq.select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg((sum(coalesce(col("hit"), lit(0L))).cast("double") /
+        count(lit(1))).as("recall")).head().getDouble(0)
+    assert(recall >= 0.35, s"IVF-PQ recall $recall under floor")
+    // a 2-query batch probes <= 12 of the 16 cells: the executed scan
+    // must open only those directories' files
+    val probe = Similarity.ivfPqTopKIndexed(spark, sf, dir,
+      numQueries = 2)
+    probe.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case o => o.children
+      }
+      p +: inner.flatMap(nodes)
+    }
+    val scannedFiles = nodes(probe.queryExecution.executedPlan)
+      .filter(n => n.nodeName.toLowerCase.contains("scan") &&
+        n.toString.contains("ivfpq-index") &&
+        !n.toString.contains("centroids") &&
+        !n.toString.contains("codebooks"))
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    val allFiles = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(dir), Array("parquet"), true).size
+    info(s"scanned $scannedFiles of $allFiles index files")
+    assert(scannedFiles > 0 && scannedFiles < allFiles)
+    // append: encoded against the PINNED codebooks/centroids, lands as
+    // codes in the stored form, carries the pins forward
+    val pinsBefore = Versioned.commitNotes(spark, dir)(
+      Versioned.currentVersion(spark, dir))
+    val nBefore = idx.count()
+    val newVecs = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") >= Similarity.NumQueries).limit(2)
+      .select((col("vec_id") + lit(1000000L)).as("vec_id"),
+        col("embedding"))
+    Similarity.appendToIvfPqIndex(spark, newVecs, dir)
+    val after = Versioned.read(spark, dir)
+    assert(after.count() == nBefore + 2)
+    assert(after.filter(col("vec_id") >= 1000000L &&
+      size(col("codes")) === Similarity.PqM).count() == 2)
+    assert(Versioned.commitNotes(spark, dir)(
+      Versioned.currentVersion(spark, dir)) == pinsBefore)
+    // quantization generations stayed immutable across the append
+    assert(Versioned.currentVersion(spark, s"$dir.centroids") == 1)
+    assert(Versioned.currentVersion(spark, s"$dir.codebooks") == 1)
+  }
 }
 
