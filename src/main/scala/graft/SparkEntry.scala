@@ -121,6 +121,7 @@ object SparkEntry {
     "t20_importance_sample" -> ((s, d) => TextAnalysis.importanceSample(s, d)),
     "t22_boilerplate"  -> (TextAnalysis.boilerplateLines _),
     "t23_bm25_search"  -> ((s, d) => TextAnalysis.bm25Search(s, d)),
+    "t24_bm25_indexed" -> (TextAnalysis.bm25SearchIndexedGate _),
     "t21_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "t14_repetition" -> (TextAnalysis.repetitionSignals _),
     // PII redaction (emails/phones/IPv4 -> typed placeholders): the
@@ -283,6 +284,36 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
+  /** Shared by t23 (scan path) and t24 (persisted inverted index):
+    * both must hash-match this exact result. */
+  private val Bm25OracleSql =
+    """WITH base AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS DOUBLE) AS dl,
+                  text
+           FROM documents),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(dl) AS avgdl FROM base),
+         tok AS (SELECT doc_id, dl, lower(u.t) AS term
+                 FROM base, unnest(regexp_split_to_array(trim(text),
+                   '\s+')) AS u(t)),
+         tf AS (SELECT doc_id, dl, term,
+                       CAST(count(*) AS DOUBLE) AS tf
+                FROM tok WHERE term IN ('spark', 'vector', 'stream')
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                   AS df FROM tf GROUP BY 1),
+         sc AS (SELECT doc_id,
+                  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+                      * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                    AS score,
+                  count(*) AS n_terms
+                FROM tf JOIN dft USING (term) CROSS JOIN stats
+                GROUP BY doc_id),
+         top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)
+         SELECT doc_id, score, n_terms FROM top ORDER BY doc_id"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_count_all" ->
       "SELECT count(*) AS cnt FROM lineitem",
@@ -673,33 +704,11 @@ object SparkEntry {
     // BM25: the oracle restates the textbook formula over the same
     // whitespace tokens; top-k by (score desc, doc_id) then re-ordered
     // by doc_id so float noise can only matter at the k boundary.
-    "t23_bm25_search" ->
-      """WITH base AS (
-           SELECT doc_id,
-                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
-                    AS DOUBLE) AS dl,
-                  text
-           FROM documents),
-         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-                          avg(dl) AS avgdl FROM base),
-         tok AS (SELECT doc_id, dl, lower(u.t) AS term
-                 FROM base, unnest(regexp_split_to_array(trim(text),
-                   '\s+')) AS u(t)),
-         tf AS (SELECT doc_id, dl, term,
-                       CAST(count(*) AS DOUBLE) AS tf
-                FROM tok WHERE term IN ('spark', 'vector', 'stream')
-                GROUP BY 1, 2, 3),
-         dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE)
-                   AS df FROM tf GROUP BY 1),
-         sc AS (SELECT doc_id,
-                  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf
-                      * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
-                    AS score,
-                  count(*) AS n_terms
-                FROM tf JOIN dft USING (term) CROSS JOIN stats
-                GROUP BY doc_id),
-         top AS (SELECT * FROM sc ORDER BY score DESC, doc_id LIMIT 20)
-         SELECT doc_id, score, n_terms FROM top ORDER BY doc_id""",
+    // t24 (persisted inverted index) must produce the EXACT same
+    // result, so it shares the oracle verbatim — proving the index
+    // layout lossless, not just plausible.
+    "t24_bm25_indexed" -> Bm25OracleSql,
+    "t23_bm25_search" -> Bm25OracleSql,
     // Deterministic Bernoulli samples: the keep decision is a pure
     // function of (seed, doc_id) — u = first 8 md5 hex digits as a
     // 32-bit uniform — so DuckDB recomputes the EXACT kept set and the

@@ -4,7 +4,7 @@ import scala.util.Try
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{Tables, Versioned}
 
 /** Text-analysis operators over the `documents` fixture — the
   * language-ID / quality-scoring / token-counting / fingerprinting side of
@@ -1013,6 +1013,18 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("double").as("tf"))
     val dfTerm = tf.groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    bm25Score(tf, stats, k)
+  }
+
+  /** Shared BM25 scoring tail: takes the per-(doc, term) postings of
+    * the QUERY terms (doc_id, dl, term, tf) and the one-row corpus
+    * stats (n_docs, avgdl); df-per-term is derived from the postings
+    * themselves (each query term's full posting list is present by
+    * construction on both the scan and the index path). */
+  private def bm25Score(tf: DataFrame, stats: DataFrame,
+      k: Int): DataFrame = {
+    val dfTerm = tf.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     tf.join(broadcast(dfTerm), "term")
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
@@ -1026,4 +1038,119 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
       .orderBy(col("doc_id"))
   }
+
+  // —— Persisted inverted index: BM25 as a partition-pruned probe ——
+  //
+  // The scan path above re-tokenizes the corpus per query batch. A
+  // standing corpus served repeatedly persists the postings ONCE:
+  // (doc_id, dl, term, tf) bucketed by hash(term) and partitioned on
+  // the bucket, so a query reads only its terms' buckets — the batch
+  // analog of an inverted index, and the text twin of the IVF-PQ
+  // layout (cells : buckets :: code bytes : postings). Corpus-level
+  // stats live in a sibling one-row table storing the ALGEBRAIC form
+  // (n_docs, sum_dl) — append-mergeable, unlike avgdl — and the index
+  // commit note pins the stats version so a probe can never pair new
+  // postings with stale scalars (or vice versa).
+
+  val TextIndexBuckets = 8
+
+  private def textStatsDir(indexDir: String): String = s"$indexDir.stats"
+
+  private def termBucket(c: Column): Column =
+    pmod(hash(c), lit(TextIndexBuckets))
+
+  /** Tokenized long form shared by build and append: one row per
+    * (doc, term) with the doc's length alongside. */
+  private def postingsOf(docsDf: DataFrame): DataFrame =
+    docsDf
+      .select(col("doc_id"), nTokens(col("text")).cast("double").as("dl"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("dl"), lower(col("tok")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("bucket", termBucket(col("term")))
+
+  def buildTextIndex(s: SparkSession, d: String, indexDir: String): Unit =
+    buildTextIndexOf(docsPlain(s, d), indexDir)
+
+  def buildTextIndexOf(docsDf: DataFrame, indexDir: String): Unit = {
+    val s = docsDf.sparkSession
+    val base = docsDf.select(col("doc_id"),
+      nTokens(col("text")).cast("double").as("dl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("sum_dl"))
+    val sv = Versioned.commit(stats, textStatsDir(indexDir))
+    Versioned.commit(postingsOf(docsDf), indexDir,
+      partitionCol = Some("bucket"), note = Some(s"stats=v$sv"))
+  }
+
+  /** O(delta) maintenance: append the new documents' postings (only
+    * their buckets' files are written) and publish merged corpus
+    * stats — the algebraic (n_docs, sum_dl) form adds, so the update
+    * never rescans the standing corpus. Stats publish first and the
+    * postings append re-pins, keeping the pair consistent for probes. */
+  def appendToTextIndex(s: SparkSession, newDocs: DataFrame,
+      indexDir: String): Unit = {
+    val delta = newDocs.select(col("doc_id"),
+      nTokens(col("text")).cast("double").as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val merged = Versioned.read(s, textStatsDir(indexDir))
+      .unionAll(delta)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    val sv = Versioned.commit(merged, textStatsDir(indexDir))
+    Versioned.append(postingsOf(newDocs), indexDir,
+      partitionCol = Some("bucket"), note = Some(s"stats=v$sv"))
+  }
+
+  private def pinnedTextStats(s: SparkSession,
+      indexDir: String): DataFrame = {
+    val v = Versioned.currentVersion(s, indexDir)
+    val pin = Versioned.commitNotes(s, indexDir).get(v)
+      .map(_.trim).filter(_.startsWith("stats=v"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("stats=v").toInt).toOption)
+    Versioned.read(s, textStatsDir(indexDir), pin)
+  }
+
+  /** BM25 over the persisted index: the probe reads ONLY the query
+    * terms' bucket directories (partition-pruned — the spec asserts
+    * scanned files < index files via the scan's numFiles metric), and
+    * scores identically to [[bm25SearchOf]] — same postings, same
+    * stats, same tail. */
+  def bm25SearchIndexed(s: SparkSession, indexDir: String,
+      terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    // bucket ids of the query terms: computed with the SAME Spark
+    // expression the build used, on a #terms-row local frame
+    import s.implicits._
+    val bks = terms.toDF("term").select(termBucket(col("term")))
+      .distinct().collect().map(_.getInt(0))
+    val stats = pinnedTextStats(s, indexDir)
+      .select(col("n_docs").cast("double").as("n_docs"),
+        (col("sum_dl") / col("n_docs")).as("avgdl"))
+    val tf = Versioned.read(s, indexDir)
+      .filter(col("bucket").isin(bks: _*))
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    bm25Score(tf, stats, k)
+  }
+
+  private val textIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def cachedTextIndex(s: SparkSession, d: String): String =
+    textIndexCache.computeIfAbsent(d, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-t24-index")
+        .resolve("postings").toString
+      buildTextIndex(s, d, dir)
+      dir
+    })
+
+  /** The t24 gate: the indexed probe must produce t23's EXACT result —
+    * same oracle SQL, full hash match — so the index layout is proven
+    * lossless, not just plausible. Build amortized per process (the
+    * index's point); the timed bench run measures the probe. */
+  def bm25SearchIndexedGate(s: SparkSession, d: String): DataFrame =
+    bm25SearchIndexed(s, cachedTextIndex(s, d),
+      Seq("spark", "vector", "stream"), 20)
 }

@@ -220,6 +220,72 @@ class TextEventsSpec extends SparkSpec {
     assert(top1 == Seq(1L))
   }
 
+  test("persisted inverted index: probe equals the scan path, prunes " +
+      "buckets, append merges stats algebraically") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha beta epsilon zeta"),
+      (3L, "gamma delta epsilon"),
+      (4L, "zeta eta theta iota kappa"),
+      (5L, "beta beta beta kappa"),
+      (6L, "eta theta alpha")
+    ).toDF("doc_id", "text")
+    val dir = "target/tmp/text-index"
+    Seq(dir, s"$dir.stats").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    TextAnalysis.buildTextIndexOf(docs, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    def assertSame(a: Seq[(Long, Double, Long)],
+        b: Seq[(Long, Double, Long)]): Unit = {
+      assert(a.map(x => (x._1, x._3)) == b.map(x => (x._1, x._3)))
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x._2 - y._2) < 1e-12, s"$x vs $y") }
+    }
+    val q = Seq("alpha", "kappa")
+    assertSame(
+      rows(TextAnalysis.bm25SearchIndexed(spark, dir, q, 10)),
+      rows(TextAnalysis.bm25SearchOf(docs, q, 10)))
+    // the probe reads only the query terms' bucket directories
+    val probe = TextAnalysis.bm25SearchIndexed(spark, dir,
+      Seq("alpha"), 10)
+    probe.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case o => o.children
+      }
+      p +: inner.flatMap(nodes)
+    }
+    val scanned = nodes(probe.queryExecution.executedPlan)
+      .filter(n => n.nodeName.toLowerCase.contains("scan") &&
+        n.toString.contains("text-index") &&
+        !n.toString.contains(".stats"))
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    val all = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(dir), Array("parquet"), true).size
+    info(s"scanned $scanned of $all postings files")
+    assert(scanned > 0 && scanned < all)
+    // append: postings land O(delta), stats merge algebraically —
+    // the probe over the appended index must equal a scan of the
+    // full corpus (n_docs and avgdl both moved)
+    val more = Seq(
+      (7L, "alpha mu nu"),
+      (8L, "kappa kappa mu xi omicron pi rho")
+    ).toDF("doc_id", "text")
+    TextAnalysis.appendToTextIndex(spark, more, dir)
+    assertSame(
+      rows(TextAnalysis.bm25SearchIndexed(spark, dir, q, 10)),
+      rows(TextAnalysis.bm25SearchOf(docs.unionAll(more), q, 10)))
+    val st = Versioned.read(spark, s"$dir.stats").head()
+    assert(st.getLong(0) == 8L) // merged n_docs, never rescanned
+  }
+
   test("skew-safe source cap is row-identical to the direct window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val direct = TextAnalysis.sourceCapOf(docs, perSource = 7).collect()
