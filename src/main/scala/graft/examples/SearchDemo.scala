@@ -1,0 +1,69 @@
+package graft.examples
+
+import org.apache.spark.sql.functions._
+
+import graft.Sessions
+import graft.operators.{Similarity, TextAnalysis}
+import graft.sources.{Tables, Versioned}
+
+/** End-to-end corpus-search service over the persisted index family —
+  * the build -> probe -> incremental-append -> re-probe lifecycle a
+  * standing 100 TB corpus runs, for BOTH retrieval modalities:
+  *
+  *   keyword: inverted postings index (bucket-pruned BM25, t24 layout)
+  *   semantic: IVF-PQ vector index (cell-pruned ADC + rerank, s12)
+  *
+  * Run: `sbt "runMain graft.examples.SearchDemo [sfDir] [outDir]"`.
+  * Prints SEARCH_DEMO_* lines for smoke checking.
+  */
+object SearchDemo {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = if (args.length > 1) args(1) else "target/tmp/search-demo"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val spark = Sessions.get("graft-search-demo")
+
+    // —— keyword side: inverted index ——
+    val docs = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val textIdx = s"$out/postings"
+    TextAnalysis.buildTextIndexOf(docs, textIdx)
+    val terms = Seq("spark", "vector", "stream")
+    val kw = TextAnalysis.bm25SearchIndexed(spark, textIdx, terms, 10)
+      .cache()
+    println(s"SEARCH_DEMO_KW_HITS=${kw.count()}")
+    println("SEARCH_DEMO_KW_TOP=" + kw.orderBy(col("score").desc)
+      .select(col("doc_id")).head().getLong(0))
+    // incremental: new docs land O(delta); stats merge, probe sees them
+    val fresh = spark.range(1).select(
+      lit(900001L).as("doc_id"),
+      lit("spark spark spark vector stream").as("text"))
+    TextAnalysis.appendToTextIndex(spark, fresh, textIdx)
+    val kw2 = TextAnalysis.bm25SearchIndexed(spark, textIdx, terms, 10)
+    val freshRank = kw2.filter(col("doc_id") === 900001L).count()
+    println(s"SEARCH_DEMO_KW_FRESH_FOUND=$freshRank")
+    println("SEARCH_DEMO_POSTINGS_VERSIONS=" +
+      Versioned.currentVersion(spark, textIdx))
+
+    // —— semantic side: IVF-PQ vector index ——
+    val vecIdx = s"$out/ivfpq"
+    Similarity.buildIvfPqIndex(spark, sfDir, vecIdx)
+    val ann = Similarity.ivfPqTopKIndexed(spark, sfDir, vecIdx).cache()
+    println(s"SEARCH_DEMO_ANN_ROWS=${ann.count()}")
+    println("SEARCH_DEMO_ANN_QUERIES=" +
+      ann.select(col("query_id")).distinct().count())
+    // append two re-badged corpus vectors; they must become findable
+    val delta = Tables.load(spark, sfDir, "embeddings")
+      .filter(col("vec_id") >= Similarity.NumQueries).limit(2)
+      .select((col("vec_id") + lit(900000L)).as("vec_id"),
+        col("embedding"))
+    Similarity.appendToIvfPqIndex(spark, delta, vecIdx)
+    val stored = Versioned.read(spark, vecIdx)
+      .filter(col("vec_id") >= 900000L).count()
+    println(s"SEARCH_DEMO_ANN_APPENDED=$stored")
+    println("SEARCH_DEMO_INDEX_CODE_BYTES=" + Versioned.read(spark, vecIdx)
+      .select(max(org.apache.spark.sql.functions.size(col("codes"))))
+      .head().getInt(0))
+    spark.stop()
+  }
+}
