@@ -1102,15 +1102,29 @@ object TextAnalysis {
       partitionCol = Some("bucket"), note = Some(s"stats=v$sv"))
   }
 
-  private def pinnedTextStats(s: SparkSession,
-      indexDir: String): DataFrame = {
+  private def textStatsPin(s: SparkSession,
+      indexDir: String): Option[Int] = {
     val v = Versioned.currentVersion(s, indexDir)
-    val pin = Versioned.commitNotes(s, indexDir).get(v)
+    Versioned.commitNotes(s, indexDir).get(v)
       .map(_.trim).filter(_.startsWith("stats=v"))
       .flatMap(n => scala.util.Try(
         n.stripPrefix("stats=v").toInt).toOption)
-    Versioned.read(s, textStatsDir(indexDir), pin)
   }
+
+  private def pinnedTextStats(s: SparkSession,
+      indexDir: String): DataFrame =
+    Versioned.read(s, textStatsDir(indexDir), textStatsPin(s, indexDir))
+
+  /** Small-file maintenance for a drip-fed postings index: binpack
+    * each bucket's accumulated append files keeping the bucket
+    * partitioning (probes stay pruned), carrying the stats pin
+    * forward — the text twin of [[Similarity.compactIvfIndex]]. */
+  def compactTextIndex(s: SparkSession, indexDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFileBytes: Long = 0L): Int =
+    Versioned.compactSmall(s, indexDir, targetFileBytes, minFileBytes,
+      partitionCol = Some("bucket"),
+      note = textStatsPin(s, indexDir).map(v => s"stats=v$v"))
 
   /** BM25 over the persisted index: the probe reads ONLY the query
     * terms' bucket directories (partition-pruned — the spec asserts

@@ -284,6 +284,13 @@ class TextEventsSpec extends SparkSpec {
       rows(TextAnalysis.bm25SearchOf(docs.unionAll(more), q, 10)))
     val st = Versioned.read(spark, s"$dir.stats").head()
     assert(st.getLong(0) == 8L) // merged n_docs, never rescanned
+    // binpack the drip-fed bucket files: results identical, stats pin
+    // carried forward, bucket layout (and so pruning) preserved
+    TextAnalysis.compactTextIndex(spark, dir)
+    assertSame(
+      rows(TextAnalysis.bm25SearchIndexed(spark, dir, q, 10)),
+      rows(TextAnalysis.bm25SearchOf(docs.unionAll(more), q, 10)))
+    assert(Versioned.read(spark, s"$dir.stats").head().getLong(0) == 8L)
   }
 
   test("skew-safe source cap is row-identical to the direct window") {
