@@ -545,6 +545,50 @@ class DdlPartitionSpec extends SparkSpec {
       "absent id must be bloom-skipped with stats filtering off")
   }
 
+  test("compression-codec property encodes every data write; compact " +
+      "re-encodes after SET TBLPROPERTIES") {
+    import scala.jdk.CollectionConverters._
+    val (t, g) = fresh("codec_prop")
+    def codecs(dir: String): Set[String] = {
+      val files = new java.io.File(dir).listFiles().toSeq
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      assert(files.nonEmpty)
+      files.flatMap { f =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          new org.apache.parquet.io.LocalInputFile(f.toPath))
+        try r.getRowGroups.get(0).getColumns.asScala.toSeq
+          .map(_.getCodec.toString)
+        finally r.close()
+      }.toSet
+    }
+    spark.sql(s"CREATE TABLE $g (id BIGINT, v STRING) TBLPROPERTIES (" +
+      s"'${Versioned.CompressionProp}' = 'zstd')")
+    spark.sql(s"INSERT INTO $g VALUES " +
+      (1 to 50).map(i => s"($i, 'x$i')").mkString(", "))
+    val v1 = Versioned.currentVersion(spark, t)
+    assert(codecs(s"$t/v=$v1") == Set("ZSTD"))
+    // appends inherit the property
+    spark.sql(s"INSERT INTO $g VALUES (1000, 'y')")
+    val v2 = Versioned.currentVersion(spark, t)
+    assert(codecs(s"$t/v=$v2") == Set("ZSTD"))
+    // reads are codec-transparent
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 51)
+    // flip the property and compact: the table re-encodes
+    spark.sql(s"ALTER TABLE $g SET TBLPROPERTIES (" +
+      s"'${Versioned.CompressionProp}' = 'gzip')")
+    val vC = Versioned.compact(spark, t)
+    assert(codecs(s"$t/v=$vC") == Set("GZIP"))
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 51)
+    // an unknown codec fails loudly — already at SET time (the
+    // property commit republishes through the write path's options)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $g SET TBLPROPERTIES (" +
+        s"'${Versioned.CompressionProp}' = 'tar')") }
+    assert(e.getMessage.contains("unknown codec"))
+    // the failed SET never landed; the table still reads
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 51)
+  }
+
   test("partition-scoped binpack packs one day, links the rest untouched") {
     import spark.implicits._
     val (t, g) = fresh("scoped_binpack")
