@@ -121,6 +121,11 @@ object Bench {
         rec.clear()
       }
     }
+    // locale-pinned decimal formatting: the f-interpolator follows the
+    // JVM default locale, and a comma-decimal locale (de_DE) would
+    // render 0,123 — invalid JSON the harness then fails to parse
+    def num(v: Double, digits: Int): String = String.format(
+      java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val qs = results.map { case (k, m) => "\"" + k + "\":" + m.sec }
       .mkString("{", ",", "}")
     val ms = results.map { case (k, m) =>
@@ -128,12 +133,13 @@ object Bench {
         ",\"peak_mem\":" + m.peakMem +
         ",\"spill_bytes\":" + m.spill +
         ",\"scan_rows\":" + m.scanRows +
-        ",\"t_off\":" + f"${m.off}%.3f" + "}"
+        ",\"t_off\":" + num(m.off, 3) + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2.sec).filter(_ >= 0).sum
     val calibEnd = calibrate()
     val probes = calibProbes.map { case (off, s) =>
-      f"[$off%.3f,$s%.4f]" }.mkString("[", ",", "]")
+      "[" + num(off, 3) + "," + num(s, 4) + "]" }
+      .mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$ms,"calib_s":[$calibStart,$calibEnd],"calib_probes":$probes,"sf":"$sfDir"}"""
     println(line)

@@ -52,15 +52,27 @@ object SearchDemo {
     println(s"SEARCH_DEMO_ANN_ROWS=${ann.count()}")
     println("SEARCH_DEMO_ANN_QUERIES=" +
       ann.select(col("query_id")).distinct().count())
-    // append two re-badged corpus vectors; they must become findable
-    val delta = Tables.load(spark, sfDir, "embeddings")
-      .filter(col("vec_id") >= Similarity.NumQueries).limit(2)
-      .select((col("vec_id") + lit(900000L)).as("vec_id"),
-        col("embedding"))
-    Similarity.appendToIvfPqIndex(spark, delta, vecIdx)
+    // append an exact twin of query 0's embedding. Operational
+    // invariant: the source STORE receives a vector BEFORE its index
+    // append (the index holds only code bytes; the rerank fetches
+    // floats from the store) — here the store extension is the
+    // unioned frame passed to the probe.
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val twin = emb.filter(col("vec_id") === 0)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfPqIndex(spark, twin, vecIdx)
     val stored = Versioned.read(spark, vecIdx)
       .filter(col("vec_id") >= 900000L).count()
     println(s"SEARCH_DEMO_ANN_APPENDED=$stored")
+    // the appended twin is findable: query 0's new top-1 (cosine 1)
+    val extendedStore = emb
+      .filter(col("vec_id") >= Similarity.NumQueries)
+      .select(col("vec_id"), col("embedding")).unionAll(twin)
+    val top1 = Similarity.ivfPqTopKIndexed(spark, sfDir, vecIdx,
+        corpus = Some(extendedStore))
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getLong(2)
+    println(s"SEARCH_DEMO_ANN_FRESH_TOP1=$top1")
     println("SEARCH_DEMO_INDEX_CODE_BYTES=" + Versioned.read(spark, vecIdx)
       .select(max(org.apache.spark.sql.functions.size(col("codes"))))
       .head().getInt(0))

@@ -651,7 +651,7 @@ object Similarity {
       .select(col("j"), (col("vec_id") - NumQueries).as("code"),
         col("sub").as("c_sub"))
     for (_ <- 1 to iters) {
-      cb = subs.join(broadcast(cb), "j")
+      val updated = subs.join(broadcast(cb), "j")
         .select(col("vec_id"), col("j"), col("sub"), col("code"),
           l2sq(col("sub"), col("c_sub")).as("d2"))
         .groupBy(col("vec_id"), col("j"))
@@ -665,6 +665,19 @@ object Similarity {
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           x => x("m")).cast("array<float>").as("c_sub"))
+      // standard Lloyd practice made load-bearing: a cluster that won
+      // NO members this iteration (possible whenever two centroids
+      // collide — e.g. duplicate seed vectors tie to the lower code)
+      // KEEPS its previous centroid. Dropping the row instead would
+      // shrink the codebook below M x K, and every downstream ADC
+      // table is POSITIONAL (qtab slot = j*K + code, K derived from
+      // the table length) — one missing row silently scrambles every
+      // lookup after the gap.
+      cb = cb.select(col("j"), col("code"), col("c_sub").as("prev_sub"))
+        .join(updated.withColumnRenamed("c_sub", "new_sub"),
+          Seq("j", "code"), "left")
+        .select(col("j"), col("code"),
+          coalesce(col("new_sub"), col("prev_sub")).as("c_sub"))
     }
     cb
   }
@@ -722,7 +735,11 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         call_function(GraftFunctions.PqAdcName,
           col("qtab"), col("codes")).as("cosine"))
-    val short = pqShortlist(codes.count())
+    // corpus count from the source table (a parquet-footer count) —
+    // counting `codes` would materialize the whole uncached encode
+    // pipeline a second time just to size the shortlist
+    val short = pqShortlist(
+      e.filter(col("vec_id") >= NumQueries).count())
     val shortlist = adc.groupBy(col("query_id"))
       .agg(call_function(GraftFunctions.TopKName,
         col("cosine"), col("neighbor_id"), lit(short)).as("nbrs"))
@@ -836,9 +853,17 @@ object Similarity {
     * those cell directories (partition-pruned like [[ivfTopKIndexed]]),
     * ADC-score their code bytes with the native codegen'd
     * `graft_pq_adc`, shortlist, and float-rerank the shortlist from
-    * the source embedding table. */
+    * the source embedding STORE — the index holds only code bytes, so
+    * full precision comes from the store the corpus lives in. The
+    * operational invariant follows: append to the source store
+    * BEFORE [[appendToIvfPqIndex]], or the new vectors ADC-score into
+    * shortlists but can never be returned (their floats are nowhere).
+    * `corpus` overrides the store ((vec_id, embedding[, nrm]) frame)
+    * for callers whose vectors extend past the fixture table —
+    * SimilaritySpec gates an appended twin's findability through it. */
   def ivfPqTopKIndexed(s: SparkSession, d: String, indexDir: String,
-      numQueries: Int = NumQueries): DataFrame = {
+      numQueries: Int = NumQueries,
+      corpus: Option[DataFrame] = None): DataFrame = {
     val pins = pinnedVersionsOf(s, indexDir)
     val cents = Versioned.read(s, centroidsDir(indexDir),
       pins.get("centroids"))
@@ -894,10 +919,14 @@ object Similarity {
         col("cosine"), col("neighbor_id"), lit(short)).as("nbrs"))
       .select(col("query_id"), explode(col("nbrs")))
       .select(col("query_id"), col("col.neighbor_id").as("neighbor_id"))
-    // float rerank of the shortlist against the SOURCE table
+    // float rerank of the shortlist against the source STORE
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    val scored = e.filter(col("vec_id") >= NumQueries)
+    val store = corpus.map { c =>
+      if (c.columns.contains("nrm")) c
+      else c.withColumn("nrm", l2Norm(col("embedding")))
+    }.getOrElse(e.filter(col("vec_id") >= NumQueries))
+    val scored = store
       .withColumnRenamed("vec_id", "neighbor_id")
       .join(broadcast(shortlist), "neighbor_id")
       .join(broadcast(q), "query_id")

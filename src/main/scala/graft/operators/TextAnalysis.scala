@@ -1011,8 +1011,6 @@ object TextAnalysis {
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).cast("double").as("tf"))
-    val dfTerm = tf.groupBy(col("term"))
-      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
     bm25Score(tf, stats, k)
   }
 
@@ -1091,10 +1089,17 @@ object TextAnalysis {
     * postings append re-pins, keeping the pair consistent for probes. */
   def appendToTextIndex(s: SparkSession, newDocs: DataFrame,
       indexDir: String): Unit = {
+    require(Versioned.currentVersion(s, indexDir) > 0,
+      s"$indexDir is not a built text index (buildTextIndex first)")
     val delta = newDocs.select(col("doc_id"),
       nTokens(col("text")).cast("double").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
-    val merged = Versioned.read(s, textStatsDir(indexDir))
+    // merge onto the PINNED stats — the version the published postings
+    // actually reflect. Reading the latest instead would bake in the
+    // phantom documents of a previous append that committed stats but
+    // crashed before its postings published (probes stay consistent
+    // through the pin; the orphan stats version is simply skipped).
+    val merged = pinnedTextStats(s, indexDir)
       .unionAll(delta)
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val sv = Versioned.commit(merged, textStatsDir(indexDir))

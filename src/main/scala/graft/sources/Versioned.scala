@@ -2406,6 +2406,14 @@ object Versioned {
       case Some(sv) => rel => rel.split("/").dropRight(1).exists(d =>
         d == sv || d.stripPrefix(TransformPrefix) == sv)
     }
+    // a scope that matches NO file at all (any size) is a misspelled
+    // segment, not a clean sweep — returning cur as success would let
+    // a daily job run for months against a typo while debris grows
+    partitionWhere.foreach { sv =>
+      require(sized.flatMap(_._2).exists(fl => inScope(fl._1)),
+        s"where_partition '$sv' matches no partition directory of " +
+          s"the current snapshot at $tableDir")
+    }
     val small = sized.flatMap(_._2).filter(_._2 < threshold)
       .filter(fl => inScope(fl._1))
     if (small.size < 2) return cur
@@ -4631,11 +4639,23 @@ object Versioned {
     val order = p.get(WriteOrderProp).toSeq.flatMap(parseWriteOrder)
       .flatMap { case (c, desc) => resolve(c).map((_, desc)) }
     if (order.isEmpty) df
-    else df.sortWithinPartitions(
-      (partBy.filterNot(pc => order.exists(_._1 == pc)).map(col(_).asc)
-        .toSeq ++
-        order.map { case (c, desc) =>
-          if (desc) col(c).desc else col(c).asc }): _*)
+    else {
+      // The writer's required ordering for a partitioned write is
+      // (partition col ASC) as a PREFIX — satisfy it exactly, or
+      // FileFormatWriter injects its own partition-only sort whose
+      // tie order is not guaranteed across spill merges (a silently
+      // unsorted table). So the partition column goes FIRST ascending
+      // regardless of where (or in which direction) the declared
+      // order mentions it: within one output file the partition value
+      // is constant, so dropping it from the declared tail changes
+      // nothing per-file.
+      val pc = partBy.flatMap(resolve)
+      val tail = order.filterNot { case (c, _) => pc.contains(c) }
+      df.sortWithinPartitions(
+        (pc.map(col(_).asc).toSeq ++
+          tail.map { case (c, desc) =>
+            if (desc) col(c).desc else col(c).asc }): _*)
+    }
   }
 
   /** `write.distribution-mode` — Iceberg's shuffle-before-write knob,
@@ -4940,6 +4960,11 @@ object Versioned {
     val group = s"graft-commit-${java.util.UUID.randomUUID()}"
     val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
     val prevDesc = sc.getLocalProperty("spark.job.description")
+    // setJobGroup also writes interruptOnCancel; restore it too, or a
+    // caller's interrupt-on-cancel choice is silently clobbered for
+    // every later job on this thread
+    val prevInterrupt =
+      sc.getLocalProperty("spark.job.interruptOnCancel")
     val l = new WriteTaskCounts(group)
     sc.addSparkListener(l)
     try {
@@ -4953,6 +4978,7 @@ object Versioned {
       sc.removeSparkListener(l)
       sc.setLocalProperty("spark.jobGroup.id", prevGroup)
       sc.setLocalProperty("spark.job.description", prevDesc)
+      sc.setLocalProperty("spark.job.interruptOnCancel", prevInterrupt)
     }
   }
 

@@ -836,5 +836,26 @@ class DdlPartitionSpec extends SparkSpec {
       assert(ks == ks.sorted.reverse,
         s"case-insensitive order file ${fl.name} not k-desc: $ks")
     }
+    // an order that mentions the partition column NOT first ("k, grp")
+    // must still satisfy the writer's (grp ASC)-prefix requirement —
+    // the engine reorders grp to the front (constant within a file, so
+    // the per-file contract is unchanged) instead of letting the
+    // writer inject its tie-order-free re-sort
+    Versioned.setProperties(spark, t,
+      set = Map(Versioned.WriteOrderProp -> "k, grp"))
+    spark.sql(s"INSERT INTO $g SELECT * FROM wop_src")
+    val vC = Versioned.currentVersion(spark, t)
+    val dFiles = graft.sources.FsFast.walkFiles(
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sessionState.newHadoopConf()),
+      new org.apache.hadoop.fs.Path(s"$t/v=$vC"))
+      .filter(_.name.endsWith(".parquet"))
+    assert(dFiles.nonEmpty)
+    dFiles.foreach { fl =>
+      val ks = spark.read.parquet(fl.path.toString).select("k")
+        .collect().map(_.getInt(0)).toSeq
+      assert(ks == ks.sorted,
+        s"order-mentions-partition-col file ${fl.name} not k-sorted: $ks")
+    }
   }
 }

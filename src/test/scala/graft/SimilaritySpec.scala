@@ -320,6 +320,30 @@ class SimilaritySpec extends SparkSpec {
     assert(cb.count() == Similarity.PqM.toLong * Similarity.PqCodes)
   }
 
+  test("PQ codebook survives empty clusters at full M x K density") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // seeds are corpus vectors 10..25; make 11 an exact duplicate of
+    // 10, so code 1 ties every assignment to code 0 (min_by breaks
+    // ties low) and wins NO members — the empty-cluster case
+    def raw(seed: Int): Array[Float] =
+      (0 until 64).map(i => math.sin(i * 0.7 + seed).toFloat).toArray
+    def vec(seed: Int): Array[Float] =
+      if (seed == 11) raw(10) else raw(seed)
+    val e = (10 until 40).map(id => (id.toLong, vec(id))).toDF(
+      "vec_id", "embedding")
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("embedding"), x => x.cast("double") * x),
+        lit(0.0d), (a, v) => a + v)))
+    val cb = Similarity.trainPqCodebooks(Similarity.subvectors(e))
+    // every (j, code) row present: an empty cluster keeps its previous
+    // centroid instead of vanishing and positionally scrambling the
+    // M x K ADC lookup table
+    assert(cb.count() == Similarity.PqM.toLong * Similarity.PqCodes)
+    assert(cb.groupBy("j").count().collect()
+      .forall(_.getLong(1) == Similarity.PqCodes))
+  }
+
   test("persisted IVF-PQ: codes-only layout, pruned probe over floor, " +
       "pinned O(delta) append") {
     import org.apache.spark.sql.functions._
@@ -393,6 +417,21 @@ class SimilaritySpec extends SparkSpec {
     // quantization generations stayed immutable across the append
     assert(Versioned.currentVersion(spark, s"$dir.centroids") == 1)
     assert(Versioned.currentVersion(spark, s"$dir.codebooks") == 1)
+    // findability end-to-end: append an exact twin of query 0's
+    // embedding, extend the rerank store with it (the operational
+    // invariant: the store gets the vector before the index does),
+    // and query 0's top-1 must be the twin (cosine exactly 1)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val twin = emb.filter(col("vec_id") === 0)
+      .select(lit(2000000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfPqIndex(spark, twin, dir)
+    val extended = emb.filter(col("vec_id") >= Similarity.NumQueries)
+      .select(col("vec_id"), col("embedding")).unionAll(twin)
+    val top1 = Similarity.ivfPqTopKIndexed(spark, sf, dir,
+        corpus = Some(extended))
+      .filter(col("query_id") === 0 && col("rank") === 1).head()
+    assert(top1.getLong(2) == 2000000L,
+      s"appended twin must be query 0's top-1, got $top1")
   }
 }
 
