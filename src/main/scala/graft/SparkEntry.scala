@@ -122,6 +122,7 @@ object SparkEntry {
     "t22_boilerplate"  -> (TextAnalysis.boilerplateLines _),
     "t23_bm25_search"  -> ((s, d) => TextAnalysis.bm25Search(s, d)),
     "t24_bm25_indexed" -> (TextAnalysis.bm25SearchIndexedGate _),
+    "t25_split_assign" -> (TextAnalysis.splitAssign _),
     "t21_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "t14_repetition" -> (TextAnalysis.repetitionSignals _),
     // PII redaction (emails/phones/IPv4 -> typed placeholders): the
@@ -732,6 +733,24 @@ object SparkEntry {
                  CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                / 4294967296.0 < keep_p
          ORDER BY doc_id""",
+    // Deterministic 90/5/5 split: u = (seed, doc_id) md5 uniform, the
+    // split is the interval u falls in — DuckDB recomputes every
+    // assignment bit-for-bit, full rows hash-matched.
+    "t25_split_assign" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  CAST(('0x' || substr(md5('split:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                    / 4294967296.0 AS u
+           FROM documents)
+         SELECT doc_id, u,
+                -- boundaries as the SAME left-to-right IEEE sums the
+                -- engine's cumulative-weight scan computes (0.9 + 0.05
+                -- is not the 0.95 literal's double)
+                CASE WHEN u < 0.9 THEN 'train'
+                     WHEN u < 0.9 + 0.05 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM u ORDER BY doc_id""",
     "t21_mixture_sample" ->
       """WITH r AS (
            SELECT doc_id, source,

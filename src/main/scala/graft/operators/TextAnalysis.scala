@@ -851,11 +851,18 @@ object TextAnalysis {
     * shuffle. (DuckDB restates u as
     * `CAST('0x' || substr(md5(..), 1, 8) AS BIGINT) / 4294967296.0` —
     * the oracle leg of t20/t21.) */
+  /** The (seed, key) 32-bit uniform behind every deterministic
+    * sampling/splitting decision in this module: first 8 md5 hex
+    * digits of `"seed:key"` as a [0, 1) double — a pure per-row
+    * expression any engine recomputes bit-for-bit. */
+  def hashUniform(keyCol: Column, seed: String = "graft"): Column =
+    conv(substring(md5(concat(lit(seed + ":"),
+      keyCol.cast("string"))), 1, 8), 16, 10).cast("double") /
+      4294967296.0d
+
   def hashKeep(keyCol: Column, p: Column,
       seed: String = "graft"): Column =
-    (conv(substring(md5(concat(lit(seed + ":"),
-      keyCol.cast("string"))), 1, 8), 16, 10).cast("double") /
-      4294967296.0d) < p
+    hashUniform(keyCol, seed) < p
 
   /** Quality-weighted importance sampling — the CCNet/Dolma move of
     * keeping high-quality documents with higher probability instead
@@ -909,6 +916,41 @@ object TextAnalysis {
     mixtureSampleOf(docsPlain(s, d),
       Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
       defaultRate = 0.1)
+
+  /** Deterministic train/val/test assignment: each document lands in
+    * exactly one named split by where its [[hashUniform]] value falls
+    * among the cumulative weight boundaries. Disjoint and exhaustive
+    * BY CONSTRUCTION (one u, one interval), deterministic in
+    * (seed, doc_id) — reruns, engines, and resumed jobs agree
+    * row-for-row, and assignment never depends on what else is in the
+    * corpus, so adding documents later never reshuffles existing
+    * splits (the property that keeps eval sets stable as a corpus
+    * grows). A pure per-row projection: no shuffle, no state, at any
+    * scale. Weights must sum to 1. */
+  def splitAssignOf(docsDf: DataFrame,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      seed: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0.0),
+      s"split weights must be positive: $weights")
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"split weights must sum to 1: $weights")
+    val u = hashUniform(col("doc_id"), seed)
+    val cum = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assigned = weights.zip(cum).init
+      .foldRight(lit(weights.last._1): Column) {
+        case (((name, _), ub), rest) =>
+          when(u < lit(ub), lit(name)).otherwise(rest)
+      }
+    docsDf.select(col("doc_id"), u.as("u"), assigned.as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The t25 gate: the default 90/5/5 split over the documents
+    * table — full assignment emitted with u, so the oracle recomputes
+    * every decision bit-for-bit. */
+  def splitAssign(s: SparkSession, d: String): DataFrame =
+    splitAssignOf(docsPlain(s, d))
 
   // —— boilerplate-line detection / removal (line-level dedup) ——
 

@@ -293,6 +293,34 @@ class TextEventsSpec extends SparkSpec {
     assert(Versioned.read(spark, s"$dir.stats").head().getLong(0) == 8L)
   }
 
+  test("split assignment: disjoint-exhaustive, proportional, stable " +
+      "under corpus growth, seed-sensitive") {
+    import spark.implicits._
+    val docs = (1L to 2000L).map(i => (i, s"doc $i")).toDF(
+      "doc_id", "text")
+    val out = TextAnalysis.splitAssignOf(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    // exhaustive (every doc assigned exactly once by construction)
+    assert(out.size == 2000)
+    val counts = out.values.groupBy(identity).view.mapValues(_.size)
+    // proportions near 90/5/5 (binomial tolerance at n=2000)
+    assert(math.abs(counts("train") / 2000.0 - 0.9) < 0.03, counts)
+    assert(math.abs(counts("val") / 2000.0 - 0.05) < 0.02, counts)
+    assert(math.abs(counts("test") / 2000.0 - 0.05) < 0.02, counts)
+    // growth stability: assignment is per-row — a bigger corpus keeps
+    // every existing assignment (eval sets never churn)
+    val grown = TextAnalysis.splitAssignOf(
+      (1L to 3000L).map(i => (i, s"doc $i")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.forall { case (id, sp) => grown(id) == sp })
+    // a different seed reshuffles; weights must validate
+    val reseeded = TextAnalysis.splitAssignOf(docs, seed = "other")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out.exists { case (id, sp) => reseeded(id) != sp })
+    intercept[IllegalArgumentException] {
+      TextAnalysis.splitAssignOf(docs, weights = Seq("a" -> 0.5)) }
+  }
+
   test("skew-safe source cap is row-identical to the direct window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val direct = TextAnalysis.sourceCapOf(docs, perSource = 7).collect()
