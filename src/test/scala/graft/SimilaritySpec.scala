@@ -320,6 +320,26 @@ class SimilaritySpec extends SparkSpec {
     assert(cb.count() == Similarity.PqM.toLong * Similarity.PqCodes)
   }
 
+  test("hybrid RRF: fused score is exactly the rank formula, every " +
+      "candidate came from a system") {
+    val out = Similarity.hybridRrf(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r =>
+      val t = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val v = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(t.nonEmpty || v.nonEmpty, s"candidate from nowhere: $r")
+      t.foreach(x => assert(x >= 1 && x <= 50))
+      v.foreach(x => assert(x >= 1 && x <= 50))
+      val expect = t.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        v.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - expect) < 1e-12,
+        s"rrf mismatch: $r expected $expect")
+    }
+    // determinism: a rerun fuses to the identical list
+    assert(Similarity.hybridRrf(spark, sf).collect().map(_.toString)
+      .toSeq == out.map(_.toString).toSeq)
+  }
+
   test("PQ codebook survives empty clusters at full M x K density") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
