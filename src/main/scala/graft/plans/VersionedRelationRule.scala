@@ -152,6 +152,7 @@ case class VersionedRelationRule(spark: SparkSession)
             Versioned.snapshots(spark, t.tableDir, t.pinnedVersion)
           case "manifests" =>
             Versioned.manifests(spark, t.tableDir, t.pinnedVersion)
+          case "all_files" => Versioned.allFiles(spark, t.tableDir)
         }).queryExecution.analyzed
         require(real.output.length == r.output.length,
           s"metadata table ${t.name()} changed shape between catalog " +

@@ -313,7 +313,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (ident.namespace.isEmpty) return None
     val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
     if (kind != "history" && kind != "files" && kind != "refs" &&
-      kind != "partitions" && kind != "snapshots" && kind != "manifests")
+      kind != "partitions" && kind != "snapshots" &&
+      kind != "manifests" && kind != "all_files")
       return None
     val parent = Identifier.of(ident.namespace.dropRight(1),
       ident.namespace.last)
@@ -323,7 +324,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     // pin at RESOLUTION like every catalog reference: one statement
     // reads one consistent snapshot's file inventory
     val pin = kind match {
-      case "history" | "refs" =>
+      case "history" | "refs" | "all_files" =>
         if (version.isDefined)
           throw new UnsupportedOperationException(
             s"${display(ident)} is whole-table metadata; VERSION AS " +
@@ -339,6 +340,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case "partitions" => Versioned.partitions(spark, dir, pin)
       case "snapshots" => Versioned.snapshots(spark, dir, pin)
       case "manifests" => Versioned.manifests(spark, dir, pin)
+      case "all_files" => Versioned.allFiles(spark, dir)
     }
     Some(new GraftMetaTable(dir, kind, pin, df.schema,
       display(ident)))

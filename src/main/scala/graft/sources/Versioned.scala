@@ -3484,6 +3484,19 @@ object Versioned {
     * this version, and its kind (`data`, or `delete` for a
     * merge-on-read tombstone's key files). Metadata-scale: one FS
     * listing per manifest entry, no file contents read. */
+  /** Every file of every RETAINED snapshot — Iceberg's `all_files`
+    * metadata table: one row per (snapshot, file), so a file linked
+    * by several snapshots appears once per snapshot (Iceberg's all_*
+    * tables behave the same). The vacuum-planning view: a physical
+    * file absent from this table is reclaim debris. O(versions)
+    * manifest/sidecar reads, never a data scan. */
+  def allFiles(spark: SparkSession, tableDir: String): DataFrame = {
+    val vs = committedVersions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed version at $tableDir")
+    vs.map(v => files(spark, tableDir, Some(v))
+      .withColumn("snapshot", lit(v))).reduce(_ unionAll _)
+  }
+
   def files(spark: SparkSession, tableDir: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, tableDir))

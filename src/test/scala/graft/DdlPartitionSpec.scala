@@ -632,6 +632,16 @@ class DdlPartitionSpec extends SparkSpec {
     val pruned = Versioned.readWhere(spark, t, "ts",
       "2024-06-02 00:00:00", "2024-06-02 23:00:00")
     assert(pruned.count() == 3)
+    // a scope matching NO partition directory is a misspelled segment,
+    // not a clean sweep — it must refuse, never report success
+    val e = intercept[Exception] {
+      spark.sql("CALL graft.system.compact_small(" +
+        s"table => '${new java.io.File(t).getAbsolutePath}', " +
+        "where_partition => 'days_ts=2099-01-01')") }
+    assert(e.getMessage.contains("matches no partition") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("matches no partition")),
+      s"wanted the no-match refusal, got: ${e.getMessage}")
   }
 
   test("write.distribution-mode clusters partitioned writes") {
@@ -693,6 +703,37 @@ class DdlPartitionSpec extends SparkSpec {
     assert(Versioned.properties(spark, t)
       .get(Versioned.DistributionModeProp).contains("range"),
       "a refused SET must leave the prior value standing")
+  }
+
+  test(".all_files spans retained snapshots; current slice equals " +
+      ".files; refuses VERSION AS OF") {
+    val (t, g) = fresh("all_files_meta")
+    spark.sql(s"CREATE TABLE $g (id INT)")            // v1: no files
+    spark.sql(s"INSERT INTO $g VALUES (1), (2)")      // v2
+    spark.sql(s"INSERT INTO $g VALUES (3)")           // v3 links v2's
+    val af = spark.sql(
+      s"SELECT snapshot, file, kind FROM $g.all_files").collect()
+    val bySnap = af.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    // every retained snapshot contributes its slice, and append-only
+    // history makes each slice a superset of its parent's
+    assert(bySnap.keySet == Set(1, 2, 3), bySnap)
+    assert(bySnap(1).subsetOf(bySnap(2)) && bySnap(2).subsetOf(bySnap(3)),
+      bySnap)
+    assert(bySnap(2).size > bySnap(1).size &&
+      bySnap(3).size > bySnap(2).size, bySnap)
+    // the newest snapshot's slice is exactly .files
+    val cur = spark.sql(s"SELECT file FROM $g.files")
+      .collect().map(_.getString(0)).toSet
+    assert(bySnap(3) == cur)
+    // a file linked by several snapshots appears once per snapshot
+    bySnap(1).foreach { f =>
+      assert(af.count(_.getString(1) == f) == 3, f) }
+    // whole-table metadata: VERSION AS OF refuses like .history
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $g.all_files VERSION AS OF 2").collect()
+    }
+    assert(e.getMessage.contains("whole-table metadata"))
   }
 
   test(".snapshots metadata table summarizes each commit") {
