@@ -146,14 +146,22 @@ object GraftProcedures {
             transform = Versioned.currentTransform(spark, d)))
         })
       case "vacuum" => new Proc("vacuum",
-        "expire all but the newest N unpinned snapshots",
+        "expire all but the newest N unpinned snapshots; dry_run " +
+          "reports the would-be retained count, expiring nothing",
         Seq(p("table", StringType),
-          p("keep", IntegerType, Some("1"))),
+          p("keep", IntegerType, Some("1")),
+          p("dry_run", BooleanType, Some("false"))),
         retainedRow,
         a => {
           val d = dir(a(0))
-          Versioned.vacuum(spark, d, keep = a(1).asInstanceOf[Int])
-          Seq(Versioned.versions(spark, d).size)
+          val keep = a(1).asInstanceOf[Int]
+          if (a(2).asInstanceOf[Boolean])
+            Seq(Versioned.versions(spark, d).size -
+              Versioned.vacuumCandidates(spark, d, keep).size)
+          else {
+            Versioned.vacuum(spark, d, keep)
+            Seq(Versioned.versions(spark, d).size)
+          }
         })
       case "expire_snapshots" => new Proc("expire_snapshots",
         "expire unpinned snapshots older than a timestamp",
@@ -237,14 +245,16 @@ object GraftProcedures {
           "tmp files) the commit protocol's self-healing never " +
           "revisits; never races a live commit",
         Seq(p("table", StringType),
-          p("older_than_hours", IntegerType, Some("24"))),
+          p("older_than_hours", IntegerType, Some("24")),
+          p("dry_run", BooleanType, Some("false"))),
         StructType(Seq(StructField("orphans_removed", IntegerType,
           nullable = false))),
         a => {
           require(a(1) != null,
             "'older_than_hours' must not be NULL (omit it for 24h)")
           Seq(Versioned.removeOrphanFiles(spark, dir(a(0)),
-            olderThanMillis = a(1).asInstanceOf[Int] * 3600L * 1000))
+            olderThanMillis = a(1).asInstanceOf[Int] * 3600L * 1000,
+            dryRun = a(2).asInstanceOf[Boolean]))
         })
       case "collect_stats" => new Proc("collect_stats",
         "backfill stats sidecars for linked version roots missing " +

@@ -2609,9 +2609,15 @@ object Versioned {
     * `.reclaim-*` directories. Maintenance only — do not run
     * concurrently with active committers, whose in-flight claims look
     * identical to debris. */
-  def vacuum(spark: SparkSession, tableDir: String, keep: Int = 1): Unit = {
+  /** The versions a `vacuum(keep)` would expire — the DRY-RUN view
+    * an operator checks before pulling the trigger (Iceberg's
+    * expire_snapshots dry-run). Shares the exact pin logic with
+    * [[vacuum]]: the current version, the newest keep-1, tags, and
+    * branch heads never appear here. */
+  def vacuumCandidates(spark: SparkSession, tableDir: String,
+      keep: Int = 1): Seq[Int] = {
     val f = fs(spark, tableDir)
-    if (!f.exists(new Path(tableDir))) return // never-committed table: no-op
+    if (!f.exists(new Path(tableDir))) return Nil
     val cur = currentVersion(spark, tableDir)
     val all = versions(spark, tableDir)
     // tagged versions are pinned: a named snapshot never expires; so
@@ -2619,9 +2625,15 @@ object Versioned {
     // reference count below, like any retained manifest's)
     val tagged = tags(spark, tableDir).values.toSet ++
       branches(spark, tableDir).values
-    val expired0 = all.filter(_ != cur).dropRight(math.max(0, keep - 1))
+    all.filter(_ != cur).dropRight(math.max(0, keep - 1))
       .filterNot(tagged.contains)
-    expireVersions(spark, tableDir, f, cur, all, expired0)
+  }
+
+  def vacuum(spark: SparkSession, tableDir: String, keep: Int = 1): Unit = {
+    val f = fs(spark, tableDir)
+    if (!f.exists(new Path(tableDir))) return // never-committed table: no-op
+    expireVersions(spark, tableDir, f, currentVersion(spark, tableDir),
+      versions(spark, tableDir), vacuumCandidates(spark, tableDir, keep))
   }
 
   /** AGE-based snapshot expiry — the Iceberg
@@ -5102,7 +5114,8 @@ object Versioned {
     * against max(olderThanMillis, [[ReclaimGraceMs]]) so the sweep
     * can never race a live commit. Returns the entries removed. */
   def removeOrphanFiles(spark: SparkSession, tableDir: String,
-      olderThanMillis: Long = 24L * 3600 * 1000): Int = {
+      olderThanMillis: Long = 24L * 3600 * 1000,
+      dryRun: Boolean = false): Int = {
     val f = fs(spark, tableDir)
     val root = new Path(tableDir)
     if (!f.exists(root)) return 0
@@ -5122,8 +5135,10 @@ object Versioned {
         if (orphanDir) Try(newestMtime(st.getPath)).toOption
           .exists(_ < cutoff)
         else st.getModificationTime < cutoff
+      // dry run COUNTS what the sweep would delete, touching nothing —
+      // the pre-flight an operator runs before a destructive sweep
       if ((orphanDir || orphanTmp) && stale &&
-        f.delete(st.getPath, orphanDir)) removed += 1
+        (dryRun || f.delete(st.getPath, orphanDir))) removed += 1
     }
     val rootEntries = f.listStatus(root).toSeq
     rootEntries.foreach(sweep)

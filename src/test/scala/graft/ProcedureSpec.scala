@@ -40,10 +40,16 @@ class ProcedureSpec extends SparkSpec {
       .head().getInt(0)
     assert(rb == 4)
     assert(Versioned.read(spark, t).count() == 2)
-    // positional args work too; vacuum returns the retained count
+    // dry_run predicts the retained count and expires NOTHING
+    val predicted = spark.sql(s"CALL graft.system.vacuum(" +
+      s"table => '$abs', keep => 2, dry_run => true)").head().getInt(0)
+    assert(predicted == 2)
+    assert(Versioned.versions(spark, t) == Seq(1, 2, 3, 4))
+    // positional args work too; vacuum returns the retained count —
+    // matching the dry run's prediction
     val kept = spark.sql(s"CALL graft.system.vacuum('$abs', 2)")
       .head().getInt(0)
-    assert(kept == 2)
+    assert(kept == predicted)
     // newest two versions survive; the rollback target's FILES stay
     // referenced through v4's links even though v2 itself expired
     assert(Versioned.versions(spark, t) == Seq(3, 4))
@@ -375,6 +381,13 @@ class ProcedureSpec extends SparkSpec {
     // fresh debris must survive (could be a live commit)
     val freshStage = new java.io.File(s"$t/.stage-v9-fresh")
     freshStage.mkdirs()
+    // dry_run counts the sweep without touching anything
+    val wouldRemove = spark.sql(s"CALL graft.system.remove_orphan_files(" +
+      s"table => '$abs', older_than_hours => 24, dry_run => true)")
+      .head().getInt(0)
+    assert(wouldRemove == 4, s"expected 4 counted, got $wouldRemove")
+    assert(s1.exists && r1.exists && t1.exists && t2.exists,
+      "dry run must delete nothing")
     val removed = spark.sql(s"CALL graft.system.remove_orphan_files(" +
       s"table => '$abs', older_than_hours => 24)").head().getInt(0)
     assert(removed == 4, s"expected 4 swept, got $removed")
