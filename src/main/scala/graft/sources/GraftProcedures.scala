@@ -295,6 +295,19 @@ object GraftProcedures {
             note = Some(s"CALL add_files(${srcs.size} source(s))"),
             link = !a(2).asInstanceOf[Boolean]))
         })
+      case "clone_table" => new Proc("clone_table",
+        "clone a snapshot into an empty table (Delta CLONE analog): " +
+          "data files hardlinked/copied via the export path — the " +
+          "clone owns its bytes, the source vacuums freely; " +
+          "properties and declared spec carry over",
+        Seq(p("source", StringType), p("dest", StringType),
+          p("version", IntegerType, Some("-1"))),
+        versionRow,
+        a => {
+          require(a(1) != null, "'dest' is required")
+          val ver = Option(a(2)).map(_.asInstanceOf[Int]).filter(_ > 0)
+          Seq(Versioned.cloneTable(spark, dir(a(0)), dir(a(1)), ver))
+        })
       case "create_changelog_view" => new Proc("create_changelog_view",
         "register the (from, to] row-level changelog as a temp view " +
           "(Iceberg's create_changelog_view): inserts and deletes " +
@@ -333,5 +346,6 @@ object GraftProcedures {
     "compact_deletes", "vacuum", "expire_snapshots", "rollback",
     "create_tag", "create_branch", "fast_forward", "drop_branch",
     "set_spec", "collect_stats", "rewrite_zorder",
-    "remove_orphan_files", "create_changelog_view", "add_files")
+    "remove_orphan_files", "create_changelog_view", "add_files",
+    "clone_table")
 }

@@ -1395,6 +1395,36 @@ object Versioned {
     * import lands as an unpartitioned entry — on a spec-declared
     * table it joins the mixed-layout inventory `.partitions` surfaces
     * (compact to restore a uniform layout). */
+  /** Delta-CLONE-style table clone: resolve the source snapshot's
+    * data-file list through [[exportSnapshot]] (inheriting its
+    * refusals — live MoR tombstones, pending schema steps, and hive
+    * layouts must compact first; the same honesty every raw-scan
+    * consumer needs) and import it into an EMPTY `destDir` as one
+    * commit. Files hardlink where the volume allows and copy
+    * otherwise, so unlike a manifest-reference shallow clone the
+    * clone owns its bytes — the source vacuums freely, the clone
+    * never dangles. The source's table properties and declared
+    * partition spec carry over (metadata-only commits), so future
+    * writes to the clone behave like writes to the source. Returns
+    * the clone's current version. */
+  def cloneTable(spark: SparkSession, sourceDir: String,
+      destDir: String, version: Option[Int] = None,
+      link: Boolean = true): Int = {
+    require(currentVersion(spark, destDir) == 0,
+      s"clone target $destDir already has commits")
+    val v = version.getOrElse(currentVersion(spark, sourceDir))
+    val files = exportSnapshot(spark, sourceDir, Some(v))
+    importFiles(spark, destDir, files,
+      note = Some(s"CLONE of $sourceDir v=$v"), link = link)
+    val props = properties(spark, sourceDir)
+    if (props.nonEmpty)
+      setProperties(spark, destDir, set = props,
+        note = Some("CLONE properties"))
+    currentTransform(spark, sourceDir).foreach(t =>
+      setSpec(spark, destDir, Some(t), note = Some("CLONE spec")))
+    currentVersion(spark, destDir)
+  }
+
   def importFiles(spark: SparkSession, tableDir: String,
       sources: Seq[String], note: Option[String] = None,
       link: Boolean = true): Int = withCommitRetry() {

@@ -402,6 +402,52 @@ class ProcedureSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(freshStage)
   }
 
+  test("clone_table: independent bytes, properties and spec carry, " +
+      "refusals inherited from the export path") {
+    import spark.implicits._
+    val (src, srcAbs) = fresh("clone_src")
+    val (dst, dstAbs) = fresh("clone_dst")
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), src)
+    Versioned.append(Seq((3, "c")).toDF("id", "v"), src)
+    Versioned.setProperties(spark, src,
+      set = Map("write.target-file-size-bytes" -> "1048576"))
+    val v = spark.sql(s"CALL graft.system.clone_table(" +
+      s"source => '$srcAbs', dest => '$dstAbs')").head().getInt(0)
+    assert(v >= 1)
+    // same rows, independent lineage
+    assert(Versioned.read(spark, dst).orderBy("id").collect().toSeq ==
+      Versioned.read(spark, src, Some(3)).orderBy("id").collect().toSeq)
+    // properties carried
+    assert(Versioned.properties(spark, dst)
+      .get("write.target-file-size-bytes").contains("1048576"))
+    // the clone OWNS its bytes: vacuuming the source to nothing and
+    // deleting its directory leaves the clone fully readable
+    Versioned.append(Seq((4, "d")).toDF("id", "v"), src)
+    Versioned.vacuum(spark, src, keep = 1)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(src))
+    assert(Versioned.read(spark, dst).count() == 3)
+    // divergence after clone: writes to one never touch the other
+    Versioned.append(Seq((9, "z")).toDF("id", "v"), dst)
+    assert(Versioned.read(spark, dst).count() == 4)
+    // clone target must be empty
+    val e = intercept[Exception] {
+      spark.sql(s"CALL graft.system.clone_table(" +
+        s"source => '$dstAbs', dest => '$dstAbs')") }
+    assert(e.getMessage.contains("already has commits") ||
+      (e.getCause != null &&
+        e.getCause.getMessage.contains("already has commits")))
+    // a source with live MoR tombstones refuses (the export contract)
+    val (src2, src2Abs) = fresh("clone_src_mor")
+    val (dst2, dst2Abs) = fresh("clone_dst_mor")
+    Versioned.commit(Seq((1, "a"), (2, "b")).toDF("id", "v"), src2)
+    Versioned.deleteRows(spark, src2, Seq(Tuple1(1)).toDF("id"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL graft.system.clone_table(" +
+        s"source => '$src2Abs', dest => '$dst2Abs')") }
+    assert(e2.getMessage.contains("tombstone") ||
+      (e2.getCause != null && e2.getCause.getMessage.contains("tombstone")))
+  }
+
   test("create_changelog_view registers a SQL-queryable change view") {
     import spark.implicits._
     val (t, abs) = fresh("proc_changelog")
