@@ -123,6 +123,7 @@ object SparkEntry {
     "t23_bm25_search"  -> ((s, d) => TextAnalysis.bm25Search(s, d)),
     "t24_bm25_indexed" -> (TextAnalysis.bm25SearchIndexedGate _),
     "t25_split_assign" -> (TextAnalysis.splitAssign _),
+    "t26_percentile_norm" -> (TextAnalysis.percentileNorm _),
     "t21_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "t14_repetition" -> (TextAnalysis.repetitionSignals _),
     // PII redaction (emails/phones/IPv4 -> typed placeholders): the
@@ -734,6 +735,20 @@ object SparkEntry {
                  CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
                / 4294967296.0 < keep_p
          ORDER BY doc_id""",
+    // Exact percent-rank: the engine's bucketed two-pass rank must
+    // equal SQL percent_rank() (ties included) — the oracle IS the
+    // single-window definition the scale path avoids.
+    "t26_percentile_norm" ->
+      """WITH scored AS (
+           SELECT doc_id,
+                  len(regexp_extract_all(lower(text),
+                    '\b(the|a|and|of|to|in|is|it)\b')) * 1.0 /
+                    len(regexp_split_to_array(trim(text), '\s+'))
+                    AS score
+           FROM documents)
+         SELECT doc_id, score,
+                percent_rank() OVER (ORDER BY score) AS pct_rank
+         FROM scored ORDER BY doc_id""",
     // Deterministic 90/5/5 split: u = (seed, doc_id) md5 uniform, the
     // split is the interval u falls in — DuckDB recomputes every
     // assignment bit-for-bit, full rows hash-matched.

@@ -952,6 +952,66 @@ object TextAnalysis {
   def splitAssign(s: SparkSession, d: String): DataFrame =
     splitAssignOf(docsPlain(s, d))
 
+  /** EXACT global percent-rank of each document's quality score —
+    * the normalization that turns a raw heuristic into a corpus-
+    * relative [0, 1] signal (curation thresholds like "keep the top
+    * 30%" need the percentile, not the raw value). Matches SQL
+    * `percent_rank() OVER (ORDER BY score)` exactly, ties included:
+    * pct = (rank - 1) / (n - 1), rank = 1 + #strictly-smaller.
+    *
+    * Scale shape — the t10/t17 two-pass discipline applied to a
+    * CONTINUOUS column, where bucketing needs value ranges instead
+    * of hash prefixes: ~256 `approx_percentile` boundaries split the
+    * corpus into balanced score ranges (the approximation moves only
+    * task BALANCE, never the answer), per-bucket counts cross to the
+    * driver (≤256 scalars), exclusive offsets broadcast back, and
+    * the exact rank window runs per bucket over ~n/256 rows. Equal
+    * scores always share a bucket (the boundary test is strict), so
+    * offset + within-bucket `rank()` IS the global tie-sharing rank
+    * — no window ever orders the corpus through one task
+    * (spec-asserted). */
+  def percentileNormOf(docsDf: DataFrame): DataFrame = {
+    val s = docsDf.sparkSession
+    val stopHits = regexp_count(lower(col("text")),
+      lit("\\b(the|a|and|of|to|in|is|it)\\b")).cast("long")
+    val scored = docsDf.select(col("doc_id"),
+      (stopHits.cast("double") / nTokens(col("text"))).as("score"))
+    val probs = (1 until 256).map(_ / 256.0)
+    val bRow = scored.agg(expr(
+      s"approx_percentile(score, array(${probs.mkString(",")}))"))
+      .head()
+    val bounds =
+      if (bRow.isNullAt(0)) Seq.empty[Double]
+      else bRow.getSeq[Double](0).distinct.sorted
+    val bucketed = scored.withColumn("bk",
+      if (bounds.isEmpty) lit(0)
+      else aggregate(array(bounds.map(lit): _*), lit(0),
+        (acc, b) => acc + when(col("score") > b, 1).otherwise(0)))
+    val counts = bucketed.groupBy(col("bk")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val n = counts.map(_._2).sum
+    if (n == 0)
+      return scored.withColumn("pct_rank", lit(0.0d))
+    var acc = 0L
+    val offsets = counts.toSeq.map { case (bk, c) =>
+      val o = (bk, acc); acc += c; o
+    }
+    val offDf = s.createDataFrame(offsets).toDF("bk", "offset")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bk")).orderBy(col("score"))
+    bucketed.join(broadcast(offDf), "bk")
+      .withColumn("grank", rank().over(w).cast("long") + col("offset"))
+      .withColumn("pct_rank",
+        if (n == 1) lit(0.0d)
+        else (col("grank") - 1).cast("double") / lit((n - 1).toDouble))
+      .select(col("doc_id"), col("score"), col("pct_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The t26 gate over the documents table. */
+  def percentileNorm(s: SparkSession, d: String): DataFrame =
+    percentileNormOf(docsPlain(s, d))
+
   // —— boilerplate-line detection / removal (line-level dedup) ——
 
   /** Lines repeated across >= `minDocs` DISTINCT documents — nav

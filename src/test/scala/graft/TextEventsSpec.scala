@@ -321,6 +321,37 @@ class TextEventsSpec extends SparkSpec {
       TextAnalysis.splitAssignOf(docs, weights = Seq("a" -> 0.5)) }
   }
 
+  test("percentile norm equals the single-window percent_rank, ties " +
+      "shared, no unpartitioned window") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.percentileNormOf(docs)
+    // the definition the scale path must reproduce exactly
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+    val stopHits = regexp_count(lower(col("text")),
+      lit("\\b(the|a|and|of|to|in|is|it)\\b")).cast("long")
+    val direct = docs.select(col("doc_id"),
+        (stopHits.cast("double") / TextAnalysis.nTokens(col("text")))
+          .as("score"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .orderBy(col("doc_id"))
+    assert(out.collect().map(_.toString).toSeq ==
+      direct.collect().map(_.toString).toSeq)
+    // the scale property: no window orders the corpus in one task
+    val unpartitioned = out.queryExecution.optimizedPlan.collect {
+      case wn: org.apache.spark.sql.catalyst.plans.logical.Window
+          if wn.partitionSpec.isEmpty => wn
+    }
+    assert(unpartitioned.isEmpty)
+    // tie sharing: duplicate scores get identical percentiles
+    val tied = Seq((1L, "x y"), (2L, "x y"), (3L, "the the the a of"))
+      .toDF("doc_id", "text")
+    val tr = TextAnalysis.percentileNormOf(tied).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(tr(1L) == tr(2L) && tr(3L) > tr(1L))
+    assert(tr(1L) == 0.0 && tr(3L) == 1.0)
+  }
+
   test("skew-safe source cap is row-identical to the direct window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val direct = TextAnalysis.sourceCapOf(docs, perSource = 7).collect()
