@@ -258,6 +258,7 @@ object SparkEntry {
     // rewrite; the oracle aggregates the same bytes straight from the
     // fixture table.
     "q48_add_files" -> (graft.sources.Versioned.importGate _),
+    "q49_clone_table" -> (graft.sources.Versioned.cloneGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1477,6 +1478,17 @@ object SparkEntry {
          FROM (SELECT * FROM nation UNION ALL SELECT * FROM nation)
          WHERE n_nationkey <> 3
          GROUP BY n_regionkey ORDER BY n_regionkey""",
+    // clone_table constants: 15 cloned nation rows (keys 0..14, sum
+    // 105) survive the source directory's DELETION (byte ownership),
+    // properties carry, and a divergent +5 append lands only on the
+    // clone. Stated from nation, which is SF-independent.
+    "q49_clone_table" ->
+      """SELECT CAST(count(*) AS BIGINT) AS clone_rows,
+                CAST(sum(n_nationkey) AS BIGINT) AS keysum,
+                CAST(1 AS BIGINT) AS props_carried,
+                CAST(count(*) + 5 AS BIGINT)
+                  AS rows_after_divergent_append
+         FROM nation WHERE n_nationkey < 15""",
   ) ++ exportOracle
 
   /** q47's oracle aggregates the graft table's OWN data files — the

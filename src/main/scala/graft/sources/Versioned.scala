@@ -3763,6 +3763,44 @@ object Versioned {
     * through the fixture table the files came from (`nation UNION ALL
     * nation` minus the deleted key). A hash match proves foreign
     * parquet round-trips the import path bit-for-bit. */
+  /** The q49 gate: [[cloneTable]] reduced to engine-independent
+    * constants — build a small nation-derived table (commit + append
+    * + a property), clone it, then DESTROY the source directory
+    * entirely and probe the clone: the byte-ownership contract means
+    * every number must still answer. One constant row the DuckDB
+    * oracle states literally (nation is SF-independent). */
+  def cloneGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-clone-gate")
+    try {
+      val src = work.resolve("src").toString
+      val dst = work.resolve("dst").toString
+      val nation = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey"))
+      commit(nation.filter(col("n_nationkey") < 10), src)
+      append(nation.filter(
+        col("n_nationkey") >= 10 && col("n_nationkey") < 15), src)
+      setProperties(s, src,
+        set = Map("write.target-file-size-bytes" -> "1048576"))
+      cloneTable(s, src, dst)
+      // the byte-ownership probe: no source, no excuses
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(src))
+      val cloneRows = read(s, dst).count()            // 15
+      val keysum = read(s, dst)
+        .agg(sum(col("n_nationkey"))).head().getLong(0) // 0..14 = 105
+      val propOk = properties(s, dst)
+        .get("write.target-file-size-bytes").contains("1048576")
+      append(nation.filter(col("n_nationkey") >= 20), dst) // +5
+      val grown = read(s, dst).count()                // 20
+      s.range(1).select(
+        lit(cloneRows).as("clone_rows"),
+        lit(keysum).as("keysum"),
+        lit(if (propOk) 1L else 0L).as("props_carried"),
+        lit(grown).as("rows_after_divergent_append"))
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
   def importGate(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files
       .createTempDirectory("graft-import-gate")
