@@ -44,7 +44,8 @@ object Bench {
     }
 
     case class M(sec: Double, off: Double, shuffleBytes: Long,
-        peakMem: Long, spill: Long, scanRows: Long)
+        peakMem: Long, spill: Long, scanRows: Long,
+        fileScanRows: Long = 0L)
 
     // Fixed-work calibration probe, timed at sweep start and end: a
     // constant 200M-row range reduction whose cost depends only on the
@@ -106,7 +107,8 @@ object Bench {
           rs.map(_.shuffleBytesWritten).sum,
           rs.map(_.peakExecutionMemory).sum,
           rs.map(_.spillSize).sum,
-          rs.map(_.scanRows).sum)
+          rs.map(_.scanRows).sum,
+          rs.map(_.fileScanRows).sum)
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
@@ -128,15 +130,41 @@ object Bench {
       java.util.Locale.ROOT, s"%.${digits}f", Double.box(v))
     val qs = results.map { case (k, m) => "\"" + k + "\":" + m.sec }
       .mkString("{", ",", "}")
+    val total = results.map(_._2.sec).filter(_ >= 0).sum
+    val endOff = offNow
+    val calibEnd = calibrate()
+    // Per-query load estimate, self-adjudicating the sweep: linear
+    // interpolation of the bracketing fixed-work probes at the query's
+    // t_off, divided by the probe's measured IDLE-box cost. The r13
+    // sweep ran 2-9x inflated and separating "inflated" from "real"
+    // still took manual warm re-runs; with load_est in the JSON,
+    // seconds / load_est ~= idle seconds (validated against t26's warm
+    // number this round). Clamped at 1.0: a probe can't run faster
+    // than idle, so sub-reference readings are JIT/cache jitter, and a
+    // query must never be made to look SLOWER than measured.
+    val CalibRefS = 0.09 // idle-box 200M-row probe cost (r13 verdict)
+    val probePts = ((0.0, calibStart) +: calibProbes.toSeq :+
+      ((endOff, calibEnd))).sortBy(_._1)
+    def loadAt(off: Double): Double = {
+      val i = probePts.lastIndexWhere(_._1 <= off)
+      val interp =
+        if (i < 0) probePts.head._2
+        else if (i >= probePts.size - 1) probePts.last._2
+        else {
+          val (x0, y0) = probePts(i); val (x1, y1) = probePts(i + 1)
+          if (x1 == x0) y0 else y0 + (y1 - y0) * (off - x0) / (x1 - x0)
+        }
+      math.max(1.0, interp / CalibRefS)
+    }
     val ms = results.map { case (k, m) =>
       "\"" + k + "\":{\"shuffle_bytes\":" + m.shuffleBytes +
         ",\"peak_mem\":" + m.peakMem +
         ",\"spill_bytes\":" + m.spill +
         ",\"scan_rows\":" + m.scanRows +
-        ",\"t_off\":" + num(m.off, 3) + "}"
+        ",\"file_scan_rows\":" + m.fileScanRows +
+        ",\"t_off\":" + num(m.off, 3) +
+        ",\"load_est\":" + num(loadAt(m.off), 2) + "}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2.sec).filter(_ >= 0).sum
-    val calibEnd = calibrate()
     val probes = calibProbes.map { case (off, s) =>
       "[" + num(off, 3) + "," + num(s, 4) + "]" }
       .mkString("[", ",", "]")

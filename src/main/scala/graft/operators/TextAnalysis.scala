@@ -530,7 +530,11 @@ object TextAnalysis {
         shingleCache.keySet.removeIf(_.sparkContext.isStopped)
         val fresh = Dedup.shingleRows(s, d)
         val sh = shingleCache.compute(s, (_, prev) =>
-          if (prev != null && prev.queryExecution.analyzed
+          // storageLevel guard: see percentileNormOf — a clearCache()
+          // between calls empties the entry; reuse only a LIVE cache
+          if (prev != null && prev.storageLevel !=
+                org.apache.spark.storage.StorageLevel.NONE &&
+              prev.queryExecution.analyzed
               .sameResult(fresh.queryExecution.analyzed)) prev
           else {
             if (prev != null) prev.unpersist(false)
@@ -970,12 +974,47 @@ object TextAnalysis {
     * offset + within-bucket `rank()` IS the global tie-sharing rank
     * — no window ever orders the corpus through one task
     * (spec-asserted). */
+  // at most ONE cached scored frame per session (see percentileNormOf)
+  private val scoredCache = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, DataFrame]()
+
   def percentileNormOf(docsDf: DataFrame): DataFrame = {
     val s = docsDf.sparkSession
     val stopHits = regexp_count(lower(col("text")),
       lit("\\b(the|a|and|of|to|in|is|it)\\b")).cast("long")
-    val scored = docsDf.select(col("doc_id"),
+    // Persist the 2-column (doc_id, score) frame BEFORE anything
+    // derives from it: `scored` feeds three actions (boundary fit,
+    // bucket counts, final rank) and — without a barrier —
+    // CollapseProject inlines the regex score INTO the ~255-step
+    // bucketing fold below, re-running the regex once per boundary
+    // per row (~10× measured). Behind the InMemoryRelation the regex
+    // runs exactly one pass and the fold reads a materialized double.
+    // Numeric-only and narrow, so the cache is ~16 bytes/row at any
+    // corpus size; MEMORY_AND_DISK keeps lineage for recompute on a
+    // lost executor. Lifetime follows the shingleCache discipline: at
+    // most one cached scored frame per session, reused when the input
+    // plan is unchanged (CacheManager keys by canonicalized plan, so
+    // put-then-unpersist of an identical previous frame would drop
+    // the shared entry), swapped-and-released on a genuinely new
+    // input.
+    val freshScored = docsDf.select(col("doc_id"),
       (stopHits.cast("double") / nTokens(col("text"))).as("score"))
+    scoredCache.keySet.removeIf(_.sparkContext.isStopped)
+    val scored = scoredCache.compute(s, (_, prev) =>
+      // storageLevel guard: an external catalog.clearCache() (the
+      // bench does one per query) drops the entry from the
+      // CacheManager while this map still holds the frame — reusing
+      // it then would silently revert to the per-boundary regex
+      // recompute this barrier exists to prevent. NONE => re-persist.
+      if (prev != null && prev.storageLevel !=
+            org.apache.spark.storage.StorageLevel.NONE &&
+          prev.queryExecution.analyzed
+            .sameResult(freshScored.queryExecution.analyzed)) prev
+      else {
+        if (prev != null) prev.unpersist(false)
+        freshScored.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     val probs = (1 until 256).map(_ / 256.0)
     val bRow = scored.agg(expr(
       s"approx_percentile(score, array(${probs.mkString(",")}))"))

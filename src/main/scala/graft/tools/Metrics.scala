@@ -31,6 +31,16 @@ object Metrics {
       durationNs: Long,
       outputRows: Long,
       scanRows: Long,
+      /** Rows out of non-cache scan NODES in the executed plan —
+        * excludes InMemoryTableScan, whose output is a cache re-read
+        * (and whose backing file scan lives in the InMemoryRelation's
+        * own cached plan, outside this tree), so a query that
+        * materializes a frame once and re-reads it from memory is not
+        * triple-billed here while `scanRows` keeps the historical
+        * any-scan sum. Actual rows READ from storage are task
+        * inputMetrics territory (see TextEventsSpec's one-pass
+        * assert), not plan metrics. */
+      fileScanRows: Long,
       shuffleBytesWritten: Long,
       peakExecutionMemory: Long = 0L,
       spillSize: Long = 0L,
@@ -73,6 +83,10 @@ object Metrics {
         root.flatMap(_.metrics.get("numOutputRows").map(_.value))
           .getOrElse(0L),
         metricSum(nodes, _.toLowerCase.contains("scan"), "numOutputRows"),
+        metricSum(nodes, n => {
+          val l = n.toLowerCase
+          l.contains("scan") && !l.contains("inmemory")
+        }, "numOutputRows"),
         metricSum(nodes, _.startsWith("Exchange"), "shuffleBytesWritten"),
         peakExecutionMemory = metricSum(nodes, _ => true, "peakMemory"),
         spillSize = metricSum(nodes, _ => true, "spillSize"),
@@ -84,7 +98,7 @@ object Metrics {
 
     override def onFailure(funcName: String, qe: QueryExecution,
         exception: Exception): Unit =
-      queue.add(QueryMetrics(funcName, 0L, 0L, 0L, 0L, failed = true))
+      queue.add(QueryMetrics(funcName, 0L, 0L, 0L, 0L, 0L, failed = true))
   }
 
   /** Attach a fresh recorder to the session and return it. */

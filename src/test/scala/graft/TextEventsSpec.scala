@@ -352,6 +352,42 @@ class TextEventsSpec extends SparkSpec {
     assert(tr(1L) == 0.0 && tr(3L) == 1.0)
   }
 
+  test("percentile norm scores the corpus in ONE source pass (the " +
+      "barrier defeats the fold-inlining recompute)") {
+    // Without the persist barrier CollapseProject inlines the regex
+    // score into the ~255-step bucketing fold and the source is
+    // re-scanned (and the regex re-run, boundary-times per row) by
+    // all three actions — measured ~10x. The parquet scan lives
+    // INSIDE the InMemoryRelation's cached plan (invisible to
+    // executed-plan node traversal), so the one-pass evidence is task
+    // input metrics: total records read from storage across the whole
+    // gate must be n (one populate pass), not 3n.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") >= -1) // unique plan => fresh cache entry
+    val nDocs = docs.count()
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val lis = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(lis)
+    try {
+      val out = TextAnalysis.percentileNormOf(docs).collect()
+      assert(out.length == nDocs)
+      // task-end delivery is async; poll until the count stabilizes
+      var last = -1L; var spins = 0
+      while (read.get != last && spins < 100) {
+        last = read.get; Thread.sleep(50); spins += 1
+      }
+      // one populate pass = n, plus a handful of local-frame rows
+      // (bucket offsets); a recompute would be >= 2n
+      assert(read.get >= nDocs && read.get < nDocs + nDocs / 10,
+        s"records read ${read.get}, corpus $nDocs — re-scanned?")
+    } finally spark.sparkContext.removeSparkListener(lis)
+  }
+
   test("skew-safe source cap is row-identical to the direct window") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val direct = TextAnalysis.sourceCapOf(docs, perSource = 7).collect()
