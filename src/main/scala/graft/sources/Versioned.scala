@@ -539,6 +539,20 @@ object Versioned {
       linkBase = None, transform = transform, branch = branch,
       props = props, declaredOrder = declaredOrder)
 
+  /** Process-scoped snapshot-schema cache for the append-path schema
+    * reconcile: schema of a PUBLISHED version is immutable, so one
+    * entry per table dir (the head — a sequential append chain hits
+    * every commit after its first). Entries self-validate against the
+    * version's commit-marker (mtime, len) signature read from the
+    * committer's existing root listing, so a stale entry — another
+    * process advanced the table, or the dir was dropped and recreated
+    * reusing version numbers — can only MISS (recompute), never serve
+    * a wrong schema. */
+  private final case class SnapSchemaEntry(version: Int,
+      markerSig: (Long, Long), schema: StructType)
+  private val snapSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, SnapSchemaEntry]()
+
   /** @param linkBase     snapshot the new version chains onto; its
     *                     manifest entries are linked unless overridden
     * @param linkEntries  explicit replacement for the base's entries —
@@ -607,6 +621,10 @@ object Versioned {
     // An append's linked base must still be its branch's head —
     // chaining onto a superseded version would silently drop the
     // interleaved commit's rows from the new manifest.
+    // `nextSchema`, when set, is the schema the PUBLISHED snapshot
+    // will read with — derived structurally on the clean append path
+    // and fed to [[snapSchemaCache]] after the marker lands.
+    var nextSchema: Option[StructType] = None
     linkBase.foreach { b =>
       if (b != head) throw new CommitRaceException(
         s"append base v=$b is no longer the head of '$targetBranch' " +
@@ -618,14 +636,57 @@ object Versioned {
       // unreadable table. (The old copy-on-write append failed such
       // batches up-front; linking must keep that contract.) A no-data
       // commit (tombstone) adds nothing to the union — skip the probe.
-      if (writeData)
-        try read(spark, tableDir, Some(b))
-          .unionByName(df, allowMissingColumns = true).schema
-        catch { case e: org.apache.spark.sql.AnalysisException =>
-          throw new IllegalArgumentException(
-            s"append schema incompatible with snapshot v=$b at " +
-              s"$tableDir: ${e.getMessage}", e)
+      //
+      // COST: building the snapshot's read plan just to learn its
+      // schema is ~200 ms of driver work per commit (file listing +
+      // footer merge + analysis) — the dominant constant of a
+      // sequential append chain. The schema of version b is immutable,
+      // so it is cached per table dir, fingerprinted by (version,
+      // commit-marker mtime+len) from the root listing this commit
+      // already holds — a drop-and-recreate at the same path changes
+      // the marker signature and misses. The common append (every
+      // batch column exists in the snapshot with the same type, or is
+      // brand new) then reconciles structurally; anything else (type
+      // coercion, case-ambiguous names) takes the full unionByName
+      // probe over EMPTY frames, which preserves the exact analyzer
+      // semantics without the table-scan plan.
+      if (writeData) {
+        val sig = rootSt
+          .find(_.getPath.getName == s"$MarkerPrefix$b")
+          .map(st => (st.getModificationTime, st.getLen))
+        val snapSchema = Option(snapSchemaCache.get(tableDir))
+          .filter(e => e.version == b && sig.contains(e.markerSig))
+          .map(_.schema)
+          .getOrElse(read(spark, tableDir, Some(b)).schema)
+        val resolver = spark.sessionState.conf.resolver
+        def matched(fd: StructField): Array[StructField] =
+          snapSchema.fields.filter(sf => resolver(sf.name, fd.name))
+        val clean = df.schema.fields.forall(fd => matched(fd) match {
+          // catalogString equality = same type modulo nullability
+          // (sameType is private[sql]); anything else → full probe
+          case Array(one) =>
+            one.dataType.catalogString == fd.dataType.catalogString
+          case Array() => true // new column: allowMissingColumns
+          case _ => false      // ambiguous match: let the analyzer rule
+        })
+        if (clean) {
+          val extra = df.schema.fields
+            .filter(fd => matched(fd).isEmpty)
+            .map(_.copy(nullable = true))
+          nextSchema = Some(StructType(snapSchema.fields ++ extra))
+        } else {
+          try spark.createDataFrame(
+              new java.util.ArrayList[org.apache.spark.sql.Row](),
+              snapSchema)
+            .unionByName(df.limit(0), allowMissingColumns = true)
+            .schema
+          catch { case e: org.apache.spark.sql.AnalysisException =>
+            throw new IllegalArgumentException(
+              s"append schema incompatible with snapshot v=$b at " +
+                s"$tableDir: ${e.getMessage}", e)
+          }
         }
+      }
     }
     val uuid = java.util.UUID.randomUUID().toString
     val stage = new Path(tableDir, s".stage-v$next-$uuid")
@@ -854,6 +915,19 @@ object Versioned {
     // the two by scanning markers above the stale floor.
     if (branched)
       moveRef(f, tableDir, BranchPrefix, targetBranch, next, targetGen)
+    // Seed the schema cache for the snapshot just published — but
+    // ONLY for the plain append shape, where the structural union
+    // above is exactly what read() will see. Commit kinds that alter
+    // the read schema through other channels (schema steps, explicit
+    // linkEntries merges, imports) leave the cache alone; their next
+    // consumer misses and recomputes from the table.
+    nextSchema.foreach { sch =>
+      if (linkEntries.isEmpty && schemaStep.isEmpty &&
+          deleteDf.isEmpty && posDeleteDf.isEmpty && populate.isEmpty)
+        Try(f.getFileStatus(marker0)).toOption.foreach(st =>
+          snapSchemaCache.put(tableDir, SnapSchemaEntry(next,
+            (st.getModificationTime, st.getLen), sch)))
+    }
     next
   }
 
@@ -999,12 +1073,35 @@ object Versioned {
     * tombstone-free probe only OVER-approximates the touched set (the
     * rewrite itself applies tombstones, so deleted rows never
     * resurrect). */
+  /** Assembled-plan memo for [[readSnapshot]]: a PUBLISHED (table,
+    * version) resolves to the same immutable plan every time — same
+    * manifest, same entries, same tombstones — yet assembling it costs
+    * ~10-20 ms of driver work PER MANIFEST ENTRY (relation resolution,
+    * file listing, union analysis), which made every `read()` of a
+    * long-chained table a 200-400 ms tax and dominated the protocol
+    * gates (~12 probes each). Keyed by the version root's owner-token
+    * epoch (like [[schemaMemo]]): a drop-and-recreate at the same path
+    * mints a fresh token, so a stale entry can only miss; an unknown
+    * epoch ("?" — pre-protocol fixture, vacuumed root) skips the memo
+    * and takes the normal path, preserving its error behavior.
+    * Session-keyed (plans capture their session); bounded by wholesale
+    * clear like the schema memo. */
+  private val planMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Int, Boolean, Boolean, String), DataFrame]()
+
   private def readSnapshot(spark: SparkSession, tableDir: String,
       version: Option[Int], withDeletes: Boolean,
       withMeta: Boolean = false): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
+    val epoch = ownerEpoch(f, tableDir, s"v=$v")
+    val memoKey =
+      (spark, tableDir, v, withDeletes, withMeta, epoch)
+    if (epoch != "?") {
+      val hit = planMemo.get(memoKey)
+      if (hit != null) return hit
+    }
     val deletes =
       if (withDeletes) manifestDeletes(spark, f, tableDir, v) else Nil
     val chain = renameChain(f, tableDir, v)
@@ -1029,7 +1126,7 @@ object Versioned {
           g.epoch + "|" + u.epoch), sch, dv, rn) :: rest
       case (acc, (u, s, d, r)) => (u, s, d, r) :: acc
     }.reverse
-    hideDerived(grouped.map { case (u, _, dv, rn) =>
+    val assembled = hideDerived(grouped.map { case (u, _, dv, rn) =>
       val base = scanUnit(spark, u)
       // the provenance scan for positional deletes needs each row's
       // (file, ordinal): project the reader's hidden _metadata columns
@@ -1047,6 +1144,12 @@ object Versioned {
       applyDeletes(applySchemaSteps(scan, rn, Int.MinValue),
         deletes.filter(t => dv.contains(t.ver)))
     }.reduce(_.unionByName(_, allowMissingColumns = true)))
+    if (epoch != "?") {
+      planMemo.keySet.removeIf(_._1.sparkContext.isStopped)
+      if (planMemo.size > 2000) planMemo.clear()
+      planMemo.put(memoKey, assembled)
+    }
+    assembled
   }
 
   /** All retained committed snapshot versions (ascending). */
