@@ -259,6 +259,12 @@ object SparkEntry {
     // fixture table.
     "q48_add_files" -> (graft.sources.Versioned.importGate _),
     "q49_clone_table" -> (graft.sources.Versioned.cloneGate _),
+    // Cross-engine INDEX read: the oracle recomputes BM25 in DuckDB
+    // from the persisted inverted index's OWN exported bytes
+    // (read_parquet over the postings buckets + the pinned stats
+    // file) and must hash-match the in-engine probe — q47's
+    // layout-portability proof extended to the index family.
+    "q50_index_export" -> (TextAnalysis.textIndexExportGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1489,7 +1495,7 @@ object SparkEntry {
                 CAST(count(*) + 5 AS BIGINT)
                   AS rows_after_divergent_append
          FROM nation WHERE n_nationkey < 15""",
-  ) ++ exportOracle
+  ) ++ exportOracle ++ indexExportOracle
 
   /** q47's oracle aggregates the graft table's OWN data files — the
     * literal `read_parquet([...])` list resolved by the exportGate run
@@ -1509,5 +1515,40 @@ object SparkEntry {
                   CAST(1 AS BIGINT) AS n_files
            FROM read_parquet($list)
            GROUP BY n_regionkey ORDER BY n_regionkey"""
+    }.toMap
+
+  /** q50's oracle recomputes BM25 from the persisted index's OWN
+    * exported bytes: `read_parquet` over the postings bucket files
+    * (the in-file (doc_id, dl, term, tf) — the hive `bucket=` value
+    * is derived routing metadata the oracle doesn't need) and the
+    * PINNED one-row stats file, through the same scoring arithmetic
+    * as [[Bm25OracleSql]] — but with NO access to the corpus: a hash
+    * match against the in-engine probe proves the index bytes alone
+    * carry the search. */
+  private def indexExportOracle: Map[String, String] =
+    TextAnalysis.lastTextIndexExport.map { case (postings, stats) =>
+      val plist = postings.map(f => s"'$f'").mkString("[", ", ", "]")
+      val slist = stats.map(f => s"'$f'").mkString("[", ", ", "]")
+      "q50_index_export" ->
+        s"""WITH tf AS (SELECT doc_id, dl, term, tf
+                 FROM read_parquet($plist)
+                 WHERE term IN ('spark', 'vector', 'stream')),
+             stats AS (SELECT CAST(n_docs AS DOUBLE) AS n_docs,
+                              sum_dl / n_docs AS avgdl
+                       FROM read_parquet($slist)),
+             dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                       AS df FROM tf GROUP BY 1),
+             sc AS (SELECT doc_id,
+                      sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+                          * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                        AS score,
+                      count(*) AS n_terms
+                    FROM tf JOIN dft USING (term) CROSS JOIN stats
+                    GROUP BY doc_id),
+             top AS (SELECT * FROM sc
+                     ORDER BY score DESC, doc_id LIMIT 20)
+             SELECT doc_id, score, n_terms,
+                    CAST(1 AS BIGINT) AS refused_unpinned
+             FROM top ORDER BY doc_id"""
     }.toMap
 }

@@ -1313,4 +1313,88 @@ object TextAnalysis {
   def bm25SearchIndexedGate(s: SparkSession, d: String): DataFrame =
     bm25SearchIndexed(s, cachedTextIndex(s, d),
       Seq("spark", "vector", "stream"), 20)
+
+  // —— Cross-engine export of the persisted index (q50) ——
+
+  /** The persisted index resolved as TWO raw-parquet file lists a
+    * SECOND engine can scan directly: (postings files of the current
+    * index snapshot, stats files of the version the index PINS) —
+    * extending [[graft.sources.Versioned.exportSnapshot]]'s
+    * layout-portability contract from data tables (q47) to the index
+    * family. Postings live under `bucket=` hive directories; that is
+    * waived (`hivePartitions = true`) because the bucket is pure
+    * derived routing metadata (`hash(term) % `[[TextIndexBuckets]]),
+    * never payload — a consumer recomputing BM25 needs only the
+    * in-file (doc_id, dl, term, tf).
+    *
+    * Refuses, loudly, when the pair cannot be proven consistent:
+    *  - the head postings commit carries no `stats=v` pin (not a
+    *    built text index — e.g. a raw table that merely looks like
+    *    postings), or
+    *  - the pinned stats version does not exist in the sibling stats
+    *    table (a torn maintenance sequence) —
+    * because BM25 recomputed against the WRONG (n_docs, sum_dl)
+    * silently mis-scores every document rather than failing. */
+  def exportTextIndex(s: SparkSession,
+      indexDir: String): (Seq[String], Seq[String]) = {
+    val pin = textStatsPin(s, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"cannot export text index at $indexDir: head commit carries " +
+          "no stats=v pin — not a built text index (buildTextIndex " +
+          "first)"))
+    val statsHead = Versioned.currentVersion(s, textStatsDir(indexDir))
+    if (pin > statsHead) throw new IllegalStateException(
+      s"cannot export text index at $indexDir: postings pin stats=v$pin " +
+        s"but the stats table head is v$statsHead — torn maintenance; " +
+        "rebuild or re-append to restore the pair")
+    val postings = Versioned.exportSnapshot(s, indexDir,
+      hivePartitions = true)
+    val stats = Versioned.exportSnapshot(s, textStatsDir(indexDir),
+      Some(pin))
+    (postings, stats)
+  }
+
+  /** File lists resolved by the LAST [[textIndexExportGate]] run in
+    * this JVM — SparkEntry.oracleSql embeds them literally into the
+    * q50 DuckDB oracle (same discipline as Versioned.lastExport/q47:
+    * Verify dumps oracle SQL after running every query, so a driver
+    * pass always sees them populated; a standalone dump omits the
+    * entry → rows-only check). */
+  @volatile private[graft] var lastTextIndexExport
+      : Option[(Seq[String], Seq[String])] = None
+
+  /** Driver-visible gate for CROSS-ENGINE INDEX reads — q50. The
+    * Spark side probes the persisted index ([[bm25SearchIndexed]]);
+    * the DuckDB side recomputes BM25 from scratch over the index's
+    * OWN exported bytes — `read_parquet` over the postings buckets
+    * and the pinned stats file — so a hash match proves the INDEX
+    * layout (not just the data-table layout, q47) is engine-portable:
+    * two engines, one set of index bytes. The index is built over a
+    * corpus split (build + one O(delta) append) so the export spans
+    * two postings versions and the MERGED algebraic stats, not a
+    * single-commit special case; an unpinned postings table must
+    * refuse. Work dir intentionally outlives the gate — the driver's
+    * DuckDB pass reads the exported files after this JVM exits. */
+  def textIndexExportGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-index-export-gate")
+    val idx = work.resolve("postings").toString
+    val corpus = docsPlain(s, d).select(col("doc_id"), col("text"))
+    val delta = pmod(hash(col("doc_id")), lit(5)) === 0
+    buildTextIndexOf(corpus.filter(!delta), idx)
+    appendToTextIndex(s, corpus.filter(delta), idx)
+    // the refusal IS part of the contract: postings-shaped bytes
+    // without a stats pin must not export as an index
+    val bogus = work.resolve("bogus").toString
+    Versioned.commit(
+      corpus.limit(2).select(col("doc_id"), lit(1.0d).as("dl"),
+        lit("x").as("term"), lit(1.0d).as("tf"),
+        lit(0).as("bucket")),
+      bogus, partitionCol = Some("bucket"))
+    val refused =
+      scala.util.Try(exportTextIndex(s, bogus)).isFailure
+    lastTextIndexExport = Some(exportTextIndex(s, idx))
+    bm25SearchIndexed(s, idx, Seq("spark", "vector", "stream"), 20)
+      .withColumn("refused_unpinned", lit(if (refused) 1L else 0L))
+  }
 }

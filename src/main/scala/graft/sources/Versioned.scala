@@ -3752,6 +3752,12 @@ object Versioned {
     *    directory name, not in the file, and hidden-transform columns
     *    (`days_…=`, `bucketN_…=`) are derived values a generic
     *    `hive_partitioning` reader would surface as spurious columns.
+    *    `hivePartitions = true` waives ONLY this refusal, for
+    *    consumers that either parse hive paths themselves (DuckDB
+    *    `hive_partitioning = 1`) or do not need the partition column
+    *    at all — e.g. the persisted text index, whose `bucket=` value
+    *    is pure derived metadata (`hash(term) % buckets`), never
+    *    payload ([[graft.operators.TextAnalysis.exportTextIndex]]).
     *
     * Refusal is the Iceberg-parity answer: Iceberg's spec makes the
     * same data unreachable to a plain-parquet reader (delete files,
@@ -3761,7 +3767,8 @@ object Versioned {
     * path scans, so export and `read` can never disagree about what is
     * in the snapshot. */
   def exportSnapshot(spark: SparkSession, tableDir: String,
-      version: Option[Int] = None): Seq[String] = {
+      version: Option[Int] = None,
+      hivePartitions: Boolean = false): Seq[String] = {
     val v = version.getOrElse(currentVersion(spark, tableDir))
     require(v > 0, s"no committed version at $tableDir")
     val f = fs(spark, tableDir)
@@ -3787,7 +3794,7 @@ object Versioned {
     val rels = dataEntries.flatMap(e => entryFiles(f, tableDir, e))
     val hive = rels.filter(
       _.split("/").drop(1).dropRight(1).exists(_.contains("=")))
-    if (hive.nonEmpty) throw new IllegalStateException(
+    if (hive.nonEmpty && !hivePartitions) throw new IllegalStateException(
       s"cannot export snapshot v$v of $tableDir: ${hive.size} file(s) " +
         "live under hive-partition directories (e.g. " +
         s"${hive.head}) — partition values are path metadata a raw " +

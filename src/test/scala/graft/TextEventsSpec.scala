@@ -293,6 +293,84 @@ class TextEventsSpec extends SparkSpec {
     assert(Versioned.read(spark, s"$dir.stats").head().getLong(0) == 8L)
   }
 
+  test("exportTextIndex: raw postings+stats bytes alone carry the " +
+      "search; unpinned and torn indexes refuse") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha beta epsilon zeta"),
+      (3L, "gamma delta epsilon"),
+      (4L, "zeta eta theta iota kappa"),
+      (5L, "beta beta beta kappa")
+    ).toDF("doc_id", "text")
+    val dir = "target/tmp/text-index-export"
+    Seq(dir, s"$dir.stats").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    TextAnalysis.buildTextIndexOf(docs, dir)
+    TextAnalysis.appendToTextIndex(spark,
+      Seq((6L, "eta theta alpha")).toDF("doc_id", "text"), dir)
+    val (postings, stats) = TextAnalysis.exportTextIndex(spark, dir)
+    // export spans BOTH the build and the append commits, every file
+    // under a bucket= dir; stats resolve to the PINNED merged row
+    assert(postings.nonEmpty && postings.forall(_.contains("bucket=")))
+    assert(postings.exists(_.contains("/v=1/")) &&
+      postings.exists(_.contains("/v=2/")))
+    assert(stats.nonEmpty)
+    val n = spark.read.parquet(stats: _*).head().getLong(0)
+    assert(n == 6L)
+    // the in-JVM mirror of the q50 oracle: recompute BM25 from the
+    // exported bytes only (no corpus, no engine read path) and match
+    // the in-engine probe exactly
+    val q = Seq("alpha", "kappa")
+    val raw = spark.read.parquet(postings: _*)
+      .filter(col("term").isin(q: _*))
+    val st = spark.read.parquet(stats: _*)
+      .select(col("n_docs").cast("double").as("n_docs"),
+        (col("sum_dl") / col("n_docs")).as("avgdl"))
+    val dfT = raw.groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).cast("double").as("df"))
+    val recomputed = raw.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(st))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("w", col("idf") * col("tf") * lit(2.2) /
+        (col("tf") + lit(1.2) *
+          (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w")).as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val probe = TextAnalysis.bm25SearchIndexed(spark, dir, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(recomputed.map(x => (x._1, x._3)).toSeq ==
+      probe.map(x => (x._1, x._3)).toSeq)
+    recomputed.zip(probe).foreach { case (x, y) =>
+      assert(math.abs(x._2 - y._2) < 1e-12, s"$x vs $y") }
+    // refusal 1: postings-shaped bytes with no stats pin
+    val bogus = "target/tmp/text-index-unpinned"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(bogus))
+    Versioned.commit(
+      docs.limit(1).select(col("doc_id"), lit(1.0d).as("dl"),
+        lit("x").as("term"), lit(1.0d).as("tf"), lit(0).as("bucket")),
+      bogus, partitionCol = Some("bucket"))
+    val e1 = intercept[IllegalStateException](
+      TextAnalysis.exportTextIndex(spark, bogus))
+    assert(e1.getMessage.contains("no stats=v pin"))
+    // refusal 2: a pin naming a stats version that doesn't exist
+    val torn = "target/tmp/text-index-torn"
+    Seq(torn, s"$torn.stats").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    TextAnalysis.buildTextIndexOf(docs, torn)
+    Versioned.append(
+      docs.limit(1).select(col("doc_id"), lit(1.0d).as("dl"),
+        lit("x").as("term"), lit(1.0d).as("tf"), lit(0).as("bucket")),
+      torn, partitionCol = Some("bucket"), note = Some("stats=v99"))
+    val e2 = intercept[IllegalStateException](
+      TextAnalysis.exportTextIndex(spark, torn))
+    assert(e2.getMessage.contains("torn maintenance"))
+  }
+
   test("split assignment: disjoint-exhaustive, proportional, stable " +
       "under corpus growth, seed-sensitive") {
     import spark.implicits._
