@@ -49,6 +49,21 @@ object SparkInternals {
     Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
+  /** The inverse bridge of [[streamingFrame]], for the V1 streaming
+    * SINK side: a `Sink.addBatch` frame arrives marked
+    * `isStreaming = true`, and handing it to any batch writer
+    * (`df.write`, [[graft.sources.Versioned.append]]) would fail
+    * analysis with "streaming sources must be executed with
+    * writeStream.start()". Re-wrap the micro-batch's own LAZY
+    * physical plan (`toRdd`) as a plain batch frame — execution stays
+    * distributed and runs when the write job pulls it; the plan is
+    * frozen at batch construction, which is exactly the micro-batch
+    * contract. */
+  def batchFrame(df: DataFrame): DataFrame =
+    df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+        isStreaming = false)
+
   def streamingFrame(df: DataFrame,
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -187,6 +187,115 @@ class StreamingSpec extends SparkSpec {
     assert(state(3) == Map(1L -> "a1", 2L -> "b2", 3L -> "c3", 4L -> "d1"))
   }
 
+  test("native writeStream.format(\"graft\") appends exactly-once " +
+      "through restarts, no foreachBatch in user code") {
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    val stage = Paths.get("target/tmp/stream-native-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    Files.createDirectories(stage)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    def stageHalf(rem: Int, name: String): Unit = {
+      val tmp = s"target/tmp/stream-native-half-$rem"
+      raw.filter(col("event_id") % 2 === rem).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, stage.resolve(name))
+    }
+    stageHalf(0, "half0.parquet")
+    stageHalf(1, "half1.parquet")
+    val table = "target/tmp/stream-native-table"
+    val ckpt = "target/tmp/stream-native-ckpt"
+    Seq(table, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    def run(): Unit = {
+      val events = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val q = events.writeStream.format("graft")
+        .option("streamId", "native")
+        .option("checkpointLocation", ckpt)
+        .start(table)
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    val total = raw.count()
+    val versions = Versioned.versions(spark, table)
+    assert(versions.size >= 2) // one append per file-trigger batch
+    assert(Versioned.read(spark, table).count() == total)
+    assert(Versioned.read(spark, table)
+      .select("event_id").distinct().count() == total)
+    // same-checkpoint restart: no new input -> no new versions
+    run()
+    assert(Versioned.versions(spark, table) == versions)
+    // FRESH checkpoint, same streamId: batch ids restart at 0, the
+    // applied watermark marks them replays — exactly-once holds
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    run()
+    assert(Versioned.versions(spark, table) == versions)
+    assert(Versioned.read(spark, table).count() == total)
+    // guard rails: Update mode and multi-column partitionBy refuse
+    val ex = intercept[Exception] {
+      spark.readStream.schema(raw.schema).parquet(stage.toString)
+        .groupBy(col("user_id")).count()
+        .writeStream.format("graft").outputMode("update")
+        .option("checkpointLocation", s"$ckpt-bad")
+        .start(s"$table-bad")
+    }
+    assert(ex.getMessage.contains("OutputMode.Append only"))
+  }
+
+  test("native sink mode=cdc lands op-tagged batches atomically") {
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    import spark.implicits._
+    val stage = Paths.get("target/tmp/stream-native-cdc-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    Files.createDirectories(stage)
+    def stageBatch(name: String, mtime: Long,
+        rows: Seq[(Long, String, String)]): Unit = {
+      val tmp = s"target/tmp/stream-native-cdc-$name"
+      rows.toDF("id", "v", "op").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = stage.resolve(s"$name.parquet")
+      Files.copy(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val t0 = System.currentTimeMillis() - 60000
+    stageBatch("b0", t0, Seq((1L, "a1", "upsert"), (2L, "b1", "upsert"),
+      (3L, "c1", "upsert")))
+    stageBatch("b1", t0 + 10000, Seq((2L, "b2", "upsert"),
+      (3L, "", "delete")))
+    val table = "target/tmp/stream-native-cdc-table"
+    val ckpt = "target/tmp/stream-native-cdc-ckpt"
+    Seq(table, ckpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val changes = spark.readStream
+      .schema("id LONG, v STRING, op STRING")
+      .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+    val q = changes.writeStream.format("graft")
+      .option("mode", "cdc").option("key", "id")
+      .option("streamId", "native-cdc")
+      .option("checkpointLocation", ckpt)
+      .start(table)
+    try q.processAllAvailable() finally q.stop()
+    assert(Versioned.versions(spark, table) == Seq(1, 2))
+    val state = Versioned.read(spark, table)
+      .select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(state == Map(1L -> "a1", 2L -> "b2"))
+    // missing key option refuses at start, loudly
+    val ex = intercept[Exception] {
+      changes.writeStream.format("graft").option("mode", "cdc")
+        .option("checkpointLocation", s"$ckpt-bad")
+        .start(s"$table-bad")
+    }
+    assert(ex.getMessage.contains("key"))
+  }
+
   test("CDC sink survives a concurrent compactSmall") {
     import graft.sources.Versioned
     import java.nio.file.{Files, Paths}
