@@ -21,7 +21,10 @@ import org.apache.spark.sql.types.{ArrayType, ByteType, DataType,
   * higher-order formulation it replaces runs interpreted
   * (CodegenFallback) and allocates the index sequence per row; like
   * [[VecDot]] this is a tight primitive loop with full whole-stage
-  * codegen. An out-of-range or null code contributes 0 — degrade,
+  * codegen. Code bytes decode UNSIGNED: the storage type is a signed
+  * tinyint, so a code value >= 128 arrives as a negative byte and
+  * `& 0xff` recovers the slot (128..255) — full K = 256 round-trips.
+  * An out-of-range (>= K) or null code contributes 0 — degrade,
   * never throw, matching the HOF's element_at-null semantics.
   */
 case class PqAdc(left: Expression, right: Expression)
@@ -48,9 +51,9 @@ case class PqAdc(left: Expression, right: Expression)
     var j = 0
     while (j < m) {
       if (!codes.isNullAt(j)) {
-        val c = codes.getByte(j).toInt
+        val c = codes.getByte(j).toInt & 0xff
         val slot = j * k + c
-        if (c >= 0 && c < k && !tab.isNullAt(slot))
+        if (c < k && !tab.isNullAt(slot))
           acc += tab.getDouble(slot)
       }
       j += 1
@@ -73,8 +76,8 @@ case class PqAdc(left: Expression, right: Expression)
          |  int $k = $a.numElements() / $m;
          |  for (int $j = 0; $j < $m; $j++) {
          |    if (!$b.isNullAt($j)) {
-         |      int $c = (int) $b.getByte($j);
-         |      if ($c >= 0 && $c < $k && !$a.isNullAt($j * $k + $c)) {
+         |      int $c = ((int) $b.getByte($j)) & 0xff;
+         |      if ($c < $k && !$a.isNullAt($j * $k + $c)) {
          |        $acc += $a.getDouble($j * $k + $c);
          |      }
          |    }

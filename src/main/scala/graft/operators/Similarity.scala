@@ -607,7 +607,12 @@ object Similarity {
   // rerank of just the shortlist restores exactness at the top.
 
   val PqM = 16     // subspaces (64-dim fixture -> 4 dims each)
-  val PqCodes = 16 // codes per subspace (one byte stores up to 256)
+  // codes per subspace. One byte stores up to 256: values >= 128 wrap
+  // NEGATIVE in the signed tinyint storage ([[pqEncode]] wraps them
+  // explicitly, never an overflowing cast) and ADC decodes unsigned
+  // ([[graft.functions.PqAdc]] & 0xff) — K beyond 256 cannot
+  // round-trip one byte and training refuses it.
+  val PqCodes = 16
 
   /** ADC candidates per query before the float rerank: 2% of the
     * corpus, floored — the knob trades rerank I/O for recall, and a
@@ -642,6 +647,8 @@ object Similarity {
     * the retained dot product). Seeded from the first PqCodes corpus
     * vectors' subvectors, deterministic. */
   def trainPqCodebooks(subs: DataFrame, iters: Int = 2): DataFrame = {
+    require(PqCodes <= 256, s"PQ code space is ONE byte per subspace: " +
+      s"K = $PqCodes cannot round-trip tinyint storage")
     def l2sq(a: org.apache.spark.sql.Column,
         b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
@@ -698,7 +705,11 @@ object Similarity {
       .groupBy(col("vec_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("j"), col("code")))),
-        x => x("code")).cast("array<tinyint>").as("codes"))
+        // explicit unsigned->signed wrap: codes 128..255 store as
+        // negative bytes (ADC decodes & 0xff) — never an overflowing
+        // tinyint cast, which ANSI mode rightly rejects
+        x => x("code") - when(x("code") >= 128, lit(256)).otherwise(lit(0)))
+        .cast("array<tinyint>").as("codes"))
   }
 
   /** PQ-ADC top-k with float rerank: each query precomputes its

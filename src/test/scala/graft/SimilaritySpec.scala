@@ -289,6 +289,15 @@ class SimilaritySpec extends SparkSpec {
     assert(Seq((Seq(1.0), Seq.empty[Byte])).toDF("qtab", "codes")
       .select(expr("graft_pq_adc(qtab, codes)"))
       .head().getDouble(0) == 0.0)
+    // UNSIGNED decode round-trips the full one-byte code space:
+    // K = 512/2 = 256; code 200 stores as the negative byte -56 and
+    // must read slot 200, not silently drop — the signed-storage
+    // hazard a future K > 128 config would otherwise corrupt on
+    val wide = Seq((Seq.tabulate(512)(_.toDouble),
+      Seq[Byte](-56, 0))).toDF("qtab", "codes")
+    // j=0 slot 0*256+200 -> 200.0; j=1 slot 1*256+0 -> 256.0
+    assert(wide.select(expr("graft_pq_adc(qtab, codes)"))
+      .head().getDouble(0) == 456.0)
   }
 
   test("product quantization: well-formed codes, ADC+rerank recall, 16x") {
