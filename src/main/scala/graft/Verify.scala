@@ -10,6 +10,10 @@ object Verify {
     val (sfDir, outDir, only) = args match {
       case Array(s, o)    => (s, o, Option.empty[Seq[String]])
       case Array(s, o, f) => (s, o, Some(f.split(",").toSeq))
+      case _ =>
+        System.err.println(
+          "usage: Verify <sfDir> <outDir> [namePrefix,namePrefix,...]")
+        sys.exit(2)
     }
     def keep(name: String) = only.forall(_.exists(name.startsWith))
     val spark = Sessions.get("graft-verify")

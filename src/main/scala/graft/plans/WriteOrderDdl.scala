@@ -57,14 +57,21 @@ object WriteOrderDdl {
     * catalog is never intercepted, whatever the current catalog. */
   private def analyzesGraft(parts: Seq[String],
       session: SparkSession): Boolean = {
-    if (parts.length > 1 && parts.head == "graft") true
+    // catalog references resolve case-insensitively in Spark — the
+    // head compare must match (ANALYZE TABLE GRAFT.t == graft.t)
+    if (parts.length > 1 && parts.head.equalsIgnoreCase("graft")) true
     else if (session == null) false
     else {
       val cm = session.sessionState.catalogManager
       val explicitOther = parts.length > 1 &&
-        parts.head != "graft" &&
+        !parts.head.equalsIgnoreCase("graft") &&
         scala.util.Try(cm.catalog(parts.head)).isSuccess
-      !explicitOther && cm.currentCatalog.name == "graft"
+      // under USE graft, a bare single-part name that resolves as a
+      // temp view names the VIEW (Spark's resolution order), not a
+      // graft table — fall through to the delegate's ANALYZE
+      val tempView = parts.length == 1 &&
+        session.sessionState.catalog.isTempView(parts)
+      !explicitOther && !tempView && cm.currentCatalog.name == "graft"
     }
   }
 
@@ -80,7 +87,14 @@ object WriteOrderDdl {
     case AnalyzeRe(tbl, cols) =>
       scala.util.Try(delegate.parseMultipartIdentifier(tbl)).toOption
         .filter(analyzesGraft(_, session))
-        .map { parts =>
+        .map { parts0 =>
+          // the head matched case-insensitively (GRAFT.t == graft.t);
+          // normalize it so the downstream catalog lookup — which is
+          // exact on the registered name — resolves
+          val parts =
+            if (parts0.length > 1 && parts0.head.equalsIgnoreCase("graft"))
+              "graft" +: parts0.tail
+            else parts0
           val statsCols = Option(cols).toSeq.flatMap(
             _.replace("`", "").split(",").map(_.trim).filter(_.nonEmpty))
           AnalyzeTableCommand(parts, statsCols)

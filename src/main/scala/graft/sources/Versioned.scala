@@ -4828,17 +4828,26 @@ object Versioned {
     * directory. Leading with the partition column makes the child's
     * ordering satisfy the writer's requirement, so no re-sort is
     * injected and the per-file order survives. */
+  /** Resolve a declared (property-sourced) column name against a
+    * frame under the SESSION's case sensitivity — exact match first,
+    * then (case-insensitive analysis only) a unique ignore-case
+    * match; absent or ambiguous degrades to None, never a guess.
+    * Shared by the write-order and distribution-mode appliers so the
+    * two can never key on different columns for one declared name. */
+  private def resolveDeclared(df: DataFrame, c: String): Option[String] = {
+    val ci = !df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    df.columns.find(_ == c).orElse {
+      if (!ci) None
+      else df.columns.filter(_.equalsIgnoreCase(c)) match {
+        case Array(one) => Some(one)
+        case _ => None
+      }
+    }
+  }
+
   private def applyWriteOrderFrom(p: Map[String, String],
       df: DataFrame, partBy: Option[String] = None): DataFrame = {
-    val ci = !df.sparkSession.sessionState.conf.caseSensitiveAnalysis
-    def resolve(c: String): Option[String] =
-      df.columns.find(_ == c).orElse {
-        if (!ci) None
-        else df.columns.filter(_.equalsIgnoreCase(c)) match {
-          case Array(one) => Some(one)
-          case _ => None // absent or ambiguous: degrade, never guess
-        }
-      }
+    def resolve(c: String): Option[String] = resolveDeclared(df, c)
     val order = p.get(WriteOrderProp).toSeq.flatMap(parseWriteOrder)
       .flatMap { case (c, desc) => resolve(c).map((_, desc)) }
     if (order.isEmpty) df
@@ -4882,7 +4891,7 @@ object Versioned {
       s"$DistributionModeProp must be none|hash|range, got '$mode'")
     lazy val orderCols = p.get(WriteOrderProp).toSeq
       .flatMap(parseWriteOrder)
-      .flatMap { case (c, _) => df.columns.find(_.equalsIgnoreCase(c)) }
+      .flatMap { case (c, _) => resolveDeclared(df, c) }
       .map(col)
     mode match {
       case "none" => df
@@ -4913,7 +4922,8 @@ object Versioned {
 
   private def compressionOptions(p: Map[String, String])
       : Map[String, String] =
-    p.get(CompressionProp).map(_.trim.toLowerCase).map { c =>
+    p.get(CompressionProp)
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT)).map { c =>
       require(ValidCodecs(c), s"$CompressionProp: unknown codec '$c' " +
         s"(valid: ${ValidCodecs.toSeq.sorted.mkString(", ")})")
       Map("compression" -> c)

@@ -293,6 +293,19 @@ class ProcedureSpec extends SparkSpec {
         "ANALYZE TABLE spark_catalog.default.analyze_ft2 " +
           "COMPUTE STATISTICS"))
       assert(!ft.getMessage.contains("graft versioned table"))
+      // under USE graft, a bare name resolving as a TEMP VIEW names
+      // the view (Spark's resolution order) — the delegate's ANALYZE
+      // must answer (its own view refusal), never our backfill
+      spark.range(3).createOrReplaceTempView("analyze_tv")
+      try {
+        val tv = intercept[Exception](spark.sql(
+          "ANALYZE TABLE analyze_tv COMPUTE STATISTICS"))
+        assert(!tv.getMessage.contains("graft versioned table"))
+      } finally spark.catalog.dropTempView("analyze_tv")
+      // the catalog head resolves case-insensitively, like Spark's
+      // own catalog references: GRAFT.t intercepts same as graft.t
+      assert(spark.sql(s"ANALYZE TABLE GRAFT.`$abs` COMPUTE STATISTICS")
+        .head().getInt(0) == 0) // idempotent: already backfilled
     } finally {
       spark.sql(s"USE $prevCat")
       spark.sql("DROP TABLE IF EXISTS analyze_ft2")
