@@ -314,7 +314,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
     if (kind != "history" && kind != "files" && kind != "refs" &&
       kind != "partitions" && kind != "snapshots" &&
-      kind != "manifests" && kind != "all_files")
+      kind != "manifests" && kind != "all_files" && kind != "entries")
       return None
     val parent = Identifier.of(ident.namespace.dropRight(1),
       ident.namespace.last)
@@ -330,7 +330,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             s"${display(ident)} is whole-table metadata; VERSION AS " +
               "OF does not apply (pin .files instead)")
         None
-      case "files" | "partitions" | "snapshots" | "manifests" =>
+      case "files" | "partitions" | "snapshots" | "manifests" |
+          "entries" =>
         Some(version.getOrElse(Versioned.currentVersion(spark, dir)))
     }
     val df = kind match {
@@ -341,6 +342,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case "snapshots" => Versioned.snapshots(spark, dir, pin)
       case "manifests" => Versioned.manifests(spark, dir, pin)
       case "all_files" => Versioned.allFiles(spark, dir)
+      case "entries" => Versioned.entries(spark, dir, pin)
     }
     Some(new GraftMetaTable(dir, kind, pin, df.schema,
       display(ident)))

@@ -3642,13 +3642,13 @@ object Versioned {
       .withColumn("snapshot", lit(v))).reduce(_ unionAll _)
   }
 
-  def files(spark: SparkSession, tableDir: String,
-      version: Option[Int] = None): DataFrame = {
-    val v = version.getOrElse(currentVersion(spark, tableDir))
-    require(v > 0, s"no committed version at $tableDir")
-    val f = fs(spark, tableDir)
+  /** Shared per-file listing of one snapshot's manifest reach:
+    * (rel path, bytes, owning entry, linked-from-older, kind). */
+  private def fileRowsOf(f: org.apache.hadoop.fs.FileSystem,
+      tableDir: String, v: Int)
+      : Seq[(String, Long, String, Boolean, String)] = {
     val root = qualifiedRoot(f, tableDir)
-    val rows = manifestLines(f, tableDir, v).flatMap { e0 =>
+    manifestLines(f, tableDir, v).flatMap { e0 =>
       val e = e0.stripPrefix(DeletePrefix)
       val kind = if (isDeleteLine(e0)) "delete" else "data"
       // a tombstone entry's key files live under `_deletes`, which
@@ -3663,8 +3663,53 @@ object Versioned {
           e, !rel.startsWith(s"v=$v/"), kind)
       }
     }
+  }
+
+  def files(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    require(v > 0, s"no committed version at $tableDir")
     import spark.implicits._
-    rows.toDF("file", "size_bytes", "entry", "linked", "kind")
+    fileRowsOf(fs(spark, tableDir), tableDir, v)
+      .toDF("file", "size_bytes", "entry", "linked", "kind")
+  }
+
+  /** Per-file manifest entries with LIFECYCLE status — the Iceberg
+    * `.entries` metadata-table analog (status 1=added / 0=existing /
+    * 2=deleted, spelled out): every file the snapshot reaches, marked
+    * `added` (written by this version) or `existing` (linked from an
+    * older entry — the O(delta) chain), plus `deleted` rows for files
+    * the PARENT snapshot reached that this one no longer does (a CoW
+    * rewrite's replaced inputs, a compaction's collapsed roots and
+    * absorbed tombstone keys). The file-granular diff view between
+    * `.snapshots` (per-version added/removed COUNTS) and `.files`
+    * (current reach only) — what an operator reads to see exactly
+    * which bytes a commit turned over. Parent follows the branch line
+    * like [[snapshots]]; a vacuumed diff base yields the reach rows
+    * but no deleted rows (the same never-guess contract as
+    * `.snapshots`' null diff counts). O(entries) FS listings, no file
+    * contents. */
+  def entries(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    require(v > 0, s"no committed version at $tableDir")
+    val f = fs(spark, tableDir)
+    val cur = fileRowsOf(f, tableDir, v)
+    val parent =
+      if (hasBranchRefs(f, tableDir)) refInfo(f, tableDir, v)._2
+      else v - 1
+    val curSet = cur.map(_._1).toSet
+    val deleted =
+      if (parent > 0 && committedVersions(spark, tableDir)
+          .contains(parent))
+        fileRowsOf(f, tableDir, parent)
+          .filterNot(r => curSet(r._1))
+          .map(r => (r._1, r._2, r._3, r._5, "deleted"))
+      else Nil
+    val rows = cur.map(r => (r._1, r._2, r._3, r._5,
+      if (r._4) "existing" else "added")) ++ deleted
+    import spark.implicits._
+    rows.toDF("file", "size_bytes", "entry", "kind", "status")
   }
 
   /** Per-partition rollup of a snapshot — the Iceberg `.partitions`

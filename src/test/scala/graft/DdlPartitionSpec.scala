@@ -779,6 +779,41 @@ class DdlPartitionSpec extends SparkSpec {
       pinned.contains(("data", true)))
   }
 
+  test(".entries metadata table: added/existing/deleted per file, " +
+      "VERSION AS OF pins the diff") {
+    val (t, g) = fresh("entries_meta")
+    spark.sql(s"CREATE TABLE $g (id INT, v STRING)")            // v1
+    spark.sql(s"INSERT INTO $g VALUES (1,'a'),(2,'b'),(3,'c')") // v2
+    spark.sql(s"INSERT INTO $g VALUES (4,'d')")                 // v3
+    spark.sql(s"DELETE FROM $g WHERE id = 2")                   // v4 MoR
+    Versioned.compact(spark, t)                                 // v5
+    def st(v: Int) = spark.sql(
+      s"SELECT file, kind, status FROM $g.entries VERSION AS OF $v")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2)))
+    // v3: its own file added, v2's linked as existing, nothing deleted
+    val s3 = st(3)
+    assert(s3.exists(r => r._3 == "added" && r._1.startsWith("v=3/")))
+    assert(s3.exists(r => r._3 == "existing" && r._1.startsWith("v=2/")))
+    assert(!s3.exists(_._3 == "deleted"))
+    // v4: the MoR tombstone's key file is an added delete-kind entry;
+    // all data files persist as existing
+    val s4 = st(4)
+    assert(s4.exists(r => r._2 == "delete" && r._3 == "added"))
+    assert(s4.filter(_._2 == "data").forall(_._3 == "existing"))
+    // v5 (compact): one added rewrite, every prior data file AND the
+    // absorbed tombstone key surface as deleted
+    val s5 = st(5)
+    assert(s5.filter(_._3 != "deleted").forall(r =>
+      r._3 == "added" && r._1.startsWith("v=5/")), s5.toSeq)
+    assert(s5.exists(r => r._3 == "deleted" && r._2 == "delete"))
+    assert(s5.count(r => r._3 == "deleted" && r._2 == "data") >= 2)
+    // the head's non-deleted slice is exactly .files
+    val cur = spark.sql(s"SELECT file FROM $g.files")
+      .collect().map(_.getString(0)).toSet
+    assert(s5.filter(_._3 != "deleted").map(_._1).toSet == cur)
+  }
+
   test("WRITE ORDERED BY: round-trip, compaction sorts files, " +
       "bad column fails, UNORDERED clears") {
     import spark.implicits._
