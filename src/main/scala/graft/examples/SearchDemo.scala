@@ -44,6 +44,14 @@ object SearchDemo {
     println(s"SEARCH_DEMO_KW_FRESH_FOUND=$freshRank")
     println("SEARCH_DEMO_POSTINGS_VERSIONS=" +
       Versioned.currentVersion(spark, textIdx))
+    // cross-engine handoff: the index's own bytes (postings buckets +
+    // the pinned stats file) are everything a second engine needs to
+    // serve the same BM25 (q50 proves the hash match in DuckDB)
+    val (expPostings, expStats) =
+      TextAnalysis.exportTextIndex(spark, textIdx)
+    println(s"SEARCH_DEMO_EXPORT_POSTING_FILES=${expPostings.size}")
+    println("SEARCH_DEMO_EXPORT_STATS_NDOCS=" + spark.read
+      .parquet(expStats: _*).head().getLong(0))
 
     // —— semantic side: IVF-PQ vector index ——
     val vecIdx = s"$out/ivfpq"

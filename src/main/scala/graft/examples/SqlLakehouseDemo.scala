@@ -126,6 +126,10 @@ object SqlLakehouseDemo {
       one(s"SELECT count(*) FROM $g.snapshots"))
     println("SQL_DEMO_MANIFESTS=" +
       one(s"SELECT count(*) FROM $g.manifests"))
+    // per-file lifecycle: the compact that produced the current head
+    // both added its rewrite and deleted its inputs
+    println("SQL_DEMO_ENTRIES_ADDED=" + one(
+      s"SELECT count(*) FROM $g.entries WHERE status = 'added'"))
     // cross-engine ingest: add_files links foreign parquet in place
     val foreign = s"$out/foreign_src"
     spark.sql(s"SELECT id, name, score FROM $g").limit(2)

@@ -48,6 +48,26 @@ object StreamingDemo {
     q3.processAllAvailable(); q3.stop()
     println(s"JOIN_ROWS=${spark.table("ssjoin").count()}")
 
+    // The write twin: the engine-owned streaming sink spelling — no
+    // foreachBatch, the sink owns batchId idempotence. Sink table +
+    // checkpoint live OUTSIDE `work`: the file-stream source scans
+    // `work`, and a versioned table's v=N dirs under it would
+    // conflict with the flat event files at partition inference.
+    val sinkTable = s"$work-sink/table"
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(s"$work-sink"))
+    val q5 = EventStreams.readEvents(spark, work)
+      .select(col("event_id"), col("user_id"), col("value"))
+      .writeStream.format("graft")
+      .option("streamId", "demo")
+      .option("checkpointLocation", s"$work-sink/ckpt")
+      .start(sinkTable)
+    q5.processAllAvailable(); q5.stop()
+    println("SINK_VERSIONS=" +
+      graft.sources.Versioned.currentVersion(spark, sinkTable))
+    println("SINK_ROWS=" +
+      graft.sources.Versioned.read(spark, sinkTable).count())
+
     // Spark-native changelog streaming over a versioned table:
     // readStream.table streams appends with Spark-owned offsets
     import spark.implicits._
