@@ -155,6 +155,8 @@ case class VersionedRelationRule(spark: SparkSession)
           case "all_files" => Versioned.allFiles(spark, t.tableDir)
           case "entries" =>
             Versioned.entries(spark, t.tableDir, t.pinnedVersion)
+          case "position_deletes" =>
+            Versioned.positionDeletes(spark, t.tableDir, t.pinnedVersion)
         }).queryExecution.analyzed
         require(real.output.length == r.output.length,
           s"metadata table ${t.name()} changed shape between catalog " +

@@ -314,7 +314,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     val kind = ident.name.toLowerCase(java.util.Locale.ROOT)
     if (kind != "history" && kind != "files" && kind != "refs" &&
       kind != "partitions" && kind != "snapshots" &&
-      kind != "manifests" && kind != "all_files" && kind != "entries")
+      kind != "manifests" && kind != "all_files" && kind != "entries" &&
+      kind != "position_deletes")
       return None
     val parent = Identifier.of(ident.namespace.dropRight(1),
       ident.namespace.last)
@@ -331,7 +332,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
               "OF does not apply (pin .files instead)")
         None
       case "files" | "partitions" | "snapshots" | "manifests" |
-          "entries" =>
+          "entries" | "position_deletes" =>
         Some(version.getOrElse(Versioned.currentVersion(spark, dir)))
     }
     val df = kind match {
@@ -343,6 +344,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case "manifests" => Versioned.manifests(spark, dir, pin)
       case "all_files" => Versioned.allFiles(spark, dir)
       case "entries" => Versioned.entries(spark, dir, pin)
+      case "position_deletes" =>
+        Versioned.positionDeletes(spark, dir, pin)
     }
     Some(new GraftMetaTable(dir, kind, pin, df.schema,
       display(ident)))

@@ -3712,6 +3712,50 @@ object Versioned {
     rows.toDF("file", "size_bytes", "entry", "kind", "status")
   }
 
+  /** The positional tombstones a snapshot carries — the Iceberg
+    * `.position_deletes` metadata-table analog: one row per deleted
+    * (data file, row ordinal) coordinate, with the commit that wrote
+    * the tombstone and the tombstone file it lives in. Unlike the
+    * driver-metadata tables this one SCANS the tombstone key files
+    * (they are data-scale — a billion-row delete writes a billion
+    * coordinates), so the frame is a distributed parquet read of
+    * exactly the `_posdeletes` files the snapshot's manifest reaches:
+    * O(tombstone bytes), never a data-file scan, and empty the moment
+    * `compact`/`compactDeletes` absorbs them. Equality tombstones are
+    * key-valued, not positional — they surface through `.files` kinds
+    * and `readChanges`, matching Iceberg where equality deletes are
+    * likewise absent from position_deletes. */
+  def positionDeletes(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    require(v > 0, s"no committed version at $tableDir")
+    val f = fs(spark, tableDir)
+    val perVer = manifestLines(f, tableDir, v)
+      .filter(isDeleteLine)
+      .map(_.stripPrefix(DeletePrefix))
+      .filter(_.endsWith("/" + PosDeletesDir))
+      .map(e => (entryVer(e),
+        deleteEntryFiles(f, tableDir, e).map(_.toString)))
+      .filter(_._2.nonEmpty)
+    if (perVer.isEmpty)
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("file", StringType),
+          org.apache.spark.sql.types.StructField("pos",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("delete_version",
+            IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("delete_file",
+            StringType, nullable = false))))
+    else perVer.map { case (dv, fls) =>
+      spark.read.parquet(fls: _*)
+        .select(col("file"), col("pos"),
+          lit(dv).as("delete_version"),
+          input_file_name().as("delete_file"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Per-partition rollup of a snapshot — the Iceberg `.partitions`
     * metadata-table analog: one row per distinct partition VALUE with
     * its file count, physical row count, and total bytes — the first

@@ -814,6 +814,39 @@ class DdlPartitionSpec extends SparkSpec {
     assert(s5.filter(_._3 != "deleted").map(_._1).toSet == cur)
   }
 
+  test(".position_deletes metadata table: live positional coordinates, " +
+      "empty after compaction absorbs them") {
+    val (t, g) = fresh("posdel_meta")
+    spark.sql(s"CREATE TABLE $g (id INT, v STRING)")
+    spark.sql(s"INSERT INTO $g VALUES (1,'a'),(2,'b'),(3,'c'),(4,'d')")
+    spark.sql(s"DELETE FROM $g WHERE id IN (2, 4)")   // v3: positional
+    val pd = spark.sql(s"SELECT * FROM $g.position_deletes").collect()
+    assert(pd.length == 2)
+    // coordinates bind to a REAL data file of the snapshot, the
+    // tombstone file lives under the delete commit's _posdeletes dir
+    val dataFiles = spark.sql(s"SELECT file FROM $g.files " +
+      "WHERE kind = 'data'").collect().map(_.getString(0)).toSet
+    pd.foreach { r =>
+      assert(dataFiles.exists(df => r.getString(0).endsWith(df)))
+      assert(r.getInt(2) == 3)
+      assert(r.getString(3).contains("_posdeletes"))
+    }
+    // distinct coordinates (a multi-file insert puts each deleted row
+    // at ordinal 0 of its own file — the pair is the identity)
+    assert(pd.map(r => (r.getString(0), r.getLong(1))).toSet.size == 2)
+    // pre-delete pin: no tombstones existed at v2
+    assert(spark.sql(
+      s"SELECT count(*) FROM $g.position_deletes VERSION AS OF 2")
+      .head().getLong(0) == 0)
+    // the rows are actually hidden, and compaction absorbs the
+    // tombstones: the table EMPTIES without losing the delete
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 2)
+    Versioned.compact(spark, t)
+    assert(spark.sql(s"SELECT count(*) FROM $g.position_deletes")
+      .head().getLong(0) == 0)
+    assert(spark.sql(s"SELECT count(*) FROM $g").head().getLong(0) == 2)
+  }
+
   test("WRITE ORDERED BY: round-trip, compaction sorts files, " +
       "bad column fails, UNORDERED clears") {
     import spark.implicits._
