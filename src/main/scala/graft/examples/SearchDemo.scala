@@ -84,6 +84,15 @@ object SearchDemo {
     println("SEARCH_DEMO_INDEX_CODE_BYTES=" + Versioned.read(spark, vecIdx)
       .select(max(org.apache.spark.sql.functions.size(col("codes"))))
       .head().getInt(0))
+    // cross-engine handoff, semantic side: the consistent triple
+    // (code cells + pinned centroids + pinned codebooks) is everything
+    // a second engine needs to run the same ADC probe (q51 proves the
+    // candidate-set match in DuckDB)
+    val (expCodes, expCents, expCbs) =
+      Similarity.exportVectorIndex(spark, vecIdx)
+    println(s"SEARCH_DEMO_EXPORT_CODE_FILES=${expCodes.size}")
+    println(s"SEARCH_DEMO_EXPORT_CENTROID_FILES=${expCents.size}")
+    println(s"SEARCH_DEMO_EXPORT_CODEBOOK_FILES=${expCbs.size}")
     spark.stop()
   }
 }

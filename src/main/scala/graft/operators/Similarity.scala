@@ -816,8 +816,16 @@ object Similarity {
   }
 
   def buildIvfPqIndex(s: SparkSession, d: String, indexDir: String,
-      iters: Int = 2): Unit = {
-    val corpus = emb(s, d).filter(col("vec_id") >= NumQueries).cache()
+      iters: Int = 2): Unit =
+    buildIvfPqIndexOf(s,
+      emb(s, d).filter(col("vec_id") >= NumQueries), indexDir, iters)
+
+  /** [[buildIvfPqIndex]] over an explicit (vec_id, embedding, nrm)
+    * corpus frame — the build/append split the export gate (q51)
+    * exercises needs a corpus the fixture table doesn't pre-slice. */
+  def buildIvfPqIndexOf(s: SparkSession, corpus0: DataFrame,
+      indexDir: String, iters: Int = 2): Unit = {
+    val corpus = corpus0.cache()
     val cents = kmeansRefine(corpus, seedCentroids(corpus), iters).cache()
     val cv = Versioned.commit(cents, centroidsDir(indexDir))
     val subs = subvectors(corpus)
@@ -989,6 +997,171 @@ object Similarity {
     * rerank join for 4x less index bandwidth. */
   def ivfPqIndexedProbe(s: SparkSession, d: String): DataFrame =
     ivfPqTopKIndexed(s, d, cachedIvfPqIndex(s, d))
+
+  // —— Cross-engine export of the persisted IVF-PQ index (q51) ——
+
+  /** Resolve the file triple a SECOND engine needs to run an ADC
+    * probe from the index's bytes alone: (code-cell files of the
+    * current index snapshot, centroid files of the PINNED centroid
+    * version, codebook files of the PINNED codebook version) —
+    * [[graft.sources.Versioned.exportSnapshot]]'s layout-portability
+    * contract extended from the text index (q50) to the VECTOR index.
+    * Code files live under `cell=` hive directories; that is waived
+    * (`hivePartitions = true`) because the cell is derived routing
+    * metadata (nearest pinned centroid) that standard hive-partition
+    * reading recovers from the path — the q51 DuckDB oracle does
+    * exactly that to prune its scan to the probed cells.
+    *
+    * Refuses, loudly, when the triple cannot be proven consistent:
+    *  - the head code commit carries no `centroids=v`/`codebooks=v`
+    *    pins (not a built IVF-PQ index — e.g. a raw cell-partitioned
+    *    table that merely looks like codes), or
+    *  - a pinned version is beyond the sibling table's head (torn
+    *    maintenance) —
+    * because ADC against the WRONG quantization generation silently
+    * mis-ranks every candidate rather than failing. */
+  def exportVectorIndex(s: SparkSession,
+      indexDir: String): (Seq[String], Seq[String], Seq[String]) = {
+    val pins = pinnedVersionsOf(s, indexDir)
+    def pin(k: String): Int = pins.getOrElse(k,
+      throw new IllegalStateException(
+        s"cannot export vector index at $indexDir: head commit " +
+          s"carries no $k=v pin — not a built IVF-PQ index " +
+          "(buildIvfPqIndex first)"))
+    val (cv, bv) = (pin("centroids"), pin("codebooks"))
+    val centHead = Versioned.currentVersion(s, centroidsDir(indexDir))
+    val cbHead = Versioned.currentVersion(s, codebooksDir(indexDir))
+    if (cv > centHead || bv > cbHead) throw new IllegalStateException(
+      s"cannot export vector index at $indexDir: pins centroids=v$cv/" +
+        s"codebooks=v$bv but sibling heads are v$centHead/v$cbHead — " +
+        "torn maintenance; rebuild to restore the triple")
+    (Versioned.exportSnapshot(s, indexDir, hivePartitions = true),
+      Versioned.exportSnapshot(s, centroidsDir(indexDir), Some(cv)),
+      Versioned.exportSnapshot(s, codebooksDir(indexDir), Some(bv)))
+  }
+
+  /** File triple + unit query vector resolved by the LAST
+    * [[vectorIndexExportGate]] run in this JVM — SparkEntry.oracleSql
+    * embeds them literally into the q51 DuckDB oracle (same
+    * discipline as Versioned.lastExport/q47 and
+    * TextAnalysis.lastTextIndexExport/q50). The query vector rides
+    * along because the oracle must probe with EXACTLY the floats the
+    * in-engine side used: each element is the float-rounded unit
+    * component widened to double, printed shortest-round-trip. */
+  @volatile private[graft] var lastVectorIndexExport: Option[
+    (Seq[String], Seq[String], Seq[String], Seq[Double])] = None
+
+  /** Cross-engine rank comparisons are only meaningful when the rank
+    * boundary is gapped far above the engines' arithmetic skew (the
+    * in-engine side multiplies float subvectors, the oracle computes
+    * in double — ~1e-7 relative). The gate REFUSES a query whose
+    * boundary gap is inside the noise floor instead of flaking. */
+  private val RankGapFloor = 1e-5
+
+  /** Driver-visible gate for CROSS-ENGINE VECTOR-INDEX reads — q51.
+    * The Spark side ADC-probes the persisted IVF-PQ index (pinned
+    * centroids pick the nProbe cells, the native `graft_pq_adc`
+    * scores their code bytes); the DuckDB side recomputes the SAME
+    * probe from the index's OWN exported bytes — hive-partition
+    * pruned `read_parquet` over the code cells, centroid cosines and
+    * per-subspace dot tables rebuilt from the pinned sibling files —
+    * so a hash match proves the vector-index layout is
+    * engine-portable: two engines, one set of index bytes. No float
+    * rerank on either side: the thesis is that the index bytes ALONE
+    * carry the probe (the rerank would touch the source store). The
+    * output is the top-k candidate ID SET — scores are float-order
+    * sensitive across engines, ranks with asserted boundary gaps are
+    * not ([[RankGapFloor]]). The index is built over a corpus split
+    * (build + one O(delta) append) so the export spans two code
+    * versions under one quantization generation; an unpinned
+    * cell-partitioned table must refuse. Work dir intentionally
+    * outlives the gate — the driver's DuckDB pass reads the exported
+    * files after this JVM exits. */
+  def vectorIndexExportGate(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-vindex-export-gate")
+    val idx = work.resolve("ivfpq").toString
+    val e = emb(s, d)
+    val corpus = e.filter(col("vec_id") >= NumQueries)
+    // the delta slice spares the seed range: centroid seeding and
+    // codebook seeding both draw from the first vectors by id
+    // (seedCentroids / trainPqCodebooks), and a codebook missing a
+    // seeded code would scramble every POSITIONAL ADC slot after it
+    val delta = pmod(hash(col("vec_id")), lit(5)) === 0 &&
+      col("vec_id") >= NumQueries + 64
+    buildIvfPqIndexOf(s, corpus.filter(!delta), idx)
+    appendToIvfPqIndex(s, corpus.filter(delta)
+      .select(col("vec_id"), col("embedding")), idx)
+    // the refusal IS part of the contract: code-shaped bytes without
+    // quantization pins must not export as an index
+    val bogus = work.resolve("bogus").toString
+    Versioned.commit(
+      corpus.limit(2).select(col("vec_id"), lit(0).as("cell"),
+        col("nrm"), array(lit(0), lit(0)).cast("array<tinyint>")
+          .as("codes")),
+      bogus, partitionCol = Some("cell"))
+    val refused =
+      scala.util.Try(exportVectorIndex(s, bogus)).isFailure
+    val (codeFiles, centFiles, cbFiles) = exportVectorIndex(s, idx)
+
+    // in-engine ADC probe of query vector 0 — the same plan shape as
+    // ivfPqTopKIndexed minus the rerank (index bytes only)
+    val pins = pinnedVersionsOf(s, idx)
+    val cents = Versioned.read(s, centroidsDir(idx),
+      pins.get("centroids"))
+    val cb = Versioned.read(s, codebooksDir(idx), pins.get("codebooks"))
+    val query = e.filter(col("vec_id") === 0L).cache()
+    val cellScores = query.join(broadcast(cents))
+      .select(col("cell"), (dot(col("c_emb"), col("embedding")) /
+        (col("c_nrm") * col("nrm"))).as("c_cos"))
+      .orderBy(col("c_cos").desc, col("cell"))
+      .collect() // ≤ C rows by construction
+    if (cellScores.length > NProbe) {
+      val gap = cellScores(NProbe - 1).getDouble(1) -
+        cellScores(NProbe).getDouble(1)
+      require(gap > RankGapFloor,
+        s"cell-rank boundary gap $gap is inside cross-engine float " +
+          "noise — probe-cell choice would be engine-dependent")
+    }
+    val probed = cellScores.take(NProbe).map(_.getLong(0).toInt)
+    val qTab = subvectors(query)
+      .join(broadcast(cb), "j")
+      .select((col("j") * PqCodes + col("code")).as("slot"),
+        aggregate(zip_with(col("sub"), col("c_sub"),
+          (x, y) => x * y), lit(0.0), (acc, v) => acc + v).as("dp"))
+      .groupBy()
+      .agg(transform(
+        array_sort(collect_list(struct(col("slot"), col("dp")))),
+        x => x("dp")).as("qtab"))
+    val top = Versioned.read(s, idx)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .crossJoin(broadcast(qTab))
+      .select(col("vec_id"),
+        call_function(GraftFunctions.PqAdcName,
+          col("qtab"), col("codes")).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(k + 1) // TakeOrdered: k+1 rows reach the driver
+      .collect()
+    require(top.length > k, s"probed cells hold only ${top.length} " +
+      s"vectors — cannot gap-check a top-$k boundary")
+    val boundary = top(k - 1).getDouble(1) - top(k).getDouble(1)
+    require(boundary > RankGapFloor,
+      s"top-$k ADC boundary gap $boundary is inside cross-engine " +
+        "float noise — the candidate set would be engine-dependent")
+    // the oracle probes with EXACTLY the in-engine floats: unit
+    // components rounded to float (subvectors' cast), widened back
+    val qUnit = query.select(transform(col("embedding"),
+        x => (x / col("nrm")).cast("float").cast("double")).as("u"))
+      .head().getSeq[Double](0)
+    lastVectorIndexExport =
+      Some((codeFiles, centFiles, cbFiles, qUnit))
+    query.unpersist()
+    import s.implicits._
+    top.take(k).map(_.getLong(0)).sorted.toSeq.toDF("vec_id")
+      .withColumn("n_probed", lit(probed.length.toLong))
+      .withColumn("refused_unpinned", lit(if (refused) 1L else 0L))
+  }
 
   // —— Hybrid retrieval: BM25 + vector fusion (RRF) ——
 

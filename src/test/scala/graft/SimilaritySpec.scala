@@ -462,5 +462,76 @@ class SimilaritySpec extends SparkSpec {
     assert(top1.getLong(2) == 2000000L,
       s"appended twin must be query 0's top-1, got $top1")
   }
+
+  test("exportVectorIndex: exported triple alone carries the ADC " +
+      "probe; unpinned and torn indexes refuse") {
+    import org.apache.spark.sql.functions._
+    import graft.sources.Versioned
+    // the q51 gate end-to-end: build + O(delta) append, export, probe
+    // in-engine, and flag the unpinned-table refusal
+    val out = Similarity.vectorIndexExportGate(spark, sf)
+      .orderBy(col("vec_id")).collect()
+    assert(out.length == 20)
+    assert(out.forall(_.getLong(1) == Similarity.NProbe.toLong))
+    assert(out.forall(_.getLong(2) == 1L),
+      "code-shaped bytes without quantization pins must refuse export")
+    val (codeFiles, centFiles, cbFiles, qUnit) =
+      Similarity.lastVectorIndexExport.get
+    // export spans BOTH the build and the append code commits, every
+    // file under a cell= dir; centroid/codebook files resolve to the
+    // pinned generation
+    assert(codeFiles.nonEmpty && codeFiles.forall(_.contains("cell=")))
+    assert(codeFiles.exists(_.contains("/v=1/")) &&
+      codeFiles.exists(_.contains("/v=2/")))
+    assert(centFiles.nonEmpty && cbFiles.nonEmpty)
+    // the in-JVM mirror of the q51 DuckDB oracle: re-run the ADC probe
+    // from the exported bytes ONLY — raw parquet reads, the cell
+    // recovered from the hive path (the waived routing metadata), the
+    // code byte decoded unsigned — no corpus, no engine read path
+    val q = typedlit(qUnit)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a.cast("array<double>"), b, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+    val probed = spark.read.parquet(centFiles: _*)
+      .select(col("cell").cast("long").as("cell"),
+        (dot(col("c_emb"), q) / col("c_nrm")).as("c_cos"))
+      .orderBy(col("c_cos").desc, col("cell"))
+      .limit(Similarity.NProbe).collect().map(_.getLong(0))
+    val subDim = 64 / Similarity.PqM
+    val dp = spark.read.parquet(cbFiles: _*)
+      .select(col("j"), col("code"),
+        dot(col("c_sub"),
+          slice(q, col("j") * subDim + 1, lit(subDim))).as("dp"))
+    val mirror = spark.read.parquet(codeFiles: _*)
+      .withColumn("cell", regexp_extract(input_file_name(),
+        "cell=([0-9]+)", 1).cast("long"))
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col("vec_id"), posexplode(col("codes")))
+      .select(col("vec_id"), col("pos").as("j"),
+        ((col("col").cast("int") + 256) % 256).as("code"))
+      .join(dp, Seq("j", "code"))
+      .groupBy(col("vec_id")).agg(sum(col("dp")).as("adc"))
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(20).collect().map(_.getLong(0)).sorted.toSeq
+    assert(mirror == out.map(_.getLong(0)).toSeq,
+      "exported bytes must reproduce the in-engine candidate set")
+    // torn refusal: pins naming generations beyond the sibling heads
+    val torn = "target/tmp/ivfpq-export-torn"
+    Seq(torn, s"$torn.centroids", s"$torn.codebooks").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val corpus = graft.sources.Tables.load(spark, sf, "embeddings")
+      .filter(col("vec_id") >= Similarity.NumQueries)
+      .withColumn("nrm", sqrt(aggregate(zip_with(col("embedding"),
+        col("embedding"), (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)))
+    Similarity.buildIvfPqIndexOf(spark, corpus, torn)
+    Versioned.append(
+      Versioned.read(spark, torn).limit(1),
+      torn, partitionCol = Some("cell"),
+      note = Some("centroids=v99;codebooks=v99"))
+    val e = intercept[IllegalStateException](
+      Similarity.exportVectorIndex(spark, torn))
+    assert(e.getMessage.contains("torn maintenance"))
+  }
 }
 
