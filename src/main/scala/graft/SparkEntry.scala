@@ -124,6 +124,7 @@ object SparkEntry {
     "t24_bm25_indexed" -> (TextAnalysis.bm25SearchIndexedGate _),
     "t25_split_assign" -> (TextAnalysis.splitAssign _),
     "t26_percentile_norm" -> (TextAnalysis.percentileNorm _),
+    "t27_substr_dedup" -> (TextAnalysis.exactSubstrDedup _),
     "t21_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "t14_repetition" -> (TextAnalysis.repetitionSignals _),
     // PII redaction (emails/phones/IPv4 -> typed placeholders): the
@@ -265,6 +266,13 @@ object SparkEntry {
     // file) and must hash-match the in-engine probe — q47's
     // layout-portability proof extended to the index family.
     "q50_index_export" -> (TextAnalysis.textIndexExportGate _),
+    // Cross-engine VECTOR-index read: the oracle re-runs the ADC
+    // probe in DuckDB from the exported IVF-PQ triple (hive-pruned
+    // code cells + pinned centroids + pinned codebooks) and must
+    // match the in-engine candidate set — rank-exact by the gate's
+    // asserted boundary gaps, score-free by design.
+    "q51_vector_index_export" ->
+      (Similarity.vectorIndexExportGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -756,6 +764,44 @@ object SparkEntry {
          SELECT doc_id, score,
                 percent_rank() OVER (ORDER BY score) AS pct_rank
          FROM scored ORDER BY doc_id""",
+    // Exact-substring span dedup (Lee et al. 2021, all-copies): every
+    // 15-token window occurring >= 2 times in the corpus marks its
+    // span in each occurrence; DuckDB recomputes the window md5 keys,
+    // the marks, and the excised text — full rows hash-matched
+    // including the rebuilt cleaned_text strings.
+    "t27_substr_dedup" ->
+      """WITH tok AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+           FROM documents),
+         win AS (
+           SELECT doc_id, i, md5(array_to_string(ts[i+1:i+15], ' ')) AS h
+           FROM tok, unnest(range(len(ts) - 15 + 1)) AS t(i)
+           WHERE len(ts) >= 15),
+         dup AS (SELECT h FROM win GROUP BY h HAVING count(*) >= 2),
+         marked AS (
+           SELECT DISTINCT w.doc_id, u.p AS pos
+           FROM win w JOIN dup USING (h),
+                unnest(range(w.i, w.i + 15)) AS u(p)),
+         toks AS (
+           SELECT doc_id, ts[p+1] AS tok, p AS pos
+           FROM tok, unnest(range(len(ts))) AS u(p)),
+         kept AS (
+           SELECT t.doc_id, t.pos, t.tok FROM toks t
+           LEFT JOIN marked m ON t.doc_id = m.doc_id AND t.pos = m.pos
+           WHERE m.pos IS NULL),
+         stats AS (
+           SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens FROM tok),
+         dupt AS (
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_tokens
+           FROM marked GROUP BY doc_id),
+         clean AS (
+           SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS cleaned
+           FROM kept GROUP BY doc_id)
+         SELECT s.doc_id, s.n_tokens, d.dup_tokens,
+                coalesce(c.cleaned, '') AS cleaned_text
+         FROM stats s JOIN dupt d USING (doc_id)
+         LEFT JOIN clean c USING (doc_id)
+         ORDER BY s.doc_id""",
     // Deterministic 90/5/5 split: u = (seed, doc_id) md5 uniform, the
     // split is the interval u falls in — DuckDB recomputes every
     // assignment bit-for-bit, full rows hash-matched.
@@ -1495,7 +1541,7 @@ object SparkEntry {
                 CAST(count(*) + 5 AS BIGINT)
                   AS rows_after_divergent_append
          FROM nation WHERE n_nationkey < 15""",
-  ) ++ exportOracle ++ indexExportOracle
+  ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle
 
   /** q47's oracle aggregates the graft table's OWN data files — the
     * literal `read_parquet([...])` list resolved by the exportGate run
@@ -1550,5 +1596,58 @@ object SparkEntry {
              SELECT doc_id, score, n_terms,
                     CAST(1 AS BIGINT) AS refused_unpinned
              FROM top ORDER BY doc_id"""
+    }.toMap
+
+  /** q51's oracle re-runs the IVF-PQ ADC probe in DuckDB from the
+    * index's OWN exported bytes: centroid cosines over the pinned
+    * centroid files pick the nProbe cells, `hive_partitioning`
+    * recovers each code file's cell from its path (the waived
+    * routing metadata), the per-subspace dot tables rebuild from the
+    * pinned codebook files, and the ADC sum re-ranks the probed
+    * cells' code bytes (decoded unsigned, the storage contract) —
+    * with NO access to the corpus or to Spark. Only the top-k ID set
+    * crosses engines: scores are float-order sensitive, the id set
+    * is rank-exact by the gate's asserted boundary gaps. */
+  private def vectorIndexExportOracle: Map[String, String] =
+    graft.operators.Similarity.lastVectorIndexExport.map {
+      case (codes, cents, cbs, qUnit) =>
+        def files(fs: Seq[String]) =
+          fs.map(f => s"'$f'").mkString("[", ", ", "]")
+        val q = qUnit.map(java.lang.Double.toString)
+          .mkString("[", ", ", "]")
+        val subDim = 64 / graft.operators.Similarity.PqM
+        val nProbe = graft.operators.Similarity.NProbe
+        "q51_vector_index_export" ->
+          s"""WITH q AS (SELECT CAST($q AS DOUBLE[]) AS qe),
+             cscore AS (SELECT CAST(cell AS BIGINT) AS cell,
+                    list_dot_product(CAST(c_emb AS DOUBLE[]), qe)
+                      / c_nrm AS c_cos
+                  FROM read_parquet(${files(cents)}), q),
+             probed AS (SELECT cell FROM cscore
+                        ORDER BY c_cos DESC, cell LIMIT $nProbe),
+             dp AS (SELECT j, code,
+                    list_dot_product(CAST(c_sub AS DOUBLE[]),
+                      list_slice(qe, j * $subDim + 1,
+                                 j * $subDim + $subDim)) AS dp
+                  FROM read_parquet(${files(cbs)}), q),
+             cod AS (SELECT vec_id, codes
+                  FROM read_parquet(${files(codes)},
+                                    hive_partitioning = true)
+                  WHERE CAST(cell AS BIGINT) IN
+                        (SELECT cell FROM probed)),
+             expl AS (SELECT vec_id,
+                    unnest(range(len(codes))) AS j,
+                    (256 + CAST(unnest(codes) AS INT)) % 256 AS code
+                  FROM cod),
+             adc AS (SELECT e.vec_id, sum(d.dp) AS adc
+                  FROM expl e JOIN dp d
+                    ON e.j = d.j AND e.code = d.code
+                  GROUP BY e.vec_id),
+             top AS (SELECT vec_id FROM adc
+                     ORDER BY adc DESC, vec_id LIMIT 20)
+             SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                    CAST($nProbe AS BIGINT) AS n_probed,
+                    CAST(1 AS BIGINT) AS refused_unpinned
+             FROM top ORDER BY vec_id"""
     }.toMap
 }

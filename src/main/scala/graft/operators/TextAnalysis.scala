@@ -1107,6 +1107,78 @@ object TextAnalysis {
       .drop("bp")
   }
 
+  // —— Exact-substring span dedup: sub-document duplicate removal ——
+
+  /** Exact-substring span dedup — the span-level member of the dedup
+    * family (document-level: exact md5 / MinHash-LSH; line-level:
+    * boilerplate strip; THIS: token-span level). The discipline is
+    * Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better"): any [[w]]-token window whose EXACT text occurs
+    * ≥ 2 times in the corpus — across documents OR repeated inside
+    * one — marks its token span in EVERY occurrence, and marked
+    * spans are removed from every copy (the paper's all-copies
+    * variant; it keeps none because partial copies inflate the
+    * memorized-span count either way). The single-node reference
+    * tool builds a corpus suffix array; the distributed shape here is
+    * a rolling window → content hash → one count shuffle:
+    *
+    *  1. tokenize once (the module tokenizer), PERSISTED — three
+    *     downstream passes consume the array, and without the
+    *     barrier CollapseProject would inline the regex split into
+    *     every per-window slice (~tokens× recompute — the t26
+    *     percentile-norm lesson, applied at design time);
+    *  2. every w-token window keyed by md5 of its joined text — md5
+    *     (not a cheaper 64-bit hash) because the key is the
+    *     CROSS-ENGINE contract the t27 oracle recomputes in DuckDB;
+    *  3. ONE corpus-wide count shuffle on the window key
+    *     (partial-agg map-side combined; a pathological hot window
+    *     text is AQE skew-join territory, not a plan change);
+    *  4. duplicated windows explode to (doc, token position) marks —
+    *     a ≤ w× expansion of DUPLICATED windows only, per-document
+    *     bounded — and removal is a left-anti join of exploded
+    *     tokens against marks, reassembled per document.
+    *
+    * Nothing touches the driver; every stage keys on window hash or
+    * doc_id. Output is one row per AFFECTED document: original and
+    * duplicated token counts plus the cleaned text with every marked
+    * span excised (empty when the whole document was duplicated). */
+  def exactSubstrDedupOf(docsDf: DataFrame, w: Int = 15): DataFrame = {
+    val tok = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("ts"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val win = tok.filter(size(col("ts")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ts")) - w),
+          i => md5(concat_ws(" ", slice(col("ts"), i + lit(1), lit(w)))))))
+      .select(col("doc_id"), col("pos").as("i"), col("col").as("h"))
+    val dup = win.groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("h"))
+    val marked = win.join(dup, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("i"), col("i") + lit(w - 1))).as("p"))
+      .distinct()
+    val toksL = tok.select(col("doc_id"), posexplode(col("ts")))
+      .select(col("doc_id"), col("pos").as("p"), col("col").as("tok"))
+    val kept = toksL.join(marked, Seq("doc_id", "p"), "left_anti")
+    val cleaned = kept.groupBy(col("doc_id"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        x => x("tok"))).as("cleaned"))
+    val dupt = marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dup_tokens"))
+    tok.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+      .join(dupt, "doc_id")
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        coalesce(col("cleaned"), lit("")).as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-visible gate (t27) over the documents table. */
+  def exactSubstrDedup(s: SparkSession, d: String): DataFrame =
+    exactSubstrDedupOf(docsPlain(s, d))
+
   // —— BM25 keyword search: the curation-time corpus query ——
 
   val Bm25K1 = 1.2

@@ -371,6 +371,41 @@ class TextEventsSpec extends SparkSpec {
     assert(e2.getMessage.contains("torn maintenance"))
   }
 
+  test("exact-substring dedup: cross-doc and within-doc spans marked " +
+      "in every copy, overlaps merge, short docs exempt") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c X Y Z d e f"),      // shares "X Y Z" with doc 2
+      (2L, "p q X Y Z r s"),
+      (3L, "u v w x y"),              // unique — untouched
+      (4L, "m n"),                    // shorter than the window
+      (5L, "k l m k l m"),            // WITHIN-doc repeat: fully dup
+      (6L, "f1 t u2 v2 w2 f2"),       // overlapping dup windows with 7:
+      (7L, "t u2 v2 w2 g1")           // 4-token shared span, w=3
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstrDedupOf(docs, w = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 9L, 3L, "a b c d e f"),
+      (2L, 7L, 3L, "p q r s"),
+      // all six tokens of doc 5 sit under a repeated window — removed
+      // entirely, the empty-document case the pipeline must tolerate
+      (5L, 6L, 6L, ""),
+      // two OVERLAPPING duplicated windows merge to a 4-token span,
+      // counted once per position, not once per window
+      (6L, 6L, 4L, "f1 f2"),
+      (7L, 5L, 4L, "g1")))
+    // the tokenize-once barrier is load-bearing (the t26 lesson):
+    // without it CollapseProject inlines the regex split into every
+    // per-window slice — the persisted tokens must appear in the plan
+    val plan = TextAnalysis.exactSubstrDedupOf(docs, w = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      "tokenized frame must be consumed through the cache barrier")
+  }
+
   test("split assignment: disjoint-exhaustive, proportional, stable " +
       "under corpus growth, seed-sensitive") {
     import spark.implicits._
