@@ -1146,6 +1146,18 @@ object TextAnalysis {
     val tok = docsDf
       .select(col("doc_id"), tokens(col("text")).as("ts"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager population (the percentileNormOf discipline, where the
+    // boundary fit plays this role): four downstream stages consume
+    // the cache and a LAZY first use lets them race — each
+    // concurrently-scheduled stage recomputes the scan+split for
+    // itself before any block lands (measured: 7 corpus scans at the
+    // fixture SF, "Block already exists" warnings). One bounded
+    // action = one scan, every consumer reads blocks. The cache is
+    // O(corpus tokens) MEMORY_AND_DISK — the deliberate trade at
+    // scale: the alternative re-tokenizes per consumer (3 full
+    // scan+regex passes); a 100 TB standing pipeline would point
+    // `docsDf` at an already-tokenized column instead.
+    tok.count()
     val win = tok.filter(size(col("ts")) >= w)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("ts")) - w),
