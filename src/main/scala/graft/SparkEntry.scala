@@ -125,6 +125,7 @@ object SparkEntry {
     "t25_split_assign" -> (TextAnalysis.splitAssign _),
     "t26_percentile_norm" -> (TextAnalysis.percentileNorm _),
     "t27_substr_dedup" -> (TextAnalysis.exactSubstrDedup _),
+    "t28_nb_filter" -> (TextAnalysis.nbQualityFilter _),
     "t21_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "t14_repetition" -> (TextAnalysis.repetitionSignals _),
     // PII redaction (emails/phones/IPv4 -> typed placeholders): the
@@ -802,6 +803,44 @@ object SparkEntry {
          FROM stats s JOIN dupt d USING (doc_id)
          LEFT JOIN clean c USING (doc_id)
          ORDER BY s.doc_id""",
+    // Trained naive-Bayes quality filter: positive = src0..src4
+    // membership, trained on the pure doc_id % 5 == 0 slice with
+    // Laplace +1; DuckDB refits the identical closed-form model and
+    // rescores every document — logodds doubles at 1e-9, kept flags
+    // exact (decision margin floor ~1e-4 >> sum-reorder noise). The
+    // oracle sums per-token CONTRIBUTIONS to mirror the engine's
+    // summation structure.
+    "t28_nb_filter" ->
+      """WITH docs AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts,
+                  source IN ('src0','src1','src2','src3','src4') AS pos
+           FROM documents),
+         ttoks AS (SELECT pos, unnest(ts) AS tok FROM docs
+                   WHERE doc_id % 5 = 0),
+         model AS (
+           SELECT tok, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+                  sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS nn
+           FROM ttoks GROUP BY tok),
+         stats AS (
+           SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS ntp,
+                  sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS ntn,
+                  count(DISTINCT tok) AS v
+           FROM ttoks),
+         prior AS (
+           SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 /
+                     sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS lp
+           FROM docs WHERE doc_id % 5 = 0),
+         contrib AS (
+           SELECT a.doc_id,
+                  ln((coalesce(m.np, 0) + 1.0) / (s.ntp + s.v)) -
+                  ln((coalesce(m.nn, 0) + 1.0) / (s.ntn + s.v)) AS c
+           FROM (SELECT doc_id, unnest(ts) AS tok FROM docs) a
+           LEFT JOIN model m USING (tok), stats s)
+         SELECT doc_id,
+                sum(c) + (SELECT lp FROM prior) AS logodds,
+                CAST(sum(c) + (SELECT lp FROM prior) > 0 AS BIGINT)
+                  AS kept
+         FROM contrib GROUP BY doc_id ORDER BY doc_id""",
     // Deterministic 90/5/5 split: u = (seed, doc_id) md5 uniform, the
     // split is the interval u falls in — DuckDB recomputes every
     // assignment bit-for-bit, full rows hash-matched.

@@ -686,6 +686,85 @@ object TextAnalysis {
   def lmScore(s: SparkSession, d: String): DataFrame =
     lmScoreOf(docsPlain(s, d))
 
+  // —— trained quality classifier: naive-Bayes log-odds filter ——
+
+  /** TRAINED quality filter — the supervised member of the scoring
+    * family (t06 heuristic ratios, t19 unsupervised LM surprisal,
+    * THIS: a classifier fit to labeled examples). The discipline is
+    * the GPT-3/CCNet pipeline step: label a reference slice as
+    * positive (here: membership in [[positive]] sources — the "books
+    * and wiki" analog), train a text classifier on a deterministic
+    * subset, and keep corpus documents the classifier scores
+    * positive. The classifier is multinomial naive Bayes with
+    * Laplace +1 smoothing — chosen over SGD-trained alternatives
+    * because its sufficient statistics are ONE closed-form
+    * aggregation (no iteration, no learning-rate state), so training
+    * distributes as a single map-side-combined count shuffle and the
+    * result is bit-reproducible from the data alone.
+    *
+    * logodds(d) = ln(P_train(pos)/P_train(neg)) +
+    *   Σ_tok [ln((c_pos(tok)+1)/(n_pos+V)) −
+    *          ln((c_neg(tok)+1)/(n_neg+V))]
+    *
+    * Scale shape: the model (per-token positive/negative counts) is
+    * vocabulary-bounded and broadcast into the scoring join — the
+    * same contract as [[lmScoreOf]], including the documented 100 TB
+    * cap (top-V by count + an OOV floor slots in as one filter).
+    * Scoring is the broadcast join plus ONE partial-agg sum keyed on
+    * doc_id. The train split is the pure predicate doc_id % k == 0 —
+    * reruns and engines agree on the exact model with no sampling
+    * state. Tokens unseen in training contribute the smoothing floor
+    * difference through the left join. Sum-reorder float noise is
+    * ~1e-13 abs while the decision margin's observed floor is ~1e-4;
+    * the oracle recomputes per-token CONTRIBUTIONS (not separate
+    * per-class sums) to mirror the engine's summation structure. */
+  def nbQualityFilterOf(docsDf: DataFrame,
+      positive: Seq[String] = (0 to 4).map("src" + _),
+      trainMod: Int = 5): DataFrame = {
+    val base = docsDf.select(col("doc_id"), tokens(col("text")).as("ts"),
+        col("source").isin(positive: _*).as("pos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count() // eager cache population — the t27 lesson
+    val train = base.filter(col("doc_id") % trainMod === 0)
+    val prior = train.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("dp"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("dn"))
+    val pr = prior.head()
+    // a one-class training slice has no decision boundary — refuse
+    // loudly rather than emit ±Infinity log-odds for every document
+    require(pr.getLong(0) > 0 && pr.getLong(1) > 0,
+      s"nb filter needs both classes in the training slice " +
+        s"(doc_id % $trainMod == 0): positives=${pr.getLong(0)} " +
+        s"negatives=${pr.getLong(1)}")
+    val ttoks = train.select(col("pos"), explode(col("ts")).as("tok"))
+    val model = ttoks.groupBy(col("tok")).agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("nn"))
+    val stats = ttoks.agg(
+      sum(when(col("pos"), 1L).otherwise(0L)).as("ntp"),
+      sum(when(!col("pos"), 1L).otherwise(0L)).as("ntn"),
+      countDistinct(col("tok")).as("v"))
+    val contrib = base.select(col("doc_id"), explode(col("ts")).as("tok"))
+      .join(broadcast(model), Seq("tok"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((coalesce(col("np"), lit(0L)) + 1).cast("double") /
+             (col("ntp") + col("v"))) -
+         log((coalesce(col("nn"), lit(0L)) + 1).cast("double") /
+             (col("ntn") + col("v")))).as("c"))
+    contrib.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("sumc"))
+      .select(col("doc_id"),
+        (col("sumc") + log(lit(pr.getLong(0).toDouble) /
+          lit(pr.getLong(1).toDouble))).as("logodds"))
+      .withColumn("kept", (col("logodds") > 0).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The t28 gate over the documents table. */
+  def nbQualityFilter(s: SparkSession, d: String): DataFrame =
+    nbQualityFilterOf(docsPlain(s, d))
+
   // —— deterministic training order (shuffle + shard) ——
 
   /** Seeded deterministic corpus shuffle + sharding — the training-

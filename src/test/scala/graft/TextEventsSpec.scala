@@ -406,6 +406,47 @@ class TextEventsSpec extends SparkSpec {
       "tokenized frame must be consumed through the cache barrier")
   }
 
+  test("nb quality filter: trained separation, unseen-token floor, " +
+      "bit-determinism, one-class refusal") {
+    import spark.implicits._
+    // train slice = doc_id % 5 == 0: two positives (alpha/beta
+    // vocabulary) and two negatives (zork/wubble vocabulary)
+    val docs = Seq(
+      (0L, "alpha beta gamma", "good"),
+      (5L, "alpha beta delta", "good"),
+      (10L, "zork yark wubble", "bad"),
+      (15L, "zork wubble grue", "bad"),
+      (1L, "alpha alpha beta", "good"),   // held out, positive-shaped
+      (2L, "zork zork yark", "bad"),      // held out, negative-shaped
+      (3L, "alpha novel", "good")         // 'novel' unseen in training
+    ).toDF("doc_id", "text", "source")
+    val out = TextAnalysis.nbQualityFilterOf(docs,
+        positive = Seq("good"), trainMod = 5)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+    assert(out.size == 7)
+    // held-out docs land on the right side of the boundary
+    assert(out(1L)._2 == 1L && out(1L)._1 > 0)
+    assert(out(2L)._2 == 0L && out(2L)._1 < 0)
+    // the unseen token contributes the SYMMETRIC smoothing floor
+    // (equal train masses here), so doc 3 = exactly doc of one alpha:
+    // ln((2+1)/(6+8)) - ln((0+1)/(6+8)) = ln 3, prior ln(2/2) = 0
+    assert(math.abs(out(3L)._1 - math.log(3.0)) < 1e-12)
+    assert(out(3L)._2 == 1L)
+    // bit-determinism: the closed-form fit has no sampling state
+    val again = TextAnalysis.nbQualityFilterOf(docs,
+        positive = Seq("good"), trainMod = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (id, (lo, _)) => assert(again(id) == lo) }
+    // a one-class training slice has no boundary — refuse loudly
+    val oneClass = docs.withColumn("source",
+      org.apache.spark.sql.functions.lit("good"))
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.nbQualityFilterOf(oneClass, positive = Seq("good"),
+        trainMod = 5))
+    assert(e.getMessage.contains("both classes"))
+  }
+
   test("split assignment: disjoint-exhaustive, proportional, stable " +
       "under corpus growth, seed-sensitive") {
     import spark.implicits._
