@@ -274,6 +274,13 @@ object SparkEntry {
     // asserted boundary gaps, score-free by design.
     "q51_vector_index_export" ->
       (Similarity.vectorIndexExportGate _),
+    // Incremental derived-table maintenance: a curated projection
+    // kept current through bootstrap -> append -> one atomic mixed
+    // CDC batch, each refresh paying O(changed files) via the
+    // changelog and pinning the processed source version in the
+    // destination's own commit note.
+    "q52_derived_refresh" ->
+      (graft.sources.DerivedTable.derivedRefreshGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1580,6 +1587,28 @@ object SparkEntry {
                 CAST(count(*) + 5 AS BIGINT)
                   AS rows_after_divergent_append
          FROM nation WHERE n_nationkey < 15""",
+    // Derived-table refresh constants: DuckDB restates each advanced
+    // state of the curated projection straight from the fixture —
+    // bootstrap slice, post-append, and the mixed batch where rows
+    // cross the n_chars >= 300 filter boundary in both directions
+    // (1-3 fall to 0, 4-5 rise to 9999) and doc_id % 7 keys vanish.
+    "q52_derived_refresh" ->
+      """SELECT CAST((SELECT count(*) FROM documents
+                      WHERE doc_id < 300 AND n_chars >= 300) AS BIGINT)
+                  AS rows_v1,
+                CAST((SELECT count(*) FROM documents
+                      WHERE n_chars >= 300) AS BIGINT) AS rows_v2,
+                CAST((SELECT count(*) FROM documents
+                      WHERE doc_id % 7 <> 0 AND
+                        (CASE WHEN doc_id IN (1, 2, 3) THEN 0
+                              WHEN doc_id IN (4, 5) THEN 9999
+                              ELSE n_chars END) >= 300) AS BIGINT)
+                  AS rows_v3,
+                CAST(2 AS BIGINT) AS refresh_from,
+                CAST(3 AS BIGINT) AS refresh_to,
+                CAST(1 AS BIGINT) AS eq_full_recompute,
+                CAST(1 AS BIGINT) AS noop_stable,
+                CAST(1 AS BIGINT) AS refused_unpinned""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle
 
   /** q47's oracle aggregates the graft table's OWN data files — the
