@@ -10,6 +10,7 @@ import graft.sources.{Tables, Versioned}
   * surface — the integration a reference user runs daily, chained over
   * DataFrames instead of per-query table loads:
   *
+  *   span-level substring dedup -> trained NB quality scoring ->
   *   quality/dedup curation -> near-dup cluster canonicalization ->
   *   language-stratified sampling -> token-budget packing ->
   *   versioned snapshot commit -> small-file compaction.
@@ -24,8 +25,23 @@ object PipelineDemo {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
     val spark = Sessions.get("graft-pipeline-demo")
 
-    val docs = Tables.load(spark, sfDir, "documents")
+    val raw = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
+    // 0a. span-level dedup FIRST: repeated 15-token windows (shared
+    // boilerplate passages, near-copy spans) excised from every copy
+    // before document-level gates see the text
+    val spanClean = TextAnalysis.exactSubstrDedupOf(raw)
+      .select(col("doc_id"), col("cleaned_text").as("text"))
+    val docs = raw.join(spanClean.select(col("doc_id")), Seq("doc_id"),
+        "left_anti")
+      .unionByName(spanClean.filter(length(col("text")) > 0))
+    // 0b. trained quality filter: keep documents the naive-Bayes
+    // classifier (fit on the labeled src0-4 slice) scores positive,
+    // OR'd with the heuristic gates downstream — here demoed as a
+    // reported count rather than a hard cut to keep the tail stages
+    // populated at demo SF
+    val nbKept = TextAnalysis.nbQualityFilter(spark, sfDir)
+      .filter(col("kept") === 1L)
     // 1. gates + exact dedup, keeping canonical text per fingerprint
     val curated = TextAnalysis.curatedDocs(docs).cache()
     // 2. near-dup clusters over the corpus; keep ONE representative per
@@ -75,6 +91,8 @@ object PipelineDemo {
     val v2 = Versioned.compact(spark, dir)
 
     val published = Versioned.read(spark, dir)
+    println(s"PIPELINE_SPAN_DEDUPED=${spanClean.count()}")
+    println(s"PIPELINE_NB_KEPT=${nbKept.count()}")
     println(s"PIPELINE_CURATED=${curated.count()}")
     println(s"PIPELINE_CANONICAL=${canonical.count()}")
     println(s"PIPELINE_MIXED=${mixed.count()}")
