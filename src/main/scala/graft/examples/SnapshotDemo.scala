@@ -85,6 +85,21 @@ object SnapshotDemo {
       s"${Versioned.readTag(spark, t, "audited").count()}")
     println(s"SNAPSHOT_HISTORY=${Versioned.history(spark, t).count()}")
 
+    // derived table: an incrementally maintained projection — full
+    // build once, then a source delete propagates through ONE
+    // O(changed files) refresh instead of a recompute
+    val dt = s"$dir/region_derived"
+    val proj = (d: org.apache.spark.sql.DataFrame) =>
+      d.select(col("r_regionkey"),
+        upper(col("region_name")).as("region_name"))
+    graft.sources.DerivedTable.refresh(spark, t, dt, "r_regionkey", proj)
+    println(s"SNAPSHOT_DERIVED_BOOT=${Versioned.read(spark, dt).count()}")
+    Versioned.deleteRows(spark, t, Seq(0).toDF("r_regionkey"))
+    val (rf, rt2) = graft.sources.DerivedTable.refresh(
+      spark, t, dt, "r_regionkey", proj)
+    println(s"SNAPSHOT_DERIVED_REFRESH=${Versioned.read(spark, dt).count()}" +
+      s" range=$rf..$rt2")
+
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     spark.stop()
   }
