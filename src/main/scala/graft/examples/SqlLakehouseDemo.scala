@@ -138,6 +138,21 @@ object SqlLakehouseDemo {
       s"table => '$abs', source_path => '$foreign')").head().getInt(0)
     println(s"SQL_DEMO_ADD_FILES_V=$impV")
     println("SQL_DEMO_AFTER_IMPORT=" + one(s"SELECT count(*) FROM $g"))
+    // incremental materialized view, pure SQL: bootstrap, mutate the
+    // source, and advance the derived table by one O(delta) refresh
+    val dvDir = new java.io.File(s"$out/sql_derived").getAbsolutePath
+    def refreshMv() = spark.sql("CALL graft.system.refresh_derived(" +
+      s"source => '$abs', dest => '$dvDir', key => 'id', " +
+      "query => 'SELECT id, upper(name) AS name FROM __source__')")
+      .head()
+    refreshMv()
+    println("SQL_DEMO_MV_BOOT=" +
+      one(s"SELECT count(*) FROM graft.`$dvDir`"))
+    spark.sql(s"DELETE FROM $g WHERE id = 1")
+    val mv = refreshMv()
+    println("SQL_DEMO_MV_REFRESH=" +
+      one(s"SELECT count(*) FROM graft.`$dvDir`") +
+      s" range=${mv.getInt(0)}..${mv.getInt(1)}")
     spark.stop()
   }
 }

@@ -338,6 +338,41 @@ object GraftProcedures {
           df.createOrReplaceTempView(view)
           Seq(view, df.count())
         })
+      case "refresh_derived" => new Proc("refresh_derived",
+        "incrementally advance a derived table to query(source) — " +
+          "'query' is SQL selecting FROM __source__ and must be " +
+          "row-pure by 'key' (keys pass through; filtering allowed); " +
+          "reads only the source commits since the destination's " +
+          "pinned version and lands one atomic commit carrying the " +
+          "new pin",
+        Seq(p("source", StringType), p("dest", StringType),
+          p("key", StringType), p("query", StringType)),
+        StructType(Seq(
+          StructField("from_version", IntegerType, nullable = false),
+          StructField("to_version", IntegerType, nullable = false))),
+        a => {
+          require(a(1) != null, "'dest' is required")
+          require(a(2) != null, "'key' is required")
+          require(a(3) != null, "'query' is required")
+          val q = a(3).asInstanceOf[String]
+          require(q.contains("__source__"),
+            "'query' must select FROM __source__ (the placeholder " +
+              "the engine binds to the full source at bootstrap and " +
+              "to the changed rows on incremental refreshes)")
+          val t: org.apache.spark.sql.DataFrame =>
+              org.apache.spark.sql.DataFrame = df => {
+            val view = "__graft_refresh_src_" + java.util.UUID
+              .randomUUID().toString.replace("-", "")
+            df.createOrReplaceTempView(view)
+            // spark.sql resolves the view at ANALYSIS, so the view is
+            // inlined into the returned plan and can drop immediately
+            try spark.sql(q.replace("__source__", view))
+            finally spark.catalog.dropTempView(view)
+          }
+          val (from, to) = DerivedTable.refresh(spark, dir(a(0)),
+            dir(a(1)), a(2).asInstanceOf[String], t)
+          Seq(from, to)
+        })
       case _ => null
     })
   }
@@ -347,5 +382,5 @@ object GraftProcedures {
     "create_tag", "create_branch", "fast_forward", "drop_branch",
     "set_spec", "collect_stats", "rewrite_zorder",
     "remove_orphan_files", "create_changelog_view", "add_files",
-    "clone_table")
+    "clone_table", "refresh_derived")
 }

@@ -487,6 +487,40 @@ class ProcedureSpec extends SparkSpec {
     assert(spark.table(auto.getString(0)).count() == auto.getLong(1))
   }
 
+  test("refresh_derived: pure-SQL incremental materialized view") {
+    import spark.implicits._
+    val (src, srcAbs) = fresh("proc_refresh_src")
+    val (dst, dstAbs) = fresh("proc_refresh_dst")
+    Versioned.commit(Seq((1L, 20L), (2L, 5L), (3L, 30L))
+      .toDF("k", "v"), src)
+    val q = "SELECT k, v * 2 AS w FROM __source__ WHERE v >= 10"
+    def call() = spark.sql("CALL graft.system.refresh_derived(" +
+      s"source => '$srcAbs', dest => '$dstAbs', key => 'k', " +
+      s"query => '$q')").head()
+    // bootstrap = full build through the SQL transform
+    val boot = call()
+    assert((boot.getInt(0), boot.getInt(1)) == ((0, 1)))
+    assert(Versioned.read(spark, dst).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 40L), (3L, 60L)))
+    // source advances: one CDC batch crossing the WHERE boundary both
+    // ways (2 rises, 3 falls) and deleting key 1 — one refresh lands it
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((2L, 50L), (3L, 4L)).toDF("k", "v"),
+      deleteKeys = Seq(Tuple1(1L)).toDF("k"), key = "k")
+    val adv = call()
+    assert((adv.getInt(0), adv.getInt(1)) == ((1, 2)))
+    assert(Versioned.read(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 100L)))
+    // a query without the __source__ placeholder refuses
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.refresh_derived(" +
+        s"source => '$srcAbs', dest => '$dstAbs', key => 'k', " +
+        "query => 'SELECT 1 AS k')").collect())
+    assert(e.getMessage.contains("__source__"))
+  }
+
   test("unknown procedures and namespaces refuse with the catalog list") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.nonsense()")
