@@ -69,8 +69,12 @@ object DerivedTable {
       val full = transform(Versioned.read(s, srcDir))
       require(full.columns.contains(key),
         s"transform must preserve the key column '$key'")
+      // every destination commit declares key stats: applyChanges
+      // prunes its touched-file probe with the batch's key range, so
+      // an append-mostly source (monotone keys) refreshes WITHOUT
+      // scanning the standing destination — O(candidate files)
       Versioned.commit(full, dstDir, partitionCol,
-        note = Some(s"src=v$to"))
+        note = Some(s"src=v$to"), statsCols = Seq(key))
       return (0, to)
     }
     val from = pinnedSrcVersion(s, dstDir)
@@ -100,9 +104,15 @@ object DerivedTable {
       .join(transformed.select(col(key)), Seq(key), "left_anti")
     val dels = last.filter(!isIns).select(col(key))
       .unionByName(filteredOut).distinct()
+    // the pin advances exactly when a commit lands (note and data are
+    // one publish). A range of METADATA-ONLY source commits (renames,
+    // tags) yields no events and no commit, so the pin holds at
+    // `from` — the next refresh re-walks the same range, which is
+    // safe (upsert-by-key and delete-by-key are idempotent) and
+    // O(that range's deltas), not a recompute.
     Versioned.applyChanges(s, dstDir, upserts = transformed,
       deleteKeys = dels, key = key, partitionCol = partitionCol,
-      note = Some(s"src=v$to"))
+      statsCols = Seq(key), note = Some(s"src=v$to"))
     (from, to)
   }
 

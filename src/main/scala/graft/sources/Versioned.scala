@@ -5829,7 +5829,19 @@ object Versioned {
         applyDeletes(pruned, deletes.filter(_.ver > entryVer(dn)))
       }
     }
-    if (parts.isEmpty) read(spark, tableDir, Some(v)).filter(lit(false))
+    if (parts.isEmpty) {
+      // every file pruned — the hot path of a DISJOINT-key upsert on
+      // a stats-carrying table. The empty frame must be a
+      // SINGLE-source local plan, not read().filter(false): callers
+      // put input_file_name() on top (mergeFiles' touched-file
+      // probe), and analysis rejects that expression over the full
+      // read's union/tombstone-anti-join shape — which would turn
+      // the CHEAPEST merge case (nothing to rewrite, link-append the
+      // batch) into an analysis error.
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        read(spark, tableDir, Some(v)).schema)
+    }
     else hideDerived(
       parts.reduce(_.unionByName(_, allowMissingColumns = true))
         .filter(pred))

@@ -52,6 +52,20 @@ class DerivedSpec extends SparkSpec {
     // destination history shows WHICH source state each version
     // reflects — time travel to the bootstrap still returns it
     assert(Versioned.read(spark, dst, Some(1)).count() == 2)
+    // append-mostly fast path: a refresh whose keys sit ABOVE the
+    // standing destination's range must LINK the old files untouched
+    // (key stats prune applyChanges' touched-file probe to nothing →
+    // linked append), never rewrite them
+    val before = Versioned.files(spark, dst).collect()
+      .map(_.getString(0)).toSet
+    Versioned.append(Seq((100L, 40L)).toDF("k", "v"), src)
+    assert(DerivedTable.refresh(spark, src, dst, "k", t) == ((3, 4)))
+    val after = Versioned.files(spark, dst).collect()
+      .map(_.getString(0)).toSet
+    assert(before.subsetOf(after),
+      "disjoint-key refresh must not rewrite standing files")
+    assert(Versioned.read(spark, dst).filter(col("k") === 100L)
+      .head().getLong(1) == 80L)
   }
 
   test("refresh refusals: pin-less destination, key-dropping " +

@@ -222,6 +222,38 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.read(spark, t, Some(4)).count() == 801)
   }
 
+  test("disjoint-key upsert over a live MoR tombstone links the " +
+      "standing files — the all-pruned probe stays analyzable") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val t = s"$work/versioned_disjoint_mor"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit((1 to 100).map(i => (i, i)).toDF("id", "x"), t,
+      statsCols = Seq("id"))
+    // a LIVE equality tombstone makes the full read plan carry an
+    // anti-join; a disjoint-key upsert then prunes EVERY file, and
+    // the empty probe must still take input_file_name (the
+    // mergeFiles provenance column) — i.e. be a single-source plan —
+    // landing the batch as a linked append, not an analysis error
+    Versioned.deleteRows(spark, t, Seq(Tuple1(5)).toDF("id"))
+    val before = Files.walk(Paths.get(s"$t/v=1")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        p.getParent.getFileName.toString != "_stats")
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap
+    val v = Versioned.upsert(spark, t,
+      Seq((1001, 1)).toDF("id", "x"), "id")
+    assert(v == 3)
+    assert(Files.walk(Paths.get(s"$t/v=1")).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") &&
+        p.getParent.getFileName.toString != "_stats")
+      .map(p => p -> Files.getLastModifiedTime(p)).toMap == before,
+      "standing v=1 files must link untouched")
+    assert(Versioned.read(spark, t).count() == 100) // 100 - 1 + 1
+    assert(Versioned.read(spark, t).filter(col("id") === 5).isEmpty)
+  }
+
   test("versioned table: merge-on-read delete links all data, compact collapses") {
     import spark.implicits._
     import graft.sources.Versioned
