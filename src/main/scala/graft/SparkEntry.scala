@@ -126,6 +126,7 @@ object SparkEntry {
     "t26_percentile_norm" -> (TextAnalysis.percentileNorm _),
     "t27_substr_dedup" -> (TextAnalysis.exactSubstrDedup _),
     "t28_nb_filter" -> (TextAnalysis.nbQualityFilter _),
+    "t29_bm25_deletes" -> (TextAnalysis.bm25DeletesGate _),
     "t21_mixture_sample" -> (TextAnalysis.mixtureSample _),
     "t14_repetition" -> (TextAnalysis.repetitionSignals _),
     // PII redaction (emails/phones/IPv4 -> typed placeholders): the
@@ -274,6 +275,10 @@ object SparkEntry {
     // asserted boundary gaps, score-free by design.
     "q51_vector_index_export" ->
       (Similarity.vectorIndexExportGate _),
+    // Vector-index DELETE semantics: an appended exact twin of query
+    // 0 is tombstoned and must vanish immediately and stay gone after
+    // compaction; export refuses while tombstones are live.
+    "s15_ann_deletes" -> (Similarity.vectorDeletesGate _),
     // Incremental derived-table maintenance: a curated projection
     // kept current through bootstrap -> append -> one atomic mixed
     // CDC batch, each refresh paying O(changed files) via the
@@ -735,6 +740,57 @@ object SparkEntry {
     // layout lossless, not just plausible.
     "t24_bm25_indexed" -> Bm25OracleSql,
     "t23_bm25_search" -> Bm25OracleSql,
+    // Index DELETE semantics (Lucene window, restated exactly):
+    // phase a = tombstoned (membership + df from survivors, scalars
+    // AS-BUILT over the full corpus), phase b = compacted (scalars
+    // recomputed over the reduced corpus). Export refuses under live
+    // tombstones and succeeds after compaction.
+    "t29_bm25_deletes" ->
+      """WITH base AS (
+           SELECT doc_id,
+                  CAST(len(regexp_split_to_array(trim(text), '\s+'))
+                    AS DOUBLE) AS dl,
+                  text
+           FROM documents),
+         live AS (SELECT * FROM base WHERE doc_id % 10 <> 3),
+         tok AS (SELECT doc_id, dl, lower(u.t) AS term
+                 FROM live, unnest(regexp_split_to_array(trim(text),
+                   '\s+')) AS u(t)),
+         tf AS (SELECT doc_id, dl, term,
+                       CAST(count(*) AS DOUBLE) AS tf
+                FROM tok WHERE term IN ('spark', 'vector', 'stream')
+                GROUP BY 1, 2, 3),
+         dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE)
+                   AS df FROM tf GROUP BY 1),
+         stats_a AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                            avg(dl) AS avgdl FROM base),
+         stats_b AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                            avg(dl) AS avgdl FROM live),
+         sc_a AS (SELECT doc_id,
+                  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+                      * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                    AS score,
+                  count(*) AS n_terms
+                FROM tf JOIN dft USING (term) CROSS JOIN stats_a
+                GROUP BY doc_id),
+         sc_b AS (SELECT doc_id,
+                  sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * tf
+                      * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)))
+                    AS score,
+                  count(*) AS n_terms
+                FROM tf JOIN dft USING (term) CROSS JOIN stats_b
+                GROUP BY doc_id),
+         top_a AS (SELECT 'a_tombstoned' AS phase, doc_id, score,
+                          n_terms
+                   FROM sc_a ORDER BY score DESC, doc_id LIMIT 20),
+         top_b AS (SELECT 'b_compacted' AS phase, doc_id, score,
+                          n_terms
+                   FROM sc_b ORDER BY score DESC, doc_id LIMIT 20)
+         SELECT phase, doc_id, score, n_terms,
+                CAST(1 AS BIGINT) AS export_refused_live,
+                CAST(1 AS BIGINT) AS export_ok_after
+         FROM (SELECT * FROM top_a UNION ALL SELECT * FROM top_b)
+         ORDER BY phase, doc_id""",
     // Deterministic Bernoulli samples: the keep decision is a pure
     // function of (seed, doc_id) — u = first 8 md5 hex digits as a
     // 32-bit uniform — so DuckDB recomputes the EXACT kept set and the
@@ -1587,6 +1643,17 @@ object SparkEntry {
                 CAST(count(*) + 5 AS BIGINT)
                   AS rows_after_divergent_append
          FROM nation WHERE n_nationkey < 15""",
+    // Vector-index delete constants: the twin lifecycle flags plus
+    // the row count (10 fixture queries x top-5) proving deletion
+    // never disturbs the other candidates.
+    "s15_ann_deletes" ->
+      """SELECT CAST(1 AS BIGINT) AS twin_top1_before,
+                CAST(1 AS BIGINT) AS twin_gone_tombstoned,
+                CAST(1 AS BIGINT) AS export_refused_live,
+                CAST(1 AS BIGINT) AS export_ok_after,
+                CAST(1 AS BIGINT) AS twin_gone_compacted,
+                CAST((SELECT count(*) * 5 FROM embeddings
+                      WHERE vec_id < 10) AS BIGINT) AS result_rows""",
     // Derived-table refresh constants: DuckDB restates each advanced
     // state of the curated projection straight from the fixture —
     // bootstrap slice, post-append, and the mixed batch where rows

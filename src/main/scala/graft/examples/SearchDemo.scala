@@ -52,6 +52,18 @@ object SearchDemo {
     println(s"SEARCH_DEMO_EXPORT_POSTING_FILES=${expPostings.size}")
     println("SEARCH_DEMO_EXPORT_STATS_NDOCS=" + spark.read
       .parquet(expStats: _*).head().getLong(0))
+    // Lucene-semantics delete: the fresh doc leaves results
+    // immediately; compaction applies the set and restores exact
+    // stats so the raw-file export stays offerable
+    TextAnalysis.deleteFromTextIndex(spark,
+      spark.range(1).select(lit(900001L).as("doc_id")), textIdx)
+    println("SEARCH_DEMO_KW_DELETED_FOUND=" +
+      TextAnalysis.bm25SearchIndexed(spark, textIdx, terms, 10)
+        .filter(col("doc_id") === 900001L).count())
+    TextAnalysis.compactTextIndex(spark, textIdx)
+    println("SEARCH_DEMO_KW_NDOCS_AFTER_DELETE=" + spark.read
+      .parquet(TextAnalysis.exportTextIndex(spark, textIdx)._2: _*)
+      .head().getLong(0))
 
     // —— semantic side: IVF-PQ vector index ——
     val vecIdx = s"$out/ivfpq"
@@ -93,6 +105,20 @@ object SearchDemo {
     println(s"SEARCH_DEMO_EXPORT_CODE_FILES=${expCodes.size}")
     println(s"SEARCH_DEMO_EXPORT_CENTROID_FILES=${expCents.size}")
     println(s"SEARCH_DEMO_EXPORT_CODEBOOK_FILES=${expCbs.size}")
+    // delete the twin: gone from every shortlist immediately, and
+    // compaction drops its code bytes from the rewritten cells
+    Similarity.deleteFromVectorIndex(spark,
+      spark.range(1).select(lit(900000L).as("vec_id")), vecIdx)
+    println("SEARCH_DEMO_ANN_DELETED_FOUND=" +
+      Similarity.ivfPqTopKIndexed(spark, sfDir, vecIdx,
+          corpus = Some(extendedStore))
+        .filter(col("neighbor_id") === 900000L).count())
+    Similarity.compactIvfPqIndex(spark, vecIdx)
+    println("SEARCH_DEMO_ANN_TOP1_AFTER_DELETE=" +
+      Similarity.ivfPqTopKIndexed(spark, sfDir, vecIdx,
+          corpus = Some(extendedStore))
+        .filter(col("query_id") === 0 && col("rank") === 1)
+        .head().getLong(2))
     spark.stop()
   }
 }

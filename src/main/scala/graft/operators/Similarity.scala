@@ -913,6 +913,11 @@ object Similarity {
     val idx = Versioned.read(s, indexDir)
       .filter(col("cell").isin(probed.map(_.toInt): _*))
       .withColumn("cell", col("cell").cast("long"))
+      // live tombstones gate membership before ADC — a deleted vector
+      // can never enter a shortlist ([[deleteFromVectorIndex]]);
+      // bounded set, the anti-join broadcasts
+      .join(broadcast(vecTombs(s, indexDir)), Seq("vec_id"),
+        "left_anti")
     // per-query flattened ADC lookup table from the PINNED codebooks
     val qTab = subvectors(queries)
       .join(broadcast(cb), "j")
@@ -953,6 +958,57 @@ object Similarity {
         (dot(col("q_emb"), col("embedding")) /
           (col("q_nrm") * col("nrm"))).as("cosine"))
     topkByQuery(scored)
+  }
+
+  private def vecTombsDir(indexDir: String): String = s"$indexDir.tombs"
+
+  /** Live tombstoned vec_ids of the index, empty frame when none —
+    * bounded between compactions, the probe's anti-join broadcasts. */
+  private def vecTombs(s: SparkSession, indexDir: String): DataFrame =
+    if (Versioned.currentVersion(s, vecTombsDir(indexDir)) > 0)
+      Versioned.read(s, vecTombsDir(indexDir)).select(col("vec_id"))
+    else s.range(0).select(col("id").as("vec_id"))
+
+  /** DELETE vectors from the persisted IVF-PQ index — the vector twin
+    * of [[TextAnalysis.deleteFromTextIndex]], same Lucene discipline
+    * and for the same layout reason: a delete batch's vectors scatter
+    * across arbitrary CELLS, so an eager rewrite would touch an
+    * unbounded slice of the index per batch. The batch appends
+    * vec_ids to a sibling tombstone table — O(batch) — and every
+    * probe anti-joins the live set before ADC scoring, so deleted
+    * vectors can never enter a shortlist. [[compactIvfPqIndex]]
+    * applies the set and resets it. Unlike the text index, no scalar
+    * staleness window exists: the probe's only corpus-level inputs
+    * (centroids, codebooks) are pinned quantization generations that
+    * deletes never shift. */
+  def deleteFromVectorIndex(s: SparkSession, vecIds: DataFrame,
+      indexDir: String): Unit = {
+    require(pinnedVersionsOf(s, indexDir).contains("centroids"),
+      s"$indexDir is not a built IVF-PQ index (buildIvfPqIndex first)")
+    val ids = vecIds.select(col("vec_id")).distinct()
+    val td = vecTombsDir(indexDir)
+    if (Versioned.currentVersion(s, td) > 0) Versioned.append(ids, td)
+    else Versioned.commit(ids, td)
+  }
+
+  /** Apply live tombstones in ONE cell-partitioned rewrite, carrying
+    * the quantization pins forward, then reset the tombstone table
+    * (LAST — a crash above leaves the set live, which is safe: the
+    * anti-join re-applies). Without tombstones this is a no-op
+    * returning the current version: code cells binpack through the
+    * generic [[graft.sources.Versioned.compactSmall]] if needed. */
+  def compactIvfPqIndex(s: SparkSession, indexDir: String): Int = {
+    val tombs = vecTombs(s, indexDir)
+    if (tombs.isEmpty) return Versioned.currentVersion(s, indexDir)
+    val pins = pinnedVersionsOf(s, indexDir)
+    val survivors = Versioned.read(s, indexDir)
+      .join(tombs, Seq("vec_id"), "left_anti")
+    val v = Versioned.commit(survivors, indexDir,
+      partitionCol = Some("cell"),
+      note = Some("centroids=v" + pins("centroids") +
+        ";codebooks=v" + pins("codebooks")))
+    Versioned.commit(tombs.limit(0), vecTombsDir(indexDir))
+    v
   }
 
   private val ivfPqCache =
@@ -1035,6 +1091,14 @@ object Similarity {
       s"cannot export vector index at $indexDir: pins centroids=v$cv/" +
         s"codebooks=v$bv but sibling heads are v$centHead/v$cbHead — " +
         "torn maintenance; rebuild to restore the triple")
+    // live tombstones are the index's merge-on-read state: raw code
+    // files alone would resurrect the deleted vectors in the second
+    // engine's probe — refuse, cleared by compactIvfPqIndex (the same
+    // contract as exportTextIndex / exportSnapshot)
+    if (!vecTombs(s, indexDir).isEmpty) throw new IllegalStateException(
+      s"cannot export vector index at $indexDir: live tombstones " +
+        "would resurrect deleted vectors in a raw-file read — " +
+        "compactIvfPqIndex first")
     (Versioned.exportSnapshot(s, indexDir, hivePartitions = true),
       Versioned.exportSnapshot(s, centroidsDir(indexDir), Some(cv)),
       Versioned.exportSnapshot(s, codebooksDir(indexDir), Some(bv)))
@@ -1161,6 +1225,50 @@ object Similarity {
     top.take(k).map(_.getLong(0)).sorted.toSeq.toDF("vec_id")
       .withColumn("n_probed", lit(probed.length.toLong))
       .withColumn("refused_unpinned", lit(if (refused) 1L else 0L))
+  }
+
+  /** The s15 gate: DELETE semantics of the persisted IVF-PQ index.
+    * An exact twin of query 0's embedding is appended (top-1 by
+    * construction, cosine 1), deleted, and must vanish from every
+    * result IMMEDIATELY (tombstone anti-join) and stay gone after
+    * [[compactIvfPqIndex]] applies the set; export refuses while
+    * tombstones are live (raw code files would resurrect the vector
+    * in a second engine) and succeeds after compaction. The result
+    * row count pins that deletion never disturbs the other
+    * candidates. */
+  def vectorDeletesGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-s15-index")
+    val idx = work.resolve("ivfpq").toString
+    buildIvfPqIndex(s, d, idx)
+    val e = emb(s, d)
+    val twin = e.filter(col("vec_id") === 0L)
+      .select(lit(3000000L).as("vec_id"), col("embedding"))
+    appendToIvfPqIndex(s, twin, idx)
+    val store = e.filter(col("vec_id") >= NumQueries)
+      .select(col("vec_id"), col("embedding")).unionAll(twin)
+    def probe(): DataFrame =
+      ivfPqTopKIndexed(s, d, idx, corpus = Some(store))
+    val foundBefore = probe()
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getLong(2) == 3000000L
+    import s.implicits._
+    deleteFromVectorIndex(s, Seq(3000000L).toDF("vec_id"), idx)
+    val refused = scala.util.Try(exportVectorIndex(s, idx)).isFailure
+    val afterTomb = probe().cache()
+    val goneTomb = afterTomb
+      .filter(col("neighbor_id") === 3000000L).isEmpty
+    val rows = afterTomb.count()
+    compactIvfPqIndex(s, idx)
+    val exportOk = scala.util.Try(exportVectorIndex(s, idx)).isSuccess
+    val goneCompact = probe()
+      .filter(col("neighbor_id") === 3000000L).isEmpty
+    Seq((if (foundBefore) 1L else 0L, if (goneTomb) 1L else 0L,
+        if (refused) 1L else 0L, if (exportOk) 1L else 0L,
+        if (goneCompact) 1L else 0L, rows))
+      .toDF("twin_top1_before", "twin_gone_tombstoned",
+        "export_refused_live", "export_ok_after",
+        "twin_gone_compacted", "result_rows")
   }
 
   // —— Hybrid retrieval: BM25 + vector fusion (RRF) ——

@@ -1424,16 +1424,78 @@ object TextAnalysis {
       indexDir: String): DataFrame =
     Versioned.read(s, textStatsDir(indexDir), textStatsPin(s, indexDir))
 
-  /** Small-file maintenance for a drip-fed postings index: binpack
-    * each bucket's accumulated append files keeping the bucket
-    * partitioning (probes stay pruned), carrying the stats pin
-    * forward — the text twin of [[Similarity.compactIvfIndex]]. */
+  private def textTombsDir(indexDir: String): String = s"$indexDir.tombs"
+
+  /** Live tombstoned doc_ids of the index, empty frame when none.
+    * Bounded between compactions, so the probe's anti-join broadcasts. */
+  private def textTombs(s: SparkSession, indexDir: String): DataFrame =
+    if (Versioned.currentVersion(s, textTombsDir(indexDir)) > 0)
+      Versioned.read(s, textTombsDir(indexDir)).select(col("doc_id"))
+    else s.range(0).select(col("id").as("doc_id"))
+
+  /** DELETE documents from the index — the Lucene deleted-docs
+    * discipline, chosen deliberately over eager postings rewrites: a
+    * doc's postings scatter across EVERY term bucket (the index is
+    * term-partitioned, not doc-partitioned), so removing them eagerly
+    * would rescan the whole index per delete batch. Instead the batch
+    * appends doc_ids to a sibling tombstone table — O(batch) — and
+    * semantics split exactly as Lucene's:
+    *  - MEMBERSHIP is immediate and exact: every probe anti-joins the
+    *    live tombstones before scoring, and term df derives from the
+    *    SURVIVING postings (it always did — [[bm25Score]] computes df
+    *    from the frame it is handed);
+    *  - the corpus SCALARS (n_docs, avgdl) stay as-built until
+    *    [[compactTextIndex]], which applies the tombstones and
+    *    recomputes them exactly — the same staleness window Lucene
+    *    gives docFreq/norms until a segment merge.
+    * Idempotent: re-deleting a tombstoned or never-indexed id is a
+    * harmless extra tombstone row, collapsed at compaction. */
+  def deleteFromTextIndex(s: SparkSession, docIds: DataFrame,
+      indexDir: String): Unit = {
+    require(Versioned.currentVersion(s, indexDir) > 0,
+      s"$indexDir is not a built text index (buildTextIndex first)")
+    val ids = docIds.select(col("doc_id")).distinct()
+    val td = textTombsDir(indexDir)
+    if (Versioned.currentVersion(s, td) > 0) Versioned.append(ids, td)
+    else Versioned.commit(ids, td)
+  }
+
+  /** Maintenance for a drip-fed postings index, the text twin of
+    * [[Similarity.compactIvfIndex]]: with live tombstones, ONE full
+    * rewrite drops the deleted docs' postings, recomputes the exact
+    * (n_docs, sum_dl) from the survivors, re-pins, and resets the
+    * tombstone table — after it, scores are exact as if rebuilt from
+    * the reduced corpus. Without tombstones it binpacks each bucket's
+    * accumulated append files in place (stats pin carried, probes
+    * stay pruned). */
   def compactTextIndex(s: SparkSession, indexDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      minFileBytes: Long = 0L): Int =
-    Versioned.compactSmall(s, indexDir, targetFileBytes, minFileBytes,
-      partitionCol = Some("bucket"),
+      minFileBytes: Long = 0L): Int = {
+    val tombs = textTombs(s, indexDir)
+    if (!tombs.isEmpty) {
+      val survivors = Versioned.read(s, indexDir)
+        .join(tombs, Seq("doc_id"), "left_anti")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // exact scalars from the survivors: dl rides every posting
+        // row, so per-doc first(dl) then count+sum reconstructs the
+        // algebraic pair the build wrote
+        val stats = survivors.groupBy(col("doc_id"))
+          .agg(first(col("dl")).as("dl"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+        val sv = Versioned.commit(stats, textStatsDir(indexDir))
+        val v = Versioned.commit(survivors, indexDir,
+          partitionCol = Some("bucket"), note = Some(s"stats=v$sv"))
+        // tombstones applied — reset to the empty set LAST, so a crash
+        // above leaves them live (probes stay correct, re-compact
+        // re-applies; an extra anti-join row is never wrong)
+        Versioned.commit(tombs.limit(0), textTombsDir(indexDir))
+        v
+      } finally survivors.unpersist(blocking = false)
+    } else Versioned.compactSmall(s, indexDir, targetFileBytes,
+      minFileBytes, partitionCol = Some("bucket"),
       note = textStatsPin(s, indexDir).map(v => s"stats=v$v"))
+  }
 
   /** BM25 over the persisted index: the probe reads ONLY the query
     * terms' bucket directories (partition-pruned — the spec asserts
@@ -1455,6 +1517,12 @@ object TextAnalysis {
       .filter(col("bucket").isin(bks: _*))
       .filter(col("term").isin(terms: _*))
       .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+      // live tombstones gate membership immediately (Lucene
+      // semantics, [[deleteFromTextIndex]]); df downstream derives
+      // from the survivors, the scalar stats stay as-built until
+      // compaction. Bounded set — the anti-join broadcasts.
+      .join(broadcast(textTombs(s, indexDir)), Seq("doc_id"),
+        "left_anti")
     bm25Score(tf, stats, k)
   }
 
@@ -1476,6 +1544,40 @@ object TextAnalysis {
   def bm25SearchIndexedGate(s: SparkSession, d: String): DataFrame =
     bm25SearchIndexed(s, cachedTextIndex(s, d),
       Seq("spark", "vector", "stream"), 20)
+
+  /** The t29 gate: DELETE semantics of the persisted index, both
+    * phases oracle-stated. Phase a (tombstoned): membership excludes
+    * the deleted docs immediately and term df derives from the
+    * survivors, while the corpus scalars stay AS-BUILT — the Lucene
+    * staleness window, which the oracle restates exactly (full-corpus
+    * n_docs/avgdl over survivor postings). Phase b (compacted): the
+    * rewrite applied the tombstones and recomputed the scalars, so
+    * scores equal a from-scratch build over the reduced corpus. The
+    * flag columns pin the export contract around the window: raw
+    * files with live tombstones refuse (they would resurrect the
+    * deleted docs in a second engine), post-compact export succeeds. */
+  def bm25DeletesGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-t29-index")
+    val idx = work.resolve("postings").toString
+    buildTextIndex(s, d, idx)
+    val terms = Seq("spark", "vector", "stream")
+    deleteFromTextIndex(s,
+      docsPlain(s, d).filter(col("doc_id") % 10 === 3)
+        .select(col("doc_id")), idx)
+    val refused = scala.util.Try(exportTextIndex(s, idx)).isFailure
+    val pre = bm25SearchIndexed(s, idx, terms, 20)
+      .withColumn("phase", lit("a_tombstoned"))
+    compactTextIndex(s, idx)
+    val exportOk = scala.util.Try(exportTextIndex(s, idx)).isSuccess
+    val post = bm25SearchIndexed(s, idx, terms, 20)
+      .withColumn("phase", lit("b_compacted"))
+    pre.unionByName(post)
+      .withColumn("export_refused_live", lit(if (refused) 1L else 0L))
+      .withColumn("export_ok_after", lit(if (exportOk) 1L else 0L))
+      .select(col("phase"), col("doc_id"), col("score"), col("n_terms"),
+        col("export_refused_live"), col("export_ok_after"))
+      .orderBy(col("phase"), col("doc_id"))
+  }
 
   // —— Cross-engine export of the persisted index (q50) ——
 
@@ -1510,6 +1612,14 @@ object TextAnalysis {
       s"cannot export text index at $indexDir: postings pin stats=v$pin " +
         s"but the stats table head is v$statsHead — torn maintenance; " +
         "rebuild or re-append to restore the pair")
+    // live tombstones are the index's merge-on-read state: raw
+    // postings files alone would RESURRECT the deleted documents in
+    // the second engine — the same refusal exportSnapshot applies to
+    // table tombstones, cleared the same way (compact first)
+    if (!textTombs(s, indexDir).isEmpty) throw new IllegalStateException(
+      s"cannot export text index at $indexDir: live tombstones would " +
+        "resurrect deleted documents in a raw-file read — " +
+        "compactTextIndex first")
     val postings = Versioned.exportSnapshot(s, indexDir,
       hivePartitions = true)
     val stats = Versioned.exportSnapshot(s, textStatsDir(indexDir),

@@ -463,6 +463,50 @@ class SimilaritySpec extends SparkSpec {
       s"appended twin must be query 0's top-1, got $top1")
   }
 
+  test("vector-index deletes: tombstoned vector leaves every " +
+      "shortlist, compact applies and resets, export refusals") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.Versioned
+    val dir = "target/tmp/ivfpq-deletes"
+    Seq(dir, s"$dir.centroids", s"$dir.codebooks", s"$dir.tombs")
+      .foreach(p => org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(p)))
+    Similarity.buildIvfPqIndex(spark, sf, dir)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val twin = emb.filter(col("vec_id") === 0)
+      .select(lit(3000000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfPqIndex(spark, twin, dir)
+    val store = emb.filter(col("vec_id") >= Similarity.NumQueries)
+      .select(col("vec_id"), col("embedding")).unionAll(twin)
+    def probe() = Similarity.ivfPqTopKIndexed(spark, sf, dir,
+      corpus = Some(store))
+    assert(probe().filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getLong(2) == 3000000L)
+    Similarity.deleteFromVectorIndex(spark,
+      Seq(3000000L).toDF("vec_id"), dir)
+    // gone from EVERY query's results immediately, others undisturbed
+    val after = probe().cache()
+    assert(after.filter(col("neighbor_id") === 3000000L).isEmpty)
+    assert(after.count() ==
+      Similarity.NumQueries.toLong * Similarity.K)
+    // live tombstones refuse a raw-file export
+    val e = intercept[IllegalStateException](
+      Similarity.exportVectorIndex(spark, dir))
+    assert(e.getMessage.contains("tombstones"))
+    // compact applies the set, resets it, export succeeds, and the
+    // vector stays gone from the rewritten cells
+    Similarity.compactIvfPqIndex(spark, dir)
+    assert(Versioned.read(spark, s"$dir.tombs").count() == 0)
+    assert(Versioned.read(spark, dir)
+      .filter(col("vec_id") === 3000000L).isEmpty)
+    Similarity.exportVectorIndex(spark, dir) // must not throw
+    assert(probe().filter(col("neighbor_id") === 3000000L).isEmpty)
+    // compacting with no live tombstones is a version-stable no-op
+    val v = Versioned.currentVersion(spark, dir)
+    assert(Similarity.compactIvfPqIndex(spark, dir) == v)
+  }
+
   test("exportVectorIndex: exported triple alone carries the ADC " +
       "probe; unpinned and torn indexes refuse") {
     import org.apache.spark.sql.functions._

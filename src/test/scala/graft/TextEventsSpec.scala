@@ -447,6 +447,57 @@ class TextEventsSpec extends SparkSpec {
     assert(e.getMessage.contains("both classes"))
   }
 
+  test("index deletes: immediate membership, Lucene stats window, " +
+      "compact restores exactness, export refusals") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha alpha"),
+      (3L, "alpha delta epsilon zeta"), (4L, "alpha beta"),
+      (5L, "kappa mu"), (6L, "alpha nu xi")
+    ).toDF("doc_id", "text")
+    val dir = "target/tmp/text-index-deletes"
+    Seq(dir, s"$dir.stats", s"$dir.tombs").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    TextAnalysis.buildTextIndexOf(docs, dir)
+    TextAnalysis.deleteFromTextIndex(spark,
+      Seq(2L, 4L).toDF("doc_id"), dir)
+    val q = Seq("alpha")
+    def probe() = TextAnalysis.bm25SearchIndexed(spark, dir, q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // membership excludes the tombstoned docs IMMEDIATELY
+    val pre = probe()
+    assert(pre.keySet == Set(1L, 3L, 6L))
+    // live tombstones refuse a raw-file export
+    val e = intercept[IllegalStateException](
+      TextAnalysis.exportTextIndex(spark, dir))
+    assert(e.getMessage.contains("tombstones"))
+    // compact applies the set: scores now EQUAL a from-scratch scan
+    // of the reduced corpus (scalars recomputed)
+    TextAnalysis.compactTextIndex(spark, dir)
+    val post = probe()
+    val scan = TextAnalysis.bm25SearchOf(
+      docs.filter(!col("doc_id").isin(2L, 4L)), q, 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(post.keySet == scan.keySet)
+    post.foreach { case (id, sc) =>
+      assert(math.abs(sc - scan(id)) < 1e-12, s"doc $id: $sc vs scan") }
+    // the PRE-compact phase used the AS-BUILT scalars (n_docs=6,
+    // as-built avgdl) — the Lucene staleness window — so its scores
+    // must DIFFER from the reduced-corpus truth the compact restored
+    assert(pre.exists { case (id, sc) =>
+      math.abs(sc - post(id)) > 1e-9 })
+    // tombstones were reset; export succeeds and hands over the
+    // EXACT reduced stats
+    val (_, stats) = TextAnalysis.exportTextIndex(spark, dir)
+    assert(spark.read.parquet(stats: _*).head().getLong(0) == 4L)
+    // deleting an id the index never held is a harmless tombstone
+    TextAnalysis.deleteFromTextIndex(spark,
+      Seq(999L).toDF("doc_id"), dir)
+    assert(probe() == post)
+    assert(Versioned.read(spark, s"$dir.tombs").count() == 1)
+  }
+
   test("split assignment: disjoint-exhaustive, proportional, stable " +
       "under corpus growth, seed-sensitive") {
     import spark.implicits._
