@@ -1240,12 +1240,21 @@ object Similarity {
     val work = java.nio.file.Files
       .createTempDirectory("graft-s15-index")
     val idx = work.resolve("ivfpq").toString
-    buildIvfPqIndex(s, d, idx)
     val e = emb(s, d)
+    // corpus bound, stated not silent: this gate proves DELETE
+    // semantics — s12 owns recall at scale — and the gate must train
+    // a FRESH quantization per call (it mutates the index, so the
+    // shared cache is off the table). A deterministic ≤1500-vector
+    // slice (the full corpus at small SFs) keeps the per-call build
+    // bounded; every emitted fact is corpus-size independent
+    // (probes return NumQueries x K rows regardless).
+    val corpus = e.filter(col("vec_id") >= NumQueries &&
+      col("vec_id") < NumQueries + 1500)
+    buildIvfPqIndexOf(s, corpus, idx)
     val twin = e.filter(col("vec_id") === 0L)
       .select(lit(3000000L).as("vec_id"), col("embedding"))
     appendToIvfPqIndex(s, twin, idx)
-    val store = e.filter(col("vec_id") >= NumQueries)
+    val store = corpus
       .select(col("vec_id"), col("embedding")).unionAll(twin)
     def probe(): DataFrame =
       ivfPqTopKIndexed(s, d, idx, corpus = Some(store))
