@@ -152,9 +152,12 @@ object DerivedTable {
     val (rFrom, rTo) = refresh(s, src, dst, "doc_id", t)
     val c3 = Versioned.read(s, dst).count()
     // full-recompute equality, both directions (exceptAll is bag
-    // semantics, so this is row-for-row including duplicates)
+    // semantics, so this is row-for-row including duplicates); both
+    // sides persisted — each feeds two exceptAll consumers
     val expect = t(Versioned.read(s, src))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val got = Versioned.read(s, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eq = got.exceptAll(expect).isEmpty &&
       expect.exceptAll(got).isEmpty
     // a no-op refresh must not publish a new destination version
