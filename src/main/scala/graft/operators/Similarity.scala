@@ -852,6 +852,16 @@ object Similarity {
     val pins = pinnedVersionsOf(s, indexDir)
     require(pins.contains("centroids") && pins.contains("codebooks"),
       s"$indexDir is not a built IVF-PQ index (missing pins: $pins)")
+    // same re-append trap as the text index: a live-tombstoned
+    // vec_id's fresh codes would be anti-joined away at every probe —
+    // refuse loudly; compactIvfPqIndex first, then append
+    val clash = newVectors.select(col("vec_id"))
+      .join(broadcast(vecTombs(s, indexDir)), Seq("vec_id"),
+        "left_semi").limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"appendToIvfPqIndex: vec_ids ${clash.mkString(", ")} are " +
+        s"live-tombstoned in $indexDir — the append would be " +
+        "invisible; compactIvfPqIndex first")
     val cents = Versioned.read(s, centroidsDir(indexDir),
       pins.get("centroids"))
     val cb = Versioned.read(s, codebooksDir(indexDir),

@@ -1395,6 +1395,18 @@ object TextAnalysis {
       indexDir: String): Unit = {
     require(Versioned.currentVersion(s, indexDir) > 0,
       s"$indexDir is not a built text index (buildTextIndex first)")
+    // a LIVE-tombstoned id must not re-append: the tombstone kills by
+    // doc_id, old and new postings alike, so the fresh document would
+    // be silently invisible until compaction — and dropping the
+    // tombstone instead would resurrect the OLD postings beside the
+    // new ones. Refuse loudly; compact first, then append.
+    val clash = newDocs.select(col("doc_id"))
+      .join(broadcast(textTombs(s, indexDir)), Seq("doc_id"),
+        "left_semi").limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"appendToTextIndex: doc_ids ${clash.mkString(", ")} are " +
+        s"live-tombstoned in $indexDir — the append would be " +
+        "invisible; compactTextIndex first")
     val delta = newDocs.select(col("doc_id"),
       nTokens(col("text")).cast("double").as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))

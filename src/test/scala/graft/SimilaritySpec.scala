@@ -505,6 +505,20 @@ class SimilaritySpec extends SparkSpec {
     // compacting with no live tombstones is a version-stable no-op
     val v = Versioned.currentVersion(spark, dir)
     assert(Similarity.compactIvfPqIndex(spark, dir) == v)
+    // re-appending a LIVE-tombstoned vec_id refuses (its codes would
+    // be anti-joined away at every probe); after compaction the id
+    // is free again
+    Similarity.deleteFromVectorIndex(spark,
+      Seq(4000000L).toDF("vec_id"), dir)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.appendToIvfPqIndex(spark,
+        twin.select(lit(4000000L).as("vec_id"), col("embedding")), dir))
+    assert(e2.getMessage.contains("live-tombstoned"))
+    Similarity.compactIvfPqIndex(spark, dir)
+    Similarity.appendToIvfPqIndex(spark,
+      twin.select(lit(4000000L).as("vec_id"), col("embedding")), dir)
+    assert(Versioned.read(spark, dir)
+      .filter(col("vec_id") === 4000000L).count() == 1)
   }
 
   test("exportVectorIndex: exported triple alone carries the ADC " +

@@ -496,6 +496,17 @@ class TextEventsSpec extends SparkSpec {
       Seq(999L).toDF("doc_id"), dir)
     assert(probe() == post)
     assert(Versioned.read(spark, s"$dir.tombs").count() == 1)
+    // re-appending a LIVE-tombstoned id refuses: its postings would
+    // be anti-joined away at every probe (and dropping the tombstone
+    // would resurrect the old postings) — compact first
+    val e2 = intercept[IllegalArgumentException](
+      TextAnalysis.appendToTextIndex(spark,
+        Seq((999L, "alpha reborn")).toDF("doc_id", "text"), dir))
+    assert(e2.getMessage.contains("live-tombstoned"))
+    TextAnalysis.compactTextIndex(spark, dir)
+    TextAnalysis.appendToTextIndex(spark,
+      Seq((999L, "alpha reborn")).toDF("doc_id", "text"), dir)
+    assert(probe().contains(999L))
   }
 
   test("split assignment: disjoint-exhaustive, proportional, stable " +
