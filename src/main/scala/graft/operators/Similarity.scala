@@ -1278,6 +1278,7 @@ object Similarity {
     val goneTomb = afterTomb
       .filter(col("neighbor_id") === 3000000L).isEmpty
     val rows = afterTomb.count()
+    afterTomb.unpersist(blocking = false)
     compactIvfPqIndex(s, idx)
     val exportOk = scala.util.Try(exportVectorIndex(s, idx)).isSuccess
     val goneCompact = probe()

@@ -66,10 +66,12 @@ object WriteOrderDdl {
       val explicitOther = parts.length > 1 &&
         !parts.head.equalsIgnoreCase("graft") &&
         scala.util.Try(cm.catalog(parts.head)).isSuccess
-      // under USE graft, a bare single-part name that resolves as a
-      // temp view names the VIEW (Spark's resolution order), not a
-      // graft table — fall through to the delegate's ANALYZE
-      val tempView = parts.length == 1 &&
+      // under USE graft, a name that resolves as a temp view — bare
+      // local (`t`) OR global (`global_temp.t`) — names the VIEW
+      // (Spark's resolution order), not a graft table: fall through
+      // to the delegate's ANALYZE. isTempView handles both spellings
+      // and returns false for anything longer.
+      val tempView = parts.length <= 2 &&
         session.sessionState.catalog.isTempView(parts)
       !explicitOther && !tempView && cm.currentCatalog.name == "graft"
     }

@@ -88,31 +88,38 @@ object DerivedTable {
     // SAME version, so the tie-break must let the insert win; across
     // commits the version decides.
     val isIns = col(Versioned.ChangeTypeCol) === lit("insert")
+    // persisted around the fan-out: applyChanges runs ~6 independent
+    // actions (preflight count/range, emptiness probes, the overlap
+    // check, the rewrite) and each would otherwise re-execute the
+    // changelog read + this shuffle + the transform from scratch
     val last = events.groupBy(col(key))
       .agg(max_by(struct(events.columns.map(col): _*),
         struct(col(Versioned.CommitVersionCol),
           when(isIns, 1).otherwise(0))).as("e"))
       .select(col("e.*"))
-    val lastIns = last.filter(isIns)
-      .drop(Versioned.ChangeTypeCol, Versioned.CommitVersionCol)
-    val transformed = transform(lastIns)
-    require(transformed.columns.contains(key),
-      s"transform must preserve the key column '$key'")
-    // a changed row the transform now FILTERS OUT must leave the
-    // destination — it may have passed under its previous values
-    val filteredOut = lastIns.select(col(key))
-      .join(transformed.select(col(key)), Seq(key), "left_anti")
-    val dels = last.filter(!isIns).select(col(key))
-      .unionByName(filteredOut).distinct()
-    // the pin advances exactly when a commit lands (note and data are
-    // one publish). A range of METADATA-ONLY source commits (renames,
-    // tags) yields no events and no commit, so the pin holds at
-    // `from` — the next refresh re-walks the same range, which is
-    // safe (upsert-by-key and delete-by-key are idempotent) and
-    // O(that range's deltas), not a recompute.
-    Versioned.applyChanges(s, dstDir, upserts = transformed,
-      deleteKeys = dels, key = key, partitionCol = partitionCol,
-      statsCols = Seq(key), note = Some(s"src=v$to"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val lastIns = last.filter(isIns)
+        .drop(Versioned.ChangeTypeCol, Versioned.CommitVersionCol)
+      val transformed = transform(lastIns)
+      require(transformed.columns.contains(key),
+        s"transform must preserve the key column '$key'")
+      // a changed row the transform now FILTERS OUT must leave the
+      // destination — it may have passed under its previous values
+      val filteredOut = lastIns.select(col(key))
+        .join(transformed.select(col(key)), Seq(key), "left_anti")
+      val dels = last.filter(!isIns).select(col(key))
+        .unionByName(filteredOut).distinct()
+      // the pin advances exactly when a commit lands (note and data
+      // are one publish). A range of METADATA-ONLY source commits
+      // (renames, tags) yields no events and no commit, so the pin
+      // holds at `from` — the next refresh re-walks the same range,
+      // which is safe (upsert-by-key and delete-by-key are
+      // idempotent) and O(that range's deltas), not a recompute.
+      Versioned.applyChanges(s, dstDir, upserts = transformed,
+        deleteKeys = dels, key = key, partitionCol = partitionCol,
+        statsCols = Seq(key), note = Some(s"src=v$to"))
+    } finally last.unpersist(blocking = false)
     (from, to)
   }
 
@@ -160,6 +167,8 @@ object DerivedTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val eq = got.exceptAll(expect).isEmpty &&
       expect.exceptAll(got).isEmpty
+    expect.unpersist(blocking = false)
+    got.unpersist(blocking = false)
     // a no-op refresh must not publish a new destination version
     val vBefore = Versioned.currentVersion(s, dst)
     val noop = refresh(s, src, dst, "doc_id", t)

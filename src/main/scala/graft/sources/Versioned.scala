@@ -661,7 +661,18 @@ object Versioned {
         val resolver = spark.sessionState.conf.resolver
         def matched(fd: StructField): Array[StructField] =
           snapSchema.fields.filter(sf => resolver(sf.name, fd.name))
-        val clean = df.schema.fields.forall(fd => matched(fd) match {
+        // the fast path also demands the BATCH's own names be
+        // unambiguous (no duplicates, no case-variants under a
+        // case-insensitive resolver) — two batch fields resolving to
+        // one snapshot field would each pass the per-field check and
+        // skip the probe that exists to refuse exactly that batch
+        val batchUnambiguous = {
+          val ns = df.schema.fields.map(_.name)
+          ns.indices.forall(i => !ns.indices.exists(j =>
+            j != i && resolver(ns(i), ns(j))))
+        }
+        val clean = batchUnambiguous &&
+          df.schema.fields.forall(fd => matched(fd) match {
           // catalogString equality = same type modulo nullability
           // (sameType is private[sql]); anything else → full probe
           case Array(one) =>
@@ -2874,6 +2885,11 @@ object Versioned {
       if (!dirReferenced(s"v=$v"))
         f.delete(new Path(tableDir, s"v=$v"), true)
     }
+    // drop memoized read plans for this table: a memo for an expired
+    // version would otherwise be served (its owner epoch is untouched
+    // by expiry) and fail mid-job with FileNotFound instead of at
+    // plan assembly with the protocol's missing-version error
+    planMemo.keySet.removeIf(_._2 == tableDir)
     val published = committedVersions(spark, tableDir).toSet
     f.listStatus(new Path(tableDir)).foreach { st =>
       val name = st.getPath.getName

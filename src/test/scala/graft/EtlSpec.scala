@@ -254,6 +254,34 @@ class EtlSpec extends SparkSpec {
     assert(Versioned.read(spark, t).filter(col("id") === 5).isEmpty)
   }
 
+  test("append refuses ambiguous batch columns up-front; vacuum " +
+      "invalidates memoized plans") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val t = s"$work/versioned_append_guard"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    Versioned.commit(Seq((1, 10)).toDF("id", "x"), t)
+    // a batch with case-variant duplicate names (the join-output
+    // shape) must fail the documented up-front contract — not slip
+    // through the structural fast path and die mid-stage-write
+    val dup = Seq((2, 20)).toDF("id", "x")
+      .select(col("id"), col("x"), col("id").as("ID"))
+    val e = intercept[IllegalArgumentException](
+      Versioned.append(dup, t))
+    assert(e.getMessage.contains("append schema incompatible"))
+    assert(!new java.io.File(t).listFiles()
+      .exists(_.getName.startsWith(".stage-")), "no stage litter")
+    // memoized read plans die with their versions: prime the memo,
+    // expire the version, and the next read must fail at PLAN time
+    // with the protocol's error — never serve a stale file list
+    Versioned.append(Seq((2, 20)).toDF("id", "x"), t)
+    assert(Versioned.read(spark, t, Some(1)).count() == 1) // memoize
+    Versioned.compact(spark, t)
+    Versioned.vacuum(spark, t, keep = 1)
+    intercept[Exception](Versioned.read(spark, t, Some(1)))
+    assert(Versioned.read(spark, t).count() == 2)
+  }
+
   test("versioned table: merge-on-read delete links all data, compact collapses") {
     import spark.implicits._
     import graft.sources.Versioned

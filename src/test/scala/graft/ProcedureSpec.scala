@@ -302,6 +302,16 @@ class ProcedureSpec extends SparkSpec {
           "ANALYZE TABLE analyze_tv COMPUTE STATISTICS"))
         assert(!tv.getMessage.contains("graft versioned table"))
       } finally spark.catalog.dropTempView("analyze_tv")
+      // same for a GLOBAL temp view's two-part spelling — global_temp
+      // is not a registered catalog, so only the isTempView probe can
+      // route it to the delegate
+      spark.range(3).createGlobalTempView("analyze_gtv")
+      try {
+        val gtv = intercept[Exception](spark.sql(
+          "ANALYZE TABLE global_temp.analyze_gtv COMPUTE STATISTICS"))
+        assert(!gtv.getMessage.contains("graft versioned table"))
+      } finally spark.catalog
+        .dropGlobalTempView("analyze_gtv")
       // the catalog head resolves case-insensitively, like Spark's
       // own catalog references: GRAFT.t intercepts same as graft.t
       assert(spark.sql(s"ANALYZE TABLE GRAFT.`$abs` COMPUTE STATISTICS")

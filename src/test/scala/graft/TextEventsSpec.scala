@@ -445,6 +445,13 @@ class TextEventsSpec extends SparkSpec {
       TextAnalysis.nbQualityFilterOf(oneClass, positive = Seq("good"),
         trainMod = 5))
     assert(e.getMessage.contains("both classes"))
+    // an EMPTY training slice (no doc_id hits the modulus) must take
+    // the same loud refusal, not NPE on the null sum
+    val noTrain = docs.filter(col("doc_id").isin(1L, 2L, 3L))
+    val e3 = intercept[IllegalArgumentException](
+      TextAnalysis.nbQualityFilterOf(noTrain, positive = Seq("good"),
+        trainMod = 5))
+    assert(e3.getMessage.contains("both classes"))
   }
 
   test("index deletes: immediate membership, Lucene stats window, " +
