@@ -344,6 +344,16 @@ object Similarity {
     // generations into one index
     val cv = pinnedCentroidVersion(s, indexDir).getOrElse(
       Versioned.currentVersion(s, centroidsDir(indexDir)))
+    // the re-append trap, same as appendToIvfPqIndex: a
+    // live-tombstoned vec_id's fresh entry would be anti-joined away
+    // at every probe — compact first, then append
+    val clash = newVectors.select(col("vec_id"))
+      .join(broadcast(vecTombs(s, indexDir)), Seq("vec_id"),
+        "left_semi").limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"appendToIvfIndex: vec_ids ${clash.mkString(", ")} are " +
+        s"live-tombstoned in $indexDir — the append would be " +
+        "invisible; compactIvfIndex first")
     val cents = Versioned.read(s, centroidsDir(indexDir), Some(cv))
     // the delta takes the INDEX's stored form (schema-declared): an
     // append to a quantized index quantizes its vectors the same way,
@@ -369,13 +379,29 @@ object Similarity {
     * (O(small files), not O(index)). */
   def compactIvfIndex(s: SparkSession, indexDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      minFileBytes: Long = 0L): Int =
-    // the binpack carries the centroid pin forward: a compacted index
-    // keeps resolving the centroid generation it was assigned against
-    Versioned.compactSmall(s, indexDir, targetFileBytes, minFileBytes,
-      partitionCol = Some("cell"),
-      note = pinnedCentroidVersion(s, indexDir)
-        .map(v => s"centroids=v$v"))
+      minFileBytes: Long = 0L): Int = {
+    val tombs = vecTombs(s, indexDir)
+    if (!tombs.isEmpty) {
+      // tombstones applied in ONE cell-partitioned rewrite carrying
+      // the centroid pin, reset LAST (the crash-safe order shared
+      // with compactIvfPqIndex / compactTextIndex)
+      val survivors = Versioned.read(s, indexDir)
+        .join(tombs, Seq("vec_id"), "left_anti")
+      val v = Versioned.commit(survivors, indexDir,
+        partitionCol = Some("cell"),
+        note = pinnedCentroidVersion(s, indexDir)
+          .map(cv => s"centroids=v$cv"))
+      Versioned.commit(tombs.limit(0), vecTombsDir(indexDir))
+      v
+    } else
+      // the binpack carries the centroid pin forward: a compacted
+      // index keeps resolving the centroid generation it was assigned
+      // against
+      Versioned.compactSmall(s, indexDir, targetFileBytes, minFileBytes,
+        partitionCol = Some("cell"),
+        note = pinnedCentroidVersion(s, indexDir)
+          .map(v => s"centroids=v$v"))
+  }
 
   /** Query a persisted [[buildIvfIndex]] index: the probe-cell set
     * (#queries x nProbe cell ids — metadata-scale, like a partition
@@ -419,6 +445,11 @@ object Similarity {
     val raw = Versioned.read(s, indexDir)
       .filter(col("cell").isin(probed.map(_.toInt): _*))
       .withColumn("cell", col("cell").cast("long"))
+      // live tombstones gate membership here exactly as on the IVF-PQ
+      // probe ([[deleteFromVectorIndex]] serves both index layouts —
+      // the pin-shape requirement matches either)
+      .join(broadcast(vecTombs(s, indexDir)), Seq("vec_id"),
+        "left_anti")
     // a quantized index (int8 on disk, no float column) declares
     // itself by schema; reconstruct the float view per probed row and
     // DROP the stored payload — its `q_emb` name would otherwise
@@ -993,8 +1024,12 @@ object Similarity {
     * deletes never shift. */
   def deleteFromVectorIndex(s: SparkSession, vecIds: DataFrame,
       indexDir: String): Unit = {
+    // serves BOTH persisted vector layouts — the int8/float IVF index
+    // (centroids pin) and the IVF-PQ index (centroids + codebooks) —
+    // each probe anti-joins the same sibling tombstone table
     require(pinnedVersionsOf(s, indexDir).contains("centroids"),
-      s"$indexDir is not a built IVF-PQ index (buildIvfPqIndex first)")
+      s"$indexDir is not a built vector index (buildIvfIndex / " +
+        "buildIvfPqIndex first)")
     val ids = vecIds.select(col("vec_id")).distinct()
     val td = vecTombsDir(indexDir)
     if (Versioned.currentVersion(s, td) > 0) Versioned.append(ids, td)

@@ -463,6 +463,40 @@ class SimilaritySpec extends SparkSpec {
       s"appended twin must be query 0's top-1, got $top1")
   }
 
+  test("int8-IVF index deletes: same tombstone discipline as IVF-PQ") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.Versioned
+    val dir = "target/tmp/ivf-int8-deletes"
+    Seq(dir, s"$dir.centroids", s"$dir.tombs").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Similarity.buildIvfIndex(spark, sf, dir, quantized = true)
+    val top1 = Similarity.ivfTopKIndexed(spark, sf, dir)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getLong(2)
+    Similarity.deleteFromVectorIndex(spark,
+      Seq(top1).toDF("vec_id"), dir)
+    // gone from every result immediately
+    assert(Similarity.ivfTopKIndexed(spark, sf, dir)
+      .filter(col("neighbor_id") === top1).isEmpty)
+    // re-appending the live-tombstoned id refuses
+    val e = intercept[IllegalArgumentException](
+      Similarity.appendToIvfIndex(spark,
+        graft.sources.Tables.load(spark, sf, "embeddings")
+          .filter(col("vec_id") === top1)
+          .select(col("vec_id"), col("embedding")), dir))
+    assert(e.getMessage.contains("live-tombstoned"))
+    // compact applies the set, resets it, keeps the centroid pin
+    Similarity.compactIvfIndex(spark, dir)
+    assert(Versioned.read(spark, s"$dir.tombs").count() == 0)
+    assert(Versioned.read(spark, dir)
+      .filter(col("vec_id") === top1).isEmpty)
+    assert(Similarity.ivfTopKIndexed(spark, sf, dir)
+      .filter(col("neighbor_id") === top1).isEmpty)
+    assert(Versioned.commitNotes(spark, dir)(
+      Versioned.currentVersion(spark, dir)).contains("centroids=v"))
+  }
+
   test("vector-index deletes: tombstoned vector leaves every " +
       "shortlist, compact applies and resets, export refusals") {
     import org.apache.spark.sql.functions._
