@@ -154,6 +154,7 @@ object SparkEntry {
     "d04_embedding_neardup" -> (Dedup.embeddingNearDup _),
     "d05_embedding_lsh"     -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
     "d06_dedup_clusters"    -> (Dedup.dedupClusters _),
+    "d08_semantic_dedup"    -> ((s, d) => Dedup.semanticDedup(s, d)),
     "q28_typed_ds"          -> (Typed.revenueByFlag _),
     // —— similarity search (north-star) ——
     "s01_ann_bruteforce" -> (Similarity.bruteForceTopK _),
@@ -189,6 +190,7 @@ object SparkEntry {
       Similarity.ivfTopKKmeans(s, d),
       Similarity.NProbe.toDouble / Similarity.Centroids)),
     "d07_embedding_lsh_recall" -> (Dedup.embeddingLshQuality _),
+    "d09_semantic_dedup_recall" -> (Dedup.semanticDedupQuality _),
     // —— approximate aggregates (sketches; rows-only + error-bound spec) ——
     "q27_approx_aggs"    -> (Relational.approxAggs _),
     "q34_approx_bounds"  -> (Relational.approxBounds _),
@@ -1357,6 +1359,11 @@ object SparkEntry {
       """SELECT CAST(5 AS BIGINT) AS k, CAST(10 AS BIGINT) AS n_queries,
                 CAST(1 AS BIGINT) AS recall_ok""",
     "d07_embedding_lsh_recall" ->
+      """SELECT CAST(1 AS BIGINT) AS precision_ok,
+                CAST(1 AS BIGINT) AS recall_ok""",
+    // d08 is approximate by design (rows-only); d09 reduces its
+    // precision/recall contract vs the exact d04 rule to constants.
+    "d09_semantic_dedup_recall" ->
       """SELECT CAST(1 AS BIGINT) AS precision_ok,
                 CAST(1 AS BIGINT) AS recall_ok""",
     "q34_approx_bounds" ->

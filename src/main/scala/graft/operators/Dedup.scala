@@ -497,4 +497,111 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  // —— Semantic dedup (SemDeDup) ——
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * k-means-cluster the embedding corpus (the ANN module's spherical
+    * Lloyd trainer, 2 iterations over 16 seed cells), then mark every
+    * vector that shares a probed cell with a SMALLER-id vector at
+    * cosine ≥ `threshold` as a duplicate (each vector probes its top-3
+    * cells — multi-probe SemDeDup). Output: one row per vector —
+    * (vec_id, cluster, kept), `cluster` the primary (top-1) cell.
+    *
+    * Scale story: the pairwise comparison is per-CLUSTER quadratic,
+    * never corpus-quadratic — the cluster count is the knob (SemDeDup
+    * runs ~100 K clusters on web-scale corpora, so each cluster's
+    * all-pairs block stays a few thousand rows; here 16 cells cover the
+    * 600-vector fixture at the same ratio). The cluster self-join
+    * shuffles on `cell`, so each block compares co-located; the keep
+    * rule ("drop iff a smaller-id mate exists") is a semi-join, not a
+    * per-cluster sequential pass, and the min-id survivor per duplicate
+    * group is deterministic.
+    *
+    * Approximate by design — a near-dup pair that k-means splits across
+    * clusters is missed; [[semanticDedupQuality]] (d09) reduces the
+    * precision/recall contract vs the exact-cosine pairs to
+    * oracle-checkable constants, so this query itself keeps a rows-only
+    * driver check (the d05/d07 precedent). */
+  def semanticDedup(s: SparkSession, d: String,
+      threshold: Double = 0.45): DataFrame = {
+    val e = Tables.loadSpread(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        VectorFunctions.l2Norm(col("embedding")).as("nrm"))
+    // Seeds: the first C vectors by id — deterministic, same convention
+    // as the ANN index build; Lloyd moves them to the data's modes.
+    val seeds = e.filter(col("vec_id") < Similarity.Centroids)
+      .select(col("vec_id").as("cell"), col("embedding").as("c_emb"),
+        col("nrm").as("c_nrm"))
+    val cents = Similarity.kmeansRefine(e, seeds, iters = 2).cache()
+    // Cached: the keep-assignment join reads it after the probe rows do.
+    val assigned = Similarity.assignCells(e, cents)
+      .select(col("vec_id"), col("cell"))
+      .cache()
+    // Candidate generation probes each vector's TOP-3 cells, not just
+    // the winner — the fixture's near-dups sit at cosine ≈ 0.5 (weakly
+    // separated), so single-cell SemDeDup misses every pair k-means
+    // splits at a boundary (measured recall 0.14-0.43); with both sides
+    // probing 3 of the 16 cells a pair is missed only when the probe
+    // SETS are disjoint (measured 0.87-1.0 across SFs). The top-3
+    // reduction is the same bounded-heap aggregate the ANN module
+    // shuffles — 3 entries per vector, map-side combined — and the
+    // probe rows re-attach embeddings with one equi-join on vec_id, so
+    // candidate volume is 3x per side within shared cells, never
+    // corpus-quadratic.
+    val top2 = e.join(broadcast(cents))
+      .select(col("vec_id"),
+        (VectorFunctions.dot(col("c_emb"), col("embedding")) /
+          (col("c_nrm") * col("nrm"))).cast("double").as("c_cos"),
+        col("cell").cast("long").as("cell"))
+      .groupBy(col("vec_id"))
+      .agg(call_function(GraftFunctions.TopKName,
+        col("c_cos"), col("cell"), lit(3)).as("cells"))
+    val probed = top2
+      .select(col("vec_id"), explode(col("cells")).as("pc"))
+      .select(col("vec_id"), col("pc.neighbor_id").as("cell"))
+      .join(e, Seq("vec_id"))
+    // Cheap conjuncts (cell equality, id order) precede the 64-dim dot,
+    // so codegen short-circuits the excluded half of each block.
+    val dupIds = probed.as("a")
+      .join(probed.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id") &&
+          VectorFunctions.dot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm")) >= threshold)
+      .select(col("b.vec_id").as("vec_id"))
+      .distinct()
+      .withColumn("dup", lit(1L))
+    assigned.join(dupIds, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").as("cluster"),
+        col("dup").isNull.as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Driver-checkable quality contract of [[semanticDedup]] (the d07
+    * pattern): precision is 1 by construction — a dropped vector has a
+    * smaller-id cluster-mate at cosine ≥ threshold, which IS an exact
+    * near-dup pair, so every dropped id also loses under the exact
+    * global rule — and recall (dropped ∩ exact-droppable / exact-
+    * droppable) clears the floor the DedupSpec measures. Reduced to one
+    * row of constants for the DuckDB oracle. */
+  def semanticDedupQuality(s: SparkSession, d: String): DataFrame = {
+    val sem = semanticDedup(s, d).filter(!col("kept"))
+      .select(col("vec_id")).withColumn("in_sem", lit(1L))
+    // The exact global rule's droppable set: ids with a smaller-id
+    // near-dup partner anywhere in the corpus (cluster-free).
+    val exact = embeddingNearDup(s, d)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("in_exact", lit(1L))
+    exact.join(sem, Seq("vec_id"), "full_outer")
+      .agg(
+        sum(when(col("in_sem").isNotNull && col("in_exact").isNull, 1L)
+          .otherwise(0L)).as("false_pos"),
+        (sum(when(col("in_sem").isNotNull && col("in_exact").isNotNull, 1L)
+          .otherwise(0L)).cast("double") /
+          sum(when(col("in_exact").isNotNull, 1L).otherwise(0L)))
+          .as("recall"))
+      .select((col("false_pos") === 0).cast("long").as("precision_ok"),
+        (col("recall") >= 0.7).cast("long").as("recall_ok"))
+  }
 }

@@ -88,8 +88,11 @@ object Similarity {
     * vector — one partial-aggregated shuffle of one row per vector, not
     * a window sort of corpus x C scored rows (which was the single worst
     * shuffle in the repo at 100 TB). Tie-break on the lowest cell id
-    * (`-cell` in the ordering struct) keeps assignment deterministic. */
-  private def assignCells(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    * (`-cell` in the ordering struct) keeps assignment deterministic.
+    * Package-visible: [[Dedup.semanticDedup]] reuses the same assignment
+    * for its cluster step. */
+  private[operators] def assignCells(corpus: DataFrame,
+      cents: DataFrame): DataFrame = {
     // every non-key corpus column rides through the max_by struct, so
     // a quantized corpus (q_emb/q_scale alongside the float form it
     // scores with) assigns in the same single pass — no second join

@@ -128,4 +128,32 @@ class DedupSpec extends SparkSpec {
       assert(recall >= 0.2)
     }
   }
+
+  test("semantic dedup: one row per vector, dropped set sound, recall floor") {
+    val out = Dedup.semanticDedup(spark, sf).collect()
+    val corpus = spark.read
+      .parquet(s"$sf/embeddings.parquet").count()
+    assert(out.length == corpus) // total assignment: every vector decided
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    val dropped = out.filterNot(_.getBoolean(2)).map(_.getLong(0)).toSet
+    // Soundness: every dropped id loses under the exact global rule too
+    // (it has a smaller-id exact near-dup partner) — precision 1.
+    val exactDroppable = Dedup.embeddingNearDup(spark, sf)
+      .select("b_id").collect().map(_.getLong(0)).toSet
+    assert(dropped.subsetOf(exactDroppable))
+    if (exactDroppable.nonEmpty) {
+      val recall = (dropped & exactDroppable).size.toDouble /
+        exactDroppable.size
+      info(s"semantic dedup recall = $recall")
+      assert(recall >= 0.5) // sf0.001 measures 1.0 at top-3 probes
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("semantic dedup quality gate reduces to all-ok constants") {
+    val r = Dedup.semanticDedupQuality(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 1L && r.head.getLong(1) == 1L)
+    spark.catalog.clearCache()
+  }
 }
