@@ -264,6 +264,12 @@ object SparkEntry {
     // fixture table.
     "q48_add_files" -> (graft.sources.Versioned.importGate _),
     "q49_clone_table" -> (graft.sources.Versioned.cloneGate _),
+    // Metadata-only aggregates: SELECT min/max/count FROM graft.t
+    // answers from the stats sidecars (zero parquet scan) when the
+    // manifest provably carries it; tombstones flip the same SQL to
+    // the scan plan, compaction flips it back. The oracle RECOMPUTES
+    // every aggregate value from the nation fixture.
+    "q53_metadata_agg" -> (graft.sources.Versioned.metadataAggGate _),
     // Cross-engine INDEX read: the oracle recomputes BM25 in DuckDB
     // from the persisted inverted index's OWN exported bytes
     // (read_parquet over the postings buckets + the pinned stats
@@ -1650,6 +1656,25 @@ object SparkEntry {
                 CAST(count(*) + 5 AS BIGINT)
                   AS rows_after_divergent_append
          FROM nation WHERE n_nationkey < 15""",
+    "q53_metadata_agg" ->
+      """SELECT CAST(1 AS BIGINT) AS served_head,
+                (SELECT CAST(min(n_nationkey) AS BIGINT) FROM nation) AS mn,
+                (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation) AS mx,
+                (SELECT count(*) FROM nation) AS n_rows,
+                (SELECT max(n_name) FROM nation) AS mx_name,
+                CAST(1 AS BIGINT) AS served_pin,
+                (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation
+                  WHERE n_nationkey < 13) AS pin_mx,
+                CAST(1 AS BIGINT) AS del_scan,
+                (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation
+                  WHERE n_nationkey <> 24) AS del_mx,
+                (SELECT count(*) FROM nation
+                  WHERE n_nationkey <> 24) AS del_n,
+                CAST(1 AS BIGINT) AS recovered,
+                (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation
+                  WHERE n_nationkey <> 24) AS rec_mx,
+                (SELECT count(*) FROM nation
+                  WHERE n_nationkey <> 24) AS rec_n""",
     // Vector-index delete constants: the twin lifecycle flags plus
     // the row count (10 fixture queries x top-5) proving deletion
     // never disturbs the other candidates.

@@ -1,0 +1,125 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
+  UnresolvedFunction}
+import org.apache.spark.sql.catalyst.expressions.{Alias,
+  AttributeReference, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{
+  AggregateExpression, Complete, Count, Max, Min}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+  LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.{GraftVersionedTable, Versioned}
+import graft.sources.Versioned.StatsAgg
+
+/** The metadata-only aggregate rewrite behind
+  * [[VersionedRelationRule]]: a global `MIN` / `MAX` / `COUNT` over a
+  * bare graft catalog table answers from the snapshot's stats
+  * sidecars — a LocalRelation-backed one-row plan, zero data files
+  * listed or scanned — whenever [[Versioned.statsAggregate]] can
+  * PROVABLY carry it (no live tombstones, no pending schema steps,
+  * every file stats-covered; see its scaladoc for the full bail
+  * list). Ineligible or unprovable shapes fall back to the ordinary
+  * snapshot-scan expansion, so the rewrite can change COST, never a
+  * result.
+  *
+  * Shape: `Aggregate` with NO grouping over (SubqueryAlias chains of)
+  * the relation, every output an alias of one un-filtered,
+  * un-DISTINCT `min(col)` / `max(col)` / `count(col)` / `count(*)`.
+  * A WHERE / local filter inserts a Filter between the two and the
+  * shape no longer matches — by construction, not by a guard.
+  *
+  * The eligibility probe also matches the UNRESOLVED spelling so the
+  * host rule can HOLD the relation un-expanded across analyzer
+  * passes until the aggregate's functions resolve (the expansion is
+  * irreversible; expanding first would destroy the pattern the
+  * resolved pass rewrites). */
+private[plans] object MetadataAggRule {
+
+  /** The graft relation under alias wrappers, if the subtree is
+    * exactly that (any other operator in between disqualifies). */
+  def relationUnder(p: LogicalPlan): Option[DataSourceV2Relation] =
+    p match {
+      case r: DataSourceV2Relation
+          if r.table.isInstanceOf[GraftVersionedTable] => Some(r)
+      case s: SubqueryAlias => relationUnder(s.child)
+      case _ => None
+    }
+
+  /** Cheap shape test, callable on resolved AND unresolved trees. */
+  def shapeEligible(a: Aggregate): Boolean =
+    a.groupingExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
+      a.aggregateExpressions.forall(shapeOk)
+
+  private def shapeOk(e: NamedExpression): Boolean = e match {
+    case Alias(child, _) => exprOk(child)
+    case u: UnresolvedAlias => exprOk(u.child)
+    case _ => false
+  }
+
+  private val Names = Set("min", "max", "count")
+
+  private def exprOk(e: Expression): Boolean = e match {
+    case ae: AggregateExpression =>
+      !ae.isDistinct && ae.filter.isEmpty && ae.mode == Complete &&
+        (ae.aggregateFunction match {
+          case Min(_) | Max(_) => true
+          case c: Count => c.children.length == 1
+          case _ => false
+        })
+    case f: UnresolvedFunction =>
+      Names.contains(f.nameParts.last.toLowerCase(java.util.Locale.ROOT)) &&
+        !f.isDistinct && f.filter.isEmpty
+    case _ => false
+  }
+
+  /** Map a RESOLVED eligible aggregate onto [[StatsAgg]] wants; None
+    * when any output aggregates a non-column expression (min(c + 1)
+    * has no sidecar answer). */
+  private def wantsOf(a: Aggregate,
+      r: DataSourceV2Relation): Option[Seq[(String, StatsAgg)]] = {
+    val ids = r.output.map(_.exprId).toSet
+    def colOf(e: Expression): Option[String] = e match {
+      case ar: AttributeReference if ids.contains(ar.exprId) =>
+        Some(ar.name)
+      case _ => None
+    }
+    val mapped = a.aggregateExpressions.map {
+      case Alias(ae: AggregateExpression, name) =>
+        (ae.aggregateFunction match {
+          case Min(c) => colOf(c).map(StatsAgg.MinOf)
+          case Max(c) => colOf(c).map(StatsAgg.MaxOf)
+          case Count(Seq(l: Literal)) if l.value != null =>
+            Some(StatsAgg.CountStar)
+          case Count(Seq(c)) => colOf(c).map(StatsAgg.CountOf)
+          case _ => None
+        }).map(name -> _)
+      case _ => None
+    }
+    if (mapped.exists(_.isEmpty)) None else Some(mapped.flatten)
+  }
+
+  /** Attempt the rewrite of a resolved eligible aggregate. Returns
+    * the replacement plan (a Project rebinding the one-row answer
+    * onto the aggregate's output ids) or None when the manifest
+    * cannot carry it. Output dataTypes must match EXACTLY — a
+    * sidecar dtype that drifted from the relation's schema falls
+    * back rather than smuggling a differently-typed column through
+    * an Alias. */
+  def tryRewrite(spark: SparkSession, a: Aggregate,
+      r: DataSourceV2Relation): Option[LogicalPlan] = {
+    val t = r.table.asInstanceOf[GraftVersionedTable]
+    for {
+      wants <- wantsOf(a, r)
+      df <- Versioned.statsAggregate(spark, t.tableDir, wants,
+        Some(t.snapshotVersion))
+      real = df.queryExecution.analyzed
+      if real.output.map(_.dataType) == a.output.map(_.dataType)
+    } yield Project(a.output.zip(real.output).map { case (tgt, src) =>
+      Alias(src, tgt.name)(exprId = tgt.exprId,
+        qualifier = tgt.qualifier)
+    }, real)
+  }
+}

@@ -2,8 +2,9 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.Alias
-import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable,
-  LogicalPlan, MergeIntoTable, Project, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+  DeleteFromTable, LogicalPlan, MergeIntoTable, Project, UpdateTable,
+  V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
 import org.apache.spark.sql.execution.datasources.DataSource
@@ -48,14 +49,40 @@ case class VersionedRelationRule(spark: SparkSession)
     val writeTargets = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
     def addTargetTree(p: LogicalPlan): Unit = p.foreach(writeTargets.add)
+    // Relations sitting directly under a metadata-aggregate-shaped
+    // global Aggregate are HELD un-expanded until the aggregate's
+    // functions resolve — the resolved pass then either rewrites the
+    // whole pattern to the sidecar-served one-row plan or expands the
+    // relation in place (see [[MetadataAggRule]]). Holding is safe:
+    // the relation is a resolved leaf, so everything above it keeps
+    // resolving; a shape that turns ineligible is simply not re-held
+    // on the next pass and expands normally.
+    val held = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
     plan.foreach {
       case w: V2WriteCommand => writeTargets.add(w.table)
       case d: DeleteFromTable => addTargetTree(d.table)
       case u: UpdateTable => addTargetTree(u.table)
       case m: MergeIntoTable => addTargetTree(m.targetTable)
+      case a: Aggregate if MetadataAggRule.shapeEligible(a) =>
+        MetadataAggRule.relationUnder(a.child).foreach(held.add)
       case _ => ()
     }
     plan.resolveOperatorsUp {
+      case a: Aggregate if a.resolved && MetadataAggRule.shapeEligible(a)
+          && MetadataAggRule.relationUnder(a.child).exists(r =>
+            !writeTargets.contains(r)) =>
+        val r = MetadataAggRule.relationUnder(a.child).get
+        MetadataAggRule.tryRewrite(spark, a, r).getOrElse {
+          // manifest can't carry it: expand the relation in place so
+          // the pattern dissolves and the fixpoint proceeds to the
+          // ordinary scan-plan aggregate
+          val newChild = a.child.transformUp {
+            case rel: DataSourceV2Relation if rel eq r =>
+              expandVersioned(rel)
+          }
+          a.withNewChildren(Seq(newChild))
+        }
       // `spark.readStream.table("graft.db.t")`: the catalog table
       // advertises no streaming capability (a changelog batch is a
       // PLAN the DSv2 PartitionReader contract can't express), so the
@@ -122,19 +149,8 @@ case class VersionedRelationRule(spark: SparkSession)
           "graft-changes", s.output)
       case r: DataSourceV2Relation
           if r.table.isInstanceOf[GraftVersionedTable] &&
-            !writeTargets.contains(r) =>
-        val t = r.table.asInstanceOf[GraftVersionedTable]
-        val real = Versioned.read(spark, t.tableDir,
-          Some(t.snapshotVersion)).queryExecution.analyzed
-        require(real.output.length == r.output.length,
-          s"snapshot v=${t.snapshotVersion} at ${t.tableDir} changed " +
-            "shape between catalog resolution and planning " +
-            "(snapshots are immutable; this indicates a corrupted " +
-            "manifest)")
-        Project(r.output.zip(real.output).map { case (tgt, src) =>
-          Alias(src, tgt.name)(exprId = tgt.exprId,
-            qualifier = tgt.qualifier)
-        }, real)
+            !writeTargets.contains(r) && !held.contains(r) =>
+        expandVersioned(r)
       // metadata tables (t.history / t.files) expand the same way —
       // driver-metadata frames, never a data-file scan
       case r: DataSourceV2Relation
@@ -166,5 +182,23 @@ case class VersionedRelationRule(spark: SparkSession)
             qualifier = tgt.qualifier)
         }, real)
     }
+  }
+
+  /** The ordinary snapshot expansion of one graft relation: a fresh
+    * `Versioned.read` plan with its outputs rebound onto the
+    * relation's attribute ids. */
+  private def expandVersioned(r: DataSourceV2Relation): LogicalPlan = {
+    val t = r.table.asInstanceOf[GraftVersionedTable]
+    val real = Versioned.read(spark, t.tableDir,
+      Some(t.snapshotVersion)).queryExecution.analyzed
+    require(real.output.length == r.output.length,
+      s"snapshot v=${t.snapshotVersion} at ${t.tableDir} changed " +
+        "shape between catalog resolution and planning " +
+        "(snapshots are immutable; this indicates a corrupted " +
+        "manifest)")
+    Project(r.output.zip(real.output).map { case (tgt, src) =>
+      Alias(src, tgt.name)(exprId = tgt.exprId,
+        qualifier = tgt.qualifier)
+    }, real)
   }
 }

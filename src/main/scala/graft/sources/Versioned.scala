@@ -3978,6 +3978,72 @@ object Versioned {
     * through the fixture table the files came from (`nation UNION ALL
     * nation` minus the deleted key). A hash match proves foreign
     * parquet round-trips the import path bit-for-bit. */
+  /** The q53 gate: the metadata-only aggregate
+    * ([[statsAggregate]] via the analyzer rewrite) reduced to a row
+    * the DuckDB oracle RECOMPUTES from the nation fixture — the
+    * aggregate VALUES are genuinely restated cross-engine, and the
+    * structural flags pin where each answer came from: `served_*` = 1
+    * means the executed plan contained NO parquet scan (the sidecar
+    * path), `del_scan` = 1 means a live MoR tombstone forced the
+    * fallback scan plan (whose values must still be right), and
+    * `recovered` = 1 means compaction re-enabled the metadata path.
+    * Nation is SF-independent, so the oracle's subselects are exact
+    * at every scale factor. */
+  def metadataAggGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft-magg-gate")
+    def scanFree(df: DataFrame): Boolean =
+      !df.queryExecution.executedPlan.toString.contains("Scan parquet")
+    try {
+      val t = work.resolve("tbl").toString
+      val abs = new java.io.File(t).getAbsolutePath
+      val nation = Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_name"))
+      commit(nation.filter(col("n_nationkey") < 13), t,
+        statsCols = Seq("n_nationkey", "n_name"))
+      append(nation.filter(col("n_nationkey") >= 13), t,
+        statsCols = Seq("n_nationkey", "n_name"))
+      val head = s.sql(s"SELECT min(n_nationkey) AS mn, " +
+        s"max(n_nationkey) AS mx, count(*) AS n, max(n_name) AS mxn " +
+        s"FROM graft.`$abs`")
+      val servedHead = scanFree(head)
+      val h = head.head()
+      val pin = s.sql(s"SELECT max(n_nationkey) AS mx " +
+        s"FROM graft.`$abs` VERSION AS OF 1")
+      val servedPin = scanFree(pin)
+      val pinMx = pin.head().get(0)
+      // a live tombstone must flip the SAME SQL to the scan plan
+      import s.implicits._
+      deleteRows(s, t, Seq(24).toDF("n_nationkey"))
+      val afterDel = s.sql(s"SELECT max(n_nationkey) AS mx, " +
+        s"count(*) AS n FROM graft.`$abs`")
+      val delScan = !scanFree(afterDel)
+      val ad = afterDel.head()
+      compact(s, t, statsCols = Seq("n_nationkey", "n_name"))
+      val rec = s.sql(s"SELECT max(n_nationkey) AS mx, count(*) AS n " +
+        s"FROM graft.`$abs`")
+      val recovered = scanFree(rec)
+      val rc = rec.head()
+      def lv(v: Any): Long = v.asInstanceOf[Number].longValue
+      s.range(1).select(
+        lit(if (servedHead) 1L else 0L).as("served_head"),
+        lit(lv(h.get(0))).as("mn"),
+        lit(lv(h.get(1))).as("mx"),
+        lit(h.getLong(2)).as("n_rows"),
+        lit(h.getString(3)).as("mx_name"),
+        lit(if (servedPin) 1L else 0L).as("served_pin"),
+        lit(lv(pinMx)).as("pin_mx"),
+        lit(if (delScan) 1L else 0L).as("del_scan"),
+        lit(lv(ad.get(0))).as("del_mx"),
+        lit(ad.getLong(1)).as("del_n"),
+        lit(if (recovered) 1L else 0L).as("recovered"),
+        lit(lv(rc.get(0))).as("rec_mx"),
+        lit(rc.getLong(1)).as("rec_n"))
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(work.toFile)
+    }
+  }
+
   /** The q49 gate: [[cloneTable]] reduced to engine-independent
     * constants — build a small nation-derived table (commit + append
     * + a property), clone it, then DESTROY the source directory
@@ -5624,6 +5690,139 @@ object Versioned {
       version: Option[Int] = None): DataFrame =
     readWhereAllImpl(spark, tableDir, Nil, Seq((colName, isNull)),
       version, withDeletes = true)
+
+  /** One global aggregate a manifest can serve. */
+  sealed trait StatsAgg
+  object StatsAgg {
+    final case class MinOf(col: String) extends StatsAgg
+    final case class MaxOf(col: String) extends StatsAgg
+    /** COUNT(col): non-null count. */
+    final case class CountOf(col: String) extends StatsAgg
+    case object CountStar extends StatsAgg
+  }
+
+  /** Answer a global MIN / MAX / COUNT aggregate from the manifest's
+    * stats sidecars alone — ZERO data-file I/O, the Iceberg
+    * metadata-aggregate optimization ("SELECT min(c) FROM t" as an
+    * O(manifest) driver read instead of a 100-TB scan; Spark's own
+    * parquet COUNT pushdown still opens every footer, this opens
+    * none). `wants` is (output column name, aggregate) in output
+    * order.
+    *
+    * Returns None — the caller falls back to the scan plan — unless
+    * the sidecars PROVABLY carry the answer:
+    *  - live MoR tombstones (a tombstone newer than any data entry it
+    *    covers) remove rows the sidecar totals still count;
+    *  - pending schema steps mean older files carry pre-evolution
+    *    names/types (the exportSnapshot discipline) — compaction
+    *    clears both;
+    *  - every live data file must contribute: a known row count
+    *    (format-v2 or count-only sidecar) for COUNT(*), a (count,
+    *    null-count) row of the column for COUNT(c), a bounds row of
+    *    the column — with ONE consistent dtype across files — for
+    *    MIN/MAX (files committed without stats for the column bail);
+    *  - every stored non-null bound must cast cleanly back to the
+    *    column type (a foreign/stale sidecar degrades a FILTER to a
+    *    full scan, but an aggregate is all-or-nothing).
+    * MIN/MAX ignore nulls exactly like the scan aggregate (an
+    * all-null file stores null bounds, which the fold skips), and
+    * bounds evaluate through a tiny Spark job so string/timestamp
+    * ordering and cast semantics are the engine's own, never the
+    * JVM's. The 0-row evaluation input (an empty table or an
+    * all-null column) yields the scan-equal answer: COUNT 0, MIN and
+    * MAX null. */
+  def statsAggregate(spark: SparkSession, tableDir: String,
+      wants: Seq[(String, StatsAgg)],
+      version: Option[Int] = None): Option[DataFrame] = {
+    import StatsAgg._
+    require(wants.nonEmpty, "statsAggregate needs at least one aggregate")
+    val f = fs(spark, tableDir)
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    if (v <= 0) return None
+    val lines = manifestLines(f, tableDir, v)
+    val dataEntries = lines.filterNot(isDeleteLine)
+    if (dataEntries.isEmpty) return None // nothing committed: let the
+    // scan plan produce the canonical empty-relation aggregate
+    // a tombstone is LIVE iff it applies to an older data entry — the
+    // same sequence rule the read path joins with
+    val liveTombs = lines.filter(isDeleteLine)
+      .map(e => entryVer(e.stripPrefix(DeletePrefix)))
+      .exists(tv => dataEntries.exists(de => tv > entryVer(de)))
+    if (liveTombs) return None
+    if (renameChain(f, tableDir, v)
+      .exists(st => dataEntries.exists(de => st.ver > entryVer(de))))
+      return None
+    // per live file: its writing root's stats rows, keyed by column
+    // ("" = the count-only pseudo row). FILE entries (merge survivors)
+    // read the sidecar of the version that wrote them, like readWhere.
+    val statsByRoot = scala.collection.mutable
+      .Map.empty[String, Map[String, Map[String, StatRow]]]
+    def rootStats(vr: String): Map[String, Map[String, StatRow]] =
+      statsByRoot.getOrElseUpdate(vr,
+        readStatsFile(spark, f, tableDir, vr)
+          .groupBy(_.file).view
+          .mapValues(_.map(sr => sr.col -> sr).toMap).toMap)
+    val files: Seq[Map[String, StatRow]] = dataEntries.flatMap { e =>
+      val vr = e.split("/").head
+      entryFiles(f, tableDir, e).map(rel =>
+        rootStats(vr).getOrElse(rel.stripPrefix(vr + "/"), Map.empty))
+    }
+    def countStar: Option[Long] = {
+      val per = files.map(_.values.find(_.values >= 0).map(_.values))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
+    def countOf(c: String): Option[Long] = {
+      val per = files.map(_.get(c).filter(sr =>
+        sr.values >= 0 && sr.nulls >= 0).map(sr => sr.values - sr.nulls))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
+    // bounds rows of one column, dtype-consistent across every file
+    def boundsOf(c: String): Option[(String, Seq[StatRow])] = {
+      val per = files.map(_.get(c))
+      if (per.exists(_.isEmpty)) return None
+      val rows = per.flatten
+      val dts = rows.map(_.dtype).distinct
+      if (dts.length != 1) None else Some((dts.head, rows))
+    }
+    // assemble: counts fold driver-side (plain long sums); bounds
+    // evaluate in ONE local Spark job for cast/ordering semantics,
+    // with a per-column cast-failure flag that bails the whole answer
+    import spark.implicits._
+    def boundCol(dt: String)(c: Column): Column =
+      if (dt == "timestamp") timestamp_micros(c.try_cast("long"))
+      else c.try_cast(dt)
+    val parts: Seq[Option[DataFrame]] = wants.zipWithIndex.map {
+      case ((_, CountStar), i) =>
+        countStar.map(n => spark.range(1).select(
+          lit(n).as(s"c$i"), lit(0L).as(s"bad$i")))
+      case ((_, CountOf(c)), i) =>
+        countOf(c).map(n => spark.range(1).select(
+          lit(n).as(s"c$i"), lit(0L).as(s"bad$i")))
+      case ((_, w), i) =>
+        val (c, isMin) = w match {
+          case MinOf(n) => (n, true)
+          case MaxOf(n) => (n, false)
+          case _ => throw new MatchError(w) // unreachable
+        }
+        boundsOf(c).map { case (dt, rows) =>
+          val raw = rows.map(r => if (isMin) r.minV else r.maxV)
+            .toDF("raw")
+          val b = boundCol(dt)(col("raw"))
+          raw.agg(
+            (if (isMin) min(b) else max(b)).as(s"c$i"),
+            sum(when(col("raw").isNotNull && b.isNull, 1L)
+              .otherwise(0L)).as(s"bad$i"))
+        }
+    }
+    if (parts.exists(_.isEmpty)) return None
+    val joined = parts.flatten.reduce(_.crossJoin(_))
+    val head = joined.collect().head
+    val bad = wants.indices.exists(i =>
+      head.getAs[Long](s"bad$i") > 0)
+    if (bad) None
+    else Some(joined.select(wants.zipWithIndex.map {
+      case ((name, _), i) => col(s"c$i").as(name) }: _*))
+  }
 
   /** See [[readSnapshot]] for why the merge provenance probe reads
     * without tombstones. */

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.Versioned
+import graft.sources.Versioned.StatsAgg._
+
+/** The metadata-only aggregate: a global MIN/MAX/COUNT over a graft
+  * catalog table answers from the stats sidecars — no parquet scan in
+  * the executed plan — and every unprovable shape falls back to the
+  * scan plan with the identical answer. */
+class MetadataAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val work = "target/tmp/metaagg"
+  private def fresh(name: String): (String, String) = {
+    val t = s"$work/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    (t, new java.io.File(t).getAbsolutePath)
+  }
+
+  private def scanFree(df: DataFrame): Boolean =
+    !df.queryExecution.executedPlan.toString.contains("Scan parquet")
+
+  test("min/max/count serve from sidecars: no scan, scan-equal values") {
+    val (t, abs) = fresh("ma_basic")
+    val rows = Seq((3, "b", 2.5), (1, "a", -0.5), (7, null, 9.0))
+      .toDF("id", "name", "score")
+    Versioned.commit(rows, t, statsCols = Seq("id", "name", "score"))
+    Versioned.append(Seq((5, "zz", 0.0)).toDF("id", "name", "score"), t,
+      statsCols = Seq("id", "name", "score"))
+    val q = spark.sql(s"SELECT min(id) AS mn, max(id) AS mx, " +
+      s"count(*) AS n, count(name) AS nn, max(name) AS mxn, " +
+      s"min(score) AS mns FROM graft.`$abs`")
+    assert(scanFree(q), q.queryExecution.executedPlan.toString.take(800))
+    val r = q.head()
+    assert(r.getInt(0) == 1 && r.getInt(1) == 7)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 3L)
+    assert(r.getString(4) == "zz" && r.getDouble(5) == -0.5)
+    // the fallback scan plan agrees (same SQL forced through the scan
+    // by a vacuous filter that breaks the rewrite shape)
+    val full = spark.sql(s"SELECT min(id), max(id), count(*), " +
+      s"count(name), max(name), min(score) FROM graft.`$abs` " +
+      "WHERE id IS NOT NULL OR id IS NULL").head()
+    assert(r.toSeq == full.toSeq)
+  }
+
+  test("count(*) serves metadata-only even without declared statsCols") {
+    val (t, abs) = fresh("ma_countonly")
+    Versioned.commit((1 to 25).map(i => (i, s"v$i")).toDF("id", "v"), t)
+    Versioned.append((26 to 40).map(i => (i, s"v$i")).toDF("id", "v"), t)
+    val q = spark.sql(s"SELECT count(*) AS n FROM graft.`$abs`")
+    assert(scanFree(q))
+    assert(q.head().getLong(0) == 40L)
+    // but min has no bounds rows -> falls back to the scan, still right
+    val mn = spark.sql(s"SELECT min(id) AS mn FROM graft.`$abs`")
+    assert(!scanFree(mn))
+    assert(mn.head().getInt(0) == 1)
+  }
+
+  test("live MoR tombstone bails to the scan; compaction re-enables") {
+    val (t, abs) = fresh("ma_tombs")
+    Versioned.commit((1 to 20).map(i => (i, s"v$i")).toDF("id", "v"), t,
+      statsCols = Seq("id"))
+    Versioned.deleteRows(spark, t, Seq(20).toDF("id"))
+    val q1 = spark.sql(s"SELECT max(id) AS mx, count(*) AS n " +
+      s"FROM graft.`$abs`")
+    assert(!scanFree(q1), "a live tombstone must force the scan plan")
+    assert(q1.head().toSeq == Seq(19, 19L))
+    Versioned.compact(spark, t, statsCols = Seq("id"))
+    val q2 = spark.sql(s"SELECT max(id) AS mx, count(*) AS n " +
+      s"FROM graft.`$abs`")
+    assert(scanFree(q2), "compaction absorbs the tombstone")
+    assert(q2.head().toSeq == Seq(19, 19L))
+  }
+
+  test("filters, grouping, distinct, expressions all keep the scan") {
+    val (t, abs) = fresh("ma_shapes")
+    Versioned.commit((1 to 10).map(i => (i, i % 3)).toDF("id", "g"), t,
+      statsCols = Seq("id", "g"))
+    val shapes = Seq(
+      s"SELECT min(id) FROM graft.`$abs` WHERE g = 1",
+      s"SELECT g, min(id) FROM graft.`$abs` GROUP BY g",
+      s"SELECT count(DISTINCT g) FROM graft.`$abs`",
+      s"SELECT min(id + 1) FROM graft.`$abs`",
+      s"SELECT avg(id) FROM graft.`$abs`")
+    shapes.foreach { sql =>
+      assert(!scanFree(spark.sql(sql)), s"must scan: $sql")
+    }
+    // and the served shape still composes under HAVING / outer selects
+    val h = spark.sql(s"SELECT n FROM (SELECT count(*) AS n " +
+      s"FROM graft.`$abs`) WHERE n > 5")
+    assert(scanFree(h) && h.head().getLong(0) == 10L)
+  }
+
+  test("VERSION AS OF serves the pinned snapshot's answer") {
+    val (t, abs) = fresh("ma_pin")
+    Versioned.commit((1 to 5).map(i => (i, "a")).toDF("id", "v"), t,
+      statsCols = Seq("id"))
+    Versioned.append((6 to 9).map(i => (i, "b")).toDF("id", "v"), t,
+      statsCols = Seq("id"))
+    val pinned = spark.sql(s"SELECT max(id) AS mx, count(*) AS n " +
+      s"FROM graft.`$abs` VERSION AS OF 1")
+    assert(scanFree(pinned))
+    assert(pinned.head().toSeq == Seq(5, 5L))
+    val head = spark.sql(s"SELECT max(id) AS mx, count(*) AS n " +
+      s"FROM graft.`$abs`").head()
+    assert(head.toSeq == Seq(9, 9L))
+  }
+
+  test("pending schema steps bail; API surface agrees with the scan") {
+    val (t, _) = fresh("ma_steps")
+    Versioned.commit((1 to 8).map(i => (i, s"v$i")).toDF("id", "v"), t,
+      statsCols = Seq("id"))
+    Versioned.renameColumn(spark, t, "id", "ident")
+    assert(Versioned.statsAggregate(spark, t,
+      Seq(("mx", MaxOf("ident")))).isEmpty,
+      "a pending rename applies to older files — must bail")
+    // count(*) is name-free but the bail is whole-table by design
+    assert(Versioned.statsAggregate(spark, t,
+      Seq(("n", CountStar))).isEmpty)
+    // direct-API happy path on a clean table
+    val (t2, _) = fresh("ma_api")
+    Versioned.commit(Seq((1, 2.0), (4, -1.0)).toDF("a", "b"), t2,
+      statsCols = Seq("a", "b"))
+    val got = Versioned.statsAggregate(spark, t2, Seq(
+      ("mn", MinOf("a")), ("mx", MaxOf("b")), ("n", CountStar),
+      ("nb", CountOf("b")))).get.head()
+    assert(got.toSeq == Seq(1, 2.0, 2L, 2L))
+    // unknown column -> None, not a throw
+    assert(Versioned.statsAggregate(spark, t2,
+      Seq(("x", MinOf("nope")))).isEmpty)
+  }
+
+  test("timestamp bounds round-trip through the epoch-micros sidecar") {
+    val (t, abs) = fresh("ma_ts")
+    val df = Seq("2021-03-01 10:00:00", "2020-12-31 23:59:59",
+      "2021-07-04 00:00:01").toDF("s")
+      .select(col("s").cast("timestamp").as("ts"))
+    Versioned.commit(df, t, statsCols = Seq("ts"))
+    val q = spark.sql(s"SELECT min(ts) AS mn, max(ts) AS mx " +
+      s"FROM graft.`$abs`")
+    assert(scanFree(q))
+    val full = Versioned.read(spark, t).agg(min("ts"), max("ts")).head()
+    assert(q.head().toSeq == full.toSeq)
+  }
+}
