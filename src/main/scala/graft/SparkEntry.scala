@@ -294,6 +294,12 @@ object SparkEntry {
     // destination's own commit note.
     "q52_derived_refresh" ->
       (graft.sources.DerivedTable.derivedRefreshGate _),
+    // Incremental AGGREGATE view (q54): GROUP BY rollup maintained by
+    // algebraic deltas — touched rows diffed between the two pinned
+    // snapshots via point-set pruned reads, groups patched in place,
+    // group migration / nulled values / group death all in one batch.
+    "q54_agg_refresh" ->
+      (graft.sources.DerivedTable.aggRefreshGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1708,6 +1714,29 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS eq_full_recompute,
                 CAST(1 AS BIGINT) AS noop_stable,
                 CAST(1 AS BIGINT) AS refused_unpinned""",
+    "q54_agg_refresh" ->
+      """WITH final AS (
+           SELECT CASE WHEN doc_id IN (1, 2, 3) THEN 'migrated'
+                       ELSE source END AS source,
+                  CASE WHEN doc_id IN (1, 2, 3) THEN 1000
+                       WHEN doc_id IN (4, 5) THEN NULL
+                       ELSE n_chars END AS n_chars
+           FROM documents WHERE doc_id % 50 <> 0)
+         SELECT
+           (SELECT count(DISTINCT source) FROM documents
+             WHERE doc_id < 300) AS groups_v1,
+           (SELECT count(DISTINCT source) FROM documents) AS groups_v2,
+           (SELECT count(DISTINCT source) FROM final) AS groups_v3,
+           (SELECT count(*) FROM final) AS rows_v3,
+           (SELECT CAST(sum(n_chars) AS BIGINT) FROM final)
+             AS charsum_v3,
+           (SELECT count(n_chars) FROM final) AS charcnt_v3,
+           CAST(2 AS BIGINT) AS refresh_from,
+           CAST(3 AS BIGINT) AS refresh_to,
+           CAST(1 AS BIGINT) AS eq_full_recompute,
+           CAST(1 AS BIGINT) AS noop_stable,
+           CAST(1 AS BIGINT) AS refused_foreign_key,
+           CAST(1 AS BIGINT) AS refused_unpinned""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle
 
   /** q47's oracle aggregates the graft table's OWN data files — the

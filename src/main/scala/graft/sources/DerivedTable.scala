@@ -123,6 +123,226 @@ object DerivedTable {
     (from, to)
   }
 
+  /** Incrementally maintained AGGREGATE view — the GROUP BY rollup
+    * twin of [[refresh]]: `dstDir` holds
+    * `SELECT groupCol, sum(valueCol), count(valueCol), count(*) FROM
+    * source GROUP BY groupCol`, advanced per refresh by ALGEBRAIC
+    * delta maintenance instead of recomputation.
+    *
+    * The changelog cannot carry the algebra alone: an equality-delete
+    * event has KEY columns only (the Iceberg equality-delete
+    * contract), so the old value to subtract isn't in the event. Each
+    * refresh therefore diffs the TOUCHED rows between the two pinned
+    * snapshots: the row keys named by the range's events are read
+    * back at `from` and at `to` — both via [[Versioned.readWhereIn]]
+    * point-set pruning, O(files containing touched keys), never a
+    * source rescan — and each group's delta is
+    * `agg(new touched) - agg(old touched)`. Rows inserted AND deleted
+    * inside the range net to zero by construction (they exist in
+    * neither snapshot). Destination groups are then patched through
+    * the same pruned point-read, a group whose row count reaches zero
+    * is deleted, and everything lands in one atomic commit whose note
+    * pins `src=vN`.
+    *
+    * Stored schema: (groupCol, sum_<valueCol>, cnt_<valueCol>,
+    * n_rows). The value count makes the all-null group exact: a
+    * group whose surviving values are all null stores a NULL sum
+    * (`cnt` = 0), matching the recompute — an unconditional 0 would
+    * not. avg is `sum / cnt`, derivable at read.
+    *
+    * Contracts refused loudly: a delete event whose `rowKey` is null
+    * (the source's tombstones key on a different column — the diff
+    * would silently miss those rows), and a patched group whose row
+    * count would go negative (a corrupt pin/history). Exactness note:
+    * integer/decimal sums are exact; float sums accumulate the usual
+    * reassociation drift relative to a full recompute.
+    *
+    * `maxTouchedKeys` bounds the driver-side key set handed to the
+    * point-set pruned reads (the two-pass bounded-driver discipline);
+    * a larger batch refuses with the advice to rebuild — a delta that
+    * touches a large fraction of the source approaches a rebuild's
+    * cost anyway. */
+  def refreshAgg(s: SparkSession, srcDir: String, dstDir: String,
+      rowKey: String, groupCol: String, valueCol: String,
+      maxTouchedKeys: Int = 100000): (Int, Int) = {
+    val sumCol = s"sum_$valueCol"
+    val cntCol = s"cnt_$valueCol"
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col(groupCol)).agg(
+        sum(col(valueCol)).as(sumCol),
+        count(col(valueCol)).as(cntCol),
+        count(lit(1)).as("n_rows"))
+    val to = Versioned.currentVersion(s, srcDir)
+    require(to > 0, s"no committed source version at $srcDir")
+    val dstV = Versioned.currentVersion(s, dstDir)
+    if (dstV == 0) {
+      val full = aggOf(Versioned.read(s, srcDir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // null group keys are refused up front (not at first touch):
+        // IN-set point reads and equi-joins on the group column both
+        // skip SQL nulls, so a null group could never be patched
+        require(full.filter(col(groupCol).isNull).isEmpty,
+          s"null '$groupCol' group — filter or coalesce the group " +
+            "column before aggregating")
+        Versioned.commit(full, dstDir,
+          note = Some(s"src=v$to"), statsCols = Seq(groupCol))
+      } finally full.unpersist(blocking = false)
+      return (0, to)
+    }
+    val from = pinnedSrcVersion(s, dstDir)
+    require(from <= to, s"$dstDir pins src=v$from beyond the source " +
+      s"head v$to — the source was rolled back or replaced; rebuild " +
+      "into a fresh destination")
+    if (from == to) return (to, to)
+    val events = Versioned.readChanges(s, srcDir, from, to)
+    val touchedRows = events.select(col(rowKey)).distinct().collect()
+    require(touchedRows.forall(!_.isNullAt(0)),
+      s"a change event carries a null '$rowKey' — the source's " +
+        "equality tombstones key on a different column, so the " +
+        "snapshot diff would miss those deletions; key deletes on " +
+        s"'$rowKey' (or refresh by rebuild)")
+    val touched = touchedRows.map(_.get(0)).distinct.toSeq
+    require(touched.size <= maxTouchedKeys,
+      s"refresh range touches ${touched.size} row keys " +
+        s"(> $maxTouchedKeys) — rebuild into a fresh destination " +
+        "instead, or raise maxTouchedKeys")
+    if (touched.isEmpty) return (from, to)
+    // group deltas from the two pinned snapshots' touched rows
+    val oldAgg = aggOf(Versioned.readWhereIn(s, srcDir, rowKey,
+      touched, Some(from)))
+    val newAgg = aggOf(Versioned.readWhereIn(s, srcDir, rowKey,
+      touched, Some(to)))
+    def pfx(df: DataFrame, p: String): DataFrame =
+      df.select(col(groupCol) +: Seq(sumCol, cntCol, "n_rows")
+        .map(c => col(c).as(s"$p$c")): _*)
+    val delta = pfx(newAgg, "new_")
+      .join(pfx(oldAgg, "old_"), Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col(s"new_$sumCol"), lit(0)) -
+          coalesce(col(s"old_$sumCol"), lit(0))).as("d_sum"),
+        (coalesce(col(s"new_$cntCol"), lit(0L)) -
+          coalesce(col(s"old_$cntCol"), lit(0L))).as("d_cnt"),
+        (coalesce(col("new_n_rows"), lit(0L)) -
+          coalesce(col("old_n_rows"), lit(0L))).as("d_n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val groups = delta.select(col(groupCol)).collect()
+        .map(_.get(0)).distinct.toSeq
+      if (groups.isEmpty) return (from, to)
+      // patch the touched destination groups via the same point-set
+      // pruned read (every dst commit declares groupCol stats)
+      val existing = Versioned.readWhereIn(s, dstDir, groupCol,
+        groups, None)
+      val patched = delta
+        .join(existing, Seq(groupCol), "full_outer")
+        .select(col(groupCol),
+          (coalesce(col(sumCol), lit(0)) + coalesce(col("d_sum"),
+            lit(0))).as(sumCol),
+          (coalesce(col(cntCol), lit(0L)) + coalesce(col("d_cnt"),
+            lit(0L))).as(cntCol),
+          (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"),
+            lit(0L))).as("n_rows"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val neg = patched.filter(col("n_rows") < 0).count()
+        require(neg == 0, s"$neg group(s) would reach a negative row " +
+          "count — the destination does not reflect src=v" + from +
+          " (corrupt pin or out-of-band edits); rebuild")
+        val upserts = patched.filter(col("n_rows") > 0)
+          // the all-null group stores NULL, matching the recompute
+          .select(col(groupCol),
+            when(col(cntCol) === 0L, lit(null)).otherwise(col(sumCol))
+              .as(sumCol),
+            col(cntCol), col("n_rows"))
+        val dels = patched.filter(col("n_rows") === 0L)
+          .select(col(groupCol))
+        Versioned.applyChanges(s, dstDir, upserts = upserts,
+          deleteKeys = dels, key = groupCol,
+          statsCols = Seq(groupCol), note = Some(s"src=v$to"))
+      } finally patched.unpersist(blocking = false)
+    } finally delta.unpersist(blocking = false)
+    (from, to)
+  }
+
+  /** Driver-visible gate (q54): [[refreshAgg]] maintaining
+    * `GROUP BY source` over a documents-derived table through
+    * bootstrap → append → one atomic mixed batch that exercises every
+    * delta channel at once: a GROUP MIGRATION (rows whose update moves
+    * them to a brand-new group — the old group shrinks, a group row
+    * is BORN), values nulled in place (the value-count channel), and
+    * key deletes. The final state is checked row-for-row against a
+    * full recompute; every fact reduces to constants DuckDB restates
+    * by replaying the same edits over the fixture in SQL. */
+  def aggRefreshGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-aggmv-gate")
+    val src = work.resolve("src").toString
+    val dst = work.resolve("dst").toString
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    Versioned.commit(docs.filter(col("doc_id") < 300), src)
+    refreshAgg(s, src, dst, "doc_id", "source", "n_chars")
+    val g1 = Versioned.read(s, dst).count()
+    Versioned.append(docs.filter(col("doc_id") >= 300), src)
+    refreshAgg(s, src, dst, "doc_id", "source", "n_chars")
+    val g2 = Versioned.read(s, dst).count()
+    // the mixed batch: 1-3 migrate to a NEW group with a fixed value,
+    // 4-5 null their value in place, every doc_id % 50 == 0 dies
+    val updates = docs.filter(col("doc_id").isin(1L, 2L, 3L, 4L, 5L))
+      .select(col("doc_id"),
+        when(col("doc_id") <= 3, lit("migrated"))
+          .otherwise(col("source")).as("source"),
+        when(col("doc_id") <= 3, lit(1000L))
+          .otherwise(lit(null).cast("long")).as("n_chars"))
+    Versioned.applyChanges(s, src, upserts = updates,
+      deleteKeys = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id")),
+      key = "doc_id")
+    val (rFrom, rTo) = refreshAgg(s, src, dst, "doc_id", "source",
+      "n_chars")
+    val fin = Versioned.read(s, dst)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g3 = fin.count()
+    val tot = fin.agg(
+      sum(col("n_rows")).as("r"),
+      sum(col("sum_n_chars")).as("s"),
+      sum(col("cnt_n_chars")).as("c")).head()
+    // row-for-row equality against the full recompute (bag semantics)
+    val expect = Versioned.read(s, src).groupBy(col("source")).agg(
+      sum(col("n_chars")).as("sum_n_chars"),
+      count(col("n_chars")).as("cnt_n_chars"),
+      count(lit(1)).as("n_rows"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eq = fin.exceptAll(expect).isEmpty &&
+      expect.exceptAll(fin).isEmpty
+    expect.unpersist(blocking = false)
+    fin.unpersist(blocking = false)
+    // no-op stability: the pin matches, no new destination version
+    val vBefore = Versioned.currentVersion(s, dst)
+    val noop = refreshAgg(s, src, dst, "doc_id", "source", "n_chars")
+    val noopOk = noop == ((rTo, rTo)) &&
+      Versioned.currentVersion(s, dst) == vBefore
+    // tombstones keyed off the row key must refuse (the snapshot diff
+    // would miss those rows), and an unpinned destination refuses
+    import s.implicits._
+    Versioned.deleteRows(s, src, Seq("migrated").toDF("source"))
+    val refusedKey = scala.util.Try(
+      refreshAgg(s, src, dst, "doc_id", "source", "n_chars")).isFailure
+    val plain = work.resolve("plain").toString
+    Versioned.commit(docs.limit(3), plain)
+    val refusedPin = scala.util.Try(
+      refreshAgg(s, src, plain, "doc_id", "source", "n_chars")).isFailure
+    Seq((g1, g2, g3, tot.getLong(0), tot.getLong(1), tot.getLong(2),
+        rFrom.toLong, rTo.toLong, if (eq) 1L else 0L,
+        if (noopOk) 1L else 0L, if (refusedKey) 1L else 0L,
+        if (refusedPin) 1L else 0L))
+      .toDF("groups_v1", "groups_v2", "groups_v3", "rows_v3",
+        "charsum_v3", "charcnt_v3", "refresh_from", "refresh_to",
+        "eq_full_recompute", "noop_stable", "refused_foreign_key",
+        "refused_unpinned")
+  }
+
   /** Driver-visible gate (q52): a curated projection of the documents
     * table maintained through bootstrap → source append → one atomic
     * mixed batch (updates crossing the filter boundary in BOTH

@@ -373,6 +373,29 @@ object GraftProcedures {
             dir(a(1)), a(2).asInstanceOf[String], t)
           Seq(from, to)
         })
+      case "refresh_agg" => new Proc("refresh_agg",
+        "incrementally advance an AGGREGATE view — dest holds " +
+          "SELECT group_by, sum(value), count(value), count(*) FROM " +
+          "source GROUP BY group_by, maintained by algebraic deltas: " +
+          "touched rows diffed between the pinned snapshots via " +
+          "point-set pruned reads, groups patched in place, one " +
+          "atomic commit carrying the new pin",
+        Seq(p("source", StringType), p("dest", StringType),
+          p("row_key", StringType), p("group_by", StringType),
+          p("value", StringType)),
+        StructType(Seq(
+          StructField("from_version", IntegerType, nullable = false),
+          StructField("to_version", IntegerType, nullable = false))),
+        a => {
+          require(a(1) != null, "'dest' is required")
+          require(a(2) != null, "'row_key' is required")
+          require(a(3) != null, "'group_by' is required")
+          require(a(4) != null, "'value' is required")
+          val (from, to) = DerivedTable.refreshAgg(spark, dir(a(0)),
+            dir(a(1)), a(2).asInstanceOf[String],
+            a(3).asInstanceOf[String], a(4).asInstanceOf[String])
+          Seq(from, to)
+        })
       case _ => null
     })
   }
@@ -382,5 +405,5 @@ object GraftProcedures {
     "create_tag", "create_branch", "fast_forward", "drop_branch",
     "set_spec", "collect_stats", "rewrite_zorder",
     "remove_orphan_files", "create_changelog_view", "add_files",
-    "clone_table", "refresh_derived")
+    "clone_table", "refresh_derived", "refresh_agg")
 }

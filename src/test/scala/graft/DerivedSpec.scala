@@ -98,4 +98,96 @@ class DerivedSpec extends SparkSpec {
       DerivedTable.refresh(spark, src, ahead, "k", t))
     assert(e3.getMessage.contains("beyond the source"))
   }
+
+  test("refreshAgg: group birth/death, nulled values, pin travel") {
+    import spark.implicits._
+    val src = "target/tmp/aggmv-src"
+    val dst = "target/tmp/aggmv-dst"
+    clean(src, dst)
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "g", "v"), src)
+    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    def state(ver: Option[Int] = None): Map[String, (Any, Long, Long)] =
+      Versioned.read(spark, dst, ver).collect()
+        .map(r => r.getString(0) ->
+          ((r.get(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(state() == Map("a" -> ((30L, 2L, 2L)), "b" -> ((5L, 1L, 1L))))
+    // group migration (1: a->c), value nulled in place (2), group
+    // death (b's only row deleted) — one atomic source batch
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((1L, "c", 10L)).toDF("id", "g", "v")
+        .unionByName(Seq((2L, "a")).toDF("id", "g")
+          .withColumn("v", lit(null).cast("long"))),
+      deleteKeys = Seq(3L).toDF("id"), key = "id")
+    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    // a: one row left with a NULL value -> NULL sum, cnt 0, n 1;
+    // c: born; b: dead (no row at all)
+    assert(state() == Map("a" -> ((null, 0L, 1L)),
+      "c" -> ((10L, 1L, 1L))))
+    // pin travel: v1 of the destination still shows the old rollup
+    assert(state(Some(1)) ==
+      Map("a" -> ((30L, 2L, 2L)), "b" -> ((5L, 1L, 1L))))
+    // no-op: same pin, no new version
+    val vb = Versioned.currentVersion(spark, dst)
+    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    assert(Versioned.currentVersion(spark, dst) == vb)
+  }
+
+  test("refreshAgg refusals: null group, foreign-key tombstone, " +
+      "touched-key bound, corrupt destination") {
+    import spark.implicits._
+    val src = "target/tmp/aggmv-ref-src"
+    clean(src)
+    Versioned.commit(Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "b", 3L))
+      .toDF("id", "g", "v"), src)
+    // null group key refuses at bootstrap, not at first touch
+    val srcN = "target/tmp/aggmv-ref-srcnull"
+    val dstN = "target/tmp/aggmv-ref-dstnull"
+    clean(srcN, dstN)
+    Versioned.commit(Seq((1L, "a", 1L)).toDF("id", "g", "v")
+      .unionByName(Seq(Tuple1(2L)).toDF("id")
+        .withColumn("g", lit(null).cast("string"))
+        .withColumn("v", lit(9L))), srcN)
+    val e0 = intercept[IllegalArgumentException](
+      DerivedTable.refreshAgg(spark, srcN, dstN, "id", "g", "v"))
+    assert(e0.getMessage.contains("null 'g' group"))
+    // a tombstone keyed on a non-rowKey column refuses the diff
+    val dst = "target/tmp/aggmv-ref-dst"
+    clean(dst)
+    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    Versioned.deleteRows(spark, src, Seq("b").toDF("g"))
+    val e1 = intercept[IllegalArgumentException](
+      DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v"))
+    assert(e1.getMessage.contains("null 'id'"))
+    // touched-key bound refuses with rebuild advice
+    val src2 = "target/tmp/aggmv-ref-src2"
+    val dst2 = "target/tmp/aggmv-ref-dst2"
+    clean(src2, dst2)
+    Versioned.commit(Seq((1L, "a", 1L)).toDF("id", "g", "v"), src2)
+    DerivedTable.refreshAgg(spark, src2, dst2, "id", "g", "v")
+    Versioned.append((2L to 5L).map(i => (i, "a", i))
+      .toDF("id", "g", "v"), src2)
+    val e2 = intercept[IllegalArgumentException](
+      DerivedTable.refreshAgg(spark, src2, dst2, "id", "g", "v",
+        maxTouchedKeys = 2))
+    assert(e2.getMessage.contains("rebuild"))
+    // a destination that does not reflect its pin (out-of-band edit
+    // shrank a group) fails the negative-row-count check loudly
+    val src3 = "target/tmp/aggmv-ref-src3"
+    val dst3 = "target/tmp/aggmv-ref-dst3"
+    clean(src3, dst3)
+    Versioned.commit(Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L))
+      .toDF("id", "g", "v"), src3)
+    DerivedTable.refreshAgg(spark, src3, dst3, "id", "g", "v")
+    Versioned.applyChanges(spark, dst3,
+      upserts = Seq(("a", 1L, 1L, 1L))
+        .toDF("g", "sum_v", "cnt_v", "n_rows"),
+      deleteKeys = spark.range(0)
+        .select(col("id").cast("string").as("g")),
+      key = "g", note = Some("src=v1"))
+    Versioned.deleteRows(spark, src3, Seq(1L, 2L).toDF("id"))
+    val e3 = intercept[IllegalArgumentException](
+      DerivedTable.refreshAgg(spark, src3, dst3, "id", "g", "v"))
+    assert(e3.getMessage.contains("negative row count"))
+  }
 }

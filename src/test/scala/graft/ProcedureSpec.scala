@@ -531,6 +531,31 @@ class ProcedureSpec extends SparkSpec {
     assert(e.getMessage.contains("__source__"))
   }
 
+  test("refresh_agg: pure-SQL incremental aggregate view") {
+    import spark.implicits._
+    val (src, srcAbs) = fresh("proc_aggmv_src")
+    val (dst, dstAbs) = fresh("proc_aggmv_dst")
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "g", "v"), src)
+    def call() = spark.sql("CALL graft.system.refresh_agg(" +
+      s"source => '$srcAbs', dest => '$dstAbs', row_key => 'id', " +
+      "group_by => 'g', value => 'v')").head()
+    val boot = call()
+    assert((boot.getInt(0), boot.getInt(1)) == ((0, 1)))
+    assert(Versioned.read(spark, dst).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq ==
+      Seq(("a", 30L, 2L), ("b", 5L, 1L)))
+    // group migration + death in one batch, advanced through SQL
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((1L, "c", 10L)).toDF("id", "g", "v"),
+      deleteKeys = Seq(Tuple1(3L)).toDF("id"), key = "id")
+    val adv = call()
+    assert((adv.getInt(0), adv.getInt(1)) == ((1, 2)))
+    assert(Versioned.read(spark, dst).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq ==
+      Seq(("a", 20L, 1L), ("c", 10L, 1L)))
+  }
+
   test("unknown procedures and namespaces refuse with the catalog list") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.nonsense()")
