@@ -208,23 +208,43 @@ object DerivedTable {
         s"(> $maxTouchedKeys) — rebuild into a fresh destination " +
         "instead, or raise maxTouchedKeys")
     if (touched.isEmpty) return (from, to)
-    // group deltas from the two pinned snapshots' touched rows
-    val oldAgg = aggOf(Versioned.readWhereIn(s, srcDir, rowKey,
-      touched, Some(from)))
-    val newAgg = aggOf(Versioned.readWhereIn(s, srcDir, rowKey,
-      touched, Some(to)))
-    def pfx(df: DataFrame, p: String): DataFrame =
-      df.select(col(groupCol) +: Seq(sumCol, cntCol, "n_rows")
-        .map(c => col(c).as(s"$p$c")): _*)
-    val delta = pfx(newAgg, "new_")
-      .join(pfx(oldAgg, "old_"), Seq(groupCol), "full_outer")
-      .select(col(groupCol),
-        (coalesce(col(s"new_$sumCol"), lit(0)) -
-          coalesce(col(s"old_$sumCol"), lit(0))).as("d_sum"),
-        (coalesce(col(s"new_$cntCol"), lit(0L)) -
-          coalesce(col(s"old_$cntCol"), lit(0L))).as("d_cnt"),
-        (coalesce(col("new_n_rows"), lit(0L)) -
-          coalesce(col("old_n_rows"), lit(0L))).as("d_n"))
+    // group deltas from the two pinned snapshots' touched rows. Two
+    // read tiers: a SMALL key set goes through readWhereIn point-set
+    // manifest pruning (O(files containing touched keys)); a large
+    // one switches to a broadcast semi-join over the plain snapshot
+    // scan — beyond ~1k keys the per-value pruning expression grows
+    // into a codegen-hostile conjunction AND the selectivity collapses
+    // anyway (most files contain SOME touched key), so the distributed
+    // scan-and-filter is the faster AND the scale-correct plan.
+    val PruneKeyLimit = 1000
+    // the typed key frame for the join tier (never re-reads the
+    // changelog: a one-column local relation from the collected keys)
+    lazy val touchedDf = {
+      val enc = org.apache.spark.sql.Encoders.row(
+        org.apache.spark.sql.types.StructType(Seq(
+          events.schema(rowKey).copy(name = "__k"))))
+      s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(
+            touched.map(org.apache.spark.sql.Row(_))).asJava),
+        enc.schema)
+    }
+    def touchedAt(ver: Int): DataFrame =
+      if (touched.size <= PruneKeyLimit)
+        Versioned.readWhereIn(s, srcDir, rowKey, touched, Some(ver))
+      else Versioned.read(s, srcDir, Some(ver)).join(
+        broadcast(touchedDf), col(rowKey) === col("__k"), "left_semi")
+    // SIGNED-union delta: old rows weigh -1, new rows +1, ONE shuffle
+    // computes every group's (sum, value-count, row-count) delta —
+    // replaces two aggregation jobs and a full-outer diff join with a
+    // single pass (sum ignores null values on both sides alike)
+    val signed = touchedAt(from).withColumn("__w", lit(-1L))
+      .unionByName(touchedAt(to).withColumn("__w", lit(1L)))
+    val delta = signed.groupBy(col(groupCol)).agg(
+      coalesce(sum(col(valueCol) * col("__w")), lit(0L)).as("d_sum"),
+      sum(when(col(valueCol).isNotNull, col("__w")).otherwise(0L))
+        .as("d_cnt"),
+      sum(col("__w")).as("d_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val groups = delta.select(col(groupCol)).collect()
