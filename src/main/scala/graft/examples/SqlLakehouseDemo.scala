@@ -153,6 +153,36 @@ object SqlLakehouseDemo {
     println("SQL_DEMO_MV_REFRESH=" +
       one(s"SELECT count(*) FROM graft.`$dvDir`") +
       s" range=${mv.getInt(0)}..${mv.getInt(1)}")
+    // metadata-only aggregate: a bare global count answers from the
+    // stats sidecars with NO parquet scan — but only when the manifest
+    // provably carries it: the MV leg's DELETE left a live MoR
+    // tombstone, so the first probe correctly falls back to the scan;
+    // compaction absorbs the tombstone and the same SQL goes scan-free
+    def maggProbe(): (Long, Boolean) = {
+      val q = spark.sql(s"SELECT count(*) AS n FROM $g")
+      (q.head().getLong(0),
+        !q.queryExecution.executedPlan.toString.contains("Scan parquet"))
+    }
+    val (n1, free1) = maggProbe()
+    println(s"SQL_DEMO_META_AGG_ROWS=$n1 scan_free_with_tombstone=$free1")
+    spark.sql(s"CALL graft.system.compact(table => '$abs')")
+    val (n2, free2) = maggProbe()
+    println(s"SQL_DEMO_META_AGG_COMPACTED=$n2 scan_free=$free2")
+    // incremental AGGREGATE view: sum/count per score-group maintained
+    // by algebraic deltas, pure SQL
+    val avDir = new java.io.File(s"$out/sql_aggmv").getAbsolutePath
+    def refreshAv() = spark.sql("CALL graft.system.refresh_agg(" +
+      s"source => '$abs', dest => '$avDir', row_key => 'id', " +
+      "group_by => 'name', value => 'score')").head()
+    refreshAv()
+    println("SQL_DEMO_AGGMV_BOOT=" +
+      one(s"SELECT count(*) FROM graft.`$avDir`"))
+    val victim = spark.sql(s"SELECT max(id) FROM $g").head().get(0)
+    spark.sql(s"DELETE FROM $g WHERE id = $victim")
+    val av = refreshAv()
+    println("SQL_DEMO_AGGMV_REFRESH=" +
+      one(s"SELECT count(*) FROM graft.`$avDir`") +
+      s" range=${av.getInt(0)}..${av.getInt(1)}")
     spark.stop()
   }
 }

@@ -150,6 +150,19 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("semantic dedup pair join keys on cell — never cartesian") {
+    // BroadcastNestedLoopJoins against the 16-row centroid table are
+    // the intended bounded corpus x centroids scoring pattern; the
+    // scale property is that the PAIR self-join is an equi-join on
+    // cell (per-cluster blocks) and nothing is a true cartesian.
+    val plan = Dedup.semanticDedup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(600))
+    assert(plan.contains("Join [cell#") ||
+      plan.matches("(?s).*Join \\[cell.*"), plan.take(600))
+    spark.catalog.clearCache()
+  }
+
   test("semantic dedup quality gate reduces to all-ok constants") {
     val r = Dedup.semanticDedupQuality(spark, sf).collect()
     assert(r.length == 1)
