@@ -1671,6 +1671,12 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS served_pin,
                 (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation
                   WHERE n_nationkey < 13) AS pin_mx,
+                CAST(1 AS BIGINT) AS served_grp,
+                (SELECT count(DISTINCT n_regionkey) FROM nation)
+                  AS n_groups,
+                (SELECT count(*) FROM nation) AS grp_rows_total,
+                (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation
+                  WHERE n_regionkey = 0) AS grp0_mx,
                 CAST(1 AS BIGINT) AS del_scan,
                 (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation
                   WHERE n_nationkey <> 24) AS del_mx,

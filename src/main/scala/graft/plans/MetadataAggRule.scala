@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
-  UnresolvedFunction}
+  UnresolvedAttribute, UnresolvedFunction}
 import org.apache.spark.sql.catalyst.expressions.{Alias,
   AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
@@ -30,6 +30,11 @@ import graft.sources.Versioned.StatsAgg
   * un-DISTINCT `min(col)` / `max(col)` / `count(col)` / `count(*)`.
   * A WHERE / local filter inserts a Filter between the two and the
   * shape no longer matches — by construction, not by a guard.
+  * The GROUPED twin — `GROUP BY <one column>` whose outputs are that
+  * column and eligible aggregates of other columns — serves from
+  * [[Versioned.statsAggregateBy]] when the group column is the hive
+  * partition axis of every live file (the "rows and freshest
+  * timestamp per day" dashboard rollup).
   *
   * The eligibility probe also matches the UNRESOLVED spelling so the
   * host rule can HOLD the relation un-expanded across analyzer
@@ -48,10 +53,25 @@ private[plans] object MetadataAggRule {
       case _ => None
     }
 
-  /** Cheap shape test, callable on resolved AND unresolved trees. */
-  def shapeEligible(a: Aggregate): Boolean =
-    a.groupingExpressions.isEmpty && a.aggregateExpressions.nonEmpty &&
-      a.aggregateExpressions.forall(shapeOk)
+  /** Cheap shape test, callable on resolved AND unresolved trees:
+    * a GLOBAL aggregate of eligible functions, or a SINGLE-column
+    * grouped one whose outputs are the grouping column and eligible
+    * functions (the partition-rollup shape). */
+  def shapeEligible(a: Aggregate): Boolean = {
+    val g = a.groupingExpressions
+    if (a.aggregateExpressions.isEmpty || g.length > 1) false
+    else if (g.isEmpty) a.aggregateExpressions.forall(shapeOk)
+    else isColRef(g.head) &&
+      a.aggregateExpressions.forall(e => isColRef(e) || shapeOk(e))
+  }
+
+  private def isColRef(e: Expression): Boolean = e match {
+    case _: AttributeReference => true
+    case _: UnresolvedAttribute => true
+    case Alias(c, _) => isColRef(c)
+    case u: UnresolvedAlias => isColRef(u.child)
+    case _ => false
+  }
 
   private def shapeOk(e: NamedExpression): Boolean = e match {
     case Alias(child, _) => exprOk(child)
@@ -110,6 +130,8 @@ private[plans] object MetadataAggRule {
     * an Alias. */
   def tryRewrite(spark: SparkSession, a: Aggregate,
       r: DataSourceV2Relation): Option[LogicalPlan] = {
+    if (a.groupingExpressions.nonEmpty)
+      return tryRewriteGrouped(spark, a, r)
     val t = r.table.asInstanceOf[GraftVersionedTable]
     for {
       wants <- wantsOf(a, r)
@@ -118,6 +140,71 @@ private[plans] object MetadataAggRule {
       real = df.queryExecution.analyzed
       if real.output.map(_.dataType) == a.output.map(_.dataType)
     } yield Project(a.output.zip(real.output).map { case (tgt, src) =>
+      Alias(src, tgt.name)(exprId = tgt.exprId,
+        qualifier = tgt.qualifier)
+    }, real)
+  }
+
+  /** The grouped variant: GROUP BY one relation column, every output
+    * either that column or an eligible aggregate of a DIFFERENT
+    * column — served by [[Versioned.statsAggregateBy]] when the group
+    * column is the table's hive partition axis. The group value
+    * itself is never a min/max/count target here (its stats live in
+    * paths, not sidecars), and any such spelling keeps the scan. */
+  private def tryRewriteGrouped(spark: SparkSession, a: Aggregate,
+      r: DataSourceV2Relation): Option[LogicalPlan] = {
+    val t = r.table.asInstanceOf[GraftVersionedTable]
+    val ids = r.output.map(_.exprId).toSet
+    val gAttr = a.groupingExpressions.head match {
+      case ar: AttributeReference if ids.contains(ar.exprId) => ar
+      case _ => return None
+    }
+    def isGroupRef(e: Expression): Boolean = e match {
+      case ar: AttributeReference => ar.exprId == gAttr.exprId
+      case Alias(c, _) => isGroupRef(c)
+      case _ => false
+    }
+    // outputs in order: Left(groupRef) | Right(want)
+    val slots: Seq[Option[Either[Unit, (String, StatsAgg)]]] =
+      a.aggregateExpressions.map {
+        case e if isGroupRef(e) => Some(Left(()))
+        case Alias(ae: AggregateExpression, name) =>
+          def colOf(e: Expression): Option[String] = e match {
+            case ar: AttributeReference if ids.contains(ar.exprId) &&
+              ar.exprId != gAttr.exprId => Some(ar.name)
+            case _ => None
+          }
+          (ae.aggregateFunction match {
+            case Min(c) => colOf(c).map(StatsAgg.MinOf)
+            case Max(c) => colOf(c).map(StatsAgg.MaxOf)
+            case Count(Seq(l: Literal)) if l.value != null =>
+              Some(StatsAgg.CountStar)
+            case Count(Seq(c)) => colOf(c).map(StatsAgg.CountOf)
+            case _ => None
+          }).map(w => Right(name -> w))
+        case _ => None
+      }
+    if (slots.exists(_.isEmpty)) return None
+    val wants = slots.flatten.collect { case Right(w) => w }
+    if (wants.isEmpty) return None // bare SELECT pk GROUP BY pk:
+    // distinct-values-from-paths would be servable but adds a shape
+    // with no aggregate payoff; keep it on the scan
+    for {
+      df <- Versioned.statsAggregateBy(spark, t.tableDir,
+        gAttr.name, gAttr.name, gAttr.dataType.catalogString, wants,
+        Some(t.snapshotVersion))
+      real = df.queryExecution.analyzed
+      // positional source for each output: group refs map to the
+      // group column (position 0), wants map 1..n in order
+      srcs = {
+        var wi = 0
+        slots.flatten.map {
+          case Left(_) => real.output.head
+          case Right(_) => { wi += 1; real.output(wi) }
+        }
+      }
+      if srcs.map(_.dataType) == a.output.map(_.dataType)
+    } yield Project(a.output.zip(srcs).map { case (tgt, src) =>
       Alias(src, tgt.name)(exprId = tgt.exprId,
         qualifier = tgt.qualifier)
     }, real)

@@ -68,8 +68,15 @@ case class VersionedRelationRule(spark: SparkSession)
         MetadataAggRule.relationUnder(a.child).foreach(held.add)
       case _ => ()
     }
+    // the metadata-agg rewrite waits for the WHOLE plan to resolve,
+    // not just the Aggregate: HAVING / ORDER BY spellings that
+    // reference aggregate functions resolve by REWRITING the child
+    // Aggregate (ResolveAggregateFunctions widens its output), and a
+    // premature substitution would strand them unresolvable
+    val planResolved = plan.resolved
     plan.resolveOperatorsUp {
-      case a: Aggregate if a.resolved && MetadataAggRule.shapeEligible(a)
+      case a: Aggregate if planResolved &&
+          MetadataAggRule.shapeEligible(a)
           && MetadataAggRule.relationUnder(a.child).exists(r =>
             !writeTargets.contains(r)) =>
         val r = MetadataAggRule.relationUnder(a.child).get

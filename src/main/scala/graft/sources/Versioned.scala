@@ -4011,6 +4011,23 @@ object Versioned {
         s"FROM graft.`$abs` VERSION AS OF 1")
       val servedPin = scanFree(pin)
       val pinMx = pin.head().get(0)
+      // the GROUPED rollup on a hive-partitioned sibling: per-region
+      // counts and bounds fold from each partition's own files
+      val tg = work.resolve("tbl_grouped").toString
+      val absG = new java.io.File(tg).getAbsolutePath
+      commit(Tables.load(s, d, "nation")
+        .select(col("n_nationkey"), col("n_regionkey")), tg,
+        partitionCol = Some("n_regionkey"),
+        statsCols = Seq("n_nationkey"))
+      val grouped = s.sql(s"SELECT n_regionkey, count(*) AS n, " +
+        s"max(n_nationkey) AS mx FROM graft.`$absG` " +
+        "GROUP BY n_regionkey")
+      val servedGrp = scanFree(grouped)
+      val gRows = grouped.collect()
+      val grpTotal = gRows.map(_.getLong(1)).sum
+      val grp0Mx = gRows.find(r =>
+        r.get(0).asInstanceOf[Number].longValue == 0L)
+        .map(_.get(2).asInstanceOf[Number].longValue).getOrElse(-1L)
       // a live tombstone must flip the SAME SQL to the scan plan
       import s.implicits._
       deleteRows(s, t, Seq(24).toDF("n_nationkey"))
@@ -4032,6 +4049,10 @@ object Versioned {
         lit(h.getString(3)).as("mx_name"),
         lit(if (servedPin) 1L else 0L).as("served_pin"),
         lit(lv(pinMx)).as("pin_mx"),
+        lit(if (servedGrp) 1L else 0L).as("served_grp"),
+        lit(gRows.length.toLong).as("n_groups"),
+        lit(grpTotal).as("grp_rows_total"),
+        lit(grp0Mx).as("grp0_mx"),
         lit(if (delScan) 1L else 0L).as("del_scan"),
         lit(lv(ad.get(0))).as("del_mx"),
         lit(ad.getLong(1)).as("del_n"),
@@ -5731,13 +5752,18 @@ object Versioned {
     * JVM's. The 0-row evaluation input (an empty table or an
     * all-null column) yields the scan-equal answer: COUNT 0, MIN and
     * MAX null. */
-  def statsAggregate(spark: SparkSession, tableDir: String,
-      wants: Seq[(String, StatsAgg)],
-      version: Option[Int] = None): Option[DataFrame] = {
-    import StatsAgg._
-    require(wants.nonEmpty, "statsAggregate needs at least one aggregate")
+  /** The per-file stats view of a snapshot when (and only when)
+    * sidecar-served answers are PROVABLY sound: None on live MoR
+    * tombstones (their rows are still in the sidecar totals) or
+    * pending schema steps (older files carry pre-evolution
+    * names/types), else one entry per live data file — its
+    * vroot-RELATIVE path (hive segments included) and its stats rows
+    * keyed by column ("" = the count-only pseudo row; missing file →
+    * empty map). Shared by [[statsAggregate]] and
+    * [[statsAggregateBy]]. */
+  private def serveableFileStats(spark: SparkSession, tableDir: String,
+      v: Int): Option[Seq[(String, Map[String, StatRow])]] = {
     val f = fs(spark, tableDir)
-    val v = version.getOrElse(currentVersion(spark, tableDir))
     if (v <= 0) return None
     val lines = manifestLines(f, tableDir, v)
     val dataEntries = lines.filterNot(isDeleteLine)
@@ -5752,9 +5778,9 @@ object Versioned {
     if (renameChain(f, tableDir, v)
       .exists(st => dataEntries.exists(de => st.ver > entryVer(de))))
       return None
-    // per live file: its writing root's stats rows, keyed by column
-    // ("" = the count-only pseudo row). FILE entries (merge survivors)
-    // read the sidecar of the version that wrote them, like readWhere.
+    // per live file: its writing root's stats rows. FILE entries
+    // (merge survivors) read the sidecar of the version that wrote
+    // them, like readWhere.
     val statsByRoot = scala.collection.mutable
       .Map.empty[String, Map[String, Map[String, StatRow]]]
     def rootStats(vr: String): Map[String, Map[String, StatRow]] =
@@ -5762,11 +5788,26 @@ object Versioned {
         readStatsFile(spark, f, tableDir, vr)
           .groupBy(_.file).view
           .mapValues(_.map(sr => sr.col -> sr).toMap).toMap)
-    val files: Seq[Map[String, StatRow]] = dataEntries.flatMap { e =>
+    Some(dataEntries.flatMap { e =>
       val vr = e.split("/").head
-      entryFiles(f, tableDir, e).map(rel =>
-        rootStats(vr).getOrElse(rel.stripPrefix(vr + "/"), Map.empty))
-    }
+      entryFiles(f, tableDir, e).map { rel =>
+        val rel2 = rel.stripPrefix(vr + "/")
+        (rel2, rootStats(vr).getOrElse(rel2, Map.empty))
+      }
+    })
+  }
+
+  def statsAggregate(spark: SparkSession, tableDir: String,
+      wants: Seq[(String, StatsAgg)],
+      version: Option[Int] = None): Option[DataFrame] = {
+    import StatsAgg._
+    require(wants.nonEmpty, "statsAggregate needs at least one aggregate")
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    val files: Seq[Map[String, StatRow]] =
+      serveableFileStats(spark, tableDir, v) match {
+        case Some(fsAll) => fsAll.map(_._2)
+        case None => return None
+      }
     def countStar: Option[Long] = {
       val per = files.map(_.values.find(_.values >= 0).map(_.values))
       if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
@@ -5822,6 +5863,127 @@ object Versioned {
     if (bad) None
     else Some(joined.select(wants.zipWithIndex.map {
       case ((name, _), i) => col(s"c$i").as(name) }: _*))
+  }
+
+  /** PARTITION-grouped sibling of [[statsAggregate]]: serve
+    * `SELECT <groupCol>, min/max/count... GROUP BY <groupCol>` from
+    * the sidecars when `groupCol` is the hive partition column of
+    * EVERY live file — each file belongs to exactly one partition
+    * value (parsed from its own path segment, hive-unescaped), so
+    * per-file counts sum and per-file bounds fold WITHIN each group,
+    * zero data I/O. This is the dashboard shape at warehouse scale:
+    * "rows and freshest timestamp per day" as an O(manifest) driver
+    * read instead of a full scan.
+    *
+    * On top of [[statsAggregate]]'s bail list, this returns None when
+    * any live file lacks a `<groupCol>=` path segment (unpartitioned
+    * or differently-partitioned roots in the mix), when a segment
+    * holds the hive null sentinel (a null group can't round-trip), or
+    * when any group value fails to cast to `groupDt` (the relation's
+    * column type — path values are strings; inference must agree with
+    * the scan plan's). `wants` must NOT name the group column
+    * itself (no stats rows exist for a path-materialized column; the
+    * analyzer rule keeps that shape on the scan plan). The group
+    * column is emitted FIRST, named `groupName`. */
+  def statsAggregateBy(spark: SparkSession, tableDir: String,
+      groupName: String, groupCol: String, groupDt: String,
+      wants: Seq[(String, StatsAgg)],
+      version: Option[Int] = None): Option[DataFrame] = {
+    import StatsAgg._
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    val files = serveableFileStats(spark, tableDir, v) match {
+      case Some(fsAll) => fsAll
+      case None => return None
+    }
+    val NullPart = "__HIVE_DEFAULT_PARTITION__"
+    val pfx = s"$groupCol="
+    // one partition value per file, from its own path
+    val tagged0 = files.map { case (rel, rows) =>
+      rel.split("/").find(_.startsWith(pfx)).map(s =>
+        (org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(s.stripPrefix(pfx)), rows))
+    }
+    if (tagged0.exists(_.isEmpty)) return None
+    val tagged: Seq[(String, Map[String, StatRow])] = tagged0.flatten
+    if (tagged.exists(_._1 == NullPart)) return None
+    val groups = tagged.map(_._1).distinct
+    // per-group fold, same coverage rules as the global path
+    def countStarOf(rows: Seq[Map[String, StatRow]]): Option[Long] = {
+      val per = rows.map(_.values.find(_.values >= 0).map(_.values))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
+    def countOfC(rows: Seq[Map[String, StatRow]],
+        c: String): Option[Long] = {
+      val per = rows.map(_.get(c).filter(sr =>
+        sr.values >= 0 && sr.nulls >= 0).map(sr => sr.values - sr.nulls))
+      if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
+    }
+    val byGroup: Map[String, Seq[Map[String, StatRow]]] =
+      tagged.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def boundCol(dt: String)(c: Column): Column =
+      if (dt == "timestamp") timestamp_micros(c.try_cast("long"))
+      else c.try_cast(dt)
+    import spark.implicits._
+    // counts fold driver-side; bounds evaluate per (group, column) in
+    // ONE local job with the same cast-failure all-or-nothing flag
+    val parts: Seq[Option[DataFrame]] = wants.zipWithIndex.map {
+      case ((_, CountStar), i) =>
+        val per = groups.map(g => countStarOf(byGroup(g)).map(g -> _))
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatten.toDF("__g", s"c$i")
+          .withColumn(s"bad$i", lit(0L)))
+      case ((_, CountOf(c)), i) =>
+        val per = groups.map(g => countOfC(byGroup(g), c).map(g -> _))
+        if (per.exists(_.isEmpty)) None
+        else Some(per.flatten.toDF("__g", s"c$i")
+          .withColumn(s"bad$i", lit(0L)))
+      case ((_, w), i) =>
+        val (c, isMin) = w match {
+          case MinOf(n) => (n, true)
+          case MaxOf(n) => (n, false)
+          case _ => throw new MatchError(w) // unreachable
+        }
+        val rowsOpt: Seq[Option[(String, String, String)]] =
+          tagged.map { case (g, rows) =>
+            rows.get(c).map(sr =>
+              (g, sr.dtype, if (isMin) sr.minV else sr.maxV))
+          }
+        if (rowsOpt.exists(_.isEmpty)) None
+        else {
+          val rows = rowsOpt.flatten
+          val dts = rows.map(_._2).distinct
+          if (dts.length != 1) None
+          else {
+            val dt = dts.head
+            val raw = rows.map(r => (r._1, r._3)).toDF("__g", "raw")
+            val b = boundCol(dt)(col("raw"))
+            Some(raw.groupBy(col("__g")).agg(
+              (if (isMin) min(b) else max(b)).as(s"c$i"),
+              sum(when(col("raw").isNotNull && b.isNull, 1L)
+                .otherwise(0L)).as(s"bad$i")))
+          }
+        }
+    }
+    if (parts.exists(_.isEmpty)) return None
+    // the group axis itself: every group present exactly once, cast
+    // to the RELATION's column type — a failed cast bails (path
+    // strings must agree with the scan plan's inference)
+    val gFrame = groups.toDF("__g")
+      .select(col("__g"), col("__g").try_cast(groupDt).as("gv"))
+    val joined = parts.flatten
+      .foldLeft(gFrame)((acc, p) => acc.join(p, Seq("__g"), "left"))
+    val rows = joined.collect()
+    val bad = rows.exists(r =>
+      (!r.isNullAt(r.fieldIndex("__g")) &&
+        r.isNullAt(r.fieldIndex("gv"))) ||
+      wants.indices.exists { i =>
+        val bi = r.fieldIndex(s"bad$i")
+        !r.isNullAt(bi) && r.getLong(bi) > 0
+      })
+    if (bad) None
+    else Some(joined.select(col("gv").as(groupName) +:
+      wants.zipWithIndex.map {
+        case ((name, _), i) => col(s"c$i").as(name) }: _*))
   }
 
   /** See [[readSnapshot]] for why the merge provenance probe reads

@@ -88,10 +88,15 @@ class MetadataAggSpec extends SparkSpec {
     shapes.foreach { sql =>
       assert(!scanFree(spark.sql(sql)), s"must scan: $sql")
     }
-    // and the served shape still composes under HAVING / outer selects
+    // and the served shape still composes under outer selects AND a
+    // REAL HAVING (which resolves by rewriting the child aggregate —
+    // the rewrite must wait for the whole plan to resolve)
     val h = spark.sql(s"SELECT n FROM (SELECT count(*) AS n " +
       s"FROM graft.`$abs`) WHERE n > 5")
     assert(scanFree(h) && h.head().getLong(0) == 10L)
+    val hv = spark.sql(s"SELECT count(*) AS n FROM graft.`$abs` " +
+      "HAVING count(*) > 5")
+    assert(scanFree(hv) && hv.head().getLong(0) == 10L)
   }
 
   test("VERSION AS OF serves the pinned snapshot's answer") {
@@ -131,6 +136,64 @@ class MetadataAggSpec extends SparkSpec {
     // unknown column -> None, not a throw
     assert(Versioned.statsAggregate(spark, t2,
       Seq(("x", MinOf("nope")))).isEmpty)
+  }
+
+  test("partition-grouped rollup serves from sidecars: no scan, " +
+      "scan-equal rows") {
+    val (t, abs) = fresh("ma_grouped")
+    val rows = (1 to 40).map(i => (i.toLong, s"p${i % 4}", i * 10L))
+      .toDF("id", "pk", "v")
+    Versioned.commit(rows, t, partitionCol = Some("pk"),
+      statsCols = Seq("v"))
+    Versioned.append(
+      Seq((41L, "p9", null.asInstanceOf[java.lang.Long]))
+        .toDF("id", "pk", "v"), t,
+      partitionCol = Some("pk"), statsCols = Seq("v"))
+    val sql = s"SELECT pk, count(*) AS n, max(v) AS mx, " +
+      s"min(v) AS mn, count(v) AS nv FROM graft.`$abs` GROUP BY pk"
+    val q = spark.sql(sql)
+    assert(scanFree(q), q.queryExecution.executedPlan.toString.take(800))
+    val got = q.collect().map(_.toSeq).sortBy(_.head.toString)
+    // forced scan plan: a vacuous filter breaks the rewrite shape
+    val full = spark.sql(sql.replace("GROUP BY pk",
+      "WHERE pk IS NOT NULL OR pk IS NULL GROUP BY pk"))
+    assert(!scanFree(full))
+    assert(got.toSeq ==
+      full.collect().map(_.toSeq).sortBy(_.head.toString).toSeq)
+    // the all-null partition p9 stores NULL bounds and count(v)=0
+    val p9 = got.find(_.head == "p9").get
+    assert(p9 == Seq("p9", 1L, null, null, 0L))
+    // grouped HAVING composes over the served plan
+    val h = spark.sql(s"SELECT pk, count(*) AS n FROM graft.`$abs` " +
+      "GROUP BY pk HAVING count(*) > 5")
+    assert(scanFree(h) && h.count() == 4)
+    // min/max OF the group column keeps the scan (path-materialized)
+    val gself = spark.sql(s"SELECT pk, max(pk) FROM graft.`$abs` " +
+      "GROUP BY pk")
+    assert(!scanFree(gself))
+    assert(gself.count() == 5)
+  }
+
+  test("grouped rollup bails: mixed layouts, escaped values round-trip") {
+    // a table with one UNPARTITIONED root in the mix keeps the scan
+    val (t, abs) = fresh("ma_grouped_mixed")
+    Versioned.commit((1 to 8).map(i => (i, s"g${i % 2}")).toDF("id", "pk"),
+      t, partitionCol = Some("pk"))
+    Versioned.append(Seq((9, "g0")).toDF("id", "pk"), t) // no layout
+    val q = spark.sql(s"SELECT pk, count(*) AS n FROM graft.`$abs` " +
+      "GROUP BY pk")
+    assert(!scanFree(q))
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      == Map("g0" -> 5L, "g1" -> 4L))
+    // hive-escaped partition values (space, equals, slash) round-trip
+    val (t2, abs2) = fresh("ma_grouped_escaped")
+    Versioned.commit(Seq((1, "a b=c/d"), (2, "a b=c/d"), (3, "plain"))
+      .toDF("id", "pk"), t2, partitionCol = Some("pk"))
+    val q2 = spark.sql(s"SELECT pk, count(*) AS n FROM graft.`$abs2` " +
+      "GROUP BY pk")
+    assert(scanFree(q2))
+    assert(q2.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      == Map("a b=c/d" -> 2L, "plain" -> 1L))
   }
 
   test("timestamp bounds round-trip through the epoch-micros sidecar") {
