@@ -522,7 +522,13 @@ object Dedup {
     * clusters is missed; [[semanticDedupQuality]] (d09) reduces the
     * precision/recall contract vs the exact-cosine pairs to
     * oracle-checkable constants, so this query itself keeps a rows-only
-    * driver check (the d05/d07 precedent). */
+    * driver check (the d05/d07 precedent).
+    *
+    * Cache contract (the module convention — see [[jaccardPairs]]):
+    * the centroid and assignment frames are `.cache()`d for the
+    * multi-consumer plan and released by the caller's
+    * `spark.catalog.clearCache()` (both harnesses clear per query);
+    * at production scale they would be persisted tables. */
   def semanticDedup(s: SparkSession, d: String,
       threshold: Double = 0.45): DataFrame = {
     val e = Tables.loadSpread(s, d, "embeddings")

@@ -185,10 +185,12 @@ private[plans] object MetadataAggRule {
         case _ => None
       }
     if (slots.exists(_.isEmpty)) return None
+    // bare `SELECT pk ... GROUP BY pk` (wants empty) serves too: the
+    // distinct partition values straight from the paths — the SHOW
+    // PARTITIONS dashboard probe (note `SELECT DISTINCT pk` does NOT
+    // reach this shape: ReplaceDistinctWithAggregate runs in the
+    // optimizer, after analysis)
     val wants = slots.flatten.collect { case Right(w) => w }
-    if (wants.isEmpty) return None // bare SELECT pk GROUP BY pk:
-    // distinct-values-from-paths would be servable but adds a shape
-    // with no aggregate payoff; keep it on the scan
     for {
       df <- Versioned.statsAggregateBy(spark, t.tableDir,
         gAttr.name, gAttr.name, gAttr.dataType.catalogString, wants,

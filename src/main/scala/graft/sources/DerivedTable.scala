@@ -66,7 +66,8 @@ object DerivedTable {
     require(to > 0, s"no committed source version at $srcDir")
     val dstV = Versioned.currentVersion(s, dstDir)
     if (dstV == 0) {
-      val full = transform(Versioned.read(s, srcDir))
+      // pinned to `to`: the state the note claims is the state read
+      val full = transform(Versioned.read(s, srcDir, Some(to)))
       require(full.columns.contains(key),
         s"transform must preserve the key column '$key'")
       // every destination commit declares key stats: applyChanges
@@ -176,7 +177,12 @@ object DerivedTable {
     require(to > 0, s"no committed source version at $srcDir")
     val dstV = Versioned.currentVersion(s, dstDir)
     if (dstV == 0) {
-      val full = aggOf(Versioned.read(s, srcDir))
+      // PINNED read: a concurrent source commit between the version
+      // capture and this scan would otherwise bake its rows into the
+      // bootstrap while the note pins the older version — and unlike
+      // refresh()'s upsert-by-key, the algebraic patch is NOT
+      // idempotent, so the next refresh would double-count them
+      val full = aggOf(Versioned.read(s, srcDir, Some(to)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // null group keys are refused up front (not at first touch):
@@ -207,7 +213,14 @@ object DerivedTable {
       s"refresh range touches ${touched.size} row keys " +
         s"(> $maxTouchedKeys) — rebuild into a fresh destination " +
         "instead, or raise maxTouchedKeys")
-    if (touched.isEmpty) return (from, to)
+    if (touched.isEmpty) {
+      // zero events (metadata-only source commits): advance the pin
+      // with a note-only commit — a stuck pin makes every later
+      // refresh re-cover this dead range and eventually trips the
+      // touched-key bound on a perfectly healthy view
+      Versioned.commitNote(s, dstDir, s"src=v$to")
+      return (from, to)
+    }
     // group deltas from the two pinned snapshots' touched rows. Two
     // read tiers: a SMALL key set goes through readWhereIn point-set
     // manifest pruning (O(files containing touched keys)); a large
@@ -249,11 +262,25 @@ object DerivedTable {
     try {
       val groups = delta.select(col(groupCol)).collect()
         .map(_.get(0)).distinct.toSeq
-      if (groups.isEmpty) return (from, to)
+      require(groups.forall(_ != null),
+        s"null '$groupCol' group — filter or coalesce the group " +
+          "column before aggregating")
+      if (groups.isEmpty) {
+        // the window's inserts and deletes cancelled exactly (CDC
+        // churn): nothing to patch, but the pin must still travel
+        Versioned.commitNote(s, dstDir, s"src=v$to")
+        return (from, to)
+      }
       // patch the touched destination groups via the same point-set
-      // pruned read (every dst commit declares groupCol stats)
-      val existing = Versioned.readWhereIn(s, dstDir, groupCol,
-        groups, None)
+      // pruned read — tiered like the source side: beyond the limit
+      // the per-value pruning conjunction is codegen-hostile and a
+      // broadcast semi-join over the scan is the right plan
+      val existing =
+        if (groups.size <= PruneKeyLimit)
+          Versioned.readWhereIn(s, dstDir, groupCol, groups, None)
+        else Versioned.read(s, dstDir).join(
+          broadcast(delta.select(col(groupCol)).distinct()),
+          Seq(groupCol), "left_semi")
       val patched = delta
         .join(existing, Seq(groupCol), "full_outer")
         .select(col(groupCol),

@@ -1593,6 +1593,26 @@ object Versioned {
     * commit is itself a commit). Metadata-only: no data file is
     * written, copied, or read beyond a schema peek; O(1) in table
     * size. */
+  /** METADATA-ONLY commit that re-links the current snapshot's
+    * entries unchanged and records `note` — the pin-advance primitive
+    * for incremental consumers ([[graft.sources.DerivedTable]]) whose
+    * refresh window nets to zero changes: the cursor must still
+    * travel (a stuck pin makes every later refresh re-cover the dead
+    * range and eventually trips size bounds), and the note rides the
+    * same atomic claim as any commit. O(manifest) driver I/O, no data
+    * touched. */
+  def commitNote(spark: SparkSession, tableDir: String,
+      note: String): Int = withCommitRetry() {
+    val cur = currentVersion(spark, tableDir)
+    require(cur > 0, s"no committed version at $tableDir")
+    val f = fs(spark, tableDir)
+    commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
+      partitionCol = None, note = Some(note), statsCols = Nil,
+      linkBase = None,
+      linkEntries = Some(manifestLines(f, tableDir, cur)),
+      ownDirInManifest = false, writeData = false)
+  }
+
   def rollback(spark: SparkSession, tableDir: String, to: Int,
       note: Option[String] = None): Int = withCommitRetry() {
     val vs = committedVersions(spark, tableDir)
@@ -5883,8 +5903,10 @@ object Versioned {
     * column type — path values are strings; inference must agree with
     * the scan plan's). `wants` must NOT name the group column
     * itself (no stats rows exist for a path-materialized column; the
-    * analyzer rule keeps that shape on the scan plan). The group
-    * column is emitted FIRST, named `groupName`. */
+    * analyzer rule keeps that shape on the scan plan); an EMPTY
+    * `wants` serves the bare distinct-partition-values probe (the
+    * SHOW PARTITIONS analog). The group column is emitted FIRST,
+    * named `groupName`. */
   def statsAggregateBy(spark: SparkSession, tableDir: String,
       groupName: String, groupCol: String, groupDt: String,
       wants: Seq[(String, StatsAgg)],

@@ -133,6 +133,45 @@ class DerivedSpec extends SparkSpec {
     assert(Versioned.currentVersion(spark, dst) == vb)
   }
 
+  test("refreshAgg: net-zero churn and dead ranges still advance " +
+      "the pin; post-bootstrap null group refuses with the designed " +
+      "message") {
+    import spark.implicits._
+    val src = "target/tmp/aggmv-pin-src"
+    val dst = "target/tmp/aggmv-pin-dst"
+    clean(src, dst)
+    Versioned.commit(Seq((1L, "a", 1L)).toDF("id", "g", "v"), src)
+    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    // insert+delete the same keys in the window: zero net change,
+    // but the pin must travel (a stuck pin re-covers the dead range
+    // on every later refresh until the touched-key bound trips)
+    Versioned.append(Seq((2L, "b", 5L), (3L, "b", 6L))
+      .toDF("id", "g", "v"), src)
+    Versioned.deleteRows(spark, src, Seq(2L, 3L).toDF("id"))
+    val r = DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    assert(r == ((1, 3)))
+    val srcHead = Versioned.currentVersion(spark, src)
+    val again = DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    assert(again == ((srcHead, srcHead)), "pin must have advanced")
+    assert(Versioned.read(spark, dst).collect()
+      .map(x => (x.getString(0), x.getLong(3))).toSeq == Seq(("a", 1L)))
+    // a metadata-only source range advances the pin too
+    Versioned.tag(spark, src, "marker")
+    Versioned.setProperties(spark, src, Map("k" -> "v"))
+    val meta = DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    assert(meta._1 < meta._2)
+    assert(DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+      ._1 == Versioned.currentVersion(spark, src))
+    // a null group arriving AFTER bootstrap refuses with the same
+    // designed message as the bootstrap check
+    Versioned.append(Seq(Tuple1(9L)).toDF("id")
+      .withColumn("g", lit(null).cast("string"))
+      .withColumn("v", lit(1L)), src)
+    val e = intercept[IllegalArgumentException](
+      DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v"))
+    assert(e.getMessage.contains("null 'g' group"))
+  }
+
   test("refreshAgg refusals: null group, foreign-key tombstone, " +
       "touched-key bound, corrupt destination") {
     import spark.implicits._

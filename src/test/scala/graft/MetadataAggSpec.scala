@@ -172,6 +172,12 @@ class MetadataAggSpec extends SparkSpec {
       "GROUP BY pk")
     assert(!scanFree(gself))
     assert(gself.count() == 5)
+    // the bare distinct-partition-values probe (SHOW PARTITIONS
+    // analog) serves from paths alone
+    val dp = spark.sql(s"SELECT pk FROM graft.`$abs` GROUP BY pk")
+    assert(scanFree(dp))
+    assert(dp.collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("p0", "p1", "p2", "p3", "p9"))
   }
 
   test("grouped rollup bails: mixed layouts, escaped values round-trip") {
