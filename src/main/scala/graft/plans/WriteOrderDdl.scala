@@ -48,6 +48,12 @@ object WriteOrderDdl {
     ("(?is)\\s*ANALYZE\\s+TABLE\\s+(.+?)\\s+COMPUTE\\s+STATISTICS" +
       "(?:\\s+FOR\\s+COLUMNS\\s+([A-Za-z0-9_`]+" +
       "(?:\\s*,\\s*[A-Za-z0-9_`]+)*))?\\s*;?\\s*").r
+  // SHOW PARTITIONS t — Spark parses this for every catalog but DSv2
+  // tables refuse downstream (partition management is a Table
+  // capability); graft tables serve it from the manifest rollup. The
+  // PARTITION(...)-filtered form falls through (delegate semantics).
+  private val ShowPartsRe =
+    "(?is)\\s*SHOW\\s+PARTITIONS\\s+([^()]+?)\\s*;?\\s*".r
 
   /** Whether an ANALYZE statement's table lives in the graft catalog —
     * decided from the PARSED identifier (so `` `graft`.t `` resolves
@@ -86,6 +92,16 @@ object WriteOrderDdl {
         delegate.parseMultipartIdentifier(tbl), order))
     case UnorderedRe(tbl) =>
       Some(ClearWriteOrderCommand(delegate.parseMultipartIdentifier(tbl)))
+    case ShowPartsRe(tbl) =>
+      scala.util.Try(delegate.parseMultipartIdentifier(tbl)).toOption
+        .filter(analyzesGraft(_, session))
+        .map { parts0 =>
+          val parts =
+            if (parts0.length > 1 && parts0.head.equalsIgnoreCase("graft"))
+              "graft" +: parts0.tail
+            else parts0
+          ShowPartitionsCommand(parts)
+        }
     case AnalyzeRe(tbl, cols) =>
       scala.util.Try(delegate.parseMultipartIdentifier(tbl)).toOption
         .filter(analyzesGraft(_, session))
@@ -103,6 +119,26 @@ object WriteOrderDdl {
         }
     case _ => None
   }
+}
+
+/** `SHOW PARTITIONS graft.t` — the standard spelling over the
+  * manifest's per-partition rollup ([[Versioned.partitions]]): one
+  * `partition` string row per live value (`pk=p0`, Spark's native
+  * format), resolved from sidecar metadata — never a data scan.
+  * Spark's own exec needs a SupportsPartitionManagement table; the
+  * graft read plan is an analyzer expansion, so the spelling is
+  * served here instead. */
+case class ShowPartitionsCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "partition",
+      org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Versioned.partitions(spark,
+        GraftDdl.tableDir(spark, parts, "SHOW PARTITIONS"))
+      .select("partition").collect().map(r => Row(r.getString(0)))
+      .sortBy(_.getString(0)).toSeq
 }
 
 /** `ANALYZE TABLE graft.t COMPUTE STATISTICS [FOR COLUMNS …]` —

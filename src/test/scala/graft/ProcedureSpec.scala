@@ -244,6 +244,21 @@ class ProcedureSpec extends SparkSpec {
       s"REPLACE must reset the declared property set, got $afterReplace")
   }
 
+  test("SHOW PARTITIONS serves the manifest rollup, Spark format") {
+    import spark.implicits._
+    val (t, abs) = fresh("proc_showparts")
+    Versioned.commit((1 to 9).map(i => (i, s"p${i % 3}"))
+      .toDF("id", "pk"), t, partitionCol = Some("pk"))
+    val rows = spark.sql(s"SHOW PARTITIONS graft.`$abs`").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("pk=p0", "pk=p1", "pk=p2"))
+    assert(spark.sql(s"SHOW PARTITIONS graft.`$abs`").columns.toSeq ==
+      Seq("partition"))
+    // another catalog's table falls through to the delegate untouched
+    val e = intercept[Exception](
+      spark.sql("SHOW PARTITIONS spark_catalog.default.nope").collect())
+    assert(!e.getMessage.contains("graft"))
+  }
+
   test("ANALYZE TABLE COMPUTE STATISTICS spells the stats backfill") {
     import spark.implicits._
     val (t, abs) = fresh("proc_analyze")
