@@ -146,10 +146,23 @@ object DerivedTable {
     * pins `src=vN`.
     *
     * Stored schema: (groupCol, sum_<valueCol>, cnt_<valueCol>,
-    * n_rows). The value count makes the all-null group exact: a
-    * group whose surviving values are all null stores a NULL sum
-    * (`cnt` = 0), matching the recompute — an unconditional 0 would
-    * not. avg is `sum / cnt`, derivable at read.
+    * n_rows[, min_<c>, max_<c> per `extrema` column]). The value
+    * count makes the all-null group exact: a group whose surviving
+    * values are all null stores a NULL sum (`cnt` = 0), matching the
+    * recompute — an unconditional 0 would not. avg is `sum / cnt`,
+    * derivable at read.
+    *
+    * `extrema` columns get MIN/MAX maintenance by AFFECTED-GROUP
+    * recompute — min/max are not delta-invertible (a deleted maximum
+    * says nothing about the runner-up), so each refresh re-aggregates
+    * exactly the touched groups' rows from the pinned `to` snapshot
+    * (same two read tiers, keyed on the group column) and leaves
+    * untouched groups' stored values standing. Cost is O(rows of
+    * touched groups) per refresh — the standard fallback every
+    * incremental-view system uses for non-invertible aggregates. The
+    * recompute doubles as a consistency audit: each surviving group's
+    * recomputed row count must equal the algebraic one, or the
+    * refresh refuses (corrupt pin).
     *
     * Contracts refused loudly: a delete event whose `rowKey` is null
     * (the source's tombstones key on a different column — the diff
@@ -165,14 +178,19 @@ object DerivedTable {
     * cost anyway. */
   def refreshAgg(s: SparkSession, srcDir: String, dstDir: String,
       rowKey: String, groupCol: String, valueCol: String,
-      maxTouchedKeys: Int = 100000): (Int, Int) = {
+      maxTouchedKeys: Int = 100000,
+      extrema: Seq[String] = Nil): (Int, Int) = {
     val sumCol = s"sum_$valueCol"
     val cntCol = s"cnt_$valueCol"
-    def aggOf(df: DataFrame): DataFrame =
-      df.groupBy(col(groupCol)).agg(
-        sum(col(valueCol)).as(sumCol),
+    val extCols = extrema.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val extNames = extrema.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    def aggOf(df: DataFrame): DataFrame = {
+      val aggs = Seq(sum(col(valueCol)).as(sumCol),
         count(col(valueCol)).as(cntCol),
-        count(lit(1)).as("n_rows"))
+        count(lit(1)).as("n_rows")) ++ extCols
+      df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    }
     val to = Versioned.currentVersion(s, srcDir)
     require(to > 0, s"no committed source version at $srcDir")
     val dstV = Versioned.currentVersion(s, dstDir)
@@ -291,23 +309,53 @@ object DerivedTable {
           (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"),
             lit(0L))).as("n_rows"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      var extJoined: DataFrame = null
       try {
         val neg = patched.filter(col("n_rows") < 0).count()
         require(neg == 0, s"$neg group(s) would reach a negative row " +
           "count — the destination does not reflect src=v" + from +
           " (corrupt pin or out-of-band edits); rebuild")
-        val upserts = patched.filter(col("n_rows") > 0)
+        val upserts0 = patched.filter(col("n_rows") > 0)
           // the all-null group stores NULL, matching the recompute
           .select(col(groupCol),
             when(col(cntCol) === 0L, lit(null)).otherwise(col(sumCol))
               .as(sumCol),
             col(cntCol), col("n_rows"))
+        val upserts = if (extrema.isEmpty) upserts0 else {
+          // affected-group recompute for the non-invertible extrema:
+          // re-aggregate ONLY the touched groups' rows at the pinned
+          // `to` snapshot (tiered read, keyed on the group column)
+          val srcGroups =
+            if (groups.size <= PruneKeyLimit)
+              Versioned.readWhereIn(s, srcDir, groupCol, groups,
+                Some(to))
+            else Versioned.read(s, srcDir, Some(to)).join(
+              broadcast(delta.select(col(groupCol)).distinct()),
+              Seq(groupCol), "left_semi")
+          val ext = srcGroups.groupBy(col(groupCol)).agg(
+            count(lit(1)).as("__extn"), extCols: _*)
+          extJoined = upserts0.join(ext, Seq(groupCol), "left")
+            .persist(org.apache.spark.storage.StorageLevel
+              .MEMORY_AND_DISK)
+          // the recompute doubles as a consistency audit: every
+          // surviving group must reappear with the algebraic count
+          val off = extJoined.filter(col("__extn").isNull ||
+            col("__extn") =!= col("n_rows")).count()
+          require(off == 0, s"$off group(s) disagree between the " +
+            s"algebraic row count and the src=v$to recompute — " +
+            "corrupt pin or out-of-band edits; rebuild")
+          extJoined.select((Seq(groupCol, sumCol, cntCol, "n_rows") ++
+            extNames).map(col): _*)
+        }
         val dels = patched.filter(col("n_rows") === 0L)
           .select(col(groupCol))
         Versioned.applyChanges(s, dstDir, upserts = upserts,
           deleteKeys = dels, key = groupCol,
           statsCols = Seq(groupCol), note = Some(s"src=v$to"))
-      } finally patched.unpersist(blocking = false)
+      } finally {
+        if (extJoined != null) extJoined.unpersist(blocking = false)
+        patched.unpersist(blocking = false)
+      }
     } finally delta.unpersist(blocking = false)
     (from, to)
   }

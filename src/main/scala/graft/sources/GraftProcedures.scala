@@ -382,7 +382,8 @@ object GraftProcedures {
           "atomic commit carrying the new pin",
         Seq(p("source", StringType), p("dest", StringType),
           p("row_key", StringType), p("group_by", StringType),
-          p("value", StringType)),
+          p("value", StringType),
+          p("extrema", StringType, Some("''"))),
         StructType(Seq(
           StructField("from_version", IntegerType, nullable = false),
           StructField("to_version", IntegerType, nullable = false))),
@@ -391,9 +392,12 @@ object GraftProcedures {
           require(a(2) != null, "'row_key' is required")
           require(a(3) != null, "'group_by' is required")
           require(a(4) != null, "'value' is required")
+          val ext = Option(a(5)).map(_.asInstanceOf[String]).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
           val (from, to) = DerivedTable.refreshAgg(spark, dir(a(0)),
             dir(a(1)), a(2).asInstanceOf[String],
-            a(3).asInstanceOf[String], a(4).asInstanceOf[String])
+            a(3).asInstanceOf[String], a(4).asInstanceOf[String],
+            extrema = ext)
           Seq(from, to)
         })
       case _ => null

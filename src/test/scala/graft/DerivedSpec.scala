@@ -133,6 +133,52 @@ class DerivedSpec extends SparkSpec {
     assert(Versioned.currentVersion(spark, dst) == vb)
   }
 
+  test("refreshAgg extrema: deleted maximum recomputes from the " +
+      "affected group only; untouched groups keep stored bounds") {
+    import spark.implicits._
+    val src = "target/tmp/aggmv-ext-src"
+    val dst = "target/tmp/aggmv-ext-dst"
+    clean(src, dst)
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "a", 90L), (3L, "a", 50L),
+      (4L, "b", 7L)).toDF("id", "g", "v"), src)
+    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v",
+      extrema = Seq("v"))
+    def state(): Map[String, (Long, Any, Any)] =
+      Versioned.read(spark, dst).collect().map(r =>
+        r.getString(0) -> ((r.getLong(3), r.get(4), r.get(5)))).toMap
+    assert(state() == Map("a" -> ((3L, 10L, 90L)),
+      "b" -> ((1L, 7L, 7L))))
+    // delete a's MAXIMUM: not delta-invertible — the refresh must
+    // recompute group a's bounds from the source (b stays untouched)
+    Versioned.deleteRows(spark, src, Seq(2L).toDF("id"))
+    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v",
+      extrema = Seq("v"))
+    assert(state() == Map("a" -> ((2L, 10L, 50L)),
+      "b" -> ((1L, 7L, 7L))))
+    // group migration births the new group's bounds and shrinks the
+    // old group's — in one refresh
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((1L, "c", 10L)).toDF("id", "g", "v"),
+      deleteKeys = spark.range(0).select(col("id")), key = "id")
+    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v",
+      extrema = Seq("v"))
+    assert(state() == Map("a" -> ((1L, 50L, 50L)),
+      "b" -> ((1L, 7L, 7L)), "c" -> ((1L, 10L, 10L))))
+    // and the SQL spelling drives the same thing
+    val (src2, src2Abs) = ("target/tmp/aggmv-ext-src2",
+      new java.io.File("target/tmp/aggmv-ext-src2").getAbsolutePath)
+    val (dst2, dst2Abs) = ("target/tmp/aggmv-ext-dst2",
+      new java.io.File("target/tmp/aggmv-ext-dst2").getAbsolutePath)
+    clean(src2, dst2)
+    Versioned.commit(Seq((1L, "x", 3L), (2L, "x", 8L))
+      .toDF("id", "g", "v"), src2)
+    spark.sql("CALL graft.system.refresh_agg(" +
+      s"source => '$src2Abs', dest => '$dst2Abs', row_key => 'id', " +
+      "group_by => 'g', value => 'v', extrema => 'v')").collect()
+    val r2 = Versioned.read(spark, dst2).head()
+    assert((r2.getLong(4), r2.getLong(5)) == ((3L, 8L)))
+  }
+
   test("refreshAgg: net-zero churn and dead ranges still advance " +
       "the pin; post-bootstrap null group refuses with the designed " +
       "message") {
