@@ -95,6 +95,21 @@ private[plans] object MetadataAggRule {
     case _ => false
   }
 
+  /** Map one aggregate function onto a [[StatsAgg]] want under a
+    * column resolver; None for anything the sidecars can't answer
+    * (min(c + 1), avg, a disallowed column). Shared by the global and
+    * grouped mappers. */
+  private def aggWant(ae: AggregateExpression,
+      colOf: Expression => Option[String]): Option[StatsAgg] =
+    ae.aggregateFunction match {
+      case Min(c) => colOf(c).map(StatsAgg.MinOf)
+      case Max(c) => colOf(c).map(StatsAgg.MaxOf)
+      case Count(Seq(l: Literal)) if l.value != null =>
+        Some(StatsAgg.CountStar)
+      case Count(Seq(c)) => colOf(c).map(StatsAgg.CountOf)
+      case _ => None
+    }
+
   /** Map a RESOLVED eligible aggregate onto [[StatsAgg]] wants; None
     * when any output aggregates a non-column expression (min(c + 1)
     * has no sidecar answer). */
@@ -108,14 +123,7 @@ private[plans] object MetadataAggRule {
     }
     val mapped = a.aggregateExpressions.map {
       case Alias(ae: AggregateExpression, name) =>
-        (ae.aggregateFunction match {
-          case Min(c) => colOf(c).map(StatsAgg.MinOf)
-          case Max(c) => colOf(c).map(StatsAgg.MaxOf)
-          case Count(Seq(l: Literal)) if l.value != null =>
-            Some(StatsAgg.CountStar)
-          case Count(Seq(c)) => colOf(c).map(StatsAgg.CountOf)
-          case _ => None
-        }).map(name -> _)
+        aggWant(ae, colOf).map(name -> _)
       case _ => None
     }
     if (mapped.exists(_.isEmpty)) None else Some(mapped.flatten)
@@ -169,17 +177,11 @@ private[plans] object MetadataAggRule {
       a.aggregateExpressions.map {
         case e if isGroupRef(e) => Some(Left(()))
         case Alias(ae: AggregateExpression, name) =>
-          def colOf(e: Expression): Option[String] = e match {
+          // the group column itself never maps (its stats live in
+          // paths, not sidecars)
+          aggWant(ae, {
             case ar: AttributeReference if ids.contains(ar.exprId) &&
               ar.exprId != gAttr.exprId => Some(ar.name)
-            case _ => None
-          }
-          (ae.aggregateFunction match {
-            case Min(c) => colOf(c).map(StatsAgg.MinOf)
-            case Max(c) => colOf(c).map(StatsAgg.MaxOf)
-            case Count(Seq(l: Literal)) if l.value != null =>
-              Some(StatsAgg.CountStar)
-            case Count(Seq(c)) => colOf(c).map(StatsAgg.CountOf)
             case _ => None
           }).map(w => Right(name -> w))
         case _ => None

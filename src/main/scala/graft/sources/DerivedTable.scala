@@ -41,6 +41,26 @@ import org.apache.spark.sql.functions._
   * length; a full rebuild happens exactly once, at bootstrap. */
 object DerivedTable {
 
+  /** Above this many point values the readWhereIn pruning expression
+    * grows codegen-hostile AND its selectivity collapses (most files
+    * contain SOME value), so the tiered read switches to a broadcast
+    * semi-join over the plain snapshot scan — faster and the
+    * scale-correct plan. */
+  private val PruneKeyLimit = 1000
+
+  /** The tiered point read shared by every refreshAgg leg: a SMALL
+    * value set goes through [[Versioned.readWhereIn]] manifest
+    * pruning (O(files containing the values)); a large one semi-joins
+    * the snapshot scan against the broadcast `keysDf` (one column,
+    * named `keyCol`). */
+  private def pointRead(s: SparkSession, dir: String, keyCol: String,
+      values: Seq[Any], version: Option[Int],
+      keysDf: => DataFrame): DataFrame =
+    if (values.size <= PruneKeyLimit)
+      Versioned.readWhereIn(s, dir, keyCol, values, version)
+    else Versioned.read(s, dir, version)
+      .join(broadcast(keysDf), Seq(keyCol), "left_semi")
+
   private def pinnedSrcVersion(s: SparkSession, dstDir: String): Int = {
     val v = Versioned.currentVersion(s, dstDir)
     Versioned.commitNotes(s, dstDir).get(v)
@@ -226,7 +246,7 @@ object DerivedTable {
         "equality tombstones key on a different column, so the " +
         "snapshot diff would miss those deletions; key deletes on " +
         s"'$rowKey' (or refresh by rebuild)")
-    val touched = touchedRows.map(_.get(0)).distinct.toSeq
+    val touched = touchedRows.map(_.get(0)).toSeq // already distinct
     require(touched.size <= maxTouchedKeys,
       s"refresh range touches ${touched.size} row keys " +
         s"(> $maxTouchedKeys) — rebuild into a fresh destination " +
@@ -239,32 +259,19 @@ object DerivedTable {
       Versioned.commitNote(s, dstDir, s"src=v$to")
       return (from, to)
     }
-    // group deltas from the two pinned snapshots' touched rows. Two
-    // read tiers: a SMALL key set goes through readWhereIn point-set
-    // manifest pruning (O(files containing touched keys)); a large
-    // one switches to a broadcast semi-join over the plain snapshot
-    // scan — beyond ~1k keys the per-value pruning expression grows
-    // into a codegen-hostile conjunction AND the selectivity collapses
-    // anyway (most files contain SOME touched key), so the distributed
-    // scan-and-filter is the faster AND the scale-correct plan.
-    val PruneKeyLimit = 1000
-    // the typed key frame for the join tier (never re-reads the
-    // changelog: a one-column local relation from the collected keys)
+    // group deltas from the two pinned snapshots' touched rows, via
+    // the tiered point read ([[pointRead]]). The join-tier key frame
+    // is a one-column local relation from the collected keys — never
+    // a changelog re-read.
     lazy val touchedDf = {
-      val enc = org.apache.spark.sql.Encoders.row(
-        org.apache.spark.sql.types.StructType(Seq(
-          events.schema(rowKey).copy(name = "__k"))))
+      import scala.jdk.CollectionConverters._
       s.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](
-          scala.jdk.CollectionConverters.SeqHasAsJava(
-            touched.map(org.apache.spark.sql.Row(_))).asJava),
-        enc.schema)
+        touched.map(org.apache.spark.sql.Row(_)).asJava,
+        org.apache.spark.sql.types.StructType(
+          Seq(events.schema(rowKey))))
     }
     def touchedAt(ver: Int): DataFrame =
-      if (touched.size <= PruneKeyLimit)
-        Versioned.readWhereIn(s, srcDir, rowKey, touched, Some(ver))
-      else Versioned.read(s, srcDir, Some(ver)).join(
-        broadcast(touchedDf), col(rowKey) === col("__k"), "left_semi")
+      pointRead(s, srcDir, rowKey, touched, Some(ver), touchedDf)
     // SIGNED-union delta: old rows weigh -1, new rows +1, ONE shuffle
     // computes every group's (sum, value-count, row-count) delta —
     // replaces two aggregation jobs and a full-outer diff join with a
@@ -279,7 +286,7 @@ object DerivedTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val groups = delta.select(col(groupCol)).collect()
-        .map(_.get(0)).distinct.toSeq
+        .map(_.get(0)).toSeq // one row per group by construction
       require(groups.forall(_ != null),
         s"null '$groupCol' group — filter or coalesce the group " +
           "column before aggregating")
@@ -289,16 +296,10 @@ object DerivedTable {
         Versioned.commitNote(s, dstDir, s"src=v$to")
         return (from, to)
       }
-      // patch the touched destination groups via the same point-set
-      // pruned read — tiered like the source side: beyond the limit
-      // the per-value pruning conjunction is codegen-hostile and a
-      // broadcast semi-join over the scan is the right plan
-      val existing =
-        if (groups.size <= PruneKeyLimit)
-          Versioned.readWhereIn(s, dstDir, groupCol, groups, None)
-        else Versioned.read(s, dstDir).join(
-          broadcast(delta.select(col(groupCol)).distinct()),
-          Seq(groupCol), "left_semi")
+      // patch the touched destination groups via the same tiered
+      // point read, keyed on the group column
+      val existing = pointRead(s, dstDir, groupCol, groups, None,
+        delta.select(col(groupCol)).distinct())
       val patched = delta
         .join(existing, Seq(groupCol), "full_outer")
         .select(col(groupCol),
@@ -325,13 +326,8 @@ object DerivedTable {
           // affected-group recompute for the non-invertible extrema:
           // re-aggregate ONLY the touched groups' rows at the pinned
           // `to` snapshot (tiered read, keyed on the group column)
-          val srcGroups =
-            if (groups.size <= PruneKeyLimit)
-              Versioned.readWhereIn(s, srcDir, groupCol, groups,
-                Some(to))
-            else Versioned.read(s, srcDir, Some(to)).join(
-              broadcast(delta.select(col(groupCol)).distinct()),
-              Seq(groupCol), "left_semi")
+          val srcGroups = pointRead(s, srcDir, groupCol, groups,
+            Some(to), delta.select(col(groupCol)).distinct())
           val ext = srcGroups.groupBy(col(groupCol)).agg(
             count(lit(1)).as("__extn"), extCols: _*)
           extJoined = upserts0.join(ext, Seq(groupCol), "left")

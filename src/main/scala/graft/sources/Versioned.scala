@@ -5817,6 +5817,24 @@ object Versioned {
     })
   }
 
+  /** Decode one stored bound back to its column type with the
+    * engine's cast semantics (timestamps persisted as epoch micros).
+    * Shared by both aggregate servers' evaluation frames. */
+  private def statBoundCol(dt: String)(c: Column): Column =
+    if (dt == "timestamp") timestamp_micros(c.try_cast("long"))
+    else c.try_cast(dt)
+
+  /** One file's row count, from ANY stats row with known totals
+    * (format v2 or the count-only pseudo row). */
+  private def fileCountStar(rows: Map[String, StatRow]): Option[Long] =
+    rows.values.find(_.values >= 0).map(_.values)
+
+  /** One file's NON-NULL count of `c` (needs a v2 row of the column). */
+  private def fileCountOf(rows: Map[String, StatRow],
+      c: String): Option[Long] =
+    rows.get(c).filter(sr => sr.values >= 0 && sr.nulls >= 0)
+      .map(sr => sr.values - sr.nulls)
+
   def statsAggregate(spark: SparkSession, tableDir: String,
       wants: Seq[(String, StatsAgg)],
       version: Option[Int] = None): Option[DataFrame] = {
@@ -5829,12 +5847,11 @@ object Versioned {
         case None => return None
       }
     def countStar: Option[Long] = {
-      val per = files.map(_.values.find(_.values >= 0).map(_.values))
+      val per = files.map(fileCountStar)
       if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
     }
     def countOf(c: String): Option[Long] = {
-      val per = files.map(_.get(c).filter(sr =>
-        sr.values >= 0 && sr.nulls >= 0).map(sr => sr.values - sr.nulls))
+      val per = files.map(fileCountOf(_, c))
       if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
     }
     // bounds rows of one column, dtype-consistent across every file
@@ -5849,9 +5866,7 @@ object Versioned {
     // evaluate in ONE local Spark job for cast/ordering semantics,
     // with a per-column cast-failure flag that bails the whole answer
     import spark.implicits._
-    def boundCol(dt: String)(c: Column): Column =
-      if (dt == "timestamp") timestamp_micros(c.try_cast("long"))
-      else c.try_cast(dt)
+    val boundCol = statBoundCol _
     val parts: Seq[Option[DataFrame]] = wants.zipWithIndex.map {
       case ((_, CountStar), i) =>
         countStar.map(n => spark.range(1).select(
@@ -5931,20 +5946,17 @@ object Versioned {
     val groups = tagged.map(_._1).distinct
     // per-group fold, same coverage rules as the global path
     def countStarOf(rows: Seq[Map[String, StatRow]]): Option[Long] = {
-      val per = rows.map(_.values.find(_.values >= 0).map(_.values))
+      val per = rows.map(fileCountStar)
       if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
     }
     def countOfC(rows: Seq[Map[String, StatRow]],
         c: String): Option[Long] = {
-      val per = rows.map(_.get(c).filter(sr =>
-        sr.values >= 0 && sr.nulls >= 0).map(sr => sr.values - sr.nulls))
+      val per = rows.map(fileCountOf(_, c))
       if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
     }
     val byGroup: Map[String, Seq[Map[String, StatRow]]] =
       tagged.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    def boundCol(dt: String)(c: Column): Column =
-      if (dt == "timestamp") timestamp_micros(c.try_cast("long"))
-      else c.try_cast(dt)
+    val boundCol = statBoundCol _
     import spark.implicits._
     // counts fold driver-side; bounds evaluate per (group, column) in
     // ONE local job with the same cast-failure all-or-nothing flag
