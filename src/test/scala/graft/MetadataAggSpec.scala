@@ -53,6 +53,13 @@ class MetadataAggSpec extends SparkSpec {
     val q = spark.sql(s"SELECT count(*) AS n FROM graft.`$abs`")
     assert(scanFree(q))
     assert(q.head().getLong(0) == 40L)
+    // the Dataset spelling is NOT served — spark.table() analyzes
+    // (and irreversibly expands) the bare relation before .count()
+    // ever builds the aggregate, so the pattern never exists for the
+    // rule. SQL presents the whole tree at once; the Dataset path
+    // keeps the scan and stays correct.
+    val ds = spark.table(s"graft.`$abs`").groupBy().count()
+    assert(!scanFree(ds) && ds.head().getLong(0) == 40L)
     // but min has no bounds rows -> falls back to the scan, still right
     val mn = spark.sql(s"SELECT min(id) AS mn FROM graft.`$abs`")
     assert(!scanFree(mn))
