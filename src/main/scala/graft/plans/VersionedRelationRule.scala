@@ -180,6 +180,8 @@ case class VersionedRelationRule(spark: SparkSession)
             Versioned.entries(spark, t.tableDir, t.pinnedVersion)
           case "position_deletes" =>
             Versioned.positionDeletes(spark, t.tableDir, t.pinnedVersion)
+          case "stats" =>
+            Versioned.statsTable(spark, t.tableDir, t.pinnedVersion)
         }).queryExecution.analyzed
         require(real.output.length == r.output.length,
           s"metadata table ${t.name()} changed shape between catalog " +

@@ -315,7 +315,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (kind != "history" && kind != "files" && kind != "refs" &&
       kind != "partitions" && kind != "snapshots" &&
       kind != "manifests" && kind != "all_files" && kind != "entries" &&
-      kind != "position_deletes")
+      kind != "position_deletes" && kind != "stats")
       return None
     val parent = Identifier.of(ident.namespace.dropRight(1),
       ident.namespace.last)
@@ -332,7 +332,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
               "OF does not apply (pin .files instead)")
         None
       case "files" | "partitions" | "snapshots" | "manifests" |
-          "entries" | "position_deletes" =>
+          "entries" | "position_deletes" | "stats" =>
         Some(version.getOrElse(Versioned.currentVersion(spark, dir)))
     }
     val df = kind match {
@@ -346,6 +346,7 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case "entries" => Versioned.entries(spark, dir, pin)
       case "position_deletes" =>
         Versioned.positionDeletes(spark, dir, pin)
+      case "stats" => Versioned.statsTable(spark, dir, pin)
     }
     Some(new GraftMetaTable(dir, kind, pin, df.schema,
       display(ident)))

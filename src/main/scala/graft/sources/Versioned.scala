@@ -3761,6 +3761,45 @@ object Versioned {
     * key-valued, not positional — they surface through `.files` kinds
     * and `readChanges`, matching Iceberg where equality deletes are
     * likewise absent from position_deletes. */
+  /** The `.stats` metadata table: the live snapshot's stats-sidecar
+    * rows, SQL-queryable — one row per (data file, column) bound plus
+    * the count-only pseudo rows (NULL column) that ride every data
+    * commit. This is the observability window onto what the
+    * metadata-only aggregate and manifest pruning can serve: a column
+    * missing here for some file explains a fallback scan, and
+    * `collect_stats`/ANALYZE fills it. Driver-metadata scale (one
+    * sidecar read per linked version root); accepts VERSION AS OF. */
+  def statsTable(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val f = fs(spark, tableDir)
+    val v = version.getOrElse(currentVersion(spark, tableDir))
+    require(v > 0, s"no committed version at $tableDir")
+    val byRoot = scala.collection.mutable
+      .Map.empty[String, Map[String, Seq[StatRow]]]
+    def rootStats(vr: String): Map[String, Seq[StatRow]] =
+      byRoot.getOrElseUpdate(vr,
+        readStatsFile(spark, f, tableDir, vr).groupBy(_.file))
+    val rows = manifestDirs(f, tableDir, v).flatMap { e =>
+      val vr = e.split("/").head
+      entryFiles(f, tableDir, e).flatMap { rel =>
+        rootStats(vr).getOrElse(rel.stripPrefix(vr + "/"), Nil)
+          .map { sr =>
+            val pseudo = sr.col.isEmpty
+            (rel,
+              if (pseudo) None else Some(sr.col),
+              if (pseudo) None else Some(sr.dtype),
+              Option(sr.minV), Option(sr.maxV),
+              if (sr.nulls >= 0) Some(sr.nulls) else None,
+              if (sr.values >= 0) Some(sr.values) else None)
+          }
+      }
+    }
+    import spark.implicits._
+    rows.toDF("file", "column", "dtype", "min", "max",
+        "null_count", "value_count")
+      .orderBy(col("file"), col("column"))
+  }
+
   def positionDeletes(spark: SparkSession, tableDir: String,
       version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(spark, tableDir))

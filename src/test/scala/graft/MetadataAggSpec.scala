@@ -209,6 +209,39 @@ class MetadataAggSpec extends SparkSpec {
       == Map("a b=c/d" -> 2L, "plain" -> 1L))
   }
 
+  test(".stats metadata table exposes the sidecars SQL-queryably") {
+    val (t, abs) = fresh("ma_statstable")
+    Versioned.commit(Seq((1, "a"), (9, "b")).toDF("id", "v"), t,
+      statsCols = Seq("id"))
+    Versioned.append(Seq((5, "c")).toDF("id", "v"), t) // count-only
+    val st = spark.sql(s"SELECT * FROM graft.`$abs`.stats")
+    assert(st.columns.toSeq == Seq("file", "column", "dtype", "min",
+      "max", "null_count", "value_count"))
+    val rows = st.collect()
+    // the declared column's bounds rows (one PER FILE — fold them)
+    val idRows = rows.filter(_.getAs[String]("column") == "id")
+    assert(idRows.nonEmpty)
+    assert(idRows.map(_.getAs[String]("min").toInt).min == 1 &&
+      idRows.map(_.getAs[String]("max").toInt).max == 9 &&
+      idRows.map(_.getAs[Long]("value_count")).sum == 2L)
+    // the stats-less append contributes its count-only pseudo row
+    // (NULL column) — what lets count(*) serve while min(id) scans
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("column")) &&
+      r.getAs[Long]("value_count") == 1L))
+    // pinned: v1 has no pseudo row for the later append
+    val v1 = spark.sql(
+      s"SELECT count(*) FROM (SELECT * FROM graft.`$abs`.stats " +
+        "VERSION AS OF 1)").head().getLong(0)
+    assert(v1 == rows.length - 1)
+    // the observability loop: ANALYZE fills the gap the table showed
+    spark.sql(s"ANALYZE TABLE graft.`$abs` COMPUTE STATISTICS " +
+      "FOR COLUMNS id")
+    val after = spark.sql(s"SELECT count(*) FROM graft.`$abs`.stats " +
+      "WHERE column = 'id'").head().getLong(0)
+    assert(after == idRows.length + 1L) // the append's file gained one
+    assert(scanFree(spark.sql(s"SELECT min(id) AS mn FROM graft.`$abs`")))
+  }
+
   test("timestamp bounds round-trip through the epoch-micros sidecar") {
     val (t, abs) = fresh("ma_ts")
     val df = Seq("2021-03-01 10:00:00", "2020-12-31 23:59:59",
