@@ -134,11 +134,23 @@ case class ShowPartitionsCommand(parts: Seq[String])
     Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
       "partition",
       org.apache.spark.sql.types.StringType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    Versioned.partitions(spark,
+  override def run(spark: SparkSession): Seq[Row] = {
+    val rows = Versioned.partitions(spark,
         GraftDdl.tableDir(spark, parts, "SHOW PARTITIONS"))
-      .select("partition").collect().map(r => Row(r.getString(0)))
-      .sortBy(_.getString(0)).toSeq
+      .select("partition").collect()
+    // layout-less files roll up under a NULL partition value; the
+    // output attribute is non-nullable (Spark's native format), so an
+    // unpartitioned or mixed-layout table refuses cleanly — mirroring
+    // Spark's own "not allowed on a table that is not partitioned"
+    if (rows.exists(_.isNullAt(0)))
+      throw new UnsupportedOperationException(
+        s"SHOW PARTITIONS is not allowed on ${parts.mkString(".")}: " +
+          (if (rows.length == 1) "the table is not partitioned"
+           else "the snapshot mixes partitioned and unpartitioned " +
+             "files (compact with a partition column to unify the " +
+             "layout)"))
+    rows.map(r => Row(r.getString(0))).sortBy(_.getString(0)).toSeq
+  }
 }
 
 /** `ANALYZE TABLE graft.t COMPUTE STATISTICS [FOR COLUMNS …]` —

@@ -300,6 +300,7 @@ object DerivedTable {
       // point read, keyed on the group column
       val existing = pointRead(s, dstDir, groupCol, groups, None,
         delta.select(col(groupCol)).distinct())
+        .withColumn("__present", lit(1))
       val patched = delta
         .join(existing, Seq(groupCol), "full_outer")
         .select(col(groupCol),
@@ -308,14 +309,30 @@ object DerivedTable {
           (coalesce(col(cntCol), lit(0L)) + coalesce(col("d_cnt"),
             lit(0L))).as(cntCol),
           (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"),
-            lit(0L))).as("n_rows"))
+            lit(0L))).as("n_rows"),
+          // a delta group with d_n == 0 is a pure value update: its
+          // rows exist at BOTH pinned snapshots, so the group MUST
+          // already stand in the destination — a missing row would
+          // patch to n_rows=0 and silently emit a group DELETE
+          // (dropping the updated sum) instead of refusing
+          (col("__present").isNull && col("d_n") === 0L)
+            .as("__ghost"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var extJoined: DataFrame = null
       try {
-        val neg = patched.filter(col("n_rows") < 0).count()
-        require(neg == 0, s"$neg group(s) would reach a negative row " +
-          "count — the destination does not reflect src=v" + from +
+        val bad = patched.agg(
+          sum(when(col("n_rows") < 0L, 1L).otherwise(0L)),
+          sum(when(col(cntCol) < 0L, 1L).otherwise(0L)),
+          sum(when(col("__ghost"), 1L).otherwise(0L))).head()
+        require(bad.getLong(0) == 0 && bad.getLong(1) == 0,
+          s"${bad.getLong(0)} group(s) would reach a negative row " +
+          s"count and ${bad.getLong(1)} a negative value count — the " +
+          "destination does not reflect src=v" + from +
           " (corrupt pin or out-of-band edits); rebuild")
+        require(bad.getLong(2) == 0, s"${bad.getLong(2)} pure-value-" +
+          "update group(s) have no destination row — the destination " +
+          s"does not reflect src=v$from (corrupt pin or out-of-band " +
+          "edits); rebuild")
         val upserts0 = patched.filter(col("n_rows") > 0)
           // the all-null group stores NULL, matching the recompute
           .select(col(groupCol),
@@ -368,6 +385,12 @@ object DerivedTable {
   def aggRefreshGate(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files
       .createTempDirectory("graft-aggmv-gate")
+    try aggRefreshGateBody(s, d, work)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  private def aggRefreshGateBody(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
     val src = work.resolve("src").toString
     val dst = work.resolve("dst").toString
     val docs = Tables.load(s, d, "documents")
@@ -443,6 +466,12 @@ object DerivedTable {
   def derivedRefreshGate(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files
       .createTempDirectory("graft-derived-gate")
+    try derivedRefreshGateBody(s, d, work)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  private def derivedRefreshGateBody(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
     val src = work.resolve("src").toString
     val dst = work.resolve("dst").toString
     val docs = Tables.load(s, d, "documents")

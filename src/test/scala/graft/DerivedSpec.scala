@@ -274,5 +274,23 @@ class DerivedSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       DerivedTable.refreshAgg(spark, src3, dst3, "id", "g", "v"))
     assert(e3.getMessage.contains("negative row count"))
+    // a PURE VALUE UPDATE (net-zero row delta) whose group row was
+    // removed from the destination out-of-band must refuse — not
+    // silently patch to n_rows=0 and emit a group delete that drops
+    // the updated sum
+    val src4 = "target/tmp/aggmv-ref-src4"
+    val dst4 = "target/tmp/aggmv-ref-dst4"
+    clean(src4, dst4)
+    Versioned.commit(Seq((1L, "a", 1L), (2L, "b", 2L))
+      .toDF("id", "g", "v"), src4)
+    DerivedTable.refreshAgg(spark, src4, dst4, "id", "g", "v")
+    Versioned.deleteRows(spark, dst4, Seq("a").toDF("g")) // out-of-band
+    Versioned.commitNote(spark, dst4, "src=v1") // re-pin over the edit
+    Versioned.applyChanges(spark, src4,
+      upserts = Seq((1L, "a", 100L)).toDF("id", "g", "v"),
+      deleteKeys = spark.range(0).select(col("id")), key = "id")
+    val e4 = intercept[IllegalArgumentException](
+      DerivedTable.refreshAgg(spark, src4, dst4, "id", "g", "v"))
+    assert(e4.getMessage.contains("pure-value-update"))
   }
 }

@@ -257,6 +257,20 @@ class ProcedureSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("SHOW PARTITIONS spark_catalog.default.nope").collect())
     assert(!e.getMessage.contains("graft"))
+    // an UNPARTITIONED table refuses cleanly (Spark's native behavior;
+    // the rollup's null partition value can't fill a non-null column)
+    val (t2, abs2) = fresh("proc_showparts_flat")
+    Versioned.commit((1 to 3).map(i => (i, s"v$i")).toDF("id", "v"), t2)
+    val flat = intercept[UnsupportedOperationException](
+      spark.sql(s"SHOW PARTITIONS graft.`$abs2`").collect())
+    assert(flat.getMessage.contains("not partitioned"))
+    // and a MIXED layout (partitioned + layout-less roots) refuses
+    // with the compact advice instead of NPEing in the sort
+    Versioned.append(Seq((10, "px", "x")).toDF("id", "pk", "v")
+      .select("id", "pk"), t) // no partitionCol: a layout-less root
+    val mixed = intercept[UnsupportedOperationException](
+      spark.sql(s"SHOW PARTITIONS graft.`$abs`").collect())
+    assert(mixed.getMessage.contains("mixes partitioned"))
   }
 
   test("ANALYZE TABLE COMPUTE STATISTICS spells the stats backfill") {
