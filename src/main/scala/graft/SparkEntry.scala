@@ -1668,6 +1668,9 @@ object SparkEntry {
                 (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation) AS mx,
                 (SELECT count(*) FROM nation) AS n_rows,
                 (SELECT max(n_name) FROM nation) AS mx_name,
+                CAST(1 AS BIGINT) AS served_ds,
+                (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation) AS ds_mx,
+                (SELECT count(*) FROM nation) AS ds_n,
                 CAST(1 AS BIGINT) AS served_pin,
                 (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation
                   WHERE n_nationkey < 13) AS pin_mx,

@@ -3,12 +3,13 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
   UnresolvedAttribute, UnresolvedFunction}
-import org.apache.spark.sql.catalyst.expressions.{Alias,
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute,
   AttributeReference, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{
   AggregateExpression, Complete, Count, Max, Min}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
   LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 import graft.sources.{GraftVersionedTable, Versioned}
@@ -43,6 +44,25 @@ import graft.sources.Versioned.StatsAgg
   * resolved pass rewrites). */
 private[plans] object MetadataAggRule {
 
+  /** Set by [[VersionedRelationRule]] on the root of every ordinary
+    * snapshot expansion: (tableDir, snapshotVersion). This is how the
+    * DATASET API keeps the rewrite: `spark.table(t)` analyzes — and
+    * irreversibly expands — the bare relation before `.agg(...)` ever
+    * builds the aggregate, so by the time the pattern exists the
+    * relation node is gone; the tag lets the aggregate pass recover
+    * the snapshot identity from the expanded subtree (the same role
+    * `SupportsPushDownAggregates` plays on a DSv2 scan builder —
+    * optimizer-time aggregate pushdown keyed to the scan's identity).
+    * Catalyst's transform machinery copies tags onto rewritten nodes,
+    * so the mark survives later analyzer passes. */
+  val SnapshotTag = new TreeNodeTag[(String, Int)]("graft.snapshot")
+
+  /** Set on an Aggregate whose sidecar probe already FAILED this
+    * analysis, so fixpoint re-passes (and the SQL fallback's expanded
+    * form) skip re-folding the manifest for an answer that cannot
+    * change within one immutable snapshot. */
+  val ProbedTag = new TreeNodeTag[Boolean]("graft.metaAggProbed")
+
   /** The graft relation under alias wrappers, if the subtree is
     * exactly that (any other operator in between disqualifies). */
   def relationUnder(p: LogicalPlan): Option[DataSourceV2Relation] =
@@ -51,6 +71,25 @@ private[plans] object MetadataAggRule {
           if r.table.isInstanceOf[GraftVersionedTable] => Some(r)
       case s: SubqueryAlias => relationUnder(s.child)
       case _ => None
+    }
+
+  /** The TAGGED snapshot expansion under alias wrappers and pure
+    * column-pruning Projects (bare attribute lists — a rename or
+    * computed column disqualifies), if the subtree is exactly that:
+    * (tableDir, version, the expansion's output attributes). Pruning
+    * Projects pass through because their attributes share the
+    * expansion's expression ids, so aggregate references still
+    * resolve against the full output. */
+  def taggedUnder(p: LogicalPlan): Option[(String, Int, Seq[Attribute])] =
+    p.getTagValue(SnapshotTag) match {
+      case Some((dir, v)) => Some((dir, v, p.output))
+      case None => p match {
+        case s: SubqueryAlias => taggedUnder(s.child)
+        case pr: Project
+            if pr.projectList.forall(_.isInstanceOf[AttributeReference]) =>
+          taggedUnder(pr.child)
+        case _ => None
+      }
     }
 
   /** Cheap shape test, callable on resolved AND unresolved trees:
@@ -114,8 +153,8 @@ private[plans] object MetadataAggRule {
     * when any output aggregates a non-column expression (min(c + 1)
     * has no sidecar answer). */
   private def wantsOf(a: Aggregate,
-      r: DataSourceV2Relation): Option[Seq[(String, StatsAgg)]] = {
-    val ids = r.output.map(_.exprId).toSet
+      relOutput: Seq[Attribute]): Option[Seq[(String, StatsAgg)]] = {
+    val ids = relOutput.map(_.exprId).toSet
     def colOf(e: Expression): Option[String] = e match {
       case ar: AttributeReference if ids.contains(ar.exprId) =>
         Some(ar.name)
@@ -138,13 +177,21 @@ private[plans] object MetadataAggRule {
     * an Alias. */
   def tryRewrite(spark: SparkSession, a: Aggregate,
       r: DataSourceV2Relation): Option[LogicalPlan] = {
-    if (a.groupingExpressions.nonEmpty)
-      return tryRewriteGrouped(spark, a, r)
     val t = r.table.asInstanceOf[GraftVersionedTable]
+    tryRewriteOver(spark, a, t.tableDir, t.snapshotVersion, r.output)
+  }
+
+  /** The rewrite core, shared by the SQL (un-expanded relation) and
+    * Dataset (tagged expansion) entry points: attempt to serve the
+    * aggregate from the snapshot's stats sidecars, addressing columns
+    * by `relOutput`'s expression ids. */
+  def tryRewriteOver(spark: SparkSession, a: Aggregate, dir: String,
+      ver: Int, relOutput: Seq[Attribute]): Option[LogicalPlan] = {
+    if (a.groupingExpressions.nonEmpty)
+      return tryRewriteGrouped(spark, a, dir, ver, relOutput)
     for {
-      wants <- wantsOf(a, r)
-      df <- Versioned.statsAggregate(spark, t.tableDir, wants,
-        Some(t.snapshotVersion))
+      wants <- wantsOf(a, relOutput)
+      df <- Versioned.statsAggregate(spark, dir, wants, Some(ver))
       real = df.queryExecution.analyzed
       if real.output.map(_.dataType) == a.output.map(_.dataType)
     } yield Project(a.output.zip(real.output).map { case (tgt, src) =>
@@ -160,9 +207,9 @@ private[plans] object MetadataAggRule {
     * itself is never a min/max/count target here (its stats live in
     * paths, not sidecars), and any such spelling keeps the scan. */
   private def tryRewriteGrouped(spark: SparkSession, a: Aggregate,
-      r: DataSourceV2Relation): Option[LogicalPlan] = {
-    val t = r.table.asInstanceOf[GraftVersionedTable]
-    val ids = r.output.map(_.exprId).toSet
+      dir: String, ver: Int,
+      relOutput: Seq[Attribute]): Option[LogicalPlan] = {
+    val ids = relOutput.map(_.exprId).toSet
     val gAttr = a.groupingExpressions.head match {
       case ar: AttributeReference if ids.contains(ar.exprId) => ar
       case _ => return None
@@ -194,9 +241,9 @@ private[plans] object MetadataAggRule {
     // optimizer, after analysis)
     val wants = slots.flatten.collect { case Right(w) => w }
     for {
-      df <- Versioned.statsAggregateBy(spark, t.tableDir,
+      df <- Versioned.statsAggregateBy(spark, dir,
         gAttr.name, gAttr.name, gAttr.dataType.catalogString, wants,
-        Some(t.snapshotVersion))
+        Some(ver))
       real = df.queryExecution.analyzed
       // positional source for each output: group refs map to the
       // group column (position 0), wants map 1..n in order

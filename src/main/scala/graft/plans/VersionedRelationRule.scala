@@ -83,13 +83,33 @@ case class VersionedRelationRule(spark: SparkSession)
         MetadataAggRule.tryRewrite(spark, a, r).getOrElse {
           // manifest can't carry it: expand the relation in place so
           // the pattern dissolves and the fixpoint proceeds to the
-          // ordinary scan-plan aggregate
+          // ordinary scan-plan aggregate. The probed mark keeps the
+          // TAGGED pass below from re-folding the same manifest for
+          // the same (immutable) snapshot on the next fixpoint pass.
           val newChild = a.child.transformUp {
             case rel: DataSourceV2Relation if rel eq r =>
               expandVersioned(rel)
           }
-          a.withNewChildren(Seq(newChild))
+          val na = a.withNewChildren(Seq(newChild))
+          na.setTagValue(MetadataAggRule.ProbedTag, true)
+          na
         }
+      // the DATASET spelling of the same rewrite: `spark.table(t)`
+      // already analyzed (and expanded) the relation before .agg()
+      // built the aggregate, so the pattern here is Aggregate over
+      // the TAGGED expansion ([[MetadataAggRule.SnapshotTag]], set in
+      // expandVersioned) — serve it from the sidecars exactly like
+      // the SQL shape, or mark it probed and keep the scan plan
+      case a: Aggregate if planResolved &&
+          a.getTagValue(MetadataAggRule.ProbedTag).isEmpty &&
+          MetadataAggRule.shapeEligible(a) &&
+          MetadataAggRule.taggedUnder(a.child).isDefined =>
+        val (dir, ver, out) = MetadataAggRule.taggedUnder(a.child).get
+        MetadataAggRule.tryRewriteOver(spark, a, dir, ver, out)
+          .getOrElse {
+            a.setTagValue(MetadataAggRule.ProbedTag, true)
+            a
+          }
       // `spark.readStream.table("graft.db.t")`: the catalog table
       // advertises no streaming capability (a changelog batch is a
       // PLAN the DSv2 PartitionReader contract can't express), so the
@@ -205,9 +225,16 @@ case class VersionedRelationRule(spark: SparkSession)
         "shape between catalog resolution and planning " +
         "(snapshots are immutable; this indicates a corrupted " +
         "manifest)")
-    Project(r.output.zip(real.output).map { case (tgt, src) =>
+    val proj = Project(r.output.zip(real.output).map { case (tgt, src) =>
       Alias(src, tgt.name)(exprId = tgt.exprId,
         qualifier = tgt.qualifier)
     }, real)
+    // mark the expansion with its snapshot identity so a LATER
+    // incremental analysis (the Dataset API's .agg over this plan)
+    // can still serve metadata-only aggregates — see the tagged
+    // Aggregate case above
+    proj.setTagValue(MetadataAggRule.SnapshotTag,
+      (t.tableDir, t.snapshotVersion))
+    proj
   }
 }

@@ -4066,6 +4066,13 @@ object Versioned {
         s"FROM graft.`$abs`")
       val servedHead = scanFree(head)
       val h = head.head()
+      // the DATASET spelling of the same aggregate serves too: the
+      // expansion's snapshot tag recovers the table identity after
+      // spark.table() has already expanded the relation
+      val dsQ = s.table(s"graft.`$abs`").agg(
+        max(col("n_nationkey")).as("mx"), count(lit(1)).as("n"))
+      val servedDs = scanFree(dsQ)
+      val dsRow = dsQ.head()
       val pin = s.sql(s"SELECT max(n_nationkey) AS mx " +
         s"FROM graft.`$abs` VERSION AS OF 1")
       val servedPin = scanFree(pin)
@@ -4106,6 +4113,9 @@ object Versioned {
         lit(lv(h.get(1))).as("mx"),
         lit(h.getLong(2)).as("n_rows"),
         lit(h.getString(3)).as("mx_name"),
+        lit(if (servedDs) 1L else 0L).as("served_ds"),
+        lit(lv(dsRow.get(0))).as("ds_mx"),
+        lit(dsRow.getLong(1)).as("ds_n"),
         lit(if (servedPin) 1L else 0L).as("served_pin"),
         lit(lv(pinMx)).as("pin_mx"),
         lit(if (servedGrp) 1L else 0L).as("served_grp"),

@@ -53,17 +53,63 @@ class MetadataAggSpec extends SparkSpec {
     val q = spark.sql(s"SELECT count(*) AS n FROM graft.`$abs`")
     assert(scanFree(q))
     assert(q.head().getLong(0) == 40L)
-    // the Dataset spelling is NOT served — spark.table() analyzes
-    // (and irreversibly expands) the bare relation before .count()
-    // ever builds the aggregate, so the pattern never exists for the
-    // rule. SQL presents the whole tree at once; the Dataset path
-    // keeps the scan and stays correct.
+    // the Dataset spelling serves too: spark.table() expands the
+    // relation before .count() exists, but the expansion carries the
+    // snapshot tag the aggregate pass recovers (the DSv2
+    // SupportsPushDownAggregates analog)
     val ds = spark.table(s"graft.`$abs`").groupBy().count()
-    assert(!scanFree(ds) && ds.head().getLong(0) == 40L)
+    assert(scanFree(ds) && ds.head().getLong(0) == 40L)
     // but min has no bounds rows -> falls back to the scan, still right
     val mn = spark.sql(s"SELECT min(id) AS mn FROM graft.`$abs`")
     assert(!scanFree(mn))
     assert(mn.head().getInt(0) == 1)
+  }
+
+  test("Dataset API serves from sidecars: agg, count, groupBy, " +
+      "pruned select; ineligible shapes keep the scan") {
+    val (t, abs) = fresh("ma_dataset")
+    val rows = (1 to 30).map(i => (i.toLong, s"p${i % 3}", i * 1.5))
+      .toDF("id", "pk", "v")
+    Versioned.commit(rows, t, partitionCol = Some("pk"),
+      statsCols = Seq("id", "v"))
+    val tbl = spark.table(s"graft.`$abs`")
+    // global aggregate over the table object
+    val g = tbl.agg(min($"id").as("mn"), max($"v").as("mx"),
+      count(lit(1)).as("n"), count($"v").as("nv"))
+    assert(scanFree(g), g.queryExecution.executedPlan.toString.take(800))
+    assert(g.head().toSeq == Seq(1L, 45.0, 30L, 30L))
+    // df.count() — the dashboard probe — is scan-free
+    val cnt = tbl.groupBy().count()
+    assert(scanFree(cnt) && cnt.head().getLong(0) == 30L)
+    // a pure column-pruning select in between still serves
+    val pruned = tbl.select("id").agg(max($"id").as("mx"))
+    assert(scanFree(pruned) && pruned.head().getLong(0) == 30L)
+    // the partition-grouped rollup serves through the Dataset API
+    val grouped = tbl.groupBy($"pk").agg(count(lit(1)).as("n"),
+      max($"v").as("mx"))
+    assert(scanFree(grouped),
+      grouped.queryExecution.executedPlan.toString.take(800))
+    val scanPlan = tbl.filter($"id".isNotNull || $"id".isNull)
+      .groupBy($"pk").agg(count(lit(1)).as("n"), max($"v").as("mx"))
+    assert(!scanFree(scanPlan))
+    assert(grouped.collect().map(_.toSeq).sortBy(_.head.toString).toSeq
+      == scanPlan.collect().map(_.toSeq).sortBy(_.head.toString).toSeq)
+    // ineligible Dataset shapes keep the scan and stay correct
+    val f = tbl.filter($"pk" === "p1").agg(max($"id").as("mx"))
+    assert(!scanFree(f) && f.head().getLong(0) == 28L)
+    val expr = tbl.agg(max($"id" + 1).as("mx"))
+    assert(!scanFree(expr) && expr.head().getLong(0) == 31L)
+    val ren = tbl.select($"id".as("renamed"))
+      .agg(max($"renamed").as("mx"))
+    assert(!scanFree(ren) && ren.head().getLong(0) == 30L)
+    // the SQL and Dataset spellings agree value-for-value
+    val sqlv = spark.sql(s"SELECT min(id) AS mn, max(v) AS mx, " +
+      s"count(*) AS n, count(v) AS nv FROM graft.`$abs`").head()
+    assert(sqlv.toSeq == g.head().toSeq)
+    // a live tombstone bails the Dataset path to the scan, same as SQL
+    Versioned.deleteRows(spark, t, Seq(30L).toDF("id"))
+    val afterDel = spark.table(s"graft.`$abs`").groupBy().count()
+    assert(!scanFree(afterDel) && afterDel.head().getLong(0) == 29L)
   }
 
   test("live MoR tombstone bails to the scan; compaction re-enables") {
