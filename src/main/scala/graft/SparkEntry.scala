@@ -300,6 +300,11 @@ object SparkEntry {
     // group migration / nulled values / group death all in one batch.
     "q54_agg_refresh" ->
       (graft.sources.DerivedTable.aggRefreshGate _),
+    // SQL materialized-view lifecycle (q55): CREATE MATERIALIZED VIEW
+    // persists the spec in the view's properties; refresh_mv advances
+    // both kinds argument-free; DROP MATERIALIZED VIEW removes it.
+    "q55_mv_lifecycle" ->
+      (graft.sources.DerivedTable.mvLifecycleGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1746,6 +1751,26 @@ object SparkEntry {
            CAST(1 AS BIGINT) AS noop_stable,
            CAST(1 AS BIGINT) AS refused_foreign_key,
            CAST(1 AS BIGINT) AS refused_unpinned""",
+    "q55_mv_lifecycle" ->
+      """SELECT CAST(1 AS BIGINT) AS created_derived,
+                CAST(1 AS BIGINT) AS created_agg,
+                (SELECT count(*) FROM documents
+                  WHERE doc_id < 300 AND n_chars >= 300) AS rows_v1,
+                (SELECT count(DISTINCT source) FROM documents
+                  WHERE doc_id < 300) AS groups_v1,
+                CAST(1 AS BIGINT) AS mv_from,
+                CAST(2 AS BIGINT) AS mv_to,
+                CAST(1 AS BIGINT) AS agg_from,
+                CAST(2 AS BIGINT) AS agg_to,
+                (SELECT count(*) FROM documents
+                  WHERE n_chars >= 300) AS rows_v2,
+                (SELECT count(DISTINCT source) FROM documents)
+                  AS groups_v2,
+                CAST(1 AS BIGINT) AS eq_derived,
+                CAST(1 AS BIGINT) AS eq_agg,
+                CAST(1 AS BIGINT) AS spec_props,
+                CAST(1 AS BIGINT) AS noop_stable,
+                CAST(1 AS BIGINT) AS dropped""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle
 
   /** q47's oracle aggregates the graft table's OWN data files — the

@@ -1,0 +1,310 @@
+package graft.plans
+
+import scala.util.Try
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
+  UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation,
+  UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Expression,
+  Literal, PlanExpression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
+  LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+import graft.sources.{DerivedTable, GraftCatalog, Versioned}
+
+/** SQL lifecycle for incrementally maintained MATERIALIZED VIEWS —
+  * the spelling the Iceberg/Delta MV proposals define, over the
+  * engine's existing [[DerivedTable]] machinery:
+  *
+  *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv KEY (k)
+  *     AS SELECT …row-pure… FROM src [WHERE …]
+  *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv ROW KEY (id)
+  *     AS SELECT g, sum(v) AS sum_v, count(v) AS cnt_v,
+  *               count(*) AS n_rows[, min(c) AS min_c, max(c) AS max_c]
+  *        FROM src GROUP BY g
+  *   DROP MATERIALIZED VIEW [IF EXISTS] mv
+  *
+  * CREATE runs the BOOTSTRAP build and persists the view's spec
+  * (kind, source dir, key, query text) in the destination's own table
+  * properties — the same travels-with-the-bytes discipline as the
+  * `src=vN` pin — so `CALL graft.system.refresh_mv('mv')` advances it
+  * with no caller-supplied arguments and `SHOW TBLPROPERTIES`
+  * surfaces the stored definition. The spec-persisting property
+  * commit re-pins `src=vN` in its note, so the pin is never buried.
+  *
+  * KIND is detected from the query: a GROUP BY query must match the
+  * delta-maintainable aggregate shape EXACTLY (the stored schema of
+  * [[DerivedTable.refreshAgg]], canonical aliases and order) and
+  * names the SOURCE row identity via ROW KEY; anything else must be
+  * row-pure — SELECT/WHERE over ONE table, no joins, windows,
+  * subqueries, DISTINCT, LIMIT or ORDER BY, because none of those
+  * propagate per-key deltas. Both refusals state the contract. */
+object MvDdl {
+
+  private val CreateRe =
+    ("(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([^\\s(]+)\\s+(ROW\\s+)?KEY\\s*" +
+      "\\(\\s*([A-Za-z0-9_`]+)\\s*\\)\\s+AS\\s+(.+?)\\s*;?\\s*").r
+  private val DropRe =
+    ("(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "(IF\\s+EXISTS\\s+)?([^\\s;]+)\\s*;?\\s*").r
+
+  def parse(sqlText: String,
+      delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
+    case CreateRe(ine, tbl, rowKw, key, query) =>
+      Some(CreateMaterializedViewCommand(
+        delegate.parseMultipartIdentifier(tbl),
+        ifNotExists = ine != null, rowKeySpelling = rowKw != null,
+        key.replace("`", ""), query.trim))
+    case DropRe(ife, tbl) =>
+      Some(DropMaterializedViewCommand(
+        delegate.parseMultipartIdentifier(tbl), ifExists = ife != null))
+    case _ => None
+  }
+
+  /** Resolve an identifier to its directory WITHOUT requiring the
+    * table to exist (a CREATE target) — the graft catalog's own
+    * mapping, selected like [[GraftDdl.tableDir]] does. */
+  def destDir(spark: SparkSession, parts: Seq[String],
+      what: String): String = {
+    val cm = spark.sessionState.catalogManager
+    val (cat, rest) =
+      if (parts.length > 1 && Try(cm.catalog(parts.head)).isSuccess)
+        (cm.catalog(parts.head), parts.tail)
+      else (cm.currentCatalog, parts)
+    cat match {
+      case g: GraftCatalog =>
+        g.dirFor(Identifier.of(rest.init.toArray, rest.last))
+      case other => throw new UnsupportedOperationException(
+        s"$what needs the graft catalog; '${other.name}' cannot " +
+          "hold graft materialized views")
+    }
+  }
+
+  /** One eligible aggregate call: (lowercased fn, its single bare
+    * column arg — None for count(*)/count(1)). */
+  private def fnOf(e: Expression): Option[(String, Option[String])] =
+    e match {
+      case f: UnresolvedFunction
+          if !f.isDistinct && f.filter.isEmpty &&
+            f.nameParts.length == 1 =>
+        val name = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+        f.arguments match {
+          case Seq(ua: UnresolvedAttribute) if ua.nameParts.length == 1 =>
+            Some((name, Some(ua.nameParts.head)))
+          case Seq(l: Literal) if name == "count" && l.value != null =>
+            Some((name, None))
+          case Seq(_: UnresolvedStar) if name == "count" =>
+            Some((name, None))
+          case _ => None
+        }
+      case _ => None
+    }
+
+  /** Match the parsed query against the delta-maintainable aggregate
+    * shape — `SELECT g, sum(v) AS sum_<v>, count(v) AS cnt_<v>,
+    * count(*) AS n_rows[, min(c) AS min_<c>, max(c) AS max_<c> …]
+    * FROM src GROUP BY g`, canonical aliases IN ORDER (so `SELECT *
+    * FROM mv` returns exactly what the definition reads) — and
+    * extract (group, value, extrema). None for any other shape. */
+  def aggShapeOf(p: LogicalPlan): Option[(String, String, Seq[String])] = {
+    val agg = p match {
+      case a: Aggregate => a
+      case _ => return None
+    }
+    agg.child match {
+      case _: UnresolvedRelation => ()
+      case s: SubqueryAlias if s.child.isInstanceOf[UnresolvedRelation] => ()
+      case _ => return None // a WHERE (or worse) under GROUP BY: the
+      // algebra diffs WHOLE-source touched rows, a filter would skew it
+    }
+    val g = agg.groupingExpressions match {
+      case Seq(ua: UnresolvedAttribute) if ua.nameParts.length == 1 =>
+        ua.nameParts.head
+      case _ => return None
+    }
+    val outs = agg.aggregateExpressions
+    if (outs.length < 4) return None
+    val groupOk = outs.head match {
+      case ua: UnresolvedAttribute => ua.nameParts == Seq(g)
+      case UnresolvedAlias(ua: UnresolvedAttribute, _) =>
+        ua.nameParts == Seq(g)
+      case Alias(ua: UnresolvedAttribute, name) =>
+        ua.nameParts == Seq(g) && name == g
+      case _ => false
+    }
+    if (!groupOk) return None
+    def aliased(e: Expression): Option[(String, String, Option[String])] =
+      e match {
+        case Alias(child, name) => fnOf(child).map {
+          case (fn, arg) => (name, fn, arg) }
+        case _ => None
+      }
+    val rest = outs.tail.map(aliased)
+    if (rest.exists(_.isEmpty)) return None
+    val seq = rest.flatten
+    val v = seq.head match {
+      case (name, "sum", Some(c))
+          if name == s"sum_$c" && c != g => c
+      case _ => return None
+    }
+    seq.lift(1) match {
+      case Some((name, "count", Some(c)))
+          if name == s"cnt_$c" && c == v => ()
+      case _ => return None
+    }
+    seq.lift(2) match {
+      case Some(("n_rows", "count", None)) => ()
+      case _ => return None
+    }
+    // optional extrema: (min_c, max_c) pairs over non-group columns
+    val ext = seq.drop(3).grouped(2).map {
+      case Seq((n1, "min", Some(c1)), (n2, "max", Some(c2)))
+          if c1 == c2 && c1 != g &&
+            n1 == s"min_$c1" && n2 == s"max_$c1" => Some(c1)
+      case _ => None
+    }.toSeq
+    if (ext.exists(_.isEmpty)) return None
+    Some((g, v, ext.flatten))
+  }
+
+  private[plans] val AggShapeMsg =
+    "a GROUP BY materialized view must match the delta-maintainable " +
+      "shape exactly: SELECT <g>, sum(<v>) AS sum_<v>, count(<v>) AS " +
+      "cnt_<v>, count(*) AS n_rows[, min(<c>) AS min_<c>, max(<c>) " +
+      "AS max_<c> …] FROM <src> GROUP BY <g> — no WHERE, HAVING, " +
+      "DISTINCT, expressions, or other aggregates (avg is sum/cnt at " +
+      "read)"
+
+  private[plans] val RowPureMsg =
+    "a row-pure materialized view supports SELECT … FROM <one " +
+      "table> [WHERE …] only — joins, windows, subqueries, DISTINCT, " +
+      "LIMIT and ORDER BY do not propagate per-key deltas (each " +
+      "output row must derive from the single input row with its key)"
+}
+
+/** The CREATE statement: validate the query's shape, run the
+  * bootstrap build, persist the spec in the destination's properties
+  * (re-pinning `src=vN` in the property commit's note). Returns one
+  * row (kind, from_version, to_version). */
+case class CreateMaterializedViewCommand(parts: Seq[String],
+    ifNotExists: Boolean, rowKeySpelling: Boolean, key: String,
+    queryText: String) extends LeafRunnableCommand {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(AttributeReference("kind", StringType, nullable = false)(),
+      AttributeReference("from_version", IntegerType, nullable = false)(),
+      AttributeReference("to_version", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val name = parts.mkString(".")
+    val dstDir = MvDdl.destDir(spark, parts, "CREATE MATERIALIZED VIEW")
+    if (Versioned.currentVersion(spark, dstDir) > 0) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalStateException(
+        s"table $name already exists (CREATE MATERIALIZED VIEW " +
+          "refuses to adopt standing tables; DROP it or use IF NOT " +
+          "EXISTS)")
+    }
+    val parsed = spark.sessionState.sqlParser.parsePlan(queryText)
+    // relations INSIDE subquery expressions would dodge the
+    // single-table rule, and windows/subqueries aren't row-pure —
+    // sweep the expression trees before counting relations
+    val exprBad = parsed.flatMap(_.expressions.flatMap(_.collect {
+      case _: PlanExpression[_] => "subquery"
+      case w if w.getClass.getSimpleName.contains("Window") =>
+        "window function"
+    })).distinct
+    require(exprBad.isEmpty,
+      s"${exprBad.mkString(", ")} in the view query: " +
+        MvDdl.RowPureMsg)
+    val rels = parsed.collect { case u: UnresolvedRelation => u }
+    require(rels.length == 1,
+      s"the view query reads ${rels.length} tables: " + MvDdl.RowPureMsg)
+    val srcDir = GraftDdl.tableDir(spark, rels.head.multipartIdentifier,
+      "CREATE MATERIALIZED VIEW source")
+    val srcCols = Versioned.read(spark, srcDir).columns.toSet
+    require(srcCols.contains(key),
+      s"key column '$key' is not in the source table " +
+        s"(has: ${srcCols.toSeq.sorted.mkString(", ")})")
+    val hasAgg = parsed.exists {
+      case _: Aggregate => true
+      case _ => false
+    }
+    if (hasAgg) {
+      val (g, v, ext) = MvDdl.aggShapeOf(parsed).getOrElse(
+        throw new UnsupportedOperationException(MvDdl.AggShapeMsg))
+      require(rowKeySpelling,
+        "a GROUP BY materialized view names the SOURCE row identity " +
+          "— spell it ROW KEY (<source row id>), not KEY")
+      (Seq(g, v) ++ ext).foreach(c => require(srcCols.contains(c),
+        s"column '$c' is not in the source table " +
+          s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
+      val (from, to) = DerivedTable.refreshAgg(spark, srcDir, dstDir,
+        key, g, v, extrema = ext)
+      Versioned.setProperties(spark, dstDir, Map(
+        DerivedTable.MvKindProp -> "agg",
+        DerivedTable.MvSourceProp -> srcDir,
+        DerivedTable.MvRowKeyProp -> key,
+        DerivedTable.MvGroupProp -> g,
+        DerivedTable.MvValueProp -> v,
+        DerivedTable.MvExtremaProp -> ext.mkString(","),
+        DerivedTable.MvQueryProp -> queryText),
+        note = Some(s"src=v$to"))
+      Seq(Row("agg", from, to))
+    } else {
+      require(!rowKeySpelling,
+        "ROW KEY is the aggregate-view spelling; a row-pure view " +
+          "takes KEY (<key column>)")
+      // structural row-purity: only projection/filter over the table
+      val badNodes = parsed.collect {
+        case p if !p.isInstanceOf[Project] && !p.isInstanceOf[Filter] &&
+          !p.isInstanceOf[SubqueryAlias] &&
+          !p.isInstanceOf[UnresolvedRelation] => p.nodeName
+      }.distinct
+      require(badNodes.isEmpty,
+        s"${badNodes.mkString(", ")} in the view query: " +
+          MvDdl.RowPureMsg)
+      val t = DerivedTable.mvTransform(spark, queryText)
+      val (from, to) = DerivedTable.refresh(spark, srcDir, dstDir,
+        key, t)
+      Versioned.setProperties(spark, dstDir, Map(
+        DerivedTable.MvKindProp -> "derived",
+        DerivedTable.MvSourceProp -> srcDir,
+        DerivedTable.MvKeyProp -> key,
+        DerivedTable.MvQueryProp -> queryText),
+        note = Some(s"src=v$to"))
+      Seq(Row("derived", from, to))
+    }
+  }
+}
+
+/** DROP MATERIALIZED VIEW: deletes the view's directory, but ONLY
+  * when the table actually carries a materialized-view spec — a plain
+  * table refuses with the DROP TABLE advice (and vice versa nothing
+  * stops DROP TABLE on a view: it IS a table). */
+case class DropMaterializedViewCommand(parts: Seq[String],
+    ifExists: Boolean) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val name = parts.mkString(".")
+    val dir = MvDdl.destDir(spark, parts, "DROP MATERIALIZED VIEW")
+    if (Versioned.currentVersion(spark, dir) == 0) {
+      if (ifExists) return Seq.empty
+      throw new IllegalArgumentException(
+        s"materialized view $name does not exist")
+    }
+    require(Versioned.properties(spark, dir)
+        .contains(DerivedTable.MvKindProp),
+      s"$name is a plain table, not a materialized view — use DROP " +
+        "TABLE")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val f = p.getFileSystem(spark.sessionState.newHadoopConf())
+    f.delete(p, true)
+    Seq.empty
+  }
+}

@@ -154,6 +154,7 @@ case class GraftSqlParser(delegate: ParserInterface,
     PartitionFieldDdl.parse(sqlText, delegate)
       .orElse(RefDdl.parse(sqlText, delegate))
       .orElse(WriteOrderDdl.parse(sqlText, delegate, session))
+      .orElse(MvDdl.parse(sqlText, delegate))
       .getOrElse(delegate.parsePlan(sqlText))
   @throws[ParseException]
   override def parseExpression(sqlText: String): Expression =

@@ -41,6 +41,88 @@ import org.apache.spark.sql.functions._
   * length; a full rebuild happens exactly once, at bootstrap. */
 object DerivedTable {
 
+  // —— materialized-view spec persistence ——
+  // `CREATE MATERIALIZED VIEW` (graft.plans.MvDdl) stores the view's
+  // definition in the DESTINATION's own table properties, so the spec
+  // travels with the bytes exactly like the src=vN pin does: any
+  // session (or engine reading `_props`) can refresh the view with no
+  // caller-supplied arguments — `CALL graft.system.refresh_mv(dest)`
+  // reads these back and dispatches to [[refresh]] / [[refreshAgg]].
+  val MvKindProp = "graft.mv.kind" // "derived" | "agg"
+  val MvSourceProp = "graft.mv.source" // resolved source table dir
+  val MvKeyProp = "graft.mv.key" // derived: the row key
+  val MvRowKeyProp = "graft.mv.row_key" // agg: the SOURCE row identity
+  val MvGroupProp = "graft.mv.group_by" // agg: the group column
+  val MvValueProp = "graft.mv.value" // agg: the summed value column
+  val MvExtremaProp = "graft.mv.extrema" // agg: csv of min/max columns
+  val MvQueryProp = "graft.mv.query" // the AS SELECT text, verbatim
+
+  /** The row-pure transform a DERIVED materialized view persists: the
+    * stored query text re-parses at each refresh and its single table
+    * reference is substituted with the refresh's input frame (full
+    * source at bootstrap, reduced changed rows incrementally) — plan
+    * substitution, not text substitution, so no identifier quoting
+    * can break it. The frame aliases as the relation's last name part
+    * so `src.col` references keep resolving. */
+  def mvTransform(s: SparkSession,
+      queryText: String): DataFrame => DataFrame = df => {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+    val parsed = s.sessionState.sqlParser.parsePlan(queryText)
+    var hits = 0
+    val replaced = parsed.transformUp {
+      case u: UnresolvedRelation =>
+        hits += 1
+        SubqueryAlias(u.multipartIdentifier.last,
+          df.queryExecution.analyzed)
+    }
+    require(hits == 1, s"the stored materialized-view query must " +
+      s"read exactly one table, found $hits: $queryText")
+    org.apache.spark.sql.graft.SparkInternals.ofRows(s, replaced)
+  }
+
+  /** Argument-free refresh: read the spec back from `dstDir`'s
+    * properties and advance the view. Returns (kind, from, to). */
+  def refreshMv(s: SparkSession, dstDir: String): (String, Int, Int) = {
+    val props = Versioned.properties(s, dstDir)
+    val kind = props.getOrElse(MvKindProp,
+      throw new IllegalArgumentException(
+        s"$dstDir is not a materialized view (no $MvKindProp " +
+          "property) — create one with CREATE MATERIALIZED VIEW … " +
+          "AS SELECT, or call refresh_derived/refresh_agg with an " +
+          "explicit spec"))
+    val src = props(MvSourceProp)
+    kind match {
+      case "derived" =>
+        val (f, t) = refresh(s, src, dstDir, props(MvKeyProp),
+          mvTransform(s, props(MvQueryProp)))
+        ("derived", f, t)
+      case "agg" =>
+        val ext = props.get(MvExtremaProp).toSeq.flatMap(_.split(","))
+          .map(_.trim).filter(_.nonEmpty)
+        val (f, t) = refreshAgg(s, src, dstDir, props(MvRowKeyProp),
+          props(MvGroupProp), props(MvValueProp), extrema = ext)
+        ("agg", f, t)
+      case other => throw new IllegalStateException(
+        s"unknown $MvKindProp '$other' at $dstDir")
+    }
+  }
+
+  /** Row-for-row BAG equality (duplicates counted) in ONE shuffle:
+    * signed-union the two frames (+1/-1 weights) and check every
+    * group's weight sum is zero — the same pass the delta maintenance
+    * uses, replacing the gates' former two-direction `exceptAll`
+    * (four scans, two shuffles) with one aggregation. Null values
+    * group natively, so null-keyed rows compare correctly. */
+  def bagEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toSeq
+    a.withColumn("__w", lit(1L))
+      .unionByName(b.select(cols.map(col): _*)
+        .withColumn("__w", lit(-1L)))
+      .groupBy(cols.map(col): _*).agg(sum(col("__w")).as("__d"))
+      .filter(col("__d") =!= 0L).isEmpty
+  }
+
   /** Above this many point values the readWhereIn pruning expression
     * grows codegen-hostile AND its selectivity collapses (most files
     * contain SOME value), so the tiered read switches to a broadcast
@@ -422,15 +504,13 @@ object DerivedTable {
       sum(col("n_rows")).as("r"),
       sum(col("sum_n_chars")).as("s"),
       sum(col("cnt_n_chars")).as("c")).head()
-    // row-for-row equality against the full recompute (bag semantics)
+    // row-for-row equality against the full recompute (bag
+    // semantics) — one signed-union shuffle, see [[bagEqual]]
     val expect = Versioned.read(s, src).groupBy(col("source")).agg(
       sum(col("n_chars")).as("sum_n_chars"),
       count(col("n_chars")).as("cnt_n_chars"),
       count(lit(1)).as("n_rows"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eq = fin.exceptAll(expect).isEmpty &&
-      expect.exceptAll(fin).isEmpty
-    expect.unpersist(blocking = false)
+    val eq = bagEqual(fin, expect)
     fin.unpersist(blocking = false)
     // no-op stability: the pin matches, no new destination version
     val vBefore = Versioned.currentVersion(s, dst)
@@ -455,6 +535,82 @@ object DerivedTable {
         "charsum_v3", "charcnt_v3", "refresh_from", "refresh_to",
         "eq_full_recompute", "noop_stable", "refused_foreign_key",
         "refused_unpinned")
+  }
+
+  /** Driver-visible gate (q55): the SQL MATERIALIZED VIEW lifecycle —
+    * CREATE MATERIALIZED VIEW bootstraps the build and persists the
+    * spec in the view's own table properties, `CALL refresh_mv(view)`
+    * advances BOTH kinds argument-free (the spec reads back from the
+    * properties), the advanced states equal full recomputes, a no-op
+    * refresh holds the pin, and DROP MATERIALIZED VIEW removes the
+    * view. Every fact reduces to a constant DuckDB restates from the
+    * documents fixture. */
+  def mvLifecycleGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-mvddl-gate")
+    try mvLifecycleGateBody(s, d, work)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  private def mvLifecycleGateBody(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    def abs(n: String) = work.resolve(n).toAbsolutePath.toString
+    val src = abs("src"); val mv = abs("mv"); val aggmv = abs("aggmv")
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    Versioned.commit(docs.filter(col("doc_id") < 300), src)
+    val cd = s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` " +
+      s"KEY (doc_id) AS SELECT doc_id, source, n_chars * 2 AS w " +
+      s"FROM graft.`$src` WHERE n_chars >= 300").head()
+    val rowsV1 = Versioned.read(s, mv).count()
+    val ca = s.sql(s"CREATE MATERIALIZED VIEW graft.`$aggmv` " +
+      s"ROW KEY (doc_id) AS SELECT source, sum(n_chars) AS " +
+      s"sum_n_chars, count(n_chars) AS cnt_n_chars, count(*) AS " +
+      s"n_rows FROM graft.`$src` GROUP BY source").head()
+    val groupsV1 = Versioned.read(s, aggmv).count()
+    Versioned.append(docs.filter(col("doc_id") >= 300), src)
+    val r1 = s.sql(s"CALL graft.system.refresh_mv('$mv')").head()
+    val r2 = s.sql(s"CALL graft.system.refresh_mv('$aggmv')").head()
+    val rowsV2 = Versioned.read(s, mv).count()
+    val groupsV2 = Versioned.read(s, aggmv).count()
+    // both advanced states equal their full recomputes, in one
+    // signed-union shuffle each
+    val eqD = bagEqual(Versioned.read(s, mv),
+      s.sql(s"SELECT doc_id, source, n_chars * 2 AS w FROM " +
+        s"graft.`$src` WHERE n_chars >= 300"))
+    val eqA = bagEqual(Versioned.read(s, aggmv),
+      s.sql(s"SELECT source, sum(n_chars) AS sum_n_chars, " +
+        s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows FROM " +
+        s"graft.`$src` GROUP BY source"))
+    // the spec travels in the properties of BOTH views
+    val pd = Versioned.properties(s, mv)
+    val pa = Versioned.properties(s, aggmv)
+    val specOk = pd.get(MvKindProp).contains("derived") &&
+      pd.contains(MvQueryProp) && pd.get(MvKeyProp).contains("doc_id") &&
+      pa.get(MvKindProp).contains("agg") &&
+      pa.get(MvGroupProp).contains("source") &&
+      pa.get(MvValueProp).contains("n_chars")
+    // a no-op refresh holds the pin and publishes nothing
+    val vBefore = Versioned.currentVersion(s, mv)
+    val rn = s.sql(s"CALL graft.system.refresh_mv('$mv')").head()
+    val noopOk = rn.getInt(1) == rn.getInt(2) &&
+      Versioned.currentVersion(s, mv) == vBefore
+    s.sql(s"DROP MATERIALIZED VIEW graft.`$mv`")
+    val dropped = Versioned.currentVersion(s, mv) == 0
+    import s.implicits._
+    Seq((if (cd.getString(0) == "derived") 1L else 0L,
+        if (ca.getString(0) == "agg") 1L else 0L,
+        rowsV1, groupsV1,
+        r1.getInt(1).toLong, r1.getInt(2).toLong,
+        r2.getInt(1).toLong, r2.getInt(2).toLong,
+        rowsV2, groupsV2,
+        if (eqD) 1L else 0L, if (eqA) 1L else 0L,
+        if (specOk) 1L else 0L, if (noopOk) 1L else 0L,
+        if (dropped) 1L else 0L))
+      .toDF("created_derived", "created_agg", "rows_v1", "groups_v1",
+        "mv_from", "mv_to", "agg_from", "agg_to", "rows_v2",
+        "groups_v2", "eq_derived", "eq_agg", "spec_props",
+        "noop_stable", "dropped")
   }
 
   /** Driver-visible gate (q52): a curated projection of the documents
@@ -498,17 +654,9 @@ object DerivedTable {
       key = "doc_id")
     val (rFrom, rTo) = refresh(s, src, dst, "doc_id", t)
     val c3 = Versioned.read(s, dst).count()
-    // full-recompute equality, both directions (exceptAll is bag
-    // semantics, so this is row-for-row including duplicates); both
-    // sides persisted — each feeds two exceptAll consumers
-    val expect = t(Versioned.read(s, src))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val got = Versioned.read(s, dst)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val eq = got.exceptAll(expect).isEmpty &&
-      expect.exceptAll(got).isEmpty
-    expect.unpersist(blocking = false)
-    got.unpersist(blocking = false)
+    // full-recompute equality, row-for-row including duplicates —
+    // one signed-union shuffle, see [[bagEqual]]
+    val eq = bagEqual(Versioned.read(s, dst), t(Versioned.read(s, src)))
     // a no-op refresh must not publish a new destination version
     val vBefore = Versioned.currentVersion(s, dst)
     val noop = refresh(s, src, dst, "doc_id", t)

@@ -283,6 +283,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           s"$catName.root, or name tables by absolute path " +
           s"($catName.`/abs/dir`)"))
 
+  /** The identifier→directory mapping, usable for NOT-YET-EXISTING
+    * targets (CREATE MATERIALIZED VIEW resolves its destination
+    * before the table exists — loadTable would throw). */
+  def dirFor(ident: Identifier): String = dirOf(ident)
+
   private def dirOf(ident: Identifier): String =
     if (ident.name.startsWith("/")) {
       require(ident.namespace.isEmpty,

@@ -400,6 +400,20 @@ object GraftProcedures {
             extrema = ext)
           Seq(from, to)
         })
+      case "refresh_mv" => new Proc("refresh_mv",
+        "argument-free refresh of a CREATE MATERIALIZED VIEW table: " +
+          "reads the spec (kind, source, key, query) back from the " +
+          "view's own properties and dispatches to the derived or " +
+          "aggregate delta-maintenance path",
+        Seq(p("view", StringType)),
+        StructType(Seq(
+          StructField("kind", StringType, nullable = false),
+          StructField("from_version", IntegerType, nullable = false),
+          StructField("to_version", IntegerType, nullable = false))),
+        a => {
+          val (kind, from, to) = DerivedTable.refreshMv(spark, dir(a(0)))
+          Seq(kind, from, to)
+        })
       case _ => null
     })
   }
@@ -409,5 +423,5 @@ object GraftProcedures {
     "create_tag", "create_branch", "fast_forward", "drop_branch",
     "set_spec", "collect_stats", "rewrite_zorder",
     "remove_orphan_files", "create_changelog_view", "add_files",
-    "clone_table", "refresh_derived", "refresh_agg")
+    "clone_table", "refresh_derived", "refresh_agg", "refresh_mv")
 }

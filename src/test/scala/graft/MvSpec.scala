@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DerivedTable, Versioned}
+
+/** The SQL materialized-view lifecycle: CREATE MATERIALIZED VIEW
+  * bootstraps the build and persists the spec in the view's own table
+  * properties; CALL graft.system.refresh_mv advances it argument-free
+  * (reading the spec back); SHOW TBLPROPERTIES surfaces the stored
+  * definition; DROP MATERIALIZED VIEW removes it. Shape refusals pin
+  * the delta-maintainability contract. */
+class MvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val work = "target/tmp/mv"
+  private def fresh(name: String): String = {
+    val t = s"$work/$name"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
+    new java.io.File(t).getAbsolutePath
+  }
+
+  test("derived MV: pure-SQL create, argument-free refresh, " +
+      "properties surface the spec, drop") {
+    val src = fresh("mv_src")
+    val dst = fresh("mv_dst")
+    Versioned.commit((1L to 20L).map(i => (i, s"s${i % 3}", i * 10L))
+      .toDF("id", "source", "n"), src)
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      s"KEY (id) AS SELECT id, source, n * 2 AS w FROM graft.`$src` " +
+      "WHERE n >= 50").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("derived", 0, 1)))
+    val got1 = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(got1.count() == 16 &&
+      got1.filter($"id" === 5L).head().getLong(2) == 100L)
+    // the spec travels with the bytes: properties carry it all
+    val props = Versioned.properties(spark, dst)
+    assert(props(DerivedTable.MvKindProp) == "derived" &&
+      props(DerivedTable.MvSourceProp) == src &&
+      props(DerivedTable.MvKeyProp) == "id" &&
+      props(DerivedTable.MvQueryProp).startsWith("SELECT id"))
+    // SHOW TBLPROPERTIES is the DESCRIBE surface
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$dst`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get(DerivedTable.MvKindProp).contains("derived"))
+    // source advances: one upsert crossing the filter bar DOWN, one
+    // new row, one delete — refresh_mv propagates all three with NO
+    // caller-supplied spec
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((5L, "s2", 10L), (21L, "s0", 990L))
+        .toDF("id", "source", "n"),
+      deleteKeys = Seq(7L).toDF("id"), key = "id")
+    val r = spark.sql(
+      s"CALL graft.system.refresh_mv('$dst')").collect()
+    assert(r.map(_.toSeq).toSeq == Seq(Seq("derived", 1, 2)))
+    val got2 = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(got2.count() == 15) // 16 - fell(5) - deleted(7) + new(21)
+    assert(got2.filter($"id" === 5L).isEmpty &&
+      got2.filter($"id" === 7L).isEmpty &&
+      got2.filter($"id" === 21L).head().getLong(2) == 1980L)
+    // row-for-row against the full recompute, in SQL
+    val expect = spark.sql(s"SELECT id, source, n * 2 AS w " +
+      s"FROM graft.`$src` WHERE n >= 50")
+    assert(got2.exceptAll(expect).isEmpty &&
+      expect.exceptAll(got2).isEmpty)
+    // no-op refresh holds the version
+    val r2 = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(r2.head.getInt(1) == r2.head.getInt(2))
+    // IF NOT EXISTS no-ops on the standing view; bare CREATE refuses
+    assert(spark.sql(s"CREATE MATERIALIZED VIEW IF NOT EXISTS " +
+      s"graft.`$dst` KEY (id) AS SELECT id FROM graft.`$src`")
+      .collect().isEmpty)
+    val dup = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$dst` KEY (id) " +
+        s"AS SELECT id FROM graft.`$src`"))
+    assert(dup.getMessage.contains("already exists"))
+    // DROP MATERIALIZED VIEW removes it; IF EXISTS then no-ops
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$dst`")
+    assert(Versioned.currentVersion(spark, dst) == 0)
+    spark.sql(s"DROP MATERIALIZED VIEW IF EXISTS graft.`$dst`")
+    val gone = intercept[Exception](spark.sql(
+      s"DROP MATERIALIZED VIEW graft.`$dst`"))
+    assert(gone.getMessage.contains("does not exist"))
+  }
+
+  test("aggregate MV: ROW KEY spelling, extrema, argument-free " +
+      "delta refresh") {
+    val src = fresh("aggmv_src")
+    val dst = fresh("aggmv_dst")
+    Versioned.commit((1L to 30L).map(i => (i, s"g${i % 3}", i))
+      .toDF("id", "g", "v"), src)
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      s"ROW KEY (id) AS SELECT g, sum(v) AS sum_v, count(v) AS " +
+      s"cnt_v, count(*) AS n_rows, min(v) AS min_v, max(v) AS max_v " +
+      s"FROM graft.`$src` GROUP BY g").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("agg", 0, 1)))
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`").columns.toSeq ==
+      Seq("g", "sum_v", "cnt_v", "n_rows", "min_v", "max_v"))
+    val props = Versioned.properties(spark, dst)
+    assert(props(DerivedTable.MvKindProp) == "agg" &&
+      props(DerivedTable.MvGroupProp) == "g" &&
+      props(DerivedTable.MvValueProp) == "v" &&
+      props(DerivedTable.MvExtremaProp) == "v" &&
+      props(DerivedTable.MvRowKeyProp) == "id")
+    // delete the maximum of g0 (30) and migrate 1 to a new group
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((1L, "fresh", 500L)).toDF("id", "g", "v"),
+      deleteKeys = Seq(30L).toDF("id"), key = "id")
+    val r = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(r.map(_.toSeq).toSeq == Seq(Seq("agg", 1, 2)))
+    val fin = spark.sql(s"SELECT * FROM graft.`$dst`")
+    val expect = spark.sql(s"SELECT g, sum(v) AS sum_v, count(v) AS " +
+      s"cnt_v, count(*) AS n_rows, min(v) AS min_v, max(v) AS max_v " +
+      s"FROM graft.`$src` GROUP BY g")
+    assert(fin.exceptAll(expect).isEmpty &&
+      expect.exceptAll(fin).isEmpty)
+    assert(fin.filter($"g" === "fresh").head().getLong(1) == 500L)
+    // the deleted maximum recomputed: g0 max falls from 30 to 27
+    assert(fin.filter($"g" === "g0").head().getLong(5) == 27L)
+  }
+
+  test("shape refusals pin the delta-maintainability contract") {
+    val src = fresh("mvref_src")
+    val src2 = fresh("mvref_src2")
+    val dst = fresh("mvref_dst")
+    Versioned.commit(Seq((1L, "a", 2L)).toDF("id", "g", "v"), src)
+    Versioned.commit(Seq((1L, "b")).toDF("id", "x"), src2)
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(frag),
+        s"expected '$frag' in: ${e.getMessage.take(300)}")
+    }
+    val mk = s"CREATE MATERIALIZED VIEW graft.`$dst` "
+    refuse(mk + s"KEY (id) AS SELECT a.id FROM graft.`$src` a " +
+      s"JOIN graft.`$src2` b ON a.id = b.id", "reads 2 tables")
+    refuse(mk + s"KEY (id) AS SELECT DISTINCT id FROM graft.`$src`",
+      "row-pure")
+    refuse(mk + s"KEY (id) AS SELECT id FROM graft.`$src` " +
+      "ORDER BY id", "row-pure")
+    refuse(mk + s"KEY (id) AS SELECT id FROM graft.`$src` LIMIT 5",
+      "row-pure")
+    refuse(mk + s"KEY (id) AS SELECT id, rank() OVER (ORDER BY v) " +
+      s"AS r FROM graft.`$src`", "window")
+    refuse(mk + s"KEY (id) AS SELECT id, (SELECT max(id) FROM " +
+      s"graft.`$src`) AS m FROM graft.`$src`", "subquery")
+    // GROUP BY shapes: wrong aliases, WHERE, avg all refuse with the
+    // canonical shape; the right shape under KEY demands ROW KEY
+    refuse(mk + s"ROW KEY (id) AS SELECT g, sum(v) AS total FROM " +
+      s"graft.`$src` GROUP BY g", "delta-maintainable shape")
+    refuse(mk + s"ROW KEY (id) AS SELECT g, sum(v) AS sum_v, " +
+      s"count(v) AS cnt_v, count(*) AS n_rows FROM graft.`$src` " +
+      "WHERE v > 0 GROUP BY g", "delta-maintainable shape")
+    refuse(mk + s"ROW KEY (id) AS SELECT g, avg(v) AS sum_v, " +
+      s"count(v) AS cnt_v, count(*) AS n_rows FROM graft.`$src` " +
+      "GROUP BY g", "delta-maintainable shape")
+    refuse(mk + s"KEY (id) AS SELECT g, sum(v) AS sum_v, count(v) " +
+      s"AS cnt_v, count(*) AS n_rows FROM graft.`$src` GROUP BY g",
+      "ROW KEY")
+    refuse(mk + s"ROW KEY (id) AS SELECT id, v FROM graft.`$src`",
+      "KEY (<key column>)")
+    refuse(mk + s"KEY (nope) AS SELECT id FROM graft.`$src`",
+      "not in the source")
+    // lifecycle refusals: refresh_mv on a spec-less table, DROP
+    // MATERIALIZED VIEW on a plain table
+    refuse(s"CALL graft.system.refresh_mv('$src')",
+      "not a materialized view")
+    refuse(s"DROP MATERIALIZED VIEW graft.`$src`", "DROP TABLE")
+    // CREATE refuses to adopt a standing plain table
+    refuse(mk.replace(s"`$dst`", s"`$src`") +
+      s"KEY (id) AS SELECT id FROM graft.`$src2`", "already exists")
+  }
+}
