@@ -131,15 +131,18 @@ object DerivedTable {
   private val PruneKeyLimit = 1000
 
   /** The tiered point read shared by every refreshAgg leg: a SMALL
-    * value set goes through [[Versioned.readWhereIn]] manifest
-    * pruning (O(files containing the values)); a large one semi-joins
-    * the snapshot scan against the broadcast `keysDf` (one column,
-    * named `keyCol`). */
+    * key set (≤ [[PruneKeyLimit]], by `nKeys` — a COUNT, the only
+    * thing the driver ever holds for the decision) collects its
+    * values and goes through [[Versioned.readWhereIn]] manifest
+    * pruning (O(files containing the values)); a large one never
+    * materializes keys on the driver at all — it semi-joins the
+    * snapshot scan against the broadcast `keysDf` (one column, named
+    * `keyCol`). */
   private def pointRead(s: SparkSession, dir: String, keyCol: String,
-      values: Seq[Any], version: Option[Int],
-      keysDf: => DataFrame): DataFrame =
-    if (values.size <= PruneKeyLimit)
-      Versioned.readWhereIn(s, dir, keyCol, values, version)
+      nKeys: Long, smallVals: => Seq[Any], version: Option[Int],
+      keysDf: DataFrame): DataFrame =
+    if (nKeys <= PruneKeyLimit)
+      Versioned.readWhereIn(s, dir, keyCol, smallVals, version)
     else Versioned.read(s, dir, version)
       .join(broadcast(keysDf), Seq(keyCol), "left_semi")
 
@@ -282,15 +285,11 @@ object DerivedTable {
       rowKey: String, groupCol: String, valueCol: String,
       maxTouchedKeys: Int = 100000,
       extrema: Seq[String] = Nil): (Int, Int) = {
-    val sumCol = s"sum_$valueCol"
-    val cntCol = s"cnt_$valueCol"
-    val extCols = extrema.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val extNames = extrema.flatMap(c => Seq(s"min_$c", s"max_$c"))
     def aggOf(df: DataFrame): DataFrame = {
-      val aggs = Seq(sum(col(valueCol)).as(sumCol),
-        count(col(valueCol)).as(cntCol),
-        count(lit(1)).as("n_rows")) ++ extCols
+      val aggs = Seq(sum(col(valueCol)).as(s"sum_$valueCol"),
+        count(col(valueCol)).as(s"cnt_$valueCol"),
+        count(lit(1)).as("n_rows")) ++ extrema.flatMap(c =>
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
       df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
     }
     val to = Versioned.currentVersion(s, srcDir)
@@ -322,18 +321,38 @@ object DerivedTable {
       "into a fresh destination")
     if (from == to) return (to, to)
     val events = Versioned.readChanges(s, srcDir, from, to)
-    val touchedRows = events.select(col(rowKey)).distinct().collect()
-    require(touchedRows.forall(!_.isNullAt(0)),
+    // the touched-key set stays DISTRIBUTED: the driver holds only
+    // its COUNT (the bound check) — values are collected solely when
+    // the set is small enough for the IN-list pruning tier
+    val touchedDf = events.select(col(rowKey)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try refreshAggOver(s, srcDir, dstDir, rowKey, groupCol, valueCol,
+      maxTouchedKeys, extrema, from, to, touchedDf)
+    finally touchedDf.unpersist(blocking = false)
+  }
+
+  private def refreshAggOver(s: SparkSession, srcDir: String,
+      dstDir: String, rowKey: String, groupCol: String,
+      valueCol: String, maxTouchedKeys: Int, extrema: Seq[String],
+      from: Int, to: Int, touchedDf: DataFrame): (Int, Int) = {
+    val sumCol = s"sum_$valueCol"
+    val cntCol = s"cnt_$valueCol"
+    val extCols = extrema.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val extNames = extrema.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val tStats = touchedDf.agg(count(lit(1)).as("n"),
+      count(col(rowKey)).as("nn")).head()
+    val nTouched = tStats.getLong(0)
+    require(nTouched == tStats.getLong(1),
       s"a change event carries a null '$rowKey' — the source's " +
         "equality tombstones key on a different column, so the " +
         "snapshot diff would miss those deletions; key deletes on " +
         s"'$rowKey' (or refresh by rebuild)")
-    val touched = touchedRows.map(_.get(0)).toSeq // already distinct
-    require(touched.size <= maxTouchedKeys,
-      s"refresh range touches ${touched.size} row keys " +
+    require(nTouched <= maxTouchedKeys,
+      s"refresh range touches $nTouched row keys " +
         s"(> $maxTouchedKeys) — rebuild into a fresh destination " +
         "instead, or raise maxTouchedKeys")
-    if (touched.isEmpty) {
+    if (nTouched == 0) {
       // zero events (metadata-only source commits): advance the pin
       // with a note-only commit — a stuck pin makes every later
       // refresh re-cover this dead range and eventually trips the
@@ -342,18 +361,13 @@ object DerivedTable {
       return (from, to)
     }
     // group deltas from the two pinned snapshots' touched rows, via
-    // the tiered point read ([[pointRead]]). The join-tier key frame
-    // is a one-column local relation from the collected keys — never
-    // a changelog re-read.
-    lazy val touchedDf = {
-      import scala.jdk.CollectionConverters._
-      s.createDataFrame(
-        touched.map(org.apache.spark.sql.Row(_)).asJava,
-        org.apache.spark.sql.types.StructType(
-          Seq(events.schema(rowKey))))
-    }
+    // the tiered point read ([[pointRead]]); the IN-tier values
+    // collect lazily and only under the limit
+    lazy val touchedVals =
+      touchedDf.collect().map(_.get(0)).toSeq
     def touchedAt(ver: Int): DataFrame =
-      pointRead(s, srcDir, rowKey, touched, Some(ver), touchedDf)
+      pointRead(s, srcDir, rowKey, nTouched, touchedVals, Some(ver),
+        touchedDf)
     // SIGNED-union delta: old rows weigh -1, new rows +1, ONE shuffle
     // computes every group's (sum, value-count, row-count) delta —
     // replaces two aggregation jobs and a full-outer diff join with a
@@ -367,12 +381,18 @@ object DerivedTable {
       sum(col("__w")).as("d_n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val groups = delta.select(col(groupCol)).collect()
-        .map(_.get(0)).toSeq // one row per group by construction
-      require(groups.forall(_ != null),
+      // one row per group by construction; the driver keeps only the
+      // (count, any-null) pair — group VALUES collect only in the
+      // IN-list tier
+      val groupsDf = delta.select(col(groupCol))
+      val gStats = delta.agg(count(lit(1)).as("n"),
+        count(col(groupCol)).as("nn")).head()
+      val nGroups = gStats.getLong(0)
+      require(nGroups == gStats.getLong(1),
         s"null '$groupCol' group — filter or coalesce the group " +
           "column before aggregating")
-      if (groups.isEmpty) {
+      lazy val groupVals = groupsDf.collect().map(_.get(0)).toSeq
+      if (nGroups == 0) {
         // the window's inserts and deletes cancelled exactly (CDC
         // churn): nothing to patch, but the pin must still travel
         Versioned.commitNote(s, dstDir, s"src=v$to")
@@ -380,8 +400,8 @@ object DerivedTable {
       }
       // patch the touched destination groups via the same tiered
       // point read, keyed on the group column
-      val existing = pointRead(s, dstDir, groupCol, groups, None,
-        delta.select(col(groupCol)).distinct())
+      val existing = pointRead(s, dstDir, groupCol, nGroups,
+        groupVals, None, groupsDf)
         .withColumn("__present", lit(1))
       val patched = delta
         .join(existing, Seq(groupCol), "full_outer")
@@ -425,8 +445,8 @@ object DerivedTable {
           // affected-group recompute for the non-invertible extrema:
           // re-aggregate ONLY the touched groups' rows at the pinned
           // `to` snapshot (tiered read, keyed on the group column)
-          val srcGroups = pointRead(s, srcDir, groupCol, groups,
-            Some(to), delta.select(col(groupCol)).distinct())
+          val srcGroups = pointRead(s, srcDir, groupCol, nGroups,
+            groupVals, Some(to), groupsDf)
           val ext = srcGroups.groupBy(col(groupCol)).agg(
             count(lit(1)).as("__extn"), extCols: _*)
           extJoined = upserts0.join(ext, Seq(groupCol), "left")

@@ -218,6 +218,43 @@ class DerivedSpec extends SparkSpec {
     assert(e.getMessage.contains("null 'g' group"))
   }
 
+  test("refreshAgg join tier: >1000 touched keys and groups stay " +
+      "distributed (semi-join reads), result equals recompute") {
+    import spark.implicits._
+    val src = "target/tmp/aggmv-big-src"
+    val dst = "target/tmp/aggmv-big-dst"
+    clean(src, dst)
+    // 1500 rows over 1200 groups: both the touched-row reads and the
+    // group point reads exceed PruneKeyLimit (1000) and take the
+    // broadcast-semi-join tier — the driver holds only counts
+    val rows = (1L to 1500L).map(i => (i, s"g${i % 1200}", i))
+      .toDF("id", "g", "v")
+    Versioned.commit(rows, src)
+    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    // touch EVERY row (values shift by 7), plus kill one group
+    Versioned.applyChanges(spark, src,
+      upserts = rows.select($"id", $"g", ($"v" + 7L).as("v"))
+        .filter($"g" =!= "g7"),
+      deleteKeys = rows.filter($"g" === "g7").select($"id"),
+      key = "id")
+    val (f, t) = DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    assert(f == 1 && t == 2)
+    val fin = Versioned.read(spark, dst)
+    val expect = Versioned.read(spark, src).groupBy($"g").agg(
+      sum($"v").as("sum_v"), count($"v").as("cnt_v"),
+      count(lit(1)).as("n_rows"))
+    assert(DerivedTable.bagEqual(fin, expect))
+    assert(fin.filter($"g" === "g7").isEmpty)
+    // the bound still enforces via the count alone
+    Versioned.applyChanges(spark, src,
+      upserts = rows.limit(10).select($"id", $"g", ($"v" * 2).as("v")),
+      deleteKeys = spark.range(0).select($"id"), key = "id")
+    val e = intercept[IllegalArgumentException](
+      DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v",
+        maxTouchedKeys = 5))
+    assert(e.getMessage.contains("rebuild"))
+  }
+
   test("refreshAgg refusals: null group, foreign-key tombstone, " +
       "touched-key bound, corrupt destination") {
     import spark.implicits._
