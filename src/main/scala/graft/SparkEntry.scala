@@ -305,6 +305,11 @@ object SparkEntry {
     // both kinds argument-free; DROP MATERIALIZED VIEW removes it.
     "q55_mv_lifecycle" ->
       (graft.sources.DerivedTable.mvLifecycleGate _),
+    // Cross-engine INT8-IVF index export (q56): DuckDB re-runs the
+    // pruned-cell cosine probe from the exported (cells, centroids)
+    // pair alone — q51's probe-from-bytes proof on the s09 layout.
+    "q56_int8_index_export" ->
+      (graft.operators.Similarity.int8IndexExportGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1771,7 +1776,8 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS spec_props,
                 CAST(1 AS BIGINT) AS noop_stable,
                 CAST(1 AS BIGINT) AS dropped""",
-  ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle
+  ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle ++
+    int8IndexExportOracle
 
   /** q47's oracle aggregates the graft table's OWN data files — the
     * literal `read_parquet([...])` list resolved by the exportGate run
@@ -1878,6 +1884,41 @@ object SparkEntry {
              SELECT CAST(vec_id AS BIGINT) AS vec_id,
                     CAST($nProbe AS BIGINT) AS n_probed,
                     CAST(1 AS BIGINT) AS refused_unpinned
+             FROM top ORDER BY vec_id"""
+    }.toMap
+
+  /** q56: DuckDB re-runs the int8-IVF pruned-cell cosine probe from
+    * the exported (cell files, centroid files) pair alone — members
+    * reconstruct as q_emb x q_scale, no codebooks, no store. */
+  private def int8IndexExportOracle: Map[String, String] =
+    graft.operators.Similarity.lastInt8IndexExport.map {
+      case (cells, cents, qUnit) =>
+        def files(fs: Seq[String]) =
+          fs.map(f => s"'$f'").mkString("[", ", ", "]")
+        val q = qUnit.map(java.lang.Double.toString)
+          .mkString("[", ", ", "]")
+        val nProbe = graft.operators.Similarity.NProbe
+        "q56_int8_index_export" ->
+          s"""WITH q AS (SELECT CAST($q AS DOUBLE[]) AS qe),
+             cscore AS (SELECT CAST(cell AS BIGINT) AS cell,
+                    list_dot_product(CAST(c_emb AS DOUBLE[]), qe)
+                      / c_nrm AS c_cos
+                  FROM read_parquet(${files(cents)}), q),
+             probed AS (SELECT cell FROM cscore
+                        ORDER BY c_cos DESC, cell LIMIT $nProbe),
+             sc AS (SELECT vec_id,
+                    list_dot_product(list_transform(q_emb,
+                      x -> CAST(x AS DOUBLE) * q_scale), qe) / nrm
+                      AS cos
+                  FROM read_parquet(${files(cells)},
+                                    hive_partitioning = true), q
+                  WHERE CAST(cell AS BIGINT) IN
+                        (SELECT cell FROM probed)),
+             top AS (SELECT vec_id FROM sc
+                     ORDER BY cos DESC, vec_id LIMIT 20)
+             SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                    CAST($nProbe AS BIGINT) AS n_probed,
+                    CAST(1 AS BIGINT) AS no_codebook_files
              FROM top ORDER BY vec_id"""
     }.toMap
 }

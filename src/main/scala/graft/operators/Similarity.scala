@@ -282,8 +282,16 @@ object Similarity {
       .withColumn("nrm", l2Norm(col("embedding")))
 
   def buildIvfIndex(s: SparkSession, d: String, indexDir: String,
-      iters: Int = 2, quantized: Boolean = false): Unit = {
-    val corpus0 = emb(s, d).filter(col("vec_id") >= NumQueries)
+      iters: Int = 2, quantized: Boolean = false): Unit =
+    buildIvfIndexOf(s, emb(s, d).filter(col("vec_id") >= NumQueries),
+      indexDir, iters, quantized)
+
+  /** [[buildIvfIndex]] over an explicit (vec_id, embedding, nrm)
+    * corpus frame — the build/append split the q56 export gate
+    * exercises, mirroring [[buildIvfPqIndexOf]]. */
+  def buildIvfIndexOf(s: SparkSession, corpus0: DataFrame,
+      indexDir: String, iters: Int = 2,
+      quantized: Boolean = false): Unit = {
     // quantized: the index STORES int8 — 4x smaller on disk, which is
     // the dial a 100 TB vector corpus turns first. Quantization happens
     // BEFORE centroid fit and assignment, so the persisted cells are
@@ -911,6 +919,75 @@ object Similarity {
     delta.unpersist()
   }
 
+  /** RE-EMBED vectors in place — the update loop an embedding-model
+    * refresh runs at scale. Without this, updating a live-tombstoned
+    * vec_id required delete → compact (a FULL index rewrite) → append,
+    * because re-appending a live-tombstoned id refuses (the
+    * silent-shadowing trap: its fresh codes would be anti-joined away
+    * forever). The upsert supersedes in O(batch):
+    *
+    *   1. ONE atomic CoW commit on the index replaces the ids' stored
+    *      rows with the fresh encodings ([[Versioned.applyChanges]]
+    *      keyed on vec_id — touches only the cell files holding those
+    *      ids), with the generation pins UNCHANGED: the fresh vectors
+    *      encode against the same pinned centroids[/codebooks] every
+    *      other row used, so one index never mixes generations;
+    *   2. the ids then drop from the sibling tombstone table (only
+    *      when any were live-tombstoned).
+    *
+    * A crash between the two is fail-safe: the OLD codes are already
+    * gone and the ids stay tombstoned — the vector reads as deleted,
+    * never stale — and re-running the upsert completes the pair.
+    * Serves BOTH persisted layouts (int8/float IVF and IVF-PQ),
+    * encoding the delta exactly as the matching append would. The
+    * source STORE must already hold the fresh embeddings, the same
+    * operational invariant as the appends (probes rerank from store
+    * floats). */
+  def upsertIntoVectorIndex(s: SparkSession, newVectors: DataFrame,
+      indexDir: String): Unit = {
+    val pins = pinnedVersionsOf(s, indexDir)
+    require(pins.contains("centroids"),
+      s"$indexDir is not a built vector index (buildIvfIndex / " +
+        "buildIvfPqIndex first)")
+    val cents = Versioned.read(s, centroidsDir(indexDir),
+      pins.get("centroids"))
+    val delta = newVectors.select(col("vec_id"), col("embedding"))
+    val stored = if (pins.contains("codebooks")) {
+      val cb = Versioned.read(s, codebooksDir(indexDir),
+        pins.get("codebooks"))
+      val dd = delta.withColumn("nrm", l2Norm(col("embedding"))).cache()
+      assignCells(dd, cents)
+        .select(col("vec_id"), col("cell"), col("nrm"))
+        .join(pqEncode(subvectors(dd), cb), "vec_id")
+    } else {
+      val qz = scala.util.Try(Versioned.read(s, indexDir).columns
+        .contains("q_emb")).getOrElse(false)
+      val dd = if (qz) quantizedForm(delta)
+        else delta.withColumn("nrm", l2Norm(col("embedding")))
+      val assigned = assignCells(dd, cents)
+      if (qz) assigned.drop("embedding") else assigned
+    }
+    val note = ("centroids=v" + pins("centroids")) +
+      pins.get("codebooks").map(v => s";codebooks=v$v").getOrElse("")
+    // 1. one atomic upsert-by-key commit: old rows for these ids leave
+    // WITH the fresh rows' arrival — no window where both (or neither)
+    // exist in a published snapshot
+    Versioned.applyChanges(s, indexDir, upserts = stored,
+      deleteKeys = newVectors.select(col("vec_id")).limit(0),
+      key = "vec_id", partitionCol = Some("cell"), note = Some(note))
+    // 2. supersede any live tombstones on these ids (fresh encodings
+    // are now the only stored rows, so visibility is correct)
+    val td = vecTombsDir(indexDir)
+    if (Versioned.currentVersion(s, td) > 0) {
+      val tombs = Versioned.read(s, td).select(col("vec_id"))
+      val ids = newVectors.select(col("vec_id")).distinct()
+      if (!tombs.join(broadcast(ids), Seq("vec_id"), "left_semi")
+          .isEmpty)
+        Versioned.commit(
+          tombs.join(broadcast(ids), Seq("vec_id"), "left_anti"), td)
+    }
+  }
+
   /** Query a persisted [[buildIvfPqIndex]] index: resolve pinned
     * centroids + codebooks, pick each query's nProbe cells, scan ONLY
     * those cell directories (partition-pruned like [[ivfTopKIndexed]]),
@@ -1127,29 +1204,38 @@ object Similarity {
   def exportVectorIndex(s: SparkSession,
       indexDir: String): (Seq[String], Seq[String], Seq[String]) = {
     val pins = pinnedVersionsOf(s, indexDir)
-    def pin(k: String): Int = pins.getOrElse(k,
+    val cv = pins.getOrElse("centroids",
       throw new IllegalStateException(
         s"cannot export vector index at $indexDir: head commit " +
-          s"carries no $k=v pin — not a built IVF-PQ index " +
-          "(buildIvfPqIndex first)"))
-    val (cv, bv) = (pin("centroids"), pin("codebooks"))
+          "carries no centroids=v pin — not a built vector index " +
+          "(buildIvfIndex / buildIvfPqIndex first)"))
+    // layout by pin shape: codebooks present = IVF-PQ triple;
+    // absent = the int8/float IVF pair (cells + centroids — the
+    // stored rows carry their own q_emb/q_scale payload, so no third
+    // sidecar exists to pin or export)
+    val bv = pins.get("codebooks")
     val centHead = Versioned.currentVersion(s, centroidsDir(indexDir))
-    val cbHead = Versioned.currentVersion(s, codebooksDir(indexDir))
-    if (cv > centHead || bv > cbHead) throw new IllegalStateException(
-      s"cannot export vector index at $indexDir: pins centroids=v$cv/" +
-        s"codebooks=v$bv but sibling heads are v$centHead/v$cbHead — " +
-        "torn maintenance; rebuild to restore the triple")
+    val cbHead = bv.map(_ =>
+      Versioned.currentVersion(s, codebooksDir(indexDir)))
+    if (cv > centHead || bv.exists(b => b > cbHead.get))
+      throw new IllegalStateException(
+        s"cannot export vector index at $indexDir: pins centroids=" +
+          s"v$cv${bv.map(b => s"/codebooks=v$b").getOrElse("")} but " +
+          s"sibling heads are v$centHead" +
+          s"${cbHead.map(h => s"/v$h").getOrElse("")} — torn " +
+          "maintenance; rebuild to restore the pinned generations")
     // live tombstones are the index's merge-on-read state: raw code
     // files alone would resurrect the deleted vectors in the second
-    // engine's probe — refuse, cleared by compactIvfPqIndex (the same
-    // contract as exportTextIndex / exportSnapshot)
+    // engine's probe — refuse, cleared by the matching compact (the
+    // same contract as exportTextIndex / exportSnapshot)
     if (!vecTombs(s, indexDir).isEmpty) throw new IllegalStateException(
       s"cannot export vector index at $indexDir: live tombstones " +
         "would resurrect deleted vectors in a raw-file read — " +
-        "compactIvfPqIndex first")
+        "compact the index first")
     (Versioned.exportSnapshot(s, indexDir, hivePartitions = true),
       Versioned.exportSnapshot(s, centroidsDir(indexDir), Some(cv)),
-      Versioned.exportSnapshot(s, codebooksDir(indexDir), Some(bv)))
+      bv.map(b => Versioned.exportSnapshot(s, codebooksDir(indexDir),
+        Some(b))).getOrElse(Nil))
   }
 
   /** File triple + unit query vector resolved by the LAST
@@ -1273,6 +1359,85 @@ object Similarity {
     top.take(k).map(_.getLong(0)).sorted.toSeq.toDF("vec_id")
       .withColumn("n_probed", lit(probed.length.toLong))
       .withColumn("refused_unpinned", lit(if (refused) 1L else 0L))
+  }
+
+  /** File pair + unit query vector resolved by the LAST
+    * [[int8IndexExportGate]] run in this JVM — the q56 oracle embeds
+    * them literally (same discipline as [[lastVectorIndexExport]]). */
+  @volatile private[graft] var lastInt8IndexExport: Option[
+    (Seq[String], Seq[String], Seq[Double])] = None
+
+  /** Driver-visible gate for CROSS-ENGINE INT8-IVF INDEX reads — q56,
+    * extending q51's probe-from-bytes proof to the second persisted
+    * vector layout (s09's): cells store (q_emb int8, q_scale, nrm),
+    * so a second engine reconstructs each member as q_emb×q_scale and
+    * cosine-scores it directly — no codebooks, no ADC. The Spark side
+    * runs the pruned-cell probe on the dequantized floats; DuckDB
+    * recomputes the SAME top-k ID SET from the exported pair alone
+    * (hive-pruned cell files + pinned centroid files). Built over a
+    * corpus split (build + one O(delta) append at the pinned centroid
+    * generation) so the export spans two code versions; boundary gaps
+    * are refused inside the cross-engine float noise floor
+    * ([[RankGapFloor]]) instead of flaking. */
+  def int8IndexExportGate(s: SparkSession, d: String): DataFrame = {
+    val k = 20
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-int8index-export-gate")
+    val idx = work.resolve("int8ivf").toString
+    val e = emb(s, d)
+    // the split spares the centroid seed range, like q51's gate
+    val delta = pmod(hash(col("vec_id")), lit(5)) === 0 &&
+      col("vec_id") >= NumQueries + 64
+    buildIvfIndexOf(s, e.filter(col("vec_id") >= NumQueries)
+      .filter(!delta), idx, quantized = true)
+    appendToIvfIndex(s, e.filter(delta)
+      .select(col("vec_id"), col("embedding")), idx)
+    val (cellFiles, centFiles, cbFiles) = exportVectorIndex(s, idx)
+    // in-engine probe of query 0 over the exported layout's values:
+    // dequantized members, unit query, pruned cells — gap-checked
+    val cents = pinnedCentroids(s, idx)
+    val query = e.filter(col("vec_id") === 0L).cache()
+    val cellScores = query.join(broadcast(cents))
+      .select(col("cell"), (dot(col("c_emb"), col("embedding")) /
+        (col("c_nrm") * col("nrm"))).as("c_cos"))
+      .orderBy(col("c_cos").desc, col("cell"))
+      .collect()
+    if (cellScores.length > NProbe) {
+      val gap = cellScores(NProbe - 1).getDouble(1) -
+        cellScores(NProbe).getDouble(1)
+      require(gap > RankGapFloor,
+        s"cell-rank boundary gap $gap is inside cross-engine float " +
+          "noise — probe-cell choice would be engine-dependent")
+    }
+    val probed = cellScores.take(NProbe).map(_.getLong(0).toInt)
+    val qUnitF = query.select(transform(col("embedding"),
+      x => (x / col("nrm")).cast("float")).as("qe"))
+    val top = Versioned.read(s, idx)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .crossJoin(broadcast(qUnitF))
+      .select(col("vec_id"),
+        (dot(transform(col("q_emb"),
+            v => (v.cast("double") * col("q_scale")).cast("float")),
+          col("qe")) / col("nrm")).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(k + 1)
+      .collect()
+    require(top.length > k, s"probed cells hold only ${top.length} " +
+      s"vectors — cannot gap-check a top-$k boundary")
+    val boundary = top(k - 1).getDouble(1) - top(k).getDouble(1)
+    require(boundary > RankGapFloor,
+      s"top-$k cosine boundary gap $boundary is inside cross-engine " +
+        "float noise — the candidate set would be engine-dependent")
+    val qUnit = query.select(transform(col("embedding"),
+        x => (x / col("nrm")).cast("float").cast("double")).as("u"))
+      .head().getSeq[Double](0)
+    lastInt8IndexExport = Some((cellFiles, centFiles, qUnit))
+    query.unpersist()
+    import s.implicits._
+    top.take(k).map(_.getLong(0)).sorted.toSeq.toDF("vec_id")
+      .withColumn("n_probed", lit(probed.length.toLong))
+      .withColumn("no_codebook_files",
+        lit(if (cbFiles.isEmpty) 1L else 0L))
   }
 
   /** The s15 gate: DELETE semantics of the persisted IVF-PQ index.

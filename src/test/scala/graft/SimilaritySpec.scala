@@ -555,6 +555,116 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("vec_id") === 4000000L).count() == 1)
   }
 
+  test("upsertIntoVectorIndex re-embeds in O(batch): findable at the " +
+      "new position immediately, old codes never resurface, pins " +
+      "hold, tombstone superseded without a compaction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.Versioned
+    val dir = "target/tmp/ivfpq-upsert"
+    Seq(dir, s"$dir.centroids", s"$dir.codebooks", s"$dir.tombs")
+      .foreach(p => org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(p)))
+    Similarity.buildIvfPqIndex(spark, sf, dir)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    def embOf(id: Long) = emb.filter(col("vec_id") === id)
+      .select(lit(5000000L).as("vec_id"), col("embedding"))
+    Similarity.appendToIvfPqIndex(spark, embOf(0), dir)
+    def store(cur: Long) = emb
+      .filter(col("vec_id") >= Similarity.NumQueries)
+      .select(col("vec_id"), col("embedding")).unionAll(embOf(cur))
+    def probe(cur: Long) = Similarity.ivfPqTopKIndexed(spark, sf, dir,
+      corpus = Some(store(cur)))
+    assert(probe(0).filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getLong(2) == 5000000L)
+    // LIVE re-embed (no tombstone): vector moves from query 0's exact
+    // match to query 1's in one upsert
+    val vBefore = Versioned.currentVersion(spark, dir)
+    Similarity.upsertIntoVectorIndex(spark, embOf(1), dir)
+    val p1 = probe(1).cache()
+    assert(p1.filter(col("query_id") === 1 && col("rank") === 1)
+      .head().getLong(2) == 5000000L,
+      "re-embedded vector must be findable at its NEW position")
+    assert(p1.filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getLong(2) != 5000000L,
+      "the old embedding must never resurface")
+    // exactly ONE stored row: the atomic upsert replaced the codes
+    assert(Versioned.read(spark, dir)
+      .filter(col("vec_id") === 5000000L).count() == 1)
+    assert(Versioned.currentVersion(spark, dir) == vBefore + 1)
+    // generation pins carried unchanged
+    val note = Versioned.commitNotes(spark, dir)(
+      Versioned.currentVersion(spark, dir))
+    assert(note.contains("centroids=v") && note.contains("codebooks=v"))
+    // TOMBSTONED re-embed: the delete→compact(full rewrite)→append
+    // detour collapses to one upsert that supersedes the tombstone
+    Similarity.deleteFromVectorIndex(spark,
+      Seq(5000000L).toDF("vec_id"), dir)
+    assert(probe(1).filter(col("neighbor_id") === 5000000L).isEmpty)
+    Similarity.upsertIntoVectorIndex(spark, embOf(2), dir)
+    assert(Versioned.read(spark, s"$dir.tombs").count() == 0,
+      "the upsert supersedes the live tombstone")
+    val p2 = probe(2).cache()
+    assert(p2.filter(col("query_id") === 2 && col("rank") === 1)
+      .head().getLong(2) == 5000000L)
+    assert(p2.filter(col("query_id") === 1 && col("rank") === 1)
+      .head().getLong(2) != 5000000L)
+    assert(Versioned.read(spark, dir)
+      .filter(col("vec_id") === 5000000L).count() == 1)
+    // the int8-IVF layout takes the same path (shared tombstones,
+    // quantized delta encoding)
+    val dir8 = "target/tmp/int8-upsert"
+    Seq(dir8, s"$dir8.centroids", s"$dir8.tombs").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Similarity.buildIvfIndex(spark, sf, dir8, quantized = true)
+    val tgt = Similarity.ivfTopKIndexed(spark, sf, dir8)
+      .filter(col("query_id") === 3 && col("rank") === 1)
+      .head().getLong(2)
+    Similarity.deleteFromVectorIndex(spark, Seq(tgt).toDF("vec_id"), dir8)
+    assert(Similarity.ivfTopKIndexed(spark, sf, dir8)
+      .filter(col("neighbor_id") === tgt).isEmpty)
+    Similarity.upsertIntoVectorIndex(spark,
+      emb.filter(col("vec_id") === tgt)
+        .select(col("vec_id"), col("embedding")), dir8)
+    assert(Versioned.read(spark, s"$dir8.tombs").count() == 0)
+    assert(Similarity.ivfTopKIndexed(spark, sf, dir8)
+      .filter(col("query_id") === 3 && col("rank") === 1)
+      .head().getLong(2) == tgt,
+      "int8 upsert restores the vector at its position immediately")
+    assert(Versioned.read(spark, dir8)
+      .filter(col("vec_id") === tgt).count() == 1)
+  }
+
+  test("int8-IVF export parity: the pair exports (no codebooks), " +
+      "the gate's probe is well-formed, tombstones refuse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.Versioned
+    val g = Similarity.int8IndexExportGate(spark, sf).collect()
+    assert(g.length == 20)
+    assert(g.forall(_.getLong(2) == 1L),
+      "an int8-IVF export must carry NO codebook files")
+    assert(g.forall(_.getLong(1) == Similarity.NProbe.toLong))
+    assert(Similarity.lastInt8IndexExport.isDefined)
+    val (cells, cents, qUnit) = Similarity.lastInt8IndexExport.get
+    assert(cells.nonEmpty && cents.nonEmpty && qUnit.length == 64)
+    assert(cells.forall(_.contains("cell=")),
+      "cell files must export hive-partitioned for engine pruning")
+    // live tombstones refuse the int8 export too
+    val dir = "target/tmp/int8-export-refuse"
+    Seq(dir, s"$dir.centroids", s"$dir.tombs").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Similarity.buildIvfIndex(spark, sf, dir, quantized = true)
+    val (_, _, cb) = Similarity.exportVectorIndex(spark, dir)
+    assert(cb.isEmpty)
+    Similarity.deleteFromVectorIndex(spark,
+      Seq(Versioned.read(spark, dir).select(col("vec_id"))
+        .head().getLong(0)).toDF("vec_id"), dir)
+    val e = intercept[IllegalStateException](
+      Similarity.exportVectorIndex(spark, dir))
+    assert(e.getMessage.contains("tombstones"))
+  }
+
   test("exportVectorIndex: exported triple alone carries the ADC " +
       "probe; unpinned and torn indexes refuse") {
     import org.apache.spark.sql.functions._
