@@ -196,6 +196,8 @@ case class VersionedRelationRule(spark: SparkSession)
           case "manifests" =>
             Versioned.manifests(spark, t.tableDir, t.pinnedVersion)
           case "all_files" => Versioned.allFiles(spark, t.tableDir)
+          case "all_manifests" => Versioned.allManifests(spark, t.tableDir)
+          case "metadata_log" => Versioned.metadataLog(spark, t.tableDir)
           case "entries" =>
             Versioned.entries(spark, t.tableDir, t.pinnedVersion)
           case "position_deletes" =>

@@ -320,7 +320,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     if (kind != "history" && kind != "files" && kind != "refs" &&
       kind != "partitions" && kind != "snapshots" &&
       kind != "manifests" && kind != "all_files" && kind != "entries" &&
-      kind != "position_deletes" && kind != "stats")
+      kind != "position_deletes" && kind != "stats" &&
+      kind != "all_manifests" && kind != "metadata_log")
       return None
     val parent = Identifier.of(ident.namespace.dropRight(1),
       ident.namespace.last)
@@ -330,11 +331,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     // pin at RESOLUTION like every catalog reference: one statement
     // reads one consistent snapshot's file inventory
     val pin = kind match {
-      case "history" | "refs" | "all_files" =>
+      case "history" | "refs" | "all_files" | "all_manifests" |
+          "metadata_log" =>
         if (version.isDefined)
           throw new UnsupportedOperationException(
             s"${display(ident)} is whole-table metadata; VERSION AS " +
-              "OF does not apply (pin .files instead)")
+              "OF does not apply (pin .files/.manifests instead)")
         None
       case "files" | "partitions" | "snapshots" | "manifests" |
           "entries" | "position_deletes" | "stats" =>
@@ -348,6 +350,8 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       case "snapshots" => Versioned.snapshots(spark, dir, pin)
       case "manifests" => Versioned.manifests(spark, dir, pin)
       case "all_files" => Versioned.allFiles(spark, dir)
+      case "all_manifests" => Versioned.allManifests(spark, dir)
+      case "metadata_log" => Versioned.metadataLog(spark, dir)
       case "entries" => Versioned.entries(spark, dir, pin)
       case "position_deletes" =>
         Versioned.positionDeletes(spark, dir, pin)

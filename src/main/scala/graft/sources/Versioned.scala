@@ -3678,6 +3678,36 @@ object Versioned {
       .withColumn("snapshot", lit(v))).reduce(_ unionAll _)
   }
 
+  /** Every manifest entry of every RETAINED snapshot — Iceberg's
+    * `.all_manifests` metadata table: [[manifests]] rows per version
+    * with a `snapshot` column, so an entry linked across N snapshots
+    * appears N times (the lineage view maintenance tooling walks).
+    * Whole-table metadata like [[allFiles]]: VERSION AS OF refuses
+    * (pin `.manifests` instead). */
+  def allManifests(spark: SparkSession, tableDir: String): DataFrame = {
+    val vs = committedVersions(spark, tableDir)
+    require(vs.nonEmpty, s"no committed version at $tableDir")
+    vs.map(v => manifests(spark, tableDir, Some(v))
+      .withColumn("snapshot", lit(v))).reduce(_ unionAll _)
+  }
+
+  /** The metadata publish log — Iceberg's `.metadata_log_entries`
+    * analog: one row per RETAINED commit marker, with its publish
+    * timestamp, the marker file's absolute path, and the version it
+    * published (the protocol's "metadata file" IS the marker — the
+    * manifest sidecars hang off its version). Driver metadata-scale:
+    * one FileStatus per retained version, nothing else read. */
+  def metadataLog(spark: SparkSession, tableDir: String): DataFrame = {
+    val f = fs(spark, tableDir)
+    val rows = committedVersions(spark, tableDir).map { v =>
+      val p = new Path(tableDir, s"$MarkerPrefix$v")
+      (new java.sql.Timestamp(f.getFileStatus(p).getModificationTime),
+        p.toString, v)
+    }
+    import spark.implicits._
+    rows.toDF("committed_at", "file", "version")
+  }
+
   /** Shared per-file listing of one snapshot's manifest reach:
     * (rel path, bytes, owning entry, linked-from-older, kind). */
   private def fileRowsOf(f: org.apache.hadoop.fs.FileSystem,

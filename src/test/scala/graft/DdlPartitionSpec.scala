@@ -736,6 +736,48 @@ class DdlPartitionSpec extends SparkSpec {
     assert(e.getMessage.contains("whole-table metadata"))
   }
 
+  test(".all_manifests and .metadata_log span retained snapshots; " +
+      "both refuse VERSION AS OF like .all_files") {
+    val (t, g) = fresh("all_manifests_meta")
+    spark.sql(s"CREATE TABLE $g (id INT)")            // v1
+    spark.sql(s"INSERT INTO $g VALUES (1), (2)")      // v2
+    spark.sql(s"INSERT INTO $g VALUES (3)")           // v3 links v2's
+    val am = spark.sql(s"SELECT snapshot, entry, version, linked " +
+      s"FROM $g.all_manifests").collect()
+    val bySnap = am.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(bySnap.keySet == Set(1, 2, 3), bySnap)
+    // v3's manifest reaches v2's entry (the O(delta) append link),
+    // and the linked flag marks it
+    assert(bySnap(3).exists(_.startsWith("v=2")))
+    assert(am.exists(r => r.getInt(0) == 3 && r.getInt(2) == 2 &&
+      r.getBoolean(3)))
+    // the newest slice is exactly .manifests
+    val cur = spark.sql(s"SELECT entry FROM $g.manifests")
+      .collect().map(_.getString(0)).toSet
+    assert(bySnap(3) == cur)
+    // metadata_log: one marker row per retained version, paths are
+    // the protocol's commit markers, timestamps non-decreasing
+    val ml = spark.sql(s"SELECT committed_at, file, version FROM " +
+      s"$g.metadata_log ORDER BY version").collect()
+    assert(ml.map(_.getInt(2)).toSeq == Seq(1, 2, 3))
+    assert(ml.forall(r => r.getString(1)
+      .contains(s"_commit_${r.getInt(2)}")))
+    val ts = ml.map(_.getTimestamp(0).getTime)
+    assert(ts.zip(ts.tail).forall { case (a, b) => a <= b })
+    // vacuum prunes the log with the snapshots it expires
+    graft.sources.Versioned.vacuum(spark, t)
+    assert(spark.sql(s"SELECT version FROM $g.metadata_log")
+      .collect().map(_.getInt(0)).toSeq == Seq(3))
+    // whole-table metadata: VERSION AS OF refuses like .all_files
+    Seq("all_manifests", "metadata_log").foreach { k =>
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT * FROM $g.$k VERSION AS OF 2").collect()
+      }
+      assert(e.getMessage.contains("whole-table metadata"), k)
+    }
+  }
+
   test(".snapshots metadata table summarizes each commit") {
     import spark.implicits._
     val (t, g) = fresh("snapshots_meta")

@@ -246,6 +246,88 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("OutputMode.Append only"))
   }
 
+  test("bronze->silver composition: native sink feeds a materialized " +
+      "view, ChangeFeed-triggered refresh_mv propagates exactly-once " +
+      "through a stream restart") {
+    import graft.sources.{DerivedTable, Versioned}
+    import graft.streaming.ChangeFeed
+    import java.nio.file.{Files, Paths}
+    val stage = Paths.get("target/tmp/compose-src")
+    org.apache.commons.io.FileUtils.deleteQuietly(stage.toFile)
+    Files.createDirectories(stage)
+    val raw = spark.read.parquet(s"$sf/events.parquet")
+    def stageHalf(rem: Int, name: String): Unit = {
+      val tmp = s"target/tmp/compose-half-$rem"
+      raw.filter(col("event_id") % 2 === rem).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, stage.resolve(name))
+    }
+    val bronze = new java.io.File("target/tmp/compose-bronze")
+      .getAbsolutePath
+    val silver = new java.io.File("target/tmp/compose-silver")
+      .getAbsolutePath
+    val ckpt = "target/tmp/compose-ckpt"
+    val feedCkpt = "target/tmp/compose-feed"
+    Seq(bronze, silver, ckpt, feedCkpt).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    def drain(): Unit = {
+      val events = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+        .select(col("event_id"), col("user_id"), col("value"))
+      val q = events.writeStream.format("graft")
+        .option("streamId", "compose")
+        .option("checkpointLocation", ckpt)
+        .start(bronze)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // bronze fills from the stream; the MV bootstraps over it in SQL
+    stageHalf(0, "half0.parquet")
+    drain()
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$silver` " +
+      s"KEY (event_id) AS SELECT event_id, user_id, value * 2 AS w " +
+      s"FROM graft.`$bronze` WHERE value >= 0")
+    def recompute() = spark.sql(s"SELECT event_id, user_id, " +
+      s"value * 2 AS w FROM graft.`$bronze` WHERE value >= 0")
+    assert(DerivedTable.bagEqual(Versioned.read(spark, silver),
+      recompute()))
+    // the ChangeFeed is the refresh trigger: its poller unit sees the
+    // bronze versions the stream lands and drives the argument-free
+    // refresh — anchor first (fresh feeds start at current)
+    ChangeFeed.pollOnce(spark, bronze, feedCkpt)((_, _, _) => ())
+    var refreshed = 0
+    def pollAndRefresh(): Unit =
+      ChangeFeed.pollOnce(spark, bronze, feedCkpt) { (_, _, _) =>
+        DerivedTable.refreshMv(spark, silver); refreshed += 1
+      }
+    // nothing pending -> the handler must NOT fire
+    pollAndRefresh()
+    assert(refreshed == 0)
+    // more events stream in; one poll propagates them into silver
+    stageHalf(1, "half1.parquet")
+    drain()
+    pollAndRefresh()
+    assert(refreshed == 1)
+    assert(DerivedTable.bagEqual(Versioned.read(spark, silver),
+      recompute()))
+    val totalExpected = raw.filter(col("value") >= 0).count()
+    assert(Versioned.read(spark, silver).count() == totalExpected)
+    // STREAM RESTART with a fresh checkpoint: the sink's applied
+    // watermark marks the batches replays -> no new bronze versions,
+    // the feed stays quiet, silver holds — exactly-once end to end
+    val bronzeVs = Versioned.versions(spark, bronze)
+    val silverV = Versioned.currentVersion(spark, silver)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    drain()
+    assert(Versioned.versions(spark, bronze) == bronzeVs)
+    pollAndRefresh()
+    assert(refreshed == 1)
+    assert(Versioned.currentVersion(spark, silver) == silverV)
+    assert(Versioned.read(spark, silver)
+      .select("event_id").distinct().count() == totalExpected)
+  }
+
   test("native sink mode=cdc lands op-tagged batches atomically") {
     import graft.sources.Versioned
     import java.nio.file.{Files, Paths}
