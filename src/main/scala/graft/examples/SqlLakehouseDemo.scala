@@ -183,6 +183,28 @@ object SqlLakehouseDemo {
     println("SQL_DEMO_AGGMV_REFRESH=" +
       one(s"SELECT count(*) FROM graft.`$avDir`") +
       s" range=${av.getInt(0)}..${av.getInt(1)}")
+    // the full MATERIALIZED VIEW lifecycle: CREATE persists the spec
+    // in the view's own properties, refresh_mv advances it
+    // argument-free, DROP removes it
+    val mvDir = new java.io.File(s"$out/sql_mv").getAbsolutePath
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mvDir` KEY (id) " +
+      s"AS SELECT id, upper(name) AS uname, score FROM $g " +
+      "WHERE score >= 0")
+    println("SQL_DEMO_MVDDL_BOOT=" +
+      one(s"SELECT count(*) FROM graft.`$mvDir`"))
+    spark.sql(s"INSERT INTO $g VALUES (777, 'omega', 7.5)")
+    val mvr = spark.sql(
+      s"CALL graft.system.refresh_mv('$mvDir')").head()
+    println("SQL_DEMO_MVDDL_REFRESH=" +
+      one(s"SELECT count(*) FROM graft.`$mvDir`") +
+      s" kind=${mvr.getString(0)} " +
+      s"range=${mvr.getInt(1)}..${mvr.getInt(2)}")
+    println("SQL_DEMO_MVDDL_SPEC=" +
+      spark.sql(s"SHOW TBLPROPERTIES graft.`$mvDir`").collect()
+        .count(_.getString(0).startsWith("graft.mv.")))
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$mvDir`")
+    println("SQL_DEMO_MVDDL_DROPPED=" +
+      (if (new java.io.File(mvDir).exists()) 0 else 1))
     spark.stop()
   }
 }

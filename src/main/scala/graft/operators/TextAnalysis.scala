@@ -1468,6 +1468,75 @@ object TextAnalysis {
       indexDir: String): DataFrame =
     Versioned.read(s, textStatsDir(indexDir), textStatsPin(s, indexDir))
 
+  /** RE-INDEX documents in place — the text twin of
+    * [[Similarity.upsertIntoVectorIndex]], closing the same loop: a
+    * changed (or live-tombstoned) doc_id previously required delete →
+    * [[compactTextIndex]] (a FULL index rewrite) → append, because
+    * re-appending a live-tombstoned id refuses (its fresh postings
+    * would be anti-joined away forever). The upsert supersedes:
+    *
+    *   1. the corpus scalars advance ALGEBRAICALLY and stay exact:
+    *      n_docs/sum_dl shift by (fresh − currently-stored) for the
+    *      touched ids — one pruned read of their standing rows, no
+    *      corpus rescan (unlike deletes, an upsert KNOWS the old dl:
+    *      it rides every posting row);
+    *   2. ONE atomic CoW commit ([[Versioned.upsertGroups]]) replaces
+    *      the ids' posting GROUPS — only files containing those ids
+    *      rewrite, the new stats version pinned in the commit note;
+    *   3. any live tombstones on these ids drop (the fresh postings
+    *      are now the only stored rows, so visibility is correct).
+    *
+    * A crash between 2 and 3 reads as deleted, never stale (the old
+    * postings are already gone); re-running completes the pair. After
+    * the upsert, BM25 over the index is EXACT for the updated corpus
+    * — term df derives from surviving postings and the scalars moved
+    * with the edit — no staleness window at all, unlike the delete
+    * path. Cost honesty at scale: a doc's postings scatter across
+    * term buckets, so the CoW touches up to (buckets × files-per-
+    * bucket-holding-the-ids); on a drip-fed index that is the ids'
+    * own append files, on a fully-binpacked one it approaches one
+    * file per bucket per batch — batch re-index work accordingly. */
+  def upsertIntoTextIndex(s: SparkSession, docs: DataFrame,
+      indexDir: String): Unit = {
+    require(Versioned.currentVersion(s, indexDir) > 0,
+      s"$indexDir is not a built text index (buildTextIndex first)")
+    val pre = docs.agg(count(lit(1)), count(col("doc_id")),
+      count_distinct(col("doc_id"))).head()
+    require(pre.getLong(0) == pre.getLong(1) &&
+      pre.getLong(1) == pre.getLong(2),
+      "upsertIntoTextIndex needs one row per non-null doc_id — " +
+        "duplicate or null ids would merge two documents' postings")
+    val ids = docs.select(col("doc_id")).distinct()
+    // the ids' CURRENT contribution to the scalars (dl rides every
+    // posting row; absent ids contribute nothing)
+    val oldAgg = Versioned.read(s, indexDir)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0.0)).as("sdl")).head()
+    val freshAgg = docs
+      .select(nTokens(col("text")).cast("double").as("dl"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0.0)).as("sdl")).head()
+    val pinned = pinnedTextStats(s, indexDir).head()
+    import s.implicits._
+    val stats = Seq((
+      pinned.getLong(0) - oldAgg.getLong(0) + freshAgg.getLong(0),
+      pinned.getDouble(1) - oldAgg.getDouble(1) + freshAgg.getDouble(1)
+    )).toDF("n_docs", "sum_dl")
+    val sv = Versioned.commit(stats, textStatsDir(indexDir))
+    Versioned.upsertGroups(s, indexDir, postingsOf(docs), "doc_id",
+      partitionCol = Some("bucket"), note = Some(s"stats=v$sv"))
+    val td = textTombsDir(indexDir)
+    if (Versioned.currentVersion(s, td) > 0) {
+      val tombs = Versioned.read(s, td).select(col("doc_id"))
+      if (!tombs.join(broadcast(ids), Seq("doc_id"), "left_semi")
+          .isEmpty)
+        Versioned.commit(
+          tombs.join(broadcast(ids), Seq("doc_id"), "left_anti"), td)
+    }
+  }
+
   private def textTombsDir(indexDir: String): String = s"$indexDir.tombs"
 
   /** Live tombstoned doc_ids of the index, empty frame when none.

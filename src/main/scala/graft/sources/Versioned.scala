@@ -1962,6 +1962,43 @@ object Versioned {
         statsCols = statsCols, transform = transform))
   }
 
+  /** Row-GROUP merge by key: every current row whose `key` appears in
+    * `groups` is replaced by the frame's rows for that key, new keys
+    * append — the MULTI-ROW-PER-KEY sibling of [[upsert]], for tables
+    * where a key owns a row GROUP rather than a row (an inverted
+    * index's postings list, an order's line items). Same CoW shape:
+    * only the files containing a matched key rewrite (stats-pruned by
+    * the key range), every other file links unchanged, one atomic
+    * commit. Duplicate keys in `groups` are the point here, so only
+    * null keys refuse (they never match the merge's equality joins). */
+  def upsertGroups(spark: SparkSession, tableDir: String,
+      groups: DataFrame, key: String,
+      partitionCol: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      note: Option[String] = None): Int = {
+    val pre = groups.agg(count(lit(1)), count(col(key)),
+      min(col(key)), max(col(key))).head()
+    require(pre.getLong(0) == pre.getLong(1),
+      s"upsertGroups rows contain a null '$key' — a null key never " +
+        "matches the merge's equality joins, so its rows would append " +
+        "forever instead of replacing")
+    if (pre.getLong(0) == 0) return currentVersion(spark, tableDir)
+    if (currentVersion(spark, tableDir) == 0)
+      return commit(groups, tableDir, partitionCol, note, statsCols)
+    val range =
+      if (pre.isNullAt(2)) None else Some((key, pre.get(2), pre.get(3)))
+    val keys = groups.select(key).distinct()
+    mergeFiles(spark, tableDir,
+      matches = _.join(keys, Seq(key), "left_semi"),
+      rewrite = _.join(keys, Seq(key), "left_anti")
+        .unionByName(groups, allowMissingColumns = true),
+      partitionCol, statsCols, range, None, note)
+      // no existing key matched: the whole batch is new groups —
+      // O(delta) linked append
+      .getOrElse(append(groups, tableDir, partitionCol,
+        statsCols = statsCols, note = note))
+  }
+
   /** ONE pre-flight action over a merge's (small) update side, shared
     * by [[upsert]] and [[applyChanges]]: row count, MERGE INTO's
     * duplicate-key rejection (Iceberg/Delta reject multi-source rows

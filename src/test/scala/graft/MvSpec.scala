@@ -121,6 +121,46 @@ class MvSpec extends SparkSpec {
     assert(fin.filter($"g" === "g0").head().getLong(5) == 27L)
   }
 
+  test("MV chains: a derived silver view feeds an aggregate gold " +
+      "view, refresh_mv cascades the medallion") {
+    val src = fresh("chain_src")
+    val silver = fresh("chain_silver")
+    val gold = fresh("chain_gold")
+    Versioned.commit((1L to 40L).map(i => (i, s"g${i % 4}", i))
+      .toDF("id", "g", "v"), src)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$silver` KEY (id) " +
+      s"AS SELECT id, g, v * 2 AS w FROM graft.`$src` WHERE v >= 5")
+    // gold aggregates the SILVER view — an MV over an MV: the silver
+    // table's own changelog drives gold's delta maintenance
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY (id) " +
+      s"AS SELECT g, sum(w) AS sum_w, count(w) AS cnt_w, " +
+      s"count(*) AS n_rows FROM graft.`$silver` GROUP BY g")
+    def goldExpect() = spark.sql(s"SELECT g, sum(w) AS sum_w, " +
+      s"count(w) AS cnt_w, count(*) AS n_rows FROM graft.`$silver` " +
+      "GROUP BY g")
+    assert(DerivedTable.bagEqual(
+      Versioned.read(spark, gold), goldExpect()))
+    // edits at the source cascade through one refresh of each layer:
+    // one row falls below silver's bar, one new row, one delete
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((6L, "g2", 1L), (41L, "g1", 100L))
+        .toDF("id", "g", "v"),
+      deleteKeys = Seq(8L).toDF("id"), key = "id")
+    val r1 = spark.sql(s"CALL graft.system.refresh_mv('$silver')")
+      .head()
+    val r2 = spark.sql(s"CALL graft.system.refresh_mv('$gold')").head()
+    assert(r1.getInt(1) < r1.getInt(2) && r2.getInt(1) < r2.getInt(2))
+    val silverExpect = spark.sql(s"SELECT id, g, v * 2 AS w FROM " +
+      s"graft.`$src` WHERE v >= 5")
+    assert(DerivedTable.bagEqual(
+      Versioned.read(spark, silver), silverExpect))
+    assert(DerivedTable.bagEqual(
+      Versioned.read(spark, gold), goldExpect()))
+    assert(Versioned.read(spark, gold).filter($"g" === "g1")
+      .head().getLong(1) ==
+      silverExpect.filter($"g" === "g1").agg(sum($"w")).head().getLong(0))
+  }
+
   test("shape refusals pin the delta-maintainability contract") {
     val src = fresh("mvref_src")
     val src2 = fresh("mvref_src2")

@@ -454,6 +454,79 @@ class TextEventsSpec extends SparkSpec {
     assert(e3.getMessage.contains("both classes"))
   }
 
+  test("index upserts: re-indexed postings replace atomically, " +
+      "scalars stay exact (no staleness window), tombstones " +
+      "supersede, new docs insert") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha alpha beta epsilon zeta"),
+      (3L, "gamma delta epsilon"),
+      (4L, "zeta eta theta iota kappa"),
+      (5L, "beta beta beta kappa"),
+      (6L, "eta theta alpha")
+    ).toDF("doc_id", "text")
+    val dir = "target/tmp/text-index-upserts"
+    Seq(dir, s"$dir.stats", s"$dir.tombs").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    TextAnalysis.buildTextIndexOf(docs, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    def assertSame(a: Seq[(Long, Double, Long)],
+        b: Seq[(Long, Double, Long)]): Unit = {
+      assert(a.map(x => (x._1, x._3)) == b.map(x => (x._1, x._3)))
+      a.zip(b).foreach { case (x, y) =>
+        assert(math.abs(x._2 - y._2) < 1e-9, s"$x vs $y") }
+    }
+    // LIVE re-index: doc 2's text changes entirely
+    val doc2v2 = Seq((2L, "kappa kappa sigma")).toDF("doc_id", "text")
+    TextAnalysis.upsertIntoTextIndex(spark, doc2v2, dir)
+    val corpus2 = docs.filter($"doc_id" =!= 2L).unionAll(doc2v2)
+    // EXACT immediately — scores match a from-scratch scan of the
+    // updated corpus (df, n_docs, avgdl all moved with the edit)
+    for (q <- Seq(Seq("alpha", "kappa"), Seq("zeta"), Seq("sigma")))
+      assertSame(
+        rows(TextAnalysis.bm25SearchIndexed(spark, dir, q, 10)),
+        rows(TextAnalysis.bm25SearchOf(corpus2, q, 10)))
+    // the OLD postings are physically gone: doc 2 no longer matches
+    // its old vocabulary, and exactly one dl stands for it
+    assert(TextAnalysis.bm25SearchIndexed(spark, dir, Seq("epsilon"), 10)
+      .filter($"doc_id" === 2L).isEmpty)
+    val d2 = Versioned.read(spark, dir).filter($"doc_id" === 2L)
+    assert(d2.select("dl").distinct().head().getDouble(0) == 3.0)
+    assert(Versioned.read(spark, s"$dir.stats").head().getLong(0) == 6L)
+    // TOMBSTONED re-index: the delete -> full-rewrite compact ->
+    // append detour collapses to one upsert that supersedes
+    TextAnalysis.deleteFromTextIndex(spark, Seq(4L).toDF("doc_id"), dir)
+    assert(TextAnalysis.bm25SearchIndexed(spark, dir, Seq("iota"), 10)
+      .isEmpty)
+    val doc4v2 = Seq((4L, "omega omega psi")).toDF("doc_id", "text")
+    TextAnalysis.upsertIntoTextIndex(spark, doc4v2, dir)
+    assert(Versioned.read(spark, s"$dir.tombs").count() == 0,
+      "the upsert supersedes the live tombstone")
+    val corpus3 = corpus2.filter($"doc_id" =!= 4L).unionAll(doc4v2)
+    for (q <- Seq(Seq("omega"), Seq("iota"), Seq("alpha", "kappa")))
+      assertSame(
+        rows(TextAnalysis.bm25SearchIndexed(spark, dir, q, 10)),
+        rows(TextAnalysis.bm25SearchOf(corpus3, q, 10)))
+    // a BRAND-NEW doc inserts through the same call (no prior rows)
+    val doc9 = Seq((9L, "alpha sigma tau")).toDF("doc_id", "text")
+    TextAnalysis.upsertIntoTextIndex(spark, doc9, dir)
+    val corpus4 = corpus3.unionAll(doc9)
+    assert(Versioned.read(spark, s"$dir.stats").head().getLong(0) == 7L)
+    assertSame(
+      rows(TextAnalysis.bm25SearchIndexed(spark, dir,
+        Seq("alpha", "sigma"), 10)),
+      rows(TextAnalysis.bm25SearchOf(corpus4,
+        Seq("alpha", "sigma"), 10)))
+    // refusals: duplicate and null ids would merge two documents
+    val dup = intercept[IllegalArgumentException](
+      TextAnalysis.upsertIntoTextIndex(spark,
+        Seq((7L, "a"), (7L, "b")).toDF("doc_id", "text"), dir))
+    assert(dup.getMessage.contains("one row per non-null doc_id"))
+  }
+
   test("index deletes: immediate membership, Lucene stats window, " +
       "compact restores exactness, export refusals") {
     import spark.implicits._
