@@ -150,6 +150,11 @@ object SparkEntry {
     // —— near-dup detection (north-star) ——
     "d01_shingle_jaccard" -> (Dedup.shingleJaccard _),
     "d02_minhash_lsh"     -> (Dedup.minhashLsh _),
+    // Persisted MinHash-LSH dedup index (d10): dedup new batches
+    // against the standing corpus without re-hashing it — build,
+    // probe, O(delta) append, probe the grown index; the union of
+    // found pairs equals DuckDB's exact cross-boundary answer.
+    "d10_dedup_index"     -> (Dedup.dedupIndexGate _),
     "d03_simhash"         -> (Dedup.simhashPairs _),
     "d04_embedding_neardup" -> (Dedup.embeddingNearDup _),
     "d05_embedding_lsh"     -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
@@ -1216,6 +1221,15 @@ object SparkEntry {
     "d01_shingle_jaccard" -> shingleJaccardSql,
     "d02_minhash_lsh"     -> shingleJaccardSql,
     "d03_simhash"         -> shingleJaccardSql,
+    // d10: the exact cross-boundary pairs of the two probe phases —
+    // (corpus < 300) x (batch 300-449), then (corpus < 450) x
+    // (batch 450+) after the O(delta) index append
+    "d10_dedup_index" ->
+      s"""SELECT a_id AS dup_of, b_id AS new_id
+          FROM ($shingleJaccardSql)
+          WHERE (a_id < 300 AND b_id >= 300 AND b_id < 450)
+             OR (a_id < 450 AND b_id >= 450)
+          ORDER BY dup_of, new_id""",
     // Transitive closure over the exact near-dup pairs via recursive
     // CTE; Spark computes the same components by min-label propagation.
     "d06_dedup_clusters" ->

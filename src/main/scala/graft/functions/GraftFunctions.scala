@@ -48,11 +48,12 @@ object GraftFunctions {
       else DefaultMinHashPerms
     val bands =
       if (exprs.length >= 3)
-        literalIntArg(MinHashBandsName, "bands", exprs(2), 1)
+        // 0 = signature mode (raw minima), see MinHashBandsAgg
+        literalIntArg(MinHashBandsName, "bands", exprs(2), 0)
       else DefaultMinHashBands
-    require(perms % bands == 0,
+    require(bands == 0 || perms % bands == 0,
       s"$MinHashBandsName: perms ($perms) must be a multiple of bands " +
-        s"($bands)")
+        s"($bands), or bands = 0 for the raw signature")
     (perms, bands)
   }
 

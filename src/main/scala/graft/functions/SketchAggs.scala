@@ -119,9 +119,14 @@ case class MinHashBandsAgg(
   extends TypedImperativeAggregate[Array[Long]]
   with LongArrayAggState with UnaryLike[Expression] {
 
-  require(numPerms >= 1 && bands >= 1 && numPerms % bands == 0,
+  // bands = 0 is the SIGNATURE mode: eval emits the raw per-permutation
+  // minima instead of folded band keys — what a persisted dedup index
+  // stores to estimate Jaccard between corpora without re-shingling
+  require(numPerms >= 1 && bands >= 0 &&
+    (bands == 0 || numPerms % bands == 0),
     s"${GraftFunctions.MinHashBandsName}: perms ($numPerms) must be a " +
-      s"positive multiple of bands ($bands)")
+      s"positive multiple of bands ($bands), or bands = 0 for the " +
+      "raw signature")
 
   override def stateLen: Int = numPerms
 
@@ -161,6 +166,7 @@ case class MinHashBandsAgg(
   }
 
   override def eval(buf: Array[Long]): Any = {
+    if (bands == 0) return new GenericArrayData(buf.clone())
     val r = numPerms / bands
     val keys = new Array[Long](bands)
     var b = 0

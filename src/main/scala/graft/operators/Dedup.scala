@@ -610,4 +610,174 @@ object Dedup {
       .select((col("false_pos") === 0).cast("long").as("precision_ok"),
         (col("recall") >= 0.7).cast("long").as("recall_ok"))
   }
+
+  // —— persisted MinHash-LSH DEDUP INDEX: incremental corpus dedup ——
+  // The standing corpus's LSH band keys and full MinHash SIGNATURES
+  // persist as Versioned tables, so deduping a NEW batch (the daily
+  // crawl) against an N-doc corpus costs O(batch + matched band
+  // buckets) — the corpus is never re-shingled, re-hashed, or even
+  // re-read beyond the candidates' own signature rows. This is the
+  // dedup sibling of the persisted text/vector indexes, and the shape
+  // every production pipeline converges on: signatures are the stored
+  // sketch, estimated Jaccard (matching minima / perms) is the verify,
+  // exact on the stored sketch and within ~1/sqrt(perms) of true
+  // Jaccard (16σ of separation at the fixture's 0.9-vs-0.1 gap).
+
+  import graft.sources.Versioned
+
+  private def dedupSigsDir(indexDir: String): String = s"$indexDir.sigs"
+
+  /** One narrow row per doc with BOTH outputs of one aggregation pass:
+    * the 16 folded band keys (candidate generation) and the raw
+    * 128-minima signature (verification) — same shuffle, two sketches. */
+  private def dedupSketchOf(docsDf: DataFrame): DataFrame =
+    docsDf.select(col("doc_id"),
+      explode(call_function(GraftFunctions.ShingleHashesName,
+        trim(lower(col("text"))), lit(3))).as("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(
+        call_function(GraftFunctions.MinHashBandsName, col("shingle"),
+          lit(NumPerms), lit(Bands)).as("bands"),
+        call_function(GraftFunctions.MinHashBandsName, col("shingle"),
+          lit(NumPerms), lit(0)).as("sig"))
+
+  private def bandRowsOf(sketch: DataFrame): DataFrame =
+    sketch.select(col("doc_id"), posexplode(col("bands")))
+      .toDF("doc_id", "band", "band_hash")
+
+  /** Build the index over a corpus frame: a band-partitioned
+    * (doc_id, band, band_hash) table whose commit note pins the
+    * sibling signature table's version — the text/vector indexes'
+    * pin discipline, so a probe never pairs new bands with old
+    * signatures. doc_id stats on both tables prune later point reads
+    * and group merges. */
+  def buildDedupIndexOf(docsDf: DataFrame, indexDir: String): Unit = {
+    val s = docsDf.sparkSession
+    val sketch = dedupSketchOf(docsDf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sv = Versioned.commit(sketch.select(col("doc_id"), col("sig")),
+        dedupSigsDir(indexDir), statsCols = Seq("doc_id"))
+      Versioned.commit(bandRowsOf(sketch), indexDir,
+        partitionCol = Some("band"), note = Some(s"sigs=v$sv"),
+        statsCols = Seq("doc_id"))
+    } finally sketch.unpersist(blocking = false)
+  }
+
+  def buildDedupIndex(s: SparkSession, d: String, indexDir: String): Unit =
+    buildDedupIndexOf(docs(s, d), indexDir)
+
+  private def dedupSigsPin(s: SparkSession,
+      indexDir: String): Option[Int] = {
+    val v = Versioned.currentVersion(s, indexDir)
+    Versioned.commitNotes(s, indexDir).get(v)
+      .map(_.trim).filter(_.startsWith("sigs=v"))
+      .flatMap(n => scala.util.Try(
+        n.stripPrefix("sigs=v").toInt).toOption)
+  }
+
+  /** O(delta) maintenance: the new docs' band rows append (only their
+    * band-partition files are written) and their signatures append to
+    * the sibling, which publishes FIRST so the band commit re-pins the
+    * consistent pair. Ids already indexed refuse loudly — an append
+    * would double their band rows and make them candidates of
+    * themselves; re-index by rebuild (or dedup the batch first). */
+  def appendToDedupIndex(s: SparkSession, newDocs: DataFrame,
+      indexDir: String): Unit = {
+    require(Versioned.currentVersion(s, indexDir) > 0,
+      s"$indexDir is not a built dedup index (buildDedupIndex first)")
+    val clash = Versioned.read(s, dedupSigsDir(indexDir),
+        dedupSigsPin(s, indexDir))
+      .join(newDocs.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi").limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"appendToDedupIndex: doc_ids ${clash.mkString(", ")} are " +
+        s"already indexed in $indexDir — an append would duplicate " +
+        "their band rows; rebuild to re-index")
+    val sketch = dedupSketchOf(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sv = Versioned.append(
+        sketch.select(col("doc_id"), col("sig")),
+        dedupSigsDir(indexDir), statsCols = Seq("doc_id"))
+      Versioned.append(bandRowsOf(sketch), indexDir,
+        partitionCol = Some("band"), note = Some(s"sigs=v$sv"),
+        statsCols = Seq("doc_id"))
+    } finally sketch.unpersist(blocking = false)
+  }
+
+  /** Dedup a NEW batch against the standing indexed corpus: the
+    * batch's band keys join the index's (the LSH candidate step — a
+    * shuffle-hash join on 8-byte keys, never all-pairs), candidate
+    * corpus signatures point-read from the pinned sibling, and each
+    * candidate pair verifies by ESTIMATED Jaccard (matching minima /
+    * perms — exact on the stored sketch). Returns
+    * (dup_of = corpus doc, new_id, est_jaccard >= minJ). Within-batch
+    * duplicates are out of scope by design — that is the ordinary
+    * [[minhashLsh]] run over the batch alone. */
+  def dedupAgainstIndex(s: SparkSession, newDocs: DataFrame,
+      indexDir: String, minJ: Double = 0.5): DataFrame = {
+    require(Versioned.currentVersion(s, indexDir) > 0,
+      s"$indexDir is not a built dedup index (buildDedupIndex first)")
+    val sketch = dedupSketchOf(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bandRowsOf(sketch).as("x")
+      .join(Versioned.read(s, indexDir).as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash"))
+      .select(col("y.doc_id").as("dup_of"), col("x.doc_id").as("new_id"))
+      .distinct()
+    // candidates' corpus signatures only — a broadcast semi-join over
+    // the pinned sibling (candidate sets are batch-scale; at corpus
+    // scale the sigs table's doc_id stats prune the read further)
+    val corpusSigs = Versioned.read(s, dedupSigsDir(indexDir),
+        dedupSigsPin(s, indexDir))
+      .join(cands.select(col("dup_of").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("dup_of"), col("sig").as("a_sig"))
+    val est = cands
+      .join(corpusSigs, Seq("dup_of"))
+      .join(sketch.select(col("doc_id").as("new_id"),
+        col("sig").as("b_sig")), Seq("new_id"))
+      .select(col("dup_of"), col("new_id"),
+        (aggregate(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") /
+          NumPerms.toDouble).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJ)
+    est
+  }
+
+  /** Driver-visible gate (d10): incremental corpus dedup end to end —
+    * index docs < 300, dedup the 300-449 batch against it, APPEND that
+    * batch (O(delta)), then dedup the 450+ batch against the grown
+    * index. The union of both phases' (dup_of, new_id) pairs equals
+    * the EXACT cross-boundary 3-gram-Jaccard >= 0.5 pairs, which
+    * DuckDB restates independently — LSH recall at the fixture's gap
+    * and the signature estimate's 16σ margin make the approximate
+    * pipeline reproduce the exact answer, so the check is a full hash
+    * match, not a recall bound. */
+  def dedupIndexGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-dedup-index-gate")
+    try {
+      val idx = work.resolve("lsh").toString
+      val all = docs(s, d)
+      buildDedupIndexOf(all.filter(col("doc_id") < 300), idx)
+      val p1 = dedupAgainstIndex(s,
+        all.filter(col("doc_id") >= 300 && col("doc_id") < 450), idx)
+        .select(col("dup_of"), col("new_id"))
+      appendToDedupIndex(s,
+        all.filter(col("doc_id") >= 300 && col("doc_id") < 450), idx)
+      val p2 = dedupAgainstIndex(s, all.filter(col("doc_id") >= 450), idx)
+        .select(col("dup_of"), col("new_id"))
+      // materialized before the finally removes the index tables the
+      // lazy plans read (pair count is fixture-scale)
+      val pairs = p1.unionByName(p2)
+        .orderBy(col("dup_of"), col("new_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      import s.implicits._
+      pairs.toDF("dup_of", "new_id")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
 }

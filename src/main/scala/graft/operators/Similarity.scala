@@ -308,8 +308,12 @@ object Similarity {
     // drop the float column from the stored layout — keeping it would
     // forfeit the 4x; probes rebuild it from q_emb x q_scale
     val stored = if (quantized) assigned.drop("embedding") else assigned
+    // vec_id stats on every cell file: upsertIntoVectorIndex's CoW
+    // touched-file probe prunes to the files whose id range intersects
+    // the batch
     Versioned.commit(stored, indexDir,
-      partitionCol = Some("cell"), note = Some(s"centroids=v$cv"))
+      partitionCol = Some("cell"), note = Some(s"centroids=v$cv"),
+      statsCols = Seq("vec_id"))
   }
 
   /** The centroid snapshot version the index's CURRENT snapshot was
@@ -379,7 +383,8 @@ object Similarity {
     val assigned = assignCells(delta, cents)
     Versioned.append(
       if (qz) assigned.drop("embedding") else assigned, indexDir,
-      partitionCol = Some("cell"), note = Some(s"centroids=v$cv"))
+      partitionCol = Some("cell"), note = Some(s"centroids=v$cv"),
+      statsCols = Seq("vec_id"))
   }
 
   /** Small-file maintenance for a drip-fed index: binpack each cell's
@@ -401,7 +406,8 @@ object Similarity {
       val v = Versioned.commit(survivors, indexDir,
         partitionCol = Some("cell"),
         note = pinnedCentroidVersion(s, indexDir)
-          .map(cv => s"centroids=v$cv"))
+          .map(cv => s"centroids=v$cv"),
+        statsCols = Seq("vec_id"))
       Versioned.commit(tombs.limit(0), vecTombsDir(indexDir))
       v
     } else
@@ -409,7 +415,7 @@ object Similarity {
       // index keeps resolving the centroid generation it was assigned
       // against
       Versioned.compactSmall(s, indexDir, targetFileBytes, minFileBytes,
-        partitionCol = Some("cell"),
+        statsCols = Seq("vec_id"), partitionCol = Some("cell"),
         note = pinnedCentroidVersion(s, indexDir)
           .map(v => s"centroids=v$v"))
   }
@@ -880,7 +886,8 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("nrm"))
       .join(pqEncode(subs, cb), "vec_id")
     Versioned.commit(stored, indexDir, partitionCol = Some("cell"),
-      note = Some(s"centroids=v$cv;codebooks=v$bv"))
+      note = Some(s"centroids=v$cv;codebooks=v$bv"),
+      statsCols = Seq("vec_id"))
     corpus.unpersist()
   }
 
@@ -915,7 +922,8 @@ object Similarity {
       .join(pqEncode(subvectors(delta), cb), "vec_id")
     Versioned.append(stored, indexDir, partitionCol = Some("cell"),
       note = Some("centroids=v" + pins("centroids") +
-        ";codebooks=v" + pins("codebooks")))
+        ";codebooks=v" + pins("codebooks")),
+      statsCols = Seq("vec_id"))
     delta.unpersist()
   }
 
@@ -974,7 +982,8 @@ object Similarity {
     // exist in a published snapshot
     Versioned.applyChanges(s, indexDir, upserts = stored,
       deleteKeys = newVectors.select(col("vec_id")).limit(0),
-      key = "vec_id", partitionCol = Some("cell"), note = Some(note))
+      key = "vec_id", partitionCol = Some("cell"), note = Some(note),
+      statsCols = Seq("vec_id"))
     // 2. supersede any live tombstones on these ids (fresh encodings
     // are now the only stored rows, so visibility is correct)
     val td = vecTombsDir(indexDir)
@@ -1131,7 +1140,8 @@ object Similarity {
     val v = Versioned.commit(survivors, indexDir,
       partitionCol = Some("cell"),
       note = Some("centroids=v" + pins("centroids") +
-        ";codebooks=v" + pins("codebooks")))
+        ";codebooks=v" + pins("codebooks")),
+      statsCols = Seq("vec_id"))
     Versioned.commit(tombs.limit(0), vecTombsDir(indexDir))
     v
   }

@@ -1414,8 +1414,12 @@ object TextAnalysis {
     val stats = base.agg(count(lit(1)).as("n_docs"),
       sum(col("dl")).as("sum_dl"))
     val sv = Versioned.commit(stats, textStatsDir(indexDir))
+    // doc_id stats on every postings file: a later upsertGroups
+    // re-index prunes its touched-file probe to the files whose id
+    // range intersects the batch — O(candidate files), not O(index)
     Versioned.commit(postingsOf(docsDf), indexDir,
-      partitionCol = Some("bucket"), note = Some(s"stats=v$sv"))
+      partitionCol = Some("bucket"), note = Some(s"stats=v$sv"),
+      statsCols = Seq("doc_id"))
   }
 
   /** O(delta) maintenance: append the new documents' postings (only
@@ -1452,7 +1456,8 @@ object TextAnalysis {
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     val sv = Versioned.commit(merged, textStatsDir(indexDir))
     Versioned.append(postingsOf(newDocs), indexDir,
-      partitionCol = Some("bucket"), note = Some(s"stats=v$sv"))
+      partitionCol = Some("bucket"), note = Some(s"stats=v$sv"),
+      statsCols = Seq("doc_id"))
   }
 
   private def textStatsPin(s: SparkSession,
@@ -1526,7 +1531,8 @@ object TextAnalysis {
     )).toDF("n_docs", "sum_dl")
     val sv = Versioned.commit(stats, textStatsDir(indexDir))
     Versioned.upsertGroups(s, indexDir, postingsOf(docs), "doc_id",
-      partitionCol = Some("bucket"), note = Some(s"stats=v$sv"))
+      partitionCol = Some("bucket"), note = Some(s"stats=v$sv"),
+      statsCols = Seq("doc_id"))
     val td = textTombsDir(indexDir)
     if (Versioned.currentVersion(s, td) > 0) {
       val tombs = Versioned.read(s, td).select(col("doc_id"))
@@ -1598,7 +1604,8 @@ object TextAnalysis {
           .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
         val sv = Versioned.commit(stats, textStatsDir(indexDir))
         val v = Versioned.commit(survivors, indexDir,
-          partitionCol = Some("bucket"), note = Some(s"stats=v$sv"))
+          partitionCol = Some("bucket"), note = Some(s"stats=v$sv"),
+          statsCols = Seq("doc_id"))
         // tombstones applied — reset to the empty set LAST, so a crash
         // above leaves them live (probes stay correct, re-compact
         // re-applies; an extra anti-join row is never wrong)
@@ -1606,7 +1613,8 @@ object TextAnalysis {
         v
       } finally survivors.unpersist(blocking = false)
     } else Versioned.compactSmall(s, indexDir, targetFileBytes,
-      minFileBytes, partitionCol = Some("bucket"),
+      minFileBytes, statsCols = Seq("doc_id"),
+      partitionCol = Some("bucket"),
       note = textStatsPin(s, indexDir).map(v => s"stats=v$v"))
   }
 

@@ -394,7 +394,22 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
     }
     new GraftVersionedTable(dir, v, schema, display(ident),
       () => Versioned.currentTransform(spark, dir),
-      () => Versioned.properties(spark, dir))
+      () => {
+        val props = Versioned.properties(spark, dir)
+        // a materialized view's CURRENT source pin surfaces beside its
+        // stored spec (DESCRIBE EXTENDED / SHOW TBLPROPERTIES show
+        // both) — read from the head commit note, where the pin
+        // actually lives, so it is always the refresh truth and never
+        // a stale copy
+        if (!props.contains(graft.sources.DerivedTable.MvKindProp)) props
+        else props ++ Versioned.commitNotes(spark, dir)
+          .get(Versioned.currentVersion(spark, dir))
+          .flatMap(_.split(";").collectFirst {
+            case p if p.trim.startsWith("src=v") =>
+              "graft.mv.pinned_source_version" ->
+                p.trim.stripPrefix("src=v")
+          })
+      })
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None)

@@ -17,6 +17,46 @@ class DedupSpec extends SparkSpec {
     assert(pairs(Dedup.minhashLsh(spark, sf)) == exact)
   }
 
+  test("persisted dedup index: build, probe a new batch, O(delta) " +
+      "append, re-probe — equals exact cross-boundary pairs; " +
+      "re-append of an indexed id refuses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idx = "target/tmp/dedup-index"
+    Seq(idx, s"$idx.sigs").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val all = graft.sources.Tables.load(spark, sf, "documents")
+    Dedup.buildDedupIndexOf(all.filter($"doc_id" < 300), idx)
+    val p1 = pairs(Dedup.dedupAgainstIndex(spark,
+      all.filter($"doc_id" >= 300 && $"doc_id" < 450), idx)
+      .select($"dup_of", $"new_id"))
+    assert(p1 == exact.filter { case (a, b) =>
+      a < 300 && b >= 300 && b < 450 })
+    assert(p1.nonEmpty, "fixture must plant cross-boundary dups")
+    // estimated jaccard sits near truth for a known planted pair
+    val est = Dedup.dedupAgainstIndex(spark,
+      all.filter($"doc_id" >= 300 && $"doc_id" < 450), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getDouble(2)).toMap
+    est.values.foreach(j => assert(j >= 0.5 && j <= 1.0))
+    // grow the index by the batch — O(delta) — and probe the rest
+    Dedup.appendToDedupIndex(spark,
+      all.filter($"doc_id" >= 300 && $"doc_id" < 450), idx)
+    val p2 = pairs(Dedup.dedupAgainstIndex(spark,
+      all.filter($"doc_id" >= 450), idx)
+      .select($"dup_of", $"new_id"))
+    assert(p2 == exact.filter { case (a, b) => a < 450 && b >= 450 })
+    // an id already indexed refuses the append (it would candidate
+    // against itself forever)
+    val e = intercept[IllegalArgumentException](
+      Dedup.appendToDedupIndex(spark,
+        all.filter($"doc_id" === 10), idx))
+    assert(e.getMessage.contains("already indexed"))
+    // probing never pairs a doc with itself and never reorders ids
+    assert(!p1.exists { case (a, b) => a == b } &&
+      !p2.exists { case (a, b) => a >= 450 })
+  }
+
   test("simhash banding reproduces the exact shingle-jaccard pairs") {
     assert(pairs(Dedup.simhashPairs(spark, sf)) == exact)
   }

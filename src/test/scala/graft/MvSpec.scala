@@ -39,10 +39,12 @@ class MvSpec extends SparkSpec {
       props(DerivedTable.MvSourceProp) == src &&
       props(DerivedTable.MvKeyProp) == "id" &&
       props(DerivedTable.MvQueryProp).startsWith("SELECT id"))
-    // SHOW TBLPROPERTIES is the DESCRIBE surface
+    // SHOW TBLPROPERTIES is the DESCRIBE surface — and the CURRENT
+    // source pin rides beside the spec (read live from the head note)
     val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$dst`")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(shown.get(DerivedTable.MvKindProp).contains("derived"))
+    assert(shown.get("graft.mv.pinned_source_version").contains("1"))
     // source advances: one upsert crossing the filter bar DOWN, one
     // new row, one delete — refresh_mv propagates all three with NO
     // caller-supplied spec
