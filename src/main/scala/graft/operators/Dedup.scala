@@ -748,6 +748,94 @@ object Dedup {
     est
   }
 
+  /** The crawl-ingest loop in ONE pass: dedup `newDocs` against the
+    * index, then grow the index by the batch's SURVIVORS — each new
+    * doc that matched a standing corpus doc (est. Jaccard ≥ `minJ`)
+    * is dropped, everything else is appended. The batch is sketched
+    * ONCE (the probe and the append share the cached sketch — calling
+    * [[dedupAgainstIndex]] then [[appendToDedupIndex]] would sketch
+    * twice and refuse nothing), and within-batch duplicates also
+    * collapse: among batch docs sharing a band bucket, the smaller id
+    * survives (the d06 min-id convention), so the index never ingests
+    * two copies in the same batch. Returns (doc_id, kept, dup_of) —
+    * dup_of is the standing-corpus or smaller-id batch doc that
+    * evicted it (null when kept). */
+  def ingestDedup(s: SparkSession, newDocs: DataFrame,
+      indexDir: String, minJ: Double = 0.5): DataFrame = {
+    // the probe pins the PRE-append snapshot, so the returned verdict
+    // frame stays stable however late a caller evaluates it — an
+    // unpinned read would see the survivors this call appends and
+    // match them against themselves
+    val v0 = Versioned.currentVersion(s, indexDir)
+    require(v0 > 0,
+      s"$indexDir is not a built dedup index (buildDedupIndex first)")
+    val sigsPin = dedupSigsPin(s, indexDir)
+    val sketch = dedupSketchOf(newDocs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val batchBands = bandRowsOf(sketch)
+      // corpus candidates + within-batch candidates (smaller id wins,
+      // the d06 min-id convention) in one union, then one signature
+      // verification pass over stored sketches only
+      val corpusCands = batchBands.as("x")
+        .join(Versioned.read(s, indexDir, Some(v0)).as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") =!= col("y.doc_id"))
+        .select(col("y.doc_id").as("dup_of"),
+          col("x.doc_id").as("new_id"))
+      val batchCands = batchBands.as("x")
+        .join(batchBands.as("y"),
+          col("x.band") === col("y.band") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("dup_of"),
+          col("y.doc_id").as("new_id"))
+      val cands = corpusCands.unionByName(batchCands).distinct()
+      val sigPool = Versioned.read(s, dedupSigsDir(indexDir), sigsPin)
+        .select(col("doc_id"), col("sig"))
+        .unionByName(sketch.select(col("doc_id"), col("sig")))
+        .join(cands.select(col("dup_of").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("dup_of"), col("sig").as("a_sig"))
+      // one eviction witness per dropped doc: the smallest matching
+      // dup_of (a doc evicted by an evicted batch doc keeps its
+      // DIRECT witness — the pair-level contract, same as d06)
+      val dups = cands
+        .join(sigPool, Seq("dup_of"))
+        .join(sketch.select(col("doc_id").as("new_id"),
+          col("sig").as("b_sig")), Seq("new_id"))
+        .filter(aggregate(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") /
+          NumPerms.toDouble >= minJ)
+        .groupBy(col("new_id"))
+        .agg(min(col("dup_of")).as("dup_of"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val survivorSketch = sketch.join(
+          dups.select(col("new_id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        if (!survivorSketch.isEmpty) {
+          val sv = Versioned.append(
+            survivorSketch.select(col("doc_id"), col("sig")),
+            dedupSigsDir(indexDir), statsCols = Seq("doc_id"))
+          Versioned.append(bandRowsOf(survivorSketch), indexDir,
+            partitionCol = Some("band"), note = Some(s"sigs=v$sv"),
+            statsCols = Seq("doc_id"))
+        }
+        // the verdict stays a DISTRIBUTED frame (batch-scale): every
+        // input in the probe plan is pinned (v0 / sigsPin) or
+        // deterministic, so late evaluation reproduces it exactly
+        newDocs.select(col("doc_id"))
+          .join(dups.withColumnRenamed("new_id", "doc_id"),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), col("dup_of").isNull.as("kept"),
+            col("dup_of"))
+      } finally dups.unpersist(blocking = false)
+    } finally sketch.unpersist(blocking = false)
+  }
+
   /** Driver-visible gate (d10): incremental corpus dedup end to end —
     * index docs < 300, dedup the 300-449 batch against it, APPEND that
     * batch (O(delta)), then dedup the 450+ batch against the grown

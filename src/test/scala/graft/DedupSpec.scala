@@ -57,6 +57,44 @@ class DedupSpec extends SparkSpec {
       !p2.exists { case (a, b) => a >= 450 })
   }
 
+  test("ingestDedup: one-pass probe-and-grow drops corpus AND " +
+      "within-batch duplicates, survivors join the index") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idx = "target/tmp/dedup-ingest"
+    Seq(idx, s"$idx.sigs").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    val all = graft.sources.Tables.load(spark, sf, "documents")
+    Dedup.buildDedupIndexOf(all.filter($"doc_id" < 300), idx)
+    val batch = all.filter($"doc_id" >= 300 && $"doc_id" < 450)
+    val verdict = Dedup.ingestDedup(spark, batch, idx).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    // expected drops from the EXACT pair truth: every batch doc that
+    // is the larger side of a pair whose partner is in the corpus or
+    // earlier in the batch; its witness is the smallest such partner
+    val expectedDrop = exact
+      .filter { case (a, b) => b >= 300 && b < 450 && a < 450 }
+      .groupBy(_._2).view.mapValues(_.map(_._1).min).toMap
+    assert(expectedDrop.nonEmpty)
+    val dropped = verdict.filter(!_._2).map(v => v._1 -> v._3).toMap
+    assert(dropped == expectedDrop)
+    assert(verdict.filter(_._2).forall(_._3 == -1L))
+    assert(verdict.map(_._1).toSet ==
+      batch.select($"doc_id").collect().map(_.getLong(0)).toSet)
+    // the index grew by exactly the survivors
+    assert(graft.sources.Versioned
+      .read(spark, s"$idx.sigs").count() ==
+      all.filter($"doc_id" < 300).count() +
+        verdict.count(_._2))
+    // and a later probe sees them (dropped docs never joined)
+    val p2 = pairs(Dedup.dedupAgainstIndex(spark,
+      all.filter($"doc_id" >= 450), idx)
+      .select($"dup_of", $"new_id"))
+    assert(p2 == exact.filter { case (a, b) =>
+      a < 450 && b >= 450 && !expectedDrop.contains(a) })
+  }
+
   test("simhash banding reproduces the exact shingle-jaccard pairs") {
     assert(pairs(Dedup.simhashPairs(spark, sf)) == exact)
   }
