@@ -627,6 +627,20 @@ object Dedup {
 
   private def dedupSigsDir(indexDir: String): String = s"$indexDir.sigs"
 
+  /** Every dedup-index entry point refuses duplicate (or null) batch
+    * doc_ids up front: [[dedupSketchOf]] groups by doc_id, so two
+    * batch rows sharing an id would silently merge into one CHIMERA
+    * sketch — minima over the union of both documents' shingles,
+    * matching neither — and corrupt the stored sketch permanently. */
+  private def requireOneRowPerDoc(docsDf: DataFrame, what: String): Unit = {
+    val pre = docsDf.agg(count(lit(1)), count(col("doc_id")),
+      count_distinct(col("doc_id"))).head()
+    require(pre.getLong(0) == pre.getLong(1) &&
+      pre.getLong(1) == pre.getLong(2),
+      s"$what needs one row per non-null doc_id — duplicate or null " +
+        "ids would merge two documents into one sketch")
+  }
+
   /** One narrow row per doc with BOTH outputs of one aggregation pass:
     * the 16 folded band keys (candidate generation) and the raw
     * 128-minima signature (verification) — same shuffle, two sketches. */
@@ -653,6 +667,7 @@ object Dedup {
     * and group merges. */
   def buildDedupIndexOf(docsDf: DataFrame, indexDir: String): Unit = {
     val s = docsDf.sparkSession
+    requireOneRowPerDoc(docsDf, "buildDedupIndex")
     val sketch = dedupSketchOf(docsDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -686,6 +701,7 @@ object Dedup {
       indexDir: String): Unit = {
     require(Versioned.currentVersion(s, indexDir) > 0,
       s"$indexDir is not a built dedup index (buildDedupIndex first)")
+    requireOneRowPerDoc(newDocs, "appendToDedupIndex")
     val clash = Versioned.read(s, dedupSigsDir(indexDir),
         dedupSigsPin(s, indexDir))
       .join(newDocs.select(col("doc_id")).distinct(), Seq("doc_id"),
@@ -719,13 +735,18 @@ object Dedup {
       indexDir: String, minJ: Double = 0.5): DataFrame = {
     require(Versioned.currentVersion(s, indexDir) > 0,
       s"$indexDir is not a built dedup index (buildDedupIndex first)")
+    requireOneRowPerDoc(newDocs, "dedupAgainstIndex")
+    // deliberately NOT persisted: the probe is a lazy plan the caller
+    // evaluates (a persist here would leak past the call — nothing in
+    // this function runs an action); the sketch's two consumers share
+    // one identical aggregation subtree, which exchange reuse dedups
     val sketch = dedupSketchOf(newDocs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = bandRowsOf(sketch).as("x")
       .join(Versioned.read(s, indexDir).as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash"))
-      .select(col("y.doc_id").as("dup_of"), col("x.doc_id").as("new_id"))
+      .select(col("y.doc_id").as("dup_of"),
+        col("x.doc_id").as("new_id"))
       .distinct()
     // candidates' corpus signatures only — a broadcast semi-join over
     // the pinned sibling (candidate sets are batch-scale; at corpus
@@ -735,7 +756,7 @@ object Dedup {
       .join(cands.select(col("dup_of").as("doc_id")).distinct(),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("dup_of"), col("sig").as("a_sig"))
-    val est = cands
+    cands
       .join(corpusSigs, Seq("dup_of"))
       .join(sketch.select(col("doc_id").as("new_id"),
         col("sig").as("b_sig")), Seq("new_id"))
@@ -745,7 +766,6 @@ object Dedup {
           lit(0), (acc, v) => acc + v).cast("double") /
           NumPerms.toDouble).as("est_jaccard"))
       .filter(col("est_jaccard") >= minJ)
-    est
   }
 
   /** The crawl-ingest loop in ONE pass: dedup `newDocs` against the
@@ -769,7 +789,20 @@ object Dedup {
     val v0 = Versioned.currentVersion(s, indexDir)
     require(v0 > 0,
       s"$indexDir is not a built dedup index (buildDedupIndex first)")
+    requireOneRowPerDoc(newDocs, "ingestDedup")
     val sigsPin = dedupSigsPin(s, indexDir)
+    // an id already indexed refuses LOUDLY, like appendToDedupIndex:
+    // corpusCands excludes self-pairs, so a crash-retry of an already-
+    // landed batch would otherwise re-keep every doc and append its
+    // band/sig rows a SECOND time — duplicate sketch rows forever
+    val clash = Versioned.read(s, dedupSigsDir(indexDir), sigsPin)
+      .join(newDocs.select(col("doc_id")).distinct(), Seq("doc_id"),
+        "left_semi").limit(5).collect().map(_.getLong(0))
+    require(clash.isEmpty,
+      s"ingestDedup: doc_ids ${clash.mkString(", ")} are already " +
+        s"indexed in $indexDir — the batch (or part of it) was " +
+        "already ingested; filter the overlap out (an anti-join on " +
+        s"`${dedupSigsDir(indexDir)}`) and retry")
     val sketch = dedupSketchOf(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

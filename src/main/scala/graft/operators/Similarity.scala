@@ -960,10 +960,12 @@ object Similarity {
     val cents = Versioned.read(s, centroidsDir(indexDir),
       pins.get("centroids"))
     val delta = newVectors.select(col("vec_id"), col("embedding"))
+    var cached: DataFrame = null // released after the commit's action
     val stored = if (pins.contains("codebooks")) {
       val cb = Versioned.read(s, codebooksDir(indexDir),
         pins.get("codebooks"))
       val dd = delta.withColumn("nrm", l2Norm(col("embedding"))).cache()
+      cached = dd
       assignCells(dd, cents)
         .select(col("vec_id"), col("cell"), col("nrm"))
         .join(pqEncode(subvectors(dd), cb), "vec_id")
@@ -980,21 +982,15 @@ object Similarity {
     // 1. one atomic upsert-by-key commit: old rows for these ids leave
     // WITH the fresh rows' arrival — no window where both (or neither)
     // exist in a published snapshot
-    Versioned.applyChanges(s, indexDir, upserts = stored,
+    try Versioned.applyChanges(s, indexDir, upserts = stored,
       deleteKeys = newVectors.select(col("vec_id")).limit(0),
       key = "vec_id", partitionCol = Some("cell"), note = Some(note),
       statsCols = Seq("vec_id"))
+    finally if (cached != null) cached.unpersist(blocking = false)
     // 2. supersede any live tombstones on these ids (fresh encodings
     // are now the only stored rows, so visibility is correct)
-    val td = vecTombsDir(indexDir)
-    if (Versioned.currentVersion(s, td) > 0) {
-      val tombs = Versioned.read(s, td).select(col("vec_id"))
-      val ids = newVectors.select(col("vec_id")).distinct()
-      if (!tombs.join(broadcast(ids), Seq("vec_id"), "left_semi")
-          .isEmpty)
-        Versioned.commit(
-          tombs.join(broadcast(ids), Seq("vec_id"), "left_anti"), td)
-    }
+    Versioned.dropTombstones(s, vecTombsDir(indexDir),
+      newVectors.select(col("vec_id")).distinct(), "vec_id")
   }
 
   /** Query a persisted [[buildIvfPqIndex]] index: resolve pinned

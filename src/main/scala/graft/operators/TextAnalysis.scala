@@ -1506,11 +1506,19 @@ object TextAnalysis {
     require(Versioned.currentVersion(s, indexDir) > 0,
       s"$indexDir is not a built text index (buildTextIndex first)")
     val pre = docs.agg(count(lit(1)), count(col("doc_id")),
-      count_distinct(col("doc_id"))).head()
+      count_distinct(col("doc_id")), count(col("text"))).head()
     require(pre.getLong(0) == pre.getLong(1) &&
       pre.getLong(1) == pre.getLong(2),
       "upsertIntoTextIndex needs one row per non-null doc_id — " +
         "duplicate or null ids would merge two documents' postings")
+    // a NULL text would poison the exactness contract silently:
+    // postingsOf emits no rows for it (its OLD postings would stand)
+    // while the scalar shift below already subtracted its dl — refuse;
+    // an EMPTY string is fine (it replaces with zero-ish postings)
+    require(pre.getLong(0) == pre.getLong(3),
+      "upsertIntoTextIndex got a null 'text' — a null re-index would " +
+        "leave the old postings standing while shifting the corpus " +
+        "scalars; deleteFromTextIndex removes a document")
     val ids = docs.select(col("doc_id")).distinct()
     // the ids' CURRENT contribution to the scalars (dl rides every
     // posting row; absent ids contribute nothing)
@@ -1533,14 +1541,7 @@ object TextAnalysis {
     Versioned.upsertGroups(s, indexDir, postingsOf(docs), "doc_id",
       partitionCol = Some("bucket"), note = Some(s"stats=v$sv"),
       statsCols = Seq("doc_id"))
-    val td = textTombsDir(indexDir)
-    if (Versioned.currentVersion(s, td) > 0) {
-      val tombs = Versioned.read(s, td).select(col("doc_id"))
-      if (!tombs.join(broadcast(ids), Seq("doc_id"), "left_semi")
-          .isEmpty)
-        Versioned.commit(
-          tombs.join(broadcast(ids), Seq("doc_id"), "left_anti"), td)
-    }
+    Versioned.dropTombstones(s, textTombsDir(indexDir), ids, "doc_id")
   }
 
   private def textTombsDir(indexDir: String): String = s"$indexDir.tombs"

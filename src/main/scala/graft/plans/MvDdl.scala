@@ -1,7 +1,5 @@
 package graft.plans
 
-import scala.util.Try
-
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
   UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation,
@@ -71,11 +69,7 @@ object MvDdl {
     * mapping, selected like [[GraftDdl.tableDir]] does. */
   def destDir(spark: SparkSession, parts: Seq[String],
       what: String): String = {
-    val cm = spark.sessionState.catalogManager
-    val (cat, rest) =
-      if (parts.length > 1 && Try(cm.catalog(parts.head)).isSuccess)
-        (cm.catalog(parts.head), parts.tail)
-      else (cm.currentCatalog, parts)
+    val (cat, rest) = GraftDdl.catalogAndRest(spark, parts)
     cat match {
       case g: GraftCatalog =>
         g.dirFor(Identifier.of(rest.init.toArray, rest.last))
@@ -245,17 +239,18 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       (Seq(g, v) ++ ext).foreach(c => require(srcCols.contains(c),
         s"column '$c' is not in the source table " +
           s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
+      // the spec rides the BOOTSTRAP commit itself — data, pin, and
+      // identity publish atomically, so no crash window can leave a
+      // standing table that is not yet (and can never become) a view
       val (from, to) = DerivedTable.refreshAgg(spark, srcDir, dstDir,
-        key, g, v, extrema = ext)
-      Versioned.setProperties(spark, dstDir, Map(
-        DerivedTable.MvKindProp -> "agg",
-        DerivedTable.MvSourceProp -> srcDir,
-        DerivedTable.MvRowKeyProp -> key,
-        DerivedTable.MvGroupProp -> g,
-        DerivedTable.MvValueProp -> v,
-        DerivedTable.MvExtremaProp -> ext.mkString(","),
-        DerivedTable.MvQueryProp -> queryText),
-        note = Some(s"src=v$to"))
+        key, g, v, extrema = ext, bootstrapProps = Map(
+          DerivedTable.MvKindProp -> "agg",
+          DerivedTable.MvSourceProp -> srcDir,
+          DerivedTable.MvRowKeyProp -> key,
+          DerivedTable.MvGroupProp -> g,
+          DerivedTable.MvValueProp -> v,
+          DerivedTable.MvExtremaProp -> ext.mkString(","),
+          DerivedTable.MvQueryProp -> queryText))
       Seq(Row("agg", from, to))
     } else {
       require(!rowKeySpelling,
@@ -271,14 +266,13 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         s"${badNodes.mkString(", ")} in the view query: " +
           MvDdl.RowPureMsg)
       val t = DerivedTable.mvTransform(spark, queryText)
+      // spec rides the bootstrap commit — see the agg branch
       val (from, to) = DerivedTable.refresh(spark, srcDir, dstDir,
-        key, t)
-      Versioned.setProperties(spark, dstDir, Map(
-        DerivedTable.MvKindProp -> "derived",
-        DerivedTable.MvSourceProp -> srcDir,
-        DerivedTable.MvKeyProp -> key,
-        DerivedTable.MvQueryProp -> queryText),
-        note = Some(s"src=v$to"))
+        key, t, bootstrapProps = Map(
+          DerivedTable.MvKindProp -> "derived",
+          DerivedTable.MvSourceProp -> srcDir,
+          DerivedTable.MvKeyProp -> key,
+          DerivedTable.MvQueryProp -> queryText))
       Seq(Row("derived", from, to))
     }
   }

@@ -77,17 +77,25 @@ object PartitionFieldDdl {
 }
 
 private[plans] object GraftDdl {
+  /** The shared identifier-resolution prelude of every graft DDL
+    * command: `parts.head` names the catalog when it resolves as one,
+    * else the statement targets the session's current catalog. */
+  def catalogAndRest(spark: SparkSession, parts: Seq[String])
+      : (org.apache.spark.sql.connector.catalog.CatalogPlugin,
+        Seq[String]) = {
+    val cm = spark.sessionState.catalogManager
+    if (parts.length > 1 && Try(cm.catalog(parts.head)).isSuccess)
+      (cm.catalog(parts.head), parts.tail)
+    else (cm.currentCatalog, parts)
+  }
+
   /** Resolve a multipart table ident to the graft table's directory
     * through the session's own catalog machinery (so `graft.db.t`,
     * `graft.`/abs/dir``, and current-catalog shorthand all resolve
     * exactly as reads do). */
   def tableDir(spark: SparkSession, parts: Seq[String],
       what: String): String = {
-    val cm = spark.sessionState.catalogManager
-    val (cat, rest) =
-      if (parts.length > 1 && Try(cm.catalog(parts.head)).isSuccess)
-        (cm.catalog(parts.head), parts.tail)
-      else (cm.currentCatalog, parts)
+    val (cat, rest) = catalogAndRest(spark, parts)
     val tc = cat match {
       case t: TableCatalog => t
       case other => throw new UnsupportedOperationException(

@@ -166,7 +166,8 @@ object DerivedTable {
     * (to, to) for the no-op, (0, to) for the bootstrap. */
   def refresh(s: SparkSession, srcDir: String, dstDir: String,
       key: String, transform: DataFrame => DataFrame,
-      partitionCol: Option[String] = None): (Int, Int) = {
+      partitionCol: Option[String] = None,
+      bootstrapProps: Map[String, String] = Map.empty): (Int, Int) = {
     val to = Versioned.currentVersion(s, srcDir)
     require(to > 0, s"no committed source version at $srcDir")
     val dstV = Versioned.currentVersion(s, dstDir)
@@ -179,8 +180,12 @@ object DerivedTable {
       // prunes its touched-file probe with the batch's key range, so
       // an append-mostly source (monotone keys) refreshes WITHOUT
       // scanning the standing destination — O(candidate files)
+      // bootstrapProps ride THIS commit (CREATE MATERIALIZED VIEW's
+      // spec persistence): one atomic publish carries data, pin, and
+      // spec — no window where the table exists without its identity
       Versioned.commit(full, dstDir, partitionCol,
-        note = Some(s"src=v$to"), statsCols = Seq(key))
+        note = Some(s"src=v$to"), statsCols = Seq(key),
+        props = Some(bootstrapProps).filter(_.nonEmpty))
       return (0, to)
     }
     val from = pinnedSrcVersion(s, dstDir)
@@ -284,7 +289,8 @@ object DerivedTable {
   def refreshAgg(s: SparkSession, srcDir: String, dstDir: String,
       rowKey: String, groupCol: String, valueCol: String,
       maxTouchedKeys: Int = 100000,
-      extrema: Seq[String] = Nil): (Int, Int) = {
+      extrema: Seq[String] = Nil,
+      bootstrapProps: Map[String, String] = Map.empty): (Int, Int) = {
     def aggOf(df: DataFrame): DataFrame = {
       val aggs = Seq(sum(col(valueCol)).as(s"sum_$valueCol"),
         count(col(valueCol)).as(s"cnt_$valueCol"),
@@ -311,7 +317,8 @@ object DerivedTable {
           s"null '$groupCol' group — filter or coalesce the group " +
             "column before aggregating")
         Versioned.commit(full, dstDir,
-          note = Some(s"src=v$to"), statsCols = Seq(groupCol))
+          note = Some(s"src=v$to"), statsCols = Seq(groupCol),
+          props = Some(bootstrapProps).filter(_.nonEmpty))
       } finally full.unpersist(blocking = false)
       return (0, to)
     }

@@ -1962,6 +1962,21 @@ object Versioned {
         statsCols = statsCols, transform = transform))
   }
 
+  /** SUPERSEDE live tombstones: drop `ids` from a sibling tombstone
+    * table (one commit), a no-op when the table is absent or none of
+    * the ids are tombstoned. Shared by the index upsert paths — after
+    * an upsert replaced an id's stored rows, its tombstone must lift
+    * or the fresh rows stay invisible. */
+  def dropTombstones(spark: SparkSession, tombsDir: String,
+      ids: DataFrame, key: String): Unit = {
+    if (currentVersion(spark, tombsDir) == 0) return
+    val tombs = read(spark, tombsDir).select(col(key))
+    if (!tombs.join(broadcast(ids.select(col(key))), Seq(key),
+        "left_semi").isEmpty)
+      commit(tombs.join(broadcast(ids.select(col(key))), Seq(key),
+        "left_anti"), tombsDir)
+  }
+
   /** Row-GROUP merge by key: every current row whose `key` appears in
     * `groups` is replaced by the frame's rows for that key, new keys
     * append — the MULTI-ROW-PER-KEY sibling of [[upsert]], for tables

@@ -93,6 +93,18 @@ class DedupSpec extends SparkSpec {
       .select($"dup_of", $"new_id"))
     assert(p2 == exact.filter { case (a, b) =>
       a < 450 && b >= 450 && !expectedDrop.contains(a) })
+    // a crash-retry of an already-landed batch refuses loudly rather
+    // than silently doubling sketch rows (corpus candidates exclude
+    // self-pairs, so every doc would re-keep)
+    val re = intercept[IllegalArgumentException](
+      Dedup.ingestDedup(spark, batch, idx))
+    assert(re.getMessage.contains("already"))
+    // duplicate batch ids would merge two documents into one sketch
+    val chimera = intercept[IllegalArgumentException](
+      Dedup.ingestDedup(spark,
+        Seq((900L, "a b c d"), (900L, "e f g h")).toDF("doc_id", "text"),
+        idx))
+    assert(chimera.getMessage.contains("one row per non-null doc_id"))
   }
 
   test("simhash banding reproduces the exact shingle-jaccard pairs") {

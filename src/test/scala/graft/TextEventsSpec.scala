@@ -520,11 +520,18 @@ class TextEventsSpec extends SparkSpec {
         Seq("alpha", "sigma"), 10)),
       rows(TextAnalysis.bm25SearchOf(corpus4,
         Seq("alpha", "sigma"), 10)))
-    // refusals: duplicate and null ids would merge two documents
+    // refusals: duplicate and null ids would merge two documents; a
+    // null text would leave old postings standing while the scalars
+    // shift (deleteFromTextIndex is the removal path)
     val dup = intercept[IllegalArgumentException](
       TextAnalysis.upsertIntoTextIndex(spark,
         Seq((7L, "a"), (7L, "b")).toDF("doc_id", "text"), dir))
     assert(dup.getMessage.contains("one row per non-null doc_id"))
+    val nul = intercept[IllegalArgumentException](
+      TextAnalysis.upsertIntoTextIndex(spark,
+        Seq((1L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+        dir))
+    assert(nul.getMessage.contains("null 'text'"))
   }
 
   test("index deletes: immediate membership, Lucene stats window, " +
