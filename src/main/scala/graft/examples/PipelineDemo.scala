@@ -27,6 +27,21 @@ object PipelineDemo {
 
     val raw = Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
+    // -1. the INCREMENTAL ingest loop a standing 100 TB corpus runs
+    // daily: the first half of the corpus is "yesterday's" indexed
+    // state (persisted MinHash-LSH band keys + signatures), today's
+    // batch dedups against it in one pass and its survivors join the
+    // index — the corpus itself is never re-hashed
+    val lshIdx = s"$out/lsh_index"
+    val mid = raw.agg(percentile_approx(col("doc_id"), lit(0.5),
+      lit(100))).head().getLong(0)
+    graft.operators.Dedup.buildDedupIndexOf(
+      raw.filter(col("doc_id") < mid), lshIdx)
+    val ingested = graft.operators.Dedup.ingestDedup(spark,
+      raw.filter(col("doc_id") >= mid), lshIdx)
+    println(s"PIPELINE_INGEST_KEPT=${ingested.filter(col("kept")).count()}")
+    println(s"PIPELINE_INGEST_DROPPED=${ingested
+      .filter(!col("kept")).count()}")
     // 0a. span-level dedup FIRST: repeated 15-token windows (shared
     // boilerplate passages, near-copy spans) excised from every copy
     // before document-level gates see the text

@@ -1367,6 +1367,105 @@ object Similarity {
       .withColumn("refused_unpinned", lit(if (refused) 1L else 0L))
   }
 
+  /** The EMBEDDING twin of [[graft.operators.Dedup.ingestDedup]]: dedup
+    * a new vector batch against the standing indexed corpus and grow
+    * the index by the survivors, in one pass over one persisted
+    * int8/float IVF index. Candidates come from a SemDeDup-style
+    * multi-probe — each new vector scores against the members of its
+    * top-[[NProbe]] centroid cells (never corpus-quadratic; the probed
+    * cell set is partition-pruned like every index probe) — plus the
+    * within-batch same-cell pairs (smaller id wins). A match is
+    * cosine ≥ `minCos` on the index's own stored values (dequantized
+    * for the int8 layout). A standing row with the SAME vec_id counts
+    * as a match of itself, so re-ingesting an already-landed batch
+    * drops every row idempotently instead of duplicating it — a
+    * RE-EMBEDDED id (same id, drifted vector) goes through
+    * [[upsertIntoVectorIndex]], not ingest. Refuses the IVF-PQ layout:
+    * code bytes only ADC-approximate cosines, and near-dup thresholds
+    * sit above ADC noise. Returns (vec_id, kept, dup_of — null when
+    * kept); survivors are appended at the pinned centroid generation
+    * before the verdict returns (the probe reads the PRE-append
+    * snapshot, so late evaluation stays stable). */
+  def ingestDedupVectors(s: SparkSession, newVectors: DataFrame,
+      indexDir: String, minCos: Double = 0.98): DataFrame = {
+    val v0 = Versioned.currentVersion(s, indexDir)
+    require(v0 > 0, s"$indexDir is not a built vector index " +
+      "(buildIvfIndex first)")
+    val pins = pinnedVersionsOf(s, indexDir)
+    require(pins.contains("centroids") && !pins.contains("codebooks"),
+      s"ingestDedupVectors needs the int8/float IVF layout — an " +
+        "IVF-PQ index stores code bytes only, which ADC-approximate " +
+        "the cosines a near-dup threshold compares")
+    val cents = Versioned.read(s, centroidsDir(indexDir),
+      pins.get("centroids"))
+    val delta = newVectors.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", l2Norm(col("embedding")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // top-NProbe cells per new vector (the multi-probe window) —
+      // a cell-boundary near-dup is still seen by the probe
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("c_cos").desc, col("cell"))
+      val probeCells = delta.join(broadcast(cents))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+          (dot(col("c_emb"), col("embedding")) /
+            (col("c_nrm") * col("nrm"))).as("c_cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= NProbe)
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cellsHit = probeCells.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)) // metadata-scale, like a listing
+        require(cellsHit.forall(_.isValidInt),
+          s"IVF cell id beyond Int range: ${cellsHit.max}")
+        val raw = Versioned.read(s, indexDir, Some(v0))
+          .filter(col("cell").isin(cellsHit.map(_.toInt): _*))
+          .join(broadcast(vecTombs(s, indexDir)), Seq("vec_id"),
+            "left_anti")
+        val members = (if (!raw.columns.contains("q_emb")) raw
+          else raw.withColumn("embedding",
+              transform(col("q_emb"),
+                v => (v.cast("double") * col("q_scale")).cast("float")))
+            .drop("q_emb", "q_scale"))
+          .withColumn("cell", col("cell").cast("long"))
+          .select(col("vec_id").as("dup_of"),
+            col("embedding").as("m_emb"), col("nrm").as("m_nrm"),
+            col("cell"))
+        val corpusDups = probeCells.join(members, Seq("cell"))
+          .filter(dot(col("embedding"), col("m_emb")) /
+            (col("nrm") * col("m_nrm")) >= minCos)
+          .select(col("dup_of"), col("vec_id").as("new_id"))
+        // within-batch: same TOP cell, smaller id survives (the d06
+        // convention, matching semanticDedup's cluster-local rule)
+        val top1 = assignCells(delta, cents)
+        val batchDups = top1.as("x").join(top1.as("y"),
+            col("x.cell") === col("y.cell") &&
+              col("x.vec_id") < col("y.vec_id") &&
+              dot(col("x.embedding"), col("y.embedding")) /
+                (col("x.nrm") * col("y.nrm")) >= minCos)
+          .select(col("x.vec_id").as("dup_of"),
+            col("y.vec_id").as("new_id"))
+        val dups = corpusDups.unionByName(batchDups)
+          .groupBy(col("new_id")).agg(min(col("dup_of")).as("dup_of"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val survivors = delta.join(
+            dups.select(col("new_id").as("vec_id")),
+            Seq("vec_id"), "left_anti")
+            .select(col("vec_id"), col("embedding"))
+          if (!survivors.isEmpty)
+            appendToIvfIndex(s, survivors, indexDir)
+          newVectors.select(col("vec_id"))
+            .join(dups.withColumnRenamed("new_id", "vec_id"),
+              Seq("vec_id"), "left")
+            .select(col("vec_id"), col("dup_of").isNull.as("kept"),
+              col("dup_of"))
+        } finally dups.unpersist(blocking = false)
+      } finally probeCells.unpersist(blocking = false)
+    } finally delta.unpersist(blocking = false)
+  }
+
   /** File pair + unit query vector resolved by the LAST
     * [[int8IndexExportGate]] run in this JVM — the q56 oracle embeds
     * them literally (same discipline as [[lastVectorIndexExport]]). */

@@ -635,6 +635,65 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("vec_id") === tgt).count() == 1)
   }
 
+  test("ingestDedupVectors: corpus and within-batch near-dups drop " +
+      "with witnesses, survivors join the index, re-ingest is " +
+      "idempotent, IVF-PQ refuses") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.sources.Versioned
+    val dir = "target/tmp/ivf-ingest"
+    Seq(dir, s"$dir.centroids", s"$dir.tombs").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Similarity.buildIvfIndex(spark, sf, dir, quantized = true)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    def reId(src: Long, id: Long) = emb.filter(col("vec_id") === src)
+      .select(lit(id).as("vec_id"), col("embedding"))
+    // twins of two corpus vectors (near-dup of standing rows), one
+    // novel vector (query 0's embedding — cosine ~0.5 to the corpus),
+    // and a within-batch duplicate pair of query 1's embedding
+    val cid = emb.filter(col("vec_id") >= Similarity.NumQueries)
+      .select("vec_id").orderBy("vec_id").limit(2).collect()
+      .map(_.getLong(0))
+    val batch = reId(cid(0), 7000000L)
+      .unionAll(reId(cid(1), 7000001L))
+      .unionAll(reId(0L, 7100000L))
+      .unionAll(reId(1L, 7100001L))
+      .unionAll(reId(1L, 7100002L))
+    val verdict = Similarity.ingestDedupVectors(spark, batch, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2)))
+      .toMap
+    assert(verdict(7000000L) == ((false, cid(0))))
+    assert(verdict(7000001L) == ((false, cid(1))))
+    assert(verdict(7100000L) == ((true, -1L)))
+    assert(verdict(7100001L) == ((true, -1L)))
+    assert(verdict(7100002L) == ((false, 7100001L)),
+      "within-batch duplicate must lose to the smaller id")
+    // survivors are live in the index: query 0's top-1 is the novel
+    assert(Similarity.ivfTopKIndexed(spark, sf, dir)
+      .filter(col("query_id") === 0 && col("rank") === 1)
+      .head().getLong(2) == 7100000L)
+    assert(Versioned.read(spark, dir)
+      .filter(col("vec_id") >= 7000000L).count() == 2)
+    // re-ingesting the same batch drops EVERYTHING (standing same-id
+    // rows match themselves; twins still match their originals) — no
+    // duplicate rows ever land
+    val again = Similarity.ingestDedupVectors(spark, batch, dir)
+      .collect()
+    assert(again.forall(!_.getBoolean(1)))
+    assert(Versioned.read(spark, dir)
+      .filter(col("vec_id") >= 7000000L).count() == 2)
+    // the IVF-PQ layout refuses (ADC-approximate cosines)
+    val pq = "target/tmp/ivfpq-ingest-refuse"
+    Seq(pq, s"$pq.centroids", s"$pq.codebooks", s"$pq.tombs").foreach(
+      p => org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(p)))
+    Similarity.buildIvfPqIndex(spark, sf, pq)
+    val e = intercept[IllegalArgumentException](
+      Similarity.ingestDedupVectors(spark, batch, pq))
+    assert(e.getMessage.contains("IVF-PQ"))
+  }
+
   test("int8-IVF export parity: the pair exports (no codebooks), " +
       "the gate's probe is well-formed, tombstones refuse") {
     import org.apache.spark.sql.functions._
