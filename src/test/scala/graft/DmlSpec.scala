@@ -15,6 +15,67 @@ class DmlSpec extends SparkSpec {
     (t, s"graft.`${new java.io.File(t).getAbsolutePath}`")
   }
 
+  test("upsertGroups replaces whole row GROUPS by key, appends new " +
+      "keys, links untouched files, refuses null keys") {
+    import spark.implicits._
+    val (t, g) = fresh("upsert_groups")
+    // an order-lines shape: one key owns several rows
+    Versioned.commit(Seq(
+      (1L, "a", 10), (1L, "b", 11),
+      (2L, "a", 20), (2L, "c", 21), (2L, "d", 22),
+      (3L, "e", 30)).toDF("k", "item", "qty"), t,
+      statsCols = Seq("k"))
+    Versioned.append(Seq((4L, "f", 40)).toDF("k", "item", "qty"), t,
+      statsCols = Seq("k"))
+    // replace key 2's three rows with ONE row, insert new key 9's two
+    val v = Versioned.upsertGroups(spark, t, Seq(
+      (2L, "z", 99), (9L, "p", 90), (9L, "q", 91))
+      .toDF("k", "item", "qty"), "k", statsCols = Seq("k"))
+    val got = spark.sql(s"SELECT k, item, qty FROM $g ORDER BY k, item")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(got.toSeq == Seq(
+      (1L, "a", 10), (1L, "b", 11), (2L, "z", 99), (3L, "e", 30),
+      (4L, "f", 40), (9L, "p", 90), (9L, "q", 91)))
+    // old snapshots stay time-travelable
+    assert(spark.sql(s"SELECT count(*) FROM $g VERSION AS OF 2")
+      .head().getLong(0) == 7)
+    // the untouched append file (key 4) LINKED through the merge —
+    // the commit did not rewrite it
+    val files = Versioned.files(spark, t).collect()
+    assert(files.exists(r => r.getAs[Boolean]("linked")),
+      files.mkString("\n"))
+    // an all-new-keys batch is an O(delta) linked append, and the
+    // group replacement is idempotent
+    val v2 = Versioned.upsertGroups(spark, t,
+      Seq((20L, "n", 1)).toDF("k", "item", "qty"), "k",
+      statsCols = Seq("k"))
+    assert(v2 == v + 1)
+    Versioned.upsertGroups(spark, t, Seq(
+      (2L, "z", 99)).toDF("k", "item", "qty"), "k",
+      statsCols = Seq("k"))
+    assert(spark.sql(s"SELECT count(*) FROM $g WHERE k = 2")
+      .head().getLong(0) == 1)
+    // null keys refuse (they never match the merge's equality joins)
+    val e = intercept[IllegalArgumentException](
+      Versioned.upsertGroups(spark, t,
+        Seq(Tuple1("x")).toDF("item")
+          .withColumn("k", lit(null).cast("long"))
+          .withColumn("qty", lit(1)).select("k", "item", "qty"),
+        "k"))
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("SHOW CREATE TABLE prints schema, partitioning and properties") {
+    val (t, g) = fresh("show_create")
+    spark.sql(s"CREATE TABLE $g (id INT, pk STRING) " +
+      "PARTITIONED BY (pk) TBLPROPERTIES ('owner.team'='graft')")
+    val sct = spark.sql(s"SHOW CREATE TABLE $g").head().getString(0)
+    assert(sct.contains("CREATE TABLE") && sct.contains("id INT") &&
+      sct.contains("pk STRING"), sct)
+    assert(sct.contains("PARTITIONED BY (pk)"), sct)
+    assert(sct.contains("owner.team") && sct.contains("graft"), sct)
+  }
+
   test("DELETE FROM ... WHERE is a merge-on-read positional delete") {
     import spark.implicits._
     val (t, g) = fresh("delete_where")
