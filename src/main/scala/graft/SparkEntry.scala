@@ -118,6 +118,10 @@ object SparkEntry {
     "t10_packing"      -> ((s, d) => TextAnalysis.sequencePacking(s, d)),
     "t11_top_tokens"   -> ((s, d) => TextAnalysis.topTokens(s, d)),
     "t13_decontamination" -> ((s, d) => TextAnalysis.decontaminate(s, d)),
+    // Persisted eval-set decontamination index (t30): index the bench
+    // slice once, sweep the corpus against the stored shingle rows —
+    // t13's exact answer from the table the batch path only caches.
+    "t30_decontam_index" -> (TextAnalysis.decontamIndexGate _),
     "t20_importance_sample" -> ((s, d) => TextAnalysis.importanceSample(s, d)),
     "t22_boilerplate"  -> (TextAnalysis.boilerplateLines _),
     "t23_bm25_search"  -> ((s, d) => TextAnalysis.bm25Search(s, d)),
@@ -344,6 +348,26 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
+  /** Shared by t13 (batch sweep) and t30 (persisted eval index): both
+    * must hash-match this exact containment answer. */
+  private val DecontamOracleSql =
+    """WITH t AS (SELECT doc_id,
+                    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+                  FROM documents),
+       sh AS (SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, len(toks) - 1),
+                  i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                  AS shingle
+              FROM t WHERE len(toks) >= 3),
+       hits AS (SELECT a.doc_id, b.doc_id AS bench_id,
+                       count(*) AS common
+                FROM sh a JOIN sh b ON a.shingle = b.shingle
+                WHERE b.doc_id % 50 = 0 AND a.doc_id % 50 <> 0
+                GROUP BY 1, 2 HAVING count(*) >= 5)
+       SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+              CAST(max(common) AS BIGINT) AS max_common
+       FROM hits GROUP BY doc_id ORDER BY doc_id"""
+
   /** Shared by t23 (scan path) and t24 (persisted inverted index):
     * both must hash-match this exact result. */
   private val Bm25OracleSql =
@@ -1151,23 +1175,10 @@ object SparkEntry {
          GROUP BY doc_id ORDER BY doc_id""",
     // Same tokenize->3-gram-shingle semantics as the d01 oracle;
     // benchmark = the deterministic doc_id % 50 == 0 slice.
-    "t13_decontamination" ->
-      """WITH t AS (SELECT doc_id,
-                      regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-                    FROM documents),
-         sh AS (SELECT DISTINCT doc_id,
-                  unnest(list_transform(range(1, len(toks) - 1),
-                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-                    AS shingle
-                FROM t WHERE len(toks) >= 3),
-         hits AS (SELECT a.doc_id, b.doc_id AS bench_id,
-                         count(*) AS common
-                  FROM sh a JOIN sh b ON a.shingle = b.shingle
-                  WHERE b.doc_id % 50 = 0 AND a.doc_id % 50 <> 0
-                  GROUP BY 1, 2 HAVING count(*) >= 5)
-         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
-                CAST(max(common) AS BIGINT) AS max_common
-         FROM hits GROUP BY doc_id ORDER BY doc_id""",
+    "t13_decontamination" -> DecontamOracleSql,
+    // t30 reproduces t13's exact answer from the PERSISTED eval-set
+    // shingle index — same contract, same oracle
+    "t30_decontam_index" -> DecontamOracleSql,
     "t11_top_tokens" ->
       """WITH s AS (
            SELECT doc_id,

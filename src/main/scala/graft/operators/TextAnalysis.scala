@@ -517,7 +517,8 @@ object TextAnalysis {
         // both join sides consume the returned LAZY frame, so the
         // index cannot be unpersisted here without recomputing it per
         // side — at real scale the index is a persisted TABLE with its
-        // own lifecycle (SCALING.md), not session cache. Lifetime is
+        // own lifecycle ([[buildDecontamIndexOf]] /
+        // [[decontaminateAgainstIndex]], t30), not session cache. Lifetime is
         // bounded to ONE cached index per session — but with a
         // sameResult check first: Spark's CacheManager keys cached
         // data by CANONICALIZED PLAN, so a repeat call over the same
@@ -553,6 +554,99 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_bench_hits"),
         max(col("common")).as("max_common"))
       .orderBy(col("doc_id"))
+  }
+
+  // —— persisted DECONTAMINATION index ——
+  // [[decontaminate]]'s own comment says it: at real scale the eval
+  // set's shingle index is a persisted TABLE with its own lifecycle,
+  // not session cache — benchmark suites change rarely (a new release
+  // appends), while the corpus sweep runs per training batch. The
+  // index stores the eval set's (bench_id, shingle-hash) rows once;
+  // each corpus sweep shingles only ITS OWN documents and joins.
+
+  /** Build the eval-set shingle index at `indexDir`: one row per
+    * (bench doc, distinct 3-gram hash), shingle-hashed by the same
+    * native pass the corpus side uses, so containment decisions are
+    * bit-identical to [[decontaminate]]'s. Eval sets are small
+    * relative to corpora (thousands of docs), so the probe broadcasts
+    * the index; shingle stats still ride each file for pruned reads. */
+  def buildDecontamIndexOf(benchDocs: DataFrame,
+      indexDir: String): Unit = {
+    val rows = benchDocs.select(col("bench_id"),
+      explode(call_function(
+        graft.functions.GraftFunctions.ShingleHashesName,
+        trim(lower(col("text"))), lit(3))).as("shingle"))
+    Versioned.commit(rows, indexDir, statsCols = Seq("shingle"))
+  }
+
+  /** O(delta) maintenance for a NEW benchmark release: append its
+    * shingle rows. Already-indexed bench_ids refuse — re-appending
+    * would double their rows and inflate `common` counts. */
+  def appendToDecontamIndex(s: SparkSession, newBench: DataFrame,
+      indexDir: String): Unit = {
+    require(Versioned.currentVersion(s, indexDir) > 0,
+      s"$indexDir is not a built decontamination index " +
+        "(buildDecontamIndexOf first)")
+    val clash = Versioned.read(s, indexDir).select(col("bench_id"))
+      .join(newBench.select(col("bench_id")).distinct(),
+        Seq("bench_id"), "left_semi").limit(5).collect()
+      .map(_.getLong(0))
+    require(clash.isEmpty,
+      s"appendToDecontamIndex: bench_ids ${clash.mkString(", ")} are " +
+        s"already indexed in $indexDir — re-appending would double " +
+        "their shingle rows and inflate containment counts")
+    Versioned.append(newBench.select(col("bench_id"),
+      explode(call_function(
+        graft.functions.GraftFunctions.ShingleHashesName,
+        trim(lower(col("text"))), lit(3))).as("shingle")),
+      indexDir, statsCols = Seq("shingle"))
+  }
+
+  /** Sweep a corpus against the PERSISTED eval index — identical
+    * semantics (and results) to [[decontaminate]] with an external
+    * bench set: per (doc, bench doc) common-shingle counts at
+    * `minCommon`, rolled up per doc. Only the corpus side is shingled
+    * per sweep; the index side broadcasts (eval-set-scale). */
+  def decontaminateAgainstIndex(s: SparkSession, docs: DataFrame,
+      indexDir: String, minCommon: Int = 5): DataFrame = {
+    require(Versioned.currentVersion(s, indexDir) > 0,
+      s"$indexDir is not a built decontamination index " +
+        "(buildDecontamIndexOf first)")
+    docs.select(col("doc_id"),
+      explode(call_function(
+        graft.functions.GraftFunctions.ShingleHashesName,
+        trim(lower(col("text"))), lit(3))).as("shingle"))
+      .join(broadcast(Versioned.read(s, indexDir)), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("common"))
+      .filter(col("common") >= minCommon)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        max(col("common")).as("max_common"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Driver-visible gate (t30): the persisted decontamination index
+    * reproduces [[decontaminate]]'s exact answer — index the fixture's
+    * `% 50 == 0` bench slice once, sweep the rest of the corpus
+    * against the stored rows, same (doc_id, n_bench_hits, max_common)
+    * contract, same DuckDB oracle as t13. */
+  def decontamIndexGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-decontam-index-gate")
+    try {
+      val idx = work.resolve("bench").toString
+      val all = docsPlain(s, d)
+      buildDecontamIndexOf(
+        all.filter(col("doc_id") % 50 === 0)
+          .withColumnRenamed("doc_id", "bench_id"), idx)
+      val rows = decontaminateAgainstIndex(s,
+        all.filter(col("doc_id") % 50 =!= 0), idx)
+        .collect() // fixture-scale; materialized before the cleanup
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .toDF("doc_id", "n_bench_hits", "max_common")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
 
   // —— PII redaction (curation scrubbing stage) ——

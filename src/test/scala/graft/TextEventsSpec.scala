@@ -454,6 +454,42 @@ class TextEventsSpec extends SparkSpec {
     assert(e3.getMessage.contains("both classes"))
   }
 
+  test("persisted decontamination index reproduces the batch sweep; " +
+      "new-release appends, re-append refuses") {
+    import spark.implicits._
+    import graft.sources.Versioned
+    val idx = "target/tmp/decontam-index"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
+    val gate = TextAnalysis.decontamIndexGate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = TextAnalysis.decontaminate(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gate == batch,
+      "the stored index must reproduce the cached batch sweep exactly")
+    assert(gate.nonEmpty)
+    // lifecycle: build over one release, append the next, both hit
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta theta iota kappa mu nu")).toDF("bench_id", "text")
+    TextAnalysis.buildDecontamIndexOf(docs.filter($"bench_id" === 1L),
+      idx)
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta extra"),
+      (20L, "eta theta iota kappa mu nu tail"),
+      (30L, "totally unrelated words here only")).toDF("doc_id", "text")
+    val one = TextAnalysis.decontaminateAgainstIndex(spark, corpus, idx,
+      minCommon = 3).collect().map(_.getLong(0)).toSeq
+    assert(one == Seq(10L))
+    TextAnalysis.appendToDecontamIndex(spark,
+      docs.filter($"bench_id" === 2L), idx)
+    val both = TextAnalysis.decontaminateAgainstIndex(spark, corpus, idx,
+      minCommon = 3).collect().map(_.getLong(0)).toSeq
+    assert(both == Seq(10L, 20L))
+    assert(Versioned.versions(spark, idx).size == 2) // O(delta) append
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.appendToDecontamIndex(spark, docs, idx))
+    assert(e.getMessage.contains("already indexed"))
+  }
+
   test("index upserts: re-indexed postings replace atomically, " +
       "scalars stay exact (no staleness window), tombstones " +
       "supersede, new docs insert") {
