@@ -64,6 +64,22 @@ object SearchDemo {
     println("SEARCH_DEMO_KW_NDOCS_AFTER_DELETE=" + spark.read
       .parquet(TextAnalysis.exportTextIndex(spark, textIdx)._2: _*)
       .head().getLong(0))
+    // O(batch) RE-INDEX: upsert inserts a new doc, then replaces its
+    // postings atomically at exact scalars — no delete -> full-rewrite
+    // compact -> append detour, and no staleness window at all
+    def oneDoc(id: Long, text: String) = spark.range(1)
+      .select(lit(id).as("doc_id"), lit(text).as("text"))
+    TextAnalysis.upsertIntoTextIndex(spark,
+      oneDoc(900002L, "zzztoken zzztoken first body"), textIdx)
+    TextAnalysis.upsertIntoTextIndex(spark,
+      oneDoc(900002L, "qqqtoken replacement body"), textIdx)
+    println("SEARCH_DEMO_KW_REINDEXED_OLD_GONE=" +
+      TextAnalysis.bm25SearchIndexed(spark, textIdx,
+        Seq("zzztoken"), 10).count())
+    println("SEARCH_DEMO_KW_REINDEXED_NEW_FOUND=" +
+      TextAnalysis.bm25SearchIndexed(spark, textIdx,
+        Seq("qqqtoken"), 10)
+        .filter(col("doc_id") === 900002L).count())
 
     // —— semantic side: IVF-PQ vector index ——
     val vecIdx = s"$out/ivfpq"
@@ -118,6 +134,18 @@ object SearchDemo {
       Similarity.ivfPqTopKIndexed(spark, sfDir, vecIdx,
           corpus = Some(extendedStore))
         .filter(col("query_id") === 0 && col("rank") === 1)
+        .head().getLong(2))
+    // O(batch) RE-EMBED: the vector returns at its NEW position in one
+    // upsert (query 1's exact embedding), generation pins unchanged
+    val reEmbedded = emb.filter(col("vec_id") === 1)
+      .select(lit(900000L).as("vec_id"), col("embedding"))
+    Similarity.upsertIntoVectorIndex(spark, reEmbedded, vecIdx)
+    val store2 = emb.filter(col("vec_id") >= Similarity.NumQueries)
+      .select(col("vec_id"), col("embedding")).unionAll(reEmbedded)
+    println("SEARCH_DEMO_ANN_REEMBED_TOP1_Q1=" +
+      Similarity.ivfPqTopKIndexed(spark, sfDir, vecIdx,
+          corpus = Some(store2))
+        .filter(col("query_id") === 1 && col("rank") === 1)
         .head().getLong(2))
     spark.stop()
   }
