@@ -39,9 +39,12 @@ object PipelineDemo {
       raw.filter(col("doc_id") < mid), lshIdx)
     val ingested = graft.operators.Dedup.ingestDedup(spark,
       raw.filter(col("doc_id") >= mid), lshIdx)
-    println(s"PIPELINE_INGEST_KEPT=${ingested.filter(col("kept")).count()}")
-    println(s"PIPELINE_INGEST_DROPPED=${ingested
-      .filter(!col("kept")).count()}")
+    // ONE action for both counts — the verdict plan re-runs the whole
+    // probe per action otherwise
+    val verdict = ingested.groupBy(col("kept")).count().collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    println(s"PIPELINE_INGEST_KEPT=${verdict.getOrElse(true, 0L)}")
+    println(s"PIPELINE_INGEST_DROPPED=${verdict.getOrElse(false, 0L)}")
     // 0a. span-level dedup FIRST: repeated 15-token windows (shared
     // boilerplate passages, near-copy spans) excised from every copy
     // before document-level gates see the text

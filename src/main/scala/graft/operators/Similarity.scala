@@ -1376,11 +1376,13 @@ object Similarity {
     * cell set is partition-pruned like every index probe) — plus the
     * within-batch same-cell pairs (smaller id wins). A match is
     * cosine ≥ `minCos` on the index's own stored values (dequantized
-    * for the int8 layout). A standing row with the SAME vec_id counts
-    * as a match of itself, so re-ingesting an already-landed batch
-    * drops every row idempotently instead of duplicating it — a
-    * RE-EMBEDDED id (same id, drifted vector) goes through
-    * [[upsertIntoVectorIndex]], not ingest. Refuses the IVF-PQ layout:
+    * for the int8 layout). A standing LIVE row with the SAME vec_id
+    * drops the batch row UNCONDITIONALLY (identity, not cosine), so a
+    * re-ingested batch is idempotent and even a drifted re-embed
+    * mistakenly sent through ingest can never land a duplicate id row
+    * — re-embeds go through [[upsertIntoVectorIndex]]. Live-tombstoned
+    * batch ids refuse up front (compact, or upsert to supersede).
+    * Refuses the IVF-PQ layout:
     * code bytes only ADC-approximate cosines, and near-dup thresholds
     * sit above ADC noise. Returns (vec_id, kept, dup_of — null when
     * kept); survivors are appended at the pinned centroid generation
@@ -1396,24 +1398,55 @@ object Similarity {
       s"ingestDedupVectors needs the int8/float IVF layout — an " +
         "IVF-PQ index stores code bytes only, which ADC-approximate " +
         "the cosines a near-dup threshold compares")
+    // one row per non-null vec_id, like every other index entry point
+    // — a repeated id would land duplicate index rows (the equal-id
+    // pair is never a within-batch candidate), a null id matches no
+    // equality join ever
+    val idPre = newVectors.agg(count(lit(1)), count(col("vec_id")),
+      count_distinct(col("vec_id"))).head()
+    require(idPre.getLong(0) == idPre.getLong(1) &&
+      idPre.getLong(1) == idPre.getLong(2),
+      "ingestDedupVectors needs one row per non-null vec_id — " +
+        "duplicate or null ids would land duplicate index rows")
+    // a live-tombstoned id refuses UP FRONT with the ingest's own
+    // message, before any probe work (appendToIvfIndex would throw
+    // the same class of error at the very end, misattributed)
+    val tombClash = newVectors.select(col("vec_id"))
+      .join(broadcast(vecTombs(s, indexDir)), Seq("vec_id"),
+        "left_semi").limit(5).collect().map(_.getLong(0))
+    require(tombClash.isEmpty,
+      s"ingestDedupVectors: vec_ids ${tombClash.mkString(", ")} are " +
+        s"live-tombstoned in $indexDir — compact the index (or " +
+        "upsertIntoVectorIndex to re-embed them) before re-ingesting")
     val cents = Versioned.read(s, centroidsDir(indexDir),
       pins.get("centroids"))
+    // tombstones PINNED like every other probe input, so the returned
+    // verdict frame recomputes identically however late it evaluates
+    val tombsV = Versioned.currentVersion(s, vecTombsDir(indexDir))
+    val tombsPinned = if (tombsV > 0)
+      Versioned.read(s, vecTombsDir(indexDir), Some(tombsV))
+        .select(col("vec_id"))
+      else s.range(0).select(col("id").as("vec_id"))
     val delta = newVectors.select(col("vec_id"), col("embedding"))
       .withColumn("nrm", l2Norm(col("embedding")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // top-NProbe cells per new vector (the multi-probe window) —
-      // a cell-boundary near-dup is still seen by the probe
+      // ONE centroid-scoring pass ranks every (vector, cell): the
+      // top-NProbe slice is the multi-probe window (a cell-boundary
+      // near-dup is still seen), the rn=1 slice is the append
+      // assignment — no second broadcast join over the batch
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("c_cos").desc, col("cell"))
-      val probeCells = delta.join(broadcast(cents))
+      val ranked = delta.join(broadcast(cents))
         .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
           (dot(col("c_emb"), col("embedding")) /
             (col("c_nrm") * col("nrm"))).as("c_cos"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= NProbe)
-        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"))
+        .select(col("vec_id"), col("embedding"), col("nrm"), col("cell"),
+          col("rn"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val probeCells = ranked.drop("rn")
       try {
         val cellsHit = probeCells.select(col("cell")).distinct()
           .collect().map(_.getLong(0)) // metadata-scale, like a listing
@@ -1421,8 +1454,7 @@ object Similarity {
           s"IVF cell id beyond Int range: ${cellsHit.max}")
         val raw = Versioned.read(s, indexDir, Some(v0))
           .filter(col("cell").isin(cellsHit.map(_.toInt): _*))
-          .join(broadcast(vecTombs(s, indexDir)), Seq("vec_id"),
-            "left_anti")
+          .join(broadcast(tombsPinned), Seq("vec_id"), "left_anti")
         val members = (if (!raw.columns.contains("q_emb")) raw
           else raw.withColumn("embedding",
               transform(col("q_emb"),
@@ -1436,9 +1468,23 @@ object Similarity {
           .filter(dot(col("embedding"), col("m_emb")) /
             (col("nrm") * col("m_nrm")) >= minCos)
           .select(col("dup_of"), col("vec_id").as("new_id"))
+        // a standing live row with the SAME vec_id drops the batch row
+        // UNCONDITIONALLY (dup_of = itself) — "already ingested" is an
+        // identity fact, not a cosine fact, so even a drifted vector
+        // mistakenly re-sent through ingest can never land a duplicate
+        // id row (re-embeds go through upsertIntoVectorIndex). One
+        // narrow semi-join over the pinned snapshot's key column.
+        val sameId = delta.select(col("vec_id"))
+          .join(Versioned.read(s, indexDir, Some(v0))
+            .select(col("vec_id"))
+            .join(broadcast(tombsPinned), Seq("vec_id"), "left_anti"),
+            Seq("vec_id"), "left_semi")
+          .select(col("vec_id").as("dup_of"),
+            col("vec_id").as("new_id"))
         // within-batch: same TOP cell, smaller id survives (the d06
-        // convention, matching semanticDedup's cluster-local rule)
-        val top1 = assignCells(delta, cents)
+        // convention, matching semanticDedup's cluster-local rule) —
+        // the rn=1 slice of the SAME centroid-scoring pass
+        val top1 = ranked.filter(col("rn") === 1).drop("rn")
         val batchDups = top1.as("x").join(top1.as("y"),
             col("x.cell") === col("y.cell") &&
               col("x.vec_id") < col("y.vec_id") &&
@@ -1446,7 +1492,7 @@ object Similarity {
                 (col("x.nrm") * col("y.nrm")) >= minCos)
           .select(col("x.vec_id").as("dup_of"),
             col("y.vec_id").as("new_id"))
-        val dups = corpusDups.unionByName(batchDups)
+        val dups = corpusDups.unionByName(batchDups).unionByName(sameId)
           .groupBy(col("new_id")).agg(min(col("dup_of")).as("dup_of"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -1462,7 +1508,7 @@ object Similarity {
             .select(col("vec_id"), col("dup_of").isNull.as("kept"),
               col("dup_of"))
         } finally dups.unpersist(blocking = false)
-      } finally probeCells.unpersist(blocking = false)
+      } finally ranked.unpersist(blocking = false)
     } finally delta.unpersist(blocking = false)
   }
 

@@ -564,6 +564,29 @@ object TextAnalysis {
   // index stores the eval set's (bench_id, shingle-hash) rows once;
   // each corpus sweep shingles only ITS OWN documents and joins.
 
+  /** The ONE shingle-row projection every decontam-index side uses —
+    * a single definition, so the stored index and the sweep side can
+    * never drift apart in tokenization or n. */
+  private def decontamShingleRows(df: DataFrame,
+      idCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(call_function(
+        graft.functions.GraftFunctions.ShingleHashesName,
+        trim(lower(col("text"))), lit(3))).as("shingle"))
+
+  /** Duplicate (or null) bench_ids within one input frame would bake
+    * doubled shingle rows into the persisted index — `common` counts
+    * inflate forever. Refuse up front, like every other index. */
+  private def requireOneRowPerBench(df: DataFrame, what: String): Unit = {
+    val pre = df.agg(count(lit(1)), count(col("bench_id")),
+      count_distinct(col("bench_id"))).head()
+    require(pre.getLong(0) == pre.getLong(1) &&
+      pre.getLong(1) == pre.getLong(2),
+      s"$what needs one row per non-null bench_id — duplicate or " +
+        "null ids would double their shingle rows and inflate " +
+        "containment counts")
+  }
+
   /** Build the eval-set shingle index at `indexDir`: one row per
     * (bench doc, distinct 3-gram hash), shingle-hashed by the same
     * native pass the corpus side uses, so containment decisions are
@@ -572,11 +595,9 @@ object TextAnalysis {
     * the index; shingle stats still ride each file for pruned reads. */
   def buildDecontamIndexOf(benchDocs: DataFrame,
       indexDir: String): Unit = {
-    val rows = benchDocs.select(col("bench_id"),
-      explode(call_function(
-        graft.functions.GraftFunctions.ShingleHashesName,
-        trim(lower(col("text"))), lit(3))).as("shingle"))
-    Versioned.commit(rows, indexDir, statsCols = Seq("shingle"))
+    requireOneRowPerBench(benchDocs, "buildDecontamIndexOf")
+    Versioned.commit(decontamShingleRows(benchDocs, "bench_id"),
+      indexDir, statsCols = Seq("shingle"))
   }
 
   /** O(delta) maintenance for a NEW benchmark release: append its
@@ -587,7 +608,9 @@ object TextAnalysis {
     require(Versioned.currentVersion(s, indexDir) > 0,
       s"$indexDir is not a built decontamination index " +
         "(buildDecontamIndexOf first)")
+    requireOneRowPerBench(newBench, "appendToDecontamIndex")
     val clash = Versioned.read(s, indexDir).select(col("bench_id"))
+      .distinct()
       .join(newBench.select(col("bench_id")).distinct(),
         Seq("bench_id"), "left_semi").limit(5).collect()
       .map(_.getLong(0))
@@ -595,10 +618,7 @@ object TextAnalysis {
       s"appendToDecontamIndex: bench_ids ${clash.mkString(", ")} are " +
         s"already indexed in $indexDir — re-appending would double " +
         "their shingle rows and inflate containment counts")
-    Versioned.append(newBench.select(col("bench_id"),
-      explode(call_function(
-        graft.functions.GraftFunctions.ShingleHashesName,
-        trim(lower(col("text"))), lit(3))).as("shingle")),
+    Versioned.append(decontamShingleRows(newBench, "bench_id"),
       indexDir, statsCols = Seq("shingle"))
   }
 
@@ -612,10 +632,7 @@ object TextAnalysis {
     require(Versioned.currentVersion(s, indexDir) > 0,
       s"$indexDir is not a built decontamination index " +
         "(buildDecontamIndexOf first)")
-    docs.select(col("doc_id"),
-      explode(call_function(
-        graft.functions.GraftFunctions.ShingleHashesName,
-        trim(lower(col("text"))), lit(3))).as("shingle"))
+    decontamShingleRows(docs, "doc_id")
       .join(broadcast(Versioned.read(s, indexDir)), "shingle")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("common"))

@@ -683,6 +683,26 @@ class SimilaritySpec extends SparkSpec {
     assert(again.forall(!_.getBoolean(1)))
     assert(Versioned.read(spark, dir)
       .filter(col("vec_id") >= 7000000L).count() == 2)
+    // a DRIFTED vector on a standing id still drops — "already
+    // ingested" is an identity fact, not a cosine fact — so no
+    // duplicate id row can ever land through ingest
+    val drifted = Similarity.ingestDedupVectors(spark,
+      reId(3L, 7100000L), dir).collect()
+    assert(!drifted.head.getBoolean(1) &&
+      drifted.head.getLong(2) == 7100000L)
+    assert(Versioned.read(spark, dir)
+      .filter(col("vec_id") === 7100000L).count() == 1)
+    // a live-tombstoned batch id refuses UP FRONT with ingest's own
+    // message; duplicate batch ids refuse too
+    Similarity.deleteFromVectorIndex(spark,
+      Seq(7100000L).toDF("vec_id"), dir)
+    val et = intercept[IllegalArgumentException](
+      Similarity.ingestDedupVectors(spark, reId(0L, 7100000L), dir))
+    assert(et.getMessage.contains("live-tombstoned"))
+    val ed = intercept[IllegalArgumentException](
+      Similarity.ingestDedupVectors(spark,
+        reId(0L, 8000000L).unionAll(reId(3L, 8000000L)), dir))
+    assert(ed.getMessage.contains("one row per non-null vec_id"))
     // the IVF-PQ layout refuses (ADC-approximate cosines)
     val pq = "target/tmp/ivfpq-ingest-refuse"
     Seq(pq, s"$pq.centroids", s"$pq.codebooks", s"$pq.tombs").foreach(
