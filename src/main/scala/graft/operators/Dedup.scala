@@ -869,6 +869,27 @@ object Dedup {
     } finally sketch.unpersist(blocking = false)
   }
 
+  /** Small-file maintenance for a drip-fed dedup index: each ingest
+    * appends one file per band partition, so the band table binpacks
+    * through the generic [[Versioned.compactSmall]] (layout and
+    * doc_id stats preserved, the sigs pin carried forward in the
+    * note) and the sigs sibling binpacks plainly. Tombstone-free by
+    * construction — dedup indexes only grow. */
+  def compactDedupIndex(s: SparkSession, indexDir: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      minFileBytes: Long = 0L): Int = {
+    require(Versioned.currentVersion(s, indexDir) > 0,
+      s"$indexDir is not a built dedup index (buildDedupIndex first)")
+    // sigs compact FIRST, band compact re-pins the compacted version
+    // (same rows, fresh files) — the publish order every index-pair
+    // maintenance here follows
+    val sv = Versioned.compactSmall(s, dedupSigsDir(indexDir),
+      targetFileBytes, minFileBytes, statsCols = Seq("doc_id"))
+    Versioned.compactSmall(s, indexDir, targetFileBytes, minFileBytes,
+      statsCols = Seq("doc_id"), partitionCol = Some("band"),
+      note = Some(s"sigs=v$sv"))
+  }
+
   /** Driver-visible gate (d10): incremental corpus dedup end to end —
     * index docs < 300, dedup the 300-449 batch against it, APPEND that
     * batch (O(delta)), then dedup the 450+ batch against the grown

@@ -400,6 +400,30 @@ object GraftProcedures {
             extrema = ext)
           Seq(from, to)
         })
+      case "ingest_dedup" => new Proc("ingest_dedup",
+        "the crawl-ingest loop from SQL: dedup the batch table's " +
+          "(doc_id, text) rows against the persisted MinHash-LSH " +
+          "dedup index at 'index', append the survivors, return the " +
+          "kept/dropped counts — one sketch pass, replay-safe " +
+          "(already-indexed ids refuse)",
+        Seq(p("index", StringType), p("batch", StringType),
+          p("min_jaccard", StringType, Some("'0.5'"))),
+        StructType(Seq(
+          StructField("kept", LongType, nullable = false),
+          StructField("dropped", LongType, nullable = false))),
+        a => {
+          require(a(1) != null, "'batch' is required")
+          val minJ = Option(a(2)).map(_.asInstanceOf[String])
+            .filter(_.nonEmpty).map(_.toDouble).getOrElse(0.5)
+          val batch = Versioned.read(spark, dir(a(1)))
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("text"))
+          val verdict = graft.operators.Dedup.ingestDedup(spark,
+            batch, dir(a(0)), minJ)
+          val counts = verdict.groupBy("kept").count().collect()
+            .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+          Seq(counts.getOrElse(true, 0L), counts.getOrElse(false, 0L))
+        })
       case "refresh_mv" => new Proc("refresh_mv",
         "argument-free refresh of a CREATE MATERIALIZED VIEW table: " +
           "reads the spec (kind, source, key, query) back from the " +
@@ -423,5 +447,6 @@ object GraftProcedures {
     "create_tag", "create_branch", "fast_forward", "drop_branch",
     "set_spec", "collect_stats", "rewrite_zorder",
     "remove_orphan_files", "create_changelog_view", "add_files",
-    "clone_table", "refresh_derived", "refresh_agg", "refresh_mv")
+    "clone_table", "refresh_derived", "refresh_agg", "refresh_mv",
+    "ingest_dedup")
 }

@@ -105,7 +105,36 @@ class DedupSpec extends SparkSpec {
         Seq((900L, "a b c d"), (900L, "e f g h")).toDF("doc_id", "text"),
         idx))
     assert(chimera.getMessage.contains("one row per non-null doc_id"))
+    // binpack maintenance: drip-fed band files compact, probes
+    // unchanged, the sigs pin re-points at the compacted sibling
+    val preFiles = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(idx), Array("parquet"), true).size
+    Dedup.compactDedupIndex(spark, idx)
+    val postFiles = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(idx), Array("parquet"), true).size
+    assert(postFiles <= preFiles)
+    val p2b = pairs(Dedup.dedupAgainstIndex(spark,
+      all.filter($"doc_id" >= 450), idx)
+      .select($"dup_of", $"new_id"))
+    assert(p2b == p2, "compaction must not change probe results")
+    // the SQL spelling of the crawl loop: a graft batch table in,
+    // kept/dropped counts out, survivors landed
+    val batchTbl = "target/tmp/dedup-ingest-batch"
+    clean2(batchTbl)
+    graft.sources.Versioned.commit(
+      Seq((5000L, "totally novel content never seen before xyz"),
+        (5001L, "totally novel content never seen before xyz"))
+        .toDF("doc_id", "text"), batchTbl)
+    val abs = new java.io.File(batchTbl).getAbsolutePath
+    val idxAbs = new java.io.File(idx).getAbsolutePath
+    val r = spark.sql("CALL graft.system.ingest_dedup(" +
+      s"index => '$idxAbs', batch => '$abs')").head()
+    assert(r.getLong(0) == 1L && r.getLong(1) == 1L,
+      s"within-batch twin must drop: $r")
   }
+
+  private def clean2(paths: String*): Unit = paths.foreach(p =>
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
 
   test("simhash banding reproduces the exact shingle-jaccard pairs") {
     assert(pairs(Dedup.simhashPairs(spark, sf)) == exact)
