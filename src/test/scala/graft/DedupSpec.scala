@@ -106,13 +106,13 @@ class DedupSpec extends SparkSpec {
         idx))
     assert(chimera.getMessage.contains("one row per non-null doc_id"))
     // binpack maintenance: drip-fed band files compact, probes
-    // unchanged, the sigs pin re-points at the compacted sibling
-    val preFiles = org.apache.commons.io.FileUtils
-      .listFiles(new java.io.File(idx), Array("parquet"), true).size
+    // unchanged, the sigs pin re-points at the compacted sibling.
+    // LIVE file counts (old versions stay on disk for time travel
+    // until vacuum, so a raw directory listing GROWS across a compact)
+    val preFiles = graft.sources.Versioned.dataFileCount(spark, idx)
     Dedup.compactDedupIndex(spark, idx)
-    val postFiles = org.apache.commons.io.FileUtils
-      .listFiles(new java.io.File(idx), Array("parquet"), true).size
-    assert(postFiles <= preFiles)
+    val postFiles = graft.sources.Versioned.dataFileCount(spark, idx)
+    assert(postFiles <= preFiles, s"$postFiles vs $preFiles")
     val p2b = pairs(Dedup.dedupAgainstIndex(spark,
       all.filter($"doc_id" >= 450), idx)
       .select($"dup_of", $"new_id"))
