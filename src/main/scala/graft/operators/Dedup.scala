@@ -621,7 +621,9 @@ object Dedup {
   // every production pipeline converges on: signatures are the stored
   // sketch, estimated Jaccard (matching minima / perms) is the verify,
   // exact on the stored sketch and within ~1/sqrt(perms) of true
-  // Jaccard (16σ of separation at the fixture's 0.9-vs-0.1 gap).
+  // Jaccard: the estimate is a mean of 128 Bernoulli(J) indicators,
+  // σ ≤ 0.5/√128 ≈ 0.044, so the fixture's 0.9-vs-0.1 gap leaves a
+  // ≥ 9σ margin (0.4 to the 0.5 threshold from either side).
 
   import graft.sources.Versioned
 
@@ -885,9 +887,18 @@ object Dedup {
     // maintenance here follows
     val sv = Versioned.compactSmall(s, dedupSigsDir(indexDir),
       targetFileBytes, minFileBytes, statsCols = Seq("doc_id"))
-    Versioned.compactSmall(s, indexDir, targetFileBytes, minFileBytes,
-      statsCols = Seq("doc_id"), partitionCol = Some("band"),
-      note = Some(s"sigs=v$sv"))
+    val bv = Versioned.compactSmall(s, indexDir, targetFileBytes,
+      minFileBytes, statsCols = Seq("doc_id"),
+      partitionCol = Some("band"), note = Some(s"sigs=v$sv"))
+    // the band table can legitimately have nothing to pack (< 2 small
+    // files) while the sigs sibling DID compact — compactSmall then
+    // returns without committing, leaving the head note pinned to the
+    // superseded sigs version; a later sigs expire/vacuum would strand
+    // that pin and break every probe. A note-only commit keeps the
+    // pin tracking the sigs head whenever the band compact no-oped.
+    if (!dedupSigsPin(s, indexDir).contains(sv))
+      Versioned.commitNote(s, indexDir, s"sigs=v$sv")
+    else bv
   }
 
   /** Driver-visible gate (d10): incremental corpus dedup end to end —
@@ -896,7 +907,7 @@ object Dedup {
     * index. The union of both phases' (dup_of, new_id) pairs equals
     * the EXACT cross-boundary 3-gram-Jaccard >= 0.5 pairs, which
     * DuckDB restates independently — LSH recall at the fixture's gap
-    * and the signature estimate's 16σ margin make the approximate
+    * and the signature estimate's ≥9σ margin make the approximate
     * pipeline reproduce the exact answer, so the check is a full hash
     * match, not a recall bound. */
   def dedupIndexGate(s: SparkSession, d: String): DataFrame = {

@@ -1481,17 +1481,21 @@ object Similarity {
             Seq("vec_id"), "left_semi")
           .select(col("vec_id").as("dup_of"),
             col("vec_id").as("new_id"))
-        // within-batch: same TOP cell, smaller id survives (the d06
-        // convention, matching semanticDedup's cluster-local rule) —
-        // the rn=1 slice of the SAME centroid-scoring pass
+        // within-batch: the SAME probe semantics as batch-vs-corpus —
+        // one side's multi-probe window (rn ≤ NProbe) against the
+        // other's top-1 assignment cell, so a cell-boundary pair is
+        // seen whenever either vector's window covers the other's
+        // cell (cosine is symmetric, so ONE join with least/greatest
+        // covers both directions); smaller id survives (the d06
+        // convention, matching semanticDedup's cluster-local rule)
         val top1 = ranked.filter(col("rn") === 1).drop("rn")
-        val batchDups = top1.as("x").join(top1.as("y"),
+        val batchDups = ranked.drop("rn").as("x").join(top1.as("y"),
             col("x.cell") === col("y.cell") &&
-              col("x.vec_id") < col("y.vec_id") &&
+              col("x.vec_id") =!= col("y.vec_id") &&
               dot(col("x.embedding"), col("y.embedding")) /
                 (col("x.nrm") * col("y.nrm")) >= minCos)
-          .select(col("x.vec_id").as("dup_of"),
-            col("y.vec_id").as("new_id"))
+          .select(least(col("x.vec_id"), col("y.vec_id")).as("dup_of"),
+            greatest(col("x.vec_id"), col("y.vec_id")).as("new_id"))
         val dups = corpusDups.unionByName(batchDups).unionByName(sameId)
           .groupBy(col("new_id")).agg(min(col("dup_of")).as("dup_of"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -43,13 +43,17 @@ import graft.sources.{DerivedTable, GraftCatalog, Versioned}
   * propagate per-key deltas. Both refusals state the contract. */
 object MvDdl {
 
+  // the view-name token is backquote-aware: a quoted segment may hold
+  // spaces or '(' (graft.`/tmp/my dir/mv`), so the name is a run of
+  // `…` segments and plain chars, not a bare \S+ slice
+  private val Ident = "(?:`[^`]*`|[^\\s(;`])+"
   private val CreateRe =
     ("(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
-      "(IF\\s+NOT\\s+EXISTS\\s+)?([^\\s(]+)\\s+(ROW\\s+)?KEY\\s*" +
+      s"(IF\\s+NOT\\s+EXISTS\\s+)?($Ident)\\s+(ROW\\s+)?KEY\\s*" +
       "\\(\\s*([A-Za-z0-9_`]+)\\s*\\)\\s+AS\\s+(.+?)\\s*;?\\s*").r
   private val DropRe =
     ("(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+" +
-      "(IF\\s+EXISTS\\s+)?([^\\s;]+)\\s*;?\\s*").r
+      s"(IF\\s+EXISTS\\s+)?($Ident)\\s*;?\\s*").r
 
   def parse(sqlText: String,
       delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
@@ -206,6 +210,14 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           "EXISTS)")
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(queryText)
+    // the precondition messages cite the contract the query is
+    // actually under: an aggregate query gets the agg-shape contract,
+    // anything else the row-pure one
+    val isAggQuery = parsed.exists {
+      case _: Aggregate => true
+      case _ => false
+    }
+    val shapeMsg = if (isAggQuery) MvDdl.AggShapeMsg else MvDdl.RowPureMsg
     // relations INSIDE subquery expressions would dodge the
     // single-table rule, and windows/subqueries aren't row-pure —
     // sweep the expression trees before counting relations
@@ -215,22 +227,17 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         "window function"
     })).distinct
     require(exprBad.isEmpty,
-      s"${exprBad.mkString(", ")} in the view query: " +
-        MvDdl.RowPureMsg)
+      s"${exprBad.mkString(", ")} in the view query: " + shapeMsg)
     val rels = parsed.collect { case u: UnresolvedRelation => u }
     require(rels.length == 1,
-      s"the view query reads ${rels.length} tables: " + MvDdl.RowPureMsg)
+      s"the view query reads ${rels.length} tables: " + shapeMsg)
     val srcDir = GraftDdl.tableDir(spark, rels.head.multipartIdentifier,
       "CREATE MATERIALIZED VIEW source")
     val srcCols = Versioned.read(spark, srcDir).columns.toSet
     require(srcCols.contains(key),
       s"key column '$key' is not in the source table " +
         s"(has: ${srcCols.toSeq.sorted.mkString(", ")})")
-    val hasAgg = parsed.exists {
-      case _: Aggregate => true
-      case _ => false
-    }
-    if (hasAgg) {
+    if (isAggQuery) {
       val (g, v, ext) = MvDdl.aggShapeOf(parsed).getOrElse(
         throw new UnsupportedOperationException(MvDdl.AggShapeMsg))
       require(rowKeySpelling,
