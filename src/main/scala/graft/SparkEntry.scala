@@ -159,6 +159,9 @@ object SparkEntry {
     // probe, O(delta) append, probe the grown index; the union of
     // found pairs equals DuckDB's exact cross-boundary answer.
     "d10_dedup_index"     -> (Dedup.dedupIndexGate _),
+    // Dedup-index DELETE lifecycle (d11): takedowns tombstone, stop
+    // matching immediately, compact applies, the freed id re-ingests.
+    "d11_dedup_index_deletes" -> (Dedup.dedupIndexDeletesGate _),
     "d03_simhash"         -> (Dedup.simhashPairs _),
     "d04_embedding_neardup" -> (Dedup.embeddingNearDup _),
     "d05_embedding_lsh"     -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
@@ -1241,6 +1244,26 @@ object SparkEntry {
           WHERE (a_id < 300 AND b_id >= 300 AND b_id < 450)
              OR (a_id < 450 AND b_id >= 450)
           ORDER BY dup_of, new_id""",
+    // d11: the DELETE lifecycle's counts all reduce to the exact
+    // cross-boundary pairs (corpus < 300) x (batch 300-699) filtered
+    // by the takedown parity (every even corpus id tombstones), plus
+    // the smallest even matcher re-ingesting after compaction.
+    "d11_dedup_index_deletes" ->
+      s"""WITH p AS (SELECT a_id, b_id FROM ($shingleJaccardSql)
+                     WHERE a_id < 300 AND b_id >= 300 AND b_id < 700)
+          SELECT CAST((SELECT count(*) FROM p) AS BIGINT)
+                   AS pairs_before,
+                 CAST(1 AS BIGINT) AS gone_tombstoned,
+                 CAST(1 AS BIGINT) AS refused_tombstoned,
+                 CAST((SELECT count(*) FROM p WHERE a_id % 2 = 1)
+                   AS BIGINT) AS pairs_after_delete,
+                 CAST((SELECT count(*) FROM p WHERE a_id % 2 = 1)
+                   AS BIGINT) AS pairs_after_compact,
+                 CAST(1 AS BIGINT) AS reingest_ok,
+                 CAST((SELECT count(*) FROM p WHERE a_id % 2 = 1
+                       OR a_id = (SELECT min(a_id) FROM p
+                                  WHERE a_id % 2 = 0)) AS BIGINT)
+                   AS pairs_after_reingest""",
     // Transitive closure over the exact near-dup pairs via recursive
     // CTE; Spark computes the same components by min-label propagation.
     "d06_dedup_clusters" ->

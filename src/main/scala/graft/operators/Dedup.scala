@@ -693,6 +693,47 @@ object Dedup {
         n.stripPrefix("sigs=v").toInt).toOption)
   }
 
+  private def dedupTombsDir(indexDir: String): String = s"$indexDir.tombs"
+
+  /** Live tombstoned doc_ids of the dedup index (empty frame when
+    * none) at `version` — pinned by callers whose returned frames
+    * must stay stable however late they evaluate. Bounded between
+    * compactions, so the probes' anti-joins broadcast. */
+  private def dedupTombs(s: SparkSession, indexDir: String,
+      version: Option[Int] = None): DataFrame = {
+    val td = dedupTombsDir(indexDir)
+    if (version.getOrElse(Versioned.currentVersion(s, td)) > 0)
+      Versioned.read(s, td, version).select(col("doc_id"))
+    else s.range(0).select(col("id").as("doc_id"))
+  }
+
+  /** DELETE documents from the dedup index — the takedown path
+    * (license revocation, PII purge): without it a removed document
+    * keeps matching and evicting every future crawl batch. Same
+    * Lucene tombstone discipline as the text/vector indexes
+    * ([[graft.operators.TextAnalysis.deleteFromTextIndex]],
+    * [[Similarity.deleteFromVectorIndex]]) and for the same layout
+    * reason: a doc's band rows scatter across ALL band partitions
+    * (one row per band by construction), so an eager rewrite would
+    * touch the whole band table per batch. The batch appends doc_ids
+    * to a sibling tombstone table — O(batch) — and every probe
+    * anti-joins the live set before candidate generation, so a
+    * deleted document can never evict a new one. Ids absent from the
+    * index tombstone harmlessly (idempotent re-delete included).
+    * [[compactDedupIndex]] applies the set and resets it; until then
+    * re-ingesting a tombstoned id refuses (its band/sig rows still
+    * stand on disk, and the compaction anti-join would kill the new
+    * rows along with the old). */
+  def deleteFromDedupIndex(s: SparkSession, docIds: DataFrame,
+      indexDir: String): Unit = {
+    require(Versioned.currentVersion(s, indexDir) > 0,
+      s"$indexDir is not a built dedup index (buildDedupIndex first)")
+    val ids = docIds.select(col("doc_id")).distinct()
+    val td = dedupTombsDir(indexDir)
+    if (Versioned.currentVersion(s, td) > 0) Versioned.append(ids, td)
+    else Versioned.commit(ids, td)
+  }
+
   /** O(delta) maintenance: the new docs' band rows append (only their
     * band-partition files are written) and their signatures append to
     * the sibling, which publishes FIRST so the band commit re-pins the
@@ -704,6 +745,7 @@ object Dedup {
     require(Versioned.currentVersion(s, indexDir) > 0,
       s"$indexDir is not a built dedup index (buildDedupIndex first)")
     requireOneRowPerDoc(newDocs, "appendToDedupIndex")
+    requireNoLiveTombs(s, newDocs, indexDir, "appendToDedupIndex")
     val clash = Versioned.read(s, dedupSigsDir(indexDir),
         dedupSigsPin(s, indexDir))
       .join(newDocs.select(col("doc_id")).distinct(), Seq("doc_id"),
@@ -722,6 +764,21 @@ object Dedup {
         partitionCol = Some("band"), note = Some(s"sigs=v$sv"),
         statsCols = Seq("doc_id"))
     } finally sketch.unpersist(blocking = false)
+  }
+
+  /** A batch id with a LIVE tombstone refuses up front with its own
+    * message: its band/sig rows still stand on disk, so an append
+    * would duplicate them and the next compaction's anti-join would
+    * kill the new rows along with the old. */
+  private def requireNoLiveTombs(s: SparkSession, newDocs: DataFrame,
+      indexDir: String, what: String): Unit = {
+    val tombClash = newDocs.select(col("doc_id"))
+      .join(broadcast(dedupTombs(s, indexDir)), Seq("doc_id"),
+        "left_semi").limit(5).collect().map(_.getLong(0))
+    require(tombClash.isEmpty,
+      s"$what: doc_ids ${tombClash.mkString(", ")} are " +
+        s"live-tombstoned in $indexDir — compactDedupIndex first to " +
+        "apply the deletes, then re-ingest")
   }
 
   /** Dedup a NEW batch against the standing indexed corpus: the
@@ -743,8 +800,13 @@ object Dedup {
     // this function runs an action); the sketch's two consumers share
     // one identical aggregation subtree, which exchange reuse dedups
     val sketch = dedupSketchOf(newDocs)
+    // deleted corpus docs drop out of candidate generation HERE (the
+    // tombstone anti-join broadcasts — bounded between compactions),
+    // so a taken-down document never evicts a new one
     val cands = bandRowsOf(sketch).as("x")
-      .join(Versioned.read(s, indexDir).as("y"),
+      .join(Versioned.read(s, indexDir)
+          .join(broadcast(dedupTombs(s, indexDir)), Seq("doc_id"),
+            "left_anti").as("y"),
         col("x.band") === col("y.band") &&
           col("x.band_hash") === col("y.band_hash"))
       .select(col("y.doc_id").as("dup_of"),
@@ -781,9 +843,25 @@ object Dedup {
     * survives (the d06 min-id convention), so the index never ingests
     * two copies in the same batch. Returns (doc_id, kept, dup_of) —
     * dup_of is the standing-corpus or smaller-id batch doc that
-    * evicted it (null when kept). */
+    * evicted it (null when kept).
+    *
+    * `allowReingest = true` makes a crash-retry idempotent (the
+    * vector loop's semantics, [[Similarity.ingestDedupVectors]]):
+    * batch ids already live in the index are KEPT BY IDENTITY —
+    * reported (kept = true, dup_of = null), never re-sketched, never
+    * re-appended — identity wins over any content comparison, so a
+    * drifted re-crawl of an indexed id cannot land a second sketch
+    * (re-index via [[deleteFromDedupIndex]] + compact + re-ingest).
+    * A replayed batch therefore returns the identical verdict frame
+    * and appends nothing: first-run survivors are now kept-by-
+    * identity (they were kept), and first-run drops re-match their
+    * witnesses (corpus witnesses are still live; batch witnesses
+    * either survived into the corpus or re-enter the within-batch
+    * candidate step). The default (false) refuses the overlap loudly
+    * — the right behavior when batch ids are supposed to be fresh. */
   def ingestDedup(s: SparkSession, newDocs: DataFrame,
-      indexDir: String, minJ: Double = 0.5): DataFrame = {
+      indexDir: String, minJ: Double = 0.5,
+      allowReingest: Boolean = false): DataFrame = {
     // the probe pins the PRE-append snapshot, so the returned verdict
     // frame stays stable however late a caller evaluates it — an
     // unpinned read would see the survivors this call appends and
@@ -793,27 +871,49 @@ object Dedup {
       s"$indexDir is not a built dedup index (buildDedupIndex first)")
     requireOneRowPerDoc(newDocs, "ingestDedup")
     val sigsPin = dedupSigsPin(s, indexDir)
-    // an id already indexed refuses LOUDLY, like appendToDedupIndex:
-    // corpusCands excludes self-pairs, so a crash-retry of an already-
-    // landed batch would otherwise re-keep every doc and append its
-    // band/sig rows a SECOND time — duplicate sketch rows forever
-    val clash = Versioned.read(s, dedupSigsDir(indexDir), sigsPin)
-      .join(newDocs.select(col("doc_id")).distinct(), Seq("doc_id"),
-        "left_semi").limit(5).collect().map(_.getLong(0))
-    require(clash.isEmpty,
-      s"ingestDedup: doc_ids ${clash.mkString(", ")} are already " +
-        s"indexed in $indexDir — the batch (or part of it) was " +
-        "already ingested; filter the overlap out (an anti-join on " +
-        s"`${dedupSigsDir(indexDir)}`) and retry")
-    val sketch = dedupSketchOf(newDocs)
+    // tombstones pinned like every other probe input, so the verdict
+    // frame recomputes identically however late it evaluates
+    val tombsV = Versioned.currentVersion(s, dedupTombsDir(indexDir))
+    val tombsPinned = dedupTombs(s, indexDir,
+      Some(tombsV).filter(_ > 0))
+    requireNoLiveTombs(s, newDocs, indexDir, "ingestDedup")
+    // ids already LIVE in the index: refused loudly by default
+    // (corpusCands excludes self-pairs, so a crash-retry of an
+    // already-landed batch would otherwise re-keep every doc and
+    // append its band/sig rows a SECOND time — duplicate sketch rows
+    // forever); kept-by-identity under allowReingest
+    val liveIds = Versioned.read(s, dedupSigsDir(indexDir), sigsPin)
+      .select(col("doc_id"))
+      .join(broadcast(tombsPinned), Seq("doc_id"), "left_anti")
+    if (!allowReingest) {
+      val clash = liveIds
+        .join(newDocs.select(col("doc_id")).distinct(), Seq("doc_id"),
+          "left_semi").limit(5).collect().map(_.getLong(0))
+      require(clash.isEmpty,
+        s"ingestDedup: doc_ids ${clash.mkString(", ")} are already " +
+          s"indexed in $indexDir — the batch (or part of it) was " +
+          "already ingested; retry with allowReingest = true to " +
+          "treat them as kept-by-identity, or filter the overlap " +
+          s"out (an anti-join on `${dedupSigsDir(indexDir)}`)")
+    }
+    // under allowReingest the already-live slice skips the sketch
+    // pass entirely — the standing sketch is the document's identity
+    val docsIn = if (allowReingest)
+      newDocs.join(liveIds, Seq("doc_id"), "left_anti")
+    else newDocs
+    val sketch = dedupSketchOf(docsIn)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val batchBands = bandRowsOf(sketch)
       // corpus candidates + within-batch candidates (smaller id wins,
       // the d06 min-id convention) in one union, then one signature
-      // verification pass over stored sketches only
+      // verification pass over stored sketches only; tombstoned
+      // corpus docs drop out of candidate generation (broadcast
+      // anti-join), so a taken-down document never evicts a new one
       val corpusCands = batchBands.as("x")
-        .join(Versioned.read(s, indexDir, Some(v0)).as("y"),
+        .join(Versioned.read(s, indexDir, Some(v0))
+            .join(broadcast(tombsPinned), Seq("doc_id"), "left_anti")
+            .as("y"),
           col("x.band") === col("y.band") &&
             col("x.band_hash") === col("y.band_hash") &&
             col("x.doc_id") =!= col("y.doc_id"))
@@ -871,17 +971,41 @@ object Dedup {
     } finally sketch.unpersist(blocking = false)
   }
 
-  /** Small-file maintenance for a drip-fed dedup index: each ingest
-    * appends one file per band partition, so the band table binpacks
-    * through the generic [[Versioned.compactSmall]] (layout and
-    * doc_id stats preserved, the sigs pin carried forward in the
-    * note) and the sigs sibling binpacks plainly. Tombstone-free by
-    * construction — dedup indexes only grow. */
+  /** Maintenance for a drip-fed dedup index, two jobs in one sweep:
+    * live tombstones ([[deleteFromDedupIndex]]) apply first — a
+    * whole-pair rewrite dropping the deleted docs' band and signature
+    * rows, then a reset of the tombstone set (LAST, so a crash above
+    * leaves the set live, which is safe: the probes' anti-join
+    * re-applies it) — and small files binpack: each ingest appends
+    * one file per band partition, so the band table packs through the
+    * generic [[Versioned.compactSmall]] (layout and doc_id stats
+    * preserved, the sigs pin carried forward in the note) and the
+    * sigs sibling packs plainly. The tombstone apply is a full
+    * rewrite BY CONSTRUCTION, not by laziness: a deleted doc holds
+    * one row in every band partition, so no partition-scoped rewrite
+    * exists — the same reason the delete path is a tombstone sibling
+    * and not an eager CoW. */
   def compactDedupIndex(s: SparkSession, indexDir: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       minFileBytes: Long = 0L): Int = {
     require(Versioned.currentVersion(s, indexDir) > 0,
       s"$indexDir is not a built dedup index (buildDedupIndex first)")
+    val tombs = dedupTombs(s, indexDir)
+    if (!tombs.isEmpty) {
+      // sigs publish FIRST, the band commit pins them — the
+      // index-pair order every write path here follows
+      val sv = Versioned.commit(
+        Versioned.read(s, dedupSigsDir(indexDir),
+            dedupSigsPin(s, indexDir))
+          .join(broadcast(tombs), Seq("doc_id"), "left_anti"),
+        dedupSigsDir(indexDir), statsCols = Seq("doc_id"))
+      Versioned.commit(
+        Versioned.read(s, indexDir)
+          .join(broadcast(tombs), Seq("doc_id"), "left_anti"),
+        indexDir, partitionCol = Some("band"),
+        note = Some(s"sigs=v$sv"), statsCols = Seq("doc_id"))
+      Versioned.commit(tombs.limit(0), dedupTombsDir(indexDir))
+    }
     // sigs compact FIRST, band compact re-pins the compacted version
     // (same rows, fresh files) — the publish order every index-pair
     // maintenance here follows
@@ -931,6 +1055,60 @@ object Dedup {
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
       import s.implicits._
       pairs.toDF("dup_of", "new_id")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  /** Driver-visible gate (d11): the dedup index's DELETE lifecycle —
+    * the takedown path a training pipeline hits routinely. Index
+    * docs < 300, probe the [300, 700) batch, tombstone every EVEN
+    * corpus id ([[deleteFromDedupIndex]]): the deleted docs stop
+    * matching IMMEDIATELY (probe anti-join), a tombstoned id refuses
+    * re-ingest while live, [[compactDedupIndex]] applies the set
+    * (post-compact probe unchanged), and the freed id re-ingests
+    * cleanly — its pairs come back. Every count reduces to the exact
+    * cross-boundary Jaccard pairs filtered by parity, which DuckDB
+    * restates independently (the d10 precedent: LSH recall plus the
+    * ≥9σ signature margin make the approximate pipeline reproduce
+    * the exact answer). */
+  def dedupIndexDeletesGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-dedup-del-gate")
+    try {
+      val idx = work.resolve("lsh").toString
+      val all = docs(s, d)
+      val batch = all.filter(col("doc_id") >= 300 && col("doc_id") < 700)
+      buildDedupIndexOf(all.filter(col("doc_id") < 300), idx)
+      def probePairs(): Seq[(Long, Long)] =
+        dedupAgainstIndex(s, batch, idx)
+          .select(col("dup_of"), col("new_id")).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val before = probePairs()
+      deleteFromDedupIndex(s,
+        all.filter(col("doc_id") < 300 && col("doc_id") % 2 === 0)
+          .select(col("doc_id")), idx)
+      val afterDelete = probePairs()
+      val goneTomb = afterDelete.forall(_._1 % 2 == 1)
+      // doc 0 is even, hence tombstoned — its re-ingest must refuse
+      // while the tombstone is live (band/sig rows still on disk)
+      val refused = scala.util.Try(appendToDedupIndex(s,
+        all.filter(col("doc_id") === 0L), idx)).isFailure
+      compactDedupIndex(s, idx)
+      val afterCompact = probePairs()
+      // post-compact the id is free again: re-ingest the smallest
+      // even doc that matched before (vacuously ok when none did —
+      // DuckDB's NULL-filtered restatement agrees by SQL semantics)
+      val reId = before.map(_._1).filter(_ % 2 == 0).sorted.headOption
+      val reOk = reId.forall(id => scala.util.Try(appendToDedupIndex(s,
+        all.filter(col("doc_id") === id), idx)).isSuccess)
+      val afterReingest = probePairs()
+      import s.implicits._
+      Seq((before.size.toLong, if (goneTomb) 1L else 0L,
+          if (refused) 1L else 0L, afterDelete.size.toLong,
+          afterCompact.size.toLong, if (reOk) 1L else 0L,
+          afterReingest.size.toLong))
+        .toDF("pairs_before", "gone_tombstoned", "refused_tombstoned",
+          "pairs_after_delete", "pairs_after_compact", "reingest_ok",
+          "pairs_after_reingest")
     } finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
 }

@@ -136,6 +136,89 @@ class DedupSpec extends SparkSpec {
   private def clean2(paths: String*): Unit = paths.foreach(p =>
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
 
+  test("dedup index DELETE lifecycle: tombstoned doc stops matching " +
+      "immediately, live tombstone refuses re-ingest, compact " +
+      "applies, the freed id re-ingests and its pairs return") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idx = "target/tmp/dedup-del"
+    clean2(idx, s"$idx.sigs", s"$idx.tombs")
+    val all = graft.sources.Tables.load(spark, sf, "documents")
+    Dedup.buildDedupIndexOf(all.filter($"doc_id" < 300), idx)
+    val batch = all.filter($"doc_id" >= 300)
+    def probe(): Set[(Long, Long)] = pairs(
+      Dedup.dedupAgainstIndex(spark, batch, idx)
+        .select($"dup_of", $"new_id"))
+    val p0 = probe()
+    assert(p0 == exact.filter { case (a, b) => a < 300 && b >= 300 })
+    assert(p0.nonEmpty, "fixture must plant cross-boundary dups")
+    // takedown of a corpus doc that matched: gone from the very next
+    // probe, no compaction needed
+    val victim = p0.map(_._1).min
+    Dedup.deleteFromDedupIndex(spark, Seq(victim).toDF("doc_id"), idx)
+    assert(probe() == p0.filter(_._1 != victim))
+    // a live-tombstoned id refuses append AND ingest (its rows still
+    // stand on disk; the compaction anti-join would kill new rows)
+    val e1 = intercept[IllegalArgumentException](
+      Dedup.appendToDedupIndex(spark,
+        all.filter($"doc_id" === victim), idx))
+    assert(e1.getMessage.contains("live-tombstoned"))
+    val e2 = intercept[IllegalArgumentException](
+      Dedup.ingestDedup(spark, all.filter($"doc_id" === victim), idx))
+    assert(e2.getMessage.contains("live-tombstoned"))
+    // re-delete is idempotent, deleting a never-indexed id harmless
+    Dedup.deleteFromDedupIndex(spark,
+      Seq(victim, 999999L).toDF("doc_id"), idx)
+    // compact applies the set: probe unchanged, the victim's sig row
+    // physically gone, the sigs pin tracks the rewritten sibling
+    Dedup.compactDedupIndex(spark, idx)
+    assert(probe() == p0.filter(_._1 != victim))
+    assert(graft.sources.Versioned.read(spark, s"$idx.sigs")
+      .filter($"doc_id" === victim).isEmpty)
+    // post-compact the id is free: re-ingest restores its pairs
+    Dedup.appendToDedupIndex(spark,
+      all.filter($"doc_id" === victim), idx)
+    assert(probe() == p0)
+  }
+
+  test("ingestDedup allowReingest: a replayed batch returns the " +
+      "identical verdict frame and appends nothing") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idx = "target/tmp/dedup-reingest"
+    clean2(idx, s"$idx.sigs", s"$idx.tombs")
+    val all = graft.sources.Tables.load(spark, sf, "documents")
+    Dedup.buildDedupIndexOf(all.filter($"doc_id" < 300), idx)
+    val batch = all.filter($"doc_id" >= 300 && $"doc_id" < 450)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq.sorted
+    val v1 = rows(Dedup.ingestDedup(spark, batch, idx))
+    assert(v1.exists(!_._2), "fixture must drop someone")
+    val sigsV = graft.sources.Versioned.currentVersion(spark, s"$idx.sigs")
+    val bandV = graft.sources.Versioned.currentVersion(spark, idx)
+    // the default refusal names the retry escape hatch
+    val e = intercept[IllegalArgumentException](
+      Dedup.ingestDedup(spark, batch, idx))
+    assert(e.getMessage.contains("allowReingest"))
+    // the replay: identical verdict, no new version on either table
+    val v2 = rows(Dedup.ingestDedup(spark, batch, idx,
+      allowReingest = true))
+    assert(v2 == v1)
+    assert(graft.sources.Versioned.currentVersion(spark, s"$idx.sigs")
+      == sigsV)
+    assert(graft.sources.Versioned.currentVersion(spark, idx) == bandV)
+    // a PARTIAL replay (the crash-mid-batch shape: overlap + fresh
+    // docs) keeps the overlap by identity and processes the rest
+    val fresh = Seq((7000L, "wholly novel text for the partial " +
+      "replay case abc def")).toDF("doc_id", "text")
+    val v3 = rows(Dedup.ingestDedup(spark,
+      batch.select($"doc_id", $"text").unionByName(fresh), idx,
+      allowReingest = true))
+    assert(v3.filter(_._1 != 7000L) == v1)
+    assert(v3.find(_._1 == 7000L).exists(_._2))
+  }
+
   test("simhash banding reproduces the exact shingle-jaccard pairs") {
     assert(pairs(Dedup.simhashPairs(spark, sf)) == exact)
   }
