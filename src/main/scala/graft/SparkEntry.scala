@@ -322,6 +322,11 @@ object SparkEntry {
     // pair alone — q51's probe-from-bytes proof on the s09 layout.
     "q56_int8_index_export" ->
       (graft.operators.Similarity.int8IndexExportGate _),
+    // MV shapes + staleness (q57): a FILTERED aggregate view, a
+    // multi-column group tuple, and the mv.max-staleness-versions
+    // read refusal — all pure SQL, states equal full recomputes.
+    "q57_mv_shapes" ->
+      (graft.sources.DerivedTable.mvShapesGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1824,6 +1829,26 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS spec_props,
                 CAST(1 AS BIGINT) AS noop_stable,
                 CAST(1 AS BIGINT) AS dropped""",
+    // q57: the final source state is the fixture with ONE replayed
+    // edit (doc 0's n_chars -> 9999, the commit that trips the
+    // staleness bound); filtered/multi-column facts restate from it.
+    "q57_mv_shapes" ->
+      """WITH f AS (SELECT doc_id, source, lang,
+                      CASE WHEN doc_id = 0 THEN 9999
+                           ELSE n_chars END AS n_chars
+                    FROM documents)
+         SELECT (SELECT count(DISTINCT source) FROM f
+                 WHERE n_chars >= 300) AS groups_f,
+                CAST((SELECT sum(n_chars) FROM f WHERE n_chars >= 300)
+                  AS BIGINT) AS sum_f,
+                (SELECT count(*) FROM
+                  (SELECT DISTINCT source, lang FROM f) t) AS groups_m,
+                (SELECT count(*) FROM f) AS rows_m,
+                CAST(1 AS BIGINT) AS eq_filtered,
+                CAST(1 AS BIGINT) AS eq_multi,
+                CAST(1 AS BIGINT) AS spec_where,
+                CAST(1 AS BIGINT) AS stale_refused,
+                CAST(1 AS BIGINT) AS fresh_after""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle ++
     int8IndexExportOracle
 

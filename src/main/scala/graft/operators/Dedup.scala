@@ -687,10 +687,13 @@ object Dedup {
   private def dedupSigsPin(s: SparkSession,
       indexDir: String): Option[Int] = {
     val v = Versioned.currentVersion(s, indexDir)
-    Versioned.commitNotes(s, indexDir).get(v)
-      .map(_.trim).filter(_.startsWith("sigs=v"))
-      .flatMap(n => scala.util.Try(
-        n.stripPrefix("sigs=v").toInt).toOption)
+    // fragment-wise (split ';'), so a pin survives sharing the note
+    // with other fragments (a TBLPROPERTIES commit carries it forward)
+    Versioned.commitNotes(s, indexDir).get(v).toSeq
+      .flatMap(_.split(";")).map(_.trim)
+      .collectFirst { case n if n.startsWith("sigs=v") =>
+        scala.util.Try(n.stripPrefix("sigs=v").toInt).toOption }
+      .flatten
   }
 
   private def dedupTombsDir(indexDir: String): String = s"$indexDir.tombs"

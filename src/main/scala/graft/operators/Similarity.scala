@@ -322,11 +322,16 @@ object Similarity {
   private def pinnedCentroidVersion(s: SparkSession,
       indexDir: String): Option[Int] = {
     val v = Versioned.currentVersion(s, indexDir)
+    // fragment-wise (split ';'), like [[pinnedVersionsOf]]: the pin
+    // must survive sharing the note with other fragments (a
+    // TBLPROPERTIES commit carries pins forward; the PQ layout pins
+    // centroids and codebooks in one note)
     if (v == 0) None
-    else Versioned.commitNotes(s, indexDir).get(v)
-      .map(_.trim).filter(_.startsWith("centroids=v"))
-      .flatMap(n => scala.util.Try(
-        n.stripPrefix("centroids=v").toInt).toOption)
+    else Versioned.commitNotes(s, indexDir).get(v).toSeq
+      .flatMap(_.split(";")).map(_.trim)
+      .collectFirst { case n if n.startsWith("centroids=v") =>
+        scala.util.Try(n.stripPrefix("centroids=v").toInt).toOption }
+      .flatten
   }
 
   /** Centroid table CONSISTENT with the index's current snapshot

@@ -1574,10 +1574,13 @@ object TextAnalysis {
   private def textStatsPin(s: SparkSession,
       indexDir: String): Option[Int] = {
     val v = Versioned.currentVersion(s, indexDir)
-    Versioned.commitNotes(s, indexDir).get(v)
-      .map(_.trim).filter(_.startsWith("stats=v"))
-      .flatMap(n => scala.util.Try(
-        n.stripPrefix("stats=v").toInt).toOption)
+    // fragment-wise (split ';'), so a pin survives sharing the note
+    // with other fragments (a TBLPROPERTIES commit carries it forward)
+    Versioned.commitNotes(s, indexDir).get(v).toSeq
+      .flatMap(_.split(";")).map(_.trim)
+      .collectFirst { case n if n.startsWith("stats=v") =>
+        scala.util.Try(n.stripPrefix("stats=v").toInt).toOption }
+      .flatten
   }
 
   private def pinnedTextStats(s: SparkSession,

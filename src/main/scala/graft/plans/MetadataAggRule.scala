@@ -187,6 +187,10 @@ private[plans] object MetadataAggRule {
     * by `relOutput`'s expression ids. */
   def tryRewriteOver(spark: SparkSession, a: Aggregate, dir: String,
       ver: Int, relOutput: Seq[Attribute]): Option[LogicalPlan] = {
+    // the MV staleness gate covers the scan-free path too: a bounded
+    // stale view must refuse a sidecar-served COUNT(*) exactly like a
+    // scan (both SQL spellings and the Dataset tag route land here)
+    graft.sources.DerivedTable.requireFreshEnough(spark, dir)
     if (a.groupingExpressions.nonEmpty)
       return tryRewriteGrouped(spark, a, dir, ver, relOutput)
     for {

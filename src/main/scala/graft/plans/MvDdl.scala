@@ -104,50 +104,61 @@ object MvDdl {
     }
 
   /** Match the parsed query against the delta-maintainable aggregate
-    * shape — `SELECT g, sum(v) AS sum_<v>, count(v) AS cnt_<v>,
+    * shape — `SELECT g…, sum(v) AS sum_<v>, count(v) AS cnt_<v>,
     * count(*) AS n_rows[, min(c) AS min_<c>, max(c) AS max_<c> …]
-    * FROM src GROUP BY g`, canonical aliases IN ORDER (so `SELECT *
-    * FROM mv` returns exactly what the definition reads) — and
-    * extract (group, value, extrema). None for any other shape. */
-  def aggShapeOf(p: LogicalPlan): Option[(String, String, Seq[String])] = {
+    * FROM src [WHERE pred] GROUP BY g…`, canonical aliases IN ORDER
+    * (so `SELECT * FROM mv` returns exactly what the definition
+    * reads) — and extract (groups, value, extrema, where-text).
+    * Multi-column GROUP BY and a WHERE predicate are both
+    * delta-maintainable (the algebra keys on the group tuple and
+    * runs on the filtered stream); None for any other shape. */
+  def aggShapeOf(p: LogicalPlan):
+      Option[(Seq[String], String, Seq[String], Option[String])] = {
     val agg = p match {
       case a: Aggregate => a
       case _ => return None
     }
-    agg.child match {
-      case _: UnresolvedRelation => ()
-      case s: SubqueryAlias if s.child.isInstanceOf[UnresolvedRelation] => ()
-      case _ => return None // a WHERE (or worse) under GROUP BY: the
-      // algebra diffs WHOLE-source touched rows, a filter would skew it
+    def relUnder(n: LogicalPlan): Boolean = n match {
+      case _: UnresolvedRelation => true
+      case s: SubqueryAlias => s.child.isInstanceOf[UnresolvedRelation]
+      case _ => false
     }
-    val g = agg.groupingExpressions match {
-      case Seq(ua: UnresolvedAttribute) if ua.nameParts.length == 1 =>
+    val where = agg.child match {
+      case n if relUnder(n) => None
+      case f: Filter if relUnder(f.child) => Some(f.condition.sql)
+      case _ => return None // HAVING/joins/nesting under GROUP BY:
+      // not expressible as a filtered single-table delta stream
+    }
+    val gs = agg.groupingExpressions.map {
+      case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
         ua.nameParts.head
       case _ => return None
     }
+    if (gs.isEmpty || gs.distinct.length != gs.length) return None
     val outs = agg.aggregateExpressions
-    if (outs.length < 4) return None
-    val groupOk = outs.head match {
-      case ua: UnresolvedAttribute => ua.nameParts == Seq(g)
-      case UnresolvedAlias(ua: UnresolvedAttribute, _) =>
+    if (outs.length < gs.length + 3) return None
+    // the first |groups| outputs are the group columns, in order
+    val groupsOk = outs.take(gs.length).zip(gs).forall {
+      case (ua: UnresolvedAttribute, g) => ua.nameParts == Seq(g)
+      case (UnresolvedAlias(ua: UnresolvedAttribute, _), g) =>
         ua.nameParts == Seq(g)
-      case Alias(ua: UnresolvedAttribute, name) =>
+      case (Alias(ua: UnresolvedAttribute, name), g) =>
         ua.nameParts == Seq(g) && name == g
       case _ => false
     }
-    if (!groupOk) return None
+    if (!groupsOk) return None
     def aliased(e: Expression): Option[(String, String, Option[String])] =
       e match {
         case Alias(child, name) => fnOf(child).map {
           case (fn, arg) => (name, fn, arg) }
         case _ => None
       }
-    val rest = outs.tail.map(aliased)
+    val rest = outs.drop(gs.length).map(aliased)
     if (rest.exists(_.isEmpty)) return None
     val seq = rest.flatten
     val v = seq.head match {
       case (name, "sum", Some(c))
-          if name == s"sum_$c" && c != g => c
+          if name == s"sum_$c" && !gs.contains(c) => c
       case _ => return None
     }
     seq.lift(1) match {
@@ -162,21 +173,21 @@ object MvDdl {
     // optional extrema: (min_c, max_c) pairs over non-group columns
     val ext = seq.drop(3).grouped(2).map {
       case Seq((n1, "min", Some(c1)), (n2, "max", Some(c2)))
-          if c1 == c2 && c1 != g &&
+          if c1 == c2 && !gs.contains(c1) &&
             n1 == s"min_$c1" && n2 == s"max_$c1" => Some(c1)
       case _ => None
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
-    Some((g, v, ext.flatten))
+    Some((gs, v, ext.flatten, where))
   }
 
   private[plans] val AggShapeMsg =
     "a GROUP BY materialized view must match the delta-maintainable " +
-      "shape exactly: SELECT <g>, sum(<v>) AS sum_<v>, count(<v>) AS " +
-      "cnt_<v>, count(*) AS n_rows[, min(<c>) AS min_<c>, max(<c>) " +
-      "AS max_<c> …] FROM <src> GROUP BY <g> — no WHERE, HAVING, " +
-      "DISTINCT, expressions, or other aggregates (avg is sum/cnt at " +
-      "read)"
+      "shape exactly: SELECT <g…>, sum(<v>) AS sum_<v>, count(<v>) " +
+      "AS cnt_<v>, count(*) AS n_rows[, min(<c>) AS min_<c>, " +
+      "max(<c>) AS max_<c> …] FROM <src> [WHERE <pred>] GROUP BY " +
+      "<g…> — no HAVING, DISTINCT, expressions, or other aggregates " +
+      "(avg is sum/cnt at read)"
 
   private[plans] val RowPureMsg =
     "a row-pure materialized view supports SELECT … FROM <one " +
@@ -238,26 +249,28 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       s"key column '$key' is not in the source table " +
         s"(has: ${srcCols.toSeq.sorted.mkString(", ")})")
     if (isAggQuery) {
-      val (g, v, ext) = MvDdl.aggShapeOf(parsed).getOrElse(
+      val (gs, v, ext, where) = MvDdl.aggShapeOf(parsed).getOrElse(
         throw new UnsupportedOperationException(MvDdl.AggShapeMsg))
       require(rowKeySpelling,
         "a GROUP BY materialized view names the SOURCE row identity " +
           "— spell it ROW KEY (<source row id>), not KEY")
-      (Seq(g, v) ++ ext).foreach(c => require(srcCols.contains(c),
+      (gs ++ Seq(v) ++ ext).foreach(c => require(srcCols.contains(c),
         s"column '$c' is not in the source table " +
           s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
       // the spec rides the BOOTSTRAP commit itself — data, pin, and
       // identity publish atomically, so no crash window can leave a
       // standing table that is not yet (and can never become) a view
       val (from, to) = DerivedTable.refreshAgg(spark, srcDir, dstDir,
-        key, g, v, extrema = ext, bootstrapProps = Map(
+        key, gs, v, extrema = ext, where = where,
+        bootstrapProps = Map(
           DerivedTable.MvKindProp -> "agg",
           DerivedTable.MvSourceProp -> srcDir,
           DerivedTable.MvRowKeyProp -> key,
-          DerivedTable.MvGroupProp -> g,
+          DerivedTable.MvGroupProp -> gs.mkString(","),
           DerivedTable.MvValueProp -> v,
           DerivedTable.MvExtremaProp -> ext.mkString(","),
-          DerivedTable.MvQueryProp -> queryText))
+          DerivedTable.MvQueryProp -> queryText) ++
+          where.map(DerivedTable.MvWhereProp -> _))
       Seq(Row("agg", from, to))
     } else {
       require(!rowKeySpelling,

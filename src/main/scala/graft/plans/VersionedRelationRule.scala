@@ -220,6 +220,11 @@ case class VersionedRelationRule(spark: SparkSession)
     * relation's attribute ids. */
   private def expandVersioned(r: DataSourceV2Relation): LogicalPlan = {
     val t = r.table.asInstanceOf[GraftVersionedTable]
+    // the MV staleness gate: a view bounded by
+    // mv.max-staleness-versions refuses to serve stale — enforced at
+    // the single point every catalog READ expands through (refresh
+    // itself reads by path and is exempt, or it could never catch up)
+    graft.sources.DerivedTable.requireFreshEnough(spark, t.tableDir)
     val real = Versioned.read(spark, t.tableDir,
       Some(t.snapshotVersion)).queryExecution.analyzed
     require(real.output.length == r.output.length,

@@ -52,10 +52,61 @@ object DerivedTable {
   val MvSourceProp = "graft.mv.source" // resolved source table dir
   val MvKeyProp = "graft.mv.key" // derived: the row key
   val MvRowKeyProp = "graft.mv.row_key" // agg: the SOURCE row identity
-  val MvGroupProp = "graft.mv.group_by" // agg: the group column
+  val MvGroupProp = "graft.mv.group_by" // agg: csv of group columns
   val MvValueProp = "graft.mv.value" // agg: the summed value column
   val MvExtremaProp = "graft.mv.extrema" // agg: csv of min/max columns
+  val MvWhereProp = "graft.mv.where" // agg: WHERE predicate text
   val MvQueryProp = "graft.mv.query" // the AS SELECT text, verbatim
+  // user-settable staleness bound (ALTER TABLE SET TBLPROPERTIES):
+  // catalog READS of the view refuse when the pin lags the source
+  // head by more than this many source commits — see
+  // [[requireFreshEnough]]
+  val MvMaxStalenessProp = "graft.mv.max-staleness-versions"
+
+  /** Freshness state of a materialized view: (pinned source version,
+    * source head version, lag). None when `dstDir` is not an MV. The
+    * lag counts SOURCE COMMITS — the only monotone unit the pin
+    * protocol defines (wall-clock staleness would need commit mtimes,
+    * which fs copies and restores rewrite silently). Surfaced live in
+    * the catalog's table properties as
+    * `graft.mv.source_head_version` / `graft.mv.staleness_versions`
+    * beside the pinned version, so `SHOW TBLPROPERTIES` IS the
+    * refresh-state view. */
+  def refreshState(s: SparkSession,
+      dstDir: String): Option[(Int, Int, Int)] = {
+    val props = Versioned.properties(s, dstDir)
+    if (!props.contains(MvKindProp)) return None
+    val pin = pinnedSrcVersion(s, dstDir)
+    val head = Versioned.currentVersion(s, props(MvSourceProp))
+    Some((pin, head, math.max(0, head - pin)))
+  }
+
+  /** The read-side staleness gate: a view carrying
+    * [[MvMaxStalenessProp]] whose lag exceeds the bound REFUSES to
+    * serve rather than silently returning stale rows (the Iceberg MV
+    * spec's freshness contract). No-op for plain tables and for
+    * views without the property — the check costs one property
+    * sidecar probe on the read path, nothing for the common case. */
+  def requireFreshEnough(s: SparkSession, dstDir: String): Unit = {
+    val props = Versioned.properties(s, dstDir)
+    val bound = props.get(MvMaxStalenessProp)
+    if (bound.isEmpty || !props.contains(MvKindProp)) return
+    val b = try bound.get.trim.toInt catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$MvMaxStalenessProp must be an integer number of source " +
+            s"versions, got '${bound.get}'")
+    }
+    val pin = pinnedSrcVersion(s, dstDir)
+    val head = Versioned.currentVersion(s, props(MvSourceProp))
+    val lag = head - pin
+    require(lag <= b,
+      s"materialized view at $dstDir is $lag source version(s) " +
+        s"behind (pinned src=v$pin, source head v$head), over its " +
+        s"$MvMaxStalenessProp = $b — CALL " +
+        s"graft.system.refresh_mv('$dstDir'), or raise/unset the " +
+        "property to read stale")
+  }
 
   /** The row-pure transform a DERIVED materialized view persists: the
     * stored query text re-parses at each refresh and its single table
@@ -100,8 +151,11 @@ object DerivedTable {
       case "agg" =>
         val ext = props.get(MvExtremaProp).toSeq.flatMap(_.split(","))
           .map(_.trim).filter(_.nonEmpty)
+        val groups = props(MvGroupProp).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
         val (f, t) = refreshAgg(s, src, dstDir, props(MvRowKeyProp),
-          props(MvGroupProp), props(MvValueProp), extrema = ext)
+          groups, props(MvValueProp), extrema = ext,
+          where = props.get(MvWhereProp).filter(_.nonEmpty))
         ("agg", f, t)
       case other => throw new IllegalStateException(
         s"unknown $MvKindProp '$other' at $dstDir")
@@ -133,18 +187,23 @@ object DerivedTable {
   /** The tiered point read shared by every refreshAgg leg: a SMALL
     * key set (≤ [[PruneKeyLimit]], by `nKeys` — a COUNT, the only
     * thing the driver ever holds for the decision) collects its
-    * values and goes through [[Versioned.readWhereIn]] manifest
-    * pruning (O(files containing the values)); a large one never
-    * materializes keys on the driver at all — it semi-joins the
-    * snapshot scan against the broadcast `keysDf` (one column, named
-    * `keyCol`). */
-  private def pointRead(s: SparkSession, dir: String, keyCol: String,
-      nKeys: Long, smallVals: => Seq[Any], version: Option[Int],
-      keysDf: DataFrame): DataFrame =
-    if (nKeys <= PruneKeyLimit)
-      Versioned.readWhereIn(s, dir, keyCol, smallVals, version)
-    else Versioned.read(s, dir, version)
-      .join(broadcast(keysDf), Seq(keyCol), "left_semi")
+    * FIRST-column values and goes through [[Versioned.readWhereIn]]
+    * manifest pruning (O(files containing the values)); a large one
+    * never materializes keys on the driver at all — it semi-joins
+    * the snapshot scan against the broadcast `keysDf` (the key
+    * columns, bounded by maxTouchedKeys). With a composite key the
+    * IN-pruned read is a first-column superset, so the semi-join on
+    * the full tuple runs in that tier too. */
+  private def pointRead(s: SparkSession, dir: String,
+      keyCols: Seq[String], nKeys: Long, smallVals: => Seq[Any],
+      version: Option[Int], keysDf: DataFrame): DataFrame = {
+    val base =
+      if (nKeys <= PruneKeyLimit)
+        Versioned.readWhereIn(s, dir, keyCols.head, smallVals, version)
+      else Versioned.read(s, dir, version)
+    if (nKeys <= PruneKeyLimit && keyCols.lengthCompare(1) == 0) base
+    else base.join(broadcast(keysDf), keyCols, "left_semi")
+  }
 
   private def pinnedSrcVersion(s: SparkSession, dstDir: String): Int = {
     val v = Versioned.currentVersion(s, dstDir)
@@ -236,9 +295,15 @@ object DerivedTable {
 
   /** Incrementally maintained AGGREGATE view — the GROUP BY rollup
     * twin of [[refresh]]: `dstDir` holds
-    * `SELECT groupCol, sum(valueCol), count(valueCol), count(*) FROM
-    * source GROUP BY groupCol`, advanced per refresh by ALGEBRAIC
-    * delta maintenance instead of recomputation.
+    * `SELECT groupCols…, sum(valueCol), count(valueCol), count(*)
+    * FROM source [WHERE …] GROUP BY groupCols…`, advanced per
+    * refresh by ALGEBRAIC delta maintenance instead of
+    * recomputation. Multi-column groups and a WHERE predicate are
+    * both first-class: the group key is the column TUPLE end to end
+    * (delta, point reads, destination upserts), and the predicate
+    * applies to every snapshot-side read so the algebra runs on the
+    * filtered stream — a filtered GROUP BY is the single most common
+    * materialized view in practice.
     *
     * The changelog cannot carry the algebra alone: an equality-delete
     * event has KEY columns only (the Iceberg equality-delete
@@ -287,16 +352,27 @@ object DerivedTable {
     * touches a large fraction of the source approaches a rebuild's
     * cost anyway. */
   def refreshAgg(s: SparkSession, srcDir: String, dstDir: String,
-      rowKey: String, groupCol: String, valueCol: String,
+      rowKey: String, groupCols: Seq[String], valueCol: String,
       maxTouchedKeys: Int = 100000,
       extrema: Seq[String] = Nil,
+      where: Option[String] = None,
       bootstrapProps: Map[String, String] = Map.empty): (Int, Int) = {
+    require(groupCols.nonEmpty, "refreshAgg needs at least one group " +
+      "column")
+    // the WHERE predicate applies to every snapshot-side read — the
+    // bootstrap scan, both pinned touched-row reads, and the extrema
+    // recompute — so the delta algebra runs on the FILTERED stream
+    // unchanged: a row crossing the predicate boundary on update is
+    // simply an insert/delete of that stream, which the signed union
+    // already nets correctly
+    def filtered(df: DataFrame): DataFrame =
+      where.map(w => df.filter(expr(w))).getOrElse(df)
     def aggOf(df: DataFrame): DataFrame = {
       val aggs = Seq(sum(col(valueCol)).as(s"sum_$valueCol"),
         count(col(valueCol)).as(s"cnt_$valueCol"),
         count(lit(1)).as("n_rows")) ++ extrema.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+      df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
     }
     val to = Versioned.currentVersion(s, srcDir)
     require(to > 0, s"no committed source version at $srcDir")
@@ -307,17 +383,18 @@ object DerivedTable {
       // bootstrap while the note pins the older version — and unlike
       // refresh()'s upsert-by-key, the algebraic patch is NOT
       // idempotent, so the next refresh would double-count them
-      val full = aggOf(Versioned.read(s, srcDir, Some(to)))
+      val full = aggOf(filtered(Versioned.read(s, srcDir, Some(to))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // null group keys are refused up front (not at first touch):
-        // IN-set point reads and equi-joins on the group column both
+        // IN-set point reads and equi-joins on the group columns both
         // skip SQL nulls, so a null group could never be patched
-        require(full.filter(col(groupCol).isNull).isEmpty,
-          s"null '$groupCol' group — filter or coalesce the group " +
-            "column before aggregating")
+        require(full.filter(groupCols.map(col(_).isNull)
+            .reduce(_ || _)).isEmpty,
+          s"null '${groupCols.mkString(", ")}' group — filter or " +
+            "coalesce the group columns before aggregating")
         Versioned.commit(full, dstDir,
-          note = Some(s"src=v$to"), statsCols = Seq(groupCol),
+          note = Some(s"src=v$to"), statsCols = Seq(groupCols.head),
           props = Some(bootstrapProps).filter(_.nonEmpty))
       } finally full.unpersist(blocking = false)
       return (0, to)
@@ -330,20 +407,25 @@ object DerivedTable {
     val events = Versioned.readChanges(s, srcDir, from, to)
     // the touched-key set stays DISTRIBUTED: the driver holds only
     // its COUNT (the bound check) — values are collected solely when
-    // the set is small enough for the IN-list pruning tier
+    // the set is small enough for the IN-list pruning tier. Events
+    // are NOT where-filtered (equality-delete events carry key
+    // columns only): rows that never pass the predicate read back
+    // empty from both snapshots and contribute nothing.
     val touchedDf = events.select(col(rowKey)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try refreshAggOver(s, srcDir, dstDir, rowKey, groupCol, valueCol,
-      maxTouchedKeys, extrema, from, to, touchedDf)
+    try refreshAggOver(s, srcDir, dstDir, rowKey, groupCols, valueCol,
+      maxTouchedKeys, extrema, filtered, from, to, touchedDf)
     finally touchedDf.unpersist(blocking = false)
   }
 
   private def refreshAggOver(s: SparkSession, srcDir: String,
-      dstDir: String, rowKey: String, groupCol: String,
+      dstDir: String, rowKey: String, groupCols: Seq[String],
       valueCol: String, maxTouchedKeys: Int, extrema: Seq[String],
+      filtered: DataFrame => DataFrame,
       from: Int, to: Int, touchedDf: DataFrame): (Int, Int) = {
     val sumCol = s"sum_$valueCol"
     val cntCol = s"cnt_$valueCol"
+    val gCols = groupCols.map(col)
     val extCols = extrema.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
     val extNames = extrema.flatMap(c => Seq(s"min_$c", s"max_$c"))
@@ -373,15 +455,15 @@ object DerivedTable {
     lazy val touchedVals =
       touchedDf.collect().map(_.get(0)).toSeq
     def touchedAt(ver: Int): DataFrame =
-      pointRead(s, srcDir, rowKey, nTouched, touchedVals, Some(ver),
-        touchedDf)
+      filtered(pointRead(s, srcDir, Seq(rowKey), nTouched, touchedVals,
+        Some(ver), touchedDf))
     // SIGNED-union delta: old rows weigh -1, new rows +1, ONE shuffle
     // computes every group's (sum, value-count, row-count) delta —
     // replaces two aggregation jobs and a full-outer diff join with a
     // single pass (sum ignores null values on both sides alike)
     val signed = touchedAt(from).withColumn("__w", lit(-1L))
       .unionByName(touchedAt(to).withColumn("__w", lit(1L)))
-    val delta = signed.groupBy(col(groupCol)).agg(
+    val delta = signed.groupBy(gCols: _*).agg(
       coalesce(sum(col(valueCol) * col("__w")), lit(0L)).as("d_sum"),
       sum(when(col(valueCol).isNotNull, col("__w")).otherwise(0L))
         .as("d_cnt"),
@@ -391,14 +473,16 @@ object DerivedTable {
       // one row per group by construction; the driver keeps only the
       // (count, any-null) pair — group VALUES collect only in the
       // IN-list tier
-      val groupsDf = delta.select(col(groupCol))
+      val groupsDf = delta.select(gCols: _*)
       val gStats = delta.agg(count(lit(1)).as("n"),
-        count(col(groupCol)).as("nn")).head()
+        count(when(groupCols.map(col(_).isNotNull).reduce(_ && _),
+          lit(1))).as("nn")).head()
       val nGroups = gStats.getLong(0)
       require(nGroups == gStats.getLong(1),
-        s"null '$groupCol' group — filter or coalesce the group " +
-          "column before aggregating")
-      lazy val groupVals = groupsDf.collect().map(_.get(0)).toSeq
+        s"null '${groupCols.mkString(", ")}' group — filter or " +
+          "coalesce the group columns before aggregating")
+      lazy val groupVals = groupsDf.select(col(groupCols.head))
+        .distinct().collect().map(_.get(0)).toSeq
       if (nGroups == 0) {
         // the window's inserts and deletes cancelled exactly (CDC
         // churn): nothing to patch, but the pin must still travel
@@ -406,13 +490,13 @@ object DerivedTable {
         return (from, to)
       }
       // patch the touched destination groups via the same tiered
-      // point read, keyed on the group column
-      val existing = pointRead(s, dstDir, groupCol, nGroups,
+      // point read, keyed on the group columns
+      val existing = pointRead(s, dstDir, groupCols, nGroups,
         groupVals, None, groupsDf)
         .withColumn("__present", lit(1))
       val patched = delta
-        .join(existing, Seq(groupCol), "full_outer")
-        .select(col(groupCol),
+        .join(existing, groupCols, "full_outer")
+        .select(gCols ++ Seq(
           (coalesce(col(sumCol), lit(0)) + coalesce(col("d_sum"),
             lit(0))).as(sumCol),
           (coalesce(col(cntCol), lit(0L)) + coalesce(col("d_cnt"),
@@ -425,7 +509,7 @@ object DerivedTable {
           // patch to n_rows=0 and silently emit a group DELETE
           // (dropping the updated sum) instead of refusing
           (col("__present").isNull && col("d_n") === 0L)
-            .as("__ghost"))
+            .as("__ghost")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var extJoined: DataFrame = null
       try {
@@ -444,19 +528,21 @@ object DerivedTable {
           "edits); rebuild")
         val upserts0 = patched.filter(col("n_rows") > 0)
           // the all-null group stores NULL, matching the recompute
-          .select(col(groupCol),
+          .select(gCols ++ Seq(
             when(col(cntCol) === 0L, lit(null)).otherwise(col(sumCol))
               .as(sumCol),
-            col(cntCol), col("n_rows"))
+            col(cntCol), col("n_rows")): _*)
         val upserts = if (extrema.isEmpty) upserts0 else {
           // affected-group recompute for the non-invertible extrema:
           // re-aggregate ONLY the touched groups' rows at the pinned
-          // `to` snapshot (tiered read, keyed on the group column)
-          val srcGroups = pointRead(s, srcDir, groupCol, nGroups,
-            groupVals, Some(to), groupsDf)
-          val ext = srcGroups.groupBy(col(groupCol)).agg(
+          // `to` snapshot (tiered read, keyed on the group columns,
+          // the same WHERE applied — extrema summarize the filtered
+          // stream like every other stored column)
+          val srcGroups = filtered(pointRead(s, srcDir, groupCols,
+            nGroups, groupVals, Some(to), groupsDf))
+          val ext = srcGroups.groupBy(gCols: _*).agg(
             count(lit(1)).as("__extn"), extCols: _*)
-          extJoined = upserts0.join(ext, Seq(groupCol), "left")
+          extJoined = upserts0.join(ext, groupCols, "left")
             .persist(org.apache.spark.storage.StorageLevel
               .MEMORY_AND_DISK)
           // the recompute doubles as a consistency audit: every
@@ -466,14 +552,14 @@ object DerivedTable {
           require(off == 0, s"$off group(s) disagree between the " +
             s"algebraic row count and the src=v$to recompute — " +
             "corrupt pin or out-of-band edits; rebuild")
-          extJoined.select((Seq(groupCol, sumCol, cntCol, "n_rows") ++
-            extNames).map(col): _*)
+          extJoined.select((groupCols ++ Seq(sumCol, cntCol, "n_rows")
+            ++ extNames).map(col): _*)
         }
         val dels = patched.filter(col("n_rows") === 0L)
-          .select(col(groupCol))
-        Versioned.applyChanges(s, dstDir, upserts = upserts,
-          deleteKeys = dels, key = groupCol,
-          statsCols = Seq(groupCol), note = Some(s"src=v$to"))
+          .select(gCols: _*)
+        Versioned.applyChangesKeys(s, dstDir, upserts = upserts,
+          deleteKeys = dels, keyCols = groupCols,
+          statsCols = Seq(groupCols.head), note = Some(s"src=v$to"))
       } finally {
         if (extJoined != null) extJoined.unpersist(blocking = false)
         patched.unpersist(blocking = false)
@@ -505,10 +591,10 @@ object DerivedTable {
     val docs = Tables.load(s, d, "documents")
       .select(col("doc_id"), col("source"), col("n_chars"))
     Versioned.commit(docs.filter(col("doc_id") < 300), src)
-    refreshAgg(s, src, dst, "doc_id", "source", "n_chars")
+    refreshAgg(s, src, dst, "doc_id", Seq("source"), "n_chars")
     val g1 = Versioned.read(s, dst).count()
     Versioned.append(docs.filter(col("doc_id") >= 300), src)
-    refreshAgg(s, src, dst, "doc_id", "source", "n_chars")
+    refreshAgg(s, src, dst, "doc_id", Seq("source"), "n_chars")
     val g2 = Versioned.read(s, dst).count()
     // the mixed batch: 1-3 migrate to a NEW group with a fixed value,
     // 4-5 null their value in place, every doc_id % 50 == 0 dies
@@ -522,7 +608,7 @@ object DerivedTable {
       deleteKeys = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id")),
       key = "doc_id")
-    val (rFrom, rTo) = refreshAgg(s, src, dst, "doc_id", "source",
+    val (rFrom, rTo) = refreshAgg(s, src, dst, "doc_id", Seq("source"),
       "n_chars")
     val fin = Versioned.read(s, dst)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -541,7 +627,7 @@ object DerivedTable {
     fin.unpersist(blocking = false)
     // no-op stability: the pin matches, no new destination version
     val vBefore = Versioned.currentVersion(s, dst)
-    val noop = refreshAgg(s, src, dst, "doc_id", "source", "n_chars")
+    val noop = refreshAgg(s, src, dst, "doc_id", Seq("source"), "n_chars")
     val noopOk = noop == ((rTo, rTo)) &&
       Versioned.currentVersion(s, dst) == vBefore
     // tombstones keyed off the row key must refuse (the snapshot diff
@@ -549,11 +635,11 @@ object DerivedTable {
     import s.implicits._
     Versioned.deleteRows(s, src, Seq("migrated").toDF("source"))
     val refusedKey = scala.util.Try(
-      refreshAgg(s, src, dst, "doc_id", "source", "n_chars")).isFailure
+      refreshAgg(s, src, dst, "doc_id", Seq("source"), "n_chars")).isFailure
     val plain = work.resolve("plain").toString
     Versioned.commit(docs.limit(3), plain)
     val refusedPin = scala.util.Try(
-      refreshAgg(s, src, plain, "doc_id", "source", "n_chars")).isFailure
+      refreshAgg(s, src, plain, "doc_id", Seq("source"), "n_chars")).isFailure
     Seq((g1, g2, g3, tot.getLong(0), tot.getLong(1), tot.getLong(2),
         rFrom.toLong, rTo.toLong, if (eq) 1L else 0L,
         if (noopOk) 1L else 0L, if (refusedKey) 1L else 0L,
@@ -638,6 +724,89 @@ object DerivedTable {
         "mv_from", "mv_to", "agg_from", "agg_to", "rows_v2",
         "groups_v2", "eq_derived", "eq_agg", "spec_props",
         "noop_stable", "dropped")
+  }
+
+  /** Driver-visible gate (q57): the round-16 MV surface — a FILTERED
+    * aggregate view (WHERE under GROUP BY, the single most common MV
+    * in practice), a MULTI-COLUMN group tuple, and the staleness
+    * contract (`mv.max-staleness-versions` refuses a stale read,
+    * refresh clears it), all spelled in pure SQL. Both views advance
+    * through a source append plus a boundary-crossing upsert and
+    * equal their full recomputes; every count reduces to a fixture
+    * constant DuckDB restates (doc 0's n_chars becomes 9999 — the
+    * one edit the oracle replays). */
+  def mvShapesGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-mvshapes-gate")
+    try mvShapesGateBody(s, d, work)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  private def mvShapesGateBody(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    def abs(n: String) = work.resolve(n).toAbsolutePath.toString
+    val src = abs("src"); val fmv = abs("fmv"); val mmv = abs("mmv")
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"))
+    Versioned.commit(docs.filter(col("doc_id") < 400), src)
+    s.sql(s"CREATE MATERIALIZED VIEW graft.`$fmv` ROW KEY (doc_id) " +
+      s"AS SELECT source, sum(n_chars) AS sum_n_chars, " +
+      s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
+      s"FROM graft.`$src` WHERE n_chars >= 300 GROUP BY source")
+    s.sql(s"CREATE MATERIALIZED VIEW graft.`$mmv` ROW KEY (doc_id) " +
+      s"AS SELECT source, lang, sum(n_chars) AS sum_n_chars, " +
+      s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
+      s"FROM graft.`$src` GROUP BY source, lang")
+    val specWhere = Versioned.properties(s, fmv)
+      .get(MvWhereProp).exists(_.contains("300")) &&
+      Versioned.properties(s, mmv).get(MvGroupProp)
+        .contains("source,lang")
+    Versioned.append(docs.filter(col("doc_id") >= 400), src)
+    s.sql(s"CALL graft.system.refresh_mv('$fmv')")
+    s.sql(s"CALL graft.system.refresh_mv('$mmv')")
+    // the staleness contract: bound the filtered view at lag 0, land
+    // one more source commit (doc 0 crosses INTO the predicate), and
+    // the catalog read must refuse naming the property — then the
+    // refresh clears it
+    s.sql(s"ALTER TABLE graft.`$fmv` SET TBLPROPERTIES " +
+      s"('$MvMaxStalenessProp'='0')")
+    Versioned.applyChanges(s, src,
+      upserts = docs.filter(col("doc_id") === 0L)
+        .withColumn("n_chars", lit(9999L)),
+      deleteKeys = s.range(0).select(col("id").as("doc_id")),
+      key = "doc_id")
+    val staleRefused = scala.util.Try(
+      s.sql(s"SELECT * FROM graft.`$fmv`").collect()) match {
+      case scala.util.Failure(e) =>
+        e.getMessage.contains(MvMaxStalenessProp)
+      case _ => false
+    }
+    s.sql(s"CALL graft.system.refresh_mv('$fmv')")
+    s.sql(s"CALL graft.system.refresh_mv('$mmv')")
+    val freshAfter = scala.util.Try(
+      s.sql(s"SELECT count(*) FROM graft.`$fmv`").collect()).isSuccess
+    // both advanced states equal their full recomputes
+    val eqF = bagEqual(Versioned.read(s, fmv),
+      s.sql(s"SELECT source, sum(n_chars) AS sum_n_chars, " +
+        s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows FROM " +
+        s"graft.`$src` WHERE n_chars >= 300 GROUP BY source"))
+    val eqM = bagEqual(Versioned.read(s, mmv),
+      s.sql(s"SELECT source, lang, sum(n_chars) AS sum_n_chars, " +
+        s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows FROM " +
+        s"graft.`$src` GROUP BY source, lang"))
+    val f = Versioned.read(s, fmv).agg(count(lit(1)).as("g"),
+      sum(col("sum_n_chars")).as("sm")).head()
+    val m = Versioned.read(s, mmv).agg(count(lit(1)).as("g"),
+      sum(col("n_rows")).as("r")).head()
+    import s.implicits._
+    Seq((f.getLong(0), f.getLong(1), m.getLong(0), m.getLong(1),
+        if (eqF) 1L else 0L, if (eqM) 1L else 0L,
+        if (specWhere) 1L else 0L, if (staleRefused) 1L else 0L,
+        if (freshAfter) 1L else 0L))
+      .toDF("groups_f", "sum_f", "groups_m", "rows_m",
+        "eq_filtered", "eq_multi", "spec_where", "stale_refused",
+        "fresh_after")
   }
 
   /** Driver-visible gate (q52): a curated projection of the documents

@@ -408,7 +408,15 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             case p if p.trim.startsWith("src=v") =>
               "graft.mv.pinned_source_version" ->
                 p.trim.stripPrefix("src=v")
-          })
+          }) ++
+          // the full freshness contract beside the pin: source head
+          // and lag, read LIVE (SHOW TBLPROPERTIES is the MV
+          // refresh-state surface — Iceberg's MV spec exposes the
+          // same trio)
+          graft.sources.DerivedTable.refreshState(spark, dir).toSeq
+            .flatMap { case (_, head, lag) => Seq(
+              "graft.mv.source_head_version" -> head.toString,
+              "graft.mv.staleness_versions" -> lag.toString) }
       })
   }
 

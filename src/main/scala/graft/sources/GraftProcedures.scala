@@ -383,7 +383,8 @@ object GraftProcedures {
         Seq(p("source", StringType), p("dest", StringType),
           p("row_key", StringType), p("group_by", StringType),
           p("value", StringType),
-          p("extrema", StringType, Some("''"))),
+          p("extrema", StringType, Some("''")),
+          p("where", StringType, Some("''"))),
         StructType(Seq(
           StructField("from_version", IntegerType, nullable = false),
           StructField("to_version", IntegerType, nullable = false))),
@@ -394,10 +395,16 @@ object GraftProcedures {
           require(a(4) != null, "'value' is required")
           val ext = Option(a(5)).map(_.asInstanceOf[String]).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          // group_by accepts a csv: multi-column groups are
+          // first-class in the refreshAgg algebra
+          val groups = a(3).asInstanceOf[String].split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
           val (from, to) = DerivedTable.refreshAgg(spark, dir(a(0)),
             dir(a(1)), a(2).asInstanceOf[String],
-            a(3).asInstanceOf[String], a(4).asInstanceOf[String],
-            extrema = ext)
+            groups, a(4).asInstanceOf[String],
+            extrema = ext,
+            where = Option(a(6)).map(_.asInstanceOf[String])
+              .filter(_.nonEmpty))
           Seq(from, to)
         })
       case "ingest_dedup" => new Proc("ingest_dedup",

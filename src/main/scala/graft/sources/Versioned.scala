@@ -2026,17 +2026,29 @@ object Versioned {
     * row's key lies in [min, max] of the update keys, so the range
     * soundly bounds it). */
   private def mergePreflight(updates: DataFrame, key: String,
+      what: String): (Long, Option[(String, Any, Any)]) =
+    mergePreflightKeys(updates, Seq(key), what)
+
+  /** Null/duplicate/range preflight in ONE aggregation: identity is
+    * the key TUPLE (uniqueness counts distinct tuples), null-freedom
+    * applies to every key column, and the manifest-pruning range
+    * comes off the FIRST key column. */
+  private def mergePreflightKeys(updates: DataFrame, keys: Seq[String],
       what: String): (Long, Option[(String, Any, Any)]) = {
+    val key = keys.head
+    val allNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
     val pre = updates.agg(
-      count(lit(1)), count(col(key)), count_distinct(col(key)),
+      count(lit(1)), count(when(allNonNull, lit(1))),
+      count_distinct(struct(keys.map(col): _*)),
       min(col(key)), max(col(key))).head()
     val (n, nonNull, distinctNonNull) =
       (pre.getLong(0), pre.getLong(1), pre.getLong(2))
     require(n == nonNull,
-      s"$what contain a null value of key '$key' (null keys cannot " +
-        "merge: they match no existing row and would append forever)")
+      s"$what contain a null value of key '${keys.mkString(", ")}' " +
+        "(null keys cannot merge: they match no existing row and " +
+        "would append forever)")
     require(nonNull == distinctNonNull,
-      s"$what contain duplicate values of key '$key'")
+      s"$what contain duplicate values of key '${keys.mkString(", ")}'")
     val range =
       if (n == 0 || pre.isNullAt(3)) None
       else Some((key, pre.get(3), pre.get(4)))
@@ -2405,9 +2417,25 @@ object Versioned {
       partitionCol: Option[String] = None,
       statsCols: Seq[String] = Nil,
       transform: Option[Transform] = None,
+      note: Option[String] = None): Int =
+    applyChangesKeys(spark, tableDir, upserts, deleteKeys, Seq(key),
+      partitionCol, statsCols, transform, note)
+
+  /** Multi-column-key [[applyChanges]]: row identity is the key
+    * TUPLE ([[deleteRows]] has always been tuple-keyed — this closes
+    * the upsert side). The manifest-range preflight prunes candidate
+    * files on the FIRST key column's (min, max), so order the keys
+    * most-selective-first when the table declares stats on it. */
+  def applyChangesKeys(spark: SparkSession, tableDir: String,
+      upserts: DataFrame, deleteKeys: DataFrame, keyCols: Seq[String],
+      partitionCol: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      transform: Option[Transform] = None,
       note: Option[String] = None): Int = {
-    val delKeys = deleteKeys.select(col(key)).distinct()
-    val (n, range) = mergePreflight(upserts, key, "applyChanges upserts")
+    require(keyCols.nonEmpty, "applyChanges needs at least one key column")
+    val delKeys = deleteKeys.select(keyCols.map(col): _*).distinct()
+    val (n, range) =
+      mergePreflightKeys(upserts, keyCols, "applyChanges upserts")
     val cur0 = currentVersion(spark, tableDir)
     if (n == 0) {
       // bootstrap deletes reference rows that never existed (normal in
@@ -2415,24 +2443,27 @@ object Versioned {
       return if (cur0 == 0 || deleteKeys.isEmpty) cur0
       else deleteRows(spark, tableDir, delKeys, note)
     }
-    val keys = upserts.select(key).distinct()
+    val keys = upserts.select(keyCols.map(col): _*).distinct()
     // the one-op-per-key contract holds on the BOOTSTRAP batch too
-    require(keys.join(delKeys, Seq(key), "left_semi").isEmpty,
-      s"applyChanges received both an upsert and a delete for a '$key'")
+    require(keys.join(delKeys, keyCols, "left_semi").isEmpty,
+      "applyChanges received both an upsert and a delete for a " +
+        s"'${keyCols.mkString(", ")}'")
     if (cur0 == 0)
       return commit(upserts, tableDir, partitionCol, note, statsCols,
         transform)
     val delOpt =
       if (deleteKeys.isEmpty) None else Some(delKeys)
     mergeFiles(spark, tableDir,
-      matches = _.join(keys, Seq(key), "left_semi"),
+      matches = _.join(keys, keyCols, "left_semi"),
       rewrite = d => {
-        val noUp = d.join(keys, Seq(key), "left_anti")
+        val noUp = d.join(keys, keyCols, "left_anti")
         // NULL-SAFE like the tombstone's read-side anti-join: the
         // rewrite exempts its own files from the riding tombstone
         // (sequence rule), so a null delete key must remove null rows
         // here too or deletion would depend on file placement
-        noUp.join(delKeys, noUp(key) <=> delKeys(key), "left_anti")
+        noUp.join(delKeys,
+          keyCols.map(k => noUp(k) <=> delKeys(k)).reduce(_ && _),
+          "left_anti")
           .unionByName(upserts, allowMissingColumns = true)
       },
       partitionCol, statsCols, range, transform, note, delOpt)
@@ -5107,11 +5138,25 @@ object Versioned {
     require(cur > 0, s"no committed version at $tableDir")
     require(set.nonEmpty || unset.nonEmpty, "nothing to change")
     val merged = (properties(spark, tableDir) ++ set) -- unset
+    // incremental consumers keep their cursors in the head commit's
+    // note (`src=vN` for materialized views, `sigs=vN`/`stats=vN` for
+    // the index pairs): a metadata-only properties commit must CARRY
+    // those pin fragments forward or it buries the pin and the next
+    // refresh/probe refuses on a perfectly healthy table
+    val pins = commitNotes(spark, tableDir).get(cur).toSeq
+      .flatMap(_.split(";")).map(_.trim)
+      .filter(_.matches("[A-Za-z_]+=v[0-9]+"))
+    val noteText = note.getOrElse(
+      s"SET TBLPROPERTIES (${set.keys.toSeq.sorted
+        .mkString(", ")})${if (unset.nonEmpty)
+          s" UNSET (${unset.sorted.mkString(", ")})" else ""}")
+    // carried pins whose key the caller's own note already pins
+    // defer to the caller
+    val keep = pins.filterNot(p =>
+      noteText.contains(p.takeWhile(_ != '=') + "=v"))
     commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
       partitionCol = None,
-      note = note.orElse(Some(s"SET TBLPROPERTIES (${set.keys.toSeq.sorted
-        .mkString(", ")})${if (unset.nonEmpty)
-          s" UNSET (${unset.sorted.mkString(", ")})" else ""}")),
+      note = Some((keep :+ noteText).mkString(";")),
       statsCols = Nil, linkBase = Some(cur),
       transform = currentTransform(spark, tableDir),
       props = Some(merged))

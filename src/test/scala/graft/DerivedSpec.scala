@@ -106,7 +106,7 @@ class DerivedSpec extends SparkSpec {
     clean(src, dst)
     Versioned.commit(Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
       .toDF("id", "g", "v"), src)
-    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v")
     def state(ver: Option[Int] = None): Map[String, (Any, Long, Long)] =
       Versioned.read(spark, dst, ver).collect()
         .map(r => r.getString(0) ->
@@ -119,7 +119,7 @@ class DerivedSpec extends SparkSpec {
         .unionByName(Seq((2L, "a")).toDF("id", "g")
           .withColumn("v", lit(null).cast("long"))),
       deleteKeys = Seq(3L).toDF("id"), key = "id")
-    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v")
     // a: one row left with a NULL value -> NULL sum, cnt 0, n 1;
     // c: born; b: dead (no row at all)
     assert(state() == Map("a" -> ((null, 0L, 1L)),
@@ -129,7 +129,7 @@ class DerivedSpec extends SparkSpec {
       Map("a" -> ((30L, 2L, 2L)), "b" -> ((5L, 1L, 1L))))
     // no-op: same pin, no new version
     val vb = Versioned.currentVersion(spark, dst)
-    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v")
     assert(Versioned.currentVersion(spark, dst) == vb)
   }
 
@@ -141,7 +141,7 @@ class DerivedSpec extends SparkSpec {
     clean(src, dst)
     Versioned.commit(Seq((1L, "a", 10L), (2L, "a", 90L), (3L, "a", 50L),
       (4L, "b", 7L)).toDF("id", "g", "v"), src)
-    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v",
+    DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v",
       extrema = Seq("v"))
     def state(): Map[String, (Long, Any, Any)] =
       Versioned.read(spark, dst).collect().map(r =>
@@ -151,7 +151,7 @@ class DerivedSpec extends SparkSpec {
     // delete a's MAXIMUM: not delta-invertible — the refresh must
     // recompute group a's bounds from the source (b stays untouched)
     Versioned.deleteRows(spark, src, Seq(2L).toDF("id"))
-    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v",
+    DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v",
       extrema = Seq("v"))
     assert(state() == Map("a" -> ((2L, 10L, 50L)),
       "b" -> ((1L, 7L, 7L))))
@@ -160,7 +160,7 @@ class DerivedSpec extends SparkSpec {
     Versioned.applyChanges(spark, src,
       upserts = Seq((1L, "c", 10L)).toDF("id", "g", "v"),
       deleteKeys = spark.range(0).select(col("id")), key = "id")
-    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v",
+    DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v",
       extrema = Seq("v"))
     assert(state() == Map("a" -> ((1L, 50L, 50L)),
       "b" -> ((1L, 7L, 7L)), "c" -> ((1L, 10L, 10L))))
@@ -179,6 +179,50 @@ class DerivedSpec extends SparkSpec {
     assert((r2.getLong(4), r2.getLong(5)) == ((3L, 8L)))
   }
 
+  test("refreshAgg: WHERE predicate and multi-column group tuples " +
+      "are delta-maintained, extrema included") {
+    import spark.implicits._
+    val src = "target/tmp/aggmv-where-src"
+    val dst = "target/tmp/aggmv-where-dst"
+    clean(src, dst)
+    Versioned.commit((1L to 30L)
+      .map(i => (i, s"g${i % 3}", s"r${i % 2}", i))
+      .toDF("id", "g", "r", "v"), src)
+    def adv(): Unit = { DerivedTable.refreshAgg(spark, src, dst, "id",
+      Seq("g", "r"), "v", extrema = Seq("v"),
+      where = Some("v >= 10")); () }
+    adv()
+    def expect() = Versioned.read(spark, src).filter($"v" >= 10)
+      .groupBy($"g", $"r").agg(
+        sum($"v").as("sum_v"), count($"v").as("cnt_v"),
+        count(lit(1)).as("n_rows"), min($"v").as("min_v"),
+        max($"v").as("max_v"))
+    assert(DerivedTable.bagEqual(Versioned.read(spark, dst), expect()))
+    // one atomic batch: a row falls below the bar, one rises above
+    // it AND migrates tuple, a new tuple is born, and the (g2, r1)
+    // maximum (29) dies — the non-invertible channel
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((12L, "g0", "r0", 3L),
+          (3L, "g1", "r0", 500L),
+          (31L, "gX", "r1", 42L))
+        .toDF("id", "g", "r", "v"),
+      deleteKeys = Seq(29L).toDF("id"), key = "id")
+    adv()
+    assert(DerivedTable.bagEqual(Versioned.read(spark, dst), expect()))
+    val g2r1 = Versioned.read(spark, dst)
+      .filter($"g" === "g2" && $"r" === "r1").head()
+    assert((g2r1.getLong(5), g2r1.getLong(6)) == ((11L, 23L)))
+    // tuple death: the lone gX row deleted removes its group row
+    Versioned.deleteRows(spark, src, Seq(31L).toDF("id"))
+    adv()
+    assert(Versioned.read(spark, dst).filter($"g" === "gX").isEmpty)
+    assert(DerivedTable.bagEqual(Versioned.read(spark, dst), expect()))
+    // no-op stability holds for the filtered multi-column spelling
+    val vb = Versioned.currentVersion(spark, dst)
+    adv()
+    assert(Versioned.currentVersion(spark, dst) == vb)
+  }
+
   test("refreshAgg: net-zero churn and dead ranges still advance " +
       "the pin; post-bootstrap null group refuses with the designed " +
       "message") {
@@ -187,26 +231,26 @@ class DerivedSpec extends SparkSpec {
     val dst = "target/tmp/aggmv-pin-dst"
     clean(src, dst)
     Versioned.commit(Seq((1L, "a", 1L)).toDF("id", "g", "v"), src)
-    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v")
     // insert+delete the same keys in the window: zero net change,
     // but the pin must travel (a stuck pin re-covers the dead range
     // on every later refresh until the touched-key bound trips)
     Versioned.append(Seq((2L, "b", 5L), (3L, "b", 6L))
       .toDF("id", "g", "v"), src)
     Versioned.deleteRows(spark, src, Seq(2L, 3L).toDF("id"))
-    val r = DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    val r = DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v")
     assert(r == ((1, 3)))
     val srcHead = Versioned.currentVersion(spark, src)
-    val again = DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    val again = DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v")
     assert(again == ((srcHead, srcHead)), "pin must have advanced")
     assert(Versioned.read(spark, dst).collect()
       .map(x => (x.getString(0), x.getLong(3))).toSeq == Seq(("a", 1L)))
     // a metadata-only source range advances the pin too
     Versioned.tag(spark, src, "marker")
     Versioned.setProperties(spark, src, Map("k" -> "v"))
-    val meta = DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    val meta = DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v")
     assert(meta._1 < meta._2)
-    assert(DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    assert(DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v")
       ._1 == Versioned.currentVersion(spark, src))
     // a null group arriving AFTER bootstrap refuses with the same
     // designed message as the bootstrap check
@@ -214,7 +258,7 @@ class DerivedSpec extends SparkSpec {
       .withColumn("g", lit(null).cast("string"))
       .withColumn("v", lit(1L)), src)
     val e = intercept[IllegalArgumentException](
-      DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v"))
+      DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v"))
     assert(e.getMessage.contains("null 'g' group"))
   }
 
@@ -230,14 +274,14 @@ class DerivedSpec extends SparkSpec {
     val rows = (1L to 1500L).map(i => (i, s"g${i % 1200}", i))
       .toDF("id", "g", "v")
     Versioned.commit(rows, src)
-    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v")
     // touch EVERY row (values shift by 7), plus kill one group
     Versioned.applyChanges(spark, src,
       upserts = rows.select($"id", $"g", ($"v" + 7L).as("v"))
         .filter($"g" =!= "g7"),
       deleteKeys = rows.filter($"g" === "g7").select($"id"),
       key = "id")
-    val (f, t) = DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    val (f, t) = DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v")
     assert(f == 1 && t == 2)
     val fin = Versioned.read(spark, dst)
     val expect = Versioned.read(spark, src).groupBy($"g").agg(
@@ -250,7 +294,7 @@ class DerivedSpec extends SparkSpec {
       upserts = rows.limit(10).select($"id", $"g", ($"v" * 2).as("v")),
       deleteKeys = spark.range(0).select($"id"), key = "id")
     val e = intercept[IllegalArgumentException](
-      DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v",
+      DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v",
         maxTouchedKeys = 5))
     assert(e.getMessage.contains("rebuild"))
   }
@@ -271,26 +315,26 @@ class DerivedSpec extends SparkSpec {
         .withColumn("g", lit(null).cast("string"))
         .withColumn("v", lit(9L))), srcN)
     val e0 = intercept[IllegalArgumentException](
-      DerivedTable.refreshAgg(spark, srcN, dstN, "id", "g", "v"))
+      DerivedTable.refreshAgg(spark, srcN, dstN, "id", Seq("g"), "v"))
     assert(e0.getMessage.contains("null 'g' group"))
     // a tombstone keyed on a non-rowKey column refuses the diff
     val dst = "target/tmp/aggmv-ref-dst"
     clean(dst)
-    DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v")
+    DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v")
     Versioned.deleteRows(spark, src, Seq("b").toDF("g"))
     val e1 = intercept[IllegalArgumentException](
-      DerivedTable.refreshAgg(spark, src, dst, "id", "g", "v"))
+      DerivedTable.refreshAgg(spark, src, dst, "id", Seq("g"), "v"))
     assert(e1.getMessage.contains("null 'id'"))
     // touched-key bound refuses with rebuild advice
     val src2 = "target/tmp/aggmv-ref-src2"
     val dst2 = "target/tmp/aggmv-ref-dst2"
     clean(src2, dst2)
     Versioned.commit(Seq((1L, "a", 1L)).toDF("id", "g", "v"), src2)
-    DerivedTable.refreshAgg(spark, src2, dst2, "id", "g", "v")
+    DerivedTable.refreshAgg(spark, src2, dst2, "id", Seq("g"), "v")
     Versioned.append((2L to 5L).map(i => (i, "a", i))
       .toDF("id", "g", "v"), src2)
     val e2 = intercept[IllegalArgumentException](
-      DerivedTable.refreshAgg(spark, src2, dst2, "id", "g", "v",
+      DerivedTable.refreshAgg(spark, src2, dst2, "id", Seq("g"), "v",
         maxTouchedKeys = 2))
     assert(e2.getMessage.contains("rebuild"))
     // a destination that does not reflect its pin (out-of-band edit
@@ -300,7 +344,7 @@ class DerivedSpec extends SparkSpec {
     clean(src3, dst3)
     Versioned.commit(Seq((1L, "a", 1L), (2L, "a", 2L), (3L, "a", 3L))
       .toDF("id", "g", "v"), src3)
-    DerivedTable.refreshAgg(spark, src3, dst3, "id", "g", "v")
+    DerivedTable.refreshAgg(spark, src3, dst3, "id", Seq("g"), "v")
     Versioned.applyChanges(spark, dst3,
       upserts = Seq(("a", 1L, 1L, 1L))
         .toDF("g", "sum_v", "cnt_v", "n_rows"),
@@ -309,7 +353,7 @@ class DerivedSpec extends SparkSpec {
       key = "g", note = Some("src=v1"))
     Versioned.deleteRows(spark, src3, Seq(1L, 2L).toDF("id"))
     val e3 = intercept[IllegalArgumentException](
-      DerivedTable.refreshAgg(spark, src3, dst3, "id", "g", "v"))
+      DerivedTable.refreshAgg(spark, src3, dst3, "id", Seq("g"), "v"))
     assert(e3.getMessage.contains("negative row count"))
     // a PURE VALUE UPDATE (net-zero row delta) whose group row was
     // removed from the destination out-of-band must refuse — not
@@ -320,14 +364,14 @@ class DerivedSpec extends SparkSpec {
     clean(src4, dst4)
     Versioned.commit(Seq((1L, "a", 1L), (2L, "b", 2L))
       .toDF("id", "g", "v"), src4)
-    DerivedTable.refreshAgg(spark, src4, dst4, "id", "g", "v")
+    DerivedTable.refreshAgg(spark, src4, dst4, "id", Seq("g"), "v")
     Versioned.deleteRows(spark, dst4, Seq("a").toDF("g")) // out-of-band
     Versioned.commitNote(spark, dst4, "src=v1") // re-pin over the edit
     Versioned.applyChanges(spark, src4,
       upserts = Seq((1L, "a", 100L)).toDF("id", "g", "v"),
       deleteKeys = spark.range(0).select(col("id")), key = "id")
     val e4 = intercept[IllegalArgumentException](
-      DerivedTable.refreshAgg(spark, src4, dst4, "id", "g", "v"))
+      DerivedTable.refreshAgg(spark, src4, dst4, "id", Seq("g"), "v"))
     assert(e4.getMessage.contains("pure-value-update"))
   }
 }

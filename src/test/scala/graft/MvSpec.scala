@@ -163,6 +163,107 @@ class MvSpec extends SparkSpec {
       silverExpect.filter($"g" === "g1").agg(sum($"w")).head().getLong(0))
   }
 
+  test("filtered and multi-column aggregate MVs: WHERE predicates " +
+      "and group tuples are delta-maintained") {
+    val src = fresh("fagg_src")
+    val fdst = fresh("fagg_dst")
+    val mdst = fresh("magg_dst")
+    Versioned.commit((1L to 40L)
+      .map(i => (i, s"g${i % 3}", s"r${i % 2}", i))
+      .toDF("id", "g", "r", "v"), src)
+    // the single most common MV in practice: a filtered GROUP BY
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$fdst` ROW KEY (id) " +
+      s"AS SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, count(*) " +
+      s"AS n_rows FROM graft.`$src` WHERE v >= 10 GROUP BY g")
+    def fexp() = spark.sql(s"SELECT g, sum(v) AS sum_v, count(v) AS " +
+      s"cnt_v, count(*) AS n_rows FROM graft.`$src` WHERE v >= 10 " +
+      "GROUP BY g")
+    assert(DerivedTable.bagEqual(Versioned.read(spark, fdst), fexp()))
+    assert(Versioned.properties(spark, fdst)
+      .get(DerivedTable.MvWhereProp).exists(_.contains("10")))
+    // a two-column group tuple, extrema included
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mdst` ROW KEY (id) " +
+      s"AS SELECT g, r, sum(v) AS sum_v, count(v) AS cnt_v, " +
+      s"count(*) AS n_rows, min(v) AS min_v, max(v) AS max_v " +
+      s"FROM graft.`$src` GROUP BY g, r")
+    def mexp() = spark.sql(s"SELECT g, r, sum(v) AS sum_v, count(v) " +
+      s"AS cnt_v, count(*) AS n_rows, min(v) AS min_v, max(v) AS " +
+      s"max_v FROM graft.`$src` GROUP BY g, r")
+    assert(DerivedTable.bagEqual(Versioned.read(spark, mdst), mexp()))
+    assert(Versioned.properties(spark, mdst)(DerivedTable.MvGroupProp)
+      == "g,r")
+    // one batch crossing the predicate boundary BOTH directions, a
+    // tuple migration, a brand-new tuple, and a delete
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((12L, "g0", "r0", 3L), // falls below the bar
+          (3L, "g0", "r1", 500L), // rises above it AND migrates tuple
+          (41L, "gX", "r0", 77L)) // new tuple born
+        .toDF("id", "g", "r", "v"),
+      deleteKeys = Seq(20L).toDF("id"), key = "id")
+    val rf = spark.sql(s"CALL graft.system.refresh_mv('$fdst')").head()
+    val rm = spark.sql(s"CALL graft.system.refresh_mv('$mdst')").head()
+    assert(rf.getInt(1) < rf.getInt(2) && rm.getInt(1) < rm.getInt(2))
+    assert(DerivedTable.bagEqual(Versioned.read(spark, fdst), fexp()))
+    assert(DerivedTable.bagEqual(Versioned.read(spark, mdst), mexp()))
+    // tuple death: the lone gX row dies, its group row must vanish
+    Versioned.deleteRows(spark, src, Seq(41L).toDF("id"))
+    spark.sql(s"CALL graft.system.refresh_mv('$mdst')")
+    assert(Versioned.read(spark, mdst)
+      .filter($"g" === "gX").isEmpty)
+    assert(DerivedTable.bagEqual(Versioned.read(spark, mdst), mexp()))
+  }
+
+  test("MV staleness contract: properties surface pin/head/lag " +
+      "live; max-staleness-versions refuses stale reads; refresh " +
+      "clears it") {
+    val src = fresh("stale_src")
+    val dst = fresh("stale_dst")
+    Versioned.commit((1L to 10L).map(i => (i, i * 2L)).toDF("id", "v"),
+      src)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` KEY (id) " +
+      s"AS SELECT id, v FROM graft.`$src`")
+    def shown(): Map[String, String] =
+      spark.sql(s"SHOW TBLPROPERTIES graft.`$dst`").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    // fresh: pin == head, lag 0 — SHOW TBLPROPERTIES is the
+    // refresh-state surface
+    val p0 = shown()
+    assert(p0.get("graft.mv.pinned_source_version").contains("1") &&
+      p0.get("graft.mv.source_head_version").contains("1") &&
+      p0.get("graft.mv.staleness_versions").contains("0"))
+    assert(DerivedTable.refreshState(spark, dst).contains((1, 1, 0)))
+    // bound the lag at 1 source commit; the properties commit must
+    // NOT bury the src=vN pin (it rides the note forward)
+    spark.sql(s"ALTER TABLE graft.`$dst` SET TBLPROPERTIES " +
+      s"('${DerivedTable.MvMaxStalenessProp}'='1')")
+    assert(shown().get("graft.mv.pinned_source_version").contains("1"))
+    // one source commit: lag 1, still within bound — reads serve
+    Versioned.append(Seq((11L, 22L)).toDF("id", "v"), src)
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`").count() == 10)
+    // a second commit: lag 2 > 1 — the read refuses, NAMING the
+    // property and the refresh spelling; DESCRIBE surfaces still work
+    Versioned.append(Seq((12L, 24L)).toDF("id", "v"), src)
+    val e = intercept[Exception](
+      spark.sql(s"SELECT count(*) FROM graft.`$dst`").collect())
+    assert(e.getMessage.contains(DerivedTable.MvMaxStalenessProp) &&
+      e.getMessage.contains("refresh_mv"))
+    assert(shown().get("graft.mv.staleness_versions").contains("2"))
+    // refresh (path-exempt, or it could never catch up) clears it
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`").count() == 12)
+    assert(DerivedTable.refreshState(spark, dst).contains((3, 3, 0)))
+    // a malformed bound refuses with its own message
+    spark.sql(s"ALTER TABLE graft.`$dst` SET TBLPROPERTIES " +
+      s"('${DerivedTable.MvMaxStalenessProp}'='soon')")
+    val bad = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`$dst`").collect())
+    assert(bad.getMessage.contains("must be an integer"))
+    // unsetting the property restores unbounded reads
+    spark.sql(s"ALTER TABLE graft.`$dst` UNSET TBLPROPERTIES " +
+      s"('${DerivedTable.MvMaxStalenessProp}')")
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`").count() == 12)
+  }
+
   test("shape refusals pin the delta-maintainability contract") {
     val src = fresh("mvref_src")
     val src2 = fresh("mvref_src2")
@@ -187,13 +288,13 @@ class MvSpec extends SparkSpec {
       s"AS r FROM graft.`$src`", "window")
     refuse(mk + s"KEY (id) AS SELECT id, (SELECT max(id) FROM " +
       s"graft.`$src`) AS m FROM graft.`$src`", "subquery")
-    // GROUP BY shapes: wrong aliases, WHERE, avg all refuse with the
-    // canonical shape; the right shape under KEY demands ROW KEY
+    // GROUP BY shapes: wrong aliases, HAVING, avg all refuse with
+    // the canonical shape; the right shape under KEY demands ROW KEY
     refuse(mk + s"ROW KEY (id) AS SELECT g, sum(v) AS total FROM " +
       s"graft.`$src` GROUP BY g", "delta-maintainable shape")
     refuse(mk + s"ROW KEY (id) AS SELECT g, sum(v) AS sum_v, " +
       s"count(v) AS cnt_v, count(*) AS n_rows FROM graft.`$src` " +
-      "WHERE v > 0 GROUP BY g", "delta-maintainable shape")
+      "GROUP BY g HAVING sum(v) > 0", "delta-maintainable shape")
     refuse(mk + s"ROW KEY (id) AS SELECT g, avg(v) AS sum_v, " +
       s"count(v) AS cnt_v, count(*) AS n_rows FROM graft.`$src` " +
       "GROUP BY g", "delta-maintainable shape")
