@@ -134,4 +134,129 @@ private[graft] object FsFast {
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
     try r.getRecordCount finally r.close()
   }
+
+  /** The exact Catalyst schema a Spark writer embedded in the footer
+    * (`org.apache.spark.sql.parquet.row.metadata`) — the same key
+    * Spark's own inference prefers. None when absent (foreign
+    * writers) or unparsable; the caller falls back to inference. */
+  def footerSparkSchema(f: FileSystem, conf: Configuration,
+      p: Path): Option[org.apache.spark.sql.types.StructType] = {
+    val in = localPath(f, p) match {
+      case Some(np) => new org.apache.parquet.io.LocalInputFile(np)
+      case None => org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, conf)
+    }
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      Option(r.getFooter.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata"))
+        .flatMap(json => scala.util.Try(
+          org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .toOption)
+    } finally r.close()
+  }
+
+  /** Column-chunk statistics from a parquet footer — (row count,
+    * per-column (catalog dtype, min, max, null count) with min/max
+    * rendered EXACTLY as Spark's `cast(col as string)` would) for the
+    * requested top-level columns. None when any column is missing,
+    * is not one of the types whose footer values render identically
+    * to Spark's cast (int/bigint/smallint/tinyint via toString,
+    * string via UTF-8 bytes, timestamp via micros — dates, floats,
+    * decimals and NTZ all format differently and must go through the
+    * engine), or lacks complete chunk statistics in any row group —
+    * the caller falls back to its Spark-scan path. Statistics merge
+    * across row groups with parquet's own orders (unsigned byte
+    * order for UTF8, matching Spark's UTF8String comparison). */
+  def footerColumnStats(f: FileSystem, conf: Configuration, p: Path,
+      cols: Seq[String]):
+      Option[(Long, Map[String, (String, String, String, Long)])] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val in = localPath(f, p) match {
+      case Some(np) => new org.apache.parquet.io.LocalInputFile(np)
+      case None => org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(p, conf)
+    }
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val md = r.getFooter
+      val schema = md.getFileMetaData.getSchema
+      import scala.jdk.CollectionConverters._
+      val blocks = md.getBlocks.asScala.toSeq
+      val total = blocks.map(_.getRowCount).sum
+      val out = Map.newBuilder[String, (String, String, String, Long)]
+      cols.foreach { c =>
+        if (!schema.containsField(c)) return None
+        val t = schema.getType(Seq(c): _*)
+        if (!t.isPrimitive) return None
+        val prim = t.asPrimitiveType()
+        val logical = prim.getLogicalTypeAnnotation
+        // (catalog dtype, is the chunk-stat value → string rendering
+        // identical to Spark's cast?) — per physical+logical type
+        val dtype: String = (prim.getPrimitiveTypeName, logical) match {
+          case (INT64, null) => "bigint"
+          case (INT64, ts: LogicalTypeAnnotation
+              .TimestampLogicalTypeAnnotation)
+              if ts.isAdjustedToUTC && ts.getUnit ==
+                LogicalTypeAnnotation.TimeUnit.MICROS => "timestamp"
+          case (INT32, null) => "int"
+          case (INT32, i: LogicalTypeAnnotation
+              .IntLogicalTypeAnnotation)
+              if i.isSigned && i.getBitWidth == 32 => "int"
+          case (INT32, i: LogicalTypeAnnotation
+              .IntLogicalTypeAnnotation)
+              if i.isSigned && i.getBitWidth == 16 => "smallint"
+          case (INT32, i: LogicalTypeAnnotation
+              .IntLogicalTypeAnnotation)
+              if i.isSigned && i.getBitWidth == 8 => "tinyint"
+          case (BINARY, _: LogicalTypeAnnotation
+              .StringLogicalTypeAnnotation) => "string"
+          case _ => return None
+        }
+        var nulls = 0L
+        var minB: Array[Byte] = null // string order: unsigned bytes
+        var maxB: Array[Byte] = null
+        var minL = Long.MaxValue
+        var maxL = Long.MinValue
+        var sawValue = false
+        blocks.foreach { b =>
+          val cc = b.getColumns.asScala
+            .find(_.getPath.toDotString == c).getOrElse(return None)
+          val st = cc.getStatistics
+          // usable stats: recorded, null count known; an all-null
+          // chunk records numNulls == values with no min/max
+          if (st == null || st.isEmpty || !st.isNumNullsSet) return None
+          nulls += st.getNumNulls
+          if (st.hasNonNullValue) {
+            sawValue = true
+            if (dtype == "string") {
+              val lo = st.genericGetMin
+                .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+              val hi = st.genericGetMax
+                .asInstanceOf[org.apache.parquet.io.api.Binary].getBytes
+              def cmp(a: Array[Byte], bb: Array[Byte]): Int =
+                java.util.Arrays.compareUnsigned(a, bb)
+              if (minB == null || cmp(lo, minB) < 0) minB = lo
+              if (maxB == null || cmp(hi, maxB) > 0) maxB = hi
+            } else {
+              val lo = st.genericGetMin.asInstanceOf[Number].longValue()
+              val hi = st.genericGetMax.asInstanceOf[Number].longValue()
+              if (lo < minL) minL = lo
+              if (hi > maxL) maxL = hi
+            }
+          } else if (st.getNumNulls != b.getRowCount) return None
+        }
+        val (minS, maxS) =
+          if (!sawValue) (null: String, null: String)
+          else if (dtype == "string")
+            (new String(minB, java.nio.charset.StandardCharsets.UTF_8),
+              new String(maxB, java.nio.charset.StandardCharsets.UTF_8))
+          else (minL.toString, maxL.toString)
+        out += c -> ((dtype, minS, maxS, nulls))
+      }
+      Some((total, out.result()))
+    } finally r.close()
+  }
 }

@@ -474,11 +474,74 @@ object Versioned {
     val cached = schemaMemo.get(key)
     if (cached != null) reader.schema(cached).parquet(u.paths: _*)
     else {
-      val df = reader.parquet(u.paths: _*)
+      // memo MISS: a Spark-written unit carries its exact Catalyst
+      // schema in the footer metadata, so the first read can seed
+      // from ONE driver footer probe instead of the schema-inference
+      // JOB `spark.read.parquet` launches — a snapshot-protocol
+      // workload (commit → read → commit …) pays that job for every
+      // fresh version dir otherwise. Restricted to single-path units
+      // with NO hive segment under the base (partition-value TYPE
+      // inference stays the engine's — a seeded schema would have to
+      // guess it); foreign files without the metadata fall through.
+      // a dir unit whose own path IS the base is the hive-dir case
+      // (entryUnit anchors dirs only when hive-partitioned) — skip
+      def hiveUnder(base: String, path: String): Boolean =
+        base == path || !path.startsWith(base) || path
+          .stripPrefix(base).stripPrefix("/").split("/").dropRight(1)
+          .exists(_.contains("="))
+      val seeded =
+        if (u.paths.lengthCompare(1) == 0 &&
+            u.basePath.forall(b => !hiveUnder(b, u.paths.head)))
+          driverSchemaOf(spark, u.paths.head)
+        else None
+      val df = seeded match {
+        case Some(sc0) => reader.schema(sc0).parquet(u.paths: _*)
+        case None => reader.parquet(u.paths: _*)
+      }
       if (schemaMemo.size > 10000) schemaMemo.clear()
       schemaMemo.put(key, df.schema)
       df
     }
+  }
+
+  /** The unit's Catalyst schema from the first parquet footer's
+    * `org.apache.spark.sql.parquet.row.metadata` key — the exact
+    * schema Spark's own inference prefers when present
+    * (`ParquetFileFormat.readSchemaFromFooter`), made nullable like
+    * any inferred data schema. None (→ normal inference) for foreign
+    * files, unreadable footers, or metadata-less units. */
+  private def driverSchemaOf(spark: SparkSession,
+      dirOrFile: String): Option[StructType] = Try {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(dirOrFile)
+    val f = p.getFileSystem(conf)
+    val first =
+      if (dirOrFile.endsWith(".parquet")) Some(p)
+      else FsFast.walkFiles(f, p).collectFirst {
+        case e if e.name.endsWith(".parquet") &&
+            e.parentName != StatsDir &&
+            e.parentName != DeletesDir &&
+            e.parentName != PosDeletesDir => e.path
+      }
+    first.flatMap(fp => FsFast.footerSparkSchema(f, conf, fp)
+      .map(st => allNullable(st).asInstanceOf[StructType]))
+  }.toOption.flatten
+
+  /** Inferred data schemas are nullable throughout (Spark's own
+    * `asNullable`, which is private): the embedded writer schema may
+    * carry non-null fields the scan contract does not promise. */
+  private def allNullable(
+      dt: org.apache.spark.sql.types.DataType):
+      org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(fd =>
+      fd.copy(dataType = allNullable(fd.dataType), nullable = true)))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      a.copy(elementType = allNullable(a.elementType),
+        containsNull = true)
+    case m: org.apache.spark.sql.types.MapType =>
+      m.copy(keyType = allNullable(m.keyType),
+        valueType = allNullable(m.valueType), valueContainsNull = true)
+    case other => other
   }
 
   /** Resolve a manifest entry to its scan unit. A directory entry is
@@ -2434,25 +2497,59 @@ object Versioned {
       note: Option[String] = None): Int = {
     require(keyCols.nonEmpty, "applyChanges needs at least one key column")
     val delKeys = deleteKeys.select(keyCols.map(col): _*).distinct()
-    val (n, range) =
-      mergePreflightKeys(upserts, keyCols, "applyChanges upserts")
+    // ONE aggregation over the signed key union serves every
+    // preflight fact the old path paid three jobs for: upsert count,
+    // null keys, duplicate tuples, the manifest-pruning range, the
+    // delete-side row count, and the upsert∩delete overlap — each a
+    // per-group invariant of (upsert rows, total rows) per key tuple
+    val key = keyCols.head
+    val allNonNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val facts = upserts
+      .select(keyCols.map(col) :+ lit(1L).as("__up"): _*)
+      .unionByName(delKeys.withColumn("__up", lit(0L)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__up")).as("__u"), count(lit(1)).as("__c"))
+      .agg(
+        coalesce(sum(col("__u")), lit(0L)),
+        coalesce(sum(when(allNonNull, col("__u")).otherwise(0L)),
+          lit(0L)),
+        coalesce(sum(when(col("__u") > 1L, 1L).otherwise(0L)), lit(0L)),
+        coalesce(sum(when(col("__u") > 0L && col("__c") > col("__u"),
+          1L).otherwise(0L)), lit(0L)),
+        min(when(col("__u") > 0L, col(key))),
+        max(when(col("__u") > 0L, col(key))),
+        coalesce(sum(when(col("__u") === 0L, 1L).otherwise(0L)),
+          lit(0L)))
+      .head()
+    val n = facts.getLong(0)
+    val nDelOnly = facts.getLong(6)
+    require(n == facts.getLong(1),
+      "applyChanges upserts contain a null value of key " +
+        s"'${keyCols.mkString(", ")}' (null keys cannot merge: they " +
+        "match no existing row and would append forever)")
+    require(facts.getLong(2) == 0,
+      "applyChanges upserts contain duplicate values of key " +
+        s"'${keyCols.mkString(", ")}'")
+    // the one-op-per-key contract holds on the BOOTSTRAP batch too
+    require(facts.getLong(3) == 0,
+      "applyChanges received both an upsert and a delete for a " +
+        s"'${keyCols.mkString(", ")}'")
+    val range =
+      if (n == 0 || facts.isNullAt(4)) None
+      else Some((key, facts.get(4), facts.get(5)))
     val cur0 = currentVersion(spark, tableDir)
     if (n == 0) {
       // bootstrap deletes reference rows that never existed (normal in
       // CDC streams) — vacuous, nothing to tombstone
-      return if (cur0 == 0 || deleteKeys.isEmpty) cur0
+      return if (cur0 == 0 || nDelOnly == 0) cur0
       else deleteRows(spark, tableDir, delKeys, note)
     }
     val keys = upserts.select(keyCols.map(col): _*).distinct()
-    // the one-op-per-key contract holds on the BOOTSTRAP batch too
-    require(keys.join(delKeys, keyCols, "left_semi").isEmpty,
-      "applyChanges received both an upsert and a delete for a " +
-        s"'${keyCols.mkString(", ")}'")
     if (cur0 == 0)
       return commit(upserts, tableDir, partitionCol, note, statsCols,
         transform)
     val delOpt =
-      if (deleteKeys.isEmpty) None else Some(delKeys)
+      if (nDelOnly == 0) None else Some(delKeys)
     mergeFiles(spark, tableDir,
       matches = _.join(keys, keyCols, "left_semi"),
       rewrite = d => {
@@ -5444,6 +5541,17 @@ object Versioned {
     // inference
     val dataFiles = stagedDataFiles(f, stage)
     if (dataFiles.isEmpty) return Nil
+    // FOOTER fast path: the freshly written chunks' own statistics
+    // carry (min, max, null count) for the common stats types —
+    // int/bigint/string/timestamp-micros, whose footer values render
+    // byte-identically to Spark's cast-to-string (and whose parquet
+    // sort orders match Spark's: unsigned bytes for UTF8) — so the
+    // sidecar costs O(delta files) driver footer reads instead of a
+    // whole extra Spark job per commit. Any missing column, other
+    // type, or incomplete chunk stats falls back to the scan below;
+    // degrade to the engine's own semantics, never guess.
+    footerStatRows(spark, f, stage, dataFiles, statsCols)
+      .foreach(rows => return rows)
     val data = spark.read.option("basePath", stage.toString)
       .parquet(dataFiles: _*)
     val present = statsCols.filter(data.columns.contains)
@@ -5493,6 +5601,37 @@ object Versioned {
       (Seq(sr.file, sr.col, sr.dtype, sr.minV, sr.maxV).map(enc0) ++
         Seq(sr.nulls.toString, sr.values.toString))
         .mkString("\t")).mkString("\n").getBytes("UTF-8")
+  }
+
+  /** [[statRowsFor]]'s footer leg: every staged file's stats for all
+    * `statsCols`, or None when ANY file/column can't serve them
+    * footer-exactly (the all-or-nothing contract keeps the sidecar's
+    * provenance uniform — no half-footer half-scan mixtures to
+    * reason about). 0-row files emit no rows, matching the scan leg
+    * (its per-file groupBy never sees them). */
+  private def footerStatRows(spark: SparkSession, f: FileSystem,
+      stage: Path, dataFiles: Seq[String],
+      statsCols: Seq[String]): Option[Seq[StatRow]] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rows = Seq.newBuilder[StatRow]
+    dataFiles.foreach { fl =>
+      val p = new Path(fl)
+      scala.util.Try(
+        FsFast.footerColumnStats(f, conf, p, statsCols)) match {
+        case scala.util.Success(Some((total, byCol)))
+            if statsCols.forall(byCol.contains) =>
+          if (total > 0) {
+            val rel = stageRel(f, stage, p.toUri.getPath)
+            statsCols.foreach { c =>
+              val (dtype, minS, maxS, nulls) = byCol(c)
+              rows += StatRow(rel, c, dtype, minS, maxS,
+                nulls = nulls, values = total)
+            }
+          }
+        case _ => return None
+      }
+    }
+    Some(rows.result())
   }
 
   private def writeStatsTsv(f: FileSystem, stage: Path,
