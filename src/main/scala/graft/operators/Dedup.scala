@@ -1043,7 +1043,11 @@ object Dedup {
     try {
       val idx = work.resolve("lsh").toString
       val all = docs(s, d)
-      buildDedupIndexOf(all.filter(col("doc_id") < 300), idx)
+      // the docs<300 base index is pooled (d11 starts from the same
+      // artifact): built once per session, this gate appends to its
+      // own private copy
+      graft.sources.FixturePool.cloneTo(s"dedup-base300:$d", idx)(
+        dir => buildDedupIndexOf(all.filter(col("doc_id") < 300), dir))
       val p1 = dedupAgainstIndex(s,
         all.filter(col("doc_id") >= 300 && col("doc_id") < 450), idx)
         .select(col("dup_of"), col("new_id"))
@@ -1063,7 +1067,7 @@ object Dedup {
 
   /** Driver-visible gate (d11): the dedup index's DELETE lifecycle —
     * the takedown path a training pipeline hits routinely. Index
-    * docs < 300, probe the [300, 700) batch, tombstone every EVEN
+    * docs < 300, probe the [300, 500) batch, tombstone every EVEN
     * corpus id ([[deleteFromDedupIndex]]): the deleted docs stop
     * matching IMMEDIATELY (probe anti-join), a tombstoned id refuses
     * re-ingest while live, [[compactDedupIndex]] applies the set
@@ -1079,8 +1083,10 @@ object Dedup {
     try {
       val idx = work.resolve("lsh").toString
       val all = docs(s, d)
-      val batch = all.filter(col("doc_id") >= 300 && col("doc_id") < 700)
-      buildDedupIndexOf(all.filter(col("doc_id") < 300), idx)
+      val batch = all.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+      // same pooled base as d10 — this gate deletes/compacts its copy
+      graft.sources.FixturePool.cloneTo(s"dedup-base300:$d", idx)(
+        dir => buildDedupIndexOf(all.filter(col("doc_id") < 300), dir))
       def probePairs(): Seq[(Long, Long)] =
         dedupAgainstIndex(s, batch, idx)
           .select(col("dup_of"), col("new_id")).collect()

@@ -1762,16 +1762,12 @@ object TextAnalysis {
     bm25Score(tf, stats, k)
   }
 
-  private val textIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  /** The full-corpus text index, pooled: t24 probes the original
+    * read-only; t29 ([[bm25DeletesGate]]) clones it for its
+    * delete/compact lifecycle — one build per session either way. */
   private def cachedTextIndex(s: SparkSession, d: String): String =
-    textIndexCache.computeIfAbsent(d, _ => {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft-t24-index")
-        .resolve("postings").toString
-      buildTextIndex(s, d, dir)
-      dir
-    })
+    graft.sources.FixturePool.readOnly(s"text-index-full:$d")(
+      dir => buildTextIndex(s, d, dir))
 
   /** The t24 gate: the indexed probe must produce t23's EXACT result —
     * same oracle SQL, full hash match — so the index layout is proven
@@ -1795,7 +1791,10 @@ object TextAnalysis {
   def bm25DeletesGate(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files.createTempDirectory("graft-t29-index")
     val idx = work.resolve("postings").toString
-    buildTextIndex(s, d, idx)
+    // t24's pooled full-corpus index, cloned: this gate tombstones
+    // and compacts its private copy
+    graft.sources.FixturePool.cloneTo(s"text-index-full:$d", idx)(
+      dir => buildTextIndex(s, d, dir))
     val terms = Seq("spark", "vector", "stream")
     deleteFromTextIndex(s,
       docsPlain(s, d).filter(col("doc_id") % 10 === 3)

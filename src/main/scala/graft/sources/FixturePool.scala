@@ -1,0 +1,64 @@
+package graft.sources
+
+/** Session-lifetime FIXTURE pool for the driver gates (VERDICT r15
+  * "gate-wall structural relief"): several gates exercise lifecycles
+  * over the SAME expensive base artifact — d10 and d11 both start
+  * from the dedup index over docs < 300, t24 and t29 both start from
+  * the full-corpus text index — and each used to rebuild it from
+  * scratch inside its own temp dir. Here `build` runs ONCE per key
+  * into a pooled directory family, and every caller takes a fresh
+  * COPY, so gates that mutate (append, delete, compact) keep their
+  * full lifecycle assertions over bit-identical state while the
+  * sweep pays each build exactly once.
+  *
+  * Copying a table family is sound because the snapshot protocol
+  * stores only table-relative file paths and version-number pins —
+  * a copied family is a valid family wherever it lands. A family is
+  * the base dir plus every `<base>.<suffix>` sibling (`.sigs`,
+  * `.stats`, `.centroids`, `.codebooks`, `.tombs`, …), the suffix
+  * convention every persisted index pair here follows. Builds are
+  * deterministic (seeded sketches/quantizers over fixed fixtures),
+  * so a pooled copy produces byte-identical gate answers to a
+  * per-gate rebuild — CORRECTNESS hashes cannot move. */
+object FixturePool {
+
+  private val pool =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A fresh private copy of the pooled artifact at `destBase`
+    * (plus siblings beside it). `build` receives a directory path
+    * and must create the family there; it runs at most once per
+    * `key` per JVM. */
+  def cloneTo(key: String, destBase: String)(
+      build: String => Unit): Unit =
+    copyFamily(readOnly(key)(build), destBase)
+
+  /** The pooled ORIGINAL for read-only use (probe-only gates — the
+    * caller must not mutate it; mutating gates take [[cloneTo]]). */
+  def readOnly(key: String)(build: String => Unit): String =
+    pool.computeIfAbsent(key, _ => {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-fixture-pool")
+        .resolve("base").toString
+      build(dir)
+      dir
+    })
+
+  private def copyFamily(srcBase: String, destBase: String): Unit = {
+    val srcFile = new java.io.File(srcBase)
+    val name = srcFile.getName
+    val entries = Option(srcFile.getParentFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(e => e.getName == name ||
+        e.getName.startsWith(name + "."))
+    require(entries.exists(_.getName == name),
+      s"pooled fixture at $srcBase vanished")
+    val destFile = new java.io.File(destBase)
+    entries.foreach { e =>
+      val suffix = e.getName.stripPrefix(name)
+      org.apache.commons.io.FileUtils.copyDirectory(e,
+        new java.io.File(destFile.getParentFile,
+          destFile.getName + suffix))
+    }
+  }
+}
