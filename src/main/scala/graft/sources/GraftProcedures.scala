@@ -412,9 +412,11 @@ object GraftProcedures {
           "(doc_id, text) rows against the persisted MinHash-LSH " +
           "dedup index at 'index', append the survivors, return the " +
           "kept/dropped counts — one sketch pass, replay-safe " +
-          "(already-indexed ids refuse)",
+          "(already-indexed ids refuse; allow_reingest => 'true' " +
+          "keeps them by identity instead, the idempotent-retry mode)",
         Seq(p("index", StringType), p("batch", StringType),
-          p("min_jaccard", StringType, Some("'0.5'"))),
+          p("min_jaccard", StringType, Some("'0.5'")),
+          p("allow_reingest", StringType, Some("'false'"))),
         StructType(Seq(
           StructField("kept", LongType, nullable = false),
           StructField("dropped", LongType, nullable = false))),
@@ -422,11 +424,38 @@ object GraftProcedures {
           require(a(1) != null, "'batch' is required")
           val minJ = Option(a(2)).map(_.asInstanceOf[String])
             .filter(_.nonEmpty).map(_.toDouble).getOrElse(0.5)
+          val re = Option(a(3)).map(_.asInstanceOf[String])
+            .exists(_.trim.equalsIgnoreCase("true"))
           val batch = Versioned.read(spark, dir(a(1)))
             .select(org.apache.spark.sql.functions.col("doc_id"),
               org.apache.spark.sql.functions.col("text"))
           val verdict = graft.operators.Dedup.ingestDedup(spark,
-            batch, dir(a(0)), minJ)
+            batch, dir(a(0)), minJ, allowReingest = re)
+          val counts = verdict.groupBy("kept").count().collect()
+            .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+          Seq(counts.getOrElse(true, 0L), counts.getOrElse(false, 0L))
+        })
+      case "ingest_vectors" => new Proc("ingest_vectors",
+        "the vector crawl-ingest loop from SQL: near-dup the batch " +
+          "table's (vec_id, embedding) rows against the persisted " +
+          "int8/float IVF index at 'index' (SemDeDup-style " +
+          "multi-probe), append the survivors at the pinned centroid " +
+          "generation, return the kept/dropped counts — replay-safe " +
+          "(already-ingested ids drop by identity)",
+        Seq(p("index", StringType), p("batch", StringType),
+          p("min_cosine", StringType, Some("'0.98'"))),
+        StructType(Seq(
+          StructField("kept", LongType, nullable = false),
+          StructField("dropped", LongType, nullable = false))),
+        a => {
+          require(a(1) != null, "'batch' is required")
+          val minCos = Option(a(2)).map(_.asInstanceOf[String])
+            .filter(_.nonEmpty).map(_.toDouble).getOrElse(0.98)
+          val batch = Versioned.read(spark, dir(a(1)))
+            .select(org.apache.spark.sql.functions.col("vec_id"),
+              org.apache.spark.sql.functions.col("embedding"))
+          val verdict = graft.operators.Similarity.ingestDedupVectors(
+            spark, batch, dir(a(0)), minCos)
           val counts = verdict.groupBy("kept").count().collect()
             .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
           Seq(counts.getOrElse(true, 0L), counts.getOrElse(false, 0L))
@@ -455,5 +484,5 @@ object GraftProcedures {
     "set_spec", "collect_stats", "rewrite_zorder",
     "remove_orphan_files", "create_changelog_view", "add_files",
     "clone_table", "refresh_derived", "refresh_agg", "refresh_mv",
-    "ingest_dedup")
+    "ingest_dedup", "ingest_vectors")
 }

@@ -585,6 +585,63 @@ class ProcedureSpec extends SparkSpec {
       Seq(("a", 20L, 1L), ("c", 10L, 1L)))
   }
 
+  test("ingest_vectors: the vector crawl loop from pure SQL; " +
+      "ingest_dedup allow_reingest replays idempotently") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.Similarity
+    val idx = "target/tmp/proc-ivf-ingest"
+    val batchT = "target/tmp/proc-ivf-batch"
+    Seq(idx, s"$idx.centroids", s"$idx.tombs", batchT).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    Similarity.buildIvfIndex(spark, sf, idx, quantized = true)
+    val emb = graft.sources.Tables.load(spark, sf, "embeddings")
+    val cid = emb.filter(col("vec_id") >= Similarity.NumQueries)
+      .select("vec_id").orderBy("vec_id").limit(1).collect()
+      .map(_.getLong(0))
+    // one twin of a standing corpus vector (drops) + one novel
+    // vector (query 0's embedding, far from the corpus — kept)
+    def reId(src: Long, id: Long) = emb.filter(col("vec_id") === src)
+      .select(lit(id).as("vec_id"), col("embedding"))
+    Versioned.commit(
+      reId(cid(0), 8000000L).unionAll(reId(0L, 8100000L)), batchT)
+    val idxAbs = new java.io.File(idx).getAbsolutePath
+    val bAbs = new java.io.File(batchT).getAbsolutePath
+    val r = spark.sql("CALL graft.system.ingest_vectors(" +
+      s"index => '$idxAbs', batch => '$bAbs')").head()
+    assert((r.getLong(0), r.getLong(1)) == ((1L, 1L)), s"got $r")
+    // replay: identity drops BOTH (the novel one is now standing)
+    val r2 = spark.sql("CALL graft.system.ingest_vectors(" +
+      s"index => '$idxAbs', batch => '$bAbs')").head()
+    assert((r2.getLong(0), r2.getLong(1)) == ((0L, 2L)), s"got $r2")
+    // — the text twin: allow_reingest replays a landed batch as
+    // kept-by-identity instead of refusing
+    val didx = "target/tmp/proc-dedup-re"
+    val dbatch = "target/tmp/proc-dedup-re-batch"
+    Seq(didx, s"$didx.sigs", s"$didx.tombs", dbatch).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    graft.operators.Dedup.buildDedupIndexOf(
+      graft.sources.Tables.load(spark, sf, "documents")
+        .filter(col("doc_id") < 300), didx)
+    Versioned.commit(
+      Seq((9000000L, "wholly novel replay fixture text abc def"))
+        .toDF("doc_id", "text"), dbatch)
+    val diAbs = new java.io.File(didx).getAbsolutePath
+    val dbAbs = new java.io.File(dbatch).getAbsolutePath
+    val d1 = spark.sql("CALL graft.system.ingest_dedup(" +
+      s"index => '$diAbs', batch => '$dbAbs')").head()
+    assert((d1.getLong(0), d1.getLong(1)) == ((1L, 0L)))
+    val refuse = intercept[Exception](spark.sql(
+      "CALL graft.system.ingest_dedup(" +
+        s"index => '$diAbs', batch => '$dbAbs')").head())
+    assert(refuse.getMessage.contains("allowReingest"))
+    val d2 = spark.sql("CALL graft.system.ingest_dedup(" +
+      s"index => '$diAbs', batch => '$dbAbs', " +
+      "allow_reingest => 'true')").head()
+    assert((d2.getLong(0), d2.getLong(1)) == ((1L, 0L)),
+      "kept-by-identity: the replayed doc reports kept, appends nothing")
+  }
+
   test("unknown procedures and namespaces refuse with the catalog list") {
     val e = intercept[Exception] {
       spark.sql("CALL graft.system.nonsense()")
