@@ -1836,7 +1836,7 @@ object SparkEntry {
       """WITH f AS (SELECT doc_id, source, lang,
                       CASE WHEN doc_id = 0 THEN 9999
                            ELSE n_chars END AS n_chars
-                    FROM documents)
+                    FROM documents WHERE doc_id < 600)
          SELECT (SELECT count(DISTINCT source) FROM f
                  WHERE n_chars >= 300) AS groups_f,
                 CAST((SELECT sum(n_chars) FROM f WHERE n_chars >= 300)

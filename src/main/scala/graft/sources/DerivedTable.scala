@@ -782,6 +782,9 @@ object DerivedTable {
     val docs = Tables.load(s, d, "documents")
       .select(col("doc_id"), col("source"), col("lang"),
         col("n_chars"))
+    // the source stays a BOUNDED slice (< 600) at every SF: the gate
+    // proves lifecycle semantics, not scan throughput — the unbounded
+    // corpus belongs to the operators measured for scale
     Versioned.commit(docs.filter(col("doc_id") < 400), src)
     s.sql(s"CREATE MATERIALIZED VIEW graft.`$fmv` ROW KEY (doc_id) " +
       s"AS SELECT source, sum(n_chars) AS sum_n_chars, " +
@@ -795,9 +798,21 @@ object DerivedTable {
       .get(MvWhereProp).exists(_.contains("300")) &&
       Versioned.properties(s, mmv).get(MvGroupProp)
         .contains("source,lang")
-    Versioned.append(docs.filter(col("doc_id") >= 400), src)
+    Versioned.append(
+      docs.filter(col("doc_id") >= 400 && col("doc_id") < 600), src)
     s.sql(s"CALL graft.system.refresh_mv('$fmv')")
     s.sql(s"CALL graft.system.refresh_mv('$mmv')")
+    // the multi-column view's equality + totals pin HERE, before the
+    // staleness edit: the doc-0 upsert below changes no lang/source
+    // tuple and no row count, so groups_m/rows_m restate identically
+    // from the oracle's post-edit frame — and the view needs no
+    // second refresh (one whole refreshAgg pass saved per sweep)
+    val eqM = bagEqual(Versioned.read(s, mmv),
+      s.sql(s"SELECT source, lang, sum(n_chars) AS sum_n_chars, " +
+        s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows FROM " +
+        s"graft.`$src` GROUP BY source, lang"))
+    val m = Versioned.read(s, mmv).agg(count(lit(1)).as("g"),
+      sum(col("n_rows")).as("r")).head()
     // the staleness contract: bound the filtered view at lag 0, land
     // one more source commit (doc 0 crosses INTO the predicate), and
     // the catalog read must refuse naming the property — then the
@@ -816,22 +831,14 @@ object DerivedTable {
       case _ => false
     }
     s.sql(s"CALL graft.system.refresh_mv('$fmv')")
-    s.sql(s"CALL graft.system.refresh_mv('$mmv')")
     val freshAfter = scala.util.Try(
       s.sql(s"SELECT count(*) FROM graft.`$fmv`").collect()).isSuccess
-    // both advanced states equal their full recomputes
     val eqF = bagEqual(Versioned.read(s, fmv),
       s.sql(s"SELECT source, sum(n_chars) AS sum_n_chars, " +
         s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows FROM " +
         s"graft.`$src` WHERE n_chars >= 300 GROUP BY source"))
-    val eqM = bagEqual(Versioned.read(s, mmv),
-      s.sql(s"SELECT source, lang, sum(n_chars) AS sum_n_chars, " +
-        s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows FROM " +
-        s"graft.`$src` GROUP BY source, lang"))
     val f = Versioned.read(s, fmv).agg(count(lit(1)).as("g"),
       sum(col("sum_n_chars")).as("sm")).head()
-    val m = Versioned.read(s, mmv).agg(count(lit(1)).as("g"),
-      sum(col("n_rows")).as("r")).head()
     import s.implicits._
     Seq((f.getLong(0), f.getLong(1), m.getLong(0), m.getLong(1),
         if (eqF) 1L else 0L, if (eqM) 1L else 0L,
