@@ -1829,13 +1829,11 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS spec_props,
                 CAST(1 AS BIGINT) AS noop_stable,
                 CAST(1 AS BIGINT) AS dropped""",
-    // q57: the final source state is the fixture with ONE replayed
-    // edit (doc 0's n_chars -> 9999, the commit that trips the
-    // staleness bound); filtered/multi-column facts restate from it.
+    // q57: filtered/multi-column facts restate from the bounded
+    // doc_id < 600 slice (the staleness leg advances the source head
+    // with a metadata-only commit — no data edit to replay).
     "q57_mv_shapes" ->
-      """WITH f AS (SELECT doc_id, source, lang,
-                      CASE WHEN doc_id = 0 THEN 9999
-                           ELSE n_chars END AS n_chars
+      """WITH f AS (SELECT doc_id, source, lang, n_chars
                     FROM documents WHERE doc_id < 600)
          SELECT (SELECT count(DISTINCT source) FROM f
                  WHERE n_chars >= 300) AS groups_f,
