@@ -685,16 +685,8 @@ object Dedup {
     buildDedupIndexOf(docs(s, d), indexDir)
 
   private def dedupSigsPin(s: SparkSession,
-      indexDir: String): Option[Int] = {
-    val v = Versioned.currentVersion(s, indexDir)
-    // fragment-wise (split ';'), so a pin survives sharing the note
-    // with other fragments (a TBLPROPERTIES commit carries it forward)
-    Versioned.commitNotes(s, indexDir).get(v).toSeq
-      .flatMap(_.split(";")).map(_.trim)
-      .collectFirst { case n if n.startsWith("sigs=v") =>
-        scala.util.Try(n.stripPrefix("sigs=v").toInt).toOption }
-      .flatten
-  }
+      indexDir: String): Option[Int] =
+    Versioned.notePin(s, indexDir, "sigs")
 
   private def dedupTombsDir(indexDir: String): String = s"$indexDir.tombs"
 
@@ -1007,7 +999,12 @@ object Dedup {
           .join(broadcast(tombs), Seq("doc_id"), "left_anti"),
         indexDir, partitionCol = Some("band"),
         note = Some(s"sigs=v$sv"), statsCols = Seq("doc_id"))
-      Versioned.commit(tombs.limit(0), dedupTombsDir(indexDir))
+      // reset ONLY the absorbed set: a concurrent takedown appending
+      // after the entry read survives to the next compaction instead
+      // of being wiped unapplied
+      Versioned.commit(dedupTombs(s, indexDir)
+        .join(tombs, Seq("doc_id"), "left_anti"),
+        dedupTombsDir(indexDir))
     }
     // sigs compact FIRST, band compact re-pins the compacted version
     // (same rows, fresh files) — the publish order every index-pair

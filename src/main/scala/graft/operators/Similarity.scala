@@ -320,19 +320,8 @@ object Similarity {
     * assigned against (from the commit note; None for a missing or
     * pre-pinning index). */
   private def pinnedCentroidVersion(s: SparkSession,
-      indexDir: String): Option[Int] = {
-    val v = Versioned.currentVersion(s, indexDir)
-    // fragment-wise (split ';'), like [[pinnedVersionsOf]]: the pin
-    // must survive sharing the note with other fragments (a
-    // TBLPROPERTIES commit carries pins forward; the PQ layout pins
-    // centroids and codebooks in one note)
-    if (v == 0) None
-    else Versioned.commitNotes(s, indexDir).get(v).toSeq
-      .flatMap(_.split(";")).map(_.trim)
-      .collectFirst { case n if n.startsWith("centroids=v") =>
-        scala.util.Try(n.stripPrefix("centroids=v").toInt).toOption }
-      .flatten
-  }
+      indexDir: String): Option[Int] =
+    Versioned.notePin(s, indexDir, "centroids")
 
   /** Centroid table CONSISTENT with the index's current snapshot
     * (current centroids for pre-pinning indexes). */
@@ -1143,7 +1132,11 @@ object Similarity {
       note = Some("centroids=v" + pins("centroids") +
         ";codebooks=v" + pins("codebooks")),
       statsCols = Seq("vec_id"))
-    Versioned.commit(tombs.limit(0), vecTombsDir(indexDir))
+    // reset ONLY the absorbed set: a concurrent delete appending
+    // after the entry read survives to the next compaction instead
+    // of being wiped unapplied
+    Versioned.commit(vecTombs(s, indexDir)
+      .join(tombs, Seq("vec_id"), "left_anti"), vecTombsDir(indexDir))
     v
   }
 

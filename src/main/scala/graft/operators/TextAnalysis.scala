@@ -1572,16 +1572,8 @@ object TextAnalysis {
   }
 
   private def textStatsPin(s: SparkSession,
-      indexDir: String): Option[Int] = {
-    val v = Versioned.currentVersion(s, indexDir)
-    // fragment-wise (split ';'), so a pin survives sharing the note
-    // with other fragments (a TBLPROPERTIES commit carries it forward)
-    Versioned.commitNotes(s, indexDir).get(v).toSeq
-      .flatMap(_.split(";")).map(_.trim)
-      .collectFirst { case n if n.startsWith("stats=v") =>
-        scala.util.Try(n.stripPrefix("stats=v").toInt).toOption }
-      .flatten
-  }
+      indexDir: String): Option[Int] =
+    Versioned.notePin(s, indexDir, "stats")
 
   private def pinnedTextStats(s: SparkSession,
       indexDir: String): DataFrame =
@@ -1721,10 +1713,15 @@ object TextAnalysis {
         val v = Versioned.commit(survivors, indexDir,
           partitionCol = Some("bucket"), note = Some(s"stats=v$sv"),
           statsCols = Seq("doc_id"))
-        // tombstones applied — reset to the empty set LAST, so a crash
-        // above leaves them live (probes stay correct, re-compact
-        // re-applies; an extra anti-join row is never wrong)
-        Versioned.commit(tombs.limit(0), textTombsDir(indexDir))
+        // tombstones applied — reset LAST, and only the set this
+        // rewrite ABSORBED: a concurrent delete appending between the
+        // entry read (version-pinned at plan build) and this commit
+        // survives to the next compaction instead of being wiped
+        // unapplied. A crash above leaves everything live — probes
+        // stay correct, re-compact re-applies.
+        Versioned.commit(textTombs(s, indexDir)
+          .join(tombs, Seq("doc_id"), "left_anti"),
+          textTombsDir(indexDir))
         v
       } finally survivors.unpersist(blocking = false)
     } else Versioned.compactSmall(s, indexDir, targetFileBytes,

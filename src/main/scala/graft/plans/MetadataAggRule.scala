@@ -189,8 +189,10 @@ private[plans] object MetadataAggRule {
       ver: Int, relOutput: Seq[Attribute]): Option[LogicalPlan] = {
     // the MV staleness gate covers the scan-free path too: a bounded
     // stale view must refuse a sidecar-served COUNT(*) exactly like a
-    // scan (both SQL spellings and the Dataset tag route land here)
-    graft.sources.DerivedTable.requireFreshEnough(spark, dir)
+    // scan (both SQL spellings and the Dataset tag route land here);
+    // pinned historical aggregates are exempt like any pinned read
+    graft.sources.DerivedTable.requireFreshEnough(spark, dir,
+      Some(ver))
     if (a.groupingExpressions.nonEmpty)
       return tryRewriteGrouped(spark, a, dir, ver, relOutput)
     for {

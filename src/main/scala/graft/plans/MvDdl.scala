@@ -257,6 +257,24 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       (gs ++ Seq(v) ++ ext).foreach(c => require(srcCols.contains(c),
         s"column '$c' is not in the source table " +
           s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
+      // the WHERE predicate's references get the same treatment as
+      // the shape columns: qualified names can't re-resolve against
+      // the bare snapshot reads at refresh time, unknown columns
+      // refuse NOW, not at the first refresh
+      where.foreach { w =>
+        val refs = spark.sessionState.sqlParser.parseExpression(w)
+          .collect { case ua: UnresolvedAttribute => ua }
+        val quals = refs.filter(_.nameParts.length > 1).map(_.name)
+        require(quals.isEmpty,
+          s"WHERE references ${quals.mkString(", ")} with a " +
+            "qualifier — the stored predicate re-resolves against " +
+            "the bare source columns at every refresh; use " +
+            "unqualified names")
+        refs.filter(_.nameParts.length == 1).map(_.nameParts.head)
+          .foreach(c => require(srcCols.contains(c),
+            s"WHERE column '$c' is not in the source table " +
+              s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
+      }
       // the spec rides the BOOTSTRAP commit itself — data, pin, and
       // identity publish atomically, so no crash window can leave a
       // standing table that is not yet (and can never become) a view

@@ -223,8 +223,11 @@ case class VersionedRelationRule(spark: SparkSession)
     // the MV staleness gate: a view bounded by
     // mv.max-staleness-versions refuses to serve stale — enforced at
     // the single point every catalog READ expands through (refresh
-    // itself reads by path and is exempt, or it could never catch up)
-    graft.sources.DerivedTable.requireFreshEnough(spark, t.tableDir)
+    // itself reads by path and is exempt, or it could never catch
+    // up; an explicit VERSION AS OF below the head is exempt too —
+    // the pinned snapshot is immutable)
+    graft.sources.DerivedTable.requireFreshEnough(spark, t.tableDir,
+      Some(t.snapshotVersion))
     val real = Versioned.read(spark, t.tableDir,
       Some(t.snapshotVersion)).queryExecution.analyzed
     require(real.output.length == r.output.length,

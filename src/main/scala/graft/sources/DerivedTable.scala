@@ -76,36 +76,70 @@ object DerivedTable {
       dstDir: String): Option[(Int, Int, Int)] = {
     val props = Versioned.properties(s, dstDir)
     if (!props.contains(MvKindProp)) return None
-    val pin = pinnedSrcVersion(s, dstDir)
-    val head = Versioned.currentVersion(s, props(MvSourceProp))
-    Some((pin, head, math.max(0, head - pin)))
+    // non-throwing pin lookup: a buried pin (out-of-band rollback, a
+    // foreign note) must DEGRADE the freshness trio to absent, not
+    // fail SHOW TBLPROPERTIES / DESCRIBE — the very surfaces one
+    // needs to diagnose that state
+    for {
+      pin <- Versioned.notePin(s, dstDir, "src")
+      head = Versioned.currentVersion(s, props(MvSourceProp))
+    } yield (pin, head, math.max(0, head - pin))
   }
+
+  // (dir → (view head version, parsed bound)) — non-MV and unbounded
+  // tables reduce to ONE head-version probe per read after first
+  // sight; any commit on the view (including the TBLPROPERTIES
+  // change that sets/unsets the bound) bumps the head and refills
+  private val stalenessMemo = new java.util.concurrent
+    .ConcurrentHashMap[String, (Int, Option[Int])]()
 
   /** The read-side staleness gate: a view carrying
     * [[MvMaxStalenessProp]] whose lag exceeds the bound REFUSES to
     * serve rather than silently returning stale rows (the Iceberg MV
-    * spec's freshness contract). No-op for plain tables and for
-    * views without the property — the check costs one property
-    * sidecar probe on the read path, nothing for the common case. */
-  def requireFreshEnough(s: SparkSession, dstDir: String): Unit = {
-    val props = Versioned.properties(s, dstDir)
-    val bound = props.get(MvMaxStalenessProp)
-    if (bound.isEmpty || !props.contains(MvKindProp)) return
-    val b = try bound.get.trim.toInt catch {
-      case _: NumberFormatException =>
-        throw new IllegalArgumentException(
-          s"$MvMaxStalenessProp must be an integer number of source " +
-            s"versions, got '${bound.get}'")
+    * spec's freshness contract). No-op for plain tables and
+    * unbounded views (memoized — one version probe on the read
+    * path). `readVersion` is the snapshot the read pinned: an
+    * explicit HISTORICAL read (VERSION AS OF / tag below the view
+    * head) is exempt — the requested snapshot is immutable and was
+    * current when committed; the bound governs reads of the HEAD. A
+    * view whose head pin is buried (out-of-band edits) skips the
+    * gate rather than bricking reads — the refresh machinery carries
+    * its own louder refusal for that state. */
+  def requireFreshEnough(s: SparkSession, dstDir: String,
+      readVersion: Option[Int] = None): Unit = {
+    val head = Versioned.currentVersion(s, dstDir)
+    if (head == 0) return
+    val cached = stalenessMemo.get(dstDir)
+    val bound: Option[Int] =
+      if (cached != null && cached._1 == head) cached._2
+      else {
+        val props = Versioned.properties(s, dstDir)
+        val b = props.get(MvMaxStalenessProp)
+          .filter(_ => props.contains(MvKindProp))
+          .map { raw =>
+            try raw.trim.toInt catch {
+              case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"$MvMaxStalenessProp must be an integer number " +
+                    s"of source versions, got '$raw'")
+            }
+          }
+        if (stalenessMemo.size > 10000) stalenessMemo.clear()
+        stalenessMemo.put(dstDir, (head, b))
+        b
+      }
+    if (bound.isEmpty || readVersion.exists(_ < head)) return
+    Versioned.notePin(s, dstDir, "src").foreach { pin =>
+      val srcHead = Versioned.currentVersion(s,
+        Versioned.properties(s, dstDir)(MvSourceProp))
+      val lag = srcHead - pin
+      require(lag <= bound.get,
+        s"materialized view at $dstDir is $lag source version(s) " +
+          s"behind (pinned src=v$pin, source head v$srcHead), over " +
+          s"its $MvMaxStalenessProp = ${bound.get} — CALL " +
+          s"graft.system.refresh_mv('$dstDir'), or raise/unset the " +
+          "property to read stale")
     }
-    val pin = pinnedSrcVersion(s, dstDir)
-    val head = Versioned.currentVersion(s, props(MvSourceProp))
-    val lag = head - pin
-    require(lag <= b,
-      s"materialized view at $dstDir is $lag source version(s) " +
-        s"behind (pinned src=v$pin, source head v$head), over its " +
-        s"$MvMaxStalenessProp = $b — CALL " +
-        s"graft.system.refresh_mv('$dstDir'), or raise/unset the " +
-        "property to read stale")
   }
 
   /** The row-pure transform a DERIVED materialized view persists: the
@@ -205,18 +239,12 @@ object DerivedTable {
     else base.join(broadcast(keysDf), keyCols, "left_semi")
   }
 
-  private def pinnedSrcVersion(s: SparkSession, dstDir: String): Int = {
-    val v = Versioned.currentVersion(s, dstDir)
-    Versioned.commitNotes(s, dstDir).get(v)
-      .flatMap(_.split(";").collectFirst {
-        case p if p.trim.startsWith("src=v") =>
-          p.trim.stripPrefix("src=v").toInt
-      })
+  private def pinnedSrcVersion(s: SparkSession, dstDir: String): Int =
+    Versioned.notePin(s, dstDir, "src")
       .getOrElse(throw new IllegalStateException(
         s"$dstDir exists but its head commit carries no src=v pin — " +
           "not a derived table (refresh would corrupt it); use a " +
           "fresh destination directory"))
-  }
 
   /** Advance `dstDir` to reflect `transform` applied to `srcDir`'s
     * current snapshot. Bootstraps (full build) when `dstDir` has no
@@ -364,9 +392,39 @@ object DerivedTable {
     // recompute — so the delta algebra runs on the FILTERED stream
     // unchanged: a row crossing the predicate boundary on update is
     // simply an insert/delete of that stream, which the signed union
-    // already nets correctly
+    // already nets correctly. Two contract checks up front: a
+    // QUALIFIED reference can't re-resolve against the bare
+    // snapshot reads, and a NONDETERMINISTIC predicate would sample
+    // anew at every read — the view silently diverges from any
+    // recompute (checked post-analysis on the first application,
+    // where functions are resolved).
+    where.foreach { w =>
+      val quals = s.sessionState.sqlParser.parseExpression(w).collect {
+        case ua: org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute if ua.nameParts.length > 1 => ua.name
+      }
+      require(quals.isEmpty,
+        s"WHERE references ${quals.mkString(", ")} with a qualifier " +
+          "— the stored predicate re-resolves against the bare " +
+          "source columns at every refresh; use unqualified names")
+    }
+    var whereChecked = false
     def filtered(df: DataFrame): DataFrame =
-      where.map(w => df.filter(expr(w))).getOrElse(df)
+      where.map { w =>
+        val out = df.filter(expr(w))
+        if (!whereChecked) {
+          whereChecked = true
+          val det = out.queryExecution.analyzed.collect {
+            case f: org.apache.spark.sql.catalyst.plans.logical
+                .Filter => f.condition.deterministic
+          }
+          require(det.forall(identity),
+            s"WHERE predicate '$w' is nondeterministic — every " +
+              "snapshot-side read would sample it anew and the " +
+              "delta algebra silently diverges from any recompute")
+        }
+        out
+      }.getOrElse(df)
     def aggOf(df: DataFrame): DataFrame = {
       val aggs = Seq(sum(col(valueCol)).as(s"sum_$valueCol"),
         count(col(valueCol)).as(s"cnt_$valueCol"),

@@ -1045,6 +1045,23 @@ object Versioned {
     }.toMap
   }
 
+  /** The `key=vN` pin in the HEAD commit's note, fragment-wise (split
+    * ';') — the ONE parser for every note-pin consumer (`src` for
+    * materialized views, `sigs`/`stats`/`centroids`/`codebooks` for
+    * the index pairs), so a pin that shares its note with other
+    * fragments (a TBLPROPERTIES commit carries pins forward) parses
+    * identically everywhere. */
+  def notePin(spark: SparkSession, tableDir: String,
+      key: String): Option[Int] = {
+    val v = currentVersion(spark, tableDir)
+    if (v == 0) return None
+    commitNotes(spark, tableDir).get(v).toSeq
+      .flatMap(_.split(";")).map(_.trim)
+      .collectFirst { case n if n.startsWith(s"$key=v") =>
+        Try(n.stripPrefix(s"$key=v").toInt).toOption }
+      .flatten
+  }
+
   private def readNote(f: FileSystem, tableDir: String, v: Int): String = {
     val in = f.open(new Path(tableDir, s"$MarkerPrefix$v"))
     try new String(in.readAllBytes(), "UTF-8") finally in.close()

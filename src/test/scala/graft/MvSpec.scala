@@ -248,6 +248,11 @@ class MvSpec extends SparkSpec {
     assert(e.getMessage.contains(DerivedTable.MvMaxStalenessProp) &&
       e.getMessage.contains("refresh_mv"))
     assert(shown().get("graft.mv.staleness_versions").contains("2"))
+    // an explicit PINNED historical read is exempt — the requested
+    // snapshot is immutable and was fresh when committed; only head
+    // reads are governed by the bound
+    assert(spark.sql(
+      s"SELECT * FROM graft.`$dst` VERSION AS OF 1").count() == 10)
     // refresh (path-exempt, or it could never catch up) clears it
     spark.sql(s"CALL graft.system.refresh_mv('$dst')")
     assert(spark.sql(s"SELECT * FROM graft.`$dst`").count() == 12)
@@ -298,6 +303,17 @@ class MvSpec extends SparkSpec {
     refuse(mk + s"ROW KEY (id) AS SELECT g, avg(v) AS sum_v, " +
       s"count(v) AS cnt_v, count(*) AS n_rows FROM graft.`$src` " +
       "GROUP BY g", "delta-maintainable shape")
+    // WHERE contract: nondeterministic predicates diverge the view,
+    // qualified references can't re-resolve at refresh, unknown
+    // columns refuse at CREATE
+    val aggSel = "SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, " +
+      "count(*) AS n_rows FROM "
+    refuse(mk + s"ROW KEY (id) AS $aggSel graft.`$src` " +
+      "WHERE rand() < 0.5 GROUP BY g", "nondeterministic")
+    refuse(mk + s"ROW KEY (id) AS $aggSel graft.`$src` s " +
+      "WHERE s.v > 0 GROUP BY g", "qualifier")
+    refuse(mk + s"ROW KEY (id) AS $aggSel graft.`$src` " +
+      "WHERE nope > 0 GROUP BY g", "not in the source")
     refuse(mk + s"KEY (id) AS SELECT g, sum(v) AS sum_v, count(v) " +
       s"AS cnt_v, count(*) AS n_rows FROM graft.`$src` GROUP BY g",
       "ROW KEY")
