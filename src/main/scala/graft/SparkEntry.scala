@@ -327,6 +327,11 @@ object SparkEntry {
     // read refusal — all pure SQL, states equal full recomputes.
     "q57_mv_shapes" ->
       (graft.sources.DerivedTable.mvShapesGate _),
+    // JOIN MV + chaining (q58): a fact⋈dim enrichment view maintained
+    // from BOTH changelogs, a dim relabel + dim-key delete propagating
+    // through a chained GOLD aggregate view (bronze→silver→gold).
+    "q58_join_mv" ->
+      (graft.sources.DerivedTable.joinMvGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1847,6 +1852,33 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS spec_where,
                 CAST(1 AS BIGINT) AS stale_refused,
                 CAST(1 AS BIGINT) AS fresh_after""",
+    // q58: the join-view lifecycle's counts restate from the bounded
+    // doc_id < 600 slice — the dim is the slice's DISTINCT sources,
+    // the edit batch relabels min(source) and deletes max(source),
+    // and gold is the group-by-label rollup of the surviving rows.
+    "q58_join_mv" ->
+      """WITH f AS (SELECT doc_id, source, n_chars FROM documents
+                    WHERE doc_id < 600),
+              b AS (SELECT min(source) AS mn, max(source) AS mx FROM f)
+         SELECT CAST(1 AS BIGINT) AS created_join,
+                (SELECT count(*) FROM f
+                 WHERE doc_id < 400 AND n_chars >= 300) AS rows_v1,
+                (SELECT count(*) FROM f WHERE n_chars >= 300)
+                  AS rows_v2,
+                (SELECT count(*) FROM f, b
+                 WHERE n_chars >= 300 AND source <> b.mx) AS rows_v3,
+                (SELECT count(*) FROM f, b
+                 WHERE n_chars >= 300 AND source = b.mn) AS relabeled,
+                (SELECT count(DISTINCT CASE WHEN source = b.mn
+                   THEN 'RELABELED' ELSE upper(source) END)
+                 FROM f, b WHERE n_chars >= 300 AND source <> b.mx)
+                  AS gold_groups,
+                CAST((SELECT sum(n_chars) FROM f, b
+                      WHERE n_chars >= 300 AND source <> b.mx)
+                  AS BIGINT) AS gold_sum,
+                CAST(1 AS BIGINT) AS eq_v2,
+                CAST(1 AS BIGINT) AS eq_v3,
+                CAST(1 AS BIGINT) AS eq_gold""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle ++
     int8IndexExportOracle
 

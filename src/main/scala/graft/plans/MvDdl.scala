@@ -7,8 +7,9 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias,
 import org.apache.spark.sql.catalyst.expressions.{Alias, Expression,
   Literal, PlanExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter,
-  LogicalPlan, Project, SubqueryAlias}
+  Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.connector.catalog.Identifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 
@@ -20,6 +21,9 @@ import graft.sources.{DerivedTable, GraftCatalog, Versioned}
   *
   *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv KEY (k)
   *     AS SELECT …row-pure… FROM src [WHERE …]
+  *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv KEY (k)
+  *     AS SELECT … FROM fact f [LEFT] JOIN dim d ON f.fk = d.dk
+  *        [WHERE …]
   *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv ROW KEY (id)
   *     AS SELECT g, sum(v) AS sum_v, count(v) AS cnt_v,
   *               count(*) AS n_rows[, min(c) AS min_c, max(c) AS max_c]
@@ -37,10 +41,13 @@ import graft.sources.{DerivedTable, GraftCatalog, Versioned}
   * KIND is detected from the query: a GROUP BY query must match the
   * delta-maintainable aggregate shape EXACTLY (the stored schema of
   * [[DerivedTable.refreshAgg]], canonical aliases and order) and
-  * names the SOURCE row identity via ROW KEY; anything else must be
-  * row-pure — SELECT/WHERE over ONE table, no joins, windows,
-  * subqueries, DISTINCT, LIMIT or ORDER BY, because none of those
-  * propagate per-key deltas. Both refusals state the contract. */
+  * names the SOURCE row identity via ROW KEY; a two-table query must
+  * be the N:1 equi-join shape (fact first, one qualified equality,
+  * INNER or LEFT OUTER — [[DerivedTable.refreshJoin]] maintains it
+  * from BOTH sides' changelogs); anything else must be row-pure —
+  * SELECT/WHERE over ONE table, no windows, subqueries, DISTINCT,
+  * LIMIT or ORDER BY, because none of those propagate per-key
+  * deltas. Every refusal states its contract. */
 object MvDdl {
 
   // the view-name token is backquote-aware: a quoted segment may hold
@@ -191,9 +198,66 @@ object MvDdl {
 
   private[plans] val RowPureMsg =
     "a row-pure materialized view supports SELECT … FROM <one " +
-      "table> [WHERE …] only — joins, windows, subqueries, DISTINCT, " +
+      "table> [WHERE …] only — windows, subqueries, DISTINCT, " +
       "LIMIT and ORDER BY do not propagate per-key deltas (each " +
-      "output row must derive from the single input row with its key)"
+      "output row must derive from the single input row with its " +
+      "key); a two-table equi-join takes the join-view shape instead"
+
+  private[plans] val JoinShapeMsg =
+    "a join materialized view must be SELECT … FROM <fact> " +
+      "[INNER|LEFT [OUTER]] JOIN <dim> ON <fact>.<fk> = <dim>.<dk> " +
+      "[WHERE …] — exactly two distinct tables (the FIRST is the " +
+      "fact whose KEY names the row identity), one equality " +
+      "condition with both sides qualified, no other join types, " +
+      "windows, subqueries, DISTINCT, LIMIT or ORDER BY"
+
+  /** Match the parsed query against the delta-maintainable join
+    * shape and extract (fact-side fk column, dim-side key column,
+    * join type string). The FIRST relation in the FROM clause is the
+    * fact; its alias (or table name's last part) must qualify the
+    * fk side of the ON condition. None for any other shape. */
+  def joinShapeOf(p: LogicalPlan):
+      Option[(String, String, String)] = {
+    val joins = p.collect { case j: Join => j }
+    if (joins.length != 1) return None
+    val j = joins.head
+    val jt = j.joinType match {
+      case Inner => "inner"
+      case LeftOuter => "left"
+      case _ => return None
+    }
+    // only projection/filter may sit above the join; each join side
+    // is the (possibly aliased) bare relation
+    val badAbove = p.collect {
+      case n if !n.isInstanceOf[Project] && !n.isInstanceOf[Filter] &&
+        !n.isInstanceOf[SubqueryAlias] && !n.isInstanceOf[Join] &&
+        !n.isInstanceOf[UnresolvedRelation] => n
+    }
+    if (badAbove.nonEmpty) return None
+    def sideOf(n: LogicalPlan): Option[String] = n match {
+      case s: SubqueryAlias if s.child.isInstanceOf[UnresolvedRelation]
+        => Some(s.alias)
+      case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+      case _ => None
+    }
+    val (factAlias, dimAlias) = (sideOf(j.left), sideOf(j.right)) match {
+      case (Some(f), Some(d)) if f != d => (f, d)
+      case _ => return None
+    }
+    j.condition match {
+      case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
+          a: UnresolvedAttribute, b: UnresolvedAttribute))
+          if a.nameParts.length == 2 && b.nameParts.length == 2 =>
+        val sides = Map(a.nameParts.head -> a.nameParts.last,
+          b.nameParts.head -> b.nameParts.last)
+        for {
+          fk <- sides.get(factAlias)
+          dk <- sides.get(dimAlias)
+          if sides.size == 2
+        } yield (fk, dk, jt)
+      case _ => None
+    }
+  }
 }
 
 /** The CREATE statement: validate the query's shape, run the
@@ -228,9 +292,16 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       case _: Aggregate => true
       case _ => false
     }
-    val shapeMsg = if (isAggQuery) MvDdl.AggShapeMsg else MvDdl.RowPureMsg
+    val isJoinQuery = !isAggQuery && parsed.exists {
+      case _: Join => true
+      case _ => false
+    }
+    val shapeMsg =
+      if (isAggQuery) MvDdl.AggShapeMsg
+      else if (isJoinQuery) MvDdl.JoinShapeMsg
+      else MvDdl.RowPureMsg
     // relations INSIDE subquery expressions would dodge the
-    // single-table rule, and windows/subqueries aren't row-pure —
+    // table-count rule, and windows/subqueries aren't row-pure —
     // sweep the expression trees before counting relations
     val exprBad = parsed.flatMap(_.expressions.flatMap(_.collect {
       case _: PlanExpression[_] => "subquery"
@@ -240,8 +311,14 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
     require(exprBad.isEmpty,
       s"${exprBad.mkString(", ")} in the view query: " + shapeMsg)
     val rels = parsed.collect { case u: UnresolvedRelation => u }
-    require(rels.length == 1,
+    val wantRels = if (isJoinQuery) 2 else 1
+    require(rels.length == wantRels,
       s"the view query reads ${rels.length} tables: " + shapeMsg)
+    if (isJoinQuery)
+      require(rels.head.multipartIdentifier !=
+          rels(1).multipartIdentifier,
+        "the view query reads the same table twice (self-join): " +
+          shapeMsg)
     val srcDir = GraftDdl.tableDir(spark, rels.head.multipartIdentifier,
       "CREATE MATERIALIZED VIEW source")
     val srcCols = Versioned.read(spark, srcDir).columns.toSet
@@ -290,6 +367,35 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           DerivedTable.MvQueryProp -> queryText) ++
           where.map(DerivedTable.MvWhereProp -> _))
       Seq(Row("agg", from, to))
+    } else if (isJoinQuery) {
+      require(!rowKeySpelling,
+        "ROW KEY is the aggregate-view spelling; a join view takes " +
+          "KEY (<fact key column>)")
+      val (fk, dk, jt) = MvDdl.joinShapeOf(parsed).getOrElse(
+        throw new UnsupportedOperationException(MvDdl.JoinShapeMsg))
+      val dimDir = GraftDdl.tableDir(spark,
+        rels(1).multipartIdentifier, "CREATE MATERIALIZED VIEW dim")
+      val dimCols = Versioned.read(spark, dimDir).columns.toSet
+      require(srcCols.contains(fk),
+        s"join column '$fk' is not in the fact table " +
+          s"(has: ${srcCols.toSeq.sorted.mkString(", ")})")
+      require(dimCols.contains(dk),
+        s"join column '$dk' is not in the dim table " +
+          s"(has: ${dimCols.toSeq.sorted.mkString(", ")})")
+      // spec rides the bootstrap commit — see the agg branch
+      val ((from, to), _) = DerivedTable.refreshJoin(spark, srcDir,
+        dimDir, dstDir, key, fk, dk,
+        DerivedTable.mvJoinTransform(spark, queryText),
+        bootstrapProps = Map(
+          DerivedTable.MvKindProp -> "join",
+          DerivedTable.MvSourceProp -> srcDir,
+          DerivedTable.MvDimProp -> dimDir,
+          DerivedTable.MvKeyProp -> key,
+          DerivedTable.MvFkProp -> fk,
+          DerivedTable.MvDimKeyProp -> dk,
+          DerivedTable.MvJoinTypeProp -> jt,
+          DerivedTable.MvQueryProp -> queryText))
+      Seq(Row("join", from, to))
     } else {
       require(!rowKeySpelling,
         "ROW KEY is the aggregate-view spelling; a row-pure view " +

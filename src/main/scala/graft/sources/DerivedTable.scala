@@ -48,15 +48,19 @@ object DerivedTable {
   // session (or engine reading `_props`) can refresh the view with no
   // caller-supplied arguments — `CALL graft.system.refresh_mv(dest)`
   // reads these back and dispatches to [[refresh]] / [[refreshAgg]].
-  val MvKindProp = "graft.mv.kind" // "derived" | "agg"
+  val MvKindProp = "graft.mv.kind" // "derived" | "agg" | "join"
   val MvSourceProp = "graft.mv.source" // resolved source table dir
-  val MvKeyProp = "graft.mv.key" // derived: the row key
+  val MvKeyProp = "graft.mv.key" // derived/join: the row key
   val MvRowKeyProp = "graft.mv.row_key" // agg: the SOURCE row identity
   val MvGroupProp = "graft.mv.group_by" // agg: csv of group columns
   val MvValueProp = "graft.mv.value" // agg: the summed value column
   val MvExtremaProp = "graft.mv.extrema" // agg: csv of min/max columns
   val MvWhereProp = "graft.mv.where" // agg: WHERE predicate text
   val MvQueryProp = "graft.mv.query" // the AS SELECT text, verbatim
+  val MvDimProp = "graft.mv.dim" // join: resolved dim table dir
+  val MvFkProp = "graft.mv.fk" // join: fact-side join column
+  val MvDimKeyProp = "graft.mv.dim_key" // join: dim-side join column
+  val MvJoinTypeProp = "graft.mv.join_type" // join: "inner" | "left"
   // user-settable staleness bound (ALTER TABLE SET TBLPROPERTIES):
   // catalog READS of the view refuse when the pin lags the source
   // head by more than this many source commits — see
@@ -79,11 +83,31 @@ object DerivedTable {
     // non-throwing pin lookup: a buried pin (out-of-band rollback, a
     // foreign note) must DEGRADE the freshness trio to absent, not
     // fail SHOW TBLPROPERTIES / DESCRIBE — the very surfaces one
-    // needs to diagnose that state
-    for {
-      pin <- Versioned.notePin(s, dstDir, "src")
-      head = Versioned.currentVersion(s, props(MvSourceProp))
-    } yield (pin, head, math.max(0, head - pin))
+    // needs to diagnose that state. A join view reports the trio of
+    // whichever of its two sources lags MORE (the staleness contract
+    // is over the view's WHOLE input) — and only when BOTH pins
+    // resolve, the same degrade discipline.
+    val legs = refreshLegs(s, dstDir, props)
+    if (legs.isEmpty || legs.exists(_._2.isEmpty)) None
+    else Some(legs.flatMap { case (_, t) => t }.maxBy(_._3))
+  }
+
+  /** Per-source freshness legs of a view: (pin key, Some((pinned
+    * version, source head, lag)) — None when that leg's pin is
+    * buried). One `src` leg for derived/agg views; `src` + `dim` for
+    * join views. */
+  private def refreshLegs(s: SparkSession, dstDir: String,
+      props: Map[String, String]): Seq[(String, Option[(Int, Int, Int)])] = {
+    val srcs = Seq("src" -> props.get(MvSourceProp),
+      "dim" -> props.get(MvDimProp)).collect {
+      case (k, Some(dir)) => (k, dir)
+    }
+    srcs.map { case (k, dir) =>
+      k -> Versioned.notePin(s, dstDir, k).map { pin =>
+        val head = Versioned.currentVersion(s, dir)
+        (pin, head, math.max(0, head - pin))
+      }
+    }
   }
 
   // (dir → (view head version, parsed bound)) — non-MV and unbounded
@@ -129,17 +153,18 @@ object DerivedTable {
         b
       }
     if (bound.isEmpty || readVersion.exists(_ < head)) return
-    Versioned.notePin(s, dstDir, "src").foreach { pin =>
-      val srcHead = Versioned.currentVersion(s,
-        Versioned.properties(s, dstDir)(MvSourceProp))
-      val lag = srcHead - pin
-      require(lag <= bound.get,
-        s"materialized view at $dstDir is $lag source version(s) " +
-          s"behind (pinned src=v$pin, source head v$srcHead), over " +
-          s"its $MvMaxStalenessProp = ${bound.get} — CALL " +
-          s"graft.system.refresh_mv('$dstDir'), or raise/unset the " +
-          "property to read stale")
-    }
+    // a join view is as stale as its MOST-lagging source (src or dim)
+    refreshLegs(s, dstDir, Versioned.properties(s, dstDir))
+      .collect { case (k, Some((pin, srcHead, lag))) => (k, pin,
+        srcHead, lag) }
+      .sortBy(-_._4).headOption.foreach { case (k, pin, srcHead, lag) =>
+        require(lag <= bound.get,
+          s"materialized view at $dstDir is $lag source version(s) " +
+            s"behind (pinned $k=v$pin, source head v$srcHead), over " +
+            s"its $MvMaxStalenessProp = ${bound.get} — CALL " +
+            s"graft.system.refresh_mv('$dstDir'), or raise/unset the " +
+            "property to read stale")
+      }
   }
 
   /** The row-pure transform a DERIVED materialized view persists: the
@@ -166,6 +191,34 @@ object DerivedTable {
     org.apache.spark.sql.graft.SparkInternals.ofRows(s, replaced)
   }
 
+  /** The two-table transform a JOIN materialized view persists: the
+    * stored query re-parses at each refresh and its two table
+    * references substitute with the refresh's input frames — the
+    * FIRST relation in the FROM clause is the fact (the side whose
+    * touched slice varies per refresh), the second the dim (always
+    * the full pinned snapshot). Same plan-substitution discipline as
+    * [[mvTransform]]; relations match by their written identifier, so
+    * a self-join (identical identifiers) is refused at CREATE. */
+  def mvJoinTransform(s: SparkSession,
+      queryText: String): (DataFrame, DataFrame) => DataFrame =
+    (factDf, dimDf) => {
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+      import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
+      val parsed = s.sessionState.sqlParser.parsePlan(queryText)
+      val rels = parsed.collect { case u: UnresolvedRelation =>
+        u.multipartIdentifier }
+      require(rels.length == 2 && rels.head != rels(1),
+        s"the stored join-view query must read exactly two distinct " +
+          s"tables, found ${rels.length}: $queryText")
+      val frames = Map(rels.head -> factDf, rels(1) -> dimDf)
+      val replaced = parsed.transformUp {
+        case u: UnresolvedRelation =>
+          SubqueryAlias(u.multipartIdentifier.last,
+            frames(u.multipartIdentifier).queryExecution.analyzed)
+      }
+      org.apache.spark.sql.graft.SparkInternals.ofRows(s, replaced)
+    }
+
   /** Argument-free refresh: read the spec back from `dstDir`'s
     * properties and advance the view. Returns (kind, from, to). */
   def refreshMv(s: SparkSession, dstDir: String): (String, Int, Int) = {
@@ -191,6 +244,13 @@ object DerivedTable {
           groups, props(MvValueProp), extrema = ext,
           where = props.get(MvWhereProp).filter(_.nonEmpty))
         ("agg", f, t)
+      case "join" =>
+        // the refresh reports the FACT range (the stream side); a
+        // dim-only delta shows (factTo, factTo) but still republishes
+        val ((f, t), _) = refreshJoin(s, src, props(MvDimProp), dstDir,
+          props(MvKeyProp), props(MvFkProp), props(MvDimKeyProp),
+          mvJoinTransform(s, props(MvQueryProp)))
+        ("join", f, t)
       case other => throw new IllegalStateException(
         s"unknown $MvKindProp '$other' at $dstDir")
     }
@@ -319,6 +379,181 @@ object DerivedTable {
         statsCols = Seq(key), note = Some(s"src=v$to"))
     } finally last.unpersist(blocking = false)
     (from, to)
+  }
+
+  /** Incrementally maintained JOIN view — the enrichment twin of
+    * [[refresh]]: `dstDir` holds `transform(fact, dim)` for an
+    * N:1 equi-join `fact.fkCol = dim.dimKey` (INNER or LEFT OUTER —
+    * the join type lives inside the transform's plan), keyed by the
+    * FACT row identity `key`, advanced per refresh from the
+    * changelogs of BOTH sides:
+    *
+    *  - fact events name touched fact keys directly;
+    *  - dim events name touched dim keys, and the fact rows they
+    *    affect are exactly the pinned fact snapshot's rows whose
+    *    `fkCol` is in that set — read via the same tiered point-read
+    *    as every other leg (O(files containing the values), never a
+    *    fact rescan);
+    *  - the UNION of those fact keys re-derives: their rows at the
+    *    pinned fact `to` join the full pinned dim `to`, the query's
+    *    projection/WHERE apply, and the result upserts by `key`; a
+    *    re-derived key with NO output row (fact row deleted, filtered
+    *    out, or its dim match gone under INNER) deletes.
+    *
+    * Both pins travel in ONE commit note (`src=vN;dim=vM` — the
+    * fragment discipline [[Versioned.notePin]] already parses), so a
+    * crashed refresh never half-advances either cursor.
+    *
+    * Contract on `transform`: row-pure with respect to the PAIR —
+    * each output row derives from one fact row and its single dim
+    * match (nulls on the dim side under LEFT OUTER), preserves `key`,
+    * and may drop rows. `dimKey` must stay UNIQUE in the dim: the
+    * destination stores one row per fact key, which a 1:N dim match
+    * cannot satisfy — bootstrap audits the whole dim once, each
+    * refresh audits exactly the touched dim keys, and a duplicate
+    * that slips between audits still cannot commit (the CDC apply
+    * refuses duplicate upsert keys).
+    *
+    * Scale shape per refresh: two changelog reads over the deltas,
+    * one point-read of dim-affected fact rows keyed on `fkCol`, one
+    * point-read of re-derived fact rows keyed on `key`, one
+    * slice-vs-dim join (Catalyst broadcasts the dim when it is small
+    * — the common star-schema case), one CoW/MoR commit. Nothing
+    * scales with either table's total size; `maxTouchedKeys` bounds
+    * the refresh like [[refreshAgg]]. Returns the processed
+    * ((factFrom, factTo), (dimFrom, dimTo)). */
+  def refreshJoin(s: SparkSession, factDir: String, dimDir: String,
+      dstDir: String, key: String, fkCol: String, dimKey: String,
+      transform: (DataFrame, DataFrame) => DataFrame,
+      maxTouchedKeys: Int = 100000,
+      bootstrapProps: Map[String, String] = Map.empty)
+      : ((Int, Int), (Int, Int)) = {
+    val to1 = Versioned.currentVersion(s, factDir)
+    require(to1 > 0, s"no committed fact version at $factDir")
+    val to2 = Versioned.currentVersion(s, dimDir)
+    require(to2 > 0, s"no committed dim version at $dimDir")
+    val note = s"src=v$to1;dim=v$to2"
+    def dimAt(v: Int) = Versioned.read(s, dimDir, Some(v))
+    def requireDimUnique(slice: DataFrame): Unit =
+      require(slice.groupBy(col(dimKey)).agg(count(lit(1)).as("__c"))
+          .filter(col("__c") > 1L).isEmpty,
+        s"dim key '$dimKey' is not unique in $dimDir — a join view " +
+          "stores one row per fact key, which a 1:N dim match " +
+          "cannot satisfy; dedupe the dim or key it differently")
+    val dstV = Versioned.currentVersion(s, dstDir)
+    if (dstV == 0) {
+      val dim = dimAt(to2)
+      requireDimUnique(dim)
+      val full = transform(Versioned.read(s, factDir, Some(to1)), dim)
+      require(full.columns.contains(key),
+        s"the join-view query must preserve the key column '$key'")
+      Versioned.commit(full, dstDir, note = Some(note),
+        statsCols = Seq(key),
+        props = Some(bootstrapProps).filter(_.nonEmpty))
+      return ((0, to1), (0, to2))
+    }
+    val from1 = pinnedSrcVersion(s, dstDir)
+    val from2 = Versioned.notePin(s, dstDir, "dim")
+      .getOrElse(throw new IllegalStateException(
+        s"$dstDir pins src=v$from1 but carries no dim=v pin — not a " +
+          "join view (refresh would corrupt it); use a fresh " +
+          "destination directory"))
+    require(from1 <= to1 && from2 <= to2,
+      s"$dstDir pins src=v$from1/dim=v$from2 beyond the source heads " +
+        s"v$to1/v$to2 — a source was rolled back or replaced; " +
+        "rebuild into a fresh destination")
+    if (from1 == to1 && from2 == to2) return ((to1, to1), (to2, to2))
+    // —— touched dim keys → affected fact keys ——
+    // the limit-probe fold serves count, null check, and IN-tier
+    // values in one job (the refreshAgg discipline); dim events with
+    // a null dim key refuse — an equality tombstone keyed on another
+    // column can't locate its affected fact rows, and a null-keyed
+    // dim row never equi-joins anyway
+    val tdDf = (if (to2 > from2)
+        Versioned.readChanges(s, dimDir, from2, to2)
+          .select(col(dimKey).as(fkCol)).distinct()
+      else dimAt(to2).select(col(dimKey).as(fkCol)).limit(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val tdProbe = tdDf.limit(PruneKeyLimit + 1).collect()
+      val tdSmall = tdProbe.length <= PruneKeyLimit
+      val (nTd, nTdNonNull) =
+        if (tdSmall) (tdProbe.length.toLong,
+          tdProbe.count(!_.isNullAt(0)).toLong)
+        else {
+          val t = tdDf.agg(count(lit(1)).as("n"),
+            count(col(fkCol)).as("nn")).head()
+          (t.getLong(0), t.getLong(1))
+        }
+      require(nTd == nTdNonNull,
+        s"a dim change event carries a null '$dimKey' — the dim's " +
+          "equality tombstones key on a different column, so the " +
+          "affected fact rows can't be located; key dim deletes on " +
+          s"'$dimKey' (or refresh by rebuild)")
+      require(nTd <= maxTouchedKeys,
+        s"refresh range touches $nTd dim keys (> $maxTouchedKeys) — " +
+          "rebuild into a fresh destination instead, or raise " +
+          "maxTouchedKeys")
+      // eager uniqueness audit on exactly the touched dim keys: a
+      // duplicate refuses at the refresh that INTRODUCED it, not at
+      // the first fact row that happens to reference it
+      if (nTd > 0) requireDimUnique(
+        pointRead(s, dimDir, Seq(dimKey), nTd,
+          tdProbe.map(_.get(0)).toSeq, Some(to2),
+          tdDf.select(col(fkCol).as(dimKey))))
+      val affected =
+        if (nTd == 0) None
+        else Some(pointRead(s, factDir, Seq(fkCol), nTd,
+          tdProbe.map(_.get(0)).toSeq, Some(to1), tdDf)
+          .select(col(key)))
+      // —— fact-event keys ∪ dim-affected keys, re-derived once ——
+      val factTouched =
+        if (to1 > from1)
+          Versioned.readChanges(s, factDir, from1, to1).select(col(key))
+        else Versioned.read(s, factDir, Some(to1)).select(col(key))
+          .limit(0)
+      val kDf = affected.foldLeft(factTouched)(_ unionByName _)
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val kProbe = kDf.limit(PruneKeyLimit + 1).collect()
+        val kSmall = kProbe.length <= PruneKeyLimit
+        val (nK, nKNonNull) =
+          if (kSmall) (kProbe.length.toLong,
+            kProbe.count(!_.isNullAt(0)).toLong)
+          else {
+            val t = kDf.agg(count(lit(1)).as("n"),
+              count(col(key)).as("nn")).head()
+            (t.getLong(0), t.getLong(1))
+          }
+        require(nK == nKNonNull,
+          s"a null '$key' fact key reached the refresh — either a " +
+            "fact change event keyed on a different column or a " +
+            s"dim-affected fact row with a null '$key'; key fact " +
+            s"deletes on '$key' and filter null keys at ingest")
+        require(nK <= maxTouchedKeys,
+          s"refresh range touches $nK fact keys (> $maxTouchedKeys) " +
+            "— rebuild into a fresh destination instead, or raise " +
+            "maxTouchedKeys")
+        if (nK == 0) {
+          // metadata-only commits on both sides: advance the pins
+          // with a note-only commit (the dead-range discipline)
+          Versioned.commitNote(s, dstDir, note)
+          return ((from1, to1), (from2, to2))
+        }
+        val factSlice = pointRead(s, factDir, Seq(key), nK,
+          kProbe.map(_.get(0)).toSeq, Some(to1), kDf)
+        val newRows = transform(factSlice, dimAt(to2))
+        require(newRows.columns.contains(key),
+          s"the join-view query must preserve the key column '$key'")
+        val dels = kDf.join(newRows.select(col(key)), Seq(key),
+          "left_anti")
+        Versioned.applyChanges(s, dstDir, upserts = newRows,
+          deleteKeys = dels, key = key, statsCols = Seq(key),
+          note = Some(note))
+      } finally kDf.unpersist(blocking = false)
+    } finally tdDf.unpersist(blocking = false)
+    ((from1, to1), (from2, to2))
   }
 
   /** Incrementally maintained AGGREGATE view — the GROUP BY rollup
@@ -903,6 +1138,90 @@ object DerivedTable {
       .toDF("groups_f", "sum_f", "groups_m", "rows_m",
         "eq_filtered", "eq_multi", "spec_where", "stale_refused",
         "fresh_after")
+  }
+
+  /** Driver-visible gate (q58): the JOIN materialized view and MV
+    * CHAINING — a fact⋈dim enrichment view created in pure SQL
+    * (filtered, inner, N:1), advanced through a fact append AND a
+    * dim-side edit batch (a relabel + a dim-key delete — the
+    * takedown shape), plus a GOLD aggregate view whose SOURCE is the
+    * join view itself (bronze→silver→gold: one dim edit propagates
+    * through two chained refreshes). Every state equals its full
+    * recompute; every count reduces to a fixture constant DuckDB
+    * restates over the bounded doc_id < 600 slice. */
+  def joinMvGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-joinmv-gate")
+    try joinMvGateBody(s, d, work)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  private def joinMvGateBody(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    def abs(n: String) = work.resolve(n).toAbsolutePath.toString
+    val fact = abs("fact"); val dim = abs("dim")
+    val jmv = abs("jmv"); val gold = abs("gold")
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .filter(col("doc_id") < 600)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Versioned.commit(docs.filter(col("doc_id") < 400), fact)
+      Versioned.commit(docs.select(col("source")).distinct()
+        .withColumn("src_label", upper(col("source"))), dim)
+      val created = s.sql(s"CREATE MATERIALIZED VIEW graft.`$jmv` " +
+        s"KEY (doc_id) AS SELECT f.doc_id, f.source, d.src_label, " +
+        s"f.n_chars FROM graft.`$fact` f JOIN graft.`$dim` d " +
+        s"ON f.source = d.source WHERE f.n_chars >= 300").head()
+      val rowsV1 = Versioned.read(s, jmv).count()
+      def recomputeJmv = s.sql(s"SELECT f.doc_id, f.source, " +
+        s"d.src_label, f.n_chars FROM graft.`$fact` f JOIN " +
+        s"graft.`$dim` d ON f.source = d.source " +
+        s"WHERE f.n_chars >= 300")
+      // fact-side delta: append the 400-599 slice, refresh
+      Versioned.append(docs.filter(col("doc_id") >= 400), fact)
+      s.sql(s"CALL graft.system.refresh_mv('$jmv')")
+      val rowsV2 = Versioned.read(s, jmv).count()
+      val eqV2 = bagEqual(Versioned.read(s, jmv), recomputeJmv)
+      // GOLD rides the silver view: an aggregate MV whose source IS
+      // the join view (its CDC commits feed refreshAgg's changelog
+      // read like any table's)
+      s.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY " +
+        s"(doc_id) AS SELECT src_label, sum(n_chars) AS sum_n_chars, " +
+        s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
+        s"FROM graft.`$jmv` GROUP BY src_label")
+      // dim-side delta, one atomic batch: the lexicographically FIRST
+      // source relabels (affected facts must re-derive), the LAST
+      // deletes (its facts must leave the inner join) — then the edit
+      // propagates silver → gold through two chained refreshes
+      val mm = docs.agg(min(col("source")), max(col("source"))).head()
+      val (mn, mx) = (mm.getString(0), mm.getString(1))
+      import s.implicits._
+      Versioned.applyChanges(s, dim,
+        upserts = Seq((mn, "RELABELED")).toDF("source", "src_label"),
+        deleteKeys = Seq(mx).toDF("source"), key = "source")
+      s.sql(s"CALL graft.system.refresh_mv('$jmv')")
+      s.sql(s"CALL graft.system.refresh_mv('$gold')")
+      // final-state facts in ONE job over the view
+      val fin = Versioned.read(s, jmv).agg(count(lit(1)).as("n"),
+        sum(when(col("src_label") === "RELABELED", 1L).otherwise(0L))
+          .as("rl")).head()
+      val eqV3 = bagEqual(Versioned.read(s, jmv), recomputeJmv)
+      val g = Versioned.read(s, gold).agg(count(lit(1)).as("g"),
+        sum(col("sum_n_chars")).as("sm")).head()
+      val eqGold = bagEqual(Versioned.read(s, gold),
+        s.sql(s"SELECT src_label, sum(n_chars) AS sum_n_chars, " +
+          s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
+          s"FROM graft.`$jmv` GROUP BY src_label"))
+      Seq((if (created.getString(0) == "join") 1L else 0L,
+          rowsV1, rowsV2, fin.getLong(0), fin.getLong(1),
+          g.getLong(0), g.getLong(1),
+          if (eqV2) 1L else 0L, if (eqV3) 1L else 0L,
+          if (eqGold) 1L else 0L))
+        .toDF("created_join", "rows_v1", "rows_v2", "rows_v3",
+          "relabeled", "gold_groups", "gold_sum", "eq_v2", "eq_v3",
+          "eq_gold")
+    } finally docs.unpersist(blocking = false)
   }
 
   /** Driver-visible gate (q52): a curated projection of the documents

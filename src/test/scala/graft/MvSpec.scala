@@ -282,7 +282,8 @@ class MvSpec extends SparkSpec {
     }
     val mk = s"CREATE MATERIALIZED VIEW graft.`$dst` "
     refuse(mk + s"KEY (id) AS SELECT a.id FROM graft.`$src` a " +
-      s"JOIN graft.`$src2` b ON a.id = b.id", "reads 2 tables")
+      s"JOIN graft.`$src2` b ON a.id = b.id " +
+      s"JOIN graft.`$src2` c ON a.id = c.id", "reads 3 tables")
     refuse(mk + s"KEY (id) AS SELECT DISTINCT id FROM graft.`$src`",
       "row-pure")
     refuse(mk + s"KEY (id) AS SELECT id FROM graft.`$src` " +
@@ -329,5 +330,170 @@ class MvSpec extends SparkSpec {
     // CREATE refuses to adopt a standing plain table
     refuse(mk.replace(s"`$dst`", s"`$src`") +
       s"KEY (id) AS SELECT id FROM graft.`$src2`", "already exists")
+  }
+
+  test("join MV: a fact⋈dim enrichment view maintained from BOTH " +
+      "changelogs — fact deltas, fk migration, dim relabels and " +
+      "dim-key deletes") {
+    val fact = fresh("jmv_fact"); val dim = fresh("jmv_dim")
+    val dst = fresh("jmv_dst")
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 5L),
+      (4L, "c", 40L)).toDF("id", "fk", "v"), fact)
+    Versioned.commit(Seq(("a", "A!"), ("b", "B!"), ("c", "C!"))
+      .toDF("dk", "label"), dim)
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      s"KEY (id) AS SELECT f.id, f.fk, d.label, f.v " +
+      s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.fk = d.dk " +
+      s"WHERE f.v >= 10").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("join", 0, 1)))
+    val v1 = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(v1.count() == 3 && // id 3 filtered (v=5)
+      v1.filter($"id" === 1L).head().getString(2) == "A!")
+    // the full spec travels in the properties
+    val props = Versioned.properties(spark, dst)
+    assert(props(DerivedTable.MvKindProp) == "join" &&
+      props(DerivedTable.MvSourceProp) == fact &&
+      props(DerivedTable.MvDimProp) == dim &&
+      props(DerivedTable.MvKeyProp) == "id" &&
+      props(DerivedTable.MvFkProp) == "fk" &&
+      props(DerivedTable.MvDimKeyProp) == "dk" &&
+      props(DerivedTable.MvJoinTypeProp) == "inner")
+    // fact-side delta: a new row, an update MIGRATING fk a→b, an
+    // update falling below the filter bar, a key delete — one batch
+    Versioned.applyChanges(spark, fact,
+      upserts = Seq((5L, "c", 50L), (1L, "b", 15L), (2L, "b", 3L))
+        .toDF("id", "fk", "v"),
+      deleteKeys = Seq(4L).toDF("id"), key = "id")
+    val r1 = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(r1.map(_.toSeq).toSeq == Seq(Seq("join", 1, 2)))
+    val v2 = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(v2.count() == 2 && // ids 1 (migrated to b) and 5
+      v2.filter($"id" === 1L).head().getString(2) == "B!" &&
+      v2.filter($"id" === 5L).head().getString(2) == "C!")
+    // dim-side delta ONLY: relabel b, delete c — the affected fact
+    // rows re-derive without any fact event (the fact range no-ops)
+    Versioned.applyChanges(spark, dim,
+      upserts = Seq(("b", "B2")).toDF("dk", "label"),
+      deleteKeys = Seq("c").toDF("dk"), key = "dk")
+    val r2 = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(r2.map(_.toSeq).toSeq == Seq(Seq("join", 2, 2)))
+    val v3 = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(v3.count() == 1 && // id 5 left the inner join with dim c
+      v3.filter($"id" === 1L).head().getString(2) == "B2")
+    // row-for-row against the full recompute
+    val expect = spark.sql(s"SELECT f.id, f.fk, d.label, f.v " +
+      s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.fk = d.dk " +
+      s"WHERE f.v >= 10")
+    assert(DerivedTable.bagEqual(v3, expect))
+    // no-op refresh holds the destination version
+    val vBefore = Versioned.currentVersion(spark, dst)
+    val rn = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(rn.head.getInt(1) == rn.head.getInt(2) &&
+      Versioned.currentVersion(spark, dst) == vBefore)
+    // metadata-only source commits: the refresh advances BOTH pins
+    // with a note-only commit (no data churn), then no-ops again
+    Versioned.commitNote(spark, fact, "audit-fact")
+    Versioned.commitNote(spark, dim, "audit-dim")
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')").collect()
+    assert(Versioned.read(spark, dst).count() == 1)
+    val rn2 = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(rn2.head.getInt(1) == rn2.head.getInt(2))
+  }
+
+  test("join MV: LEFT OUTER keeps unmatched facts with null dim " +
+      "columns; a dim insert fills them, a dim delete nulls them " +
+      "back") {
+    val fact = fresh("jmvl_fact"); val dim = fresh("jmvl_dim")
+    val dst = fresh("jmvl_dst")
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "zz", 20L))
+      .toDF("id", "fk", "v"), fact)
+    Versioned.commit(Seq(("a", "A!")).toDF("dk", "label"), dim)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` KEY (id) AS " +
+      s"SELECT f.id, d.label, f.v FROM graft.`$fact` f LEFT JOIN " +
+      s"graft.`$dim` d ON f.fk = d.dk")
+    assert(Versioned.properties(spark, dst)(
+      DerivedTable.MvJoinTypeProp) == "left")
+    val v1 = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(v1.count() == 2 && v1.filter($"id" === 2L).head().isNullAt(1))
+    // a dim INSERT is a dim delta too: the unmatched fact re-derives
+    Versioned.append(Seq(("zz", "Z!")).toDF("dk", "label"), dim)
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`")
+      .filter($"id" === 2L).head().getString(1) == "Z!")
+    // a dim DELETE under LEFT OUTER nulls the enrichment, keeps the row
+    Versioned.deleteRows(spark, dim, Seq("a").toDF("dk"))
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    val v3 = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(v3.count() == 2 && v3.filter($"id" === 1L).head().isNullAt(1))
+  }
+
+  test("join MV refusals: shape, dim-key uniqueness, foreign-keyed " +
+      "dim tombstones, staleness over the laggier source") {
+    val fact = fresh("jmvr_fact"); val dim = fresh("jmvr_dim")
+    val dst = fresh("jmvr_dst")
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("id", "fk", "v"), fact)
+    Versioned.commit(Seq(("a", "A!"), ("b", "B!")).toDF("dk", "label"),
+      dim)
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains(frag),
+        s"expected '$frag' in: ${e.getMessage.take(300)}")
+    }
+    val mk = s"CREATE MATERIALIZED VIEW graft.`$dst` "
+    val sel = s"AS SELECT f.id, d.label FROM graft.`$fact` f "
+    refuse(mk + s"KEY (id) $sel RIGHT JOIN graft.`$dim` d " +
+      "ON f.fk = d.dk", "join materialized view")
+    refuse(mk + s"KEY (id) $sel JOIN graft.`$dim` d ON f.fk < d.dk",
+      "join materialized view")
+    refuse(mk + s"KEY (id) $sel JOIN graft.`$dim` d ON fk = dk",
+      "join materialized view")
+    refuse(mk + s"KEY (id) AS SELECT f.id FROM graft.`$fact` f " +
+      s"JOIN graft.`$fact` g ON f.fk = g.fk", "self-join")
+    refuse(mk + s"ROW KEY (id) $sel JOIN graft.`$dim` d " +
+      "ON f.fk = d.dk", "ROW KEY is the aggregate-view spelling")
+    refuse(mk + s"KEY (nope) $sel JOIN graft.`$dim` d ON f.fk = d.dk",
+      "not in the source")
+    refuse(mk + s"KEY (id) $sel JOIN graft.`$dim` d ON f.nope = d.dk",
+      "not in the fact table")
+    refuse(mk + s"KEY (id) $sel JOIN graft.`$dim` d ON f.fk = d.nope",
+      "not in the dim table")
+    // a non-unique dim refuses at BOOTSTRAP (the view stores one row
+    // per fact key — a 1:N match can't)
+    val dupDim = fresh("jmvr_dupdim")
+    Versioned.commit(Seq(("a", "A1"), ("a", "A2")).toDF("dk", "label"),
+      dupDim)
+    refuse(mk + s"KEY (id) $sel JOIN graft.`$dupDim` d " +
+      "ON f.fk = d.dk", "not unique")
+    // build the good view, then poison the dim INCREMENTALLY: the
+    // duplicate refuses at the refresh that introduced it
+    spark.sql(mk + s"KEY (id) $sel JOIN graft.`$dim` d ON f.fk = d.dk")
+    Versioned.append(Seq(("a", "A2")).toDF("dk", "label"), dim)
+    refuse(s"CALL graft.system.refresh_mv('$dst')", "not unique")
+    Versioned.deleteRows(spark, dim, Seq("A2").toDF("label"))
+    // ^ heals the duplicate, but tombstones keyed on 'label' (not the
+    // dim key) can't locate affected fact rows — refused, with advice
+    refuse(s"CALL graft.system.refresh_mv('$dst')", "null 'dk'")
+    // a dim delete keyed RIGHT clears both: the dup and its tombstone
+    // history replay once the range reads clean
+    val dst2 = fresh("jmvr_dst2")
+    val dim2 = fresh("jmvr_dim2")
+    Versioned.commit(Seq(("a", "A!"), ("b", "B!")).toDF("dk", "label"),
+      dim2)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst2` KEY (id) " +
+      s"$sel JOIN graft.`$dim2` d ON f.fk = d.dk")
+    // staleness gates on the LAGGIER source: a dim-only commit trips
+    // a zero bound, naming the dim pin; refresh clears it
+    spark.sql(s"ALTER TABLE graft.`$dst2` SET TBLPROPERTIES " +
+      s"('${DerivedTable.MvMaxStalenessProp}'='0')")
+    Versioned.commitNote(spark, dim2, "audit-marker")
+    refuse(s"SELECT * FROM graft.`$dst2`", "dim=v")
+    spark.sql(s"CALL graft.system.refresh_mv('$dst2')")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dst2`")
+      .head().getLong(0) == 2L)
   }
 }
