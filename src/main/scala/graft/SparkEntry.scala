@@ -1255,12 +1255,12 @@ object SparkEntry {
              OR (a_id < 450 AND b_id >= 450)
           ORDER BY dup_of, new_id""",
     // d11: the DELETE lifecycle's counts all reduce to the exact
-    // cross-boundary pairs (corpus < 300) x (batch 300-499) filtered
+    // cross-boundary pairs (corpus < 300) x (batch 300-419) filtered
     // by the takedown parity (every even corpus id tombstones), plus
     // the smallest even matcher re-ingesting after compaction.
     "d11_dedup_index_deletes" ->
       s"""WITH p AS (SELECT a_id, b_id FROM ($shingleJaccardSql)
-                     WHERE a_id < 300 AND b_id >= 300 AND b_id < 500)
+                     WHERE a_id < 300 AND b_id >= 300 AND b_id < 420)
           SELECT CAST((SELECT count(*) FROM p) AS BIGINT)
                    AS pairs_before,
                  CAST(1 AS BIGINT) AS gone_tombstoned,

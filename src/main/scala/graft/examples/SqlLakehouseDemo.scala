@@ -205,6 +205,27 @@ object SqlLakehouseDemo {
     spark.sql(s"DROP MATERIALIZED VIEW graft.`$mvDir`")
     println("SQL_DEMO_MVDDL_DROPPED=" +
       (if (new java.io.File(mvDir).exists()) 0 else 1))
+    // JOIN materialized view: an enrichment view over fact⋈dim
+    // maintained from BOTH changelogs — a dim-only relabel re-derives
+    // exactly the affected fact rows (the fact range no-ops)
+    val dimDir = new java.io.File(s"$out/sql_dim").getAbsolutePath
+    val jmvDir = new java.io.File(s"$out/sql_jmv").getAbsolutePath
+    graft.sources.Versioned.commit(
+      spark.sql(s"SELECT DISTINCT name AS dk, upper(name) AS label " +
+        s"FROM $g"), dimDir)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$jmvDir` KEY (id) " +
+      s"AS SELECT f.id, d.label, f.score FROM $g f " +
+      s"JOIN graft.`$dimDir` d ON f.name = d.dk")
+    println("SQL_DEMO_JOINMV_BOOT=" +
+      one(s"SELECT count(*) FROM graft.`$jmvDir`"))
+    spark.sql(s"UPDATE graft.`$dimDir` SET label = 'RELABELED' " +
+      "WHERE dk = 'omega'")
+    val jr = spark.sql(
+      s"CALL graft.system.refresh_mv('$jmvDir')").head()
+    println("SQL_DEMO_JOINMV_RELABELED=" +
+      one(s"SELECT count(*) FROM graft.`$jmvDir` " +
+        "WHERE label = 'RELABELED'") +
+      s" kind=${jr.getString(0)}")
     spark.stop()
   }
 }

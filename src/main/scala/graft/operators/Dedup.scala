@@ -1080,7 +1080,11 @@ object Dedup {
     try {
       val idx = work.resolve("lsh").toString
       val all = docs(s, d)
-      val batch = all.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+      // the batch stays a SLIM bounded slice (120 docs) and persists
+      // across the gate's FOUR probes — each probe is a lazy plan
+      // that would otherwise re-scan and re-shingle the same rows
+      val batch = all.filter(col("doc_id") >= 300 && col("doc_id") < 420)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // same pooled base as d10 — this gate deletes/compacts its copy
       graft.sources.FixturePool.cloneTo(s"dedup-base300:$d", idx)(
         dir => buildDedupIndexOf(all.filter(col("doc_id") < 300), dir))
@@ -1107,6 +1111,7 @@ object Dedup {
       val reOk = reId.forall(id => scala.util.Try(appendToDedupIndex(s,
         all.filter(col("doc_id") === id), idx)).isSuccess)
       val afterReingest = probePairs()
+      batch.unpersist(blocking = false)
       import s.implicits._
       Seq((before.size.toLong, if (goneTomb) 1L else 0L,
           if (refused) 1L else 0L, afterDelete.size.toLong,

@@ -407,6 +407,56 @@ object GraftProcedures {
               .filter(_.nonEmpty))
           Seq(from, to)
         })
+      case "refresh_join" => new Proc("refresh_join",
+        "incrementally advance a JOIN view — dest holds " +
+          "query(fact, dim) keyed by the fact row identity 'key' " +
+          "('query' selects FROM __fact__ JOIN __dim__), maintained " +
+          "from BOTH changelogs: fact events name touched keys, dim " +
+          "events locate affected fact rows through the fk point " +
+          "read, the union re-derives against the pinned dim; one " +
+          "atomic commit carries both pins (src=vN;dim=vM)",
+        Seq(p("fact", StringType), p("dim", StringType),
+          p("dest", StringType), p("key", StringType),
+          p("fk", StringType), p("dim_key", StringType),
+          p("query", StringType)),
+        StructType(Seq(
+          StructField("fact_from", IntegerType, nullable = false),
+          StructField("fact_to", IntegerType, nullable = false),
+          StructField("dim_from", IntegerType, nullable = false),
+          StructField("dim_to", IntegerType, nullable = false))),
+        a => {
+          Seq(("dim", 1), ("dest", 2), ("key", 3), ("fk", 4),
+            ("dim_key", 5), ("query", 6)).foreach { case (n, i) =>
+            require(a(i) != null, s"'$n' is required") }
+          val q = a(6).asInstanceOf[String]
+          require(q.contains("__fact__") && q.contains("__dim__"),
+            "'query' must select FROM __fact__ JOIN __dim__ (the " +
+              "placeholders the engine binds to the touched fact " +
+              "slice and the pinned dim snapshot at each refresh)")
+          val t: (org.apache.spark.sql.DataFrame,
+              org.apache.spark.sql.DataFrame) =>
+              org.apache.spark.sql.DataFrame = (fdf, ddf) => {
+            val tag = java.util.UUID.randomUUID().toString
+              .replace("-", "")
+            val fv = "__graft_refresh_fact_" + tag
+            val dv = "__graft_refresh_dim_" + tag
+            fdf.createOrReplaceTempView(fv)
+            ddf.createOrReplaceTempView(dv)
+            // spark.sql resolves the views at ANALYSIS, so they are
+            // inlined into the returned plan and can drop immediately
+            try spark.sql(q.replace("__fact__", fv)
+              .replace("__dim__", dv))
+            finally {
+              spark.catalog.dropTempView(fv)
+              spark.catalog.dropTempView(dv)
+            }
+          }
+          val ((f1, t1), (f2, t2)) = DerivedTable.refreshJoin(spark,
+            dir(a(0)), dir(a(1)), dir(a(2)),
+            a(3).asInstanceOf[String], a(4).asInstanceOf[String],
+            a(5).asInstanceOf[String], t)
+          Seq(f1, t1, f2, t2)
+        })
       case "ingest_dedup" => new Proc("ingest_dedup",
         "the crawl-ingest loop from SQL: dedup the batch table's " +
           "(doc_id, text) rows against the persisted MinHash-LSH " +
@@ -483,6 +533,7 @@ object GraftProcedures {
     "create_tag", "create_branch", "fast_forward", "drop_branch",
     "set_spec", "collect_stats", "rewrite_zorder",
     "remove_orphan_files", "create_changelog_view", "add_files",
-    "clone_table", "refresh_derived", "refresh_agg", "refresh_mv",
+    "clone_table", "refresh_derived", "refresh_agg", "refresh_join",
+    "refresh_mv",
     "ingest_dedup", "ingest_vectors")
 }

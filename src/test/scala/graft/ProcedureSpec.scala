@@ -585,6 +585,42 @@ class ProcedureSpec extends SparkSpec {
       Seq(("a", 20L, 1L), ("c", 10L, 1L)))
   }
 
+  test("refresh_join: pure-SQL incremental join view over " +
+      "__fact__/__dim__ placeholders, both changelogs propagate") {
+    import spark.implicits._
+    val (fact, factAbs) = fresh("proc_jmv_fact")
+    val (dim, dimAbs) = fresh("proc_jmv_dim")
+    val (dst, dstAbs) = fresh("proc_jmv_dst")
+    Versioned.commit(Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("id", "fk", "v"), fact)
+    Versioned.commit(Seq(("a", "A!"), ("b", "B!")).toDF("dk", "label"),
+      dim)
+    def call() = spark.sql("CALL graft.system.refresh_join(" +
+      s"fact => '$factAbs', dim => '$dimAbs', dest => '$dstAbs', " +
+      "key => 'id', fk => 'fk', dim_key => 'dk', " +
+      "query => 'SELECT f.id, d.label, f.v FROM __fact__ f JOIN " +
+      "__dim__ d ON f.fk = d.dk')").head()
+    val boot = call()
+    assert(boot.toSeq == Seq(0, 1, 0, 1))
+    assert(Versioned.read(spark, dst).count() == 2)
+    // a fact insert AND a dim relabel advance in one call
+    Versioned.append(Seq((3L, "b", 30L)).toDF("id", "fk", "v"), fact)
+    Versioned.upsert(spark, dim,
+      Seq(("a", "A2")).toDF("dk", "label"), "dk")
+    val adv = call()
+    assert(adv.toSeq == Seq(1, 2, 1, 2))
+    val got = Versioned.read(spark, dst).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "A2"), (2L, "B!"), (3L, "B!")))
+    // the placeholder contract refuses a query missing either marker
+    val e = intercept[Exception](spark.sql(
+      "CALL graft.system.refresh_join(" +
+        s"fact => '$factAbs', dim => '$dimAbs', dest => '$dstAbs', " +
+        "key => 'id', fk => 'fk', dim_key => 'dk', " +
+        "query => 'SELECT 1')").collect())
+    assert(e.getMessage.contains("__fact__"))
+  }
+
   test("ingest_vectors: the vector crawl loop from pure SQL; " +
       "ingest_dedup allow_reingest replays idempotently") {
     import org.apache.spark.sql.functions._
