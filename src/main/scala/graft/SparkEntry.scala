@@ -1851,7 +1851,8 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS eq_multi,
                 CAST(1 AS BIGINT) AS spec_where,
                 CAST(1 AS BIGINT) AS stale_refused,
-                CAST(1 AS BIGINT) AS fresh_after""",
+                CAST(1 AS BIGINT) AS fresh_after,
+                CAST(1 AS BIGINT) AS auto_refreshed""",
     // q58: the join-view lifecycle's counts restate from the bounded
     // doc_id < 600 slice — the dim is the slice's DISTINCT sources,
     // the edit batch relabels min(source) and deletes max(source),

@@ -190,7 +190,9 @@ private[plans] object MetadataAggRule {
     // the MV staleness gate covers the scan-free path too: a bounded
     // stale view must refuse a sidecar-served COUNT(*) exactly like a
     // scan (both SQL spellings and the Dataset tag route land here);
-    // pinned historical aggregates are exempt like any pinned read
+    // pinned historical aggregates are exempt like any pinned read.
+    // mv.refresh-on-read already fired at catalog resolution, so
+    // `ver` is fresh on that path (this gate covers the race only).
     graft.sources.DerivedTable.requireFreshEnough(spark, dir,
       Some(ver))
     if (a.groupingExpressions.nonEmpty)

@@ -57,18 +57,21 @@ object MvDdl {
   private val CreateRe =
     ("(?is)\\s*CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
       s"(IF\\s+NOT\\s+EXISTS\\s+)?($Ident)\\s+(ROW\\s+)?KEY\\s*" +
-      "\\(\\s*([A-Za-z0-9_`]+)\\s*\\)\\s+AS\\s+(.+?)\\s*;?\\s*").r
+      "\\(\\s*([A-Za-z0-9_`]+)\\s*\\)\\s+" +
+      "(?:PARTITIONED\\s+BY\\s*\\(\\s*([A-Za-z0-9_`]+)\\s*\\)\\s+)?" +
+      "AS\\s+(.+?)\\s*;?\\s*").r
   private val DropRe =
     ("(?is)\\s*DROP\\s+MATERIALIZED\\s+VIEW\\s+" +
       s"(IF\\s+EXISTS\\s+)?($Ident)\\s*;?\\s*").r
 
   def parse(sqlText: String,
       delegate: ParserInterface): Option[LogicalPlan] = sqlText match {
-    case CreateRe(ine, tbl, rowKw, key, query) =>
+    case CreateRe(ine, tbl, rowKw, key, pcol, query) =>
       Some(CreateMaterializedViewCommand(
         delegate.parseMultipartIdentifier(tbl),
         ifNotExists = ine != null, rowKeySpelling = rowKw != null,
-        key.replace("`", ""), query.trim))
+        key.replace("`", ""), query.trim,
+        partitionCol = Option(pcol).map(_.replace("`", ""))))
     case DropRe(ife, tbl) =>
       Some(DropMaterializedViewCommand(
         delegate.parseMultipartIdentifier(tbl), ifExists = ife != null))
@@ -266,7 +269,8 @@ object MvDdl {
   * row (kind, from_version, to_version). */
 case class CreateMaterializedViewCommand(parts: Seq[String],
     ifNotExists: Boolean, rowKeySpelling: Boolean, key: String,
-    queryText: String) extends LeafRunnableCommand {
+    queryText: String,
+    partitionCol: Option[String] = None) extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.{IntegerType, StringType}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -357,6 +361,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       // standing table that is not yet (and can never become) a view
       val (from, to) = DerivedTable.refreshAgg(spark, srcDir, dstDir,
         key, gs, v, extrema = ext, where = where,
+        partitionCol = partitionCol,
         bootstrapProps = Map(
           DerivedTable.MvKindProp -> "agg",
           DerivedTable.MvSourceProp -> srcDir,
@@ -365,7 +370,8 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           DerivedTable.MvValueProp -> v,
           DerivedTable.MvExtremaProp -> ext.mkString(","),
           DerivedTable.MvQueryProp -> queryText) ++
-          where.map(DerivedTable.MvWhereProp -> _))
+          where.map(DerivedTable.MvWhereProp -> _) ++
+          partitionCol.map(DerivedTable.MvPartitionProp -> _))
       Seq(Row("agg", from, to))
     } else if (isJoinQuery) {
       require(!rowKeySpelling,
@@ -386,6 +392,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       val ((from, to), _) = DerivedTable.refreshJoin(spark, srcDir,
         dimDir, dstDir, key, fk, dk,
         DerivedTable.mvJoinTransform(spark, queryText),
+        partitionCol = partitionCol,
         bootstrapProps = Map(
           DerivedTable.MvKindProp -> "join",
           DerivedTable.MvSourceProp -> srcDir,
@@ -394,7 +401,8 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           DerivedTable.MvFkProp -> fk,
           DerivedTable.MvDimKeyProp -> dk,
           DerivedTable.MvJoinTypeProp -> jt,
-          DerivedTable.MvQueryProp -> queryText))
+          DerivedTable.MvQueryProp -> queryText) ++
+          partitionCol.map(DerivedTable.MvPartitionProp -> _))
       Seq(Row("join", from, to))
     } else {
       require(!rowKeySpelling,
@@ -412,11 +420,12 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       val t = DerivedTable.mvTransform(spark, queryText)
       // spec rides the bootstrap commit — see the agg branch
       val (from, to) = DerivedTable.refresh(spark, srcDir, dstDir,
-        key, t, bootstrapProps = Map(
+        key, t, partitionCol = partitionCol, bootstrapProps = Map(
           DerivedTable.MvKindProp -> "derived",
           DerivedTable.MvSourceProp -> srcDir,
           DerivedTable.MvKeyProp -> key,
-          DerivedTable.MvQueryProp -> queryText))
+          DerivedTable.MvQueryProp -> queryText) ++
+          partitionCol.map(DerivedTable.MvPartitionProp -> _))
       Seq(Row("derived", from, to))
     }
   }

@@ -176,6 +176,8 @@ case class RowLevelDmlRule(spark: SparkSession)
 case class GraftDeleteCommand(tableDir: String, tableName: String,
     cond: Option[Column]) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.DerivedTable.requireNotMv(spark, tableDir,
+      tableName, "DELETE")
     cond match {
       case Some(p) => Versioned.deleteWhere(spark, tableDir, p,
         note = Some(s"DELETE FROM $tableName"))
@@ -193,6 +195,8 @@ case class GraftUpdateCommand(tableDir: String, tableName: String,
     cond: Option[Column], set: Seq[(String, Column)])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.DerivedTable.requireNotMv(spark, tableDir,
+      tableName, "UPDATE")
     Versioned.updateWhere(spark, tableDir, cond.getOrElse(lit(true)),
       set, note = Some(s"UPDATE $tableName"))
     Seq.empty
@@ -211,6 +215,8 @@ case class GraftMergeCommand(tableDir: String, tableName: String,
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
+    graft.sources.DerivedTable.requireNotMv(spark, tableDir,
+      tableName, "MERGE")
     Versioned.mergeInto(spark, tableDir,
       SparkInternals.ofRows(spark, source), on, matched, notMatched,
       notMatchedBySource, note = Some(s"MERGE INTO $tableName"))

@@ -225,7 +225,11 @@ case class VersionedRelationRule(spark: SparkSession)
     // the single point every catalog READ expands through (refresh
     // itself reads by path and is exempt, or it could never catch
     // up; an explicit VERSION AS OF below the head is exempt too —
-    // the pinned snapshot is immutable)
+    // the pinned snapshot is immutable). mv.refresh-on-read fires at
+    // catalog RESOLUTION (GraftCatalog.load), so the version this
+    // expansion received is already fresh; this gate only covers the
+    // load-to-expansion race, where it refreshes for the NEXT read
+    // and lets the captured (one-commit-stale) snapshot serve.
     graft.sources.DerivedTable.requireFreshEnough(spark, t.tableDir,
       Some(t.snapshotVersion))
     val real = Versioned.read(spark, t.tableDir,

@@ -64,8 +64,15 @@ object DerivedTable {
   // user-settable staleness bound (ALTER TABLE SET TBLPROPERTIES):
   // catalog READS of the view refuse when the pin lags the source
   // head by more than this many source commits — see
-  // [[requireFreshEnough]]
+  // [[freshVersionForRead]]
   val MvMaxStalenessProp = "graft.mv.max-staleness-versions"
+  // 'true' flips the over-bound action from REFUSE to AUTO-REFRESH
+  // (the Iceberg MV spec's refresh-on-read option): the catalog read
+  // advances the view through [[refreshMv]] and serves the NEW head.
+  // max-staleness-versions=0 + refresh-on-read=true is the
+  // always-fresh spelling; within-bound reads stay cheap (no refresh)
+  val MvRefreshOnReadProp = "graft.mv.refresh-on-read"
+  val MvPartitionProp = "graft.mv.partition" // destination layout col
 
   /** Freshness state of a materialized view: (pinned source version,
     * source head version, lag). None when `dstDir` is not an MV. The
@@ -110,18 +117,25 @@ object DerivedTable {
     }
   }
 
-  // (dir → (view head version, parsed bound)) — non-MV and unbounded
-  // tables reduce to ONE head-version probe per read after first
-  // sight; any commit on the view (including the TBLPROPERTIES
-  // change that sets/unsets the bound) bumps the head and refills
+  // (dir → (view head version, RAW bound text, refresh-on-read)) —
+  // non-MV and unbounded tables reduce to ONE head-version probe per
+  // read after first sight; any commit on the view (including the
+  // TBLPROPERTIES change that sets/unsets the bound) bumps the head
+  // and refills. The bound memoizes UNPARSED: a malformed value must
+  // degrade to no-gate on the non-refusing resolution path (or a typo
+  // would brick even the corrective ALTER TABLE) and throw its parse
+  // error only where the gate is allowed to refuse.
   private val stalenessMemo = new java.util.concurrent
-    .ConcurrentHashMap[String, (Int, Option[Int])]()
+    .ConcurrentHashMap[String, (Int, Option[String], Boolean)]()
 
   /** The read-side staleness gate: a view carrying
     * [[MvMaxStalenessProp]] whose lag exceeds the bound REFUSES to
     * serve rather than silently returning stale rows (the Iceberg MV
-    * spec's freshness contract). No-op for plain tables and
-    * unbounded views (memoized — one version probe on the read
+    * spec's freshness contract) — unless [[MvRefreshOnReadProp]] is
+    * set, in which case the read AUTO-REFRESHES the view and serves
+    * the new head (the spec's other staleness action; the returned
+    * version is what the caller must expand). No-op for plain tables
+    * and unbounded views (memoized — one version probe on the read
     * path). `readVersion` is the snapshot the read pinned: an
     * explicit HISTORICAL read (VERSION AS OF / tag below the view
     * head) is exempt — the requested snapshot is immutable and was
@@ -129,43 +143,91 @@ object DerivedTable {
     * view whose head pin is buried (out-of-band edits) skips the
     * gate rather than bricking reads — the refresh machinery carries
     * its own louder refusal for that state. */
-  def requireFreshEnough(s: SparkSession, dstDir: String,
-      readVersion: Option[Int] = None): Unit = {
+  def freshVersionForRead(s: SparkSession, dstDir: String,
+      readVersion: Int, refuseWhenStale: Boolean = true): Int = {
     val head = Versioned.currentVersion(s, dstDir)
-    if (head == 0) return
+    if (head == 0) return readVersion
     val cached = stalenessMemo.get(dstDir)
-    val bound: Option[Int] =
-      if (cached != null && cached._1 == head) cached._2
+    val (rawBound: Option[String], refreshOnRead: Boolean) =
+      if (cached != null && cached._1 == head) (cached._2, cached._3)
       else {
         val props = Versioned.properties(s, dstDir)
-        val b = props.get(MvMaxStalenessProp)
-          .filter(_ => props.contains(MvKindProp))
-          .map { raw =>
-            try raw.trim.toInt catch {
-              case _: NumberFormatException =>
-                throw new IllegalArgumentException(
-                  s"$MvMaxStalenessProp must be an integer number " +
-                    s"of source versions, got '$raw'")
-            }
-          }
+        val isMv = props.contains(MvKindProp)
+        val b = props.get(MvMaxStalenessProp).filter(_ => isMv)
+        val ror = isMv && props.get(MvRefreshOnReadProp)
+          .exists(_.trim.equalsIgnoreCase("true"))
         if (stalenessMemo.size > 10000) stalenessMemo.clear()
-        stalenessMemo.put(dstDir, (head, b))
-        b
+        stalenessMemo.put(dstDir, (head, b, ror))
+        (b, ror)
       }
-    if (bound.isEmpty || readVersion.exists(_ < head)) return
+    if (rawBound.isEmpty || readVersion < head) return readVersion
+    val bound = rawBound.map { raw =>
+      try raw.trim.toInt catch {
+        case _: NumberFormatException =>
+          if (!refuseWhenStale) return readVersion // degrade at load
+          throw new IllegalArgumentException(
+            s"$MvMaxStalenessProp must be an integer number " +
+              s"of source versions, got '$raw'")
+      }
+    }
     // a join view is as stale as its MOST-lagging source (src or dim)
-    refreshLegs(s, dstDir, Versioned.properties(s, dstDir))
+    val worst = refreshLegs(s, dstDir, Versioned.properties(s, dstDir))
       .collect { case (k, Some((pin, srcHead, lag))) => (k, pin,
         srcHead, lag) }
-      .sortBy(-_._4).headOption.foreach { case (k, pin, srcHead, lag) =>
-        require(lag <= bound.get,
+      .sortBy(-_._4).headOption
+    worst match {
+      case Some((k, pin, srcHead, lag)) if lag > bound.get =>
+        if (refreshOnRead) {
+          // the read pays the refresh and serves the NEW head — the
+          // refresh is idempotent under concurrent readers (a
+          // no-op once the pin matches), and a refresh failure
+          // surfaces as this read's error, named by its own message
+          refreshMv(s, dstDir)
+          Versioned.currentVersion(s, dstDir)
+        } else if (!refuseWhenStale) readVersion
+        else throw new IllegalStateException(
           s"materialized view at $dstDir is $lag source version(s) " +
             s"behind (pinned $k=v$pin, source head v$srcHead), over " +
             s"its $MvMaxStalenessProp = ${bound.get} — CALL " +
-            s"graft.system.refresh_mv('$dstDir'), or raise/unset the " +
-            "property to read stale")
-      }
+            s"graft.system.refresh_mv('$dstDir'), set " +
+            s"$MvRefreshOnReadProp = true to refresh on read, or " +
+            "raise/unset the bound to read stale")
+      case _ => readVersion
+    }
   }
+
+  /** [[freshVersionForRead]] for callers that only need the gate's
+    * refusal side (no version to advance). */
+  def requireFreshEnough(s: SparkSession, dstDir: String,
+      readVersion: Option[Int] = None): Unit = {
+    freshVersionForRead(s, dstDir,
+      readVersion.getOrElse(Versioned.currentVersion(s, dstDir)))
+    ()
+  }
+
+  /** Refuse engine-level writes INTO a materialized view (SQL DML and
+    * INSERT lower through here): an out-of-band edit diverges the
+    * view from transform(source), which the NEXT refresh would refuse
+    * with a corrupt-pin audit — the eager refusal names the right fix
+    * instead. The path-based Scala API stays open: the refresh
+    * machinery itself writes through it. */
+  def requireNotMv(s: SparkSession, tableDir: String, name: String,
+      op: String): Unit =
+    require(!Versioned.properties(s, tableDir).contains(MvKindProp),
+      s"$name is a materialized view maintained from its source's " +
+        s"changelog — $op would diverge it from its definition (the " +
+        "next refresh refuses with a corrupt-pin error); edit the " +
+        "SOURCE table and CALL graft.system.refresh_mv, or DROP " +
+        "MATERIALIZED VIEW first")
+
+  /** A view's declared destination layout: PARTITIONED BY (c) is an
+    * identity transform on `c`, the same declared-spec channel as
+    * CREATE TABLE … PARTITIONED BY — currentTransform / DESCRIBE /
+    * SHOW PARTITIONS all see it, and every refresh commit re-declares
+    * it so the layout never silently decays to unpartitioned. */
+  private def layoutOf(partitionCol: Option[String])
+      : Option[Versioned.Transform] =
+    partitionCol.map(c => Versioned.Transform.Identity(c))
 
   /** The row-pure transform a DERIVED materialized view persists: the
     * stored query text re-parses at each refresh and its single table
@@ -230,10 +292,11 @@ object DerivedTable {
           "AS SELECT, or call refresh_derived/refresh_agg with an " +
           "explicit spec"))
     val src = props(MvSourceProp)
+    val pCol = props.get(MvPartitionProp).filter(_.nonEmpty)
     kind match {
       case "derived" =>
         val (f, t) = refresh(s, src, dstDir, props(MvKeyProp),
-          mvTransform(s, props(MvQueryProp)))
+          mvTransform(s, props(MvQueryProp)), partitionCol = pCol)
         ("derived", f, t)
       case "agg" =>
         val ext = props.get(MvExtremaProp).toSeq.flatMap(_.split(","))
@@ -242,14 +305,15 @@ object DerivedTable {
           .filter(_.nonEmpty).toSeq
         val (f, t) = refreshAgg(s, src, dstDir, props(MvRowKeyProp),
           groups, props(MvValueProp), extrema = ext,
-          where = props.get(MvWhereProp).filter(_.nonEmpty))
+          where = props.get(MvWhereProp).filter(_.nonEmpty),
+          partitionCol = pCol)
         ("agg", f, t)
       case "join" =>
         // the refresh reports the FACT range (the stream side); a
         // dim-only delta shows (factTo, factTo) but still republishes
         val ((f, t), _) = refreshJoin(s, src, props(MvDimProp), dstDir,
           props(MvKeyProp), props(MvFkProp), props(MvDimKeyProp),
-          mvJoinTransform(s, props(MvQueryProp)))
+          mvJoinTransform(s, props(MvQueryProp)), partitionCol = pCol)
         ("join", f, t)
       case other => throw new IllegalStateException(
         s"unknown $MvKindProp '$other' at $dstDir")
@@ -330,8 +394,9 @@ object DerivedTable {
       // bootstrapProps ride THIS commit (CREATE MATERIALIZED VIEW's
       // spec persistence): one atomic publish carries data, pin, and
       // spec — no window where the table exists without its identity
-      Versioned.commit(full, dstDir, partitionCol,
+      Versioned.commit(full, dstDir,
         note = Some(s"src=v$to"), statsCols = Seq(key),
+        transform = layoutOf(partitionCol),
         props = Some(bootstrapProps).filter(_.nonEmpty))
       return (0, to)
     }
@@ -375,7 +440,8 @@ object DerivedTable {
       // which is safe (upsert-by-key and delete-by-key are
       // idempotent) and O(that range's deltas), not a recompute.
       Versioned.applyChanges(s, dstDir, upserts = transformed,
-        deleteKeys = dels, key = key, partitionCol = partitionCol,
+        deleteKeys = dels, key = key,
+        transform = layoutOf(partitionCol),
         statsCols = Seq(key), note = Some(s"src=v$to"))
     } finally last.unpersist(blocking = false)
     (from, to)
@@ -426,6 +492,7 @@ object DerivedTable {
       dstDir: String, key: String, fkCol: String, dimKey: String,
       transform: (DataFrame, DataFrame) => DataFrame,
       maxTouchedKeys: Int = 100000,
+      partitionCol: Option[String] = None,
       bootstrapProps: Map[String, String] = Map.empty)
       : ((Int, Int), (Int, Int)) = {
     val to1 = Versioned.currentVersion(s, factDir)
@@ -448,7 +515,7 @@ object DerivedTable {
       require(full.columns.contains(key),
         s"the join-view query must preserve the key column '$key'")
       Versioned.commit(full, dstDir, note = Some(note),
-        statsCols = Seq(key),
+        statsCols = Seq(key), transform = layoutOf(partitionCol),
         props = Some(bootstrapProps).filter(_.nonEmpty))
       return ((0, to1), (0, to2))
     }
@@ -549,8 +616,9 @@ object DerivedTable {
         val dels = kDf.join(newRows.select(col(key)), Seq(key),
           "left_anti")
         Versioned.applyChanges(s, dstDir, upserts = newRows,
-          deleteKeys = dels, key = key, statsCols = Seq(key),
-          note = Some(note))
+          deleteKeys = dels, key = key,
+          transform = layoutOf(partitionCol),
+          statsCols = Seq(key), note = Some(note))
       } finally kDf.unpersist(blocking = false)
     } finally tdDf.unpersist(blocking = false)
     ((from1, to1), (from2, to2))
@@ -619,9 +687,17 @@ object DerivedTable {
       maxTouchedKeys: Int = 100000,
       extrema: Seq[String] = Nil,
       where: Option[String] = None,
+      partitionCol: Option[String] = None,
       bootstrapProps: Map[String, String] = Map.empty): (Int, Int) = {
     require(groupCols.nonEmpty, "refreshAgg needs at least one group " +
       "column")
+    // the destination's rows are one-per-group, so only a GROUP
+    // column is a meaningful layout key (a value column would need
+    // rewrites to move rows between partitions on every patch)
+    partitionCol.foreach(c => require(groupCols.contains(c),
+      s"partition column '$c' must be one of the group columns " +
+        s"(${groupCols.mkString(", ")}) — the view stores one row " +
+        "per group"))
     // the WHERE predicate applies to every snapshot-side read — the
     // bootstrap scan, both pinned touched-row reads, and the extrema
     // recompute — so the delta algebra runs on the FILTERED stream
@@ -688,6 +764,7 @@ object DerivedTable {
             "coalesce the group columns before aggregating")
         Versioned.commit(full, dstDir,
           note = Some(s"src=v$to"), statsCols = Seq(groupCols.head),
+          transform = layoutOf(partitionCol),
           props = Some(bootstrapProps).filter(_.nonEmpty))
       } finally full.unpersist(blocking = false)
       return (0, to)
@@ -707,7 +784,8 @@ object DerivedTable {
     val touchedDf = events.select(col(rowKey)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try refreshAggOver(s, srcDir, dstDir, rowKey, groupCols, valueCol,
-      maxTouchedKeys, extrema, filtered, from, to, touchedDf)
+      maxTouchedKeys, extrema, filtered, from, to, touchedDf,
+      partitionCol)
     finally touchedDf.unpersist(blocking = false)
   }
 
@@ -715,7 +793,8 @@ object DerivedTable {
       dstDir: String, rowKey: String, groupCols: Seq[String],
       valueCol: String, maxTouchedKeys: Int, extrema: Seq[String],
       filtered: DataFrame => DataFrame,
-      from: Int, to: Int, touchedDf: DataFrame): (Int, Int) = {
+      from: Int, to: Int, touchedDf: DataFrame,
+      partitionCol: Option[String] = None): (Int, Int) = {
     val sumCol = s"sum_$valueCol"
     val cntCol = s"cnt_$valueCol"
     val gCols = groupCols.map(col)
@@ -872,6 +951,7 @@ object DerivedTable {
           .select(gCols: _*)
         Versioned.applyChangesKeys(s, dstDir, upserts = upserts,
           deleteKeys = dels, keyCols = groupCols,
+          transform = layoutOf(partitionCol),
           statsCols = Seq(groupCols.head), note = Some(s"src=v$to"))
       } finally {
         if (extJoined != null) extJoined.unpersist(blocking = false)
@@ -1055,8 +1135,9 @@ object DerivedTable {
   /** Driver-visible gate (q57): the round-16 MV surface — a FILTERED
     * aggregate view (WHERE under GROUP BY, the single most common MV
     * in practice), a MULTI-COLUMN group tuple, and the staleness
-    * contract (`mv.max-staleness-versions` refuses a stale read,
-    * refresh clears it), all spelled in pure SQL. Both views advance
+    * contract with BOTH actions (`mv.max-staleness-versions` refuses
+    * a stale read, refresh clears it; `mv.refresh-on-read` makes the
+    * read advance the view itself), all spelled in pure SQL. Both views advance
     * through a source append and equal their full recomputes; every
     * count reduces to a fixture constant DuckDB restates over the
     * bounded doc_id < 600 slice (boundary-crossing edits are pinned
@@ -1130,14 +1211,24 @@ object DerivedTable {
     s.sql(s"CALL graft.system.refresh_mv('$fmv')")
     val freshAfter = scala.util.Try(
       s.sql(s"SELECT count(*) FROM graft.`$fmv`").collect()).isSuccess
+    // the OTHER staleness action: opt into refresh-on-read, go stale
+    // again (metadata-only head bump), and the next catalog read
+    // advances the view ITSELF — served fresh, pin caught up, no
+    // manual refresh
+    s.sql(s"ALTER TABLE graft.`$fmv` SET TBLPROPERTIES " +
+      s"('$MvRefreshOnReadProp'='true')")
+    Versioned.commitNote(s, src, "audit-marker-2")
+    val autoRefreshed = scala.util.Try(
+      s.sql(s"SELECT count(*) FROM graft.`$fmv`").collect()).isSuccess &&
+      refreshState(s, fmv).exists(_._3 == 0)
     import s.implicits._
     Seq((f.getLong(0), f.getLong(1), m.getLong(0), m.getLong(1),
         if (eqF) 1L else 0L, if (eqM) 1L else 0L,
         if (specWhere) 1L else 0L, if (staleRefused) 1L else 0L,
-        if (freshAfter) 1L else 0L))
+        if (freshAfter) 1L else 0L, if (autoRefreshed) 1L else 0L))
       .toDF("groups_f", "sum_f", "groups_m", "rows_m",
         "eq_filtered", "eq_multi", "spec_where", "stale_refused",
-        "fresh_after")
+        "fresh_after", "auto_refreshed")
   }
 
   /** Driver-visible gate (q58): the JOIN materialized view and MV

@@ -134,6 +134,9 @@ private final class GraftWriteBuilder(tableDir: String,
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ignored: Boolean): Unit = {
+          DerivedTable.requireNotMv(data.sparkSession, tableDir,
+            displayName,
+            if (overwrite) "INSERT OVERWRITE" else "INSERT INTO")
           if (overwrite) {
             // INSERT OVERWRITE truncates DATA, not table properties:
             // the fresh full snapshot re-declares the current spec
@@ -371,7 +374,20 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
       return metaLoad(ident, version).getOrElse(
         throw new NoSuchTableException(ident.namespace :+ ident.name))
     val dir = dirOf(ident)
-    val v = version.getOrElse(cur)
+    // mv.refresh-on-read fires HERE, at resolution: a head read of a
+    // stale-beyond-bound view that opted in advances the view first
+    // and captures the NEW head, so every expansion of this query
+    // reads one consistent, already-fresh snapshot and the analyzer
+    // gates stay side-effect-free (they only refuse). Explicit
+    // VERSION/TIMESTAMP AS OF reads are exempt — pinned snapshots
+    // are immutable. Without the opt-in this NEVER throws
+    // (refuseWhenStale = false): metadata surfaces like SHOW
+    // TBLPROPERTIES resolve through here and must keep serving a
+    // stale view — that is how one diagnoses it; only the scan
+    // expansion refuses. Memoized: a non-MV or unbounded table costs
+    // one head probe after first sight.
+    val v = version.getOrElse(DerivedTable.freshVersionForRead(
+      spark, dir, cur, refuseWhenStale = false))
     val vs = Versioned.versions(spark, dir)
     require(vs.contains(v),
       s"version $v of ${display(ident)} is not retained " +

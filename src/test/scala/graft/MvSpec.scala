@@ -332,6 +332,83 @@ class MvSpec extends SparkSpec {
       s"KEY (id) AS SELECT id FROM graft.`$src2`", "already exists")
   }
 
+  test("MV PARTITIONED BY declares the destination layout; " +
+      "mv.refresh-on-read turns an over-bound read into an " +
+      "auto-refresh") {
+    val src = fresh("mvp_src")
+    val dst = fresh("mvp_dst")
+    Versioned.commit((1L to 40L).map(i => (i, s"s${i % 4}", i))
+      .toDF("id", "g", "v"), src)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` KEY (id) " +
+      s"PARTITIONED BY (g) AS SELECT id, g, v * 2 AS w " +
+      s"FROM graft.`$src`")
+    // the layout is real (a declared identity transform on g) and
+    // the spec travels in the properties
+    assert(Versioned.currentTransform(spark, dst)
+      .contains(Versioned.Transform.Identity("g")))
+    assert(Versioned.properties(spark, dst)
+      .get(DerivedTable.MvPartitionProp).contains("g"))
+    // refresh keeps the layout and the content
+    Versioned.append(Seq((41L, "s1", 100L)).toDF("id", "g", "v"), src)
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(Versioned.currentTransform(spark, dst)
+      .contains(Versioned.Transform.Identity("g")))
+    assert(spark.sql(s"SELECT w FROM graft.`$dst` WHERE id = 41")
+      .head().getLong(0) == 200L)
+    // refresh-on-read: bounded at lag 0 with the auto-refresh opt-in,
+    // a post-append read REFRESHES (at resolution) instead of
+    // refusing — and serves the fresh rows
+    spark.sql(s"ALTER TABLE graft.`$dst` SET TBLPROPERTIES " +
+      s"('${DerivedTable.MvMaxStalenessProp}'='0', " +
+      s"'${DerivedTable.MvRefreshOnReadProp}'='true')")
+    Versioned.append(Seq((42L, "s2", 7L)).toDF("id", "g", "v"), src)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dst`")
+      .head().getLong(0) == 42L)
+    // the refresh actually committed: the pin matches the source head
+    val st = DerivedTable.refreshState(spark, dst)
+    assert(st.exists(_._3 == 0))
+    // an agg view refuses a non-group partition column eagerly
+    val adst = fresh("mvp_adst")
+    val e = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$adst` ROW KEY (id) " +
+        s"PARTITIONED BY (v) AS SELECT g, sum(v) AS sum_v, " +
+        s"count(v) AS cnt_v, count(*) AS n_rows FROM graft.`$src` " +
+        "GROUP BY g"))
+    assert(e.getMessage.contains("group columns"))
+  }
+
+  test("materialized views refuse engine-level writes: DML and " +
+      "INSERT name the source-edit fix instead of diverging the view") {
+    val src = fresh("mvro_src")
+    val dst = fresh("mvro_dst")
+    Versioned.commit((1L to 6L).map(i => (i, i * 10L))
+      .toDF("id", "n"), src)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` KEY (id) " +
+      s"AS SELECT id, n * 2 AS w FROM graft.`$src`")
+    def refuse(sql: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      assert(e.getMessage.contains("materialized view") &&
+        e.getMessage.contains("refresh_mv"),
+        s"expected the MV write refusal in: ${e.getMessage.take(300)}")
+    }
+    refuse(s"DELETE FROM graft.`$dst` WHERE id = 1")
+    refuse(s"UPDATE graft.`$dst` SET w = 0 WHERE id = 1")
+    refuse(s"MERGE INTO graft.`$dst` t USING graft.`$src` s " +
+      "ON t.id = s.id WHEN MATCHED THEN DELETE")
+    refuse(s"INSERT INTO graft.`$dst` VALUES (99, 0)")
+    // the view still serves and still refreshes — the guard fired
+    // BEFORE any write landed
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dst`")
+      .head().getLong(0) == 6L)
+    spark.sql(s"DELETE FROM graft.`$src` WHERE id = 6")
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dst`")
+      .head().getLong(0) == 5L)
+    // and the SOURCE (a plain table) of course still takes DML —
+    // the guard keys on the MV spec, not on being graft-cataloged
+    spark.sql(s"UPDATE graft.`$src` SET n = 1 WHERE id = 1")
+  }
+
   test("join MV: a fact⋈dim enrichment view maintained from BOTH " +
       "changelogs — fact deltas, fk migration, dim relabels and " +
       "dim-key deletes") {
