@@ -162,6 +162,10 @@ object SparkEntry {
     // Dedup-index DELETE lifecycle (d11): takedowns tombstone, stop
     // matching immediately, compact applies, the freed id re-ingests.
     "d11_dedup_index_deletes" -> (Dedup.dedupIndexDeletesGate _),
+    // Cross-engine dedup-index export (d12): DuckDB re-runs the
+    // within-corpus near-dup probe (band join + matching-minima
+    // estimate) from the exported band + signature bytes alone.
+    "d12_dedup_index_export" -> (Dedup.dedupIndexExportGate _),
     "d03_simhash"         -> (Dedup.simhashPairs _),
     "d04_embedding_neardup" -> (Dedup.embeddingNearDup _),
     "d05_embedding_lsh"     -> ((s, d) => Dedup.embeddingNearDupLsh(s, d)),
@@ -1881,7 +1885,44 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS eq_v3,
                 CAST(1 AS BIGINT) AS eq_gold""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle ++
-    int8IndexExportOracle
+    int8IndexExportOracle ++ dedupIndexExportOracle
+
+  /** d12's oracle re-runs the dedup probe from the exported index
+    * bytes alone: candidates from a band self-join over the exported
+    * band partition files (`hive_partitioning` recovers `band` from
+    * the path — the candidate-routing metadata), the estimate as
+    * matching minima / perms over the pinned signature files — the
+    * same arithmetic as the engine's zip_with verify, exact in both
+    * (integer count / 128 has no float drift). */
+  private def dedupIndexExportOracle: Map[String, String] =
+    Dedup.lastDedupIndexExport.map { case (bands, sigs) =>
+      def files(fs: Seq[String]) =
+        fs.map(f => s"'$f'").mkString("[", ", ", "]")
+      val perms = Dedup.NumPerms
+      "d12_dedup_index_export" ->
+        s"""WITH cand AS (SELECT DISTINCT a.doc_id AS a_id,
+                    b.doc_id AS b_id
+               FROM read_parquet(${files(bands)},
+                                 hive_partitioning = true) a
+               JOIN read_parquet(${files(bands)},
+                                 hive_partitioning = true) b
+                 ON a.band = b.band AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id),
+             sg AS (SELECT doc_id, sig
+                    FROM read_parquet(${files(sigs)})),
+             est AS (SELECT a_id, b_id,
+                   list_sum(list_transform(range(1, $perms + 1),
+                     i -> CASE WHEN sa.sig[i] = sb.sig[i]
+                          THEN 1 ELSE 0 END)) / $perms.0
+                     AS est_jaccard
+                 FROM cand JOIN sg sa ON sa.doc_id = cand.a_id
+                           JOIN sg sb ON sb.doc_id = cand.b_id)
+           SELECT a_id, b_id, est_jaccard,
+                  CAST(1 AS BIGINT) AS refused_tombs,
+                  CAST(1 AS BIGINT) AS refused_unpinned
+           FROM est WHERE est_jaccard >= 0.5
+           ORDER BY a_id, b_id"""
+    }.toMap
 
   /** q47's oracle aggregates the graft table's OWN data files — the
     * literal `read_parquet([...])` list resolved by the exportGate run

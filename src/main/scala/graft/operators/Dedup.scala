@@ -1074,6 +1074,130 @@ object Dedup {
     * restates independently (the d10 precedent: LSH recall plus the
     * ≥9σ signature margin make the approximate pipeline reproduce
     * the exact answer). */
+  /** Within-index near-dup pairs from the STORED sketches alone — the
+    * "what duplicates already live in my corpus" audit at index cost:
+    * candidate pairs come from a band self-join on the partitioned
+    * bands table (partition-local on `band`, O(bucket collisions),
+    * never all-pairs), verification point-reads only the candidates'
+    * signature rows from the pinned sibling, and live tombstones drop
+    * out before candidate generation. No document is re-read or
+    * re-sketched. Returns (a_id < b_id, est_jaccard >= minJ). */
+  def selfPairsInIndex(s: SparkSession, indexDir: String,
+      minJ: Double = 0.5): DataFrame = {
+    require(Versioned.currentVersion(s, indexDir) > 0,
+      s"$indexDir is not a built dedup index (buildDedupIndex first)")
+    val live = Versioned.read(s, indexDir)
+      .join(broadcast(dedupTombs(s, indexDir)), Seq("doc_id"),
+        "left_anti")
+    val cands = live.as("x").join(live.as("y"),
+        col("x.band") === col("y.band") &&
+          col("x.band_hash") === col("y.band_hash") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    val ids = cands.select(col("a_id").as("doc_id"))
+      .unionByName(cands.select(col("b_id").as("doc_id"))).distinct()
+    val candSigs = Versioned.read(s, dedupSigsDir(indexDir),
+        dedupSigsPin(s, indexDir))
+      .join(ids, Seq("doc_id"), "left_semi")
+    cands
+      .join(candSigs.select(col("doc_id").as("a_id"),
+        col("sig").as("a_sig")), Seq("a_id"))
+      .join(candSigs.select(col("doc_id").as("b_id"),
+        col("sig").as("b_sig")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (aggregate(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") /
+          NumPerms.toDouble).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJ)
+  }
+
+  /** CROSS-ENGINE dedup-index export — the fourth member of the
+    * export family (text q50, IVF-PQ q51, int8-IVF q56): the band
+    * table's live files (hive `band=` partitions preserved — the
+    * candidate-routing metadata) plus the PINNED signature files,
+    * from which a second engine re-runs the whole near-dup probe —
+    * band equi-join for candidates, matching-minima / perms for the
+    * estimate — with no access to the corpus or to Spark. Refusals
+    * mirror the family's: an unpinned bands table is not an index,
+    * a torn pin is broken maintenance, and live tombstones would
+    * resurrect taken-down documents in a raw-file read (compact
+    * first). Returns (bands files, sigs files). */
+  def exportDedupIndex(s: SparkSession,
+      indexDir: String): (Seq[String], Seq[String]) = {
+    val pin = dedupSigsPin(s, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"cannot export dedup index at $indexDir: head commit " +
+          "carries no sigs=v pin — not a built dedup index " +
+          "(buildDedupIndex first)"))
+    val sigsHead = Versioned.currentVersion(s, dedupSigsDir(indexDir))
+    if (pin > sigsHead) throw new IllegalStateException(
+      s"cannot export dedup index at $indexDir: bands pin sigs=v$pin " +
+        s"but the sigs table head is v$sigsHead — torn maintenance; " +
+        "rebuild or re-append to restore the pair")
+    if (!dedupTombs(s, indexDir).isEmpty)
+      throw new IllegalStateException(
+        s"cannot export dedup index at $indexDir: live tombstones " +
+          "would resurrect taken-down documents in a raw-file read " +
+          "— compactDedupIndex first")
+    val bands = Versioned.exportSnapshot(s, indexDir,
+      hivePartitions = true)
+    val sigs = Versioned.exportSnapshot(s, dedupSigsDir(indexDir),
+      Some(pin))
+    (bands, sigs)
+  }
+
+  /** File lists resolved by the LAST [[dedupIndexExportGate]] run in
+    * this JVM — SparkEntry.oracleSql embeds them literally into the
+    * d12 DuckDB oracle (the q50/q51 discipline: Verify runs every
+    * query before dumping oracle SQL, so a driver pass always sees
+    * them populated; a standalone dump omits the entry → rows-only). */
+  @volatile private[graft] var lastDedupIndexExport
+      : Option[(Seq[String], Seq[String])] = None
+
+  /** Driver-visible gate (d12): CROSS-ENGINE dedup-index reads. The
+    * Spark side lists the index's within-corpus near-dup pairs
+    * ([[selfPairsInIndex]] — stored sketches only); the DuckDB side
+    * re-runs the SAME probe from the exported bytes alone:
+    * `read_parquet` over the band partition files for candidates and
+    * the pinned signature files for the matching-minima estimate. A
+    * hash match proves the dedup-index layout is engine-portable.
+    * The index spans a build plus an O(delta) append (two versions,
+    * not a single-commit special case) and a takedown applied by
+    * compaction — so the export carries maintenance history, and the
+    * deleted document is absent from BOTH engines' answers. Work dir
+    * intentionally outlives the gate — the driver's DuckDB pass
+    * reads the exported files after this JVM exits. */
+  def dedupIndexExportGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-dedup-export-gate")
+    val idx = work.resolve("lsh").toString
+    val all = docs(s, d)
+    graft.sources.FixturePool.cloneTo(s"dedup-base300:$d", idx)(
+      dir => buildDedupIndexOf(all.filter(col("doc_id") < 300), dir))
+    appendToDedupIndex(s,
+      all.filter(col("doc_id") >= 300 && col("doc_id") < 420), idx)
+    // a live takedown must refuse the export; compaction applies it
+    // and unblocks — the deleted doc leaves the exported bytes
+    deleteFromDedupIndex(s,
+      all.filter(col("doc_id") === 2L).select(col("doc_id")), idx)
+    val refusedTombs =
+      scala.util.Try(exportDedupIndex(s, idx)).isFailure
+    compactDedupIndex(s, idx)
+    // bands-shaped bytes WITHOUT a sigs pin must not export
+    val bogus = work.resolve("bogus").toString
+    Versioned.commit(Versioned.read(s, idx).limit(2), bogus)
+    val refusedUnpinned =
+      scala.util.Try(exportDedupIndex(s, bogus)).isFailure
+    lastDedupIndexExport = Some(exportDedupIndex(s, idx))
+    selfPairsInIndex(s, idx)
+      .withColumn("refused_tombs", lit(if (refusedTombs) 1L else 0L))
+      .withColumn("refused_unpinned",
+        lit(if (refusedUnpinned) 1L else 0L))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def dedupIndexDeletesGate(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files
       .createTempDirectory("graft-dedup-del-gate")

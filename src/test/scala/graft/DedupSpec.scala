@@ -371,4 +371,43 @@ class DedupSpec extends SparkSpec {
     assert(r.head.getLong(0) == 1L && r.head.getLong(1) == 1L)
     spark.catalog.clearCache()
   }
+
+  test("selfPairsInIndex audits stored duplicates from sketches " +
+      "alone; export refuses live tombstones, then round-trips") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val idx = "target/tmp/dedup-self"
+    Seq(idx, s"$idx.sigs", s"$idx.tombs").foreach(p =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p)))
+    // two exact twins (1,2) and one unrelated doc
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta"
+    Dedup.buildDedupIndexOf(Seq(
+      (1L, t1), (2L, t1),
+      (3L, "one two three four five six seven eight nine"))
+      .toDF("doc_id", "text"), idx)
+    val p1 = Dedup.selfPairsInIndex(spark, idx).collect()
+    assert(p1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L)))
+    assert(p1.head.getDouble(2) == 1.0) // identical sketches
+    // a takedown leaves the audit IMMEDIATELY (tombstone, pre-compact)
+    Dedup.deleteFromDedupIndex(spark, Seq(2L).toDF("doc_id"), idx)
+    assert(Dedup.selfPairsInIndex(spark, idx).isEmpty)
+    // ...and blocks the export until compaction applies it
+    val e = intercept[Exception](Dedup.exportDedupIndex(spark, idx))
+    assert(e.getMessage.contains("compactDedupIndex"))
+    Dedup.compactDedupIndex(spark, idx)
+    val (bands, sigs) = Dedup.exportDedupIndex(spark, idx)
+    assert(bands.nonEmpty && sigs.nonEmpty)
+    // the exported bytes alone reproduce the audit: raw parquet
+    // reads, no index machinery
+    val exBands = spark.read.parquet(bands: _*)
+    val exSigs = spark.read.parquet(sigs: _*)
+    assert(exSigs.select("doc_id").distinct().count() == 2) // 2 gone
+    val cand = exBands.as("x").join(exBands.as("y"),
+        $"x.band_hash" === $"y.band_hash" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id", $"y.doc_id").distinct().count()
+    assert(cand == 0) // the surviving pair partner was taken down
+    spark.catalog.clearCache()
+  }
 }
