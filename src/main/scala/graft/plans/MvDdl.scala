@@ -23,7 +23,7 @@ import graft.sources.{DerivedTable, GraftCatalog, Versioned}
   *     AS SELECT …row-pure… FROM src [WHERE …]
   *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv KEY (k)
   *     AS SELECT … FROM fact f [LEFT] JOIN dim d ON f.fk = d.dk
-  *        [WHERE …]
+  *        [AND f.fk2 = d.dk2 …] [WHERE …]
   *   CREATE MATERIALIZED VIEW [IF NOT EXISTS] mv ROW KEY (id)
   *     AS SELECT g, sum(v) AS sum_v, count(v) AS cnt_v,
   *               count(*) AS n_rows[, min(c) AS min_c, max(c) AS max_c]
@@ -42,9 +42,10 @@ import graft.sources.{DerivedTable, GraftCatalog, Versioned}
   * delta-maintainable aggregate shape EXACTLY (the stored schema of
   * [[DerivedTable.refreshAgg]], canonical aliases and order) and
   * names the SOURCE row identity via ROW KEY; a two-table query must
-  * be the N:1 equi-join shape (fact first, one qualified equality,
-  * INNER or LEFT OUTER — [[DerivedTable.refreshJoin]] maintains it
-  * from BOTH sides' changelogs); anything else must be row-pure —
+  * be the N:1 equi-join shape (fact first, qualified equalities —
+  * one or an AND of several, the composite join key — INNER or LEFT
+  * OUTER; [[DerivedTable.refreshJoinKeys]] maintains it from BOTH
+  * sides' changelogs); anything else must be row-pure —
   * SELECT/WHERE over ONE table, no windows, subqueries, DISTINCT,
   * LIMIT or ORDER BY, because none of those propagate per-key
   * deltas. Every refusal states its contract. */
@@ -209,18 +210,22 @@ object MvDdl {
   private[plans] val JoinShapeMsg =
     "a join materialized view must be SELECT … FROM <fact> " +
       "[INNER|LEFT [OUTER]] JOIN <dim> ON <fact>.<fk> = <dim>.<dk> " +
-      "[WHERE …] — exactly two distinct tables (the FIRST is the " +
-      "fact whose KEY names the row identity), one equality " +
-      "condition with both sides qualified, no other join types, " +
-      "windows, subqueries, DISTINCT, LIMIT or ORDER BY"
+      "[AND <fact>.<fk2> = <dim>.<dk2> …] [WHERE …] — exactly two " +
+      "distinct tables (the FIRST is the fact whose KEY names the " +
+      "row identity), equality conditions with both sides " +
+      "qualified, no other join types, windows, subqueries, " +
+      "DISTINCT, LIMIT or ORDER BY"
 
   /** Match the parsed query against the delta-maintainable join
-    * shape and extract (fact-side fk column, dim-side key column,
-    * join type string). The FIRST relation in the FROM clause is the
-    * fact; its alias (or table name's last part) must qualify the
-    * fk side of the ON condition. None for any other shape. */
+    * shape and extract (fact-side fk columns, dim-side key columns —
+    * aligned by position — and the join type string). The FIRST
+    * relation in the FROM clause is the fact; its alias (or table
+    * name's last part) must qualify the fk side of every equality.
+    * The ON condition is one equality or an AND of equalities
+    * (composite join key). None for any other shape. */
   def joinShapeOf(p: LogicalPlan):
-      Option[(String, String, String)] = {
+      Option[(Seq[String], Seq[String], String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
     val joins = p.collect { case j: Join => j }
     if (joins.length != 1) return None
     val j = joins.head
@@ -247,19 +252,28 @@ object MvDdl {
       case (Some(f), Some(d)) if f != d => (f, d)
       case _ => return None
     }
-    j.condition match {
-      case Some(org.apache.spark.sql.catalyst.expressions.EqualTo(
-          a: UnresolvedAttribute, b: UnresolvedAttribute))
+    // flatten `a AND b AND …` into the equality list
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions
+        .Expression): Seq[org.apache.spark.sql.catalyst.expressions
+        .Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val pairs = j.condition.toSeq.flatMap(conjuncts).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
           if a.nameParts.length == 2 && b.nameParts.length == 2 =>
         val sides = Map(a.nameParts.head -> a.nameParts.last,
           b.nameParts.head -> b.nameParts.last)
-        for {
+        (for {
           fk <- sides.get(factAlias)
           dk <- sides.get(dimAlias)
           if sides.size == 2
-        } yield (fk, dk, jt)
-      case _ => None
+        } yield (fk, dk)).getOrElse(return None)
+      case _ => return None
     }
+    if (pairs.isEmpty || pairs.map(_._1).distinct.length != pairs.length)
+      return None
+    Some((pairs.map(_._1), pairs.map(_._2), jt))
   }
 }
 
@@ -377,20 +391,20 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       require(!rowKeySpelling,
         "ROW KEY is the aggregate-view spelling; a join view takes " +
           "KEY (<fact key column>)")
-      val (fk, dk, jt) = MvDdl.joinShapeOf(parsed).getOrElse(
+      val (fks, dks, jt) = MvDdl.joinShapeOf(parsed).getOrElse(
         throw new UnsupportedOperationException(MvDdl.JoinShapeMsg))
       val dimDir = GraftDdl.tableDir(spark,
         rels(1).multipartIdentifier, "CREATE MATERIALIZED VIEW dim")
       val dimCols = Versioned.read(spark, dimDir).columns.toSet
-      require(srcCols.contains(fk),
+      fks.foreach(fk => require(srcCols.contains(fk),
         s"join column '$fk' is not in the fact table " +
-          s"(has: ${srcCols.toSeq.sorted.mkString(", ")})")
-      require(dimCols.contains(dk),
+          s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
+      dks.foreach(dk => require(dimCols.contains(dk),
         s"join column '$dk' is not in the dim table " +
-          s"(has: ${dimCols.toSeq.sorted.mkString(", ")})")
+          s"(has: ${dimCols.toSeq.sorted.mkString(", ")})"))
       // spec rides the bootstrap commit — see the agg branch
-      val ((from, to), _) = DerivedTable.refreshJoin(spark, srcDir,
-        dimDir, dstDir, key, fk, dk,
+      val ((from, to), _) = DerivedTable.refreshJoinKeys(spark, srcDir,
+        dimDir, dstDir, key, fks, dks,
         DerivedTable.mvJoinTransform(spark, queryText),
         partitionCol = partitionCol,
         bootstrapProps = Map(
@@ -398,8 +412,8 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           DerivedTable.MvSourceProp -> srcDir,
           DerivedTable.MvDimProp -> dimDir,
           DerivedTable.MvKeyProp -> key,
-          DerivedTable.MvFkProp -> fk,
-          DerivedTable.MvDimKeyProp -> dk,
+          DerivedTable.MvFkProp -> fks.mkString(","),
+          DerivedTable.MvDimKeyProp -> dks.mkString(","),
           DerivedTable.MvJoinTypeProp -> jt,
           DerivedTable.MvQueryProp -> queryText) ++
           partitionCol.map(DerivedTable.MvPartitionProp -> _))

@@ -311,8 +311,11 @@ object DerivedTable {
       case "join" =>
         // the refresh reports the FACT range (the stream side); a
         // dim-only delta shows (factTo, factTo) but still republishes
-        val ((f, t), _) = refreshJoin(s, src, props(MvDimProp), dstDir,
-          props(MvKeyProp), props(MvFkProp), props(MvDimKeyProp),
+        def csv(v: String) = v.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val ((f, t), _) = refreshJoinKeys(s, src, props(MvDimProp),
+          dstDir, props(MvKeyProp), csv(props(MvFkProp)),
+          csv(props(MvDimKeyProp)),
           mvJoinTransform(s, props(MvQueryProp)), partitionCol = pCol)
         ("join", f, t)
       case other => throw new IllegalStateException(
@@ -494,18 +497,42 @@ object DerivedTable {
       maxTouchedKeys: Int = 100000,
       partitionCol: Option[String] = None,
       bootstrapProps: Map[String, String] = Map.empty)
+      : ((Int, Int), (Int, Int)) =
+    refreshJoinKeys(s, factDir, dimDir, dstDir, key, Seq(fkCol),
+      Seq(dimKey), transform, maxTouchedKeys, partitionCol,
+      bootstrapProps)
+
+  /** Composite-key [[refreshJoin]]: the join identity is the column
+    * TUPLE `fact.(fkCols…) = dim.(dimKeys…)` (aligned by position —
+    * `ON f.a = d.x AND f.b = d.y`). Same algebra end to end: dim
+    * events name touched dim-key tuples, the affected-fact point read
+    * semi-joins the full tuple (manifest range pruning on the FIRST
+    * fk column, like every tuple-keyed path here), uniqueness is a
+    * tuple invariant. */
+  def refreshJoinKeys(s: SparkSession, factDir: String, dimDir: String,
+      dstDir: String, key: String, fkCols: Seq[String],
+      dimKeys: Seq[String],
+      transform: (DataFrame, DataFrame) => DataFrame,
+      maxTouchedKeys: Int = 100000,
+      partitionCol: Option[String] = None,
+      bootstrapProps: Map[String, String] = Map.empty)
       : ((Int, Int), (Int, Int)) = {
+    require(fkCols.nonEmpty && fkCols.length == dimKeys.length,
+      s"join keys must align by position, got fact (${fkCols
+        .mkString(", ")}) vs dim (${dimKeys.mkString(", ")})")
     val to1 = Versioned.currentVersion(s, factDir)
     require(to1 > 0, s"no committed fact version at $factDir")
     val to2 = Versioned.currentVersion(s, dimDir)
     require(to2 > 0, s"no committed dim version at $dimDir")
     val note = s"src=v$to1;dim=v$to2"
+    val dimKeyStr = dimKeys.mkString(", ")
     def dimAt(v: Int) = Versioned.read(s, dimDir, Some(v))
     def requireDimUnique(slice: DataFrame): Unit =
-      require(slice.groupBy(col(dimKey)).agg(count(lit(1)).as("__c"))
+      require(slice.groupBy(dimKeys.map(col): _*)
+          .agg(count(lit(1)).as("__c"))
           .filter(col("__c") > 1L).isEmpty,
-        s"dim key '$dimKey' is not unique in $dimDir — a join view " +
-          "stores one row per fact key, which a 1:N dim match " +
+        s"dim key '$dimKeyStr' is not unique in $dimDir — a join " +
+          "view stores one row per fact key, which a 1:N dim match " +
           "cannot satisfy; dedupe the dim or key it differently")
     val dstV = Versioned.currentVersion(s, dstDir)
     if (dstV == 0) {
@@ -536,27 +563,30 @@ object DerivedTable {
     // a null dim key refuse — an equality tombstone keyed on another
     // column can't locate its affected fact rows, and a null-keyed
     // dim row never equi-joins anyway
+    val asFk = dimKeys.zip(fkCols).map { case (d, f) => col(d).as(f) }
     val tdDf = (if (to2 > from2)
         Versioned.readChanges(s, dimDir, from2, to2)
-          .select(col(dimKey).as(fkCol)).distinct()
-      else dimAt(to2).select(col(dimKey).as(fkCol)).limit(0))
+          .select(asFk: _*).distinct()
+      else dimAt(to2).select(asFk: _*).limit(0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val tdProbe = tdDf.limit(PruneKeyLimit + 1).collect()
       val tdSmall = tdProbe.length <= PruneKeyLimit
+      val allIdx = fkCols.indices
       val (nTd, nTdNonNull) =
         if (tdSmall) (tdProbe.length.toLong,
-          tdProbe.count(!_.isNullAt(0)).toLong)
+          tdProbe.count(r => allIdx.forall(i => !r.isNullAt(i))).toLong)
         else {
           val t = tdDf.agg(count(lit(1)).as("n"),
-            count(col(fkCol)).as("nn")).head()
+            count(when(fkCols.map(col(_).isNotNull).reduce(_ && _),
+              lit(1))).as("nn")).head()
           (t.getLong(0), t.getLong(1))
         }
       require(nTd == nTdNonNull,
-        s"a dim change event carries a null '$dimKey' — the dim's " +
+        s"a dim change event carries a null '$dimKeyStr' — the dim's " +
           "equality tombstones key on a different column, so the " +
           "affected fact rows can't be located; key dim deletes on " +
-          s"'$dimKey' (or refresh by rebuild)")
+          s"'$dimKeyStr' (or refresh by rebuild)")
       require(nTd <= maxTouchedKeys,
         s"refresh range touches $nTd dim keys (> $maxTouchedKeys) — " +
           "rebuild into a fresh destination instead, or raise " +
@@ -565,12 +595,13 @@ object DerivedTable {
       // duplicate refuses at the refresh that INTRODUCED it, not at
       // the first fact row that happens to reference it
       if (nTd > 0) requireDimUnique(
-        pointRead(s, dimDir, Seq(dimKey), nTd,
+        pointRead(s, dimDir, dimKeys, nTd,
           tdProbe.map(_.get(0)).toSeq, Some(to2),
-          tdDf.select(col(fkCol).as(dimKey))))
+          tdDf.select(fkCols.zip(dimKeys).map { case (f, d) =>
+            col(f).as(d) }: _*)))
       val affected =
         if (nTd == 0) None
-        else Some(pointRead(s, factDir, Seq(fkCol), nTd,
+        else Some(pointRead(s, factDir, fkCols, nTd,
           tdProbe.map(_.get(0)).toSeq, Some(to1), tdDf)
           .select(col(key)))
       // —— fact-event keys ∪ dim-affected keys, re-derived once ——

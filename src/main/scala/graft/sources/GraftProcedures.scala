@@ -451,10 +451,13 @@ object GraftProcedures {
               spark.catalog.dropTempView(dv)
             }
           }
-          val ((f1, t1), (f2, t2)) = DerivedTable.refreshJoin(spark,
+          // fk / dim_key accept a csv: composite join keys are
+          // first-class in the refreshJoinKeys algebra
+          def csv(v: Any) = v.asInstanceOf[String].split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val ((f1, t1), (f2, t2)) = DerivedTable.refreshJoinKeys(spark,
             dir(a(0)), dir(a(1)), dir(a(2)),
-            a(3).asInstanceOf[String], a(4).asInstanceOf[String],
-            a(5).asInstanceOf[String], t)
+            a(3).asInstanceOf[String], csv(a(4)), csv(a(5)), t)
           Seq(f1, t1, f2, t2)
         })
       case "ingest_dedup" => new Proc("ingest_dedup",

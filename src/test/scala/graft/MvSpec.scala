@@ -481,6 +481,56 @@ class MvSpec extends SparkSpec {
     assert(rn2.head.getInt(1) == rn2.head.getInt(2))
   }
 
+  test("join MV: composite join keys — an AND of equalities keys " +
+      "the tuple; uniqueness is a tuple invariant") {
+    val fact = fresh("jmvc_fact"); val dim = fresh("jmvc_dim")
+    val dst = fresh("jmvc_dst")
+    Versioned.commit(Seq((1L, "a", 1L, 10L), (2L, "a", 2L, 20L),
+      (3L, "b", 1L, 30L)).toDF("id", "fk1", "fk2", "v"), fact)
+    // dk1 alone is NOT unique — only the (dk1, dk2) tuple is: the
+    // composite shape is load-bearing, not cosmetic
+    Versioned.commit(Seq(("a", 1L, "A1"), ("a", 2L, "A2"),
+      ("b", 1L, "B1")).toDF("dk1", "dk2", "label"), dim)
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      s"KEY (id) AS SELECT f.id, d.label, f.v FROM graft.`$fact` f " +
+      s"JOIN graft.`$dim` d ON f.fk1 = d.dk1 AND f.fk2 = d.dk2")
+      .collect()
+    assert(created.head.getString(0) == "join")
+    val props = Versioned.properties(spark, dst)
+    assert(props(DerivedTable.MvFkProp) == "fk1,fk2" &&
+      props(DerivedTable.MvDimKeyProp) == "dk1,dk2")
+    val v1 = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(v1.count() == 3 &&
+      v1.filter($"id" === 2L).head().getString(1) == "A2")
+    // dim tuple edits: relabel (a,2), delete (b,1) — one batch keyed
+    // on the TUPLE
+    Versioned.applyChangesKeys(spark, dim,
+      upserts = Seq(("a", 2L, "A2x")).toDF("dk1", "dk2", "label"),
+      deleteKeys = Seq(("b", 1L)).toDF("dk1", "dk2"),
+      keyCols = Seq("dk1", "dk2"))
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    val v2 = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(v2.count() == 2 && // id 3 left the inner join
+      v2.filter($"id" === 2L).head().getString(1) == "A2x")
+    // a fact edit migrating HALF the tuple re-derives correctly
+    Versioned.upsert(spark, fact,
+      Seq((1L, "a", 2L, 10L)).toDF("id", "fk1", "fk2", "v"), "id")
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`")
+      .filter($"id" === 1L).head().getString(1) == "A2x")
+    val expect = spark.sql(s"SELECT f.id, d.label, f.v FROM " +
+      s"graft.`$fact` f JOIN graft.`$dim` d ON f.fk1 = d.dk1 " +
+      s"AND f.fk2 = d.dk2")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$dst`"), expect))
+    // a TUPLE duplicate refuses at the refresh that introduced it
+    Versioned.append(Seq(("a", 2L, "A2dup")).toDF("dk1", "dk2",
+      "label"), dim)
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.refresh_mv('$dst')").collect())
+    assert(e.getMessage.contains("not unique"))
+  }
+
   test("join MV: LEFT OUTER keeps unmatched facts with null dim " +
       "columns; a dim insert fills them, a dim delete nulls them " +
       "back") {

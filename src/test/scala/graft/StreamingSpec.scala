@@ -27,6 +27,72 @@ class StreamingSpec extends SparkSpec {
     spark.table(name)
   }
 
+  test("streaming crawl loop: foreachBatch ingestDedup with " +
+      "allowReingest is replay-safe — a restarted stream re-delivers " +
+      "its batches and the index neither duplicates nor drops") {
+    import graft.operators.Dedup
+    import graft.sources.Versioned
+    import java.nio.file.{Files, Paths}
+    val stage = Paths.get("target/tmp/crawl-src")
+    val idx = "target/tmp/crawl-idx"
+    val ckpt = "target/tmp/crawl-ckpt"
+    Seq(stage.toString, idx, s"$idx.sigs", s"$idx.tombs", ckpt)
+      .foreach(p => org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(p)))
+    Files.createDirectories(stage)
+    val all = graft.sources.Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text"))
+    // standing corpus; the stream delivers the crawl batches
+    Dedup.buildDedupIndexOf(all.filter(col("doc_id") < 300), idx)
+    def stageSlice(lo: Long, hi: Long, name: String): Unit = {
+      val tmp = s"target/tmp/crawl-half-$lo"
+      all.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.copy(part.toPath, stage.resolve(name))
+    }
+    stageSlice(300, 360, "a.parquet")
+    stageSlice(360, 420, "b.parquet")
+    def drain(): Unit = {
+      val docsStream = spark.readStream.schema(all.schema)
+        .option("maxFilesPerTrigger", 1).parquet(stage.toString)
+      val q = docsStream.writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          // allowReingest IS the exactly-once story here: a replayed
+          // micro-batch keeps already-indexed ids by identity and
+          // appends nothing, so foreachBatch's at-least-once delivery
+          // composes into an idempotent crawl loop
+          Dedup.ingestDedup(spark, batch, idx, allowReingest = true)
+          ()
+        }.start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    drain()
+    val sigsDir = s"$idx.sigs"
+    val n1 = Versioned.read(spark, sigsDir)
+      .select("doc_id").distinct().count()
+    val v1 = (Versioned.currentVersion(spark, idx),
+      Versioned.currentVersion(spark, sigsDir))
+    assert(n1 > 300, "survivors of both batches must have appended")
+    // RESTART with a fresh checkpoint: both batches re-deliver; the
+    // loop must neither duplicate band/sig rows nor drop survivors
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    drain()
+    val n2 = Versioned.read(spark, sigsDir)
+      .select("doc_id").distinct().count()
+    assert(n2 == n1)
+    assert((Versioned.currentVersion(spark, idx),
+      Versioned.currentVersion(spark, sigsDir)) == v1,
+      "a full replay must append NOTHING (kept-by-identity)")
+    // and the standing index still answers: the replayed ingest left
+    // no chimera sketches — every sig row is still one per doc
+    val sigRows = Versioned.read(spark, sigsDir).count()
+    assert(sigRows == n2)
+  }
+
   test("streaming ingestion publishes atomic versioned snapshots") {
     import graft.sources.Versioned
     val table = "target/tmp/stream-versioned"
