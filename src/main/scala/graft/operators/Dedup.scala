@@ -1174,18 +1174,31 @@ object Dedup {
       .createTempDirectory("graft-dedup-export-gate")
     val idx = work.resolve("lsh").toString
     val all = docs(s, d)
-    graft.sources.FixturePool.cloneTo(s"dedup-base300:$d", idx)(
-      dir => buildDedupIndexOf(all.filter(col("doc_id") < 300), dir))
-    appendToDedupIndex(s,
-      all.filter(col("doc_id") >= 300 && col("doc_id") < 420), idx)
-    // a live takedown must refuse the export; compaction applies it
-    // and unblocks — the deleted doc leaves the exported bytes
-    deleteFromDedupIndex(s,
-      all.filter(col("doc_id") === 2L).select(col("doc_id")), idx)
+    // the WHOLE lifecycle artifact pools once per JVM (build +
+    // O(delta) append + a takedown applied by compaction — all
+    // deterministic over the fixture); each run exports a private
+    // copy, so the exported bytes still carry the full maintenance
+    // history while the sweep pays the lifecycle exactly once. (The
+    // base is rebuilt inside this builder rather than nested through
+    // the d10/d11 pool key — computeIfAbsent must not re-enter.)
+    graft.sources.FixturePool.cloneTo(s"dedup-d12:$d", idx) { dir =>
+      buildDedupIndexOf(all.filter(col("doc_id") < 300), dir)
+      appendToDedupIndex(s,
+        all.filter(col("doc_id") >= 300 && col("doc_id") < 420), dir)
+      deleteFromDedupIndex(s,
+        all.filter(col("doc_id") === 2L).select(col("doc_id")), dir)
+      compactDedupIndex(s, dir)
+    }
+    // refusal legs on a scratch pair (same contract, gate-scale
+    // fixture): a live takedown blocks the export until compaction
+    // applies it, and bands-shaped bytes without a sigs pin refuse
+    import s.implicits._
+    val tiny = work.resolve("tiny").toString
+    buildDedupIndexOf(Seq((1L, "a b c d e f"), (2L, "g h i j k l"))
+      .toDF("doc_id", "text"), tiny)
+    deleteFromDedupIndex(s, Seq(1L).toDF("doc_id"), tiny)
     val refusedTombs =
-      scala.util.Try(exportDedupIndex(s, idx)).isFailure
-    compactDedupIndex(s, idx)
-    // bands-shaped bytes WITHOUT a sigs pin must not export
+      scala.util.Try(exportDedupIndex(s, tiny)).isFailure
     val bogus = work.resolve("bogus").toString
     Versioned.commit(Versioned.read(s, idx).limit(2), bogus)
     val refusedUnpinned =

@@ -520,6 +520,10 @@ object DerivedTable {
     require(fkCols.nonEmpty && fkCols.length == dimKeys.length,
       s"join keys must align by position, got fact (${fkCols
         .mkString(", ")}) vs dim (${dimKeys.mkString(", ")})")
+    require(fkCols.distinct.length == fkCols.length &&
+      dimKeys.distinct.length == dimKeys.length,
+      s"join key columns must be distinct, got fact (${fkCols
+        .mkString(", ")}) vs dim (${dimKeys.mkString(", ")})")
     val to1 = Versioned.currentVersion(s, factDir)
     require(to1 > 0, s"no committed fact version at $factDir")
     val to2 = Versioned.currentVersion(s, dimDir)
