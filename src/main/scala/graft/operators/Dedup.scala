@@ -1062,18 +1062,6 @@ object Dedup {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
 
-  /** Driver-visible gate (d11): the dedup index's DELETE lifecycle —
-    * the takedown path a training pipeline hits routinely. Index
-    * docs < 300, probe the [300, 500) batch, tombstone every EVEN
-    * corpus id ([[deleteFromDedupIndex]]): the deleted docs stop
-    * matching IMMEDIATELY (probe anti-join), a tombstoned id refuses
-    * re-ingest while live, [[compactDedupIndex]] applies the set
-    * (post-compact probe unchanged), and the freed id re-ingests
-    * cleanly — its pairs come back. Every count reduces to the exact
-    * cross-boundary Jaccard pairs filtered by parity, which DuckDB
-    * restates independently (the d10 precedent: LSH recall plus the
-    * ≥9σ signature margin make the approximate pipeline reproduce
-    * the exact answer). */
   /** Within-index near-dup pairs from the STORED sketches alone — the
     * "what duplicates already live in my corpus" audit at index cost:
     * candidate pairs come from a band self-join on the partitioned
@@ -1211,6 +1199,18 @@ object Dedup {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** Driver-visible gate (d11): the dedup index's DELETE lifecycle —
+    * the takedown path a training pipeline hits routinely. Index
+    * docs < 300, probe the [300, 420) batch, tombstone every EVEN
+    * corpus id ([[deleteFromDedupIndex]]): the deleted docs stop
+    * matching IMMEDIATELY (probe anti-join), a tombstoned id refuses
+    * re-ingest while live, [[compactDedupIndex]] applies the set
+    * (post-compact probe unchanged), and the freed id re-ingests
+    * cleanly — its pairs come back. Every count reduces to the exact
+    * cross-boundary Jaccard pairs filtered by parity, which DuckDB
+    * restates independently (the d10 precedent: LSH recall plus the
+    * ≥9σ signature margin make the approximate pipeline reproduce
+    * the exact answer). */
   def dedupIndexDeletesGate(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files
       .createTempDirectory("graft-dedup-del-gate")

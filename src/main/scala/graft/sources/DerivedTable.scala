@@ -103,7 +103,7 @@ object DerivedTable {
     * version, source head, lag)) — None when that leg's pin is
     * buried). One `src` leg for derived/agg views; `src` + `dim` for
     * join views. */
-  private def refreshLegs(s: SparkSession, dstDir: String,
+  private[sources] def refreshLegs(s: SparkSession, dstDir: String,
       props: Map[String, String]): Seq[(String, Option[(Int, Int, Int)])] = {
     val srcs = Seq("src" -> props.get(MvSourceProp),
       "dim" -> props.get(MvDimProp)).collect {
@@ -180,10 +180,20 @@ object DerivedTable {
         if (refreshOnRead) {
           // the read pays the refresh and serves the NEW head — the
           // refresh is idempotent under concurrent readers (a
-          // no-op once the pin matches), and a refresh failure
-          // surfaces as this read's error, named by its own message
-          refreshMv(s, dstDir)
-          Versioned.currentVersion(s, dstDir)
+          // no-op once the pin matches). A FAILING refresh (bound
+          // tripped, rolled-back source) degrades on the
+          // non-refusing resolution path — ALTER TABLE / SHOW
+          // TBLPROPERTIES must keep working to diagnose and fix the
+          // very property that is failing — and surfaces its own
+          // error only where the gate is allowed to refuse (the
+          // scan expansion).
+          try {
+            refreshMv(s, dstDir)
+            Versioned.currentVersion(s, dstDir)
+          } catch {
+            case scala.util.control.NonFatal(_) if !refuseWhenStale =>
+              readVersion
+          }
         } else if (!refuseWhenStale) readVersion
         else throw new IllegalStateException(
           s"materialized view at $dstDir is $lag source version(s) " +
@@ -229,6 +239,29 @@ object DerivedTable {
       : Option[Versioned.Transform] =
     partitionCol.map(c => Versioned.Transform.Identity(c))
 
+  /** A stored view query must be DETERMINISTIC: the incremental
+    * refresh re-runs it over touched rows only, so a rand()/uuid()
+    * in the projection or WHERE would re-sample per refresh and the
+    * view silently diverges from any recompute (the same contract
+    * [[refreshAgg]] enforces on its WHERE). Checked post-analysis on
+    * the substituted plan — where functions are resolved — over the
+    * query's OWN Project/Filter nodes; the node count is query-text
+    * scale, so this costs nothing on the refresh path. */
+  private def requireDeterministicQuery(df: DataFrame,
+      queryText: String): DataFrame = {
+    val bad = df.queryExecution.analyzed.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if !f.condition.deterministic => "WHERE"
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project
+          if !p.projectList.forall(_.deterministic) => "SELECT"
+    }.distinct
+    require(bad.isEmpty,
+      s"the view query's ${bad.mkString("/")} is nondeterministic — " +
+        "each incremental refresh would re-sample it over the " +
+        s"touched rows and the view silently diverges: $queryText")
+    df
+  }
+
   /** The row-pure transform a DERIVED materialized view persists: the
     * stored query text re-parses at each refresh and its single table
     * reference is substituted with the refresh's input frame (full
@@ -250,7 +283,9 @@ object DerivedTable {
     }
     require(hits == 1, s"the stored materialized-view query must " +
       s"read exactly one table, found $hits: $queryText")
-    org.apache.spark.sql.graft.SparkInternals.ofRows(s, replaced)
+    requireDeterministicQuery(
+      org.apache.spark.sql.graft.SparkInternals.ofRows(s, replaced),
+      queryText)
   }
 
   /** The two-table transform a JOIN materialized view persists: the
@@ -278,7 +313,9 @@ object DerivedTable {
           SubqueryAlias(u.multipartIdentifier.last,
             frames(u.multipartIdentifier).queryExecution.analyzed)
       }
-      org.apache.spark.sql.graft.SparkInternals.ofRows(s, replaced)
+      requireDeterministicQuery(
+        org.apache.spark.sql.graft.SparkInternals.ofRows(s, replaced),
+        queryText)
     }
 
   /** Argument-free refresh: read the spec back from `dstDir`'s

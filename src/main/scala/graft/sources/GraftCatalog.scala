@@ -425,14 +425,28 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
               "graft.mv.pinned_source_version" ->
                 p.trim.stripPrefix("src=v")
           }) ++
-          // the full freshness contract beside the pin: source head
-          // and lag, read LIVE (SHOW TBLPROPERTIES is the MV
-          // refresh-state surface — Iceberg's MV spec exposes the
-          // same trio)
-          graft.sources.DerivedTable.refreshState(spark, dir).toSeq
-            .flatMap { case (_, head, lag) => Seq(
-              "graft.mv.source_head_version" -> head.toString,
-              "graft.mv.staleness_versions" -> lag.toString) }
+          // the full freshness contract beside the pin, read LIVE
+          // (SHOW TBLPROPERTIES is the MV refresh-state surface —
+          // Iceberg's MV spec exposes the same trio). Per-LEG keys
+          // keep the trio coherent on a join view: source_head pairs
+          // with the src pin, a dim_* trio names the dim leg, and
+          // staleness_versions is the VIEW's overall lag (the max —
+          // the number the max-staleness bound gates on).
+          {
+            val legs = graft.sources.DerivedTable
+              .refreshLegs(spark, dir, props)
+            legs.flatMap {
+              case ("src", Some((_, head, _))) => Seq(
+                "graft.mv.source_head_version" -> head.toString)
+              case ("dim", Some((pin, head, lag))) => Seq(
+                "graft.mv.dim_pinned_version" -> pin.toString,
+                "graft.mv.dim_head_version" -> head.toString,
+                "graft.mv.dim_staleness_versions" -> lag.toString)
+              case _ => Nil
+            } ++ Some(legs.flatMap(_._2.map(_._3)))
+              .filter(_.nonEmpty).map(ls =>
+                "graft.mv.staleness_versions" -> ls.max.toString)
+          }
       })
   }
 

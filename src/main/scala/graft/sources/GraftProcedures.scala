@@ -425,9 +425,10 @@ object GraftProcedures {
           StructField("dim_from", IntegerType, nullable = false),
           StructField("dim_to", IntegerType, nullable = false))),
         a => {
-          Seq(("dim", 1), ("dest", 2), ("key", 3), ("fk", 4),
-            ("dim_key", 5), ("query", 6)).foreach { case (n, i) =>
-            require(a(i) != null, s"'$n' is required") }
+          Seq(("fact", 0), ("dim", 1), ("dest", 2), ("key", 3),
+            ("fk", 4), ("dim_key", 5), ("query", 6))
+            .foreach { case (n, i) =>
+              require(a(i) != null, s"'$n' is required") }
           val q = a(6).asInstanceOf[String]
           require(q.contains("__fact__") && q.contains("__dim__"),
             "'query' must select FROM __fact__ JOIN __dim__ (the " +

@@ -2106,29 +2106,21 @@ object Versioned {
     * row's key lies in [min, max] of the update keys, so the range
     * soundly bounds it). */
   private def mergePreflight(updates: DataFrame, key: String,
-      what: String): (Long, Option[(String, Any, Any)]) =
-    mergePreflightKeys(updates, Seq(key), what)
-
-  /** Null/duplicate/range preflight in ONE aggregation: identity is
-    * the key TUPLE (uniqueness counts distinct tuples), null-freedom
-    * applies to every key column, and the manifest-pruning range
-    * comes off the FIRST key column. */
-  private def mergePreflightKeys(updates: DataFrame, keys: Seq[String],
       what: String): (Long, Option[(String, Any, Any)]) = {
-    val key = keys.head
-    val allNonNull = keys.map(col(_).isNotNull).reduce(_ && _)
+    // tuple-keyed upserts run through applyChangesKeys, whose signed
+    // key-union aggregation covers this AND the delete-side facts in
+    // one job — this single-key preflight serves the plain upsert path
     val pre = updates.agg(
-      count(lit(1)), count(when(allNonNull, lit(1))),
-      count_distinct(struct(keys.map(col): _*)),
+      count(lit(1)), count(col(key)), count_distinct(col(key)),
       min(col(key)), max(col(key))).head()
     val (n, nonNull, distinctNonNull) =
       (pre.getLong(0), pre.getLong(1), pre.getLong(2))
     require(n == nonNull,
-      s"$what contain a null value of key '${keys.mkString(", ")}' " +
+      s"$what contain a null value of key '$key' " +
         "(null keys cannot merge: they match no existing row and " +
         "would append forever)")
     require(nonNull == distinctNonNull,
-      s"$what contain duplicate values of key '${keys.mkString(", ")}'")
+      s"$what contain duplicate values of key '$key'")
     val range =
       if (n == 0 || pre.isNullAt(3)) None
       else Some((key, pre.get(3), pre.get(4)))
@@ -5265,9 +5257,16 @@ object Versioned {
         .mkString(", ")})${if (unset.nonEmpty)
           s" UNSET (${unset.sorted.mkString(", ")})" else ""}")
     // carried pins whose key the caller's own note already pins
-    // defer to the caller
+    // defer to the caller — matched FRAGMENT-WISE with notePin's own
+    // grammar (split ';', exact `key=vN` shape), never by substring:
+    // a caller note containing a longer token that merely ends in the
+    // pin key ("xsrc=v9" vs "src=v") must not drop the carried pin,
+    // or the next refresh refuses a perfectly healthy table
+    val callerPinKeys = noteText.split(";").map(_.trim)
+      .filter(_.matches("[A-Za-z_]+=v[0-9]+"))
+      .map(_.takeWhile(_ != '=')).toSet
     val keep = pins.filterNot(p =>
-      noteText.contains(p.takeWhile(_ != '=') + "=v"))
+      callerPinKeys.contains(p.takeWhile(_ != '=')))
     commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
       partitionCol = None,
       note = Some((keep :+ noteText).mkString(";")),

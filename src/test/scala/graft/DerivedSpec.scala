@@ -374,4 +374,29 @@ class DerivedSpec extends SparkSpec {
       DerivedTable.refreshAgg(spark, src4, dst4, "id", Seq("g"), "v"))
     assert(e4.getMessage.contains("pure-value-update"))
   }
+
+  test("a properties commit carries note pins forward FRAGMENT-WISE " +
+      "— a caller note token merely ending in the pin key cannot " +
+      "bury it") {
+    import spark.implicits._
+    val src = "target/tmp/derived-pin-src"
+    val dst = "target/tmp/derived-pin-dst"
+    clean(src, dst)
+    Versioned.commit(Seq((1L, 2L)).toDF("k", "v"), src)
+    DerivedTable.refresh(spark, src, dst, "k", identity)
+    assert(Versioned.notePin(spark, dst, "src").contains(1))
+    // "xsrc=v9" contains the substring "src=v" — the old substring
+    // match dropped the carried pin here; fragment-wise keying keeps
+    // it (and a REAL caller re-pin of the same key still wins)
+    Versioned.setProperties(spark, dst, set = Map("a" -> "b"),
+      note = Some("xsrc=v9"))
+    assert(Versioned.notePin(spark, dst, "src").contains(1))
+    Versioned.setProperties(spark, dst, set = Map("a" -> "c"),
+      note = Some("src=v1;marker"))
+    assert(Versioned.notePin(spark, dst, "src").contains(1))
+    // the pin still drives the refresh after both commits
+    Versioned.append(Seq((2L, 3L)).toDF("k", "v"), src)
+    assert(DerivedTable.refresh(spark, src, dst, "k", identity) ==
+      ((1, 2)))
+  }
 }

@@ -585,6 +585,14 @@ class MvSpec extends SparkSpec {
       "ON f.fk = d.dk", "ROW KEY is the aggregate-view spelling")
     refuse(mk + s"KEY (nope) $sel JOIN graft.`$dim` d ON f.fk = d.dk",
       "not in the source")
+    // nondeterministic queries diverge an incrementally maintained
+    // view (each refresh re-samples over touched rows only) — refused
+    // at CREATE for every kind, WHERE and SELECT alike
+    refuse(mk + s"KEY (id) AS SELECT f.id, d.label FROM " +
+      s"graft.`$fact` f JOIN graft.`$dim` d ON f.fk = d.dk " +
+      "WHERE rand() < 0.5", "nondeterministic")
+    refuse(mk + s"KEY (id) AS SELECT id, rand() AS r FROM " +
+      s"graft.`$fact`", "nondeterministic")
     refuse(mk + s"KEY (id) $sel JOIN graft.`$dim` d ON f.nope = d.dk",
       "not in the fact table")
     refuse(mk + s"KEY (id) $sel JOIN graft.`$dim` d ON f.fk = d.nope",
