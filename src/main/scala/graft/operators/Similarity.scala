@@ -1283,18 +1283,23 @@ object Similarity {
     val k = 20
     val work = java.nio.file.Files
       .createTempDirectory("graft-vindex-export-gate")
-    val idx = work.resolve("ivfpq").toString
     val e = emb(s, d)
     val corpus = e.filter(col("vec_id") >= NumQueries)
-    // the delta slice spares the seed range: centroid seeding and
-    // codebook seeding both draw from the first vectors by id
-    // (seedCentroids / trainPqCodebooks), and a codebook missing a
-    // seeded code would scramble every POSITIONAL ADC slot after it
-    val delta = pmod(hash(col("vec_id")), lit(5)) === 0 &&
-      col("vec_id") >= NumQueries + 64
-    buildIvfPqIndexOf(s, corpus.filter(!delta), idx)
-    appendToIvfPqIndex(s, corpus.filter(delta)
-      .select(col("vec_id"), col("embedding")), idx)
+    // the build + O(delta) append artifact pools once per JVM
+    // (seeded quantizers → deterministic bytes); the export spans two
+    // code versions as before, and the probe is read-only. The delta
+    // slice spares the seed range: centroid seeding and codebook
+    // seeding both draw from the first vectors by id (seedCentroids /
+    // trainPqCodebooks), and a codebook missing a seeded code would
+    // scramble every POSITIONAL ADC slot after it
+    val idx = graft.sources.FixturePool.readOnly(s"ivfpq-q51:$d") {
+      dir =>
+        val delta = pmod(hash(col("vec_id")), lit(5)) === 0 &&
+          col("vec_id") >= NumQueries + 64
+        buildIvfPqIndexOf(s, corpus.filter(!delta), dir)
+        appendToIvfPqIndex(s, corpus.filter(delta)
+          .select(col("vec_id"), col("embedding")), dir)
+    }
     // the refusal IS part of the contract: code-shaped bytes without
     // quantization pins must not export as an index
     val bogus = work.resolve("bogus").toString
@@ -1534,17 +1539,18 @@ object Similarity {
     * ([[RankGapFloor]]) instead of flaking. */
   def int8IndexExportGate(s: SparkSession, d: String): DataFrame = {
     val k = 20
-    val work = java.nio.file.Files
-      .createTempDirectory("graft-int8index-export-gate")
-    val idx = work.resolve("int8ivf").toString
     val e = emb(s, d)
-    // the split spares the centroid seed range, like q51's gate
-    val delta = pmod(hash(col("vec_id")), lit(5)) === 0 &&
-      col("vec_id") >= NumQueries + 64
-    buildIvfIndexOf(s, e.filter(col("vec_id") >= NumQueries)
-      .filter(!delta), idx, quantized = true)
-    appendToIvfIndex(s, e.filter(delta)
-      .select(col("vec_id"), col("embedding")), idx)
+    // pooled like q51: seeded build + O(delta) append, probes and
+    // export read-only. The split spares the centroid seed range.
+    val idx = graft.sources.FixturePool.readOnly(s"int8ivf-q56:$d") {
+      dir =>
+        val delta = pmod(hash(col("vec_id")), lit(5)) === 0 &&
+          col("vec_id") >= NumQueries + 64
+        buildIvfIndexOf(s, e.filter(col("vec_id") >= NumQueries)
+          .filter(!delta), dir, quantized = true)
+        appendToIvfIndex(s, e.filter(delta)
+          .select(col("vec_id"), col("embedding")), dir)
+    }
     val (cellFiles, centFiles, cbFiles) = exportVectorIndex(s, idx)
     // in-engine probe of query 0 over the exported layout's values:
     // dequantized members, unit query, pruned cells — gap-checked

@@ -1883,11 +1883,19 @@ object TextAnalysis {
   def textIndexExportGate(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files
       .createTempDirectory("graft-index-export-gate")
-    val idx = work.resolve("postings").toString
     val corpus = docsPlain(s, d).select(col("doc_id"), col("text"))
-    val delta = pmod(hash(col("doc_id")), lit(5)) === 0
-    buildTextIndexOf(corpus.filter(!delta), idx)
-    appendToTextIndex(s, corpus.filter(delta), idx)
+    // the build + O(delta) append artifact pools once per JVM — the
+    // export must span TWO postings versions and the MERGED algebraic
+    // stats, which the pooled builder preserves exactly; export
+    // resolution and the probe are read-only (pool dirs outlive the
+    // JVM like the work dir, so the driver's DuckDB pass still reads
+    // the exported files)
+    val idx = graft.sources.FixturePool.readOnly(s"text-q50:$d") {
+      dir =>
+        val delta = pmod(hash(col("doc_id")), lit(5)) === 0
+        buildTextIndexOf(corpus.filter(!delta), dir)
+        appendToTextIndex(s, corpus.filter(delta), dir)
+    }
     // the refusal IS part of the contract: postings-shaped bytes
     // without a stats pin must not export as an index
     val bogus = work.resolve("bogus").toString
