@@ -1043,11 +1043,14 @@ object Dedup {
     // phase-2 probe answer (identical artifact → identical pairs).
     // The PROBES stay live: sketching the batch and the band/sig
     // joins are the operator cost this gate measures.
-    val base = graft.sources.FixturePool.readOnly(s"dedup-base300:$d")(
+    val base = graft.sources.FixturePool.readOnly(
+      s"dedup-base300:$d", reclaimAtExit = true)(
       dir => buildDedupIndexOf(all.filter(col("doc_id") < 300), dir))
     val grown = graft.sources.FixturePool.readOnly(
-      s"dedup-grown450:$d") { dir =>
-      buildDedupIndexOf(all.filter(col("doc_id") < 300), dir)
+      s"dedup-grown450:$d", reclaimAtExit = true) { dir =>
+      // the base resolves ABOVE (no computeIfAbsent re-entry); this
+      // builder pays a directory copy plus the O(delta) append
+      graft.sources.FixturePool.copyInto(base, dir)
       appendToDedupIndex(s,
         all.filter(col("doc_id") >= 300 && col("doc_id") < 450), dir)
     }
@@ -1171,8 +1174,15 @@ object Dedup {
     // history while the sweep pays the lifecycle exactly once. (The
     // base is rebuilt inside this builder rather than nested through
     // the d10/d11 pool key — computeIfAbsent must not re-enter.)
-    graft.sources.FixturePool.cloneTo(s"dedup-d12:$d", idx) { dir =>
-      buildDedupIndexOf(all.filter(col("doc_id") < 300), dir)
+    val base = graft.sources.FixturePool.readOnly(
+      s"dedup-base300:$d", reclaimAtExit = true)(
+      dir => buildDedupIndexOf(all.filter(col("doc_id") < 300), dir))
+    graft.sources.FixturePool.cloneTo(s"dedup-d12:$d", idx,
+      reclaimAtExit = true) { dir =>
+      // composed from the resolved base pool (a directory copy, not
+      // a rebuild); the export reads the WORK clone, so the pool
+      // itself reclaims at exit
+      graft.sources.FixturePool.copyInto(base, dir)
       appendToDedupIndex(s,
         all.filter(col("doc_id") >= 300 && col("doc_id") < 420), dir)
       deleteFromDedupIndex(s,
@@ -1225,7 +1235,8 @@ object Dedup {
       val batch = all.filter(col("doc_id") >= 300 && col("doc_id") < 420)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // same pooled base as d10 — this gate deletes/compacts its copy
-      graft.sources.FixturePool.cloneTo(s"dedup-base300:$d", idx)(
+      graft.sources.FixturePool.cloneTo(s"dedup-base300:$d", idx,
+        reclaimAtExit = true)(
         dir => buildDedupIndexOf(all.filter(col("doc_id") < 300), dir))
       def probePairs(): Seq[(Long, Long)] =
         dedupAgainstIndex(s, batch, idx)

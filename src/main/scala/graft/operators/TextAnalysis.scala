@@ -1763,7 +1763,8 @@ object TextAnalysis {
     * read-only; t29 ([[bm25DeletesGate]]) clones it for its
     * delete/compact lifecycle — one build per session either way. */
   private def cachedTextIndex(s: SparkSession, d: String): String =
-    graft.sources.FixturePool.readOnly(s"text-index-full:$d")(
+    graft.sources.FixturePool.readOnly(s"text-index-full:$d",
+      reclaimAtExit = true)(
       dir => buildTextIndex(s, d, dir))
 
   /** The t24 gate: the indexed probe must produce t23's EXACT result —
@@ -1790,7 +1791,8 @@ object TextAnalysis {
     val idx = work.resolve("postings").toString
     // t24's pooled full-corpus index, cloned: this gate tombstones
     // and compacts its private copy
-    graft.sources.FixturePool.cloneTo(s"text-index-full:$d", idx)(
+    graft.sources.FixturePool.cloneTo(s"text-index-full:$d", idx,
+      reclaimAtExit = true)(
       dir => buildTextIndex(s, d, dir))
     val terms = Seq("spark", "vector", "stream")
     deleteFromTextIndex(s,

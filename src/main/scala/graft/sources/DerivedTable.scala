@@ -243,13 +243,16 @@ object DerivedTable {
     * refresh re-runs it over touched rows only, so a rand()/uuid()
     * in the projection or WHERE would re-sample per refresh and the
     * view silently diverges from any recompute (the same contract
-    * [[refreshAgg]] enforces on its WHERE). Checked post-analysis on
-    * the substituted plan — where functions are resolved — over the
-    * query's OWN Project/Filter nodes; the node count is query-text
-    * scale, so this costs nothing on the refresh path. */
-  private def requireDeterministicQuery(df: DataFrame,
-      queryText: String): DataFrame = {
-    val bad = df.queryExecution.analyzed.collect {
+    * [[refreshAgg]] enforces on its WHERE). The check runs
+    * post-analysis — where functions are resolved — over a plan
+    * whose table references substitute with EMPTY LOCAL STUBS of the
+    * source schemas, so every nondeterministic Filter/Project found
+    * is the query's OWN: a real input frame's plan may legitimately
+    * carry nondeterministic internals (metadata projections, salts)
+    * that must not fail a perfectly deterministic view. */
+  private[sources] def requireDeterministicOver(stubbed: DataFrame,
+      queryText: String): Unit = {
+    val bad = stubbed.queryExecution.analyzed.collect {
       case f: org.apache.spark.sql.catalyst.plans.logical.Filter
           if !f.condition.deterministic => "WHERE"
       case p: org.apache.spark.sql.catalyst.plans.logical.Project
@@ -259,8 +262,14 @@ object DerivedTable {
       s"the view query's ${bad.mkString("/")} is nondeterministic — " +
         "each incremental refresh would re-sample it over the " +
         s"touched rows and the view silently diverges: $queryText")
-    df
   }
+
+  /** An empty frame with `schema` — the determinism check's stub. */
+  private[sources] def stubOf(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      schema)
 
   /** The row-pure transform a DERIVED materialized view persists: the
     * stored query text re-parses at each refresh and its single table
@@ -274,18 +283,25 @@ object DerivedTable {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
     import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
     val parsed = s.sessionState.sqlParser.parsePlan(queryText)
-    var hits = 0
-    val replaced = parsed.transformUp {
-      case u: UnresolvedRelation =>
-        hits += 1
-        SubqueryAlias(u.multipartIdentifier.last,
-          df.queryExecution.analyzed)
+    def substituted(frame: DataFrame): (org.apache.spark.sql.catalyst
+        .plans.logical.LogicalPlan, Int) = {
+      var hits = 0
+      val replaced = parsed.transformUp {
+        case u: UnresolvedRelation =>
+          hits += 1
+          SubqueryAlias(u.multipartIdentifier.last,
+            frame.queryExecution.analyzed)
+      }
+      (replaced, hits)
     }
+    val (stub, hits) = substituted(stubOf(s, df.schema))
     require(hits == 1, s"the stored materialized-view query must " +
       s"read exactly one table, found $hits: $queryText")
-    requireDeterministicQuery(
-      org.apache.spark.sql.graft.SparkInternals.ofRows(s, replaced),
+    requireDeterministicOver(
+      org.apache.spark.sql.graft.SparkInternals.ofRows(s, stub),
       queryText)
+    org.apache.spark.sql.graft.SparkInternals.ofRows(s,
+      substituted(df)._1)
   }
 
   /** The two-table transform a JOIN materialized view persists: the
@@ -308,14 +324,19 @@ object DerivedTable {
         s"the stored join-view query must read exactly two distinct " +
           s"tables, found ${rels.length}: $queryText")
       val frames = Map(rels.head -> factDf, rels(1) -> dimDf)
-      val replaced = parsed.transformUp {
-        case u: UnresolvedRelation =>
-          SubqueryAlias(u.multipartIdentifier.last,
-            frames(u.multipartIdentifier).queryExecution.analyzed)
-      }
-      requireDeterministicQuery(
-        org.apache.spark.sql.graft.SparkInternals.ofRows(s, replaced),
+      def substituted(fs: Map[Seq[String], DataFrame]) =
+        parsed.transformUp {
+          case u: UnresolvedRelation =>
+            SubqueryAlias(u.multipartIdentifier.last,
+              fs(u.multipartIdentifier).queryExecution.analyzed)
+        }
+      requireDeterministicOver(
+        org.apache.spark.sql.graft.SparkInternals.ofRows(s,
+          substituted(frames.map { case (k, v) =>
+            k -> stubOf(s, v.schema) })),
         queryText)
+      org.apache.spark.sql.graft.SparkInternals.ofRows(s,
+        substituted(frames))
     }
 
   /** Argument-free refresh: read the spec back from `dstDir`'s

@@ -29,20 +29,39 @@ object FixturePool {
     * (plus siblings beside it). `build` receives a directory path
     * and must create the family there; it runs at most once per
     * `key` per JVM. */
-  def cloneTo(key: String, destBase: String)(
+  def cloneTo(key: String, destBase: String,
+      reclaimAtExit: Boolean = false)(
       build: String => Unit): Unit =
-    copyFamily(readOnly(key)(build), destBase)
+    copyFamily(readOnly(key, reclaimAtExit)(build), destBase)
 
   /** The pooled ORIGINAL for read-only use (probe-only gates — the
-    * caller must not mutate it; mutating gates take [[cloneTo]]). */
-  def readOnly(key: String)(build: String => Unit): String =
+    * caller must not mutate it; mutating gates take [[cloneTo]]).
+    * `reclaimAtExit = true` deletes the pooled family at JVM
+    * shutdown — right for artifacts only this process probes; LEAVE
+    * IT FALSE when the pooled bytes must outlive the JVM (the export
+    * gates' file lists are read by the driver's DuckDB pass after
+    * exit). */
+  def readOnly(key: String, reclaimAtExit: Boolean = false)(
+      build: String => Unit): String =
     pool.computeIfAbsent(key, _ => {
-      val dir = java.nio.file.Files
+      val root = java.nio.file.Files
         .createTempDirectory("graft-fixture-pool")
-        .resolve("base").toString
+      if (reclaimAtExit)
+        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+          org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)))
+      val dir = root.resolve("base").toString
       build(dir)
       dir
     })
+
+  /** File-copy a RESOLVED family into a builder's directory — the
+    * composition seam for pools that extend other pools. Resolve the
+    * source with [[readOnly]] BEFORE entering the dependent builder
+    * (computeIfAbsent must not re-enter the map), then copy here:
+    * the dependent artifact pays a directory copy instead of
+    * re-running the base's Spark build. */
+  def copyInto(srcBase: String, destBase: String): Unit =
+    copyFamily(srcBase, destBase)
 
   private def copyFamily(srcBase: String, destBase: String): Unit = {
     val srcFile = new java.io.File(srcBase)

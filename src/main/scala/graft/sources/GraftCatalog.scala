@@ -444,7 +444,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
                 "graft.mv.dim_staleness_versions" -> lag.toString)
               case _ => Nil
             } ++ Some(legs.flatMap(_._2.map(_._3)))
-              .filter(_.nonEmpty).map(ls =>
+              // the overall lag only when EVERY leg resolves: a
+              // buried pin must read as UNKNOWN (key absent), not as
+              // a confident number computed from the other leg alone
+              .filter(ls => ls.nonEmpty && ls.length == legs.length)
+              .map(ls =>
                 "graft.mv.staleness_versions" -> ls.max.toString)
           }
       })

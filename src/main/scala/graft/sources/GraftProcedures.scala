@@ -361,8 +361,19 @@ object GraftProcedures {
               "to the changed rows on incremental refreshes)")
           val t: org.apache.spark.sql.DataFrame =>
               org.apache.spark.sql.DataFrame = df => {
-            val view = "__graft_refresh_src_" + java.util.UUID
-              .randomUUID().toString.replace("-", "")
+            val tag = java.util.UUID.randomUUID().toString
+              .replace("-", "")
+            val view = "__graft_refresh_src_" + tag
+            // determinism gate over an EMPTY STUB of the source
+            // schema: a rand()/uuid() in the query would re-sample
+            // per refresh and silently diverge the derived table
+            // (the CREATE MATERIALIZED VIEW contract, shared here)
+            val stub = view + "_stub"
+            DerivedTable.stubOf(spark, df.schema)
+              .createOrReplaceTempView(stub)
+            try DerivedTable.requireDeterministicOver(
+              spark.sql(q.replace("__source__", stub)), q)
+            finally spark.catalog.dropTempView(stub)
             df.createOrReplaceTempView(view)
             // spark.sql resolves the view at ANALYSIS, so the view is
             // inlined into the returned plan and can drop immediately
@@ -441,6 +452,18 @@ object GraftProcedures {
               .replace("-", "")
             val fv = "__graft_refresh_fact_" + tag
             val dv = "__graft_refresh_dim_" + tag
+            // determinism gate over EMPTY STUBS (see refresh_derived)
+            DerivedTable.stubOf(spark, fdf.schema)
+              .createOrReplaceTempView(fv + "_stub")
+            DerivedTable.stubOf(spark, ddf.schema)
+              .createOrReplaceTempView(dv + "_stub")
+            try DerivedTable.requireDeterministicOver(
+              spark.sql(q.replace("__fact__", fv + "_stub")
+                .replace("__dim__", dv + "_stub")), q)
+            finally {
+              spark.catalog.dropTempView(fv + "_stub")
+              spark.catalog.dropTempView(dv + "_stub")
+            }
             fdf.createOrReplaceTempView(fv)
             ddf.createOrReplaceTempView(dv)
             // spark.sql resolves the views at ANALYSIS, so they are

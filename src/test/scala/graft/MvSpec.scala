@@ -630,5 +630,20 @@ class MvSpec extends SparkSpec {
     spark.sql(s"CALL graft.system.refresh_mv('$dst2')")
     assert(spark.sql(s"SELECT count(*) FROM graft.`$dst2`")
       .head().getLong(0) == 2L)
+    // ...and the per-leg freshness surface stays coherent: the src
+    // trio pairs with the src pin, the dim trio names the dim leg
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$dst2`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.contains("graft.mv.dim_head_version") &&
+      shown.get("graft.mv.staleness_versions").contains("0"))
+    // refresh-on-read through the DIM leg: a dim DATA edit makes the
+    // view stale; the next catalog read advances it and serves the
+    // relabel without a manual refresh
+    spark.sql(s"ALTER TABLE graft.`$dst2` SET TBLPROPERTIES " +
+      s"('${DerivedTable.MvRefreshOnReadProp}'='true')")
+    Versioned.upsert(spark, dim2,
+      Seq(("a", "A-fresh")).toDF("dk", "label"), "dk")
+    assert(spark.sql(s"SELECT * FROM graft.`$dst2`")
+      .filter($"id" === 1L).head().getString(1) == "A-fresh")
   }
 }

@@ -619,6 +619,23 @@ class ProcedureSpec extends SparkSpec {
         "key => 'id', fk => 'fk', dim_key => 'dk', " +
         "query => 'SELECT 1')").collect())
     assert(e.getMessage.contains("__fact__"))
+    // nondeterministic queries refuse on the PROC spelling too — the
+    // same silent-divergence contract CREATE MATERIALIZED VIEW gates
+    val (_, dst2Abs) = fresh("proc_jmv_dst2")
+    val e2 = intercept[Exception](spark.sql(
+      "CALL graft.system.refresh_join(" +
+        s"fact => '$factAbs', dim => '$dimAbs', dest => '$dst2Abs', " +
+        "key => 'id', fk => 'fk', dim_key => 'dk', " +
+        "query => 'SELECT f.id, d.label FROM __fact__ f JOIN " +
+        "__dim__ d ON f.fk = d.dk WHERE rand() < 0.5')").collect())
+    assert(e2.getMessage.contains("nondeterministic"))
+    val (_, dst3Abs) = fresh("proc_jmv_dst3")
+    val e3 = intercept[Exception](spark.sql(
+      "CALL graft.system.refresh_derived(" +
+        s"source => '$factAbs', dest => '$dst3Abs', key => 'id', " +
+        "query => 'SELECT id, rand() AS r FROM __source__')")
+      .collect())
+    assert(e3.getMessage.contains("nondeterministic"))
   }
 
   test("ingest_vectors: the vector crawl loop from pure SQL; " +
