@@ -248,7 +248,16 @@ object MvDdl {
       case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
       case _ => None
     }
-    val (factAlias, dimAlias) = (sideOf(j.left), sideOf(j.right)) match {
+    // ON-clause qualifiers match their join-side alias under the
+    // session's resolution rules — case-INSENSITIVE by default (the
+    // analyzer would accept `ON F.fk = D.dk` for aliases f/d, so the
+    // shape gate must not refuse it)
+    val fold: String => String =
+      if (org.apache.spark.sql.internal.SQLConf.get
+          .caseSensitiveAnalysis) identity
+      else _.toLowerCase(java.util.Locale.ROOT)
+    val (factAlias, dimAlias) = (sideOf(j.left).map(fold),
+        sideOf(j.right).map(fold)) match {
       case (Some(f), Some(d)) if f != d => (f, d)
       case _ => return None
     }
@@ -262,8 +271,8 @@ object MvDdl {
     val pairs = j.condition.toSeq.flatMap(conjuncts).map {
       case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
           if a.nameParts.length == 2 && b.nameParts.length == 2 =>
-        val sides = Map(a.nameParts.head -> a.nameParts.last,
-          b.nameParts.head -> b.nameParts.last)
+        val sides = Map(fold(a.nameParts.head) -> a.nameParts.last,
+          fold(b.nameParts.head) -> b.nameParts.last)
         (for {
           fk <- sides.get(factAlias)
           dk <- sides.get(dimAlias)

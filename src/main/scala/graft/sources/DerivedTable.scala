@@ -104,29 +104,49 @@ object DerivedTable {
     * buried). One `src` leg for derived/agg views; `src` + `dim` for
     * join views. */
   private[sources] def refreshLegs(s: SparkSession, dstDir: String,
-      props: Map[String, String]): Seq[(String, Option[(Int, Int, Int)])] = {
-    val srcs = Seq("src" -> props.get(MvSourceProp),
-      "dim" -> props.get(MvDimProp)).collect {
-      case (k, Some(dir)) => (k, dir)
-    }
+      props: Map[String, String]): Seq[(String, Option[(Int, Int, Int)])] =
+    legsOver(s, dstDir, legDirsOf(props))
+
+  /** The (pin key → source dir) legs a view's spec declares: one
+    * `src` leg, plus one per dim for join views — [[MvDimProp]] is a
+    * `;`-separated list (a single dir for the two-table case), whose
+    * pin keys are `dim`, `dim2`, `dim3`, … in FROM order (the same
+    * fragment names the refresh note carries). */
+  private[sources] def legDirsOf(
+      props: Map[String, String]): Seq[(String, String)] =
+    props.get(MvSourceProp).map("src" -> _).toSeq ++
+      props.get(MvDimProp).toSeq.flatMap(_.split(";"))
+        .map(_.trim).filter(_.nonEmpty).zipWithIndex.map {
+          case (d, i) => (if (i == 0) "dim" else s"dim${i + 1}", d)
+        }
+
+  /** [[refreshLegs]] from an already-resolved (pin key → source dir)
+    * list — the staleness gate memoizes the dirs beside the bound so
+    * a bounded view's hot read path costs pin/head probes only,
+    * never a second properties read. */
+  private def legsOver(s: SparkSession, dstDir: String,
+      srcs: Seq[(String, String)])
+      : Seq[(String, Option[(Int, Int, Int)])] =
     srcs.map { case (k, dir) =>
       k -> Versioned.notePin(s, dstDir, k).map { pin =>
         val head = Versioned.currentVersion(s, dir)
         (pin, head, math.max(0, head - pin))
       }
     }
-  }
 
-  // (dir → (view head version, RAW bound text, refresh-on-read)) —
-  // non-MV and unbounded tables reduce to ONE head-version probe per
-  // read after first sight; any commit on the view (including the
-  // TBLPROPERTIES change that sets/unsets the bound) bumps the head
-  // and refills. The bound memoizes UNPARSED: a malformed value must
-  // degrade to no-gate on the non-refusing resolution path (or a typo
-  // would brick even the corrective ALTER TABLE) and throw its parse
-  // error only where the gate is allowed to refuse.
+  // (dir → (view head version, RAW bound text, refresh-on-read,
+  // (pin key → source dir) legs)) — non-MV and unbounded tables
+  // reduce to ONE head-version probe per read after first sight; any
+  // commit on the view (including the TBLPROPERTIES change that sets/
+  // unsets the bound) bumps the head and refills. The bound memoizes
+  // UNPARSED: a malformed value must degrade to no-gate on the
+  // non-refusing resolution path (or a typo would brick even the
+  // corrective ALTER TABLE) and throw its parse error only where the
+  // gate is allowed to refuse. The legs memoize RESOLVED (key, dir)
+  // pairs so the over-bound check never re-reads properties.
   private val stalenessMemo = new java.util.concurrent
-    .ConcurrentHashMap[String, (Int, Option[String], Boolean)]()
+    .ConcurrentHashMap[String,
+      (Int, Option[String], Boolean, Seq[(String, String)])]()
 
   /** The read-side staleness gate: a view carrying
     * [[MvMaxStalenessProp]] whose lag exceeds the bound REFUSES to
@@ -148,17 +168,19 @@ object DerivedTable {
     val head = Versioned.currentVersion(s, dstDir)
     if (head == 0) return readVersion
     val cached = stalenessMemo.get(dstDir)
-    val (rawBound: Option[String], refreshOnRead: Boolean) =
-      if (cached != null && cached._1 == head) (cached._2, cached._3)
+    val (rawBound, refreshOnRead, legDirs) =
+      if (cached != null && cached._1 == head)
+        (cached._2, cached._3, cached._4)
       else {
         val props = Versioned.properties(s, dstDir)
         val isMv = props.contains(MvKindProp)
         val b = props.get(MvMaxStalenessProp).filter(_ => isMv)
         val ror = isMv && props.get(MvRefreshOnReadProp)
           .exists(_.trim.equalsIgnoreCase("true"))
+        val dirs = if (!isMv) Nil else legDirsOf(props)
         if (stalenessMemo.size > 10000) stalenessMemo.clear()
-        stalenessMemo.put(dstDir, (head, b, ror))
-        (b, ror)
+        stalenessMemo.put(dstDir, (head, b, ror, dirs))
+        (b, ror, dirs)
       }
     if (rawBound.isEmpty || readVersion < head) return readVersion
     val bound = rawBound.map { raw =>
@@ -170,8 +192,10 @@ object DerivedTable {
               s"of source versions, got '$raw'")
       }
     }
-    // a join view is as stale as its MOST-lagging source (src or dim)
-    val worst = refreshLegs(s, dstDir, Versioned.properties(s, dstDir))
+    // a join view is as stale as its MOST-lagging source (src or
+    // dim…) — computed from the MEMOIZED leg dirs, so the bounded
+    // hot path costs pin/head probes only, never a properties read
+    val worst = legsOver(s, dstDir, legDirs)
       .collect { case (k, Some((pin, srcHead, lag))) => (k, pin,
         srcHead, lag) }
       .sortBy(-_._4).headOption
@@ -189,7 +213,23 @@ object DerivedTable {
           // scan expansion).
           try {
             refreshMv(s, dstDir)
-            Versioned.currentVersion(s, dstDir)
+            val newHead = Versioned.currentVersion(s, dstDir)
+            // scan-path race (load already refreshed and captured a
+            // head; a source commit landed before expansion): the
+            // refresh above advanced the VIEW, but this caller's
+            // captured snapshot still reflects the over-bound pin —
+            // serving it would break the bound as a hard contract.
+            // Refuse with a retry hint instead of silently serving
+            // stale under the always-fresh spelling.
+            if (refuseWhenStale && newHead > readVersion)
+              throw new IllegalStateException(
+                s"materialized view at $dstDir went $lag source " +
+                  s"version(s) over its $MvMaxStalenessProp = " +
+                  s"${bound.get} between resolution and scan " +
+                  "(concurrent source commits); the view has been " +
+                  "auto-refreshed — re-run the query to read the " +
+                  "fresh head")
+            newHead
           } catch {
             case scala.util.control.NonFatal(_) if !refuseWhenStale =>
               readVersion
@@ -246,17 +286,18 @@ object DerivedTable {
     * [[refreshAgg]] enforces on its WHERE). The check runs
     * post-analysis — where functions are resolved — over a plan
     * whose table references substitute with EMPTY LOCAL STUBS of the
-    * source schemas, so every nondeterministic Filter/Project found
-    * is the query's OWN: a real input frame's plan may legitimately
+    * source schemas, so every nondeterministic expression found is
+    * the query's OWN: a real input frame's plan may legitimately
     * carry nondeterministic internals (metadata projections, salts)
-    * that must not fail a perfectly deterministic view. */
+    * that must not fail a perfectly deterministic view. The sweep
+    * covers EVERY node's expressions — the refresh_* procedures
+    * accept arbitrary SQL, so a rand() in a join condition, a
+    * DISTRIBUTE BY, or an aggregate/window argument must refuse the
+    * same as one in SELECT/WHERE. */
   private[sources] def requireDeterministicOver(stubbed: DataFrame,
       queryText: String): Unit = {
     val bad = stubbed.queryExecution.analyzed.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-          if !f.condition.deterministic => "WHERE"
-      case p: org.apache.spark.sql.catalyst.plans.logical.Project
-          if !p.projectList.forall(_.deterministic) => "SELECT"
+      case n if n.expressions.exists(!_.deterministic) => n.nodeName
     }.distinct
     require(bad.isEmpty,
       s"the view query's ${bad.mkString("/")} is nondeterministic — " +

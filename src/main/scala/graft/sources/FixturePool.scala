@@ -22,8 +22,17 @@ package graft.sources
   * per-gate rebuild — CORRECTNESS hashes cannot move. */
 object FixturePool {
 
+  // pooled dir plus its reclaim switch: the shutdown hook consults
+  // the flag AT EXIT, so a later caller that needs the bytes to
+  // outlive the JVM (an export gate whose file lists feed the
+  // driver's DuckDB pass) can UPGRADE an already-pooled entry to
+  // keep-at-exit — first-caller-wins lifetimes were a silent bug
+  // when two gates shared a key but disagreed on the flag
+  private final case class Entry(dir: String,
+      reclaim: java.util.concurrent.atomic.AtomicBoolean)
+
   private val pool =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Entry]()
 
   /** A fresh private copy of the pooled artifact at `destBase`
     * (plus siblings beside it). `build` receives a directory path
@@ -40,19 +49,32 @@ object FixturePool {
     * shutdown — right for artifacts only this process probes; LEAVE
     * IT FALSE when the pooled bytes must outlive the JVM (the export
     * gates' file lists are read by the driver's DuckDB pass after
-    * exit). */
+    * exit). Callers sharing a key may disagree on the flag: the
+    * entry's lifetime resolves to the LONGER one — a later
+    * `reclaimAtExit = false` call flips an already-registered hook
+    * off (deleting bytes another caller declared must survive would
+    * be the silent bug; keeping them is merely unreclaimed temp
+    * space). */
   def readOnly(key: String, reclaimAtExit: Boolean = false)(
-      build: String => Unit): String =
-    pool.computeIfAbsent(key, _ => {
+      build: String => Unit): String = {
+    val e = pool.computeIfAbsent(key, _ => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-fixture-pool")
-      if (reclaimAtExit)
-        Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      val flag = new java.util.concurrent.atomic
+        .AtomicBoolean(reclaimAtExit)
+      // the hook registers unconditionally and consults the flag at
+      // exit, so conflict resolution is a flag write, not an
+      // (impossible) hook deregistration race
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        if (flag.get)
           org.apache.commons.io.FileUtils.deleteQuietly(root.toFile)))
       val dir = root.resolve("base").toString
       build(dir)
-      dir
+      Entry(dir, flag)
     })
+    if (!reclaimAtExit) e.reclaim.set(false)
+    e.dir
+  }
 
   /** File-copy a RESOLVED family into a builder's directory — the
     * composition seam for pools that extend other pools. Resolve the

@@ -291,6 +291,11 @@ object GraftProcedures {
           require(a(1) != null, "'source_path' is required")
           val srcs = a(1).asInstanceOf[String].split(",")
             .map(_.trim).filter(_.nonEmpty).toSeq
+          // the same eager MV write guard as SQL DML: importing
+          // foreign files into a view diverges it out-of-band, which
+          // the next refresh would only catch as a corrupt pin
+          DerivedTable.requireNotMv(spark, dir(a(0)),
+            a(0).asInstanceOf[String], "CALL add_files into it")
           Seq(Versioned.importFiles(spark, dir(a(0)), srcs,
             note = Some(s"CALL add_files(${srcs.size} source(s))"),
             link = !a(2).asInstanceOf[Boolean]))
