@@ -1840,10 +1840,16 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS dropped""",
     // q57: filtered/multi-column facts restate from the bounded
     // doc_id < 600 slice (the staleness leg advances the source head
-    // with a metadata-only commit — no data edit to replay).
+    // with a metadata-only commit — no data edit to replay); the
+    // day-bucketed avg leg restates from the event_id < 500 slice
+    // with the same exact-cents transform (floor is IEEE-identical
+    // across engines).
     "q57_mv_shapes" ->
       """WITH f AS (SELECT doc_id, source, lang, n_chars
-                    FROM documents WHERE doc_id < 600)
+                    FROM documents WHERE doc_id < 600),
+              e AS (SELECT date_trunc('day', ts) AS day,
+                           CAST(floor(value * 100) AS BIGINT) AS cents
+                    FROM events WHERE event_id < 500)
          SELECT (SELECT count(DISTINCT source) FROM f
                  WHERE n_chars >= 300) AS groups_f,
                 CAST((SELECT sum(n_chars) FROM f WHERE n_chars >= 300)
@@ -1856,7 +1862,11 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS spec_where,
                 CAST(1 AS BIGINT) AS stale_refused,
                 CAST(1 AS BIGINT) AS fresh_after,
-                CAST(1 AS BIGINT) AS auto_refreshed""",
+                CAST(1 AS BIGINT) AS auto_refreshed,
+                (SELECT count(DISTINCT day) FROM e) AS groups_b,
+                CAST((SELECT sum(cents) FROM e) AS BIGINT) AS sum_b,
+                CAST(1 AS BIGINT) AS eq_bucketed,
+                CAST(1 AS BIGINT) AS spec_bucket""",
     // q58: the join-view lifecycle's counts restate from the bounded
     // doc_id < 600 slice — the dim is the slice's DISTINCT sources,
     // the edit batch relabels min(source) and deletes max(source),

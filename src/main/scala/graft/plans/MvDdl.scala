@@ -116,15 +116,22 @@ object MvDdl {
 
   /** Match the parsed query against the delta-maintainable aggregate
     * shape — `SELECT g…, sum(v) AS sum_<v>, count(v) AS cnt_<v>,
-    * count(*) AS n_rows[, min(c) AS min_<c>, max(c) AS max_<c> …]
-    * FROM src [WHERE pred] GROUP BY g…`, canonical aliases IN ORDER
-    * (so `SELECT * FROM mv` returns exactly what the definition
-    * reads) — and extract (groups, value, extrema, where-text).
-    * Multi-column GROUP BY and a WHERE predicate are both
-    * delta-maintainable (the algebra keys on the group tuple and
-    * runs on the filtered stream); None for any other shape. */
+    * count(*) AS n_rows[, avg(v) AS avg_<v>][, min(c) AS min_<c>,
+    * max(c) AS max_<c> …] FROM src [WHERE pred] GROUP BY g…`,
+    * canonical aliases IN ORDER (so `SELECT * FROM mv` returns
+    * exactly what the definition reads) — and extract (groups with
+    * their optional bucket-expression texts, value, has-avg,
+    * extrema, where-text). A group key may be a bare column OR a
+    * deterministic scalar EXPRESSION aliased in the select list
+    * (`SELECT date_trunc('day', ts) AS day … GROUP BY
+    * date_trunc('day', ts)` — or `GROUP BY day`, the group-by-alias
+    * spelling): the bucket materializes as a derived column on every
+    * snapshot-side read and the delta algebra runs on the bucketed
+    * stream unchanged. Multi-column GROUP BY and a WHERE predicate
+    * are both delta-maintainable; None for any other shape. */
   def aggShapeOf(p: LogicalPlan):
-      Option[(Seq[String], String, Seq[String], Option[String])] = {
+      Option[(Seq[(String, Option[String])], String, Boolean,
+        Seq[String], Option[String])] = {
     val agg = p match {
       case a: Aggregate => a
       case _ => return None
@@ -140,36 +147,51 @@ object MvDdl {
       case _ => return None // HAVING/joins/nesting under GROUP BY:
       // not expressible as a filtered single-table delta stream
     }
-    val gs = agg.groupingExpressions.map {
-      case ua: UnresolvedAttribute if ua.nameParts.length == 1 =>
-        ua.nameParts.head
-      case _ => return None
-    }
-    if (gs.isEmpty || gs.distinct.length != gs.length) return None
+    val nG = agg.groupingExpressions.length
     val outs = agg.aggregateExpressions
-    if (outs.length < gs.length + 3) return None
-    // the first |groups| outputs are the group columns, in order
-    val groupsOk = outs.take(gs.length).zip(gs).forall {
-      case (ua: UnresolvedAttribute, g) => ua.nameParts == Seq(g)
-      case (UnresolvedAlias(ua: UnresolvedAttribute, _), g) =>
-        ua.nameParts == Seq(g)
-      case (Alias(ua: UnresolvedAttribute, name), g) =>
-        ua.nameParts == Seq(g) && name == g
-      case _ => false
-    }
-    if (!groupsOk) return None
+    if (nG == 0 || outs.length < nG + 3) return None
+    // the first |groups| outputs are the group columns, in order,
+    // each paired with its grouping expression
+    val gs: Seq[(String, Option[String])] =
+      agg.groupingExpressions.zip(outs.take(nG)).map {
+        case (gua: UnresolvedAttribute, out)
+            if gua.nameParts.length == 1 =>
+          val g = gua.nameParts.head
+          out match {
+            case ua: UnresolvedAttribute if ua.nameParts == Seq(g) =>
+              (g, None)
+            case UnresolvedAlias(ua: UnresolvedAttribute, _)
+                if ua.nameParts == Seq(g) => (g, None)
+            case Alias(ua: UnresolvedAttribute, name)
+                if ua.nameParts == Seq(g) && name == g => (g, None)
+            // GROUP BY <alias>: the grouping ref names the select
+            // list's expression alias
+            case Alias(child, name)
+                if name == g &&
+                  !child.isInstanceOf[UnresolvedAttribute] =>
+              (g, Some(child.sql))
+            case _ => return None
+          }
+        // expression spelled in BOTH places: textual plan identity
+        // (same parser, same .sql rendering)
+        case (ge, Alias(child, name)) if ge.sql == child.sql =>
+          (name, Some(child.sql))
+        case _ => return None
+      }
+    val gNames = gs.map(_._1)
+    if (gNames.distinct.length != gNames.length) return None
     def aliased(e: Expression): Option[(String, String, Option[String])] =
       e match {
         case Alias(child, name) => fnOf(child).map {
           case (fn, arg) => (name, fn, arg) }
         case _ => None
       }
-    val rest = outs.drop(gs.length).map(aliased)
+    val rest = outs.drop(nG).map(aliased)
     if (rest.exists(_.isEmpty)) return None
     val seq = rest.flatten
     val v = seq.head match {
       case (name, "sum", Some(c))
-          if name == s"sum_$c" && !gs.contains(c) => c
+          if name == s"sum_$c" && !gNames.contains(c) => c
       case _ => return None
     }
     seq.lift(1) match {
@@ -181,24 +203,34 @@ object MvDdl {
       case Some(("n_rows", "count", None)) => ()
       case _ => return None
     }
+    // optional avg over the SAME value column — stored as the exact
+    // sum/cnt quotient, maintained beside them
+    val hasAvg = seq.lift(3) match {
+      case Some((name, "avg", Some(c)))
+          if name == s"avg_$c" && c == v => true
+      case _ => false
+    }
     // optional extrema: (min_c, max_c) pairs over non-group columns
-    val ext = seq.drop(3).grouped(2).map {
+    val ext = seq.drop(if (hasAvg) 4 else 3).grouped(2).map {
       case Seq((n1, "min", Some(c1)), (n2, "max", Some(c2)))
-          if c1 == c2 && !gs.contains(c1) &&
+          if c1 == c2 && !gNames.contains(c1) &&
             n1 == s"min_$c1" && n2 == s"max_$c1" => Some(c1)
       case _ => None
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
-    Some((gs, v, ext.flatten, where))
+    Some((gs, v, hasAvg, ext.flatten, where))
   }
 
   private[plans] val AggShapeMsg =
     "a GROUP BY materialized view must match the delta-maintainable " +
       "shape exactly: SELECT <g…>, sum(<v>) AS sum_<v>, count(<v>) " +
-      "AS cnt_<v>, count(*) AS n_rows[, min(<c>) AS min_<c>, " +
-      "max(<c>) AS max_<c> …] FROM <src> [WHERE <pred>] GROUP BY " +
-      "<g…> — no HAVING, DISTINCT, expressions, or other aggregates " +
-      "(avg is sum/cnt at read)"
+      "AS cnt_<v>, count(*) AS n_rows[, avg(<v>) AS avg_<v>][, " +
+      "min(<c>) AS min_<c>, max(<c>) AS max_<c> …] FROM <src> " +
+      "[WHERE <pred>] GROUP BY <g…> — a group key may be a bare " +
+      "column or a deterministic expression aliased in the select " +
+      "list (GROUP BY date_trunc('day', ts) with date_trunc('day', " +
+      "ts) AS day, or GROUP BY day); no HAVING, DISTINCT, or other " +
+      "aggregates"
 
   private[plans] val RowPureMsg =
     "a row-pure materialized view supports SELECT … FROM <one " +
@@ -353,46 +385,57 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       s"key column '$key' is not in the source table " +
         s"(has: ${srcCols.toSeq.sorted.mkString(", ")})")
     if (isAggQuery) {
-      val (gs, v, ext, where) = MvDdl.aggShapeOf(parsed).getOrElse(
-        throw new UnsupportedOperationException(MvDdl.AggShapeMsg))
+      val (gs, v, hasAvg, ext, where) = MvDdl.aggShapeOf(parsed)
+        .getOrElse(
+          throw new UnsupportedOperationException(MvDdl.AggShapeMsg))
       require(rowKeySpelling,
         "a GROUP BY materialized view names the SOURCE row identity " +
           "— spell it ROW KEY (<source row id>), not KEY")
-      (gs ++ Seq(v) ++ ext).foreach(c => require(srcCols.contains(c),
+      val bare = gs.collect { case (g, None) => g }
+      val gExprs = gs.collect { case (g, Some(t)) => (g, t) }
+      (bare ++ Seq(v) ++ ext).foreach(c => require(srcCols.contains(c),
         s"column '$c' is not in the source table " +
           s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
-      // the WHERE predicate's references get the same treatment as
-      // the shape columns: qualified names can't re-resolve against
+      // reference checks shared by the WHERE predicate and every
+      // bucket expression: qualified names can't re-resolve against
       // the bare snapshot reads at refresh time, unknown columns
       // refuse NOW, not at the first refresh
-      where.foreach { w =>
-        val refs = spark.sessionState.sqlParser.parseExpression(w)
+      def checkRefs(text: String, what: String): Unit = {
+        val refs = spark.sessionState.sqlParser.parseExpression(text)
           .collect { case ua: UnresolvedAttribute => ua }
         val quals = refs.filter(_.nameParts.length > 1).map(_.name)
         require(quals.isEmpty,
-          s"WHERE references ${quals.mkString(", ")} with a " +
-            "qualifier — the stored predicate re-resolves against " +
+          s"$what references ${quals.mkString(", ")} with a " +
+            "qualifier — the stored text re-resolves against " +
             "the bare source columns at every refresh; use " +
             "unqualified names")
         refs.filter(_.nameParts.length == 1).map(_.nameParts.head)
           .foreach(c => require(srcCols.contains(c),
-            s"WHERE column '$c' is not in the source table " +
+            s"$what column '$c' is not in the source table " +
               s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
       }
+      where.foreach(checkRefs(_, "WHERE"))
+      gExprs.foreach { case (g, t) =>
+        checkRefs(t, s"group expression '$g'") }
       // the spec rides the BOOTSTRAP commit itself — data, pin, and
       // identity publish atomically, so no crash window can leave a
       // standing table that is not yet (and can never become) a view
       val (from, to) = DerivedTable.refreshAgg(spark, srcDir, dstDir,
-        key, gs, v, extrema = ext, where = where,
+        key, gs.map(_._1), v, extrema = ext, where = where,
         partitionCol = partitionCol,
+        groupExprs = gExprs, withAvg = hasAvg,
         bootstrapProps = Map(
           DerivedTable.MvKindProp -> "agg",
           DerivedTable.MvSourceProp -> srcDir,
           DerivedTable.MvRowKeyProp -> key,
-          DerivedTable.MvGroupProp -> gs.mkString(","),
+          DerivedTable.MvGroupProp -> gs.map(_._1).mkString(","),
           DerivedTable.MvValueProp -> v,
           DerivedTable.MvExtremaProp -> ext.mkString(","),
           DerivedTable.MvQueryProp -> queryText) ++
+          gExprs.map { case (g, t) =>
+            (DerivedTable.MvGroupExprPrefix + g) -> t } ++
+          (if (hasAvg) Seq(DerivedTable.MvAvgProp -> "true")
+           else Nil) ++
           where.map(DerivedTable.MvWhereProp -> _) ++
           partitionCol.map(DerivedTable.MvPartitionProp -> _))
       Seq(Row("agg", from, to))

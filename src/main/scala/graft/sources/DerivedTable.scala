@@ -56,6 +56,12 @@ object DerivedTable {
   val MvValueProp = "graft.mv.value" // agg: the summed value column
   val MvExtremaProp = "graft.mv.extrema" // agg: csv of min/max columns
   val MvWhereProp = "graft.mv.where" // agg: WHERE predicate text
+  // agg: one per EXPRESSION-VALUED group key — the SQL text of the
+  // bucket expression a derived group column materializes on every
+  // snapshot-side read (`graft.mv.group_expr.<name>` → expr text);
+  // bare-column groups carry no entry
+  val MvGroupExprPrefix = "graft.mv.group_expr."
+  val MvAvgProp = "graft.mv.avg" // agg: 'true' when avg_<v> is stored
   val MvQueryProp = "graft.mv.query" // the AS SELECT text, verbatim
   val MvDimProp = "graft.mv.dim" // join: resolved dim table dir
   val MvFkProp = "graft.mv.fk" // join: fact-side join column
@@ -134,6 +140,67 @@ object DerivedTable {
       }
     }
 
+  /** TRANSITIVE freshness legs: the view's own legs, plus — for each
+    * source that is ITSELF a materialized view — that source's legs,
+    * recursively, keys prefixed by the path (`src.src`, `src.dim`,
+    * …). A gold view whose silver source is 50 commits behind the
+    * fact table reports that lag here even when gold-vs-silver lag
+    * is 0 — the lag a reader actually experiences. Each leg's lag
+    * counts ITS OWN source's commits (the only monotone unit each
+    * pin protocol defines); the staleness bound gates on the max,
+    * i.e. "no hop in my lineage may lag more than N commits of its
+    * own upstream". Cycle-guarded (an MV lineage is a DAG by
+    * construction — CREATE refuses standing destinations — but
+    * out-of-band property edits must not hang the read path). */
+  private[sources] def refreshLegsTransitive(s: SparkSession,
+      dstDir: String, props: Map[String, String],
+      visited: Set[String] = Set.empty)
+      : Seq[(String, Option[(Int, Int, Int)])] = {
+    val dirs = legDirsOf(props)
+    legsOver(s, dstDir, dirs) ++ dirs.flatMap { case (k, dir) =>
+      if (visited.contains(dir)) Nil
+      else transitiveTail(s, k, dir, visited + dstDir + dir)
+    }
+  }
+
+  /** The transitive continuation below one leg — memoized through
+    * [[memoEntry]], so a bounded view's hot read path pays one
+    * properties read PER LINEAGE DIR PER HEAD VERSION, not per
+    * read. */
+  private def transitiveTail(s: SparkSession, k: String, dir: String,
+      visited: Set[String]): Seq[(String, Option[(Int, Int, Int)])] = {
+    val subDirs = memoEntry(s, dir).map(_._4).getOrElse(Nil)
+    if (subDirs.isEmpty) Nil // a plain table (or empty) ends the walk
+    else (legsOver(s, dir, subDirs) ++ subDirs.flatMap {
+      case (k2, d2) =>
+        if (visited.contains(d2)) Nil
+        else transitiveTail(s, k2, d2, visited + d2)
+    }).map { case (k2, t) => (s"$k.$k2", t) }
+  }
+
+  /** The staleness memo's (head, raw bound, refresh-on-read, leg
+    * dirs) entry for `dir`, filled on miss — None for an empty
+    * table. One properties read per dir per head version. */
+  private def memoEntry(s: SparkSession, dir: String)
+      : Option[(Int, Option[String], Boolean, Seq[(String, String)])] = {
+    val head = Versioned.currentVersion(s, dir)
+    if (head == 0) return None
+    val cached = stalenessMemo.get(dir)
+    if (cached != null && cached._1 == head) Some(cached)
+    else {
+      val props = Versioned.properties(s, dir)
+      val isMv = props.contains(MvKindProp)
+      val b = props.get(MvMaxStalenessProp).filter(_ => isMv)
+      val ror = isMv && props.get(MvRefreshOnReadProp)
+        .exists(_.trim.equalsIgnoreCase("true"))
+      val dirs = if (!isMv) Nil else legDirsOf(props)
+      if (stalenessMemo.size > 10000) stalenessMemo.clear()
+      val e = (head, b, ror, dirs)
+      stalenessMemo.put(dir, e)
+      Some(e)
+    }
+  }
+
   // (dir → (view head version, RAW bound text, refresh-on-read,
   // (pin key → source dir) legs)) — non-MV and unbounded tables
   // reduce to ONE head-version probe per read after first sight; any
@@ -165,22 +232,10 @@ object DerivedTable {
     * its own louder refusal for that state. */
   def freshVersionForRead(s: SparkSession, dstDir: String,
       readVersion: Int, refuseWhenStale: Boolean = true): Int = {
-    val head = Versioned.currentVersion(s, dstDir)
-    if (head == 0) return readVersion
-    val cached = stalenessMemo.get(dstDir)
-    val (rawBound, refreshOnRead, legDirs) =
-      if (cached != null && cached._1 == head)
-        (cached._2, cached._3, cached._4)
-      else {
-        val props = Versioned.properties(s, dstDir)
-        val isMv = props.contains(MvKindProp)
-        val b = props.get(MvMaxStalenessProp).filter(_ => isMv)
-        val ror = isMv && props.get(MvRefreshOnReadProp)
-          .exists(_.trim.equalsIgnoreCase("true"))
-        val dirs = if (!isMv) Nil else legDirsOf(props)
-        if (stalenessMemo.size > 10000) stalenessMemo.clear()
-        stalenessMemo.put(dstDir, (head, b, ror, dirs))
-        (b, ror, dirs)
+    val (head, rawBound, refreshOnRead, legDirs) =
+      memoEntry(s, dstDir) match {
+        case None => return readVersion
+        case Some(e) => e
       }
     if (rawBound.isEmpty || readVersion < head) return readVersion
     val bound = rawBound.map { raw =>
@@ -192,10 +247,15 @@ object DerivedTable {
               s"of source versions, got '$raw'")
       }
     }
-    // a join view is as stale as its MOST-lagging source (src or
-    // dim…) — computed from the MEMOIZED leg dirs, so the bounded
-    // hot path costs pin/head probes only, never a properties read
-    val worst = legsOver(s, dstDir, legDirs)
+    // a view is as stale as its MOST-lagging leg — src or dim…, OWN
+    // or TRANSITIVE (a gold view over a lagging silver is stale even
+    // at gold-vs-silver lag 0). Computed from the MEMOIZED leg dirs,
+    // so the bounded hot path costs pin/head probes (plus one props
+    // read per lineage dir per head version), never a per-read
+    // properties read.
+    val worst = (legsOver(s, dstDir, legDirs) ++ legDirs.flatMap {
+        case (k, dir) => transitiveTail(s, k, dir, Set(dstDir, dir))
+      })
       .collect { case (k, Some((pin, srcHead, lag))) => (k, pin,
         srcHead, lag) }
       .sortBy(-_._4).headOption
@@ -212,7 +272,10 @@ object DerivedTable {
           // error only where the gate is allowed to refuse (the
           // scan expansion).
           try {
-            refreshMv(s, dstDir)
+            // CASCADE: a transitive lag (stale upstream view) can
+            // only be cleared upstream-first; own-only refresh would
+            // no-op and the read would retry it forever
+            refreshMv(s, dstDir, cascade = true)
             val newHead = Versioned.currentVersion(s, dstDir)
             // scan-path race (load already refreshed and captured a
             // head; a source commit landed before expansion): the
@@ -381,8 +444,18 @@ object DerivedTable {
     }
 
   /** Argument-free refresh: read the spec back from `dstDir`'s
-    * properties and advance the view. Returns (kind, from, to). */
-  def refreshMv(s: SparkSession, dstDir: String): (String, Int, Int) = {
+    * properties and advance the view. Returns (kind, from, to).
+    * `cascade = true` first refreshes every source that is ITSELF a
+    * materialized view, recursively (upstream-first — the only order
+    * that clears TRANSITIVE staleness: refreshing gold against a
+    * stale silver just bakes the stale rows in); a fresh upstream
+    * no-ops at two metadata probes. */
+  def refreshMv(s: SparkSession, dstDir: String,
+      cascade: Boolean = false): (String, Int, Int) =
+    refreshMvGuarded(s, dstDir, cascade, Set(dstDir))
+
+  private def refreshMvGuarded(s: SparkSession, dstDir: String,
+      cascade: Boolean, visited: Set[String]): (String, Int, Int) = {
     val props = Versioned.properties(s, dstDir)
     val kind = props.getOrElse(MvKindProp,
       throw new IllegalArgumentException(
@@ -390,6 +463,11 @@ object DerivedTable {
           "property) — create one with CREATE MATERIALIZED VIEW … " +
           "AS SELECT, or call refresh_derived/refresh_agg with an " +
           "explicit spec"))
+    if (cascade) legDirsOf(props).foreach { case (_, d) =>
+      if (!visited.contains(d) &&
+          Versioned.properties(s, d).contains(MvKindProp))
+        refreshMvGuarded(s, d, cascade = true, visited + d)
+    }
     val src = props(MvSourceProp)
     val pCol = props.get(MvPartitionProp).filter(_.nonEmpty)
     kind match {
@@ -402,10 +480,14 @@ object DerivedTable {
           .map(_.trim).filter(_.nonEmpty)
         val groups = props(MvGroupProp).split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
+        val gExprs = groups.flatMap(g =>
+          props.get(MvGroupExprPrefix + g).map(g -> _))
         val (f, t) = refreshAgg(s, src, dstDir, props(MvRowKeyProp),
           groups, props(MvValueProp), extrema = ext,
           where = props.get(MvWhereProp).filter(_.nonEmpty),
-          partitionCol = pCol)
+          partitionCol = pCol, groupExprs = gExprs,
+          withAvg = props.get(MvAvgProp)
+            .exists(_.trim.equalsIgnoreCase("true")))
         ("agg", f, t)
       case "join" =>
         // the refresh reports the FACT range (the stream side); a
@@ -822,9 +904,34 @@ object DerivedTable {
       extrema: Seq[String] = Nil,
       where: Option[String] = None,
       partitionCol: Option[String] = None,
-      bootstrapProps: Map[String, String] = Map.empty): (Int, Int) = {
+      bootstrapProps: Map[String, String] = Map.empty,
+      groupExprs: Seq[(String, String)] = Nil,
+      withAvg: Boolean = false): (Int, Int) = {
     require(groupCols.nonEmpty, "refreshAgg needs at least one group " +
       "column")
+    // EXPRESSION-VALUED group keys (`GROUP BY date_trunc('day', ts)`
+    // — the time-bucketed rollup, the single most common MV shape in
+    // practice): each (name, exprText) materializes as a derived
+    // column on EVERY snapshot-side read, and the delta algebra then
+    // runs on the bucketed stream unchanged — the bucket is just
+    // another group column of the filtered view of the source. The
+    // expression must be deterministic (checked over a schema stub
+    // below, the stored-query discipline) and row-pure by
+    // construction (it is a scalar projection of the single row).
+    require(groupExprs.map(_._1).forall(groupCols.contains),
+      s"groupExprs names (${groupExprs.map(_._1).mkString(", ")}) " +
+        s"must be group columns (${groupCols.mkString(", ")})")
+    val derivedNames = groupExprs.map(_._1).toSet
+    if (groupExprs.nonEmpty) {
+      // stub determinism check, once per refresh call: a rand() in a
+      // bucket expression would re-bucket the same rows differently
+      // on every read and the view silently diverges
+      val srcSchema = Versioned.read(s, srcDir).schema
+      requireDeterministicOver(
+        groupExprs.foldLeft(stubOf(s, srcSchema)) {
+          case (df, (n, t)) => df.withColumn(n, expr(t)) },
+        groupExprs.map(_._2).mkString("; "))
+    }
     // the destination's rows are one-per-group, so only a GROUP
     // column is a meaningful layout key (a value column would need
     // rewrites to move rows between partitions on every patch)
@@ -854,9 +961,16 @@ object DerivedTable {
           "source columns at every refresh; use unqualified names")
     }
     var whereChecked = false
-    def filtered(df: DataFrame): DataFrame =
+    // every snapshot-side read goes through `prepared`: derived
+    // bucket columns first (they may only reference source columns),
+    // then the WHERE filter — so bootstrap, both pinned touched-row
+    // reads, and the extrema recompute all see the same bucketed,
+    // filtered stream
+    def prepared(df: DataFrame): DataFrame = {
+      val bucketed = groupExprs.foldLeft(df) {
+        case (acc, (n, t)) => acc.withColumn(n, expr(t)) }
       where.map { w =>
-        val out = df.filter(expr(w))
+        val out = bucketed.filter(expr(w))
         if (!whereChecked) {
           whereChecked = true
           val det = out.queryExecution.analyzed.collect {
@@ -869,13 +983,26 @@ object DerivedTable {
               "delta algebra silently diverges from any recompute")
         }
         out
-      }.getOrElse(df)
+      }.getOrElse(bucketed)
+    }
+    // stored avg is the EXACT quotient of the stored pair — NULL for
+    // the all-null group (cnt = 0), like the sum. Maintained from
+    // sum/cnt at every patch, so it can never drift from them.
+    def avgExpr: Column =
+      when(col(s"cnt_$valueCol") === 0L, lit(null))
+        .otherwise(col(s"sum_$valueCol") / col(s"cnt_$valueCol"))
+        .as(s"avg_$valueCol")
     def aggOf(df: DataFrame): DataFrame = {
       val aggs = Seq(sum(col(valueCol)).as(s"sum_$valueCol"),
         count(col(valueCol)).as(s"cnt_$valueCol"),
         count(lit(1)).as("n_rows")) ++ extrema.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-      df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      val base = df.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      if (!withAvg) base
+      else base.select((groupCols.map(col) ++ Seq(col(s"sum_$valueCol"),
+        col(s"cnt_$valueCol"), col("n_rows"), avgExpr) ++
+        extrema.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))): _*)
     }
     val to = Versioned.currentVersion(s, srcDir)
     require(to > 0, s"no committed source version at $srcDir")
@@ -886,7 +1013,7 @@ object DerivedTable {
       // bootstrap while the note pins the older version — and unlike
       // refresh()'s upsert-by-key, the algebraic patch is NOT
       // idempotent, so the next refresh would double-count them
-      val full = aggOf(filtered(Versioned.read(s, srcDir, Some(to))))
+      val full = aggOf(prepared(Versioned.read(s, srcDir, Some(to))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // null group keys are refused up front (not at first touch):
@@ -918,17 +1045,19 @@ object DerivedTable {
     val touchedDf = events.select(col(rowKey)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try refreshAggOver(s, srcDir, dstDir, rowKey, groupCols, valueCol,
-      maxTouchedKeys, extrema, filtered, from, to, touchedDf,
-      partitionCol)
+      maxTouchedKeys, extrema, prepared, from, to, touchedDf,
+      partitionCol, derivedNames, withAvg)
     finally touchedDf.unpersist(blocking = false)
   }
 
   private def refreshAggOver(s: SparkSession, srcDir: String,
       dstDir: String, rowKey: String, groupCols: Seq[String],
       valueCol: String, maxTouchedKeys: Int, extrema: Seq[String],
-      filtered: DataFrame => DataFrame,
+      prepared: DataFrame => DataFrame,
       from: Int, to: Int, touchedDf: DataFrame,
-      partitionCol: Option[String] = None): (Int, Int) = {
+      partitionCol: Option[String] = None,
+      derivedNames: Set[String] = Set.empty,
+      withAvg: Boolean = false): (Int, Int) = {
     val sumCol = s"sum_$valueCol"
     val cntCol = s"cnt_$valueCol"
     val gCols = groupCols.map(col)
@@ -974,7 +1103,7 @@ object DerivedTable {
     // the tiered point read ([[pointRead]]); the IN-tier values are
     // exactly the probe's rows (complete by tSmall)
     def touchedAt(ver: Int): DataFrame =
-      filtered(pointRead(s, srcDir, Seq(rowKey), nTouched,
+      prepared(pointRead(s, srcDir, Seq(rowKey), nTouched,
         tProbe.map(_.get(0)).toSeq, Some(ver), touchedDf))
     // SIGNED-union delta: old rows weigh -1, new rows +1, ONE shuffle
     // computes every group's (sum, value-count, row-count) delta —
@@ -1052,20 +1181,34 @@ object DerivedTable {
           "update group(s) have no destination row — the destination " +
           s"does not reflect src=v$from (corrupt pin or out-of-band " +
           "edits); rebuild")
+        // stored avg re-derives from the PATCHED pair on every touch,
+        // so it can never drift from sum/cnt (NULL for the all-null
+        // group, like the sum)
+        val avgCols = if (!withAvg) Nil else Seq(
+          when(col(cntCol) === 0L, lit(null))
+            .otherwise(col(sumCol) / col(cntCol)).as(s"avg_$valueCol"))
         val upserts0 = patched.filter(col("n_rows") > 0)
           // the all-null group stores NULL, matching the recompute
           .select(gCols ++ Seq(
             when(col(cntCol) === 0L, lit(null)).otherwise(col(sumCol))
               .as(sumCol),
-            col(cntCol), col("n_rows")): _*)
+            col(cntCol), col("n_rows")) ++ avgCols: _*)
         val upserts = if (extrema.isEmpty) upserts0 else {
           // affected-group recompute for the non-invertible extrema:
           // re-aggregate ONLY the touched groups' rows at the pinned
           // `to` snapshot (tiered read, keyed on the group columns,
           // the same WHERE applied — extrema summarize the filtered
-          // stream like every other stored column)
-          val srcGroups = filtered(pointRead(s, srcDir, groupCols,
-            nGroups, groupVals, Some(to), groupsDf))
+          // stream like every other stored column). A DERIVED group
+          // key can't drive the manifest-pruned point read (the
+          // source has no such column) — the read falls back to the
+          // pinned snapshot scan semi-joined on the bucketed tuple,
+          // the same plan the >limit tier uses
+          val srcGroups =
+            if (derivedNames.isEmpty)
+              prepared(pointRead(s, srcDir, groupCols,
+                nGroups, groupVals, Some(to), groupsDf))
+            else prepared(Versioned.read(s, srcDir, Some(to)))
+              .join(broadcast(groupsDf), groupCols, "left_semi")
           val ext = srcGroups.groupBy(gCols: _*).agg(
             count(lit(1)).as("__extn"), extCols: _*)
           extJoined = upserts0.join(ext, groupCols, "left")
@@ -1079,6 +1222,7 @@ object DerivedTable {
             s"algebraic row count and the src=v$to recompute — " +
             "corrupt pin or out-of-band edits; rebuild")
           extJoined.select((groupCols ++ Seq(sumCol, cntCol, "n_rows")
+            ++ (if (withAvg) Seq(s"avg_$valueCol") else Nil)
             ++ extNames).map(col): _*)
         }
         val dels = patched.filter(col("n_rows") === 0L)
@@ -1266,17 +1410,21 @@ object DerivedTable {
         "noop_stable", "dropped")
   }
 
-  /** Driver-visible gate (q57): the round-16 MV surface — a FILTERED
+  /** Driver-visible gate (q57): the MV SHAPES surface — a FILTERED
     * aggregate view (WHERE under GROUP BY, the single most common MV
-    * in practice), a MULTI-COLUMN group tuple, and the staleness
-    * contract with BOTH actions (`mv.max-staleness-versions` refuses
-    * a stale read, refresh clears it; `mv.refresh-on-read` makes the
-    * read advance the view itself), all spelled in pure SQL. Both views advance
-    * through a source append and equal their full recomputes; every
+    * in practice), a MULTI-COLUMN group tuple, an EXPRESSION-VALUED
+    * group key with the AVG spelling (`GROUP BY date_trunc('DAY',
+    * ts)` + `avg(v) AS avg_v` over an events slice — the
+    * time-bucketed rollup, r17), and the staleness contract with
+    * BOTH actions (`mv.max-staleness-versions` refuses a stale read,
+    * refresh clears it; `mv.refresh-on-read` makes the read advance
+    * the view itself), all spelled in pure SQL. Every view advances
+    * through a source append and equals its full recompute; every
     * count reduces to a fixture constant DuckDB restates over the
-    * bounded doc_id < 600 slice (boundary-crossing edits are pinned
-    * by q52/q54 and the MvSpec/DerivedSpec lifecycles — this gate
-    * pins the SHAPES and the freshness contract). */
+    * bounded doc_id < 600 / event_id < 500 slices (boundary-crossing
+    * edits are pinned by q52/q54 and the MvSpec/DerivedSpec
+    * lifecycles — this gate pins the SHAPES and the freshness
+    * contract). */
   def mvShapesGate(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files
       .createTempDirectory("graft-mvshapes-gate")
@@ -1355,14 +1503,48 @@ object DerivedTable {
     val autoRefreshed = scala.util.Try(
       s.sql(s"SELECT count(*) FROM graft.`$fmv`").collect()).isSuccess &&
       refreshState(s, fmv).exists(_._3 == 0)
+    // —— expression group key + avg (r17): a day-bucketed rollup
+    // over an events slice, `GROUP BY date_trunc('DAY', ts)` with
+    // `avg(v) AS avg_v`, delta-maintained through an append. The
+    // value goes in as exact cents (floor(value*100) — floor is
+    // IEEE-identical across engines) so the algebraic patch is
+    // exact and the recompute equality is a hash fact, not a
+    // tolerance.
+    val bsrc = abs("bsrc"); val bmv = abs("bmv")
+    val ev = Tables.load(s, d, "events")
+      .filter(col("event_id") < 500)
+      .select(col("event_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("cents"))
+    Versioned.commit(ev.filter(col("event_id") < 400), bsrc)
+    s.sql(s"CREATE MATERIALIZED VIEW graft.`$bmv` ROW KEY " +
+      s"(event_id) AS SELECT date_trunc('DAY', ts) AS day, " +
+      s"sum(cents) AS sum_cents, count(cents) AS cnt_cents, " +
+      s"count(*) AS n_rows, avg(cents) AS avg_cents " +
+      s"FROM graft.`$bsrc` GROUP BY date_trunc('DAY', ts)")
+    Versioned.append(ev.filter(col("event_id") >= 400), bsrc)
+    s.sql(s"CALL graft.system.refresh_mv('$bmv')")
+    val eqB = bagEqual(Versioned.read(s, bmv),
+      s.sql(s"SELECT date_trunc('DAY', ts) AS day, sum(cents) AS " +
+        s"sum_cents, count(cents) AS cnt_cents, count(*) AS n_rows, " +
+        s"avg(cents) AS avg_cents FROM graft.`$bsrc` " +
+        "GROUP BY date_trunc('DAY', ts)"))
+    val b = Versioned.read(s, bmv).agg(count(lit(1)).as("g"),
+      sum(col("sum_cents")).as("sm")).head()
+    val bProps = Versioned.properties(s, bmv)
+    val specBucket = bProps.get(MvGroupExprPrefix + "day")
+      .exists(_.contains("date_trunc")) &&
+      bProps.get(MvAvgProp).contains("true")
     import s.implicits._
     Seq((f.getLong(0), f.getLong(1), m.getLong(0), m.getLong(1),
         if (eqF) 1L else 0L, if (eqM) 1L else 0L,
         if (specWhere) 1L else 0L, if (staleRefused) 1L else 0L,
-        if (freshAfter) 1L else 0L, if (autoRefreshed) 1L else 0L))
+        if (freshAfter) 1L else 0L, if (autoRefreshed) 1L else 0L,
+        b.getLong(0), b.getLong(1), if (eqB) 1L else 0L,
+        if (specBucket) 1L else 0L))
       .toDF("groups_f", "sum_f", "groups_m", "rows_m",
         "eq_filtered", "eq_multi", "spec_where", "stale_refused",
-        "fresh_after", "auto_refreshed")
+        "fresh_after", "auto_refreshed", "groups_b", "sum_b",
+        "eq_bucketed", "spec_bucket")
   }
 
   /** Driver-visible gate (q58): the JOIN materialized view and MV

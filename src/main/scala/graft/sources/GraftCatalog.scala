@@ -449,7 +449,21 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
               // a confident number computed from the other leg alone
               .filter(ls => ls.nonEmpty && ls.length == legs.length)
               .map(ls =>
-                "graft.mv.staleness_versions" -> ls.max.toString)
+                "graft.mv.staleness_versions" -> ls.max.toString) ++
+            // the TRANSITIVE lag a reader actually experiences —
+            // follows sources that are themselves MVs through their
+            // own pins (bronze→silver→gold); present only when a
+            // lineage exists beyond the own legs and every leg of it
+            // resolves (same unknown-over-confident discipline)
+            {
+              val trans = graft.sources.DerivedTable
+                .refreshLegsTransitive(spark, dir, props)
+              Some(trans.flatMap(_._2.map(_._3)))
+                .filter(ls => ls.length > legs.length &&
+                  ls.length == trans.length)
+                .map(ls => "graft.mv.transitive_staleness_versions" ->
+                  ls.max.toString)
+            }
           }
       })
   }

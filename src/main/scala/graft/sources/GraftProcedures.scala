@@ -545,15 +545,22 @@ object GraftProcedures {
       case "refresh_mv" => new Proc("refresh_mv",
         "argument-free refresh of a CREATE MATERIALIZED VIEW table: " +
           "reads the spec (kind, source, key, query) back from the " +
-          "view's own properties and dispatches to the derived or " +
-          "aggregate delta-maintenance path",
-        Seq(p("view", StringType)),
+          "view's own properties and dispatches to the derived, " +
+          "aggregate, or join delta-maintenance path; cascade => " +
+          "'true' refreshes stale upstream views first (upstream-" +
+          "first is the only order that clears transitive staleness " +
+          "in a bronze→silver→gold chain)",
+        Seq(p("view", StringType),
+          p("cascade", StringType, Some("'false'"))),
         StructType(Seq(
           StructField("kind", StringType, nullable = false),
           StructField("from_version", IntegerType, nullable = false),
           StructField("to_version", IntegerType, nullable = false))),
         a => {
-          val (kind, from, to) = DerivedTable.refreshMv(spark, dir(a(0)))
+          val casc = Option(a(1)).map(_.asInstanceOf[String])
+            .exists(_.trim.equalsIgnoreCase("true"))
+          val (kind, from, to) = DerivedTable.refreshMv(spark,
+            dir(a(0)), cascade = casc)
           Seq(kind, from, to)
         })
       case _ => null

@@ -646,4 +646,150 @@ class MvSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM graft.`$dst2`")
       .filter($"id" === 1L).head().getString(1) == "A-fresh")
   }
+
+  test("expression group keys: date_trunc buckets delta-maintain " +
+      "across bucket moves; GROUP BY-alias spelling; avg spelling") {
+    val src = fresh("bexpr_src")
+    val dst = fresh("bexpr_dst")
+    val dst2 = fresh("bexpr_dst2")
+    // 20 rows spread over 4 days, several per day
+    Versioned.commit(
+      (1L to 20L).map(i =>
+          (i, f"2024-03-${i % 4 + 1}%02d ${i % 9}%02d:15:00", i))
+        .toDF("id", "tss", "v")
+        .select($"id", to_timestamp($"tss").as("ts"), $"v"), src)
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      "ROW KEY (id) AS SELECT date_trunc('DAY', ts) AS day, " +
+      "sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS n_rows " +
+      s"FROM graft.`$src` GROUP BY date_trunc('DAY', ts)").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("agg", 0, 1)))
+    def expect = spark.sql("SELECT date_trunc('DAY', ts) AS day, " +
+      "sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS n_rows " +
+      s"FROM graft.`$src` GROUP BY date_trunc('DAY', ts)")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$dst`"), expect))
+    // the bucket expression travels with the spec
+    val props = Versioned.properties(spark, dst)
+    assert(props(DerivedTable.MvGroupProp) == "day" &&
+      props(DerivedTable.MvGroupExprPrefix + "day")
+        .contains("date_trunc"))
+    // one atomic batch MOVES rows between buckets (ids 1-2 jump to a
+    // brand-new day: old buckets shrink, a bucket row is BORN), adds
+    // a row to a standing bucket, and deletes a row
+    Versioned.applyChanges(spark, src,
+      upserts = spark.sql("SELECT id, timestamp'2024-03-09 12:00:00'" +
+          s" AS ts, v FROM graft.`$src` WHERE id <= 2")
+        .unionByName(Seq((21L, "2024-03-02 01:00:00", 100L))
+          .toDF("id", "tss", "v")
+          .select($"id", to_timestamp($"tss").as("ts"), $"v")),
+      deleteKeys = Seq(8L).toDF("id"), key = "id")
+    val r = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(r.map(_.toSeq).toSeq == Seq(Seq("agg", 1, 2)))
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$dst`"), expect))
+    // GROUP BY-alias spelling + the avg spelling, on the same source
+    val c2 = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst2` " +
+      "ROW KEY (id) AS SELECT date_trunc('DAY', ts) AS day, " +
+      "sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS n_rows, " +
+      s"avg(v) AS avg_v FROM graft.`$src` GROUP BY day").collect()
+    assert(c2.map(_.toSeq).toSeq == Seq(Seq("agg", 0, 2)))
+    def expect2 = spark.sql("SELECT date_trunc('DAY', ts) AS day, " +
+      "sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS n_rows, " +
+      s"avg(v) AS avg_v FROM graft.`$src` GROUP BY 1")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$dst2`"), expect2))
+    assert(Versioned.properties(spark, dst2)
+      .get(DerivedTable.MvAvgProp).contains("true"))
+    // the avg column stays the exact stored quotient through a
+    // delta refresh that nulls a value (cnt channel) and deletes
+    Versioned.applyChanges(spark, src,
+      upserts = spark.sql("SELECT id, ts, CAST(NULL AS BIGINT) AS v" +
+        s" FROM graft.`$src` WHERE id = 3"),
+      deleteKeys = Seq(21L).toDF("id"), key = "id")
+    spark.sql(s"CALL graft.system.refresh_mv('$dst2')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$dst2`"), expect2))
+    // contract refusals: a nondeterministic bucket diverges the
+    // view; a qualified reference can't re-resolve at refresh
+    def refuse(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql))
+      assert(e.getMessage.contains(frag),
+        s"expected '$frag' in: ${e.getMessage.take(300)}")
+    }
+    val dst3 = fresh("bexpr_dst3")
+    refuse(s"CREATE MATERIALIZED VIEW graft.`$dst3` ROW KEY (id) " +
+      "AS SELECT CAST(rand() * 4 AS INT) AS b, sum(v) AS sum_v, " +
+      "count(v) AS cnt_v, count(*) AS n_rows " +
+      s"FROM graft.`$src` GROUP BY b", "nondeterministic")
+    refuse(s"CREATE MATERIALIZED VIEW graft.`$dst3` ROW KEY (id) " +
+      "AS SELECT date_trunc('DAY', s.ts) AS day, sum(v) AS sum_v, " +
+      "count(v) AS cnt_v, count(*) AS n_rows " +
+      s"FROM graft.`$src` s GROUP BY day", "qualifier")
+  }
+
+  test("transitive staleness: a gold view over a lagging silver " +
+      "reports the lineage lag, bounded reads refuse on it, and " +
+      "cascade refresh clears the chain upstream-first") {
+    val src = fresh("tchain_src")
+    val silver = fresh("tchain_silver")
+    val gold = fresh("tchain_gold")
+    Versioned.commit((1L to 30L).map(i => (i, s"g${i % 3}", i))
+      .toDF("id", "g", "v"), src)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$silver` KEY (id) " +
+      s"AS SELECT id, g, v * 2 AS w FROM graft.`$src` WHERE v >= 3")
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY (id) " +
+      s"AS SELECT g, sum(w) AS sum_w, count(w) AS cnt_w, " +
+      s"count(*) AS n_rows FROM graft.`$silver` GROUP BY g")
+    // the fact advances; silver (and so gold's LINEAGE) goes stale
+    // while gold-vs-silver lag stays 0
+    Versioned.append(Seq((31L, "g1", 500L)).toDF("id", "g", "v"), src)
+    def shown() = spark.sql(s"SHOW TBLPROPERTIES graft.`$gold`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val s1 = shown()
+    assert(s1.get("graft.mv.staleness_versions").contains("0"))
+    assert(s1.get("graft.mv.transitive_staleness_versions")
+      .contains("1"))
+    // a bounded gold read refuses ON the transitive leg — the lag a
+    // reader actually experiences, not the own-pin lag of 0
+    spark.sql(s"ALTER TABLE graft.`$gold` SET TBLPROPERTIES " +
+      s"('${DerivedTable.MvMaxStalenessProp}'='0')")
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`$gold`").collect())
+    assert(e.getMessage.contains(DerivedTable.MvMaxStalenessProp) &&
+      e.getMessage.contains("src.src"),
+      s"expected a src.src transitive refusal: ${e.getMessage.take(300)}")
+    // an own-only refresh no-ops (gold-vs-silver pin already fresh)
+    // and CANNOT clear the transitive lag
+    val r0 = spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+      .head()
+    assert(r0.getInt(1) == r0.getInt(2))
+    assert(intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`$gold`").collect())
+      .getMessage.contains(DerivedTable.MvMaxStalenessProp))
+    // cascade refreshes silver FIRST, then gold — both lags clear,
+    // the read serves, and the states equal their recomputes
+    val r1 = spark.sql(s"CALL graft.system.refresh_mv('$gold', " +
+      "cascade => 'true')").head()
+    assert(r1.getInt(1) < r1.getInt(2))
+    val s2 = shown()
+    assert(s2.get("graft.mv.staleness_versions").contains("0") &&
+      s2.get("graft.mv.transitive_staleness_versions").contains("0"))
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$gold`"),
+      spark.sql(s"SELECT g, sum(w) AS sum_w, count(w) AS cnt_w, " +
+        s"count(*) AS n_rows FROM (SELECT id, g, v * 2 AS w FROM " +
+        s"graft.`$src` WHERE v >= 3) GROUP BY g")))
+    // refresh-on-read cascades too: stale the chain again, opt in,
+    // and one catalog read clears BOTH hops
+    Versioned.append(Seq((32L, "g2", 700L)).toDF("id", "g", "v"), src)
+    spark.sql(s"ALTER TABLE graft.`$gold` SET TBLPROPERTIES " +
+      s"('${DerivedTable.MvRefreshOnReadProp}'='true')")
+    assert(spark.sql(s"SELECT sum(n_rows) FROM graft.`$gold`")
+      .head().getLong(0) ==
+      spark.sql(s"SELECT count(*) FROM graft.`$src` WHERE v >= 3")
+        .head().getLong(0))
+    assert(shown().get("graft.mv.transitive_staleness_versions")
+      .contains("0"))
+  }
 }
