@@ -787,14 +787,23 @@ object Dedup {
     * [[minhashLsh]] run over the batch alone. */
   def dedupAgainstIndex(s: SparkSession, newDocs: DataFrame,
       indexDir: String, minJ: Double = 0.5): DataFrame = {
-    require(Versioned.currentVersion(s, indexDir) > 0,
-      s"$indexDir is not a built dedup index (buildDedupIndex first)")
     requireOneRowPerDoc(newDocs, "dedupAgainstIndex")
     // deliberately NOT persisted: the probe is a lazy plan the caller
     // evaluates (a persist here would leak past the call — nothing in
     // this function runs an action); the sketch's two consumers share
     // one identical aggregation subtree, which exchange reuse dedups
-    val sketch = dedupSketchOf(newDocs)
+    dedupProbeOf(s, dedupSketchOf(newDocs), indexDir, minJ)
+  }
+
+  /** [[dedupAgainstIndex]] from an ALREADY-SKETCHED batch — the seam
+    * for callers probing the same batch against an EVOLVING index
+    * (the d11 delete-lifecycle gate probes four index states): the
+    * batch sketches once (persist it), each probe re-reads only the
+    * index side. */
+  private[graft] def dedupProbeOf(s: SparkSession, sketch: DataFrame,
+      indexDir: String, minJ: Double = 0.5): DataFrame = {
+    require(Versioned.currentVersion(s, indexDir) > 0,
+      s"$indexDir is not a built dedup index (buildDedupIndex first)")
     // deleted corpus docs drop out of candidate generation HERE (the
     // tombstone anti-join broadcasts — bounded between compactions),
     // so a taken-down document never evicts a new one
@@ -1229,17 +1238,21 @@ object Dedup {
     try {
       val idx = work.resolve("lsh").toString
       val all = docs(s, d)
-      // the batch stays a SLIM bounded slice (120 docs) and persists
-      // across the gate's FOUR probes — each probe is a lazy plan
-      // that would otherwise re-scan and re-shingle the same rows
+      // the batch SKETCH persists across the gate's FOUR probes —
+      // the batch never changes between them (deletes/compacts touch
+      // the INDEX side), so shingling + minhashing it once and
+      // re-joining against each evolving index state is both the
+      // honest operator cost and four sketch passes cheaper
       val batch = all.filter(col("doc_id") >= 300 && col("doc_id") < 420)
+      requireOneRowPerDoc(batch, "dedupIndexDeletesGate")
+      val sketch = dedupSketchOf(batch)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // same pooled base as d10 — this gate deletes/compacts its copy
       graft.sources.FixturePool.cloneTo(s"dedup-base300:$d", idx,
         reclaimAtExit = true)(
         dir => buildDedupIndexOf(all.filter(col("doc_id") < 300), dir))
       def probePairs(): Seq[(Long, Long)] =
-        dedupAgainstIndex(s, batch, idx)
+        dedupProbeOf(s, sketch, idx)
           .select(col("dup_of"), col("new_id")).collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       val before = probePairs()
@@ -1261,7 +1274,7 @@ object Dedup {
       val reOk = reId.forall(id => scala.util.Try(appendToDedupIndex(s,
         all.filter(col("doc_id") === id), idx)).isSuccess)
       val afterReingest = probePairs()
-      batch.unpersist(blocking = false)
+      sketch.unpersist(blocking = false)
       import s.implicits._
       Seq((before.size.toLong, if (goneTomb) 1L else 0L,
           if (refused) 1L else 0L, afterDelete.size.toLong,

@@ -1566,69 +1566,115 @@ object DerivedTable {
   private def joinMvGateBody(s: SparkSession, d: String,
       work: java.nio.file.Path): DataFrame = {
     def abs(n: String) = work.resolve(n).toAbsolutePath.toString
-    val fact = abs("fact"); val dim = abs("dim")
-    val jmv = abs("jmv"); val gold = abs("gold")
-    val docs = Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .filter(col("doc_id") < 600)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      Versioned.commit(docs.filter(col("doc_id") < 400), fact)
-      Versioned.commit(docs.select(col("source")).distinct()
-        .withColumn("src_label", upper(col("source"))), dim)
-      val created = s.sql(s"CREATE MATERIALIZED VIEW graft.`$jmv` " +
-        s"KEY (doc_id) AS SELECT f.doc_id, f.source, d.src_label, " +
-        s"f.n_chars FROM graft.`$fact` f JOIN graft.`$dim` d " +
-        s"ON f.source = d.source WHERE f.n_chars >= 300").head()
-      val rowsV1 = Versioned.read(s, jmv).count()
-      def recomputeJmv = s.sql(s"SELECT f.doc_id, f.source, " +
-        s"d.src_label, f.n_chars FROM graft.`$fact` f JOIN " +
-        s"graft.`$dim` d ON f.source = d.source " +
-        s"WHERE f.n_chars >= 300")
-      // fact-side delta: append the 400-599 slice, refresh
-      Versioned.append(docs.filter(col("doc_id") >= 400), fact)
-      s.sql(s"CALL graft.system.refresh_mv('$jmv')")
-      val rowsV2 = Versioned.read(s, jmv).count()
-      val eqV2 = bagEqual(Versioned.read(s, jmv), recomputeJmv)
-      // GOLD rides the silver view: an aggregate MV whose source IS
-      // the join view (its CDC commits feed refreshAgg's changelog
-      // read like any table's)
-      s.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY " +
-        s"(doc_id) AS SELECT src_label, sum(n_chars) AS sum_n_chars, " +
-        s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
-        s"FROM graft.`$jmv` GROUP BY src_label")
-      // dim-side delta, one atomic batch: the lexicographically FIRST
-      // source relabels (affected facts must re-derive), the LAST
-      // deletes (its facts must leave the inner join) — then the edit
-      // propagates silver → gold through two chained refreshes
-      val mm = docs.agg(min(col("source")), max(col("source"))).head()
-      val (mn, mx) = (mm.getString(0), mm.getString(1))
-      import s.implicits._
-      Versioned.applyChanges(s, dim,
-        upserts = Seq((mn, "RELABELED")).toDF("source", "src_label"),
-        deleteKeys = Seq(mx).toDF("source"), key = "source")
-      s.sql(s"CALL graft.system.refresh_mv('$jmv')")
-      s.sql(s"CALL graft.system.refresh_mv('$gold')")
-      // final-state facts in ONE job over the view
-      val fin = Versioned.read(s, jmv).agg(count(lit(1)).as("n"),
-        sum(when(col("src_label") === "RELABELED", 1L).otherwise(0L))
-          .as("rl")).head()
-      val eqV3 = bagEqual(Versioned.read(s, jmv), recomputeJmv)
-      val g = Versioned.read(s, gold).agg(count(lit(1)).as("g"),
-        sum(col("sum_n_chars")).as("sm")).head()
-      val eqGold = bagEqual(Versioned.read(s, gold),
-        s.sql(s"SELECT src_label, sum(n_chars) AS sum_n_chars, " +
-          s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
-          s"FROM graft.`$jmv` GROUP BY src_label"))
-      Seq((if (created.getString(0) == "join") 1L else 0L,
-          rowsV1, rowsV2, fin.getLong(0), fin.getLong(1),
-          g.getLong(0), g.getLong(1),
-          if (eqV2) 1L else 0L, if (eqV3) 1L else 0L,
-          if (eqGold) 1L else 0L))
-        .toDF("created_join", "rows_v1", "rows_v2", "rows_v3",
-          "relabeled", "gold_groups", "gold_sum", "eq_v2", "eq_v3",
-          "eq_gold")
-    } finally docs.unpersist(blocking = false)
+    val fact = abs("fact"); val jmv = abs("jmv"); val gold = abs("gold")
+    // fact + dim + the append slice pool ONCE per JVM as one family
+    // (base, .dim, .app siblings): the docs scan and the bootstrap
+    // commits leave the per-run path, while every run still clones
+    // the family and exercises CREATE / append / refresh / dim-edit
+    // LIVE — those are the operators this gate measures (the d10
+    // pooled-base discipline)
+    FixturePool.cloneTo(s"q58-base:$d", fact,
+      reclaimAtExit = true) { dir =>
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .filter(col("doc_id") < 600)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Versioned.commit(docs.filter(col("doc_id") < 400), dir)
+        Versioned.commit(docs.select(col("source")).distinct()
+          .withColumn("src_label", upper(col("source"))),
+          dir + ".dim")
+        Versioned.commit(docs.filter(col("doc_id") >= 400),
+          dir + ".app")
+      } finally docs.unpersist(blocking = false)
+    }
+    val dim = fact + ".dim"
+    val created = s.sql(s"CREATE MATERIALIZED VIEW graft.`$jmv` " +
+      s"KEY (doc_id) AS SELECT f.doc_id, f.source, d.src_label, " +
+      s"f.n_chars FROM graft.`$fact` f JOIN graft.`$dim` d " +
+      s"ON f.source = d.source WHERE f.n_chars >= 300").head()
+    // fact-side delta: append the 400-599 slice, refresh
+    Versioned.append(Versioned.read(s, fact + ".app"), fact)
+    s.sql(s"CALL graft.system.refresh_mv('$jmv')")
+    // GOLD rides the silver view: an aggregate MV whose source IS
+    // the join view (its CDC commits feed refreshAgg's changelog
+    // read like any table's)
+    s.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY " +
+      s"(doc_id) AS SELECT src_label, sum(n_chars) AS sum_n_chars, " +
+      s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
+      s"FROM graft.`$jmv` GROUP BY src_label")
+    // dim-side delta, one atomic batch: the lexicographically FIRST
+    // source relabels (affected facts must re-derive), the LAST
+    // deletes (its facts must leave the inner join) — then the edit
+    // propagates silver → gold through two chained refreshes
+    val mm = Versioned.read(s, dim)
+      .agg(min(col("source")), max(col("source"))).head()
+    val (mn, mx) = (mm.getString(0), mm.getString(1))
+    import s.implicits._
+    Versioned.applyChanges(s, dim,
+      upserts = Seq((mn, "RELABELED")).toDF("source", "src_label"),
+      deleteKeys = Seq(mx).toDF("source"), key = "source")
+    s.sql(s"CALL graft.system.refresh_mv('$jmv')")
+    s.sql(s"CALL graft.system.refresh_mv('$gold')")
+    // —— every scalar fact in ONE job: the jmv's three lifecycle
+    // states (v1 bootstrap / v2 post-append / v3 head — snapshots
+    // are immutable, so the time-travel reads ARE the states the
+    // lifecycle produced) and the gold head, tagged and union-folded
+    def st(df: DataFrame, tag: String, rl: Column,
+        sm: Column): DataFrame =
+      df.select(lit(tag).as("t"), rl.cast("long").as("rl"),
+        sm.cast("long").as("sm"))
+    val stats = st(Versioned.read(s, jmv, Some(1)), "v1", lit(0L),
+        lit(0L))
+      .unionByName(st(Versioned.read(s, jmv, Some(2)), "v2", lit(0L),
+        lit(0L)))
+      .unionByName(st(Versioned.read(s, jmv), "v3",
+        when(col("src_label") === "RELABELED", 1L).otherwise(0L),
+        lit(0L)))
+      .unionByName(st(Versioned.read(s, gold), "gold", lit(0L),
+        col("sum_n_chars")))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"),
+        sum(col("rl")).as("rl"), sum(col("sm")).as("sm"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // —— every full-recompute equality in ONE signed-union job: the
+    // v2 leg recomputes against the PINNED inputs it was built from
+    // (fact v2 ⋈ dim v1 — time travel makes the deferred check read
+    // exactly what the live check read), v3 and gold against the
+    // heads; rows normalize to tagged string tuples so all three
+    // legs share one aggregation
+    def norm(df: DataFrame, tag: String, w: Long): DataFrame =
+      df.select(lit(tag).as("t") +:
+        df.columns.zipWithIndex.map { case (c, i) =>
+          col(c).cast("string").as(s"c${i + 1}") }.toSeq :+
+        lit(w).as("w"): _*)
+    def jmvSelect(factRel: String, dimRel: String) =
+      s"SELECT f.doc_id, f.source, d.src_label, f.n_chars " +
+        s"FROM $factRel f JOIN $dimRel d ON f.source = d.source " +
+        "WHERE f.n_chars >= 300"
+    val badLegs = norm(Versioned.read(s, jmv, Some(2)), "v2", 1L)
+      .unionByName(norm(s.sql(jmvSelect(
+        s"graft.`$fact` VERSION AS OF 2", s"graft.`$dim` VERSION AS " +
+          "OF 1")), "v2", -1L))
+      .unionByName(norm(Versioned.read(s, jmv), "v3", 1L))
+      .unionByName(norm(s.sql(jmvSelect(s"graft.`$fact`",
+        s"graft.`$dim`")), "v3", -1L))
+      .unionByName(norm(Versioned.read(s, gold), "gold", 1L))
+      .unionByName(norm(s.sql(s"SELECT src_label, sum(n_chars) AS " +
+        s"sum_n_chars, count(n_chars) AS cnt_n_chars, count(*) AS " +
+        s"n_rows FROM graft.`$jmv` GROUP BY src_label"), "gold", -1L))
+      .groupBy(col("t"), col("c1"), col("c2"), col("c3"), col("c4"))
+      .agg(sum(col("w")).as("d")).filter(col("d") =!= 0L)
+      .select(col("t")).distinct().collect().map(_.getString(0)).toSet
+    Seq((if (created.getString(0) == "join") 1L else 0L,
+        stats("v1").getLong(1), stats("v2").getLong(1),
+        stats("v3").getLong(1), stats("v3").getLong(2),
+        stats("gold").getLong(1), stats("gold").getLong(3),
+        if (!badLegs("v2")) 1L else 0L,
+        if (!badLegs("v3")) 1L else 0L,
+        if (!badLegs("gold")) 1L else 0L))
+      .toDF("created_join", "rows_v1", "rows_v2", "rows_v3",
+        "relabeled", "gold_groups", "gold_sum", "eq_v2", "eq_v3",
+        "eq_gold")
   }
 
   /** Driver-visible gate (q52): a curated projection of the documents
