@@ -242,38 +242,46 @@ object MvDdl {
   private[plans] val JoinShapeMsg =
     "a join materialized view must be SELECT … FROM <fact> " +
       "[INNER|LEFT [OUTER]] JOIN <dim> ON <fact>.<fk> = <dim>.<dk> " +
-      "[AND <fact>.<fk2> = <dim>.<dk2> …] [WHERE …] — exactly two " +
-      "distinct tables (the FIRST is the fact whose KEY names the " +
-      "row identity), equality conditions with both sides " +
-      "qualified, no other join types, windows, subqueries, " +
-      "DISTINCT, LIMIT or ORDER BY"
+      "[AND <fact>.<fk2> = <dim>.<dk2> …] [JOIN <dim2> ON " +
+      "<fact>.<fk> = <dim2>.<dk> …] [WHERE …] — distinct tables, the " +
+      "FIRST the fact whose KEY names the row identity, every ON an " +
+      "equality (or AND of equalities) between the FACT and the dim " +
+      "that join introduces (a star, not a snowflake — chain views " +
+      "for dim-over-dim), both sides qualified, no other join " +
+      "types, windows, subqueries, DISTINCT, LIMIT or ORDER BY"
 
-  /** Match the parsed query against the delta-maintainable join
-    * shape and extract (fact-side fk columns, dim-side key columns —
-    * aligned by position — and the join type string). The FIRST
-    * relation in the FROM clause is the fact; its alias (or table
-    * name's last part) must qualify the fk side of every equality.
-    * The ON condition is one equality or an AND of equalities
-    * (composite join key). None for any other shape. */
+  /** Match the parsed query against the delta-maintainable STAR join
+    * shape and extract one (fact-side fk columns, dim-side key
+    * columns — aligned by position — join type) triple PER DIM, in
+    * FROM order. The FIRST relation in the FROM clause is the fact;
+    * its alias (or table name's last part) must qualify the fk side
+    * of every equality, and each join's ON condition (one equality
+    * or an AND of equalities — composite join key) must reference
+    * the fact and exactly the dim that join introduces (left-deep
+    * star only — a dim joined to another dim is a snowflake, which
+    * needs chained views). None for any other shape. */
   def joinShapeOf(p: LogicalPlan):
-      Option[(Seq[String], Seq[String], String)] = {
+      Option[Seq[(Seq[String], Seq[String], String)]] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    // collect is pre-order: outermost join first; a left-deep chain
+    // reversed is FROM order
     val joins = p.collect { case j: Join => j }
-    if (joins.length != 1) return None
-    val j = joins.head
-    val jt = j.joinType match {
-      case Inner => "inner"
-      case LeftOuter => "left"
-      case _ => return None
-    }
-    // only projection/filter may sit above the join; each join side
-    // is the (possibly aliased) bare relation
+    if (joins.isEmpty) return None
+    // only projection/filter may sit above the joins; each join side
+    // is the (possibly aliased) bare relation or the next join down
     val badAbove = p.collect {
       case n if !n.isInstanceOf[Project] && !n.isInstanceOf[Filter] &&
         !n.isInstanceOf[SubqueryAlias] && !n.isInstanceOf[Join] &&
         !n.isInstanceOf[UnresolvedRelation] => n
     }
     if (badAbove.nonEmpty) return None
+    // the chain must be LEFT-deep: every join's left child is the
+    // next join (or the fact relation at the innermost)
+    val leftDeep = joins.sliding(2).forall {
+      case Seq(outer, inner) => outer.left eq inner
+      case _ => true
+    }
+    if (!leftDeep) return None
     def sideOf(n: LogicalPlan): Option[String] = n match {
       case s: SubqueryAlias if s.child.isInstanceOf[UnresolvedRelation]
         => Some(s.alias)
@@ -288,11 +296,13 @@ object MvDdl {
       if (org.apache.spark.sql.internal.SQLConf.get
           .caseSensitiveAnalysis) identity
       else _.toLowerCase(java.util.Locale.ROOT)
-    val (factAlias, dimAlias) = (sideOf(j.left).map(fold),
-        sideOf(j.right).map(fold)) match {
-      case (Some(f), Some(d)) if f != d => (f, d)
-      case _ => return None
-    }
+    val factAlias = sideOf(joins.last.left).map(fold)
+      .getOrElse(return None)
+    val fromOrder = joins.reverse
+    val dimAliases = fromOrder.map(j =>
+      sideOf(j.right).map(fold).getOrElse(return None))
+    if ((factAlias +: dimAliases).distinct.length !=
+      dimAliases.length + 1) return None
     // flatten `a AND b AND …` into the equality list
     def conjuncts(e: org.apache.spark.sql.catalyst.expressions
         .Expression): Seq[org.apache.spark.sql.catalyst.expressions
@@ -300,21 +310,28 @@ object MvDdl {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    val pairs = j.condition.toSeq.flatMap(conjuncts).map {
-      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-          if a.nameParts.length == 2 && b.nameParts.length == 2 =>
-        val sides = Map(fold(a.nameParts.head) -> a.nameParts.last,
-          fold(b.nameParts.head) -> b.nameParts.last)
-        (for {
-          fk <- sides.get(factAlias)
-          dk <- sides.get(dimAlias)
-          if sides.size == 2
-        } yield (fk, dk)).getOrElse(return None)
-      case _ => return None
-    }
-    if (pairs.isEmpty || pairs.map(_._1).distinct.length != pairs.length)
-      return None
-    Some((pairs.map(_._1), pairs.map(_._2), jt))
+    Some(fromOrder.zip(dimAliases).map { case (j, dimAlias) =>
+      val jt = j.joinType match {
+        case Inner => "inner"
+        case LeftOuter => "left"
+        case _ => return None
+      }
+      val pairs = j.condition.toSeq.flatMap(conjuncts).map {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+            if a.nameParts.length == 2 && b.nameParts.length == 2 =>
+          val sides = Map(fold(a.nameParts.head) -> a.nameParts.last,
+            fold(b.nameParts.head) -> b.nameParts.last)
+          (for {
+            fk <- sides.get(factAlias)
+            dk <- sides.get(dimAlias)
+            if sides.size == 2
+          } yield (fk, dk)).getOrElse(return None)
+        case _ => return None
+      }
+      if (pairs.isEmpty ||
+        pairs.map(_._1).distinct.length != pairs.length) return None
+      (pairs.map(_._1), pairs.map(_._2), jt)
+    })
   }
 }
 
@@ -370,14 +387,17 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
     require(exprBad.isEmpty,
       s"${exprBad.mkString(", ")} in the view query: " + shapeMsg)
     val rels = parsed.collect { case u: UnresolvedRelation => u }
-    val wantRels = if (isJoinQuery) 2 else 1
-    require(rels.length == wantRels,
-      s"the view query reads ${rels.length} tables: " + shapeMsg)
-    if (isJoinQuery)
-      require(rels.head.multipartIdentifier !=
-          rels(1).multipartIdentifier,
+    if (!isJoinQuery)
+      require(rels.length == 1,
+        s"the view query reads ${rels.length} tables: " + shapeMsg)
+    else {
+      require(rels.length >= 2,
+        s"the view query reads ${rels.length} tables: " + shapeMsg)
+      require(rels.map(_.multipartIdentifier).distinct.length ==
+          rels.length,
         "the view query reads the same table twice (self-join): " +
           shapeMsg)
+    }
     val srcDir = GraftDdl.tableDir(spark, rels.head.multipartIdentifier,
       "CREATE MATERIALIZED VIEW source")
     val srcCols = Versioned.read(spark, srcDir).columns.toSet
@@ -443,30 +463,41 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       require(!rowKeySpelling,
         "ROW KEY is the aggregate-view spelling; a join view takes " +
           "KEY (<fact key column>)")
-      val (fks, dks, jt) = MvDdl.joinShapeOf(parsed).getOrElse(
+      val shape = MvDdl.joinShapeOf(parsed).getOrElse(
         throw new UnsupportedOperationException(MvDdl.JoinShapeMsg))
-      val dimDir = GraftDdl.tableDir(spark,
-        rels(1).multipartIdentifier, "CREATE MATERIALIZED VIEW dim")
-      val dimCols = Versioned.read(spark, dimDir).columns.toSet
-      fks.foreach(fk => require(srcCols.contains(fk),
-        s"join column '$fk' is not in the fact table " +
-          s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
-      dks.foreach(dk => require(dimCols.contains(dk),
-        s"join column '$dk' is not in the dim table " +
-          s"(has: ${dimCols.toSeq.sorted.mkString(", ")})"))
-      // spec rides the bootstrap commit — see the agg branch
-      val ((from, to), _) = DerivedTable.refreshJoinKeys(spark, srcDir,
-        dimDir, dstDir, key, fks, dks,
-        DerivedTable.mvJoinTransform(spark, queryText),
+      require(shape.length == rels.length - 1,
+        MvDdl.JoinShapeMsg)
+      val dims = rels.tail.zip(shape).map { case (rel, (fks, dks,
+          jt)) =>
+        val dimDir = GraftDdl.tableDir(spark,
+          rel.multipartIdentifier, "CREATE MATERIALIZED VIEW dim")
+        val dimCols = Versioned.read(spark, dimDir).columns.toSet
+        fks.foreach(fk => require(srcCols.contains(fk),
+          s"join column '$fk' is not in the fact table " +
+            s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
+        dks.foreach(dk => require(dimCols.contains(dk),
+          s"join column '$dk' is not in the dim table " +
+            s"(has: ${dimCols.toSeq.sorted.mkString(", ")})"))
+        (DerivedTable.JoinDim(dimDir, fks, dks), jt)
+      }
+      // spec rides the bootstrap commit — see the agg branch;
+      // multi-dim fragments join with `;` in FROM order
+      val ((from, to), _) = DerivedTable.refreshJoinStar(spark, srcDir,
+        dims.map(_._1), dstDir, key,
+        DerivedTable.mvJoinTransformStar(spark, queryText),
         partitionCol = partitionCol,
         bootstrapProps = Map(
           DerivedTable.MvKindProp -> "join",
           DerivedTable.MvSourceProp -> srcDir,
-          DerivedTable.MvDimProp -> dimDir,
+          DerivedTable.MvDimProp ->
+            dims.map(_._1.dir).mkString(";"),
           DerivedTable.MvKeyProp -> key,
-          DerivedTable.MvFkProp -> fks.mkString(","),
-          DerivedTable.MvDimKeyProp -> dks.mkString(","),
-          DerivedTable.MvJoinTypeProp -> jt,
+          DerivedTable.MvFkProp ->
+            dims.map(_._1.fkCols.mkString(",")).mkString(";"),
+          DerivedTable.MvDimKeyProp ->
+            dims.map(_._1.dimKeys.mkString(",")).mkString(";"),
+          DerivedTable.MvJoinTypeProp ->
+            dims.map(_._2).mkString(";"),
           DerivedTable.MvQueryProp -> queryText) ++
           partitionCol.map(DerivedTable.MvPartitionProp -> _))
       Seq(Row("join", from, to))

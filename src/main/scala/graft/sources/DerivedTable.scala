@@ -63,10 +63,14 @@ object DerivedTable {
   val MvGroupExprPrefix = "graft.mv.group_expr."
   val MvAvgProp = "graft.mv.avg" // agg: 'true' when avg_<v> is stored
   val MvQueryProp = "graft.mv.query" // the AS SELECT text, verbatim
-  val MvDimProp = "graft.mv.dim" // join: resolved dim table dir
-  val MvFkProp = "graft.mv.fk" // join: fact-side join column
-  val MvDimKeyProp = "graft.mv.dim_key" // join: dim-side join column
-  val MvJoinTypeProp = "graft.mv.join_type" // join: "inner" | "left"
+  // join: `;`-separated per-dim fragments, aligned by position and
+  // in FROM order — dim dirs, each dim's fk csv, each dim's key csv,
+  // each join's type ("inner" | "left"). A two-table view stores one
+  // fragment (no `;`), byte-compatible with pre-star specs.
+  val MvDimProp = "graft.mv.dim"
+  val MvFkProp = "graft.mv.fk"
+  val MvDimKeyProp = "graft.mv.dim_key"
+  val MvJoinTypeProp = "graft.mv.join_type"
   // user-settable staleness bound (ALTER TABLE SET TBLPROPERTIES):
   // catalog READS of the view refuse when the pin lags the source
   // head by more than this many source commits — see
@@ -418,16 +422,26 @@ object DerivedTable {
     * a self-join (identical identifiers) is refused at CREATE. */
   def mvJoinTransform(s: SparkSession,
       queryText: String): (DataFrame, DataFrame) => DataFrame =
-    (factDf, dimDf) => {
+    (factDf, dimDf) =>
+      mvJoinTransformStar(s, queryText)(factDf, Seq(dimDf))
+
+  /** N-dim [[mvJoinTransform]]: the FIRST relation in the FROM
+    * clause is the fact, the rest are the dims IN FROM ORDER (the
+    * same order `collect` yields over the left-deep join tree). */
+  def mvJoinTransformStar(s: SparkSession,
+      queryText: String): (DataFrame, Seq[DataFrame]) => DataFrame =
+    (factDf, dimDfs) => {
       import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
       import org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias
       val parsed = s.sessionState.sqlParser.parsePlan(queryText)
       val rels = parsed.collect { case u: UnresolvedRelation =>
         u.multipartIdentifier }
-      require(rels.length == 2 && rels.head != rels(1),
-        s"the stored join-view query must read exactly two distinct " +
-          s"tables, found ${rels.length}: $queryText")
-      val frames = Map(rels.head -> factDf, rels(1) -> dimDf)
+      require(rels.length == 1 + dimDfs.length &&
+        rels.distinct.length == rels.length,
+        s"the stored join-view query must read exactly " +
+          s"${1 + dimDfs.length} distinct tables, found " +
+          s"${rels.length}: $queryText")
+      val frames = rels.zip(factDf +: dimDfs).toMap
       def substituted(fs: Map[Seq[String], DataFrame]) =
         parsed.transformUp {
           case u: UnresolvedRelation =>
@@ -491,13 +505,21 @@ object DerivedTable {
         ("agg", f, t)
       case "join" =>
         // the refresh reports the FACT range (the stream side); a
-        // dim-only delta shows (factTo, factTo) but still republishes
+        // dim-only delta shows (factTo, factTo) but still republishes.
+        // Multi-dim specs store `;`-separated per-dim fragments (a
+        // single-dim spec has no `;` and parses as one leg).
+        def semi(v: String) = v.split(";").map(_.trim)
+          .filter(_.nonEmpty).toSeq
         def csv(v: String) = v.split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
-        val ((f, t), _) = refreshJoinKeys(s, src, props(MvDimProp),
-          dstDir, props(MvKeyProp), csv(props(MvFkProp)),
-          csv(props(MvDimKeyProp)),
-          mvJoinTransform(s, props(MvQueryProp)), partitionCol = pCol)
+        val dims = semi(props(MvDimProp))
+          .zip(semi(props(MvFkProp)).map(csv))
+          .zip(semi(props(MvDimKeyProp)).map(csv))
+          .map { case ((d, fk), dk) => JoinDim(d, fk, dk) }
+        val ((f, t), _) = refreshJoinStar(s, src, dims,
+          dstDir, props(MvKeyProp),
+          mvJoinTransformStar(s, props(MvQueryProp)),
+          partitionCol = pCol)
         ("join", f, t)
       case other => throw new IllegalStateException(
         s"unknown $MvKindProp '$other' at $dstDir")
@@ -698,97 +720,157 @@ object DerivedTable {
       partitionCol: Option[String] = None,
       bootstrapProps: Map[String, String] = Map.empty)
       : ((Int, Int), (Int, Int)) = {
-    require(fkCols.nonEmpty && fkCols.length == dimKeys.length,
-      s"join keys must align by position, got fact (${fkCols
-        .mkString(", ")}) vs dim (${dimKeys.mkString(", ")})")
-    require(fkCols.distinct.length == fkCols.length &&
-      dimKeys.distinct.length == dimKeys.length,
-      s"join key columns must be distinct, got fact (${fkCols
-        .mkString(", ")}) vs dim (${dimKeys.mkString(", ")})")
+    val (f, ds) = refreshJoinStar(s, factDir,
+      Seq(JoinDim(dimDir, fkCols, dimKeys)), dstDir, key,
+      (fact, dims) => transform(fact, dims.head),
+      maxTouchedKeys, partitionCol, bootstrapProps)
+    (f, ds.head)
+  }
+
+  /** One dimension leg of a STAR join view: its table dir and the
+    * positionally aligned `fact.(fkCols…) = dim.(dimKeys…)` tuple. */
+  final case class JoinDim(dir: String, fkCols: Seq[String],
+      dimKeys: Seq[String])
+
+  /** N-dimension [[refreshJoinKeys]] — the star-schema enrichment
+    * view `fact ⋈ d1 ⋈ d2 ⋈ …` (each join N:1, INNER or LEFT inside
+    * the transform's plan), maintained from ALL changelogs: each dim
+    * leg's events locate their affected fact rows through that leg's
+    * fk point read, the union of affected + fact-event keys
+    * re-derives ONCE against every pinned dim, and the commit note
+    * carries one pin fragment per source (`src=vN;dim=vA;dim2=vB;…`
+    * — the [[legDirsOf]] key convention) so a crashed refresh never
+    * half-advances any cursor. Per-leg contracts are
+    * [[refreshJoinKeys]]'s: touched-tuple uniqueness audits, null
+    * dim-key refusals, the touched-key bound. Scale shape: one
+    * changelog read per source, one affected-fact point read per
+    * CHANGED dim leg (an idle leg costs two metadata probes), one
+    * slice-vs-dims join, one CoW/MoR commit. */
+  def refreshJoinStar(s: SparkSession, factDir: String,
+      dims: Seq[JoinDim], dstDir: String, key: String,
+      transform: (DataFrame, Seq[DataFrame]) => DataFrame,
+      maxTouchedKeys: Int = 100000,
+      partitionCol: Option[String] = None,
+      bootstrapProps: Map[String, String] = Map.empty)
+      : ((Int, Int), Seq[(Int, Int)]) = {
+    require(dims.nonEmpty, "refreshJoinStar needs at least one dim")
+    require(dims.map(_.dir).distinct.length == dims.length,
+      "dim tables must be distinct (a dim joined twice needs two " +
+        "aliases of two physical tables)")
+    dims.foreach { dm =>
+      require(dm.fkCols.nonEmpty &&
+        dm.fkCols.length == dm.dimKeys.length,
+        s"join keys must align by position, got fact (${dm.fkCols
+          .mkString(", ")}) vs dim (${dm.dimKeys.mkString(", ")})")
+      require(dm.fkCols.distinct.length == dm.fkCols.length &&
+        dm.dimKeys.distinct.length == dm.dimKeys.length,
+        s"join key columns must be distinct, got fact (${dm.fkCols
+          .mkString(", ")}) vs dim (${dm.dimKeys.mkString(", ")})")
+    }
+    val pinKeys = dims.indices.map(i => if (i == 0) "dim"
+      else s"dim${i + 1}")
     val to1 = Versioned.currentVersion(s, factDir)
     require(to1 > 0, s"no committed fact version at $factDir")
-    val to2 = Versioned.currentVersion(s, dimDir)
-    require(to2 > 0, s"no committed dim version at $dimDir")
-    val note = s"src=v$to1;dim=v$to2"
-    val dimKeyStr = dimKeys.mkString(", ")
-    def dimAt(v: Int) = Versioned.read(s, dimDir, Some(v))
-    def requireDimUnique(slice: DataFrame): Unit =
-      require(slice.groupBy(dimKeys.map(col): _*)
+    val tos = dims.map { dm =>
+      val v = Versioned.currentVersion(s, dm.dir)
+      require(v > 0, s"no committed dim version at ${dm.dir}")
+      v
+    }
+    val note = (s"src=v$to1" +: pinKeys.zip(tos).map {
+      case (k, v) => s"$k=v$v" }).mkString(";")
+    def dimAt(i: Int) = Versioned.read(s, dims(i).dir, Some(tos(i)))
+    def requireDimUnique(i: Int, slice: DataFrame): Unit =
+      require(slice.groupBy(dims(i).dimKeys.map(col): _*)
           .agg(count(lit(1)).as("__c"))
           .filter(col("__c") > 1L).isEmpty,
-        s"dim key '$dimKeyStr' is not unique in $dimDir — a join " +
-          "view stores one row per fact key, which a 1:N dim match " +
-          "cannot satisfy; dedupe the dim or key it differently")
+        s"dim key '${dims(i).dimKeys.mkString(", ")}' is not unique " +
+          s"in ${dims(i).dir} — a join view stores one row per fact " +
+          "key, which a 1:N dim match cannot satisfy; dedupe the " +
+          "dim or key it differently")
     val dstV = Versioned.currentVersion(s, dstDir)
     if (dstV == 0) {
-      val dim = dimAt(to2)
-      requireDimUnique(dim)
-      val full = transform(Versioned.read(s, factDir, Some(to1)), dim)
+      dims.indices.foreach(i => requireDimUnique(i, dimAt(i)))
+      val full = transform(Versioned.read(s, factDir, Some(to1)),
+        dims.indices.map(dimAt))
       require(full.columns.contains(key),
         s"the join-view query must preserve the key column '$key'")
       Versioned.commit(full, dstDir, note = Some(note),
         statsCols = Seq(key), transform = layoutOf(partitionCol),
         props = Some(bootstrapProps).filter(_.nonEmpty))
-      return ((0, to1), (0, to2))
+      return ((0, to1), tos.map(0 -> _))
     }
     val from1 = pinnedSrcVersion(s, dstDir)
-    val from2 = Versioned.notePin(s, dstDir, "dim")
+    val froms = pinKeys.map(k => Versioned.notePin(s, dstDir, k)
       .getOrElse(throw new IllegalStateException(
-        s"$dstDir pins src=v$from1 but carries no dim=v pin — not a " +
-          "join view (refresh would corrupt it); use a fresh " +
-          "destination directory"))
-    require(from1 <= to1 && from2 <= to2,
-      s"$dstDir pins src=v$from1/dim=v$from2 beyond the source heads " +
-        s"v$to1/v$to2 — a source was rolled back or replaced; " +
-        "rebuild into a fresh destination")
-    if (from1 == to1 && from2 == to2) return ((to1, to1), (to2, to2))
-    // —— touched dim keys → affected fact keys ——
+        s"$dstDir pins src=v$from1 but carries no $k=v pin — not a " +
+          "join view of this shape (refresh would corrupt it); use " +
+          "a fresh destination directory")))
+    require(from1 <= to1 && froms.zip(tos).forall { case (f, t) =>
+      f <= t },
+      s"$dstDir pins src=v$from1/${pinKeys.zip(froms).map { case (k,
+        f) => s"$k=v$f" }.mkString("/")} beyond the source heads " +
+        s"v$to1/${tos.mkString("/")} — a source was rolled back or " +
+        "replaced; rebuild into a fresh destination")
+    if (from1 == to1 && froms == tos)
+      return ((to1, to1), tos.map(v => (v, v)))
+    // —— per leg: touched dim keys → affected fact keys ——
     // the limit-probe fold serves count, null check, and IN-tier
     // values in one job (the refreshAgg discipline); dim events with
     // a null dim key refuse — an equality tombstone keyed on another
     // column can't locate its affected fact rows, and a null-keyed
-    // dim row never equi-joins anyway
-    val asFk = dimKeys.zip(fkCols).map { case (d, f) => col(d).as(f) }
-    val tdDf = (if (to2 > from2)
-        Versioned.readChanges(s, dimDir, from2, to2)
-          .select(asFk: _*).distinct()
-      else dimAt(to2).select(asFk: _*).limit(0))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // dim row never equi-joins anyway. An idle leg (from == to)
+    // contributes nothing and costs nothing.
+    var affected: Seq[DataFrame] = Nil
+    val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
     try {
-      val tdProbe = tdDf.limit(PruneKeyLimit + 1).collect()
-      val tdSmall = tdProbe.length <= PruneKeyLimit
-      val allIdx = fkCols.indices
-      val (nTd, nTdNonNull) =
-        if (tdSmall) (tdProbe.length.toLong,
-          tdProbe.count(r => allIdx.forall(i => !r.isNullAt(i))).toLong)
-        else {
-          val t = tdDf.agg(count(lit(1)).as("n"),
-            count(when(fkCols.map(col(_).isNotNull).reduce(_ && _),
-              lit(1))).as("nn")).head()
-          (t.getLong(0), t.getLong(1))
+      dims.indices.foreach { i =>
+        val dm = dims(i)
+        if (tos(i) > froms(i)) {
+          val dimKeyStr = dm.dimKeys.mkString(", ")
+          val asFk = dm.dimKeys.zip(dm.fkCols).map { case (d, f) =>
+            col(d).as(f) }
+          val tdDf = Versioned.readChanges(s, dm.dir, froms(i), tos(i))
+            .select(asFk: _*).distinct()
+            .persist(org.apache.spark.storage.StorageLevel
+              .MEMORY_AND_DISK)
+          persisted += tdDf
+          val tdProbe = tdDf.limit(PruneKeyLimit + 1).collect()
+          val tdSmall = tdProbe.length <= PruneKeyLimit
+          val allIdx = dm.fkCols.indices
+          val (nTd, nTdNonNull) =
+            if (tdSmall) (tdProbe.length.toLong,
+              tdProbe.count(r => allIdx.forall(j => !r.isNullAt(j)))
+                .toLong)
+            else {
+              val t = tdDf.agg(count(lit(1)).as("n"),
+                count(when(dm.fkCols.map(col(_).isNotNull)
+                  .reduce(_ && _), lit(1))).as("nn")).head()
+              (t.getLong(0), t.getLong(1))
+            }
+          require(nTd == nTdNonNull,
+            s"a dim change event carries a null '$dimKeyStr' — the " +
+              "dim's equality tombstones key on a different column, " +
+              "so the affected fact rows can't be located; key dim " +
+              s"deletes on '$dimKeyStr' (or refresh by rebuild)")
+          require(nTd <= maxTouchedKeys,
+            s"refresh range touches $nTd dim keys " +
+              s"(> $maxTouchedKeys) — rebuild into a fresh " +
+              "destination instead, or raise maxTouchedKeys")
+          // eager uniqueness audit on exactly the touched dim keys: a
+          // duplicate refuses at the refresh that INTRODUCED it, not
+          // at the first fact row that happens to reference it
+          if (nTd > 0) {
+            requireDimUnique(i,
+              pointRead(s, dm.dir, dm.dimKeys, nTd,
+                tdProbe.map(_.get(0)).toSeq, Some(tos(i)),
+                tdDf.select(dm.fkCols.zip(dm.dimKeys).map {
+                  case (f, d) => col(f).as(d) }: _*)))
+            affected :+= pointRead(s, factDir, dm.fkCols, nTd,
+              tdProbe.map(_.get(0)).toSeq, Some(to1), tdDf)
+              .select(col(key))
+          }
         }
-      require(nTd == nTdNonNull,
-        s"a dim change event carries a null '$dimKeyStr' — the dim's " +
-          "equality tombstones key on a different column, so the " +
-          "affected fact rows can't be located; key dim deletes on " +
-          s"'$dimKeyStr' (or refresh by rebuild)")
-      require(nTd <= maxTouchedKeys,
-        s"refresh range touches $nTd dim keys (> $maxTouchedKeys) — " +
-          "rebuild into a fresh destination instead, or raise " +
-          "maxTouchedKeys")
-      // eager uniqueness audit on exactly the touched dim keys: a
-      // duplicate refuses at the refresh that INTRODUCED it, not at
-      // the first fact row that happens to reference it
-      if (nTd > 0) requireDimUnique(
-        pointRead(s, dimDir, dimKeys, nTd,
-          tdProbe.map(_.get(0)).toSeq, Some(to2),
-          tdDf.select(fkCols.zip(dimKeys).map { case (f, d) =>
-            col(f).as(d) }: _*)))
-      val affected =
-        if (nTd == 0) None
-        else Some(pointRead(s, factDir, fkCols, nTd,
-          tdProbe.map(_.get(0)).toSeq, Some(to1), tdDf)
-          .select(col(key)))
+      }
       // —— fact-event keys ∪ dim-affected keys, re-derived once ——
       val factTouched =
         if (to1 > from1)
@@ -819,14 +901,14 @@ object DerivedTable {
             "— rebuild into a fresh destination instead, or raise " +
             "maxTouchedKeys")
         if (nK == 0) {
-          // metadata-only commits on both sides: advance the pins
+          // metadata-only commits on every side: advance the pins
           // with a note-only commit (the dead-range discipline)
           Versioned.commitNote(s, dstDir, note)
-          return ((from1, to1), (from2, to2))
+          return ((from1, to1), froms.zip(tos))
         }
         val factSlice = pointRead(s, factDir, Seq(key), nK,
           kProbe.map(_.get(0)).toSeq, Some(to1), kDf)
-        val newRows = transform(factSlice, dimAt(to2))
+        val newRows = transform(factSlice, dims.indices.map(dimAt))
         require(newRows.columns.contains(key),
           s"the join-view query must preserve the key column '$key'")
         val dels = kDf.join(newRows.select(col(key)), Seq(key),
@@ -836,8 +918,8 @@ object DerivedTable {
           transform = layoutOf(partitionCol),
           statsCols = Seq(key), note = Some(note))
       } finally kDf.unpersist(blocking = false)
-    } finally tdDf.unpersist(blocking = false)
-    ((from1, to1), (from2, to2))
+    } finally persisted.foreach(_.unpersist(blocking = false))
+    ((from1, to1), froms.zip(tos))
   }
 
   /** Incrementally maintained AGGREGATE view — the GROUP BY rollup

@@ -281,9 +281,11 @@ class MvSpec extends SparkSpec {
         s"expected '$frag' in: ${e.getMessage.take(300)}")
     }
     val mk = s"CREATE MATERIALIZED VIEW graft.`$dst` "
+    // three tables is a legal STAR since r17 — but the same dim
+    // twice is still a self-join refusal
     refuse(mk + s"KEY (id) AS SELECT a.id FROM graft.`$src` a " +
       s"JOIN graft.`$src2` b ON a.id = b.id " +
-      s"JOIN graft.`$src2` c ON a.id = c.id", "reads 3 tables")
+      s"JOIN graft.`$src2` c ON a.id = c.id", "same table twice")
     refuse(mk + s"KEY (id) AS SELECT DISTINCT id FROM graft.`$src`",
       "row-pure")
     refuse(mk + s"KEY (id) AS SELECT id FROM graft.`$src` " +
@@ -791,5 +793,71 @@ class MvSpec extends SparkSpec {
         .head().getLong(0))
     assert(shown().get("graft.mv.transitive_staleness_versions")
       .contains("0"))
+  }
+
+  test("star join MV: fact + two dims, each leg's edits propagate " +
+      "— fact appends, a dim relabel, a dim-key delete; snowflake " +
+      "ON clauses refuse") {
+    val fact = fresh("star_fact")
+    val d1 = fresh("star_d1")
+    val d2 = fresh("star_d2")
+    val dst = fresh("star_dst")
+    Versioned.commit((1L to 24L).map(i =>
+        (i, s"c${i % 3}", s"r${i % 4}", i * 10L))
+      .toDF("id", "cat", "region", "v"), fact)
+    Versioned.commit(Seq(("c0", "CAT0"), ("c1", "CAT1"), ("c2", "CAT2"))
+      .toDF("cat", "cat_label"), d1)
+    Versioned.commit((0 to 3).map(i => (s"r$i", s"REG$i"))
+      .toDF("region", "reg_label"), d2)
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      s"KEY (id) AS SELECT f.id, f.cat, c.cat_label, r.reg_label, " +
+      s"f.v FROM graft.`$fact` f JOIN graft.`$d1` c " +
+      s"ON f.cat = c.cat LEFT JOIN graft.`$d2` r " +
+      s"ON f.region = r.region WHERE f.v >= 20").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("join", 0, 1)))
+    // the spec stores per-dim fragments in FROM order
+    val props = Versioned.properties(spark, dst)
+    assert(props(DerivedTable.MvDimProp) == s"$d1;$d2" &&
+      props(DerivedTable.MvFkProp) == "cat;region" &&
+      props(DerivedTable.MvDimKeyProp) == "cat;region" &&
+      props(DerivedTable.MvJoinTypeProp) == "inner;left")
+    def expect = spark.sql(s"SELECT f.id, f.cat, c.cat_label, " +
+      s"r.reg_label, f.v FROM graft.`$fact` f JOIN graft.`$d1` c " +
+      s"ON f.cat = c.cat LEFT JOIN graft.`$d2` r " +
+      s"ON f.region = r.region WHERE f.v >= 20")
+    assert(DerivedTable.bagEqual(Versioned.read(spark, dst), expect))
+    // one batch per leg: a fact append, a d1 relabel (its facts must
+    // re-derive), a d2 key delete (LEFT leg nulls those labels) —
+    // then ONE argument-free refresh folds all three changelogs
+    Versioned.append(Seq((25L, "c1", "r9", 990L))
+      .toDF("id", "cat", "region", "v"), fact)
+    Versioned.upsert(spark, d1,
+      Seq(("c1", "RELABELED")).toDF("cat", "cat_label"), "cat")
+    Versioned.deleteRows(spark, d2, Seq("r2").toDF("region"))
+    val r = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(r.map(_.toSeq).toSeq == Seq(Seq("join", 1, 2)))
+    val got = Versioned.read(spark, dst)
+    assert(DerivedTable.bagEqual(got, expect))
+    assert(got.filter($"id" === 25L).head().getString(2) ==
+      "RELABELED")
+    assert(got.filter($"cat" === "c1")
+      .filter($"cat_label" =!= "RELABELED").isEmpty)
+    // the deleted region's facts stay (LEFT) with a null label
+    assert(got.filter($"id" === 6L).head().isNullAt(3))
+    // idle legs cost nothing: a no-op refresh holds every pin
+    val r2 = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .head()
+    assert(r2.getInt(1) == r2.getInt(2))
+    // a SNOWFLAKE ON clause (dim referencing dim) refuses with the
+    // star contract
+    val dst2 = fresh("star_dst2")
+    val e = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$dst2` KEY (id) AS " +
+        s"SELECT f.id, f.v FROM graft.`$fact` f " +
+        s"JOIN graft.`$d1` c ON f.cat = c.cat " +
+        s"JOIN graft.`$d2` r ON c.cat = r.region"))
+    assert(e.getMessage.contains("star"),
+      s"expected the star-shape refusal: ${e.getMessage.take(300)}")
   }
 }
