@@ -336,6 +336,11 @@ object SparkEntry {
     // through a chained GOLD aggregate view (bronze→silver→gold).
     "q58_join_mv" ->
       (graft.sources.DerivedTable.joinMvGate _),
+    // Aggregate-over-join MV (q59): one name, one refresh — the
+    // engine chains a hidden silver join view and delta-maintains
+    // the gold over it (implicit cascade).
+    "q59_aggjoin_mv" ->
+      (graft.sources.DerivedTable.aggJoinMvGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1894,6 +1899,28 @@ object SparkEntry {
                 CAST(1 AS BIGINT) AS eq_v2,
                 CAST(1 AS BIGINT) AS eq_v3,
                 CAST(1 AS BIGINT) AS eq_gold""",
+    // q59: the aggregate-over-join view's final state restates from
+    // the bounded doc_id < 600 slice with q58's edit batch applied —
+    // group by CASE(relabel) over surviving (non-deleted-dim) rows.
+    "q59_aggjoin_mv" ->
+      """WITH f AS (SELECT doc_id, source, n_chars FROM documents
+                    WHERE doc_id < 600),
+              b AS (SELECT min(source) AS mn, max(source) AS mx FROM f),
+              l AS (SELECT CASE WHEN source = b.mn THEN 'RELABELED'
+                                ELSE upper(source) END AS lab, n_chars,
+                           source
+                    FROM f, b
+                    WHERE n_chars >= 300 AND source <> b.mx)
+         SELECT CAST(1 AS BIGINT) AS created_aggjoin,
+                CAST(1 AS BIGINT) AS silver_hidden,
+                CAST(1 AS BIGINT) AS refreshed,
+                (SELECT count(DISTINCT lab) FROM l) AS gold_groups,
+                CAST((SELECT sum(n_chars) FROM l) AS BIGINT)
+                  AS gold_sum,
+                (SELECT count(*) FROM l WHERE lab = 'RELABELED')
+                  AS relabeled_rows,
+                CAST(1 AS BIGINT) AS eq_gold,
+                CAST(1 AS BIGINT) AS dropped_both""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle ++
     int8IndexExportOracle ++ dedupIndexExportOracle
 

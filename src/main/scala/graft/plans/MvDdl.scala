@@ -250,6 +250,124 @@ object MvDdl {
       "for dim-over-dim), both sides qualified, no other join " +
       "types, windows, subqueries, DISTINCT, LIMIT or ORDER BY"
 
+  private[plans] val AggJoinShapeMsg =
+    "an aggregate-over-join materialized view must be SELECT <g…>, " +
+      "sum(<q>.<v>) AS sum_<v>, count(<q>.<v>) AS cnt_<v>, count(*) " +
+      "AS n_rows[, avg(<q>.<v>) AS avg_<v>][, min/max pairs …] FROM " +
+      "<fact> JOIN <dim> ON <fact>.<fk> = <dim>.<dk> … [WHERE …] " +
+      "GROUP BY <g…> — group keys are bare or qualified columns, " +
+      "the join is the star shape; the engine chains a HIDDEN join " +
+      "silver at <view>.silver and delta-maintains the gold over it"
+
+  /** Match `SELECT g…, aggs FROM fact JOIN dim… [WHERE …] GROUP BY
+    * g…` — the aggregate-over-join shape the engine AUTO-CHAINS: a
+    * hidden silver join view materializes the projected join stream
+    * and the gold is the standard aggregate view over it. Returns
+    * (fact alias as written, groups as (silver column name,
+    * qualified sql), value as (column name, qualified sql), has-avg,
+    * extrema as (column name, qualified sql), per-dim join shape).
+    * Group keys are bare or fact/dim-qualified COLUMNS (bucket
+    * expressions over joins: chain views); aggregate args may be
+    * qualified, canonical aliases use the LAST name part. */
+  def aggOverJoinShapeOf(p: LogicalPlan): Option[(String,
+      Seq[(String, String)], (String, String), Boolean,
+      Seq[(String, String)],
+      Seq[(Seq[String], Seq[String], String)])] = {
+    val agg = p match {
+      case a: Aggregate => a
+      case _ => return None
+    }
+    val shape = joinShapeOf(agg.child).getOrElse(return None)
+    val joins = agg.child.collect { case j: Join => j }
+    val factAlias = joins.last.left match {
+      case s: SubqueryAlias if s.child.isInstanceOf[UnresolvedRelation]
+        => s.alias
+      case u: UnresolvedRelation => u.multipartIdentifier.last
+      case _ => return None
+    }
+    val nG = agg.groupingExpressions.length
+    val outs = agg.aggregateExpressions
+    if (nG == 0 || outs.length < nG + 3) return None
+    val gs = agg.groupingExpressions.zip(outs.take(nG)).map {
+      case (ge, out) =>
+        val gp = ge match {
+          case ua: UnresolvedAttribute if ua.nameParts.length <= 2 =>
+            ua.nameParts
+          case _ => return None
+        }
+        out match {
+          case ua: UnresolvedAttribute if ua.nameParts == gp =>
+            (gp.last, ge.sql)
+          case UnresolvedAlias(ua: UnresolvedAttribute, _)
+              if ua.nameParts == gp => (gp.last, ge.sql)
+          case Alias(ua: UnresolvedAttribute, name)
+              if ua.nameParts == gp => (name, ge.sql)
+          case _ => return None
+        }
+    }
+    val gNames = gs.map(_._1)
+    if (gNames.distinct.length != gNames.length) return None
+    // one eligible aggregate with a 1- or 2-part column arg:
+    // (alias, lowercased fn, Some((col last part, qualified sql)))
+    def fnOf2(e: Expression)
+        : Option[(String, String, Option[(String, String)])] =
+      e match {
+        case Alias(f: UnresolvedFunction, name)
+            if !f.isDistinct && f.filter.isEmpty &&
+              f.nameParts.length == 1 =>
+          val fn = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
+          f.arguments match {
+            case Seq(ua: UnresolvedAttribute)
+                if ua.nameParts.length <= 2 =>
+              Some((name, fn, Some((ua.nameParts.last, ua.sql))))
+            case Seq(l: Literal) if fn == "count" && l.value != null =>
+              Some((name, fn, None))
+            case Seq(_: UnresolvedStar) if fn == "count" =>
+              Some((name, fn, None))
+            case _ => None
+          }
+        case _ => None
+      }
+    val rest = outs.drop(nG).map(fnOf2)
+    if (rest.exists(_.isEmpty)) return None
+    val seq = rest.flatten
+    val (vName, vSql) = seq.head match {
+      case (name, "sum", Some((c, sql)))
+          if name == s"sum_$c" && !gNames.contains(c) => (c, sql)
+      case _ => return None
+    }
+    seq.lift(1) match {
+      case Some((name, "count", Some((c, sql))))
+          if name == s"cnt_$c" && c == vName && sql == vSql => ()
+      case _ => return None
+    }
+    seq.lift(2) match {
+      case Some(("n_rows", "count", None)) => ()
+      case _ => return None
+    }
+    val hasAvg = seq.lift(3) match {
+      case Some((name, "avg", Some((c, sql))))
+          if name == s"avg_$c" && c == vName && sql == vSql => true
+      case _ => false
+    }
+    val ext = seq.drop(if (hasAvg) 4 else 3).grouped(2).map {
+      case Seq((n1, "min", Some((c1, s1))), (n2, "max", Some((c2, s2))))
+          if c1 == c2 && s1 == s2 && !gNames.contains(c1) &&
+            n1 == s"min_$c1" && n2 == s"max_$c1" => Some((c1, s1))
+      case _ => None
+    }.toSeq
+    if (ext.exists(_.isEmpty)) return None
+    Some((factAlias, gs, (vName, vSql), hasAvg, ext.flatten, shape))
+  }
+
+  // slices `SELECT … FROM <tail> GROUP BY …` to the tail — the
+  // synthesized silver reuses the original FROM/JOIN/WHERE text
+  // VERBATIM (aliases, ON conditions, predicate quals all preserved);
+  // the shape is already plan-validated, so a mis-slice can only
+  // fail loudly at the silver's own parse
+  private[plans] val AggJoinSplit =
+    "(?is)^\\s*SELECT\\s+.*?\\s+FROM\\s+(.+)\\s+GROUP\\s+BY\\s+.*$".r
+
   /** Match the parsed query against the delta-maintainable STAR join
     * shape and extract one (fact-side fk columns, dim-side key
     * columns — aligned by position — join type) triple PER DIM, in
@@ -362,18 +480,22 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
     }
     val parsed = spark.sessionState.sqlParser.parsePlan(queryText)
     // the precondition messages cite the contract the query is
-    // actually under: an aggregate query gets the agg-shape contract,
-    // anything else the row-pure one
+    // actually under: an aggregate query gets the agg-shape contract
+    // (the agg-over-join one when it also joins), anything else the
+    // row-pure one
     val isAggQuery = parsed.exists {
       case _: Aggregate => true
       case _ => false
     }
-    val isJoinQuery = !isAggQuery && parsed.exists {
+    val hasJoin = parsed.exists {
       case _: Join => true
       case _ => false
     }
+    val isJoinQuery = !isAggQuery && hasJoin
+    val isAggJoin = isAggQuery && hasJoin
     val shapeMsg =
-      if (isAggQuery) MvDdl.AggShapeMsg
+      if (isAggJoin) MvDdl.AggJoinShapeMsg
+      else if (isAggQuery) MvDdl.AggShapeMsg
       else if (isJoinQuery) MvDdl.JoinShapeMsg
       else MvDdl.RowPureMsg
     // relations INSIDE subquery expressions would dodge the
@@ -387,7 +509,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
     require(exprBad.isEmpty,
       s"${exprBad.mkString(", ")} in the view query: " + shapeMsg)
     val rels = parsed.collect { case u: UnresolvedRelation => u }
-    if (!isJoinQuery)
+    if (!isJoinQuery && !isAggJoin)
       require(rels.length == 1,
         s"the view query reads ${rels.length} tables: " + shapeMsg)
     else {
@@ -404,7 +526,97 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
     require(srcCols.contains(key),
       s"key column '$key' is not in the source table " +
         s"(has: ${srcCols.toSeq.sorted.mkString(", ")})")
-    if (isAggQuery) {
+    if (isAggJoin) {
+      // aggregate-over-join AUTO-CHAINS: a hidden silver join view
+      // at `<dst>.silver` materializes the projected join stream
+      // (reusing the original FROM/JOIN/WHERE text verbatim), and
+      // the gold is the standard delta-maintained aggregate view
+      // over it — one name, one refresh_mv (auto-cascade), DROP
+      // removes both
+      require(rowKeySpelling,
+        "a GROUP BY materialized view names the SOURCE row identity " +
+          "— spell it ROW KEY (<fact row id>), not KEY")
+      val (factAlias, gs, (vName, vSql), hasAvg, ext, shape) =
+        MvDdl.aggOverJoinShapeOf(parsed).getOrElse(
+          throw new UnsupportedOperationException(
+            MvDdl.AggJoinShapeMsg))
+      require(shape.length == rels.length - 1, MvDdl.AggJoinShapeMsg)
+      val silverCols = key +: (gs.map(_._1) ++ Seq(vName) ++
+        ext.map(_._1))
+      require(silverCols.distinct.length == silverCols.length,
+        s"the view's column names collide after unqualifying " +
+          s"(${silverCols.mkString(", ")}) — alias the group keys " +
+          "apart from the row key and aggregate columns")
+      val dims = rels.tail.zip(shape).map { case (rel, (fks, dks,
+          jt)) =>
+        val dimDir = GraftDdl.tableDir(spark,
+          rel.multipartIdentifier, "CREATE MATERIALIZED VIEW dim")
+        fks.foreach(fk => require(srcCols.contains(fk),
+          s"join column '$fk' is not in the fact table " +
+            s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
+        val dimCols = Versioned.read(spark, dimDir).columns.toSet
+        dks.foreach(dk => require(dimCols.contains(dk),
+          s"join column '$dk' is not in the dim table " +
+            s"(has: ${dimCols.toSeq.sorted.mkString(", ")})"))
+        (DerivedTable.JoinDim(dimDir, fks, dks), jt)
+      }
+      val tail = queryText match {
+        case MvDdl.AggJoinSplit(t) => t
+        case _ => throw new UnsupportedOperationException(
+          MvDdl.AggJoinShapeMsg)
+      }
+      val silverText = s"SELECT `$factAlias`.`$key` AS `$key`, " +
+        (gs.map { case (a, q) => s"$q AS `$a`" } ++
+          Seq(s"$vSql AS `$vName`") ++
+          ext.map { case (c, q) => s"$q AS `$c`" }).mkString(", ") +
+        s" FROM $tail"
+      val silverDir = dstDir + ".silver"
+      require(Versioned.currentVersion(spark, silverDir) == 0,
+        s"$silverDir already exists — a crashed CREATE left the " +
+          "hidden silver behind; remove it and retry")
+      DerivedTable.refreshJoinStar(spark, srcDir, dims.map(_._1),
+        silverDir, key,
+        DerivedTable.mvJoinTransformStar(spark, silverText),
+        bootstrapProps = Map(
+          DerivedTable.MvKindProp -> "join",
+          DerivedTable.MvSourceProp -> srcDir,
+          DerivedTable.MvDimProp ->
+            dims.map(_._1.dir).mkString(";"),
+          DerivedTable.MvKeyProp -> key,
+          DerivedTable.MvFkProp ->
+            dims.map(_._1.fkCols.mkString(",")).mkString(";"),
+          DerivedTable.MvDimKeyProp ->
+            dims.map(_._1.dimKeys.mkString(",")).mkString(";"),
+          DerivedTable.MvJoinTypeProp ->
+            dims.map(_._2).mkString(";"),
+          DerivedTable.MvQueryProp -> silverText,
+          DerivedTable.MvHiddenSilverOfProp -> dstDir))
+      val (from, to) =
+        try DerivedTable.refreshAgg(spark, silverDir, dstDir, key,
+          gs.map(_._1), vName, extrema = ext.map(_._1),
+          withAvg = hasAvg, partitionCol = partitionCol,
+          bootstrapProps = Map(
+            DerivedTable.MvKindProp -> "agg",
+            DerivedTable.MvSourceProp -> silverDir,
+            DerivedTable.MvRowKeyProp -> key,
+            DerivedTable.MvGroupProp -> gs.map(_._1).mkString(","),
+            DerivedTable.MvValueProp -> vName,
+            DerivedTable.MvExtremaProp -> ext.map(_._1).mkString(","),
+            DerivedTable.MvQueryProp -> queryText,
+            DerivedTable.MvAutoChainProp -> "true") ++
+            (if (hasAvg) Seq(DerivedTable.MvAvgProp -> "true")
+             else Nil) ++
+            partitionCol.map(DerivedTable.MvPartitionProp -> _))
+        catch { case e: Throwable =>
+          // CREATE spans two tables; a failed gold bootstrap must
+          // not strand the silver (the retry would refuse on it)
+          val p = new org.apache.hadoop.fs.Path(silverDir)
+          scala.util.Try(p.getFileSystem(
+            spark.sessionState.newHadoopConf()).delete(p, true))
+          throw e
+        }
+      Seq(Row("aggjoin", from, to))
+    } else if (isAggQuery) {
       val (gs, v, hasAvg, ext, where) = MvDdl.aggShapeOf(parsed)
         .getOrElse(
           throw new UnsupportedOperationException(MvDdl.AggShapeMsg))
@@ -542,13 +754,17 @@ case class DropMaterializedViewCommand(parts: Seq[String],
       throw new IllegalArgumentException(
         s"materialized view $name does not exist")
     }
-    require(Versioned.properties(spark, dir)
-        .contains(DerivedTable.MvKindProp),
+    val props = Versioned.properties(spark, dir)
+    require(props.contains(DerivedTable.MvKindProp),
       s"$name is a plain table, not a materialized view — use DROP " +
         "TABLE")
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     f.delete(p, true)
+    // an auto-chained gold owns its hidden silver — DROP removes both
+    if (props.get(DerivedTable.MvAutoChainProp)
+        .exists(_.trim.equalsIgnoreCase("true")))
+      f.delete(new org.apache.hadoop.fs.Path(dir + ".silver"), true)
     Seq.empty
   }
 }

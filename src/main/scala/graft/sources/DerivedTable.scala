@@ -83,6 +83,13 @@ object DerivedTable {
   // always-fresh spelling; within-bound reads stay cheap (no refresh)
   val MvRefreshOnReadProp = "graft.mv.refresh-on-read"
   val MvPartitionProp = "graft.mv.partition" // destination layout col
+  // aggregate-over-join views auto-chain through a HIDDEN silver
+  // join view at `<dst>.silver` (a family-suffix sibling, so pooled
+  // copies carry it): the gold's spec marks auto_chain so every
+  // refresh_mv implicitly cascades through the silver, and the
+  // silver names its owner for diagnostics
+  val MvAutoChainProp = "graft.mv.auto_chain"
+  val MvHiddenSilverOfProp = "graft.mv.hidden_silver_of"
 
   /** Freshness state of a materialized view: (pinned source version,
     * source head version, lag). None when `dstDir` is not an MV. The
@@ -477,7 +484,12 @@ object DerivedTable {
           "property) — create one with CREATE MATERIALIZED VIEW … " +
           "AS SELECT, or call refresh_derived/refresh_agg with an " +
           "explicit spec"))
-    if (cascade) legDirsOf(props).foreach { case (_, d) =>
+    // an auto-chained view (aggregate-over-join gold) ALWAYS
+    // cascades: its silver is hidden machinery the caller cannot be
+    // expected to refresh by name
+    val doCascade = cascade ||
+      props.get(MvAutoChainProp).exists(_.trim.equalsIgnoreCase("true"))
+    if (doCascade) legDirsOf(props).foreach { case (_, d) =>
       if (!visited.contains(d) &&
           Versioned.properties(s, d).contains(MvKindProp))
         refreshMvGuarded(s, d, cascade = true, visited + d)
@@ -1757,6 +1769,89 @@ object DerivedTable {
       .toDF("created_join", "rows_v1", "rows_v2", "rows_v3",
         "relabeled", "gold_groups", "gold_sum", "eq_v2", "eq_v3",
         "eq_gold")
+  }
+
+  /** Driver-visible gate (q59): the AGGREGATE-OVER-JOIN materialized
+    * view — `SELECT d.src_label, sum/count/avg(f.n_chars)… FROM fact
+    * JOIN dim [WHERE] GROUP BY d.src_label` under ONE name, chained
+    * through the engine's HIDDEN silver join view (`<dst>.silver`).
+    * The same pooled fact/dim family and the same edit batch as q58
+    * (fact append; dim relabel moving one group's rows between
+    * labels; a dim-key delete), but ONE plain refresh_mv propagates
+    * everything (implicit cascade through the hidden silver). Final
+    * state equals the full recompute; every count reduces to a
+    * fixture constant DuckDB restates over the bounded doc_id < 600
+    * slice. */
+  def aggJoinMvGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-aggjoinmv-gate")
+    try aggJoinMvGateBody(s, d, work)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  private def aggJoinMvGateBody(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    def abs(n: String) = work.resolve(n).toAbsolutePath.toString
+    val fact = abs("fact"); val gold = abs("gold")
+    // the q58 pooled family (fact <400 + dim + append slice) serves
+    // this gate too — one build per JVM across both gates
+    FixturePool.cloneTo(s"q58-base:$d", fact,
+      reclaimAtExit = true) { dir =>
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .filter(col("doc_id") < 600)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Versioned.commit(docs.filter(col("doc_id") < 400), dir)
+        Versioned.commit(docs.select(col("source")).distinct()
+          .withColumn("src_label", upper(col("source"))),
+          dir + ".dim")
+        Versioned.commit(docs.filter(col("doc_id") >= 400),
+          dir + ".app")
+      } finally docs.unpersist(blocking = false)
+    }
+    val dim = fact + ".dim"
+    val goldSelect = s"SELECT d.src_label, sum(f.n_chars) AS " +
+      s"sum_n_chars, count(f.n_chars) AS cnt_n_chars, count(*) AS " +
+      s"n_rows, avg(f.n_chars) AS avg_n_chars FROM graft.`$fact` f " +
+      s"JOIN graft.`$dim` d ON f.source = d.source " +
+      "WHERE f.n_chars >= 300"
+    val created = s.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` " +
+      s"ROW KEY (doc_id) AS $goldSelect GROUP BY d.src_label").head()
+    val silverHidden = Versioned.properties(s, gold + ".silver")
+      .get(MvHiddenSilverOfProp).contains(gold)
+    // all three legs' edits land, then ONE refresh: fact append, dim
+    // relabel (the lexicographically FIRST source's rows MOVE into
+    // the RELABELED group), dim-key delete (the LAST source's rows
+    // leave the inner join)
+    Versioned.append(Versioned.read(s, fact + ".app"), fact)
+    val mm = Versioned.read(s, dim)
+      .agg(min(col("source")), max(col("source"))).head()
+    val (mn, mx) = (mm.getString(0), mm.getString(1))
+    import s.implicits._
+    Versioned.applyChanges(s, dim,
+      upserts = Seq((mn, "RELABELED")).toDF("source", "src_label"),
+      deleteKeys = Seq(mx).toDF("source"), key = "source")
+    val r = s.sql(s"CALL graft.system.refresh_mv('$gold')").head()
+    // state facts in one job; full-recompute equality in one more
+    val fin = Versioned.read(s, gold).agg(count(lit(1)).as("g"),
+      sum(col("sum_n_chars")).as("sm"),
+      sum(when(col("src_label") === "RELABELED", col("n_rows"))
+        .otherwise(0L)).as("rl")).head()
+    val eq = bagEqual(Versioned.read(s, gold),
+      s.sql(goldSelect + " GROUP BY d.src_label"))
+    // DROP removes the gold AND its hidden silver
+    s.sql(s"DROP MATERIALIZED VIEW graft.`$gold`")
+    val droppedBoth = Versioned.currentVersion(s, gold) == 0 &&
+      Versioned.currentVersion(s, gold + ".silver") == 0
+    Seq((if (created.getString(0) == "aggjoin") 1L else 0L,
+        if (silverHidden) 1L else 0L,
+        if (r.getString(0) == "agg") 1L else 0L,
+        fin.getLong(0), fin.getLong(1), fin.getLong(2),
+        if (eq) 1L else 0L, if (droppedBoth) 1L else 0L))
+      .toDF("created_aggjoin", "silver_hidden", "refreshed",
+        "gold_groups", "gold_sum", "relabeled_rows", "eq_gold",
+        "dropped_both")
   }
 
   /** Driver-visible gate (q52): a curated projection of the documents

@@ -860,4 +860,68 @@ class MvSpec extends SparkSpec {
     assert(e.getMessage.contains("star"),
       s"expected the star-shape refusal: ${e.getMessage.take(300)}")
   }
+
+  test("aggregate-over-join MV auto-chains a hidden silver: one " +
+      "name, one refresh; a dim relabel moves a group's rows " +
+      "between labels; DROP removes both") {
+    val fact = fresh("aj_fact")
+    val dim = fresh("aj_dim")
+    val gold = fresh("aj_gold")
+    Versioned.commit((1L to 30L).map(i => (i, s"c${i % 3}", i * 10L))
+      .toDF("id", "cat", "v"), fact)
+    Versioned.commit(Seq(("c0", "L0"), ("c1", "L1"), ("c2", "L2"))
+      .toDF("cat", "label"), dim)
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` " +
+      s"ROW KEY (id) AS SELECT d.label, sum(f.v) AS sum_v, " +
+      s"count(f.v) AS cnt_v, count(*) AS n_rows, avg(f.v) AS avg_v " +
+      s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.cat = d.cat " +
+      s"WHERE f.v >= 50 GROUP BY d.label").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("aggjoin", 0, 1)))
+    def expect = spark.sql(s"SELECT d.label, sum(f.v) AS sum_v, " +
+      s"count(f.v) AS cnt_v, count(*) AS n_rows, avg(f.v) AS avg_v " +
+      s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.cat = d.cat " +
+      s"WHERE f.v >= 50 GROUP BY d.label")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$gold`"), expect))
+    // the hidden silver is a real join view beside the gold, marked
+    // with its owner; the gold marks auto_chain
+    val silver = gold + ".silver"
+    assert(Versioned.properties(spark, silver)
+      .get(DerivedTable.MvHiddenSilverOfProp).contains(gold))
+    assert(Versioned.properties(spark, gold)
+      .get(DerivedTable.MvAutoChainProp).contains("true"))
+    // edits on BOTH legs: a fact append, and a dim relabel that
+    // MOVES c1's rows from L1 into L0's label group (two groups
+    // patch, one group row dies) — ONE plain refresh_mv propagates
+    // through the hidden silver (implicit cascade)
+    Versioned.append(Seq((31L, "c1", 990L)).toDF("id", "cat", "v"),
+      fact)
+    Versioned.upsert(spark, dim,
+      Seq(("c1", "L0")).toDF("cat", "label"), "cat")
+    val r = spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+      .collect()
+    assert(r.map(_.toSeq).toSeq == Seq(Seq("agg", 1, 2)))
+    val got = spark.sql(s"SELECT * FROM graft.`$gold`")
+    assert(DerivedTable.bagEqual(got, expect))
+    assert(got.filter($"label" === "L1").isEmpty)
+    // transitive freshness reads 0 after the chained refresh
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$gold`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("graft.mv.transitive_staleness_versions")
+      .contains("0"))
+    // DROP removes the gold AND its hidden silver
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$gold`")
+    assert(Versioned.currentVersion(spark, gold) == 0 &&
+      Versioned.currentVersion(spark, silver) == 0)
+    // group keys that are EXPRESSIONS over a join still refuse with
+    // the chaining contract named
+    val e = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY (id) AS " +
+        s"SELECT upper(d.label) AS lab, sum(f.v) AS sum_v, " +
+        s"count(f.v) AS cnt_v, count(*) AS n_rows " +
+        s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.cat = d.cat " +
+        s"GROUP BY upper(d.label)"))
+    assert(e.getMessage.contains("silver"),
+      s"expected the chaining contract: ${e.getMessage.take(300)}")
+  }
 }
