@@ -563,6 +563,29 @@ object GraftProcedures {
             dir(a(0)), cascade = casc)
           Seq(kind, from, to)
         })
+      case "follow_mv" => new Proc("follow_mv",
+        "CONTINUOUS maintenance: start a session-lifetime follower " +
+          "that refreshes the view (cascading through upstream " +
+          "views) whenever a source commits — exactly-once by the " +
+          "pin protocol, no checkpoint to manage; stop it with " +
+          "unfollow_mv",
+        Seq(p("view", StringType),
+          p("poll_interval_ms", IntegerType, Some("1000"))),
+        StructType(Seq(
+          StructField("following", StringType, nullable = false))),
+        a => {
+          val iv = Option(a(1)).map(_.asInstanceOf[Int]).getOrElse(1000)
+          val d = dir(a(0))
+          graft.streaming.MvFollower.follow(spark, d, iv.toLong)
+          Seq(d)
+        })
+      case "unfollow_mv" => new Proc("unfollow_mv",
+        "stop the follow_mv loop on a view (drains the in-flight " +
+          "refresh; surfaces its last recorded failure)",
+        Seq(p("view", StringType)),
+        StructType(Seq(
+          StructField("was_following", BooleanType, nullable = false))),
+        a => Seq(graft.streaming.MvFollower.unfollow(dir(a(0)))))
       case _ => null
     })
   }
@@ -573,6 +596,6 @@ object GraftProcedures {
     "set_spec", "collect_stats", "rewrite_zorder",
     "remove_orphan_files", "create_changelog_view", "add_files",
     "clone_table", "refresh_derived", "refresh_agg", "refresh_join",
-    "refresh_mv",
+    "refresh_mv", "follow_mv", "unfollow_mv",
     "ingest_dedup", "ingest_vectors")
 }

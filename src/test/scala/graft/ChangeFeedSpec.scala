@@ -187,4 +187,71 @@ class ChangeFeedSpec extends SparkSpec {
     } finally h.stop()
     assert(ChangeFeed.cursor(spark, c) == 3)
   }
+
+  test("follow_mv: the view converges on source commits without " +
+      "manual refreshes, exactly-once through a restart, and the " +
+      "SQL spellings manage the follower") {
+    import spark.implicits._
+    val (src0, _) = fresh("follow-src")
+    val src = new java.io.File(src0).getAbsolutePath
+    val dst = s"$work/follow-dst"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dst))
+    val dstAbs = new java.io.File(dst).getAbsolutePath
+    Versioned.commit((1L to 30L).map(i => (i, s"g${i % 3}", i))
+      .toDF("id", "g", "v"), src)
+    // an AGGREGATE view is the honest exactly-once probe: a replayed
+    // (at-least-once) patch would corrupt the sums, so recompute
+    // equality proves each range applied exactly once
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dstAbs` ROW KEY " +
+      s"(id) AS SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, " +
+      s"count(*) AS n_rows FROM graft.`$src` GROUP BY g")
+    def expect = spark.sql(s"SELECT g, sum(v) AS sum_v, count(v) " +
+      s"AS cnt_v, count(*) AS n_rows FROM graft.`$src` GROUP BY g")
+    def converged(deadlineMs: Long = 20000): Boolean = {
+      val stop = System.currentTimeMillis + deadlineMs
+      var ok = false
+      while (!ok && System.currentTimeMillis < stop) {
+        ok = graft.sources.DerivedTable
+          .refreshState(spark, dstAbs).exists(_._3 == 0)
+        if (!ok) Thread.sleep(100)
+      }
+      ok
+    }
+    // SQL spelling starts the follower; source commits land and the
+    // view converges with NO manual refresh call
+    val f = spark.sql(s"CALL graft.system.follow_mv('$dstAbs', " +
+      "poll_interval_ms => 100)").head()
+    assert(f.getString(0) == dstAbs)
+    Versioned.append((31L to 40L).map(i => (i, "gX", i * 100L))
+      .toDF("id", "g", "v"), src)
+    assert(converged(), "follower did not converge on the append")
+    assert(graft.sources.DerivedTable.bagEqual(
+      Versioned.read(spark, dstAbs), expect))
+    // duplicate followers refuse; unfollow drains and reports
+    val e = intercept[Exception](spark.sql(
+      s"CALL graft.system.follow_mv('$dstAbs')"))
+    assert(e.getMessage.contains("already running"))
+    assert(spark.sql(s"CALL graft.system.unfollow_mv('$dstAbs')")
+      .head().getBoolean(0))
+    // while NO follower runs, more source commits pile up…
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((1L, "gX", 9999L)).toDF("id", "g", "v"),
+      deleteKeys = Seq(30L).toDF("id"), key = "id")
+    Versioned.append(Seq((41L, "g1", 7L)).toDF("id", "g", "v"), src)
+    // …and a RESTARTED follower resumes from the view's own pin (no
+    // checkpoint to restore) and applies the missed ranges exactly
+    // once: the algebraic sums match the recompute, which a replay
+    // or a skip would both break
+    val h = graft.streaming.MvFollower.follow(spark, dstAbs, 100L)
+    try {
+      assert(converged(), "restarted follower did not converge")
+      assert(graft.sources.DerivedTable.bagEqual(
+        Versioned.read(spark, dstAbs), expect))
+    } finally h.stop()
+    assert(!graft.streaming.MvFollower.unfollow(dstAbs))
+    // a follower on a plain table refuses at the call site
+    val e2 = intercept[Exception](spark.sql(
+      s"CALL graft.system.follow_mv('$src')"))
+    assert(e2.getMessage.contains("not a materialized view"))
+  }
 }
