@@ -226,6 +226,37 @@ object SqlLakehouseDemo {
       one(s"SELECT count(*) FROM graft.`$jmvDir` " +
         "WHERE label = 'RELABELED'") +
       s" kind=${jr.getString(0)}")
+    // aggregate-over-join (r17): one name, the engine chains a hidden
+    // silver at <view>.silver and a plain refresh_mv cascades through
+    // it — the rollup-over-enrichment every star schema wants
+    val gjDir = new java.io.File(s"$out/sql_aggjoin").getAbsolutePath
+    val cgj = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gjDir` " +
+      s"ROW KEY (id) AS SELECT d.label, sum(f.score) AS sum_score, " +
+      s"count(f.score) AS cnt_score, count(*) AS n_rows FROM $g f " +
+      s"JOIN graft.`$dimDir` d ON f.name = d.dk GROUP BY d.label")
+      .head()
+    spark.sql(s"INSERT INTO $g VALUES (888, 'omega', 2.5)")
+    val gjr = spark.sql(
+      s"CALL graft.system.refresh_mv('$gjDir')").head()
+    println("SQL_DEMO_AGGJOIN=" +
+      one(s"SELECT count(*) FROM graft.`$gjDir`") +
+      s" kind=${cgj.getString(0)} refreshed=${gjr.getString(0)} " +
+      "silver=" + (if (new java.io.File(gjDir + ".silver").exists())
+        1 else 0))
+    // continuous maintenance (r17): follow_mv converges the view on
+    // source commits with no manual refresh; exactly-once by the pin
+    spark.sql(s"CALL graft.system.follow_mv('$gjDir', " +
+      "poll_interval_ms => 100)")
+    spark.sql(s"INSERT INTO $g VALUES (889, 'alpha', 1.0)")
+    val deadline = System.currentTimeMillis + 20000
+    var lag = -1L
+    while (lag != 0L && System.currentTimeMillis < deadline) {
+      lag = graft.sources.DerivedTable.refreshState(spark, gjDir)
+        .map(_._3.toLong).getOrElse(-1L)
+      if (lag != 0L) Thread.sleep(100)
+    }
+    spark.sql(s"CALL graft.system.unfollow_mv('$gjDir')")
+    println(s"SQL_DEMO_FOLLOW_CONVERGED=${if (lag == 0L) 1 else 0}")
     spark.stop()
   }
 }

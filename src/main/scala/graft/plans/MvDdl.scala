@@ -628,6 +628,13 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       (bare ++ Seq(v) ++ ext).foreach(c => require(srcCols.contains(c),
         s"column '$c' is not in the source table " +
           s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
+      // a bucket alias that SHADOWS a source column would change
+      // what the stored WHERE sees at refresh time — refuse eagerly
+      // (refreshAgg re-checks, but HERE the user can still edit)
+      gExprs.map(_._1).filter(srcCols.contains).foreach(n =>
+        throw new IllegalArgumentException(
+          s"derived group name '$n' shadows a source column — " +
+            "alias the bucket differently"))
       // reference checks shared by the WHERE predicate and every
       // bucket expression: qualified names can't re-resolve against
       // the bare snapshot reads at refresh time, unknown columns

@@ -400,7 +400,9 @@ object GraftProcedures {
           p("row_key", StringType), p("group_by", StringType),
           p("value", StringType),
           p("extrema", StringType, Some("''")),
-          p("where", StringType, Some("''"))),
+          p("where", StringType, Some("''")),
+          p("group_exprs", StringType, Some("''")),
+          p("with_avg", StringType, Some("'false'"))),
         StructType(Seq(
           StructField("from_version", IntegerType, nullable = false),
           StructField("to_version", IntegerType, nullable = false))),
@@ -412,15 +414,31 @@ object GraftProcedures {
           val ext = Option(a(5)).map(_.asInstanceOf[String]).toSeq
             .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
           // group_by accepts a csv: multi-column groups are
-          // first-class in the refreshAgg algebra
+          // first-class in the refreshAgg algebra. group_exprs are
+          // `;`-separated bucket-expression texts aligned
+          // POSITIONALLY with group_by ('' = bare column), the
+          // expression-group-key spelling (GROUP BY date_trunc…)
           val groups = a(3).asInstanceOf[String].split(",")
             .map(_.trim).filter(_.nonEmpty).toSeq
+          val exprTexts = Option(a(7)).map(_.asInstanceOf[String])
+            .filter(_.nonEmpty).map(_.split(";", -1).map(_.trim).toSeq)
+            .getOrElse(Nil)
+          require(exprTexts.isEmpty ||
+            exprTexts.length == groups.length,
+            s"'group_exprs' has ${exprTexts.length} entries but " +
+              s"'group_by' names ${groups.length} columns — align " +
+              "them positionally ('' for a bare column)")
+          val gExprs = groups.zip(exprTexts).collect {
+            case (g, t) if t.nonEmpty => (g, t) }
           val (from, to) = DerivedTable.refreshAgg(spark, dir(a(0)),
             dir(a(1)), a(2).asInstanceOf[String],
             groups, a(4).asInstanceOf[String],
             extrema = ext,
             where = Option(a(6)).map(_.asInstanceOf[String])
-              .filter(_.nonEmpty))
+              .filter(_.nonEmpty),
+            groupExprs = gExprs,
+            withAvg = Option(a(8)).map(_.asInstanceOf[String])
+              .exists(_.trim.equalsIgnoreCase("true")))
           Seq(from, to)
         })
       case "refresh_join" => new Proc("refresh_join",

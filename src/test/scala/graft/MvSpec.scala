@@ -728,6 +728,24 @@ class MvSpec extends SparkSpec {
       "AS SELECT date_trunc('DAY', s.ts) AS day, sum(v) AS sum_v, " +
       "count(v) AS cnt_v, count(*) AS n_rows " +
       s"FROM graft.`$src` s GROUP BY day", "qualifier")
+    // a bucket alias shadowing a source column would change what a
+    // stored WHERE sees at refresh time
+    refuse(s"CREATE MATERIALIZED VIEW graft.`$dst3` ROW KEY (id) " +
+      "AS SELECT date_trunc('DAY', ts) AS ts, sum(v) AS sum_v, " +
+      "count(v) AS cnt_v, count(*) AS n_rows " +
+      s"FROM graft.`$src` GROUP BY ts", "shadows")
+    // the explicit-spec SQL spelling takes the same bucket + avg:
+    // group_exprs aligns positionally with group_by
+    val dst4 = fresh("bexpr_dst4")
+    val pr = spark.sql(s"CALL graft.system.refresh_agg('$src', " +
+      s"'$dst4', row_key => 'id', group_by => 'day', " +
+      "group_exprs => \"date_trunc('DAY', ts)\", value => 'v', " +
+      "with_avg => 'true')").head()
+    assert(pr.getInt(0) == 0 && pr.getInt(1) > 0)
+    assert(DerivedTable.bagEqual(Versioned.read(spark, dst4),
+      spark.sql("SELECT date_trunc('DAY', ts) AS day, sum(v) AS " +
+        "sum_v, count(v) AS cnt_v, count(*) AS n_rows, avg(v) AS " +
+        s"avg_v FROM graft.`$src` GROUP BY 1")))
   }
 
   test("transitive staleness: a gold view over a lagging silver " +
