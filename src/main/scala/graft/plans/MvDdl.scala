@@ -115,22 +115,24 @@ object MvDdl {
     }
 
   /** Match the parsed query against the delta-maintainable aggregate
-    * shape — `SELECT g…, sum(v) AS sum_<v>, count(v) AS cnt_<v>,
-    * count(*) AS n_rows[, avg(v) AS avg_<v>][, min(c) AS min_<c>,
-    * max(c) AS max_<c> …] FROM src [WHERE pred] GROUP BY g…`,
-    * canonical aliases IN ORDER (so `SELECT * FROM mv` returns
-    * exactly what the definition reads) — and extract (groups with
-    * their optional bucket-expression texts, value, has-avg,
-    * extrema, where-text). A group key may be a bare column OR a
+    * shape — `SELECT g…, sum(a) AS sum_<a>, count(a) AS cnt_<a>[,
+    * sum(b) AS sum_<b>, count(b) AS cnt_<b> …], count(*) AS n_rows[,
+    * avg(c) AS avg_<c> …][, min(c) AS min_<c>, max(c) AS max_<c> …]
+    * FROM src [WHERE pred] GROUP BY g…`, canonical aliases IN ORDER
+    * (so `SELECT * FROM mv` returns exactly what the definition
+    * reads) — and extract (groups with their optional
+    * bucket-expression texts, value columns, avg columns, extrema,
+    * where-text). A group key may be a bare column OR a
     * deterministic scalar EXPRESSION aliased in the select list
     * (`SELECT date_trunc('day', ts) AS day … GROUP BY
     * date_trunc('day', ts)` — or `GROUP BY day`, the group-by-alias
     * spelling): the bucket materializes as a derived column on every
     * snapshot-side read and the delta algebra runs on the bucketed
-    * stream unchanged. Multi-column GROUP BY and a WHERE predicate
-    * are both delta-maintainable; None for any other shape. */
+    * stream unchanged. Multi-column GROUP BY, MULTI-MEASURE sum/cnt
+    * pairs, and a WHERE predicate are all delta-maintainable; None
+    * for any other shape. */
   def aggShapeOf(p: LogicalPlan):
-      Option[(Seq[(String, Option[String])], String, Boolean,
+      Option[(Seq[(String, Option[String])], Seq[String], Seq[String],
         Seq[String], Option[String])] = {
     val agg = p match {
       case a: Aggregate => a
@@ -189,42 +191,59 @@ object MvDdl {
     val rest = outs.drop(nG).map(aliased)
     if (rest.exists(_.isEmpty)) return None
     val seq = rest.flatten
-    val v = seq.head match {
-      case (name, "sum", Some(c))
-          if name == s"sum_$c" && !gNames.contains(c) => c
+    // one or more MEASURES — canonical (sum_<c>, cnt_<c>) pairs — a
+    // rollup usually carries several, and one view maintains them
+    // all in the same delta pass
+    var i = 0
+    val vals = scala.collection.mutable.ArrayBuffer[String]()
+    var more = true
+    while (more) {
+      (seq.lift(i), seq.lift(i + 1)) match {
+        case (Some((n1, "sum", Some(c1))),
+            Some((n2, "count", Some(c2))))
+            if c1 == c2 && n1 == s"sum_$c1" && n2 == s"cnt_$c1" &&
+              !gNames.contains(c1) && !vals.contains(c1) =>
+          vals += c1; i += 2
+        case _ => more = false
+      }
+    }
+    if (vals.isEmpty) return None
+    seq.lift(i) match {
+      case Some(("n_rows", "count", None)) => i += 1
       case _ => return None
     }
-    seq.lift(1) match {
-      case Some((name, "count", Some(c)))
-          if name == s"cnt_$c" && c == v => ()
-      case _ => return None
+    // optional avg entries — any subset of the values, IN VALUE
+    // ORDER (so the stored schema is a function of the query) —
+    // each stored as the exact quotient of its pair
+    val avgsB = scala.collection.mutable.ArrayBuffer[String]()
+    var moreAvg = true
+    while (moreAvg) {
+      seq.lift(i) match {
+        case Some((name, "avg", Some(c)))
+            if name == s"avg_$c" && vals.contains(c) &&
+              !avgsB.contains(c) =>
+          avgsB += c; i += 1
+        case _ => moreAvg = false
+      }
     }
-    seq.lift(2) match {
-      case Some(("n_rows", "count", None)) => ()
-      case _ => return None
-    }
-    // optional avg over the SAME value column — stored as the exact
-    // sum/cnt quotient, maintained beside them
-    val hasAvg = seq.lift(3) match {
-      case Some((name, "avg", Some(c)))
-          if name == s"avg_$c" && c == v => true
-      case _ => false
-    }
+    if (avgsB.nonEmpty &&
+      avgsB.toSeq != vals.toSeq.filter(avgsB.contains)) return None
     // optional extrema: (min_c, max_c) pairs over non-group columns
-    val ext = seq.drop(if (hasAvg) 4 else 3).grouped(2).map {
+    val ext = seq.drop(i).grouped(2).map {
       case Seq((n1, "min", Some(c1)), (n2, "max", Some(c2)))
           if c1 == c2 && !gNames.contains(c1) &&
             n1 == s"min_$c1" && n2 == s"max_$c1" => Some(c1)
       case _ => None
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
-    Some((gs, v, hasAvg, ext.flatten, where))
+    Some((gs, vals.toSeq, avgsB.toSeq, ext.flatten, where))
   }
 
   private[plans] val AggShapeMsg =
     "a GROUP BY materialized view must match the delta-maintainable " +
-      "shape exactly: SELECT <g…>, sum(<v>) AS sum_<v>, count(<v>) " +
-      "AS cnt_<v>, count(*) AS n_rows[, avg(<v>) AS avg_<v>][, " +
+      "shape exactly: SELECT <g…>, sum(<a>) AS sum_<a>, count(<a>) " +
+      "AS cnt_<a>[, more sum/cnt pairs …], count(*) AS n_rows[, " +
+      "avg(<c>) AS avg_<c> per value column, in value order][, " +
       "min(<c>) AS min_<c>, max(<c>) AS max_<c> …] FROM <src> " +
       "[WHERE <pred>] GROUP BY <g…> — a group key may be a bare " +
       "column or a deterministic expression aliased in the select " +
@@ -255,8 +274,9 @@ object MvDdl {
       "sum(<q>.<v>) AS sum_<v>, count(<q>.<v>) AS cnt_<v>, count(*) " +
       "AS n_rows[, avg(<q>.<v>) AS avg_<v>][, min/max pairs …] FROM " +
       "<fact> JOIN <dim> ON <fact>.<fk> = <dim>.<dk> … [WHERE …] " +
-      "GROUP BY <g…> — group keys are bare or qualified columns, " +
-      "the join is the star shape; the engine chains a HIDDEN join " +
+      "GROUP BY <g…> — group keys are bare/qualified columns or " +
+      "deterministic expressions aliased in the select list, the " +
+      "join is the star shape; the engine chains a HIDDEN join " +
       "silver at <view>.silver and delta-maintains the gold over it"
 
   /** Match `SELECT g…, aggs FROM fact JOIN dim… [WHERE …] GROUP BY
@@ -264,13 +284,15 @@ object MvDdl {
     * hidden silver join view materializes the projected join stream
     * and the gold is the standard aggregate view over it. Returns
     * (fact alias as written, groups as (silver column name,
-    * qualified sql), value as (column name, qualified sql), has-avg,
-    * extrema as (column name, qualified sql), per-dim join shape).
-    * Group keys are bare or fact/dim-qualified COLUMNS (bucket
-    * expressions over joins: chain views); aggregate args may be
-    * qualified, canonical aliases use the LAST name part. */
+    * qualified sql), values as (column name, qualified sql) — one
+    * per sum/cnt measure pair — avg column names, extrema as
+    * (column name, qualified sql), per-dim join shape). Group keys
+    * are bare/qualified columns OR deterministic expressions aliased
+    * in the select list (the silver projects any scalar of the join
+    * row); aggregate args may be qualified, canonical aliases use
+    * the LAST name part. */
   def aggOverJoinShapeOf(p: LogicalPlan): Option[(String,
-      Seq[(String, String)], (String, String), Boolean,
+      Seq[(String, String)], Seq[(String, String)], Seq[String],
       Seq[(String, String)],
       Seq[(Seq[String], Seq[String], String)])] = {
     val agg = p match {
@@ -288,21 +310,36 @@ object MvDdl {
     val nG = agg.groupingExpressions.length
     val outs = agg.aggregateExpressions
     if (nG == 0 || outs.length < nG + 3) return None
+    // a group key is a bare/qualified COLUMN, or — because the
+    // hidden silver can project ANY deterministic scalar of the join
+    // row — an EXPRESSION aliased in the select list (spelled in
+    // both places, or GROUP BY <alias>): the daily-revenue-by-label
+    // rollup `GROUP BY date_trunc('day', f.ts), d.label` works in
+    // one view
     val gs = agg.groupingExpressions.zip(outs.take(nG)).map {
       case (ge, out) =>
-        val gp = ge match {
-          case ua: UnresolvedAttribute if ua.nameParts.length <= 2 =>
-            ua.nameParts
-          case _ => return None
-        }
-        out match {
-          case ua: UnresolvedAttribute if ua.nameParts == gp =>
-            (gp.last, ge.sql)
-          case UnresolvedAlias(ua: UnresolvedAttribute, _)
-              if ua.nameParts == gp => (gp.last, ge.sql)
-          case Alias(ua: UnresolvedAttribute, name)
-              if ua.nameParts == gp => (name, ge.sql)
-          case _ => return None
+        ge match {
+          case gua: UnresolvedAttribute if gua.nameParts.length <= 2 =>
+            val gp = gua.nameParts
+            out match {
+              case ua: UnresolvedAttribute if ua.nameParts == gp =>
+                (gp.last, ge.sql)
+              case UnresolvedAlias(ua: UnresolvedAttribute, _)
+                  if ua.nameParts == gp => (gp.last, ge.sql)
+              case Alias(ua: UnresolvedAttribute, name)
+                  if ua.nameParts == gp => (name, ge.sql)
+              // GROUP BY <alias> of an expression output
+              case Alias(child, name)
+                  if gp == Seq(name) &&
+                    !child.isInstanceOf[UnresolvedAttribute] =>
+                (name, child.sql)
+              case _ => return None
+            }
+          case _ => out match {
+            case Alias(child, name) if child.sql == ge.sql =>
+              (name, ge.sql)
+            case _ => return None
+          }
         }
     }
     val gNames = gs.map(_._1)
@@ -331,33 +368,51 @@ object MvDdl {
     val rest = outs.drop(nG).map(fnOf2)
     if (rest.exists(_.isEmpty)) return None
     val seq = rest.flatten
-    val (vName, vSql) = seq.head match {
-      case (name, "sum", Some((c, sql)))
-          if name == s"sum_$c" && !gNames.contains(c) => (c, sql)
+    // one or more (sum_<c>, cnt_<c>) measure pairs over the SAME
+    // qualified column each
+    var i = 0
+    val vals = scala.collection.mutable
+      .ArrayBuffer[(String, String)]()
+    var more = true
+    while (more) {
+      (seq.lift(i), seq.lift(i + 1)) match {
+        case (Some((n1, "sum", Some((c1, s1)))),
+            Some((n2, "count", Some((c2, s2)))))
+            if c1 == c2 && s1 == s2 && n1 == s"sum_$c1" &&
+              n2 == s"cnt_$c1" && !gNames.contains(c1) &&
+              !vals.exists(_._1 == c1) =>
+          vals += ((c1, s1)); i += 2
+        case _ => more = false
+      }
+    }
+    if (vals.isEmpty) return None
+    seq.lift(i) match {
+      case Some(("n_rows", "count", None)) => i += 1
       case _ => return None
     }
-    seq.lift(1) match {
-      case Some((name, "count", Some((c, sql))))
-          if name == s"cnt_$c" && c == vName && sql == vSql => ()
-      case _ => return None
+    // optional avg entries — a subset of the values, in value order
+    val avgsB = scala.collection.mutable.ArrayBuffer[String]()
+    var moreAvg = true
+    while (moreAvg) {
+      seq.lift(i) match {
+        case Some((name, "avg", Some((c, sql))))
+            if name == s"avg_$c" && !avgsB.contains(c) &&
+              vals.exists(v => v._1 == c && v._2 == sql) =>
+          avgsB += c; i += 1
+        case _ => moreAvg = false
+      }
     }
-    seq.lift(2) match {
-      case Some(("n_rows", "count", None)) => ()
-      case _ => return None
-    }
-    val hasAvg = seq.lift(3) match {
-      case Some((name, "avg", Some((c, sql))))
-          if name == s"avg_$c" && c == vName && sql == vSql => true
-      case _ => false
-    }
-    val ext = seq.drop(if (hasAvg) 4 else 3).grouped(2).map {
+    if (avgsB.nonEmpty &&
+      avgsB.toSeq != vals.map(_._1).toSeq.filter(avgsB.contains))
+      return None
+    val ext = seq.drop(i).grouped(2).map {
       case Seq((n1, "min", Some((c1, s1))), (n2, "max", Some((c2, s2))))
           if c1 == c2 && s1 == s2 && !gNames.contains(c1) &&
             n1 == s"min_$c1" && n2 == s"max_$c1" => Some((c1, s1))
       case _ => None
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
-    Some((factAlias, gs, (vName, vSql), hasAvg, ext.flatten, shape))
+    Some((factAlias, gs, vals.toSeq, avgsB.toSeq, ext.flatten, shape))
   }
 
   // slices `SELECT … FROM <tail> GROUP BY …` to the tail — the
@@ -536,12 +591,12 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       require(rowKeySpelling,
         "a GROUP BY materialized view names the SOURCE row identity " +
           "— spell it ROW KEY (<fact row id>), not KEY")
-      val (factAlias, gs, (vName, vSql), hasAvg, ext, shape) =
+      val (factAlias, gs, vals, avgs, ext, shape) =
         MvDdl.aggOverJoinShapeOf(parsed).getOrElse(
           throw new UnsupportedOperationException(
             MvDdl.AggJoinShapeMsg))
       require(shape.length == rels.length - 1, MvDdl.AggJoinShapeMsg)
-      val silverCols = key +: (gs.map(_._1) ++ Seq(vName) ++
+      val silverCols = key +: (gs.map(_._1) ++ vals.map(_._1) ++
         ext.map(_._1))
       require(silverCols.distinct.length == silverCols.length,
         s"the view's column names collide after unqualifying " +
@@ -567,7 +622,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       }
       val silverText = s"SELECT `$factAlias`.`$key` AS `$key`, " +
         (gs.map { case (a, q) => s"$q AS `$a`" } ++
-          Seq(s"$vSql AS `$vName`") ++
+          vals.map { case (c, q) => s"$q AS `$c`" } ++
           ext.map { case (c, q) => s"$q AS `$c`" }).mkString(", ") +
         s" FROM $tail"
       val silverDir = dstDir + ".silver"
@@ -593,18 +648,20 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           DerivedTable.MvHiddenSilverOfProp -> dstDir))
       val (from, to) =
         try DerivedTable.refreshAgg(spark, silverDir, dstDir, key,
-          gs.map(_._1), vName, extrema = ext.map(_._1),
-          withAvg = hasAvg, partitionCol = partitionCol,
+          gs.map(_._1), vals.head._1, extrema = ext.map(_._1),
+          moreValues = vals.tail.map(_._1), avgCols = avgs,
+          partitionCol = partitionCol,
           bootstrapProps = Map(
             DerivedTable.MvKindProp -> "agg",
             DerivedTable.MvSourceProp -> silverDir,
             DerivedTable.MvRowKeyProp -> key,
             DerivedTable.MvGroupProp -> gs.map(_._1).mkString(","),
-            DerivedTable.MvValueProp -> vName,
+            DerivedTable.MvValueProp -> vals.map(_._1).mkString(","),
             DerivedTable.MvExtremaProp -> ext.map(_._1).mkString(","),
             DerivedTable.MvQueryProp -> queryText,
             DerivedTable.MvAutoChainProp -> "true") ++
-            (if (hasAvg) Seq(DerivedTable.MvAvgProp -> "true")
+            (if (avgs.nonEmpty)
+              Seq(DerivedTable.MvAvgProp -> avgs.mkString(","))
              else Nil) ++
             partitionCol.map(DerivedTable.MvPartitionProp -> _))
         catch { case e: Throwable =>
@@ -617,7 +674,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         }
       Seq(Row("aggjoin", from, to))
     } else if (isAggQuery) {
-      val (gs, v, hasAvg, ext, where) = MvDdl.aggShapeOf(parsed)
+      val (gs, vals, avgs, ext, where) = MvDdl.aggShapeOf(parsed)
         .getOrElse(
           throw new UnsupportedOperationException(MvDdl.AggShapeMsg))
       require(rowKeySpelling,
@@ -625,7 +682,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           "— spell it ROW KEY (<source row id>), not KEY")
       val bare = gs.collect { case (g, None) => g }
       val gExprs = gs.collect { case (g, Some(t)) => (g, t) }
-      (bare ++ Seq(v) ++ ext).foreach(c => require(srcCols.contains(c),
+      (bare ++ vals ++ ext).foreach(c => require(srcCols.contains(c),
         s"column '$c' is not in the source table " +
           s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
       // a bucket alias that SHADOWS a source column would change
@@ -660,20 +717,21 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       // identity publish atomically, so no crash window can leave a
       // standing table that is not yet (and can never become) a view
       val (from, to) = DerivedTable.refreshAgg(spark, srcDir, dstDir,
-        key, gs.map(_._1), v, extrema = ext, where = where,
+        key, gs.map(_._1), vals.head, extrema = ext, where = where,
         partitionCol = partitionCol,
-        groupExprs = gExprs, withAvg = hasAvg,
+        groupExprs = gExprs, moreValues = vals.tail, avgCols = avgs,
         bootstrapProps = Map(
           DerivedTable.MvKindProp -> "agg",
           DerivedTable.MvSourceProp -> srcDir,
           DerivedTable.MvRowKeyProp -> key,
           DerivedTable.MvGroupProp -> gs.map(_._1).mkString(","),
-          DerivedTable.MvValueProp -> v,
+          DerivedTable.MvValueProp -> vals.mkString(","),
           DerivedTable.MvExtremaProp -> ext.mkString(","),
           DerivedTable.MvQueryProp -> queryText) ++
           gExprs.map { case (g, t) =>
             (DerivedTable.MvGroupExprPrefix + g) -> t } ++
-          (if (hasAvg) Seq(DerivedTable.MvAvgProp -> "true")
+          (if (avgs.nonEmpty)
+            Seq(DerivedTable.MvAvgProp -> avgs.mkString(","))
            else Nil) ++
           where.map(DerivedTable.MvWhereProp -> _) ++
           partitionCol.map(DerivedTable.MvPartitionProp -> _))

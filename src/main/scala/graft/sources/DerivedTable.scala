@@ -508,12 +508,20 @@ object DerivedTable {
           .filter(_.nonEmpty).toSeq
         val gExprs = groups.flatMap(g =>
           props.get(MvGroupExprPrefix + g).map(g -> _))
+        // MvValueProp is a csv (multi-measure views); MvAvgProp is a
+        // csv of value columns, with the legacy spelling 'true'
+        // meaning avg of the first (then only) value
+        val vals = props(MvValueProp).split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        val avs = props.get(MvAvgProp).map(_.trim).toSeq.flatMap {
+          case t if t.equalsIgnoreCase("true") => Seq(vals.head)
+          case t => t.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        }
         val (f, t) = refreshAgg(s, src, dstDir, props(MvRowKeyProp),
-          groups, props(MvValueProp), extrema = ext,
+          groups, vals.head, extrema = ext,
           where = props.get(MvWhereProp).filter(_.nonEmpty),
           partitionCol = pCol, groupExprs = gExprs,
-          withAvg = props.get(MvAvgProp)
-            .exists(_.trim.equalsIgnoreCase("true")))
+          moreValues = vals.tail, avgCols = avs)
         ("agg", f, t)
       case "join" =>
         // the refresh reports the FACT range (the stream side); a
@@ -1000,9 +1008,29 @@ object DerivedTable {
       partitionCol: Option[String] = None,
       bootstrapProps: Map[String, String] = Map.empty,
       groupExprs: Seq[(String, String)] = Nil,
-      withAvg: Boolean = false): (Int, Int) = {
+      withAvg: Boolean = false,
+      moreValues: Seq[String] = Nil,
+      avgCols: Seq[String] = Nil): (Int, Int) = {
     require(groupCols.nonEmpty, "refreshAgg needs at least one group " +
       "column")
+    // MULTI-MEASURE views: every value column gets its own exact
+    // (sum_c, cnt_c) pair in the one signed-union delta pass — a
+    // rollup usually carries several measures, and splitting them
+    // across views would pay the changelog walk per measure. `avgs`
+    // (any subset of the values, in value order) each store the
+    // exact quotient of their pair.
+    val values = valueCol +: moreValues
+    require(values.distinct.length == values.length,
+      s"value columns must be distinct, got ${values.mkString(", ")}")
+    require(values.forall(v => !groupCols.contains(v)),
+      s"a value column cannot also be a group column " +
+        s"(${values.filter(groupCols.contains).mkString(", ")})")
+    val avgs = if (avgCols.nonEmpty) avgCols
+      else if (withAvg) Seq(valueCol) else Nil
+    require(avgs.forall(values.contains) &&
+      avgs.distinct.length == avgs.length,
+      s"avg columns (${avgs.mkString(", ")}) must be distinct value " +
+        s"columns (${values.mkString(", ")})")
     // EXPRESSION-VALUED group keys (`GROUP BY date_trunc('day', ts)`
     // — the time-bucketed rollup, the single most common MV shape in
     // practice): each (name, exprText) materializes as a derived
@@ -1088,23 +1116,23 @@ object DerivedTable {
         out
       }.getOrElse(bucketed)
     }
-    // stored avg is the EXACT quotient of the stored pair — NULL for
-    // the all-null group (cnt = 0), like the sum. Maintained from
-    // sum/cnt at every patch, so it can never drift from them.
-    def avgExpr: Column =
-      when(col(s"cnt_$valueCol") === 0L, lit(null))
-        .otherwise(col(s"sum_$valueCol") / col(s"cnt_$valueCol"))
-        .as(s"avg_$valueCol")
+    // stored avgs are the EXACT quotient of their stored pair — NULL
+    // for the all-null group (cnt = 0), like the sum. Maintained
+    // from sum/cnt at every patch, so they can never drift.
+    def avgExprs: Seq[Column] = avgs.map(c =>
+      when(col(s"cnt_$c") === 0L, lit(null))
+        .otherwise(col(s"sum_$c") / col(s"cnt_$c")).as(s"avg_$c"))
     def aggOf(df: DataFrame): DataFrame = {
-      val aggs = Seq(sum(col(valueCol)).as(s"sum_$valueCol"),
-        count(col(valueCol)).as(s"cnt_$valueCol"),
-        count(lit(1)).as("n_rows")) ++ extrema.flatMap(c =>
+      val aggs = values.flatMap(c =>
+        Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c"))) ++
+        Seq(count(lit(1)).as("n_rows")) ++ extrema.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
       val base = df.groupBy(groupCols.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
-      if (!withAvg) base
-      else base.select((groupCols.map(col) ++ Seq(col(s"sum_$valueCol"),
-        col(s"cnt_$valueCol"), col("n_rows"), avgExpr) ++
+      if (avgs.isEmpty) base
+      else base.select((groupCols.map(col) ++
+        values.flatMap(c => Seq(col(s"sum_$c"), col(s"cnt_$c"))) ++
+        Seq(col("n_rows")) ++ avgExprs ++
         extrema.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))): _*)
     }
     val to = Versioned.currentVersion(s, srcDir)
@@ -1147,22 +1175,20 @@ object DerivedTable {
     // empty from both snapshots and contribute nothing.
     val touchedDf = events.select(col(rowKey)).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try refreshAggOver(s, srcDir, dstDir, rowKey, groupCols, valueCol,
+    try refreshAggOver(s, srcDir, dstDir, rowKey, groupCols, values,
       maxTouchedKeys, extrema, prepared, from, to, touchedDf,
-      partitionCol, derivedNames, withAvg)
+      partitionCol, derivedNames, avgs)
     finally touchedDf.unpersist(blocking = false)
   }
 
   private def refreshAggOver(s: SparkSession, srcDir: String,
       dstDir: String, rowKey: String, groupCols: Seq[String],
-      valueCol: String, maxTouchedKeys: Int, extrema: Seq[String],
+      values: Seq[String], maxTouchedKeys: Int, extrema: Seq[String],
       prepared: DataFrame => DataFrame,
       from: Int, to: Int, touchedDf: DataFrame,
       partitionCol: Option[String] = None,
       derivedNames: Set[String] = Set.empty,
-      withAvg: Boolean = false): (Int, Int) = {
-    val sumCol = s"sum_$valueCol"
-    val cntCol = s"cnt_$valueCol"
+      avgs: Seq[String] = Nil): (Int, Int) = {
     val gCols = groupCols.map(col)
     val extCols = extrema.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
@@ -1209,16 +1235,18 @@ object DerivedTable {
       prepared(pointRead(s, srcDir, Seq(rowKey), nTouched,
         tProbe.map(_.get(0)).toSeq, Some(ver), touchedDf))
     // SIGNED-union delta: old rows weigh -1, new rows +1, ONE shuffle
-    // computes every group's (sum, value-count, row-count) delta —
-    // replaces two aggregation jobs and a full-outer diff join with a
-    // single pass (sum ignores null values on both sides alike)
+    // computes every group's (per-measure sum, per-measure
+    // value-count, row-count) delta — replaces two aggregation jobs
+    // and a full-outer diff join with a single pass (sum ignores
+    // null values on both sides alike)
     val signed = touchedAt(from).withColumn("__w", lit(-1L))
       .unionByName(touchedAt(to).withColumn("__w", lit(1L)))
-    val delta = signed.groupBy(gCols: _*).agg(
-      coalesce(sum(col(valueCol) * col("__w")), lit(0L)).as("d_sum"),
-      sum(when(col(valueCol).isNotNull, col("__w")).otherwise(0L))
-        .as("d_cnt"),
-      sum(col("__w")).as("d_n"))
+    val deltaAggs = values.flatMap(c => Seq(
+      coalesce(sum(col(c) * col("__w")), lit(0L)).as(s"d_sum_$c"),
+      sum(when(col(c).isNotNull, col("__w")).otherwise(0L))
+        .as(s"d_cnt_$c"))) :+ sum(col("__w")).as("d_n")
+    val delta = signed.groupBy(gCols: _*)
+      .agg(deltaAggs.head, deltaAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // one row per group by construction; the same limit-probe fold
@@ -1254,11 +1282,12 @@ object DerivedTable {
         .withColumn("__present", lit(1))
       val patched = delta
         .join(existing, groupCols, "full_outer")
-        .select(gCols ++ Seq(
-          (coalesce(col(sumCol), lit(0)) + coalesce(col("d_sum"),
-            lit(0))).as(sumCol),
-          (coalesce(col(cntCol), lit(0L)) + coalesce(col("d_cnt"),
-            lit(0L))).as(cntCol),
+        .select(gCols ++ values.flatMap(c => Seq(
+          (coalesce(col(s"sum_$c"), lit(0)) +
+            coalesce(col(s"d_sum_$c"), lit(0))).as(s"sum_$c"),
+          (coalesce(col(s"cnt_$c"), lit(0L)) +
+            coalesce(col(s"d_cnt_$c"), lit(0L))).as(s"cnt_$c"))) ++
+          Seq(
           (coalesce(col("n_rows"), lit(0L)) + coalesce(col("d_n"),
             lit(0L))).as("n_rows"),
           // a delta group with d_n == 0 is a pure value update: its
@@ -1273,7 +1302,8 @@ object DerivedTable {
       try {
         val bad = patched.agg(
           sum(when(col("n_rows") < 0L, 1L).otherwise(0L)),
-          sum(when(col(cntCol) < 0L, 1L).otherwise(0L)),
+          sum(when(values.map(c => col(s"cnt_$c") < 0L)
+            .reduce(_ || _), 1L).otherwise(0L)),
           sum(when(col("__ghost"), 1L).otherwise(0L))).head()
         require(bad.getLong(0) == 0 && bad.getLong(1) == 0,
           s"${bad.getLong(0)} group(s) would reach a negative row " +
@@ -1284,18 +1314,19 @@ object DerivedTable {
           "update group(s) have no destination row — the destination " +
           s"does not reflect src=v$from (corrupt pin or out-of-band " +
           "edits); rebuild")
-        // stored avg re-derives from the PATCHED pair on every touch,
-        // so it can never drift from sum/cnt (NULL for the all-null
-        // group, like the sum)
-        val avgCols = if (!withAvg) Nil else Seq(
-          when(col(cntCol) === 0L, lit(null))
-            .otherwise(col(sumCol) / col(cntCol)).as(s"avg_$valueCol"))
+        // stored avgs re-derive from the PATCHED pairs on every
+        // touch, so they can never drift from sum/cnt (NULL for the
+        // all-null group, like the sum)
+        val avgCols = avgs.map(c =>
+          when(col(s"cnt_$c") === 0L, lit(null))
+            .otherwise(col(s"sum_$c") / col(s"cnt_$c")).as(s"avg_$c"))
         val upserts0 = patched.filter(col("n_rows") > 0)
           // the all-null group stores NULL, matching the recompute
-          .select(gCols ++ Seq(
-            when(col(cntCol) === 0L, lit(null)).otherwise(col(sumCol))
-              .as(sumCol),
-            col(cntCol), col("n_rows")) ++ avgCols: _*)
+          .select(gCols ++ values.flatMap(c => Seq(
+            when(col(s"cnt_$c") === 0L, lit(null))
+              .otherwise(col(s"sum_$c")).as(s"sum_$c"),
+            col(s"cnt_$c"))) ++
+            Seq(col("n_rows")) ++ avgCols: _*)
         val upserts = if (extrema.isEmpty) upserts0 else {
           // affected-group recompute for the non-invertible extrema:
           // re-aggregate ONLY the touched groups' rows at the pinned
@@ -1324,8 +1355,9 @@ object DerivedTable {
           require(off == 0, s"$off group(s) disagree between the " +
             s"algebraic row count and the src=v$to recompute — " +
             "corrupt pin or out-of-band edits; rebuild")
-          extJoined.select((groupCols ++ Seq(sumCol, cntCol, "n_rows")
-            ++ (if (withAvg) Seq(s"avg_$valueCol") else Nil)
+          extJoined.select((groupCols ++
+            values.flatMap(c => Seq(s"sum_$c", s"cnt_$c")) ++
+            Seq("n_rows") ++ avgs.map(c => s"avg_$c")
             ++ extNames).map(col): _*)
         }
         val dels = patched.filter(col("n_rows") === 0L)
@@ -1652,7 +1684,7 @@ object DerivedTable {
     val bProps = Versioned.properties(s, bmv)
     val specBucket = bProps.get(MvGroupExprPrefix + "day")
       .exists(_.contains("date_trunc")) &&
-      bProps.get(MvAvgProp).contains("true")
+      bProps.get(MvAvgProp).contains("cents")
     import s.implicits._
     Seq((f.getLong(0), f.getLong(1), m.getLong(0), m.getLong(1),
         if (eqF) 1L else 0L, if (eqM) 1L else 0L,

@@ -430,15 +430,26 @@ object GraftProcedures {
               "them positionally ('' for a bare column)")
           val gExprs = groups.zip(exprTexts).collect {
             case (g, t) if t.nonEmpty => (g, t) }
+          // value accepts a csv (multi-measure views); with_avg is
+          // 'true' (avg of the first value), 'false', or a csv of
+          // value columns
+          val vals = a(4).asInstanceOf[String].split(",")
+            .map(_.trim).filter(_.nonEmpty).toSeq
+          val avgs = Option(a(8)).map(_.asInstanceOf[String])
+            .map(_.trim).filter(_.nonEmpty).toSeq.flatMap {
+              case t if t.equalsIgnoreCase("true") => Seq(vals.head)
+              case t if t.equalsIgnoreCase("false") => Nil
+              case t => t.split(",").map(_.trim)
+                .filter(_.nonEmpty).toSeq
+            }
           val (from, to) = DerivedTable.refreshAgg(spark, dir(a(0)),
             dir(a(1)), a(2).asInstanceOf[String],
-            groups, a(4).asInstanceOf[String],
+            groups, vals.head,
             extrema = ext,
             where = Option(a(6)).map(_.asInstanceOf[String])
               .filter(_.nonEmpty),
             groupExprs = gExprs,
-            withAvg = Option(a(8)).map(_.asInstanceOf[String])
-              .exists(_.trim.equalsIgnoreCase("true")))
+            moreValues = vals.tail, avgCols = avgs)
           Seq(from, to)
         })
       case "refresh_join" => new Proc("refresh_join",

@@ -16,8 +16,14 @@ class MvSpec extends SparkSpec {
   private val work = "target/tmp/mv"
   private def fresh(name: String): String = {
     val t = s"$work/$name"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(t))
-    new java.io.File(t).getAbsolutePath
+    val f = new java.io.File(t)
+    // clear the dir AND its family siblings (an aggjoin view's
+    // hidden `.silver` from a previous run would refuse the CREATE)
+    org.apache.commons.io.FileUtils.deleteQuietly(f)
+    Option(f.getParentFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith(name + "."))
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+    f.getAbsolutePath
   }
 
   test("derived MV: pure-SQL create, argument-free refresh, " +
@@ -702,7 +708,7 @@ class MvSpec extends SparkSpec {
     assert(DerivedTable.bagEqual(
       spark.sql(s"SELECT * FROM graft.`$dst2`"), expect2))
     assert(Versioned.properties(spark, dst2)
-      .get(DerivedTable.MvAvgProp).contains("true"))
+      .get(DerivedTable.MvAvgProp).contains("v"))
     // the avg column stays the exact stored quotient through a
     // delta refresh that nulls a value (cnt channel) and deletes
     Versioned.applyChanges(spark, src,
@@ -931,15 +937,103 @@ class MvSpec extends SparkSpec {
     spark.sql(s"DROP MATERIALIZED VIEW graft.`$gold`")
     assert(Versioned.currentVersion(spark, gold) == 0 &&
       Versioned.currentVersion(spark, silver) == 0)
-    // group keys that are EXPRESSIONS over a join still refuse with
-    // the chaining contract named
-    val e = intercept[Exception](spark.sql(
+    // group keys that are EXPRESSIONS over the join row work too —
+    // the hidden silver projects ANY deterministic scalar of the
+    // pair (the daily-revenue-by-label shape)
+    val c2 = spark.sql(
       s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY (id) AS " +
         s"SELECT upper(d.label) AS lab, sum(f.v) AS sum_v, " +
         s"count(f.v) AS cnt_v, count(*) AS n_rows " +
         s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.cat = d.cat " +
-        s"GROUP BY upper(d.label)"))
-    assert(e.getMessage.contains("silver"),
-      s"expected the chaining contract: ${e.getMessage.take(300)}")
+        s"GROUP BY upper(d.label)").head()
+    assert(c2.getString(0) == "aggjoin")
+    Versioned.upsert(spark, dim,
+      Seq(("c2", "fresh")).toDF("cat", "label"), "cat")
+    spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$gold`"),
+      spark.sql(s"SELECT upper(d.label) AS lab, sum(f.v) AS sum_v, " +
+        s"count(f.v) AS cnt_v, count(*) AS n_rows " +
+        s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.cat = d.cat " +
+        s"GROUP BY upper(d.label)")))
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$gold`")
+    // a nondeterministic bucket over the join still refuses (the
+    // silver's stored-query determinism gate)
+    val e = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY (id) AS " +
+        s"SELECT CAST(rand() * 4 AS INT) AS lab, sum(f.v) AS sum_v, " +
+        s"count(f.v) AS cnt_v, count(*) AS n_rows " +
+        s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.cat = d.cat " +
+        s"GROUP BY lab"))
+    assert(e.getMessage.contains("nondeterministic"),
+      s"expected the determinism refusal: ${e.getMessage.take(300)}")
+  }
+
+  test("multi-measure aggregate MVs: several sum/cnt pairs (and an " +
+      "avg subset) maintain in one delta pass — plain and over a " +
+      "join") {
+    val src = fresh("mm_src")
+    val dst = fresh("mm_dst")
+    Versioned.commit((1L to 30L).map(i =>
+        (i, s"g${i % 3}", i, i * 10L))
+      .toDF("id", "g", "a", "b"), src)
+    val sel = "SELECT g, sum(a) AS sum_a, count(a) AS cnt_a, " +
+      "sum(b) AS sum_b, count(b) AS cnt_b, count(*) AS n_rows, " +
+      "avg(b) AS avg_b, min(a) AS min_a, max(a) AS max_a FROM "
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      s"ROW KEY (id) AS $sel graft.`$src` GROUP BY g").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("agg", 0, 1)))
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`").columns.toSeq ==
+      Seq("g", "sum_a", "cnt_a", "sum_b", "cnt_b", "n_rows",
+        "avg_b", "min_a", "max_a"))
+    val props = Versioned.properties(spark, dst)
+    assert(props(DerivedTable.MvValueProp) == "a,b" &&
+      props(DerivedTable.MvAvgProp) == "b")
+    def expect = spark.sql(s"$sel graft.`$src` GROUP BY g")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$dst`"), expect))
+    // one batch exercising independent measure channels: null ONE
+    // measure in place (the other keeps counting), migrate a row,
+    // delete the max of g0
+    Versioned.applyChanges(spark, src,
+      upserts = spark.sql("SELECT id, g, CAST(NULL AS BIGINT) AS a," +
+          s" b FROM graft.`$src` WHERE id = 4")
+        .unionByName(Seq((31L, "fresh", 7L, 70L))
+          .toDF("id", "g", "a", "b")),
+      deleteKeys = Seq(30L).toDF("id"), key = "id")
+    val r = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(r.map(_.toSeq).toSeq == Seq(Seq("agg", 1, 2)))
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$dst`"), expect))
+    // avg entries out of VALUE ORDER refuse (the stored schema must
+    // be a function of the query)
+    val dst2 = fresh("mm_dst2")
+    val e = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$dst2` ROW KEY (id) AS " +
+        "SELECT g, sum(a) AS sum_a, count(a) AS cnt_a, sum(b) AS " +
+        "sum_b, count(b) AS cnt_b, count(*) AS n_rows, avg(b) AS " +
+        "avg_b, avg(a) AS avg_a " +
+        s"FROM graft.`$src` GROUP BY g"))
+    assert(e.getMessage.contains("delta-maintainable shape"))
+    // multi-measure OVER A JOIN: the hidden silver projects both
+    // measures, one refresh maintains all pairs
+    val dim = fresh("mm_dim")
+    val gold = fresh("mm_gold")
+    Versioned.commit(Seq(("g0", "L0"), ("g1", "L1"), ("g2", "L2"),
+        ("fresh", "LF")).toDF("g", "label"), dim)
+    val goldSel = "SELECT d.label, sum(f.a) AS sum_a, count(f.a) " +
+      "AS cnt_a, sum(f.b) AS sum_b, count(f.b) AS cnt_b, " +
+      "count(*) AS n_rows FROM " +
+      s"graft.`$src` f JOIN graft.`$dim` d ON f.g = d.g"
+    val c2 = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` " +
+      s"ROW KEY (id) AS $goldSel GROUP BY d.label").head()
+    assert(c2.getString(0) == "aggjoin")
+    Versioned.append(Seq((32L, "g1", 5L, 50L))
+      .toDF("id", "g", "a", "b"), src)
+    spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$gold`"),
+      spark.sql(s"$goldSel GROUP BY d.label")))
   }
 }
