@@ -247,16 +247,30 @@ object SqlLakehouseDemo {
     // source commits with no manual refresh; exactly-once by the pin
     spark.sql(s"CALL graft.system.follow_mv('$gjDir', " +
       "poll_interval_ms => 100)")
-    spark.sql(s"INSERT INTO $g VALUES (889, 'alpha', 1.0)")
+    val rowsBefore = spark.sql(
+      s"SELECT sum(n_rows) FROM graft.`$gjDir`").head().getLong(0)
+    // 'omega' has a dim match (relabels notwithstanding) — an
+    // unmatched name would be dropped by the INNER join and the
+    // convergence check could never see it
+    spark.sql(s"INSERT INTO $g VALUES (889, 'omega', 1.0)")
+    // converged = the NEW ROW reached the gold (its n_rows total
+    // grew) AND the TRANSITIVE lag reads 0 — the own-leg lag would
+    // be vacuously 0 before the follower ever ticks (gold tracks the
+    // hidden silver, which itself lags the fact), so polling it
+    // would prove nothing
     val deadline = System.currentTimeMillis + 20000
-    var lag = -1L
-    while (lag != 0L && System.currentTimeMillis < deadline) {
-      lag = graft.sources.DerivedTable.refreshState(spark, gjDir)
-        .map(_._3.toLong).getOrElse(-1L)
-      if (lag != 0L) Thread.sleep(100)
+    var converged = false
+    while (!converged && System.currentTimeMillis < deadline) {
+      val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$gjDir`")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      converged = shown
+        .get("graft.mv.transitive_staleness_versions").contains("0") &&
+        spark.sql(s"SELECT sum(n_rows) FROM graft.`$gjDir`")
+          .head().getLong(0) == rowsBefore + 1
+      if (!converged) Thread.sleep(100)
     }
     spark.sql(s"CALL graft.system.unfollow_mv('$gjDir')")
-    println(s"SQL_DEMO_FOLLOW_CONVERGED=${if (lag == 0L) 1 else 0}")
+    println(s"SQL_DEMO_FOLLOW_CONVERGED=${if (converged) 1 else 0}")
     spark.stop()
   }
 }

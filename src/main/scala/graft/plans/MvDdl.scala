@@ -284,16 +284,16 @@ object MvDdl {
     * hidden silver join view materializes the projected join stream
     * and the gold is the standard aggregate view over it. Returns
     * (fact alias as written, groups as (silver column name,
-    * qualified sql), values as (column name, qualified sql) — one
-    * per sum/cnt measure pair — avg column names, extrema as
-    * (column name, qualified sql), per-dim join shape). Group keys
-    * are bare/qualified columns OR deterministic expressions aliased
-    * in the select list (the silver projects any scalar of the join
-    * row); aggregate args may be qualified, canonical aliases use
-    * the LAST name part. */
+    * qualified sql, is-expression), values as (column name,
+    * qualified sql) — one per sum/cnt measure pair — avg column
+    * names, extrema as (column name, qualified sql), per-dim join
+    * shape). Group keys are bare/qualified columns OR deterministic
+    * expressions aliased in the select list (the silver projects any
+    * scalar of the join row); aggregate args may be qualified,
+    * canonical aliases use the LAST name part. */
   def aggOverJoinShapeOf(p: LogicalPlan): Option[(String,
-      Seq[(String, String)], Seq[(String, String)], Seq[String],
-      Seq[(String, String)],
+      Seq[(String, String, Boolean)], Seq[(String, String)],
+      Seq[String], Seq[(String, String)],
       Seq[(Seq[String], Seq[String], String)])] = {
     val agg = p match {
       case a: Aggregate => a
@@ -315,33 +315,39 @@ object MvDdl {
     // row — an EXPRESSION aliased in the select list (spelled in
     // both places, or GROUP BY <alias>): the daily-revenue-by-label
     // rollup `GROUP BY date_trunc('day', f.ts), d.label` works in
-    // one view
-    val gs = agg.groupingExpressions.zip(outs.take(nG)).map {
-      case (ge, out) =>
-        ge match {
-          case gua: UnresolvedAttribute if gua.nameParts.length <= 2 =>
-            val gp = gua.nameParts
-            out match {
-              case ua: UnresolvedAttribute if ua.nameParts == gp =>
-                (gp.last, ge.sql)
-              case UnresolvedAlias(ua: UnresolvedAttribute, _)
-                  if ua.nameParts == gp => (gp.last, ge.sql)
-              case Alias(ua: UnresolvedAttribute, name)
-                  if ua.nameParts == gp => (name, ge.sql)
-              // GROUP BY <alias> of an expression output
-              case Alias(child, name)
-                  if gp == Seq(name) &&
-                    !child.isInstanceOf[UnresolvedAttribute] =>
-                (name, child.sql)
+    // one view. The third element flags EXPRESSION groups — the
+    // CREATE refuses those whose alias shadows a fact/dim column
+    // (Spark resolves GROUP BY <name> to the REAL column first, so a
+    // shadowed alias would make the gate and the analyzer disagree
+    // about what the definition groups by).
+    val gs: Seq[(String, String, Boolean)] =
+      agg.groupingExpressions.zip(outs.take(nG)).map {
+        case (ge, out) =>
+          ge match {
+            case gua: UnresolvedAttribute
+                if gua.nameParts.length <= 2 =>
+              val gp = gua.nameParts
+              out match {
+                case ua: UnresolvedAttribute if ua.nameParts == gp =>
+                  (gp.last, ge.sql, false)
+                case UnresolvedAlias(ua: UnresolvedAttribute, _)
+                    if ua.nameParts == gp => (gp.last, ge.sql, false)
+                case Alias(ua: UnresolvedAttribute, name)
+                    if ua.nameParts == gp => (name, ge.sql, false)
+                // GROUP BY <alias> of an expression output
+                case Alias(child, name)
+                    if gp == Seq(name) &&
+                      !child.isInstanceOf[UnresolvedAttribute] =>
+                  (name, child.sql, true)
+                case _ => return None
+              }
+            case _ => out match {
+              case Alias(child, name) if child.sql == ge.sql =>
+                (name, ge.sql, true)
               case _ => return None
             }
-          case _ => out match {
-            case Alias(child, name) if child.sql == ge.sql =>
-              (name, ge.sql)
-            case _ => return None
           }
-        }
-    }
+      }
     val gNames = gs.map(_._1)
     if (gNames.distinct.length != gNames.length) return None
     // one eligible aggregate with a 1- or 2-part column arg:
@@ -602,7 +608,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         s"the view's column names collide after unqualifying " +
           s"(${silverCols.mkString(", ")}) — alias the group keys " +
           "apart from the row key and aggregate columns")
-      val dims = rels.tail.zip(shape).map { case (rel, (fks, dks,
+      val dimsCols = rels.tail.zip(shape).map { case (rel, (fks, dks,
           jt)) =>
         val dimDir = GraftDdl.tableDir(spark,
           rel.multipartIdentifier, "CREATE MATERIALIZED VIEW dim")
@@ -613,15 +619,25 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         dks.foreach(dk => require(dimCols.contains(dk),
           s"join column '$dk' is not in the dim table " +
             s"(has: ${dimCols.toSeq.sorted.mkString(", ")})"))
-        (DerivedTable.JoinDim(dimDir, fks, dks), jt)
+        ((DerivedTable.JoinDim(dimDir, fks, dks), jt), dimCols)
       }
+      val dims = dimsCols.map(_._1)
+      // an EXPRESSION group whose alias names a real fact/dim column
+      // refuses: Spark resolves GROUP BY <name> to the column FIRST,
+      // so the gate and the analyzer would disagree about what the
+      // definition groups by (the single-table shadow rule's twin)
+      val allCols = srcCols ++ dimsCols.flatMap(_._2)
+      gs.collect { case (n, _, true) if allCols.contains(n) => n }
+        .foreach(n => throw new IllegalArgumentException(
+          s"derived group name '$n' shadows a fact/dim column — " +
+            "alias the bucket differently"))
       val tail = queryText match {
         case MvDdl.AggJoinSplit(t) => t
         case _ => throw new UnsupportedOperationException(
           MvDdl.AggJoinShapeMsg)
       }
       val silverText = s"SELECT `$factAlias`.`$key` AS `$key`, " +
-        (gs.map { case (a, q) => s"$q AS `$a`" } ++
+        (gs.map { case (a, q, _) => s"$q AS `$a`" } ++
           vals.map { case (c, q) => s"$q AS `$c`" } ++
           ext.map { case (c, q) => s"$q AS `$c`" }).mkString(", ") +
         s" FROM $tail"
@@ -823,6 +839,14 @@ case class DropMaterializedViewCommand(parts: Seq[String],
     require(props.contains(DerivedTable.MvKindProp),
       s"$name is a plain table, not a materialized view — use DROP " +
         "TABLE")
+    // a HIDDEN silver is auto-chain machinery: dropping it alone
+    // would orphan its gold (every later refresh/read dies) — drop
+    // the owner, which removes both
+    props.get(DerivedTable.MvHiddenSilverOfProp).foreach(owner =>
+      throw new IllegalArgumentException(
+        s"$name is the hidden silver of the aggregate-over-join " +
+          s"view at $owner — DROP MATERIALIZED VIEW the owner " +
+          "instead (it removes both)"))
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     f.delete(p, true)

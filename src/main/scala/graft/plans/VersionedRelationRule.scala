@@ -228,8 +228,9 @@ case class VersionedRelationRule(spark: SparkSession)
     // the pinned snapshot is immutable). mv.refresh-on-read fires at
     // catalog RESOLUTION (GraftCatalog.load), so the version this
     // expansion received is already fresh; this gate only covers the
-    // load-to-expansion race, where it refreshes for the NEXT read
-    // and lets the captured (one-commit-stale) snapshot serve.
+    // load-to-expansion race, where it refreshes the view and then
+    // REFUSES with a re-run hint rather than serving the captured
+    // (superseded) snapshot — the bound stays a hard contract.
     graft.sources.DerivedTable.requireFreshEnough(spark, t.tableDir,
       Some(t.snapshotVersion))
     val real = Versioned.read(spark, t.tableDir,

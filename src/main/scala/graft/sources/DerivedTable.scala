@@ -1000,6 +1000,14 @@ object DerivedTable {
     * a larger batch refuses with the advice to rebuild — a delta that
     * touches a large fraction of the source approaches a rebuild's
     * cost anyway. */
+  /** The stored avg columns — the EXACT quotient of the stored
+    * (sum, cnt) pair, NULL for the all-null group. ONE definition
+    * serves the bootstrap aggregation and every incremental patch,
+    * so the two paths can never store differently-derived avgs. */
+  private def avgExprsOf(avgs: Seq[String]): Seq[Column] =
+    avgs.map(c => when(col(s"cnt_$c") === 0L, lit(null))
+      .otherwise(col(s"sum_$c") / col(s"cnt_$c")).as(s"avg_$c"))
+
   def refreshAgg(s: SparkSession, srcDir: String, dstDir: String,
       rowKey: String, groupCols: Seq[String], valueCol: String,
       maxTouchedKeys: Int = 100000,
@@ -1031,6 +1039,21 @@ object DerivedTable {
       avgs.distinct.length == avgs.length,
       s"avg columns (${avgs.mkString(", ")}) must be distinct value " +
         s"columns (${values.mkString(", ")})")
+    lazy val srcSchema = Versioned.read(s, srcDir).schema
+    // Spark's avg(decimal) carries its own result precision/scale
+    // and HALF_UP rounding — the stored sum/cnt quotient would
+    // differ in type and digits from the definition, so DECIMAL avg
+    // refuses (long/double quotients are the exact same arithmetic)
+    if (avgs.nonEmpty) {
+      val dec = avgs.filter(c => srcSchema.fields.find(_.name == c)
+        .exists(_.dataType
+          .isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+      require(dec.isEmpty,
+        s"avg over DECIMAL column(s) ${dec.mkString(", ")} is not " +
+          "maintainable as the stored sum/cnt quotient (Spark's " +
+          "avg(decimal) result type and rounding differ) — store " +
+          "sum/cnt and divide at read, or cast the column to double")
+    }
     // EXPRESSION-VALUED group keys (`GROUP BY date_trunc('day', ts)`
     // — the time-bucketed rollup, the single most common MV shape in
     // practice): each (name, exprText) materializes as a derived
@@ -1045,7 +1068,6 @@ object DerivedTable {
         s"must be group columns (${groupCols.mkString(", ")})")
     val derivedNames = groupExprs.map(_._1).toSet
     if (groupExprs.nonEmpty) {
-      val srcSchema = Versioned.read(s, srcDir).schema
       // a bucket name that SHADOWS a source column would silently
       // change what the stored WHERE sees (the predicate runs after
       // the bucket materializes) — refuse the collision outright
@@ -1116,12 +1138,6 @@ object DerivedTable {
         out
       }.getOrElse(bucketed)
     }
-    // stored avgs are the EXACT quotient of their stored pair — NULL
-    // for the all-null group (cnt = 0), like the sum. Maintained
-    // from sum/cnt at every patch, so they can never drift.
-    def avgExprs: Seq[Column] = avgs.map(c =>
-      when(col(s"cnt_$c") === 0L, lit(null))
-        .otherwise(col(s"sum_$c") / col(s"cnt_$c")).as(s"avg_$c"))
     def aggOf(df: DataFrame): DataFrame = {
       val aggs = values.flatMap(c =>
         Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c"))) ++
@@ -1132,7 +1148,7 @@ object DerivedTable {
       if (avgs.isEmpty) base
       else base.select((groupCols.map(col) ++
         values.flatMap(c => Seq(col(s"sum_$c"), col(s"cnt_$c"))) ++
-        Seq(col("n_rows")) ++ avgExprs ++
+        Seq(col("n_rows")) ++ avgExprsOf(avgs) ++
         extrema.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))): _*)
     }
     val to = Versioned.currentVersion(s, srcDir)
@@ -1316,10 +1332,9 @@ object DerivedTable {
           "edits); rebuild")
         // stored avgs re-derive from the PATCHED pairs on every
         // touch, so they can never drift from sum/cnt (NULL for the
-        // all-null group, like the sum)
-        val avgCols = avgs.map(c =>
-          when(col(s"cnt_$c") === 0L, lit(null))
-            .otherwise(col(s"sum_$c") / col(s"cnt_$c")).as(s"avg_$c"))
+        // all-null group, like the sum) — the same [[avgExprsOf]]
+        // definition the bootstrap aggregation stores
+        val avgCols = avgExprsOf(avgs)
         val upserts0 = patched.filter(col("n_rows") > 0)
           // the all-null group stores NULL, matching the recompute
           .select(gCols ++ values.flatMap(c => Seq(

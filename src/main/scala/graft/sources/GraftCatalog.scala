@@ -433,8 +433,12 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
           // staleness_versions is the VIEW's overall lag (the max —
           // the number the max-staleness bound gates on).
           {
-            val legs = graft.sources.DerivedTable
-              .refreshLegs(spark, dir, props)
+            // ONE transitive walk serves both figures: own legs are
+            // the '.'-free keys (the walk's first segment), so the
+            // per-leg pin/head probes aren't paid twice
+            val trans = graft.sources.DerivedTable
+              .refreshLegsTransitive(spark, dir, props)
+            val legs = trans.filter(!_._1.contains('.'))
             legs.flatMap {
               case ("src", Some((_, head, _))) => Seq(
                 "graft.mv.source_head_version" -> head.toString)
@@ -455,15 +459,11 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             // own pins (bronze→silver→gold); present only when a
             // lineage exists beyond the own legs and every leg of it
             // resolves (same unknown-over-confident discipline)
-            {
-              val trans = graft.sources.DerivedTable
-                .refreshLegsTransitive(spark, dir, props)
-              Some(trans.flatMap(_._2.map(_._3)))
-                .filter(ls => ls.length > legs.length &&
-                  ls.length == trans.length)
-                .map(ls => "graft.mv.transitive_staleness_versions" ->
-                  ls.max.toString)
-            }
+            Some(trans.flatMap(_._2.map(_._3)))
+              .filter(ls => ls.length > legs.length &&
+                ls.length == trans.length)
+              .map(ls => "graft.mv.transitive_staleness_versions" ->
+                ls.max.toString)
           }
       })
   }
