@@ -1036,4 +1036,52 @@ class MvSpec extends SparkSpec {
       spark.sql(s"SELECT * FROM graft.`$gold`"),
       spark.sql(s"$goldSel GROUP BY d.label")))
   }
+
+  test("r17 guard rail refusals: alias shadowing a join column, " +
+      "DECIMAL avg, DROP on a hidden silver") {
+    val fact = fresh("gr_fact")
+    val dim = fresh("gr_dim")
+    val gold = fresh("gr_gold")
+    Versioned.commit((1L to 12L).map(i => (i, s"c${i % 2}", i))
+      .toDF("id", "cat", "v"), fact)
+    Versioned.commit(Seq(("c0", "L0"), ("c1", "L1"))
+      .toDF("cat", "label"), dim)
+    // an expression group aliased to a REAL fact/dim column refuses:
+    // Spark would resolve GROUP BY cat to f.cat, not the alias
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY (id) AS " +
+        s"SELECT upper(d.label) AS cat, sum(f.v) AS sum_v, " +
+        s"count(f.v) AS cnt_v, count(*) AS n_rows " +
+        s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.cat = d.cat " +
+        "GROUP BY cat"))
+    assert(e1.getMessage.contains("shadows"),
+      s"expected the shadow refusal: ${e1.getMessage.take(300)}")
+    // DECIMAL avg refuses (Spark's avg(decimal) type/rounding differ
+    // from the stored sum/cnt quotient)
+    val dsrc = fresh("gr_dec")
+    val ddst = fresh("gr_decmv")
+    Versioned.commit(spark.sql("SELECT id, g, CAST(v AS " +
+      "DECIMAL(10,2)) AS v FROM VALUES (1L, 'a', 1.50), (2L, 'a', " +
+      "2.25) AS t(id, g, v)"), dsrc)
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$ddst` ROW KEY (id) AS " +
+        "SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS " +
+        s"n_rows, avg(v) AS avg_v FROM graft.`$dsrc` GROUP BY g"))
+    assert(e2.getMessage.contains("DECIMAL"),
+      s"expected the decimal refusal: ${e2.getMessage.take(300)}")
+    // a hidden silver refuses its own DROP, naming the owner
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY (id) " +
+      s"AS SELECT d.label, sum(f.v) AS sum_v, count(f.v) AS cnt_v, " +
+      s"count(*) AS n_rows FROM graft.`$fact` f JOIN graft.`$dim` d " +
+      "ON f.cat = d.cat GROUP BY d.label")
+    val e3 = intercept[Exception](spark.sql(
+      s"DROP MATERIALIZED VIEW graft.`$gold.silver`"))
+    assert(e3.getMessage.contains("owner") ||
+      e3.getMessage.contains("hidden silver"),
+      s"expected the hidden-silver refusal: ${e3.getMessage.take(300)}")
+    // the owner's DROP still removes both
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$gold`")
+    assert(Versioned.currentVersion(spark, gold) == 0 &&
+      Versioned.currentVersion(spark, gold + ".silver") == 0)
+  }
 }
