@@ -2643,7 +2643,8 @@ object Versioned {
     // the declared write order rides maintenance (applied at the
     // commit write, on top of the sizing pass's partition locality)
     commit(sizeForWrite(data, nFiles, by),
-      tableDir, partitionCol, statsCols = statsCols, transform = tspec)
+      tableDir, partitionCol, statsCols = statsCols, transform = tspec,
+      note = noteWithPins(spark, tableDir, cur, None))
   }
 
   /** Z-ORDER rewrite — Iceberg's `rewrite_data_files(strategy =>
@@ -2686,7 +2687,8 @@ object Versioned {
       val tspec = currentTransform(spark, tableDir)
         .filter(t => data.columns.contains(t.source))
       commit(ZOrder.clustered(data, colA, colB, nFiles), tableDir,
-        note = Some(s"REWRITE ZORDER($colA, $colB)"),
+        note = noteWithPins(spark, tableDir, cur,
+          Some(s"REWRITE ZORDER($colA, $colB)")),
         statsCols = Seq(colA, colB), transform = tspec,
         declaredOrder = false)
     }
@@ -2807,7 +2809,8 @@ object Versioned {
       val allGone = packed.isEmpty
       val survivingData = surviving.filterNot(isDeleteLine)
       commitStaged(packed, tableDir,
-        if (allGone) None else partitionCol, note = note, statsCols,
+        if (allGone) None else partitionCol,
+        note = noteWithPins(spark, tableDir, cur, note), statsCols,
         linkBase = Some(cur), linkEntries = Some(surviving),
         ownDirInManifest = !allGone || survivingData.isEmpty,
         transform = if (allGone) None else tspec)
@@ -2923,7 +2926,7 @@ object Versioned {
         return cur
       return commitStaged(
         read(spark, tableDir, Some(cur)).limit(0), tableDir,
-        partitionCol = None, note = note, statsCols = Nil,
+        partitionCol = None, note = noteWithPins(spark, tableDir, cur, note), statsCols = Nil,
         linkBase = Some(cur), linkEntries = Some(surviving),
         ownDirInManifest = false, writeData = false)
     }
@@ -2940,7 +2943,7 @@ object Versioned {
         else currentTransform(spark, tableDir)
           .filter(t => rewritten.columns.contains(t.source))
       commitStaged(rewritten, tableDir,
-        if (allGone) None else partitionCol, note = note, statsCols,
+        if (allGone) None else partitionCol, note = noteWithPins(spark, tableDir, cur, note), statsCols,
         linkBase = Some(cur), linkEntries = Some(surviving),
         ownDirInManifest = !allGone || survivingData.isEmpty,
         transform = if (allGone) None else tspec)
@@ -5179,6 +5182,36 @@ object Versioned {
     * spec via [[currentTransform]]. `None` CLEARS the spec (the
     * sentinel sidecar): later writes go unpartitioned rather than
     * resurrecting an older spec from deeper in the manifest. */
+  /** Pin fragments (`key=vN`) in version `cur`'s note that
+    * `callerNote` does not itself re-pin. Every maintenance/metadata
+    * rewrite prepends these to its own note — compaction, z-order,
+    * delete-absorption, spec changes, property edits — so none of
+    * them can BURY an incremental consumer's cursor (a materialized
+    * view's `src=vN`, an index pair's `sigs=vN`): the rewritten
+    * snapshot holds the same rows, so the carried pin stays true,
+    * while a buried one makes the next refresh/probe refuse on a
+    * perfectly healthy table. Matched FRAGMENT-WISE with notePin's
+    * grammar, never by substring. */
+  private def carriedPins(spark: SparkSession, tableDir: String,
+      cur: Int, callerNote: String): Seq[String] = {
+    val pins = commitNotes(spark, tableDir).get(cur).toSeq
+      .flatMap(_.split(";")).map(_.trim)
+      .filter(_.matches("[A-Za-z_]+=v[0-9]+"))
+    val callerPinKeys = callerNote.split(";").map(_.trim)
+      .filter(_.matches("[A-Za-z_]+=v[0-9]+"))
+      .map(_.takeWhile(_ != '=')).toSet
+    pins.filterNot(p => callerPinKeys.contains(p.takeWhile(_ != '=')))
+  }
+
+  /** `note` with version `cur`'s carried pins prepended — the form
+    * every maintenance commit passes ([[carriedPins]]). */
+  private def noteWithPins(spark: SparkSession, tableDir: String,
+      cur: Int, note: Option[String]): Option[String] = {
+    val keep = carriedPins(spark, tableDir, cur, note.getOrElse(""))
+    if (keep.isEmpty) note
+    else Some((keep ++ note.toSeq).mkString(";"))
+  }
+
   def setSpec(spark: SparkSession, tableDir: String,
       spec: Option[Transform], note: Option[String] = None,
       branch: Option[String] = None): Int = withCommitRetry() {
@@ -5195,8 +5228,9 @@ object Versioned {
       t.writeExpr(snap)
     }
     commitStaged(snap.limit(0), tableDir, partitionCol = None,
-      note = note.orElse(Some(
-        s"SET PARTITION SPEC ${spec.map(_.render).getOrElse(TspecNone)}")),
+      note = noteWithPins(spark, tableDir, cur, note.orElse(Some(
+        s"SET PARTITION SPEC ${spec.map(_.render)
+          .getOrElse(TspecNone)}"))),
       statsCols = Nil, linkBase = Some(cur), transform = spec,
       clearSpec = spec.isEmpty, branch = branch)
   }
@@ -5249,24 +5283,13 @@ object Versioned {
     // the index pairs): a metadata-only properties commit must CARRY
     // those pin fragments forward or it buries the pin and the next
     // refresh/probe refuses on a perfectly healthy table
-    val pins = commitNotes(spark, tableDir).get(cur).toSeq
-      .flatMap(_.split(";")).map(_.trim)
-      .filter(_.matches("[A-Za-z_]+=v[0-9]+"))
     val noteText = note.getOrElse(
       s"SET TBLPROPERTIES (${set.keys.toSeq.sorted
         .mkString(", ")})${if (unset.nonEmpty)
           s" UNSET (${unset.sorted.mkString(", ")})" else ""}")
     // carried pins whose key the caller's own note already pins
-    // defer to the caller — matched FRAGMENT-WISE with notePin's own
-    // grammar (split ';', exact `key=vN` shape), never by substring:
-    // a caller note containing a longer token that merely ends in the
-    // pin key ("xsrc=v9" vs "src=v") must not drop the carried pin,
-    // or the next refresh refuses a perfectly healthy table
-    val callerPinKeys = noteText.split(";").map(_.trim)
-      .filter(_.matches("[A-Za-z_]+=v[0-9]+"))
-      .map(_.takeWhile(_ != '=')).toSet
-    val keep = pins.filterNot(p =>
-      callerPinKeys.contains(p.takeWhile(_ != '=')))
+    // defer to the caller — see [[carriedPins]]
+    val keep = carriedPins(spark, tableDir, cur, noteText)
     commitStaged(read(spark, tableDir, Some(cur)).limit(0), tableDir,
       partitionCol = None,
       note = Some((keep :+ noteText).mkString(";")),

@@ -1084,4 +1084,46 @@ class MvSpec extends SparkSpec {
     assert(Versioned.currentVersion(spark, gold) == 0 &&
       Versioned.currentVersion(spark, gold + ".silver") == 0)
   }
+
+  test("maintenance rewrites carry the MV pin: compact / zorder / " +
+      "compact_deletes / set_spec on a view never bury src=vN, and " +
+      "the next refresh advances") {
+    val src = fresh("mt_src")
+    val dst = fresh("mt_dst")
+    Versioned.commit((1L to 40L).map(i => (i, s"g${i % 4}", i))
+      .toDF("id", "g", "v"), src)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` ROW KEY (id) " +
+      s"AS SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, count(*) " +
+      s"AS n_rows FROM graft.`$src` GROUP BY g")
+    // several refreshes make small files worth packing
+    (1 to 3).foreach { k =>
+      Versioned.append(Seq((40L + k, "gX", 10L * k))
+        .toDF("id", "g", "v"), src)
+      spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    }
+    val pin0 = Versioned.notePin(spark, dst, "src")
+    assert(pin0.nonEmpty)
+    def pinHolds(op: String): Unit =
+      assert(Versioned.notePin(spark, dst, "src") == pin0,
+        s"$op buried the src pin")
+    spark.sql(s"CALL graft.system.compact('$dst')")
+    pinHolds("compact")
+    spark.sql(s"CALL graft.system.compact_small('$dst')")
+    pinHolds("compact_small")
+    spark.sql(s"CALL graft.system.rewrite_zorder('$dst', " +
+      "col_a => 'sum_v', col_b => 'n_rows')")
+    pinHolds("rewrite_zorder")
+    spark.sql(s"CALL graft.system.compact_deletes('$dst')")
+    pinHolds("compact_deletes")
+    spark.sql(s"CALL graft.system.set_spec('$dst', spec => 'identity(g)')")
+    pinHolds("set_spec")
+    // and the view still refreshes + equals the recompute
+    Versioned.append(Seq((99L, "gY", 7L)).toDF("id", "g", "v"), src)
+    val r = spark.sql(s"CALL graft.system.refresh_mv('$dst')").head()
+    assert(r.getInt(1) < r.getInt(2))
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT g, sum_v, cnt_v, n_rows FROM graft.`$dst`"),
+      spark.sql(s"SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, " +
+        s"count(*) AS n_rows FROM graft.`$src` GROUP BY g")))
+  }
 }
