@@ -190,41 +190,46 @@ object DerivedTable {
   }
 
   /** The staleness memo's (head, raw bound, refresh-on-read, leg
-    * dirs) entry for `dir`, filled on miss — None for an empty
-    * table. One properties read per dir per head version. */
+    * dirs, MV kind) entry for `dir`, filled on miss — None for an
+    * empty table. One properties read per dir per head version. */
   private def memoEntry(s: SparkSession, dir: String)
-      : Option[(Int, Option[String], Boolean, Seq[(String, String)])] = {
+      : Option[(Int, Option[String], Boolean, Seq[(String, String)],
+        Option[String])] = {
     val head = Versioned.currentVersion(s, dir)
     if (head == 0) return None
     val cached = stalenessMemo.get(dir)
     if (cached != null && cached._1 == head) Some(cached)
     else {
       val props = Versioned.properties(s, dir)
-      val isMv = props.contains(MvKindProp)
+      val kind = props.get(MvKindProp)
+      val isMv = kind.isDefined
       val b = props.get(MvMaxStalenessProp).filter(_ => isMv)
       val ror = isMv && props.get(MvRefreshOnReadProp)
         .exists(_.trim.equalsIgnoreCase("true"))
       val dirs = if (!isMv) Nil else legDirsOf(props)
       if (stalenessMemo.size > 10000) stalenessMemo.clear()
-      val e = (head, b, ror, dirs)
+      val e = (head, b, ror, dirs, kind)
       stalenessMemo.put(dir, e)
       Some(e)
     }
   }
 
   // (dir → (view head version, RAW bound text, refresh-on-read,
-  // (pin key → source dir) legs)) — non-MV and unbounded tables
-  // reduce to ONE head-version probe per read after first sight; any
-  // commit on the view (including the TBLPROPERTIES change that sets/
-  // unsets the bound) bumps the head and refills. The bound memoizes
-  // UNPARSED: a malformed value must degrade to no-gate on the
-  // non-refusing resolution path (or a typo would brick even the
+  // (pin key → source dir) legs, MV kind)) — non-MV and unbounded
+  // tables reduce to ONE head-version probe per read after first
+  // sight; any commit on the view (including the TBLPROPERTIES change
+  // that sets/unsets the bound) bumps the head and refills. The bound
+  // memoizes UNPARSED: a malformed value must degrade to no-gate on
+  // the non-refusing resolution path (or a typo would brick even the
   // corrective ALTER TABLE) and throw its parse error only where the
   // gate is allowed to refuse. The legs memoize RESOLVED (key, dir)
-  // pairs so the over-bound check never re-reads properties.
+  // pairs so the over-bound check never re-reads properties; the kind
+  // lets the cascade/idle paths answer "is this an MV, of what kind"
+  // without one either.
   private val stalenessMemo = new java.util.concurrent
     .ConcurrentHashMap[String,
-      (Int, Option[String], Boolean, Seq[(String, String)])]()
+      (Int, Option[String], Boolean, Seq[(String, String)],
+        Option[String])]()
 
   /** The read-side staleness gate: a view carrying
     * [[MvMaxStalenessProp]] whose lag exceeds the bound REFUSES to
@@ -243,7 +248,7 @@ object DerivedTable {
     * its own louder refusal for that state. */
   def freshVersionForRead(s: SparkSession, dstDir: String,
       readVersion: Int, refuseWhenStale: Boolean = true): Int = {
-    val (head, rawBound, refreshOnRead, legDirs) =
+    val (head, rawBound, refreshOnRead, legDirs, _) =
       memoEntry(s, dstDir) match {
         case None => return readVersion
         case Some(e) => e
@@ -477,6 +482,24 @@ object DerivedTable {
 
   private def refreshMvGuarded(s: SparkSession, dstDir: String,
       cascade: Boolean, visited: Set[String]): (String, Int, Int) = {
+    // idle fast path: when every pin in the lineage (own AND
+    // transitive) sits EXACTLY at its source's head there is nothing
+    // to refresh at any hop — a follower polling a fresh chain pays
+    // pin/head probes only (one properties read per lineage dir per
+    // HEAD VERSION via the memo, never one per tick). Strict equality
+    // on purpose: a pin BEYOND the head (rolled-back source) or a
+    // buried pin (None leg) falls through to the slow path so its
+    // loud refusal still fires.
+    memoEntry(s, dstDir) match {
+      case Some((_, _, _, dirs, Some(kind))) if dirs.nonEmpty =>
+        val legs = legsOver(s, dstDir, dirs) ++ dirs.flatMap {
+          case (k, d) => transitiveTail(s, k, d, Set(dstDir, d)) }
+        if (legs.forall(_._2.exists(t => t._1 == t._2))) {
+          val pin = legs.head._2.get._1 // the src leg, per legDirsOf
+          return (kind, pin, pin)
+        }
+      case _ =>
+    }
     val props = Versioned.properties(s, dstDir)
     val kind = props.getOrElse(MvKindProp,
       throw new IllegalArgumentException(
@@ -489,9 +512,13 @@ object DerivedTable {
     // expected to refresh by name
     val doCascade = cascade ||
       props.get(MvAutoChainProp).exists(_.trim.equalsIgnoreCase("true"))
+    // the is-this-an-MV probe per leg goes through the memo — the
+    // cascade's hot loop must not pay a properties read per tick for
+    // legs that are plain tables (or fresh MVs, which the recursion's
+    // own fast path then no-ops)
     if (doCascade) legDirsOf(props).foreach { case (_, d) =>
       if (!visited.contains(d) &&
-          Versioned.properties(s, d).contains(MvKindProp))
+          memoEntry(s, d).exists(_._5.isDefined))
         refreshMvGuarded(s, d, cascade = true, visited + d)
     }
     val src = props(MvSourceProp)

@@ -5244,8 +5244,15 @@ object Versioned {
     * state, so the walk stops at the first hit — no merge across
     * versions, no resurrection of unset keys). Unreadable sidecars
     * keep walking: degrade to older state, never fail the read. */
+  // observability seam for the idle-tick contract: an idle follower
+  // tick on a fresh chain must cost pin/head probes only — the spec
+  // asserts this counter does not move across one
+  private[graft] val propReads =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   def properties(spark: SparkSession,
       tableDir: String): Map[String, String] = {
+    propReads.incrementAndGet()
     val cur = Try(currentVersion(spark, tableDir)).getOrElse(0)
     if (cur == 0) return Map.empty
     val f = fs(spark, tableDir)

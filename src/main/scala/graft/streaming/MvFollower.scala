@@ -54,7 +54,16 @@ object MvFollower {
     * upstream MVs first) when any lineage leg lags. Refuses a second
     * follower on the same view. */
   def follow(s: SparkSession, dstDir: String,
-      pollIntervalMs: Long = 1000L): Handle = {
+      pollIntervalMs: Long = 1000L): Handle =
+    followWith(s, dstDir, pollIntervalMs,
+      () => DerivedTable.refreshMv(s, dstDir, cascade = true))
+
+  /** [[follow]] with an injectable tick body — the test seam for the
+    * fatal-error contract (a real fatal is not injectable through the
+    * refresh path). Package-private; the public surface is
+    * [[follow]]. */
+  private[graft] def followWith(s: SparkSession, dstDir: String,
+      pollIntervalMs: Long, tick: () => Unit): Handle = {
     require(pollIntervalMs > 0,
       s"pollIntervalMs must be > 0, got $pollIntervalMs")
     // fail fast at the call site: not-an-MV must refuse HERE, not as
@@ -78,10 +87,18 @@ object MvFollower {
             // refreshMv no-ops at two metadata probes per source when
             // every pin matches its head — the idle tick is cheap and
             // the pin commit is the exactly-once guarantee
-            DerivedTable.refreshMv(s, dstDir, cascade = true)
+            tick()
             failure.set(None)
           } catch {
-            case e: Throwable => failure.set(Some(e))
+            // a RETRYABLE failure (stale-source refusal, transient
+            // I/O) is recorded and retried next tick; a FATAL error
+            // (OOM, linkage) kills the daemon — spinning a broken
+            // loop at poll interval would only repeat it while
+            // looking alive. The failure stays recorded either way,
+            // so checkFailed()/following() surface which happened.
+            case e: Throwable =>
+              failure.set(Some(e))
+              if (!scala.util.control.NonFatal(e)) throw e
           }
           wake.await(pollIntervalMs, TimeUnit.MILLISECONDS)
         }

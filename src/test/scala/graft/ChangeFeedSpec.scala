@@ -254,4 +254,54 @@ class ChangeFeedSpec extends SparkSpec {
       s"CALL graft.system.follow_mv('$src')"))
     assert(e2.getMessage.contains("not a materialized view"))
   }
+
+  test("an idle refresh tick on a fresh chain reads no properties " +
+      "(memoized fast path), and a fatal tick error kills the " +
+      "follower instead of spinning") {
+    import spark.implicits._
+    val src = new java.io.File(s"$work/idle-src").getAbsolutePath
+    val silver = new java.io.File(s"$work/idle-silver").getAbsolutePath
+    val gold = new java.io.File(s"$work/idle-gold").getAbsolutePath
+    Seq(src, silver, gold).foreach(d => org.apache.commons.io
+      .FileUtils.deleteQuietly(new java.io.File(d)))
+    Versioned.commit((1L to 20L).map(i => (i, s"g${i % 2}", i))
+      .toDF("id", "g", "v"), src)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$silver` KEY (id) " +
+      s"AS SELECT id, g, v * 2 AS w FROM graft.`$src`")
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY (id) " +
+      s"AS SELECT g, sum(w) AS sum_w, count(w) AS cnt_w, count(*) " +
+      s"AS n_rows FROM graft.`$silver` GROUP BY g")
+    // warm: the first idle tick fills the memo (one properties read
+    // per lineage dir), the second is fully warm
+    graft.sources.DerivedTable.refreshMv(spark, gold, cascade = true)
+    graft.sources.DerivedTable.refreshMv(spark, gold, cascade = true)
+    val before = Versioned.propReads.get()
+    val r = graft.sources.DerivedTable
+      .refreshMv(spark, gold, cascade = true)
+    assert(r._1 == "agg" && r._2 == r._3)
+    assert(Versioned.propReads.get() == before,
+      s"idle cascade tick read properties " +
+        s"${Versioned.propReads.get() - before} time(s)")
+    // a stale chain still refreshes through the fast path's
+    // fall-through — a source commit propagates to the gold
+    Versioned.append(Seq((21L, "g1", 21L)).toDF("id", "g", "v"), src)
+    graft.sources.DerivedTable.refreshMv(spark, gold, cascade = true)
+    assert(graft.sources.DerivedTable.bagEqual(
+      Versioned.read(spark, gold),
+      spark.sql(s"SELECT g, sum(v * 2) AS sum_w, count(v * 2) AS " +
+        s"cnt_w, count(*) AS n_rows FROM graft.`$src` GROUP BY g")))
+    // FATAL tick error: the daemon dies (retrying an OOM/linkage
+    // error at poll interval only repeats it) and the failure
+    // surfaces through checkFailed — NonFatal errors keep retrying
+    // (covered by the convergence test's stale-refusal ticks)
+    val fatal = new NoClassDefFoundError("injected-fatal")
+    val h = graft.streaming.MvFollower.followWith(spark, gold, 50L,
+      () => throw fatal)
+    val stop = System.currentTimeMillis + 10000
+    while (graft.streaming.MvFollower.following().contains(gold) &&
+        System.currentTimeMillis < stop) Thread.sleep(50)
+    assert(!graft.streaming.MvFollower.following().contains(gold),
+      "fatal tick error did not kill the follower")
+    assert(h.checkFailed().exists(_ eq fatal))
+  }
 }
