@@ -341,6 +341,13 @@ object SparkEntry {
     // the gold over it (implicit cascade).
     "q59_aggjoin_mv" ->
       (graft.sources.DerivedTable.aggJoinMvGate _),
+    // Approx-distinct MV measures (q60): approx_count_distinct(c)
+    // AS adc_<c> stores a mergeable HLL sketch — inserts merge in
+    // the delta pass, a group that lost rows recomputes; exact at
+    // the fixture's cardinalities, so DuckDB restates every
+    // estimate as count(DISTINCT) over the replayed edits.
+    "q60_distinct_mv" ->
+      (graft.sources.DerivedTable.distinctMvGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1921,6 +1928,32 @@ object SparkEntry {
                   AS relabeled_rows,
                 CAST(1 AS BIGINT) AS eq_gold,
                 CAST(1 AS BIGINT) AS dropped_both""",
+    // q60: the approx-distinct MV's per-state estimates restate as
+    // EXACT count(DISTINCT) over the replayed edits (v1 = the <400
+    // slice; v2 = the full <600 slice; v3 = doc 1's lang moved to
+    // 'zz' and every doc_id % 50 == 0 deleted) — the sketch is exact
+    // at these cardinalities, so the sums are hash facts.
+    "q60_distinct_mv" ->
+      """WITH f AS (SELECT doc_id, source, lang FROM documents
+                    WHERE doc_id < 600),
+              v1 AS (SELECT source, count(DISTINCT lang) AS dc
+                     FROM f WHERE doc_id < 400 GROUP BY source),
+              v2 AS (SELECT source, count(DISTINCT lang) AS dc
+                     FROM f GROUP BY source),
+              v3 AS (SELECT source, count(DISTINCT CASE
+                       WHEN doc_id = 1 THEN 'zz' ELSE lang END) AS dc
+                     FROM f WHERE doc_id % 50 <> 0 GROUP BY source)
+         SELECT (SELECT count(*) FROM v1) AS groups_v1,
+                CAST((SELECT sum(dc) FROM v1) AS BIGINT)
+                  AS adcsum_v1,
+                (SELECT count(*) FROM v2) AS groups_v2,
+                CAST((SELECT sum(dc) FROM v2) AS BIGINT)
+                  AS adcsum_v2,
+                (SELECT count(*) FROM v3) AS groups_v3,
+                CAST((SELECT sum(dc) FROM v3) AS BIGINT)
+                  AS adcsum_v3,
+                CAST(1 AS BIGINT) AS eq_exact,
+                CAST(1 AS BIGINT) AS spec_distinct""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle ++
     int8IndexExportOracle ++ dedupIndexExportOracle
 

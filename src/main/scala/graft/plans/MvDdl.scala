@@ -133,7 +133,7 @@ object MvDdl {
     * for any other shape. */
   def aggShapeOf(p: LogicalPlan):
       Option[(Seq[(String, Option[String])], Seq[String], Seq[String],
-        Seq[String], Option[String])] = {
+        Seq[String], Seq[String], Option[String])] = {
     val agg = p match {
       case a: Aggregate => a
       case _ => return None
@@ -228,6 +228,22 @@ object MvDdl {
     }
     if (avgsB.nonEmpty &&
       avgsB.toSeq != vals.toSeq.filter(avgsB.contains)) return None
+    // optional approx-distinct measures: approx_count_distinct(<c>)
+    // AS adc_<c> over non-group columns — the delta-maintainable
+    // spelling of count(DISTINCT): the view stores the estimate plus
+    // a mergeable HLL sketch (inserts merge, a group that lost rows
+    // recomputes — see [[DerivedTable.refreshAgg]])
+    val disB = scala.collection.mutable.ArrayBuffer[String]()
+    var moreDis = true
+    while (moreDis) {
+      seq.lift(i) match {
+        case Some((name, "approx_count_distinct", Some(c)))
+            if name == s"adc_$c" && !gNames.contains(c) &&
+              !disB.contains(c) =>
+          disB += c; i += 1
+        case _ => moreDis = false
+      }
+    }
     // optional extrema: (min_c, max_c) pairs over non-group columns
     val ext = seq.drop(i).grouped(2).map {
       case Seq((n1, "min", Some(c1)), (n2, "max", Some(c2)))
@@ -236,7 +252,7 @@ object MvDdl {
       case _ => None
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
-    Some((gs, vals.toSeq, avgsB.toSeq, ext.flatten, where))
+    Some((gs, vals.toSeq, avgsB.toSeq, disB.toSeq, ext.flatten, where))
   }
 
   private[plans] val AggShapeMsg =
@@ -244,12 +260,15 @@ object MvDdl {
       "shape exactly: SELECT <g…>, sum(<a>) AS sum_<a>, count(<a>) " +
       "AS cnt_<a>[, more sum/cnt pairs …], count(*) AS n_rows[, " +
       "avg(<c>) AS avg_<c> per value column, in value order][, " +
-      "min(<c>) AS min_<c>, max(<c>) AS max_<c> …] FROM <src> " +
-      "[WHERE <pred>] GROUP BY <g…> — a group key may be a bare " +
-      "column or a deterministic expression aliased in the select " +
-      "list (GROUP BY date_trunc('day', ts) with date_trunc('day', " +
-      "ts) AS day, or GROUP BY day); no HAVING, DISTINCT, or other " +
-      "aggregates"
+      "approx_count_distinct(<c>) AS adc_<c> …][, min(<c>) AS " +
+      "min_<c>, max(<c>) AS max_<c> …] FROM <src> [WHERE <pred>] " +
+      "GROUP BY <g…> — a group key may be a bare column or a " +
+      "deterministic expression aliased in the select list (GROUP " +
+      "BY date_trunc('day', ts) with date_trunc('day', ts) AS day, " +
+      "or GROUP BY day); no HAVING or other aggregates; exact " +
+      "count(DISTINCT <c>) is not delta-maintainable — spell it " +
+      "approx_count_distinct(<c>) AS adc_<c> (mergeable HLL sketch: " +
+      "the view stores the estimate and the sketch state)"
 
   private[plans] val RowPureMsg =
     "a row-pure materialized view supports SELECT … FROM <one " +
@@ -293,7 +312,7 @@ object MvDdl {
     * canonical aliases use the LAST name part. */
   def aggOverJoinShapeOf(p: LogicalPlan): Option[(String,
       Seq[(String, String, Boolean)], Seq[(String, String)],
-      Seq[String], Seq[(String, String)],
+      Seq[String], Seq[(String, String)], Seq[(String, String)],
       Seq[(Seq[String], Seq[String], String)])] = {
     val agg = p match {
       case a: Aggregate => a
@@ -411,6 +430,21 @@ object MvDdl {
     if (avgsB.nonEmpty &&
       avgsB.toSeq != vals.map(_._1).toSeq.filter(avgsB.contains))
       return None
+    // optional approx-distinct measures (the single-table shape's
+    // qualified twin) — the hidden silver projects the column, the
+    // gold maintains the sketch
+    val disB = scala.collection.mutable
+      .ArrayBuffer[(String, String)]()
+    var moreDis = true
+    while (moreDis) {
+      seq.lift(i) match {
+        case Some((name, "approx_count_distinct", Some((c, sql))))
+            if name == s"adc_$c" && !gNames.contains(c) &&
+              !disB.exists(_._1 == c) =>
+          disB += ((c, sql)); i += 1
+        case _ => moreDis = false
+      }
+    }
     val ext = seq.drop(i).grouped(2).map {
       case Seq((n1, "min", Some((c1, s1))), (n2, "max", Some((c2, s2))))
           if c1 == c2 && s1 == s2 && !gNames.contains(c1) &&
@@ -418,7 +452,8 @@ object MvDdl {
       case _ => None
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
-    Some((factAlias, gs, vals.toSeq, avgsB.toSeq, ext.flatten, shape))
+    Some((factAlias, gs, vals.toSeq, avgsB.toSeq, disB.toSeq,
+      ext.flatten, shape))
   }
 
   // slices `SELECT … FROM <tail> GROUP BY …` to the tail — the
@@ -597,13 +632,13 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       require(rowKeySpelling,
         "a GROUP BY materialized view names the SOURCE row identity " +
           "— spell it ROW KEY (<fact row id>), not KEY")
-      val (factAlias, gs, vals, avgs, ext, shape) =
+      val (factAlias, gs, vals, avgs, dis, ext, shape) =
         MvDdl.aggOverJoinShapeOf(parsed).getOrElse(
           throw new UnsupportedOperationException(
             MvDdl.AggJoinShapeMsg))
       require(shape.length == rels.length - 1, MvDdl.AggJoinShapeMsg)
       val silverCols = key +: (gs.map(_._1) ++ vals.map(_._1) ++
-        ext.map(_._1))
+        dis.map(_._1) ++ ext.map(_._1))
       require(silverCols.distinct.length == silverCols.length,
         s"the view's column names collide after unqualifying " +
           s"(${silverCols.mkString(", ")}) — alias the group keys " +
@@ -639,6 +674,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       val silverText = s"SELECT `$factAlias`.`$key` AS `$key`, " +
         (gs.map { case (a, q, _) => s"$q AS `$a`" } ++
           vals.map { case (c, q) => s"$q AS `$c`" } ++
+          dis.map { case (c, q) => s"$q AS `$c`" } ++
           ext.map { case (c, q) => s"$q AS `$c`" }).mkString(", ") +
         s" FROM $tail"
       val silverDir = dstDir + ".silver"
@@ -666,6 +702,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         try DerivedTable.refreshAgg(spark, silverDir, dstDir, key,
           gs.map(_._1), vals.head._1, extrema = ext.map(_._1),
           moreValues = vals.tail.map(_._1), avgCols = avgs,
+          distinctCols = dis.map(_._1),
           partitionCol = partitionCol,
           bootstrapProps = Map(
             DerivedTable.MvKindProp -> "agg",
@@ -679,6 +716,10 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
             (if (avgs.nonEmpty)
               Seq(DerivedTable.MvAvgProp -> avgs.mkString(","))
              else Nil) ++
+            (if (dis.nonEmpty)
+              Seq(DerivedTable.MvDistinctProp ->
+                dis.map(_._1).mkString(","))
+             else Nil) ++
             partitionCol.map(DerivedTable.MvPartitionProp -> _))
         catch { case e: Throwable =>
           // CREATE spans two tables; a failed gold bootstrap must
@@ -690,7 +731,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         }
       Seq(Row("aggjoin", from, to))
     } else if (isAggQuery) {
-      val (gs, vals, avgs, ext, where) = MvDdl.aggShapeOf(parsed)
+      val (gs, vals, avgs, dis, ext, where) = MvDdl.aggShapeOf(parsed)
         .getOrElse(
           throw new UnsupportedOperationException(MvDdl.AggShapeMsg))
       require(rowKeySpelling,
@@ -698,9 +739,10 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           "— spell it ROW KEY (<source row id>), not KEY")
       val bare = gs.collect { case (g, None) => g }
       val gExprs = gs.collect { case (g, Some(t)) => (g, t) }
-      (bare ++ vals ++ ext).foreach(c => require(srcCols.contains(c),
-        s"column '$c' is not in the source table " +
-          s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
+      (bare ++ vals ++ dis ++ ext).foreach(c =>
+        require(srcCols.contains(c),
+          s"column '$c' is not in the source table " +
+            s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
       // a bucket alias that SHADOWS a source column would change
       // what the stored WHERE sees at refresh time — refuse eagerly
       // (refreshAgg re-checks, but HERE the user can still edit)
@@ -736,6 +778,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         key, gs.map(_._1), vals.head, extrema = ext, where = where,
         partitionCol = partitionCol,
         groupExprs = gExprs, moreValues = vals.tail, avgCols = avgs,
+        distinctCols = dis,
         bootstrapProps = Map(
           DerivedTable.MvKindProp -> "agg",
           DerivedTable.MvSourceProp -> srcDir,
@@ -748,6 +791,9 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
             (DerivedTable.MvGroupExprPrefix + g) -> t } ++
           (if (avgs.nonEmpty)
             Seq(DerivedTable.MvAvgProp -> avgs.mkString(","))
+           else Nil) ++
+          (if (dis.nonEmpty)
+            Seq(DerivedTable.MvDistinctProp -> dis.mkString(","))
            else Nil) ++
           where.map(DerivedTable.MvWhereProp -> _) ++
           partitionCol.map(DerivedTable.MvPartitionProp -> _))

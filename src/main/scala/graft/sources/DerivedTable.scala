@@ -62,6 +62,9 @@ object DerivedTable {
   // bare-column groups carry no entry
   val MvGroupExprPrefix = "graft.mv.group_expr."
   val MvAvgProp = "graft.mv.avg" // agg: 'true' when avg_<v> is stored
+  // agg: csv of approx-distinct columns — each stores adc_<c> (the
+  // HLL estimate) plus hll_<c> (the mergeable sketch state, last)
+  val MvDistinctProp = "graft.mv.distinct"
   val MvQueryProp = "graft.mv.query" // the AS SELECT text, verbatim
   // join: `;`-separated per-dim fragments, aligned by position and
   // in FROM order — dim dirs, each dim's fk csv, each dim's key csv,
@@ -544,11 +547,13 @@ object DerivedTable {
           case t if t.equalsIgnoreCase("true") => Seq(vals.head)
           case t => t.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         }
+        val dis = props.get(MvDistinctProp).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val (f, t) = refreshAgg(s, src, dstDir, props(MvRowKeyProp),
           groups, vals.head, extrema = ext,
           where = props.get(MvWhereProp).filter(_.nonEmpty),
           partitionCol = pCol, groupExprs = gExprs,
-          moreValues = vals.tail, avgCols = avs)
+          moreValues = vals.tail, avgCols = avs, distinctCols = dis)
         ("agg", f, t)
       case "join" =>
         // the refresh reports the FACT range (the stream side); a
@@ -1035,6 +1040,42 @@ object DerivedTable {
     avgs.map(c => when(col(s"cnt_$c") === 0L, lit(null))
       .otherwise(col(s"sum_$c") / col(s"cnt_$c")).as(s"avg_$c"))
 
+  // —— approx-distinct measures: mergeable HLL sketch state ——
+  // exact count(DISTINCT) is not delta-maintainable (a deleted value
+  // says nothing about whether another row still carries it), but a
+  // DataSketches HLL sketch is: HLL slot state is a per-slot MAX, so
+  // unioning the new rows' sketch into the stored one is EXACTLY the
+  // sketch of the union of the values — inserts merge in the one
+  // signed-union pass. Deletes are not invertible in any sketch, so
+  // a group that LOST rows falls back to the affected-group
+  // recompute, the same discipline the extrema use. The stored
+  // schema carries adc_<c> (the estimate the definition's
+  // approx_count_distinct names) and hll_<c> (the sketch bytes the
+  // merge needs) — the estimate column is what readers consume, the
+  // sketch rides LAST as documented maintenance state.
+
+  /** Canonicalize a sketch column: the EMPTY sketch (no non-null
+    * values ever added — estimate 0) stores as NULL, so the
+    * bootstrap's empty sketch and the patch path's null-merge agree
+    * byte-for-byte on the all-null group. */
+  private def hllNorm(c: Column): Column =
+    when(coalesce(hll_sketch_estimate(c), lit(0L)) === 0L, lit(null))
+      .otherwise(c)
+
+  /** Union two nullable sketch columns (either side NULL = empty). */
+  private def hllMerge(a: Column, b: Column): Column =
+    when(a.isNull, b).when(b.isNull, a).otherwise(hll_union(a, b))
+
+  /** The stored estimate columns — derived from the stored sketch on
+    * every write, NEVER patched independently, so estimate and sketch
+    * cannot drift. 0 for the all-null group (matching
+    * approx_count_distinct over no non-null values). ONE definition
+    * serves bootstrap and every patch, like [[avgExprsOf]]. */
+  private def adcExprsOf(distincts: Seq[String]): Seq[Column] =
+    distincts.map(c =>
+      coalesce(hll_sketch_estimate(col(s"hll_$c")), lit(0L))
+        .as(s"adc_$c"))
+
   def refreshAgg(s: SparkSession, srcDir: String, dstDir: String,
       rowKey: String, groupCols: Seq[String], valueCol: String,
       maxTouchedKeys: Int = 100000,
@@ -1045,9 +1086,21 @@ object DerivedTable {
       groupExprs: Seq[(String, String)] = Nil,
       withAvg: Boolean = false,
       moreValues: Seq[String] = Nil,
-      avgCols: Seq[String] = Nil): (Int, Int) = {
+      avgCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil): (Int, Int) = {
     require(groupCols.nonEmpty, "refreshAgg needs at least one group " +
       "column")
+    // APPROX-DISTINCT measures (adc_<c> estimate + hll_<c> sketch
+    // state): inserts merge sketches in the delta pass; a group that
+    // lost rows recomputes its sketch from the pinned `to` snapshot
+    // (the extrema discipline) — see the sketch-state comment block
+    require(distinctCols.distinct.length == distinctCols.length,
+      s"distinct columns must be distinct, got " +
+        s"${distinctCols.mkString(", ")}")
+    require(distinctCols.forall(c => !groupCols.contains(c)),
+      "an approx-distinct column cannot also be a group column " +
+        s"(${distinctCols.filter(groupCols.contains).mkString(", ")})" +
+        " — within one group a group column has exactly one value")
     // MULTI-MEASURE views: every value column gets its own exact
     // (sum_c, cnt_c) pair in the one signed-union delta pass — a
     // rollup usually carries several measures, and splitting them
@@ -1169,14 +1222,17 @@ object DerivedTable {
       val aggs = values.flatMap(c =>
         Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c"))) ++
         Seq(count(lit(1)).as("n_rows")) ++ extrema.flatMap(c =>
-        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+        Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
+        distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
       val base = df.groupBy(groupCols.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
-      if (avgs.isEmpty) base
+      if (avgs.isEmpty && distinctCols.isEmpty) base
       else base.select((groupCols.map(col) ++
         values.flatMap(c => Seq(col(s"sum_$c"), col(s"cnt_$c"))) ++
         Seq(col("n_rows")) ++ avgExprsOf(avgs) ++
-        extrema.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c")))): _*)
+        adcExprsOf(distinctCols) ++
+        extrema.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) ++
+        distinctCols.map(c => hllNorm(col(s"hll_$c")).as(s"hll_$c"))): _*)
     }
     val to = Versioned.currentVersion(s, srcDir)
     require(to > 0, s"no committed source version at $srcDir")
@@ -1220,7 +1276,7 @@ object DerivedTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try refreshAggOver(s, srcDir, dstDir, rowKey, groupCols, values,
       maxTouchedKeys, extrema, prepared, from, to, touchedDf,
-      partitionCol, derivedNames, avgs)
+      partitionCol, derivedNames, avgs, distinctCols)
     finally touchedDf.unpersist(blocking = false)
   }
 
@@ -1231,7 +1287,8 @@ object DerivedTable {
       from: Int, to: Int, touchedDf: DataFrame,
       partitionCol: Option[String] = None,
       derivedNames: Set[String] = Set.empty,
-      avgs: Seq[String] = Nil): (Int, Int) = {
+      avgs: Seq[String] = Nil,
+      distincts: Seq[String] = Nil): (Int, Int) = {
     val gCols = groupCols.map(col)
     val extCols = extrema.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
@@ -1284,10 +1341,21 @@ object DerivedTable {
     // null values on both sides alike)
     val signed = touchedAt(from).withColumn("__w", lit(-1L))
       .unionByName(touchedAt(to).withColumn("__w", lit(1L)))
-    val deltaAggs = values.flatMap(c => Seq(
+    // distinct measures ride the same pass: d_hll_<c> sketches the
+    // NEW-side values only (old-side rows null out and HLL skips
+    // nulls), and d_old counts old-side rows — any means the group
+    // lost or changed rows, so its sketch must recompute (no sketch
+    // can subtract); none means insert-only, where the union of the
+    // stored and new sketches is EXACTLY the sketch of the union
+    val deltaAggs = (values.flatMap(c => Seq(
       coalesce(sum(col(c) * col("__w")), lit(0L)).as(s"d_sum_$c"),
       sum(when(col(c).isNotNull, col("__w")).otherwise(0L))
-        .as(s"d_cnt_$c"))) :+ sum(col("__w")).as("d_n")
+        .as(s"d_cnt_$c"))) :+ sum(col("__w")).as("d_n")) ++
+      (if (distincts.isEmpty) Nil
+       else sum(when(col("__w") === -1L, 1L).otherwise(0L))
+         .as("d_old") +: distincts.map(c =>
+         hll_sketch_agg(when(col("__w") === 1L, col(c)))
+           .as(s"d_hll_$c")))
     val delta = signed.groupBy(gCols: _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1339,7 +1407,16 @@ object DerivedTable {
           // patch to n_rows=0 and silently emit a group DELETE
           // (dropping the updated sum) instead of refusing
           (col("__present").isNull && col("d_n") === 0L)
-            .as("__ghost")): _*)
+            .as("__ghost")) ++
+          // the MERGED sketch (stored ∪ new-side — exact for
+          // insert-only groups; the new-side sketch normalizes first
+          // so an empty one leaves the stored bytes untouched) and
+          // the old-side row count deciding merge vs recompute
+          (if (distincts.isEmpty) Nil
+           else coalesce(col("d_old"), lit(0L)).as("__dold") +:
+             distincts.map(c =>
+               hllMerge(col(s"hll_$c"), hllNorm(col(s"d_hll_$c")))
+                 .as(s"hll_$c"))): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var extJoined: DataFrame = null
       try {
@@ -1368,8 +1445,20 @@ object DerivedTable {
             when(col(s"cnt_$c") === 0L, lit(null))
               .otherwise(col(s"sum_$c")).as(s"sum_$c"),
             col(s"cnt_$c"))) ++
-            Seq(col("n_rows")) ++ avgCols: _*)
-        val upserts = if (extrema.isEmpty) upserts0 else {
+            Seq(col("n_rows")) ++ avgCols ++
+            (if (distincts.isEmpty) Nil
+             else col("__dold") +:
+               distincts.map(c => col(s"hll_$c"))): _*)
+        // the stored order: groups, (sum, cnt)…, n_rows, avg…, adc…
+        // (estimates re-derived from the FINAL sketches so they can
+        // never drift), ext…, hll… (sketch state rides last)
+        def ordered(df: DataFrame): DataFrame =
+          df.select((gCols ++
+            values.flatMap(c => Seq(col(s"sum_$c"), col(s"cnt_$c"))) ++
+            Seq(col("n_rows")) ++ avgs.map(c => col(s"avg_$c")) ++
+            adcExprsOf(distincts) ++ extNames.map(col) ++
+            distincts.map(c => col(s"hll_$c"))): _*)
+        val upserts = if (extrema.nonEmpty) {
           // affected-group recompute for the non-invertible extrema:
           // re-aggregate ONLY the touched groups' rows at the pinned
           // `to` snapshot (tiered read, keyed on the group columns,
@@ -1386,7 +1475,9 @@ object DerivedTable {
             else prepared(Versioned.read(s, srcDir, Some(to)))
               .join(broadcast(groupsDf), groupCols, "left_semi")
           val ext = srcGroups.groupBy(gCols: _*).agg(
-            count(lit(1)).as("__extn"), extCols: _*)
+            count(lit(1)).as("__extn"),
+            (extCols ++ distincts.map(c =>
+              hll_sketch_agg(col(c)).as(s"r_hll_$c"))): _*)
           extJoined = upserts0.join(ext, groupCols, "left")
             .persist(org.apache.spark.storage.StorageLevel
               .MEMORY_AND_DISK)
@@ -1397,11 +1488,51 @@ object DerivedTable {
           require(off == 0, s"$off group(s) disagree between the " +
             s"algebraic row count and the src=v$to recompute — " +
             "corrupt pin or out-of-band edits; rebuild")
-          extJoined.select((groupCols ++
-            values.flatMap(c => Seq(s"sum_$c", s"cnt_$c")) ++
-            Seq("n_rows") ++ avgs.map(c => s"avg_$c")
-            ++ extNames).map(col): _*)
-        }
+          // the recompute read is already paid for every touched
+          // group, so the sketches ride it too (ground truth — no
+          // need to track which groups could have merged)
+          ordered(distincts.foldLeft(extJoined: DataFrame) {
+            case (df, c) =>
+              df.withColumn(s"hll_$c", hllNorm(col(s"r_hll_$c"))) })
+        } else if (distincts.nonEmpty) {
+          // groups that LOST rows in the window recompute their
+          // sketches from the pinned `to` snapshot; insert-only
+          // groups keep the exact merge — the common append path
+          // pays NO extra source read
+          val delGroupsDf = delta.filter(col("d_old") > 0)
+            .select(gCols: _*)
+          val dProbe = delGroupsDf.limit(PruneKeyLimit + 1).collect()
+          val nDel = if (dProbe.length <= PruneKeyLimit)
+            dProbe.length.toLong else delGroupsDf.count()
+          if (nDel == 0) ordered(upserts0)
+          else {
+            val srcDel =
+              if (derivedNames.isEmpty)
+                prepared(pointRead(s, srcDir, groupCols, nDel,
+                  dProbe.map(_.get(0)).toSeq, Some(to), delGroupsDf))
+              else prepared(Versioned.read(s, srcDir, Some(to)))
+                .join(broadcast(delGroupsDf), groupCols, "left_semi")
+            val rAggs = count(lit(1)).as("__rn") +: distincts.map(c =>
+              hll_sketch_agg(col(c)).as(s"r_hll_$c"))
+            val rHll = srcDel.groupBy(gCols: _*)
+              .agg(rAggs.head, rAggs.tail: _*)
+            extJoined = upserts0.join(rHll, groupCols, "left")
+              .persist(org.apache.spark.storage.StorageLevel
+                .MEMORY_AND_DISK)
+            // recomputed SURVIVING groups must reappear with the
+            // algebraic count — the extrema audit's twin
+            val off = extJoined.filter(col("__dold") > 0 &&
+              (col("__rn").isNull ||
+                col("__rn") =!= col("n_rows"))).count()
+            require(off == 0, s"$off group(s) disagree between the " +
+              s"algebraic row count and the src=v$to recompute — " +
+              "corrupt pin or out-of-band edits; rebuild")
+            ordered(distincts.foldLeft(extJoined: DataFrame) {
+              case (df, c) => df.withColumn(s"hll_$c",
+                when(col("__dold") > 0, hllNorm(col(s"r_hll_$c")))
+                  .otherwise(col(s"hll_$c"))) })
+          }
+        } else upserts0
         val dels = patched.filter(col("n_rows") === 0L)
           .select(gCols: _*)
         Versioned.applyChangesKeys(s, dstDir, upserts = upserts,
@@ -1971,6 +2102,83 @@ object DerivedTable {
       .toDF("created_aggjoin", "silver_hidden", "refreshed",
         "gold_groups", "gold_sum", "relabeled_rows", "eq_gold",
         "dropped_both")
+  }
+
+  /** Driver-visible gate (q60): APPROX-DISTINCT measures in an
+    * aggregate MV — `approx_count_distinct(lang) AS adc_lang` stores
+    * the HLL estimate plus the mergeable sketch, maintained through
+    * an INSERT-ONLY refresh (sketch merge, no recompute read) and a
+    * LOSS batch (a lang update + key deletes — the affected groups
+    * recompute their sketches from the pinned snapshot). At the
+    * fixture's cardinalities the sketch is EXACT (LIST/SET coupon
+    * mode), so every estimate restates as DuckDB's count(DISTINCT)
+    * over the same replayed edits — a hash fact, not a tolerance. */
+  def distinctMvGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-adcmv-gate")
+    try distinctMvGateBody(s, d, work)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  private def distinctMvGateBody(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    def abs(n: String) = work.resolve(n).toAbsolutePath.toString
+    val src = abs("src"); val mv = abs("mv")
+    val docs = Tables.load(s, d, "documents")
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("n_chars"))
+      .filter(col("doc_id") < 600)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Versioned.commit(docs.filter(col("doc_id") < 400), src)
+      s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` ROW KEY " +
+        s"(doc_id) AS SELECT source, sum(n_chars) AS sum_n_chars, " +
+        "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
+        s"approx_count_distinct(lang) AS adc_lang FROM graft.`$src` " +
+        "GROUP BY source")
+      // insert-only append → the MERGE path (no recompute read)
+      Versioned.append(docs.filter(col("doc_id") >= 400), src)
+      s.sql(s"CALL graft.system.refresh_mv('$mv')")
+      // loss batch: one row's lang moves to a brand-new value and
+      // every doc_id % 50 == 0 dies → the RECOMPUTE path
+      Versioned.applyChanges(s, src,
+        upserts = docs.filter(col("doc_id") === 1)
+          .withColumn("lang", lit("zz")),
+        deleteKeys = docs.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id")),
+        key = "doc_id")
+      s.sql(s"CALL graft.system.refresh_mv('$mv')")
+    } finally docs.unpersist(blocking = false)
+    // the three lifecycle states' facts in ONE tagged job (snapshots
+    // are immutable — the time-travel reads ARE the states)
+    def st(df: DataFrame, tag: String): DataFrame =
+      df.select(lit(tag).as("t"), col("adc_lang").cast("long").as("a"))
+    val stats = st(Versioned.read(s, mv, Some(1)), "v1")
+      .unionByName(st(Versioned.read(s, mv, Some(2)), "v2"))
+      .unionByName(st(Versioned.read(s, mv), "v3"))
+      .groupBy(col("t")).agg(count(lit(1)).as("g"), sum(col("a"))
+        .as("a"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the DEFINITION's columns (estimates included) equal the EXACT
+    // recompute — count(DISTINCT lang), not approx — in one
+    // signed-union job
+    val eq = bagEqual(
+      Versioned.read(s, mv).select(col("source"),
+        col("sum_n_chars"), col("cnt_n_chars"), col("n_rows"),
+        col("adc_lang")),
+      s.sql("SELECT source, sum(n_chars) AS sum_n_chars, " +
+        "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
+        s"count(DISTINCT lang) AS adc_lang FROM graft.`$src` " +
+        "GROUP BY source"))
+    val specOk = Versioned.properties(s, mv)
+      .get(MvDistinctProp).contains("lang")
+    import s.implicits._
+    Seq((stats("v1").getLong(1), stats("v1").getLong(2),
+        stats("v2").getLong(1), stats("v2").getLong(2),
+        stats("v3").getLong(1), stats("v3").getLong(2),
+        if (eq) 1L else 0L, if (specOk) 1L else 0L))
+      .toDF("groups_v1", "adcsum_v1", "groups_v2", "adcsum_v2",
+        "groups_v3", "adcsum_v3", "eq_exact", "spec_distinct")
   }
 
   /** Driver-visible gate (q52): a curated projection of the documents

@@ -1037,6 +1037,121 @@ class MvSpec extends SparkSpec {
       spark.sql(s"$goldSel GROUP BY d.label")))
   }
 
+  test("approx-distinct measures: approx_count_distinct(c) AS adc_c " +
+      "stores a mergeable HLL sketch — inserts merge, a group that " +
+      "lost rows recomputes, estimates track exact at small " +
+      "cardinality") {
+    val src = fresh("adc_src")
+    val dst = fresh("adc_dst")
+    // user u{i%7} per group g{i%3}: small cardinalities, where the
+    // HLL sketch is EXACT (LIST/SET mode stores raw coupons) — so
+    // the estimate must EQUAL count(DISTINCT) here, not just track it
+    Versioned.commit((1L to 30L).map(i =>
+        (i, s"g${i % 3}", s"u${i % 7}", i))
+      .toDF("id", "g", "u", "v"), src)
+    val sel = "SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, " +
+      "count(*) AS n_rows, approx_count_distinct(u) AS adc_u FROM "
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      s"ROW KEY (id) AS $sel graft.`$src` GROUP BY g").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("agg", 0, 1)))
+    // stored schema: the definition's columns plus the sketch state
+    // LAST; the spec carries the distinct csv
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`").columns.toSeq ==
+      Seq("g", "sum_v", "cnt_v", "n_rows", "adc_u", "hll_u"))
+    assert(Versioned.properties(spark, dst)
+      .get(DerivedTable.MvDistinctProp).contains("u"))
+    // the DEFINITION's columns equal an exact recompute (count
+    // DISTINCT, not approx — exact at these cardinalities)
+    def expect = spark.sql("SELECT g, sum(v) AS sum_v, count(v) AS " +
+      "cnt_v, count(*) AS n_rows, count(DISTINCT u) AS adc_u FROM " +
+      s"graft.`$src` GROUP BY g")
+    def got = spark.sql(
+      s"SELECT g, sum_v, cnt_v, n_rows, adc_u FROM graft.`$dst`")
+    assert(DerivedTable.bagEqual(got, expect))
+    // INSERT-ONLY refresh: the merge path (no recompute read) — new
+    // values, including duplicates of standing ones, land exactly
+    Versioned.append(Seq((31L, "g0", "u0", 31L),
+      (32L, "g0", "uNEW", 32L), (33L, "fresh", "u1", 33L))
+      .toDF("id", "g", "u", "v"), src)
+    val r1 = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(r1.map(_.toSeq).toSeq == Seq(Seq("agg", 1, 2)))
+    assert(DerivedTable.bagEqual(got, expect))
+    // LOSS refresh: delete one group's only uNEW row and UPDATE a
+    // row's u in another — both groups must recompute their
+    // sketches (a merged sketch cannot forget)
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((1L, "g1", "uMOVED", 1L))
+        .toDF("id", "g", "u", "v"),
+      deleteKeys = Seq(32L).toDF("id"), key = "id")
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(DerivedTable.bagEqual(got, expect))
+    // all-null distinct values: adc 0, estimate matches the exact 0
+    val nsrc = fresh("adc_nsrc")
+    val ndst = fresh("adc_ndst")
+    Versioned.commit(Seq((1L, "g0", None: Option[String], 5L),
+      (2L, "g0", None: Option[String], 6L))
+      .toDF("id", "g", "u", "v"), nsrc)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$ndst` ROW KEY (id) " +
+      s"AS $sel graft.`$nsrc` GROUP BY g")
+    val nrow = spark.sql(s"SELECT adc_u, hll_u FROM graft.`$ndst`")
+      .head()
+    assert(nrow.getLong(0) == 0L && nrow.isNullAt(1))
+    // distinct + extrema compose (the recompute read serves both)
+    val edst = fresh("adc_edst")
+    val esel = "SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, " +
+      "count(*) AS n_rows, approx_count_distinct(u) AS adc_u, " +
+      "min(u) AS min_u, max(u) AS max_u FROM "
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$edst` ROW KEY (id) " +
+      s"AS $esel graft.`$src` GROUP BY g")
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((2L, "g2", "uX", 2L)).toDF("id", "g", "u", "v"),
+      deleteKeys = Seq(14L).toDF("id"), key = "id")
+    spark.sql(s"CALL graft.system.refresh_mv('$edst')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT g, sum_v, cnt_v, n_rows, adc_u, min_u, " +
+        s"max_u FROM graft.`$edst`"),
+      spark.sql("SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, " +
+        "count(*) AS n_rows, count(DISTINCT u) AS adc_u, min(u) AS " +
+        s"min_u, max(u) AS max_u FROM graft.`$src` GROUP BY g")))
+    // over a JOIN: the hidden silver projects the distinct column
+    val dim = fresh("adc_dim")
+    val gold = fresh("adc_gold")
+    Versioned.commit(Seq(("g0", "L0"), ("g1", "L1"), ("g2", "L2"),
+      ("fresh", "LF")).toDF("g", "label"), dim)
+    val goldSel = "SELECT d.label, sum(f.v) AS sum_v, count(f.v) " +
+      "AS cnt_v, count(*) AS n_rows, approx_count_distinct(f.u) AS " +
+      s"adc_u FROM graft.`$src` f JOIN graft.`$dim` d ON f.g = d.g"
+    val c2 = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` " +
+      s"ROW KEY (id) AS $goldSel GROUP BY d.label").head()
+    assert(c2.getString(0) == "aggjoin")
+    Versioned.append(Seq((40L, "g1", "uJ", 40L))
+      .toDF("id", "g", "u", "v"), src)
+    spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT label, sum_v, cnt_v, n_rows, adc_u FROM " +
+        s"graft.`$gold`"),
+      spark.sql("SELECT d.label, sum(f.v) AS sum_v, count(f.v) AS " +
+        "cnt_v, count(*) AS n_rows, count(DISTINCT f.u) AS adc_u " +
+        s"FROM graft.`$src` f JOIN graft.`$dim` d ON f.g = d.g " +
+        "GROUP BY d.label")))
+    // refusals: exact count(DISTINCT) names the approx spelling; a
+    // wrong alias refuses; a group column cannot be a distinct arg
+    val d2 = fresh("adc_ref")
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$d2` ROW KEY (id) AS " +
+        "SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS " +
+        s"n_rows, count(DISTINCT u) AS du FROM graft.`$src` " +
+        "GROUP BY g"))
+    assert(e1.getMessage.contains("approx_count_distinct"))
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$d2` ROW KEY (id) AS " +
+        "SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS " +
+        "n_rows, approx_count_distinct(u) AS wrong FROM " +
+        s"graft.`$src` GROUP BY g"))
+    assert(e2.getMessage.contains("delta-maintainable shape"))
+  }
+
   test("r17 guard rail refusals: alias shadowing a join column, " +
       "DECIMAL avg, DROP on a hidden silver") {
     val fact = fresh("gr_fact")
