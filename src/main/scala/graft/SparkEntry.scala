@@ -336,9 +336,9 @@ object SparkEntry {
     // through a chained GOLD aggregate view (bronze→silver→gold).
     "q58_join_mv" ->
       (graft.sources.DerivedTable.joinMvGate _),
-    // Aggregate-over-join MV (q59): one name, one refresh — the
-    // engine chains a hidden silver join view and delta-maintains
-    // the gold over it (implicit cascade).
+    // Aggregate-over-join MV (q59): one name, one refresh, ONE
+    // commit — invertible shapes maintain the gold DIRECTLY (r18,
+    // no hidden silver); extrema/distinct shapes auto-chain one.
     "q59_aggjoin_mv" ->
       (graft.sources.DerivedTable.aggJoinMvGate _),
     // Approx-distinct MV measures (q60): approx_count_distinct(c)
@@ -1919,7 +1919,7 @@ object SparkEntry {
                     FROM f, b
                     WHERE n_chars >= 300 AND source <> b.mx)
          SELECT CAST(1 AS BIGINT) AS created_aggjoin,
-                CAST(1 AS BIGINT) AS silver_hidden,
+                CAST(1 AS BIGINT) AS silver_absent,
                 CAST(1 AS BIGINT) AS refreshed,
                 (SELECT count(DISTINCT lab) FROM l) AS gold_groups,
                 CAST((SELECT sum(n_chars) FROM l) AS BIGINT)
@@ -1927,7 +1927,7 @@ object SparkEntry {
                 (SELECT count(*) FROM l WHERE lab = 'RELABELED')
                   AS relabeled_rows,
                 CAST(1 AS BIGINT) AS eq_gold,
-                CAST(1 AS BIGINT) AS dropped_both""",
+                CAST(1 AS BIGINT) AS dropped""",
     // q60: the approx-distinct MV's per-state estimates restate as
     // EXACT count(DISTINCT) over the replayed edits (v1 = the <400
     // slice; v2 = the full <600 slice; v3 = doc 1's lang moved to

@@ -226,9 +226,10 @@ object SqlLakehouseDemo {
       one(s"SELECT count(*) FROM graft.`$jmvDir` " +
         "WHERE label = 'RELABELED'") +
       s" kind=${jr.getString(0)}")
-    // aggregate-over-join (r17): one name, the engine chains a hidden
-    // silver at <view>.silver and a plain refresh_mv cascades through
-    // it — the rollup-over-enrichment every star schema wants
+    // aggregate-over-join: one name — invertible shapes (sum/cnt/
+    // avg) maintain the gold DIRECTLY since r18 (no hidden silver,
+    // one commit per refresh); extrema/distinct shapes still chain
+    // a hidden silver at <view>.silver
     val gjDir = new java.io.File(s"$out/sql_aggjoin").getAbsolutePath
     val cgj = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gjDir` " +
       s"ROW KEY (id) AS SELECT d.label, sum(f.score) AS sum_score, " +
@@ -241,8 +242,8 @@ object SqlLakehouseDemo {
     println("SQL_DEMO_AGGJOIN=" +
       one(s"SELECT count(*) FROM graft.`$gjDir`") +
       s" kind=${cgj.getString(0)} refreshed=${gjr.getString(0)} " +
-      "silver=" + (if (new java.io.File(gjDir + ".silver").exists())
-        1 else 0))
+      "silver_absent=" + (if (new java.io.File(gjDir + ".silver")
+        .exists()) 0 else 1))
     // continuous maintenance (r17): follow_mv converges the view on
     // source commits with no manual refresh; exactly-once by the pin
     spark.sql(s"CALL graft.system.follow_mv('$gjDir', " +
@@ -254,17 +255,15 @@ object SqlLakehouseDemo {
     // convergence check could never see it
     spark.sql(s"INSERT INTO $g VALUES (889, 'omega', 1.0)")
     // converged = the NEW ROW reached the gold (its n_rows total
-    // grew) AND the TRANSITIVE lag reads 0 — the own-leg lag would
-    // be vacuously 0 before the follower ever ticks (gold tracks the
-    // hidden silver, which itself lags the fact), so polling it
-    // would prove nothing
+    // grew) AND the own-leg lag reads 0 — the direct gold's legs ARE
+    // the fact and dim (no hidden silver, so no transitive lineage)
     val deadline = System.currentTimeMillis + 20000
     var converged = false
     while (!converged && System.currentTimeMillis < deadline) {
       val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$gjDir`")
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       converged = shown
-        .get("graft.mv.transitive_staleness_versions").contains("0") &&
+        .get("graft.mv.staleness_versions").contains("0") &&
         spark.sql(s"SELECT sum(n_rows) FROM graft.`$gjDir`")
           .head().getLong(0) == rowsBefore + 1
       if (!converged) Thread.sleep(100)

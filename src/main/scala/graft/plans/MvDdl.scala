@@ -677,6 +677,43 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           dis.map { case (c, q) => s"$q AS `$c`" } ++
           ext.map { case (c, q) => s"$q AS `$c`" }).mkString(", ") +
         s" FROM $tail"
+      // INVERTIBLE-measure shapes (sum/cnt/avg only) maintain the
+      // gold DIRECTLY — no hidden silver, no second copy of the join
+      // stream, ONE commit per refresh: each refresh re-derives the
+      // touched fact keys' join output at the pinned versions and
+      // patches the groups algebraically ([[DerivedTable
+      // .refreshAggJoin]]). Extrema and approx-distinct need an
+      // affected-group RECOMPUTE whose input is a fact-wide join, so
+      // those shapes keep the hidden-silver auto-chain below (silver
+      // point reads make the recompute O(touched groups)).
+      if (dis.isEmpty && ext.isEmpty) {
+        val (from, to) = DerivedTable.refreshAggJoin(spark, srcDir,
+          dims.map(_._1), dstDir, key,
+          DerivedTable.mvJoinTransformStar(spark, silverText),
+          gs.map(_._1), vals.map(_._1), avgs = avgs,
+          partitionCol = partitionCol,
+          bootstrapProps = Map(
+            DerivedTable.MvKindProp -> "aggjoin",
+            DerivedTable.MvSourceProp -> srcDir,
+            DerivedTable.MvDimProp ->
+              dims.map(_._1.dir).mkString(";"),
+            DerivedTable.MvRowKeyProp -> key,
+            DerivedTable.MvFkProp ->
+              dims.map(_._1.fkCols.mkString(",")).mkString(";"),
+            DerivedTable.MvDimKeyProp ->
+              dims.map(_._1.dimKeys.mkString(",")).mkString(";"),
+            DerivedTable.MvJoinTypeProp ->
+              dims.map(_._2).mkString(";"),
+            DerivedTable.MvGroupProp -> gs.map(_._1).mkString(","),
+            DerivedTable.MvValueProp -> vals.map(_._1).mkString(","),
+            DerivedTable.MvQueryProp -> queryText,
+            DerivedTable.MvSliceProp -> silverText) ++
+            (if (avgs.nonEmpty)
+              Seq(DerivedTable.MvAvgProp -> avgs.mkString(","))
+             else Nil) ++
+            partitionCol.map(DerivedTable.MvPartitionProp -> _))
+        return Seq(Row("aggjoin", from, to))
+      }
       val silverDir = dstDir + ".silver"
       require(Versioned.currentVersion(spark, silverDir) == 0,
         s"$silverDir already exists — a crashed CREATE left the " +

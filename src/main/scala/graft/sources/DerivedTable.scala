@@ -93,6 +93,12 @@ object DerivedTable {
   // silver names its owner for diagnostics
   val MvAutoChainProp = "graft.mv.auto_chain"
   val MvHiddenSilverOfProp = "graft.mv.hidden_silver_of"
+  // aggjoin (direct algebraic aggregate-over-join): the synthesized
+  // PROJECTED-SLICE query text — (row key, group…, value…) per
+  // surviving joined fact row — that each refresh re-derives the
+  // touched keys' join output with; the ORIGINAL definition stays in
+  // [[MvQueryProp]]
+  val MvSliceProp = "graft.mv.slice"
 
   /** Freshness state of a materialized view: (pinned source version,
     * source head version, lag). None when `dstDir` is not an MV. The
@@ -555,7 +561,7 @@ object DerivedTable {
           partitionCol = pCol, groupExprs = gExprs,
           moreValues = vals.tail, avgCols = avs, distinctCols = dis)
         ("agg", f, t)
-      case "join" =>
+      case "join" | "aggjoin" =>
         // the refresh reports the FACT range (the stream side); a
         // dim-only delta shows (factTo, factTo) but still republishes.
         // Multi-dim specs store `;`-separated per-dim fragments (a
@@ -568,11 +574,25 @@ object DerivedTable {
           .zip(semi(props(MvFkProp)).map(csv))
           .zip(semi(props(MvDimKeyProp)).map(csv))
           .map { case ((d, fk), dk) => JoinDim(d, fk, dk) }
-        val ((f, t), _) = refreshJoinStar(s, src, dims,
-          dstDir, props(MvKeyProp),
-          mvJoinTransformStar(s, props(MvQueryProp)),
-          partitionCol = pCol)
-        ("join", f, t)
+        if (kind == "join") {
+          val ((f, t), _) = refreshJoinStar(s, src, dims,
+            dstDir, props(MvKeyProp),
+            mvJoinTransformStar(s, props(MvQueryProp)),
+            partitionCol = pCol)
+          ("join", f, t)
+        } else {
+          // direct algebraic aggregate-over-join: the slice text
+          // re-derives touched keys' join output, aggDeltaApply
+          // patches the gold — no silver, one commit
+          val avs = props.get(MvAvgProp).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          val (f, t) = refreshAggJoin(s, src, dims, dstDir,
+            props(MvRowKeyProp),
+            mvJoinTransformStar(s, props(MvSliceProp)),
+            csv(props(MvGroupProp)), csv(props(MvValueProp)),
+            avgs = avs, partitionCol = pCol)
+          ("aggjoin", f, t)
+        }
       case other => throw new IllegalStateException(
         s"unknown $MvKindProp '$other' at $dstDir")
     }
@@ -805,7 +825,56 @@ object DerivedTable {
       partitionCol: Option[String] = None,
       bootstrapProps: Map[String, String] = Map.empty)
       : ((Int, Int), Seq[(Int, Int)]) = {
-    require(dims.nonEmpty, "refreshJoinStar needs at least one dim")
+    val (to1, tos, note, pinned) = starWindow(s, factDir, dims, dstDir)
+    def dimAt(i: Int) = Versioned.read(s, dims(i).dir, Some(tos(i)))
+    if (pinned.isEmpty) {
+      dims.indices.foreach(i => requireDimUniqueIn(dims(i), dimAt(i)))
+      val full = transform(Versioned.read(s, factDir, Some(to1)),
+        dims.indices.map(dimAt))
+      require(full.columns.contains(key),
+        s"the join-view query must preserve the key column '$key'")
+      Versioned.commit(full, dstDir, note = Some(note),
+        statsCols = Seq(key), transform = layoutOf(partitionCol),
+        props = Some(bootstrapProps).filter(_.nonEmpty))
+      return ((0, to1), tos.map(0 -> _))
+    }
+    val (from1, froms) = pinned.get
+    if (from1 == to1 && froms == tos)
+      return ((to1, to1), tos.map(v => (v, v)))
+    affectedFactKeys(s, factDir, dims, key, from1, to1, froms, tos,
+      maxTouchedKeys) { (kDf, nK, kProbe) =>
+      if (nK == 0) {
+        // metadata-only commits on every side: advance the pins
+        // with a note-only commit (the dead-range discipline)
+        Versioned.commitNote(s, dstDir, note)
+      } else {
+        val factSlice = pointRead(s, factDir, Seq(key), nK,
+          kProbe.map(_.get(0)).toSeq, Some(to1), kDf)
+        val newRows = transform(factSlice, dims.indices.map(dimAt))
+        require(newRows.columns.contains(key),
+          s"the join-view query must preserve the key column '$key'")
+        val dels = kDf.join(newRows.select(col(key)), Seq(key),
+          "left_anti")
+        Versioned.applyChanges(s, dstDir, upserts = newRows,
+          deleteKeys = dels, key = key,
+          transform = layoutOf(partitionCol),
+          statsCols = Seq(key), note = Some(note))
+      }
+    }
+    ((from1, to1), froms.zip(tos))
+  }
+
+  /** The star refresh WINDOW: head versions, the multi-pin note text
+    * (`src=vN;dim=vA;dim2=vB;…`), and — when the destination stands —
+    * the pinned versions: (factTo, dimTos, note, Some((factFrom,
+    * dimFroms)) or None for a bootstrap). Validates the dim shapes,
+    * refuses missing pins and rolled-back sources — the ONE
+    * definition of the pin protocol both the materialized join view
+    * and the direct aggregate-over-join share. */
+  private def starWindow(s: SparkSession, factDir: String,
+      dims: Seq[JoinDim], dstDir: String)
+      : (Int, Seq[Int], String, Option[(Int, Seq[Int])]) = {
+    require(dims.nonEmpty, "a star refresh needs at least one dim")
     require(dims.map(_.dir).distinct.length == dims.length,
       "dim tables must be distinct (a dim joined twice needs two " +
         "aliases of two physical tables)")
@@ -830,27 +899,8 @@ object DerivedTable {
     }
     val note = (s"src=v$to1" +: pinKeys.zip(tos).map {
       case (k, v) => s"$k=v$v" }).mkString(";")
-    def dimAt(i: Int) = Versioned.read(s, dims(i).dir, Some(tos(i)))
-    def requireDimUnique(i: Int, slice: DataFrame): Unit =
-      require(slice.groupBy(dims(i).dimKeys.map(col): _*)
-          .agg(count(lit(1)).as("__c"))
-          .filter(col("__c") > 1L).isEmpty,
-        s"dim key '${dims(i).dimKeys.mkString(", ")}' is not unique " +
-          s"in ${dims(i).dir} — a join view stores one row per fact " +
-          "key, which a 1:N dim match cannot satisfy; dedupe the " +
-          "dim or key it differently")
-    val dstV = Versioned.currentVersion(s, dstDir)
-    if (dstV == 0) {
-      dims.indices.foreach(i => requireDimUnique(i, dimAt(i)))
-      val full = transform(Versioned.read(s, factDir, Some(to1)),
-        dims.indices.map(dimAt))
-      require(full.columns.contains(key),
-        s"the join-view query must preserve the key column '$key'")
-      Versioned.commit(full, dstDir, note = Some(note),
-        statsCols = Seq(key), transform = layoutOf(partitionCol),
-        props = Some(bootstrapProps).filter(_.nonEmpty))
-      return ((0, to1), tos.map(0 -> _))
-    }
+    if (Versioned.currentVersion(s, dstDir) == 0)
+      return (to1, tos, note, None)
     val from1 = pinnedSrcVersion(s, dstDir)
     val froms = pinKeys.map(k => Versioned.notePin(s, dstDir, k)
       .getOrElse(throw new IllegalStateException(
@@ -863,15 +913,128 @@ object DerivedTable {
         f) => s"$k=v$f" }.mkString("/")} beyond the source heads " +
         s"v$to1/${tos.mkString("/")} — a source was rolled back or " +
         "replaced; rebuild into a fresh destination")
-    if (from1 == to1 && froms == tos)
-      return ((to1, to1), tos.map(v => (v, v)))
-    // —— per leg: touched dim keys → affected fact keys ——
-    // the limit-probe fold serves count, null check, and IN-tier
-    // values in one job (the refreshAgg discipline); dim events with
-    // a null dim key refuse — an equality tombstone keyed on another
-    // column can't locate its affected fact rows, and a null-keyed
-    // dim row never equi-joins anyway. An idle leg (from == to)
-    // contributes nothing and costs nothing.
+    (to1, tos, note, Some((from1, froms)))
+  }
+
+  /** Direct ALGEBRAIC aggregate-over-join maintenance — the gold
+    * rollup `SELECT g…, sum(v)… FROM fact ⋈ dims GROUP BY g…`
+    * maintained WITHOUT materializing the join (no hidden silver, no
+    * second copy of the fact stream, ONE commit per refresh):
+    *
+    *  - the affected fact keys come from the same per-leg algebra as
+    *    [[refreshJoinStar]] (fact changelog keys ∪ each changed dim
+    *    leg's fk point read — [[affectedFactKeys]]);
+    *  - the OLD side re-derives those keys' join output at the
+    *    PINNED versions (fact `from` ⋈ dims at their `from` pins),
+    *    the NEW side at the heads — time travel makes both exact;
+    *  - the signed union patches the gold groups through the shared
+    *    [[aggDeltaApply]], the same algebra the single-table
+    *    aggregate view runs.
+    *
+    * `slice` is the projected join stream — (rowKey, group…, value…)
+    * per surviving fact row ([[mvJoinTransformStar]] over the
+    * synthesized slice text). Limited to INVERTIBLE measures
+    * (sum/cnt/avg): extrema and approx-distinct need an
+    * affected-group recompute whose input is a fact-wide join — those
+    * shapes keep the hidden-silver auto-chain, whose silver point
+    * reads make the recompute O(touched groups). */
+  def refreshAggJoin(s: SparkSession, factDir: String,
+      dims: Seq[JoinDim], dstDir: String, rowKey: String,
+      slice: (DataFrame, Seq[DataFrame]) => DataFrame,
+      groupCols: Seq[String], values: Seq[String],
+      avgs: Seq[String] = Nil,
+      maxTouchedKeys: Int = 100000,
+      partitionCol: Option[String] = None,
+      bootstrapProps: Map[String, String] = Map.empty): (Int, Int) = {
+    partitionCol.foreach(c => require(groupCols.contains(c),
+      s"partition column '$c' must be one of the group columns " +
+        s"(${groupCols.mkString(", ")}) — the view stores one row " +
+        "per group"))
+    val (to1, tos, note, pinned) = starWindow(s, factDir, dims, dstDir)
+    def dimsAt(vs: Seq[Int]): Seq[DataFrame] =
+      dims.indices.map(i => Versioned.read(s, dims(i).dir,
+        Some(vs(i))))
+    def aggOf(df: DataFrame): DataFrame = {
+      val aggs = values.flatMap(c => Seq(sum(col(c)).as(s"sum_$c"),
+        count(col(c)).as(s"cnt_$c"))) :+ count(lit(1)).as("n_rows")
+      val base = df.groupBy(groupCols.map(col): _*)
+        .agg(aggs.head, aggs.tail: _*)
+      if (avgs.isEmpty) base
+      else base.select((groupCols.map(col) ++
+        values.flatMap(c => Seq(col(s"sum_$c"), col(s"cnt_$c"))) ++
+        Seq(col("n_rows")) ++ avgExprsOf(avgs)): _*)
+    }
+    if (pinned.isEmpty) {
+      dims.indices.foreach(i => requireDimUniqueIn(dims(i),
+        Versioned.read(s, dims(i).dir, Some(tos(i)))))
+      val full = aggOf(slice(Versioned.read(s, factDir, Some(to1)),
+        dimsAt(tos)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        require(full.filter(groupCols.map(col(_).isNull)
+            .reduce(_ || _)).isEmpty,
+          s"null '${groupCols.mkString(", ")}' group — filter or " +
+            "coalesce the group columns (an unmatched LEFT-join " +
+            "fact row groups as null) before aggregating")
+        Versioned.commit(full, dstDir, note = Some(note),
+          statsCols = Seq(groupCols.head),
+          transform = layoutOf(partitionCol),
+          props = Some(bootstrapProps).filter(_.nonEmpty))
+      } finally full.unpersist(blocking = false)
+      return (0, to1)
+    }
+    val (from1, froms) = pinned.get
+    if (from1 == to1 && froms == tos) return (to1, to1)
+    affectedFactKeys(s, factDir, dims, rowKey, from1, to1, froms, tos,
+      maxTouchedKeys) { (kDf, nK, kProbe) =>
+      if (nK == 0) Versioned.commitNote(s, dstDir, note)
+      else {
+        // the touched keys' join output at the OLD pins vs the NEW
+        // heads — the signed union nets rows that entered/left the
+        // join (dim deletes under INNER, fk moves, fact edits) the
+        // same way the single-table path nets filter crossings
+        def sideAt(factV: Int, dimVs: Seq[Int]): DataFrame =
+          slice(pointRead(s, factDir, Seq(rowKey), nK,
+            kProbe.map(_.get(0)).toSeq, Some(factV), kDf),
+            dimsAt(dimVs)).drop(rowKey)
+        aggDeltaApply(s, dstDir, groupCols, values, Nil, avgs, Nil,
+          sideAt(from1, froms), sideAt(to1, tos),
+          (_, _, _) => throw new IllegalStateException(
+            "unreachable: no extrema or distinct measures in the " +
+              "direct aggregate-over-join path"),
+          note, s"src=v$from1", s"src=v$to1", partitionCol)
+      }
+    }
+    (from1, to1)
+  }
+  private def requireDimUniqueIn(dm: JoinDim, slice: DataFrame): Unit =
+    require(slice.groupBy(dm.dimKeys.map(col): _*)
+        .agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1L).isEmpty,
+      s"dim key '${dm.dimKeys.mkString(", ")}' is not unique " +
+        s"in ${dm.dir} — a join view stores one row per fact " +
+        "key, which a 1:N dim match cannot satisfy; dedupe the " +
+        "dim or key it differently")
+
+  /** The union of fact keys whose JOIN OUTPUT may change over a
+    * refresh window — the star-refresh leg algebra shared by the
+    * materialized join view ([[refreshJoinStar]]) and the direct
+    * aggregate-over-join view ([[refreshAggJoin]]): fact changelog
+    * keys plus, per CHANGED dim leg, the pinned fact snapshot's rows
+    * whose fk tuple is in that leg's touched dim keys (tiered point
+    * read — an idle leg contributes nothing and costs nothing). Each
+    * changed leg's touched dim keys are uniqueness-audited eagerly.
+    * The limit-probe fold serves count, null check, and IN-tier
+    * values in one job (the refreshAgg discipline); dim events with
+    * a null dim key refuse — an equality tombstone keyed on another
+    * column can't locate its affected fact rows. `use` runs with the
+    * persisted distinct key frame, its count, and the ≤ limit+1
+    * probe rows; every persist is released after. */
+  private def affectedFactKeys[T](s: SparkSession, factDir: String,
+      dims: Seq[JoinDim], key: String, from1: Int, to1: Int,
+      froms: Seq[Int], tos: Seq[Int], maxTouchedKeys: Int)
+      (use: (DataFrame, Long,
+        Array[org.apache.spark.sql.Row]) => T): T = {
     var affected: Seq[DataFrame] = Nil
     val persisted = scala.collection.mutable.ArrayBuffer[DataFrame]()
     try {
@@ -912,7 +1075,7 @@ object DerivedTable {
           // duplicate refuses at the refresh that INTRODUCED it, not
           // at the first fact row that happens to reference it
           if (nTd > 0) {
-            requireDimUnique(i,
+            requireDimUniqueIn(dm,
               pointRead(s, dm.dir, dm.dimKeys, nTd,
                 tdProbe.map(_.get(0)).toSeq, Some(tos(i)),
                 tdDf.select(dm.fkCols.zip(dm.dimKeys).map {
@@ -923,7 +1086,7 @@ object DerivedTable {
           }
         }
       }
-      // —— fact-event keys ∪ dim-affected keys, re-derived once ——
+      // —— fact-event keys ∪ dim-affected keys ——
       val factTouched =
         if (to1 > from1)
           Versioned.readChanges(s, factDir, from1, to1).select(col(key))
@@ -952,26 +1115,9 @@ object DerivedTable {
           s"refresh range touches $nK fact keys (> $maxTouchedKeys) " +
             "— rebuild into a fresh destination instead, or raise " +
             "maxTouchedKeys")
-        if (nK == 0) {
-          // metadata-only commits on every side: advance the pins
-          // with a note-only commit (the dead-range discipline)
-          Versioned.commitNote(s, dstDir, note)
-          return ((from1, to1), froms.zip(tos))
-        }
-        val factSlice = pointRead(s, factDir, Seq(key), nK,
-          kProbe.map(_.get(0)).toSeq, Some(to1), kDf)
-        val newRows = transform(factSlice, dims.indices.map(dimAt))
-        require(newRows.columns.contains(key),
-          s"the join-view query must preserve the key column '$key'")
-        val dels = kDf.join(newRows.select(col(key)), Seq(key),
-          "left_anti")
-        Versioned.applyChanges(s, dstDir, upserts = newRows,
-          deleteKeys = dels, key = key,
-          transform = layoutOf(partitionCol),
-          statsCols = Seq(key), note = Some(note))
+        use(kDf, nK, kProbe)
       } finally kDf.unpersist(blocking = false)
     } finally persisted.foreach(_.unpersist(blocking = false))
-    ((from1, to1), froms.zip(tos))
   }
 
   /** Incrementally maintained AGGREGATE view — the GROUP BY rollup
@@ -1289,10 +1435,6 @@ object DerivedTable {
       derivedNames: Set[String] = Set.empty,
       avgs: Seq[String] = Nil,
       distincts: Seq[String] = Nil): (Int, Int) = {
-    val gCols = groupCols.map(col)
-    val extCols = extrema.flatMap(c =>
-      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
-    val extNames = extrema.flatMap(c => Seq(s"min_$c", s"max_$c"))
     // ONE limit-probe serves the common case's every driver fact:
     // when the touched set fits the IN tier (≤ PruneKeyLimit — the
     // typical refresh), its ≤ limit+1 collected rows ARE the count,
@@ -1334,13 +1476,47 @@ object DerivedTable {
     def touchedAt(ver: Int): DataFrame =
       prepared(pointRead(s, srcDir, Seq(rowKey), nTouched,
         tProbe.map(_.get(0)).toSeq, Some(ver), touchedDf))
-    // SIGNED-union delta: old rows weigh -1, new rows +1, ONE shuffle
-    // computes every group's (per-measure sum, per-measure
-    // value-count, row-count) delta — replaces two aggregation jobs
-    // and a full-outer diff join with a single pass (sum ignores
-    // null values on both sides alike)
-    val signed = touchedAt(from).withColumn("__w", lit(-1L))
-      .unionByName(touchedAt(to).withColumn("__w", lit(1L)))
+    // the affected-group recompute read (extrema/sketches): touched
+    // groups' rows at the pinned `to` snapshot — a DERIVED group key
+    // can't drive the manifest-pruned point read (the source has no
+    // such column), so it falls back to the pinned snapshot scan
+    // semi-joined on the bucketed tuple, the same plan the >limit
+    // tier uses
+    def recomputeAt(gdf: DataFrame, n: Long, vals: Seq[Any]) =
+      if (derivedNames.isEmpty)
+        prepared(pointRead(s, srcDir, groupCols, n, vals, Some(to),
+          gdf))
+      else prepared(Versioned.read(s, srcDir, Some(to)))
+        .join(broadcast(gdf), groupCols, "left_semi")
+    aggDeltaApply(s, dstDir, groupCols, values, extrema, avgs,
+      distincts, touchedAt(from), touchedAt(to), recomputeAt,
+      s"src=v$to", s"src=v$from", s"src=v$to", partitionCol)
+    (from, to)
+  }
+
+  /** The aggregate-view PATCH core, shared by the single-table path
+    * ([[refreshAggOver]]) and the direct aggregate-over-join path
+    * ([[refreshAggJoin]]): SIGNED-union the old/new touched rows
+    * (old −1, new +1 — ONE shuffle computes every group's
+    * per-measure deltas), patch the touched destination groups via
+    * the tiered point read, audit, and land one atomic commit whose
+    * note carries `note`. `recomputeAt` reads the touched groups'
+    * rows at the NEW pinned state for the non-invertible columns
+    * (extrema, HLL sketches) — callers with neither pass a
+    * never-called stub. */
+  private def aggDeltaApply(s: SparkSession, dstDir: String,
+      groupCols: Seq[String], values: Seq[String],
+      extrema: Seq[String], avgs: Seq[String], distincts: Seq[String],
+      oldRows: DataFrame, newRows: DataFrame,
+      recomputeAt: (DataFrame, Long, Seq[Any]) => DataFrame,
+      note: String, fromLabel: String, toLabel: String,
+      partitionCol: Option[String]): Unit = {
+    val gCols = groupCols.map(col)
+    val extCols = extrema.flatMap(c =>
+      Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    val extNames = extrema.flatMap(c => Seq(s"min_$c", s"max_$c"))
+    val signed = oldRows.withColumn("__w", lit(-1L))
+      .unionByName(newRows.withColumn("__w", lit(1L)))
     // distinct measures ride the same pass: d_hll_<c> sketches the
     // NEW-side values only (old-side rows null out and HLL skips
     // nulls), and d_old counts old-side rows — any means the group
@@ -1383,8 +1559,8 @@ object DerivedTable {
       if (nGroups == 0) {
         // the window's inserts and deletes cancelled exactly (CDC
         // churn): nothing to patch, but the pin must still travel
-        Versioned.commitNote(s, dstDir, s"src=v$to")
-        return (from, to)
+        Versioned.commitNote(s, dstDir, note)
+        return
       }
       // patch the touched destination groups via the same tiered
       // point read, keyed on the group columns
@@ -1428,11 +1604,11 @@ object DerivedTable {
         require(bad.getLong(0) == 0 && bad.getLong(1) == 0,
           s"${bad.getLong(0)} group(s) would reach a negative row " +
           s"count and ${bad.getLong(1)} a negative value count — the " +
-          "destination does not reflect src=v" + from +
+          s"destination does not reflect $fromLabel" +
           " (corrupt pin or out-of-band edits); rebuild")
         require(bad.getLong(2) == 0, s"${bad.getLong(2)} pure-value-" +
           "update group(s) have no destination row — the destination " +
-          s"does not reflect src=v$from (corrupt pin or out-of-band " +
+          s"does not reflect $fromLabel (corrupt pin or out-of-band " +
           "edits); rebuild")
         // stored avgs re-derive from the PATCHED pairs on every
         // touch, so they can never drift from sum/cnt (NULL for the
@@ -1461,19 +1637,10 @@ object DerivedTable {
         val upserts = if (extrema.nonEmpty) {
           // affected-group recompute for the non-invertible extrema:
           // re-aggregate ONLY the touched groups' rows at the pinned
-          // `to` snapshot (tiered read, keyed on the group columns,
-          // the same WHERE applied — extrema summarize the filtered
-          // stream like every other stored column). A DERIVED group
-          // key can't drive the manifest-pruned point read (the
-          // source has no such column) — the read falls back to the
-          // pinned snapshot scan semi-joined on the bucketed tuple,
-          // the same plan the >limit tier uses
-          val srcGroups =
-            if (derivedNames.isEmpty)
-              prepared(pointRead(s, srcDir, groupCols,
-                nGroups, groupVals, Some(to), groupsDf))
-            else prepared(Versioned.read(s, srcDir, Some(to)))
-              .join(broadcast(groupsDf), groupCols, "left_semi")
+          // NEW state (tiered read, keyed on the group columns, the
+          // same WHERE applied — extrema summarize the filtered
+          // stream like every other stored column)
+          val srcGroups = recomputeAt(groupsDf, nGroups, groupVals)
           val ext = srcGroups.groupBy(gCols: _*).agg(
             count(lit(1)).as("__extn"),
             (extCols ++ distincts.map(c =>
@@ -1486,7 +1653,7 @@ object DerivedTable {
           val off = extJoined.filter(col("__extn").isNull ||
             col("__extn") =!= col("n_rows")).count()
           require(off == 0, s"$off group(s) disagree between the " +
-            s"algebraic row count and the src=v$to recompute — " +
+            s"algebraic row count and the $toLabel recompute — " +
             "corrupt pin or out-of-band edits; rebuild")
           // the recompute read is already paid for every touched
           // group, so the sketches ride it too (ground truth — no
@@ -1506,12 +1673,8 @@ object DerivedTable {
             dProbe.length.toLong else delGroupsDf.count()
           if (nDel == 0) ordered(upserts0)
           else {
-            val srcDel =
-              if (derivedNames.isEmpty)
-                prepared(pointRead(s, srcDir, groupCols, nDel,
-                  dProbe.map(_.get(0)).toSeq, Some(to), delGroupsDf))
-              else prepared(Versioned.read(s, srcDir, Some(to)))
-                .join(broadcast(delGroupsDf), groupCols, "left_semi")
+            val srcDel = recomputeAt(delGroupsDf, nDel,
+              dProbe.map(_.get(0)).toSeq)
             val rAggs = count(lit(1)).as("__rn") +: distincts.map(c =>
               hll_sketch_agg(col(c)).as(s"r_hll_$c"))
             val rHll = srcDel.groupBy(gCols: _*)
@@ -1525,7 +1688,7 @@ object DerivedTable {
               (col("__rn").isNull ||
                 col("__rn") =!= col("n_rows"))).count()
             require(off == 0, s"$off group(s) disagree between the " +
-              s"algebraic row count and the src=v$to recompute — " +
+              s"algebraic row count and the $toLabel recompute — " +
               "corrupt pin or out-of-band edits; rebuild")
             ordered(distincts.foldLeft(extJoined: DataFrame) {
               case (df, c) => df.withColumn(s"hll_$c",
@@ -1538,13 +1701,12 @@ object DerivedTable {
         Versioned.applyChangesKeys(s, dstDir, upserts = upserts,
           deleteKeys = dels, keyCols = groupCols,
           transform = layoutOf(partitionCol),
-          statsCols = Seq(groupCols.head), note = Some(s"src=v$to"))
+          statsCols = Seq(groupCols.head), note = Some(note))
       } finally {
         if (extJoined != null) extJoined.unpersist(blocking = false)
         patched.unpersist(blocking = false)
       }
     } finally delta.unpersist(blocking = false)
-    (from, to)
   }
 
   /** Driver-visible gate (q54): [[refreshAgg]] maintaining
@@ -2023,15 +2185,18 @@ object DerivedTable {
 
   /** Driver-visible gate (q59): the AGGREGATE-OVER-JOIN materialized
     * view — `SELECT d.src_label, sum/count/avg(f.n_chars)… FROM fact
-    * JOIN dim [WHERE] GROUP BY d.src_label` under ONE name, chained
-    * through the engine's HIDDEN silver join view (`<dst>.silver`).
-    * The same pooled fact/dim family and the same edit batch as q58
+    * JOIN dim [WHERE] GROUP BY d.src_label` under ONE name,
+    * maintained DIRECTLY (r18): sum/cnt/avg are invertible, so no
+    * hidden silver materializes — each refresh re-derives the
+    * touched fact keys' join output at the pinned versions and
+    * patches the groups algebraically, ONE commit per refresh (the
+    * silver auto-chain remains for extrema/distinct shapes). The
+    * same pooled fact/dim family and the same edit batch as q58
     * (fact append; dim relabel moving one group's rows between
-    * labels; a dim-key delete), but ONE plain refresh_mv propagates
-    * everything (implicit cascade through the hidden silver). Final
-    * state equals the full recompute; every count reduces to a
-    * fixture constant DuckDB restates over the bounded doc_id < 600
-    * slice. */
+    * labels; a dim-key delete), ONE refresh_mv propagates
+    * everything. Final state equals the full recompute; every count
+    * reduces to a fixture constant DuckDB restates over the bounded
+    * doc_id < 600 slice. */
   def aggJoinMvGate(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files
       .createTempDirectory("graft-aggjoinmv-gate")
@@ -2068,8 +2233,12 @@ object DerivedTable {
       "WHERE f.n_chars >= 300"
     val created = s.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` " +
       s"ROW KEY (doc_id) AS $goldSelect GROUP BY d.src_label").head()
-    val silverHidden = Versioned.properties(s, gold + ".silver")
-      .get(MvHiddenSilverOfProp).contains(gold)
+    // direct maintenance: NO hidden silver materializes for this
+    // invertible shape — the gold is the only table
+    val silverAbsent =
+      Versioned.currentVersion(s, gold + ".silver") == 0 &&
+        Versioned.properties(s, gold).get(MvKindProp)
+          .contains("aggjoin")
     // all three legs' edits land, then ONE refresh: fact append, dim
     // relabel (the lexicographically FIRST source's rows MOVE into
     // the RELABELED group), dim-key delete (the LAST source's rows
@@ -2090,18 +2259,18 @@ object DerivedTable {
         .otherwise(0L)).as("rl")).head()
     val eq = bagEqual(Versioned.read(s, gold),
       s.sql(goldSelect + " GROUP BY d.src_label"))
-    // DROP removes the gold AND its hidden silver
+    // ONE refresh = ONE destination commit (bootstrap v1 → v2)
+    val oneCommit = Versioned.currentVersion(s, gold) == 2
     s.sql(s"DROP MATERIALIZED VIEW graft.`$gold`")
-    val droppedBoth = Versioned.currentVersion(s, gold) == 0 &&
-      Versioned.currentVersion(s, gold + ".silver") == 0
+    val dropped = Versioned.currentVersion(s, gold) == 0
     Seq((if (created.getString(0) == "aggjoin") 1L else 0L,
-        if (silverHidden) 1L else 0L,
-        if (r.getString(0) == "agg") 1L else 0L,
+        if (silverAbsent) 1L else 0L,
+        if (r.getString(0) == "aggjoin" && oneCommit) 1L else 0L,
         fin.getLong(0), fin.getLong(1), fin.getLong(2),
-        if (eq) 1L else 0L, if (droppedBoth) 1L else 0L))
-      .toDF("created_aggjoin", "silver_hidden", "refreshed",
+        if (eq) 1L else 0L, if (dropped) 1L else 0L))
+      .toDF("created_aggjoin", "silver_absent", "refreshed",
         "gold_groups", "gold_sum", "relabeled_rows", "eq_gold",
-        "dropped_both")
+        "dropped")
   }
 
   /** Driver-visible gate (q60): APPROX-DISTINCT measures in an

@@ -885,9 +885,9 @@ class MvSpec extends SparkSpec {
       s"expected the star-shape refusal: ${e.getMessage.take(300)}")
   }
 
-  test("aggregate-over-join MV auto-chains a hidden silver: one " +
-      "name, one refresh; a dim relabel moves a group's rows " +
-      "between labels; DROP removes both") {
+  test("aggregate-over-join MV: invertible shapes maintain the gold " +
+      "DIRECTLY (no silver, one commit per refresh); extrema shapes " +
+      "auto-chain a hidden silver; DROP removes what exists") {
     val fact = fresh("aj_fact")
     val dim = fresh("aj_dim")
     val gold = fresh("aj_gold")
@@ -907,31 +907,65 @@ class MvSpec extends SparkSpec {
       s"WHERE f.v >= 50 GROUP BY d.label")
     assert(DerivedTable.bagEqual(
       spark.sql(s"SELECT * FROM graft.`$gold`"), expect))
-    // the hidden silver is a real join view beside the gold, marked
-    // with its owner; the gold marks auto_chain
+    // sum/cnt/avg are INVERTIBLE: the gold maintains directly — no
+    // hidden silver exists, the spec says kind=aggjoin and carries
+    // the synthesized slice text
     val silver = gold + ".silver"
-    assert(Versioned.properties(spark, silver)
-      .get(DerivedTable.MvHiddenSilverOfProp).contains(gold))
-    assert(Versioned.properties(spark, gold)
-      .get(DerivedTable.MvAutoChainProp).contains("true"))
+    assert(Versioned.currentVersion(spark, silver) == 0)
+    val gprops = Versioned.properties(spark, gold)
+    assert(gprops.get(DerivedTable.MvKindProp).contains("aggjoin") &&
+      gprops.get(DerivedTable.MvSliceProp).exists(_.contains("JOIN")))
     // edits on BOTH legs: a fact append, and a dim relabel that
     // MOVES c1's rows from L1 into L0's label group (two groups
-    // patch, one group row dies) — ONE plain refresh_mv propagates
-    // through the hidden silver (implicit cascade)
+    // patch, one group row dies) — ONE refresh_mv, ONE destination
+    // commit (v1 → v2, no intermediate table anywhere)
     Versioned.append(Seq((31L, "c1", 990L)).toDF("id", "cat", "v"),
       fact)
     Versioned.upsert(spark, dim,
       Seq(("c1", "L0")).toDF("cat", "label"), "cat")
     val r = spark.sql(s"CALL graft.system.refresh_mv('$gold')")
       .collect()
-    assert(r.map(_.toSeq).toSeq == Seq(Seq("agg", 1, 2)))
+    assert(r.map(_.toSeq).toSeq == Seq(Seq("aggjoin", 1, 2)))
+    assert(Versioned.currentVersion(spark, gold) == 2)
     val got = spark.sql(s"SELECT * FROM graft.`$gold`")
     assert(DerivedTable.bagEqual(got, expect))
     assert(got.filter($"label" === "L1").isEmpty)
-    // transitive freshness reads 0 after the chained refresh
+    // staleness reads 0 after the refresh (both legs pinned at head)
     val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$gold`")
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
-    assert(shown.get("graft.mv.transitive_staleness_versions")
+    assert(shown.get("graft.mv.staleness_versions").contains("0"))
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$gold`")
+    assert(Versioned.currentVersion(spark, gold) == 0)
+    // EXTREMA shapes need the affected-group recompute, so they keep
+    // the hidden-silver auto-chain: silver exists marked with its
+    // owner, gold marks auto_chain, one refresh cascades both, DROP
+    // removes both
+    val created2 = spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY (id) AS " +
+        s"SELECT d.label, sum(f.v) AS sum_v, count(f.v) AS cnt_v, " +
+        s"count(*) AS n_rows, min(f.cat) AS min_cat, " +
+        s"max(f.cat) AS max_cat " +
+        s"FROM graft.`$fact` f JOIN graft.`$dim` d ON f.cat = d.cat " +
+        s"GROUP BY d.label").head()
+    assert(created2.getString(0) == "aggjoin")
+    assert(Versioned.properties(spark, silver)
+      .get(DerivedTable.MvHiddenSilverOfProp).contains(gold))
+    assert(Versioned.properties(spark, gold)
+      .get(DerivedTable.MvAutoChainProp).contains("true"))
+    // delete the current max of c0's rows: the extrema must step
+    // DOWN to the runner-up, which only the recompute can know
+    Versioned.deleteRows(spark, fact, Seq(30L).toDF("id"))
+    spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$gold`"),
+      spark.sql(s"SELECT d.label, sum(f.v) AS sum_v, count(f.v) AS " +
+        s"cnt_v, count(*) AS n_rows, min(f.cat) AS min_cat, " +
+        s"max(f.cat) AS max_cat FROM graft.`$fact` f JOIN " +
+        s"graft.`$dim` d ON f.cat = d.cat GROUP BY d.label")))
+    // transitive freshness reads 0 after the chained refresh
+    val shown2 = spark.sql(s"SHOW TBLPROPERTIES graft.`$gold`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown2.get("graft.mv.transitive_staleness_versions")
       .contains("0"))
     // DROP removes the gold AND its hidden silver
     spark.sql(s"DROP MATERIALIZED VIEW graft.`$gold`")
@@ -1152,6 +1186,37 @@ class MvSpec extends SparkSpec {
     assert(e2.getMessage.contains("delta-maintainable shape"))
   }
 
+  test("follow_mv converges a DIRECT aggregate-over-join gold on " +
+      "fact commits") {
+    val fact = fresh("fw_fact")
+    val dim = fresh("fw_dim")
+    val gold = fresh("fw_gold")
+    Versioned.commit((1L to 12L).map(i => (i, s"c${i % 2}", i))
+      .toDF("id", "cat", "v"), fact)
+    Versioned.commit(Seq(("c0", "L0"), ("c1", "L1"))
+      .toDF("cat", "label"), dim)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY (id) " +
+      s"AS SELECT d.label, sum(f.v) AS sum_v, count(f.v) AS cnt_v, " +
+      s"count(*) AS n_rows FROM graft.`$fact` f JOIN graft.`$dim` d " +
+      "ON f.cat = d.cat GROUP BY d.label")
+    val h = graft.streaming.MvFollower.follow(spark, gold, 100L)
+    try {
+      Versioned.append(Seq((13L, "c0", 990L)).toDF("id", "cat", "v"),
+        fact)
+      val stop = System.currentTimeMillis + 20000
+      var ok = false
+      while (!ok && System.currentTimeMillis < stop) {
+        ok = DerivedTable.refreshState(spark, gold).exists(_._3 == 0) &&
+          spark.sql(s"SELECT sum(n_rows) FROM graft.`$gold`")
+            .head().getLong(0) == 13L
+        if (!ok) Thread.sleep(100)
+      }
+      assert(h.checkFailed().isEmpty,
+        s"follower tick failed: ${h.checkFailed().map(_.getMessage)}")
+      assert(ok, "follower did not converge the direct aggjoin gold")
+    } finally h.stop()
+  }
+
   test("r17 guard rail refusals: alias shadowing a join column, " +
       "DECIMAL avg, DROP on a hidden silver") {
     val fact = fresh("gr_fact")
@@ -1184,10 +1249,14 @@ class MvSpec extends SparkSpec {
         s"n_rows, avg(v) AS avg_v FROM graft.`$dsrc` GROUP BY g"))
     assert(e2.getMessage.contains("DECIMAL"),
       s"expected the decimal refusal: ${e2.getMessage.take(300)}")
-    // a hidden silver refuses its own DROP, naming the owner
+    // a hidden silver refuses its own DROP, naming the owner (an
+    // EXTREMA shape — invertible shapes maintain directly with no
+    // silver since r18)
     spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` ROW KEY (id) " +
       s"AS SELECT d.label, sum(f.v) AS sum_v, count(f.v) AS cnt_v, " +
-      s"count(*) AS n_rows FROM graft.`$fact` f JOIN graft.`$dim` d " +
+      s"count(*) AS n_rows, min(f.cat) AS min_cat, " +
+      s"max(f.cat) AS max_cat " +
+      s"FROM graft.`$fact` f JOIN graft.`$dim` d " +
       "ON f.cat = d.cat GROUP BY d.label")
     val e3 = intercept[Exception](spark.sql(
       s"DROP MATERIALIZED VIEW graft.`$gold.silver`"))
