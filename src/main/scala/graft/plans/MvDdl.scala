@@ -284,9 +284,11 @@ object MvDdl {
       "<fact>.<fk> = <dim2>.<dk> …] [WHERE …] — distinct tables, the " +
       "FIRST the fact whose KEY names the row identity, every ON an " +
       "equality (or AND of equalities) between the FACT and the dim " +
-      "that join introduces (a star, not a snowflake — chain views " +
-      "for dim-over-dim), both sides qualified, no other join " +
-      "types, windows, subqueries, DISTINCT, LIMIT or ORDER BY"
+      "that join introduces (a star), both sides qualified, no other " +
+      "join types, windows, subqueries, DISTINCT, LIMIT or ORDER BY. " +
+      "The 3-relation SNOWFLAKE (d2 joined to d1) auto-chains when " +
+      "every output is a qualified column — deeper chains and " +
+      "expression outputs need manually chained views"
 
   private[plans] val AggJoinShapeMsg =
     "an aggregate-over-join materialized view must be SELECT <g…>, " +
@@ -472,8 +474,9 @@ object MvDdl {
     * of every equality, and each join's ON condition (one equality
     * or an AND of equalities — composite join key) must reference
     * the fact and exactly the dim that join introduces (left-deep
-    * star only — a dim joined to another dim is a snowflake, which
-    * needs chained views). None for any other shape. */
+    * star only — a dim joined to another dim is a SNOWFLAKE, which
+    * [[snowflakeShapeOf]] handles by auto-chaining a hidden silver).
+    * None for any other shape. */
   def joinShapeOf(p: LogicalPlan):
       Option[Seq[(Seq[String], Seq[String], String)]] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
@@ -546,6 +549,127 @@ object MvDdl {
         pairs.map(_._1).distinct.length != pairs.length) return None
       (pairs.map(_._1), pairs.map(_._2), jt)
     })
+  }
+
+  /** One hop's extracted join shape inside a snowflake chain. */
+  final case class SnowHop(leftAlias: String, rightAlias: String,
+      leftCols: Seq[String], rightCols: Seq[String], joinType: String)
+
+  /** Everything [[CreateMaterializedViewCommand]] needs to AUTO-CHAIN
+    * the 3-relation SNOWFLAKE `fact ⋈ d1 ON fact, d2 ⋈ d1 ON d1`:
+    * aliases in FROM order, both hops, the pure-column outputs as
+    * (qualifier, column, output name), and the WHERE condition's
+    * 2-part-qualified references with its original text. */
+  final case class SnowflakeShape(factAlias: String, d1Alias: String,
+      d2Alias: String, hop1: SnowHop, hop2: SnowHop,
+      outputs: Seq[(String, String, String)],
+      whereRefs: Seq[(String, String)], whereText: Option[String])
+
+  /** Match the 3-relation SNOWFLAKE shape — `SELECT <q.col [AS n]>…
+    * FROM fact f JOIN d1 ON f.fk = d1.dk [AND …] JOIN d2 ON
+    * d1.b = d2.c [AND …] [WHERE <qualified refs only>]` — the
+    * dim-over-dim chain [[joinShapeOf]] cannot express. The engine
+    * auto-chains it: a hidden silver materializes `fact ⋈ d1`
+    * projecting every column the second hop needs, and the visible
+    * view joins the silver to d2 (kind=join, auto-cascade). Outputs
+    * must be PURE COLUMN projections (an expression would need
+    * cross-hop rewriting) and every reference 2-part qualified —
+    * None otherwise, and for deeper chains (chain views manually). */
+  def snowflakeShapeOf(p: LogicalPlan): Option[SnowflakeShape] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    val joins = p.collect { case j: Join => j }
+    if (joins.length != 2) return None
+    val badAbove = p.collect {
+      case n if !n.isInstanceOf[Project] && !n.isInstanceOf[Filter] &&
+        !n.isInstanceOf[SubqueryAlias] && !n.isInstanceOf[Join] &&
+        !n.isInstanceOf[UnresolvedRelation] => n
+    }
+    if (badAbove.nonEmpty) return None
+    if (!(joins.head.left eq joins.last)) return None // left-deep
+    def sideOf(n: LogicalPlan): Option[String] = n match {
+      case s: SubqueryAlias if s.child.isInstanceOf[UnresolvedRelation]
+        => Some(s.alias)
+      case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+      case _ => None
+    }
+    val fold: String => String =
+      if (org.apache.spark.sql.internal.SQLConf.get
+          .caseSensitiveAnalysis) identity
+      else _.toLowerCase(java.util.Locale.ROOT)
+    val f = sideOf(joins.last.left).getOrElse(return None)
+    val d1 = sideOf(joins.last.right).getOrElse(return None)
+    val d2 = sideOf(joins.head.right).getOrElse(return None)
+    if (Seq(f, d1, d2).map(fold).distinct.length != 3) return None
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions
+        .Expression): Seq[org.apache.spark.sql.catalyst.expressions
+        .Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // one hop's pairs between EXACTLY (leftAlias, rightAlias)
+    def hopOf(j: Join, la: String, ra: String): Option[SnowHop] = {
+      val jt = j.joinType match {
+        case Inner => "inner"
+        case LeftOuter => "left"
+        case _ => return None
+      }
+      val pairs = j.condition.toSeq.flatMap(conjuncts).map {
+        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+            if a.nameParts.length == 2 && b.nameParts.length == 2 =>
+          val sides = Map(fold(a.nameParts.head) -> a.nameParts.last,
+            fold(b.nameParts.head) -> b.nameParts.last)
+          (for {
+            l <- sides.get(fold(la))
+            r <- sides.get(fold(ra))
+            if sides.size == 2
+          } yield (l, r)).getOrElse(return None)
+        case _ => return None
+      }
+      if (pairs.isEmpty ||
+        pairs.map(_._1).distinct.length != pairs.length) return None
+      Some(SnowHop(la, ra, pairs.map(_._1), pairs.map(_._2), jt))
+    }
+    val hop1 = hopOf(joins.last, f, d1).getOrElse(return None)
+    // the SNOWFLAKE signature: the second ON links d1 to d2 (a
+    // fact-to-d2 ON is a star, which joinShapeOf already matched)
+    val hop2 = hopOf(joins.head, d1, d2).getOrElse(return None)
+    // outputs: pure column projections, 2-part qualified over the
+    // three aliases
+    val proj = p match {
+      case pr: Project => pr
+      case _ => return None
+    }
+    val known = Set(f, d1, d2).map(fold)
+    def qualCol(ua: UnresolvedAttribute): Option[(String, String)] =
+      if (ua.nameParts.length == 2 &&
+        known.contains(fold(ua.nameParts.head)))
+        Some((fold(ua.nameParts.head), ua.nameParts.last))
+      else None
+    val outs = proj.projectList.map {
+      case ua: UnresolvedAttribute =>
+        qualCol(ua).map { case (q, c) => (q, c, c) }.getOrElse(
+          return None)
+      case UnresolvedAlias(ua: UnresolvedAttribute, _) =>
+        qualCol(ua).map { case (q, c) => (q, c, c) }.getOrElse(
+          return None)
+      case Alias(ua: UnresolvedAttribute, name) =>
+        qualCol(ua).map { case (q, c) => (q, c, name) }.getOrElse(
+          return None)
+      case _ => return None
+    }
+    if (outs.map(_._3).distinct.length != outs.length) return None
+    // WHERE: every reference 2-part qualified (the rewrite onto the
+    // silver must be exact); keep the refs and the original text
+    val (whereRefs, whereText) = proj.child match {
+      case fl: Filter =>
+        val refs = fl.condition.collect {
+          case ua: UnresolvedAttribute => ua }
+        if (!refs.forall(ua => qualCol(ua).isDefined)) return None
+        (refs.map(ua => qualCol(ua).get), Some(fl.condition.sql))
+      case _ => (Nil, None)
+    }
+    Some(SnowflakeShape(f, d1, d2, hop1, hop2, outs, whereRefs,
+      whereText))
   }
 }
 
@@ -839,8 +963,18 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       require(!rowKeySpelling,
         "ROW KEY is the aggregate-view spelling; a join view takes " +
           "KEY (<fact key column>)")
-      val shape = MvDdl.joinShapeOf(parsed).getOrElse(
-        throw new UnsupportedOperationException(MvDdl.JoinShapeMsg))
+      val starShape = MvDdl.joinShapeOf(parsed)
+      if (starShape.isEmpty) {
+        // not a star: the 3-relation SNOWFLAKE (d2 joined to d1)
+        // auto-chains a hidden silver — fact⋈d1 materializes at
+        // <dst>.silver projecting every column the second hop needs,
+        // and the visible view joins the silver to d2
+        val snow = MvDdl.snowflakeShapeOf(parsed).getOrElse(
+          throw new UnsupportedOperationException(MvDdl.JoinShapeMsg))
+        return SnowflakeCreate.run(spark, dstDir, srcDir, srcCols,
+          rels, snow, key, queryText, partitionCol)
+      }
+      val shape = starShape.get
       require(shape.length == rels.length - 1,
         MvDdl.JoinShapeMsg)
       val dims = rels.tail.zip(shape).map { case (rel, (fks, dks,
@@ -901,6 +1035,143 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           partitionCol.map(DerivedTable.MvPartitionProp -> _))
       Seq(Row("derived", from, to))
     }
+  }
+}
+
+/** The snowflake CREATE continuation of
+  * [[CreateMaterializedViewCommand]] — see [[MvDdl.snowflakeShapeOf]]. */
+private object SnowflakeCreate {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+  def run(spark: SparkSession, dstDir: String, factDir: String,
+      factCols: Set[String], rels: Seq[UnresolvedRelation],
+      snow: MvDdl.SnowflakeShape, key: String, queryText: String,
+      partitionCol: Option[String]): Seq[Row] = {
+    val fold: String => String =
+      if (org.apache.spark.sql.internal.SQLConf.get
+          .caseSensitiveAnalysis) identity
+      else _.toLowerCase(java.util.Locale.ROOT)
+    def relText(r: UnresolvedRelation): String =
+      r.multipartIdentifier.map(p => s"`$p`").mkString(".")
+    val d1Dir = GraftDdl.tableDir(spark, rels(1).multipartIdentifier,
+      "CREATE MATERIALIZED VIEW dim")
+    val d2Dir = GraftDdl.tableDir(spark, rels(2).multipartIdentifier,
+      "CREATE MATERIALIZED VIEW dim")
+    val d1Cols = Versioned.read(spark, d1Dir).columns.toSet
+    val d2Cols = Versioned.read(spark, d2Dir).columns.toSet
+    def requireIn(cols: Seq[String], in: Set[String],
+        what: String): Unit =
+      cols.foreach(c => require(in.contains(c),
+        s"column '$c' is not in the $what table " +
+          s"(has: ${in.toSeq.sorted.mkString(", ")})"))
+    requireIn(snow.hop1.leftCols, factCols, "fact")
+    requireIn(snow.hop1.rightCols ++ snow.hop2.leftCols, d1Cols,
+      "first dim")
+    requireIn(snow.hop2.rightCols, d2Cols, "second dim")
+    val byQual = Map(fold(snow.factAlias) -> factCols,
+      fold(snow.d1Alias) -> d1Cols, fold(snow.d2Alias) -> d2Cols)
+    (snow.outputs.map(o => (o._1, o._2)) ++ snow.whereRefs)
+      .foreach { case (q, c) => require(byQual(q).contains(c),
+        s"column '$q.$c' is not in its table") }
+    // silver columns: everything the SECOND hop and the outer
+    // SELECT/WHERE need from fact and d1, plus the key — output
+    // names unqualify, so cross-relation collisions refuse
+    val fQ = fold(snow.factAlias); val d1Q = fold(snow.d1Alias)
+    val neededF = (key +: (snow.outputs.collect {
+      case (q, c, _) if q == fQ => c } ++
+      snow.whereRefs.collect { case (q, c) if q == fQ => c }))
+      .distinct
+    val neededD1 = (snow.outputs.collect {
+      case (q, c, _) if q == d1Q => c } ++
+      snow.whereRefs.collect { case (q, c) if q == d1Q => c } ++
+      snow.hop2.leftCols).distinct
+    require(neededF.intersect(neededD1).isEmpty,
+      "the snowflake's hidden silver projects fact and first-dim " +
+        s"columns unqualified, and (${neededF.intersect(neededD1)
+          .mkString(", ")}) collide — alias them apart (or chain " +
+        "views manually)")
+    def jt(t: String) = if (t == "left") "LEFT JOIN" else "JOIN"
+    val silverText = "SELECT " + (neededF.map(c =>
+        s"`${snow.factAlias}`.`$c` AS `$c`") ++
+      neededD1.map(c => s"`${snow.d1Alias}`.`$c` AS `$c`"))
+        .mkString(", ") +
+      s" FROM ${relText(rels.head)} `${snow.factAlias}` " +
+      jt(snow.hop1.joinType) + s" ${relText(rels(1))} " +
+      s"`${snow.d1Alias}` ON " +
+      snow.hop1.leftCols.zip(snow.hop1.rightCols).map { case (l, r) =>
+        s"`${snow.factAlias}`.`$l` = `${snow.d1Alias}`.`$r`"
+      }.mkString(" AND ")
+    // the visible view joins the silver to d2; silver columns carry
+    // their unqualified names, so f./d1. references rewrite to the
+    // silver's alias (chosen to dodge the d2 alias)
+    val sAlias = if (fold(snow.d2Alias) == "snow_silver")
+      "snow_silver2" else "snow_silver"
+    val outs = snow.outputs.map { case (q, c, n) =>
+      val src = if (q == fold(snow.d2Alias)) snow.d2Alias else sAlias
+      s"`$src`.`$c` AS `$n`"
+    }
+    val whereRewritten = snow.whereText.map { t =>
+      spark.sessionState.sqlParser.parseExpression(t).transform {
+        case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
+            fold(ua.nameParts.head) != fold(snow.d2Alias) =>
+          UnresolvedAttribute(Seq(sAlias, ua.nameParts.last))
+      }.sql
+    }
+    val silverDir = dstDir + ".silver"
+    val goldText = "SELECT " + outs.mkString(", ") +
+      s" FROM `graft`.`$silverDir` `$sAlias` " +
+      jt(snow.hop2.joinType) + s" ${relText(rels(2))} " +
+      s"`${snow.d2Alias}` ON " +
+      snow.hop2.leftCols.zip(snow.hop2.rightCols).map { case (l, r) =>
+        s"`$sAlias`.`$l` = `${snow.d2Alias}`.`$r`"
+      }.mkString(" AND ") +
+      whereRewritten.map(w => s" WHERE $w").getOrElse("")
+    require(Versioned.currentVersion(spark, silverDir) == 0,
+      s"$silverDir already exists — a crashed CREATE left the " +
+        "hidden silver behind; remove it and retry")
+    DerivedTable.refreshJoinStar(spark, factDir,
+      Seq(DerivedTable.JoinDim(d1Dir, snow.hop1.leftCols,
+        snow.hop1.rightCols)), silverDir, key,
+      DerivedTable.mvJoinTransformStar(spark, silverText),
+      bootstrapProps = Map(
+        DerivedTable.MvKindProp -> "join",
+        DerivedTable.MvSourceProp -> factDir,
+        DerivedTable.MvDimProp -> d1Dir,
+        DerivedTable.MvKeyProp -> key,
+        DerivedTable.MvFkProp -> snow.hop1.leftCols.mkString(","),
+        DerivedTable.MvDimKeyProp ->
+          snow.hop1.rightCols.mkString(","),
+        DerivedTable.MvJoinTypeProp -> snow.hop1.joinType,
+        DerivedTable.MvQueryProp -> silverText,
+        DerivedTable.MvHiddenSilverOfProp -> dstDir))
+    val ((from, to), _) =
+      try DerivedTable.refreshJoinStar(spark, silverDir,
+        Seq(DerivedTable.JoinDim(d2Dir, snow.hop2.leftCols,
+          snow.hop2.rightCols)), dstDir, key,
+        DerivedTable.mvJoinTransformStar(spark, goldText),
+        partitionCol = partitionCol,
+        bootstrapProps = Map(
+          DerivedTable.MvKindProp -> "join",
+          DerivedTable.MvSourceProp -> silverDir,
+          DerivedTable.MvDimProp -> d2Dir,
+          DerivedTable.MvKeyProp -> key,
+          DerivedTable.MvFkProp -> snow.hop2.leftCols.mkString(","),
+          DerivedTable.MvDimKeyProp ->
+            snow.hop2.rightCols.mkString(","),
+          DerivedTable.MvJoinTypeProp -> snow.hop2.joinType,
+          DerivedTable.MvQueryProp -> goldText,
+          "graft.mv.original_query" -> queryText,
+          DerivedTable.MvAutoChainProp -> "true") ++
+          partitionCol.map(DerivedTable.MvPartitionProp -> _))
+      catch { case e: Throwable =>
+        // CREATE spans two tables; a failed gold bootstrap must not
+        // strand the silver (the retry would refuse on it)
+        val p = new org.apache.hadoop.fs.Path(silverDir)
+        scala.util.Try(p.getFileSystem(
+          spark.sessionState.newHadoopConf()).delete(p, true))
+        throw e
+      }
+    Seq(Row("join", from, to))
   }
 }
 

@@ -873,16 +873,87 @@ class MvSpec extends SparkSpec {
     val r2 = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
       .head()
     assert(r2.getInt(1) == r2.getInt(2))
-    // a SNOWFLAKE ON clause (dim referencing dim) refuses with the
-    // star contract
+    // a snowflake with EXPRESSION outputs still refuses (the hidden
+    // silver can only rewrite pure column projections across hops)
     val dst2 = fresh("star_dst2")
     val e = intercept[Exception](spark.sql(
       s"CREATE MATERIALIZED VIEW graft.`$dst2` KEY (id) AS " +
-        s"SELECT f.id, f.v FROM graft.`$fact` f " +
+        s"SELECT f.id, f.v * 2 AS w FROM graft.`$fact` f " +
         s"JOIN graft.`$d1` c ON f.cat = c.cat " +
         s"JOIN graft.`$d2` r ON c.cat = r.region"))
     assert(e.getMessage.contains("star"),
-      s"expected the star-shape refusal: ${e.getMessage.take(300)}")
+      s"expected the shape refusal: ${e.getMessage.take(300)}")
+  }
+
+  test("snowflake join MV auto-chains a hidden silver: fact⋈d1 " +
+      "materializes, the view joins it to d2 — edits on all three " +
+      "legs propagate through one refresh") {
+    val fact = fresh("snow_fact")
+    val d1 = fresh("snow_d1")
+    val d2 = fresh("snow_d2")
+    val dst = fresh("snow_dst")
+    Versioned.commit((1L to 20L).map(i => (i, s"c${i % 3}", i * 10L))
+      .toDF("id", "cat", "v"), fact)
+    Versioned.commit(Seq(("c0", "g0"), ("c1", "g1"), ("c2", "g0"))
+      .toDF("cat", "grp"), d1)
+    Versioned.commit(Seq(("g0", "G-ZERO"), ("g1", "G-ONE"))
+      .toDF("grp", "glabel"), d2)
+    def sel = s"SELECT f.id, f.v, c.grp, g.glabel " +
+      s"FROM graft.`$fact` f JOIN graft.`$d1` c ON f.cat = c.cat " +
+      s"JOIN graft.`$d2` g ON c.grp = g.grp WHERE f.v >= 20"
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW " +
+      s"graft.`$dst` KEY (id) AS $sel").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("join", 0, 1)))
+    // the hidden silver materializes fact⋈d1 beside the view; the
+    // view's spec reads the silver as its fact and auto-cascades
+    val silver = dst + ".silver"
+    assert(Versioned.properties(spark, silver)
+      .get(DerivedTable.MvHiddenSilverOfProp).contains(dst))
+    val props = Versioned.properties(spark, dst)
+    assert(props.get(DerivedTable.MvSourceProp).contains(silver) &&
+      props.get(DerivedTable.MvAutoChainProp).contains("true"))
+    assert(DerivedTable.bagEqual(Versioned.read(spark, dst),
+      spark.sql(sel)))
+    // one edit per leg, ONE refresh: a fact append, a d1 re-group
+    // (c2's rows move from G-ZERO to G-ONE through BOTH hops), and a
+    // d2 relabel (second hop only)
+    Versioned.append(Seq((21L, "c1", 990L)).toDF("id", "cat", "v"),
+      fact)
+    Versioned.upsert(spark, d1,
+      Seq(("c2", "g1")).toDF("cat", "grp"), "cat")
+    Versioned.upsert(spark, d2,
+      Seq(("g0", "G-Z2")).toDF("grp", "glabel"), "grp")
+    val r = spark.sql(s"CALL graft.system.refresh_mv('$dst')").head()
+    assert(r.getString(0) == "join")
+    val got = Versioned.read(spark, dst)
+    assert(DerivedTable.bagEqual(got, spark.sql(sel)))
+    assert(got.filter($"id" === 2L).head().getString(3) == "G-ONE")
+    assert(got.filter($"id" === 3L).head().getString(3) == "G-Z2")
+    assert(got.filter($"id" === 21L).head().getString(3) == "G-ONE")
+    // staleness surfaces the transitive lineage (view → silver →
+    // fact/d1), all at lag 0 after the refresh
+    val shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$dst`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("graft.mv.transitive_staleness_versions")
+      .contains("0"))
+    // DROP removes the view AND its hidden silver; the silver's own
+    // DROP refuses naming the owner
+    val e = intercept[Exception](spark.sql(
+      s"DROP MATERIALIZED VIEW graft.`$silver`"))
+    assert(e.getMessage.contains("hidden silver"))
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$dst`")
+    assert(Versioned.currentVersion(spark, dst) == 0 &&
+      Versioned.currentVersion(spark, silver) == 0)
+    // DEEPER chains (a 4th relation) still refuse with the contract
+    val dst3 = fresh("snow_dst3")
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$dst3` KEY (id) AS " +
+        s"SELECT f.id, f.v FROM graft.`$fact` f " +
+        s"JOIN graft.`$d1` c ON f.cat = c.cat " +
+        s"JOIN graft.`$d2` g ON c.grp = g.grp " +
+        s"JOIN graft.`$fact` x ON g.glabel = x.cat"))
+    assert(e2.getMessage.contains("star") ||
+      e2.getMessage.contains("twice"))
   }
 
   test("aggregate-over-join MV: invertible shapes maintain the gold " +
