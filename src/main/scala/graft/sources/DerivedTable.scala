@@ -93,6 +93,13 @@ object DerivedTable {
   // silver names its owner for diagnostics
   val MvAutoChainProp = "graft.mv.auto_chain"
   val MvHiddenSilverOfProp = "graft.mv.hidden_silver_of"
+  // DURABLE continuous maintenance: `CALL graft.system.follow_mv`
+  // persists the poll interval here, so the follow SURVIVES the
+  // session — any later session's first catalog read of the view
+  // re-arms a follower (through the staleness memo, costing nothing
+  // extra). `unfollow_mv` unsets it; the Scala-API MvFollower.follow
+  // stays session-only.
+  val MvFollowProp = "graft.mv.follow"
   // aggjoin (direct algebraic aggregate-over-join): the synthesized
   // PROJECTED-SLICE query text — (row key, group…, value…) per
   // surviving joined fact row — that each refresh re-derives the
@@ -199,15 +206,20 @@ object DerivedTable {
   }
 
   /** The staleness memo's (head, raw bound, refresh-on-read, leg
-    * dirs, MV kind) entry for `dir`, filled on miss — None for an
-    * empty table. One properties read per dir per head version. */
+    * dirs, MV kind, follow interval) entry for `dir`, filled on miss
+    * — None for an empty table. One properties read per dir per head
+    * version. Doubles as the DURABLE-FOLLOW re-arm point: a view
+    * whose spec carries [[MvFollowProp]] but has no live follower in
+    * this JVM gets one armed here — so a restarted session resumes
+    * following at its first read of the view, with no extra probe on
+    * any path (the containsKey check is the whole cost). */
   private def memoEntry(s: SparkSession, dir: String)
       : Option[(Int, Option[String], Boolean, Seq[(String, String)],
-        Option[String])] = {
+        Option[String], Option[String])] = {
     val head = Versioned.currentVersion(s, dir)
     if (head == 0) return None
     val cached = stalenessMemo.get(dir)
-    if (cached != null && cached._1 == head) Some(cached)
+    val e = if (cached != null && cached._1 == head) cached
     else {
       val props = Versioned.properties(s, dir)
       val kind = props.get(MvKindProp)
@@ -217,10 +229,16 @@ object DerivedTable {
         .exists(_.trim.equalsIgnoreCase("true"))
       val dirs = if (!isMv) Nil else legDirsOf(props)
       if (stalenessMemo.size > 10000) stalenessMemo.clear()
-      val e = (head, b, ror, dirs, kind)
-      stalenessMemo.put(dir, e)
-      Some(e)
+      val entry = (head, b, ror, dirs, kind,
+        props.get(MvFollowProp).filter(_ => isMv))
+      stalenessMemo.put(dir, entry)
+      entry
     }
+    e._6.foreach { raw =>
+      val ms = raw.trim.toLongOption.filter(_ > 0).getOrElse(1000L)
+      graft.streaming.MvFollower.ensureFollowing(s, dir, ms)
+    }
+    Some(e)
   }
 
   // (dir → (view head version, RAW bound text, refresh-on-read,
@@ -238,7 +256,7 @@ object DerivedTable {
   private val stalenessMemo = new java.util.concurrent
     .ConcurrentHashMap[String,
       (Int, Option[String], Boolean, Seq[(String, String)],
-        Option[String])]()
+        Option[String], Option[String])]()
 
   /** The read-side staleness gate: a view carrying
     * [[MvMaxStalenessProp]] whose lag exceeds the bound REFUSES to
@@ -257,7 +275,7 @@ object DerivedTable {
     * its own louder refusal for that state. */
   def freshVersionForRead(s: SparkSession, dstDir: String,
       readVersion: Int, refuseWhenStale: Boolean = true): Int = {
-    val (head, rawBound, refreshOnRead, legDirs, _) =
+    val (head, rawBound, refreshOnRead, legDirs, _, _) =
       memoEntry(s, dstDir) match {
         case None => return readVersion
         case Some(e) => e
@@ -500,7 +518,7 @@ object DerivedTable {
     // buried pin (None leg) falls through to the slow path so its
     // loud refusal still fires.
     memoEntry(s, dstDir) match {
-      case Some((_, _, _, dirs, Some(kind))) if dirs.nonEmpty =>
+      case Some((_, _, _, dirs, Some(kind), _)) if dirs.nonEmpty =>
         val legs = legsOver(s, dstDir, dirs) ++ dirs.flatMap {
           case (k, d) => transitiveTail(s, k, d, Set(dstDir, d)) }
         if (legs.forall(_._2.exists(t => t._1 == t._2))) {

@@ -593,28 +593,52 @@ object GraftProcedures {
           Seq(kind, from, to)
         })
       case "follow_mv" => new Proc("follow_mv",
-        "CONTINUOUS maintenance: start a session-lifetime follower " +
-          "that refreshes the view (cascading through upstream " +
-          "views) whenever a source commits — exactly-once by the " +
-          "pin protocol, no checkpoint to manage; stop it with " +
-          "unfollow_mv",
+        "CONTINUOUS maintenance: start a follower that refreshes " +
+          "the view (cascading through upstream views) whenever a " +
+          "source commits — exactly-once by the pin protocol, no " +
+          "checkpoint to manage. DURABLE: the interval persists in " +
+          "graft.mv.follow, so any later session's first read of " +
+          "the view re-arms the follower; stop it (and unset the " +
+          "property) with unfollow_mv",
         Seq(p("view", StringType),
           p("poll_interval_ms", IntegerType, Some("1000"))),
         StructType(Seq(
           StructField("following", StringType, nullable = false))),
         a => {
           val iv = Option(a(1)).map(_.asInstanceOf[Int]).getOrElse(1000)
+          require(iv > 0, s"poll_interval_ms must be > 0, got $iv")
           val d = dir(a(0))
-          graft.streaming.MvFollower.follow(spark, d, iv.toLong)
+          require(!graft.streaming.MvFollower.following().contains(d),
+            s"a follower is already running on $d — unfollow first")
+          // persist FIRST: a crash between the property commit and
+          // the arm still re-arms at the next read — the reverse
+          // order could follow for this session only and silently
+          // stop at restart
+          Versioned.setProperties(spark, d, set =
+            Map(graft.sources.DerivedTable.MvFollowProp ->
+              iv.toString))
+          graft.streaming.MvFollower.ensureFollowing(spark, d,
+            iv.toLong)
           Seq(d)
         })
       case "unfollow_mv" => new Proc("unfollow_mv",
         "stop the follow_mv loop on a view (drains the in-flight " +
-          "refresh; surfaces its last recorded failure)",
+          "refresh; surfaces its last recorded failure) and unset " +
+          "the durable graft.mv.follow property so no later session " +
+          "re-arms it",
         Seq(p("view", StringType)),
         StructType(Seq(
           StructField("was_following", BooleanType, nullable = false))),
-        a => Seq(graft.streaming.MvFollower.unfollow(dir(a(0)))))
+        a => {
+          val d = dir(a(0))
+          // unset BEFORE stopping: a concurrent read between stop
+          // and unset would re-arm the very follower being stopped
+          if (Versioned.properties(spark, d)
+              .contains(graft.sources.DerivedTable.MvFollowProp))
+            Versioned.setProperties(spark, d, unset =
+              Seq(graft.sources.DerivedTable.MvFollowProp))
+          Seq(graft.streaming.MvFollower.unfollow(d))
+        })
       case _ => null
     })
   }

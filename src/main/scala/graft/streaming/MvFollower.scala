@@ -112,6 +112,17 @@ object MvFollower {
     h
   }
 
+  /** Arm a follower on `dstDir` if none is running — the idempotent
+    * spelling the DURABLE-follow re-arm path uses (a concurrent arm
+    * losing the race is fine, not an error). Returns whether THIS
+    * call started one. */
+  def ensureFollowing(s: SparkSession, dstDir: String,
+      pollIntervalMs: Long): Boolean =
+    if (running.containsKey(dstDir)) false
+    else try { follow(s, dstDir, pollIntervalMs); true }
+    catch { case e: IllegalArgumentException
+        if e.getMessage.contains("already running") => false }
+
   /** Stop the follower on `dstDir`, draining its in-flight refresh.
     * Returns false when none was running. */
   def unfollow(dstDir: String): Boolean =

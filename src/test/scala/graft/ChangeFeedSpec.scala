@@ -255,6 +255,52 @@ class ChangeFeedSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a materialized view"))
   }
 
+  test("durable follow: the interval persists in the view's " +
+      "properties, a crashed follower re-arms at the next catalog " +
+      "read with NO follow_mv call, and unfollow_mv ends it durably") {
+    import spark.implicits._
+    val src = new java.io.File(s"$work/dur-src").getAbsolutePath
+    val dst = new java.io.File(s"$work/dur-dst").getAbsolutePath
+    Seq(src, dst).foreach(d => org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(d)))
+    Versioned.commit((1L to 20L).map(i => (i, s"g${i % 2}", i))
+      .toDF("id", "g", "v"), src)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` ROW KEY (id) " +
+      s"AS SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, count(*) " +
+      s"AS n_rows FROM graft.`$src` GROUP BY g")
+    spark.sql(s"CALL graft.system.follow_mv('$dst', " +
+      "poll_interval_ms => 100)")
+    assert(Versioned.properties(spark, dst)
+      .get(graft.sources.DerivedTable.MvFollowProp).contains("100"))
+    // CRASH the follower (stop without unfollow_mv — the durable
+    // property stays) while commits pile up
+    assert(graft.streaming.MvFollower.unfollow(dst))
+    Versioned.append(Seq((21L, "gX", 777L)).toDF("id", "g", "v"), src)
+    assert(!graft.streaming.MvFollower.following().contains(dst))
+    // the "restarted session": the first catalog read of the view
+    // re-arms the follower from the persisted spec — no follow call
+    spark.sql(s"SELECT count(*) FROM graft.`$dst`").collect()
+    val stop = System.currentTimeMillis + 20000
+    var ok = false
+    while (!ok && System.currentTimeMillis < stop) {
+      ok = graft.sources.DerivedTable.refreshState(spark, dst)
+        .exists(_._3 == 0) &&
+        spark.sql(s"SELECT sum(n_rows) FROM graft.`$dst`")
+          .head().getLong(0) == 21L
+      if (!ok) Thread.sleep(100)
+    }
+    assert(ok, "re-armed follower did not converge")
+    assert(graft.streaming.MvFollower.following().contains(dst))
+    // unfollow_mv unsets the property — later reads re-arm nothing
+    assert(spark.sql(s"CALL graft.system.unfollow_mv('$dst')")
+      .head().getBoolean(0))
+    assert(!Versioned.properties(spark, dst)
+      .contains(graft.sources.DerivedTable.MvFollowProp))
+    spark.sql(s"SELECT count(*) FROM graft.`$dst`").collect()
+    Thread.sleep(300)
+    assert(!graft.streaming.MvFollower.following().contains(dst))
+  }
+
   test("an idle refresh tick on a fresh chain reads no properties " +
       "(memoized fast path), and a fatal tick error kills the " +
       "follower instead of spinning") {
