@@ -44,6 +44,17 @@ object Sessions {
       bb.config(s"spark.hadoop.$k", v)
     }
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // let AQE coalesce CACHED plans too (off by default): the
+      // refresh/CDC paths persist small intermediate frames around
+      // multi-action fan-outs, and without this each cached frame
+      // keeps all spark.sql.shuffle.partitions partitions — every
+      // downstream action then pays one task launch per (mostly
+      // empty) cached partition, which measured as the single
+      // largest constant in the MV gate wall (43-task jobs over
+      // ~300-row frames). At real scale the setting is strictly
+      // better for the same reason AQE coalescing is.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       // Versioned tables as SQL-addressable catalog tables with native
       // VERSION/TIMESTAMP AS OF (the reference resolves its Iceberg
       // tables the same way, presto/etc/catalog/iceberg.properties:1-3).

@@ -1747,35 +1747,34 @@ object DerivedTable {
       work: java.nio.file.Path): DataFrame = {
     val src = work.resolve("src").toString
     val dst = work.resolve("dst").toString
-    // ONE persisted source frame across every stage: the fixture
-    // parquet is scanned once, not per filter (the gate's four
-    // commit inputs and two refusal legs all slice this frame)
-    val docs = Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try aggRefreshGateStages(s, docs, src, dst, work)
-    finally docs.unpersist(blocking = false)
+    // the pooled source family (see [[cloneMvDocsSrc]]): the fixture
+    // scan and the two source commits run once per JVM; this run
+    // clones and exercises bootstrap / append / CDC batch LIVE
+    cloneMvDocsSrc(s, d, src)
+    aggRefreshGateStages(s, src, dst, work)
   }
 
-  private def aggRefreshGateStages(s: SparkSession, docs: DataFrame,
+  private def aggRefreshGateStages(s: SparkSession,
       src: String, dst: String,
       work: java.nio.file.Path): DataFrame = {
-    Versioned.commit(docs.filter(col("doc_id") < 300), src)
     refreshAgg(s, src, dst, "doc_id", Seq("source"), "n_chars")
     val g1 = Versioned.read(s, dst).count()
-    Versioned.append(docs.filter(col("doc_id") >= 300), src)
+    Versioned.append(Versioned.read(s, src + ".app"), src)
     refreshAgg(s, src, dst, "doc_id", Seq("source"), "n_chars")
     val g2 = Versioned.read(s, dst).count()
+    // the edit inputs derive from the source itself (post-append it
+    // IS the full docs projection) — no fixture rescan
+    val all = Versioned.read(s, src)
     // the mixed batch: 1-3 migrate to a NEW group with a fixed value,
     // 4-5 null their value in place, every doc_id % 50 == 0 dies
-    val updates = docs.filter(col("doc_id").isin(1L, 2L, 3L, 4L, 5L))
+    val updates = all.filter(col("doc_id").isin(1L, 2L, 3L, 4L, 5L))
       .select(col("doc_id"),
         when(col("doc_id") <= 3, lit("migrated"))
           .otherwise(col("source")).as("source"),
         when(col("doc_id") <= 3, lit(1000L))
           .otherwise(lit(null).cast("long")).as("n_chars"))
     Versioned.applyChanges(s, src, upserts = updates,
-      deleteKeys = docs.filter(col("doc_id") % 50 === 0)
+      deleteKeys = all.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id")),
       key = "doc_id")
     val (rFrom, rTo) = refreshAgg(s, src, dst, "doc_id", Seq("source"),
@@ -1809,7 +1808,7 @@ object DerivedTable {
     val refusedKey = scala.util.Try(
       refreshAgg(s, src, dst, "doc_id", Seq("source"), "n_chars")).isFailure
     val plain = work.resolve("plain").toString
-    Versioned.commit(docs.limit(3), plain)
+    Versioned.commit(Versioned.read(s, src).limit(3), plain)
     val refusedPin = scala.util.Try(
       refreshAgg(s, src, plain, "doc_id", Seq("source"), "n_chars")).isFailure
     Seq((g1, g2, g3, tot.getLong(1), tot.getLong(2), tot.getLong(3),
@@ -1841,9 +1840,8 @@ object DerivedTable {
       work: java.nio.file.Path): DataFrame = {
     def abs(n: String) = work.resolve(n).toAbsolutePath.toString
     val src = abs("src"); val mv = abs("mv"); val aggmv = abs("aggmv")
-    val docs = Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
-    Versioned.commit(docs.filter(col("doc_id") < 300), src)
+    // the pooled source family (see [[cloneMvDocsSrc]])
+    cloneMvDocsSrc(s, d, src)
     val cd = s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` " +
       s"KEY (doc_id) AS SELECT doc_id, source, n_chars * 2 AS w " +
       s"FROM graft.`$src` WHERE n_chars >= 300").head()
@@ -1853,7 +1851,7 @@ object DerivedTable {
       s"sum_n_chars, count(n_chars) AS cnt_n_chars, count(*) AS " +
       s"n_rows FROM graft.`$src` GROUP BY source").head()
     val groupsV1 = Versioned.read(s, aggmv).count()
-    Versioned.append(docs.filter(col("doc_id") >= 300), src)
+    Versioned.append(Versioned.read(s, src + ".app"), src)
     val r1 = s.sql(s"CALL graft.system.refresh_mv('$mv')").head()
     val r2 = s.sql(s"CALL graft.system.refresh_mv('$aggmv')").head()
     val rowsV2 = Versioned.read(s, mv).count()
@@ -1920,30 +1918,55 @@ object DerivedTable {
     finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
 
+  /** The pooled SOURCE family q57/q60 share: the BOUNDED (< 600)
+    * 4-column documents slice split at 400 (base + `.app`), plus the
+    * exact-cents events slice split at 400 (`.ev` + `.evapp`) for
+    * the day-bucketed leg. Bounded at every SF on purpose: the gates
+    * prove lifecycle semantics, not scan throughput — the unbounded
+    * corpus belongs to the operators measured for scale. */
+  private def cloneMvShapeSrc(s: SparkSession, d: String,
+      src: String): Unit =
+    FixturePool.cloneTo(s"mvshape:$d", src, reclaimAtExit = true) {
+      dir =>
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("lang"),
+            col("n_chars"))
+          .filter(col("doc_id") < 600)
+          .persist(org.apache.spark.storage.StorageLevel
+            .MEMORY_AND_DISK)
+        try {
+          Versioned.commit(docs.filter(col("doc_id") < 400), dir)
+          Versioned.commit(docs.filter(col("doc_id") >= 400),
+            dir + ".app")
+        } finally docs.unpersist(blocking = false)
+        // the value goes in as exact cents (floor(value*100) — floor
+        // is IEEE-identical across engines) so the algebraic patch
+        // is exact and recompute equality is a hash fact
+        val ev = Tables.load(s, d, "events")
+          .filter(col("event_id") < 500)
+          .select(col("event_id"), col("ts"),
+            floor(col("value") * 100).cast("long").as("cents"))
+          .persist(org.apache.spark.storage.StorageLevel
+            .MEMORY_AND_DISK)
+        try {
+          Versioned.commit(ev.filter(col("event_id") < 400),
+            dir + ".ev")
+          Versioned.commit(ev.filter(col("event_id") >= 400),
+            dir + ".evapp")
+        } finally ev.unpersist(blocking = false)
+    }
+
   private def mvShapesGateBody(s: SparkSession, d: String,
       work: java.nio.file.Path): DataFrame = {
     def abs(n: String) = work.resolve(n).toAbsolutePath.toString
     val src = abs("src"); val fmv = abs("fmv"); val mmv = abs("mmv")
-    // the source stays a BOUNDED slice (< 600) at every SF: the gate
-    // proves lifecycle semantics, not scan throughput — the unbounded
-    // corpus belongs to the operators measured for scale. (NOT
-    // FixturePool-ed: this gate is the family's only user, and a
-    // single-user pool pays build + copy where inline pays build —
-    // pooling is for families gates SHARE, like q58/q59's.)
-    val docs = Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("source"), col("lang"),
-        col("n_chars"))
-      .filter(col("doc_id") < 600)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try mvShapesGateLegs(s, d, docs, src, fmv, mmv, abs("bsrc"),
-      abs("bmv"))
-    finally docs.unpersist(blocking = false)
+    cloneMvShapeSrc(s, d, src)
+    mvShapesGateLegs(s, d, src, fmv, mmv, src + ".ev", abs("bmv"))
   }
 
   private def mvShapesGateLegs(s: SparkSession, d: String,
-      docs: DataFrame, src: String, fmv: String, mmv: String,
+      src: String, fmv: String, mmv: String,
       bsrc: String, bmv: String): DataFrame = {
-    Versioned.commit(docs.filter(col("doc_id") < 400), src)
     s.sql(s"CREATE MATERIALIZED VIEW graft.`$fmv` ROW KEY (doc_id) " +
       s"AS SELECT source, sum(n_chars) AS sum_n_chars, " +
       s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
@@ -1956,7 +1979,7 @@ object DerivedTable {
       .get(MvWhereProp).exists(_.contains("300")) &&
       Versioned.properties(s, mmv).get(MvGroupProp)
         .contains("source,lang")
-    Versioned.append(docs.filter(col("doc_id") >= 400), src)
+    Versioned.append(Versioned.read(s, src + ".app"), src)
     s.sql(s"CALL graft.system.refresh_mv('$fmv')")
     s.sql(s"CALL graft.system.refresh_mv('$mmv')")
     // the staleness contract: bound the filtered view at lag 0,
@@ -1990,27 +2013,15 @@ object DerivedTable {
       refreshState(s, fmv).exists(_._3 == 0)
     // —— expression group key + avg (r17): a day-bucketed rollup
     // over an events slice, `GROUP BY date_trunc('DAY', ts)` with
-    // `avg(v) AS avg_v`, delta-maintained through an append. The
-    // value goes in as exact cents (floor(value*100) — floor is
-    // IEEE-identical across engines) so the algebraic patch is
-    // exact and the recompute equality is a hash fact, not a
-    // tolerance.
-    // ONE persisted events slice serves the bootstrap commit and the
-    // append (two scans of the fixture otherwise)
-    val ev = Tables.load(s, d, "events")
-      .filter(col("event_id") < 500)
-      .select(col("event_id"), col("ts"),
-        floor(col("value") * 100).cast("long").as("cents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      Versioned.commit(ev.filter(col("event_id") < 400), bsrc)
-      s.sql(s"CREATE MATERIALIZED VIEW graft.`$bmv` ROW KEY " +
-        s"(event_id) AS SELECT date_trunc('DAY', ts) AS day, " +
-        s"sum(cents) AS sum_cents, count(cents) AS cnt_cents, " +
-        s"count(*) AS n_rows, avg(cents) AS avg_cents " +
-        s"FROM graft.`$bsrc` GROUP BY date_trunc('DAY', ts)")
-      Versioned.append(ev.filter(col("event_id") >= 400), bsrc)
-    } finally ev.unpersist(blocking = false)
+    // `avg(v) AS avg_v`, delta-maintained through an append — the
+    // exact-cents events tables come from the pooled family's
+    // `.ev`/`.evapp` siblings (bsrc IS the clone's `.ev`)
+    s.sql(s"CREATE MATERIALIZED VIEW graft.`$bmv` ROW KEY " +
+      s"(event_id) AS SELECT date_trunc('DAY', ts) AS day, " +
+      s"sum(cents) AS sum_cents, count(cents) AS cnt_cents, " +
+      s"count(*) AS n_rows, avg(cents) AS avg_cents " +
+      s"FROM graft.`$bsrc` GROUP BY date_trunc('DAY', ts)")
+    Versioned.append(Versioned.read(s, src + ".evapp"), bsrc)
     s.sql(s"CALL graft.system.refresh_mv('$bmv')")
     val bProps = Versioned.properties(s, bmv)
     val specBucket = bProps.get(MvGroupExprPrefix + "day")
@@ -2311,31 +2322,28 @@ object DerivedTable {
       work: java.nio.file.Path): DataFrame = {
     def abs(n: String) = work.resolve(n).toAbsolutePath.toString
     val src = abs("src"); val mv = abs("mv")
-    val docs = Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("source"), col("lang"),
-        col("n_chars"))
-      .filter(col("doc_id") < 600)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      Versioned.commit(docs.filter(col("doc_id") < 400), src)
-      s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` ROW KEY " +
-        s"(doc_id) AS SELECT source, sum(n_chars) AS sum_n_chars, " +
-        "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
-        s"approx_count_distinct(lang) AS adc_lang FROM graft.`$src` " +
-        "GROUP BY source")
-      // insert-only append → the MERGE path (no recompute read)
-      Versioned.append(docs.filter(col("doc_id") >= 400), src)
-      s.sql(s"CALL graft.system.refresh_mv('$mv')")
-      // loss batch: one row's lang moves to a brand-new value and
-      // every doc_id % 50 == 0 dies → the RECOMPUTE path
-      Versioned.applyChanges(s, src,
-        upserts = docs.filter(col("doc_id") === 1)
-          .withColumn("lang", lit("zz")),
-        deleteKeys = docs.filter(col("doc_id") % 50 === 0)
-          .select(col("doc_id")),
-        key = "doc_id")
-      s.sql(s"CALL graft.system.refresh_mv('$mv')")
-    } finally docs.unpersist(blocking = false)
+    // the pooled source family q57 shares (see [[cloneMvShapeSrc]])
+    cloneMvShapeSrc(s, d, src)
+    s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` ROW KEY " +
+      s"(doc_id) AS SELECT source, sum(n_chars) AS sum_n_chars, " +
+      "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
+      s"approx_count_distinct(lang) AS adc_lang FROM graft.`$src` " +
+      "GROUP BY source")
+    // insert-only append → the MERGE path (no recompute read)
+    Versioned.append(Versioned.read(s, src + ".app"), src)
+    s.sql(s"CALL graft.system.refresh_mv('$mv')")
+    // loss batch: one row's lang moves to a brand-new value and
+    // every doc_id % 50 == 0 dies → the RECOMPUTE path; the edit
+    // inputs derive from the source itself (post-append it IS the
+    // bounded slice)
+    val all = Versioned.read(s, src)
+    Versioned.applyChanges(s, src,
+      upserts = all.filter(col("doc_id") === 1)
+        .withColumn("lang", lit("zz")),
+      deleteKeys = all.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id")),
+      key = "doc_id")
+    s.sql(s"CALL graft.system.refresh_mv('$mv')")
     // the three lifecycle states' facts in ONE tagged job (snapshots
     // are immutable — the time-travel reads ARE the states)
     def st(df: DataFrame, tag: String): DataFrame =
@@ -2381,30 +2389,54 @@ object DerivedTable {
     finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
   }
 
+  /** The pooled SOURCE family q52/q54/q55 share: the (doc_id,
+    * source, n_chars) projection of the documents fixture, committed
+    * as base = doc_id < 300 with the ≥ 300 slice at `.app` — every
+    * MV lifecycle gate starts from exactly this split, so the
+    * fixture scan and the two source commits leave the per-run path
+    * (the q58 pooled-base discipline); each run still clones the
+    * family and exercises bootstrap / append / refresh / CDC batches
+    * LIVE, which are the operators the gates measure. */
+  private def cloneMvDocsSrc(s: SparkSession, d: String,
+      src: String): Unit =
+    FixturePool.cloneTo(s"mvdocs3:$d", src, reclaimAtExit = true) {
+      dir =>
+        val docs = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .persist(org.apache.spark.storage.StorageLevel
+            .MEMORY_AND_DISK)
+        try {
+          Versioned.commit(docs.filter(col("doc_id") < 300), dir)
+          Versioned.commit(docs.filter(col("doc_id") >= 300),
+            dir + ".app")
+        } finally docs.unpersist(blocking = false)
+    }
+
   private def derivedRefreshGateBody(s: SparkSession, d: String,
       work: java.nio.file.Path): DataFrame = {
     val src = work.resolve("src").toString
     val dst = work.resolve("dst").toString
-    val docs = Tables.load(s, d, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"))
     val t: DataFrame => DataFrame =
       _.filter(col("n_chars") >= 300)
         .select(col("doc_id"), col("source"),
           (col("n_chars") * 2).as("weight"))
-    Versioned.commit(docs.filter(col("doc_id") < 300), src)
+    cloneMvDocsSrc(s, d, src)
     refresh(s, src, dst, "doc_id", t)
     val c1 = Versioned.read(s, dst).count()
-    Versioned.append(docs.filter(col("doc_id") >= 300), src)
+    Versioned.append(Versioned.read(s, src + ".app"), src)
     refresh(s, src, dst, "doc_id", t)
     val c2 = Versioned.read(s, dst).count()
+    // the edit inputs derive from the source itself (post-append it
+    // IS the full docs projection) — no fixture rescan
+    val all = Versioned.read(s, src)
     // one atomic CDC batch: two rows updated BELOW the filter bar,
     // two updated above it, plus key deletes — dst must drop the
     // fallers, adopt the risers, and forget the deleted keys
-    val updates = docs.filter(col("doc_id").isin(1L, 2L, 3L, 4L, 5L))
+    val updates = all.filter(col("doc_id").isin(1L, 2L, 3L, 4L, 5L))
       .withColumn("n_chars",
         when(col("doc_id") <= 3, lit(0L)).otherwise(lit(9999L)))
     Versioned.applyChanges(s, src, upserts = updates,
-      deleteKeys = docs.filter(col("doc_id") % 7 === 0)
+      deleteKeys = all.filter(col("doc_id") % 7 === 0)
         .select(col("doc_id")),
       key = "doc_id")
     val (rFrom, rTo) = refresh(s, src, dst, "doc_id", t)
@@ -2419,7 +2451,7 @@ object DerivedTable {
       Versioned.currentVersion(s, dst) == vBefore
     // refusing a pin-less destination is part of the contract
     val plain = work.resolve("plain").toString
-    Versioned.commit(docs.limit(3), plain)
+    Versioned.commit(Versioned.read(s, src).limit(3), plain)
     val refused = scala.util.Try(
       refresh(s, src, plain, "doc_id", t)).isFailure
     import s.implicits._
