@@ -128,16 +128,17 @@ object DerivedTable {
     // is over the view's WHOLE input) — and only when BOTH pins
     // resolve, the same degrade discipline.
     val legs = refreshLegs(s, dstDir, props)
-    if (legs.isEmpty || legs.exists(_._2.isEmpty)) None
-    else Some(legs.flatMap { case (_, t) => t }.maxBy(_._3))
+    if (legs.isEmpty || legs.exists(_._3.isEmpty)) None
+    else Some(legs.flatMap { case (_, _, t) => t }.maxBy(_._3))
   }
 
-  /** Per-source freshness legs of a view: (pin key, Some((pinned
-    * version, source head, lag)) — None when that leg's pin is
-    * buried). One `src` leg for derived/agg views; `src` + `dim` for
-    * join views. */
+  /** Per-source freshness legs of a view: (pin key, source dir,
+    * Some((pinned version, source head, lag)) — None when that leg's
+    * pin is buried). One `src` leg for derived/agg views; `src` +
+    * `dim` for join views. */
   private[sources] def refreshLegs(s: SparkSession, dstDir: String,
-      props: Map[String, String]): Seq[(String, Option[(Int, Int, Int)])] =
+      props: Map[String, String])
+      : Seq[(String, String, Option[(Int, Int, Int)])] =
     legsOver(s, dstDir, legDirsOf(props))
 
   /** The (pin key → source dir) legs a view's spec declares: one
@@ -156,15 +157,17 @@ object DerivedTable {
   /** [[refreshLegs]] from an already-resolved (pin key → source dir)
     * list — the staleness gate memoizes the dirs beside the bound so
     * a bounded view's hot read path costs pin/head probes only,
-    * never a second properties read. */
+    * never a second properties read. The dir rides along so
+    * wall-clock staleness can read the unseen commit's timestamp
+    * without re-resolving legs. */
   private def legsOver(s: SparkSession, dstDir: String,
       srcs: Seq[(String, String)])
-      : Seq[(String, Option[(Int, Int, Int)])] =
+      : Seq[(String, String, Option[(Int, Int, Int)])] =
     srcs.map { case (k, dir) =>
-      k -> Versioned.notePin(s, dstDir, k).map { pin =>
+      (k, dir, Versioned.notePin(s, dstDir, k).map { pin =>
         val head = Versioned.currentVersion(s, dir)
         (pin, head, math.max(0, head - pin))
-      }
+      })
     }
 
   /** TRANSITIVE freshness legs: the view's own legs, plus — for each
@@ -182,7 +185,7 @@ object DerivedTable {
   private[sources] def refreshLegsTransitive(s: SparkSession,
       dstDir: String, props: Map[String, String],
       visited: Set[String] = Set.empty)
-      : Seq[(String, Option[(Int, Int, Int)])] = {
+      : Seq[(String, String, Option[(Int, Int, Int)])] = {
     val dirs = legDirsOf(props)
     legsOver(s, dstDir, dirs) ++ dirs.flatMap { case (k, dir) =>
       if (visited.contains(dir)) Nil
@@ -195,14 +198,15 @@ object DerivedTable {
     * properties read PER LINEAGE DIR PER HEAD VERSION, not per
     * read. */
   private def transitiveTail(s: SparkSession, k: String, dir: String,
-      visited: Set[String]): Seq[(String, Option[(Int, Int, Int)])] = {
+      visited: Set[String])
+      : Seq[(String, String, Option[(Int, Int, Int)])] = {
     val subDirs = memoEntry(s, dir).map(_._4).getOrElse(Nil)
     if (subDirs.isEmpty) Nil // a plain table (or empty) ends the walk
     else (legsOver(s, dir, subDirs) ++ subDirs.flatMap {
       case (k2, d2) =>
         if (visited.contains(d2)) Nil
         else transitiveTail(s, k2, d2, visited + d2)
-    }).map { case (k2, t) => (s"$k.$k2", t) }
+    }).map { case (k2, d2, t) => (s"$k.$k2", d2, t) }
   }
 
   /** The staleness memo's (head, raw bound, refresh-on-read, leg
@@ -258,6 +262,45 @@ object DerivedTable {
       (Int, Option[String], Boolean, Seq[(String, String)],
         Option[String], Option[String])]()
 
+  /** Wall-clock staleness from resolved legs: seconds since the
+    * OLDEST source commit any lagging leg has not absorbed (the age
+    * of the data a reader is missing) — 0 when fully fresh, None
+    * when a pin is buried or a lagging leg's unseen commit predates
+    * the timestamped ref protocol (degrade to versions-only rather
+    * than reporting a confident wrong number). The unit is the
+    * commit stamp [[Versioned.commitTimestamp]] — monotone per table
+    * by construction, unlike file mtimes. */
+  private[sources] def stalenessSecondsFromLegs(s: SparkSession,
+      legs: Seq[(String, String, Option[(Int, Int, Int)])])
+      : Option[Long] = {
+    if (legs.isEmpty || legs.exists(_._3.isEmpty)) return None
+    val lagging = legs.collect {
+      case (_, dir, Some((pin, _, lag))) if lag > 0 => (dir, pin) }
+    if (lagging.isEmpty) return Some(0L)
+    val tss = lagging.map { case (dir, pin) =>
+      Versioned.commitTimestamp(s, dir, pin + 1) }
+    if (tss.exists(_.isEmpty)) None
+    else Some(math.max(0L,
+      (System.currentTimeMillis() - tss.flatten.min) / 1000L))
+  }
+
+  // time-spelled staleness bounds: '30s' / '5m' / '2h' / '1d'
+  private val DurationBoundRe = "(?i)^(\\d+)\\s*(s|m|h|d)$".r
+
+  /** A staleness bound is an integer (SOURCE VERSIONS — the exact
+    * unit) or a duration (WALL-CLOCK seconds via the commit stamps).
+    * None for malformed text. */
+  private def parseBound(raw: String): Option[Either[Int, Long]] =
+    raw.trim match {
+      case DurationBoundRe(n, u) =>
+        val mult = u.toLowerCase(java.util.Locale.ROOT) match {
+          case "s" => 1L; case "m" => 60L; case "h" => 3600L
+          case _ => 86400L
+        }
+        n.toLongOption.map(v => Right(v * mult))
+      case t => t.toIntOption.map(Left(_))
+    }
+
   /** The read-side staleness gate: a view carrying
     * [[MvMaxStalenessProp]] whose lag exceeds the bound REFUSES to
     * serve rather than silently returning stale rows (the Iceberg MV
@@ -282,12 +325,12 @@ object DerivedTable {
       }
     if (rawBound.isEmpty || readVersion < head) return readVersion
     val bound = rawBound.map { raw =>
-      try raw.trim.toInt catch {
-        case _: NumberFormatException =>
-          if (!refuseWhenStale) return readVersion // degrade at load
-          throw new IllegalArgumentException(
-            s"$MvMaxStalenessProp must be an integer number " +
-              s"of source versions, got '$raw'")
+      parseBound(raw).getOrElse {
+        if (!refuseWhenStale) return readVersion // degrade at load
+        throw new IllegalArgumentException(
+          s"$MvMaxStalenessProp must be an integer number of " +
+            "source versions or a duration like 30s / 5m / 2h / " +
+            s"1d, got '$raw'")
       }
     }
     // a view is as stale as its MOST-lagging leg — src or dim…, OWN
@@ -296,14 +339,46 @@ object DerivedTable {
     // so the bounded hot path costs pin/head probes (plus one props
     // read per lineage dir per head version), never a per-read
     // properties read.
-    val worst = (legsOver(s, dstDir, legDirs) ++ legDirs.flatMap {
+    val legs = legsOver(s, dstDir, legDirs) ++ legDirs.flatMap {
         case (k, dir) => transitiveTail(s, k, dir, Set(dstDir, dir))
-      })
-      .collect { case (k, Some((pin, srcHead, lag))) => (k, pin,
+      }
+    val worst = legs
+      .collect { case (k, _, Some((pin, srcHead, lag))) => (k, pin,
         srcHead, lag) }
       .sortBy(-_._4).headOption
-    worst match {
-      case Some((k, pin, srcHead, lag)) if lag > bound.get =>
+    // a VERSION bound compares the lag directly; a TIME bound
+    // compares the age of the oldest unseen source commit (the
+    // commit-stamp unit). A time bound over a lagging source that
+    // predates stamps refuses on the refusing path (stale and
+    // unmeasurable — a silent serve would break the contract) and
+    // degrades on the non-refusing one.
+    val over: Option[(String, Int, Int, Int, String)] =
+      worst.flatMap { case (k, pin, srcHead, lag) =>
+        if (lag == 0) None
+        else bound.get match {
+          case Left(maxV) =>
+            if (lag > maxV) Some((k, pin, srcHead, lag,
+              s"is $lag source version(s) behind"))
+            else None
+          case Right(maxS) =>
+            stalenessSecondsFromLegs(s, legs) match {
+              case Some(age) if age > maxS => Some((k, pin, srcHead,
+                lag, s"is $age second(s) behind wall-clock"))
+              case Some(_) => None
+              case None =>
+                if (!refuseWhenStale) return readVersion
+                throw new IllegalStateException(
+                  s"materialized view at $dstDir lags $lag source " +
+                    s"version(s) and its $MvMaxStalenessProp is " +
+                    s"time-spelled ('${rawBound.get.trim}'), but a " +
+                    "lagging source commit predates timestamped " +
+                    "refs — CALL graft.system.refresh_mv once, or " +
+                    "use a version-count bound")
+            }
+        }
+      }
+    over match {
+      case Some((k, pin, srcHead, lag, why)) =>
         if (refreshOnRead) {
           // the read pays the refresh and serves the NEW head — the
           // refresh is idempotent under concurrent readers (a
@@ -329,10 +404,10 @@ object DerivedTable {
             // stale under the always-fresh spelling.
             if (refuseWhenStale && newHead > readVersion)
               throw new IllegalStateException(
-                s"materialized view at $dstDir went $lag source " +
-                  s"version(s) over its $MvMaxStalenessProp = " +
-                  s"${bound.get} between resolution and scan " +
-                  "(concurrent source commits); the view has been " +
+                s"materialized view at $dstDir went over its " +
+                  s"$MvMaxStalenessProp = '${rawBound.get.trim}' " +
+                  s"($why) between resolution and scan (concurrent " +
+                  "source commits); the view has been " +
                   "auto-refreshed — re-run the query to read the " +
                   "fresh head")
             newHead
@@ -342,10 +417,10 @@ object DerivedTable {
           }
         } else if (!refuseWhenStale) readVersion
         else throw new IllegalStateException(
-          s"materialized view at $dstDir is $lag source version(s) " +
-            s"behind (pinned $k=v$pin, source head v$srcHead), over " +
-            s"its $MvMaxStalenessProp = ${bound.get} — CALL " +
-            s"graft.system.refresh_mv('$dstDir'), set " +
+          s"materialized view at $dstDir $why " +
+            s"(pinned $k=v$pin, source head v$srcHead), over " +
+            s"its $MvMaxStalenessProp = '${rawBound.get.trim}' — " +
+            s"CALL graft.system.refresh_mv('$dstDir'), set " +
             s"$MvRefreshOnReadProp = true to refresh on read, or " +
             "raise/unset the bound to read stale")
       case _ => readVersion
@@ -521,8 +596,8 @@ object DerivedTable {
       case Some((_, _, _, dirs, Some(kind), _)) if dirs.nonEmpty =>
         val legs = legsOver(s, dstDir, dirs) ++ dirs.flatMap {
           case (k, d) => transitiveTail(s, k, d, Set(dstDir, d)) }
-        if (legs.forall(_._2.exists(t => t._1 == t._2))) {
-          val pin = legs.head._2.get._1 // the src leg, per legDirsOf
+        if (legs.forall(_._3.exists(t => t._1 == t._2))) {
+          val pin = legs.head._3.get._1 // the src leg, per legDirsOf
           return (kind, pin, pin)
         }
       case _ =>

@@ -440,14 +440,14 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
               .refreshLegsTransitive(spark, dir, props)
             val legs = trans.filter(!_._1.contains('.'))
             legs.flatMap {
-              case ("src", Some((_, head, _))) => Seq(
+              case ("src", _, Some((_, head, _))) => Seq(
                 "graft.mv.source_head_version" -> head.toString)
-              case ("dim", Some((pin, head, lag))) => Seq(
+              case ("dim", _, Some((pin, head, lag))) => Seq(
                 "graft.mv.dim_pinned_version" -> pin.toString,
                 "graft.mv.dim_head_version" -> head.toString,
                 "graft.mv.dim_staleness_versions" -> lag.toString)
               case _ => Nil
-            } ++ Some(legs.flatMap(_._2.map(_._3)))
+            } ++ Some(legs.flatMap(_._3.map(_._3)))
               // the overall lag only when EVERY leg resolves: a
               // buried pin must read as UNKNOWN (key absent), not as
               // a confident number computed from the other leg alone
@@ -459,11 +459,18 @@ class GraftCatalog extends TableCatalog with StagingTableCatalog
             // own pins (bronze→silver→gold); present only when a
             // lineage exists beyond the own legs and every leg of it
             // resolves (same unknown-over-confident discipline)
-            Some(trans.flatMap(_._2.map(_._3)))
+            Some(trans.flatMap(_._3.map(_._3)))
               .filter(ls => ls.length > legs.length &&
                 ls.length == trans.length)
               .map(ls => "graft.mv.transitive_staleness_versions" ->
-                ls.max.toString)
+                ls.max.toString) ++
+            // WALL-CLOCK staleness beside the version trio: seconds
+            // since the oldest unseen source commit, 0 when fresh —
+            // absent when any pin is buried or a lagging source
+            // predates timestamped refs (unknown over confident)
+            graft.sources.DerivedTable
+              .stalenessSecondsFromLegs(spark, trans)
+              .map(a => "graft.mv.staleness_seconds" -> a.toString)
           }
       })
   }

@@ -886,8 +886,20 @@ object Versioned {
           case Nil => 0L
           case pins => resolveRef(pins)._4
         }
+    // commit TIMESTAMP, 4th ref field: monotone PER TABLE by
+    // construction (max of the parent commit's stamp and now — a
+    // clock step backwards can't reorder history), so wall-clock
+    // staleness (`graft.mv.staleness_seconds`, time-spelled bounds)
+    // has a sound unit. Filesystem mtimes would not be: copies and
+    // restores rewrite them silently; this stamp rides the immutable
+    // ref sidecar instead. Older 3-field refs parse fine everywhere
+    // (readers ignore extra fields / missing stamps degrade).
+    val commitTs = math.max(System.currentTimeMillis(),
+      if (head >= 1) commitTimestampIn(f, tableDir, head)
+        .getOrElse(0L) else 0L)
     FsFast.put(f, new Path(stage, RefFile),
-      s"$targetBranch\t$head\t$targetGen".getBytes("UTF-8"),
+      s"$targetBranch\t$head\t$targetGen\t$commitTs"
+        .getBytes("UTF-8"),
       overwrite = false)
     // schema-step sidecar ([[renameColumn]]/[[addColumn]]/
     // [[dropColumn]]): the chain step readers compose
@@ -3306,6 +3318,23 @@ object Versioned {
         }
     }
   }
+
+  /** The commit TIMESTAMP of snapshot `v` (epoch millis, monotone per
+    * table — see the ref-stamp note in [[commitStaged]]) — None for
+    * pre-stamp versions and legacy sidecars. */
+  def commitTimestamp(spark: SparkSession, tableDir: String,
+      v: Int): Option[Long] =
+    commitTimestampIn(fs(spark, tableDir), tableDir, v)
+
+  private def commitTimestampIn(f: FileSystem, tableDir: String,
+      v: Int): Option[Long] = Try {
+    val p = new Path(tableDir, s"v=$v/$RefFile")
+    val in = f.open(p)
+    val s = try new String(in.readAllBytes(), "UTF-8")
+      finally in.close()
+    val a = s.trim.split("\t")
+    if (a.length > 3) Some(a(3).toLong) else None
+  }.toOption.flatten
 
   private def hasBranchRefs(f: FileSystem, tableDir: String): Boolean = {
     val dir = new Path(tableDir)

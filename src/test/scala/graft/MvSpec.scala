@@ -1340,6 +1340,69 @@ class MvSpec extends SparkSpec {
       Versioned.currentVersion(spark, gold + ".silver") == 0)
   }
 
+  test("wall-clock staleness: commit stamps surface " +
+      "graft.mv.staleness_seconds beside the version trio, and " +
+      "time-spelled bounds (30s/5m/2h) gate reads on data age") {
+    val src = fresh("wc_src")
+    val dst = fresh("wc_dst")
+    Versioned.commit((1L to 10L).map(i => (i, s"g${i % 2}", i))
+      .toDF("id", "g", "v"), src)
+    // commit stamps are monotone per table
+    val t1 = Versioned.commitTimestamp(spark, src, 1)
+    assert(t1.nonEmpty)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` ROW KEY (id) " +
+      s"AS SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, count(*) " +
+      s"AS n_rows FROM graft.`$src` GROUP BY g")
+    def shown = spark.sql(s"SHOW TBLPROPERTIES graft.`$dst`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // fresh: both units read 0
+    assert(shown.get("graft.mv.staleness_versions").contains("0"))
+    assert(shown.get("graft.mv.staleness_seconds").contains("0"))
+    // go stale, then INJECT an hour-old stamp into the unseen source
+    // commit's ref sidecar — the spec's time machine (the stamp is
+    // the 4th tab field; commitTimestamp reads it fresh each time)
+    Versioned.append(Seq((11L, "gX", 99L)).toDF("id", "g", "v"), src)
+    assert(Versioned.commitTimestamp(spark, src, 2)
+      .exists(_ >= t1.get))
+    val ref = new java.io.File(s"$src/v=2/_ref")
+    val parts = new String(java.nio.file.Files
+      .readAllBytes(ref.toPath), "UTF-8").trim.split("\t")
+    java.nio.file.Files.write(ref.toPath,
+      (parts.take(3) :+ (System.currentTimeMillis() - 3600L * 1000)
+        .toString).mkString("\t").getBytes("UTF-8"))
+    val secs = shown.get("graft.mv.staleness_seconds").map(_.toLong)
+    assert(secs.exists(a => a >= 3500 && a <= 3700),
+      s"expected ~3600s of wall-clock staleness, got $secs")
+    assert(shown.get("graft.mv.staleness_versions").contains("1"))
+    // a 5m bound refuses on AGE (the lag is only 1 version); a 2h
+    // bound serves the same state
+    spark.sql(s"ALTER TABLE graft.`$dst` SET TBLPROPERTIES " +
+      "('graft.mv.max-staleness-versions'='5m')")
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`$dst`").collect())
+    assert(e.getMessage.contains("max-staleness") &&
+      e.getMessage.contains("second(s) behind wall-clock"),
+      s"expected the wall-clock refusal: ${e.getMessage.take(300)}")
+    spark.sql(s"ALTER TABLE graft.`$dst` SET TBLPROPERTIES " +
+      "('graft.mv.max-staleness-versions'='2h')")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dst`")
+      .head().getLong(0) == 2L)
+    // refresh clears the age; the tight bound then serves
+    spark.sql(s"ALTER TABLE graft.`$dst` SET TBLPROPERTIES " +
+      "('graft.mv.max-staleness-versions'='30s')")
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$dst`")
+      .head().getLong(0) == 3L)
+    assert(shown.get("graft.mv.staleness_seconds").contains("0"))
+    // malformed text still degrades at load and refuses at scan
+    spark.sql(s"ALTER TABLE graft.`$dst` SET TBLPROPERTIES " +
+      "('graft.mv.max-staleness-versions'='5 parsecs')")
+    Versioned.commitNote(spark, src, "bump")
+    val e2 = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft.`$dst`").collect())
+    assert(e2.getMessage.contains("30s / 5m / 2h"))
+  }
+
   test("maintenance rewrites carry the MV pin: compact / zorder / " +
       "compact_deletes / set_spec on a view never bury src=vN, and " +
       "the next refresh advances") {
