@@ -430,7 +430,8 @@ object Versioned {
     * table dropped and recreated at the same path can never revive the
     * old table's schema. "?" (unknown) disables memoization. */
   private case class ScanUnit(paths: Seq[String],
-      basePath: Option[String], epoch: String = "?")
+      basePath: Option[String], epoch: String = "?",
+      noHive: Boolean = false)
 
   /** Commit-unique epoch of a version root: the name of the
     * `_owner_<uuid>` token the committer left inside it — a fresh UUID
@@ -461,8 +462,18 @@ object Versioned {
     new java.util.concurrent.ConcurrentHashMap[String, StructType]()
 
   private def scanUnit(spark: SparkSession, u: ScanUnit): DataFrame = {
-    val reader =
+    val reader0 =
       u.basePath.fold(spark.read)(b => spark.read.option("basePath", b))
+    // plain (no-hive) FILE units read with partition inference OFF:
+    // without it, file paths from different version dirs would make
+    // Spark infer a bogus `v` partition column from the `v=N` path
+    // segment — and suppressing it is exactly what lets those units
+    // FOLD across versions into one multi-path scan leg (the
+    // basePath anchor that used to prevent the bogus column also
+    // prevented the fold)
+    val reader =
+      if (u.noHive) reader0.option("recursiveFileLookup", "true")
+      else reader0
     // the owner-token epoch joins the key so a table DROPPED AND
     // RECREATED at the same path in one JVM misses the memo instead of
     // reviving the old table's schema - the one way "immutable once
@@ -470,7 +481,7 @@ object Versioned {
     // possibly-merged one) skips the memo rather than keying a guess.
     if (u.epoch.contains("?")) return reader.parquet(u.paths: _*)
     val key = u.basePath.getOrElse("") + "\u0000" + u.epoch +
-      "\u0000" + u.paths.mkString("|")
+      "\u0000" + u.noHive + "\u0000" + u.paths.mkString("|")
     val cached = schemaMemo.get(key)
     if (cached != null) reader.schema(cached).parquet(u.paths: _*)
     else {
@@ -546,18 +557,30 @@ object Versioned {
 
   /** Resolve a manifest entry to its scan unit. A directory entry is
     * its own root (own basePath when hive-partitioned, none
-    * otherwise); a FILE entry anchors to its version directory so
-    * partition values in its path still materialize as columns. */
+    * otherwise). A FILE entry with hive segments in its path anchors
+    * to its version directory so partition values still materialize
+    * as columns; a PLAIN file entry (the common CoW-survivor case)
+    * gets no anchor and partition inference OFF instead — one
+    * version dir per anchor would otherwise keep same-shaped files
+    * from different versions in separate scan legs forever, and a
+    * CDC-maintained table's read plan would grow one union leg per
+    * commit between compactions. */
   private def entryUnit(f: FileSystem, tableDir: String,
       entry: String): ScanUnit = {
     val p = new Path(tableDir, entry)
-    val base =
-      if (f.getFileStatus(p).isFile)
-        Some(new Path(tableDir, entry.split("/").head).toString)
-      else if (isHivePartitioned(f, p)) Some(p.toString)
-      else None
-    ScanUnit(Seq(p.toString), base,
-      ownerEpoch(f, tableDir, entry.split("/").head))
+    val epoch = ownerEpoch(f, tableDir, entry.split("/").head)
+    if (f.getFileStatus(p).isFile) {
+      // hive segments are the dirs between the version root and the
+      // file itself (entry = "v=N[/col=val…]/part-….parquet")
+      val segs = entry.split("/")
+      val hive = segs.drop(1).dropRight(1).exists(_.contains("="))
+      if (hive)
+        ScanUnit(Seq(p.toString),
+          Some(new Path(tableDir, segs.head).toString), epoch)
+      else ScanUnit(Seq(p.toString), None, epoch, noHive = true)
+    } else if (isHivePartitioned(f, p))
+      ScanUnit(Seq(p.toString), Some(p.toString), epoch)
+    else ScanUnit(Seq(p.toString), None, epoch)
   }
 
   /** Commit a new snapshot: write the data (plus manifest, stats sidecar
@@ -1224,9 +1247,10 @@ object Versioned {
         org.apache.spark.sql.types.StructType, Seq[Int],
         Seq[SchemaStep])]) {
       case ((g, sch, dv, rn) :: rest, (u, s, d, r))
-          if s == sch && g.basePath == u.basePath && dv == d && rn == r =>
+          if s == sch && g.basePath == u.basePath &&
+            g.noHive == u.noHive && dv == d && rn == r =>
         (ScanUnit(g.paths ++ u.paths, g.basePath,
-          g.epoch + "|" + u.epoch), sch, dv, rn) :: rest
+          g.epoch + "|" + u.epoch, g.noHive), sch, dv, rn) :: rest
       case (acc, (u, s, d, r)) => (u, s, d, r) :: acc
     }.reverse
     val assembled = hideDerived(grouped.map { case (u, _, dv, rn) =>
