@@ -348,6 +348,13 @@ object SparkEntry {
     // estimate as count(DISTINCT) over the replayed edits.
     "q60_distinct_mv" ->
       (graft.sources.DerivedTable.distinctMvGate _),
+    // KLL quantile-sketch MV measures (q61): graft_kll(c) AS kll_<c>
+    // stores mergeable percentile state — inserts merge, loss
+    // recomputes; exact at the fixture's sub-k cardinalities, so
+    // DuckDB restates the per-group p100 (= max) sums over the
+    // replayed edits.
+    "q61_kll_mv" ->
+      (graft.sources.DerivedTable.kllMvGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -1954,6 +1961,32 @@ object SparkEntry {
                   AS adcsum_v3,
                 CAST(1 AS BIGINT) AS eq_exact,
                 CAST(1 AS BIGINT) AS spec_distinct""",
+    // q61: the KLL quantile-sketch MV's per-state p100 sums restate
+    // as EXACT per-group maxima over the replayed edits (v1 = <400;
+    // v2 = <600; v3 = doc 1's n_chars rewritten to 99999 and every
+    // doc_id % 50 deleted) — the sketch is exact at these
+    // cardinalities and p100 is the cross-engine-unambiguous rank.
+    "q61_kll_mv" ->
+      """WITH f AS (SELECT doc_id, source, n_chars FROM documents
+                    WHERE doc_id < 600),
+              v1 AS (SELECT source, max(n_chars) AS mx
+                     FROM f WHERE doc_id < 400 GROUP BY source),
+              v2 AS (SELECT source, max(n_chars) AS mx
+                     FROM f GROUP BY source),
+              v3 AS (SELECT source, max(CASE WHEN doc_id = 1
+                       THEN 99999 ELSE n_chars END) AS mx
+                     FROM f WHERE doc_id % 50 <> 0 GROUP BY source)
+         SELECT (SELECT count(*) FROM v1) AS groups_v1,
+                CAST((SELECT sum(mx) FROM v1) AS BIGINT)
+                  AS p100sum_v1,
+                (SELECT count(*) FROM v2) AS groups_v2,
+                CAST((SELECT sum(mx) FROM v2) AS BIGINT)
+                  AS p100sum_v2,
+                (SELECT count(*) FROM v3) AS groups_v3,
+                CAST((SELECT sum(mx) FROM v3) AS BIGINT)
+                  AS p100sum_v3,
+                CAST(1 AS BIGINT) AS eq_p50,
+                CAST(1 AS BIGINT) AS spec_kll""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle ++
     int8IndexExportOracle ++ dedupIndexExportOracle
 

@@ -12,6 +12,10 @@ object GraftFunctions {
   val CdcChunksName = "graft_cdc_chunks"
   val DefaultCdcAvgBits = 13 // 8 KiB average chunks, the dedup-storage default
   val SimHashAggName = "graft_simhash_agg"
+  val KllName = "graft_kll"
+  val KllMergeName = "graft_kll_merge"
+  val KllUnionName = "graft_kll_union"
+  val KllQuantileName = "graft_kll_quantile"
   val MinHashBandsName = "graft_minhash_bands"
   val ShingleHashesName = "graft_shingle_hashes"
   val TopKName = "graft_topk"
@@ -150,6 +154,42 @@ object GraftFunctions {
         require(exprs.length == 1,
           s"$SimHashAggName expects 1 argument, got ${exprs.length}")
         SimHashAgg(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      KllName,
+      exprs => {
+        require(exprs.length == 1,
+          s"$KllName expects 1 argument, got ${exprs.length}")
+        // numerics welcome: the sketch is over doubles
+        KllSketchAgg(org.apache.spark.sql.catalyst.expressions
+          .Cast(exprs.head, org.apache.spark.sql.types.DoubleType))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      KllMergeName,
+      exprs => {
+        require(exprs.length == 1,
+          s"$KllMergeName expects 1 argument, got ${exprs.length}")
+        KllMergeAgg(exprs.head)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      KllUnionName,
+      exprs => {
+        require(exprs.length == 2,
+          s"$KllUnionName expects 2 arguments, got ${exprs.length}")
+        KllUnion(exprs(0), exprs(1))
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      KllQuantileName,
+      exprs => {
+        require(exprs.length == 2,
+          s"$KllQuantileName expects 2 arguments, got ${exprs.length}")
+        KllQuantile(exprs(0), org.apache.spark.sql.catalyst
+          .expressions.Cast(exprs(1),
+            org.apache.spark.sql.types.DoubleType))
       },
       "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -133,7 +133,7 @@ object MvDdl {
     * for any other shape. */
   def aggShapeOf(p: LogicalPlan):
       Option[(Seq[(String, Option[String])], Seq[String], Seq[String],
-        Seq[String], Seq[String], Option[String])] = {
+        Seq[String], Seq[String], Seq[String], Option[String])] = {
     val agg = p match {
       case a: Aggregate => a
       case _ => return None
@@ -244,6 +244,20 @@ object MvDdl {
         case _ => moreDis = false
       }
     }
+    // optional KLL QUANTILE sketch measures: graft_kll(<c>) AS
+    // kll_<c> — the mergeable percentile summary (p50/p99 BY group);
+    // read quantiles with graft_kll_quantile(kll_<c>, q)
+    val kllB = scala.collection.mutable.ArrayBuffer[String]()
+    var moreKll = true
+    while (moreKll) {
+      seq.lift(i) match {
+        case Some((name, "graft_kll", Some(c)))
+            if name == s"kll_$c" && !gNames.contains(c) &&
+              !kllB.contains(c) =>
+          kllB += c; i += 1
+        case _ => moreKll = false
+      }
+    }
     // optional extrema: (min_c, max_c) pairs over non-group columns
     val ext = seq.drop(i).grouped(2).map {
       case Seq((n1, "min", Some(c1)), (n2, "max", Some(c2)))
@@ -252,7 +266,8 @@ object MvDdl {
       case _ => None
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
-    Some((gs, vals.toSeq, avgsB.toSeq, disB.toSeq, ext.flatten, where))
+    Some((gs, vals.toSeq, avgsB.toSeq, disB.toSeq, kllB.toSeq,
+      ext.flatten, where))
   }
 
   private[plans] val AggShapeMsg =
@@ -260,7 +275,8 @@ object MvDdl {
       "shape exactly: SELECT <g…>, sum(<a>) AS sum_<a>, count(<a>) " +
       "AS cnt_<a>[, more sum/cnt pairs …], count(*) AS n_rows[, " +
       "avg(<c>) AS avg_<c> per value column, in value order][, " +
-      "approx_count_distinct(<c>) AS adc_<c> …][, min(<c>) AS " +
+      "approx_count_distinct(<c>) AS adc_<c> …][, graft_kll(<c>) " +
+      "AS kll_<c> …][, min(<c>) AS " +
       "min_<c>, max(<c>) AS max_<c> …] FROM <src> [WHERE <pred>] " +
       "GROUP BY <g…> — a group key may be a bare column or a " +
       "deterministic expression aliased in the select list (GROUP " +
@@ -293,7 +309,9 @@ object MvDdl {
   private[plans] val AggJoinShapeMsg =
     "an aggregate-over-join materialized view must be SELECT <g…>, " +
       "sum(<q>.<v>) AS sum_<v>, count(<q>.<v>) AS cnt_<v>, count(*) " +
-      "AS n_rows[, avg(<q>.<v>) AS avg_<v>][, min/max pairs …] FROM " +
+      "AS n_rows[, avg(<q>.<v>) AS avg_<v>][, approx_count_distinct " +
+      "AS adc_<c>][, graft_kll(<q>.<c>) AS kll_<c>][, min/max pairs " +
+      "…] FROM " +
       "<fact> JOIN <dim> ON <fact>.<fk> = <dim>.<dk> … [WHERE …] " +
       "GROUP BY <g…> — group keys are bare/qualified columns or " +
       "deterministic expressions aliased in the select list, the " +
@@ -315,6 +333,7 @@ object MvDdl {
   def aggOverJoinShapeOf(p: LogicalPlan): Option[(String,
       Seq[(String, String, Boolean)], Seq[(String, String)],
       Seq[String], Seq[(String, String)], Seq[(String, String)],
+      Seq[(String, String)],
       Seq[(Seq[String], Seq[String], String)])] = {
     val agg = p match {
       case a: Aggregate => a
@@ -447,6 +466,19 @@ object MvDdl {
         case _ => moreDis = false
       }
     }
+    // optional KLL quantile measures (qualified twin)
+    val kllB = scala.collection.mutable
+      .ArrayBuffer[(String, String)]()
+    var moreKll = true
+    while (moreKll) {
+      seq.lift(i) match {
+        case Some((name, "graft_kll", Some((c, sql))))
+            if name == s"kll_$c" && !gNames.contains(c) &&
+              !kllB.exists(_._1 == c) =>
+          kllB += ((c, sql)); i += 1
+        case _ => moreKll = false
+      }
+    }
     val ext = seq.drop(i).grouped(2).map {
       case Seq((n1, "min", Some((c1, s1))), (n2, "max", Some((c2, s2))))
           if c1 == c2 && s1 == s2 && !gNames.contains(c1) &&
@@ -455,7 +487,7 @@ object MvDdl {
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
     Some((factAlias, gs, vals.toSeq, avgsB.toSeq, disB.toSeq,
-      ext.flatten, shape))
+      kllB.toSeq, ext.flatten, shape))
   }
 
   // slices `SELECT … FROM <tail> GROUP BY …` to the tail — the
@@ -756,13 +788,17 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       require(rowKeySpelling,
         "a GROUP BY materialized view names the SOURCE row identity " +
           "— spell it ROW KEY (<fact row id>), not KEY")
-      val (factAlias, gs, vals, avgs, dis, ext, shape) =
+      val (factAlias, gs, vals, avgs, dis, kll, ext, shape) =
         MvDdl.aggOverJoinShapeOf(parsed).getOrElse(
           throw new UnsupportedOperationException(
             MvDdl.AggJoinShapeMsg))
       require(shape.length == rels.length - 1, MvDdl.AggJoinShapeMsg)
-      val silverCols = key +: (gs.map(_._1) ++ vals.map(_._1) ++
-        dis.map(_._1) ++ ext.map(_._1))
+      // several measures may read the SAME join column (sum + kll of
+      // one value, min/max of a summed column): the slice projects
+      // each distinct (name, qualified source) ONCE — only a name
+      // fed from two DIFFERENT sources is a real collision
+      val measureCols = (vals ++ dis ++ kll ++ ext).distinct
+      val silverCols = key +: (gs.map(_._1) ++ measureCols.map(_._1))
       require(silverCols.distinct.length == silverCols.length,
         s"the view's column names collide after unqualifying " +
           s"(${silverCols.mkString(", ")}) — alias the group keys " +
@@ -797,9 +833,8 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       }
       val silverText = s"SELECT `$factAlias`.`$key` AS `$key`, " +
         (gs.map { case (a, q, _) => s"$q AS `$a`" } ++
-          vals.map { case (c, q) => s"$q AS `$c`" } ++
-          dis.map { case (c, q) => s"$q AS `$c`" } ++
-          ext.map { case (c, q) => s"$q AS `$c`" }).mkString(", ") +
+          measureCols.map { case (c, q) => s"$q AS `$c`" })
+          .mkString(", ") +
         s" FROM $tail"
       // INVERTIBLE-measure shapes (sum/cnt/avg only) maintain the
       // gold DIRECTLY — no hidden silver, no second copy of the join
@@ -810,7 +845,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       // affected-group RECOMPUTE whose input is a fact-wide join, so
       // those shapes keep the hidden-silver auto-chain below (silver
       // point reads make the recompute O(touched groups)).
-      if (dis.isEmpty && ext.isEmpty) {
+      if (dis.isEmpty && kll.isEmpty && ext.isEmpty) {
         val (from, to) = DerivedTable.refreshAggJoin(spark, srcDir,
           dims.map(_._1), dstDir, key,
           DerivedTable.mvJoinTransformStar(spark, silverText),
@@ -863,7 +898,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         try DerivedTable.refreshAgg(spark, silverDir, dstDir, key,
           gs.map(_._1), vals.head._1, extrema = ext.map(_._1),
           moreValues = vals.tail.map(_._1), avgCols = avgs,
-          distinctCols = dis.map(_._1),
+          distinctCols = dis.map(_._1), kllCols = kll.map(_._1),
           partitionCol = partitionCol,
           bootstrapProps = Map(
             DerivedTable.MvKindProp -> "agg",
@@ -881,6 +916,10 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
               Seq(DerivedTable.MvDistinctProp ->
                 dis.map(_._1).mkString(","))
              else Nil) ++
+            (if (kll.nonEmpty)
+              Seq(DerivedTable.MvKllProp ->
+                kll.map(_._1).mkString(","))
+             else Nil) ++
             partitionCol.map(DerivedTable.MvPartitionProp -> _))
         catch { case e: Throwable =>
           // CREATE spans two tables; a failed gold bootstrap must
@@ -892,7 +931,8 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         }
       Seq(Row("aggjoin", from, to))
     } else if (isAggQuery) {
-      val (gs, vals, avgs, dis, ext, where) = MvDdl.aggShapeOf(parsed)
+      val (gs, vals, avgs, dis, kll, ext, where) =
+        MvDdl.aggShapeOf(parsed)
         .getOrElse(
           throw new UnsupportedOperationException(MvDdl.AggShapeMsg))
       require(rowKeySpelling,
@@ -900,7 +940,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           "— spell it ROW KEY (<source row id>), not KEY")
       val bare = gs.collect { case (g, None) => g }
       val gExprs = gs.collect { case (g, Some(t)) => (g, t) }
-      (bare ++ vals ++ dis ++ ext).foreach(c =>
+      (bare ++ vals ++ dis ++ kll ++ ext).foreach(c =>
         require(srcCols.contains(c),
           s"column '$c' is not in the source table " +
             s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
@@ -939,7 +979,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         key, gs.map(_._1), vals.head, extrema = ext, where = where,
         partitionCol = partitionCol,
         groupExprs = gExprs, moreValues = vals.tail, avgCols = avgs,
-        distinctCols = dis,
+        distinctCols = dis, kllCols = kll,
         bootstrapProps = Map(
           DerivedTable.MvKindProp -> "agg",
           DerivedTable.MvSourceProp -> srcDir,
@@ -955,6 +995,9 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
            else Nil) ++
           (if (dis.nonEmpty)
             Seq(DerivedTable.MvDistinctProp -> dis.mkString(","))
+           else Nil) ++
+          (if (kll.nonEmpty)
+            Seq(DerivedTable.MvKllProp -> kll.mkString(","))
            else Nil) ++
           where.map(DerivedTable.MvWhereProp -> _) ++
           partitionCol.map(DerivedTable.MvPartitionProp -> _))

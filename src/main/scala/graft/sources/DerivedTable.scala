@@ -65,6 +65,10 @@ object DerivedTable {
   // agg: csv of approx-distinct columns — each stores adc_<c> (the
   // HLL estimate) plus hll_<c> (the mergeable sketch state, last)
   val MvDistinctProp = "graft.mv.distinct"
+  // agg: csv of KLL QUANTILE sketch columns — each stores kll_<c>
+  // (mergeable KLL bytes; read quantiles with graft_kll_quantile);
+  // maintained like the HLL sketches: inserts merge, loss recomputes
+  val MvKllProp = "graft.mv.kll"
   val MvQueryProp = "graft.mv.query" // the AS SELECT text, verbatim
   // join: `;`-separated per-dim fragments, aligned by position and
   // in FROM order — dim dirs, each dim's fk csv, each dim's key csv,
@@ -648,11 +652,14 @@ object DerivedTable {
         }
         val dis = props.get(MvDistinctProp).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val kll = props.get(MvKllProp).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val (f, t) = refreshAgg(s, src, dstDir, props(MvRowKeyProp),
           groups, vals.head, extrema = ext,
           where = props.get(MvWhereProp).filter(_.nonEmpty),
           partitionCol = pCol, groupExprs = gExprs,
-          moreValues = vals.tail, avgCols = avs, distinctCols = dis)
+          moreValues = vals.tail, avgCols = avs, distinctCols = dis,
+          kllCols = kll)
         ("agg", f, t)
       case "join" | "aggjoin" =>
         // the refresh reports the FACT range (the stream side); a
@@ -1326,9 +1333,19 @@ object DerivedTable {
       withAvg: Boolean = false,
       moreValues: Seq[String] = Nil,
       avgCols: Seq[String] = Nil,
-      distinctCols: Seq[String] = Nil): (Int, Int) = {
+      distinctCols: Seq[String] = Nil,
+      kllCols: Seq[String] = Nil): (Int, Int) = {
     require(groupCols.nonEmpty, "refreshAgg needs at least one group " +
       "column")
+    // KLL QUANTILE measures (kll_<c> sketch bytes): same maintenance
+    // algebra as the HLL sketches — see [[graft.functions.KllAggs]]
+    // for the exactness contract (true order statistics below ~k
+    // values per group, published rank error beyond)
+    require(kllCols.distinct.length == kllCols.length,
+      s"kll columns must be distinct, got ${kllCols.mkString(", ")}")
+    require(kllCols.forall(c => !groupCols.contains(c)),
+      "a kll column cannot also be a group column " +
+        s"(${kllCols.filter(groupCols.contains).mkString(", ")})")
     // APPROX-DISTINCT measures (adc_<c> estimate + hll_<c> sketch
     // state): inserts merge sketches in the delta pass; a group that
     // lost rows recomputes its sketch from the pinned `to` snapshot
@@ -1462,16 +1479,20 @@ object DerivedTable {
         Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c"))) ++
         Seq(count(lit(1)).as("n_rows")) ++ extrema.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
-        distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c"))
+        distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c")) ++
+        kllCols.map(c =>
+          call_function("graft_kll", col(c)).as(s"kll_$c"))
       val base = df.groupBy(groupCols.map(col): _*)
         .agg(aggs.head, aggs.tail: _*)
-      if (avgs.isEmpty && distinctCols.isEmpty) base
+      if (avgs.isEmpty && distinctCols.isEmpty && kllCols.isEmpty) base
       else base.select((groupCols.map(col) ++
         values.flatMap(c => Seq(col(s"sum_$c"), col(s"cnt_$c"))) ++
         Seq(col("n_rows")) ++ avgExprsOf(avgs) ++
         adcExprsOf(distinctCols) ++
         extrema.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) ++
-        distinctCols.map(c => hllNorm(col(s"hll_$c")).as(s"hll_$c"))): _*)
+        distinctCols.map(c =>
+          hllNorm(col(s"hll_$c")).as(s"hll_$c")) ++
+        kllCols.map(c => col(s"kll_$c"))): _*)
     }
     val to = Versioned.currentVersion(s, srcDir)
     require(to > 0, s"no committed source version at $srcDir")
@@ -1515,7 +1536,7 @@ object DerivedTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try refreshAggOver(s, srcDir, dstDir, rowKey, groupCols, values,
       maxTouchedKeys, extrema, prepared, from, to, touchedDf,
-      partitionCol, derivedNames, avgs, distinctCols)
+      partitionCol, derivedNames, avgs, distinctCols, kllCols)
     finally touchedDf.unpersist(blocking = false)
   }
 
@@ -1527,7 +1548,8 @@ object DerivedTable {
       partitionCol: Option[String] = None,
       derivedNames: Set[String] = Set.empty,
       avgs: Seq[String] = Nil,
-      distincts: Seq[String] = Nil): (Int, Int) = {
+      distincts: Seq[String] = Nil,
+      klls: Seq[String] = Nil): (Int, Int) = {
     // ONE limit-probe serves the common case's every driver fact:
     // when the touched set fits the IN tier (≤ PruneKeyLimit — the
     // typical refresh), its ≤ limit+1 collected rows ARE the count,
@@ -1583,7 +1605,7 @@ object DerivedTable {
         .join(broadcast(gdf), groupCols, "left_semi")
     aggDeltaApply(s, dstDir, groupCols, values, extrema, avgs,
       distincts, touchedAt(from), touchedAt(to), recomputeAt,
-      s"src=v$to", s"src=v$from", s"src=v$to", partitionCol)
+      s"src=v$to", s"src=v$from", s"src=v$to", partitionCol, klls)
     (from, to)
   }
 
@@ -1603,7 +1625,8 @@ object DerivedTable {
       oldRows: DataFrame, newRows: DataFrame,
       recomputeAt: (DataFrame, Long, Seq[Any]) => DataFrame,
       note: String, fromLabel: String, toLabel: String,
-      partitionCol: Option[String]): Unit = {
+      partitionCol: Option[String],
+      klls: Seq[String] = Nil): Unit = {
     val gCols = groupCols.map(col)
     val extCols = extrema.flatMap(c =>
       Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
@@ -1616,15 +1639,18 @@ object DerivedTable {
     // lost or changed rows, so its sketch must recompute (no sketch
     // can subtract); none means insert-only, where the union of the
     // stored and new sketches is EXACTLY the sketch of the union
+    val sketched = distincts.nonEmpty || klls.nonEmpty
     val deltaAggs = (values.flatMap(c => Seq(
       coalesce(sum(col(c) * col("__w")), lit(0L)).as(s"d_sum_$c"),
       sum(when(col(c).isNotNull, col("__w")).otherwise(0L))
         .as(s"d_cnt_$c"))) :+ sum(col("__w")).as("d_n")) ++
-      (if (distincts.isEmpty) Nil
-       else sum(when(col("__w") === -1L, 1L).otherwise(0L))
-         .as("d_old") +: distincts.map(c =>
+      (if (!sketched) Nil
+       else Seq(sum(when(col("__w") === -1L, 1L).otherwise(0L))
+         .as("d_old")) ++ distincts.map(c =>
          hll_sketch_agg(when(col("__w") === 1L, col(c)))
-           .as(s"d_hll_$c")))
+           .as(s"d_hll_$c")) ++ klls.map(c =>
+         call_function("graft_kll",
+           when(col("__w") === 1L, col(c))).as(s"d_kll_$c")))
     val delta = signed.groupBy(gCols: _*)
       .agg(deltaAggs.head, deltaAggs.tail: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1681,11 +1707,14 @@ object DerivedTable {
           // insert-only groups; the new-side sketch normalizes first
           // so an empty one leaves the stored bytes untouched) and
           // the old-side row count deciding merge vs recompute
-          (if (distincts.isEmpty) Nil
-           else coalesce(col("d_old"), lit(0L)).as("__dold") +:
+          (if (!sketched) Nil
+           else Seq(coalesce(col("d_old"), lit(0L)).as("__dold")) ++
              distincts.map(c =>
                hllMerge(col(s"hll_$c"), hllNorm(col(s"d_hll_$c")))
-                 .as(s"hll_$c"))): _*)
+                 .as(s"hll_$c")) ++
+             klls.map(c =>
+               call_function("graft_kll_union", col(s"kll_$c"),
+                 col(s"d_kll_$c")).as(s"kll_$c"))): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       var extJoined: DataFrame = null
       try {
@@ -1715,9 +1744,10 @@ object DerivedTable {
               .otherwise(col(s"sum_$c")).as(s"sum_$c"),
             col(s"cnt_$c"))) ++
             Seq(col("n_rows")) ++ avgCols ++
-            (if (distincts.isEmpty) Nil
-             else col("__dold") +:
-               distincts.map(c => col(s"hll_$c"))): _*)
+            (if (!sketched) Nil
+             else Seq(col("__dold")) ++
+               distincts.map(c => col(s"hll_$c")) ++
+               klls.map(c => col(s"kll_$c"))): _*)
         // the stored order: groups, (sum, cnt)…, n_rows, avg…, adc…
         // (estimates re-derived from the FINAL sketches so they can
         // never drift), ext…, hll… (sketch state rides last)
@@ -1726,7 +1756,8 @@ object DerivedTable {
             values.flatMap(c => Seq(col(s"sum_$c"), col(s"cnt_$c"))) ++
             Seq(col("n_rows")) ++ avgs.map(c => col(s"avg_$c")) ++
             adcExprsOf(distincts) ++ extNames.map(col) ++
-            distincts.map(c => col(s"hll_$c"))): _*)
+            distincts.map(c => col(s"hll_$c")) ++
+            klls.map(c => col(s"kll_$c"))): _*)
         val upserts = if (extrema.nonEmpty) {
           // affected-group recompute for the non-invertible extrema:
           // re-aggregate ONLY the touched groups' rows at the pinned
@@ -1737,7 +1768,9 @@ object DerivedTable {
           val ext = srcGroups.groupBy(gCols: _*).agg(
             count(lit(1)).as("__extn"),
             (extCols ++ distincts.map(c =>
-              hll_sketch_agg(col(c)).as(s"r_hll_$c"))): _*)
+              hll_sketch_agg(col(c)).as(s"r_hll_$c")) ++
+              klls.map(c => call_function("graft_kll", col(c))
+                .as(s"r_kll_$c"))): _*)
           extJoined = upserts0.join(ext, groupCols, "left")
             .persist(org.apache.spark.storage.StorageLevel
               .MEMORY_AND_DISK)
@@ -1751,10 +1784,13 @@ object DerivedTable {
           // the recompute read is already paid for every touched
           // group, so the sketches ride it too (ground truth — no
           // need to track which groups could have merged)
-          ordered(distincts.foldLeft(extJoined: DataFrame) {
+          ordered(klls.foldLeft(
+            distincts.foldLeft(extJoined: DataFrame) {
+              case (df, c) =>
+                df.withColumn(s"hll_$c", hllNorm(col(s"r_hll_$c"))) }) {
             case (df, c) =>
-              df.withColumn(s"hll_$c", hllNorm(col(s"r_hll_$c"))) })
-        } else if (distincts.nonEmpty) {
+              df.withColumn(s"kll_$c", col(s"r_kll_$c")) })
+        } else if (sketched) {
           // groups that LOST rows in the window recompute their
           // sketches from the pinned `to` snapshot; insert-only
           // groups keep the exact merge — the common append path
@@ -1768,8 +1804,11 @@ object DerivedTable {
           else {
             val srcDel = recomputeAt(delGroupsDf, nDel,
               dProbe.map(_.get(0)).toSeq)
-            val rAggs = count(lit(1)).as("__rn") +: distincts.map(c =>
-              hll_sketch_agg(col(c)).as(s"r_hll_$c"))
+            val rAggs = count(lit(1)).as("__rn") +:
+              (distincts.map(c =>
+                hll_sketch_agg(col(c)).as(s"r_hll_$c")) ++
+               klls.map(c => call_function("graft_kll", col(c))
+                 .as(s"r_kll_$c")))
             val rHll = srcDel.groupBy(gCols: _*)
               .agg(rAggs.head, rAggs.tail: _*)
             extJoined = upserts0.join(rHll, groupCols, "left")
@@ -1783,10 +1822,14 @@ object DerivedTable {
             require(off == 0, s"$off group(s) disagree between the " +
               s"algebraic row count and the $toLabel recompute — " +
               "corrupt pin or out-of-band edits; rebuild")
-            ordered(distincts.foldLeft(extJoined: DataFrame) {
-              case (df, c) => df.withColumn(s"hll_$c",
-                when(col("__dold") > 0, hllNorm(col(s"r_hll_$c")))
-                  .otherwise(col(s"hll_$c"))) })
+            ordered(klls.foldLeft(
+              distincts.foldLeft(extJoined: DataFrame) {
+                case (df, c) => df.withColumn(s"hll_$c",
+                  when(col("__dold") > 0, hllNorm(col(s"r_hll_$c")))
+                    .otherwise(col(s"hll_$c"))) }) {
+              case (df, c) => df.withColumn(s"kll_$c",
+                when(col("__dold") > 0, col(s"r_kll_$c"))
+                  .otherwise(col(s"kll_$c"))) })
           }
         } else upserts0
         val dels = patched.filter(col("n_rows") === 0L)
@@ -2449,6 +2492,79 @@ object DerivedTable {
         if (eq) 1L else 0L, if (specOk) 1L else 0L))
       .toDF("groups_v1", "adcsum_v1", "groups_v2", "adcsum_v2",
         "groups_v3", "adcsum_v3", "eq_exact", "spec_distinct")
+  }
+
+  /** Driver-visible gate (q61): KLL QUANTILE-SKETCH measures in an
+    * aggregate MV — `graft_kll(n_chars) AS kll_n_chars` stores
+    * mergeable percentile state per group, maintained through an
+    * INSERT-ONLY refresh (sketch merge) and a LOSS batch (deletes +
+    * a value update — affected groups recompute). At the fixture's
+    * sub-k cardinalities the sketch is EXACT, so the p100 quantile
+    * per group IS the group max — DuckDB restates those sums over
+    * the replayed edits — and the p50 equality against Spark's own
+    * percentile_disc recompute reduces to a 0/1 flag. */
+  def kllMvGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-kllmv-gate")
+    try kllMvGateBody(s, d, work)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  private def kllMvGateBody(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    def abs(n: String) = work.resolve(n).toAbsolutePath.toString
+    val src = abs("src"); val mv = abs("mv")
+    // the q57/q60 pooled family (docs<400 base + .app slice)
+    cloneMvShapeSrc(s, d, src)
+    s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` ROW KEY (doc_id) " +
+      s"AS SELECT source, sum(n_chars) AS sum_n_chars, " +
+      "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
+      s"graft_kll(n_chars) AS kll_n_chars FROM graft.`$src` " +
+      "GROUP BY source")
+    // insert-only append → the sketch MERGE path
+    Versioned.append(Versioned.read(s, src + ".app"), src)
+    s.sql(s"CALL graft.system.refresh_mv('$mv')")
+    // loss batch: one value rewritten to a new per-group maximum and
+    // every doc_id % 50 == 0 deleted → the RECOMPUTE path
+    val all = Versioned.read(s, src)
+    Versioned.applyChanges(s, src,
+      upserts = all.filter(col("doc_id") === 1)
+        .withColumn("n_chars", lit(99999L)),
+      deleteKeys = all.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id")),
+      key = "doc_id")
+    s.sql(s"CALL graft.system.refresh_mv('$mv')")
+    // the three states' facts in ONE tagged job: per-version group
+    // count and the sum of per-group p100 (= exact max at sub-k
+    // cardinality — the cross-engine-unambiguous rank)
+    def st(df: DataFrame, tag: String): DataFrame =
+      df.select(lit(tag).as("t"),
+        call_function("graft_kll_quantile", col("kll_n_chars"),
+          lit(1.0)).cast("long").as("p100"))
+    val stats = st(Versioned.read(s, mv, Some(1)), "v1")
+      .unionByName(st(Versioned.read(s, mv, Some(2)), "v2"))
+      .unionByName(st(Versioned.read(s, mv), "v3"))
+      .groupBy(col("t")).agg(count(lit(1)).as("g"),
+        sum(col("p100")).as("p")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // p50 equality against the engine's own exact percentile — one
+    // job; both sides are order statistics on the same sub-k data
+    val eq = bagEqual(
+      Versioned.read(s, mv).select(col("source"),
+        call_function("graft_kll_quantile", col("kll_n_chars"),
+          lit(0.5)).as("p50")),
+      s.sql("SELECT source, percentile_disc(0.5) WITHIN GROUP " +
+        s"(ORDER BY CAST(n_chars AS DOUBLE)) AS p50 FROM " +
+        s"graft.`$src` GROUP BY source"))
+    val specOk = Versioned.properties(s, mv)
+      .get(MvKllProp).contains("n_chars")
+    import s.implicits._
+    Seq((stats("v1").getLong(1), stats("v1").getLong(2),
+        stats("v2").getLong(1), stats("v2").getLong(2),
+        stats("v3").getLong(1), stats("v3").getLong(2),
+        if (eq) 1L else 0L, if (specOk) 1L else 0L))
+      .toDF("groups_v1", "p100sum_v1", "groups_v2", "p100sum_v2",
+        "groups_v3", "p100sum_v3", "eq_p50", "spec_kll")
   }
 
   /** Driver-visible gate (q52): a curated projection of the documents

@@ -1340,6 +1340,78 @@ class MvSpec extends SparkSpec {
       Versioned.currentVersion(spark, gold + ".silver") == 0)
   }
 
+  test("KLL quantile-sketch measures: graft_kll(c) AS kll_c stores " +
+      "mergeable percentile state — inserts merge, loss recomputes, " +
+      "quantiles exact at sub-k cardinality via graft_kll_quantile") {
+    val src = fresh("kll_src")
+    val dst = fresh("kll_dst")
+    // ≤ ~k (200) values per group keeps the sketch in exact mode:
+    // quantiles are true order statistics, so equality against a
+    // percentile recompute is legitimate
+    Versioned.commit((1L to 60L).map(i => (i, s"g${i % 2}", i * 1.0))
+      .toDF("id", "g", "v"), src)
+    val sel = "SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, " +
+      "count(*) AS n_rows, graft_kll(v) AS kll_v FROM "
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      s"ROW KEY (id) AS $sel graft.`$src` GROUP BY g").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("agg", 0, 1)))
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`").columns.toSeq ==
+      Seq("g", "sum_v", "cnt_v", "n_rows", "kll_v"))
+    assert(Versioned.properties(spark, dst)
+      .get(DerivedTable.MvKllProp).contains("v"))
+    def quantiles = spark.sql("SELECT g, " +
+      "graft_kll_quantile(kll_v, 0.5) AS p50, " +
+      s"graft_kll_quantile(kll_v, 1.0) AS p100 FROM graft.`$dst`")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    def expect = spark.sql("SELECT g, " +
+      "percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS p50, " +
+      s"max(v) AS p100 FROM graft.`$src` GROUP BY g")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2))).toMap
+    assert(quantiles("g0")._2 == 60.0 && quantiles("g1")._2 == 59.0)
+    // INSERT-ONLY refresh: the sketch MERGE path — the new max and a
+    // shifted median land exactly
+    Versioned.append(Seq((61L, "g0", 200.0), (62L, "g0", 201.0))
+      .toDF("id", "g", "v"), src)
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(quantiles("g0")._2 == 201.0)
+    assert(quantiles == expect.map { case (k, (a, b)) => k -> (a, b) },
+      s"quantiles $quantiles != recompute $expect")
+    // LOSS refresh: delete the maxes — only the recompute can know
+    // the runner-up; the untouched group's sketch stands
+    Versioned.deleteRows(spark, src, Seq(61L, 62L).toDF("id"))
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(quantiles("g0")._2 == 60.0)
+    assert(quantiles == expect)
+    // over a JOIN the shape keeps the hidden silver (the recompute
+    // needs its point reads)
+    val dim = fresh("kll_dim")
+    val gold = fresh("kll_gold")
+    Versioned.commit(Seq(("g0", "L0"), ("g1", "L1"))
+      .toDF("g", "label"), dim)
+    val c2 = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` " +
+      "ROW KEY (id) AS SELECT d.label, sum(f.v) AS sum_v, " +
+      "count(f.v) AS cnt_v, count(*) AS n_rows, graft_kll(f.v) AS " +
+      s"kll_v FROM graft.`$src` f JOIN graft.`$dim` d ON f.g = d.g " +
+      "GROUP BY d.label").head()
+    assert(c2.getString(0) == "aggjoin")
+    assert(Versioned.currentVersion(spark, gold + ".silver") > 0)
+    Versioned.append(Seq((63L, "g1", 500.0)).toDF("id", "g", "v"), src)
+    spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+    val gq = spark.sql("SELECT label, graft_kll_quantile(kll_v, 1.0) " +
+      s"FROM graft.`$gold`").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gq("L1") == 500.0 && gq("L0") == 60.0)
+    // a wrong alias refuses with the shape contract
+    val d2 = fresh("kll_ref")
+    val e = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$d2` ROW KEY (id) AS " +
+        "SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS " +
+        s"n_rows, graft_kll(v) AS wrong FROM graft.`$src` GROUP BY g"))
+    assert(e.getMessage.contains("delta-maintainable shape"))
+  }
+
   test("wall-clock staleness: commit stamps surface " +
       "graft.mv.staleness_seconds beside the version trio, and " +
       "time-spelled bounds (30s/5m/2h) gate reads on data age") {
