@@ -341,11 +341,14 @@ object SparkEntry {
     // no hidden silver); extrema/distinct shapes auto-chain one.
     "q59_aggjoin_mv" ->
       (graft.sources.DerivedTable.aggJoinMvGate _),
-    // Approx-distinct MV measures (q60): approx_count_distinct(c)
-    // AS adc_<c> stores a mergeable HLL sketch — inserts merge in
-    // the delta pass, a group that lost rows recomputes; exact at
-    // the fixture's cardinalities, so DuckDB restates every
-    // estimate as count(DISTINCT) over the replayed edits.
+    // Distinct-count MV measures (q60), both spellings:
+    // approx_count_distinct(c) AS adc_<c> stores a mergeable HLL
+    // sketch — inserts merge in the delta pass, a group that lost
+    // rows recomputes; count(DISTINCT c) AS cd_<c> is the EXACT twin
+    // — every refresh recomputes the touched groups (non-invertible
+    // both ways). The sketch is exact at the fixture's
+    // cardinalities, so DuckDB restates every estimate AND every
+    // exact count as count(DISTINCT) over the replayed edits.
     "q60_distinct_mv" ->
       (graft.sources.DerivedTable.distinctMvGate _),
     // KLL quantile-sketch MV measures (q61): graft_kll(c) AS kll_<c>
@@ -1935,11 +1938,13 @@ object SparkEntry {
                   AS relabeled_rows,
                 CAST(1 AS BIGINT) AS eq_gold,
                 CAST(1 AS BIGINT) AS dropped""",
-    // q60: the approx-distinct MV's per-state estimates restate as
-    // EXACT count(DISTINCT) over the replayed edits (v1 = the <400
-    // slice; v2 = the full <600 slice; v3 = doc 1's lang moved to
-    // 'zz' and every doc_id % 50 == 0 deleted) — the sketch is exact
-    // at these cardinalities, so the sums are hash facts.
+    // q60: the distinct-count MVs' per-state figures — the HLL
+    // estimates AND the exact cd_lang counts — restate as EXACT
+    // count(DISTINCT) over the replayed edits (v1 = the <400 slice;
+    // v2 = the full <600 slice; v3 = doc 1's lang moved to 'zz' and
+    // every doc_id % 50 == 0 deleted) — the sketch is exact at these
+    // cardinalities, so the sums are hash facts and the exact twin's
+    // sums equal the estimates'.
     "q60_distinct_mv" ->
       """WITH f AS (SELECT doc_id, source, lang FROM documents
                     WHERE doc_id < 600),
@@ -1959,8 +1964,16 @@ object SparkEntry {
                 (SELECT count(*) FROM v3) AS groups_v3,
                 CAST((SELECT sum(dc) FROM v3) AS BIGINT)
                   AS adcsum_v3,
+                CAST((SELECT sum(dc) FROM v1) AS BIGINT)
+                  AS cdsum_v1,
+                CAST((SELECT sum(dc) FROM v2) AS BIGINT)
+                  AS cdsum_v2,
+                CAST((SELECT sum(dc) FROM v3) AS BIGINT)
+                  AS cdsum_v3,
                 CAST(1 AS BIGINT) AS eq_exact,
-                CAST(1 AS BIGINT) AS spec_distinct""",
+                CAST(1 AS BIGINT) AS eq_exact_cd,
+                CAST(1 AS BIGINT) AS spec_distinct,
+                CAST(1 AS BIGINT) AS spec_exact""",
     // q61: the KLL quantile-sketch MV's per-state p100 sums restate
     // as EXACT per-group maxima over the replayed edits (v1 = <400;
     // v2 = <600; v3 = doc 1's n_chars rewritten to 99999 and every

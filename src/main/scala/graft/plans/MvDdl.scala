@@ -95,14 +95,23 @@ object MvDdl {
   }
 
   /** One eligible aggregate call: (lowercased fn, its single bare
-    * column arg — None for count(*)/count(1)). */
+    * column arg — None for count(*)/count(1)). `count(DISTINCT c)`
+    * reports as the synthetic fn name "count_distinct" — the EXACT
+    * distinct-count measure, maintained by affected-group recompute
+    * (see [[graft.sources.DerivedTable.refreshAgg]]). */
   private def fnOf(e: Expression): Option[(String, Option[String])] =
     e match {
       case f: UnresolvedFunction
-          if !f.isDistinct && f.filter.isEmpty &&
-            f.nameParts.length == 1 =>
+          if f.filter.isEmpty && f.nameParts.length == 1 =>
         val name = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
-        f.arguments match {
+        if (f.isDistinct) f.arguments match {
+          // only count(DISTINCT <one bare column>) is a shape the
+          // engine maintains; sum/avg DISTINCT refuse via None
+          case Seq(ua: UnresolvedAttribute)
+              if name == "count" && ua.nameParts.length == 1 =>
+            Some(("count_distinct", Some(ua.nameParts.head)))
+          case _ => None
+        } else f.arguments match {
           case Seq(ua: UnresolvedAttribute) if ua.nameParts.length == 1 =>
             Some((name, Some(ua.nameParts.head)))
           case Seq(l: Literal) if name == "count" && l.value != null =>
@@ -122,7 +131,9 @@ object MvDdl {
     * (so `SELECT * FROM mv` returns exactly what the definition
     * reads) — and extract (groups with their optional
     * bucket-expression texts, value columns, avg columns, extrema,
-    * where-text). A group key may be a bare column OR a
+    * where-text — plus the approx- and EXACT-distinct and KLL
+    * measure column lists between avg and extrema). A group key may
+    * be a bare column OR a
     * deterministic scalar EXPRESSION aliased in the select list
     * (`SELECT date_trunc('day', ts) AS day … GROUP BY
     * date_trunc('day', ts)` — or `GROUP BY day`, the group-by-alias
@@ -133,7 +144,8 @@ object MvDdl {
     * for any other shape. */
   def aggShapeOf(p: LogicalPlan):
       Option[(Seq[(String, Option[String])], Seq[String], Seq[String],
-        Seq[String], Seq[String], Seq[String], Option[String])] = {
+        Seq[String], Seq[String], Seq[String], Seq[String],
+        Option[String])] = {
     val agg = p match {
       case a: Aggregate => a
       case _ => return None
@@ -244,6 +256,24 @@ object MvDdl {
         case _ => moreDis = false
       }
     }
+    // optional EXACT distinct-count measures: count(DISTINCT <c>) AS
+    // cd_<c> — not delta-invertible in EITHER direction (an inserted
+    // value may already exist; a deleted one may survive on another
+    // row), so every refresh recomputes exactly the touched groups
+    // from the pinned snapshot — the extrema discipline, with the
+    // extrema's O(rows of touched groups) cost. approx_count_distinct
+    // stays the merge-on-insert spelling for groups too hot to rescan
+    val cdB = scala.collection.mutable.ArrayBuffer[String]()
+    var moreCd = true
+    while (moreCd) {
+      seq.lift(i) match {
+        case Some((name, "count_distinct", Some(c)))
+            if name == s"cd_$c" && !gNames.contains(c) &&
+              !cdB.contains(c) =>
+          cdB += c; i += 1
+        case _ => moreCd = false
+      }
+    }
     // optional KLL QUANTILE sketch measures: graft_kll(<c>) AS
     // kll_<c> — the mergeable percentile summary (p50/p99 BY group);
     // read quantiles with graft_kll_quantile(kll_<c>, q)
@@ -266,8 +296,8 @@ object MvDdl {
       case _ => None
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
-    Some((gs, vals.toSeq, avgsB.toSeq, disB.toSeq, kllB.toSeq,
-      ext.flatten, where))
+    Some((gs, vals.toSeq, avgsB.toSeq, disB.toSeq, cdB.toSeq,
+      kllB.toSeq, ext.flatten, where))
   }
 
   private[plans] val AggShapeMsg =
@@ -275,16 +305,19 @@ object MvDdl {
       "shape exactly: SELECT <g…>, sum(<a>) AS sum_<a>, count(<a>) " +
       "AS cnt_<a>[, more sum/cnt pairs …], count(*) AS n_rows[, " +
       "avg(<c>) AS avg_<c> per value column, in value order][, " +
-      "approx_count_distinct(<c>) AS adc_<c> …][, graft_kll(<c>) " +
+      "approx_count_distinct(<c>) AS adc_<c> …][, count(DISTINCT " +
+      "<c>) AS cd_<c> …][, graft_kll(<c>) " +
       "AS kll_<c> …][, min(<c>) AS " +
       "min_<c>, max(<c>) AS max_<c> …] FROM <src> [WHERE <pred>] " +
       "GROUP BY <g…> — a group key may be a bare column or a " +
       "deterministic expression aliased in the select list (GROUP " +
       "BY date_trunc('day', ts) with date_trunc('day', ts) AS day, " +
       "or GROUP BY day); no HAVING or other aggregates; exact " +
-      "count(DISTINCT <c>) is not delta-maintainable — spell it " +
-      "approx_count_distinct(<c>) AS adc_<c> (mergeable HLL sketch: " +
-      "the view stores the estimate and the sketch state)"
+      "count(DISTINCT <c>) AS cd_<c> recomputes the TOUCHED groups " +
+      "from the pinned snapshot on every refresh (the extrema " +
+      "discipline) — approx_count_distinct(<c>) AS adc_<c> is the " +
+      "merge-on-insert spelling (mergeable HLL sketch: estimate " +
+      "plus sketch state, no recompute on the append path)"
 
   private[plans] val RowPureMsg =
     "a row-pure materialized view supports SELECT … FROM <one " +
@@ -310,7 +343,8 @@ object MvDdl {
     "an aggregate-over-join materialized view must be SELECT <g…>, " +
       "sum(<q>.<v>) AS sum_<v>, count(<q>.<v>) AS cnt_<v>, count(*) " +
       "AS n_rows[, avg(<q>.<v>) AS avg_<v>][, approx_count_distinct " +
-      "AS adc_<c>][, graft_kll(<q>.<c>) AS kll_<c>][, min/max pairs " +
+      "AS adc_<c>][, count(DISTINCT <q>.<c>) AS cd_<c>][, " +
+      "graft_kll(<q>.<c>) AS kll_<c>][, min/max pairs " +
       "…] FROM " +
       "<fact> JOIN <dim> ON <fact>.<fk> = <dim>.<dk> … [WHERE …] " +
       "GROUP BY <g…> — group keys are bare/qualified columns or " +
@@ -333,7 +367,7 @@ object MvDdl {
   def aggOverJoinShapeOf(p: LogicalPlan): Option[(String,
       Seq[(String, String, Boolean)], Seq[(String, String)],
       Seq[String], Seq[(String, String)], Seq[(String, String)],
-      Seq[(String, String)],
+      Seq[(String, String)], Seq[(String, String)],
       Seq[(Seq[String], Seq[String], String)])] = {
     val agg = p match {
       case a: Aggregate => a
@@ -396,10 +430,17 @@ object MvDdl {
         : Option[(String, String, Option[(String, String)])] =
       e match {
         case Alias(f: UnresolvedFunction, name)
-            if !f.isDistinct && f.filter.isEmpty &&
-              f.nameParts.length == 1 =>
+            if f.filter.isEmpty && f.nameParts.length == 1 =>
           val fn = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
-          f.arguments match {
+          if (f.isDistinct) f.arguments match {
+            // count(DISTINCT <q>.<c>) — the exact distinct-count
+            // measure, "count_distinct" like [[fnOf]]
+            case Seq(ua: UnresolvedAttribute)
+                if fn == "count" && ua.nameParts.length <= 2 =>
+              Some((name, "count_distinct",
+                Some((ua.nameParts.last, ua.sql))))
+            case _ => None
+          } else f.arguments match {
             case Seq(ua: UnresolvedAttribute)
                 if ua.nameParts.length <= 2 =>
               Some((name, fn, Some((ua.nameParts.last, ua.sql))))
@@ -466,6 +507,21 @@ object MvDdl {
         case _ => moreDis = false
       }
     }
+    // optional EXACT distinct-count measures (qualified twin) —
+    // non-invertible, so their presence forces the hidden-silver
+    // auto-chain (the recompute's input is the joined stream)
+    val cdB = scala.collection.mutable
+      .ArrayBuffer[(String, String)]()
+    var moreCd = true
+    while (moreCd) {
+      seq.lift(i) match {
+        case Some((name, "count_distinct", Some((c, sql))))
+            if name == s"cd_$c" && !gNames.contains(c) &&
+              !cdB.exists(_._1 == c) =>
+          cdB += ((c, sql)); i += 1
+        case _ => moreCd = false
+      }
+    }
     // optional KLL quantile measures (qualified twin)
     val kllB = scala.collection.mutable
       .ArrayBuffer[(String, String)]()
@@ -487,7 +543,7 @@ object MvDdl {
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
     Some((factAlias, gs, vals.toSeq, avgsB.toSeq, disB.toSeq,
-      kllB.toSeq, ext.flatten, shape))
+      cdB.toSeq, kllB.toSeq, ext.flatten, shape))
   }
 
   // slices `SELECT … FROM <tail> GROUP BY …` to the tail — the
@@ -788,7 +844,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       require(rowKeySpelling,
         "a GROUP BY materialized view names the SOURCE row identity " +
           "— spell it ROW KEY (<fact row id>), not KEY")
-      val (factAlias, gs, vals, avgs, dis, kll, ext, shape) =
+      val (factAlias, gs, vals, avgs, dis, cds, kll, ext, shape) =
         MvDdl.aggOverJoinShapeOf(parsed).getOrElse(
           throw new UnsupportedOperationException(
             MvDdl.AggJoinShapeMsg))
@@ -797,7 +853,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       // one value, min/max of a summed column): the slice projects
       // each distinct (name, qualified source) ONCE — only a name
       // fed from two DIFFERENT sources is a real collision
-      val measureCols = (vals ++ dis ++ kll ++ ext).distinct
+      val measureCols = (vals ++ dis ++ cds ++ kll ++ ext).distinct
       val silverCols = key +: (gs.map(_._1) ++ measureCols.map(_._1))
       require(silverCols.distinct.length == silverCols.length,
         s"the view's column names collide after unqualifying " +
@@ -845,7 +901,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       // affected-group RECOMPUTE whose input is a fact-wide join, so
       // those shapes keep the hidden-silver auto-chain below (silver
       // point reads make the recompute O(touched groups)).
-      if (dis.isEmpty && kll.isEmpty && ext.isEmpty) {
+      if (dis.isEmpty && cds.isEmpty && kll.isEmpty && ext.isEmpty) {
         val (from, to) = DerivedTable.refreshAggJoin(spark, srcDir,
           dims.map(_._1), dstDir, key,
           DerivedTable.mvJoinTransformStar(spark, silverText),
@@ -898,7 +954,8 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         try DerivedTable.refreshAgg(spark, silverDir, dstDir, key,
           gs.map(_._1), vals.head._1, extrema = ext.map(_._1),
           moreValues = vals.tail.map(_._1), avgCols = avgs,
-          distinctCols = dis.map(_._1), kllCols = kll.map(_._1),
+          distinctCols = dis.map(_._1),
+          exactDistinctCols = cds.map(_._1), kllCols = kll.map(_._1),
           partitionCol = partitionCol,
           bootstrapProps = Map(
             DerivedTable.MvKindProp -> "agg",
@@ -916,6 +973,10 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
               Seq(DerivedTable.MvDistinctProp ->
                 dis.map(_._1).mkString(","))
              else Nil) ++
+            (if (cds.nonEmpty)
+              Seq(DerivedTable.MvExactDistinctProp ->
+                cds.map(_._1).mkString(","))
+             else Nil) ++
             (if (kll.nonEmpty)
               Seq(DerivedTable.MvKllProp ->
                 kll.map(_._1).mkString(","))
@@ -931,7 +992,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         }
       Seq(Row("aggjoin", from, to))
     } else if (isAggQuery) {
-      val (gs, vals, avgs, dis, kll, ext, where) =
+      val (gs, vals, avgs, dis, cds, kll, ext, where) =
         MvDdl.aggShapeOf(parsed)
         .getOrElse(
           throw new UnsupportedOperationException(MvDdl.AggShapeMsg))
@@ -940,7 +1001,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           "— spell it ROW KEY (<source row id>), not KEY")
       val bare = gs.collect { case (g, None) => g }
       val gExprs = gs.collect { case (g, Some(t)) => (g, t) }
-      (bare ++ vals ++ dis ++ kll ++ ext).foreach(c =>
+      (bare ++ vals ++ dis ++ cds ++ kll ++ ext).foreach(c =>
         require(srcCols.contains(c),
           s"column '$c' is not in the source table " +
             s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
@@ -979,7 +1040,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         key, gs.map(_._1), vals.head, extrema = ext, where = where,
         partitionCol = partitionCol,
         groupExprs = gExprs, moreValues = vals.tail, avgCols = avgs,
-        distinctCols = dis, kllCols = kll,
+        distinctCols = dis, exactDistinctCols = cds, kllCols = kll,
         bootstrapProps = Map(
           DerivedTable.MvKindProp -> "agg",
           DerivedTable.MvSourceProp -> srcDir,
@@ -995,6 +1056,9 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
            else Nil) ++
           (if (dis.nonEmpty)
             Seq(DerivedTable.MvDistinctProp -> dis.mkString(","))
+           else Nil) ++
+          (if (cds.nonEmpty)
+            Seq(DerivedTable.MvExactDistinctProp -> cds.mkString(","))
            else Nil) ++
           (if (kll.nonEmpty)
             Seq(DerivedTable.MvKllProp -> kll.mkString(","))

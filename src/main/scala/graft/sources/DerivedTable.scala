@@ -65,6 +65,11 @@ object DerivedTable {
   // agg: csv of approx-distinct columns — each stores adc_<c> (the
   // HLL estimate) plus hll_<c> (the mergeable sketch state, last)
   val MvDistinctProp = "graft.mv.distinct"
+  // agg: csv of EXACT distinct-count columns — each stores cd_<c>,
+  // maintained by affected-group recompute on EVERY refresh (exact
+  // distinct is non-invertible in both directions: an inserted value
+  // may already exist, a deleted one may survive on another row)
+  val MvExactDistinctProp = "graft.mv.exact_distinct"
   // agg: csv of KLL QUANTILE sketch columns — each stores kll_<c>
   // (mergeable KLL bytes; read quantiles with graft_kll_quantile);
   // maintained like the HLL sketches: inserts merge, loss recomputes
@@ -652,6 +657,8 @@ object DerivedTable {
         }
         val dis = props.get(MvDistinctProp).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val cds = props.get(MvExactDistinctProp).toSeq
+          .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val kll = props.get(MvKllProp).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val (f, t) = refreshAgg(s, src, dstDir, props(MvRowKeyProp),
@@ -659,7 +666,7 @@ object DerivedTable {
           where = props.get(MvWhereProp).filter(_.nonEmpty),
           partitionCol = pCol, groupExprs = gExprs,
           moreValues = vals.tail, avgCols = avs, distinctCols = dis,
-          kllCols = kll)
+          exactDistinctCols = cds, kllCols = kll)
         ("agg", f, t)
       case "join" | "aggjoin" =>
         // the refresh reports the FACT range (the stream side); a
@@ -1248,7 +1255,9 @@ object DerivedTable {
     * pins `src=vN`.
     *
     * Stored schema: (groupCol, sum_<valueCol>, cnt_<valueCol>,
-    * n_rows[, min_<c>, max_<c> per `extrema` column]). The value
+    * n_rows[, avg_<c>…][, adc_<c>…][, cd_<c> per `exactDistinctCols`
+    * column][, min_<c>, max_<c> per `extrema` column][, hll/kll
+    * sketch state last]). The value
     * count makes the all-null group exact: a group whose surviving
     * values are all null stores a NULL sum (`cnt` = 0), matching the
     * recompute — an unconditional 0 would not. avg is `sum / cnt`,
@@ -1264,7 +1273,12 @@ object DerivedTable {
     * incremental-view system uses for non-invertible aggregates. The
     * recompute doubles as a consistency audit: each surviving group's
     * recomputed row count must equal the algebraic one, or the
-    * refresh refuses (corrupt pin).
+    * refresh refuses (corrupt pin). `exactDistinctCols` (cd_<c> =
+    * exact count(DISTINCT c)) ride the same recompute — and FORCE it
+    * on the insert path too, because an inserted value may already
+    * exist in its group (no merge can tell); approx_count_distinct
+    * (`distinctCols`) is the merge-on-insert alternative whose
+    * append refresh pays no recompute read.
     *
     * Contracts refused loudly: a delete event whose `rowKey` is null
     * (the source's tombstones key on a different column — the diff
@@ -1334,9 +1348,25 @@ object DerivedTable {
       moreValues: Seq[String] = Nil,
       avgCols: Seq[String] = Nil,
       distinctCols: Seq[String] = Nil,
+      exactDistinctCols: Seq[String] = Nil,
       kllCols: Seq[String] = Nil): (Int, Int) = {
     require(groupCols.nonEmpty, "refreshAgg needs at least one group " +
       "column")
+    // EXACT distinct-count measures (cd_<c>): non-invertible in BOTH
+    // directions (an inserted value may already exist; a deleted one
+    // may survive on another row), so EVERY refresh recomputes the
+    // touched groups from the pinned `to` snapshot — the extrema
+    // discipline extended to the insert path. approx_count_distinct
+    // (the HLL spelling) stays the merge-on-insert alternative.
+    require(exactDistinctCols.distinct.length ==
+      exactDistinctCols.length,
+      s"exact-distinct columns must be distinct, got " +
+        s"${exactDistinctCols.mkString(", ")}")
+    require(exactDistinctCols.forall(c => !groupCols.contains(c)),
+      "an exact-distinct column cannot also be a group column " +
+        s"(${exactDistinctCols.filter(groupCols.contains)
+          .mkString(", ")}) — within one group a group column has " +
+        "exactly one value")
     // KLL QUANTILE measures (kll_<c> sketch bytes): same maintenance
     // algebra as the HLL sketches — see [[graft.functions.KllAggs]]
     // for the exactness contract (true order statistics below ~k
@@ -1477,7 +1507,10 @@ object DerivedTable {
     def aggOf(df: DataFrame): DataFrame = {
       val aggs = values.flatMap(c =>
         Seq(sum(col(c)).as(s"sum_$c"), count(col(c)).as(s"cnt_$c"))) ++
-        Seq(count(lit(1)).as("n_rows")) ++ extrema.flatMap(c =>
+        Seq(count(lit(1)).as("n_rows")) ++
+        exactDistinctCols.map(c =>
+          count_distinct(col(c)).as(s"cd_$c")) ++
+        extrema.flatMap(c =>
         Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))) ++
         distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c")) ++
         kllCols.map(c =>
@@ -1489,6 +1522,7 @@ object DerivedTable {
         values.flatMap(c => Seq(col(s"sum_$c"), col(s"cnt_$c"))) ++
         Seq(col("n_rows")) ++ avgExprsOf(avgs) ++
         adcExprsOf(distinctCols) ++
+        exactDistinctCols.map(c => col(s"cd_$c")) ++
         extrema.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) ++
         distinctCols.map(c =>
           hllNorm(col(s"hll_$c")).as(s"hll_$c")) ++
@@ -1536,7 +1570,8 @@ object DerivedTable {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try refreshAggOver(s, srcDir, dstDir, rowKey, groupCols, values,
       maxTouchedKeys, extrema, prepared, from, to, touchedDf,
-      partitionCol, derivedNames, avgs, distinctCols, kllCols)
+      partitionCol, derivedNames, avgs, distinctCols,
+      exactDistinctCols, kllCols)
     finally touchedDf.unpersist(blocking = false)
   }
 
@@ -1549,6 +1584,7 @@ object DerivedTable {
       derivedNames: Set[String] = Set.empty,
       avgs: Seq[String] = Nil,
       distincts: Seq[String] = Nil,
+      exacts: Seq[String] = Nil,
       klls: Seq[String] = Nil): (Int, Int) = {
     // ONE limit-probe serves the common case's every driver fact:
     // when the touched set fits the IN tier (≤ PruneKeyLimit — the
@@ -1605,7 +1641,8 @@ object DerivedTable {
         .join(broadcast(gdf), groupCols, "left_semi")
     aggDeltaApply(s, dstDir, groupCols, values, extrema, avgs,
       distincts, touchedAt(from), touchedAt(to), recomputeAt,
-      s"src=v$to", s"src=v$from", s"src=v$to", partitionCol, klls)
+      s"src=v$to", s"src=v$from", s"src=v$to", partitionCol, exacts,
+      klls)
     (from, to)
   }
 
@@ -1626,6 +1663,7 @@ object DerivedTable {
       recomputeAt: (DataFrame, Long, Seq[Any]) => DataFrame,
       note: String, fromLabel: String, toLabel: String,
       partitionCol: Option[String],
+      exacts: Seq[String] = Nil,
       klls: Seq[String] = Nil): Unit = {
     val gCols = groupCols.map(col)
     val extCols = extrema.flatMap(c =>
@@ -1750,24 +1788,31 @@ object DerivedTable {
                klls.map(c => col(s"kll_$c"))): _*)
         // the stored order: groups, (sum, cnt)…, n_rows, avg…, adc…
         // (estimates re-derived from the FINAL sketches so they can
-        // never drift), ext…, hll… (sketch state rides last)
+        // never drift), cd… (exact distinct counts), ext…, hll…
+        // (sketch state rides last)
         def ordered(df: DataFrame): DataFrame =
           df.select((gCols ++
             values.flatMap(c => Seq(col(s"sum_$c"), col(s"cnt_$c"))) ++
             Seq(col("n_rows")) ++ avgs.map(c => col(s"avg_$c")) ++
-            adcExprsOf(distincts) ++ extNames.map(col) ++
+            adcExprsOf(distincts) ++
+            exacts.map(c => col(s"cd_$c")) ++ extNames.map(col) ++
             distincts.map(c => col(s"hll_$c")) ++
             klls.map(c => col(s"kll_$c"))): _*)
-        val upserts = if (extrema.nonEmpty) {
-          // affected-group recompute for the non-invertible extrema:
-          // re-aggregate ONLY the touched groups' rows at the pinned
-          // NEW state (tiered read, keyed on the group columns, the
-          // same WHERE applied — extrema summarize the filtered
-          // stream like every other stored column)
+        val upserts = if (extrema.nonEmpty || exacts.nonEmpty) {
+          // affected-group recompute for the non-invertible extrema
+          // and EXACT distinct counts: re-aggregate ONLY the touched
+          // groups' rows at the pinned NEW state (tiered read, keyed
+          // on the group columns, the same WHERE applied — they
+          // summarize the filtered stream like every other stored
+          // column). Exact distinct forces this read on the INSERT
+          // path too — an inserted value may already exist, so no
+          // merge can tell whether the count grows.
           val srcGroups = recomputeAt(groupsDf, nGroups, groupVals)
           val ext = srcGroups.groupBy(gCols: _*).agg(
             count(lit(1)).as("__extn"),
-            (extCols ++ distincts.map(c =>
+            (extCols ++
+              exacts.map(c => count_distinct(col(c)).as(s"cd_$c")) ++
+              distincts.map(c =>
               hll_sketch_agg(col(c)).as(s"r_hll_$c")) ++
               klls.map(c => call_function("graft_kll", col(c))
                 .as(s"r_kll_$c"))): _*)
@@ -2420,15 +2465,20 @@ object DerivedTable {
         "dropped")
   }
 
-  /** Driver-visible gate (q60): APPROX-DISTINCT measures in an
-    * aggregate MV — `approx_count_distinct(lang) AS adc_lang` stores
-    * the HLL estimate plus the mergeable sketch, maintained through
-    * an INSERT-ONLY refresh (sketch merge, no recompute read) and a
+  /** Driver-visible gate (q60): DISTINCT-COUNT measures in an
+    * aggregate MV, both spellings over ONE pooled source —
+    * `approx_count_distinct(lang) AS adc_lang` stores the HLL
+    * estimate plus the mergeable sketch, maintained through an
+    * INSERT-ONLY refresh (sketch merge, no recompute read) and a
     * LOSS batch (a lang update + key deletes — the affected groups
-    * recompute their sketches from the pinned snapshot). At the
-    * fixture's cardinalities the sketch is EXACT (LIST/SET coupon
-    * mode), so every estimate restates as DuckDB's count(DISTINCT)
-    * over the same replayed edits — a hash fact, not a tolerance. */
+    * recompute their sketches from the pinned snapshot); and the
+    * EXACT twin `count(DISTINCT lang) AS cd_lang`, which recomputes
+    * the touched groups on EVERY refresh (exact distinct is
+    * non-invertible in both directions — the extrema discipline
+    * extended to the insert path). At the fixture's cardinalities
+    * the sketch is EXACT (LIST/SET coupon mode), so estimates and
+    * exact counts alike restate as DuckDB's count(DISTINCT) over the
+    * same replayed edits — hash facts, not tolerances. */
   def distinctMvGate(s: SparkSession, d: String): DataFrame = {
     val work = java.nio.file.Files
       .createTempDirectory("graft-adcmv-gate")
@@ -2439,7 +2489,7 @@ object DerivedTable {
   private def distinctMvGateBody(s: SparkSession, d: String,
       work: java.nio.file.Path): DataFrame = {
     def abs(n: String) = work.resolve(n).toAbsolutePath.toString
-    val src = abs("src"); val mv = abs("mv")
+    val src = abs("src"); val mv = abs("mv"); val cdmv = abs("cdmv")
     // the pooled source family q57 shares (see [[cloneMvShapeSrc]])
     cloneMvShapeSrc(s, d, src)
     s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` ROW KEY " +
@@ -2447,9 +2497,19 @@ object DerivedTable {
       "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
       s"approx_count_distinct(lang) AS adc_lang FROM graft.`$src` " +
       "GROUP BY source")
-    // insert-only append → the MERGE path (no recompute read)
+    // the EXACT twin over the SAME source clone: count(DISTINCT
+    // lang) AS cd_lang — every refresh recomputes the touched
+    // groups (both the insert-only and the loss batch below)
+    s.sql(s"CREATE MATERIALIZED VIEW graft.`$cdmv` ROW KEY " +
+      s"(doc_id) AS SELECT source, sum(n_chars) AS sum_n_chars, " +
+      "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
+      s"count(DISTINCT lang) AS cd_lang FROM graft.`$src` " +
+      "GROUP BY source")
+    // insert-only append → the MERGE path for the sketch MV (no
+    // recompute read) and the recompute path for the exact MV
     Versioned.append(Versioned.read(s, src + ".app"), src)
     s.sql(s"CALL graft.system.refresh_mv('$mv')")
+    s.sql(s"CALL graft.system.refresh_mv('$cdmv')")
     // loss batch: one row's lang moves to a brand-new value and
     // every doc_id % 50 == 0 dies → the RECOMPUTE path; the edit
     // inputs derive from the source itself (post-append it IS the
@@ -2462,36 +2522,54 @@ object DerivedTable {
         .select(col("doc_id")),
       key = "doc_id")
     s.sql(s"CALL graft.system.refresh_mv('$mv')")
-    // the three lifecycle states' facts in ONE tagged job (snapshots
-    // are immutable — the time-travel reads ARE the states)
-    def st(df: DataFrame, tag: String): DataFrame =
-      df.select(lit(tag).as("t"), col("adc_lang").cast("long").as("a"))
-    val stats = st(Versioned.read(s, mv, Some(1)), "v1")
-      .unionByName(st(Versioned.read(s, mv, Some(2)), "v2"))
-      .unionByName(st(Versioned.read(s, mv), "v3"))
+    s.sql(s"CALL graft.system.refresh_mv('$cdmv')")
+    // BOTH MVs' three lifecycle states' facts in ONE tagged job
+    // (snapshots are immutable — the time-travel reads ARE the
+    // states); the exact MV's per-state sums must equal the sketch
+    // MV's (the sketch is exact at these cardinalities)
+    def st(df: DataFrame, c: String, tag: String): DataFrame =
+      df.select(lit(tag).as("t"), col(c).cast("long").as("a"))
+    val stats = st(Versioned.read(s, mv, Some(1)), "adc_lang", "v1")
+      .unionByName(st(Versioned.read(s, mv, Some(2)), "adc_lang",
+        "v2"))
+      .unionByName(st(Versioned.read(s, mv), "adc_lang", "v3"))
+      .unionByName(st(Versioned.read(s, cdmv, Some(1)), "cd_lang",
+        "c1"))
+      .unionByName(st(Versioned.read(s, cdmv, Some(2)), "cd_lang",
+        "c2"))
+      .unionByName(st(Versioned.read(s, cdmv), "cd_lang", "c3"))
       .groupBy(col("t")).agg(count(lit(1)).as("g"), sum(col("a"))
         .as("a"))
       .collect().map(r => r.getString(0) -> r).toMap
-    // the DEFINITION's columns (estimates included) equal the EXACT
-    // recompute — count(DISTINCT lang), not approx — in one
-    // signed-union job
+    // the DEFINITIONS' columns (estimate and exact alike) equal the
+    // EXACT recompute — count(DISTINCT lang) — one signed-union job
+    // each
+    def exactSql(alias: String) =
+      s.sql("SELECT source, sum(n_chars) AS sum_n_chars, " +
+        "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
+        s"count(DISTINCT lang) AS $alias FROM graft.`$src` " +
+        "GROUP BY source")
     val eq = bagEqual(
       Versioned.read(s, mv).select(col("source"),
         col("sum_n_chars"), col("cnt_n_chars"), col("n_rows"),
         col("adc_lang")),
-      s.sql("SELECT source, sum(n_chars) AS sum_n_chars, " +
-        "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
-        s"count(DISTINCT lang) AS adc_lang FROM graft.`$src` " +
-        "GROUP BY source"))
+      exactSql("adc_lang"))
+    val eqCd = bagEqual(Versioned.read(s, cdmv), exactSql("cd_lang"))
     val specOk = Versioned.properties(s, mv)
       .get(MvDistinctProp).contains("lang")
+    val specCdOk = Versioned.properties(s, cdmv)
+      .get(MvExactDistinctProp).contains("lang")
     import s.implicits._
     Seq((stats("v1").getLong(1), stats("v1").getLong(2),
         stats("v2").getLong(1), stats("v2").getLong(2),
         stats("v3").getLong(1), stats("v3").getLong(2),
-        if (eq) 1L else 0L, if (specOk) 1L else 0L))
+        stats("c1").getLong(2), stats("c2").getLong(2),
+        stats("c3").getLong(2),
+        if (eq) 1L else 0L, if (eqCd) 1L else 0L,
+        if (specOk) 1L else 0L, if (specCdOk) 1L else 0L))
       .toDF("groups_v1", "adcsum_v1", "groups_v2", "adcsum_v2",
-        "groups_v3", "adcsum_v3", "eq_exact", "spec_distinct")
+        "groups_v3", "adcsum_v3", "cdsum_v1", "cdsum_v2", "cdsum_v3",
+        "eq_exact", "eq_exact_cd", "spec_distinct", "spec_exact")
   }
 
   /** Driver-visible gate (q61): KLL QUANTILE-SKETCH measures in an

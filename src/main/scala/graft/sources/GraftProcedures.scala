@@ -395,14 +395,20 @@ object GraftProcedures {
           "source GROUP BY group_by, maintained by algebraic deltas: " +
           "touched rows diffed between the pinned snapshots via " +
           "point-set pruned reads, groups patched in place, one " +
-          "atomic commit carrying the new pin",
+          "atomic commit carrying the new pin; optional measure " +
+          "families: extrema (min/max csv), distinct (HLL " +
+          "approx-distinct csv), exact_distinct (count(DISTINCT) " +
+          "csv — affected-group recompute), kll (quantile-sketch csv)",
         Seq(p("source", StringType), p("dest", StringType),
           p("row_key", StringType), p("group_by", StringType),
           p("value", StringType),
           p("extrema", StringType, Some("''")),
           p("where", StringType, Some("''")),
           p("group_exprs", StringType, Some("''")),
-          p("with_avg", StringType, Some("'false'"))),
+          p("with_avg", StringType, Some("'false'")),
+          p("distinct", StringType, Some("''")),
+          p("exact_distinct", StringType, Some("''")),
+          p("kll", StringType, Some("''"))),
         StructType(Seq(
           StructField("from_version", IntegerType, nullable = false),
           StructField("to_version", IntegerType, nullable = false))),
@@ -442,6 +448,13 @@ object GraftProcedures {
               case t => t.split(",").map(_.trim)
                 .filter(_.nonEmpty).toSeq
             }
+          // the measure-family csvs the MV DDL shapes also take:
+          // 'distinct' = approx_count_distinct (HLL sketch columns),
+          // 'exact_distinct' = count(DISTINCT) via affected-group
+          // recompute, 'kll' = quantile-sketch columns
+          def csvAt(i: Int) = Option(a(i))
+            .map(_.asInstanceOf[String]).toSeq.flatMap(_.split(","))
+            .map(_.trim).filter(_.nonEmpty)
           val (from, to) = DerivedTable.refreshAgg(spark, dir(a(0)),
             dir(a(1)), a(2).asInstanceOf[String],
             groups, vals.head,
@@ -449,7 +462,9 @@ object GraftProcedures {
             where = Option(a(6)).map(_.asInstanceOf[String])
               .filter(_.nonEmpty),
             groupExprs = gExprs,
-            moreValues = vals.tail, avgCols = avgs)
+            moreValues = vals.tail, avgCols = avgs,
+            distinctCols = csvAt(9), exactDistinctCols = csvAt(10),
+            kllCols = csvAt(11))
           Seq(from, to)
         })
       case "refresh_join" => new Proc("refresh_join",

@@ -1240,8 +1240,9 @@ class MvSpec extends SparkSpec {
         "cnt_v, count(*) AS n_rows, count(DISTINCT f.u) AS adc_u " +
         s"FROM graft.`$src` f JOIN graft.`$dim` d ON f.g = d.g " +
         "GROUP BY d.label")))
-    // refusals: exact count(DISTINCT) names the approx spelling; a
-    // wrong alias refuses; a group column cannot be a distinct arg
+    // refusals: count(DISTINCT) under the WRONG alias refuses (the
+    // exact spelling is cd_<c> — the message names both spellings);
+    // a wrong approx alias refuses too
     val d2 = fresh("adc_ref")
     val e1 = intercept[Exception](spark.sql(
       s"CREATE MATERIALIZED VIEW graft.`$d2` ROW KEY (id) AS " +
@@ -1249,11 +1250,125 @@ class MvSpec extends SparkSpec {
         s"n_rows, count(DISTINCT u) AS du FROM graft.`$src` " +
         "GROUP BY g"))
     assert(e1.getMessage.contains("approx_count_distinct"))
+    assert(e1.getMessage.contains("cd_<c>"))
     val e2 = intercept[Exception](spark.sql(
       s"CREATE MATERIALIZED VIEW graft.`$d2` ROW KEY (id) AS " +
         "SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS " +
         "n_rows, approx_count_distinct(u) AS wrong FROM " +
         s"graft.`$src` GROUP BY g"))
+    assert(e2.getMessage.contains("delta-maintainable shape"))
+  }
+
+  test("exact distinct-count measures: count(DISTINCT c) AS cd_c " +
+      "recomputes the touched groups on EVERY refresh — duplicate " +
+      "inserts don't inflate, deletes don't strand, and the count " +
+      "always equals a full recompute") {
+    val src = fresh("cd_src")
+    val dst = fresh("cd_dst")
+    Versioned.commit((1L to 30L).map(i =>
+        (i, s"g${i % 3}", s"u${i % 7}", i))
+      .toDF("id", "g", "u", "v"), src)
+    val sel = "SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, " +
+      "count(*) AS n_rows, count(DISTINCT u) AS cd_u FROM "
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      s"ROW KEY (id) AS $sel graft.`$src` GROUP BY g").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("agg", 0, 1)))
+    // the stored schema IS the definition — no trailing sketch state
+    // (the exact count needs none); the spec carries the csv
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`").columns.toSeq ==
+      Seq("g", "sum_v", "cnt_v", "n_rows", "cd_u"))
+    assert(Versioned.properties(spark, dst)
+      .get(DerivedTable.MvExactDistinctProp).contains("u"))
+    def expect = spark.sql("SELECT g, sum(v) AS sum_v, count(v) AS " +
+      "cnt_v, count(*) AS n_rows, count(DISTINCT u) AS cd_u FROM " +
+      s"graft.`$src` GROUP BY g")
+    def got = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(DerivedTable.bagEqual(got, expect))
+    // INSERT-ONLY refresh: a DUPLICATE of a standing value must NOT
+    // inflate the count (the recompute, not a merge, decides), a
+    // genuinely new value must grow it, a new group must be born
+    Versioned.append(Seq((31L, "g0", "u0", 31L),
+      (32L, "g0", "uNEW", 32L), (33L, "fresh", "u1", 33L))
+      .toDF("id", "g", "u", "v"), src)
+    val r1 = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(r1.map(_.toSeq).toSeq == Seq(Seq("agg", 1, 2)))
+    assert(DerivedTable.bagEqual(got, expect))
+    // LOSS refresh: deleting ONE of two carriers of a value must not
+    // shrink the count; deleting the only carrier must; an update
+    // moving a value between groups patches both
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((1L, "g1", "uMOVED", 1L))
+        .toDF("id", "g", "u", "v"),
+      deleteKeys = Seq(31L, 32L).toDF("id"), key = "id")
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(DerivedTable.bagEqual(got, expect))
+    // cd + adc + extrema compose: ONE recompute read serves all
+    // three non-invertible measure families
+    val edst = fresh("cd_edst")
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$edst` ROW KEY (id) " +
+      "AS SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS " +
+      "n_rows, approx_count_distinct(u) AS adc_u, count(DISTINCT u) " +
+      "AS cd_u, min(u) AS min_u, max(u) AS max_u FROM " +
+      s"graft.`$src` GROUP BY g")
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((2L, "g2", "uX", 2L)).toDF("id", "g", "u", "v"),
+      deleteKeys = Seq(14L).toDF("id"), key = "id")
+    spark.sql(s"CALL graft.system.refresh_mv('$edst')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT g, sum_v, cnt_v, n_rows, adc_u, cd_u, " +
+        s"min_u, max_u FROM graft.`$edst`"),
+      spark.sql("SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, " +
+        "count(*) AS n_rows, count(DISTINCT u) AS adc_u, " +
+        "count(DISTINCT u) AS cd_u, min(u) AS " +
+        s"min_u, max(u) AS max_u FROM graft.`$src` GROUP BY g")))
+    // all-null distinct values: cd 0 (count(DISTINCT) skips nulls)
+    val nsrc = fresh("cd_nsrc")
+    val ndst = fresh("cd_ndst")
+    Versioned.commit(Seq((1L, "g0", None: Option[String], 5L),
+      (2L, "g0", None: Option[String], 6L))
+      .toDF("id", "g", "u", "v"), nsrc)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$ndst` ROW KEY (id) " +
+      s"AS $sel graft.`$nsrc` GROUP BY g")
+    assert(spark.sql(s"SELECT cd_u FROM graft.`$ndst`").head()
+      .getLong(0) == 0L)
+    // over a JOIN: a cd measure is non-invertible, so the CREATE
+    // must keep the hidden-silver auto-chain (the recompute's input
+    // is the joined stream) — the silver sibling exists
+    val dim = fresh("cd_dim")
+    val gold = fresh("cd_gold")
+    Versioned.commit(Seq(("g0", "L0"), ("g1", "L1"), ("g2", "L2"),
+      ("fresh", "LF")).toDF("g", "label"), dim)
+    val c2 = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` " +
+      "ROW KEY (id) AS SELECT d.label, sum(f.v) AS sum_v, " +
+      "count(f.v) AS cnt_v, count(*) AS n_rows, count(DISTINCT " +
+      s"f.u) AS cd_u FROM graft.`$src` f JOIN graft.`$dim` d " +
+      "ON f.g = d.g GROUP BY d.label").head()
+    assert(c2.getString(0) == "aggjoin")
+    assert(Versioned.currentVersion(spark, gold + ".silver") > 0)
+    Versioned.append(Seq((40L, "g1", "u0", 40L))
+      .toDF("id", "g", "u", "v"), src)
+    spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT label, sum_v, cnt_v, n_rows, cd_u FROM " +
+        s"graft.`$gold`"),
+      spark.sql("SELECT d.label, sum(f.v) AS sum_v, count(f.v) AS " +
+        "cnt_v, count(*) AS n_rows, count(DISTINCT f.u) AS cd_u " +
+        s"FROM graft.`$src` f JOIN graft.`$dim` d ON f.g = d.g " +
+        "GROUP BY d.label")))
+    // refusals: a group column cannot be a cd arg (one value per
+    // group); sum(DISTINCT) is not a maintainable shape
+    val d2 = fresh("cd_ref")
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$d2` ROW KEY (id) AS " +
+        "SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, count(*) AS " +
+        s"n_rows, count(DISTINCT g) AS cd_g FROM graft.`$src` " +
+        "GROUP BY g"))
+    assert(e1.getMessage.contains("delta-maintainable shape"))
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$d2` ROW KEY (id) AS " +
+        "SELECT g, sum(DISTINCT v) AS sum_v, count(v) AS cnt_v, " +
+        s"count(*) AS n_rows FROM graft.`$src` GROUP BY g"))
     assert(e2.getMessage.contains("delta-maintainable shape"))
   }
 

@@ -583,6 +583,25 @@ class ProcedureSpec extends SparkSpec {
     assert(Versioned.read(spark, dst).orderBy("g").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSeq ==
       Seq(("a", 20L, 1L), ("c", 10L, 1L)))
+    // the exact-distinct measure family through pure SQL: cd_u is
+    // maintained by affected-group recompute — a duplicate insert
+    // must not inflate it
+    val (src2, src2Abs) = fresh("proc_aggmv_src2")
+    val (dst2, dst2Abs) = fresh("proc_aggmv_dst2")
+    Versioned.commit(Seq((1L, "a", "u1", 10L), (2L, "a", "u1", 20L),
+      (3L, "b", "u2", 5L)).toDF("id", "g", "u", "v"), src2)
+    def call2() = spark.sql("CALL graft.system.refresh_agg(" +
+      s"source => '$src2Abs', dest => '$dst2Abs', row_key => 'id', " +
+      "group_by => 'g', value => 'v', exact_distinct => 'u')").head()
+    call2()
+    assert(Versioned.read(spark, dst2).columns.toSeq ==
+      Seq("g", "sum_v", "cnt_v", "n_rows", "cd_u"))
+    Versioned.append(Seq((4L, "a", "u1", 1L), (5L, "a", "u3", 2L))
+      .toDF("id", "g", "u", "v"), src2)
+    call2()
+    assert(Versioned.read(spark, dst2).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(4))).toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
   }
 
   test("refresh_join: pure-SQL incremental join view over " +
