@@ -358,6 +358,14 @@ object SparkEntry {
     // replayed edits.
     "q61_kll_mv" ->
       (graft.sources.DerivedTable.kllMvGate _),
+    // Expression-valued MV measures (q62): the TPC-H Q1 pricing
+    // summary as ONE delta-maintained MV — sum/count/avg over
+    // floor(price * (1 - disc) * 100)-style expressions, each
+    // materialized as a derived value column on every snapshot-side
+    // read; exact integer cents, so DuckDB restates every per-state
+    // figure over the replayed edits.
+    "q62_expr_mv" ->
+      (graft.sources.DerivedTable.exprMvGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -2000,6 +2008,54 @@ object SparkEntry {
                   AS p100sum_v3,
                 CAST(1 AS BIGINT) AS eq_p50,
                 CAST(1 AS BIGINT) AS spec_kll""",
+    // q62: the expression-measure MV's per-state figures restate
+    // over the replayed edits (v1 = l_orderkey < 1200; v2 = the full
+    // < 2000 slice; v3 = l_discount 0.5 on linenumber-1 rows of
+    // orderkeys % 500 == 0, and every rid % 37 == 0 deleted). All
+    // measures are exact integer cents — floor over IEEE doubles is
+    // engine-identical — so the sums are hash facts.
+    "q62_expr_mv" ->
+      """WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+                            l_orderkey, l_linenumber, l_returnflag,
+                            l_linestatus, l_extendedprice,
+                            l_discount, l_tax
+                     FROM lineitem WHERE l_orderkey < 2000),
+              v1 AS (SELECT l_returnflag, l_linestatus,
+                       SUM(CAST(floor(l_extendedprice *
+                         (1 - l_discount) * 100) AS BIGINT)) AS dc
+                     FROM li WHERE l_orderkey < 1200
+                     GROUP BY l_returnflag, l_linestatus),
+              v2 AS (SELECT l_returnflag, l_linestatus,
+                       SUM(CAST(floor(l_extendedprice *
+                         (1 - l_discount) * 100) AS BIGINT)) AS dc
+                     FROM li GROUP BY l_returnflag, l_linestatus),
+              e3 AS (SELECT l_returnflag, l_linestatus,
+                            l_extendedprice, l_tax,
+                            CASE WHEN l_linenumber = 1 AND
+                                 l_orderkey % 500 = 0 THEN 0.5
+                                 ELSE l_discount END AS l_discount
+                     FROM li WHERE rid % 37 <> 0),
+              v3 AS (SELECT l_returnflag, l_linestatus,
+                       SUM(CAST(floor(l_extendedprice *
+                         (1 - l_discount) * 100) AS BIGINT)) AS dc,
+                       SUM(CAST(floor(l_extendedprice *
+                         (1 - l_discount) * (1 + l_tax) * 100)
+                         AS BIGINT)) AS ch
+                     FROM e3 GROUP BY l_returnflag, l_linestatus)
+         SELECT CAST(1 AS BIGINT) AS created_agg,
+                (SELECT count(*) FROM v1) AS groups_v1,
+                CAST((SELECT sum(dc) FROM v1) AS BIGINT)
+                  AS discsum_v1,
+                (SELECT count(*) FROM v2) AS groups_v2,
+                CAST((SELECT sum(dc) FROM v2) AS BIGINT)
+                  AS discsum_v2,
+                (SELECT count(*) FROM v3) AS groups_v3,
+                CAST((SELECT sum(dc) FROM v3) AS BIGINT)
+                  AS discsum_v3,
+                CAST((SELECT sum(ch) FROM v3) AS BIGINT)
+                  AS chargesum_v3,
+                CAST(1 AS BIGINT) AS eq_recompute,
+                CAST(4 AS BIGINT) AS spec_exprs""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle ++
     int8IndexExportOracle ++ dedupIndexExportOracle
 

@@ -95,33 +95,62 @@ object MvDdl {
   }
 
   /** One eligible aggregate call: (lowercased fn, its single bare
-    * column arg — None for count(*)/count(1)). `count(DISTINCT c)`
-    * reports as the synthetic fn name "count_distinct" — the EXACT
+    * column arg — None for count(*)/count(1) — and, fourth slot, the
+    * SQL text of an EXPRESSION argument when the arg is not a bare
+    * column: `sum(price * (1 - discount))` reports (sum, None,
+    * Some(text)), and the shape loops accept it when the alias
+    * derives a measure name — the expression materializes as a
+    * derived column on every snapshot-side read, the group-expression
+    * discipline applied to measures). `count(DISTINCT c)` reports as
+    * the synthetic fn name "count_distinct" — the EXACT
     * distinct-count measure, maintained by affected-group recompute
     * (see [[graft.sources.DerivedTable.refreshAgg]]). */
-  private def fnOf(e: Expression): Option[(String, Option[String])] =
+  private def fnOf(e: Expression)
+      : Option[(String, Option[String], Option[String])] =
     e match {
       case f: UnresolvedFunction
           if f.filter.isEmpty && f.nameParts.length == 1 =>
         val name = f.nameParts.head.toLowerCase(java.util.Locale.ROOT)
         if (f.isDistinct) f.arguments match {
-          // only count(DISTINCT <one bare column>) is a shape the
-          // engine maintains; sum/avg DISTINCT refuse via None
+          // only count(DISTINCT <one bare column or expression>) is
+          // a shape the engine maintains; sum/avg DISTINCT refuse
           case Seq(ua: UnresolvedAttribute)
               if name == "count" && ua.nameParts.length == 1 =>
-            Some(("count_distinct", Some(ua.nameParts.head)))
+            Some(("count_distinct", Some(ua.nameParts.head), None))
+          case Seq(arg) if name == "count" && eligibleExpr(arg) =>
+            Some(("count_distinct", None, Some(arg.sql)))
           case _ => None
         } else f.arguments match {
           case Seq(ua: UnresolvedAttribute) if ua.nameParts.length == 1 =>
-            Some((name, Some(ua.nameParts.head)))
+            Some((name, Some(ua.nameParts.head), None))
           case Seq(l: Literal) if name == "count" && l.value != null =>
-            Some((name, None))
+            Some((name, None, None))
           case Seq(_: UnresolvedStar) if name == "count" =>
-            Some((name, None))
+            Some((name, None, None))
+          case Seq(arg) if eligibleExpr(arg) =>
+            Some((name, None, Some(arg.sql)))
           case _ => None
         }
       case _ => None
     }
+
+  /** An aggregate ARGUMENT expression the engine can materialize as
+    * a derived column: no nested aggregate/window/subquery (those
+    * are swept again at CREATE, but a nested agg would otherwise
+    * slip through as "an expression") and not a lone literal (a
+    * constant measure is a definition mistake, not a rollup). */
+  private def eligibleExpr(e: Expression): Boolean =
+    !e.isInstanceOf[Literal] && !e.isInstanceOf[UnresolvedStar] &&
+      e.collectFirst {
+        case f: UnresolvedFunction if f.nameParts.length == 1 &&
+          AggFnNames.contains(
+            f.nameParts.head.toLowerCase(java.util.Locale.ROOT)) => ()
+        case p: PlanExpression[_] => ()
+      }.isEmpty
+
+  private val AggFnNames = Set("sum", "count", "avg", "min", "max",
+    "approx_count_distinct", "graft_kll", "mean", "stddev", "variance",
+    "first", "last", "collect_list", "collect_set")
 
   /** Match the parsed query against the delta-maintainable aggregate
     * shape — `SELECT g…, sum(a) AS sum_<a>, count(a) AS cnt_<a>[,
@@ -143,9 +172,9 @@ object MvDdl {
     * pairs, and a WHERE predicate are all delta-maintainable; None
     * for any other shape. */
   def aggShapeOf(p: LogicalPlan):
-      Option[(Seq[(String, Option[String])], Seq[String], Seq[String],
-        Seq[String], Seq[String], Seq[String], Seq[String],
-        Option[String])] = {
+      Option[(Seq[(String, Option[String])], Seq[String],
+        Seq[(String, String)], Seq[String], Seq[String], Seq[String],
+        Seq[String], Seq[String], Option[String])] = {
     val agg = p match {
       case a: Aggregate => a
       case _ => return None
@@ -194,15 +223,39 @@ object MvDdl {
       }
     val gNames = gs.map(_._1)
     if (gNames.distinct.length != gNames.length) return None
-    def aliased(e: Expression): Option[(String, String, Option[String])] =
+    def aliased(e: Expression)
+        : Option[(String, String, Option[String], Option[String])] =
       e match {
         case Alias(child, name) => fnOf(child).map {
-          case (fn, arg) => (name, fn, arg) }
+          case (fn, arg, exprTxt) => (name, fn, arg, exprTxt) }
         case _ => None
       }
     val rest = outs.drop(nG).map(aliased)
     if (rest.exists(_.isEmpty)) return None
     val seq = rest.flatten
+    // EXPRESSION-VALUED measures: `sum(price * (1 - discount)) AS
+    // sum_rev` names the measure via its alias, and the argument
+    // text materializes as a derived column (`rev`) on every
+    // snapshot-side read — the group-expression discipline applied
+    // to measures, so the delta algebra is unchanged. ONE name maps
+    // to ONE text: the same derived name fed from two different
+    // expressions refuses (shape mismatch), the same text under the
+    // same name shares the single derived column (sum + min/max of
+    // one revenue expression).
+    val valExprs =
+      scala.collection.mutable.LinkedHashMap[String, String]()
+    def reg(x: String, e: String): Boolean =
+      valExprs.get(x) match {
+        case Some(prev) => prev == e
+        case None => valExprs.put(x, e); true
+      }
+    // alias-derived measure name: the part after the family prefix,
+    // eligible when nonempty and not a group key
+    def dn(alias: String, prefix: String): Option[String] = {
+      val x = alias.stripPrefix(prefix)
+      if (alias.startsWith(prefix) && x.nonEmpty &&
+        !gNames.contains(x)) Some(x) else None
+    }
     // one or more MEASURES — canonical (sum_<c>, cnt_<c>) pairs — a
     // rollup usually carries several, and one view maintains them
     // all in the same delta pass
@@ -211,30 +264,43 @@ object MvDdl {
     var more = true
     while (more) {
       (seq.lift(i), seq.lift(i + 1)) match {
-        case (Some((n1, "sum", Some(c1))),
-            Some((n2, "count", Some(c2))))
+        case (Some((n1, "sum", Some(c1), None)),
+            Some((n2, "count", Some(c2), None)))
             if c1 == c2 && n1 == s"sum_$c1" && n2 == s"cnt_$c1" &&
               !gNames.contains(c1) && !vals.contains(c1) =>
           vals += c1; i += 2
+        case (Some((n1, "sum", None, Some(e1))),
+            Some((n2, "count", None, Some(e2))))
+            if e1 == e2 && dn(n1, "sum_").isDefined &&
+              n2 == s"cnt_${n1.stripPrefix("sum_")}" &&
+              !vals.contains(n1.stripPrefix("sum_")) &&
+              reg(n1.stripPrefix("sum_"), e1) =>
+          vals += n1.stripPrefix("sum_"); i += 2
         case _ => more = false
       }
     }
     if (vals.isEmpty) return None
     seq.lift(i) match {
-      case Some(("n_rows", "count", None)) => i += 1
+      case Some(("n_rows", "count", None, None)) => i += 1
       case _ => return None
     }
     // optional avg entries — any subset of the values, IN VALUE
     // ORDER (so the stored schema is a function of the query) —
-    // each stored as the exact quotient of its pair
+    // each stored as the exact quotient of its pair; an expression
+    // avg must repeat its pair's exact text
     val avgsB = scala.collection.mutable.ArrayBuffer[String]()
     var moreAvg = true
     while (moreAvg) {
       seq.lift(i) match {
-        case Some((name, "avg", Some(c)))
+        case Some((name, "avg", Some(c), None))
             if name == s"avg_$c" && vals.contains(c) &&
-              !avgsB.contains(c) =>
+              !valExprs.contains(c) && !avgsB.contains(c) =>
           avgsB += c; i += 1
+        case Some((name, "avg", None, Some(e)))
+            if dn(name, "avg_").exists(x => vals.contains(x) &&
+              valExprs.get(x).contains(e) &&
+              !avgsB.contains(x)) =>
+          avgsB += name.stripPrefix("avg_"); i += 1
         case _ => moreAvg = false
       }
     }
@@ -249,10 +315,14 @@ object MvDdl {
     var moreDis = true
     while (moreDis) {
       seq.lift(i) match {
-        case Some((name, "approx_count_distinct", Some(c)))
+        case Some((name, "approx_count_distinct", Some(c), None))
             if name == s"adc_$c" && !gNames.contains(c) &&
               !disB.contains(c) =>
           disB += c; i += 1
+        case Some((name, "approx_count_distinct", None, Some(e)))
+            if dn(name, "adc_").exists(x => !disB.contains(x) &&
+              reg(x, e)) =>
+          disB += name.stripPrefix("adc_"); i += 1
         case _ => moreDis = false
       }
     }
@@ -267,10 +337,14 @@ object MvDdl {
     var moreCd = true
     while (moreCd) {
       seq.lift(i) match {
-        case Some((name, "count_distinct", Some(c)))
+        case Some((name, "count_distinct", Some(c), None))
             if name == s"cd_$c" && !gNames.contains(c) &&
               !cdB.contains(c) =>
           cdB += c; i += 1
+        case Some((name, "count_distinct", None, Some(e)))
+            if dn(name, "cd_").exists(x => !cdB.contains(x) &&
+              reg(x, e)) =>
+          cdB += name.stripPrefix("cd_"); i += 1
         case _ => moreCd = false
       }
     }
@@ -281,23 +355,32 @@ object MvDdl {
     var moreKll = true
     while (moreKll) {
       seq.lift(i) match {
-        case Some((name, "graft_kll", Some(c)))
+        case Some((name, "graft_kll", Some(c), None))
             if name == s"kll_$c" && !gNames.contains(c) &&
               !kllB.contains(c) =>
           kllB += c; i += 1
+        case Some((name, "graft_kll", None, Some(e)))
+            if dn(name, "kll_").exists(x => !kllB.contains(x) &&
+              reg(x, e)) =>
+          kllB += name.stripPrefix("kll_"); i += 1
         case _ => moreKll = false
       }
     }
     // optional extrema: (min_c, max_c) pairs over non-group columns
     val ext = seq.drop(i).grouped(2).map {
-      case Seq((n1, "min", Some(c1)), (n2, "max", Some(c2)))
+      case Seq((n1, "min", Some(c1), None), (n2, "max", Some(c2), None))
           if c1 == c2 && !gNames.contains(c1) &&
             n1 == s"min_$c1" && n2 == s"max_$c1" => Some(c1)
+      case Seq((n1, "min", None, Some(e1)), (n2, "max", None, Some(e2)))
+          if e1 == e2 && dn(n1, "min_").isDefined &&
+            n2 == s"max_${n1.stripPrefix("min_")}" &&
+            reg(n1.stripPrefix("min_"), e1) =>
+        Some(n1.stripPrefix("min_"))
       case _ => None
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
-    Some((gs, vals.toSeq, avgsB.toSeq, disB.toSeq, cdB.toSeq,
-      kllB.toSeq, ext.flatten, where))
+    Some((gs, vals.toSeq, valExprs.toSeq, avgsB.toSeq, disB.toSeq,
+      cdB.toSeq, kllB.toSeq, ext.flatten, where))
   }
 
   private[plans] val AggShapeMsg =
@@ -312,7 +395,12 @@ object MvDdl {
       "GROUP BY <g…> — a group key may be a bare column or a " +
       "deterministic expression aliased in the select list (GROUP " +
       "BY date_trunc('day', ts) with date_trunc('day', ts) AS day, " +
-      "or GROUP BY day); no HAVING or other aggregates; exact " +
+      "or GROUP BY day); an aggregate ARGUMENT may be a " +
+      "deterministic expression whose alias derives the measure " +
+      "name (sum(price * (1 - discount)) AS sum_rev with " +
+      "count(price * (1 - discount)) AS cnt_rev — same text in " +
+      "every spelling of one name); no HAVING or other aggregates; " +
+      "exact " +
       "count(DISTINCT <c>) AS cd_<c> recomputes the TOUCHED groups " +
       "from the pinned snapshot on every refresh (the extrema " +
       "discipline) — approx_count_distinct(<c>) AS adc_<c> is the " +
@@ -348,9 +436,12 @@ object MvDdl {
       "…] FROM " +
       "<fact> JOIN <dim> ON <fact>.<fk> = <dim>.<dk> … [WHERE …] " +
       "GROUP BY <g…> — group keys are bare/qualified columns or " +
-      "deterministic expressions aliased in the select list, the " +
-      "join is the star shape; the engine chains a HIDDEN join " +
-      "silver at <view>.silver and delta-maintains the gold over it"
+      "deterministic expressions aliased in the select list, " +
+      "aggregate ARGUMENTS may be expressions whose alias derives " +
+      "the measure name (sum(f.price * (1 - f.disc)) AS sum_rev), " +
+      "the join is the star shape; invertible shapes maintain the " +
+      "gold DIRECTLY, others chain a HIDDEN join silver at " +
+      "<view>.silver and delta-maintain the gold over it"
 
   /** Match `SELECT g…, aggs FROM fact JOIN dim… [WHERE …] GROUP BY
     * g…` — the aggregate-over-join shape the engine AUTO-CHAINS: a
@@ -426,8 +517,13 @@ object MvDdl {
     if (gNames.distinct.length != gNames.length) return None
     // one eligible aggregate with a 1- or 2-part column arg:
     // (alias, lowercased fn, Some((col last part, qualified sql)))
-    def fnOf2(e: Expression)
-        : Option[(String, String, Option[(String, String)])] =
+    // (alias, fn, bare/qualified column as (last part, sql), or —
+    // fourth slot — an EXPRESSION argument's sql text; the hidden
+    // silver (or the direct slice) projects any scalar of the join
+    // row, so `sum(f.price * (1 - f.disc)) AS sum_rev` is a measure
+    // whose derived column the alias names, like [[fnOf]])
+    def fnOf2(e: Expression): Option[(String, String,
+        Option[(String, String)], Option[String])] =
       e match {
         case Alias(f: UnresolvedFunction, name)
             if f.filter.isEmpty && f.nameParts.length == 1 =>
@@ -438,16 +534,20 @@ object MvDdl {
             case Seq(ua: UnresolvedAttribute)
                 if fn == "count" && ua.nameParts.length <= 2 =>
               Some((name, "count_distinct",
-                Some((ua.nameParts.last, ua.sql))))
+                Some((ua.nameParts.last, ua.sql)), None))
+            case Seq(arg) if fn == "count" && eligibleExpr(arg) =>
+              Some((name, "count_distinct", None, Some(arg.sql)))
             case _ => None
           } else f.arguments match {
             case Seq(ua: UnresolvedAttribute)
                 if ua.nameParts.length <= 2 =>
-              Some((name, fn, Some((ua.nameParts.last, ua.sql))))
+              Some((name, fn, Some((ua.nameParts.last, ua.sql)), None))
             case Seq(l: Literal) if fn == "count" && l.value != null =>
-              Some((name, fn, None))
+              Some((name, fn, None, None))
             case Seq(_: UnresolvedStar) if fn == "count" =>
-              Some((name, fn, None))
+              Some((name, fn, None, None))
+            case Seq(arg) if eligibleExpr(arg) =>
+              Some((name, fn, None, Some(arg.sql)))
             case _ => None
           }
         case _ => None
@@ -455,37 +555,65 @@ object MvDdl {
     val rest = outs.drop(nG).map(fnOf2)
     if (rest.exists(_.isEmpty)) return None
     val seq = rest.flatten
+    // EXPRESSION measures over joins: the alias derives the measure
+    // name and the (name, sql) pair flows through the existing slice
+    // projection (`<sql> AS <name>`) — same consistency rule as the
+    // single-table shape: one name, one text
+    val exprTexts =
+      scala.collection.mutable.LinkedHashMap[String, String]()
+    def reg(x: String, e: String): Boolean =
+      exprTexts.get(x) match {
+        case Some(prev) => prev == e
+        case None => exprTexts.put(x, e); true
+      }
+    def dn(alias: String, prefix: String): Option[String] = {
+      val x = alias.stripPrefix(prefix)
+      if (alias.startsWith(prefix) && x.nonEmpty &&
+        !gNames.contains(x)) Some(x) else None
+    }
     // one or more (sum_<c>, cnt_<c>) measure pairs over the SAME
-    // qualified column each
+    // qualified column (or the same expression text) each
     var i = 0
     val vals = scala.collection.mutable
       .ArrayBuffer[(String, String)]()
     var more = true
     while (more) {
       (seq.lift(i), seq.lift(i + 1)) match {
-        case (Some((n1, "sum", Some((c1, s1)))),
-            Some((n2, "count", Some((c2, s2)))))
+        case (Some((n1, "sum", Some((c1, s1)), None)),
+            Some((n2, "count", Some((c2, s2)), None)))
             if c1 == c2 && s1 == s2 && n1 == s"sum_$c1" &&
               n2 == s"cnt_$c1" && !gNames.contains(c1) &&
               !vals.exists(_._1 == c1) =>
           vals += ((c1, s1)); i += 2
+        case (Some((n1, "sum", None, Some(e1))),
+            Some((n2, "count", None, Some(e2))))
+            if e1 == e2 && dn(n1, "sum_").isDefined &&
+              n2 == s"cnt_${n1.stripPrefix("sum_")}" &&
+              !vals.exists(_._1 == n1.stripPrefix("sum_")) &&
+              reg(n1.stripPrefix("sum_"), e1) =>
+          vals += ((n1.stripPrefix("sum_"), e1)); i += 2
         case _ => more = false
       }
     }
     if (vals.isEmpty) return None
     seq.lift(i) match {
-      case Some(("n_rows", "count", None)) => i += 1
+      case Some(("n_rows", "count", None, None)) => i += 1
       case _ => return None
     }
-    // optional avg entries — a subset of the values, in value order
+    // optional avg entries — a subset of the values, in value order;
+    // an expression avg repeats its pair's exact text
     val avgsB = scala.collection.mutable.ArrayBuffer[String]()
     var moreAvg = true
     while (moreAvg) {
       seq.lift(i) match {
-        case Some((name, "avg", Some((c, sql))))
+        case Some((name, "avg", Some((c, sql)), None))
             if name == s"avg_$c" && !avgsB.contains(c) &&
               vals.exists(v => v._1 == c && v._2 == sql) =>
           avgsB += c; i += 1
+        case Some((name, "avg", None, Some(e)))
+            if dn(name, "avg_").exists(x => !avgsB.contains(x) &&
+              vals.exists(v => v._1 == x && v._2 == e)) =>
+          avgsB += name.stripPrefix("avg_"); i += 1
         case _ => moreAvg = false
       }
     }
@@ -500,10 +628,15 @@ object MvDdl {
     var moreDis = true
     while (moreDis) {
       seq.lift(i) match {
-        case Some((name, "approx_count_distinct", Some((c, sql))))
+        case Some((name, "approx_count_distinct", Some((c, sql)),
+            None))
             if name == s"adc_$c" && !gNames.contains(c) &&
               !disB.exists(_._1 == c) =>
           disB += ((c, sql)); i += 1
+        case Some((name, "approx_count_distinct", None, Some(e)))
+            if dn(name, "adc_").exists(x =>
+              !disB.exists(_._1 == x) && reg(x, e)) =>
+          disB += ((name.stripPrefix("adc_"), e)); i += 1
         case _ => moreDis = false
       }
     }
@@ -515,10 +648,14 @@ object MvDdl {
     var moreCd = true
     while (moreCd) {
       seq.lift(i) match {
-        case Some((name, "count_distinct", Some((c, sql))))
+        case Some((name, "count_distinct", Some((c, sql)), None))
             if name == s"cd_$c" && !gNames.contains(c) &&
               !cdB.exists(_._1 == c) =>
           cdB += ((c, sql)); i += 1
+        case Some((name, "count_distinct", None, Some(e)))
+            if dn(name, "cd_").exists(x =>
+              !cdB.exists(_._1 == x) && reg(x, e)) =>
+          cdB += ((name.stripPrefix("cd_"), e)); i += 1
         case _ => moreCd = false
       }
     }
@@ -528,17 +665,28 @@ object MvDdl {
     var moreKll = true
     while (moreKll) {
       seq.lift(i) match {
-        case Some((name, "graft_kll", Some((c, sql))))
+        case Some((name, "graft_kll", Some((c, sql)), None))
             if name == s"kll_$c" && !gNames.contains(c) &&
               !kllB.exists(_._1 == c) =>
           kllB += ((c, sql)); i += 1
+        case Some((name, "graft_kll", None, Some(e)))
+            if dn(name, "kll_").exists(x =>
+              !kllB.exists(_._1 == x) && reg(x, e)) =>
+          kllB += ((name.stripPrefix("kll_"), e)); i += 1
         case _ => moreKll = false
       }
     }
     val ext = seq.drop(i).grouped(2).map {
-      case Seq((n1, "min", Some((c1, s1))), (n2, "max", Some((c2, s2))))
+      case Seq((n1, "min", Some((c1, s1)), None),
+          (n2, "max", Some((c2, s2)), None))
           if c1 == c2 && s1 == s2 && !gNames.contains(c1) &&
             n1 == s"min_$c1" && n2 == s"max_$c1" => Some((c1, s1))
+      case Seq((n1, "min", None, Some(e1)),
+          (n2, "max", None, Some(e2)))
+          if e1 == e2 && dn(n1, "min_").isDefined &&
+            n2 == s"max_${n1.stripPrefix("min_")}" &&
+            reg(n1.stripPrefix("min_"), e1) =>
+        Some((n1.stripPrefix("min_"), e1))
       case _ => None
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
@@ -992,7 +1140,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         }
       Seq(Row("aggjoin", from, to))
     } else if (isAggQuery) {
-      val (gs, vals, avgs, dis, cds, kll, ext, where) =
+      val (gs, vals, vExprs, avgs, dis, cds, kll, ext, where) =
         MvDdl.aggShapeOf(parsed)
         .getOrElse(
           throw new UnsupportedOperationException(MvDdl.AggShapeMsg))
@@ -1001,17 +1149,26 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           "— spell it ROW KEY (<source row id>), not KEY")
       val bare = gs.collect { case (g, None) => g }
       val gExprs = gs.collect { case (g, Some(t)) => (g, t) }
-      (bare ++ vals ++ dis ++ cds ++ kll ++ ext).foreach(c =>
+      // expression-valued measures materialize as derived columns —
+      // exempt their names from the source-column check
+      val derivedVals = vExprs.map(_._1).toSet
+      (bare ++ vals ++ dis ++ cds ++ kll ++ ext)
+        .filterNot(derivedVals.contains).foreach(c =>
         require(srcCols.contains(c),
           s"column '$c' is not in the source table " +
             s"(has: ${srcCols.toSeq.sorted.mkString(", ")})"))
       // a bucket alias that SHADOWS a source column would change
       // what the stored WHERE sees at refresh time — refuse eagerly
-      // (refreshAgg re-checks, but HERE the user can still edit)
+      // (refreshAgg re-checks, but HERE the user can still edit);
+      // the same rule covers derived MEASURE names
       gExprs.map(_._1).filter(srcCols.contains).foreach(n =>
         throw new IllegalArgumentException(
           s"derived group name '$n' shadows a source column — " +
             "alias the bucket differently"))
+      derivedVals.filter(srcCols.contains).foreach(n =>
+        throw new IllegalArgumentException(
+          s"derived measure name '$n' shadows a source column — " +
+            "alias the measure differently"))
       // reference checks shared by the WHERE predicate and every
       // bucket expression: qualified names can't re-resolve against
       // the bare snapshot reads at refresh time, unknown columns
@@ -1033,6 +1190,8 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       where.foreach(checkRefs(_, "WHERE"))
       gExprs.foreach { case (g, t) =>
         checkRefs(t, s"group expression '$g'") }
+      vExprs.foreach { case (v, t) =>
+        checkRefs(t, s"measure expression '$v'") }
       // the spec rides the BOOTSTRAP commit itself — data, pin, and
       // identity publish atomically, so no crash window can leave a
       // standing table that is not yet (and can never become) a view
@@ -1041,6 +1200,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
         partitionCol = partitionCol,
         groupExprs = gExprs, moreValues = vals.tail, avgCols = avgs,
         distinctCols = dis, exactDistinctCols = cds, kllCols = kll,
+        valueExprs = vExprs,
         bootstrapProps = Map(
           DerivedTable.MvKindProp -> "agg",
           DerivedTable.MvSourceProp -> srcDir,
@@ -1051,6 +1211,8 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           DerivedTable.MvQueryProp -> queryText) ++
           gExprs.map { case (g, t) =>
             (DerivedTable.MvGroupExprPrefix + g) -> t } ++
+          vExprs.map { case (v, t) =>
+            (DerivedTable.MvValueExprPrefix + v) -> t } ++
           (if (avgs.nonEmpty)
             Seq(DerivedTable.MvAvgProp -> avgs.mkString(","))
            else Nil) ++

@@ -61,6 +61,12 @@ object DerivedTable {
   // snapshot-side read (`graft.mv.group_expr.<name>` → expr text);
   // bare-column groups carry no entry
   val MvGroupExprPrefix = "graft.mv.group_expr."
+  // agg: one per EXPRESSION-VALUED measure — the SQL text of the
+  // aggregate ARGUMENT a derived value column materializes on every
+  // snapshot-side read (`sum(price * (1 - discount)) AS sum_rev`
+  // stores `graft.mv.value_expr.rev` → the product's text); bare
+  // column measures carry no entry
+  val MvValueExprPrefix = "graft.mv.value_expr."
   val MvAvgProp = "graft.mv.avg" // agg: 'true' when avg_<v> is stored
   // agg: csv of approx-distinct columns — each stores adc_<c> (the
   // HLL estimate) plus hll_<c> (the mergeable sketch state, last)
@@ -661,12 +667,16 @@ object DerivedTable {
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
         val kll = props.get(MvKllProp).toSeq
           .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+        val vExprs = props.collect {
+          case (k, v) if k.startsWith(MvValueExprPrefix) =>
+            (k.stripPrefix(MvValueExprPrefix), v) }.toSeq
         val (f, t) = refreshAgg(s, src, dstDir, props(MvRowKeyProp),
           groups, vals.head, extrema = ext,
           where = props.get(MvWhereProp).filter(_.nonEmpty),
           partitionCol = pCol, groupExprs = gExprs,
           moreValues = vals.tail, avgCols = avs, distinctCols = dis,
-          exactDistinctCols = cds, kllCols = kll)
+          exactDistinctCols = cds, kllCols = kll,
+          valueExprs = vExprs)
         ("agg", f, t)
       case "join" | "aggjoin" =>
         // the refresh reports the FACT range (the stream side); a
@@ -1349,7 +1359,8 @@ object DerivedTable {
       avgCols: Seq[String] = Nil,
       distinctCols: Seq[String] = Nil,
       exactDistinctCols: Seq[String] = Nil,
-      kllCols: Seq[String] = Nil): (Int, Int) = {
+      kllCols: Seq[String] = Nil,
+      valueExprs: Seq[(String, String)] = Nil): (Int, Int) = {
     require(groupCols.nonEmpty, "refreshAgg needs at least one group " +
       "column")
     // EXACT distinct-count measures (cd_<c>): non-invertible in BOTH
@@ -1406,20 +1417,9 @@ object DerivedTable {
       s"avg columns (${avgs.mkString(", ")}) must be distinct value " +
         s"columns (${values.mkString(", ")})")
     lazy val srcSchema = Versioned.read(s, srcDir).schema
-    // Spark's avg(decimal) carries its own result precision/scale
-    // and HALF_UP rounding — the stored sum/cnt quotient would
-    // differ in type and digits from the definition, so DECIMAL avg
-    // refuses (long/double quotients are the exact same arithmetic)
-    if (avgs.nonEmpty) {
-      val dec = avgs.filter(c => srcSchema.fields.find(_.name == c)
-        .exists(_.dataType
-          .isInstanceOf[org.apache.spark.sql.types.DecimalType]))
-      require(dec.isEmpty,
-        s"avg over DECIMAL column(s) ${dec.mkString(", ")} is not " +
-          "maintainable as the stored sum/cnt quotient (Spark's " +
-          "avg(decimal) result type and rounding differ) — store " +
-          "sum/cnt and divide at read, or cast the column to double")
-    }
+    // (the DECIMAL-avg refusal moved below the derived-column stub —
+    // an avg over an EXPRESSION measure needs the derived column's
+    // type, which only the prepared-stream stub knows)
     // EXPRESSION-VALUED group keys (`GROUP BY date_trunc('day', ts)`
     // — the time-bucketed rollup, the single most common MV shape in
     // practice): each (name, exprText) materializes as a derived
@@ -1433,23 +1433,70 @@ object DerivedTable {
       s"groupExprs names (${groupExprs.map(_._1).mkString(", ")}) " +
         s"must be group columns (${groupCols.mkString(", ")})")
     val derivedNames = groupExprs.map(_._1).toSet
-    if (groupExprs.nonEmpty) {
-      // a bucket name that SHADOWS a source column would silently
-      // change what the stored WHERE sees (the predicate runs after
-      // the bucket materializes) — refuse the collision outright
-      val shadowed = groupExprs.map(_._1)
+    // EXPRESSION-VALUED measures (`sum(price * (1 - discount)) AS
+    // sum_rev`): each (name, exprText) materializes as a derived
+    // VALUE column on every snapshot-side read — the bucket
+    // discipline applied to measures, so the delta algebra is
+    // unchanged. Names must belong to a declared measure family and
+    // must not shadow source columns (the stored WHERE and the
+    // aggregate args would silently rebind).
+    require(valueExprs.map(_._1).distinct.length == valueExprs.length,
+      s"valueExprs names must be distinct, got " +
+        s"${valueExprs.map(_._1).mkString(", ")}")
+    require(valueExprs.map(_._1).forall(n => values.contains(n) ||
+      distinctCols.contains(n) || exactDistinctCols.contains(n) ||
+      kllCols.contains(n) || extrema.contains(n)),
+      s"valueExprs names (${valueExprs.map(_._1).mkString(", ")}) " +
+        "must each name a declared measure column")
+    val allDerived = groupExprs ++ valueExprs
+    if (allDerived.nonEmpty) {
+      // a derived name that SHADOWS a source column would silently
+      // change what the stored WHERE (and the aggregates) see —
+      // refuse the collision outright
+      val shadowed = allDerived.map(_._1)
         .filter(n => srcSchema.fieldNames.contains(n))
       require(shadowed.isEmpty,
-        s"derived group name(s) ${shadowed.mkString(", ")} shadow " +
-          "source columns — the stored WHERE would see the bucket " +
-          "instead of the column; alias the bucket differently")
+        s"derived name(s) ${shadowed.mkString(", ")} shadow " +
+          "source columns — the stored WHERE would see the derived " +
+          "column instead; alias it differently")
+      valueExprs.foreach { case (n, t) =>
+        val quals = s.sessionState.sqlParser.parseExpression(t)
+          .collect {
+            case ua: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute if ua.nameParts.length > 1 =>
+              ua.name
+          }
+        require(quals.isEmpty,
+          s"measure expression '$n' references " +
+            s"${quals.mkString(", ")} with a qualifier — the stored " +
+            "text re-resolves against the bare source columns at " +
+            "every refresh; use unqualified names")
+      }
       // stub determinism check, once per refresh call: a rand() in a
-      // bucket expression would re-bucket the same rows differently
-      // on every read and the view silently diverges
+      // bucket or measure expression would re-derive the same rows
+      // differently on every read and the view silently diverges
       requireDeterministicOver(
-        groupExprs.foldLeft(stubOf(s, srcSchema)) {
+        allDerived.foldLeft(stubOf(s, srcSchema)) {
           case (df, (n, t)) => df.withColumn(n, expr(t)) },
-        groupExprs.map(_._2).mkString("; "))
+        allDerived.map(_._2).mkString("; "))
+    }
+    // Spark's avg(decimal) carries its own result precision/scale
+    // and HALF_UP rounding — the stored sum/cnt quotient would
+    // differ in type and digits from the definition, so DECIMAL avg
+    // refuses (long/double quotients are the exact same arithmetic);
+    // the type comes from the PREPARED stub so expression measures
+    // are covered too
+    if (avgs.nonEmpty) {
+      val prepSchema = allDerived.foldLeft(stubOf(s, srcSchema)) {
+        case (df, (n, t)) => df.withColumn(n, expr(t)) }.schema
+      val dec = avgs.filter(c => prepSchema.fields.find(_.name == c)
+        .exists(_.dataType
+          .isInstanceOf[org.apache.spark.sql.types.DecimalType]))
+      require(dec.isEmpty,
+        s"avg over DECIMAL column(s) ${dec.mkString(", ")} is not " +
+          "maintainable as the stored sum/cnt quotient (Spark's " +
+          "avg(decimal) result type and rounding differ) — store " +
+          "sum/cnt and divide at read, or cast the column to double")
     }
     // the destination's rows are one-per-group, so only a GROUP
     // column is a meaningful layout key (a value column would need
@@ -1481,12 +1528,12 @@ object DerivedTable {
     }
     var whereChecked = false
     // every snapshot-side read goes through `prepared`: derived
-    // bucket columns first (they may only reference source columns),
-    // then the WHERE filter — so bootstrap, both pinned touched-row
-    // reads, and the extrema recompute all see the same bucketed,
-    // filtered stream
+    // bucket AND measure columns first (they may only reference
+    // source columns), then the WHERE filter — so bootstrap, both
+    // pinned touched-row reads, and the extrema recompute all see
+    // the same derived, filtered stream
     def prepared(df: DataFrame): DataFrame = {
-      val bucketed = groupExprs.foldLeft(df) {
+      val bucketed = (groupExprs ++ valueExprs).foldLeft(df) {
         case (acc, (n, t)) => acc.withColumn(n, expr(t)) }
       where.map { w =>
         val out = bucketed.filter(expr(w))
@@ -2570,6 +2617,114 @@ object DerivedTable {
       .toDF("groups_v1", "adcsum_v1", "groups_v2", "adcsum_v2",
         "groups_v3", "adcsum_v3", "cdsum_v1", "cdsum_v2", "cdsum_v3",
         "eq_exact", "eq_exact_cd", "spec_distinct", "spec_exact")
+  }
+
+  /** The pooled SOURCE family q62 uses: a BOUNDED lineitem slice
+    * (l_orderkey < 2000, ~2k rows at any SF — the gate proves the
+    * expression-measure lifecycle, not scan throughput) with a
+    * synthetic single-column row id (rid = l_orderkey * 10 +
+    * l_linenumber — linenumber is 1..7 by the TPC-H spec, so the
+    * encoding is collision-free), split at 1200 (base + `.app`). */
+  private def cloneMvLineSrc(s: SparkSession, d: String,
+      src: String): Unit =
+    FixturePool.cloneTo(s"mvline:$d", src, reclaimAtExit = true) {
+      dir =>
+        val li = Tables.load(s, d, "lineitem")
+          .filter(col("l_orderkey") < 2000)
+          .select((col("l_orderkey") * 10 + col("l_linenumber"))
+              .cast("long").as("rid"),
+            col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_linestatus"),
+            col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax"))
+          .persist(org.apache.spark.storage.StorageLevel
+            .MEMORY_AND_DISK)
+        try {
+          Versioned.commit(li.filter(col("l_orderkey") < 1200), dir)
+          Versioned.commit(li.filter(col("l_orderkey") >= 1200),
+            dir + ".app")
+        } finally li.unpersist(blocking = false)
+    }
+
+  /** Driver-visible gate (q62): EXPRESSION-VALUED measures — the
+    * TPC-H Q1 pricing summary as ONE delta-maintained MV.
+    * `sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS
+    * sum_discc` (and the base/charge/qty twins) each materialize a
+    * derived value column on every snapshot-side read; the measures
+    * stay in exact integer CENTS (floor over IEEE doubles is
+    * engine-stable), so the algebraic patches are exact and every
+    * per-state figure restates as a DuckDB hash fact over the same
+    * replayed edits (append, a discount update, modulo deletes). */
+  def exprMvGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-exprmv-gate")
+    try exprMvGateBody(s, d, work)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  private def exprMvGateBody(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    def abs(n: String) = work.resolve(n).toAbsolutePath.toString
+    val src = abs("src"); val mv = abs("mv")
+    cloneMvLineSrc(s, d, src)
+    val qty = "floor(l_quantity * 100)"
+    val base = "floor(l_extendedprice * 100)"
+    val disc = "floor(l_extendedprice * (1 - l_discount) * 100)"
+    val charge =
+      "floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100)"
+    val defSel = "SELECT l_returnflag, l_linestatus, " +
+      s"sum($qty) AS sum_qtyc, count($qty) AS cnt_qtyc, " +
+      s"sum($base) AS sum_basec, count($base) AS cnt_basec, " +
+      s"sum($disc) AS sum_discc, count($disc) AS cnt_discc, " +
+      s"sum($charge) AS sum_chargec, count($charge) AS cnt_chargec, " +
+      "count(*) AS n_rows, " +
+      s"avg($qty) AS avg_qtyc, avg($base) AS avg_basec, " +
+      s"avg($disc) AS avg_discc FROM "
+    val groupTail = "GROUP BY l_returnflag, l_linestatus"
+    val created = s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` " +
+      s"ROW KEY (rid) AS $defSel graft.`$src` $groupTail").head()
+    // insert-only append → the pure algebraic patch on the derived
+    // stream (no recompute read: every measure here is invertible)
+    Versioned.append(Versioned.read(s, src + ".app"), src)
+    s.sql(s"CALL graft.system.refresh_mv('$mv')")
+    // mixed batch: a discount update moves three derived measures in
+    // place, modulo deletes shrink every group
+    val all = Versioned.read(s, src)
+    Versioned.applyChanges(s, src,
+      upserts = all.filter(col("l_linenumber") === 1 &&
+          col("l_orderkey") % 500 === 0)
+        .withColumn("l_discount", lit(0.5)),
+      deleteKeys = all.filter(col("rid") % 37 === 0)
+        .select(col("rid")),
+      key = "rid")
+    s.sql(s"CALL graft.system.refresh_mv('$mv')")
+    // the three states' facts in ONE tagged job
+    def st(df: DataFrame, tag: String): DataFrame =
+      df.select(lit(tag).as("t"), col("sum_discc").as("dc"),
+        col("sum_chargec").as("ch"))
+    val stats = st(Versioned.read(s, mv, Some(1)), "v1")
+      .unionByName(st(Versioned.read(s, mv, Some(2)), "v2"))
+      .unionByName(st(Versioned.read(s, mv), "v3"))
+      .groupBy(col("t")).agg(count(lit(1)).as("g"),
+        sum(col("dc")).as("dc"), sum(col("ch")).as("ch"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // the DEFINITION (sums, counts, and stored avg quotients alike)
+    // equals a full recompute — one signed-union job
+    val eq = bagEqual(Versioned.read(s, mv),
+      s.sql(s"$defSel graft.`$src` $groupTail"))
+    // the spec persists one argument text per derived measure name
+    val specN = Versioned.properties(s, mv).keys
+      .count(_.startsWith(MvValueExprPrefix)).toLong
+    import s.implicits._
+    Seq((if (created.getString(0) == "agg") 1L else 0L,
+        stats("v1").getLong(1), stats("v1").getLong(2),
+        stats("v2").getLong(1), stats("v2").getLong(2),
+        stats("v3").getLong(1), stats("v3").getLong(2),
+        stats("v3").getLong(3),
+        if (eq) 1L else 0L, specN))
+      .toDF("created_agg", "groups_v1", "discsum_v1", "groups_v2",
+        "discsum_v2", "groups_v3", "discsum_v3", "chargesum_v3",
+        "eq_recompute", "spec_exprs")
   }
 
   /** Driver-visible gate (q61): KLL QUANTILE-SKETCH measures in an

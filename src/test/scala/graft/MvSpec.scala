@@ -1259,6 +1259,95 @@ class MvSpec extends SparkSpec {
     assert(e2.getMessage.contains("delta-maintainable shape"))
   }
 
+  test("expression-valued measures: sum(price * (1 - disc)) AS " +
+      "sum_rev materializes a derived value column — the TPC-H Q1 " +
+      "revenue-rollup shape, delta-maintained") {
+    val src = fresh("vx_src")
+    val dst = fresh("vx_dst")
+    // floor(...*100) keeps the measure in exact integer cents (floor
+    // over IEEE doubles is engine-stable), so every equality below
+    // is a hash fact
+    Versioned.commit((1L to 20L).map(i =>
+        (i, s"g${i % 3}", i * 10.0, (i % 4) * 0.1))
+      .toDF("id", "g", "price", "disc"), src)
+    val revT = "floor(price * (1 - disc) * 100)"
+    val sel = s"SELECT g, sum($revT) AS sum_rev, count($revT) AS " +
+      s"cnt_rev, count(*) AS n_rows, avg($revT) AS avg_rev, " +
+      s"min($revT) AS min_rev, max($revT) AS max_rev FROM "
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      s"ROW KEY (id) AS $sel graft.`$src` GROUP BY g").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("agg", 0, 1)))
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`").columns.toSeq ==
+      Seq("g", "sum_rev", "cnt_rev", "n_rows", "avg_rev", "min_rev",
+        "max_rev"))
+    // ONE derived column serves the pair, the avg, and the extrema;
+    // the spec persists the argument text under the measure name
+    assert(Versioned.properties(spark, dst)
+      .contains(DerivedTable.MvValueExprPrefix + "rev"))
+    def expect = spark.sql(s"$sel graft.`$src` GROUP BY g")
+    def got = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(DerivedTable.bagEqual(got, expect))
+    // append → the algebraic patch runs on the derived stream
+    Versioned.append(Seq((21L, "g0", 500.0, 0.2),
+      (22L, "fresh", 40.0, 0.0)).toDF("id", "g", "price", "disc"),
+      src)
+    val r1 = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(r1.map(_.toSeq).toSeq == Seq(Seq("agg", 1, 2)))
+    assert(DerivedTable.bagEqual(got, expect))
+    // mixed batch: a price update (the derived value changes in
+    // place), a group migration, and key deletes — incl. the max
+    // of a group, which only the extrema recompute can step down
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((1L, "g1", 999.0, 0.5),
+        (2L, "g0", 20.0, 0.0)).toDF("id", "g", "price", "disc"),
+      deleteKeys = Seq(21L, 9L).toDF("id"), key = "id")
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(DerivedTable.bagEqual(got, expect))
+    // over a JOIN, invertible-only expression measures maintain the
+    // gold DIRECTLY (no hidden silver)
+    val dim = fresh("vx_dim")
+    val gold = fresh("vx_gold")
+    Versioned.commit(Seq(("g0", "L0"), ("g1", "L1"), ("g2", "L2"),
+      ("fresh", "LF")).toDF("g", "label"), dim)
+    val goldSel = "SELECT d.label, sum(floor(f.price * (1 - " +
+      "f.disc) * 100)) AS sum_rev, count(floor(f.price * (1 - " +
+      "f.disc) * 100)) AS cnt_rev, count(*) AS n_rows FROM " +
+      s"graft.`$src` f JOIN graft.`$dim` d ON f.g = d.g"
+    val c2 = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` " +
+      s"ROW KEY (id) AS $goldSel GROUP BY d.label").head()
+    assert(c2.getString(0) == "aggjoin")
+    assert(Versioned.currentVersion(spark, gold + ".silver") == 0)
+    Versioned.append(Seq((30L, "g2", 77.0, 0.1))
+      .toDF("id", "g", "price", "disc"), src)
+    spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$gold`"),
+      spark.sql(s"$goldSel GROUP BY d.label")))
+    // refusals: the pair's two spellings must carry the SAME text;
+    // a derived measure name shadowing a source column refuses; a
+    // nondeterministic measure expression refuses at CREATE
+    val d2 = fresh("vx_ref")
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$d2` ROW KEY (id) AS " +
+        "SELECT g, sum(price * (1 - disc)) AS sum_rev, " +
+        "count(price) AS cnt_rev, count(*) AS n_rows FROM " +
+        s"graft.`$src` GROUP BY g"))
+    assert(e1.getMessage.contains("delta-maintainable shape"))
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$d2` ROW KEY (id) AS " +
+        "SELECT g, sum(price * 2) AS sum_disc, count(price * 2) " +
+        s"AS cnt_disc, count(*) AS n_rows FROM graft.`$src` " +
+        "GROUP BY g"))
+    assert(e2.getMessage.contains("shadow"))
+    val e3 = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$d2` ROW KEY (id) AS " +
+        "SELECT g, sum(price * rand()) AS sum_r, count(price * " +
+        s"rand()) AS cnt_r, count(*) AS n_rows FROM graft.`$src` " +
+        "GROUP BY g"))
+    assert(e3.getMessage.contains("nondeterministic"))
+  }
+
   test("exact distinct-count measures: count(DISTINCT c) AS cd_c " +
       "recomputes the touched groups on EVERY refresh — duplicate " +
       "inserts don't inflate, deletes don't strand, and the count " +
