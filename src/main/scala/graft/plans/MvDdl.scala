@@ -192,7 +192,10 @@ object MvDdl {
     }
     val nG = agg.groupingExpressions.length
     val outs = agg.aggregateExpressions
-    if (nG == 0 || outs.length < nG + 3) return None
+    // at minimum the groups plus n_rows: a COUNT-ONLY rollup
+    // (`SELECT g, count(*) AS n_rows … GROUP BY g` — the frequency
+    // table) is delta-maintainable with no sum/cnt pair at all
+    if (nG == 0 || outs.length < nG + 1) return None
     // the first |groups| outputs are the group columns, in order,
     // each paired with its grouping expression
     val gs: Seq[(String, Option[String])] =
@@ -279,7 +282,8 @@ object MvDdl {
         case _ => more = false
       }
     }
-    if (vals.isEmpty) return None
+    // zero pairs is legal — the COUNT-ONLY rollup — but n_rows is
+    // always mandatory (it is the delta algebra's group-death signal)
     seq.lift(i) match {
       case Some(("n_rows", "count", None, None)) => i += 1
       case _ => return None
@@ -385,8 +389,8 @@ object MvDdl {
 
   private[plans] val AggShapeMsg =
     "a GROUP BY materialized view must match the delta-maintainable " +
-      "shape exactly: SELECT <g…>, sum(<a>) AS sum_<a>, count(<a>) " +
-      "AS cnt_<a>[, more sum/cnt pairs …], count(*) AS n_rows[, " +
+      "shape exactly: SELECT <g…>[, sum(<a>) AS sum_<a>, count(<a>) " +
+      "AS cnt_<a>[, more sum/cnt pairs …]], count(*) AS n_rows[, " +
       "avg(<c>) AS avg_<c> per value column, in value order][, " +
       "approx_count_distinct(<c>) AS adc_<c> …][, count(DISTINCT " +
       "<c>) AS cd_<c> …][, graft_kll(<c>) " +
@@ -439,9 +443,12 @@ object MvDdl {
       "deterministic expressions aliased in the select list, " +
       "aggregate ARGUMENTS may be expressions whose alias derives " +
       "the measure name (sum(f.price * (1 - f.disc)) AS sum_rev), " +
-      "the join is the star shape; invertible shapes maintain the " +
-      "gold DIRECTLY, others chain a HIDDEN join silver at " +
-      "<view>.silver and delta-maintain the gold over it"
+      "the join is the star shape, or the 3-relation SNOWFLAKE " +
+      "(d2 joined to d1) with every reference 2-part qualified — " +
+      "deeper chains need manually chained views; invertible shapes " +
+      "maintain the gold DIRECTLY, others chain a HIDDEN join " +
+      "silver at <view>.silver (snowflakes add the fact-to-d1 hop " +
+      "at <view>.snow) and delta-maintain the gold over it"
 
   /** Match `SELECT g…, aggs FROM fact JOIN dim… [WHERE …] GROUP BY
     * g…` — the aggregate-over-join shape the engine AUTO-CHAINS: a
@@ -472,9 +479,26 @@ object MvDdl {
       case u: UnresolvedRelation => u.multipartIdentifier.last
       case _ => return None
     }
+    val (gs, vals, avgs, dis, cds, kll, ext) =
+      aggJoinListOf(agg).getOrElse(return None)
+    Some((factAlias, gs, vals, avgs, dis, cds, kll, ext, shape))
+  }
+
+  /** The SELECT-list half of the aggregate-over-join shapes — groups
+    * as (name, qualified sql, is-expression) and the measure
+    * families as (name, qualified sql) lists — shared by the STAR
+    * matcher ([[aggOverJoinShapeOf]]) and the SNOWFLAKE one
+    * ([[aggOverSnowflakeShapeOf]]). */
+  private def aggJoinListOf(agg: Aggregate)
+      : Option[(Seq[(String, String, Boolean)],
+        Seq[(String, String)], Seq[String], Seq[(String, String)],
+        Seq[(String, String)], Seq[(String, String)],
+        Seq[(String, String)])] = {
     val nG = agg.groupingExpressions.length
     val outs = agg.aggregateExpressions
-    if (nG == 0 || outs.length < nG + 3) return None
+    // at minimum the groups plus n_rows — the COUNT-ONLY rollup
+    // works over joins too
+    if (nG == 0 || outs.length < nG + 1) return None
     // a group key is a bare/qualified COLUMN, or — because the
     // hidden silver can project ANY deterministic scalar of the join
     // row — an EXPRESSION aliased in the select list (spelled in
@@ -595,7 +619,7 @@ object MvDdl {
         case _ => more = false
       }
     }
-    if (vals.isEmpty) return None
+    // zero pairs is legal (count-only); n_rows stays mandatory
     seq.lift(i) match {
       case Some(("n_rows", "count", None, None)) => i += 1
       case _ => return None
@@ -690,8 +714,38 @@ object MvDdl {
       case _ => None
     }.toSeq
     if (ext.exists(_.isEmpty)) return None
-    Some((factAlias, gs, vals.toSeq, avgsB.toSeq, disB.toSeq,
-      cdB.toSeq, kllB.toSeq, ext.flatten, shape))
+    Some((gs, vals.toSeq, avgsB.toSeq, disB.toSeq,
+      cdB.toSeq, kllB.toSeq, ext.flatten))
+  }
+
+  /** Match `SELECT g…, aggs FROM fact ⋈ d1 (ON fact), d2 ⋈ d1 (ON
+    * d1) [WHERE …] GROUP BY g…` — the aggregate-over-SNOWFLAKE
+    * shape: the same SELECT-list contract as [[aggOverJoinShapeOf]]
+    * over the 3-relation dim-over-dim chain [[snowflakeShapeOf]]
+    * handles for plain joins. The CREATE auto-chains: a hidden
+    * fact⋈d1 join silver materializes at `<dst>.snow`, the query
+    * rewrites onto `silver ⋈ d2` (now a STAR), and the standard
+    * aggregate-over-join machinery maintains the gold. Every column
+    * reference in the groups, measure arguments, and WHERE must be
+    * 2-part qualified (the rewrite onto the silver must be exact).
+    * The WHERE condition here sits UNDER the Aggregate. */
+  def aggOverSnowflakeShapeOf(p: LogicalPlan)
+      : Option[(SnowHopsShape, Option[String],
+        Seq[(String, String, Boolean)], Seq[(String, String)],
+        Seq[String], Seq[(String, String)], Seq[(String, String)],
+        Seq[(String, String)], Seq[(String, String)])] = {
+    val agg = p match {
+      case a: Aggregate => a
+      case _ => return None
+    }
+    val hops = snowHopsOf(agg.child).getOrElse(return None)
+    val whereText = agg.child match {
+      case f: Filter => Some(f.condition.sql)
+      case _ => None
+    }
+    val (gs, vals, avgs, dis, cds, kll, ext) =
+      aggJoinListOf(agg).getOrElse(return None)
+    Some((hops, whereText, gs, vals, avgs, dis, cds, kll, ext))
   }
 
   // slices `SELECT … FROM <tail> GROUP BY …` to the tail — the
@@ -801,17 +855,13 @@ object MvDdl {
       outputs: Seq[(String, String, String)],
       whereRefs: Seq[(String, String)], whereText: Option[String])
 
-  /** Match the 3-relation SNOWFLAKE shape — `SELECT <q.col [AS n]>…
-    * FROM fact f JOIN d1 ON f.fk = d1.dk [AND …] JOIN d2 ON
-    * d1.b = d2.c [AND …] [WHERE <qualified refs only>]` — the
-    * dim-over-dim chain [[joinShapeOf]] cannot express. The engine
-    * auto-chains it: a hidden silver materializes `fact ⋈ d1`
-    * projecting every column the second hop needs, and the visible
-    * view joins the silver to d2 (kind=join, auto-cascade). Outputs
-    * must be PURE COLUMN projections (an expression would need
-    * cross-hop rewriting) and every reference 2-part qualified —
-    * None otherwise, and for deeper chains (chain views manually). */
-  def snowflakeShapeOf(p: LogicalPlan): Option[SnowflakeShape] = {
+  /** The 3-relation snowflake JOIN TREE — aliases plus both hops —
+    * shared by the plain-join matcher ([[snowflakeShapeOf]]) and the
+    * aggregate one ([[aggOverSnowflakeShapeOf]]). */
+  final case class SnowHopsShape(factAlias: String, d1Alias: String,
+      d2Alias: String, hop1: SnowHop, hop2: SnowHop)
+
+  private def snowHopsOf(p: LogicalPlan): Option[SnowHopsShape] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
     val joins = p.collect { case j: Join => j }
     if (joins.length != 2) return None
@@ -869,6 +919,26 @@ object MvDdl {
     // the SNOWFLAKE signature: the second ON links d1 to d2 (a
     // fact-to-d2 ON is a star, which joinShapeOf already matched)
     val hop2 = hopOf(joins.head, d1, d2).getOrElse(return None)
+    Some(SnowHopsShape(f, d1, d2, hop1, hop2))
+  }
+
+  /** Match the 3-relation SNOWFLAKE shape — `SELECT <q.col [AS n]>…
+    * FROM fact f JOIN d1 ON f.fk = d1.dk [AND …] JOIN d2 ON
+    * d1.b = d2.c [AND …] [WHERE <qualified refs only>]` — the
+    * dim-over-dim chain [[joinShapeOf]] cannot express. The engine
+    * auto-chains it: a hidden silver materializes `fact ⋈ d1`
+    * projecting every column the second hop needs, and the visible
+    * view joins the silver to d2 (kind=join, auto-cascade). Outputs
+    * must be PURE COLUMN projections (an expression would need
+    * cross-hop rewriting) and every reference 2-part qualified —
+    * None otherwise, and for deeper chains (chain views manually). */
+  def snowflakeShapeOf(p: LogicalPlan): Option[SnowflakeShape] = {
+    val SnowHopsShape(f, d1, d2, hop1, hop2) =
+      snowHopsOf(p).getOrElse(return None)
+    val fold: String => String =
+      if (org.apache.spark.sql.internal.SQLConf.get
+          .caseSensitiveAnalysis) identity
+      else _.toLowerCase(java.util.Locale.ROOT)
     // outputs: pure column projections, 2-part qualified over the
     // three aliases
     val proj = p match {
@@ -916,7 +986,14 @@ object MvDdl {
 case class CreateMaterializedViewCommand(parts: Seq[String],
     ifNotExists: Boolean, rowKeySpelling: Boolean, key: String,
     queryText: String,
-    partitionCol: Option[String] = None) extends LeafRunnableCommand {
+    partitionCol: Option[String] = None,
+    // internal recursion plumbing (the snowflake-aggregate rewrite):
+    // autoChain marks the created view so plain refresh_mv cascades
+    // into its hidden upstream; extraProps ride the bootstrap commit
+    // (e.g. the ORIGINAL pre-rewrite query text)
+    autoChain: Boolean = false,
+    extraProps: Map[String, String] = Map.empty)
+    extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.{IntegerType, StringType}
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
@@ -992,10 +1069,21 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       require(rowKeySpelling,
         "a GROUP BY materialized view names the SOURCE row identity " +
           "— spell it ROW KEY (<fact row id>), not KEY")
-      val (factAlias, gs, vals, avgs, dis, cds, kll, ext, shape) =
-        MvDdl.aggOverJoinShapeOf(parsed).getOrElse(
+      val starAgg = MvDdl.aggOverJoinShapeOf(parsed)
+      if (starAgg.isEmpty) {
+        // not a star under the aggregate: the 3-relation SNOWFLAKE
+        // auto-chains — a hidden fact⋈d1 join silver materializes at
+        // `<dst>.snow`, the aggregate query REWRITES onto
+        // `silver ⋈ d2` (now a star), and this command recurses into
+        // the standard aggregate-over-join machinery
+        val snowAgg = MvDdl.aggOverSnowflakeShapeOf(parsed).getOrElse(
           throw new UnsupportedOperationException(
             MvDdl.AggJoinShapeMsg))
+        return SnowflakeAggCreate.run(spark, parts, dstDir, srcDir,
+          srcCols, rels, snowAgg, key, queryText, partitionCol)
+      }
+      val (factAlias, gs, vals, avgs, dis, cds, kll, ext, shape) =
+        starAgg.get
       require(shape.length == rels.length - 1, MvDdl.AggJoinShapeMsg)
       // several measures may read the SAME join column (sum + kll of
       // one value, min/max of a summed column): the slice projects
@@ -1074,6 +1162,9 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
             (if (avgs.nonEmpty)
               Seq(DerivedTable.MvAvgProp -> avgs.mkString(","))
              else Nil) ++
+            (if (autoChain)
+              Seq(DerivedTable.MvAutoChainProp -> "true")
+             else Nil) ++ extraProps ++
             partitionCol.map(DerivedTable.MvPartitionProp -> _))
         return Seq(Row("aggjoin", from, to))
       }
@@ -1100,8 +1191,9 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           DerivedTable.MvHiddenSilverOfProp -> dstDir))
       val (from, to) =
         try DerivedTable.refreshAgg(spark, silverDir, dstDir, key,
-          gs.map(_._1), vals.head._1, extrema = ext.map(_._1),
-          moreValues = vals.tail.map(_._1), avgCols = avgs,
+          gs.map(_._1), vals.headOption.map(_._1).getOrElse(""),
+          extrema = ext.map(_._1),
+          moreValues = vals.drop(1).map(_._1), avgCols = avgs,
           distinctCols = dis.map(_._1),
           exactDistinctCols = cds.map(_._1), kllCols = kll.map(_._1),
           partitionCol = partitionCol,
@@ -1128,7 +1220,7 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
             (if (kll.nonEmpty)
               Seq(DerivedTable.MvKllProp ->
                 kll.map(_._1).mkString(","))
-             else Nil) ++
+             else Nil) ++ extraProps ++
             partitionCol.map(DerivedTable.MvPartitionProp -> _))
         catch { case e: Throwable =>
           // CREATE spans two tables; a failed gold bootstrap must
@@ -1196,9 +1288,10 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
       // identity publish atomically, so no crash window can leave a
       // standing table that is not yet (and can never become) a view
       val (from, to) = DerivedTable.refreshAgg(spark, srcDir, dstDir,
-        key, gs.map(_._1), vals.head, extrema = ext, where = where,
+        key, gs.map(_._1), vals.headOption.getOrElse(""),
+        extrema = ext, where = where,
         partitionCol = partitionCol,
-        groupExprs = gExprs, moreValues = vals.tail, avgCols = avgs,
+        groupExprs = gExprs, moreValues = vals.drop(1), avgCols = avgs,
         distinctCols = dis, exactDistinctCols = cds, kllCols = kll,
         valueExprs = vExprs,
         bootstrapProps = Map(
@@ -1444,6 +1537,167 @@ private object SnowflakeCreate {
   }
 }
 
+/** The aggregate-over-SNOWFLAKE auto-chain: synthesize the hidden
+  * fact⋈d1 join silver at `<dst>.snow` (projecting the key, every
+  * fact/d1 column the aggregate references, and the second hop's
+  * join columns), REWRITE the aggregate query onto `silver ⋈ d2` —
+  * which is a STAR — and recurse into
+  * [[CreateMaterializedViewCommand]] so the standard
+  * aggregate-over-join machinery (direct algebraic for invertible
+  * shapes, hidden `<dst>.silver` chain otherwise) maintains the
+  * gold. One name; refresh_mv auto-cascades through every hidden
+  * hop; DROP removes all of them. */
+private object SnowflakeAggCreate {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+
+  def run(spark: SparkSession, parts: Seq[String], dstDir: String,
+      factDir: String, factCols: Set[String],
+      rels: Seq[UnresolvedRelation],
+      snowAgg: (MvDdl.SnowHopsShape, Option[String],
+        Seq[(String, String, Boolean)], Seq[(String, String)],
+        Seq[String], Seq[(String, String)], Seq[(String, String)],
+        Seq[(String, String)], Seq[(String, String)]),
+      key: String, queryText: String,
+      partitionCol: Option[String]): Seq[Row] = {
+    val (hops, whereText, gs, vals, avgs, dis, cds, kll, ext) =
+      snowAgg
+    val fold: String => String =
+      if (org.apache.spark.sql.internal.SQLConf.get
+          .caseSensitiveAnalysis) identity
+      else _.toLowerCase(java.util.Locale.ROOT)
+    def relText(r: UnresolvedRelation): String =
+      r.multipartIdentifier.map(p => s"`$p`").mkString(".")
+    val d1Dir = GraftDdl.tableDir(spark, rels(1).multipartIdentifier,
+      "CREATE MATERIALIZED VIEW dim")
+    val d2Dir = GraftDdl.tableDir(spark, rels(2).multipartIdentifier,
+      "CREATE MATERIALIZED VIEW dim")
+    val d1Cols = Versioned.read(spark, d1Dir).columns.toSet
+    val d2Cols = Versioned.read(spark, d2Dir).columns.toSet
+    def requireIn(cols: Seq[String], in: Set[String],
+        what: String): Unit =
+      cols.foreach(c => require(in.contains(c),
+        s"column '$c' is not in the $what table " +
+          s"(has: ${in.toSeq.sorted.mkString(", ")})"))
+    requireIn(hops.hop1.leftCols, factCols, "fact")
+    requireIn(hops.hop1.rightCols ++ hops.hop2.leftCols, d1Cols,
+      "first dim")
+    requireIn(hops.hop2.rightCols, d2Cols, "second dim")
+    val fQ = fold(hops.factAlias); val d1Q = fold(hops.d1Alias)
+    val d2Q = fold(hops.d2Alias)
+    val byQual = Map(fQ -> factCols, d1Q -> d1Cols, d2Q -> d2Cols)
+    // every reference in the groups, measure arguments, and WHERE
+    // must be 2-part qualified over the three aliases — the rewrite
+    // onto the silver must be exact (a bare name is ambiguous across
+    // the hops)
+    val parser = spark.sessionState.sqlParser
+    def refsOf(text: String): Seq[(String, String)] =
+      parser.parseExpression(text).collect {
+        case ua: UnresolvedAttribute =>
+          require(ua.nameParts.length == 2 &&
+            byQual.contains(fold(ua.nameParts.head)),
+            s"reference '${ua.name}' in the aggregate-over-snowflake " +
+              "query is not 2-part qualified over the three " +
+              "relations — qualify every column (the rewrite onto " +
+              "the hidden silver must be exact)")
+          (fold(ua.nameParts.head), ua.nameParts.last)
+      }
+    val allTexts = gs.map(_._2) ++
+      (vals ++ dis ++ cds ++ kll ++ ext).map(_._2) ++ whereText.toSeq
+    val allRefs = allTexts.flatMap(refsOf)
+    allRefs.foreach { case (q, c) => require(byQual(q).contains(c),
+      s"column '$q.$c' is not in its table") }
+    // the hidden silver projects (unqualified) everything fact/d1
+    // contribute, plus the key and the second hop's left columns
+    val neededF = (key +: allRefs.collect {
+      case (q, c) if q == fQ => c }).distinct
+    val neededD1 = (allRefs.collect { case (q, c) if q == d1Q => c } ++
+      hops.hop2.leftCols).distinct
+    require(neededF.intersect(neededD1).isEmpty,
+      "the snowflake's hidden silver projects fact and first-dim " +
+        s"columns unqualified, and (${neededF.intersect(neededD1)
+          .mkString(", ")}) collide — alias them apart (or chain " +
+        "views manually)")
+    def jt(t: String) = if (t == "left") "LEFT JOIN" else "JOIN"
+    // NO WHERE in the silver: the predicate may reference d2, so it
+    // rides the rewritten gold query
+    val silverText = "SELECT " + (neededF.map(c =>
+        s"`${hops.factAlias}`.`$c` AS `$c`") ++
+      neededD1.map(c => s"`${hops.d1Alias}`.`$c` AS `$c`"))
+        .mkString(", ") +
+      s" FROM ${relText(rels.head)} `${hops.factAlias}` " +
+      jt(hops.hop1.joinType) + s" ${relText(rels(1))} " +
+      s"`${hops.d1Alias}` ON " +
+      hops.hop1.leftCols.zip(hops.hop1.rightCols).map { case (l, r) =>
+        s"`${hops.factAlias}`.`$l` = `${hops.d1Alias}`.`$r`"
+      }.mkString(" AND ")
+    val sAlias = if (d2Q == "snow_silver") "snow_silver2"
+      else "snow_silver"
+    // rewrite any fact/d1 qualifier to the silver's alias; d2
+    // references stay
+    def rw(text: String): String =
+      parser.parseExpression(text).transform {
+        case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
+            fold(ua.nameParts.head) != d2Q =>
+          UnresolvedAttribute(Seq(sAlias, ua.nameParts.last))
+      }.sql
+    val valByName = vals.toMap
+    val selList = gs.map { case (n, q, _) => s"${rw(q)} AS `$n`" } ++
+      vals.flatMap { case (n, q) => Seq(
+        s"sum(${rw(q)}) AS `sum_$n`",
+        s"count(${rw(q)}) AS `cnt_$n`") } ++
+      Seq("count(*) AS `n_rows`") ++
+      avgs.map(n => s"avg(${rw(valByName(n))}) AS `avg_$n`") ++
+      dis.map { case (n, q) =>
+        s"approx_count_distinct(${rw(q)}) AS `adc_$n`" } ++
+      cds.map { case (n, q) =>
+        s"count(DISTINCT ${rw(q)}) AS `cd_$n`" } ++
+      kll.map { case (n, q) => s"graft_kll(${rw(q)}) AS `kll_$n`" } ++
+      ext.flatMap { case (n, q) => Seq(
+        s"min(${rw(q)}) AS `min_$n`", s"max(${rw(q)}) AS `max_$n`") }
+    val silverDir = dstDir + ".snow"
+    val rewritten = "SELECT " + selList.mkString(", ") +
+      s" FROM `graft`.`$silverDir` `$sAlias` " +
+      jt(hops.hop2.joinType) + s" ${relText(rels(2))} " +
+      s"`${hops.d2Alias}` ON " +
+      hops.hop2.leftCols.zip(hops.hop2.rightCols).map { case (l, r) =>
+        s"`$sAlias`.`$l` = `${hops.d2Alias}`.`$r`"
+      }.mkString(" AND ") +
+      whereText.map(w => s" WHERE ${rw(w)}").getOrElse("") +
+      " GROUP BY " + gs.map(g => rw(g._2)).mkString(", ")
+    require(Versioned.currentVersion(spark, silverDir) == 0,
+      s"$silverDir already exists — a crashed CREATE left the " +
+        "hidden silver behind; remove it and retry")
+    DerivedTable.refreshJoinStar(spark, factDir,
+      Seq(DerivedTable.JoinDim(d1Dir, hops.hop1.leftCols,
+        hops.hop1.rightCols)), silverDir, key,
+      DerivedTable.mvJoinTransformStar(spark, silverText),
+      bootstrapProps = Map(
+        DerivedTable.MvKindProp -> "join",
+        DerivedTable.MvSourceProp -> factDir,
+        DerivedTable.MvDimProp -> d1Dir,
+        DerivedTable.MvKeyProp -> key,
+        DerivedTable.MvFkProp -> hops.hop1.leftCols.mkString(","),
+        DerivedTable.MvDimKeyProp ->
+          hops.hop1.rightCols.mkString(","),
+        DerivedTable.MvJoinTypeProp -> hops.hop1.joinType,
+        DerivedTable.MvQueryProp -> silverText,
+        DerivedTable.MvHiddenSilverOfProp -> dstDir))
+    try CreateMaterializedViewCommand(parts, ifNotExists = false,
+      rowKeySpelling = true, key, rewritten,
+      partitionCol = partitionCol, autoChain = true,
+      extraProps = Map("graft.mv.original_query" -> queryText))
+      .run(spark)
+    catch { case e: Throwable =>
+      // the recursion cleans its own hidden silver up; this level
+      // must not strand the snow silver either
+      val p = new org.apache.hadoop.fs.Path(silverDir)
+      scala.util.Try(p.getFileSystem(
+        spark.sessionState.newHadoopConf()).delete(p, true))
+      throw e
+    }
+  }
+}
+
 /** DROP MATERIALIZED VIEW: deletes the view's directory, but ONLY
   * when the table actually carries a materialized-view spec — a plain
   * table refuses with the DROP TABLE advice (and vice versa nothing
@@ -1473,10 +1727,14 @@ case class DropMaterializedViewCommand(parts: Seq[String],
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     f.delete(p, true)
-    // an auto-chained gold owns its hidden silver — DROP removes both
+    // an auto-chained gold owns its hidden upstream — DROP removes
+    // them all: `.silver` (aggregate-over-join), `.snow` (the
+    // snowflake hop, join or aggregate) — absent siblings no-op
     if (props.get(DerivedTable.MvAutoChainProp)
-        .exists(_.trim.equalsIgnoreCase("true")))
+        .exists(_.trim.equalsIgnoreCase("true"))) {
       f.delete(new org.apache.hadoop.fs.Path(dir + ".silver"), true)
+      f.delete(new org.apache.hadoop.fs.Path(dir + ".snow"), true)
+    }
     Seq.empty
   }
 }

@@ -655,10 +655,12 @@ object DerivedTable {
         // MvValueProp is a csv (multi-measure views); MvAvgProp is a
         // csv of value columns, with the legacy spelling 'true'
         // meaning avg of the first (then only) value
+        // MvValueProp may be EMPTY — the count-only rollup stores no
+        // sum/cnt pair at all
         val vals = props(MvValueProp).split(",").map(_.trim)
           .filter(_.nonEmpty).toSeq
         val avs = props.get(MvAvgProp).map(_.trim).toSeq.flatMap {
-          case t if t.equalsIgnoreCase("true") => Seq(vals.head)
+          case t if t.equalsIgnoreCase("true") => vals.headOption.toSeq
           case t => t.split(",").map(_.trim).filter(_.nonEmpty).toSeq
         }
         val dis = props.get(MvDistinctProp).toSeq
@@ -671,10 +673,11 @@ object DerivedTable {
           case (k, v) if k.startsWith(MvValueExprPrefix) =>
             (k.stripPrefix(MvValueExprPrefix), v) }.toSeq
         val (f, t) = refreshAgg(s, src, dstDir, props(MvRowKeyProp),
-          groups, vals.head, extrema = ext,
+          groups, vals.headOption.getOrElse(""), extrema = ext,
           where = props.get(MvWhereProp).filter(_.nonEmpty),
           partitionCol = pCol, groupExprs = gExprs,
-          moreValues = vals.tail, avgCols = avs, distinctCols = dis,
+          moreValues = vals.drop(1), avgCols = avs,
+          distinctCols = dis,
           exactDistinctCols = cds, kllCols = kll,
           valueExprs = vExprs)
         ("agg", f, t)
@@ -1404,7 +1407,10 @@ object DerivedTable {
     // across views would pay the changelog walk per measure. `avgs`
     // (any subset of the values, in value order) each store the
     // exact quotient of their pair.
-    val values = valueCol +: moreValues
+    // an EMPTY valueCol ("") declares the COUNT-ONLY rollup: no
+    // sum/cnt pair, the view stores (groups…, n_rows[, non-pair
+    // measure families]) — the delta algebra needs only d_n
+    val values = (valueCol +: moreValues).filter(_.nonEmpty)
     require(values.distinct.length == values.length,
       s"value columns must be distinct, got ${values.mkString(", ")}")
     require(values.forall(v => !groupCols.contains(v)),
@@ -1806,7 +1812,8 @@ object DerivedTable {
         val bad = patched.agg(
           sum(when(col("n_rows") < 0L, 1L).otherwise(0L)),
           sum(when(values.map(c => col(s"cnt_$c") < 0L)
-            .reduce(_ || _), 1L).otherwise(0L)),
+            .reduceOption(_ || _).getOrElse(lit(false)), 1L)
+            .otherwise(0L)),
           sum(when(col("__ghost"), 1L).otherwise(0L))).head()
         require(bad.getLong(0) == 0 && bad.getLong(1) == 0,
           s"${bad.getLong(0)} group(s) would reach a negative row " +

@@ -455,14 +455,16 @@ object GraftProcedures {
           def csvAt(i: Int) = Option(a(i))
             .map(_.asInstanceOf[String]).toSeq.flatMap(_.split(","))
             .map(_.trim).filter(_.nonEmpty)
+          // value accepts '' — the COUNT-ONLY rollup (no sum/cnt
+          // pair; the destination stores groups + n_rows)
           val (from, to) = DerivedTable.refreshAgg(spark, dir(a(0)),
             dir(a(1)), a(2).asInstanceOf[String],
-            groups, vals.head,
+            groups, vals.headOption.getOrElse(""),
             extrema = ext,
             where = Option(a(6)).map(_.asInstanceOf[String])
               .filter(_.nonEmpty),
             groupExprs = gExprs,
-            moreValues = vals.tail, avgCols = avgs,
+            moreValues = vals.drop(1), avgCols = avgs,
             distinctCols = csvAt(9), exactDistinctCols = csvAt(10),
             kllCols = csvAt(11))
           Seq(from, to)

@@ -1259,6 +1259,175 @@ class MvSpec extends SparkSpec {
     assert(e2.getMessage.contains("delta-maintainable shape"))
   }
 
+  test("aggregate-over-snowflake MVs: GROUP BY d2.region over " +
+      "fact⋈d1⋈d2 auto-chains the fact⋈d1 hop at <dst>.snow and " +
+      "rewrites the gold onto silver⋈d2") {
+    val fact = fresh("sa_fact")
+    val d1 = fresh("sa_d1")
+    val d2 = fresh("sa_d2")
+    val gold = fresh("sa_gold")
+    Versioned.commit((1L to 24L).map(i => (i, s"c${i % 4}", i))
+      .toDF("id", "cat", "v"), fact)
+    Versioned.commit(Seq(("c0", "r0"), ("c1", "r1"), ("c2", "r0"),
+      ("c3", "r1")).toDF("cat", "rk"), d1)
+    Versioned.commit(Seq(("r0", "EAST"), ("r1", "WEST"))
+      .toDF("rk2", "region"), d2)
+    val goldSel = "SELECT d2.region, sum(f.v) AS sum_v, " +
+      "count(f.v) AS cnt_v, count(*) AS n_rows FROM " +
+      s"graft.`$fact` f JOIN graft.`$d1` d1 ON f.cat = d1.cat " +
+      s"JOIN graft.`$d2` d2 ON d1.rk = d2.rk2"
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW " +
+      s"graft.`$gold` ROW KEY (id) AS $goldSel " +
+      "GROUP BY d2.region").head()
+    assert(created.getString(0) == "aggjoin")
+    // the hidden fact⋈d1 hop materializes at .snow; the gold's
+    // measures are invertible, so NO .silver (direct algebraic)
+    assert(Versioned.currentVersion(spark, gold + ".snow") > 0)
+    assert(Versioned.currentVersion(spark, gold + ".silver") == 0)
+    def expect = spark.sql(s"$goldSel GROUP BY d2.region")
+    def got = spark.sql(s"SELECT * FROM graft.`$gold`")
+    assert(DerivedTable.bagEqual(got, expect))
+    // a fact append cascades through the snow silver into the gold
+    Versioned.append(Seq((25L, "c1", 100L), (26L, "c9", 5L))
+      .toDF("id", "cat", "v"), fact)
+    val r = spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+      .head()
+    assert(r.getString(0) == "aggjoin")
+    assert(DerivedTable.bagEqual(got, expect))
+    // a d1 RE-CATEGORIZATION (c2 moves regions) propagates: the snow
+    // silver maintains from d1's changelog, the gold from the
+    // silver's
+    Versioned.upsert(spark, d1,
+      Seq(("c2", "r1")).toDF("cat", "rk"), "cat")
+    spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+    assert(DerivedTable.bagEqual(got, expect))
+    // a d2 relabel moves whole groups (the gold's own dim leg)
+    Versioned.upsert(spark, d2,
+      Seq(("r0", "EASTERN")).toDF("rk2", "region"), "rk2")
+    spark.sql(s"CALL graft.system.refresh_mv('$gold')")
+    assert(DerivedTable.bagEqual(got, expect))
+    // DROP removes the gold AND the hidden snow hop
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$gold`")
+    assert(Versioned.currentVersion(spark, gold) == 0)
+    assert(Versioned.currentVersion(spark, gold + ".snow") == 0)
+    // a NON-INVERTIBLE measure (extrema) chains BOTH hidden hops:
+    // .snow (fact⋈d1) and .silver (the join stream the recompute
+    // point-reads)
+    val gold2 = fresh("sa_gold2")
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold2` ROW KEY " +
+      s"(id) AS SELECT d2.region, sum(f.v) AS sum_v, count(f.v) AS " +
+      "cnt_v, count(*) AS n_rows, min(f.v) AS min_v, max(f.v) AS " +
+      s"max_v FROM graft.`$fact` f JOIN graft.`$d1` d1 ON " +
+      s"f.cat = d1.cat JOIN graft.`$d2` d2 ON d1.rk = d2.rk2 " +
+      "GROUP BY d2.region")
+    assert(Versioned.currentVersion(spark, gold2 + ".snow") > 0)
+    assert(Versioned.currentVersion(spark, gold2 + ".silver") > 0)
+    // deleting a group's max steps down — only the recompute knows
+    Versioned.deleteRows(spark, fact,
+      Seq(Tuple1(25L)).toDF("id"))
+    spark.sql(s"CALL graft.system.refresh_mv('$gold2')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$gold2`"),
+      spark.sql("SELECT d2.region, sum(f.v) AS sum_v, count(f.v) " +
+        "AS cnt_v, count(*) AS n_rows, min(f.v) AS min_v, " +
+        s"max(f.v) AS max_v FROM graft.`$fact` f JOIN graft.`$d1` " +
+        s"d1 ON f.cat = d1.cat JOIN graft.`$d2` d2 ON " +
+        "d1.rk = d2.rk2 GROUP BY d2.region")))
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$gold2`")
+    assert(Versioned.currentVersion(spark, gold2 + ".silver") == 0)
+    // refusal: a bare (unqualified) reference is ambiguous across
+    // the hops — the rewrite must be exact
+    val g3 = fresh("sa_ref")
+    val e = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$g3` ROW KEY (id) AS " +
+        "SELECT d2.region, sum(v) AS sum_v, count(v) AS cnt_v, " +
+        s"count(*) AS n_rows FROM graft.`$fact` f JOIN " +
+        s"graft.`$d1` d1 ON f.cat = d1.cat JOIN graft.`$d2` d2 " +
+        "ON d1.rk = d2.rk2 GROUP BY d2.region"))
+    assert(e.getMessage.contains("2-part qualified"))
+  }
+
+  test("count-only aggregate MVs: SELECT g, count(*) AS n_rows — " +
+      "the frequency table, no sum/cnt pair at all") {
+    val src = fresh("co_src")
+    val dst = fresh("co_dst")
+    Versioned.commit((1L to 30L).map(i => (i, s"g${i % 4}"))
+      .toDF("id", "g"), src)
+    val created = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst` " +
+      s"ROW KEY (id) AS SELECT g, count(*) AS n_rows FROM " +
+      s"graft.`$src` GROUP BY g").collect()
+    assert(created.map(_.toSeq).toSeq == Seq(Seq("agg", 0, 1)))
+    assert(spark.sql(s"SELECT * FROM graft.`$dst`").columns.toSeq ==
+      Seq("g", "n_rows"))
+    def expect = spark.sql(
+      s"SELECT g, count(*) AS n_rows FROM graft.`$src` GROUP BY g")
+    def got = spark.sql(s"SELECT * FROM graft.`$dst`")
+    assert(DerivedTable.bagEqual(got, expect))
+    // append (group birth), then a mixed batch: migration + a group
+    // death (every g3 row dies)
+    Versioned.append(Seq((31L, "fresh"), (32L, "g0"))
+      .toDF("id", "g"), src)
+    val r1 = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+      .collect()
+    assert(r1.map(_.toSeq).toSeq == Seq(Seq("agg", 1, 2)))
+    assert(DerivedTable.bagEqual(got, expect))
+    Versioned.applyChanges(spark, src,
+      upserts = Seq((1L, "g2")).toDF("id", "g"),
+      deleteKeys = (3L to 30L by 4).toDF("id"), key = "id")
+    spark.sql(s"CALL graft.system.refresh_mv('$dst')")
+    assert(DerivedTable.bagEqual(got, expect))
+    // count-only composes with the non-pair measure families: a
+    // distinct-count rollup with NO summed measure
+    val src2 = fresh("co_src2")
+    val dst2 = fresh("co_dst2")
+    Versioned.commit((1L to 30L).map(i =>
+        (i, s"g${i % 3}", s"u${i % 7}"))
+      .toDF("id", "g", "u"), src2)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst2` ROW KEY (id) " +
+      s"AS SELECT g, count(*) AS n_rows, count(DISTINCT u) AS cd_u " +
+      s"FROM graft.`$src2` GROUP BY g")
+    Versioned.append(Seq((31L, "g0", "u0"), (32L, "g0", "uNEW"))
+      .toDF("id", "g", "u"), src2)
+    spark.sql(s"CALL graft.system.refresh_mv('$dst2')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$dst2`"),
+      spark.sql(s"SELECT g, count(*) AS n_rows, count(DISTINCT u) " +
+        s"AS cd_u FROM graft.`$src2` GROUP BY g")))
+    // count-only over a JOIN: the direct algebraic gold with no
+    // summed measure at all
+    val dim = fresh("co_dim")
+    val jgold = fresh("co_jgold")
+    Versioned.commit(Seq(("g0", "L0"), ("g1", "L1"), ("g2", "L2"),
+      ("g3", "L3"), ("fresh", "LF")).toDF("g", "label"), dim)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$jgold` ROW KEY " +
+      s"(id) AS SELECT d.label, count(*) AS n_rows FROM " +
+      s"graft.`$src` f JOIN graft.`$dim` d ON f.g = d.g " +
+      "GROUP BY d.label")
+    assert(Versioned.currentVersion(spark, jgold + ".silver") == 0)
+    Versioned.append(Seq((40L, "g1")).toDF("id", "g"), src)
+    spark.sql(s"CALL graft.system.refresh_mv('$jgold')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$jgold`"),
+      spark.sql(s"SELECT d.label, count(*) AS n_rows FROM " +
+        s"graft.`$src` f JOIN graft.`$dim` d ON f.g = d.g " +
+        "GROUP BY d.label")))
+    // a pair-less sum still refuses (sum without its count twin)
+    val d2 = fresh("co_ref")
+    val e = intercept[Exception](spark.sql(
+      s"CREATE MATERIALIZED VIEW graft.`$d2` ROW KEY (id) AS " +
+        s"SELECT g, sum(id) AS sum_id, count(*) AS n_rows FROM " +
+        s"graft.`$src` GROUP BY g"))
+    assert(e.getMessage.contains("delta-maintainable shape"))
+    // the pure-SQL procedure spelling takes value => ''
+    val dst3 = fresh("co_dst3")
+    val boot = spark.sql("CALL graft.system.refresh_agg(" +
+      s"source => '$src', dest => '$dst3', row_key => 'id', " +
+      "group_by => 'g', value => '')").head()
+    assert(boot.getInt(0) == 0)
+    assert(Versioned.read(spark, dst3).columns.toSeq ==
+      Seq("g", "n_rows"))
+  }
+
   test("expression-valued measures: sum(price * (1 - disc)) AS " +
       "sum_rev materializes a derived value column — the TPC-H Q1 " +
       "revenue-rollup shape, delta-maintained") {
