@@ -270,6 +270,45 @@ object SqlLakehouseDemo {
     }
     spark.sql(s"CALL graft.system.unfollow_mv('$gjDir')")
     println(s"SQL_DEMO_FOLLOW_CONVERGED=${if (converged) 1 else 0}")
+    // r18: EXPRESSION measures (exact cents via floor), EXACT
+    // distinct counts, both in one aggregate MV — the equality
+    // against a full recompute is exact arithmetic, not tolerance
+    val xmvDir = new java.io.File(s"$out/sql_xmv").getAbsolutePath
+    val xmvSel = s"SELECT name, sum(floor(score * 100)) AS " +
+      "sum_cents, count(floor(score * 100)) AS cnt_cents, " +
+      "count(*) AS n_rows, count(DISTINCT score) AS cd_score " +
+      s"FROM $g GROUP BY name"
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$xmvDir` ROW KEY " +
+      s"(id) AS $xmvSel")
+    spark.sql(s"INSERT INTO $g VALUES (890, 'omega', 3.25)")
+    spark.sql(s"CALL graft.system.refresh_mv('$xmvDir')")
+    val xeq = graft.sources.DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$xmvDir`"),
+      spark.sql(xmvSel))
+    println("SQL_DEMO_EXPR_MV_EQ=" + (if (xeq) 1 else 0))
+    // r18: aggregate-over-SNOWFLAKE — the fact⋈d1 hop hides at
+    // <view>.snow and the gold rewrites onto the resulting star;
+    // refresh_mv cascades through every hidden hop
+    val d2Dir = new java.io.File(s"$out/sql_dim2").getAbsolutePath
+    graft.sources.Versioned.commit(
+      spark.sql(s"SELECT DISTINCT label AS lk, concat('R_', label) " +
+        s"AS region FROM graft.`$dimDir`"), d2Dir)
+    val snowDir =
+      new java.io.File(s"$out/sql_snowagg").getAbsolutePath
+    val snowSel = "SELECT d2.region, sum(floor(f.score * 100)) AS " +
+      "sum_cents, count(floor(f.score * 100)) AS cnt_cents, " +
+      s"count(*) AS n_rows FROM $g f JOIN graft.`$dimDir` d1 ON " +
+      s"f.name = d1.dk JOIN graft.`$d2Dir` d2 ON d1.label = d2.lk"
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$snowDir` ROW KEY " +
+      s"(id) AS $snowSel GROUP BY d2.region")
+    spark.sql(s"INSERT INTO $g VALUES (891, 'omega', 4.0)")
+    spark.sql(s"CALL graft.system.refresh_mv('$snowDir')")
+    val snowEq = graft.sources.DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$snowDir`"),
+      spark.sql(s"$snowSel GROUP BY d2.region"))
+    println("SQL_DEMO_SNOWAGG_EQ=" + (if (snowEq) 1 else 0) +
+      " snow_present=" + (if (new java.io.File(snowDir + ".snow")
+        .exists()) 1 else 0))
     spark.stop()
   }
 }

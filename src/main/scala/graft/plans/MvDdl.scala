@@ -443,12 +443,14 @@ object MvDdl {
       "deterministic expressions aliased in the select list, " +
       "aggregate ARGUMENTS may be expressions whose alias derives " +
       "the measure name (sum(f.price * (1 - f.disc)) AS sum_rev), " +
-      "the join is the star shape, or the 3-relation SNOWFLAKE " +
-      "(d2 joined to d1) with every reference 2-part qualified — " +
-      "deeper chains need manually chained views; invertible shapes " +
+      "the join is the star shape, or a LINEAR snowflake chain " +
+      "(d2 joined to d1, d3 to d2, …) with every reference 2-part " +
+      "qualified — mixed star/chain ONs need manually chained " +
+      "views; invertible shapes " +
       "maintain the gold DIRECTLY, others chain a HIDDEN join " +
-      "silver at <view>.silver (snowflakes add the fact-to-d1 hop " +
-      "at <view>.snow) and delta-maintain the gold over it"
+      "silver at <view>.silver (snowflakes peel one hop per hidden " +
+      "level at <view>.snow, .snow2, …) and delta-maintain the " +
+      "gold over it"
 
   /** Match `SELECT g…, aggs FROM fact JOIN dim… [WHERE …] GROUP BY
     * g…` — the aggregate-over-join shape the engine AUTO-CHAINS: a
@@ -719,18 +721,19 @@ object MvDdl {
   }
 
   /** Match `SELECT g…, aggs FROM fact ⋈ d1 (ON fact), d2 ⋈ d1 (ON
-    * d1) [WHERE …] GROUP BY g…` — the aggregate-over-SNOWFLAKE
-    * shape: the same SELECT-list contract as [[aggOverJoinShapeOf]]
-    * over the 3-relation dim-over-dim chain [[snowflakeShapeOf]]
-    * handles for plain joins. The CREATE auto-chains: a hidden
-    * fact⋈d1 join silver materializes at `<dst>.snow`, the query
-    * rewrites onto `silver ⋈ d2` (now a STAR), and the standard
-    * aggregate-over-join machinery maintains the gold. Every column
-    * reference in the groups, measure arguments, and WHERE must be
-    * 2-part qualified (the rewrite onto the silver must be exact).
-    * The WHERE condition here sits UNDER the Aggregate. */
+    * d1)[, d3 ⋈ d2 (ON d2) …] [WHERE …] GROUP BY g…` — the
+    * aggregate-over-SNOWFLAKE shape: the same SELECT-list contract
+    * as [[aggOverJoinShapeOf]] over an N-hop LINEAR chain. The
+    * CREATE auto-chains recursively: each level peels the fact⋈d1
+    * hop into a hidden join silver at `<dst>.snow[k]` and rewrites
+    * the query onto (silver, remaining dims) — a chain one hop
+    * shorter, until it is a STAR the standard aggregate-over-join
+    * machinery maintains. Every column reference in the groups,
+    * measure arguments, and WHERE must be 2-part qualified (the
+    * rewrite onto the silver must be exact). The WHERE condition
+    * here sits UNDER the Aggregate. */
   def aggOverSnowflakeShapeOf(p: LogicalPlan)
-      : Option[(SnowHopsShape, Option[String],
+      : Option[(Seq[String], Seq[SnowHop], Option[String],
         Seq[(String, String, Boolean)], Seq[(String, String)],
         Seq[String], Seq[(String, String)], Seq[(String, String)],
         Seq[(String, String)], Seq[(String, String)])] = {
@@ -738,14 +741,15 @@ object MvDdl {
       case a: Aggregate => a
       case _ => return None
     }
-    val hops = snowHopsOf(agg.child).getOrElse(return None)
+    val (aliases, hops) = chainHopsOf(agg.child).getOrElse(return None)
     val whereText = agg.child match {
       case f: Filter => Some(f.condition.sql)
       case _ => None
     }
     val (gs, vals, avgs, dis, cds, kll, ext) =
       aggJoinListOf(agg).getOrElse(return None)
-    Some((hops, whereText, gs, vals, avgs, dis, cds, kll, ext))
+    Some((aliases, hops, whereText, gs, vals, avgs, dis, cds, kll,
+      ext))
   }
 
   // slices `SELECT … FROM <tail> GROUP BY …` to the tail — the
@@ -861,17 +865,28 @@ object MvDdl {
   final case class SnowHopsShape(factAlias: String, d1Alias: String,
       d2Alias: String, hop1: SnowHop, hop2: SnowHop)
 
-  private def snowHopsOf(p: LogicalPlan): Option[SnowHopsShape] = {
+  /** A LINEAR join chain of N ≥ 2 hops — `fact ⋈ d1 (ON fact),
+    * d2 ⋈ d1 (ON d1), d3 ⋈ d2 (ON d2), …` — as (aliases in FROM
+    * order, one [[SnowHop]] per join). None for stars (one join,
+    * [[joinShapeOf]]'s shape), mixed star/chain ONs, and anything
+    * non-left-deep: hop i's condition must link EXACTLY relation i
+    * to relation i+1. */
+  private def chainHopsOf(p: LogicalPlan)
+      : Option[(Seq[String], Seq[SnowHop])] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
     val joins = p.collect { case j: Join => j }
-    if (joins.length != 2) return None
+    if (joins.length < 2) return None
     val badAbove = p.collect {
       case n if !n.isInstanceOf[Project] && !n.isInstanceOf[Filter] &&
         !n.isInstanceOf[SubqueryAlias] && !n.isInstanceOf[Join] &&
         !n.isInstanceOf[UnresolvedRelation] => n
     }
     if (badAbove.nonEmpty) return None
-    if (!(joins.head.left eq joins.last)) return None // left-deep
+    val leftDeep = joins.sliding(2).forall {
+      case Seq(outer, inner) => outer.left eq inner
+      case _ => true
+    }
+    if (!leftDeep) return None
     def sideOf(n: LogicalPlan): Option[String] = n match {
       case s: SubqueryAlias if s.child.isInstanceOf[UnresolvedRelation]
         => Some(s.alias)
@@ -882,10 +897,11 @@ object MvDdl {
       if (org.apache.spark.sql.internal.SQLConf.get
           .caseSensitiveAnalysis) identity
       else _.toLowerCase(java.util.Locale.ROOT)
-    val f = sideOf(joins.last.left).getOrElse(return None)
-    val d1 = sideOf(joins.last.right).getOrElse(return None)
-    val d2 = sideOf(joins.head.right).getOrElse(return None)
-    if (Seq(f, d1, d2).map(fold).distinct.length != 3) return None
+    val fromOrder = joins.reverse
+    val aliases = sideOf(joins.last.left).getOrElse(return None) +:
+      fromOrder.map(j => sideOf(j.right).getOrElse(return None))
+    if (aliases.map(fold).distinct.length != aliases.length)
+      return None
     def conjuncts(e: org.apache.spark.sql.catalyst.expressions
         .Expression): Seq[org.apache.spark.sql.catalyst.expressions
         .Expression] = e match {
@@ -915,12 +931,20 @@ object MvDdl {
         pairs.map(_._1).distinct.length != pairs.length) return None
       Some(SnowHop(la, ra, pairs.map(_._1), pairs.map(_._2), jt))
     }
-    val hop1 = hopOf(joins.last, f, d1).getOrElse(return None)
-    // the SNOWFLAKE signature: the second ON links d1 to d2 (a
-    // fact-to-d2 ON is a star, which joinShapeOf already matched)
-    val hop2 = hopOf(joins.head, d1, d2).getOrElse(return None)
-    Some(SnowHopsShape(f, d1, d2, hop1, hop2))
+    // the CHAIN signature: hop i's ON links relation i to relation
+    // i+1 (hop 1 fact-to-d1; a fact-to-d2 ON is a star leg, which
+    // joinShapeOf already matched)
+    val hops = fromOrder.zipWithIndex.map { case (j, i) =>
+      hopOf(j, aliases(i), aliases(i + 1)).getOrElse(return None) }
+    Some((aliases, hops))
   }
+
+  private def snowHopsOf(p: LogicalPlan): Option[SnowHopsShape] =
+    chainHopsOf(p) match {
+      case Some((Seq(f, d1, d2), Seq(hop1, hop2))) =>
+        Some(SnowHopsShape(f, d1, d2, hop1, hop2))
+      case _ => None
+    }
 
   /** Match the 3-relation SNOWFLAKE shape — `SELECT <q.col [AS n]>…
     * FROM fact f JOIN d1 ON f.fk = d1.dk [AND …] JOIN d2 ON
@@ -990,9 +1014,11 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
     // internal recursion plumbing (the snowflake-aggregate rewrite):
     // autoChain marks the created view so plain refresh_mv cascades
     // into its hidden upstream; extraProps ride the bootstrap commit
-    // (e.g. the ORIGINAL pre-rewrite query text)
+    // (e.g. the ORIGINAL pre-rewrite query text); snowDepth numbers
+    // the hidden `.snow[k]` silvers an N-hop chain peels per level
     autoChain: Boolean = false,
-    extraProps: Map[String, String] = Map.empty)
+    extraProps: Map[String, String] = Map.empty,
+    snowDepth: Int = 0)
     extends LeafRunnableCommand {
   import org.apache.spark.sql.catalyst.expressions.AttributeReference
   import org.apache.spark.sql.types.{IntegerType, StringType}
@@ -1080,7 +1106,8 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           throw new UnsupportedOperationException(
             MvDdl.AggJoinShapeMsg))
         return SnowflakeAggCreate.run(spark, parts, dstDir, srcDir,
-          srcCols, rels, snowAgg, key, queryText, partitionCol)
+          srcCols, rels, snowAgg, key, queryText, partitionCol,
+          snowDepth, extraProps)
       }
       val (factAlias, gs, vals, avgs, dis, cds, kll, ext, shape) =
         starAgg.get
@@ -1540,55 +1567,60 @@ private object SnowflakeCreate {
 /** The aggregate-over-SNOWFLAKE auto-chain: synthesize the hidden
   * fact⋈d1 join silver at `<dst>.snow` (projecting the key, every
   * fact/d1 column the aggregate references, and the second hop's
-  * join columns), REWRITE the aggregate query onto `silver ⋈ d2` —
-  * which is a STAR — and recurse into
-  * [[CreateMaterializedViewCommand]] so the standard
-  * aggregate-over-join machinery (direct algebraic for invertible
-  * shapes, hidden `<dst>.silver` chain otherwise) maintains the
-  * gold. One name; refresh_mv auto-cascades through every hidden
-  * hop; DROP removes all of them. */
+  * join columns), REWRITE the aggregate query onto
+  * `silver ⋈ d2 [⋈ d3 …]` — a chain ONE hop shorter — and recurse
+  * into [[CreateMaterializedViewCommand]]. An N-hop linear chain
+  * peels one hop per level (`.snow`, `.snow2`, …) until the rewrite
+  * is a STAR, which the standard aggregate-over-join machinery
+  * maintains (direct algebraic for invertible shapes, the hidden
+  * `<dst>.silver` chain otherwise). One name; refresh_mv
+  * auto-cascades through every hidden hop; DROP removes all. */
 private object SnowflakeAggCreate {
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 
   def run(spark: SparkSession, parts: Seq[String], dstDir: String,
       factDir: String, factCols: Set[String],
       rels: Seq[UnresolvedRelation],
-      snowAgg: (MvDdl.SnowHopsShape, Option[String],
+      snowAgg: (Seq[String], Seq[MvDdl.SnowHop], Option[String],
         Seq[(String, String, Boolean)], Seq[(String, String)],
         Seq[String], Seq[(String, String)], Seq[(String, String)],
         Seq[(String, String)], Seq[(String, String)]),
       key: String, queryText: String,
-      partitionCol: Option[String]): Seq[Row] = {
-    val (hops, whereText, gs, vals, avgs, dis, cds, kll, ext) =
-      snowAgg
+      partitionCol: Option[String], depth: Int,
+      inheritedProps: Map[String, String]): Seq[Row] = {
+    val (aliases, hops, whereText, gs, vals, avgs, dis, cds, kll,
+      ext) = snowAgg
+    require(rels.length == aliases.length, MvDdl.AggJoinShapeMsg)
     val fold: String => String =
       if (org.apache.spark.sql.internal.SQLConf.get
           .caseSensitiveAnalysis) identity
       else _.toLowerCase(java.util.Locale.ROOT)
     def relText(r: UnresolvedRelation): String =
       r.multipartIdentifier.map(p => s"`$p`").mkString(".")
+    // relation columns in FROM order: fact first, then each dim
+    val relCols: Seq[Set[String]] = factCols +:
+      rels.tail.map(r => Versioned.read(spark, GraftDdl.tableDir(
+        spark, r.multipartIdentifier,
+        "CREATE MATERIALIZED VIEW dim")).columns.toSet)
     val d1Dir = GraftDdl.tableDir(spark, rels(1).multipartIdentifier,
       "CREATE MATERIALIZED VIEW dim")
-    val d2Dir = GraftDdl.tableDir(spark, rels(2).multipartIdentifier,
-      "CREATE MATERIALIZED VIEW dim")
-    val d1Cols = Versioned.read(spark, d1Dir).columns.toSet
-    val d2Cols = Versioned.read(spark, d2Dir).columns.toSet
     def requireIn(cols: Seq[String], in: Set[String],
         what: String): Unit =
       cols.foreach(c => require(in.contains(c),
         s"column '$c' is not in the $what table " +
           s"(has: ${in.toSeq.sorted.mkString(", ")})"))
-    requireIn(hops.hop1.leftCols, factCols, "fact")
-    requireIn(hops.hop1.rightCols ++ hops.hop2.leftCols, d1Cols,
-      "first dim")
-    requireIn(hops.hop2.rightCols, d2Cols, "second dim")
-    val fQ = fold(hops.factAlias); val d1Q = fold(hops.d1Alias)
-    val d2Q = fold(hops.d2Alias)
-    val byQual = Map(fQ -> factCols, d1Q -> d1Cols, d2Q -> d2Cols)
+    hops.indices.foreach { i =>
+      requireIn(hops(i).leftCols, relCols(i), s"hop-${i + 1} left")
+      requireIn(hops(i).rightCols, relCols(i + 1),
+        s"hop-${i + 1} right")
+    }
+    val quals = aliases.map(fold)
+    val fQ = quals.head; val d1Q = quals(1)
+    val byQual = quals.zip(relCols).toMap
     // every reference in the groups, measure arguments, and WHERE
-    // must be 2-part qualified over the three aliases — the rewrite
-    // onto the silver must be exact (a bare name is ambiguous across
-    // the hops)
+    // must be 2-part qualified over the chain's aliases — the
+    // rewrite onto the silver must be exact (a bare name is
+    // ambiguous across the hops)
     val parser = spark.sessionState.sqlParser
     def refsOf(text: String): Seq[(String, String)] =
       parser.parseExpression(text).collect {
@@ -1596,7 +1628,7 @@ private object SnowflakeAggCreate {
           require(ua.nameParts.length == 2 &&
             byQual.contains(fold(ua.nameParts.head)),
             s"reference '${ua.name}' in the aggregate-over-snowflake " +
-              "query is not 2-part qualified over the three " +
+              "query is not 2-part qualified over the chain's " +
               "relations — qualify every column (the rewrite onto " +
               "the hidden silver must be exact)")
           (fold(ua.nameParts.head), ua.nameParts.last)
@@ -1607,37 +1639,41 @@ private object SnowflakeAggCreate {
     allRefs.foreach { case (q, c) => require(byQual(q).contains(c),
       s"column '$q.$c' is not in its table") }
     // the hidden silver projects (unqualified) everything fact/d1
-    // contribute, plus the key and the second hop's left columns
+    // contribute, plus the key and the SECOND hop's left columns
+    // (they live in d1 — the rewritten chain joins the silver to d2
+    // on them)
     val neededF = (key +: allRefs.collect {
       case (q, c) if q == fQ => c }).distinct
     val neededD1 = (allRefs.collect { case (q, c) if q == d1Q => c } ++
-      hops.hop2.leftCols).distinct
+      hops(1).leftCols).distinct
     require(neededF.intersect(neededD1).isEmpty,
       "the snowflake's hidden silver projects fact and first-dim " +
         s"columns unqualified, and (${neededF.intersect(neededD1)
           .mkString(", ")}) collide — alias them apart (or chain " +
         "views manually)")
     def jt(t: String) = if (t == "left") "LEFT JOIN" else "JOIN"
-    // NO WHERE in the silver: the predicate may reference d2, so it
-    // rides the rewritten gold query
+    // NO WHERE in the silver: the predicate may reference later
+    // dims, so it rides the rewritten gold query
     val silverText = "SELECT " + (neededF.map(c =>
-        s"`${hops.factAlias}`.`$c` AS `$c`") ++
-      neededD1.map(c => s"`${hops.d1Alias}`.`$c` AS `$c`"))
+        s"`${aliases.head}`.`$c` AS `$c`") ++
+      neededD1.map(c => s"`${aliases(1)}`.`$c` AS `$c`"))
         .mkString(", ") +
-      s" FROM ${relText(rels.head)} `${hops.factAlias}` " +
-      jt(hops.hop1.joinType) + s" ${relText(rels(1))} " +
-      s"`${hops.d1Alias}` ON " +
-      hops.hop1.leftCols.zip(hops.hop1.rightCols).map { case (l, r) =>
-        s"`${hops.factAlias}`.`$l` = `${hops.d1Alias}`.`$r`"
+      s" FROM ${relText(rels.head)} `${aliases.head}` " +
+      jt(hops.head.joinType) + s" ${relText(rels(1))} " +
+      s"`${aliases(1)}` ON " +
+      hops.head.leftCols.zip(hops.head.rightCols).map { case (l, r) =>
+        s"`${aliases.head}`.`$l` = `${aliases(1)}`.`$r`"
       }.mkString(" AND ")
-    val sAlias = if (d2Q == "snow_silver") "snow_silver2"
-      else "snow_silver"
-    // rewrite any fact/d1 qualifier to the silver's alias; d2
-    // references stay
+    val laterQs = quals.drop(2).toSet
+    val sAlias = Iterator.from(0)
+      .map(i => if (i == 0) "snow_silver" else s"snow_silver$i")
+      .find(a => !laterQs.contains(fold(a))).get
+    // rewrite any fact/d1 qualifier to the silver's alias; later
+    // dims' references stay
     def rw(text: String): String =
       parser.parseExpression(text).transform {
         case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
-            fold(ua.nameParts.head) != d2Q =>
+            !laterQs.contains(fold(ua.nameParts.head)) =>
           UnresolvedAttribute(Seq(sAlias, ua.nameParts.last))
       }.sql
     val valByName = vals.toMap
@@ -1654,41 +1690,51 @@ private object SnowflakeAggCreate {
       kll.map { case (n, q) => s"graft_kll(${rw(q)}) AS `kll_$n`" } ++
       ext.flatMap { case (n, q) => Seq(
         s"min(${rw(q)}) AS `min_$n`", s"max(${rw(q)}) AS `max_$n`") }
-    val silverDir = dstDir + ".snow"
+    val silverDir =
+      dstDir + (if (depth == 0) ".snow" else s".snow${depth + 1}")
+    // hops 2..N keep their original right-hand relations and ON
+    // columns; only hop 2's LEFT side moves to the silver alias
+    val fromTail = hops.zipWithIndex.drop(1).map { case (h, i) =>
+      val leftA = if (i == 1) sAlias else aliases(i)
+      jt(h.joinType) + s" ${relText(rels(i + 1))} " +
+        s"`${aliases(i + 1)}` ON " +
+        h.leftCols.zip(h.rightCols).map { case (l, r) =>
+          s"`$leftA`.`$l` = `${aliases(i + 1)}`.`$r`"
+        }.mkString(" AND ")
+    }.mkString(" ")
     val rewritten = "SELECT " + selList.mkString(", ") +
-      s" FROM `graft`.`$silverDir` `$sAlias` " +
-      jt(hops.hop2.joinType) + s" ${relText(rels(2))} " +
-      s"`${hops.d2Alias}` ON " +
-      hops.hop2.leftCols.zip(hops.hop2.rightCols).map { case (l, r) =>
-        s"`$sAlias`.`$l` = `${hops.d2Alias}`.`$r`"
-      }.mkString(" AND ") +
+      s" FROM `graft`.`$silverDir` `$sAlias` " + fromTail +
       whereText.map(w => s" WHERE ${rw(w)}").getOrElse("") +
       " GROUP BY " + gs.map(g => rw(g._2)).mkString(", ")
     require(Versioned.currentVersion(spark, silverDir) == 0,
       s"$silverDir already exists — a crashed CREATE left the " +
         "hidden silver behind; remove it and retry")
     DerivedTable.refreshJoinStar(spark, factDir,
-      Seq(DerivedTable.JoinDim(d1Dir, hops.hop1.leftCols,
-        hops.hop1.rightCols)), silverDir, key,
+      Seq(DerivedTable.JoinDim(d1Dir, hops.head.leftCols,
+        hops.head.rightCols)), silverDir, key,
       DerivedTable.mvJoinTransformStar(spark, silverText),
       bootstrapProps = Map(
         DerivedTable.MvKindProp -> "join",
         DerivedTable.MvSourceProp -> factDir,
         DerivedTable.MvDimProp -> d1Dir,
         DerivedTable.MvKeyProp -> key,
-        DerivedTable.MvFkProp -> hops.hop1.leftCols.mkString(","),
+        DerivedTable.MvFkProp -> hops.head.leftCols.mkString(","),
         DerivedTable.MvDimKeyProp ->
-          hops.hop1.rightCols.mkString(","),
-        DerivedTable.MvJoinTypeProp -> hops.hop1.joinType,
+          hops.head.rightCols.mkString(","),
+        DerivedTable.MvJoinTypeProp -> hops.head.joinType,
         DerivedTable.MvQueryProp -> silverText,
         DerivedTable.MvHiddenSilverOfProp -> dstDir))
     try CreateMaterializedViewCommand(parts, ifNotExists = false,
       rowKeySpelling = true, key, rewritten,
       partitionCol = partitionCol, autoChain = true,
-      extraProps = Map("graft.mv.original_query" -> queryText))
+      // the TOP level's pre-rewrite text survives every level
+      extraProps = inheritedProps +
+        ("graft.mv.original_query" -> inheritedProps
+          .getOrElse("graft.mv.original_query", queryText)),
+      snowDepth = depth + 1)
       .run(spark)
     catch { case e: Throwable =>
-      // the recursion cleans its own hidden silver up; this level
+      // the recursion cleans its own hidden silvers up; this level
       // must not strand the snow silver either
       val p = new org.apache.hadoop.fs.Path(silverDir)
       scala.util.Try(p.getFileSystem(
@@ -1728,12 +1774,16 @@ case class DropMaterializedViewCommand(parts: Seq[String],
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     f.delete(p, true)
     // an auto-chained gold owns its hidden upstream — DROP removes
-    // them all: `.silver` (aggregate-over-join), `.snow` (the
-    // snowflake hop, join or aggregate) — absent siblings no-op
+    // them all: `.silver` (aggregate-over-join), `.snow` and the
+    // `.snow<k>` levels an N-hop chain peeled — absent siblings no-op
     if (props.get(DerivedTable.MvAutoChainProp)
         .exists(_.trim.equalsIgnoreCase("true"))) {
       f.delete(new org.apache.hadoop.fs.Path(dir + ".silver"), true)
       f.delete(new org.apache.hadoop.fs.Path(dir + ".snow"), true)
+      var k = 2
+      while (f.delete(
+          new org.apache.hadoop.fs.Path(dir + s".snow$k"), true))
+        k += 1
     }
     Seq.empty
   }

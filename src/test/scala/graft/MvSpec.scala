@@ -1335,6 +1335,32 @@ class MvSpec extends SparkSpec {
         "d1.rk = d2.rk2 GROUP BY d2.region")))
     spark.sql(s"DROP MATERIALIZED VIEW graft.`$gold2`")
     assert(Versioned.currentVersion(spark, gold2 + ".silver") == 0)
+    // an N-HOP linear chain peels one hidden hop per level:
+    // fact⋈d1⋈d2⋈d3 → .snow (fact⋈d1), .snow2 ((fact⋈d1)⋈d2), gold
+    val d3 = fresh("sa_d3")
+    val gold3 = fresh("sa_gold3")
+    Versioned.commit(Seq(("EASTERN", "US"), ("WEST", "EU"))
+      .toDF("rg", "zone"), d3)
+    val chainSel = "SELECT d3.zone, sum(f.v) AS sum_v, count(f.v) " +
+      s"AS cnt_v, count(*) AS n_rows FROM graft.`$fact` f JOIN " +
+      s"graft.`$d1` d1 ON f.cat = d1.cat JOIN graft.`$d2` d2 ON " +
+      s"d1.rk = d2.rk2 JOIN graft.`$d3` d3 ON d2.region = d3.rg"
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold3` ROW KEY " +
+      s"(id) AS $chainSel GROUP BY d3.zone")
+    assert(Versioned.currentVersion(spark, gold3 + ".snow") > 0)
+    assert(Versioned.currentVersion(spark, gold3 + ".snow2") > 0)
+    assert(Versioned.properties(spark, gold3)
+      .get("graft.mv.original_query").exists(_.contains("d3.zone")))
+    Versioned.append(Seq((27L, "c0", 7L))
+      .toDF("id", "cat", "v"), fact)
+    spark.sql(s"CALL graft.system.refresh_mv('$gold3')")
+    assert(DerivedTable.bagEqual(
+      spark.sql(s"SELECT * FROM graft.`$gold3`"),
+      spark.sql(s"$chainSel GROUP BY d3.zone")))
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$gold3`")
+    assert(Versioned.currentVersion(spark, gold3) == 0)
+    assert(Versioned.currentVersion(spark, gold3 + ".snow") == 0)
+    assert(Versioned.currentVersion(spark, gold3 + ".snow2") == 0)
     // refusal: a bare (unqualified) reference is ambiguous across
     // the hops — the rewrite must be exact
     val g3 = fresh("sa_ref")
