@@ -428,8 +428,10 @@ object MvDdl {
       "that join introduces (a star), both sides qualified, no other " +
       "join types, windows, subqueries, DISTINCT, LIMIT or ORDER BY. " +
       "The 3-relation SNOWFLAKE (d2 joined to d1) auto-chains when " +
-      "every output is a qualified column — deeper chains and " +
-      "expression outputs need manually chained views"
+      "every output is a qualified column or a row-pure expression " +
+      "whose references are all 2-part qualified — deeper plain-join " +
+      "chains need manually chained views (N-hop chains work for " +
+      "GROUP BY views)"
 
   private[plans] val AggJoinShapeMsg =
     "an aggregate-over-join materialized view must be SELECT <g…>, " +
@@ -851,12 +853,14 @@ object MvDdl {
 
   /** Everything [[CreateMaterializedViewCommand]] needs to AUTO-CHAIN
     * the 3-relation SNOWFLAKE `fact ⋈ d1 ON fact, d2 ⋈ d1 ON d1`:
-    * aliases in FROM order, both hops, the pure-column outputs as
-    * (qualifier, column, output name), and the WHERE condition's
+    * aliases in FROM order, both hops, the outputs as (expression
+    * SQL text, output name, the expression's 2-part-qualified
+    * references as (folded qualifier, column)) — a pure column is
+    * just the one-ref case — and the WHERE condition's
     * 2-part-qualified references with its original text. */
   final case class SnowflakeShape(factAlias: String, d1Alias: String,
       d2Alias: String, hop1: SnowHop, hop2: SnowHop,
-      outputs: Seq[(String, String, String)],
+      outputs: Seq[(String, String, Seq[(String, String)])],
       whereRefs: Seq[(String, String)], whereText: Option[String])
 
   /** The 3-relation snowflake JOIN TREE — aliases plus both hops —
@@ -953,9 +957,10 @@ object MvDdl {
     * auto-chains it: a hidden silver materializes `fact ⋈ d1`
     * projecting every column the second hop needs, and the visible
     * view joins the silver to d2 (kind=join, auto-cascade). Outputs
-    * must be PURE COLUMN projections (an expression would need
-    * cross-hop rewriting) and every reference 2-part qualified —
-    * None otherwise, and for deeper chains (chain views manually). */
+    * are qualified columns or aliased row-pure EXPRESSIONS; every
+    * reference must be 2-part qualified (the cross-hop rewrite
+    * relocates each reference exactly) — None otherwise, and for
+    * deeper plain-join chains (chain views manually). */
   def snowflakeShapeOf(p: LogicalPlan): Option[SnowflakeShape] = {
     val SnowHopsShape(f, d1, d2, hop1, hop2) =
       snowHopsOf(p).getOrElse(return None)
@@ -975,19 +980,38 @@ object MvDdl {
         known.contains(fold(ua.nameParts.head)))
         Some((fold(ua.nameParts.head), ua.nameParts.last))
       else None
+    // an output may be a pure qualified column, or (r18) an ALIASED
+    // row-pure EXPRESSION whose every reference is 2-part qualified
+    // — the cross-hop rewrite relocates each reference exactly; an
+    // aggregate/window/subquery inside is not row-pure and refuses
+    def exprOut(e: Expression, name: String)
+        : Option[(String, String, Seq[(String, String)])] = {
+      val refs = e.collect { case ua: UnresolvedAttribute => ua }
+      if (!refs.forall(ua => qualCol(ua).isDefined)) return None
+      val bad = e.collectFirst {
+        case fn: UnresolvedFunction if fn.nameParts.length == 1 &&
+          AggFnNames.contains(fn.nameParts.head
+            .toLowerCase(java.util.Locale.ROOT)) => ()
+        case pe: PlanExpression[_] => ()
+      }
+      if (bad.isDefined) None
+      else Some((e.sql, name, refs.map(ua => qualCol(ua).get)))
+    }
     val outs = proj.projectList.map {
       case ua: UnresolvedAttribute =>
-        qualCol(ua).map { case (q, c) => (q, c, c) }.getOrElse(
-          return None)
+        qualCol(ua).map { case (q, c) =>
+          (ua.sql, c, Seq((q, c))) }.getOrElse(return None)
       case UnresolvedAlias(ua: UnresolvedAttribute, _) =>
-        qualCol(ua).map { case (q, c) => (q, c, c) }.getOrElse(
-          return None)
+        qualCol(ua).map { case (q, c) =>
+          (ua.sql, c, Seq((q, c))) }.getOrElse(return None)
       case Alias(ua: UnresolvedAttribute, name) =>
-        qualCol(ua).map { case (q, c) => (q, c, name) }.getOrElse(
-          return None)
+        qualCol(ua).map { case (q, c) =>
+          (ua.sql, name, Seq((q, c))) }.getOrElse(return None)
+      case Alias(child, name) =>
+        exprOut(child, name).getOrElse(return None)
       case _ => return None
     }
-    if (outs.map(_._3).distinct.length != outs.length) return None
+    if (outs.map(_._2).distinct.length != outs.length) return None
     // WHERE: every reference 2-part qualified (the rewrite onto the
     // silver must be exact); keep the refs and the original text
     val (whereRefs, whereText) = proj.child match {
@@ -1459,19 +1483,20 @@ private object SnowflakeCreate {
     requireIn(snow.hop2.rightCols, d2Cols, "second dim")
     val byQual = Map(fold(snow.factAlias) -> factCols,
       fold(snow.d1Alias) -> d1Cols, fold(snow.d2Alias) -> d2Cols)
-    (snow.outputs.map(o => (o._1, o._2)) ++ snow.whereRefs)
+    (snow.outputs.flatMap(_._3) ++ snow.whereRefs)
       .foreach { case (q, c) => require(byQual(q).contains(c),
         s"column '$q.$c' is not in its table") }
     // silver columns: everything the SECOND hop and the outer
-    // SELECT/WHERE need from fact and d1, plus the key — output
+    // SELECT/WHERE reference from fact and d1, plus the key — output
     // names unqualify, so cross-relation collisions refuse
     val fQ = fold(snow.factAlias); val d1Q = fold(snow.d1Alias)
-    val neededF = (key +: (snow.outputs.collect {
-      case (q, c, _) if q == fQ => c } ++
+    val outRefs = snow.outputs.flatMap(_._3)
+    val neededF = (key +: (outRefs.collect {
+      case (q, c) if q == fQ => c } ++
       snow.whereRefs.collect { case (q, c) if q == fQ => c }))
       .distinct
-    val neededD1 = (snow.outputs.collect {
-      case (q, c, _) if q == d1Q => c } ++
+    val neededD1 = (outRefs.collect {
+      case (q, c) if q == d1Q => c } ++
       snow.whereRefs.collect { case (q, c) if q == d1Q => c } ++
       snow.hop2.leftCols).distinct
     require(neededF.intersect(neededD1).isEmpty,
@@ -1492,20 +1517,20 @@ private object SnowflakeCreate {
       }.mkString(" AND ")
     // the visible view joins the silver to d2; silver columns carry
     // their unqualified names, so f./d1. references rewrite to the
-    // silver's alias (chosen to dodge the d2 alias)
+    // silver's alias (chosen to dodge the d2 alias) — inside
+    // EXPRESSION outputs too, the same transform
     val sAlias = if (fold(snow.d2Alias) == "snow_silver")
       "snow_silver2" else "snow_silver"
-    val outs = snow.outputs.map { case (q, c, n) =>
-      val src = if (q == fold(snow.d2Alias)) snow.d2Alias else sAlias
-      s"`$src`.`$c` AS `$n`"
-    }
-    val whereRewritten = snow.whereText.map { t =>
+    def rwText(t: String): String =
       spark.sessionState.sqlParser.parseExpression(t).transform {
         case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
             fold(ua.nameParts.head) != fold(snow.d2Alias) =>
           UnresolvedAttribute(Seq(sAlias, ua.nameParts.last))
       }.sql
+    val outs = snow.outputs.map { case (sql, n, _) =>
+      s"${rwText(sql)} AS `$n`"
     }
+    val whereRewritten = snow.whereText.map(rwText)
     val silverDir = dstDir + ".silver"
     val goldText = "SELECT " + outs.mkString(", ") +
       s" FROM `graft`.`$silverDir` `$sAlias` " +

@@ -873,16 +873,25 @@ class MvSpec extends SparkSpec {
     val r2 = spark.sql(s"CALL graft.system.refresh_mv('$dst')")
       .head()
     assert(r2.getInt(1) == r2.getInt(2))
-    // a snowflake with EXPRESSION outputs still refuses (the hidden
-    // silver can only rewrite pure column projections across hops)
+    // a snowflake with EXPRESSION outputs auto-chains too (r18): the
+    // cross-hop rewrite relocates every 2-part reference exactly
     val dst2 = fresh("star_dst2")
-    val e = intercept[Exception](spark.sql(
-      s"CREATE MATERIALIZED VIEW graft.`$dst2` KEY (id) AS " +
-        s"SELECT f.id, f.v * 2 AS w FROM graft.`$fact` f " +
-        s"JOIN graft.`$d1` c ON f.cat = c.cat " +
-        s"JOIN graft.`$d2` r ON c.cat = r.region"))
-    assert(e.getMessage.contains("star"),
-      s"expected the shape refusal: ${e.getMessage.take(300)}")
+    val snowSel = s"SELECT f.id, f.v * 2 AS w, r.reg_label " +
+      s"FROM graft.`$fact` f JOIN graft.`$d1` c ON f.cat = c.cat " +
+      s"JOIN graft.`$d2` r ON c.cat = r.region"
+    val c2 = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$dst2` " +
+      s"KEY (id) AS $snowSel").head()
+    assert(c2.getString(0) == "join")
+    // no cat value matches a region key yet — the view is empty
+    assert(Versioned.read(spark, dst2).count() == 0)
+    // a d2 key equal to a d1 cat value creates matches through the
+    // SECOND hop; the expression output computes on arrival
+    Versioned.upsert(spark, d2,
+      Seq(("c1", "VIA-C1")).toDF("region", "reg_label"), "region")
+    spark.sql(s"CALL graft.system.refresh_mv('$dst2')")
+    assert(DerivedTable.bagEqual(Versioned.read(spark, dst2),
+      spark.sql(snowSel)))
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$dst2`")
   }
 
   test("snowflake join MV auto-chains a hidden silver: fact⋈d1 " +
