@@ -366,6 +366,14 @@ object SparkEntry {
     // figure over the replayed edits.
     "q62_expr_mv" ->
       (graft.sources.DerivedTable.exprMvGate _),
+    // Mixed star/chain join-TREE MVs (q63): a star leg beside a
+    // snowflaked leg under ONE aggregate view name — CREATE peels
+    // the fact⋈d hop into the hidden .snow silver, both remaining
+    // legs rewrite onto it (a star), and the invertible gold
+    // maintains directly. One refresh propagates a fact append, a
+    // star-leg relabel, and a chain-leg relabel.
+    "q63_tree_mv" ->
+      (graft.sources.DerivedTable.treeMvGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -2056,6 +2064,41 @@ object SparkEntry {
                   AS chargesum_v3,
                 CAST(1 AS BIGINT) AS eq_recompute,
                 CAST(4 AS BIGINT) AS spec_exprs""",
+    // q63: the mixed-tree view's final state restates from the
+    // bounded doc_id < 600 slice with the three edits applied — the
+    // star leg relabels min(source)'s m_label, the chain leg
+    // relabels max(source)'s region (keyed through the upper-cased
+    // src_label, exactly the engine's chain), the fact append is
+    // the full slice.
+    "q63_tree_mv" ->
+      """WITH f AS (SELECT doc_id, source, n_chars FROM documents
+                    WHERE doc_id < 600),
+              b AS (SELECT min(source) AS mn, max(source) AS mx FROM f),
+              l AS (SELECT CASE WHEN upper(source) = upper(b.mx)
+                                THEN 'R-MOVED'
+                                ELSE 'R-' || upper(source) END
+                             AS region,
+                           CASE WHEN source = b.mn
+                                THEN 'M-RELABELED'
+                                ELSE 'M-' || upper(source) END
+                             AS m_label,
+                           n_chars
+                    FROM f, b WHERE n_chars >= 300)
+         SELECT CAST(1 AS BIGINT) AS created_aggjoin,
+                CAST(1 AS BIGINT) AS snow_present,
+                CAST(1 AS BIGINT) AS silver_absent,
+                CAST(1 AS BIGINT) AS refreshed,
+                (SELECT count(*) FROM
+                  (SELECT DISTINCT region, m_label FROM l))
+                  AS gold_groups,
+                CAST((SELECT sum(n_chars) FROM l) AS BIGINT)
+                  AS gold_sum,
+                (SELECT count(*) FROM l WHERE m_label = 'M-RELABELED')
+                  AS star_relabeled_rows,
+                (SELECT count(*) FROM l WHERE region = 'R-MOVED')
+                  AS chain_moved_rows,
+                CAST(1 AS BIGINT) AS eq_gold,
+                CAST(1 AS BIGINT) AS dropped""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle ++
     int8IndexExportOracle ++ dedupIndexExportOracle
 

@@ -427,11 +427,11 @@ object MvDdl {
       "equality (or AND of equalities) between the FACT and the dim " +
       "that join introduces (a star), both sides qualified, no other " +
       "join types, windows, subqueries, DISTINCT, LIMIT or ORDER BY. " +
-      "The 3-relation SNOWFLAKE (d2 joined to d1) auto-chains when " +
-      "every output is a qualified column or a row-pure expression " +
-      "whose references are all 2-part qualified — deeper plain-join " +
-      "chains need manually chained views (N-hop chains work for " +
-      "GROUP BY views)"
+      "SNOWFLAKED shapes — any join TREE where each relation joins " +
+      "exactly ONE earlier relation (a dim joined to a dim, a star " +
+      "with snowflaked legs, N-hop chains) — auto-chain when every " +
+      "output is a qualified column or a row-pure expression whose " +
+      "references are all 2-part qualified"
 
   private[plans] val AggJoinShapeMsg =
     "an aggregate-over-join materialized view must be SELECT <g…>, " +
@@ -445,10 +445,10 @@ object MvDdl {
       "deterministic expressions aliased in the select list, " +
       "aggregate ARGUMENTS may be expressions whose alias derives " +
       "the measure name (sum(f.price * (1 - f.disc)) AS sum_rev), " +
-      "the join is the star shape, or a LINEAR snowflake chain " +
-      "(d2 joined to d1, d3 to d2, …) with every reference 2-part " +
-      "qualified — mixed star/chain ONs need manually chained " +
-      "views; invertible shapes " +
+      "the join is the star shape, or any SNOWFLAKED join tree — " +
+      "each relation joined to exactly ONE earlier relation (linear " +
+      "chains, stars with snowflaked legs, any mix) with every " +
+      "reference 2-part qualified; invertible shapes " +
       "maintain the gold DIRECTLY, others chain a HIDDEN join " +
       "silver at <view>.silver (snowflakes peel one hop per hidden " +
       "level at <view>.snow, .snow2, …) and delta-maintain the " +
@@ -722,18 +722,19 @@ object MvDdl {
       cdB.toSeq, kllB.toSeq, ext.flatten))
   }
 
-  /** Match `SELECT g…, aggs FROM fact ⋈ d1 (ON fact), d2 ⋈ d1 (ON
-    * d1)[, d3 ⋈ d2 (ON d2) …] [WHERE …] GROUP BY g…` — the
-    * aggregate-over-SNOWFLAKE shape: the same SELECT-list contract
-    * as [[aggOverJoinShapeOf]] over an N-hop LINEAR chain. The
-    * CREATE auto-chains recursively: each level peels the fact⋈d1
-    * hop into a hidden join silver at `<dst>.snow[k]` and rewrites
-    * the query onto (silver, remaining dims) — a chain one hop
-    * shorter, until it is a STAR the standard aggregate-over-join
-    * machinery maintains. Every column reference in the groups,
-    * measure arguments, and WHERE must be 2-part qualified (the
-    * rewrite onto the silver must be exact). The WHERE condition
-    * here sits UNDER the Aggregate. */
+  /** Match `SELECT g…, aggs FROM <join tree> [WHERE …] GROUP BY g…`
+    * — the aggregate-over-SNOWFLAKE shape: the same SELECT-list
+    * contract as [[aggOverJoinShapeOf]] over any join TREE
+    * ([[treeHopsOf]]) — linear chains, stars with snowflaked legs,
+    * any mix. The CREATE auto-chains recursively: each level peels
+    * one fact-adjacent hop with children into a hidden join silver
+    * at `<dst>.snow[k]` and rewrites the query onto (silver,
+    * remaining dims) — a tree one relation smaller, until it is a
+    * STAR the standard aggregate-over-join machinery maintains.
+    * Every column reference in the groups, measure arguments, and
+    * WHERE must be 2-part qualified (the rewrite onto the silver
+    * must be exact). The WHERE condition here sits UNDER the
+    * Aggregate. */
   def aggOverSnowflakeShapeOf(p: LogicalPlan)
       : Option[(Seq[String], Seq[SnowHop], Option[String],
         Seq[(String, String, Boolean)], Seq[(String, String)],
@@ -743,7 +744,7 @@ object MvDdl {
       case a: Aggregate => a
       case _ => return None
     }
-    val (aliases, hops) = chainHopsOf(agg.child).getOrElse(return None)
+    val (aliases, hops) = treeHopsOf(agg.child).getOrElse(return None)
     val whereText = agg.child match {
       case f: Filter => Some(f.condition.sql)
       case _ => None
@@ -852,30 +853,30 @@ object MvDdl {
       leftCols: Seq[String], rightCols: Seq[String], joinType: String)
 
   /** Everything [[CreateMaterializedViewCommand]] needs to AUTO-CHAIN
-    * the 3-relation SNOWFLAKE `fact ⋈ d1 ON fact, d2 ⋈ d1 ON d1`:
-    * aliases in FROM order, both hops, the outputs as (expression
-    * SQL text, output name, the expression's 2-part-qualified
-    * references as (folded qualifier, column)) — a pure column is
-    * just the one-ref case — and the WHERE condition's
-    * 2-part-qualified references with its original text. */
-  final case class SnowflakeShape(factAlias: String, d1Alias: String,
-      d2Alias: String, hop1: SnowHop, hop2: SnowHop,
+    * a snowflaked plain-join view: aliases in FROM order, one
+    * [[SnowHop]] per join (leftAlias = the PARENT relation), the
+    * outputs as (expression SQL text, output name, the expression's
+    * 2-part-qualified references as (folded qualifier, column)) — a
+    * pure column is just the one-ref case — and the WHERE
+    * condition's 2-part-qualified references with its original
+    * text. */
+  final case class SnowTreeShape(aliases: Seq[String],
+      hops: Seq[SnowHop],
       outputs: Seq[(String, String, Seq[(String, String)])],
       whereRefs: Seq[(String, String)], whereText: Option[String])
 
-  /** The 3-relation snowflake JOIN TREE — aliases plus both hops —
-    * shared by the plain-join matcher ([[snowflakeShapeOf]]) and the
-    * aggregate one ([[aggOverSnowflakeShapeOf]]). */
-  final case class SnowHopsShape(factAlias: String, d1Alias: String,
-      d2Alias: String, hop1: SnowHop, hop2: SnowHop)
-
-  /** A LINEAR join chain of N ≥ 2 hops — `fact ⋈ d1 (ON fact),
-    * d2 ⋈ d1 (ON d1), d3 ⋈ d2 (ON d2), …` — as (aliases in FROM
-    * order, one [[SnowHop]] per join). None for stars (one join,
-    * [[joinShapeOf]]'s shape), mixed star/chain ONs, and anything
-    * non-left-deep: hop i's condition must link EXACTLY relation i
-    * to relation i+1. */
-  private def chainHopsOf(p: LogicalPlan)
+  /** A join TREE of N ≥ 2 joins — each join's ON links the relation
+    * it introduces to exactly ONE earlier relation, its PARENT: the
+    * linear snowflake chain (`fact ⋈ d1 ON fact, d2 ⋈ d1 ON d1, …`),
+    * a star with a snowflaked leg (`fact ⋈ d1 ON fact, fact ⋈ d2 ON
+    * fact, d3 ⋈ d2 ON d2`), and any mix are all trees. Returns
+    * (aliases in FROM order, one [[SnowHop]] per join with
+    * `leftAlias` = the parent's alias). None for the pure STAR
+    * (every parent the fact — [[joinShapeOf]]'s shape, always tried
+    * first, so a star landing here had a SELECT-list problem the
+    * star contract should name), ONs that reference two earlier
+    * relations or none, and anything non-left-deep. */
+  private def treeHopsOf(p: LogicalPlan)
       : Option[(Seq[String], Seq[SnowHop])] = {
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
     val joins = p.collect { case j: Join => j }
@@ -912,69 +913,71 @@ object MvDdl {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    // one hop's pairs between EXACTLY (leftAlias, rightAlias)
-    def hopOf(j: Join, la: String, ra: String): Option[SnowHop] = {
+    // one hop: every equality links the introduced relation `ra` to
+    // ONE consistent earlier relation — the parent
+    def hopOf(j: Join, earlier: Seq[String], ra: String)
+        : Option[SnowHop] = {
       val jt = j.joinType match {
         case Inner => "inner"
         case LeftOuter => "left"
         case _ => return None
       }
-      val pairs = j.condition.toSeq.flatMap(conjuncts).map {
+      val byFold = earlier.map(a => fold(a) -> a).toMap
+      val triples = j.condition.toSeq.flatMap(conjuncts).map {
         case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
             if a.nameParts.length == 2 && b.nameParts.length == 2 =>
-          val sides = Map(fold(a.nameParts.head) -> a.nameParts.last,
-            fold(b.nameParts.head) -> b.nameParts.last)
-          (for {
-            l <- sides.get(fold(la))
-            r <- sides.get(fold(ra))
-            if sides.size == 2
-          } yield (l, r)).getOrElse(return None)
+          val (rSide, oSide) =
+            if (fold(a.nameParts.head) == fold(ra)) (a, b)
+            else if (fold(b.nameParts.head) == fold(ra)) (b, a)
+            else return None
+          val pq = fold(oSide.nameParts.head)
+          if (pq == fold(ra) || !byFold.contains(pq)) return None
+          (byFold(pq), oSide.nameParts.last, rSide.nameParts.last)
         case _ => return None
       }
-      if (pairs.isEmpty ||
-        pairs.map(_._1).distinct.length != pairs.length) return None
-      Some(SnowHop(la, ra, pairs.map(_._1), pairs.map(_._2), jt))
+      if (triples.isEmpty ||
+        triples.map(_._1).distinct.length != 1) return None
+      val pairs = triples.map(t => (t._2, t._3))
+      if (pairs.map(_._1).distinct.length != pairs.length) return None
+      Some(SnowHop(triples.head._1, ra, pairs.map(_._1),
+        pairs.map(_._2), jt))
     }
-    // the CHAIN signature: hop i's ON links relation i to relation
-    // i+1 (hop 1 fact-to-d1; a fact-to-d2 ON is a star leg, which
-    // joinShapeOf already matched)
     val hops = fromOrder.zipWithIndex.map { case (j, i) =>
-      hopOf(j, aliases(i), aliases(i + 1)).getOrElse(return None) }
+      hopOf(j, aliases.take(i + 1), aliases(i + 1))
+        .getOrElse(return None) }
+    // the pure star belongs to joinShapeOf (tried first): reaching
+    // here with one means the SELECT list was the problem — let the
+    // caller refuse with the star contract instead of attempting a
+    // peel that cannot terminate
+    if (hops.forall(h => fold(h.leftAlias) == fold(aliases.head)))
+      return None
     Some((aliases, hops))
   }
 
-  private def snowHopsOf(p: LogicalPlan): Option[SnowHopsShape] =
-    chainHopsOf(p) match {
-      case Some((Seq(f, d1, d2), Seq(hop1, hop2))) =>
-        Some(SnowHopsShape(f, d1, d2, hop1, hop2))
-      case _ => None
-    }
-
-  /** Match the 3-relation SNOWFLAKE shape — `SELECT <q.col [AS n]>…
-    * FROM fact f JOIN d1 ON f.fk = d1.dk [AND …] JOIN d2 ON
-    * d1.b = d2.c [AND …] [WHERE <qualified refs only>]` — the
-    * dim-over-dim chain [[joinShapeOf]] cannot express. The engine
-    * auto-chains it: a hidden silver materializes `fact ⋈ d1`
-    * projecting every column the second hop needs, and the visible
-    * view joins the silver to d2 (kind=join, auto-cascade). Outputs
-    * are qualified columns or aliased row-pure EXPRESSIONS; every
-    * reference must be 2-part qualified (the cross-hop rewrite
-    * relocates each reference exactly) — None otherwise, and for
-    * deeper plain-join chains (chain views manually). */
-  def snowflakeShapeOf(p: LogicalPlan): Option[SnowflakeShape] = {
-    val SnowHopsShape(f, d1, d2, hop1, hop2) =
-      snowHopsOf(p).getOrElse(return None)
+  /** Match the SNOWFLAKED plain-join shape — any join TREE
+    * ([[treeHopsOf]]) that is not the pure star [[joinShapeOf]]
+    * expresses: `SELECT <outputs> FROM fact f JOIN d1 ON f.fk = d1.dk
+    * JOIN d2 ON d1.b = d2.c [JOIN …] [WHERE <qualified refs only>]`.
+    * The engine auto-chains it: each CREATE level peels one
+    * fact-adjacent hop with children into a hidden `fact ⋈ dX` join
+    * silver and rewrites the view onto (silver, remaining dims) —
+    * recursing until the rewrite is a STAR the standard join-view
+    * machinery maintains. Outputs are qualified columns or aliased
+    * row-pure EXPRESSIONS; every reference must be 2-part qualified
+    * (the cross-hop rewrite relocates each reference exactly) —
+    * None otherwise. */
+  def snowflakeShapeOf(p: LogicalPlan): Option[SnowTreeShape] = {
+    val (aliases, hops) = treeHopsOf(p).getOrElse(return None)
     val fold: String => String =
       if (org.apache.spark.sql.internal.SQLConf.get
           .caseSensitiveAnalysis) identity
       else _.toLowerCase(java.util.Locale.ROOT)
-    // outputs: pure column projections, 2-part qualified over the
-    // three aliases
+    // outputs: 2-part qualified over the tree's aliases
     val proj = p match {
       case pr: Project => pr
       case _ => return None
     }
-    val known = Set(f, d1, d2).map(fold)
+    val known = aliases.map(fold).toSet
     def qualCol(ua: UnresolvedAttribute): Option[(String, String)] =
       if (ua.nameParts.length == 2 &&
         known.contains(fold(ua.nameParts.head)))
@@ -1022,8 +1025,7 @@ object MvDdl {
         (refs.map(ua => qualCol(ua).get), Some(fl.condition.sql))
       case _ => (Nil, None)
     }
-    Some(SnowflakeShape(f, d1, d2, hop1, hop2, outs, whereRefs,
-      whereText))
+    Some(SnowTreeShape(aliases, hops, outs, whereRefs, whereText))
   }
 }
 
@@ -1378,14 +1380,15 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           "KEY (<fact key column>)")
       val starShape = MvDdl.joinShapeOf(parsed)
       if (starShape.isEmpty) {
-        // not a star: the 3-relation SNOWFLAKE (d2 joined to d1)
-        // auto-chains a hidden silver — fact⋈d1 materializes at
-        // <dst>.silver projecting every column the second hop needs,
-        // and the visible view joins the silver to d2
+        // not a star: a SNOWFLAKED join tree auto-chains — each
+        // level peels one fact-adjacent hop into a hidden fact⋈dX
+        // silver at <dst>.snow[k] and rewrites the view onto
+        // (silver, remaining dims), recursing until it is a star
         val snow = MvDdl.snowflakeShapeOf(parsed).getOrElse(
           throw new UnsupportedOperationException(MvDdl.JoinShapeMsg))
-        return SnowflakeCreate.run(spark, dstDir, srcDir, srcCols,
-          rels, snow, key, queryText, partitionCol)
+        return SnowflakeCreate.run(spark, parts, dstDir, srcDir,
+          srcCols, rels, snow, key, queryText, partitionCol,
+          snowDepth, extraProps)
       }
       val shape = starShape.get
       require(shape.length == rels.length - 1,
@@ -1422,6 +1425,12 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
           DerivedTable.MvJoinTypeProp ->
             dims.map(_._2).mkString(";"),
           DerivedTable.MvQueryProp -> queryText) ++
+          // a snowflake peel's terminal star carries the auto-chain
+          // mark (refresh_mv cascades through the hidden silvers)
+          // and the inherited props (the pre-rewrite query text)
+          (if (autoChain)
+            Seq(DerivedTable.MvAutoChainProp -> "true")
+           else Nil) ++ extraProps ++
           partitionCol.map(DerivedTable.MvPartitionProp -> _))
       Seq(Row("join", from, to))
     } else {
@@ -1451,155 +1460,179 @@ case class CreateMaterializedViewCommand(parts: Seq[String],
   }
 }
 
-/** The snowflake CREATE continuation of
-  * [[CreateMaterializedViewCommand]] — see [[MvDdl.snowflakeShapeOf]]. */
+/** The snowflaked plain-join CREATE continuation of
+  * [[CreateMaterializedViewCommand]] — see [[MvDdl.snowflakeShapeOf]].
+  * The same peel discipline as [[SnowflakeAggCreate]]: pick the
+  * first fact-adjacent dim X that other relations hang off,
+  * materialize the hidden fact⋈X join silver at `<dst>.snow[k]`,
+  * rewrite the outputs/ONs/WHERE onto (silver, remaining dims), and
+  * recurse — until the rewrite is a STAR the standard join-view
+  * machinery maintains. */
 private object SnowflakeCreate {
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 
-  def run(spark: SparkSession, dstDir: String, factDir: String,
-      factCols: Set[String], rels: Seq[UnresolvedRelation],
-      snow: MvDdl.SnowflakeShape, key: String, queryText: String,
-      partitionCol: Option[String]): Seq[Row] = {
+  def run(spark: SparkSession, parts: Seq[String], dstDir: String,
+      factDir: String, factCols: Set[String],
+      rels: Seq[UnresolvedRelation], snow: MvDdl.SnowTreeShape,
+      key: String, queryText: String,
+      partitionCol: Option[String], depth: Int,
+      inheritedProps: Map[String, String]): Seq[Row] = {
+    val aliases = snow.aliases; val hops = snow.hops
+    require(rels.length == aliases.length, MvDdl.JoinShapeMsg)
     val fold: String => String =
       if (org.apache.spark.sql.internal.SQLConf.get
           .caseSensitiveAnalysis) identity
       else _.toLowerCase(java.util.Locale.ROOT)
     def relText(r: UnresolvedRelation): String =
       r.multipartIdentifier.map(p => s"`$p`").mkString(".")
-    val d1Dir = GraftDdl.tableDir(spark, rels(1).multipartIdentifier,
-      "CREATE MATERIALIZED VIEW dim")
-    val d2Dir = GraftDdl.tableDir(spark, rels(2).multipartIdentifier,
-      "CREATE MATERIALIZED VIEW dim")
-    val d1Cols = Versioned.read(spark, d1Dir).columns.toSet
-    val d2Cols = Versioned.read(spark, d2Dir).columns.toSet
+    val relCols: Seq[Set[String]] = factCols +:
+      rels.tail.map(r => Versioned.read(spark, GraftDdl.tableDir(
+        spark, r.multipartIdentifier,
+        "CREATE MATERIALIZED VIEW dim")).columns.toSet)
+    val quals = aliases.map(fold)
+    val byQual = quals.zip(relCols).toMap
     def requireIn(cols: Seq[String], in: Set[String],
         what: String): Unit =
       cols.foreach(c => require(in.contains(c),
         s"column '$c' is not in the $what table " +
           s"(has: ${in.toSeq.sorted.mkString(", ")})"))
-    requireIn(snow.hop1.leftCols, factCols, "fact")
-    requireIn(snow.hop1.rightCols ++ snow.hop2.leftCols, d1Cols,
-      "first dim")
-    requireIn(snow.hop2.rightCols, d2Cols, "second dim")
-    val byQual = Map(fold(snow.factAlias) -> factCols,
-      fold(snow.d1Alias) -> d1Cols, fold(snow.d2Alias) -> d2Cols)
+    hops.indices.foreach { i =>
+      requireIn(hops(i).leftCols, byQual(fold(hops(i).leftAlias)),
+        s"hop-${i + 1} left (${hops(i).leftAlias})")
+      requireIn(hops(i).rightCols, relCols(i + 1),
+        s"hop-${i + 1} right")
+    }
     (snow.outputs.flatMap(_._3) ++ snow.whereRefs)
       .foreach { case (q, c) => require(byQual(q).contains(c),
         s"column '$q.$c' is not in its table") }
-    // silver columns: everything the SECOND hop and the outer
-    // SELECT/WHERE reference from fact and d1, plus the key — output
-    // names unqualify, so cross-relation collisions refuse
-    val fQ = fold(snow.factAlias); val d1Q = fold(snow.d1Alias)
-    val outRefs = snow.outputs.flatMap(_._3)
-    val neededF = (key +: (outRefs.collect {
+    val fQ = quals.head
+    // PEEL target: the first fact-adjacent dim other hops hang off —
+    // see [[SnowflakeAggCreate]] (treeHopsOf excluded pure stars)
+    val parentsWithChildren = hops.map(h => fold(h.leftAlias)).toSet
+    val peelIdx = hops.indexWhere(h => fold(h.leftAlias) == fQ &&
+      parentsWithChildren.contains(fold(h.rightAlias)))
+    require(peelIdx >= 0, MvDdl.JoinShapeMsg)
+    val peelHop = hops(peelIdx)
+    val xA = peelHop.rightAlias; val xQ = fold(xA)
+    val xRel = rels(peelIdx + 1)
+    val xDir = GraftDdl.tableDir(spark, xRel.multipartIdentifier,
+      "CREATE MATERIALIZED VIEW dim")
+    // silver columns: everything the outer SELECT/WHERE references
+    // from fact and X, the key, the remaining star legs' fact-side
+    // join columns, and X's children's join columns — output names
+    // unqualify, so cross-relation collisions refuse
+    val allRefs = snow.outputs.flatMap(_._3) ++ snow.whereRefs
+    val otherHops = hops.zipWithIndex.filter(_._2 != peelIdx)
+      .map(_._1)
+    val neededF = (key +: (allRefs.collect {
       case (q, c) if q == fQ => c } ++
-      snow.whereRefs.collect { case (q, c) if q == fQ => c }))
-      .distinct
-    val neededD1 = (outRefs.collect {
-      case (q, c) if q == d1Q => c } ++
-      snow.whereRefs.collect { case (q, c) if q == d1Q => c } ++
-      snow.hop2.leftCols).distinct
-    require(neededF.intersect(neededD1).isEmpty,
-      "the snowflake's hidden silver projects fact and first-dim " +
-        s"columns unqualified, and (${neededF.intersect(neededD1)
+      otherHops.filter(h => fold(h.leftAlias) == fQ)
+        .flatMap(_.leftCols))).distinct
+    val neededX = (allRefs.collect { case (q, c) if q == xQ => c } ++
+      otherHops.filter(h => fold(h.leftAlias) == xQ)
+        .flatMap(_.leftCols)).distinct
+    require(neededF.intersect(neededX).isEmpty,
+      "the snowflake's hidden silver projects fact and peeled-dim " +
+        s"columns unqualified, and (${neededF.intersect(neededX)
           .mkString(", ")}) collide — alias them apart (or chain " +
         "views manually)")
     def jt(t: String) = if (t == "left") "LEFT JOIN" else "JOIN"
+    // NO WHERE in the silver: the predicate may reference later
+    // dims, so it rides the rewritten gold query
     val silverText = "SELECT " + (neededF.map(c =>
-        s"`${snow.factAlias}`.`$c` AS `$c`") ++
-      neededD1.map(c => s"`${snow.d1Alias}`.`$c` AS `$c`"))
+        s"`${aliases.head}`.`$c` AS `$c`") ++
+      neededX.map(c => s"`$xA`.`$c` AS `$c`"))
         .mkString(", ") +
-      s" FROM ${relText(rels.head)} `${snow.factAlias}` " +
-      jt(snow.hop1.joinType) + s" ${relText(rels(1))} " +
-      s"`${snow.d1Alias}` ON " +
-      snow.hop1.leftCols.zip(snow.hop1.rightCols).map { case (l, r) =>
-        s"`${snow.factAlias}`.`$l` = `${snow.d1Alias}`.`$r`"
+      s" FROM ${relText(rels.head)} `${aliases.head}` " +
+      jt(peelHop.joinType) + s" ${relText(xRel)} " +
+      s"`$xA` ON " +
+      peelHop.leftCols.zip(peelHop.rightCols).map { case (l, r) =>
+        s"`${aliases.head}`.`$l` = `$xA`.`$r`"
       }.mkString(" AND ")
-    // the visible view joins the silver to d2; silver columns carry
-    // their unqualified names, so f./d1. references rewrite to the
-    // silver's alias (chosen to dodge the d2 alias) — inside
-    // EXPRESSION outputs too, the same transform
-    val sAlias = if (fold(snow.d2Alias) == "snow_silver")
-      "snow_silver2" else "snow_silver"
+    val remainingQs = quals.filterNot(q => q == fQ || q == xQ).toSet
+    val sAlias = Iterator.from(0)
+      .map(i => if (i == 0) "snow_silver" else s"snow_silver$i")
+      .find(a => !remainingQs.contains(fold(a))).get
+    // rewrite any fact/peeled-dim qualifier to the silver's alias —
+    // inside EXPRESSION outputs too, the same transform
     def rwText(t: String): String =
       spark.sessionState.sqlParser.parseExpression(t).transform {
         case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
-            fold(ua.nameParts.head) != fold(snow.d2Alias) =>
+            (fold(ua.nameParts.head) == fQ ||
+              fold(ua.nameParts.head) == xQ) =>
           UnresolvedAttribute(Seq(sAlias, ua.nameParts.last))
       }.sql
     val outs = snow.outputs.map { case (sql, n, _) =>
       s"${rwText(sql)} AS `$n`"
     }
     val whereRewritten = snow.whereText.map(rwText)
-    val silverDir = dstDir + ".silver"
+    val silverDir =
+      dstDir + (if (depth == 0) ".snow" else s".snow${depth + 1}")
+    val fromTail = hops.zipWithIndex.filter(_._2 != peelIdx)
+      .map { case (h, i) =>
+        val pq = fold(h.leftAlias)
+        val leftA = if (pq == fQ || pq == xQ) sAlias else h.leftAlias
+        jt(h.joinType) + s" ${relText(rels(i + 1))} " +
+          s"`${aliases(i + 1)}` ON " +
+          h.leftCols.zip(h.rightCols).map { case (l, r) =>
+            s"`$leftA`.`$l` = `${aliases(i + 1)}`.`$r`"
+          }.mkString(" AND ")
+      }.mkString(" ")
     val goldText = "SELECT " + outs.mkString(", ") +
-      s" FROM `graft`.`$silverDir` `$sAlias` " +
-      jt(snow.hop2.joinType) + s" ${relText(rels(2))} " +
-      s"`${snow.d2Alias}` ON " +
-      snow.hop2.leftCols.zip(snow.hop2.rightCols).map { case (l, r) =>
-        s"`$sAlias`.`$l` = `${snow.d2Alias}`.`$r`"
-      }.mkString(" AND ") +
+      s" FROM `graft`.`$silverDir` `$sAlias` " + fromTail +
       whereRewritten.map(w => s" WHERE $w").getOrElse("")
     require(Versioned.currentVersion(spark, silverDir) == 0,
       s"$silverDir already exists — a crashed CREATE left the " +
         "hidden silver behind; remove it and retry")
     DerivedTable.refreshJoinStar(spark, factDir,
-      Seq(DerivedTable.JoinDim(d1Dir, snow.hop1.leftCols,
-        snow.hop1.rightCols)), silverDir, key,
+      Seq(DerivedTable.JoinDim(xDir, peelHop.leftCols,
+        peelHop.rightCols)), silverDir, key,
       DerivedTable.mvJoinTransformStar(spark, silverText),
       bootstrapProps = Map(
         DerivedTable.MvKindProp -> "join",
         DerivedTable.MvSourceProp -> factDir,
-        DerivedTable.MvDimProp -> d1Dir,
+        DerivedTable.MvDimProp -> xDir,
         DerivedTable.MvKeyProp -> key,
-        DerivedTable.MvFkProp -> snow.hop1.leftCols.mkString(","),
+        DerivedTable.MvFkProp -> peelHop.leftCols.mkString(","),
         DerivedTable.MvDimKeyProp ->
-          snow.hop1.rightCols.mkString(","),
-        DerivedTable.MvJoinTypeProp -> snow.hop1.joinType,
+          peelHop.rightCols.mkString(","),
+        DerivedTable.MvJoinTypeProp -> peelHop.joinType,
         DerivedTable.MvQueryProp -> silverText,
         DerivedTable.MvHiddenSilverOfProp -> dstDir))
-    val ((from, to), _) =
-      try DerivedTable.refreshJoinStar(spark, silverDir,
-        Seq(DerivedTable.JoinDim(d2Dir, snow.hop2.leftCols,
-          snow.hop2.rightCols)), dstDir, key,
-        DerivedTable.mvJoinTransformStar(spark, goldText),
-        partitionCol = partitionCol,
-        bootstrapProps = Map(
-          DerivedTable.MvKindProp -> "join",
-          DerivedTable.MvSourceProp -> silverDir,
-          DerivedTable.MvDimProp -> d2Dir,
-          DerivedTable.MvKeyProp -> key,
-          DerivedTable.MvFkProp -> snow.hop2.leftCols.mkString(","),
-          DerivedTable.MvDimKeyProp ->
-            snow.hop2.rightCols.mkString(","),
-          DerivedTable.MvJoinTypeProp -> snow.hop2.joinType,
-          DerivedTable.MvQueryProp -> goldText,
-          "graft.mv.original_query" -> queryText,
-          DerivedTable.MvAutoChainProp -> "true") ++
-          partitionCol.map(DerivedTable.MvPartitionProp -> _))
-      catch { case e: Throwable =>
-        // CREATE spans two tables; a failed gold bootstrap must not
-        // strand the silver (the retry would refuse on it)
-        val p = new org.apache.hadoop.fs.Path(silverDir)
-        scala.util.Try(p.getFileSystem(
-          spark.sessionState.newHadoopConf()).delete(p, true))
-        throw e
-      }
-    Seq(Row("join", from, to))
+    try CreateMaterializedViewCommand(parts, ifNotExists = false,
+      rowKeySpelling = false, key, goldText,
+      partitionCol = partitionCol, autoChain = true,
+      // the TOP level's pre-rewrite text survives every level
+      extraProps = inheritedProps +
+        ("graft.mv.original_query" -> inheritedProps
+          .getOrElse("graft.mv.original_query", queryText)),
+      snowDepth = depth + 1)
+      .run(spark)
+    catch { case e: Throwable =>
+      // CREATE spans several tables; a failed downstream bootstrap
+      // must not strand this level's silver (the retry would refuse)
+      val p = new org.apache.hadoop.fs.Path(silverDir)
+      scala.util.Try(p.getFileSystem(
+        spark.sessionState.newHadoopConf()).delete(p, true))
+      throw e
+    }
   }
 }
 
-/** The aggregate-over-SNOWFLAKE auto-chain: synthesize the hidden
-  * fact⋈d1 join silver at `<dst>.snow` (projecting the key, every
-  * fact/d1 column the aggregate references, and the second hop's
-  * join columns), REWRITE the aggregate query onto
-  * `silver ⋈ d2 [⋈ d3 …]` — a chain ONE hop shorter — and recurse
-  * into [[CreateMaterializedViewCommand]]. An N-hop linear chain
-  * peels one hop per level (`.snow`, `.snow2`, …) until the rewrite
-  * is a STAR, which the standard aggregate-over-join machinery
-  * maintains (direct algebraic for invertible shapes, the hidden
-  * `<dst>.silver` chain otherwise). One name; refresh_mv
-  * auto-cascades through every hidden hop; DROP removes all. */
+/** The aggregate-over-SNOWFLAKE auto-chain: pick the first
+  * fact-adjacent dim X that other relations hang off, synthesize the
+  * hidden fact⋈X join silver at `<dst>.snow[k]` (projecting the key,
+  * every fact/X column the aggregate references, the remaining star
+  * legs' fact-side join columns, and X's children's join columns),
+  * REWRITE the aggregate query onto (silver, remaining dims) — a
+  * join TREE one relation smaller — and recurse into
+  * [[CreateMaterializedViewCommand]]. Linear chains, stars with
+  * snowflaked legs, and any mixed tree peel one hop per level
+  * (`.snow`, `.snow2`, …) until the rewrite is a STAR, which the
+  * standard aggregate-over-join machinery maintains (direct
+  * algebraic for invertible shapes, the hidden `<dst>.silver` chain
+  * otherwise). One name; refresh_mv auto-cascades through every
+  * hidden hop; DROP removes all. */
 private object SnowflakeAggCreate {
   import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 
@@ -1627,21 +1660,35 @@ private object SnowflakeAggCreate {
       rels.tail.map(r => Versioned.read(spark, GraftDdl.tableDir(
         spark, r.multipartIdentifier,
         "CREATE MATERIALIZED VIEW dim")).columns.toSet)
-    val d1Dir = GraftDdl.tableDir(spark, rels(1).multipartIdentifier,
-      "CREATE MATERIALIZED VIEW dim")
+    val quals = aliases.map(fold)
+    val byQual = quals.zip(relCols).toMap
     def requireIn(cols: Seq[String], in: Set[String],
         what: String): Unit =
       cols.foreach(c => require(in.contains(c),
         s"column '$c' is not in the $what table " +
           s"(has: ${in.toSeq.sorted.mkString(", ")})"))
+    // hop i introduces relation i+1; its left columns live in the
+    // PARENT relation (any earlier one — the tree shape)
     hops.indices.foreach { i =>
-      requireIn(hops(i).leftCols, relCols(i), s"hop-${i + 1} left")
+      requireIn(hops(i).leftCols, byQual(fold(hops(i).leftAlias)),
+        s"hop-${i + 1} left (${hops(i).leftAlias})")
       requireIn(hops(i).rightCols, relCols(i + 1),
         s"hop-${i + 1} right")
     }
-    val quals = aliases.map(fold)
-    val fQ = quals.head; val d1Q = quals(1)
-    val byQual = quals.zip(relCols).toMap
+    val fQ = quals.head
+    // PEEL target: the FIRST fact-adjacent dim other hops hang off.
+    // One exists whenever the tree is not a star (walk any
+    // dim-parented hop's parent chain upward — it meets the fact at
+    // a dim with children); treeHopsOf already excluded pure stars.
+    val parentsWithChildren = hops.map(h => fold(h.leftAlias)).toSet
+    val peelIdx = hops.indexWhere(h => fold(h.leftAlias) == fQ &&
+      parentsWithChildren.contains(fold(h.rightAlias)))
+    require(peelIdx >= 0, MvDdl.AggJoinShapeMsg)
+    val peelHop = hops(peelIdx)
+    val xA = peelHop.rightAlias; val xQ = fold(xA)
+    val xRel = rels(peelIdx + 1)
+    val xDir = GraftDdl.tableDir(spark, xRel.multipartIdentifier,
+      "CREATE MATERIALIZED VIEW dim")
     // every reference in the groups, measure arguments, and WHERE
     // must be 2-part qualified over the chain's aliases — the
     // rewrite onto the silver must be exact (a bare name is
@@ -1663,17 +1710,23 @@ private object SnowflakeAggCreate {
     val allRefs = allTexts.flatMap(refsOf)
     allRefs.foreach { case (q, c) => require(byQual(q).contains(c),
       s"column '$q.$c' is not in its table") }
-    // the hidden silver projects (unqualified) everything fact/d1
-    // contribute, plus the key and the SECOND hop's left columns
-    // (they live in d1 — the rewritten chain joins the silver to d2
-    // on them)
-    val neededF = (key +: allRefs.collect {
-      case (q, c) if q == fQ => c }).distinct
-    val neededD1 = (allRefs.collect { case (q, c) if q == d1Q => c } ++
-      hops(1).leftCols).distinct
-    require(neededF.intersect(neededD1).isEmpty,
-      "the snowflake's hidden silver projects fact and first-dim " +
-        s"columns unqualified, and (${neededF.intersect(neededD1)
+    // the hidden silver projects (unqualified) everything fact and
+    // the peeled dim contribute: referenced columns, the key, the
+    // OTHER fact-adjacent hops' fact-side join columns (the
+    // remaining star legs join the silver on them), and the peeled
+    // dim's children's parent-side columns
+    val otherHops = hops.zipWithIndex.filter(_._2 != peelIdx)
+      .map(_._1)
+    val neededF = (key +: (allRefs.collect {
+      case (q, c) if q == fQ => c } ++
+      otherHops.filter(h => fold(h.leftAlias) == fQ)
+        .flatMap(_.leftCols))).distinct
+    val neededX = (allRefs.collect { case (q, c) if q == xQ => c } ++
+      otherHops.filter(h => fold(h.leftAlias) == xQ)
+        .flatMap(_.leftCols)).distinct
+    require(neededF.intersect(neededX).isEmpty,
+      "the snowflake's hidden silver projects fact and peeled-dim " +
+        s"columns unqualified, and (${neededF.intersect(neededX)
           .mkString(", ")}) collide — alias them apart (or chain " +
         "views manually)")
     def jt(t: String) = if (t == "left") "LEFT JOIN" else "JOIN"
@@ -1681,24 +1734,25 @@ private object SnowflakeAggCreate {
     // dims, so it rides the rewritten gold query
     val silverText = "SELECT " + (neededF.map(c =>
         s"`${aliases.head}`.`$c` AS `$c`") ++
-      neededD1.map(c => s"`${aliases(1)}`.`$c` AS `$c`"))
+      neededX.map(c => s"`$xA`.`$c` AS `$c`"))
         .mkString(", ") +
       s" FROM ${relText(rels.head)} `${aliases.head}` " +
-      jt(hops.head.joinType) + s" ${relText(rels(1))} " +
-      s"`${aliases(1)}` ON " +
-      hops.head.leftCols.zip(hops.head.rightCols).map { case (l, r) =>
-        s"`${aliases.head}`.`$l` = `${aliases(1)}`.`$r`"
+      jt(peelHop.joinType) + s" ${relText(xRel)} " +
+      s"`$xA` ON " +
+      peelHop.leftCols.zip(peelHop.rightCols).map { case (l, r) =>
+        s"`${aliases.head}`.`$l` = `$xA`.`$r`"
       }.mkString(" AND ")
-    val laterQs = quals.drop(2).toSet
+    val remainingQs = quals.filterNot(q => q == fQ || q == xQ).toSet
     val sAlias = Iterator.from(0)
       .map(i => if (i == 0) "snow_silver" else s"snow_silver$i")
-      .find(a => !laterQs.contains(fold(a))).get
-    // rewrite any fact/d1 qualifier to the silver's alias; later
-    // dims' references stay
+      .find(a => !remainingQs.contains(fold(a))).get
+    // rewrite any fact/peeled-dim qualifier to the silver's alias;
+    // the remaining dims' references stay
     def rw(text: String): String =
       parser.parseExpression(text).transform {
         case ua: UnresolvedAttribute if ua.nameParts.length == 2 &&
-            !laterQs.contains(fold(ua.nameParts.head)) =>
+            (fold(ua.nameParts.head) == fQ ||
+              fold(ua.nameParts.head) == xQ) =>
           UnresolvedAttribute(Seq(sAlias, ua.nameParts.last))
       }.sql
     val valByName = vals.toMap
@@ -1717,16 +1771,19 @@ private object SnowflakeAggCreate {
         s"min(${rw(q)}) AS `min_$n`", s"max(${rw(q)}) AS `max_$n`") }
     val silverDir =
       dstDir + (if (depth == 0) ".snow" else s".snow${depth + 1}")
-    // hops 2..N keep their original right-hand relations and ON
-    // columns; only hop 2's LEFT side moves to the silver alias
-    val fromTail = hops.zipWithIndex.drop(1).map { case (h, i) =>
-      val leftA = if (i == 1) sAlias else aliases(i)
-      jt(h.joinType) + s" ${relText(rels(i + 1))} " +
-        s"`${aliases(i + 1)}` ON " +
-        h.leftCols.zip(h.rightCols).map { case (l, r) =>
-          s"`$leftA`.`$l` = `${aliases(i + 1)}`.`$r`"
-        }.mkString(" AND ")
-    }.mkString(" ")
+    // the remaining hops keep their relations and ON columns in FROM
+    // order; a hop whose parent was the fact or the peeled dim joins
+    // the silver's alias instead (its columns live there unqualified)
+    val fromTail = hops.zipWithIndex.filter(_._2 != peelIdx)
+      .map { case (h, i) =>
+        val pq = fold(h.leftAlias)
+        val leftA = if (pq == fQ || pq == xQ) sAlias else h.leftAlias
+        jt(h.joinType) + s" ${relText(rels(i + 1))} " +
+          s"`${aliases(i + 1)}` ON " +
+          h.leftCols.zip(h.rightCols).map { case (l, r) =>
+            s"`$leftA`.`$l` = `${aliases(i + 1)}`.`$r`"
+          }.mkString(" AND ")
+      }.mkString(" ")
     val rewritten = "SELECT " + selList.mkString(", ") +
       s" FROM `graft`.`$silverDir` `$sAlias` " + fromTail +
       whereText.map(w => s" WHERE ${rw(w)}").getOrElse("") +
@@ -1735,18 +1792,18 @@ private object SnowflakeAggCreate {
       s"$silverDir already exists — a crashed CREATE left the " +
         "hidden silver behind; remove it and retry")
     DerivedTable.refreshJoinStar(spark, factDir,
-      Seq(DerivedTable.JoinDim(d1Dir, hops.head.leftCols,
-        hops.head.rightCols)), silverDir, key,
+      Seq(DerivedTable.JoinDim(xDir, peelHop.leftCols,
+        peelHop.rightCols)), silverDir, key,
       DerivedTable.mvJoinTransformStar(spark, silverText),
       bootstrapProps = Map(
         DerivedTable.MvKindProp -> "join",
         DerivedTable.MvSourceProp -> factDir,
-        DerivedTable.MvDimProp -> d1Dir,
+        DerivedTable.MvDimProp -> xDir,
         DerivedTable.MvKeyProp -> key,
-        DerivedTable.MvFkProp -> hops.head.leftCols.mkString(","),
+        DerivedTable.MvFkProp -> peelHop.leftCols.mkString(","),
         DerivedTable.MvDimKeyProp ->
-          hops.head.rightCols.mkString(","),
-        DerivedTable.MvJoinTypeProp -> hops.head.joinType,
+          peelHop.rightCols.mkString(","),
+        DerivedTable.MvJoinTypeProp -> peelHop.joinType,
         DerivedTable.MvQueryProp -> silverText,
         DerivedTable.MvHiddenSilverOfProp -> dstDir))
     try CreateMaterializedViewCommand(parts, ifNotExists = false,

@@ -2519,6 +2519,112 @@ object DerivedTable {
         "dropped")
   }
 
+  /** Driver-visible gate (q63): MIXED star/chain join-TREE MVs — a
+    * star leg (m ON fact) beside a snowflaked leg (r ON d) under ONE
+    * aggregate view name. The CREATE peels the fact⋈d hop into the
+    * hidden `.snow` silver; the star leg and the chain's second hop
+    * both rewrite onto it (now a star), and the invertible gold
+    * maintains DIRECTLY (no `.silver`, exactly one hidden level).
+    * One refresh propagates a fact append, a STAR-leg relabel, and a
+    * CHAIN-leg relabel; the final state bag-equals the full
+    * recompute, and every figure restates in DuckDB over the
+    * replayed edits. Rides the q58 pooled family — the two
+    * mini-dims derive deterministically from the pooled dim. */
+  def treeMvGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-treemv-gate")
+    try treeMvGateBody(s, d, work)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  private def treeMvGateBody(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    def abs(n: String) = work.resolve(n).toAbsolutePath.toString
+    val fact = abs("fact"); val gold = abs("gold")
+    FixturePool.cloneTo(s"q58-base:$d", fact,
+      reclaimAtExit = true) { dir =>
+      val docs = Tables.load(s, d, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .filter(col("doc_id") < 600)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        Versioned.commit(docs.filter(col("doc_id") < 400), dir)
+        Versioned.commit(docs.select(col("source")).distinct()
+          .withColumn("src_label", upper(col("source"))),
+          dir + ".dim")
+        Versioned.commit(docs.filter(col("doc_id") >= 400),
+          dir + ".app")
+      } finally docs.unpersist(blocking = false)
+    }
+    val dim = fact + ".dim"
+    // gate-local mini-dims, derived deterministically from the
+    // pooled dim snapshot: a STAR leg keyed on the fact's source
+    // column, and a CHAIN leg keyed on the dim's src_label
+    val m = abs("m"); val r = abs("r")
+    val dimDf = Versioned.read(s, dim)
+    Versioned.commit(dimDf.select(col("source").as("src2"))
+      .withColumn("m_label", concat(lit("M-"), upper(col("src2")))),
+      m)
+    Versioned.commit(dimDf.select(col("src_label").as("lbl"))
+      .distinct()
+      .withColumn("region", concat(lit("R-"), col("lbl"))), r)
+    val goldSelect = s"SELECT r.region, m.m_label, " +
+      "sum(f.n_chars) AS sum_n_chars, count(f.n_chars) AS " +
+      s"cnt_n_chars, count(*) AS n_rows FROM graft.`$fact` f " +
+      s"JOIN graft.`$dim` d ON f.source = d.source " +
+      s"JOIN graft.`$m` m ON f.source = m.src2 " +
+      s"JOIN graft.`$r` r ON d.src_label = r.lbl " +
+      "WHERE f.n_chars >= 300"
+    val created = s.sql(s"CREATE MATERIALIZED VIEW graft.`$gold` " +
+      s"ROW KEY (doc_id) AS $goldSelect " +
+      "GROUP BY r.region, m.m_label").head()
+    // exactly ONE hidden level (the peeled fact⋈d hop), and the
+    // invertible gold maintains directly — no .silver, no .snow2
+    val snowPresent =
+      Versioned.currentVersion(s, gold + ".snow") > 0 &&
+        Versioned.currentVersion(s, gold + ".snow2") == 0
+    val silverAbsent =
+      Versioned.currentVersion(s, gold + ".silver") == 0 &&
+        Versioned.properties(s, gold).get(MvKindProp)
+          .contains("aggjoin")
+    // one edit per leg class, then ONE cascaded refresh: a fact
+    // append, the STAR leg relabels min(source)'s m_label, the
+    // CHAIN leg relabels max(source)'s region
+    Versioned.append(Versioned.read(s, fact + ".app"), fact)
+    val mm = Versioned.read(s, dim).agg(min(col("source")),
+      max(struct(col("source"), col("src_label")))).head()
+    val mn = mm.getString(0)
+    val mxLbl = mm.getStruct(1).getString(1)
+    import s.implicits._
+    Versioned.upsert(s, m,
+      Seq((mn, "M-RELABELED")).toDF("src2", "m_label"), "src2")
+    Versioned.upsert(s, r,
+      Seq((mxLbl, "R-MOVED")).toDF("lbl", "region"), "lbl")
+    val rr = s.sql(s"CALL graft.system.refresh_mv('$gold')").head()
+    // state facts in one job; full-recompute equality in one more
+    val fin = Versioned.read(s, gold).agg(count(lit(1)).as("g"),
+      sum(col("sum_n_chars")).as("sm"),
+      sum(when(col("m_label") === "M-RELABELED", col("n_rows"))
+        .otherwise(0L)).as("rl"),
+      sum(when(col("region") === "R-MOVED", col("n_rows"))
+        .otherwise(0L)).as("mv")).head()
+    val eq = bagEqual(Versioned.read(s, gold),
+      s.sql(goldSelect + " GROUP BY r.region, m.m_label"))
+    s.sql(s"DROP MATERIALIZED VIEW graft.`$gold`")
+    val dropped = Versioned.currentVersion(s, gold) == 0 &&
+      Versioned.currentVersion(s, gold + ".snow") == 0
+    Seq((if (created.getString(0) == "aggjoin") 1L else 0L,
+        if (snowPresent) 1L else 0L,
+        if (silverAbsent) 1L else 0L,
+        if (rr.getString(0) == "aggjoin") 1L else 0L,
+        fin.getLong(0), fin.getLong(1), fin.getLong(2),
+        fin.getLong(3),
+        if (eq) 1L else 0L, if (dropped) 1L else 0L))
+      .toDF("created_aggjoin", "snow_present", "silver_absent",
+        "refreshed", "gold_groups", "gold_sum", "star_relabeled_rows",
+        "chain_moved_rows", "eq_gold", "dropped")
+  }
+
   /** Driver-visible gate (q60): DISTINCT-COUNT measures in an
     * aggregate MV, both spellings over ONE pooled source —
     * `approx_count_distinct(lang) AS adc_lang` stores the HLL

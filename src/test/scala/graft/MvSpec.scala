@@ -821,7 +821,7 @@ class MvSpec extends SparkSpec {
 
   test("star join MV: fact + two dims, each leg's edits propagate " +
       "— fact appends, a dim relabel, a dim-key delete; snowflake " +
-      "ON clauses refuse") {
+      "ON clauses auto-chain, expression outputs included") {
     val fact = fresh("star_fact")
     val d1 = fresh("star_d1")
     val d2 = fresh("star_d2")
@@ -915,7 +915,7 @@ class MvSpec extends SparkSpec {
     assert(created.map(_.toSeq).toSeq == Seq(Seq("join", 0, 1)))
     // the hidden silver materializes fact⋈d1 beside the view; the
     // view's spec reads the silver as its fact and auto-cascades
-    val silver = dst + ".silver"
+    val silver = dst + ".snow"
     assert(Versioned.properties(spark, silver)
       .get(DerivedTable.MvHiddenSilverOfProp).contains(dst))
     val props = Versioned.properties(spark, dst)
@@ -953,7 +953,7 @@ class MvSpec extends SparkSpec {
     spark.sql(s"DROP MATERIALIZED VIEW graft.`$dst`")
     assert(Versioned.currentVersion(spark, dst) == 0 &&
       Versioned.currentVersion(spark, silver) == 0)
-    // DEEPER chains (a 4th relation) still refuse with the contract
+    // a SELF-join still refuses (same table twice)
     val dst3 = fresh("snow_dst3")
     val e2 = intercept[Exception](spark.sql(
       s"CREATE MATERIALIZED VIEW graft.`$dst3` KEY (id) AS " +
@@ -961,8 +961,86 @@ class MvSpec extends SparkSpec {
         s"JOIN graft.`$d1` c ON f.cat = c.cat " +
         s"JOIN graft.`$d2` g ON c.grp = g.grp " +
         s"JOIN graft.`$fact` x ON g.glabel = x.cat"))
-    assert(e2.getMessage.contains("star") ||
-      e2.getMessage.contains("twice"))
+    assert(e2.getMessage.contains("twice"))
+  }
+
+  test("deep and MIXED plain-join snowflake trees auto-chain: a " +
+      "4-relation chain peels two hidden hops; a star leg beside a " +
+      "snowflaked leg peels one — edits propagate through every hop") {
+    val fact = fresh("tree_fact")
+    val d1 = fresh("tree_d1")
+    val d2 = fresh("tree_d2")
+    val d3 = fresh("tree_d3")
+    val dm = fresh("tree_dm")
+    Versioned.commit((1L to 20L).map(i =>
+        (i, s"c${i % 3}", s"m${i % 2}", i * 10L))
+      .toDF("id", "cat", "mid", "v"), fact)
+    Versioned.commit(Seq(("c0", "g0"), ("c1", "g1"), ("c2", "g0"))
+      .toDF("cat", "grp"), d1)
+    Versioned.commit(Seq(("g0", "r0"), ("g1", "r1"))
+      .toDF("grp", "reg"), d2)
+    Versioned.commit(Seq(("r0", "R-ZERO"), ("r1", "R-ONE"))
+      .toDF("reg", "rlabel"), d3)
+    Versioned.commit(Seq(("m0", "EVEN"), ("m1", "ODD"))
+      .toDF("mid", "mlabel"), dm)
+    // 4-relation LINEAR chain: two hidden levels (.snow, .snow2)
+    val deep = fresh("tree_deep")
+    def deepSel = s"SELECT f.id, f.v * 2 AS w, r.rlabel " +
+      s"FROM graft.`$fact` f JOIN graft.`$d1` c ON f.cat = c.cat " +
+      s"JOIN graft.`$d2` g ON c.grp = g.grp " +
+      s"JOIN graft.`$d3` r ON g.reg = r.reg"
+    val cr = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$deep` " +
+      s"KEY (id) AS $deepSel").head()
+    assert(cr.getString(0) == "join")
+    assert(Versioned.currentVersion(spark, deep + ".snow") > 0 &&
+      Versioned.currentVersion(spark, deep + ".snow2") > 0)
+    assert(DerivedTable.bagEqual(Versioned.read(spark, deep),
+      spark.sql(deepSel)))
+    // a d3 relabel travels three hops through ONE cascaded refresh
+    Versioned.upsert(spark, d3,
+      Seq(("r0", "R-Z2")).toDF("reg", "rlabel"), "reg")
+    spark.sql(s"CALL graft.system.refresh_mv('$deep')")
+    val gotDeep = Versioned.read(spark, deep)
+    assert(DerivedTable.bagEqual(gotDeep, spark.sql(deepSel)))
+    assert(gotDeep.filter($"id" === 3L).head().getString(2) == "R-Z2")
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$deep`")
+    assert(Versioned.currentVersion(spark, deep) == 0 &&
+      Versioned.currentVersion(spark, deep + ".snow") == 0 &&
+      Versioned.currentVersion(spark, deep + ".snow2") == 0)
+    // MIXED tree: a star leg (dm ON fact) beside a snowflaked leg
+    // (d2 ON d1) — one hidden level, the star leg survives the
+    // rewrite onto the silver
+    val mixed = fresh("tree_mixed")
+    def mixSel = s"SELECT f.id, m.mlabel, g.reg, f.v " +
+      s"FROM graft.`$fact` f JOIN graft.`$d1` c ON f.cat = c.cat " +
+      s"JOIN graft.`$dm` m ON f.mid = m.mid " +
+      s"JOIN graft.`$d2` g ON c.grp = g.grp WHERE f.v >= 20"
+    val cm = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mixed` " +
+      s"KEY (id) AS $mixSel").head()
+    assert(cm.getString(0) == "join")
+    assert(Versioned.currentVersion(spark, mixed + ".snow") > 0 &&
+      Versioned.currentVersion(spark, mixed + ".snow2") == 0)
+    assert(DerivedTable.bagEqual(Versioned.read(spark, mixed),
+      spark.sql(mixSel)))
+    // edits on the STAR leg (dm relabel) and the CHAIN leg (d2
+    // re-region) propagate through one refresh; a fact append rides
+    // through both
+    Versioned.append(
+      Seq((21L, "c1", "m0", 990L)).toDF("id", "cat", "mid", "v"),
+      fact)
+    Versioned.upsert(spark, dm,
+      Seq(("m0", "EVEN2")).toDF("mid", "mlabel"), "mid")
+    Versioned.upsert(spark, d2,
+      Seq(("g1", "r9")).toDF("grp", "reg"), "grp")
+    spark.sql(s"CALL graft.system.refresh_mv('$mixed')")
+    val gotMix = Versioned.read(spark, mixed)
+    assert(DerivedTable.bagEqual(gotMix, spark.sql(mixSel)))
+    assert(gotMix.filter($"id" === 21L).head().getString(1) ==
+      "EVEN2")
+    assert(gotMix.filter($"id" === 4L).head().getString(2) == "r9")
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$mixed`")
+    assert(Versioned.currentVersion(spark, mixed) == 0 &&
+      Versioned.currentVersion(spark, mixed + ".snow") == 0)
   }
 
   test("aggregate-over-join MV: invertible shapes maintain the gold " +
@@ -1270,7 +1348,8 @@ class MvSpec extends SparkSpec {
 
   test("aggregate-over-snowflake MVs: GROUP BY d2.region over " +
       "fact⋈d1⋈d2 auto-chains the fact⋈d1 hop at <dst>.snow and " +
-      "rewrites the gold onto silver⋈d2") {
+      "rewrites the gold onto silver⋈d2; MIXED star/chain trees " +
+      "peel the chain legs only") {
     val fact = fresh("sa_fact")
     val d1 = fresh("sa_d1")
     val d2 = fresh("sa_d2")
@@ -1370,6 +1449,41 @@ class MvSpec extends SparkSpec {
     assert(Versioned.currentVersion(spark, gold3) == 0)
     assert(Versioned.currentVersion(spark, gold3 + ".snow") == 0)
     assert(Versioned.currentVersion(spark, gold3 + ".snow2") == 0)
+    // a MIXED tree — a star leg (dm ON fact) beside the snowflaked
+    // chain (d2 ON d1) — peels the chain's first hop only; the star
+    // leg joins the silver on the projected fact column, and edits
+    // on every leg propagate through one refresh
+    val dm = fresh("sa_dm")
+    val gold4 = fresh("sa_gold4")
+    Versioned.commit(Seq(("c0", "T0"), ("c1", "T1"), ("c2", "T0"),
+      ("c3", "T1"), ("c9", "T9")).toDF("catm", "tier"), dm)
+    val mixSel = "SELECT d2.region, dm.tier, sum(f.v) AS sum_v, " +
+      s"count(f.v) AS cnt_v, count(*) AS n_rows FROM graft.`$fact` " +
+      s"f JOIN graft.`$d1` d1 ON f.cat = d1.cat JOIN graft.`$dm` " +
+      s"dm ON f.cat = dm.catm JOIN graft.`$d2` d2 ON d1.rk = d2.rk2"
+    val c4 = spark.sql(s"CREATE MATERIALIZED VIEW graft.`$gold4` " +
+      s"ROW KEY (id) AS $mixSel GROUP BY d2.region, dm.tier").head()
+    assert(c4.getString(0) == "aggjoin")
+    assert(Versioned.currentVersion(spark, gold4 + ".snow") > 0 &&
+      Versioned.currentVersion(spark, gold4 + ".snow2") == 0 &&
+      Versioned.currentVersion(spark, gold4 + ".silver") == 0)
+    def expect4 = spark.sql(s"$mixSel GROUP BY d2.region, dm.tier")
+    def got4 = spark.sql(s"SELECT * FROM graft.`$gold4`")
+    assert(DerivedTable.bagEqual(got4, expect4))
+    // one edit per leg class: fact append, STAR-leg relabel (tier
+    // T0 renames — groups move), CHAIN-leg re-region
+    Versioned.append(Seq((28L, "c3", 13L)).toDF("id", "cat", "v"),
+      fact)
+    Versioned.upsert(spark, dm,
+      Seq(("c0", "T-NEW")).toDF("catm", "tier"), "catm")
+    Versioned.upsert(spark, d2,
+      Seq(("r1", "WESTERN")).toDF("rk2", "region"), "rk2")
+    spark.sql(s"CALL graft.system.refresh_mv('$gold4')")
+    assert(DerivedTable.bagEqual(got4, expect4))
+    assert(got4.filter($"tier" === "T-NEW").count() > 0)
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$gold4`")
+    assert(Versioned.currentVersion(spark, gold4) == 0 &&
+      Versioned.currentVersion(spark, gold4 + ".snow") == 0)
     // refusal: a bare (unqualified) reference is ambiguous across
     // the hops — the rewrite must be exact
     val g3 = fresh("sa_ref")
