@@ -88,5 +88,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // RowLevelDmlRule for why this is an analyzer rewrite rather than
     // the SupportsRowLevelOperations scan/write protocol.
     e.injectResolutionRule(s => graft.plans.RowLevelDmlRule(s))
+    // Aggregates over a source that registers rewrite-enabled
+    // materialized views (CALL graft.system.enable_rewrite) serve
+    // from the view when its pin equals the scanned snapshot — a
+    // 100-TB rollup becomes an O(groups) view read, result-identical
+    // by the pin check. See MvRewriteRule.
+    e.injectResolutionRule(s => graft.plans.MvRewriteRule(s))
   }
 }

@@ -374,6 +374,13 @@ object SparkEntry {
     // star-leg relabel, and a chain-leg relabel.
     "q63_tree_mv" ->
       (graft.sources.DerivedTable.treeMvGate _),
+    // Automatic query rewrite (q64): a registered aggregate MV
+    // answers matching GROUP BY queries over its SOURCE whenever
+    // the view's pin equals the scanned snapshot — plan-asserted
+    // substitution, exact fallback on staleness, identical figures
+    // either way (the rewrite changes cost, never results).
+    "q64_mv_rewrite" ->
+      (graft.sources.DerivedTable.rewriteMvGate _),
   )
 
   /** Shared oracle for the three text near-dup paths: they share one
@@ -2099,6 +2106,30 @@ object SparkEntry {
                   AS chain_moved_rows,
                 CAST(1 AS BIGINT) AS eq_gold,
                 CAST(1 AS BIGINT) AS dropped""",
+    // q64: the rewrite gate's figures restate from the raw slices —
+    // v1 = the <400 fixture the view pins, v2 = the full <600 slice
+    // after the staling append; the served/scanned flags are
+    // plan-asserted on the Spark side and constants here.
+    "q64_mv_rewrite" ->
+      """WITH f1 AS (SELECT source, n_chars FROM documents
+                     WHERE doc_id < 400),
+              f2 AS (SELECT source, n_chars FROM documents
+                     WHERE doc_id < 600)
+         SELECT CAST(1 AS BIGINT) AS registered,
+                CAST(1 AS BIGINT) AS rewrote_exact,
+                (SELECT count(DISTINCT source) FROM f1) AS groups_v1,
+                CAST((SELECT sum(n_chars) FROM f1) AS BIGINT)
+                  AS sum_v1,
+                (SELECT count(*) FROM f1) AS rows_v1,
+                CAST(1 AS BIGINT) AS rewrote_global,
+                (SELECT avg(n_chars) FROM f1) AS avg_v1,
+                CAST(1 AS BIGINT) AS stale_scan,
+                CAST((SELECT sum(n_chars) FROM f2) AS BIGINT)
+                  AS sum_v2,
+                (SELECT count(*) FROM f2) AS rows_v2,
+                CAST(1 AS BIGINT) AS served_after_refresh,
+                CAST(1 AS BIGINT) AS eq_refresh,
+                CAST(1 AS BIGINT) AS disabled_scan""",
   ) ++ exportOracle ++ indexExportOracle ++ vectorIndexExportOracle ++
     int8IndexExportOracle ++ dedupIndexExportOracle
 

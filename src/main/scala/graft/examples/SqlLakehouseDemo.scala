@@ -309,6 +309,30 @@ object SqlLakehouseDemo {
     println("SQL_DEMO_SNOWAGG_EQ=" + (if (snowEq) 1 else 0) +
       " snow_present=" + (if (new java.io.File(snowDir + ".snow")
         .exists()) 1 else 0))
+    // r18: AUTOMATIC QUERY REWRITE — a registered aggregate view
+    // answers the matching rollup over its SOURCE (the physical
+    // plan's scan locations name the view's directory); a source
+    // commit stales the pin and the same query falls back to the
+    // scan, counting the new row
+    val rwDir = new java.io.File(s"$out/sql_rwmv").getAbsolutePath
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$rwDir` ROW KEY " +
+      "(id) AS SELECT name, sum(score) AS sum_score, count(score) " +
+      s"AS cnt_score, count(*) AS n_rows FROM $g GROUP BY name")
+    spark.sql(s"CALL graft.system.enable_rewrite('$rwDir')")
+    def rwRollup() = spark.sql(
+      s"SELECT name, count(*) AS n FROM $g GROUP BY name")
+    val rwServed = rwRollup().queryExecution.executedPlan.toString
+      .contains(rwDir)
+    val rwRowsV1 = rwRollup().agg(
+      org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    spark.sql(s"INSERT INTO $g VALUES (892, 'omega', 1.0)")
+    val rwStaleScan = !rwRollup().queryExecution.executedPlan
+      .toString.contains(rwDir)
+    val rwRowsV2 = rwRollup().agg(
+      org.apache.spark.sql.functions.sum("n")).head().getLong(0)
+    println("SQL_DEMO_REWRITE_SERVED=" + (if (rwServed) 1 else 0) +
+      " stale_scan=" + (if (rwStaleScan) 1 else 0) +
+      " rows_delta=" + (rwRowsV2 - rwRowsV1))
     spark.stop()
   }
 }

@@ -1852,6 +1852,30 @@ case class DropMaterializedViewCommand(parts: Seq[String],
         s"$name is the hidden silver of the aggregate-over-join " +
           s"view at $owner — DROP MATERIALIZED VIEW the owner " +
           "instead (it removes both)"))
+    // a rewrite-enabled view deregisters from its source's pointer
+    // list — a dangling entry is harmless (the rule skips absent
+    // views) but costs a probe per analyzed aggregate
+    if (props.get(MvRewriteRule.RewriteProp)
+        .exists(_.trim.equalsIgnoreCase("true")))
+      props.get(DerivedTable.MvSourceProp).foreach { src =>
+        scala.util.Try {
+          val cur = Versioned.properties(spark, src)
+            .get(MvRewriteRule.SourceViewsProp)
+            .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
+          if (cur.contains(dir)) {
+            val left = cur.filterNot(_ == dir)
+            if (left.isEmpty)
+              Versioned.setProperties(spark, src,
+                unset = Seq(MvRewriteRule.SourceViewsProp))
+            else
+              Versioned.setProperties(spark, src, set =
+                Map(MvRewriteRule.SourceViewsProp ->
+                  left.mkString(";")))
+          }
+          MvRewriteRule.invalidate()
+        }
+      }
     val p = new org.apache.hadoop.fs.Path(dir)
     val f = p.getFileSystem(spark.sessionState.newHadoopConf())
     f.delete(p, true)

@@ -2625,6 +2625,81 @@ object DerivedTable {
         "chain_moved_rows", "eq_gold", "dropped")
   }
 
+  /** Driver-visible gate (q64): AUTOMATIC QUERY REWRITE over a
+    * registered aggregate MV ([[graft.plans.MvRewriteRule]]) — a
+    * matching GROUP BY query over the SOURCE serves from the view
+    * when the view's pin equals the scanned snapshot. The gate
+    * asserts the substitution PHYSICALLY (the executed plan's scan
+    * locations name the view's directory, and stop doing so the
+    * moment a source commit stales the pin), and every figure the
+    * rewritten plans return restates in DuckDB over the raw slice —
+    * the rewrite changes cost, never results. */
+  def rewriteMvGate(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files
+      .createTempDirectory("graft-rwmv-gate")
+    try rewriteMvGateBody(s, d, work)
+    finally org.apache.commons.io.FileUtils.deleteQuietly(work.toFile)
+  }
+
+  private def rewriteMvGateBody(s: SparkSession, d: String,
+      work: java.nio.file.Path): DataFrame = {
+    def abs(n: String) = work.resolve(n).toAbsolutePath.toString
+    val src = abs("src"); val mv = abs("mv")
+    // the q57/q60 pooled family (docs<400 base + .app slice)
+    cloneMvShapeSrc(s, d, src)
+    s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` ROW KEY (doc_id) " +
+      s"AS SELECT source, sum(n_chars) AS sum_n_chars, " +
+      "count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
+      s"FROM graft.`$src` GROUP BY source")
+    s.sql(s"CALL graft.system.enable_rewrite('$mv')")
+    def served(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains(mv)
+    def rollup() = s.sql(s"SELECT source, sum(n_chars) AS sm, " +
+      s"count(*) AS n FROM graft.`$src` GROUP BY source")
+    // exact-group rollup serves from the view (physically asserted)
+    val q1 = rollup()
+    val rewroteExact = served(q1)
+    val f1 = q1.agg(count(lit(1)).as("g"),
+      sum(col("sm")).cast("long").as("sm"),
+      sum(col("n")).as("n")).head()
+    // the GLOBAL twin re-aggregates the view (count via coalesced
+    // n_rows sum, avg via the exact sum/cnt quotient)
+    val g1 = s.sql(s"SELECT count(*) AS n, avg(n_chars) AS a " +
+      s"FROM graft.`$src`")
+    val rewroteGlobal = served(g1)
+    val gRow = g1.head()
+    // a source commit stales the pin: the SAME query falls back to
+    // the scan — and stays correct over the appended rows
+    Versioned.append(Versioned.read(s, src + ".app"), src)
+    val q2 = rollup()
+    val staleScan = !served(q2)
+    val f2 = q2.agg(sum(col("sm")).cast("long").as("sm"),
+      sum(col("n")).as("n")).head()
+    // refresh re-pins: the rewrite resumes, figures unchanged
+    s.sql(s"CALL graft.system.refresh_mv('$mv')")
+    val q3 = rollup()
+    val servedAfter = served(q3)
+    val f3 = q3.agg(sum(col("sm")).cast("long").as("sm"),
+      sum(col("n")).as("n")).head()
+    val eqRefresh = f2.getLong(0) == f3.getLong(0) &&
+      f2.getLong(1) == f3.getLong(1)
+    // disable deregisters: the same query scans again
+    s.sql(s"CALL graft.system.disable_rewrite('$mv')")
+    val disabledScan = !served(rollup())
+    s.sql(s"DROP MATERIALIZED VIEW graft.`$mv`")
+    import s.implicits._
+    Seq((1L, if (rewroteExact) 1L else 0L, f1.getLong(0),
+        f1.getLong(1), f1.getLong(2),
+        if (rewroteGlobal) 1L else 0L, gRow.getDouble(1),
+        if (staleScan) 1L else 0L, f2.getLong(0), f2.getLong(1),
+        if (servedAfter) 1L else 0L, if (eqRefresh) 1L else 0L,
+        if (disabledScan) 1L else 0L))
+      .toDF("registered", "rewrote_exact", "groups_v1", "sum_v1",
+        "rows_v1", "rewrote_global", "avg_v1", "stale_scan",
+        "sum_v2", "rows_v2", "served_after_refresh", "eq_refresh",
+        "disabled_scan")
+  }
+
   /** Driver-visible gate (q60): DISTINCT-COUNT measures in an
     * aggregate MV, both spellings over ONE pooled source —
     * `approx_count_distinct(lang) AS adc_lang` stores the HLL

@@ -656,6 +656,83 @@ object GraftProcedures {
               Seq(graft.sources.DerivedTable.MvFollowProp))
           Seq(graft.streaming.MvFollower.unfollow(d))
         })
+      case "enable_rewrite" => new Proc("enable_rewrite",
+        "register an aggregate materialized view for AUTOMATIC QUERY " +
+          "REWRITE: matching GROUP BY queries over its source serve " +
+          "from the view whenever the view's pin equals the scanned " +
+          "snapshot (result-identical, or the scan proceeds " +
+          "unchanged). Stamps graft.mv.rewrite on the view and " +
+          "records the view in the SOURCE's graft.rewrite.views — " +
+          "the materialized-view-log discipline, so any session " +
+          "discovers the registration from the source's own metadata",
+        Seq(p("view", StringType)),
+        StructType(Seq(
+          StructField("source", StringType, nullable = false))),
+        a => {
+          val d = dir(a(0))
+          val props = Versioned.properties(spark, d)
+          require(props.get(graft.sources.DerivedTable.MvKindProp)
+              .contains("agg"),
+            s"$d is not a single-source aggregate materialized view " +
+              "— query rewrite serves GROUP BY rollups from " +
+              "kind=agg views only")
+          val src = props(graft.sources.DerivedTable.MvSourceProp)
+          Versioned.setProperties(spark, d, set =
+            Map(graft.plans.MvRewriteRule.RewriteProp -> "true"))
+          val cur = Versioned.properties(spark, src)
+            .get(graft.plans.MvRewriteRule.SourceViewsProp)
+            .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Nil)
+          if (!cur.contains(d))
+            Versioned.setProperties(spark, src, set =
+              Map(graft.plans.MvRewriteRule.SourceViewsProp ->
+                (cur :+ d).mkString(";")))
+          // the pointer property is itself a SOURCE commit, which
+          // stales every view pinned below it — refresh the view
+          // being registered so its rewrite serves immediately (a
+          // net-zero window: the pin advances note-only). Any LATER
+          // metadata-only source commit pauses rewrites the same
+          // way until the next refresh — the pin equality is the
+          // whole correctness argument, so it stays exact.
+          graft.sources.DerivedTable.refreshMv(spark, d)
+          graft.plans.MvRewriteRule.invalidate()
+          Seq(src)
+        })
+      case "disable_rewrite" => new Proc("disable_rewrite",
+        "deregister a view from automatic query rewrite: removes it " +
+          "from the source's graft.rewrite.views and unsets the " +
+          "view's graft.mv.rewrite mark",
+        Seq(p("view", StringType)),
+        StructType(Seq(
+          StructField("was_enabled", BooleanType, nullable = false))),
+        a => {
+          val d = dir(a(0))
+          val props = Versioned.properties(spark, d)
+          val was = props.get(graft.plans.MvRewriteRule.RewriteProp)
+            .exists(_.trim.equalsIgnoreCase("true"))
+          props.get(graft.sources.DerivedTable.MvSourceProp)
+            .foreach { src =>
+              val cur = Versioned.properties(spark, src)
+                .get(graft.plans.MvRewriteRule.SourceViewsProp)
+                .map(_.split(";").map(_.trim).filter(_.nonEmpty)
+                  .toSeq).getOrElse(Nil)
+              if (cur.contains(d)) {
+                val left = cur.filterNot(_ == d)
+                if (left.isEmpty)
+                  Versioned.setProperties(spark, src, unset =
+                    Seq(graft.plans.MvRewriteRule.SourceViewsProp))
+                else
+                  Versioned.setProperties(spark, src, set =
+                    Map(graft.plans.MvRewriteRule.SourceViewsProp ->
+                      left.mkString(";")))
+              }
+            }
+          if (was)
+            Versioned.setProperties(spark, d, unset =
+              Seq(graft.plans.MvRewriteRule.RewriteProp))
+          graft.plans.MvRewriteRule.invalidate()
+          Seq(java.lang.Boolean.valueOf(was))
+        })
       case _ => null
     })
   }
@@ -667,5 +744,6 @@ object GraftProcedures {
     "remove_orphan_files", "create_changelog_view", "add_files",
     "clone_table", "refresh_derived", "refresh_agg", "refresh_join",
     "refresh_mv", "follow_mv", "unfollow_mv",
+    "enable_rewrite", "disable_rewrite",
     "ingest_dedup", "ingest_vectors")
 }
