@@ -38,7 +38,10 @@ import graft.sources.{DerivedTable, Versioned}
   * [[MetadataAggRule.SnapshotTag]] carries it — time travel included,
   * and the comparison is exact, not "currently fresh"). A stale or
   * mid-refresh view never substitutes: the query falls back to the
-  * ordinary scan, so the rewrite can change COST, never a result.
+  * ordinary scan, so the rewrite can change COST, never a result —
+  * unless the view EXPLICITLY opts into bounded staleness
+  * ([[MvRewriteRule.RewriteStaleProp]]: serve while lagging the
+  * scan by at most N source versions, the stale_tolerated trade).
   * Like-for-like algebra only: sum(v) ↦ SUM(sum_v), count(v) ↦
   * SUM(cnt_v), count(*)/count(1) ↦ SUM(n_rows) (coalesced to 0 so a
   * global rollup over an empty source stays 0, non-null like count),
@@ -107,8 +110,20 @@ case class MvRewriteRule(spark: SparkSession)
     val pin = Versioned.notePin(spark, viewDir, "src")
       .getOrElse(return None)
     if (Versioned.currentVersion(spark, viewDir) != v1) return None
-    if (pin != scannedVer) return None
     val props = Versioned.properties(spark, viewDir)
+    if (pin != scannedVer) {
+      // opt-in BOUNDED-STALENESS serving (Oracle's stale_tolerated,
+      // BigQuery MV max_staleness): the view may LAG the scanned
+      // snapshot by up to N source versions — the caller accepts
+      // answers that miss the last N commits in exchange for the
+      // O(groups) read. Only ever BEHIND: a pin AHEAD of the scan
+      // (time travel below the pin) would serve future data, which
+      // no staleness contract permits.
+      val lagOk = props.get(RewriteStaleProp)
+        .flatMap(t => scala.util.Try(t.trim.toInt).toOption)
+        .exists(bound => pin < scannedVer && scannedVer - pin <= bound)
+      if (!lagOk) return None
+    }
     if (!props.get(DerivedTable.MvKindProp).contains("agg")) return None
     if (!props.get(DerivedTable.MvSourceProp).contains(srcDir))
       return None
@@ -338,6 +353,12 @@ object MvRewriteRule {
     * discovers them from metadata it already reads. */
   val RewriteProp = "graft.mv.rewrite"
   val SourceViewsProp = "graft.rewrite.views"
+
+  /** Opt-in bounded-staleness serving: the view may lag the scanned
+    * snapshot by up to this many SOURCE versions and still
+    * substitute — the explicit trade of freshness for the O(groups)
+    * read (absent or 0 = the exact pin-equality default). */
+  val RewriteStaleProp = "graft.mv.rewrite.max-staleness-versions"
 
   // (sourceDir, scannedVersion) -> registered view dirs; immutable
   // per snapshot, so memoizable for the JVM's lifetime. enable/

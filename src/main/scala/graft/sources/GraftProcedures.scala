@@ -664,12 +664,21 @@ object GraftProcedures {
           "unchanged). Stamps graft.mv.rewrite on the view and " +
           "records the view in the SOURCE's graft.rewrite.views — " +
           "the materialized-view-log discipline, so any session " +
-          "discovers the registration from the source's own metadata",
-        Seq(p("view", StringType)),
+          "discovers the registration from the source's own " +
+          "metadata. max_staleness_versions > 0 opts into serving " +
+          "while the view lags the scanned snapshot by up to that " +
+          "many source versions (the stale_tolerated trade; the " +
+          "default 0 keeps the exact pin-equality contract)",
+        Seq(p("view", StringType),
+          p("max_staleness_versions", IntegerType, Some("0"))),
         StructType(Seq(
           StructField("source", StringType, nullable = false))),
         a => {
           val d = dir(a(0))
+          val stale = Option(a(1)).map(_.asInstanceOf[Int])
+            .getOrElse(0)
+          require(stale >= 0,
+            s"max_staleness_versions must be >= 0, got $stale")
           val props = Versioned.properties(spark, d)
           require(props.get(graft.sources.DerivedTable.MvKindProp)
               .contains("agg"),
@@ -678,7 +687,11 @@ object GraftProcedures {
               "kind=agg views only")
           val src = props(graft.sources.DerivedTable.MvSourceProp)
           Versioned.setProperties(spark, d, set =
-            Map(graft.plans.MvRewriteRule.RewriteProp -> "true"))
+            Map(graft.plans.MvRewriteRule.RewriteProp -> "true") ++
+              (if (stale > 0)
+                Map(graft.plans.MvRewriteRule.RewriteStaleProp ->
+                  stale.toString)
+               else Map.empty))
           val cur = Versioned.properties(spark, src)
             .get(graft.plans.MvRewriteRule.SourceViewsProp)
             .map(_.split(";").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -729,7 +742,8 @@ object GraftProcedures {
             }
           if (was)
             Versioned.setProperties(spark, d, unset =
-              Seq(graft.plans.MvRewriteRule.RewriteProp))
+              Seq(graft.plans.MvRewriteRule.RewriteProp,
+                graft.plans.MvRewriteRule.RewriteStaleProp))
           graft.plans.MvRewriteRule.invalidate()
           Seq(java.lang.Boolean.valueOf(was))
         })

@@ -165,6 +165,47 @@ class MvRewriteSpec extends SparkSpec {
     spark.sql(s"DROP MATERIALIZED VIEW graft.`$mv`")
   }
 
+  test("bounded-staleness rewrite: an opted-in view keeps serving " +
+      "while it lags the scan within the bound, stops beyond it, " +
+      "and never serves a scan BELOW its pin") {
+    val src = fresh("rws_src")
+    val mv = fresh("rws_mv")
+    Versioned.commit((1L to 20L).map(i => (i, s"g${i % 2}", i))
+      .toDF("id", "g", "v"), src)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` ROW KEY (id) " +
+      s"AS SELECT g, sum(v) AS sum_v, count(v) AS cnt_v, " +
+      s"count(*) AS n_rows FROM graft.`$src` GROUP BY g")
+    spark.sql(s"CALL graft.system.enable_rewrite('$mv', " +
+      "max_staleness_versions => 2)")
+    def q() = spark.sql(s"SELECT g, count(*) AS n " +
+      s"FROM graft.`$src` GROUP BY g")
+    def total(df: org.apache.spark.sql.DataFrame) =
+      df.agg(sum($"n")).head().getLong(0)
+    assert(servedFrom(q(), mv) && total(q()) == 20L)
+    // lag 1 and 2: still serves, answering from the PINNED snapshot
+    // (misses the appended rows — the documented trade)
+    Versioned.append(Seq((21L, "g1", 1L)).toDF("id", "g", "v"), src)
+    assert(servedFrom(q(), mv) && total(q()) == 20L)
+    Versioned.append(Seq((22L, "g0", 1L)).toDF("id", "g", "v"), src)
+    assert(servedFrom(q(), mv) && total(q()) == 20L)
+    // lag 3 exceeds the bound: the scan resumes and sees every row
+    Versioned.append(Seq((23L, "g1", 1L)).toDF("id", "g", "v"), src)
+    assert(!servedFrom(q(), mv) && total(q()) == 23L)
+    // refresh re-pins: fresh serving with fresh figures
+    spark.sql(s"CALL graft.system.refresh_mv('$mv')")
+    assert(servedFrom(q(), mv) && total(q()) == 23L)
+    // a time-travel scan BELOW the pin never serves — staleness only
+    // permits the view to lag, not to lead
+    val below = spark.sql(s"SELECT g, count(*) AS n FROM " +
+      s"graft.`$src` VERSION AS OF 1 GROUP BY g")
+    assert(!servedFrom(below, mv) && total(below) == 20L)
+    spark.sql(s"CALL graft.system.disable_rewrite('$mv')")
+    // disable also unsets the staleness opt-in
+    assert(!Versioned.properties(spark, mv)
+      .contains(graft.plans.MvRewriteRule.RewriteStaleProp))
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$mv`")
+  }
+
   test("rewrite with a stored WHERE: the query's predicate must " +
       "match semantically; DROP deregisters the pointer; plain " +
       "tables refuse enable_rewrite") {
