@@ -52,9 +52,14 @@ import graft.sources.{DerivedTable, Versioned}
   * group columns (including the global rollup) — the roll-up
   * property of sums/counts/extrema. The query's WHERE must match
   * the view's stored predicate semantically (both absent, or
-  * semantically equal under the session resolver); DECIMAL measures
-  * don't rewrite (re-summing changes precision); expression-valued
-  * groups/measures don't rewrite (v1: bare columns).
+  * semantically equal under the session resolver); EXPRESSION group
+  * keys and measures match the same way — the stored
+  * `date_trunc('day', ts)` bucket or `price * (1 - disc)` argument
+  * analyzes over the scan's own attributes and compares
+  * semantically with the query's spelling, so the time-bucketed
+  * dashboard rollup serves too; DECIMAL measures don't rewrite
+  * (re-summing changes precision), and any unmapped output falls
+  * back to the scan.
   *
   * Scale note: discovery costs ONE properties read per (source,
   * snapshot) per JVM (memoized — snapshots are immutable); a source
@@ -127,18 +132,47 @@ case class MvRewriteRule(spark: SparkSession)
     if (!props.get(DerivedTable.MvKindProp).contains("agg")) return None
     if (!props.get(DerivedTable.MvSourceProp).contains(srcDir))
       return None
-    // v1 scope: bare-column groups and measures only — a derived
-    // bucket or expression measure has no source column for the
-    // query's attribute to match
-    if (props.keys.exists(k =>
-        k.startsWith(DerivedTable.MvGroupExprPrefix) ||
-        k.startsWith(DerivedTable.MvValueExprPrefix))) return None
     def csv(k: String): Seq[String] =
       props.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty)
         .toSeq).getOrElse(Nil)
     val groups = csv(DerivedTable.MvGroupProp)
     val values = csv(DerivedTable.MvValueProp).toSet
     val extrema = csv(DerivedTable.MvExtremaProp).toSet
+    // EXPRESSION group keys and measures (GROUP BY date_trunc('day',
+    // ts); sum(price * (1 - disc)) AS sum_rev) match by SEMANTIC
+    // equality: each stored text analyzes over a LocalRelation
+    // carrying the scan's own attributes — same expression ids, same
+    // type coercion — and compares against the query's expression.
+    // An unanalyzable stored text disqualifies the candidate.
+    def analyzedText(t: String): Option[Expression] = scala.util.Try {
+      val parsed = spark.sessionState.sqlParser.parseExpression(t)
+      val an = spark.sessionState.analyzer.execute(
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          Seq(Alias(parsed, "x")()),
+          org.apache.spark.sql.catalyst.plans.logical
+            .LocalRelation(srcOut)))
+      an.collectFirst {
+        case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          p.projectList.head match {
+            case Alias(c, _) => c
+            case e => e
+          }
+      }
+    }.toOption.flatten
+    def storedExpr(prefix: String, n: String): Option[Expression] =
+      props.get(prefix + n).map(t =>
+        analyzedText(t).getOrElse(return None))
+    // view groups: (name, None) for a bare column, (name, Some(e))
+    // for a derived bucket
+    val viewGroups: Seq[(String, Option[Expression])] = groups.map(g =>
+      (g, storedExpr(DerivedTable.MvGroupExprPrefix, g)))
+    // derived-measure names with their analyzed argument expressions
+    val exprMeasures: Seq[(String, Expression)] =
+      props.keys.filter(_.startsWith(DerivedTable.MvValueExprPrefix))
+        .map(_.stripPrefix(DerivedTable.MvValueExprPrefix)).toSeq
+        .map(n => (n,
+          storedExpr(DerivedTable.MvValueExprPrefix, n)
+            .getOrElse(return None)))
     // WHERE: both absent, or semantically equal once the stored text
     // resolves against the SAME attributes the query's filter binds.
     // The text analyzes over a LocalRelation carrying the scan's
@@ -160,15 +194,19 @@ case class MvRewriteRule(spark: SparkSession)
         if (!pc.resolved || !c.semanticEquals(pc)) return None
       case _ => return None
     }
-    // query groups: bare columns forming a SUBSET of the view's
-    // group tuple (equal = direct; strict subset/empty = coarser
-    // roll-up by re-aggregation)
-    val groupNames = a.groupingExpressions.map {
-      case ar: AttributeReference => ar.name
-      case _ => return None
+    // query groups map onto the view's tuple — a bare column by
+    // name, a derived bucket by semantic equality — and must form a
+    // SUBSET of it (equal = direct projection; strict subset/empty =
+    // coarser roll-up by re-aggregation)
+    def groupNameOf(e: Expression): Option[String] = e match {
+      case ar: AttributeReference =>
+        viewGroups.collectFirst {
+          case (g, None) if resolver(g, ar.name) => g }
+      case _ => viewGroups.collectFirst {
+        case (g, Some(ge)) if e.semanticEquals(ge) => g }
     }
-    if (!groupNames.forall(g => groups.exists(resolver(_, g))))
-      return None
+    val groupNames = a.groupingExpressions.map(e =>
+      groupNameOf(e).getOrElse(return None))
     // the view's head snapshot, read PINNED at the version whose
     // note was checked — immutable, so no refresh can slide data
     // under the substituted plan
@@ -183,13 +221,14 @@ case class MvRewriteRule(spark: SparkSession)
     // count(DISTINCT c) from the exact cd_<c>, approx_count_distinct
     // at the default precision from adc_<c> (HLL slot state is a
     // per-slot max, so merge order cannot change the estimate)
-    val exactMatch = groupNames.distinct.length == groups.length &&
-      groups.forall(g => groupNames.exists(resolver(g, _)))
+    val exactMatch = groupNames.distinct.length == groups.length
+    val derivedGroups = viewGroups.collect {
+      case (g, Some(ge)) => (g, ge) }
     if (exactMatch)
       return tryProject(a, viewScan, vAttr, values, extrema,
         csv(DerivedTable.MvExactDistinctProp).toSet,
-        csv(DerivedTable.MvDistinctProp).toSet, resolver,
-        srcDir, scannedVer, viewDir, v1)
+        csv(DerivedTable.MvDistinctProp).toSet, exprMeasures,
+        derivedGroups, resolver, srcDir, scannedVer, viewDir, v1)
     def agg(f: org.apache.spark.sql.catalyst.expressions.aggregate
         .AggregateFunction): AggregateExpression =
       AggregateExpression(f, Complete, isDistinct = false)
@@ -200,10 +239,15 @@ case class MvRewriteRule(spark: SparkSession)
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.isDefined || ae.mode != Complete)
         return None
+      // a bare column by name, a derived measure by semantic
+      // equality of the argument expression (DECIMAL re-summing
+      // changes precision — fall back)
       def col(e: Expression): Option[String] = e match {
         case ar: AttributeReference
             if !ar.dataType.isInstanceOf[DecimalType] => Some(ar.name)
-        case _ => None
+        case _ if e.dataType.isInstanceOf[DecimalType] => None
+        case _ => exprMeasures.collectFirst {
+          case (n, ex) if e.semanticEquals(ex) => n }
       }
       def measure(prefix: String, c: String): Option[Attribute] =
         values.find(resolver(_, c)).flatMap(m => vAttr(s"$prefix$m"))
@@ -248,6 +292,13 @@ case class MvRewriteRule(spark: SparkSession)
         vAttr(ar.name).map(reAlias(_, al)).getOrElse(return None)
       case al @ Alias(ae: AggregateExpression, _) =>
         mapAgg(ae).map(reAlias(_, al)).getOrElse(return None)
+      // a derived BUCKET respelled in the select list (SELECT
+      // date_trunc('day', ts) AS day … GROUP BY …) projects the
+      // view's stored group column
+      case al @ Alias(e, _)
+          if e.find(_.isInstanceOf[AggregateExpression]).isEmpty =>
+        groupNameOf(e).flatMap(vAttr).map(reAlias(_, al))
+          .getOrElse(return None)
       // avg spells Divide(sum, count) only through mapAgg — any
       // other computed output (sum(v) + 1, grouping sets artifacts)
       // falls back to the scan
@@ -271,6 +322,8 @@ case class MvRewriteRule(spark: SparkSession)
       vAttr: String => Option[Attribute], values: Set[String],
       extrema: Set[String], exactDistinct: Set[String],
       approxDistinct: Set[String],
+      exprMeasures: Seq[(String, Expression)],
+      derivedGroups: Seq[(String, Expression)],
       resolver: (String, String) => Boolean,
       srcDir: String, scannedVer: Int, viewDir: String,
       v1: Int): Option[LogicalPlan] = {
@@ -279,7 +332,9 @@ case class MvRewriteRule(spark: SparkSession)
     def col(e: Expression): Option[String] = e match {
       case ar: AttributeReference
           if !ar.dataType.isInstanceOf[DecimalType] => Some(ar.name)
-      case _ => None
+      case _ if e.dataType.isInstanceOf[DecimalType] => None
+      case _ => exprMeasures.collectFirst {
+        case (n, ex) if e.semanticEquals(ex) => n }
     }
     def measure(prefix: String, c: String): Option[Attribute] =
       values.find(resolver(_, c)).flatMap(m => vAttr(s"$prefix$m"))
@@ -331,6 +386,11 @@ case class MvRewriteRule(spark: SparkSession)
         vAttr(ar.name).map(reAlias(_, al)).getOrElse(return None)
       case al @ Alias(ae: AggregateExpression, _) =>
         mapScalar(ae).map(reAlias(_, al)).getOrElse(return None)
+      case al @ Alias(e, _)
+          if e.find(_.isInstanceOf[AggregateExpression]).isEmpty =>
+        derivedGroups.collectFirst {
+          case (g, ge) if e.semanticEquals(ge) => g }
+          .flatMap(vAttr).map(reAlias(_, al)).getOrElse(return None)
       case _ => return None
     }
     logInfo(s"graft.mv.rewrite: serving aggregate over $srcDir@v" +

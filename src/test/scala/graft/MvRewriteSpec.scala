@@ -165,6 +165,67 @@ class MvRewriteSpec extends SparkSpec {
     spark.sql(s"DROP MATERIALIZED VIEW graft.`$mv`")
   }
 
+  test("expression group keys and measures match semantically: the " +
+      "day-bucketed revenue rollup serves from the view in both " +
+      "exact and coarser shapes") {
+    val src = fresh("rwe_src")
+    val mv = fresh("rwe_mv")
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+      .getTime
+    val rows = (1L to 48L).map(i => (i, s"g${i % 2}",
+      new java.sql.Timestamp(base + i * 3600L * 1000),
+      (i * 7 % 13).toDouble, 0.25 * (i % 3)))
+    Versioned.commit(
+      rows.toDF("id", "g", "ts", "price", "disc"), src)
+    spark.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` ROW KEY (id) " +
+      "AS SELECT g, date_trunc('DAY', ts) AS day, " +
+      "sum(price * (1 - disc)) AS sum_rev, " +
+      "count(price * (1 - disc)) AS cnt_rev, count(*) AS n_rows " +
+      s"FROM graft.`$src` GROUP BY g, date_trunc('DAY', ts)")
+    spark.sql(s"CALL graft.system.enable_rewrite('$mv')")
+    // EXACT shape: same bucket expression, same measure expression —
+    // a pure projection over the view
+    val exact = spark.sql("SELECT g, date_trunc('DAY', ts) AS d, " +
+      "sum(price * (1 - disc)) AS rev, count(*) AS n " +
+      s"FROM graft.`$src` GROUP BY g, date_trunc('DAY', ts)")
+    assert(servedFrom(exact, mv),
+      exact.queryExecution.executedPlan.toString.take(500))
+    assert(!exact.queryExecution.executedPlan.toString
+      .contains("Exchange"))
+    // values equal spark's own aggregation of a local frame
+    val exp = rows.toDF("id", "g", "ts", "price", "disc")
+      .groupBy($"g", date_trunc("DAY", $"ts").as("d"))
+      .agg(sum($"price" * (lit(1) - $"disc")).as("rev"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1),
+        r.getDouble(2), r.getLong(3))).toSet
+    assert(exact.collect().map(r => (r.getString(0),
+      r.getTimestamp(1), r.getDouble(2), r.getLong(3))).toSet == exp)
+    // COARSER: drop the bucket, keep the expression measure — the
+    // per-bucket sums re-aggregate (every product here is exact in
+    // binary — integral prices, quarter discounts — so the figures
+    // are order-independent hash facts)
+    val coarse = spark.sql("SELECT g, count(*) AS n, " +
+      "sum(price * (1 - disc)) AS rev " +
+      s"FROM graft.`$src` GROUP BY g")
+    assert(servedFrom(coarse, mv))
+    assert(coarse.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDouble(2))).toSet ==
+      rows.groupBy(_._2).map { case (g, rs) =>
+        (g, rs.size.toLong,
+          rs.map(t => t._4 * (1 - t._5)).sum) }.toSet)
+    // a DIFFERENT bucket granularity falls back
+    val hourly = spark.sql("SELECT date_trunc('HOUR', ts) AS h, " +
+      s"count(*) AS n FROM graft.`$src` " +
+      "GROUP BY date_trunc('HOUR', ts)")
+    assert(!servedFrom(hourly, mv))
+    // a DIFFERENT measure expression falls back
+    val other = spark.sql("SELECT g, sum(price * (1 + disc)) AS x " +
+      s"FROM graft.`$src` GROUP BY g")
+    assert(!servedFrom(other, mv))
+    spark.sql(s"DROP MATERIALIZED VIEW graft.`$mv`")
+  }
+
   test("bounded-staleness rewrite: an opted-in view keeps serving " +
       "while it lags the scan within the bound, stops beyond it, " +
       "and never serves a scan BELOW its pin") {
