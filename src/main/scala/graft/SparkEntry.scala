@@ -2030,7 +2030,10 @@ object SparkEntry {
     // measures are exact integer cents — floor over IEEE doubles is
     // engine-identical — so the sums are hash facts.
     "q62_expr_mv" ->
-      """WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS rid,
+      """WITH li AS (SELECT row_number() OVER (ORDER BY l_orderkey,
+                              l_linenumber, l_extendedprice,
+                              l_discount, l_tax, l_quantity,
+                              l_returnflag, l_linestatus) AS rid,
                             l_orderkey, l_linenumber, l_returnflag,
                             l_linestatus, l_extendedprice,
                             l_discount, l_tax

@@ -2808,23 +2808,33 @@ object DerivedTable {
   }
 
   /** The pooled SOURCE family q62 uses: a BOUNDED lineitem slice
-    * (l_orderkey < 2000, ~2k rows at any SF — the gate proves the
+    * (l_orderkey < 2000, ~8k rows at any SF — the gate proves the
     * expression-measure lifecycle, not scan throughput) with a
-    * synthetic single-column row id (rid = l_orderkey * 10 +
-    * l_linenumber — linenumber is 1..7 by the TPC-H spec, so the
-    * encoding is collision-free), split at 1200 (base + `.app`). */
+    * synthetic single-column row id (rid = row_number over a total
+    * order on every column — the synthetic fixture repeats
+    * (l_orderkey, l_linenumber) pairs, so the TPC-H-style arithmetic
+    * encoding collides), split at 1200 (base + `.app`). */
   private def cloneMvLineSrc(s: SparkSession, d: String,
       src: String): Unit =
     FixturePool.cloneTo(s"mvline:$d", src, reclaimAtExit = true) {
       dir =>
+        // rid: a deterministic ROW identity. The fixture repeats
+        // (l_orderkey, l_linenumber) pairs with differing values, so
+        // arithmetic over them collides — number the slice under a
+        // total ORDER over every column instead (ties only between
+        // fully identical rows, where either assignment is the same
+        // multiset — DuckDB replays the identical numbering)
+        val ord = org.apache.spark.sql.expressions.Window.orderBy(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_quantity"), col("l_returnflag"), col("l_linestatus"))
         val li = Tables.load(s, d, "lineitem")
           .filter(col("l_orderkey") < 2000)
-          .select((col("l_orderkey") * 10 + col("l_linenumber"))
-              .cast("long").as("rid"),
-            col("l_orderkey"), col("l_linenumber"),
+          .select(col("l_orderkey"), col("l_linenumber"),
             col("l_returnflag"), col("l_linestatus"),
             col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), col("l_tax"))
+          .withColumn("rid", row_number().over(ord).cast("long"))
           .persist(org.apache.spark.storage.StorageLevel
             .MEMORY_AND_DISK)
         try {
