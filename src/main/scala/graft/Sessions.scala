@@ -40,6 +40,24 @@ object Sessions {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", aqe)
+      // Write-path constants (measured r18, WriteProfile: a 10-row
+      // parquet write pays ~90 ms over the bare job floor; these three
+      // recover ~45 ms of it — ~30% of every commit's write job, and
+      // the versioned-lifecycle gates run hundreds of such writes):
+      // commit algorithm v2 renames task output at task commit instead
+      // of re-walking it at job commit (the standard HDFS/filesystem
+      // production setting; graft's own atomic-marker publish sits
+      // ABOVE the committer, so torn task output is never visible to
+      // readers either way); _SUCCESS markers are metadata no reader
+      // here (or any manifest-based table format) consults; 1 MiB
+      // checksum chunks cut the per-file .crc bookkeeping on small
+      // commit files. All three sit BEFORE the hadoopConf fold so an
+      // object-store deployment's committer settings override them.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+        "false")
+      .config("spark.hadoop.file.bytes-per-checksum", "1048576")
     hadoopConf.foldLeft(b) { case (bb, (k, v)) =>
       bb.config(s"spark.hadoop.$k", v)
     }

@@ -11,6 +11,13 @@ object GateProfile {
     val spark = graft.Sessions.get("graft-gate-profile")
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val jobs = new java.util.concurrent.atomic.AtomicInteger
+    // Accumulated IN-JOB wall (submit->end, may overlap across jobs)
+    // and task time: (gate wall - job wall) is driver-side planning /
+    // metadata / commit time between actions — the number that decides
+    // whether to cut job COUNT or job COST.
+    val jobNanos = new java.util.concurrent.atomic.AtomicLong
+    val taskNanos = new java.util.concurrent.atomic.AtomicLong
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
     val verbose = new java.util.concurrent.atomic.AtomicBoolean(false)
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
@@ -18,18 +25,40 @@ object GateProfile {
             js: org.apache.spark.scheduler.SparkListenerJobStart)
             : Unit = {
           jobs.incrementAndGet()
+          starts.put(js.jobId, js.time)
           if (verbose.get) println(s"GATE_PROFILE   job " +
             s"${js.jobId} stages=${js.stageInfos.size} tasks=" +
             s"${js.stageInfos.map(_.numTasks).sum} " +
             js.stageInfos.map(_.name).mkString(" | ").take(120))
           ()
         }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          Option(starts.remove(je.jobId)).foreach { t0 =>
+            jobNanos.addAndGet((je.time - t0) * 1000000L)
+            if (verbose.get) println(s"GATE_PROFILE   job " +
+              s"${je.jobId} end ms=${je.time - t0}")
+          }
+          ()
+        }
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          if (te.taskInfo != null)
+            taskNanos.addAndGet(te.taskInfo.duration * 1000000L)
+          ()
+        }
       })
     def time(label: String)(body: => Any): Unit = {
-      val j0 = jobs.get; val t = System.nanoTime()
+      val j0 = jobs.get; val jn0 = jobNanos.get; val tn0 = taskNanos.get
+      val t = System.nanoTime()
       body
-      println(f"GATE_PROFILE $label: ${(System.nanoTime() - t) / 1e9}%.2f s" +
-        s" jobs=${jobs.get - j0}")
+      val wall = (System.nanoTime() - t) / 1e9
+      // listener bus is async; give job-end events a beat to land
+      Thread.sleep(120)
+      println(f"GATE_PROFILE $label: $wall%.2f s" +
+        s" jobs=${jobs.get - j0}" +
+        f" jobwall=${(jobNanos.get - jn0) / 1e9}%.2f" +
+        f" taskwall=${(taskNanos.get - tn0) / 1e9}%.2f")
     }
     time("warm-scan")(
       graft.sources.Tables.load(spark, d, "documents").count())
@@ -52,8 +81,10 @@ object GateProfile {
         "doc_id", Seq("source"), "n_chars"))
       time("op:append")(V.append(docs.filter(col("doc_id") >= 300),
         src))
+      verbose.set(args.contains("-v"))
       time("op:agg-incr")(dt.refreshAgg(spark, src, dst,
         "doc_id", Seq("source"), "n_chars"))
+      verbose.set(false)
       verbose.set(args.contains("-v"))
       time("op:applyChanges")(V.applyChanges(spark, src,
         upserts = docs.filter(col("doc_id").isin(1L, 2L, 3L))

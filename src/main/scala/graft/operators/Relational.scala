@@ -254,8 +254,18 @@ object Relational {
       ps: Seq[(Double, String)]): DataFrame = {
     val buckets = 1024
     val in = df.select(col(grp), col(v)).filter(col(v).isNotNull)
+    // The tiny frames below (group-cardinality-bounded: stats is one
+    // row per group, cum <= groups x 1024, located <= groups x ranks)
+    // are each referenced by several downstream legs; without persist,
+    // Catalyst inlines the subtree per reference and the plan carries
+    // one FULL input scan per copy (measured: 16 lineitem scans in
+    // q21's plan, 4.8M scan rows on a 600K-row table). Persisting
+    // collapses them so the input is scanned exactly three times per
+    // value column — stats, histogram, bucket fetch — the algorithm's
+    // genuine pass count (guide §2.4: remove duplicated subtrees).
     val stats = in.groupBy(col(grp)).agg(count(lit(1)).as("n"),
       min(col(v)).as("vmin"), max(col(v)).as("vmax"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bucket id; degenerate all-equal groups collapse to bucket 0.
     val width = (col("vmax") - col("vmin")) / buckets
     val bucketed = in.join(broadcast(stats), grp)
@@ -269,6 +279,7 @@ object Relational {
       coalesce(sum(col("bc")).over(Window.partitionBy(col(grp))
         .orderBy(col("b"))
         .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Target ranks: floor/ceil of each percentile position.
     val spark = df.sparkSession
     import spark.implicits._
@@ -284,6 +295,7 @@ object Relational {
         col("r") <= col("cum_before") + col("bc"))
       .select(col(s"t.$grp").as(grp), col("p"), col("pos"), col("r"),
         col("b"), (col("r") - col("cum_before")).as("off"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Fetch only the located buckets; rank inside each tiny bucket.
     val needed = located.select(col(grp), col("b")).distinct()
     val picked = bucketed
