@@ -1748,10 +1748,14 @@ object DerivedTable {
     try {
       // one row per group by construction; the same limit-probe fold
       // as the touched keys — the common case's count, null check,
-      // and IN-tier first-column values in one job over the
-      // persisted delta
+      // IN-tier first-column values, and (sketched) the per-group
+      // old-side row count that picks merge vs recompute, ALL in one
+      // job over the persisted delta (the loss-group probe used to be
+      // its own collect)
       val groupsDf = delta.select(gCols: _*)
-      val gProbe = groupsDf.limit(PruneKeyLimit + 1).collect()
+      val probeCols = if (sketched) gCols :+ col("d_old") else gCols
+      val gProbe = delta.select(probeCols: _*)
+        .limit(PruneKeyLimit + 1).collect()
       val gSmall = gProbe.length <= PruneKeyLimit
       val (nGroups, nGroupsNonNull) =
         if (gSmall) (gProbe.length.toLong, gProbe.count(r =>
@@ -1773,12 +1777,19 @@ object DerivedTable {
         return
       }
       // patch the touched destination groups via the same tiered
-      // point read, keyed on the group columns
+      // point read, keyed on the group columns. The existing-side key
+      // set is ⊆ the delta's in EVERY tier (IN-tier: a row filter on
+      // the delta's own values; semi-join tiers: the delta frame is
+      // the probe), so the outer join degenerates to a LEFT join —
+      // and the existing side is bounded by the same maxTouchedKeys
+      // that bounds the whole algorithm, so it broadcasts: the patch
+      // costs no second shuffle (the delta reuses its aggregation
+      // partitioning) and the audit action is one stage shorter.
       val existing = pointRead(s, dstDir, groupCols, nGroups,
         groupVals, None, groupsDf)
         .withColumn("__present", lit(1))
       val patched = delta
-        .join(existing, groupCols, "full_outer")
+        .join(broadcast(existing), groupCols, "left")
         .select(gCols ++ values.flatMap(c => Seq(
           (coalesce(col(s"sum_$c"), lit(0)) +
             coalesce(col(s"d_sum_$c"), lit(0))).as(s"sum_$c"),
@@ -1806,53 +1817,14 @@ object DerivedTable {
              klls.map(c =>
                call_function("graft_kll_union", col(s"kll_$c"),
                  col(s"d_kll_$c")).as(s"kll_$c"))): _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      var extJoined: DataFrame = null
-      try {
-        val bad = patched.agg(
-          sum(when(col("n_rows") < 0L, 1L).otherwise(0L)),
-          sum(when(values.map(c => col(s"cnt_$c") < 0L)
-            .reduceOption(_ || _).getOrElse(lit(false)), 1L)
-            .otherwise(0L)),
-          sum(when(col("__ghost"), 1L).otherwise(0L))).head()
-        require(bad.getLong(0) == 0 && bad.getLong(1) == 0,
-          s"${bad.getLong(0)} group(s) would reach a negative row " +
-          s"count and ${bad.getLong(1)} a negative value count — the " +
-          s"destination does not reflect $fromLabel" +
-          " (corrupt pin or out-of-band edits); rebuild")
-        require(bad.getLong(2) == 0, s"${bad.getLong(2)} pure-value-" +
-          "update group(s) have no destination row — the destination " +
-          s"does not reflect $fromLabel (corrupt pin or out-of-band " +
-          "edits); rebuild")
-        // stored avgs re-derive from the PATCHED pairs on every
-        // touch, so they can never drift from sum/cnt (NULL for the
-        // all-null group, like the sum) — the same [[avgExprsOf]]
-        // definition the bootstrap aggregation stores
-        val avgCols = avgExprsOf(avgs)
-        val upserts0 = patched.filter(col("n_rows") > 0)
-          // the all-null group stores NULL, matching the recompute
-          .select(gCols ++ values.flatMap(c => Seq(
-            when(col(s"cnt_$c") === 0L, lit(null))
-              .otherwise(col(s"sum_$c")).as(s"sum_$c"),
-            col(s"cnt_$c"))) ++
-            Seq(col("n_rows")) ++ avgCols ++
-            (if (!sketched) Nil
-             else Seq(col("__dold")) ++
-               distincts.map(c => col(s"hll_$c")) ++
-               klls.map(c => col(s"kll_$c"))): _*)
-        // the stored order: groups, (sum, cnt)…, n_rows, avg…, adc…
-        // (estimates re-derived from the FINAL sketches so they can
-        // never drift), cd… (exact distinct counts), ext…, hll…
-        // (sketch state rides last)
-        def ordered(df: DataFrame): DataFrame =
-          df.select((gCols ++
-            values.flatMap(c => Seq(col(s"sum_$c"), col(s"cnt_$c"))) ++
-            Seq(col("n_rows")) ++ avgs.map(c => col(s"avg_$c")) ++
-            adcExprsOf(distincts) ++
-            exacts.map(c => col(s"cd_$c")) ++ extNames.map(col) ++
-            distincts.map(c => col(s"hll_$c")) ++
-            klls.map(c => col(s"kll_$c"))): _*)
-        val upserts = if (extrema.nonEmpty || exacts.nonEmpty) {
+      // the non-invertible recompute leg (extrema / exact-distinct /
+      // sketch-loss), built BEFORE the audit so its consistency check
+      // rides the SAME action as the algebraic audits below — the
+      // extrema and sketch paths used to pay a separate count() job
+      // per refresh for it. `offCond` is the leg's disagreement
+      // predicate over the joined frame; lit(false) when no leg runs.
+      val (extLeg, offCond) =
+        if (extrema.nonEmpty || exacts.nonEmpty) {
           // affected-group recompute for the non-invertible extrema
           // and EXACT distinct counts: re-aggregate ONLY the touched
           // groups' rows at the pinned NEW state (tiered read, keyed
@@ -1870,39 +1842,34 @@ object DerivedTable {
               hll_sketch_agg(col(c)).as(s"r_hll_$c")) ++
               klls.map(c => call_function("graft_kll", col(c))
                 .as(s"r_kll_$c"))): _*)
-          extJoined = upserts0.join(ext, groupCols, "left")
-            .persist(org.apache.spark.storage.StorageLevel
-              .MEMORY_AND_DISK)
-          // the recompute doubles as a consistency audit: every
-          // surviving group must reappear with the algebraic count
-          val off = extJoined.filter(col("__extn").isNull ||
-            col("__extn") =!= col("n_rows")).count()
-          require(off == 0, s"$off group(s) disagree between the " +
-            s"algebraic row count and the $toLabel recompute — " +
-            "corrupt pin or out-of-band edits; rebuild")
-          // the recompute read is already paid for every touched
-          // group, so the sketches ride it too (ground truth — no
-          // need to track which groups could have merged)
-          ordered(klls.foldLeft(
-            distincts.foldLeft(extJoined: DataFrame) {
-              case (df, c) =>
-                df.withColumn(s"hll_$c", hllNorm(col(s"r_hll_$c"))) }) {
-            case (df, c) =>
-              df.withColumn(s"kll_$c", col(s"r_kll_$c")) })
+          // every surviving group must reappear with the algebraic
+          // count (the recompute doubles as a consistency audit)
+          (Some(ext), col("n_rows") > 0L &&
+            (col("__extn").isNull || col("__extn") =!= col("n_rows")))
         } else if (sketched) {
           // groups that LOST rows in the window recompute their
           // sketches from the pinned `to` snapshot; insert-only
           // groups keep the exact merge — the common append path
-          // pays NO extra source read
+          // pays NO extra source read. Loss groups come from the
+          // gProbe's d_old column in the small tier (no extra job);
+          // only an over-limit delta pays the separate probe.
           val delGroupsDf = delta.filter(col("d_old") > 0)
             .select(gCols: _*)
-          val dProbe = delGroupsDf.limit(PruneKeyLimit + 1).collect()
-          val nDel = if (dProbe.length <= PruneKeyLimit)
-            dProbe.length.toLong else delGroupsDf.count()
-          if (nDel == 0) ordered(upserts0)
+          val (nDel, dVals) =
+            if (gSmall) {
+              val dRows = gProbe.filter(_.getLong(gCols.length) > 0L)
+              (dRows.length.toLong, dRows.map(_.get(0)).distinct.toSeq)
+            } else {
+              val dProbe = delGroupsDf.limit(PruneKeyLimit + 1)
+                .collect()
+              (if (dProbe.length <= PruneKeyLimit)
+                 dProbe.length.toLong
+               else delGroupsDf.count(),
+                dProbe.map(_.get(0)).distinct.toSeq)
+            }
+          if (nDel == 0) (None, lit(false))
           else {
-            val srcDel = recomputeAt(delGroupsDf, nDel,
-              dProbe.map(_.get(0)).toSeq)
+            val srcDel = recomputeAt(delGroupsDf, nDel, dVals)
             val rAggs = count(lit(1)).as("__rn") +:
               (distincts.map(c =>
                 hll_sketch_agg(col(c)).as(s"r_hll_$c")) ++
@@ -1910,36 +1877,127 @@ object DerivedTable {
                  .as(s"r_kll_$c")))
             val rHll = srcDel.groupBy(gCols: _*)
               .agg(rAggs.head, rAggs.tail: _*)
-            extJoined = upserts0.join(rHll, groupCols, "left")
-              .persist(org.apache.spark.storage.StorageLevel
-                .MEMORY_AND_DISK)
             // recomputed SURVIVING groups must reappear with the
             // algebraic count — the extrema audit's twin
-            val off = extJoined.filter(col("__dold") > 0 &&
-              (col("__rn").isNull ||
-                col("__rn") =!= col("n_rows"))).count()
-            require(off == 0, s"$off group(s) disagree between the " +
-              s"algebraic row count and the $toLabel recompute — " +
-              "corrupt pin or out-of-band edits; rebuild")
-            ordered(klls.foldLeft(
-              distincts.foldLeft(extJoined: DataFrame) {
-                case (df, c) => df.withColumn(s"hll_$c",
-                  when(col("__dold") > 0, hllNorm(col(s"r_hll_$c")))
-                    .otherwise(col(s"hll_$c"))) }) {
-              case (df, c) => df.withColumn(s"kll_$c",
-                when(col("__dold") > 0, col(s"r_kll_$c"))
-                  .otherwise(col(s"kll_$c"))) })
+            (Some(rHll), col("n_rows") > 0L && col("__dold") > 0L &&
+              (col("__rn").isNull || col("__rn") =!= col("n_rows")))
           }
-        } else upserts0
-        val dels = patched.filter(col("n_rows") === 0L)
+        } else (None, lit(false))
+      // the leg is one aggregated row per touched group (≤ the same
+      // maxTouchedKeys bound) — broadcast it for the same reason as
+      // the existing side above
+      val audited = extLeg.fold(patched)(e =>
+          patched.join(broadcast(e), groupCols, "left"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        // ONE action serves every audit AND the commit preflight the
+        // merge used to recompute (upsert/delete counts, the
+        // manifest-pruning key range): the algebraic invariants, the
+        // ghost check, and the recompute-leg agreement are all
+        // per-row facts of the same audited frame
+        val key = groupCols.head
+        val bad = audited.agg(
+          sum(when(col("n_rows") < 0L, 1L).otherwise(0L)),
+          sum(when(values.map(c => col(s"cnt_$c") < 0L)
+            .reduceOption(_ || _).getOrElse(lit(false)), 1L)
+            .otherwise(0L)),
+          sum(when(col("__ghost"), 1L).otherwise(0L)),
+          sum(when(offCond, 1L).otherwise(0L)),
+          coalesce(sum(when(col("n_rows") > 0L, 1L).otherwise(0L)),
+            lit(0L)),
+          coalesce(sum(when(col("n_rows") === 0L, 1L).otherwise(0L)),
+            lit(0L)),
+          min(when(col("n_rows") > 0L, col(key))),
+          max(when(col("n_rows") > 0L, col(key)))).head()
+        require(bad.getLong(0) == 0 && bad.getLong(1) == 0,
+          s"${bad.getLong(0)} group(s) would reach a negative row " +
+          s"count and ${bad.getLong(1)} a negative value count — the " +
+          s"destination does not reflect $fromLabel" +
+          " (corrupt pin or out-of-band edits); rebuild")
+        require(bad.getLong(2) == 0, s"${bad.getLong(2)} pure-value-" +
+          "update group(s) have no destination row — the destination " +
+          s"does not reflect $fromLabel (corrupt pin or out-of-band " +
+          "edits); rebuild")
+        require(bad.getLong(3) == 0, s"${bad.getLong(3)} group(s) " +
+          s"disagree between the algebraic row count and the " +
+          s"$toLabel recompute — corrupt pin or out-of-band edits; " +
+          "rebuild")
+        val nUps = bad.getLong(4)
+        val nDels = bad.getLong(5)
+        val range = if (nUps == 0 || bad.isNullAt(6)) None
+          else Some((key, bad.get(6), bad.get(7)))
+        // stored avgs re-derive from the PATCHED pairs on every
+        // touch, so they can never drift from sum/cnt (NULL for the
+        // all-null group, like the sum) — the same [[avgExprsOf]]
+        // definition the bootstrap aggregation stores
+        val avgCols = avgExprsOf(avgs)
+        // recompute-leg columns the final projection reads (the
+        // recompute read is already paid for every touched group, so
+        // the sketches ride it too — ground truth)
+        val legCols: Seq[Column] =
+          if (extrema.nonEmpty || exacts.nonEmpty)
+            extNames.map(col) ++
+              exacts.map(c => col(s"cd_$c")) ++
+              distincts.map(c => col(s"r_hll_$c")) ++
+              klls.map(c => col(s"r_kll_$c"))
+          else if (extLeg.isDefined)
+            distincts.map(c => col(s"r_hll_$c")) ++
+              klls.map(c => col(s"r_kll_$c"))
+          else Nil
+        val upserts0 = audited.filter(col("n_rows") > 0)
+          // the all-null group stores NULL, matching the recompute
+          .select(gCols ++ values.flatMap(c => Seq(
+            when(col(s"cnt_$c") === 0L, lit(null))
+              .otherwise(col(s"sum_$c")).as(s"sum_$c"),
+            col(s"cnt_$c"))) ++
+            Seq(col("n_rows")) ++ avgCols ++
+            (if (!sketched) Nil
+             else Seq(col("__dold")) ++
+               distincts.map(c => col(s"hll_$c")) ++
+               klls.map(c => col(s"kll_$c"))) ++ legCols: _*)
+        // the stored order: groups, (sum, cnt)…, n_rows, avg…, adc…
+        // (estimates re-derived from the FINAL sketches so they can
+        // never drift), cd… (exact distinct counts), ext…, hll…
+        // (sketch state rides last)
+        def ordered(df: DataFrame): DataFrame =
+          df.select((gCols ++
+            values.flatMap(c => Seq(col(s"sum_$c"), col(s"cnt_$c"))) ++
+            Seq(col("n_rows")) ++ avgs.map(c => col(s"avg_$c")) ++
+            adcExprsOf(distincts) ++
+            exacts.map(c => col(s"cd_$c")) ++ extNames.map(col) ++
+            distincts.map(c => col(s"hll_$c")) ++
+            klls.map(c => col(s"kll_$c"))): _*)
+        val upserts = if (extrema.nonEmpty || exacts.nonEmpty) {
+          ordered(klls.foldLeft(
+            distincts.foldLeft(upserts0: DataFrame) {
+              case (df, c) =>
+                df.withColumn(s"hll_$c", hllNorm(col(s"r_hll_$c"))) }) {
+            case (df, c) =>
+              df.withColumn(s"kll_$c", col(s"r_kll_$c")) })
+        } else if (extLeg.isDefined) {
+          ordered(klls.foldLeft(
+            distincts.foldLeft(upserts0: DataFrame) {
+              case (df, c) => df.withColumn(s"hll_$c",
+                when(col("__dold") > 0, hllNorm(col(s"r_hll_$c")))
+                  .otherwise(col(s"hll_$c"))) }) {
+            case (df, c) => df.withColumn(s"kll_$c",
+              when(col("__dold") > 0, col(s"r_kll_$c"))
+                .otherwise(col(s"kll_$c"))) })
+        } else ordered(upserts0)
+        val dels = audited.filter(col("n_rows") === 0L)
           .select(gCols: _*)
-        Versioned.applyChangesKeys(s, dstDir, upserts = upserts,
-          deleteKeys = dels, keyCols = groupCols,
+        // the audited frame's facts stand in for the merge's own
+        // preflight: group tuples are distinct (one row per group by
+        // construction), non-null (audited above), and the
+        // upsert/delete sides partition on n_rows — so the trusted
+        // entry skips the public path's preflight aggregation job
+        Versioned.applyChangesKeysPre(s, dstDir, upserts = upserts,
+          delKeys = dels, keyCols = groupCols,
+          n = nUps, nDelOnly = nDels, pruneRange = range,
           transform = layoutOf(partitionCol),
           statsCols = Seq(groupCols.head), note = Some(note))
       } finally {
-        if (extJoined != null) extJoined.unpersist(blocking = false)
-        patched.unpersist(blocking = false)
+        audited.unpersist(blocking = false)
       }
     } finally delta.unpersist(blocking = false)
   }

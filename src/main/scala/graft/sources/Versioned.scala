@@ -661,7 +661,8 @@ object Versioned {
       clearSpec: Boolean = false,
       props: Option[Map[String, String]] = None,
       declaredOrder: Boolean = true,
-      populate: Option[Path => Unit] = None): Int = {
+      populate: Option[Path => Unit] = None,
+      dropOwnDirIfEmpty: Boolean = false): Int = {
     val spark = df.sparkSession
     // hidden partitioning: derive the transform's partition column for
     // the write only — it never enters the logical schema (read() hides
@@ -787,6 +788,11 @@ object Versioned {
     }
     val uuid = java.util.UUID.randomUUID().toString
     val stage = new Path(tableDir, s".stage-v$next-$uuid")
+    // set false by the writeData branch when its harvested task
+    // metrics show a zero-row write — the fact [[mergeFiles]] used to
+    // pay a separate isEmpty action (plus a persist around the
+    // rewrite) to learn BEFORE committing
+    var wroteRows = true
     if (populate.isDefined) {
       // an IMPORT commit: the caller stages pre-existing parquet files
       // itself (hardlink/copy — no Spark write, no rewrite); counts
@@ -842,6 +848,14 @@ object Versioned {
         } else taskRows
       if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
       else writeCountStats(spark, f, stage, allTaskRows)
+      // emptiness decides manifest membership below only when the
+      // caller opted in; a zero task-metrics sum is re-verified
+      // against the staged footers (driver-side, rare path) so a
+      // listener hiccup can never drop a data-bearing dir
+      if (dropOwnDirIfEmpty && allTaskRows.valuesIterator.sum == 0L)
+        wroteRows = stagedDataFiles(f, stage).exists(p =>
+          FsFast.footerRowCount(f,
+            spark.sessionState.newHadoopConf(), new Path(p)) > 0L)
     } else f.mkdirs(stage) // metadata-only commit (rollback, tombstone)
     // The manifest this commit will publish (sans own dir) — assembled
     // HERE so property carry-forward below can reason about
@@ -894,9 +908,12 @@ object Versioned {
       // currentTransform's inheritance walk at this version
       FsFast.put(f, new Path(stage, TspecFile),
         TspecNone.getBytes("UTF-8"), overwrite = false)
-    } else transform.foreach(t => writeTspec(f, stage, t,
-      df.schema(t.source).dataType.catalogString,
-      spark.sessionState.conf.sessionLocalTimeZone))
+    } else if (!(dropOwnDirIfEmpty && !wroteRows))
+      // an all-deleted rewrite records no spec decision — exactly the
+      // old mergeFiles behavior (it passed transform = None then)
+      transform.foreach(t => writeTspec(f, stage, t,
+        df.schema(t.source).dataType.catalogString,
+        spark.sessionState.conf.sessionLocalTimeZone))
     // branch + parent + generation sidecar, riding the atomic claim:
     // head lookups and fast-forward ancestry walks read it
     // ([[refInfo]]); the generation ties the commit to the CURRENT
@@ -942,7 +959,14 @@ object Versioned {
       .parquet(new Path(stage, DeletesDir).toString))
     posDeleteDf.foreach(_.coalesce(1).write
       .parquet(new Path(stage, PosDeletesDir).toString))
-    val withOwn = if (ownDirInManifest) linked :+ s"v=$next" else linked
+    // a zero-row rewrite's own dir (an empty schema-bearing file)
+    // stays OUT of the manifest unless nothing else would be in it —
+    // the caller-side rewroteAll logic, decided from the write's own
+    // metrics instead of a pre-commit isEmpty action
+    val ownDirEff =
+      if (dropOwnDirIfEmpty && !wroteRows) linked.isEmpty
+      else ownDirInManifest
+    val withOwn = if (ownDirEff) linked :+ s"v=$next" else linked
     val dirs = withOwn ++
       deleteDf.map(_ => s"$DeletePrefix" + s"v=$next/$DeletesDir") ++
       posDeleteDf.map(_ => s"$DeletePrefix" + s"v=$next/$PosDeletesDir")
@@ -2029,27 +2053,23 @@ object Versioned {
     }
     // size the rewrite like the files it replaces: without this, a
     // one-file rewrite fans out to shuffle.partitions tiny part files.
-    // Persisted around its two consumers (the emptiness probe and the
-    // commit's write) — without the persist every merge executed the
-    // full anti-join/filter over the touched files twice.
+    // The all-deleted-rewrite handling (drop the empty own dir from
+    // the manifest, record no spec decision) moved INSIDE commitStaged
+    // (`dropOwnDirIfEmpty`), decided from the write job's own task
+    // metrics — the pre-commit `isEmpty` action (and the persist that
+    // kept it from running the anti-joins twice) is gone: the rewrite
+    // executes exactly once, in the commit's write job.
     val rewritten = rewrite(readFiles(spark, tableDir, touched.toSeq,
         manifestDeletes(spark, f, tableDir, v)))
       .coalesce(math.max(1, touched.size))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val rewroteAll = rewritten.isEmpty
-      Some(commitStaged(rewritten, tableDir,
-        if (rewroteAll) None else partitionCol, note = note, statsCols,
-        linkBase = Some(v),
-        linkEntries = Some(surviving),
-        deleteDf = deleteDf,
-        // a merge that deleted every row it rewrote may leave no part
-        // files behind a partitionBy write; keep the (possibly empty,
-        // but schema-bearing when unpartitioned) own dir only when the
-        // manifest would otherwise be empty
-        ownDirInManifest = !rewroteAll || surviving.isEmpty,
-        transform = if (rewroteAll) None else transform))
-    } finally rewritten.unpersist(blocking = false)
+    Some(commitStaged(rewritten, tableDir,
+      partitionCol, note = note, statsCols,
+      linkBase = Some(v),
+      linkEntries = Some(surviving),
+      deleteDf = deleteDf,
+      ownDirInManifest = true,
+      transform = transform,
+      dropOwnDirIfEmpty = true))
   }
 
   /** Row-level MERGE (upsert) by key: rows of the current snapshot
@@ -2582,6 +2602,30 @@ object Versioned {
     val range =
       if (n == 0 || facts.isNullAt(4)) None
       else Some((key, facts.get(4), facts.get(5)))
+    applyChangesKeysPre(spark, tableDir, upserts, delKeys, keyCols,
+      n, nDelOnly, range, partitionCol, statsCols, transform, note)
+  }
+
+  /** [[applyChangesKeys]] AFTER preflight: for callers that already
+    * hold the preflight facts (upsert count, delete-only count, the
+    * manifest-pruning key range) as by-products of their own audit
+    * action — the aggregate-MV patch ([[DerivedTable]]) derives all
+    * three from the same audited frame whose invariants it proves,
+    * so the public path's preflight aggregation job would recompute
+    * known facts. CALLER CONTRACT (enforced upstream, by
+    * construction there): `upserts` key tuples are distinct and
+    * non-null, `delKeys` is distinct and disjoint from the upsert
+    * keys, `n`/`nDelOnly` are their exact row counts, and
+    * `pruneRange` brackets the upsert keys' first column. */
+  private[sources] def applyChangesKeysPre(spark: SparkSession,
+      tableDir: String, upserts: DataFrame, delKeys: DataFrame,
+      keyCols: Seq[String], n: Long, nDelOnly: Long,
+      pruneRange: Option[(String, Any, Any)],
+      partitionCol: Option[String] = None,
+      statsCols: Seq[String] = Nil,
+      transform: Option[Transform] = None,
+      note: Option[String] = None): Int = {
+    val range = pruneRange
     val cur0 = currentVersion(spark, tableDir)
     if (n == 0) {
       // bootstrap deletes reference rows that never existed (normal in
