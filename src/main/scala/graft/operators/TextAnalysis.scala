@@ -446,12 +446,20 @@ object TextAnalysis {
     val dup3 = base.select(col("doc_id"), col("dup_line_frac"),
       (lit(1.0) - size(col("sh3")).cast("double") /
         (size(col("toks")) - 2)).as("dup3_frac"))
-    // one exchange for every n-gram length: (doc, n, gram) tagged rows
+    // one exchange for every n-gram length: (doc, n, gram) tagged
+    // rows. The gram key is the 64-bit hash of the token WINDOW
+    // (multi-arg xxhash64 — order-sensitive, no string build), not
+    // the joined string: the top-share only needs count-by-identity,
+    // so the shares are identical up to 64-bit collisions (~1e-7
+    // corpus-wide, deterministic — the same documented discipline as
+    // the shingle index, [[graft.operators.Dedup.shingleRows]]), the
+    // per-row CPU drops the concat_ws allocation, and the exchange
+    // carries 8-byte keys instead of gram strings.
     def grams(n: Int) = {
       val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ")
       s"""if(size(toks) >= $n,
             transform(sequence(0, size(toks) - $n),
-              i -> struct($n as n, concat_ws(' ', $parts) as g)),
+              i -> struct($n as n, xxhash64($parts) as g)),
             array())"""
     }
     val tops = base.select(col("doc_id"),
@@ -1380,10 +1388,17 @@ object TextAnalysis {
     // scan+regex passes); a 100 TB standing pipeline would point
     // `docsDf` at an already-tokenized column instead.
     tok.count()
+    // the window key is xxhash64 of the joined window (8-byte long),
+    // not md5 (32-char string): the hash never reaches the output —
+    // it only buckets identical windows for the n>=2 duplicate test —
+    // so results are identical up to 64-bit collisions (the shingle
+    // discipline), while the duplicate-count shuffle carries 8-byte
+    // keys and the per-position CPU drops the md5
     val win = tok.filter(size(col("ts")) >= w)
       .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), size(col("ts")) - w),
-          i => md5(concat_ws(" ", slice(col("ts"), i + lit(1), lit(w)))))))
+          i => xxhash64(concat_ws(" ",
+            slice(col("ts"), i + lit(1), lit(w)))))))
       .select(col("doc_id"), col("pos").as("i"), col("col").as("h"))
     val dup = win.groupBy(col("h"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
