@@ -53,8 +53,10 @@ object GateProfile {
       val t = System.nanoTime()
       body
       val wall = (System.nanoTime() - t) / 1e9
-      // listener bus is async; give job-end events a beat to land
-      Thread.sleep(120)
+      // listener bus is async; drain it deterministically (a fixed
+      // sleep under-reported jobwall/taskwall when events landed late)
+      org.apache.spark.sql.graft.SparkInternals
+        .waitListenerBus(spark.sparkContext, 10000L)
       println(f"GATE_PROFILE $label: $wall%.2f s" +
         s" jobs=${jobs.get - j0}" +
         f" jobwall=${(jobNanos.get - jn0) / 1e9}%.2f" +
@@ -84,8 +86,6 @@ object GateProfile {
       verbose.set(args.contains("-v"))
       time("op:agg-incr")(dt.refreshAgg(spark, src, dst,
         "doc_id", Seq("source"), "n_chars"))
-      verbose.set(false)
-      verbose.set(args.contains("-v"))
       time("op:applyChanges")(V.applyChanges(spark, src,
         upserts = docs.filter(col("doc_id").isin(1L, 2L, 3L))
           .withColumn("n_chars", lit(7L)),

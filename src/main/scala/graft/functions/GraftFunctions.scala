@@ -18,6 +18,7 @@ object GraftFunctions {
   val KllQuantileName = "graft_kll_quantile"
   val MinHashBandsName = "graft_minhash_bands"
   val ShingleHashesName = "graft_shingle_hashes"
+  val GramTopSharesName = "graft_gram_top_shares"
   val TopKName = "graft_topk"
   val TopKStrName = "graft_topk_str"
   val DefaultTopK = 5
@@ -218,6 +219,16 @@ object GraftFunctions {
       exprs => {
         val n = shingleNArg(exprs) // validates arity
         ShingleHashes(exprs.head, n)
+      },
+      "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      GramTopSharesName,
+      exprs => {
+        require(exprs.length == 3,
+          s"$GramTopSharesName expects 3 arguments, got ${exprs.length}")
+        val lo = literalIntArg(GramTopSharesName, "lo", exprs(1), 1)
+        val hi = literalIntArg(GramTopSharesName, "hi", exprs(2), lo)
+        GramTopShares(exprs.head, lo, hi)
       },
       "built-in")
   }

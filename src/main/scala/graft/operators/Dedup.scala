@@ -347,6 +347,11 @@ object Dedup {
       .distinct()
       .localCheckpoint(eager = false)
     var prev: Option[DataFrame] = None
+    // CARRIED count: round n's next.count() IS round n+1's
+    // edges.count() (same frame), so each round pays ONE count action,
+    // not two — the initial count doubles as the seed checkpoint's
+    // materialization (guide §1: actions are the unit of cost here).
+    var edgeCount = edges.count()
     var changed = true
     while (changed) {
       val sym = edges.select(col("c").as("u"), col("p").as("v"))
@@ -364,15 +369,17 @@ object Dedup {
         .where(col("c") =!= col("p"))
         .distinct()
         .localCheckpoint(eager = false)
-      // count-first convergence: the counts short-circuit (cheap —
-      // `edges` is already checkpointed, `next`'s count doubles as
-      // its checkpoint materialization), so the two-shuffle exceptAll
-      // runs only on the final, converged round. (A one-action
-      // signed-union bag-equality check measured SLOWER here: it pays
-      // its full union+aggregate every round, where most rounds exit
-      // on the count alone.)
-      changed = next.count() != edges.count() ||
+      // count-first convergence: the counts short-circuit (next's
+      // count doubles as its checkpoint materialization; edges' count
+      // is CARRIED from the previous round — no action), so the
+      // two-shuffle exceptAll runs only on the final, converged
+      // round. (A one-action signed-union bag-equality check measured
+      // SLOWER here: it pays its full union+aggregate every round,
+      // where most rounds exit on the count alone.)
+      val nextCount = next.count()
+      changed = nextCount != edgeCount ||
         next.exceptAll(edges).count() > 0
+      edgeCount = nextCount
       prev.foreach(_.unpersist(blocking = false))
       prev = Some(edges)
       edges = next

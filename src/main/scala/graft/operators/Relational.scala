@@ -251,83 +251,138 @@ object Relational {
     * window-rank formulation (group-count parallelism). Matches
     * DuckDB's quantile_cont: lo + frac * (hi - lo). */
   private def selectPercentiles(df: DataFrame, grp: String, v: String,
-      ps: Seq[(Double, String)]): DataFrame = {
+      ps: Seq[(Double, String)]): DataFrame =
+    selectPercentilesMulti(df, grp, Seq(v -> ps))
+
+  /** Multi-column core of [[selectPercentiles]]: ALL value columns ride
+    * one long-form (group, column, bucket) pass, so percentiles over k
+    * columns still scan the input exactly three times TOTAL (stats,
+    * histogram, bucket fetch) instead of 3k — the r18 shape ran one
+    * full selection per column and joined the legs.
+    *
+    * The tiny frames (group-cardinality-bounded: stats is one row per
+    * group x column, cum <= groups x cols x 1024, located <= groups x
+    * ranks) are each referenced by several downstream legs; without
+    * lineage truncation, Catalyst inlines the subtree per reference
+    * and the plan carries one FULL input scan per copy (measured: 16
+    * lineitem scans in q21's plan, 4.8M scan rows on a 600K-row
+    * table). They are pinned with LAZY `localCheckpoint`, not
+    * `persist`: the checkpoint blocks belong to this construction's
+    * RDDs (ContextCleaner reclaims them on GC — no CacheManager entry
+    * leaks for the session's lifetime, the r18 defect), and a fresh
+    * construction recomputes from parquet rather than reusing a
+    * previous run's cache (the bench discipline: no caching across
+    * runs). Guide §2.4 (remove duplicated subtrees) + §5 (unpersist
+    * when done). */
+  private def selectPercentilesMulti(df: DataFrame, grp: String,
+      cols: Seq[(String, Seq[(Double, String)])]): DataFrame = {
     val buckets = 1024
-    val in = df.select(col(grp), col(v)).filter(col(v).isNotNull)
-    // The tiny frames below (group-cardinality-bounded: stats is one
-    // row per group, cum <= groups x 1024, located <= groups x ranks)
-    // are each referenced by several downstream legs; without persist,
-    // Catalyst inlines the subtree per reference and the plan carries
-    // one FULL input scan per copy (measured: 16 lineitem scans in
-    // q21's plan, 4.8M scan rows on a 600K-row table). Persisting
-    // collapses them so the input is scanned exactly three times per
-    // value column — stats, histogram, bucket fetch — the algorithm's
-    // genuine pass count (guide §2.4: remove duplicated subtrees).
-    val stats = in.groupBy(col(grp)).agg(count(lit(1)).as("n"),
-      min(col(v)).as("vmin"), max(col(v)).as("vmax"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Bucket id; degenerate all-equal groups collapse to bucket 0.
-    val width = (col("vmax") - col("vmin")) / buckets
-    val bucketed = in.join(broadcast(stats), grp)
-      .withColumn("b",
-        when(col("vmax") === col("vmin"), lit(0)).otherwise(
-          least(lit(buckets - 1),
-            floor((col(v) - col("vmin")) / width).cast("int"))))
-    val hist = bucketed.groupBy(col(grp), col("b"))
+    val vs = cols.map(_._1)
+    require(vs.map(df.schema(_).dataType).distinct.size == 1,
+      "selectPercentilesMulti value columns must share one type " +
+        "(the long-form value column is untyped-union'd)")
+    val in = df.select((col(grp) +: vs.map(col)): _*)
+    // per-(group, column) stats in ONE aggregate (count skips nulls,
+    // matching the old per-column isNotNull filter)
+    val statAggs = vs.flatMap(v => Seq(
+      count(col(v)).as(s"n__$v"),
+      min(col(v)).as(s"vmin__$v"), max(col(v)).as(s"vmax__$v")))
+    val statsW = in.groupBy(col(grp))
+      .agg(statAggs.head, statAggs.tail: _*)
+      .localCheckpoint(eager = false)
+    // long form (grp, c, n, vmin, vmax), c = column ordinal
+    val stats = statsW.select(col(grp), explode(array(
+        vs.zipWithIndex.map { case (v, i) => struct(
+          lit(i).as("c"), col(s"n__$v").as("n"),
+          col(s"vmin__$v").as("vmin"), col(s"vmax__$v").as("vmax"))
+        }: _*)).as("st"))
+      .select(col(grp), col("st.c").as("c"), col("st.n").as("n"),
+        col("st.vmin").as("vmin"), col("st.vmax").as("vmax"))
+      .filter(col("n") > 0)
+    // Bucket id per (row, column); degenerate all-equal groups
+    // collapse to bucket 0; null values drop (the old per-column
+    // isNotNull filter)
+    val bucketed = in.join(broadcast(statsW), grp)
+      .select(col(grp), explode(array(vs.zipWithIndex.map {
+        case (v, i) =>
+          val vmin = col(s"vmin__$v"); val vmax = col(s"vmax__$v")
+          val width = (vmax - vmin) / buckets
+          struct(lit(i).as("c"),
+            when(vmax === vmin, lit(0)).otherwise(
+              least(lit(buckets - 1),
+                floor((col(v) - vmin) / width).cast("int"))).as("b"),
+            col(v).as("x"))
+      }: _*)).as("e"))
+      .select(col(grp), col("e.c").as("c"), col("e.b").as("b"),
+        col("e.x").as("x"))
+      .filter(col("x").isNotNull)
+    val hist = bucketed.groupBy(col(grp), col("c"), col("b"))
       .agg(count(lit(1)).as("bc"))
     val cum = hist.withColumn("cum_before",
-      coalesce(sum(col("bc")).over(Window.partitionBy(col(grp))
-        .orderBy(col("b"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Target ranks: floor/ceil of each percentile position.
+      coalesce(sum(col("bc")).over(
+        Window.partitionBy(col(grp), col("c"))
+          .orderBy(col("b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .localCheckpoint(eager = false)
+    // Target ranks: floor/ceil of each percentile position, per column.
     val spark = df.sparkSession
     import spark.implicits._
-    val pTab = broadcast(ps.map(_._1).distinct.toDF("p"))
-    val targets = stats.crossJoin(pTab)
+    val pTab = broadcast(cols.zipWithIndex.flatMap { case ((_, ps), i) =>
+      ps.map(_._1).distinct.map(p => (i, p)) }.toDF("c", "p"))
+    val targets = stats.join(pTab, "c")
       .withColumn("pos", lit(1.0) + col("p") * (col("n") - 1))
-      .select(col(grp), col("p"), col("pos"),
+      .select(col(grp), col("c"), col("p"), col("pos"),
         explode(array(floor(col("pos")), ceil(col("pos")))).as("r"))
     // Bucket containing rank r: cum_before < r <= cum_before + bc.
-    val located = targets.alias("t").join(broadcast(cum.alias("c")),
-      col(s"t.$grp") === col(s"c.$grp") &&
+    // (cum broadcasts: groups x cols x 1024 rows bounded)
+    val located = targets.alias("t").join(broadcast(cum.alias("cc")),
+      col(s"t.$grp") === col(s"cc.$grp") &&
+        col("t.c") === col("cc.c") &&
         col("r") > col("cum_before") &&
         col("r") <= col("cum_before") + col("bc"))
-      .select(col(s"t.$grp").as(grp), col("p"), col("pos"), col("r"),
-        col("b"), (col("r") - col("cum_before")).as("off"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col(s"t.$grp").as(grp), col("t.c").as("c"), col("p"),
+        col("pos"), col("r"), col("b"),
+        (col("r") - col("cum_before")).as("off"))
+    // located is referenced twice (needed, vals) but NOT pinned: its
+    // recompute re-joins the pinned cum/stats blocks — no extra input
+    // scan — and one fewer materialization boundary is one fewer
+    // sequential stage wave on the critical path
     // Fetch only the located buckets; rank inside each tiny bucket.
-    val needed = located.select(col(grp), col("b")).distinct()
+    val needed = located.select(col(grp), col("c"), col("b")).distinct()
     val picked = bucketed
-      .join(broadcast(needed), Seq(grp, "b"), "left_semi")
+      .join(broadcast(needed), Seq(grp, "c", "b"), "left_semi")
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col(grp), col("b")).orderBy(col(v))).cast("long"))
+        Window.partitionBy(col(grp), col("c"), col("b"))
+          .orderBy(col("x"))).cast("long"))
     // floor-rank value <= ceil-rank value, so min/max pair them up.
     val vals = located.join(picked,
-        Seq(grp, "b")).filter(col("off") === col("rk"))
-      .groupBy(col(grp), col("p"), col("pos"))
-      .agg(min(col(v)).as("vlo"), max(col(v)).as("vhi"))
+        Seq(grp, "c", "b")).filter(col("off") === col("rk"))
+      .groupBy(col(grp), col("c"), col("p"), col("pos"))
+      .agg(min(col("x")).as("vlo"), max(col("x")).as("vhi"))
       .withColumn("value",
         col("vlo") + (col("pos") - floor(col("pos"))) *
           (col("vhi") - col("vlo")))
-    val pivots = ps.map { case (p, alias) =>
-      max(when(col("p") === p, col("value"))).as(alias)
-    }
+    val pivots = cols.zipWithIndex.flatMap { case ((_, ps), i) =>
+      ps.map { case (p, alias) =>
+        max(when(col("c") === i && col("p") === p, col("value")))
+          .as(alias) } }
+    val aliases = cols.flatMap(_._2.map(_._2))
+    // a group missing ANY column's values had no row in that column's
+    // old per-leg frame, and the legs joined INNER — replicate by
+    // dropping groups with a null pivot (a pivot is null exactly when
+    // its (group, column) had zero non-null values)
     vals.groupBy(col(grp)).agg(pivots.head, pivots.tail: _*)
+      .filter(aliases.map(col(_).isNotNull).reduce(_ && _))
   }
 
   /** Exact interpolated percentiles per group (median + p90), via
-    * [[selectPercentiles]] — distributed selection per value column,
-    * joined on the (3-row) group frames. */
-  def percentiles(s: SparkSession, d: String): DataFrame = {
-    val df = li(s, d)
-    val price = selectPercentiles(df, "l_returnflag", "l_extendedprice",
-      Seq(0.5 -> "p50_price", 0.9 -> "p90_price"))
-    val qty = selectPercentiles(df, "l_returnflag", "l_quantity",
-      Seq(0.5 -> "p50_qty"))
-    price.join(qty, Seq("l_returnflag"))
+    * [[selectPercentilesMulti]] — BOTH value columns ride one
+    * long-form selection (three input scans total, not per column). */
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    selectPercentilesMulti(li(s, d), "l_returnflag", Seq(
+      "l_extendedprice" -> Seq(0.5 -> "p50_price", 0.9 -> "p90_price"),
+      "l_quantity" -> Seq(0.5 -> "p50_qty")))
       .orderBy(col("l_returnflag"))
-  }
 
   /** ROLLUP grouping sets: per (flag, status) plus flag subtotals plus a
     * grand total — one pass, Expand + hash agg. */

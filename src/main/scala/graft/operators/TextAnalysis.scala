@@ -440,46 +440,30 @@ object TextAnalysis {
         split(trim(lower(col("text"))), "\\s+").as("toks"),
         call_function(graft.functions.GraftFunctions.ShingleHashesName,
           trim(lower(col("text"))), lit(3)).as("sh3"),
+        call_function(graft.functions.GraftFunctions.GramTopSharesName,
+          trim(lower(col("text"))), lit(2), lit(4)).as("shares"),
         (lit(1.0) - size(array_distinct(lines)).cast("double") /
           size(lines)).as("dup_line_frac"))
       .filter(size(col("toks")) >= 3)
-    val dup3 = base.select(col("doc_id"), col("dup_line_frac"),
-      (lit(1.0) - size(col("sh3")).cast("double") /
-        (size(col("toks")) - 2)).as("dup3_frac"))
-    // one exchange for every n-gram length: (doc, n, gram) tagged
-    // rows. The gram key is the 64-bit hash of the token WINDOW
-    // (multi-arg xxhash64 — order-sensitive, no string build), not
-    // the joined string: the top-share only needs count-by-identity,
-    // so the shares are identical up to 64-bit collisions (~1e-7
-    // corpus-wide, deterministic — the same documented discipline as
-    // the shingle index, [[graft.operators.Dedup.shingleRows]]), the
-    // per-row CPU drops the concat_ws allocation, and the exchange
-    // carries 8-byte keys instead of gram strings.
-    def grams(n: Int) = {
-      val parts = (0 until n).map(j => s"toks[i + $j]").mkString(", ")
-      s"""if(size(toks) >= $n,
-            transform(sequence(0, size(toks) - $n),
-              i -> struct($n as n, xxhash64($parts) as g)),
-            array())"""
-    }
-    val tops = base.select(col("doc_id"),
-        explode(flatten(array(Seq(2, 3, 4).map(n => expr(grams(n))): _*)))
-          .as("ng"))
-      .select(col("doc_id"), col("ng.n").as("n"), col("ng.g").as("g"))
-      .groupBy(col("doc_id"), col("n"), col("g"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n"))
-      .agg((max(col("c")).cast("double") / sum(col("c"))).as("share"))
-      .groupBy(col("doc_id"))
-      .agg(
-        max(when(col("n") === 2, col("share"))).as("top2_frac"),
-        max(when(col("n") === 3, col("share"))).as("top3_frac"),
+    // The top-n-gram share is a PER-DOCUMENT statistic: every n-gram
+    // of a document lives in its own row, so the mode needs no corpus
+    // exchange at all — [[graft.functions.GramTopShares]] tokenizes
+    // once and returns all three lengths' shares from one per-row
+    // native pass. The r18 shape exploded every (doc, n, gram) into
+    // rows and paid one 13.6 MB exchange plus two more aggregation
+    // exchanges and a join to reassemble; all of them are gone (guide
+    // §2.4: remove shuffles outright — the decision is per-row, so
+    // nothing needs to move). Shares are count-by-hash-identity,
+    // identical to the gram strings up to 64-bit collisions (~1e-7,
+    // the documented shingle discipline).
+    base.select(col("doc_id"),
+        (lit(1.0) - size(col("sh3")).cast("double") /
+          (size(col("toks")) - 2)).as("dup3_frac"),
+        col("shares").getItem(0).as("top2_frac"),
+        col("shares").getItem(1).as("top3_frac"),
         // a 3-token doc has no 4-grams: nothing repeats, share 0
-        coalesce(max(when(col("n") === 4, col("share"))), lit(0.0))
-          .as("top4_frac"))
-    dup3.join(tops, "doc_id")
-      .select(col("doc_id"), col("dup3_frac"), col("top2_frac"),
-        col("top3_frac"), col("top4_frac"), col("dup_line_frac"))
+        coalesce(col("shares").getItem(2), lit(0.0)).as("top4_frac"),
+        col("dup_line_frac"))
       .withColumn("flagged",
         (col("dup3_frac") > 0.05 || col("top2_frac") > 0.05 ||
           col("top3_frac") > 0.18 || col("top4_frac") > 0.16 ||

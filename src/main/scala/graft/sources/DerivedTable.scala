@@ -1788,8 +1788,16 @@ object DerivedTable {
       val existing = pointRead(s, dstDir, groupCols, nGroups,
         groupVals, None, groupsDf)
         .withColumn("__present", lit(1))
+      // broadcast hint only when the delta probe PROVED the group set
+      // small (gSmall ≤ PruneKeyLimit rows): the existing side is
+      // full MV rows including HLL/KLL sketch binaries, and at the
+      // maxTouchedKeys bound a forced broadcast is a multi-hundred-MB
+      // driver collect. Above the proven-small tier the join ships
+      // un-hinted and AQE picks the strategy from the measured size.
+      def hinted(df: DataFrame): DataFrame =
+        if (gSmall) broadcast(df) else df
       val patched = delta
-        .join(broadcast(existing), groupCols, "left")
+        .join(hinted(existing), groupCols, "left")
         .select(gCols ++ values.flatMap(c => Seq(
           (coalesce(col(s"sum_$c"), lit(0)) +
             coalesce(col(s"d_sum_$c"), lit(0))).as(s"sum_$c"),
@@ -1883,11 +1891,11 @@ object DerivedTable {
               (col("__rn").isNull || col("__rn") =!= col("n_rows")))
           }
         } else (None, lit(false))
-      // the leg is one aggregated row per touched group (≤ the same
-      // maxTouchedKeys bound) — broadcast it for the same reason as
-      // the existing side above
+      // the leg is one aggregated row per touched group — same
+      // proven-small gating as the existing side above (it carries
+      // recomputed sketch state, the same driver-pressure shape)
       val audited = extLeg.fold(patched)(e =>
-          patched.join(broadcast(e), groupCols, "left"))
+          patched.join(hinted(e), groupCols, "left"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
         // ONE action serves every audit AND the commit preflight the

@@ -923,13 +923,37 @@ class TextEventsSpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(2) - share(2)) < 1e-9)
     assert(math.abs(out.head.getDouble(3) - share(3)) < 1e-9)
     assert(math.abs(out.head.getDouble(4) - share(4)) < 1e-9)
-    // scale shape: n-gram mode is partial-aggregated hash counting,
-    // and nothing in the signal join is a loop join
+    // scale shape: the battery is pure per-row work — the ONLY
+    // exchange is the final orderBy's range partitioning (the r18
+    // shape paid a (doc, n, gram) exchange + two aggregation
+    // exchanges + a join; all gone with the native per-row mode)
     val plan = TextAnalysis.repetitionSignals(spark, sf)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("HashAggregate"))
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("HashAggregate"),
+      "per-row repetition battery should not aggregate")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "per-row repetition battery should not join")
+  }
+
+  test("gram top shares kernel: ties, missing lengths, nulls") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.call_function
+    val out = Seq(
+      (1L, "a b a b a"),     // 2g: "a b"x2 of 4; 3g: "a b a"x2 of 3
+      (2L, "x"),             // no 2..4-grams at all
+      (3L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(col("id"), call_function(
+        graft.functions.GraftFunctions.GramTopSharesName,
+        col("t"), lit(2), lit(4)).as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Any](1))).toMap
+    assert(out(1L) == Seq(0.5, 2.0 / 3, 0.5))
+    assert(out(2L) == Seq(null, null, null))
+    assert(out(3L) == null) // null text -> null result (UnaryExpression)
   }
 
   test("PII redaction: typed placeholders, clean text untouched, ordered patterns") {
