@@ -85,6 +85,21 @@ object Sessions {
       // must stay inside whole-stage codegen; the default maxFields=100
       // silently drops them out (measured ~3x slower interpreted).
       .config("spark.sql.codegen.maxFields", "256")
+      // Generated-class cache (STATIC conf, must be set before the
+      // session exists). The default 100 entries thrashes under any
+      // workload with more than ~100 live codegen sources — a single
+      // MV-refresh gate runs ~120 jobs whose stages each compile a
+      // distinct source, so by the time a shape repeats its class has
+      // been evicted and Janino recompiles it: measured 40-55% of the
+      // warm task time of every metadata-scale protocol gate (q60 warm
+      // wall 11.7 s -> 5.4 s with the cache sized to the workload).
+      // The same applies to any long-lived production driver (an MV
+      // maintenance service replays the same plan shapes per commit) —
+      // this is a workload-size knob, not a local[32] tweak. Entries
+      // are weak-referenced class objects; 2000 bounds metaspace while
+      // covering the largest gate's working set with headroom.
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "2000"))
       // The `events` fixture carries parquet TIMESTAMP(NANOS); Spark has no
       // nanosecond timestamp type, so read them as raw Long nanos and let
       // Tables.load convert to microsecond timestamps.

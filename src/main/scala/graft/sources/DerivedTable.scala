@@ -718,6 +718,34 @@ object DerivedTable {
     }
   }
 
+  /** Run independent gate legs from a small thread pool (guide §2.6:
+    * overlap independent jobs). The MV lifecycle gates maintain two
+    * or more views over the SAME immutable source snapshot; each
+    * refresh is ~half driver-side gaps (planning/FS/commit between
+    * ~1-task jobs, measured with [[graft.tools.QueryJobs]]), so
+    * overlapping two legs hides one leg's driver gaps behind the
+    * other's jobs — Spark's scheduler runs concurrent actions fine,
+    * and the commit protocol is per-table (distinct destinations
+    * never contend for a version slot). 2-3 legs in flight is the
+    * guide's sweet spot: enough to fill the gaps, not a fight for
+    * cores. Failures rethrow to the caller. */
+  private def concurrently[T](thunks: (() => T)*): Seq[T] = {
+    if (thunks.sizeIs <= 1) return thunks.map(_())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(3, thunks.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      val done = pool.invokeAll(
+        thunks.map(t => new java.util.concurrent.Callable[T] {
+          override def call(): T = t()
+        }).asJava)
+      done.asScala.map(_.get()).toSeq // rethrows the first failure
+    } catch {
+      case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause
+    } finally pool.shutdown()
+  }
+
   /** Row-for-row BAG equality (duplicates counted) in ONE shuffle:
     * signed-union the two frames (+1/-1 weights) and check every
     * group's weight sum is zero — the same pass the delta maintenance
@@ -2125,29 +2153,41 @@ object DerivedTable {
     val src = abs("src"); val mv = abs("mv"); val aggmv = abs("aggmv")
     // the pooled source family (see [[cloneMvDocsSrc]])
     cloneMvDocsSrc(s, d, src)
-    val cd = s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` " +
-      s"KEY (doc_id) AS SELECT doc_id, source, n_chars * 2 AS w " +
-      s"FROM graft.`$src` WHERE n_chars >= 300").head()
-    val rowsV1 = Versioned.read(s, mv).count()
-    val ca = s.sql(s"CREATE MATERIALIZED VIEW graft.`$aggmv` " +
-      s"ROW KEY (doc_id) AS SELECT source, sum(n_chars) AS " +
-      s"sum_n_chars, count(n_chars) AS cnt_n_chars, count(*) AS " +
-      s"n_rows FROM graft.`$src` GROUP BY source").head()
-    val groupsV1 = Versioned.read(s, aggmv).count()
+    // the derived and aggregate views are INDEPENDENT destinations
+    // over the same immutable source snapshot — each lifecycle step
+    // runs both legs concurrently ([[concurrently]]: the refreshes
+    // are ~half driver-side gaps, and the overlap hides one leg's
+    // gaps behind the other's jobs)
+    val Seq((cd, rowsV1), (ca, groupsV1)) = concurrently(
+      () => {
+        val c = s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` " +
+          s"KEY (doc_id) AS SELECT doc_id, source, n_chars * 2 AS w " +
+          s"FROM graft.`$src` WHERE n_chars >= 300").head()
+        (c, Versioned.read(s, mv).count())
+      },
+      () => {
+        val c = s.sql(s"CREATE MATERIALIZED VIEW graft.`$aggmv` " +
+          s"ROW KEY (doc_id) AS SELECT source, sum(n_chars) AS " +
+          s"sum_n_chars, count(n_chars) AS cnt_n_chars, count(*) AS " +
+          s"n_rows FROM graft.`$src` GROUP BY source").head()
+        (c, Versioned.read(s, aggmv).count())
+      })
     Versioned.append(Versioned.read(s, src + ".app"), src)
-    val r1 = s.sql(s"CALL graft.system.refresh_mv('$mv')").head()
-    val r2 = s.sql(s"CALL graft.system.refresh_mv('$aggmv')").head()
-    val rowsV2 = Versioned.read(s, mv).count()
-    val groupsV2 = Versioned.read(s, aggmv).count()
+    val Seq((r1, rowsV2), (r2, groupsV2)) = concurrently(
+      () => (s.sql(s"CALL graft.system.refresh_mv('$mv')").head(),
+        Versioned.read(s, mv).count()),
+      () => (s.sql(s"CALL graft.system.refresh_mv('$aggmv')").head(),
+        Versioned.read(s, aggmv).count()))
     // both advanced states equal their full recomputes, in one
-    // signed-union shuffle each
-    val eqD = bagEqual(Versioned.read(s, mv),
-      s.sql(s"SELECT doc_id, source, n_chars * 2 AS w FROM " +
-        s"graft.`$src` WHERE n_chars >= 300"))
-    val eqA = bagEqual(Versioned.read(s, aggmv),
-      s.sql(s"SELECT source, sum(n_chars) AS sum_n_chars, " +
-        s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows FROM " +
-        s"graft.`$src` GROUP BY source"))
+    // signed-union shuffle each (the two legs overlap)
+    val Seq(eqD, eqA) = concurrently(
+      () => bagEqual(Versioned.read(s, mv),
+        s.sql(s"SELECT doc_id, source, n_chars * 2 AS w FROM " +
+          s"graft.`$src` WHERE n_chars >= 300")),
+      () => bagEqual(Versioned.read(s, aggmv),
+        s.sql(s"SELECT source, sum(n_chars) AS sum_n_chars, " +
+          s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows FROM " +
+          s"graft.`$src` GROUP BY source")))
     // the spec travels in the properties of BOTH views
     val pd = Versioned.properties(s, mv)
     val pa = Versioned.properties(s, aggmv)
@@ -2250,21 +2290,39 @@ object DerivedTable {
   private def mvShapesGateLegs(s: SparkSession, d: String,
       src: String, fmv: String, mmv: String,
       bsrc: String, bmv: String): DataFrame = {
-    s.sql(s"CREATE MATERIALIZED VIEW graft.`$fmv` ROW KEY (doc_id) " +
-      s"AS SELECT source, sum(n_chars) AS sum_n_chars, " +
-      s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
-      s"FROM graft.`$src` WHERE n_chars >= 300 GROUP BY source")
-    s.sql(s"CREATE MATERIALIZED VIEW graft.`$mmv` ROW KEY (doc_id) " +
-      s"AS SELECT source, lang, sum(n_chars) AS sum_n_chars, " +
-      s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
-      s"FROM graft.`$src` GROUP BY source, lang")
+    // the three views (filtered, multi-column, day-bucketed) are
+    // INDEPENDENT destinations — creates, appends and refreshes run
+    // concurrently per step ([[concurrently]]); the day-bucketed leg
+    // rides its own `.ev` source, so its create/append/refresh
+    // overlap the docs-sourced legs' too. Ordering within each leg
+    // (create → its source's append → refresh) is preserved.
+    concurrently(
+      () => s.sql(s"CREATE MATERIALIZED VIEW graft.`$fmv` ROW KEY " +
+        s"(doc_id) AS SELECT source, sum(n_chars) AS sum_n_chars, " +
+        s"count(n_chars) AS cnt_n_chars, count(*) AS n_rows " +
+        s"FROM graft.`$src` WHERE n_chars >= 300 GROUP BY source"),
+      () => s.sql(s"CREATE MATERIALIZED VIEW graft.`$mmv` ROW KEY " +
+        s"(doc_id) AS SELECT source, lang, sum(n_chars) AS " +
+        s"sum_n_chars, count(n_chars) AS cnt_n_chars, count(*) AS " +
+        s"n_rows FROM graft.`$src` GROUP BY source, lang"),
+      // the r17 expression-group-key + avg leg: a day-bucketed
+      // rollup over the exact-cents events slice (`.ev`)
+      () => s.sql(s"CREATE MATERIALIZED VIEW graft.`$bmv` ROW KEY " +
+        s"(event_id) AS SELECT date_trunc('DAY', ts) AS day, " +
+        s"sum(cents) AS sum_cents, count(cents) AS cnt_cents, " +
+        s"count(*) AS n_rows, avg(cents) AS avg_cents " +
+        s"FROM graft.`$bsrc` GROUP BY date_trunc('DAY', ts)"))
     val specWhere = Versioned.properties(s, fmv)
       .get(MvWhereProp).exists(_.contains("300")) &&
       Versioned.properties(s, mmv).get(MvGroupProp)
         .contains("source,lang")
-    Versioned.append(Versioned.read(s, src + ".app"), src)
-    s.sql(s"CALL graft.system.refresh_mv('$fmv')")
-    s.sql(s"CALL graft.system.refresh_mv('$mmv')")
+    concurrently(
+      () => Versioned.append(Versioned.read(s, src + ".app"), src),
+      () => Versioned.append(Versioned.read(s, src + ".evapp"), bsrc))
+    concurrently(
+      () => s.sql(s"CALL graft.system.refresh_mv('$fmv')"),
+      () => s.sql(s"CALL graft.system.refresh_mv('$mmv')"),
+      () => s.sql(s"CALL graft.system.refresh_mv('$bmv')"))
     // the staleness contract: bound the filtered view at lag 0,
     // advance the source head with a METADATA-ONLY commit (lag
     // counts source versions — exactly what a bounded reader must
@@ -2294,18 +2352,8 @@ object DerivedTable {
     val autoRefreshed = scala.util.Try(
       s.sql(s"SELECT count(*) FROM graft.`$fmv`").collect()).isSuccess &&
       refreshState(s, fmv).exists(_._3 == 0)
-    // —— expression group key + avg (r17): a day-bucketed rollup
-    // over an events slice, `GROUP BY date_trunc('DAY', ts)` with
-    // `avg(v) AS avg_v`, delta-maintained through an append — the
-    // exact-cents events tables come from the pooled family's
-    // `.ev`/`.evapp` siblings (bsrc IS the clone's `.ev`)
-    s.sql(s"CREATE MATERIALIZED VIEW graft.`$bmv` ROW KEY " +
-      s"(event_id) AS SELECT date_trunc('DAY', ts) AS day, " +
-      s"sum(cents) AS sum_cents, count(cents) AS cnt_cents, " +
-      s"count(*) AS n_rows, avg(cents) AS avg_cents " +
-      s"FROM graft.`$bsrc` GROUP BY date_trunc('DAY', ts)")
-    Versioned.append(Versioned.read(s, src + ".evapp"), bsrc)
-    s.sql(s"CALL graft.system.refresh_mv('$bmv')")
+    // (the day-bucketed leg's create/append/refresh ran above,
+    // overlapped with the docs-sourced legs)
     val bProps = Versioned.properties(s, bmv)
     val specBucket = bProps.get(MvGroupExprPrefix + "day")
       .exists(_.contains("date_trunc")) &&
@@ -2793,24 +2841,31 @@ object DerivedTable {
     val src = abs("src"); val mv = abs("mv"); val cdmv = abs("cdmv")
     // the pooled source family q57 shares (see [[cloneMvShapeSrc]])
     cloneMvShapeSrc(s, d, src)
-    s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` ROW KEY " +
-      s"(doc_id) AS SELECT source, sum(n_chars) AS sum_n_chars, " +
-      "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
-      s"approx_count_distinct(lang) AS adc_lang FROM graft.`$src` " +
-      "GROUP BY source")
-    // the EXACT twin over the SAME source clone: count(DISTINCT
-    // lang) AS cd_lang — every refresh recomputes the touched
-    // groups (both the insert-only and the loss batch below)
-    s.sql(s"CREATE MATERIALIZED VIEW graft.`$cdmv` ROW KEY " +
-      s"(doc_id) AS SELECT source, sum(n_chars) AS sum_n_chars, " +
-      "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
-      s"count(DISTINCT lang) AS cd_lang FROM graft.`$src` " +
-      "GROUP BY source")
+    // the sketch view and its EXACT twin (count(DISTINCT lang)) are
+    // INDEPENDENT destinations over the same immutable source
+    // snapshot — every lifecycle step runs both legs concurrently
+    // ([[concurrently]]): each leg is ~half driver-side gaps, and the
+    // overlap hides one leg's gaps behind the other's jobs
+    concurrently(
+      () => s.sql(s"CREATE MATERIALIZED VIEW graft.`$mv` ROW KEY " +
+        s"(doc_id) AS SELECT source, sum(n_chars) AS sum_n_chars, " +
+        "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
+        s"approx_count_distinct(lang) AS adc_lang FROM graft.`$src` " +
+        "GROUP BY source"),
+      // the EXACT twin over the SAME source clone: every refresh
+      // recomputes the touched groups (both the insert-only and the
+      // loss batch below)
+      () => s.sql(s"CREATE MATERIALIZED VIEW graft.`$cdmv` ROW KEY " +
+        s"(doc_id) AS SELECT source, sum(n_chars) AS sum_n_chars, " +
+        "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
+        s"count(DISTINCT lang) AS cd_lang FROM graft.`$src` " +
+        "GROUP BY source"))
     // insert-only append → the MERGE path for the sketch MV (no
     // recompute read) and the recompute path for the exact MV
     Versioned.append(Versioned.read(s, src + ".app"), src)
-    s.sql(s"CALL graft.system.refresh_mv('$mv')")
-    s.sql(s"CALL graft.system.refresh_mv('$cdmv')")
+    concurrently(
+      () => s.sql(s"CALL graft.system.refresh_mv('$mv')"),
+      () => s.sql(s"CALL graft.system.refresh_mv('$cdmv')"))
     // loss batch: one row's lang moves to a brand-new value and
     // every doc_id % 50 == 0 dies → the RECOMPUTE path; the edit
     // inputs derive from the source itself (post-append it IS the
@@ -2822,8 +2877,9 @@ object DerivedTable {
       deleteKeys = all.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id")),
       key = "doc_id")
-    s.sql(s"CALL graft.system.refresh_mv('$mv')")
-    s.sql(s"CALL graft.system.refresh_mv('$cdmv')")
+    concurrently(
+      () => s.sql(s"CALL graft.system.refresh_mv('$mv')"),
+      () => s.sql(s"CALL graft.system.refresh_mv('$cdmv')"))
     // BOTH MVs' three lifecycle states' facts in ONE tagged job
     // (snapshots are immutable — the time-travel reads ARE the
     // states); the exact MV's per-state sums must equal the sketch
@@ -2850,12 +2906,13 @@ object DerivedTable {
         "count(n_chars) AS cnt_n_chars, count(*) AS n_rows, " +
         s"count(DISTINCT lang) AS $alias FROM graft.`$src` " +
         "GROUP BY source")
-    val eq = bagEqual(
-      Versioned.read(s, mv).select(col("source"),
-        col("sum_n_chars"), col("cnt_n_chars"), col("n_rows"),
-        col("adc_lang")),
-      exactSql("adc_lang"))
-    val eqCd = bagEqual(Versioned.read(s, cdmv), exactSql("cd_lang"))
+    val Seq(eq, eqCd) = concurrently(
+      () => bagEqual(
+        Versioned.read(s, mv).select(col("source"),
+          col("sum_n_chars"), col("cnt_n_chars"), col("n_rows"),
+          col("adc_lang")),
+        exactSql("adc_lang")),
+      () => bagEqual(Versioned.read(s, cdmv), exactSql("cd_lang")))
     val specOk = Versioned.properties(s, mv)
       .get(MvDistinctProp).contains("lang")
     val specCdOk = Versioned.properties(s, cdmv)
