@@ -868,11 +868,23 @@ object Similarity {
   def buildIvfPqIndexOf(s: SparkSession, corpus0: DataFrame,
       indexDir: String, iters: Int = 2): Unit = {
     val corpus = corpus0.cache()
-    val cents = kmeansRefine(corpus, seedCentroids(corpus), iters).cache()
-    val cv = Versioned.commit(cents, centroidsDir(indexDir))
+    corpus.count() // materialize once, BEFORE the legs race to fill it
     val subs = subvectors(corpus)
-    val cb = trainPqCodebooks(subs).cache()
-    val bv = Versioned.commit(cb, codebooksDir(indexDir))
+    // centroid refinement and PQ codebook training are INDEPENDENT
+    // iterative legs over the same cached corpus, each a chain of
+    // small driver-gap-bound jobs — overlap them (guide §2.6), each
+    // leg ending in its own sibling-table commit (distinct dirs, no
+    // slot contention)
+    val Seq((cents, cv), (cb, bv)) = graft.tools.Overlap.concurrently(
+      () => {
+        val c = kmeansRefine(corpus, seedCentroids(corpus), iters)
+          .cache()
+        (c, Versioned.commit(c, centroidsDir(indexDir)))
+      },
+      () => {
+        val c = trainPqCodebooks(subs).cache()
+        (c, Versioned.commit(c, codebooksDir(indexDir)))
+      })
     // join codes onto cell assignments keyed on vec_id — both sides are
     // corpus-partitioned on the same key (co-partitioned at scale);
     // the float embedding is NOT stored, that is the whole point
@@ -1026,8 +1038,18 @@ object Similarity {
         .filter(col("rn") <= NProbe)
         .select(col("query_id"), col("cell"))
     }.cache()
-    val probed = qCells.select(col("cell")).distinct()
-      .collect().map(_.getLong(0))
+    // the probed-cell collect and the shortlist-sizing count are
+    // independent actions at the head of every probe — overlap them
+    // (guide §2.6). The shortlist scales to the CORPUS (same contract
+    // as pqTopK); the index row count is a parquet-footer count, not
+    // a scan.
+    val Seq(probedAny, shortAny) =
+      graft.tools.Overlap.concurrently[Any](
+        () => qCells.select(col("cell")).distinct()
+          .collect().map(_.getLong(0)),
+        () => pqShortlist(Versioned.read(s, indexDir).count()))
+    val probed = probedAny.asInstanceOf[Array[Long]]
+    val short = shortAny.asInstanceOf[Int]
     require(probed.forall(_.isValidInt),
       s"IVF cell id beyond Int range: ${probed.max}")
     val idx = Versioned.read(s, indexDir)
@@ -1055,9 +1077,6 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         call_function(GraftFunctions.PqAdcName,
           col("qtab"), col("codes")).as("cosine"))
-    // shortlist scaled to the CORPUS (same contract as pqTopK) — the
-    // index row count is a parquet-footer count, not a scan
-    val short = pqShortlist(Versioned.read(s, indexDir).count())
     val shortlist = adc.groupBy(col("query_id"))
       .agg(call_function(GraftFunctions.TopKName,
         col("cosine"), col("neighbor_id"), lit(short)).as("nbrs"))
@@ -1635,16 +1654,26 @@ object Similarity {
       .head().getLong(2) == 3000000L
     import s.implicits._
     deleteFromVectorIndex(s, Seq(3000000L).toDF("vec_id"), idx)
-    val refused = scala.util.Try(exportVectorIndex(s, idx)).isFailure
-    val afterTomb = probe().cache()
-    val goneTomb = afterTomb
-      .filter(col("neighbor_id") === 3000000L).isEmpty
-    val rows = afterTomb.count()
-    afterTomb.unpersist(blocking = false)
+    // the export refusal and the post-delete probe are independent
+    // reads of the same published state — overlap them (guide §2.6);
+    // the probe's two facts (twin gone, row count) fold into ONE
+    // aggregate action (the cache + isEmpty + count trio was three)
+    val Seq(refusedAny, tombAny) = graft.tools.Overlap.concurrently[Any](
+      () => scala.util.Try(exportVectorIndex(s, idx)).isFailure,
+      () => probe().agg(count(lit(1)),
+        coalesce(sum(when(col("neighbor_id") === 3000000L, 1L)
+          .otherwise(0L)), lit(0L)))
+        .head())
+    val refused = refusedAny.asInstanceOf[Boolean]
+    val tombRow = tombAny.asInstanceOf[org.apache.spark.sql.Row]
+    val goneTomb = tombRow.getLong(1) == 0L
+    val rows = tombRow.getLong(0)
     compactIvfPqIndex(s, idx)
-    val exportOk = scala.util.Try(exportVectorIndex(s, idx)).isSuccess
-    val goneCompact = probe()
-      .filter(col("neighbor_id") === 3000000L).isEmpty
+    val Seq(okAny, compactAny) = graft.tools.Overlap.concurrently[Any](
+      () => scala.util.Try(exportVectorIndex(s, idx)).isSuccess,
+      () => probe().filter(col("neighbor_id") === 3000000L).isEmpty)
+    val exportOk = okAny.asInstanceOf[Boolean]
+    val goneCompact = compactAny.asInstanceOf[Boolean]
     Seq((if (foundBefore) 1L else 0L, if (goneTomb) 1L else 0L,
         if (refused) 1L else 0L, if (exportOk) 1L else 0L,
         if (goneCompact) 1L else 0L, rows))

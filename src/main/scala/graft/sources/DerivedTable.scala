@@ -729,22 +729,8 @@ object DerivedTable {
     * never contend for a version slot). 2-3 legs in flight is the
     * guide's sweet spot: enough to fill the gaps, not a fight for
     * cores. Failures rethrow to the caller. */
-  private def concurrently[T](thunks: (() => T)*): Seq[T] = {
-    if (thunks.sizeIs <= 1) return thunks.map(_())
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(3, thunks.size))
-    try {
-      import scala.jdk.CollectionConverters._
-      val done = pool.invokeAll(
-        thunks.map(t => new java.util.concurrent.Callable[T] {
-          override def call(): T = t()
-        }).asJava)
-      done.asScala.map(_.get()).toSeq // rethrows the first failure
-    } catch {
-      case e: java.util.concurrent.ExecutionException =>
-        throw e.getCause
-    } finally pool.shutdown()
-  }
+  private def concurrently[T](thunks: (() => T)*): Seq[T] =
+    graft.tools.Overlap.concurrently(thunks: _*)
 
   /** Row-for-row BAG equality (duplicates counted) in ONE shuffle:
     * signed-union the two frames (+1/-1 weights) and check every

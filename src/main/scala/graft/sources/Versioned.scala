@@ -793,6 +793,37 @@ object Versioned {
     // pay a separate isEmpty action (plus a persist around the
     // rewrite) to learn BEFORE committing
     var wroteRows = true
+    // Merge-on-read tombstone sets (key-scale, one file each). On the
+    // data-write path their Spark write jobs run on a side thread,
+    // overlapping the commit's driver-side stats harvest and sidecar
+    // writes (guide §2.6: overlap independent jobs) — started only
+    // AFTER the empty-partitionBy fallback (which deletes and
+    // recreates the whole stage), awaited with failures rethrown
+    // before the manifest that references them is written. The side
+    // thread pins its own job group so the main write's task-metrics
+    // harvest can never attribute these tasks. Metadata-only and
+    // import commits keep the sequential write (their stage layout
+    // checks must not race a concurrent writer).
+    var tombWrite: Option[java.util.concurrent.Future[_]] = None
+    def writeTombstones(): Unit = {
+      deleteDf.foreach(_.coalesce(1).write
+        .parquet(new Path(stage, DeletesDir).toString))
+      posDeleteDf.foreach(_.coalesce(1).write
+        .parquet(new Path(stage, PosDeletesDir).toString))
+    }
+    def startTombstoneWrites(): Unit =
+      if (deleteDf.isDefined || posDeleteDf.isDefined) {
+        val pool =
+          java.util.concurrent.Executors.newSingleThreadExecutor()
+        tombWrite = Some(pool.submit(new Runnable {
+          override def run(): Unit = {
+            spark.sparkContext.setJobGroup(s"graft-tombstones-$uuid",
+              "graft tombstone write")
+            writeTombstones()
+          }
+        }))
+        pool.shutdown()
+      }
     if (populate.isDefined) {
       // an IMPORT commit: the caller stages pre-existing parquet files
       // itself (hardlink/copy — no Spark write, no rewrite); counts
@@ -846,6 +877,11 @@ object Versioned {
             df.limit(0).write.mode("overwrite").parquet(stage.toString)
           }
         } else taskRows
+      // the tombstone writes overlap the driver-side stats/sidecar
+      // work below (guide §2.6) — started strictly AFTER the
+      // empty-partitionBy fallback above (which deletes and recreates
+      // the whole stage), awaited before the manifest references them
+      startTombstoneWrites()
       if (statsCols.nonEmpty) writeStats(spark, f, stage, statsCols)
       else writeCountStats(spark, f, stage, allTaskRows)
       // emptiness decides manifest membership below only when the
@@ -954,11 +990,16 @@ object Versioned {
       FsFast.put(f, new Path(stage, file),
         payload.getBytes("UTF-8"), overwrite = false)
     }
-    // tombstone sets (merge-on-read deletes): key-scale, one file each
-    deleteDf.foreach(_.coalesce(1).write
-      .parquet(new Path(stage, DeletesDir).toString))
-    posDeleteDf.foreach(_.coalesce(1).write
-      .parquet(new Path(stage, PosDeletesDir).toString))
+    // tombstone sets land before the manifest references them: await
+    // the overlapped write (rethrowing its failure), or write
+    // sequentially on the paths that never started one
+    tombWrite match {
+      case Some(fut) =>
+        try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException =>
+          throw e.getCause }
+      case None => writeTombstones()
+    }
     // a zero-row rewrite's own dir (an empty schema-bearing file)
     // stays OUT of the manifest unless nothing else would be in it —
     // the caller-side rewroteAll logic, decided from the write's own
