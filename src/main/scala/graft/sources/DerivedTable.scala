@@ -2351,7 +2351,8 @@ object DerivedTable {
     // data, and path reads are staleness-exempt
     def st(df: DataFrame, tag: String, sm: Column): DataFrame =
       df.select(lit(tag).as("t"), sm.cast("long").as("sm"))
-    val stats = st(Versioned.read(s, fmv), "f", col("sum_n_chars"))
+    def statsJob() =
+      st(Versioned.read(s, fmv), "f", col("sum_n_chars"))
       .unionByName(st(Versioned.read(s, mmv), "m", col("n_rows")))
       .unionByName(st(Versioned.read(s, bmv), "b", col("sum_cents")))
       .groupBy(col("t")).agg(count(lit(1)).as("g"),
@@ -2365,7 +2366,7 @@ object DerivedTable {
       df.select(lit(tag).as("t") +: (cs ++ pad) :+
         lit(w).as("w"): _*)
     }
-    val badLegs = norm(Versioned.read(s, fmv), "f", 1L)
+    def badLegsJob() = norm(Versioned.read(s, fmv), "f", 1L)
       .unionByName(norm(s.sql(s"SELECT source, sum(n_chars) AS " +
         s"sum_n_chars, count(n_chars) AS cnt_n_chars, count(*) AS " +
         s"n_rows FROM graft.`$src` WHERE n_chars >= 300 " +
@@ -2384,6 +2385,13 @@ object DerivedTable {
         col("c5"))
       .agg(sum(col("w")).as("d")).filter(col("d") =!= 0L)
       .select(col("t")).distinct().collect().map(_.getString(0)).toSet
+    // the two verification collects are independent reads of the same
+    // published states — overlap them (guide §2.6)
+    val Seq(statsAny, badAny) = concurrently[Any](
+      () => statsJob(), () => badLegsJob())
+    val stats = statsAny
+      .asInstanceOf[Map[String, org.apache.spark.sql.Row]]
+    val badLegs = badAny.asInstanceOf[Set[String]]
     import s.implicits._
     Seq((stats("f").getLong(1), stats("f").getLong(2),
         stats("m").getLong(1), stats("m").getLong(2),
@@ -2476,7 +2484,7 @@ object DerivedTable {
         sm: Column): DataFrame =
       df.select(lit(tag).as("t"), rl.cast("long").as("rl"),
         sm.cast("long").as("sm"))
-    val stats = st(Versioned.read(s, jmv, Some(1)), "v1", lit(0L),
+    def statsJob() = st(Versioned.read(s, jmv, Some(1)), "v1", lit(0L),
         lit(0L))
       .unionByName(st(Versioned.read(s, jmv, Some(2)), "v2", lit(0L),
         lit(0L)))
@@ -2503,7 +2511,7 @@ object DerivedTable {
       s"SELECT f.doc_id, f.source, d.src_label, f.n_chars " +
         s"FROM $factRel f JOIN $dimRel d ON f.source = d.source " +
         "WHERE f.n_chars >= 300"
-    val badLegs = norm(Versioned.read(s, jmv, Some(2)), "v2", 1L)
+    def badLegsJob() = norm(Versioned.read(s, jmv, Some(2)), "v2", 1L)
       .unionByName(norm(s.sql(jmvSelect(
         s"graft.`$fact` VERSION AS OF 2", s"graft.`$dim` VERSION AS " +
           "OF 1")), "v2", -1L))
@@ -2517,6 +2525,13 @@ object DerivedTable {
       .groupBy(col("t"), col("c1"), col("c2"), col("c3"), col("c4"))
       .agg(sum(col("w")).as("d")).filter(col("d") =!= 0L)
       .select(col("t")).distinct().collect().map(_.getString(0)).toSet
+    // the two verification collects are independent reads of the same
+    // published states — overlap them (guide §2.6)
+    val Seq(statsAny, badAny) = concurrently[Any](
+      () => statsJob(), () => badLegsJob())
+    val stats = statsAny
+      .asInstanceOf[Map[String, org.apache.spark.sql.Row]]
+    val badLegs = badAny.asInstanceOf[Set[String]]
     Seq((if (created.getString(0) == "join") 1L else 0L,
         stats("v1").getLong(1), stats("v2").getLong(1),
         stats("v3").getLong(1), stats("v3").getLong(2),
