@@ -428,7 +428,13 @@ object TextAnalysis {
     * never corpus tokens — so the whole battery is embarrassingly
     * parallel plus one bounded exchange. */
   def repetitionSignals(s: SparkSession, d: String): DataFrame =
-    repetitionSignalsFor(docsPlain(s, d))
+    // spread, not plain: since the per-row native kernel took over the
+    // n-gram modes, ALL of the battery's work happens in the scan
+    // stage — on the single-row-group fixture that is ONE task without
+    // the round-robin (measured at a 10x tiled fixture: 8.4 s at 32
+    // cores = no scaling at all; spread restores data-parallelism).
+    // A real table gets this from file splits.
+    repetitionSignalsFor(docs(s, d))
 
   /** [[repetitionSignals]] over an arbitrary (doc_id, text) frame —
     * split out so the spec can drive multi-line/degenerate synthetic
